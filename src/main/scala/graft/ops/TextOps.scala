@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text scan/tokenize/filter operators — the reference's wordcount/grep
+  * family re-expressed Spark-first.
+  *
+  * Reference semantics (cited, not copied):
+  *  - whitespace tokenize + count: WordCount.java:38-68, LeanWordCount.java:43-66
+  *  - regex match extract + count + global desc sort: Grep.java:46-106
+  *
+  * The reference runs these as 1-2 Hadoop jobs with explicit combiners and
+  * a single-reducer sort stage; here each is ONE declarative plan so
+  * Catalyst plans FileScan → Generate → partial/final HashAggregate →
+  * (range-partitioned) Sort. Map-side partial aggregation — the combiner —
+  * is automatic; the desc sort is a sampled RangePartitioning exchange, not
+  * a single reducer, so it scales past one node.
+  */
+object TextOps {
+
+  /** line/document column → one row per whitespace token. */
+  def tokens(df: DataFrame, textCol: String, out: String = "word"): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as(out))
+      .filter(col(out) =!= "")
+
+  /** wordcount: token → count, descending. Partial agg is map-side. */
+  def wordCount(df: DataFrame, textCol: String): DataFrame =
+    tokens(df, textCol)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** grep: emit every regex match (capture group `group`) with its count,
+    * like the reference's RegexMapper+LongSumReducer+InverseMapper chain —
+    * but as one plan with no SequenceFile staging between "jobs".
+    */
+  def grep(df: DataFrame, textCol: String, pattern: String, group: Int = 0): DataFrame =
+    df.select(
+        explode(expr(s"regexp_extract_all($textCol, '$pattern', $group)")).as("match"))
+      .filter(col("match") =!= "")
+      .groupBy("match")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Portable 60-bit hash shared with the DuckDB oracle:
+    * first 15 hex chars of md5 → bigint. Used wherever a hash must be
+    * reproducible outside the JVM (minhash/simhash/fingerprints).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** hash60 reduced mod 2^31-1 — safe for modular multiply in int64. */
+  def hash31(c: Column): Column = hash60(c) % 2147483647L
+}
