@@ -1,12 +1,17 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every key in `queries` has a matching DuckDB oracle in `oracleSql`
   * (same column names — the driver sorts columns by name before hashing).
+  * Double-typed aggregates go through AggOps.exactSum (DECIMAL inside,
+  * double out) so Spark and DuckDB agree bit-for-bit regardless of
+  * partition/accumulation order.
   */
 object SparkEntry {
 
@@ -17,8 +22,94 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 text scan / tokenize / regex (wordcount + grep families)
     "q_wordcount" -> ((s, d) => TextOps.wordCount(Tables.documents(s, d), "text")),
     "q_grep"      -> ((s, d) => TextOps.grep(Tables.documents(s, d), "text", "s[a-z]+")),
+
+    // §2.4 aggregate framework families
+    "q_agg_sum" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+        AggOps.exactSum(col("l_quantity")).as("sum_qty"),
+        AggOps.exactSum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("cnt"))),
+    "q_agg_max" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        max("l_extendedprice").as("max_price"),
+        max("l_quantity").as("max_qty"))),
+    "q_agg_min" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        min("l_extendedprice").as("min_price"),
+        min("l_quantity").as("min_qty"))),
+    "q_agg_uniq" -> ((s, d) =>
+      AggOps.uniqCount(Tables.orders(s, d), "o_orderpriority", "o_custkey")),
+    "q_agg_generic" -> ((s, d) =>
+      AggOps.valueAggregate(Tables.lineitem(s, d),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity")),
+
+    // §2.6 sorts / top-k
+    "q_sort_total" -> ((s, d) =>
+      SortOps.totalSort(
+        Tables.lineitem(s, d).select("l_partkey", "l_orderkey", "l_linenumber"),
+        col("l_partkey"), col("l_orderkey"), col("l_linenumber"))),
+    "q_sort_desc_float" -> ((s, d) =>
+      SortOps.totalSort(
+        Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+        col("c_acctbal").desc, col("c_custkey"))),
+    "q_topk" -> ((s, d) =>
+      SortOps.topK(Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        100, col("o_totalprice").desc, col("o_orderkey"))),
+
+    // §2.3 joins
+    "q_join" -> ((s, d) => {
+      val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+      JoinOps.inner(o, l, o("o_orderkey") === l("l_orderkey"))
+        .select("o_orderkey", "l_linenumber", "o_custkey", "l_partkey")
+    }),
+    "q_join_semi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      JoinOps.semi(o, l, o("o_orderkey") === l("l_orderkey"))
+        .select("o_orderkey", "o_orderpriority")
+    }),
+    "q_join_anti" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      JoinOps.anti(o, l, o("o_orderkey") === l("l_orderkey"))
+        .select("o_orderkey", "o_orderpriority")
+    }),
+    "q_join_dim" -> ((s, d) => {
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      JoinOps.dimJoin(c, n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name").agg(
+          count(lit(1)).as("n_cust"),
+          AggOps.exactSum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // §2.7 set ops
+    "q_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), lit("first").as("src"))
+        .union(o.filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), lit("second").as("src")))
+    }),
+    "q_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()),
+
+    // §2.5 window functions
+    "q_window" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        AggOps.exactWindowSum(col("o_totalprice"), w).as("running_spend"))
+    }),
+
+    // grouping sets
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d).rollup("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("cnt"),
+        AggOps.exactSum(col("l_quantity")).as("sum_qty"))),
   )
 
   /** DuckDB oracles. The driver registers each parquet table as a view of
@@ -33,5 +124,70 @@ object SparkEntry {
       """SELECT m AS match, count(*) AS cnt
          FROM (SELECT unnest(regexp_extract_all(text, 's[a-z]+')) AS m FROM documents)
          WHERE m <> '' GROUP BY m""",
+    "q_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_agg_max" ->
+      """SELECT l_returnflag, max(l_extendedprice) AS max_price,
+                max(l_quantity) AS max_qty
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_agg_min" ->
+      """SELECT l_returnflag, min(l_extendedprice) AS min_price,
+                min(l_quantity) AS min_qty
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_agg_uniq" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS uniq_v,
+                count(*) AS cnt
+         FROM orders GROUP BY o_orderpriority""",
+    "q_agg_generic" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
+                max(l_quantity) AS max_v, min(l_quantity) AS min_v,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_sort_total" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber FROM lineitem
+         ORDER BY l_partkey, l_orderkey, l_linenumber""",
+    "q_sort_desc_float" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+         ORDER BY c_acctbal DESC, c_custkey""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_join" ->
+      """SELECT o_orderkey, l_linenumber, o_custkey, l_partkey
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""",
+    "q_join_anti" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""",
+    "q_join_dim" ->
+      """SELECT n_name, count(*) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q_union" ->
+      """SELECT o_orderkey, 'first' AS src FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_orderkey, 'second' AS src FROM orders WHERE o_orderstatus = 'O'""",
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+    "q_window" ->
+      """SELECT o_orderkey, o_custkey,
+                row_number() OVER w AS rn,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE) AS running_spend
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
   )
 }

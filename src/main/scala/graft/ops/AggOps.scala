@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation operators — the reference's combiner/reducer +
+  * "aggregate framework" families, Spark-first.
+  *
+  * Reference semantics (cited, not copied):
+  *  - hash group-by + sum with map-side combiner: WordCount.java:54-68,81
+  *  - ValueAggregator families (LONG_VALUE_SUM / MAX / MIN / UNIQ):
+  *    AggregateWordCount.java:47-64, LeanAggregateWordCount.java:47-64
+  *
+  * Catalyst plans every groupBy below as partial HashAggregate →
+  * shuffle on the group keys → final HashAggregate, i.e. the combiner
+  * pattern is automatic and stays automatic at 1000 executors.
+  */
+object AggOps {
+
+  /** Order-independent exact sum of a double column, returned as double.
+    *
+    * Double addition is not associative, so a plain sum(double) differs
+    * in final ulps between partition orders (and between Spark and the
+    * DuckDB oracle). Summing in DECIMAL is exact and order-independent;
+    * casting the exact result back to double is deterministic on both
+    * engines. Same cost class at scale: one extra cast in the scan.
+    */
+  def exactSum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** Windowed (running) exact sum — same determinism rationale. */
+  def exactWindowSum(c: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+                     scale: Int = 4): Column =
+    sum(c.cast(DecimalType(28, scale))).over(w).cast("double")
+
+  /** Generic "value aggregator" — one pass, all families at once:
+    * sum/max/min/count per group (LONG_VALUE_SUM, VALUE_MAX, VALUE_MIN,
+    * COUNT families of the reference's aggregate framework).
+    */
+  def valueAggregate(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      exactSum(col(valueCol)).as("sum_v"),
+      max(col(valueCol)).as("max_v"),
+      min(col(valueCol)).as("min_v"),
+      count(lit(1)).as("cnt"))
+
+  /** UNIQ_VALUE_COUNT family: exact distinct count per group.
+    * At 100 TB prefer `approx_count_distinct` (HLL sketch, no exact
+    * distinct shuffle); exact kept here because the oracle is exact.
+    */
+  def uniqCount(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("uniq_v"),
+           count(lit(1)).as("cnt"))
+}

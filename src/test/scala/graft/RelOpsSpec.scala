@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Specs for the relational operator families (agg/sort/join/set/window).
+  * Cross-checks each op against an independent Spark SQL formulation on
+  * the sf0.001 fixtures — the DuckDB oracle is the external gate; these
+  * catch regressions fast.
+  */
+class RelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val li = Tables.lineitem(spark, sfDir).cache()
+  lazy val orders = Tables.orders(spark, sfDir).cache()
+
+  test("exactSum matches decimal-exact SQL sum and is order-independent") {
+    val a = li.agg(AggOps.exactSum(col("l_extendedprice"))).as[Double].head()
+    val b = li.repartition(13).agg(AggOps.exactSum(col("l_extendedprice")))
+      .as[Double].head()
+    assert(a == b)
+    val sql = li.agg(sum(col("l_extendedprice").cast("decimal(28,4)")).cast("double"))
+      .as[Double].head()
+    assert(a == sql)
+  }
+
+  test("valueAggregate computes all families in one pass") {
+    val r = AggOps.valueAggregate(li, Seq("l_returnflag"), "l_quantity")
+    assert(r.columns.toSeq == Seq("l_returnflag", "sum_v", "max_v", "min_v", "cnt"))
+    val totalCnt = r.agg(sum("cnt")).as[Long].head()
+    assert(totalCnt == li.count())
+  }
+
+  test("uniqCount matches countDistinct") {
+    val r = AggOps.uniqCount(orders, "o_orderpriority", "o_custkey")
+    val direct = orders.groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("u"))
+    val joined = r.join(direct, "o_orderpriority")
+      .filter(col("uniq_v") =!= col("u")).count()
+    assert(joined == 0)
+  }
+
+  test("totalSort produces globally ordered output") {
+    val sorted = SortOps.totalSort(li.select("l_partkey"), col("l_partkey"))
+      .as[Long].collect()
+    assert(sorted.sameElements(sorted.sorted))
+  }
+
+  test("topK equals sort-then-take") {
+    val a = SortOps.topK(orders.select("o_orderkey", "o_totalprice"), 10,
+      col("o_totalprice").desc, col("o_orderkey"))
+      .as[(Long, Double)].collect().toSeq
+    val b = orders.select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .as[(Long, Double)].take(10).toSeq
+    assert(a == b)
+  }
+
+  test("semi + anti partition the left side") {
+    val l = li.filter(col("l_quantity") > 45)
+    val nSemi = JoinOps.semi(orders, l, orders("o_orderkey") === l("l_orderkey")).count()
+    val nAnti = JoinOps.anti(orders, l, orders("o_orderkey") === l("l_orderkey")).count()
+    assert(nSemi + nAnti == orders.count())
+  }
+
+  test("dimJoin plans a broadcast join") {
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val plan = JoinOps.dimJoin(c, n, c("c_nationkey") === n("n_nationkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("inner join row count matches lineitem (fk integrity)") {
+    val j = JoinOps.inner(orders, li, orders("o_orderkey") === li("l_orderkey"))
+    assert(j.count() == li.count())
+  }
+}
