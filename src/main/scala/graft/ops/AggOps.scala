@@ -25,6 +25,13 @@ object AggOps {
     * DuckDB oracle). Summing in DECIMAL is exact and order-independent;
     * casting the exact result back to double is deterministic on both
     * engines. Same cost class at scale: one extra cast in the scan.
+    *
+    * Scale contract: inputs are rounded to `scale` fractional digits
+    * before summing — "exact" means exact at that scale. Keep `scale`
+    * well below double precision (≤ ~12 digits total) so Spark and DuckDB
+    * round identically; values needing more fractional digits than
+    * `scale` lose them. DECIMAL(28,4) headroom: 10^24 — unreachable even
+    * summing 10^15 rows of 10^9-sized values, so no overflow-null risk.
     */
   def exactSum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")

@@ -24,22 +24,35 @@ object TextOps {
     df.select(explode(split(col(textCol), "\\s+")).as(out))
       .filter(col(out) =!= "")
 
-  /** wordcount: token → count, descending. Partial agg is map-side. */
+  /** wordcount: token → count. Output order is unspecified (the driver
+    * and oracle compare rows as a multiset); callers wanting the
+    * reference's ranked listing compose with SortOps. Partial agg is
+    * map-side.
+    */
   def wordCount(df: DataFrame, textCol: String): DataFrame =
     tokens(df, textCol)
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
   /** grep: emit every regex match (capture group `group`) with its count,
-    * like the reference's RegexMapper+LongSumReducer+InverseMapper chain —
-    * but as one plan with no SequenceFile staging between "jobs".
+    * globally sorted by count descending (ties by match) — the reference's
+    * RegexMapper+LongSumReducer job followed by its InverseMapper +
+    * single-reducer desc-sort job (Grep.java:46-106), as ONE plan with no
+    * SequenceFile staging and a sampled range-partitioned sort instead of
+    * one reducer.
+    *
+    * The pattern travels as a literal (not interpolated SQL text), so
+    * quotes/backslashes are safe. Regex dialect is Java's; oracle parity
+    * holds for the common subset (character classes, quantifiers,
+    * alternation, groups) — lookaround/backrefs are Java-only.
     */
   def grep(df: DataFrame, textCol: String, pattern: String, group: Int = 0): DataFrame =
     df.select(
-        explode(expr(s"regexp_extract_all($textCol, '$pattern', $group)")).as("match"))
+        explode(regexp_extract_all(col(textCol), lit(pattern), lit(group))).as("match"))
       .filter(col("match") =!= "")
       .groupBy("match")
       .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("match"))
 
   /** Portable 60-bit hash shared with the DuckDB oracle:
     * first 15 hex chars of md5 → bigint. Used wherever a hash must be
