@@ -110,7 +110,45 @@ object SparkEntry {
       Tables.lineitem(s, d).rollup("l_returnflag", "l_linestatus").agg(
         count(lit(1)).as("cnt"),
         AggOps.exactSum(col("l_quantity")).as("sum_qty"))),
+
+    // §3.3 PageRank — the reference's iterative workload. Fixed 10
+    // iterations + int64 fixed-point math so ranks are bit-identical
+    // across partitionings and engines (GraphOps scaladoc).
+    "q_pagerank" -> ((s, d) =>
+      GraphOps.pageRankFixed(
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod), PrIters)),
   )
+
+  /** q_pagerank fixture/shape constants (shared by query + oracle). */
+  private val PrMod = 997
+  private val PrIters = 10
+
+  /** DuckDB oracle for q_pagerank: same fixed-point integer recurrence as
+    * GraphOps.pageRankFixed, unrolled into one chained CTE per iteration
+    * (`//` is DuckDB integer division = Spark's `div` on nonnegative
+    * operands).
+    */
+  private def pageRankOracle(iters: Int, mod: Int): String = {
+    val ctes = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT n.node,
+                  CAST(150000000000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank_fp
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst, CAST(SUM(r.rank_fp // o.deg) AS BIGINT) AS c
+             FROM edges e
+             JOIN r${i - 1} r ON r.node = e.src
+             JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst) s ON s.dst = n.node)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+          SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+          FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_fp FROM nodes),
+        $ctes
+        SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / 1e12 AS rank FROM r$iters"""
+  }
 
   /** DuckDB oracles. The driver registers each parquet table as a view of
     * its bare name (contract example: `FROM lineitem`).
@@ -189,5 +227,6 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_pagerank" -> pageRankOracle(PrIters, PrMod),
   )
 }

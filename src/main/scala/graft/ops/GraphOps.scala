@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph operators — the reference's PageRank pipeline
+  * (its only iterative / graph-shaped workload), Spark-first.
+  *
+  * Reference semantics (cited, not copied):
+  *  - step 1 adjacency build: Step1Mapper.java:27-30, Step1Reducer.java:18-27
+  *  - step 2 contribution + damping (1-d) + d*Σ: Step2Mapper.java:30-38,
+  *    Step2Reducer.java:17-42; driver loop PageRank.java:33-96
+  *  - step 3 global desc sort by rank: Step3Mapper.java:78-94,
+  *    SortFloatComparator.java:17-22
+  *
+  * Two deliberate departures from the reference, both for scale:
+  *  1. Convergence is a joined scalar L1 diff (one aggregated long back to
+  *     the driver per iteration), NOT the reference's read-the-entire-rank-
+  *     file-into-a-driver-HashMap (PageRank.java:196-216) — that driver
+  *     round-trip is O(|V|) driver memory and dies at 100 TB.
+  *  2. Arithmetic is 10^12 fixed-point int64, not float. Float summation is
+  *     order-dependent, so ranks would differ between partition layouts
+  *     (and between engines). Integer math is exact and order-independent:
+  *     the same input graph yields bit-identical ranks on 1 core or 1000
+  *     executors — and in the DuckDB oracle. share = rank div outdeg;
+  *     rank' = (1-d)*S + (d_pct * Σshare) div 100. Headroom: Σ rank mass
+  *     ≤ |V|·10^12, so int64 holds |V| up to ~10^6 per aggregation key
+  *     domain; for larger graphs raise Scale granularity down.
+  */
+object GraphOps {
+
+  /** Fixed-point scale: 1 rank unit = 10^12. */
+  val Scale: Long = 1000000000000L
+
+  /** Distinct endpoints of the edge list. */
+  def nodes(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+
+  /** Deterministic synthetic edge list from lineitem (FIXTURES.md §C):
+    * src = l_orderkey mod m, dst = l_partkey mod m, self-loops dropped.
+    */
+  def edgesFromLineitem(lineitem: DataFrame, mod: Int = 997): DataFrame =
+    lineitem.select(
+        (col("l_orderkey") % mod).as("src"),
+        (col("l_partkey") % mod).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** One PageRank iteration: explode contributions along edges, re-sum per
+    * target, apply damping. `ew` = edges with outdegree attached.
+    */
+  private def step(ew: DataFrame, nodeDf: DataFrame, ranks: DataFrame,
+                   dampPct: Int): DataFrame = {
+    val contrib = ew.join(ranks, ew("src") === ranks("node"))
+      .select(ew("dst"), expr("rank_fp div deg").as("share"))
+    val sums = contrib.groupBy("dst").agg(sum("share").as("c"))
+    nodeDf.join(sums, nodeDf("node") === sums("dst"), "left")
+      .select(nodeDf("node"),
+        (lit((100L - dampPct) * (Scale / 100)) +
+          expr(s"($dampPct * coalesce(c, cast(0 as bigint))) div 100"))
+          .as("rank_fp"))
+  }
+
+  /** Fixed-iteration PageRank (deterministic, oracle-checkable).
+    * Output: (node, rank_fp: int64 fixed-point, rank: double), globally
+    * sorted rank desc — the reference's step-3 contract.
+    */
+  def pageRankFixed(edges: DataFrame, iters: Int, dampPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val e = edges
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Reused every iteration — persist so the scan+distinct+join runs once.
+    val ew = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes(e).persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = n.select(col("node"), lit(Scale).as("rank_fp"))
+    for (_ <- 1 to iters)
+      ranks = step(ew, n, ranks, dampPct)
+    ranks.select(col("node"), col("rank_fp"),
+        (col("rank_fp").cast("double") / lit(Scale.toDouble)).as("rank"))
+      .orderBy(col("rank_fp").desc, col("node"))
+  }
+
+  /** Convergence-driven PageRank: iterate until the L1 rank diff (in
+    * fixed-point units) drops below `tolFp` or `maxIters` is hit.
+    * Each iteration materializes the new ranks (cache) and ships ONE
+    * aggregated long to the driver — no per-node driver state.
+    * Returns (final ranks sorted desc, iterations run).
+    */
+  def pageRankConverged(edges: DataFrame, maxIters: Int, tolFp: Long,
+                        dampPct: Int = 85): (DataFrame, Int) = {
+    val e = edges
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ew = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes(e).persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = n.select(col("node"), lit(Scale).as("rank_fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = step(ew, n, ranks, dampPct).persist(StorageLevel.MEMORY_AND_DISK)
+      val diff = next.join(ranks.withColumnRenamed("rank_fp", "prev_fp"), "node")
+        .agg(sum(abs(col("rank_fp") - col("prev_fp"))).as("l1"))
+        .head().getLong(0)
+      ranks.unpersist()
+      ranks = next
+      it += 1
+      converged = diff < tolFp
+    }
+    (ranks.select(col("node"), col("rank_fp"),
+        (col("rank_fp").cast("double") / lit(Scale.toDouble)).as("rank"))
+      .orderBy(col("rank_fp").desc, col("node")), it)
+  }
+}

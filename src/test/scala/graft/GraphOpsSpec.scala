@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference model: same fixed-point recurrence computed
+    * with plain Scala collections (no Spark, no SQL).
+    */
+  private def model(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = nodes.map(_ -> GraphOps.Scale).toMap
+    for (_ <- 1 to iters) {
+      val sums = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (s, _) => rank(s) / deg(s) }.sum
+      }
+      rank = nodes.map(n => n -> (150000000000L + 85L * sums.getOrElse(n, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pageRankFixed matches an independent fixed-point model") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+    val df = edges.toDF("src", "dst")
+    val got = GraphOps.pageRankFixed(df, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === model(edges, 10))
+  }
+
+  test("pageRankFixed output is sorted desc and includes sink-only nodes") {
+    val df = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst") // 2 has no outlinks
+    val rows = GraphOps.pageRankFixed(df, 3).collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    val ranks = rows.map(_.getLong(1))
+    assert(ranks.sorted.reverse.sameElements(ranks))
+    // node 2 receives from both sources; 1 and 3 receive nothing → base.
+    assert(rows.last.getLong(1) === 150000000000L)
+  }
+
+  test("pageRankFixed is deterministic across partition layouts") {
+    val edges = GraphOps.edgesFromLineitem(Tables.lineitem(spark, sfDir), 97)
+    val a = GraphOps.pageRankFixed(edges, 5).collect().toSeq
+    val b = GraphOps.pageRankFixed(edges.repartition(7), 5).collect().toSeq
+    assert(a === b)
+  }
+
+  test("pageRankConverged stops once the L1 diff is below tolerance") {
+    val df = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst") // symmetric: ranks stay 1.0
+    val (ranks, iters) = GraphOps.pageRankConverged(df, 50, tolFp = 1000L)
+    assert(iters < 50)
+    assert(ranks.collect().map(_.getLong(1)).forall(r => math.abs(r - GraphOps.Scale) < 1000000L))
+  }
+}
