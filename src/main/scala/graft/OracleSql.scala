@@ -1,0 +1,133 @@
+package graft
+
+import graft.ops.DedupOps
+
+/** DuckDB oracle-SQL builders for the LLM-pipeline queries.
+  *
+  * These mirror the graft operators formula-for-formula, sharing the same
+  * literal constants (minhash coefficients, banding shape, corpus
+  * derivation), so Spark and DuckDB produce bit-identical results: all
+  * intermediate math is integer (portable md5-prefix hash, exact int64
+  * sums); the only doubles are final divisions of exactly-representable
+  * integers, which IEEE 754 defines identically in both engines.
+  *
+  * DuckDB dialect notes: `//` = floor division (nonneg operands only here,
+  * so it equals Spark's `div`); `CAST('0x…' AS BIGINT)` parses hex —
+  * the twin of Spark's `conv(hex, 16, 10)`; SUM(int) is HUGEINT, so sums
+  * feeding int64 ops are cast back to BIGINT.
+  */
+object OracleSql {
+
+  /** Portable 60-bit hash — DuckDB twin of TextOps.hash60. */
+  def hash60(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Near-dup corpus CTEs — DuckDB twin of DedupOps.dupCorpus. */
+  val corpusCte: String =
+    """base AS (SELECT doc_id, text FROM documents),
+       corpus AS (
+         SELECT doc_id, text FROM base
+         UNION ALL SELECT doc_id + 1000000, text FROM base
+         UNION ALL SELECT doc_id + 2000000,
+           regexp_replace(text, '^\S+\s*', '') AS text FROM base)"""
+
+  /** Distinct word 3-shingle CTEs over `corpus` (needs corpusCte). */
+  val shingle3Cte: String =
+    """words AS (SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+       FROM corpus),
+       sh AS (SELECT DISTINCT doc_id, sh FROM (
+         SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1),
+                  j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])
+           ELSE CAST([] AS VARCHAR[]) END) AS sh
+         FROM words))"""
+
+  def dedupExactSql: String =
+    s"""WITH $corpusCte
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_cnt
+        FROM corpus GROUP BY md5(text) HAVING COUNT(*) >= 2"""
+
+  def dedupMinhashSql: String = {
+    val coefValues = DedupOps.MinhashCoef
+      .map { case (i, a, b, band, w31) => s"($i, $a, $b, $band, $w31)" }
+      .mkString(", ")
+    val p = DedupOps.P
+    s"""WITH $corpusCte,
+        $shingle3Cte,
+        hh AS (SELECT doc_id, ${hash60("sh")} % $p AS h FROM sh),
+        coef AS (SELECT * FROM (VALUES $coefValues) t(i, a, b, band, w31)),
+        sig AS (SELECT doc_id, i, MIN((a * h + b) % $p) AS m
+                FROM hh CROSS JOIN coef GROUP BY doc_id, i),
+        bk AS (SELECT doc_id, band, CAST(SUM(m * w31) AS BIGINT) AS bk
+               FROM sig JOIN coef USING (i) GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bk x JOIN bk y
+                 ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / ${DedupOps.K}.0
+                 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+        GROUP BY c.doc_a, c.doc_b
+        HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / ${DedupOps.K}.0 >= 0.5"""
+  }
+
+  def dedupSimhashSql: String = {
+    val bitsValues =
+      (0 until DedupOps.SimhashBits).map(i => s"($i, ${1L << i})").mkString(", ")
+    val byteValues = (0 until 4).map(j => s"($j, ${1L << (8 * j)})").mkString(", ")
+    s"""WITH $corpusCte,
+        toks AS (SELECT doc_id, w, COUNT(*) AS cnt FROM (
+                   SELECT doc_id, unnest(
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                     AS w FROM corpus)
+                 GROUP BY doc_id, w),
+        th AS (SELECT doc_id, cnt, ${hash60("w")} AS h FROM toks),
+        bits AS (SELECT * FROM (VALUES $bitsValues) t(i, p2)),
+        sb AS (SELECT doc_id, i, p2,
+                      CAST(SUM(cnt * (((h // p2) % 2) * 2 - 1)) AS BIGINT) AS s
+               FROM th CROSS JOIN bits GROUP BY doc_id, i, p2),
+        sh AS (SELECT doc_id,
+                      CAST(SUM(CASE WHEN s > 0 THEN p2 ELSE 0 END) AS BIGINT)
+                        AS simhash
+               FROM sb GROUP BY doc_id),
+        bytes AS (SELECT * FROM (VALUES $byteValues) t(j, d)),
+        bands AS (SELECT doc_id, simhash, j, (simhash // d) % 256 AS key
+                  FROM sh CROSS JOIN bytes),
+        pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)
+                           AS hamming
+                  FROM bands x JOIN bands y
+                  ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3"""
+  }
+
+  def dedupNgramSql: String =
+    s"""WITH $corpusCte,
+        words AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM corpus),
+        s AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1])
+            ELSE CAST([] AS VARCHAR[]) END) AS sh
+          FROM words)),
+        rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh)
+                 WHERE df <= 100),
+        sr AS (SELECT s.doc_id, s.sh FROM s JOIN rare USING (sh)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sr GROUP BY doc_id),
+        inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                         COUNT(*) AS inter
+                  FROM sr x JOIN sr y
+                  ON x.sh = y.sh AND x.doc_id < y.doc_id
+                  GROUP BY x.doc_id, y.doc_id)
+        SELECT i.doc_a, i.doc_b, i.inter,
+               CAST(i.inter AS DOUBLE) / (a.n + b.n - i.inter) AS jacc
+        FROM inter i
+        JOIN sizes a ON a.doc_id = i.doc_a
+        JOIN sizes b ON b.doc_id = i.doc_b
+        WHERE CAST(i.inter AS DOUBLE) / (a.n + b.n - i.inter) >= 0.6"""
+}

@@ -117,6 +117,18 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) =>
       GraphOps.pageRankFixed(
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod), PrIters)),
+
+    // LLM-pipeline tier: deduplication (north star). All run over the
+    // deterministic dup-bearing corpus (DedupOps.dupCorpus) so the
+    // operators have real duplicates to find.
+    "q_dedup_exact" -> ((s, d) =>
+      DedupOps.exactDedup(DedupOps.dupCorpus(Tables.documents(s, d)))),
+    "q_dedup_minhash" -> ((s, d) =>
+      DedupOps.minhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
+    "q_dedup_simhash" -> ((s, d) =>
+      DedupOps.simhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
+    "q_dedup_ngram" -> ((s, d) =>
+      DedupOps.ngramJaccardPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
   )
 
   /** q_pagerank fixture/shape constants (shared by query + oracle). */
@@ -228,5 +240,9 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
+    "q_dedup_exact" -> OracleSql.dedupExactSql,
+    "q_dedup_minhash" -> OracleSql.dedupMinhashSql,
+    "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
+    "q_dedup_ngram" -> OracleSql.dedupNgramSql,
   )
 }

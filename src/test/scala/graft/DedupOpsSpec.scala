@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DedupOps
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tinyDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "sphinx of black quartz judge my vow today")
+  ).toDF("doc_id", "text")
+
+  test("dupCorpus triples the corpus with exact and near copies") {
+    val c = DedupOps.dupCorpus(tinyDocs).collect()
+    assert(c.length === 9)
+    val byId = c.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1000001L) === byId(1L))                   // exact copy
+    assert(byId(2000001L) === byId(1L).split("\\s+", 2)(1)) // first word dropped
+  }
+
+  test("exactDedup keeps the min doc_id per duplicated text") {
+    val out = DedupOps.exactDedup(DedupOps.dupCorpus(tinyDocs)).collect()
+    // 3 groups (orig + exact copy); near copies are distinct texts.
+    assert(out.length === 3)
+    assert(out.forall(_.getLong(2) === 2L))               // dup_cnt
+    assert(out.map(_.getLong(1)).toSet === Set(1L, 2L, 3L)) // keep_id = orig
+  }
+
+  test("minhashPairs finds exact copies with est_jaccard 1.0") {
+    val pairs = DedupOps.minhashPairs(DedupOps.dupCorpus(tinyDocs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (id <- 1L to 3L)
+      assert(pairs((id, id + 1000000L)) === 1.0)
+    assert(pairs.values.forall(e => e >= 0.5 && e <= 1.0))
+  }
+
+  test("minhash signature = k rows per doc, stable across partitionings") {
+    val corpus = DedupOps.dupCorpus(tinyDocs)
+    val a = DedupOps.minhashSignatures(corpus).collect().toSet
+    val b = DedupOps.minhashSignatures(corpus.repartition(7)).collect().toSet
+    assert(a === b)
+    assert(a.size === 9 * DedupOps.K)
+  }
+
+  test("simhash of identical texts is identical; exact pairs at hamming 0") {
+    val sh = DedupOps.simhash(DedupOps.dupCorpus(tinyDocs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- 1L to 3L) assert(sh(id) === sh(id + 1000000L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
+    val pairs = DedupOps.simhashPairs(DedupOps.dupCorpus(tinyDocs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (id <- 1L to 3L) assert(pairs((id, id + 1000000L)) === 0L)
+  }
+
+  test("ngramJaccardPairs scores exact copies 1.0 and near copies below") {
+    val out = DedupOps.ngramJaccardPairs(DedupOps.dupCorpus(tinyDocs), minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    for (id <- 1L to 3L) {
+      assert(out((id, id + 1000000L)) === 1.0)
+      val near = out((id, id + 2000000L))
+      assert(near > 0.5 && near < 1.0) // one bigram lost of ~8
+    }
+  }
+
+  test("dedup pipeline runs end-to-end on the documents fixture") {
+    val corpus = DedupOps.dupCorpus(Tables.documents(spark, sfDir))
+    val exact = DedupOps.exactDedup(corpus)
+    assert(exact.count() === Tables.documents(spark, sfDir).count())
+    // Every original doc's exact copy must surface as a minhash pair
+    // (doc_a < 1M restricts to originals: copies of the same doc also
+    // differ by exactly 1M, which would double the count).
+    val mh = DedupOps.minhashPairs(corpus)
+      .filter(col("doc_a") < 1000000L &&
+        col("doc_b") === col("doc_a") + 1000000L)
+    assert(mh.count() === exact.count())
+  }
+}
