@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.DedupOps
+import graft.ops.{DedupOps, SimilarityOps}
 
 /** DuckDB oracle-SQL builders for the LLM-pipeline queries.
   *
@@ -130,4 +130,95 @@ object OracleSql {
         JOIN sizes a ON a.doc_id = i.doc_a
         JOIN sizes b ON b.doc_id = i.doc_b
         WHERE CAST(i.inter AS DOUBLE) / (a.n + b.n - i.inter) >= 0.6"""
+
+  // ---- similarity search (SimilarityOps twins) ----
+
+  /** Quantize + exact-norm CTEs over a relation with (vec_id, embedding).
+    * Zero-norm vectors dropped, mirroring SimilarityOps.withQuant + filter.
+    */
+  private def quantCte(src: String): String =
+    s"""qv AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${SimilarityOps.QScale}) AS BIGINT)) AS v
+        FROM $src),
+        n AS (SELECT * FROM (
+          SELECT vec_id, v,
+                 CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+          FROM qv) WHERE n2 > 0)"""
+
+  /** Hyperplane + bucket CTEs over `n` — twin of SimilarityOps.buckets.
+    * Plane weights recomputed from the same portable hash formula as
+    * SimilarityOps.weight, so both engines use identical hyperplanes.
+    */
+  private val bucketCte: String = {
+    val h = hash60("'hp-' || CAST(t.range AS VARCHAR) || '-' || " +
+      "CAST(p.range AS VARCHAR) || '-' || CAST(i.range AS VARCHAR)")
+    s"""hp AS (SELECT t.range AS t, p.range AS p, i.range AS i,
+               $h % 2001 - 1000 AS w
+             FROM range(0, ${SimilarityOps.LshTables}) t,
+                  range(0, ${SimilarityOps.LshPlanes}) p,
+                  range(0, ${SimilarityOps.Dims}) i),
+        sigs AS (SELECT n.vec_id, hp.t, hp.p, SUM(hp.w * n.v[hp.i + 1]) AS s
+                 FROM n CROSS JOIN hp GROUP BY n.vec_id, hp.t, hp.p),
+        bkt AS (SELECT vec_id, t,
+                       CAST(SUM(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+                         AS bucket
+                FROM sigs GROUP BY vec_id, t)"""
+  }
+
+  /** Exact-int dot + IEEE cosine over projected columns qvv/vv/qn2/n2. */
+  private val cosExpr: String =
+    """CAST(CAST(list_sum(list_transform(range(1, len(qvv) + 1),
+         i -> qvv[i] * vv[i])) AS BIGINT) AS DOUBLE)
+       / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))"""
+
+  def simsearchSql: String =
+    s"""WITH ${quantCte("embeddings")},
+        q AS (SELECT vec_id AS q_id, v AS qvv, n2 AS qn2 FROM n WHERE vec_id < 5),
+        c AS (SELECT q.q_id, n.vec_id, q.qvv, q.qn2, n.v AS vv, n.n2
+              FROM q, n WHERE n.vec_id <> q.q_id),
+        s AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM c),
+        r AS (SELECT q_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos_sim DESC, vec_id) AS rnk
+              FROM s)
+        SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
+
+  def simsearchLshSql: String =
+    s"""WITH ${quantCte("embeddings")},
+        $bucketCte,
+        qb AS (SELECT vec_id AS q_id, t, bucket FROM bkt WHERE vec_id < 5),
+        cand AS (SELECT DISTINCT qb.q_id, b.vec_id
+                 FROM qb JOIN bkt b ON qb.t = b.t AND qb.bucket = b.bucket
+                 WHERE b.vec_id <> qb.q_id),
+        pd AS (SELECT c.q_id, c.vec_id, qn.v AS qvv, qn.n2 AS qn2,
+                      vn.v AS vv, vn.n2 AS n2
+               FROM cand c
+               JOIN n qn ON qn.vec_id = c.q_id
+               JOIN n vn ON vn.vec_id = c.vec_id),
+        s AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM pd),
+        r AS (SELECT q_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos_sim DESC, vec_id) AS rnk
+              FROM s)
+        SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
+
+  def dedupEmbedSql: String =
+    s"""WITH ecorpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+          FROM embeddings),
+        ${quantCte("ecorpus")},
+        $bucketCte,
+        pairs AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                  FROM bkt x JOIN bkt y
+                  ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        pd AS (SELECT p.vec_a, p.vec_b, a.v AS qvv, a.n2 AS qn2,
+                      b.v AS vv, b.n2 AS n2
+               FROM pairs p
+               JOIN n a ON a.vec_id = p.vec_a
+               JOIN n b ON b.vec_id = p.vec_b),
+        s AS (SELECT vec_a, vec_b, $cosExpr AS cos_sim FROM pd)
+        SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.95"""
 }

@@ -129,6 +129,16 @@ object SparkEntry {
       DedupOps.simhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
     "q_dedup_ngram" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
+
+    // LLM-pipeline tier: similarity search over array<float> embeddings.
+    // Quantized int64 dots → bit-deterministic cosine (SimilarityOps doc).
+    "q_simsearch" -> ((s, d) =>
+      SimilarityOps.bruteTopK(Tables.embeddings(s, d))),
+    "q_simsearch_lsh" -> ((s, d) =>
+      SimilarityOps.lshTopK(Tables.embeddings(s, d))),
+    "q_dedup_embed" -> ((s, d) =>
+      SimilarityOps.embedNearDupPairs(
+        SimilarityOps.embedDupCorpus(Tables.embeddings(s, d)))),
   )
 
   /** q_pagerank fixture/shape constants (shared by query + oracle). */
@@ -244,5 +254,8 @@ object SparkEntry {
     "q_dedup_minhash" -> OracleSql.dedupMinhashSql,
     "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
     "q_dedup_ngram" -> OracleSql.dedupNgramSql,
+    "q_simsearch" -> OracleSql.simsearchSql,
+    "q_simsearch_lsh" -> OracleSql.simsearchLshSql,
+    "q_dedup_embed" -> OracleSql.dedupEmbedSql,
   )
 }

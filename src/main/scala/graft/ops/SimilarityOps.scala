@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — the
+  * north-star ANN tier: brute-force cosine top-k as the exact baseline,
+  * random-hyperplane LSH bucketing as the scale path, and embedding-cosine
+  * near-dup pairing.
+  *
+  * Determinism strategy (shared with the DuckDB oracles in OracleSql):
+  * embeddings are quantized to int64 (floor(x·10^6)), so dot products and
+  * squared norms are EXACT integers — order-independent, identical on any
+  * partition layout and in any engine. dot ≤ 64·(6·10^5)² ≈ 2.3·10^13 and
+  * norms likewise sit far below 2^53, so the final cast to double is exact
+  * and cosine = dot/(√na·√nb) is a fixed IEEE-754 expression both engines
+  * evaluate bit-identically.
+  *
+  * Scale notes: scoring (quantize/dot/norm/bucket-signature) is pure
+  * per-row expression work — whole-stage codegen, zero shuffle. The only
+  * shuffles are the LSH bucket join (keyed, linear-ish) and the per-query
+  * top-k window. Brute force broadcasts the (small) query set and never
+  * shuffles the corpus; it exists as the exact baseline and recall oracle
+  * for the LSH path.
+  */
+object SimilarityOps {
+
+  /** Quantization scale: 1 unit = 10^-6. */
+  val QScale = 1000000L
+
+  /** Hyperplane LSH shape: 2 tables × 6 planes over 64 dims. Two tables
+    * (like MinHash bands) recover most neighbors a single 6-bit bucket
+    * would miss; 64 buckets/table keeps occupancy balanced.
+    */
+  val LshTables = 2
+  val LshPlanes = 6
+  val Dims = 64
+
+  /** Deterministic hyperplane weight for (table, plane, dim) — derived from
+    * the portable hash so the oracle recomputes the identical planes.
+    */
+  def weight(t: Int, p: Int, i: Int): Long =
+    DedupOps.hash60Local(s"hp-$t-$p-$i") % 2001 - 1000
+
+  /** array<float> → exact int64 vector. */
+  def quantize(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * QScale).cast("long"))
+
+  /** Exact int64 dot product of two quantized vectors (fold, no shuffle). */
+  def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  def cosine(dot: Column, na2: Column, nb2: Column): Column =
+    dot.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
+
+  /** (vec_id, qv, n2): quantized vector + exact squared norm. */
+  def withQuant(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("n2", dotL(col("qv"), col("qv")))
+
+  /** One LSH bucket signature expression for table `t`: 6 sign bits of
+    * hyperplane dots, packed little-endian. Pure codegen — the plane
+    * weights are array literals, so no join and no shuffle.
+    */
+  private def bucketExpr(t: Int, qv: Column): Column =
+    (0 until LshPlanes).map { p =>
+      val w = typedLit((0 until Dims).map(i => weight(t, p, i)))
+      when(dotL(qv, w) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (vec_id, t, bucket) rows — LshTables rows per vector. */
+  def buckets(quant: DataFrame): DataFrame =
+    quant.select(col("vec_id"), explode(array(
+      (0 until LshTables).map(t =>
+        struct(lit(t).as("t"), bucketExpr(t, col("qv")).as("bucket"))): _*
+    )).as("tb")).select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+
+  /** Exact brute-force cosine top-k: the first `numQueries` vectors are the
+    * query set (broadcast); every corpus vector is scored per-row. Output
+    * (q_id, vec_id, cos_sim, rnk), rnk ≤ k per query, self-matches excluded.
+    */
+  def bruteTopK(emb: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = withQuant(emb).filter(col("n2") > 0)
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("n2").as("qn2"))
+    val scored = broadcast(q).join(v, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dotL(col("qqv"), col("qv")), col("qn2"), col("n2")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** LSH-bucketed ANN top-k: candidates = vectors sharing any (table,
+    * bucket) with the query; exact cosine + top-k within candidates only.
+    * Same output shape as bruteTopK; recall < 1 by construction (that is
+    * the 100 TB trade: candidates per query are ~n/64 per table instead
+    * of n).
+    */
+  def lshTopK(emb: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = withQuant(emb).filter(col("n2") > 0)
+    val b = buckets(v)
+    val qb = b.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+    val cand = broadcast(qb).join(b, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val q = v.select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("n2").as("qn2"))
+    val scored = cand.join(broadcast(q), "q_id").join(v, "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(dotL(col("qqv"), col("qv")), col("qn2"), col("n2")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic near-dup embedding corpus: original ∪ copy with the
+    * first component zeroed (cos ≈ 0.99+), ids shifted by 1_000_000.
+    */
+  def embedDupCorpus(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    base.union(base.select(col("vec_id") + 1000000L,
+      concat(array(lit(0.0f)), slice(col("embedding"), 2, Dims - 1))
+        .as("embedding")))
+  }
+
+  /** Embedding-cosine near-dup pairs via LSH buckets: pairs sharing any
+    * (table, bucket), exact cosine ≥ minCos. Output (vec_a, vec_b, cos_sim).
+    * Never all-pairs: the bucket join is the only pair generator.
+    */
+  def embedNearDupPairs(corpus: DataFrame, minCos: Double = 0.95): DataFrame = {
+    val v = withQuant(corpus).filter(col("n2") > 0)
+    val b = buckets(v)
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val va = v.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na"))
+    val vb = v.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb"))
+    pairs.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosine(dotL(col("qa"), col("qb")), col("na"), col("nb")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+}

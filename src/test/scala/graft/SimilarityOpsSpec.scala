@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SimilarityOps
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("quantized dot product is exact and symmetric") {
+    val df = Seq(
+      (0L, Array(0.5f, -0.25f, 0.125f)),
+      (1L, Array(1.0f, 0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = df.select(SimilarityOps.quantize(col("embedding")).as("qv"))
+      .agg(collect_list("qv")).head().getSeq[Seq[Long]](0)
+    assert(q(0) === Seq(500000L, -250000L, 125000L))
+    assert(q(1) === Seq(1000000L, 0L, -1000000L))
+  }
+
+  test("bruteTopK: 10 ranked neighbors per query, self excluded") {
+    val out = SimilarityOps.bruteTopK(emb).collect()
+    assert(out.length === 50)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.sameElements(1L to 10L))
+      // ranks follow cosine desc
+      val sorted = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(r => r.getLong(1) !== r.getLong(0)))
+      assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    }
+  }
+
+  test("lshTopK scores agree with brute force on shared pairs") {
+    val brute = SimilarityOps.bruteTopK(emb, k = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SimilarityOps.lshTopK(emb).collect()
+    assert(lsh.nonEmpty)
+    // Any LSH hit that brute force also ranked must have the identical cosine.
+    val shared = lsh.flatMap(r =>
+      brute.get((r.getLong(0), r.getLong(1))).map(_ -> r.getDouble(2)))
+    assert(shared.nonEmpty)
+    shared.foreach { case (b, l) => assert(b === l) }
+  }
+
+  test("embedNearDupPairs finds planted near-duplicates with high recall") {
+    val corpus = SimilarityOps.embedDupCorpus(emb)
+    val pairs = SimilarityOps.embedNearDupPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val n = emb.count()
+    val planted = pairs.keys.count { case (a, b) => b === a + 1000000L }
+    assert(planted >= (n * 0.9).toInt) // LSH recall across 2 tables
+    pairs.values.foreach(c => assert(c >= 0.95 && c <= 1.0 + 1e-12))
+  }
+
+  test("results are deterministic across partition layouts") {
+    val a = SimilarityOps.bruteTopK(emb).collect().toSeq
+    val b = SimilarityOps.bruteTopK(emb.repartition(7)).collect().toSeq
+    assert(a.toSet === b.toSet)
+  }
+}
