@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{DedupOps, SimilarityOps}
+import graft.ops.{DedupOps, EventOps, SimilarityOps, TextStatsOps}
 
 /** DuckDB oracle-SQL builders for the LLM-pipeline queries.
   *
@@ -221,4 +221,107 @@ object OracleSql {
                JOIN n b ON b.vec_id = p.vec_b),
         s AS (SELECT vec_a, vec_b, $cosExpr AS cos_sim FROM pd)
         SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.95"""
+
+  // ---- text analysis (TextStatsOps twins) ----
+
+  private val toksCte: String =
+    """toks AS (SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+       FROM documents)"""
+
+  def textStatsSql: String = {
+    val en = TextStatsOps.Stopwords.filter(_._1 == "en")
+      .map(w => s"'${w._2}'").mkString(", ")
+    s"""WITH $toksCte,
+        agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                       COUNT(DISTINCT w) AS n_distinct,
+                       CAST(SUM(len(w)) AS BIGINT) AS tok_chars,
+                       CAST(SUM(CASE WHEN w IN ($en) THEN 1 ELSE 0 END)
+                            AS BIGINT) AS stop_cnt
+                FROM toks GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars_c,
+               a.n_tokens, a.n_distinct,
+               CAST(a.tok_chars AS DOUBLE) / a.n_tokens AS avg_tok_len,
+               CAST(a.stop_cnt AS DOUBLE) / a.n_tokens AS stop_ratio,
+               CAST(least(a.n_tokens, 100) AS DOUBLE) / 100.0 * 0.4
+                 + CAST(a.stop_cnt AS DOUBLE) / a.n_tokens * 0.3
+                 + CAST(a.n_distinct AS DOUBLE) / a.n_tokens * 0.3 AS quality
+        FROM documents d JOIN agg a USING (doc_id)"""
+  }
+
+  def langIdSql: String = {
+    val stop = TextStatsOps.Stopwords
+      .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+    s"""WITH stop AS (SELECT * FROM (VALUES $stop) t(cand, w)),
+        $toksCte,
+        hits AS (SELECT doc_id, cand, COUNT(*) AS hits
+                 FROM toks JOIN stop USING (w) GROUP BY doc_id, cand),
+        best AS (SELECT doc_id, cand, hits FROM (
+                   SELECT doc_id, cand, hits,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY hits DESC, cand ASC) AS rn
+                   FROM hits) WHERE rn = 1)
+        SELECT d.doc_id, d.lang, COALESCE(b.cand, 'und') AS pred_lang,
+               COALESCE(b.hits, 0) AS hits
+        FROM documents d LEFT JOIN best b USING (doc_id)"""
+  }
+
+  def tokenCountSql: String =
+    s"""SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS BIGINT) AS n_ws,
+          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+               AS BIGINT) AS n_bpe
+        FROM documents"""
+
+  def fingerprintSql: String =
+    s"""WITH g AS (SELECT doc_id, ${hash60("substr(text, j, 8)")} AS g FROM (
+          SELECT doc_id, text,
+                 unnest(range(1, greatest(len(text) - 6, 1))) AS j
+          FROM documents))
+        SELECT doc_id, COUNT(*) AS n_grams, MIN(g) AS fp_min,
+               CAST(bit_xor(g) AS BIGINT) AS fp_xor
+        FROM g GROUP BY doc_id"""
+
+  // ---- events (EventOps twins) ----
+
+  def sessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+                   FROM events),
+        f AS (SELECT user_id, event_id, tus, value,
+                CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > ${EventOps.GapUs}
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        s AS (SELECT user_id, tus, value,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY tus, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS sess_idx
+              FROM f)
+        SELECT user_id, sess_idx, COUNT(*) AS n_events,
+               MIN(tus) AS start_us, MAX(tus) AS end_us,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sess_idx"""
+
+  def jsonStatsSql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT)
+                 AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$$.k') AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) AS avg_k
+        FROM events GROUP BY event_type"""
+
+  def parseTolerantSql: String =
+    s"""WITH lines AS (
+          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS line FROM documents
+          UNION ALL SELECT CAST(l_quantity AS VARCHAR) FROM lineitem
+          UNION ALL SELECT '#' || CAST(o_orderkey AS VARCHAR) FROM orders),
+        p AS (SELECT TRY_CAST(line AS DOUBLE) AS v FROM lines)
+        SELECT COUNT(*) AS n_lines, COUNT(v) AS n_parsed,
+               COUNT(*) - COUNT(v) AS n_dropped,
+               CAST(SUM(CAST(COALESCE(v, 0.0) AS DECIMAL(28,4))) AS DOUBLE)
+                 AS sum_parsed
+        FROM p"""
 }

@@ -139,6 +139,19 @@ object SparkEntry {
     "q_dedup_embed" -> ((s, d) =>
       SimilarityOps.embedNearDupPairs(
         SimilarityOps.embedDupCorpus(Tables.embeddings(s, d)))),
+
+    // LLM-pipeline tier: text analysis over documents.
+    "q_text_stats"  -> ((s, d) => TextStatsOps.textStats(Tables.documents(s, d))),
+    "q_lang_id"     -> ((s, d) => TextStatsOps.langId(Tables.documents(s, d))),
+    "q_token_count" -> ((s, d) => TextStatsOps.tokenCounts(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => TextStatsOps.fingerprint(Tables.documents(s, d))),
+
+    // Events: sessionization, JSON props, tolerant schema-on-read parse.
+    "q_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
+    "q_json"       -> ((s, d) => EventOps.jsonStats(Tables.events(s, d))),
+    "q_parse_tolerant" -> ((s, d) =>
+      EventOps.tolerantParse(Tables.documents(s, d),
+        Tables.lineitem(s, d), Tables.orders(s, d))),
   )
 
   /** q_pagerank fixture/shape constants (shared by query + oracle). */
@@ -257,5 +270,12 @@ object SparkEntry {
     "q_simsearch" -> OracleSql.simsearchSql,
     "q_simsearch_lsh" -> OracleSql.simsearchLshSql,
     "q_dedup_embed" -> OracleSql.dedupEmbedSql,
+    "q_text_stats" -> OracleSql.textStatsSql,
+    "q_lang_id" -> OracleSql.langIdSql,
+    "q_token_count" -> OracleSql.tokenCountSql,
+    "q_fingerprint" -> OracleSql.fingerprintSql,
+    "q_sessionize" -> OracleSql.sessionizeSql,
+    "q_json" -> OracleSql.jsonStatsSql,
+    "q_parse_tolerant" -> OracleSql.parseTolerantSql,
   )
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table (north-star tier):
+  * gap-based sessionization (the batch formulation of
+  * `session_window` — lag → new-session flag → running session index),
+  * JSON property extraction, and schema-on-read tolerant parsing
+  * (the reference skips malformed rows at PreMapper.java:22-25,
+  * LeanSort.java:91, Step1Mapper.java:28 — same semantics via try_cast).
+  *
+  * Timestamps are compared as epoch microseconds (int64) so the arithmetic
+  * is exact and engine-agnostic. Sessionization is windowed per user_id —
+  * parallel across users, no global ordering; the 100 TB plan is a single
+  * hash-shuffle on user_id feeding two window functions and one groupBy,
+  * all in the same partitioning (Catalyst reuses the exchange).
+  */
+object EventOps {
+
+  /** Session gap: 30 minutes, in microseconds. */
+  val GapUs: Long = 1800L * 1000000L
+
+  /** Gap-based sessions per user. Output one row per session:
+    * (user_id, sess_idx, n_events, start_us, end_us, sum_value).
+    */
+  /** Epoch-micros from `ts`, whichever way the scan surfaced it: nanos as
+    * int64 (spark.sql.legacy.parquet.nanosAsLong=true for TIMESTAMP(NANOS)
+    * parquet) or a native timestamp. Exact integer floor-div.
+    */
+  private def micros(events: DataFrame) =
+    if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      expr("ts div 1000")
+    else unix_micros(col("ts"))
+
+  def sessionize(events: DataFrame, gapUs: Long = GapUs): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val e = events.select(col("user_id"), col("event_id"),
+      micros(events).as("tus"), col("value"))
+    val flagged = e.withColumn("prev", lag("tus", 1).over(order))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+    flagged
+      .withColumn("sess_idx",
+        sum("new_sess").over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("tus").as("start_us"), max("tus").as("end_us"),
+        AggOps.exactSum(col("value")).as("sum_value"))
+  }
+
+  /** JSON property extraction + aggregate: pulls `$.k` out of the string
+    * `props` column and aggregates per event_type. avg_k is a division of
+    * exact integers (deterministic IEEE).
+    */
+  def jsonStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        (sum("k").cast("double") / count(lit(1))).as("avg_k"))
+
+  /** Schema-on-read tolerant numeric parse over a deliberately dirty line
+    * corpus: document tokens (words — unparseable), lineitem quantities
+    * rendered as strings (parseable), and '#'-prefixed order keys
+    * (unparseable). try_cast drops what doesn't parse; output is one
+    * audit row (n_lines, n_parsed, n_dropped, sum_parsed).
+    */
+  def tolerantParse(docs: DataFrame, lineitem: DataFrame,
+                    orders: DataFrame): DataFrame = {
+    val lines = docs
+      .select(explode(filter(split(col("text"), "\\s+"), x => x =!= ""))
+        .as("line"))
+      .union(lineitem.select(col("l_quantity").cast("string").as("line")))
+      .union(orders.select(concat(lit("#"), col("o_orderkey")).as("line")))
+    lines.select(expr("try_cast(line AS DOUBLE)").as("v"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("v")).as("n_parsed"),
+        (count(lit(1)) - count(col("v"))).as("n_dropped"),
+        AggOps.exactSum(coalesce(col("v"), lit(0.0))).as("sum_parsed"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north star):
+  * per-document quality stats, heuristic language ID, tokenizer counters,
+  * and rolling-hash fingerprints.
+  *
+  * Everything is per-document expression work + one groupBy keyed on
+  * doc_id — embarrassingly parallel, no wide intermediate state, scales
+  * linearly. Determinism: all metrics are exact-integer counts; the only
+  * doubles are divisions/affine combinations of those exact ints, which
+  * IEEE 754 fixes identically in Spark and the DuckDB oracle.
+  */
+object TextStatsOps {
+
+  /** Stopword lists for the heuristic language-ID scorer (tiny on purpose:
+    * the operator demonstrates the dictionary-hit mechanism; production
+    * would swap in real lists — the plan shape is identical).
+    */
+  val Stopwords: Seq[(String, String)] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2")
+  ).flatMap { case (l, ws) => ws.map(l -> _) }
+
+  private def toks(docs: DataFrame) = docs.select(col("doc_id"),
+    explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("w"))
+
+  /** Per-document quality stats: token/char counts, distinct ratio,
+    * stopword ratio, and a [0,1] quality score
+    * 0.4·min(n_tokens,100)/100 + 0.3·stop_ratio + 0.3·distinct_ratio.
+    */
+  def textStats(docs: DataFrame): DataFrame = {
+    val en = Stopwords.filter(_._1 == "en").map(_._2)
+    val agg = toks(docs).groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("w")).as("n_distinct"),
+      sum(length(col("w"))).as("tok_chars"),
+      sum(when(col("w").isin(en: _*), 1L).otherwise(0L)).as("stop_cnt"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars_c"))
+      .join(agg, "doc_id")
+      .select(col("doc_id"), col("n_chars_c"), col("n_tokens"),
+        col("n_distinct"),
+        (col("tok_chars").cast("double") / col("n_tokens")).as("avg_tok_len"),
+        (col("stop_cnt").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (least(col("n_tokens"), lit(100L)).cast("double") / 100.0 * 0.4 +
+          col("stop_cnt").cast("double") / col("n_tokens") * 0.3 +
+          col("n_distinct").cast("double") / col("n_tokens") * 0.3)
+          .as("quality"))
+  }
+
+  /** Heuristic language ID: count stopword hits per candidate language,
+    * pick the argmax (ties by language code asc); docs with zero hits in
+    * every language get 'und'. Output keeps the labeled lang for audit.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stop = broadcast(Stopwords.toDF("cand", "w"))
+    val hits = toks(docs).join(stop, "w")
+      .groupBy("doc_id", "cand").agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("hits").desc, col("cand").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"), col("cand"), col("hits"))
+    docs.select(col("doc_id"), col("lang")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cand"), lit("und")).as("pred_lang"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** Tokenizer counters: whitespace tokens vs a BPE-ish pre-tokenizer
+    * (letter runs | digit runs | single non-alnum) — the standard
+    * byte-pair pre-split shape, counted per document.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+        .cast("long").as("n_ws"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
+
+  /** Rolling 8-char-gram fingerprint: portable hash at every position;
+    * emits the min-hash (bottom-1 sketch), an order-independent XOR fold,
+    * and the gram count. Documents shorter than 8 chars yield no grams
+    * and are excluded (deterministic in both engines).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        explode(when(length(col("text")) >= 8,
+            sequence(lit(1), length(col("text")) - 7))
+          .otherwise(array().cast("array<int>"))).as("j"))
+      .select(col("doc_id"),
+        TextOps.hash60(expr("substring(text, j, 8)")).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), min("g").as("fp_min"),
+        expr("bit_xor(g)").as("fp_xor"))
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{EventOps, TextStatsOps}
+
+class TextStatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("textStats computes exact counts on a known document") {
+    val df = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
+    val r = TextStatsOps.textStats(df).head()
+    assert(r.getAs[Long]("n_chars_c") === 19L)
+    assert(r.getAs[Long]("n_tokens") === 5L)
+    assert(r.getAs[Long]("n_distinct") === 4L)   // 'the' twice
+    assert(r.getAs[Double]("avg_tok_len") === 15.0 / 5)
+    assert(r.getAs[Double]("stop_ratio") === 3.0 / 5) // the, and, the
+    val q = 5.0 / 100 * 0.4 + 3.0 / 5 * 0.3 + 4.0 / 5 * 0.3
+    assert(r.getAs[Double]("quality") === q)
+  }
+
+  test("langId predicts via stopword hits with deterministic ties") {
+    val df = Seq(
+      (1L, "xx", "the cat and the dog is here"), // en hits
+      (2L, "xx", "der hund ist und das"),        // de hits
+      (3L, "xx", "qqq www zzz")                  // no hits anywhere
+    ).toDF("doc_id", "lang", "text")
+    val out = TextStatsOps.langId(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out(1L)._1 === "en" && out(1L)._2 === 4L)
+    assert(out(2L)._1 === "de" && out(2L)._2 === 4L)
+    assert(out(3L) === ("und", 0L))
+  }
+
+  test("tokenCounts: BPE-ish pre-tokenizer splits runs and punctuation") {
+    val df = Seq((1L, "ab12 cd! x")).toDF("doc_id", "text")
+    val r = TextStatsOps.tokenCounts(df).head()
+    assert(r.getAs[Long]("n_ws") === 3L)
+    // ab | 12 | cd | ! | x
+    assert(r.getAs[Long]("n_bpe") === 5L)
+  }
+
+  test("fingerprint: gram count and partition-layout determinism") {
+    val docs = Tables.documents(spark, sfDir)
+    val fp = TextStatsOps.fingerprint(docs)
+    val r = fp.join(docs.select(col("doc_id"), length(col("text")).as("n")), "doc_id")
+    assert(r.filter(col("n_grams") =!= col("n") - 7).count() === 0)
+    val a = TextStatsOps.fingerprint(docs).collect().toSet
+    val b = TextStatsOps.fingerprint(docs.repartition(7)).collect().toSet
+    assert(a === b)
+  }
+
+  test("sessionize splits on gaps > 30min and aggregates per session") {
+    val base = 1700000000000000L // epoch micros
+    val df = Seq(
+      // user 1: two events 10 min apart, then a 2h gap, then one more
+      (1L, base, 10L, 1.0),
+      (2L, base + 600L * 1000000, 10L, 2.0),
+      (3L, base + 7800L * 1000000, 10L, 4.0),
+      // user 2: single event
+      (4L, base, 20L, 8.0)
+    ).toDF("event_id", "tus_us", "user_id", "value")
+      .select(col("event_id"), (col("tus_us") * 1000).as("ts"), // nanos-long path
+        col("user_id"), col("value"))
+    val out = EventOps.sessionize(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.keySet === Set((10L, 1L), (10L, 2L), (20L, 1L)))
+    assert(out((10L, 1L)) === ((2L, base, base + 600L * 1000000, 3.0)))
+    assert(out((10L, 2L)) === ((1L, base + 7800L * 1000000, base + 7800L * 1000000, 4.0)))
+    assert(out((20L, 1L)) === ((1L, base, base, 8.0)))
+  }
+
+  test("jsonStats extracts numeric props per event_type") {
+    val df = Seq(
+      (1L, "click", """{"k": 10}"""),
+      (2L, "click", """{"k": 32}"""),
+      (3L, "view", """{"k": 7}""")
+    ).toDF("event_id", "event_type", "props")
+    val out = EventOps.jsonStats(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("click") === ((2L, 42L, 21.0)))
+    assert(out("view") === ((1L, 7L, 7.0)))
+  }
+
+  test("tolerantParse drops malformed lines and keeps exact sums") {
+    val docs = Seq((1L, "alpha beta 7x")).toDF("doc_id", "text")
+    val li = Seq(1.5, 2.25).toDF("l_quantity")
+    val ord = Seq(101L).toDF("o_orderkey")
+    val r = EventOps.tolerantParse(docs, li, ord).head()
+    assert(r.getAs[Long]("n_lines") === 6L)
+    assert(r.getAs[Long]("n_parsed") === 2L)
+    assert(r.getAs[Long]("n_dropped") === 4L)
+    assert(r.getAs[Double]("sum_parsed") === 3.75)
+  }
+}
