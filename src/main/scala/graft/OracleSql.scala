@@ -312,6 +312,15 @@ object OracleSql {
                  / COUNT(*) AS avg_k
         FROM events GROUP BY event_type"""
 
+  def multimodalSql: String =
+    s"""SELECT CASE (doc_id % 3) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+                 ELSE 'wav' END AS fmt,
+               COUNT(*) AS n_assets,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(SUM(octet_length(encode(text))) AS DOUBLE) / COUNT(*)
+                 AS avg_bytes
+        FROM documents GROUP BY 1"""
+
   def parseTolerantSql: String =
     s"""WITH lines AS (
           SELECT unnest(list_filter(string_split_regex(text, '\\s+'),

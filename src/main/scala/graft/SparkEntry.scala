@@ -152,6 +152,11 @@ object SparkEntry {
     "q_parse_tolerant" -> ((s, d) =>
       EventOps.tolerantParse(Tables.documents(s, d),
         Tables.lineitem(s, d), Tables.orders(s, d))),
+
+    // Multimodal: binary payload columns + typed metadata (decode itself
+    // is the stubbed Dataset pipeline in MultimodalOps, spec-tested).
+    "q_multimodal" -> ((s, d) =>
+      MultimodalOps.assetStats(Tables.documents(s, d))),
   )
 
   /** q_pagerank fixture/shape constants (shared by query + oracle). */
@@ -277,5 +282,6 @@ object SparkEntry {
     "q_sessionize" -> OracleSql.sessionizeSql,
     "q_json" -> OracleSql.jsonStatsSql,
     "q_parse_tolerant" -> OracleSql.parseTolerantSql,
+    "q_multimodal" -> OracleSql.multimodalSql,
   )
 }

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.ops.{Asset, MultimodalOps}
+import graft.streaming.StreamOps
+
+class MultimodalStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal: binary payload round-trips through typed decode") {
+    val docs = Seq((0L, "abcd"), (1L, "xy"), (2L, "hello world!")).toDF("doc_id", "text")
+    val assets = MultimodalOps.assets(docs).as[Asset]
+    val feats = MultimodalOps.decodeFeatures(assets).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(feats.size === 3)
+    assert(feats(0L).fmt === "png" && feats(1L).fmt === "jpg" && feats(2L).fmt === "wav")
+    assert(feats(0L).n_bytes === 4L && feats(2L).n_bytes === 12L)
+    // stub decode is deterministic from payload bytes
+    assert(feats(0L).width === 16 + 'a' % 64)
+    assert(feats(0L).height === 16 + 'b' % 64)
+    assert(feats(1L).checksum === ('x'.toLong * 31 + 'y'))
+  }
+
+  test("multimodal: decode is a map-only plan (no shuffle)") {
+    val docs = Tables.documents(spark, sfDir)
+    val feats = MultimodalOps.decodeFeatures(MultimodalOps.assets(docs).as[Asset])
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(feats.count() === docs.count())
+  }
+
+  test("assetStats matches a hand computation") {
+    val docs = Seq((0L, "abcd"), (3L, "efgh"), (1L, "xy")).toDF("doc_id", "text")
+    val out = MultimodalOps.assetStats(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("png") === ((2L, 8L, 4.0)))
+    assert(out("jpg") === ((1L, 2L, 2.0)))
+  }
+
+  test("streaming sessionize matches the batch session_window result") {
+    val base = 1700000000000L // epoch millis
+    def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
+    val rows = Seq(
+      (1L, ts(0), 10L, "click", 1.0),
+      (2L, ts(600), 10L, "view", 2.0),    // same session (10 min gap)
+      (3L, ts(7800), 10L, "click", 4.0),  // new session (>30 min gap)
+      (4L, ts(100), 20L, "view", 8.0)
+    )
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val batch = StreamOps.sessionize(rows.toDF(cols: _*)).collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = StreamOps.sessionize(mem.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_test").collect().toSet
+      assert(streamed === batch)
+      assert(streamed.size === 3)
+    } finally q.stop()
+  }
+
+  test("streaming windowed counts run incrementally with a watermark") {
+    val base = 1700000000000L
+    def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.windowedCounts(mem.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, ts(0), 1L, "click", 1.0), (2L, ts(30), 1L, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, ts(700), 1L, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_test").collect()
+        .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(rows("click") === ((2L, 3.0)))
+      assert(rows("view") === ((1L, 4.0)))
+    } finally q.stop()
+  }
+}
