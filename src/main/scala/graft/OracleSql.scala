@@ -110,10 +110,10 @@ object OracleSql {
         words AS (SELECT doc_id,
           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
         FROM corpus),
-        s AS (SELECT DISTINCT doc_id, sh FROM (
+        s AS (SELECT DISTINCT doc_id, ${hash60("g")} AS sh FROM (
           SELECT doc_id, unnest(CASE WHEN len(w) >= 2
             THEN list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1])
-            ELSE CAST([] AS VARCHAR[]) END) AS sh
+            ELSE CAST([] AS VARCHAR[]) END) AS g
           FROM words)),
         rare AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM s GROUP BY sh)
                  WHERE df <= 100),

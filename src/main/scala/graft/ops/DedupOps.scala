@@ -72,60 +72,91 @@ object DedupOps {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
       .filter(col("dup_cnt") >= 2)
 
-  /** Distinct word 3-shingles per document: (doc_id, sh). */
-  def shingles3(corpus: DataFrame): DataFrame = {
-    val w = filter(split(col("text"), "\\s+"), x => x =!= "")
-    val sh = when(size(w) >= 3,
-      transform(sequence(lit(1), size(w) - 2), j =>
-        concat(element_at(w, j), lit(" "),
-          element_at(w, j + 1), lit(" "), element_at(w, j + 2))))
-      .otherwise(array().cast("array<string>"))
-    corpus.select(col("doc_id"), explode(sh).as("sh")).distinct()
+  /** k-word shingle array from a text column, built with zip_with over
+    * pre-sliced arrays so every lambda body references ONLY its lambda
+    * variables. Spark re-evaluates captured outer expressions inside a
+    * higher-order-function lambda once PER ELEMENT (no subexpression
+    * cache), so the naive `transform(sequence(…), j → element_at(w, j)…)`
+    * formulation re-ran the regex split ~3× per shingle — 10× slower.
+    * zip_with's null padding marks the short tail; the final filter drops
+    * it, leaving exactly max(n-k+1, 0) shingles.
+    */
+  def shingleArr(textCol: Column, k: Int): Column = {
+    val w = filter(split(textCol, "\\s+"), x => x =!= "")
+    val joined = (2 to k).foldLeft(w) { (acc, i) =>
+      zip_with(acc, slice(w, lit(i), size(w)), (x, y) => concat(x, lit(" "), y))
+    }
+    filter(joined, x => x.isNotNull)
   }
 
-  /** MinHash signature rows (doc_id, i, m): m = min over shingles of
-    * (a_i·h31(sh)+b_i) mod P. Fully relational: shingle rows × broadcast
-    * coefficient table → min-aggregate keyed on (doc_id, i).
+  /** Distinct word 3-shingles per document: (doc_id, sh). */
+  def shingles3(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), explode(shingleArr(col("text"), 3)).as("sh"))
+      .distinct()
+
+  /** MinHash signature rows (doc_id, i, m) — row layout kept for tests;
+    * the query path uses the array form below.
     */
-  def minhashSignatures(corpus: DataFrame): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val coef = broadcast(
-      MinhashCoef.map { case (i, a, b, _, _) => (i, a, b) }.toDF("i", "a", "b"))
-    shingles3(corpus)
+  def minhashSignatures(corpus: DataFrame): DataFrame =
+    minhashSigArr(corpus).select(col("doc_id"),
+      posexplode(col("ms")).as(Seq("i", "m")))
+
+  /** MinHash signature per doc as ONE aggregation: the k min-hashes are k
+    * generated agg expressions with literal coefficients (whole-stage
+    * codegen, map-side partial agg), so the whole signature build is a
+    * single shuffle keyed on doc_id — the 100 TB shape. Output
+    * (doc_id, ms: array<long>[k], bk0..bk3: int64 band keys).
+    */
+  def minhashSigArr(corpus: DataFrame): DataFrame = {
+    // No distinct(): min-aggregation is duplicate-insensitive, so repeated
+    // shingles cannot change any signature value — and skipping the
+    // per-shingle dedup removes an entire string-keyed shuffle.
+    val sh = corpus.select(col("doc_id"),
+        explode(shingleArr(col("text"), 3)).as("sh"))
       .withColumn("h", TextOps.hash60(col("sh")) % P)
-      .join(coef)
-      .groupBy("doc_id", "i")
-      .agg(min((col("a") * col("h") + col("b")) % P).as("m"))
+    val aggs = MinhashCoef.map { case (i, a, b, _, _) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i")
+    }
+    val bandKeys = (0 until Bands).map { j =>
+      (0 until RowsPerBand).map { r =>
+        val (_, _, _, _, w31) = MinhashCoef(j * RowsPerBand + r)
+        col(s"m${j * RowsPerBand + r}") * lit(w31)
+      }.reduce(_ + _).as(s"bk$j")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +:
+        array((0 until K).map(i => col(s"m$i")): _*).as("ms") +: bandKeys: _*)
   }
 
   /** MinHash LSH near-dup pairs: band the signature (4 bands × 4 rows,
     * in-band rows folded to one int64 key by the 31-polynomial), bucket-join
     * on (band, key), then estimate Jaccard as the fraction of matching
-    * signature positions. Output: (doc_a, doc_b, est_jaccard) with
-    * est ≥ minEst. No O(n²) stage: candidates come only from band buckets.
+    * signature positions (array zip, no extra shuffle). Output:
+    * (doc_a, doc_b, est_jaccard) with est ≥ minEst. No O(n²) stage:
+    * candidates come only from band buckets; the signature subplan ends in
+    * one exchange that Spark reuses across all four references.
     */
   def minhashPairs(corpus: DataFrame, minEst: Double = 0.5): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val sig = minhashSignatures(corpus)
-    val bandsDf = broadcast(
-      MinhashCoef.map { case (i, _, _, band, w31) => (i, band, w31) }
-        .toDF("i", "band", "w31"))
-    val bk = sig.join(bandsDf, "i")
-      .groupBy("doc_id", "band")
-      .agg(sum(col("m") * col("w31")).as("bk"))
-    val cand = bk.as("x").join(bk.as("y"),
+    val sig = minhashSigArr(corpus)
+    // The signature arrays ride along through the band join: both join
+    // branches are the IDENTICAL subplan (same projection), so Spark
+    // computes the signature exchange once and reuses it — with separate
+    // pair→signature lookup joins, per-branch column pruning made each
+    // branch unique and the signature build ran once per reference.
+    val bandRows = sig.select(col("doc_id"), col("ms"), explode(array(
+      (0 until Bands).map(j =>
+        struct(lit(j).as("band"), col(s"bk$j").as("bk"))): _*)).as("b"))
+      .select(col("doc_id"), col("ms"), col("b.band").as("band"), col("b.bk").as("bk"))
+    bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.ms").as("ma"), col("y.ms").as("mb"))
       .distinct()
-    val sa = sig.select(col("doc_id").as("doc_a"), col("i"), col("m").as("ma"))
-    val sb = sig.select(col("doc_id").as("doc_b"), col("i"), col("m").as("mb"))
-    cand.join(sa, "doc_a").join(sb, Seq("doc_b", "i"))
-      .groupBy("doc_a", "doc_b")
-      .agg((sum(when(col("ma") === col("mb"), 1).otherwise(0)) / K.toDouble)
-        .as("est_jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("ma"), col("mb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x) / K.toDouble).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
   }
 
@@ -142,36 +173,34 @@ object DedupOps {
     * DuckDB. Returns (doc_id, simhash).
     */
   def simhash(corpus: DataFrame): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val toks = corpus
       .select(col("doc_id"),
         explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .withColumn("h", TextOps.hash60(col("w")))
-    val bits = broadcast(
-      (0 until SimhashBits).map(i => (i, 1L << i)).toDF("i", "p2"))
-    toks.join(bits)
-      .groupBy("doc_id", "i", "p2")
-      // (h div p2) is integer division — `/` would be double division and
-      // silently lose bits beyond 2^53 on the 60-bit hash.
-      .agg(sum(col("cnt") * (expr("(h div p2) % 2") * 2 - 1)).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, col("p2")).otherwise(0L)).as("simhash"))
+    // 32 generated agg expressions (one per bit) in ONE aggregation —
+    // map-side partial agg + a single doc_id shuffle, no row blowup.
+    // (h div 2^i) is integer division — `/` would be double division and
+    // silently lose bits beyond 2^53 on the 60-bit hash.
+    val bitSums = (0 until SimhashBits).map(i =>
+      sum(col("cnt") * (expr(s"(h div ${1L << i}) % 2") * 2 - 1)).as(s"s$i"))
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
     * bucketed by the 4 simhash bytes. Output (doc_a, doc_b, hamming).
     */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val sh = simhash(corpus)
-    val bytes = broadcast(
-      (0 until 4).map(j => (j, 1L << (8 * j))).toDF("j", "d"))
-    val bands = sh.join(bytes)
-      .select(col("doc_id"), col("simhash"), col("j"),
-        expr("(simhash div d) % 256").as("key"))
+    val bands = sh.select(col("doc_id"), col("simhash"), explode(array(
+        (0 until 4).map(j => struct(lit(j).as("j"),
+          expr(s"(simhash div ${1L << (8 * j)}) % 256").as("key"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.j").as("j"), col("b.key").as("key"))
     bands.as("x").join(bands.as("y"),
         col("x.j") === col("y.j") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -187,27 +216,30 @@ object DedupOps {
     * pairing — the standard skew guard that keeps the inverted index from
     * exploding on stop-phrases at 100 TB; similarity is then defined over
     * the rare-shingle space (a pair with no rare shingles yields no row).
-    * Output: (doc_a, doc_b, inter, jacc) with jacc ≥ minJaccard.
+    * Shingles travel as 60-bit portable hashes, never strings: every
+    * shuffle/join in the pipeline carries (int64, int64) rows. The oracle
+    * hashes with the same formula, so even a hash collision (≈2^-60) would
+    * affect both engines identically. Output: (doc_a, doc_b, inter, jacc)
+    * with jacc ≥ minJaccard.
     */
   def ngramJaccardPairs(corpus: DataFrame, maxDf: Int = 100,
                         minJaccard: Double = 0.6): DataFrame = {
-    val w = filter(split(col("text"), "\\s+"), x => x =!= "")
-    val sh2 = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1), j =>
-        concat(element_at(w, j), lit(" "), element_at(w, j + 1))))
-      .otherwise(array().cast("array<string>"))
-    val s = corpus.select(col("doc_id"), explode(sh2).as("sh")).distinct()
+    val s = corpus.select(col("doc_id"),
+        explode(shingleArr(col("text"), 2)).as("g"))
+      .select(col("doc_id"), TextOps.hash60(col("g")).as("sh")).distinct()
     val rare = s.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
-    val sr = s.join(rare, "sh")
-    val sizes = sr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sr.as("x").join(sr.as("y"),
+    // Per-doc rare-shingle count rides along via a window, so the inverted
+    // self-join below has two IDENTICAL branches (one exchange, reused)
+    // instead of separate size-lookup joins that each recompute the index.
+    val srn = s.join(rare, "sh").withColumn("n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")))
+    srn.as("x").join(srn.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jacc"))

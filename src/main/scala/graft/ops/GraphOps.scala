@@ -51,10 +51,17 @@ object GraphOps {
 
   /** One PageRank iteration: explode contributions along edges, re-sum per
     * target, apply damping. `ew` = edges with outdegree attached.
+    * `bcastRanks` broadcasts the rank vector into the edge join — the
+    * right plan whenever |V| fits an executor (the rank table is 16 B/node;
+    * even 10^8 nodes ≈ 1.6 GB), so the big edge table never shuffles for
+    * the join and the only exchange per iteration is the contribution
+    * re-aggregation keyed on dst. For graphs whose rank vector exceeds
+    * broadcast budget, pass false to fall back to a shuffled join.
     */
   private def step(ew: DataFrame, nodeDf: DataFrame, ranks: DataFrame,
-                   dampPct: Int): DataFrame = {
-    val contrib = ew.join(ranks, ew("src") === ranks("node"))
+                   dampPct: Int, bcastRanks: Boolean): DataFrame = {
+    val r = if (bcastRanks) broadcast(ranks) else ranks
+    val contrib = ew.join(r, ew("src") === r("node"))
       .select(ew("dst"), expr("rank_fp div deg").as("share"))
     val sums = contrib.groupBy("dst").agg(sum("share").as("c"))
     nodeDf.join(sums, nodeDf("node") === sums("dst"), "left")
@@ -68,7 +75,8 @@ object GraphOps {
     * Output: (node, rank_fp: int64 fixed-point, rank: double), globally
     * sorted rank desc — the reference's step-3 contract.
     */
-  def pageRankFixed(edges: DataFrame, iters: Int, dampPct: Int = 85): DataFrame = {
+  def pageRankFixed(edges: DataFrame, iters: Int, dampPct: Int = 85,
+                    bcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
     val e = edges
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -77,7 +85,7 @@ object GraphOps {
     val n = nodes(e).persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = n.select(col("node"), lit(Scale).as("rank_fp"))
     for (_ <- 1 to iters)
-      ranks = step(ew, n, ranks, dampPct)
+      ranks = step(ew, n, ranks, dampPct, bcastRanks)
     ranks.select(col("node"), col("rank_fp"),
         (col("rank_fp").cast("double") / lit(Scale.toDouble)).as("rank"))
       .orderBy(col("rank_fp").desc, col("node"))
@@ -90,7 +98,8 @@ object GraphOps {
     * Returns (final ranks sorted desc, iterations run).
     */
   def pageRankConverged(edges: DataFrame, maxIters: Int, tolFp: Long,
-                        dampPct: Int = 85): (DataFrame, Int) = {
+                        dampPct: Int = 85,
+                        bcastRanks: Boolean = true): (DataFrame, Int) = {
     val e = edges
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ew = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -100,7 +109,8 @@ object GraphOps {
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      val next = step(ew, n, ranks, dampPct).persist(StorageLevel.MEMORY_AND_DISK)
+      val next = step(ew, n, ranks, dampPct, bcastRanks)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val diff = next.join(ranks.withColumnRenamed("rank_fp", "prev_fp"), "node")
         .agg(sum(abs(col("rank_fp") - col("prev_fp"))).as("l1"))
         .head().getLong(0)
