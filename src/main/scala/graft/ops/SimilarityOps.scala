@@ -47,8 +47,17 @@ object SimilarityOps {
   def quantize(e: Column): Column =
     transform(e, x => floor(x.cast("double") * QScale).cast("long"))
 
-  /** Exact int64 dot product of two quantized vectors (fold, no shuffle). */
+  /** Exact int64 dot product of two quantized vectors — the native codegen
+    * expression (single primitive loop per row, no per-element lambda
+    * dispatch, no intermediate array).
+    */
   def dotL(a: Column, b: Column): Column =
+    graft.functions.ArrayDotProduct(a, b)
+
+  /** Built-ins-only fold form of dotL; same values (spec cross-checks the
+    * native expression against it).
+    */
+  def dotLFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   def cosine(dot: Column, na2: Column, nb2: Column): Column =

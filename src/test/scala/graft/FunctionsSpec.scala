@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ArrayDotProduct, MinHashAgg}
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ArrayDotProduct matches the zip_with fold on fixture embeddings") {
+    val v = SimilarityOps.withQuant(Tables.embeddings(spark, sfDir))
+    val diff = v.select(
+        ArrayDotProduct(col("qv"), col("qv")).as("native"),
+        SimilarityOps.dotLFold(col("qv"), col("qv")).as("fold"))
+      .filter(col("native") =!= col("fold"))
+    assert(diff.count() === 0)
+  }
+
+  test("ArrayDotProduct basic values and null propagation") {
+    val df = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 5L, 6L))),
+      (Some(Seq(2L, 2L)), Some(Seq(3L, 3L, 99L))), // overlap only
+      (None, Some(Seq(1L)))
+    ).toDF("a", "b")
+    val out = df.select(ArrayDotProduct(col("a"), col("b"))).collect()
+    assert(out(0).getLong(0) === 32L)
+    assert(out(1).getLong(0) === 12L)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("ArrayDotProduct participates in whole-stage codegen") {
+    val v = SimilarityOps.withQuant(Tables.embeddings(spark, sfDir))
+      .select(ArrayDotProduct(col("qv"), col("qv")).as("d"))
+    val plan = v.queryExecution.executedPlan.toString
+    // '*(n)' marks operators inside a WholeStageCodegen stage.
+    assert(plan.split("\n").exists(l => l.contains("array_dot_l") && l.contains("*(")))
+    assert(v.agg(min("d")).head().getLong(0) >= 0L)
+  }
+
+  test("MinHashAgg UDAF equals the expression-path signature") {
+    val corpus = DedupOps.dupCorpus(Tables.documents(spark, sfDir))
+    val hashed = DedupOps.shingles3(corpus)
+      .withColumn("h", TextOps.hash60(col("sh")) % DedupOps.P)
+    val viaUdaf = hashed.groupBy("doc_id")
+      .agg(MinHashAgg.minhashSig(col("h")).as("ms"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val viaExpr = DedupOps.minhashSigArr(corpus)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(viaUdaf === viaExpr)
+  }
+
+  test("MinHashAgg merge is order-independent (partial-agg safe)") {
+    val agg = new MinHashAgg
+    val hs = Seq(5L, 999999L, 42L, 7777777L)
+    val all = hs.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = hs.splitAt(2)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(all.toSeq === merged.toSeq)
+  }
+}
