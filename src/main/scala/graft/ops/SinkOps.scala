@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink operators — the reference's output surface, Spark-first.
+  *
+  * Reference semantics (cited, not copied):
+  *  - text sink, one `key<TAB>value` line per record: TextOutputFormat
+  *    wiring at LeanSort.java:150, Grep.java sort job output
+  *  - SequenceFile staging between jobs (Grep.java:80) — not reproduced:
+  *    a single Catalyst plan replaces inter-job staging; parquet serves
+  *    the durable-checkpoint role where a pipeline genuinely splits.
+  *
+  * Scale notes: every writer below is a distributed sink (one file per
+  * partition, no driver funnel). `partitionBy` lays out hive-style
+  * directories so downstream scans partition-prune; `maxRecordsPerFile`
+  * caps file sizes instead of a repartition-to-N shuffle.
+  */
+object SinkOps {
+
+  /** Columnar sink with optional hive-style partition layout. */
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** CSV sink (header on) — the human-readable tabular surface. */
+  def writeCsv(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** `key<TAB>value` text lines — the reference's TextOutputFormat
+    * contract. All columns after the first are tab-joined into the value.
+    */
+  def writeKvText(df: DataFrame, path: String,
+                  mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.select(concat_ws("\t", df.columns.map(col): _*).as("value"))
+      .write.mode(mode).text(path)
+}

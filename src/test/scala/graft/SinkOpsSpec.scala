@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.SinkOps
+
+class SinkOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/out"
+  }
+
+  test("writeParquet round-trips with hive-style partition pruning") {
+    val path = tmp("parquet")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    SinkOps.writeParquet(li, path, partitionBy = Seq("l_returnflag"))
+    val back = spark.read.parquet(path)
+    assert(back.count() === li.count())
+    // partition layout exists and pruning-compatible scan filters work
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("l_returnflag=")))
+    val one = back.filter(col("l_returnflag") === "R")
+    assert(one.count() === li.filter(col("l_returnflag") === "R").count())
+  }
+
+  test("writeCsv round-trips values with header") {
+    val path = tmp("csv")
+    val df = Seq((1L, "a", 2.5), (2L, "b", 4.0)).toDF("k", "s", "v")
+    SinkOps.writeCsv(df, path)
+    val back = spark.read.option("header", "true")
+      .schema(df.schema).csv(path)
+    assert(back.collect().toSet === df.collect().toSet)
+  }
+
+  test("writeKvText emits key<TAB>value lines (TextOutputFormat contract)") {
+    val path = tmp("kvtext")
+    val df = Seq(("alpha", 3L), ("beta", 5L)).toDF("word", "cnt")
+    SinkOps.writeKvText(df, path)
+    val lines = spark.read.text(path).as[String].collect().toSet
+    assert(lines === Set("alpha\t3", "beta\t5"))
+  }
+}
