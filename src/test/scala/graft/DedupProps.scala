@@ -1,0 +1,61 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.functions.MinHashAgg
+import graft.ops.DedupOps
+
+/** ScalaCheck properties for the pure (driver-side) dedup math — the
+  * algebraic laws the distributed plans rely on: partial-aggregation
+  * safety needs merge to be commutative/associative/idempotent, and the
+  * portable hash must stay in its contracted range. (The reference's
+  * non-associative combiner misuse, LeanSort.java:145, is exactly the bug
+  * class these laws exclude.)
+  */
+object DedupProps extends Properties("dedup") {
+
+  private val agg = new MinHashAgg
+  private def sig(hs: Seq[Long]): Seq[Long] =
+    hs.foldLeft(agg.zero)(agg.reduce).toSeq
+
+  private val hGen = Gen.chooseNum(0L, DedupOps.P - 1)
+  private val hsGen = Gen.nonEmptyListOf(hGen)
+
+  property("hash60Local is nonnegative and below 2^60") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val h = DedupOps.hash60Local(s)
+      h >= 0L && h < (1L << 60)
+    }
+
+  property("hash60Local is stable (pure function)") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      DedupOps.hash60Local(s) == DedupOps.hash60Local(s)
+    }
+
+  property("minhash merge commutes") = forAll(hsGen, hsGen) { (a, b) =>
+    val m1 = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+    val m2 = agg.merge(b.foldLeft(agg.zero)(agg.reduce), a.foldLeft(agg.zero)(agg.reduce))
+    m1.toSeq == m2.toSeq
+  }
+
+  property("minhash merge associates (any partial-agg tree)") =
+    forAll(hsGen, hsGen, hsGen) { (a, b, c) =>
+      def s(x: Seq[Long]) = x.foldLeft(agg.zero)(agg.reduce)
+      val l = agg.merge(agg.merge(s(a), s(b)), s(c)).toSeq
+      val r = agg.merge(s(a), agg.merge(s(b), s(c))).toSeq
+      l == r
+    }
+
+  property("minhash signature ignores duplicates and order") =
+    forAll(hsGen) { hs =>
+      sig(hs) == sig(scala.util.Random.shuffle(hs ++ hs))
+    }
+
+  property("signature equals per-function modular minimum") =
+    forAll(hsGen) { hs =>
+      val expect = DedupOps.MinhashCoef.map { case (_, a, b, _, _) =>
+        hs.map(h => (a * h + b) % DedupOps.P).min
+      }
+      sig(hs) == expect
+    }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audits: assert the queries compile to the plans the 100 TB
+  * design intends — pushdown reaching the scan, map-side partial
+  * aggregation, sampled range partitioning for total order, and no
+  * accidental cartesian products anywhere in the registered surface.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // Other suites may cache fixture tables; audits must see the real
+    // scans (InMemoryTableScan hides PushedFilters/ReadSchema).
+    spark.catalog.clearCache()
+  }
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("no registered query plans a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!planOf(name).contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+
+  test("predicate pushdown reaches the parquet scan (semi-join filter)") {
+    val p = planOf("q_join_semi")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"))
+  }
+
+  test("wordcount aggregates partially before the exchange (combiner)") {
+    val p = planOf("q_wordcount")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("total-order sort uses sampled range partitioning") {
+    val p = planOf("q_sort_total")
+    assert(p.toLowerCase.contains("rangepartitioning"))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a full sort") {
+    assert(planOf("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("column pruning: agg query reads only needed columns") {
+    val p = planOf("q_agg_max")
+    assert(p.contains("ReadSchema"))
+    // lineitem has 11 columns; the aggregate needs exactly 3.
+    assert(!p.contains("l_shipdate") && !p.contains("l_partkey"))
+  }
+
+  test("pagerank broadcasts the rank vector into the edge join") {
+    assert(planOf("q_pagerank").contains("BroadcastHashJoin"))
+  }
+
+  test("minhash builds the signature subplan once (exchange reuse)") {
+    val p = planOf("q_dedup_minhash")
+    val md5Count = "md5".r.findAllIn(p).length
+    // one hashing site per self-join branch at most; pruning regressions
+    // previously produced four full copies of the signature pipeline.
+    assert(md5Count <= 2, s"signature subplan duplicated $md5Count times")
+  }
+}
