@@ -202,6 +202,42 @@ object OracleSql {
               FROM s)
         SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
 
+  def simsearchIvfSql: String =
+    s"""WITH ${quantCte("embeddings")},
+        cent AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM n
+                 WHERE vec_id < ${SimilarityOps.IvfCentroids}),
+        pr AS (SELECT n.vec_id, c.c_id, n.n2, c.cn2, n.v AS vv, c.cv AS cvv
+               FROM n CROSS JOIN cent c),
+        asg AS (SELECT vec_id, c_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                    (n2 + cn2 - 2 * CAST(list_sum(list_transform(
+                       range(1, len(vv) + 1), i -> vv[i] * cvv[i])) AS BIGINT))
+                    ASC, c_id ASC) AS rc
+                FROM pr),
+        assign AS (SELECT vec_id, c_id FROM asg WHERE rc = 1),
+        probes AS (SELECT vec_id AS q_id, c_id FROM asg
+                   WHERE vec_id < 5 AND rc <= ${SimilarityOps.IvfProbes}),
+        cand AS (SELECT DISTINCT p.q_id, a.vec_id
+                 FROM probes p JOIN assign a USING (c_id)
+                 WHERE a.vec_id <> p.q_id),
+        pd AS (SELECT c.q_id, c.vec_id, qn.v AS qvv, qn.n2 AS qn2,
+                      vn.v AS vv, vn.n2 AS n2
+               FROM cand c
+               JOIN n qn ON qn.vec_id = c.q_id
+               JOIN n vn ON vn.vec_id = c.vec_id),
+        s AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM pd),
+        r AS (SELECT q_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos_sim DESC, vec_id) AS rnk
+              FROM s)
+        SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
+
+  def aggSaltedSql: String =
+    """SELECT l_returnflag,
+              CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
+              count(*) AS cnt
+       FROM lineitem GROUP BY l_returnflag"""
+
   def dedupEmbedSql: String =
     s"""WITH ecorpus AS (
           SELECT vec_id, embedding FROM embeddings

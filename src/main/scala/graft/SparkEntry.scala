@@ -117,6 +117,19 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) =>
       GraphOps.pageRankFixed(
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod), PrIters)),
+    // Convergence-driven variant (driver-side scalar L1 stop). Iteration
+    // count is data-dependent → no SQL oracle; driver records a
+    // rows-only check per the contract.
+    "q_pagerank_conv" -> ((s, d) =>
+      GraphOps.pageRankConverged(
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod),
+        maxIters = 30, tolFp = 1000000L)._1),
+
+    // Skew-mitigation pattern: salted two-phase aggregation; oracle is
+    // the plain GROUP BY (identical results prove exactness).
+    "q_agg_salted" -> ((s, d) =>
+      AggOps.saltedSum(Tables.lineitem(s, d), Seq("l_returnflag"),
+        "l_quantity", col("l_orderkey"))),
 
     // LLM-pipeline tier: deduplication (north star). All run over the
     // deterministic dup-bearing corpus (DedupOps.dupCorpus) so the
@@ -136,6 +149,8 @@ object SparkEntry {
       SimilarityOps.bruteTopK(Tables.embeddings(s, d))),
     "q_simsearch_lsh" -> ((s, d) =>
       SimilarityOps.lshTopK(Tables.embeddings(s, d))),
+    "q_simsearch_ivf" -> ((s, d) =>
+      SimilarityOps.ivfTopK(Tables.embeddings(s, d))),
     "q_dedup_embed" -> ((s, d) =>
       SimilarityOps.embedNearDupPairs(
         SimilarityOps.embedDupCorpus(Tables.embeddings(s, d)))),
@@ -274,6 +289,8 @@ object SparkEntry {
     "q_dedup_ngram" -> OracleSql.dedupNgramSql,
     "q_simsearch" -> OracleSql.simsearchSql,
     "q_simsearch_lsh" -> OracleSql.simsearchLshSql,
+    "q_simsearch_ivf" -> OracleSql.simsearchIvfSql,
+    "q_agg_salted" -> OracleSql.aggSaltedSql,
     "q_dedup_embed" -> OracleSql.dedupEmbedSql,
     "q_text_stats" -> OracleSql.textStatsSql,
     "q_lang_id" -> OracleSql.langIdSql,

@@ -52,6 +52,27 @@ object AggOps {
       min(col(valueCol)).as("min_v"),
       count(lit(1)).as("cnt"))
 
+  /** Two-phase salted aggregation — the skew-mitigation pattern for hot
+    * group keys at 100 TB: rows first aggregate under (key, salt) so a
+    * hot key splits across `buckets` reducers, then the per-salt partial
+    * sums re-aggregate per key. Sums stay DECIMAL through both phases
+    * (exact, associative), so the result is identical to a direct
+    * groupBy — which is what the oracle checks. `saltFrom` must be a
+    * deterministic column (results never depend on which salt a row got;
+    * determinism just keeps runs reproducible).
+    */
+  def saltedSum(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                saltFrom: Column, buckets: Int = 16): DataFrame = {
+    val stage1 = df
+      .withColumn("_salt", pmod(hash(saltFrom), lit(buckets)))
+      .groupBy((groupCols :+ "_salt").map(col): _*)
+      .agg(sum(col(valueCol).cast(DecimalType(28, 4))).as("_psum"),
+        count(lit(1)).as("_pcnt"))
+    stage1.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_psum")).cast("double").as("sum_v"),
+        sum(col("_pcnt")).as("cnt"))
+  }
+
   /** UNIQ_VALUE_COUNT family: exact distinct count per group.
     * At 100 TB prefer `approx_count_distinct` (HLL sketch, no exact
     * distinct shuffle); exact kept here because the oracle is exact.

@@ -124,6 +124,53 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF shape: 16 centroids, 4 probed per query. Centroids are the first
+    * `IvfCentroids` corpus vectors — deterministic in both engines; a
+    * production build would swap in k-means centroids without changing
+    * any plan shape (assignment/probe/scan are identical).
+    */
+  val IvfCentroids = 16
+  val IvfProbes = 4
+
+  /** (vec_id, c_id, rc): every vector ranked against every centroid by
+    * exact int64 squared distance ‖v‖² + ‖c‖² − 2·v·c (ties by c_id).
+    * rc=1 is the cluster assignment; rc ≤ nProbe is the query probe set.
+    * Centroids are broadcast; ranking is one window per vector.
+    */
+  private def centroidRanks(v: DataFrame): DataFrame = {
+    val cent = broadcast(v.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn2")))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)
+    v.join(cent)
+      .select(col("vec_id"), col("c_id"),
+        (col("n2") + col("cn2") - lit(2L) * dotL(col("qv"), col("cv"))).as("d2"))
+      .withColumn("rc", row_number().over(w))
+  }
+
+  /** IVF ANN top-k: assign vectors to their nearest centroid, probe the
+    * query's `IvfProbes` nearest clusters, exact cosine + top-k within
+    * those clusters only. Same output shape as bruteTopK/lshTopK. At
+    * scale: candidates per query ≈ nProbe/nCentroids of the corpus, and
+    * the inverted file is one hash-partitioned table keyed by c_id.
+    */
+  def ivfTopK(emb: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = withQuant(emb).filter(col("n2") > 0)
+    val ranks = centroidRanks(v)
+    val assign = ranks.filter(col("rc") === 1).select("vec_id", "c_id")
+    val probes = ranks.filter(col("vec_id") < numQueries && col("rc") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("c_id"))
+    val cand = broadcast(probes).join(assign, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val q = v.select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("n2").as("qn2"))
+    val scored = cand.join(broadcast(q), "q_id").join(v, "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(dotL(col("qqv"), col("qv")), col("qn2"), col("n2")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic near-dup embedding corpus: original ∪ copy with the
     * first component zeroed (cos ≈ 0.99+), ids shifted by 1_000_000.
     */

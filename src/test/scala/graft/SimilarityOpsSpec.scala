@@ -56,6 +56,34 @@ class SimilarityOpsSpec extends SparkSpec {
     pairs.values.foreach(c => assert(c >= 0.95 && c <= 1.0 + 1e-12))
   }
 
+  test("ivfTopK agrees with brute force on shared pairs and finds neighbors") {
+    val brute = SimilarityOps.bruteTopK(emb, k = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = SimilarityOps.ivfTopK(emb).collect()
+    assert(ivf.nonEmpty)
+    val shared = ivf.flatMap(r =>
+      brute.get((r.getLong(0), r.getLong(1))).map(_ -> r.getDouble(2)))
+    assert(shared.nonEmpty)
+    shared.foreach { case (b, l) => assert(b === l) }
+    // every query produced a ranked list 1..n without gaps
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      val rnks = rows.map(_.getLong(3)).sorted
+      assert(rnks.sameElements(1L to rnks.length))
+    }
+  }
+
+  test("saltedSum equals the direct groupBy (skew path is exact)") {
+    import graft.ops.AggOps
+    val li = Tables.lineitem(spark, sfDir)
+    val salted = AggOps.saltedSum(li, Seq("l_returnflag"), "l_quantity",
+        col("l_orderkey")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = li.groupBy("l_returnflag")
+      .agg(AggOps.exactSum(col("l_quantity")).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted === direct)
+  }
+
   test("results are deterministic across partition layouts") {
     val a = SimilarityOps.bruteTopK(emb).collect().toSeq
     val b = SimilarityOps.bruteTopK(emb.repartition(7)).collect().toSeq
