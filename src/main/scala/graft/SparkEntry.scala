@@ -123,7 +123,7 @@ object SparkEntry {
     "q_pagerank_conv" -> ((s, d) =>
       GraphOps.pageRankConverged(
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod),
-        maxIters = 30, tolFp = 1000000L)._1),
+        maxIters = 30, tolFp = GraphOps.Scale / 1000)._1),
 
     // Skew-mitigation pattern: salted two-phase aggregation; oracle is
     // the plain GROUP BY (identical results prove exactness).

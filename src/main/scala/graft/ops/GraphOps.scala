@@ -63,7 +63,10 @@ object GraphOps {
     val r = if (bcastRanks) broadcast(ranks) else ranks
     val contrib = ew.join(r, ew("src") === r("node"))
       .select(ew("dst"), expr("rank_fp div deg").as("share"))
-    val sums = contrib.groupBy("dst").agg(sum("share").as("c"))
+    val sums0 = contrib.groupBy("dst").agg(sum("share").as("c"))
+    // Post-aggregation sums are |V|-sized like the ranks — broadcast them
+    // into the node join under the same size assumption.
+    val sums = if (bcastRanks) broadcast(sums0) else sums0
     nodeDf.join(sums, nodeDf("node") === sums("dst"), "left")
       .select(nodeDf("node"),
         (lit((100L - dampPct) * (Scale / 100)) +
