@@ -25,6 +25,10 @@ object SparkEntry {
     // §2.2 text scan / tokenize / regex (wordcount + grep families)
     "q_wordcount" -> ((s, d) => TextOps.wordCount(Tables.documents(s, d), "text")),
     "q_grep"      -> ((s, d) => TextOps.grep(Tables.documents(s, d), "text", "s[a-z]+")),
+    // Capture-group mode (reference: Grep.java:58-60, optional group arg):
+    // extract the word following "the".
+    "q_grep_group" -> ((s, d) =>
+      TextOps.grep(Tables.documents(s, d), "text", "the ([a-z]+)", 1)),
 
     // §2.4 aggregate framework families
     "q_agg_sum" -> ((s, d) =>
@@ -216,6 +220,11 @@ object SparkEntry {
     "q_grep" ->
       """SELECT m AS match, count(*) AS cnt
          FROM (SELECT unnest(regexp_extract_all(text, 's[a-z]+')) AS m FROM documents)
+         WHERE m <> '' GROUP BY m""",
+    "q_grep_group" ->
+      """SELECT m AS match, count(*) AS cnt
+         FROM (SELECT unnest(regexp_extract_all(text, 'the ([a-z]+)', 1)) AS m
+               FROM documents)
          WHERE m <> '' GROUP BY m""",
     "q_agg_sum" ->
       """SELECT l_returnflag, l_linestatus,

@@ -37,6 +37,16 @@ class FunctionsSpec extends SparkSpec {
     assert(v.agg(min("d")).head().getLong(0) >= 0L)
   }
 
+  test("array_dot_l is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT array_dot_l(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+    assert(r.head().getLong(0) === 32L)
+    // extension hook applies cleanly to a fresh extensions container
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("MinHashAgg UDAF equals the expression-path signature") {
     val corpus = DedupOps.dupCorpus(Tables.documents(spark, sfDir))
     val hashed = DedupOps.shingles3(corpus)
