@@ -49,6 +49,12 @@ object SparkEntry {
     "q_agg_generic" -> ((s, d) =>
       AggOps.valueAggregate(Tables.lineitem(s, d),
         Seq("l_returnflag", "l_linestatus"), "l_quantity")),
+    "q_agg_histogram" -> ((s, d) =>
+      AggOps.histogram(Tables.lineitem(s, d), "l_returnflag", "l_quantity", 10.0)),
+    // HLL sketch path: estimates are engine-specific → no SQL oracle;
+    // driver records a rows-only check (group count is stable).
+    "q_agg_uniq_approx" -> ((s, d) =>
+      AggOps.approxUniqCount(Tables.orders(s, d), "o_orderpriority", "o_custkey")),
 
     // §2.6 sorts / top-k
     "q_sort_total" -> ((s, d) =>
@@ -244,6 +250,10 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS uniq_v,
                 count(*) AS cnt
          FROM orders GROUP BY o_orderpriority""",
+    "q_agg_histogram" ->
+      """SELECT l_returnflag, CAST(floor(l_quantity / 10.0) AS BIGINT) AS bucket,
+                count(*) AS cnt, min(l_quantity) AS min_v, max(l_quantity) AS max_v
+         FROM lineitem GROUP BY l_returnflag, CAST(floor(l_quantity / 10.0) AS BIGINT)""",
     "q_agg_generic" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,

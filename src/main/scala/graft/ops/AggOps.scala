@@ -74,11 +74,32 @@ object AggOps {
   }
 
   /** UNIQ_VALUE_COUNT family: exact distinct count per group.
-    * At 100 TB prefer `approx_count_distinct` (HLL sketch, no exact
+    * At 100 TB prefer `approxUniqCount` below (HLL sketch, no exact
     * distinct shuffle); exact kept here because the oracle is exact.
     */
   def uniqCount(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     df.groupBy(col(groupCol))
       .agg(countDistinct(col(valueCol)).as("uniq_v"),
            count(lit(1)).as("cnt"))
+
+  /** Sketch-based distinct count — the 100 TB path for UNIQ: HLL++ with
+    * bounded relative error, constant state per group, single shuffle of
+    * sketches instead of an exact-distinct expansion. Engine-specific
+    * estimates → rows-only oracle check (group keys are stable).
+    */
+  def approxUniqCount(df: DataFrame, groupCol: String, valueCol: String,
+                      rsd: Double = 0.02): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("uniq_est"),
+           count(lit(1)).as("cnt"))
+
+  /** VALUE_HISTOGRAM family: bucketed value distribution per group —
+    * floor-division bucketing keeps the key space bounded and integer.
+    */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+                bucketWidth: Double): DataFrame =
+    df.groupBy(col(groupCol),
+        floor(col(valueCol) / bucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
 }
