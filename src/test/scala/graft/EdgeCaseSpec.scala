@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Degenerate-input behavior: operators must return empty/partial results,
+  * never throw, when documents are too short to shingle, corpora are
+  * empty, or the query set exceeds the corpus.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup ops on documents too short to shingle") {
+    val tiny = Seq((1L, "a b"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    assert(DedupOps.minhashSigArr(tiny).count() === 0) // no 3-shingles
+    assert(DedupOps.minhashPairs(tiny).count() === 0)
+    // "a b" has a bigram but no partner doc: inverted join yields no pair
+    assert(DedupOps.ngramJaccardPairs(tiny).count() === 0)
+  }
+
+  test("empty corpus flows through every dedup operator") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DedupOps.exactDedup(empty).count() === 0)
+    assert(DedupOps.minhashPairs(empty).count() === 0)
+    assert(DedupOps.simhashPairs(empty).count() === 0)
+    assert(DedupOps.ngramJaccardPairs(empty).count() === 0)
+  }
+
+  test("similarity search with fewer vectors than queries") {
+    val few = Seq(
+      (0L, Array.fill(64)(0.1f)),
+      (1L, Array.fill(64)(-0.1f)),
+      (2L, (0 until 64).map(i => if (i % 2 == 0) 0.1f else -0.1f).toArray)
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.bruteTopK(few, numQueries = 5, k = 10).collect()
+    // 3 queries exist, each sees the other 2 → 6 rows, ranks 1..2
+    assert(out.length === 6)
+    assert(out.map(_.getLong(3)).forall(r => r == 1L || r == 2L))
+    assert(SimilarityOps.lshTopK(few, numQueries = 5).count() <= 6)
+  }
+
+  test("sessionize on empty and single-event inputs") {
+    val empty = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("event_id", "ts", "user_id", "value")
+    assert(EventOps.sessionize(empty).count() === 0)
+    val one = Seq((1L, 1700000000000000000L, 9L, 2.5))
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = EventOps.sessionize(one).head()
+    assert(r.getLong(2) === 1L && r.getDouble(5) === 2.5)
+  }
+
+  test("grep with a pattern that never matches") {
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    assert(TextOps.grep(docs, "text", "zzz[0-9]+").count() === 0)
+  }
+
+  test("histogram handles negative values with floor bucketing") {
+    val df = Seq(("a", -15.0), ("a", -5.0), ("a", 5.0)).toDF("k", "v")
+    val out = AggOps.histogram(df, "k", "v", 10.0).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(-2L -> 1L, -1L -> 1L, 0L -> 1L))
+  }
+
+  test("pagerank on a single edge") {
+    val out = GraphOps.pageRankFixed(Seq((1L, 2L)).toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === 150000000000L) // no inlinks → base rank
+  }
+}
