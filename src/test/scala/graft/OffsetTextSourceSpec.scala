@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+class OffsetTextSourceSpec extends SparkSpec {
+
+  private def readOffsets(path: String): Seq[(Long, String)] =
+    spark.read.format("graft.sources.OffsetTextSource").load(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+
+  test("offsets are exact byte positions (multibyte, empty lines, no trailing NL)") {
+    val content = "alpha\nbét@\n\nlast line no newline"
+    val f = Files.createTempFile("graft-otext", ".txt")
+    Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+    val got = readOffsets(f.toString)
+    // byte offsets: alpha=0; bét@ starts at 6; é is 2 bytes → next line at 6+6=12; last at 13
+    assert(got === Seq((0L, "alpha"), (6L, "bét@"), (12L, ""), (13L, "last line no newline")))
+    Files.delete(f)
+  }
+
+  test("directory input: one partition per file, offsets per file") {
+    val d = Files.createTempDirectory("graft-otext-dir")
+    Files.write(d.resolve("a.txt"), "x\nyy\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(d.resolve("b.txt"), "zzz\n".getBytes(StandardCharsets.UTF_8))
+    val df = spark.read.format("graft.sources.OffsetTextSource").load(d.toString)
+    assert(df.rdd.getNumPartitions === 2)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((0L, "x"), (2L, "yy"), (0L, "zzz")))
+  }
+
+  test("wordcount runs over the offset-text source end-to-end") {
+    val f = Files.createTempFile("graft-otext-wc", ".txt")
+    Files.write(f, "a b a\nb a\n".getBytes(StandardCharsets.UTF_8))
+    val df = spark.read.format("graft.sources.OffsetTextSource").load(f.toString)
+    val counts = graft.ops.TextOps.wordCount(df, "line").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 3L, "b" -> 2L))
+    Files.delete(f)
+  }
+}
