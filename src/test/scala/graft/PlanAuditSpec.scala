@@ -57,6 +57,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(planOf("q_pagerank").contains("BroadcastHashJoin"))
   }
 
+  test("sessionize reuses one user_id exchange for windows and final agg") {
+    val p = planOf("q_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected a single exchange:\n$p")
+  }
+
   test("minhash builds the signature subplan once (exchange reuse)") {
     val p = planOf("q_dedup_minhash")
     val md5Count = "md5".r.findAllIn(p).length
