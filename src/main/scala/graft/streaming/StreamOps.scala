@@ -1,7 +1,24 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event row for the stateful sessionizer (epoch micros). */
+case class SessEvent(user_id: Long, tus: Long, value: Double)
+
+/** SessEvent + the event-time column the watermark rides on (must stay in
+  * the grouped Dataset for EventTimeTimeout to resolve).
+  */
+case class SessEventTs(user_id: Long, tus: Long, value: Double,
+                       ts: java.sql.Timestamp)
+
+/** Running per-user session state. */
+case class SessState(start: Long, last: Long, n: Long, sum: Double)
+
+/** A closed session. */
+case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                         n_events: Long, sum_value: Double)
 
 /** Structured Streaming operators over the `events` shape — the streaming
   * face of EventOps. The reference has no streaming at all (SURVEY §2.9);
@@ -32,6 +49,56 @@ object StreamOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the escape
+    * hatch for session semantics `session_window` cannot express (e.g.
+    * per-session running aggregates, custom close conditions). Gap-based
+    * like EventOps.sessionize; closed sessions are emitted either when a
+    * later event proves the gap, or when the event-time watermark passes
+    * the session's timeout (last event + gap). State per active user is
+    * one SessState — O(active users), bounded by the watermark horizon.
+    */
+  def sessionizeStateful(events: Dataset[SessEvent], gapUs: Long = 1800L * 1000000L,
+                         watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+
+    def close(u: Long, s: SessState) = ClosedSession(u, s.start, s.last, s.n, s.sum)
+
+    val fn = (user: Long, rows: Iterator[SessEventTs], state: GroupState[SessState]) => {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(user, _)).iterator
+        state.remove()
+        out
+      } else {
+        val sorted = rows.toSeq.sortBy(_.tus)
+        val closed = Seq.newBuilder[ClosedSession]
+        var cur = state.getOption
+        for (e <- sorted) {
+          cur = cur match {
+            case Some(s) if e.tus - s.last > gapUs =>
+              closed += close(user, s)
+              Some(SessState(e.tus, e.tus, 1L, e.value))
+            case Some(s) =>
+              Some(SessState(s.start, math.max(s.last, e.tus), s.n + 1, s.sum + e.value))
+            case None =>
+              Some(SessState(e.tus, e.tus, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp((s.last + gapUs) / 1000) // millis
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .withWatermark("ts", watermark)
+      .as[SessEventTs]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Sliding/tumbling windowed counts per event_type. */
   def windowedCounts(events: DataFrame, window: String = "10 minutes",

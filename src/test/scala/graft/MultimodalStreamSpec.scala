@@ -65,6 +65,30 @@ class MultimodalStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionizer closes sessions on gap evidence across batches") {
+    import graft.streaming.SessEvent
+    val base = 1700000000000000L // epoch micros
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessEvent]
+    val q = StreamOps.sessionizeStateful(mem.toDS())
+      .writeStream.format("memory").queryName("sess_state_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 10 gets two events 10 min apart (one open session)
+      mem.addData(SessEvent(10L, base, 1.0),
+        SessEvent(10L, base + 600L * 1000000, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_state_test").count() === 0) // still open
+      // batch 2: an event 3 h later proves the gap → session 1 closes
+      mem.addData(SessEvent(10L, base + 10800L * 1000000, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_state_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(rows.toSeq === Seq(
+        (10L, base, base + 600L * 1000000, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming windowed counts run incrementally with a watermark") {
     val base = 1700000000000L
     def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
