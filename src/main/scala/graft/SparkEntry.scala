@@ -87,6 +87,24 @@ object SparkEntry {
       JoinOps.anti(o, l, o("o_orderkey") === l("l_orderkey"))
         .select("o_orderkey", "o_orderpriority")
     }),
+    // As-of join (composed: key equi-join + time filter + latest-row
+    // window): per event, the user's most recent order at event time.
+    "q_join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val eu = ev.select(col("event_id"), col("user_id"),
+        EventOps.microsOf(ev, "ts").as("tus"))
+      val or = Tables.orders(s, d)
+      val ou = or.select(col("o_custkey").as("user_id"), col("o_orderkey"),
+        EventOps.microsOf(or, "o_orderdate").as("o_us"))
+      JoinOps.asofJoin(eu, ou, "user_id", "tus", "o_us", "o_orderkey")
+    }),
+    // Banded range self-join: event pairs of the same user within 1 hour.
+    "q_join_range" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val eu = ev.select(col("event_id"), col("user_id"),
+        EventOps.microsOf(ev, "ts").as("tus"))
+      JoinOps.rangeSelfJoin(eu, "user_id", "tus", "event_id", 3600L * 1000000L)
+    }),
     "q_join_dim" -> ((s, d) => {
       val c = Tables.customer(s, d); val n = Tables.nation(s, d)
       JoinOps.dimJoin(c, n, c("c_nationkey") === n("n_nationkey"))
@@ -280,6 +298,23 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderpriority FROM orders o
          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""",
+    "q_join_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+              o AS (SELECT o_custkey AS user_id, o_orderkey,
+                           epoch_us(o_orderdate) AS o_us FROM orders),
+              j AS (SELECT e.event_id, e.user_id, e.tus, o.o_orderkey, o.o_us,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY e.event_id, e.user_id, e.tus
+                             ORDER BY o.o_us DESC, o.o_orderkey DESC) AS rn
+                    FROM e JOIN o USING (user_id) WHERE o.o_us <= e.tus)
+         SELECT event_id, user_id, tus, o_orderkey, o_us FROM j WHERE rn = 1""",
+    "q_join_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events)
+         SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+                b.tus - a.tus AS dt_us
+         FROM e a JOIN e b ON a.user_id = b.user_id
+          AND (b.tus > a.tus OR (b.tus = a.tus AND b.event_id > a.event_id))
+          AND b.tus - a.tus <= 3600000000""",
     "q_join_dim" ->
       """SELECT n_name, count(*) AS n_cust,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS sum_bal

@@ -25,14 +25,19 @@ object EventOps {
   /** Gap-based sessions per user. Output one row per session:
     * (user_id, sess_idx, n_events, start_us, end_us, sum_value).
     */
-  /** Epoch-micros from `ts`, whichever way the scan surfaced it: nanos as
-    * int64 (spark.sql.legacy.parquet.nanosAsLong=true for TIMESTAMP(NANOS)
-    * parquet) or a native timestamp. Exact integer floor-div.
+  /** Epoch-micros from a time column, whichever way the scan surfaced it:
+    * nanos as int64 (spark.sql.legacy.parquet.nanosAsLong=true for
+    * TIMESTAMP(NANOS) parquet) or a native timestamp. Exact floor-div.
     */
-  private def micros(events: DataFrame) =
-    if (events.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      expr("ts div 1000")
-    else unix_micros(col("ts"))
+  def microsOf(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+      expr(s"$c div 1000")
+    else
+      // cast handles TIMESTAMP_NTZ too; session tz is UTC so NTZ wall
+      // time and instant micros coincide (matching DuckDB's epoch_us).
+      unix_micros(col(c).cast("timestamp"))
+
+  private def micros(events: DataFrame) = microsOf(events, "ts")
 
   def sessionize(events: DataFrame, gapUs: Long = GapUs): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy("tus", "event_id")

@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Join operators.
   *
@@ -32,4 +33,50 @@ object JoinOps {
   def dimJoin(fact: DataFrame, dim: DataFrame, cond: Column,
               joinType: String = "inner"): DataFrame =
     fact.join(broadcast(dim), cond, joinType)
+
+  /** As-of join (Spark has no native one): for every left row, the single
+    * most recent right row with rightTime ≤ leftTime on the same key.
+    * Composed as equi-join on the key + time filter + per-left-row
+    * row_number, which is the canonical distributed as-of plan: both
+    * sides shuffle once on the key, and the window dedup runs inside the
+    * same partitioning. Right columns should be pre-projected by the
+    * caller to keep the intermediate narrow.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightTieBreak: String): DataFrame = {
+    val joined = left.join(right, key)
+      .filter(col(rightTime) <= col(leftTime))
+    val leftCols = left.columns.map(col)
+    // Tiebreak makes the pick deterministic when two right rows share a
+    // timestamp — required for cross-engine (and re-run) stability.
+    val w = Window.partitionBy(leftCols.toSeq: _*)
+      .orderBy(col(rightTime).desc, col(rightTieBreak).desc)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Banded range self-join: pairs of rows on the same key whose times
+    * are within `widthUs`, earlier row first (ties by id). The classic
+    * time-bucket decomposition keeps it scale-safe: the earlier side is
+    * keyed by its bucket, the later side fans out to (bucket, bucket−1),
+    * so the join is a plain equi-join on (key, bucket) and no row ever
+    * meets more than two buckets — never an inequality cross join.
+    */
+  def rangeSelfJoin(df: DataFrame, key: String, timeCol: String,
+                    idCol: String, widthUs: Long): DataFrame = {
+    val a = df.select(col(key), col(idCol).as("id_a"), col(timeCol).as("t_a"))
+      .withColumn("bucket", expr(s"t_a div $widthUs"))
+    val b = df.select(col(key), col(idCol).as("id_b"), col(timeCol).as("t_b"))
+      .withColumn("bucket", explode(array(
+        expr(s"t_b div $widthUs"), expr(s"t_b div $widthUs - 1"))))
+    // No dedup needed: for 0 ≤ t_b−t_a ≤ width the bucket delta is 0 or 1,
+    // so each qualifying pair matches on exactly one of b's two keys.
+    a.join(b, Seq(key, "bucket"))
+      .filter((col("t_b") > col("t_a") ||
+        (col("t_b") === col("t_a") && col("id_b") > col("id_a"))) &&
+        col("t_b") - col("t_a") <= widthUs)
+      .select(col(key), col("id_a"), col("id_b"),
+        (col("t_b") - col("t_a")).as("dt_us"))
+  }
 }

@@ -63,6 +63,29 @@ class RelOpsSpec extends SparkSpec {
     assert(nSemi + nAnti == orders.count())
   }
 
+  test("asofJoin picks the latest right row at-or-before, with tiebreak") {
+    import spark.implicits._
+    val l = Seq((1L, 100L), (2L, 50L), (3L, 5L)).toDF("id", "t")
+      .withColumn("k", lit("u"))
+    val r = Seq((10L, 40L), (11L, 90L), (12L, 90L), (13L, 200L))
+      .toDF("rid", "rt").withColumn("k", lit("u"))
+    val out = JoinOps.asofJoin(l, r, "k", "t", "rt", "rid").collect()
+      .map(row => row.getAs[Long]("id") -> row.getAs[Long]("rid")).toMap
+    assert(out === Map(1L -> 12L, 2L -> 10L)) // id 3: nothing ≤ 5 → absent
+  }
+
+  test("rangeSelfJoin finds in-width pairs across bucket boundaries, once") {
+    import spark.implicits._
+    // width 100: pairs (1,2) dt=30 same bucket, (2,3) dt=90 crosses the
+    // bucket-100 boundary, (1,3) dt=120 out of width, (4,*) other key.
+    val df = Seq((1L, 60L, "a"), (2L, 90L, "a"), (3L, 180L, "a"), (4L, 95L, "b"))
+      .toDF("id", "t", "k")
+    val out = JoinOps.rangeSelfJoin(df, "k", "t", "id", 100L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === Set(("a", 1L, 2L, 30L), ("a", 2L, 3L, 90L)))
+    assert(out.length === 2) // no duplicate emission from the band fan-out
+  }
+
   test("dimJoin plans a broadcast join") {
     val n = Tables.nation(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
