@@ -138,6 +138,27 @@ object SparkEntry {
       Tables.lineitem(s, d).rollup("l_returnflag", "l_linestatus").agg(
         count(lit(1)).as("cnt"),
         AggOps.exactSum(col("l_quantity")).as("sum_qty"))),
+    "q_cube" -> ((s, d) =>
+      Tables.lineitem(s, d).cube("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("cnt"),
+        AggOps.exactSum(col("l_quantity")).as("sum_qty"))),
+    // Pivot with a fixed value list (dynamic pivot needs a collect of
+    // the pivot domain — fixed lists are the 100 TB-safe form).
+    "q_pivot" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+    // Deterministic hash sample — reproducible ~10% split on a stable
+    // key (training-data pipelines need splits that survive re-runs and
+    // engine changes; rand()-based sampling does not).
+    "q_sample" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(TextOps.hash60(concat(lit("smp-"), col("o_orderkey"))) % 100 < 10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
 
     // §3.3 PageRank — the reference's iterative workload. Fixed 10
     // iterations + int64 fixed-point math so ranks are bit-identical
@@ -336,6 +357,19 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+    "q_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE CAST(concat('0x', substr(md5('smp-' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
     "q_dedup_exact" -> OracleSql.dedupExactSql,
     "q_dedup_minhash" -> OracleSql.dedupMinhashSql,
