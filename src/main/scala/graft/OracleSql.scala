@@ -319,6 +319,47 @@ object OracleSql {
                CAST(bit_xor(g) AS BIGINT) AS fp_xor
         FROM g GROUP BY doc_id"""
 
+  /** Curation pipeline twin: langId + textStats-quality + md5 dedup +
+    * hash sample, composed in SQL exactly like PipelineOps.curate.
+    */
+  def pipelineSql: String = {
+    val en = TextStatsOps.Stopwords.filter(_._1 == "en")
+      .map(w => s"'${w._2}'").mkString(", ")
+    val stop = TextStatsOps.Stopwords
+      .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+    s"""WITH $toksCte,
+        agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                       COUNT(DISTINCT w) AS n_distinct,
+                       CAST(SUM(CASE WHEN w IN ($en) THEN 1 ELSE 0 END)
+                            AS BIGINT) AS stop_cnt
+                FROM toks GROUP BY doc_id),
+        q AS (SELECT doc_id,
+                     CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.4
+                       + CAST(stop_cnt AS DOUBLE) / n_tokens * 0.3
+                       + CAST(n_distinct AS DOUBLE) / n_tokens * 0.3 AS quality
+              FROM agg),
+        stop AS (SELECT * FROM (VALUES $stop) t(cand, w)),
+        hits AS (SELECT doc_id, cand, COUNT(*) AS hits
+                 FROM toks JOIN stop USING (w) GROUP BY doc_id, cand),
+        best AS (SELECT doc_id, cand AS pred_lang FROM (
+                   SELECT doc_id, cand,
+                          ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY hits DESC, cand ASC) AS rn
+                   FROM hits) WHERE rn = 1),
+        kept AS (SELECT d.doc_id, d.text, d.lang, b.pred_lang, q.quality
+                 FROM documents d
+                 JOIN q USING (doc_id) JOIN best b USING (doc_id)
+                 WHERE b.pred_lang = 'en' AND q.quality >= 0.4),
+        dedup AS (SELECT * FROM (
+                    SELECT kept.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                                      ORDER BY doc_id) AS rn
+                    FROM kept) WHERE rn = 1)
+        SELECT doc_id, lang, pred_lang, quality,
+               CAST(len(text) AS BIGINT) AS n_chars_kept
+        FROM dedup
+        WHERE ${hash60("'cur-' || CAST(doc_id AS VARCHAR)")} % 100 < 50"""
+  }
+
   // ---- events (EventOps twins) ----
 
   def sessionizeSql: String =

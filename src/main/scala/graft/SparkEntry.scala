@@ -217,6 +217,10 @@ object SparkEntry {
       EventOps.tolerantParse(Tables.documents(s, d),
         Tables.lineitem(s, d), Tables.orders(s, d))),
 
+    // Capstone composition: the full curation pipeline (lang filter →
+    // quality threshold → dedup → deterministic sample) as ONE plan.
+    "q_pipeline" -> ((s, d) => PipelineOps.curate(Tables.documents(s, d))),
+
     // Multimodal: binary payload columns + typed metadata (decode itself
     // is the stubbed Dataset pipeline in MultimodalOps, spec-tested).
     "q_multimodal" -> ((s, d) =>
@@ -388,5 +392,6 @@ object SparkEntry {
     "q_json" -> OracleSql.jsonStatsSql,
     "q_parse_tolerant" -> OracleSql.parseTolerantSql,
     "q_multimodal" -> OracleSql.multimodalSql,
+    "q_pipeline" -> OracleSql.pipelineSql,
   )
 }
