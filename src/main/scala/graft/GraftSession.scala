@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's recommended configuration — one
+  * place encoding the settings every entry point (Verify, Bench, user
+  * apps) needs, with the 100 TB rationale:
+  *
+  *  - AQE (on by default in Spark 4) + skew-join handling: runtime
+  *    re-planning splits oversized shuffle partitions — the replacement
+  *    for the reference's hand-tuned reducer counts and chunk-pull
+  *    balancing (SURVEY §4.2).
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: the events fixture carries
+  *    TIMESTAMP(NANOS), which Spark otherwise refuses to read.
+  *  - UTC session timezone: timestamp arithmetic must be engine- and
+  *    host-independent (the DuckDB oracle compares epoch micros).
+  *  - Shuffle partitions default to the local core count; a real cluster
+  *    deployment overrides this to ~2-3× total executor cores (or leaves
+  *    it to AQE coalescing).
+  */
+object GraftSession {
+
+  def configure(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized by SPARK_GRAFT_CPUS (driver harness contract). */
+  def local(defaultCpus: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    val s = configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -100,6 +100,16 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exactly-once dedup on an id column: late duplicates are
+    * dropped as long as they arrive within the watermark horizon — state
+    * is one id per event inside the horizon, evicted as the watermark
+    * advances (the unbounded-state trap of bare dropDuplicates avoided).
+    */
+  def dedupeStream(events: DataFrame, idCol: String = "event_id",
+                   watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Sliding/tumbling windowed counts per event_type. */
   def windowedCounts(events: DataFrame, window: String = "10 minutes",
                      watermark: String = "1 hour"): DataFrame =

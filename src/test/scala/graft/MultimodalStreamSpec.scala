@@ -89,6 +89,24 @@ class MultimodalStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupeStream drops duplicate ids within the watermark horizon") {
+    val base = 1700000000000L
+    def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.dedupeStream(mem.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), 1L, "click", 1.0), (2L, ts(10), 1L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(20), 1L, "click", 1.0)) // duplicate id, in horizon
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream_test").count() === 2)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts run incrementally with a watermark") {
     val base = 1700000000000L
     def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
