@@ -6,6 +6,28 @@ import graft.ops.{EventOps, TextStatsOps}
 class TextStatsOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("shingleArr matches a plain Scala sliding-window model") {
+    import graft.ops.DedupOps
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(7) // 0..6 words — covers the too-short cases
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (k <- Seq(2, 3)) {
+      val got = df.select(col("doc_id"),
+          DedupOps.shingleArr(col("text"), k).as("sh")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      val want = docs.map { case (id, text) =>
+        val w = text.split("\\s+").filter(_.nonEmpty).toList
+        id -> (if (w.length >= k) w.sliding(k).map(_.mkString(" ")).toList
+               else Nil)
+      }.toMap
+      assert(got === want, s"k=$k")
+    }
+  }
+
   test("textStats computes exact counts on a known document") {
     val df = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
     val r = TextStatsOps.textStats(df).head()
