@@ -57,8 +57,14 @@ object TextOps {
   /** Portable 60-bit hash shared with the DuckDB oracle:
     * first 15 hex chars of md5 → bigint. Used wherever a hash must be
     * reproducible outside the JVM (minhash/simhash/fingerprints).
+    * Computed by the native `Hash60Expr` (digest bits directly, no hex
+    * round-trip — ~2× on hash-bound scans); `hash60Builtin` keeps the
+    * built-ins-only composition for cross-checks.
     */
-  def hash60(c: Column): Column =
+  def hash60(c: Column): Column = graft.functions.Hash60Expr(c)
+
+  /** Built-ins-only twin of hash60 (same values, spec cross-checked). */
+  def hash60Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** hash60 reduced mod 2^31-1 — safe for modular multiply in int64. */

@@ -47,6 +47,20 @@ class FunctionsSpec extends SparkSpec {
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("native Hash60Expr equals the built-in md5 composition") {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .union(Seq("", "é¿ unicode", "x").toDF("w")) // incl. empty + multibyte
+    val diff = toks.select(
+        TextOps.hash60(col("w")).as("native"),
+        TextOps.hash60Builtin(col("w")).as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+    assert(diff.count() === 0)
+    // driver-side constant derivation agrees too
+    assert(spark.range(1).select(TextOps.hash60(lit("mh-a-0"))).head().getLong(0)
+      === graft.ops.DedupOps.hash60Local("mh-a-0"))
+  }
+
   test("MinHashAgg UDAF equals the expression-path signature") {
     val corpus = DedupOps.dupCorpus(Tables.documents(spark, sfDir))
     val hashed = DedupOps.shingles3(corpus)
