@@ -173,21 +173,23 @@ object DedupOps {
     * DuckDB. Returns (doc_id, simhash).
     */
   def simhash(corpus: DataFrame): DataFrame = {
-    // Pre-aggregate term frequencies per (doc, word) — map-side partial
-    // agg shrinks the shuffle to distinct pairs AND means the md5 hash
-    // runs once per distinct pair, not once per token instance (the hash
-    // is the dominant CPU cost; hashing per instance measured ~70%
-    // slower end-to-end). Then ONE doc_id aggregation with 32 generated
-    // bit-sum expressions — no 32× row blowup.
+    // Hash per token INSTANCE, then ONE doc_id aggregation with 32
+    // generated bit-sum expressions: Σ_w cnt_w·f(h(w)) ≡ Σ_instances f(h)
+    // (identically in the oracle, even under collisions, since the
+    // contribution depends only on h), so no (doc, word) TF pre-agg is
+    // needed. With the native Hash60Expr this single-shuffle form
+    // measures ~2× faster than the pre-agg variant — token strings never
+    // shuffle at all. (With the old hex-string md5 path, hashing per
+    // instance was the bottleneck and the pre-agg won; re-measure if the
+    // hash implementation changes.)
     // (h div 2^i) is integer division — `/` would be double division and
     // silently lose bits beyond 2^53 on the 60-bit hash.
     val toks = corpus
       .select(col("doc_id"),
         explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", TextOps.hash60(col("w")))
+      .select(col("doc_id"), TextOps.hash60(col("w")).as("h"))
     val bitSums = (0 until SimhashBits).map(i =>
-      sum(col("cnt") * (expr(s"(h div ${1L << i}) % 2") * 2 - 1)).as(s"s$i"))
+      sum(expr(s"(h div ${1L << i}) % 2") * 2 - 1).as(s"s$i"))
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until SimhashBits).map(i =>
