@@ -173,23 +173,23 @@ object DedupOps {
     * DuckDB. Returns (doc_id, simhash).
     */
   def simhash(corpus: DataFrame): DataFrame = {
-    // Hash per token INSTANCE, then ONE doc_id aggregation with 32
-    // generated bit-sum expressions: Σ_w cnt_w·f(h(w)) ≡ Σ_instances f(h)
-    // (identically in the oracle, even under collisions, since the
-    // contribution depends only on h), so no (doc, word) TF pre-agg is
-    // needed. With the native Hash60Expr this single-shuffle form
-    // measures ~2× faster than the pre-agg variant — token strings never
-    // shuffle at all. (With the old hex-string md5 path, hashing per
-    // instance was the bottleneck and the pre-agg won; re-measure if the
-    // hash implementation changes.)
+    // TF pre-agg per (doc, word), hash once per distinct pair, then ONE
+    // doc_id aggregation with 32 generated bit-sum expressions. The
+    // alternative (hash per token instance, no pre-agg — valid because
+    // Σ_w cnt_w·f(h(w)) ≡ Σ_instances f(h) even under collisions) was
+    // measured both ways: it wins ~2× on a 32-core run but loses ~2× at
+    // the CPU-bound 4-core config the harness benches, because it pushes
+    // 40% more rows through the 32-expression aggregation. Keeping the
+    // pre-agg; re-measure on a real cluster where shuffle bytes dominate.
     // (h div 2^i) is integer division — `/` would be double division and
     // silently lose bits beyond 2^53 on the 60-bit hash.
     val toks = corpus
       .select(col("doc_id"),
         explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("w"))
-      .select(col("doc_id"), TextOps.hash60(col("w")).as("h"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", TextOps.hash60(col("w")))
     val bitSums = (0 until SimhashBits).map(i =>
-      sum(expr(s"(h div ${1L << i}) % 2") * 2 - 1).as(s"s$i"))
+      sum(col("cnt") * (expr(s"(h div ${1L << i}) % 2") * 2 - 1)).as(s"s$i"))
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until SimhashBits).map(i =>
