@@ -24,9 +24,13 @@ import org.apache.spark.storage.StorageLevel
   *     (and between engines). Integer math is exact and order-independent:
   *     the same input graph yields bit-identical ranks on 1 core or 1000
   *     executors — and in the DuckDB oracle. share = rank div outdeg;
-  *     rank' = (1-d)*S + (d_pct * Σshare) div 100. Headroom: Σ rank mass
-  *     ≤ |V|·10^12, so int64 holds |V| up to ~10^6 per aggregation key
-  *     domain; for larger graphs raise Scale granularity down.
+  *     rank' = (1-d)*S + (d_pct * Σshare) div 100. Headroom: the damped
+  *     term computes d_pct·Σshare BEFORE the div, and in the worst case
+  *     (star graph funneling all mass to one node) Σshare ≈ |V|·Scale,
+  *     so 85·|V|·10^12 < 2^63 bounds the safe worst-case at |V| ≈ 10^5.
+  *     Graphs with non-pathological in-degree mass (no node receiving a
+  *     constant fraction of total rank) support ~10^6+; for larger
+  *     graphs lower Scale (every power of 10 buys 10× more nodes).
   */
 object GraphOps {
 

@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.util
-import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
@@ -26,8 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * byte-range partitions that skip the first partial line — the classic
   * TextInputFormat rule — without changing the schema or the plan shape.
   *
-  * Usage: spark.read.format("graft.sources.OffsetTextSource").load(path)
-  * → DataFrame[offset: bigint, line: string].
+  * Usage: spark.read.format("graft.sources.OffsetTextSource").load(path*)
+  * → DataFrame[offset: bigint, line: string]. Both the single `path`
+  * option and the multi-path `paths` option (what `load(paths*)` sets)
+  * are honored; directories are listed recursively; a missing path fails
+  * the scan loudly at planning time rather than yielding an empty result.
   */
 class OffsetTextSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -35,18 +37,33 @@ class OffsetTextSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new OffsetTextTable(properties.getOrDefault("path", ""))
+    new OffsetTextTable(OffsetTextSource.resolvePaths(properties))
 }
 
 object OffsetTextSource {
   val Schema: StructType = StructType(Seq(
     StructField("offset", LongType, nullable = false),
     StructField("line", StringType, nullable = false)))
+
+  /** Collect input paths from the DSv2 options: `path` (single) and/or
+    * `paths` (JSON array — what DataFrameReader.load(paths*) passes).
+    */
+  private[sources] def resolvePaths(properties: util.Map[String, String]): Seq[String] = {
+    val single = Option(properties.get("path")).toSeq
+    val multi = Option(properties.get("paths")).toSeq.flatMap { json =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(json, classOf[Array[String]]).toSeq
+    }
+    val all = (single ++ multi).filter(_.nonEmpty)
+    require(all.nonEmpty,
+      "OffsetTextSource: no input path — pass .load(path) or option(\"path\", ...)")
+    all
+  }
 }
 
-private[sources] class OffsetTextTable(path: String)
+private[sources] class OffsetTextTable(paths: Seq[String])
     extends Table with SupportsRead {
-  override def name(): String = s"offsettext($path)"
+  override def name(): String = s"offsettext(${paths.mkString(",")})"
   override def schema(): StructType = OffsetTextSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -59,13 +76,19 @@ private[sources] class OffsetTextTable(path: String)
 
       override def planInputPartitions(): Array[InputPartition] = {
         val conf = new Configuration()
-        val p = new Path(path)
-        val fs = p.getFileSystem(conf)
-        val files: Array[FileStatus] =
-          if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).filter(_.isFile)
-          else Array(fs.getFileStatus(p))
-        files.sortBy(_.getPath.toString)
+        // Recursive listing; getFileStatus throws FileNotFoundException on a
+        // missing path — the fail-loud contract (no silent empty scan).
+        def listFiles(st: FileStatus): Seq[FileStatus] =
+          if (st.isDirectory)
+            st.getPath.getFileSystem(conf).listStatus(st.getPath).toSeq.flatMap(listFiles)
+          else Seq(st)
+        paths.flatMap { s =>
+            val p = new Path(s)
+            listFiles(p.getFileSystem(conf).getFileStatus(p))
+          }
+          .sortBy(_.getPath.toString)
           .map(f => OffsetTextPartition(f.getPath.toString): InputPartition)
+          .toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
@@ -79,7 +102,11 @@ private[sources] class OffsetTextTable(path: String)
 private[sources] case class OffsetTextPartition(path: String) extends InputPartition
 
 /** Buffered byte scan with '\n' framing and exact byte offsets — the
-  * record reader. A trailing line without '\n' is still emitted.
+  * record reader. A trailing line without '\n' is still emitted. Lines are
+  * assembled by scanning the buffer for '\n' and copying whole slices (a
+  * spill buffer is allocated only when a line spans buffer fills); a
+  * zero-byte read() — legal on some streams — is retried, not treated as
+  * EOF.
   */
 private[sources] class OffsetTextReader(path: String)
     extends PartitionReader[InternalRow] {
@@ -96,26 +123,42 @@ private[sources] class OffsetTextReader(path: String)
 
   private def fill(): Boolean = {
     if (eof) return false
-    bufLen = in.read(buf)
+    var n = in.read(buf)
+    while (n == 0) n = in.read(buf) // 0 means "nothing yet", not EOF
     bufPos = 0
-    if (bufLen <= 0) { eof = true; false } else true
+    if (n < 0) { eof = true; bufLen = 0; false } else { bufLen = n; true }
   }
 
   override def next(): Boolean = {
+    if (bufPos >= bufLen && !fill()) return false
     val lineStart = filePos
-    val bytes = new ArrayBuffer[Byte](80)
-    var sawAny = bufPos < bufLen || fill()
-    var done = false
-    while (!done && (bufPos < bufLen || fill())) {
-      val b = buf(bufPos)
-      bufPos += 1
-      filePos += 1
-      if (b == '\n') done = true else bytes += b
-      sawAny = true
+    var spill: java.io.ByteArrayOutputStream = null // only for buffer-spanning lines
+    while (true) {
+      var i = bufPos
+      while (i < bufLen && buf(i) != '\n') i += 1
+      val sliceLen = i - bufPos
+      if (i < bufLen) { // found the newline inside the buffer
+        val bytes =
+          if (spill == null) util.Arrays.copyOfRange(buf, bufPos, i)
+          else { spill.write(buf, bufPos, sliceLen); spill.toByteArray }
+        filePos += sliceLen + 1
+        bufPos = i + 1
+        row = InternalRow(lineStart, UTF8String.fromBytes(bytes))
+        return true
+      }
+      // line continues past this buffer: stash the slice and refill
+      if (spill == null) spill = new java.io.ByteArrayOutputStream(sliceLen + 64)
+      spill.write(buf, bufPos, sliceLen)
+      filePos += sliceLen
+      bufPos = i
+      if (!fill()) { // EOF: emit the trailing line (no '\n')
+        val bytes = spill.toByteArray
+        if (bytes.isEmpty) return false
+        row = InternalRow(lineStart, UTF8String.fromBytes(bytes))
+        return true
+      }
     }
-    if (!sawAny || (bytes.isEmpty && !done && eof && lineStart == filePos)) return false
-    row = InternalRow(lineStart, UTF8String.fromBytes(bytes.toArray))
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = row

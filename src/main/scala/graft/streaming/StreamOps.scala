@@ -70,18 +70,27 @@ object StreamOps {
         state.remove()
         out
       } else {
-        val sorted = rows.toSeq.sortBy(_.tus)
+        // Gap-merge over intervals: the carried state plus each event as a
+        // point interval, sorted by start. This matches the batch
+        // EventOps.sessionize result for out-of-order arrivals inside the
+        // watermark horizon: an event older than the state's start merges
+        // backwards (start becomes min) when within the gap, and an event
+        // more than a gap older forms — and immediately closes — its own
+        // earlier session instead of being absorbed.
+        val intervals = (state.getOption.toSeq ++
+          rows.map(e => SessState(e.tus, e.tus, 1L, e.value)))
+          .sortBy(s => (s.start, s.last))
         val closed = Seq.newBuilder[ClosedSession]
-        var cur = state.getOption
-        for (e <- sorted) {
+        var cur: Option[SessState] = None
+        for (iv <- intervals) {
           cur = cur match {
-            case Some(s) if e.tus - s.last > gapUs =>
+            case Some(s) if iv.start - s.last > gapUs =>
               closed += close(user, s)
-              Some(SessState(e.tus, e.tus, 1L, e.value))
+              Some(iv)
             case Some(s) =>
-              Some(SessState(s.start, math.max(s.last, e.tus), s.n + 1, s.sum + e.value))
-            case None =>
-              Some(SessState(e.tus, e.tus, 1L, e.value))
+              Some(SessState(s.start, math.max(s.last, iv.last),
+                s.n + iv.n, s.sum + iv.sum))
+            case None => Some(iv)
           }
         }
         cur.foreach { s =>

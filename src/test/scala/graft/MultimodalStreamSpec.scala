@@ -89,6 +89,40 @@ class MultimodalStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionizer merges and separates out-of-order cross-batch events") {
+    import graft.streaming.SessEvent
+    val base = 1700000000000000L // epoch micros
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessEvent]
+    val q = StreamOps.sessionizeStateful(mem.toDS())
+      .writeStream.format("memory").queryName("sess_ooo_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: one event at base → watermark trails 1 h behind, so both
+      // late events below (−600 s, −2000 s) stay inside the horizon
+      mem.addData(SessEvent(10L, base, 1.0))
+      q.processAllAvailable()
+      // batch 2, out of order: one event 10 min BEFORE the open session's
+      // start (merges backwards, start moves down) and one 3000 s before
+      // (more than the 30-min gap older → its own earlier session, closed)
+      mem.addData(SessEvent(10L, base - 600L * 1000000, 2.0),
+        SessEvent(10L, base - 3000L * 1000000, 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_ooo_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      // the far-past event closed as a singleton session
+      assert(rows.toSeq === Seq(
+        (10L, base - 3000L * 1000000, base - 3000L * 1000000, 1L, 8.0)))
+      // gap evidence closes the merged session: start must be the EARLIER tus
+      mem.addData(SessEvent(10L, base + 100000L * 1000000, 4.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_ooo_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(all.toSet.contains(
+        (10L, base - 600L * 1000000, base, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("dedupeStream drops duplicate ids within the watermark horizon") {
     val base = 1700000000000L
     def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)

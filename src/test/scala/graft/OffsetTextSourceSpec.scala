@@ -29,6 +29,40 @@ class OffsetTextSourceSpec extends SparkSpec {
     assert(rows === Set((0L, "x"), (2L, "yy"), (0L, "zzz")))
   }
 
+  test("multi-path load and nested directories are honored") {
+    val d = Files.createTempDirectory("graft-otext-nest")
+    Files.createDirectory(d.resolve("sub"))
+    Files.write(d.resolve("a.txt"), "x\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(d.resolve("sub").resolve("b.txt"), "yy\n".getBytes(StandardCharsets.UTF_8))
+    val f = Files.createTempFile("graft-otext-extra", ".txt")
+    Files.write(f, "zzz\n".getBytes(StandardCharsets.UTF_8))
+    // load(paths*) → the 'paths' JSON option; nested dir listed recursively
+    val rows = spark.read.format("graft.sources.OffsetTextSource")
+      .load(d.toString, f.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((0L, "x"), (0L, "yy"), (0L, "zzz")))
+  }
+
+  test("missing path fails loudly instead of scanning empty") {
+    val ex = intercept[Exception] {
+      spark.read.format("graft.sources.OffsetTextSource")
+        .load("/nonexistent/graft-otext-missing").collect()
+    }
+    assert(ex.toString.toLowerCase.contains("file") ||
+      ex.getCause != null)
+  }
+
+  test("lines spanning buffer fills are assembled with exact offsets") {
+    // > 1 MiB line forces the spill path across multiple 1 MiB buffer fills
+    val big = "a" * ((1 << 20) + 12345)
+    val content = s"first\n$big\nlast"
+    val f = Files.createTempFile("graft-otext-big", ".txt")
+    Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+    val got = readOffsets(f.toString)
+    assert(got === Seq((0L, "first"), (6L, big), ((7L + big.length), "last")))
+    Files.delete(f)
+  }
+
   test("wordcount runs over the offset-text source end-to-end") {
     val f = Files.createTempFile("graft-otext-wc", ".txt")
     Files.write(f, "a b a\nb a\n".getBytes(StandardCharsets.UTF_8))
