@@ -25,6 +25,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE coalesce partitions inside persisted plans too (off by
+      // default): iterative workloads cache small frames (e.g. PageRank's
+      // |V|-row rank vector) whose 32+ near-empty shuffle partitions
+      // otherwise inflate every downstream job's task count.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized by SPARK_GRAFT_CPUS (driver harness contract). */

