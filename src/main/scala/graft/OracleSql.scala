@@ -131,6 +131,30 @@ object OracleSql {
         JOIN sizes b ON b.doc_id = i.doc_b
         WHERE CAST(i.inter AS DOUBLE) / (a.n + b.n - i.inter) >= 0.6"""
 
+  /** MinHash-UDAF twin: the same k generated MIN((a·h+b) mod P) aggregate
+    * expressions as DedupOps.MinhashCoef, over plain `documents` shingles
+    * (no dup corpus — this query exercises the Aggregator surface, not
+    * near-dup pairing). Column names m0..m15 match the flattened UDAF
+    * output.
+    */
+  def minhashUdafSql: String = {
+    val p = DedupOps.P
+    val mins = DedupOps.MinhashCoef
+      .map { case (i, a, b, _, _) => s"MIN(($a * h + $b) % $p) AS m$i" }
+      .mkString(",\n               ")
+    s"""WITH words AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM documents),
+        sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+            THEN list_transform(range(1, len(w) - 1),
+                   j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])
+            ELSE CAST([] AS VARCHAR[]) END) AS sh
+          FROM words),
+        hh AS (SELECT doc_id, ${hash60("sh")} % $p AS h FROM sh)
+        SELECT doc_id, $mins
+        FROM hh GROUP BY doc_id"""
+  }
+
   // ---- similarity search (SimilarityOps twins) ----
 
   /** Quantize + exact-norm CTEs over a relation with (vec_id, embedding).

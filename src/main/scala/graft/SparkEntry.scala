@@ -123,6 +123,33 @@ object SparkEntry {
     }),
     "q_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()),
+    // INTERSECT/EXCEPT (distinct set semantics, same as SQL): customers
+    // holding both / only-the-first of two order-status classes. Catalyst
+    // plans these as aggregated semi/anti joins — no new machinery.
+    "q_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+    }),
+    "q_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+    }),
+    // Full outer join of two per-customer aggregates (customers with only
+    // F orders, only O orders, or both) — the outer-join surface with a
+    // coalesced key, one shuffle per side on the join key.
+    "q_join_outer" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val f = o.filter(col("o_orderstatus") === "F").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_f"))
+      val g = o.filter(col("o_orderstatus") === "O").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_o"))
+      f.join(g, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_o"), lit(0L)).as("n_o"))
+    }),
 
     // §2.5 window functions
     "q_window" -> ((s, d) => {
@@ -132,6 +159,50 @@ object SparkEntry {
         row_number().over(w).as("rn"),
         AggOps.exactWindowSum(col("o_totalprice"), w).as("running_spend"))
     }),
+
+    // Analytic window family: lag/lead over the per-customer order
+    // sequence, rank/dense_rank over spend — one key exchange shared by
+    // both window specs (same partition key, Catalyst reuses the sort).
+    "q_window_lag" -> ((s, d) => {
+      val seqW = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val rnkW = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lag("o_orderkey", 1).over(seqW).as("prev_key"),
+        lead("o_orderkey", 1).over(seqW).as("next_key"),
+        rank().over(rnkW).cast("long").as("rnk"),
+        dense_rank().over(rnkW).cast("long").as("drnk"))
+    }),
+    // Per-group top-k (row_number ≤ k): Spark plans WindowGroupLimit —
+    // partial top-k before the shuffle, the distributed-safe "top N per
+    // key" (a global sort+limit would funnel everything to one node).
+    "q_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+    }),
+
+    // Statistical moments from exact sums: Σx and Σx² accumulate as
+    // DECIMAL (order-independent; l_quantity is integral so x² is exact),
+    // then mean/variance/stddev are fixed IEEE-754 expressions of those
+    // exact inputs — bit-identical in any engine, unlike float-accumulator
+    // stddev whose result depends on partition order.
+    "q_agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          AggOps.exactSum(col("l_quantity")).as("s1"),
+          AggOps.exactSum(col("l_quantity") * col("l_quantity")).as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          (col("s1") / col("n")).as("avg_qty"),
+          (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+            .as("var_qty"),
+          sqrt(greatest(
+            col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
+            lit(0.0))).as("std_qty"))),
 
     // grouping sets
     "q_rollup" -> ((s, d) =>
@@ -191,6 +262,19 @@ object SparkEntry {
       DedupOps.simhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
     "q_dedup_ngram" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
+    // The typed Aggregator (§2.10 UDAF surface) on the query path: MinHash
+    // signatures computed by graft.functions.MinHashAgg (constant k·8-byte
+    // buffer, merge-order independent), flattened to columns for the
+    // oracle. Same values as the expression path in minhashSigArr.
+    "q_minhash_udaf" -> ((s, d) => {
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"), explode(DedupOps.shingleArr(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), (TextOps.hash60(col("sh")) % DedupOps.P).as("h"))
+      h.groupBy("doc_id")
+        .agg(graft.functions.MinHashAgg.minhashSig(col("h")).as("ms"))
+        .select(col("doc_id") +:
+          (0 until DedupOps.K).map(i => element_at(col("ms"), i + 1).as(s"m$i")): _*)
+    }),
 
     // LLM-pipeline tier: similarity search over array<float> embeddings.
     // Quantized int64 dots → bit-deterministic cosine (SimilarityOps doc).
@@ -351,6 +435,47 @@ object SparkEntry {
          SELECT o_orderkey, 'second' AS src FROM orders WHERE o_orderstatus = 'O'""",
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q_join_outer" ->
+      """WITH f AS (SELECT o_custkey, count(*) AS n_f FROM orders
+                    WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+              g AS (SELECT o_custkey, count(*) AS n_o FROM orders
+                    WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+         SELECT COALESCE(f.o_custkey, g.o_custkey) AS o_custkey,
+                COALESCE(f.n_f, 0) AS n_f, COALESCE(g.n_o, 0) AS n_o
+         FROM f FULL OUTER JOIN g ON f.o_custkey = g.o_custkey""",
+    "q_window_lag" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                lag(o_orderkey) OVER ws AS prev_key,
+                lead(o_orderkey) OVER ws AS next_key,
+                rank() OVER wr AS rnk,
+                dense_rank() OVER wr AS drnk
+         FROM orders
+         WINDOW ws AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+                wr AS (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey)""",
+    "q_window_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q_agg_stats" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s1,
+                CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n, s1 / n AS avg_qty,
+                s2 / n - (s1 / n) * (s1 / n) AS var_qty,
+                sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS std_qty
+         FROM a""",
     "q_window" ->
       """SELECT o_orderkey, o_custkey,
                 row_number() OVER w AS rn,
@@ -379,6 +504,7 @@ object SparkEntry {
     "q_dedup_minhash" -> OracleSql.dedupMinhashSql,
     "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
     "q_dedup_ngram" -> OracleSql.dedupNgramSql,
+    "q_minhash_udaf" -> OracleSql.minhashUdafSql,
     "q_simsearch" -> OracleSql.simsearchSql,
     "q_simsearch_lsh" -> OracleSql.simsearchLshSql,
     "q_simsearch_ivf" -> OracleSql.simsearchIvfSql,
