@@ -13,6 +13,13 @@ package graft
   * A failed query is reported in an `errors` field instead of being
   * silently timed at ~0 (a regression must not make the bench "faster").
   * One untimed warmup pass absorbs JVM/codegen/session startup.
+  *
+  * The cache is cleared between queries (outside the timed region):
+  * operators that persist internally (the PageRank loop) would otherwise
+  * leave entries the timed pass silently reuses — the timing would
+  * measure a cache read, not the operator (same measurement-validity
+  * class as the count()-pruning bug this harness already fixed). Each
+  * timed query therefore runs cold-cache but JIT-warm.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,8 +35,10 @@ object Bench {
     // compilation (which is a per-plan constant, not a data-scale cost —
     // at real scale it amortizes to nothing; at sf0.1 it would otherwise
     // dominate several sub-second queries).
-    SparkEntry.queries.keys.toSeq.sorted
-      .foreach(n => try run(n) catch { case _: Throwable => () })
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      try run(n) catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
@@ -38,7 +47,9 @@ object Bench {
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
 
     def jstr(s: String): String =

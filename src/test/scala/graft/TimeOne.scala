@@ -14,7 +14,9 @@ object TimeOne {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // cold-cache, JIT-warm — mirrors Bench
+      dt
     }
     run() // warmup
     val ts = (1 to n).map(_ => run())
