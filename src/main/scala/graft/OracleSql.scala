@@ -49,12 +49,17 @@ object OracleSql {
                COUNT(*) AS dup_cnt
         FROM corpus GROUP BY md5(text) HAVING COUNT(*) >= 2"""
 
-  def dedupMinhashSql: String = {
+  /** CTE chain ending in `mh_pairs(doc_a, doc_b, est_jaccard)` — the
+    * MinHash LSH pipeline (corpus → shingles → signatures → band keys →
+    * bucketed candidates → estimate ≥ 0.5), shared by the pair query and
+    * the cluster query.
+    */
+  private def minhashPairsCtes: String = {
     val coefValues = DedupOps.MinhashCoef
       .map { case (i, a, b, band, w31) => s"($i, $a, $b, $band, $w31)" }
       .mkString(", ")
     val p = DedupOps.P
-    s"""WITH $corpusCte,
+    s"""$corpusCte,
         $shingle3Cte,
         hh AS (SELECT doc_id, ${hash60("sh")} % $p AS h FROM sh),
         coef AS (SELECT * FROM (VALUES $coefValues) t(i, a, b, band, w31)),
@@ -64,16 +69,36 @@ object OracleSql {
                FROM sig JOIN coef USING (i) GROUP BY doc_id, band),
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                  FROM bk x JOIN bk y
-                 ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
-        SELECT c.doc_a, c.doc_b,
-               SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / ${DedupOps.K}.0
-                 AS est_jaccard
-        FROM cand c
-        JOIN sig sa ON sa.doc_id = c.doc_a
-        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
-        GROUP BY c.doc_a, c.doc_b
-        HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / ${DedupOps.K}.0 >= 0.5"""
+                 ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+        mh_pairs AS (
+          SELECT c.doc_a, c.doc_b,
+                 SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / ${DedupOps.K}.0
+                   AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+          GROUP BY c.doc_a, c.doc_b
+          HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / ${DedupOps.K}.0 >= 0.5)"""
   }
+
+  def dedupMinhashSql: String =
+    s"""WITH $minhashPairsCtes
+        SELECT doc_a, doc_b, est_jaccard FROM mh_pairs"""
+
+  /** Dedup-cluster twin: transitive closure of the near-dup pairs via a
+    * recursive CTE (UNION set semantics terminates on cycles); each
+    * node's cluster is the minimum reachable doc id — the same fixed
+    * point GraphOps.connectedComponents converges to.
+    */
+  def dedupClusterSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+        und AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+                UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+        reach(node, lbl) AS (
+          SELECT u, u FROM und
+          UNION
+          SELECT e.v, r.lbl FROM und e JOIN reach r ON r.node = e.u)
+        SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node"""
 
   def dedupSimhashSql: String = {
     val bitsValues =
@@ -281,6 +306,56 @@ object OracleSql {
                JOIN n b ON b.vec_id = p.vec_b),
         s AS (SELECT vec_a, vec_b, $cosExpr AS cos_sim FROM pd)
         SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.95"""
+
+  /** Per-dimension embedding stats twin — quantized exact moments, dims
+    * indexed by a range cross join (DuckDB's unnest has no ordinality).
+    */
+  def dimStatsSql: String =
+    s"""WITH qv AS (SELECT list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${SimilarityOps.QScale}) AS BIGINT)) AS v
+        FROM embeddings),
+        d AS (SELECT r.range AS dim, v[r.range + 1] AS q
+              FROM qv, range(0, ${SimilarityOps.Dims}) r)
+        SELECT dim, count(*) AS n, CAST(SUM(q) AS BIGINT) AS sum_q,
+               CAST(SUM(q * q) AS BIGINT) AS sum_q2,
+               MIN(q) AS min_q, MAX(q) AS max_q,
+               CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / count(*) AS mean_q
+        FROM d GROUP BY dim"""
+
+  /** Scrub twin: identical dirty-corpus derivation and redaction order
+    * (emails → URLs → digit runs); DuckDB regexp_replace needs the 'g'
+    * flag to match Spark's replace-all default.
+    */
+  def scrubSql: String = {
+    val email = "[a-z0-9]+@[a-z0-9.]+"
+    val url = "http://[^ ]+"
+    s"""WITH dirty AS (SELECT doc_id,
+          text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com' ||
+          ' http://site/p' || CAST(doc_id AS VARCHAR) ||
+          ' id ' || CAST(doc_id * 7919 AS VARCHAR) AS text
+        FROM documents),
+        c AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
+            '[0-9]+', '<NUM>', 'g') AS cleaned,
+          CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(
+            regexp_replace(text, '$email', '', 'g'), '$url')) AS BIGINT) AS n_url,
+          CAST(len(regexp_extract_all(regexp_replace(
+            regexp_replace(text, '$email', '', 'g'), '$url', '', 'g'),
+            '[0-9]+')) AS BIGINT) AS n_num
+        FROM dirty)
+        SELECT doc_id, n_email, n_url, n_num,
+               CAST(len(cleaned) AS BIGINT) AS n_chars_clean,
+               md5(cleaned) AS clean_md5
+        FROM c"""
+  }
+
+  /** Stratified-sample twin: per-class deterministic hash thresholds. */
+  def sampleStratifiedSql: String =
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        WHERE ${hash60("'str-' || CAST(o_orderkey AS VARCHAR)")} % 100 <
+          CASE o_orderstatus WHEN 'F' THEN 20 WHEN 'O' THEN 5 ELSE 50 END"""
 
   // ---- text analysis (TextStatsOps twins) ----
 

@@ -262,6 +262,14 @@ object SparkEntry {
       DedupOps.simhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
     "q_dedup_ngram" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
+    // Near-dup CLUSTERS from near-dup PAIRS: connected components (min-
+    // label propagation, driver-scalar convergence) over the MinHash LSH
+    // pairs — each doc maps to its cluster's minimum id, the canonical
+    // representative a curation pipeline keeps. Oracle: recursive CTE.
+    "q_dedup_cluster" -> ((s, d) =>
+      GraphOps.connectedComponents(
+        DedupOps.minhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))),
     // The typed Aggregator (§2.10 UDAF surface) on the query path: MinHash
     // signatures computed by graft.functions.MinHashAgg (constant k·8-byte
     // buffer, merge-order independent), flattened to columns for the
@@ -293,6 +301,21 @@ object SparkEntry {
     "q_lang_id"     -> ((s, d) => TextStatsOps.langId(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextStatsOps.tokenCounts(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextStatsOps.fingerprint(Tables.documents(s, d))),
+    // PII-style scrubbing over a deterministically dirtied corpus.
+    "q_scrub" -> ((s, d) =>
+      TextStatsOps.scrub(TextStatsOps.dirtyCorpus(Tables.documents(s, d)))),
+    // Per-dimension embedding moments (dataset profiling before
+    // normalization/whitening): 64 rows out regardless of corpus size.
+    "q_embed_dimstats" -> ((s, d) =>
+      SimilarityOps.dimStats(Tables.embeddings(s, d))),
+    // Stratified deterministic sampling: per-class hash-threshold rates
+    // (class-rebalancing splits that survive re-runs and engine swaps).
+    "q_sample_stratified" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(TextOps.hash60(concat(lit("str-"), col("o_orderkey"))) % 100 <
+          when(col("o_orderstatus") === "F", 20)
+            .when(col("o_orderstatus") === "O", 5).otherwise(50))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")),
 
     // Events: sessionization, JSON props, tolerant schema-on-read parse.
     "q_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
@@ -505,6 +528,10 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
     "q_dedup_ngram" -> OracleSql.dedupNgramSql,
     "q_minhash_udaf" -> OracleSql.minhashUdafSql,
+    "q_dedup_cluster" -> OracleSql.dedupClusterSql,
+    "q_scrub" -> OracleSql.scrubSql,
+    "q_embed_dimstats" -> OracleSql.dimStatsSql,
+    "q_sample_stratified" -> OracleSql.sampleStratifiedSql,
     "q_simsearch" -> OracleSql.simsearchSql,
     "q_simsearch_lsh" -> OracleSql.simsearchLshSql,
     "q_simsearch_ivf" -> OracleSql.simsearchIvfSql,

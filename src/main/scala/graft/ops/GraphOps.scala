@@ -116,6 +116,58 @@ object GraphOps {
       .orderBy(col("rank_fp").desc, col("node"))
   }
 
+  /** Connected components by min-label propagation — the dedup-cluster
+    * primitive: near-dup PAIRS (from MinHash/SimHash/embedding LSH) become
+    * CLUSTERS, and each cluster's minimum doc id is the canonical
+    * representative a curation pipeline keeps.
+    *
+    * Per iteration every node takes the min of its own label and its
+    * neighbors' labels; the fixed point assigns every node its
+    * component's minimum id — a property of the graph only, independent
+    * of iteration count or partitioning, so the result is deterministic
+    * and oracle-checkable (DuckDB recursive CTE computes the same min
+    * reachable id). Convergence is a driver-side scalar (count of
+    * changed labels), same pattern as pageRankConverged — no per-node
+    * driver state.
+    *
+    * Iterations needed = component diameter: near-dup clusters are
+    * near-cliques (diameter 1-2), so 3-4 rounds close. For graphs with
+    * long chains swap in star-contraction (doubles label reach per
+    * round); the join/agg shape below is unchanged.
+    *
+    * `edges`: (a, b) undirected pairs. Output: (node, cluster) for every
+    * node appearing in an edge. The label table is 16 B/node — broadcast
+    * into the edge join for the same reason as the PageRank rank vector.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20,
+                          bcastLabels: Boolean = true): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val l = if (bcastLabels) broadcast(lbl) else lbl
+      val nbrMin = und.join(l, und("u") === l("node"))
+        .groupBy(und("v").as("node")).agg(min("cluster").as("nmin"))
+      val next = lbl.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(
+          lbl.withColumnRenamed("cluster", "prev"), "node")
+        .filter(col("cluster") =!= col("prev")).count()
+      lbl.unpersist()
+      lbl = next
+      it += 1
+      converged = changed == 0L
+    }
+    lbl
+  }
+
   /** Convergence-driven PageRank: iterate until the L1 rank diff (in
     * fixed-point units) drops below `tolFp` or `maxIters` is hit.
     * Convergence is tested every `checkEvery` iterations: each check

@@ -171,6 +171,29 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
   }
 
+  /** Per-dimension corpus statistics over the embedding column — the
+    * dataset-profiling pass a training pipeline runs before whitening /
+    * normalization. posexplode fans each vector into (dim, q) rows; one
+    * dim-keyed aggregation yields exact int64 moments (|q| ≤ ~10^6, so
+    * Σq and Σq² sit far below 2^63 even at billions of vectors — the cast
+    * to DECIMAL guards Σq² anyway). Means are IEEE divisions of exact
+    * ints: bit-identical in any engine. 64 output rows regardless of
+    * corpus size.
+    */
+  def dimStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(quantize(col("embedding"))).as(Seq("dim", "q")))
+      .select(col("dim").cast("long").as("dim"), col("q"))
+      .groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sum_q"),
+        sum((col("q") * col("q")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("sum_q2"),
+        min("q").as("min_q"),
+        max("q").as("max_q"))
+      .select(col("dim"), col("n"), col("sum_q"), col("sum_q2"),
+        col("min_q"), col("max_q"),
+        (col("sum_q").cast("double") / col("n")).as("mean_q"))
+
   /** Deterministic near-dup embedding corpus: original ∪ copy with the
     * first component zeroed (cos ≈ 0.99+), ids shifted by 1_000_000.
     */

@@ -85,6 +85,47 @@ object TextStatsOps {
       size(regexp_extract_all(col("text"),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
 
+  /** Deterministic "dirty" corpus for the scrubber: the fixture text is
+    * synthetic prose with no PII-shaped tokens, so scrub targets are
+    * appended reproducibly (same trick as DedupOps.dupCorpus): an email,
+    * a URL and a numeric id derived from doc_id — both engines build the
+    * identical corpus.
+    */
+  def dirtyCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@ex.com"),
+        lit(" http://site/p"), col("doc_id"),
+        lit(" id "), col("doc_id") * 7919L).as("text"))
+
+  /** PII-style scrubbing — the text-cleaning stage of a training-data
+    * pipeline: count and redact email addresses, URLs and digit runs
+    * (emails first, then URLs, then leftover digit runs — order matters
+    * because the earlier classes contain digits). Pure per-row expression
+    * work, zero shuffle; patterns stay in the regex subset both engines
+    * parse identically.
+    */
+  def scrub(docs: DataFrame): DataFrame = {
+    val email = "[a-z0-9]+@[a-z0-9.]+"
+    val url = "http://[^ ]+"
+    val num = "[0-9]+"
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), email, "<EMAIL>"),
+        url, "<URL>"),
+      num, "<NUM>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(regexp_replace(col("text"), email, ""),
+        lit(url), lit(0))).cast("long").as("n_url"),
+      size(regexp_extract_all(
+        regexp_replace(regexp_replace(col("text"), email, ""), url, ""),
+        lit(num), lit(0))).cast("long").as("n_num"),
+      length(cleaned).cast("long").as("n_chars_clean"),
+      md5(cleaned).as("clean_md5"))
+  }
+
   /** Rolling 8-char-gram fingerprint: portable hash at every position;
     * emits the min-hash (bottom-1 sketch), an order-independent XOR fold,
     * and the gram count. Documents shorter than 8 chars yield no grams

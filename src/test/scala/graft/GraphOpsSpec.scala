@@ -54,4 +54,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(iters < 50)
     assert(ranks.collect().map(_.getLong(1)).forall(r => math.abs(r - GraphOps.Scale) < 1000000L))
   }
+
+  test("connectedComponents labels every node with its component minimum") {
+    // Components: {1,2,3,9} (chain 9-3, 3-2, 2-1), {5,6}, {7,8}; node 4 absent.
+    val edges = Seq((2L, 1L), (3L, 2L), (9L, 3L), (5L, 6L), (8L, 7L))
+      .toDF("a", "b")
+    val got = GraphOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents is deterministic across partition layouts") {
+    val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L), (30L, 40L), (60L, 70L))
+      .toDF("a", "b")
+    val a = GraphOps.connectedComponents(edges).collect().toSet
+    val b = GraphOps.connectedComponents(edges.repartition(7)).collect().toSet
+    assert(a === b)
+    assert(a.map(_.getLong(1)) === Set(10L, 60L))
+  }
 }

@@ -89,4 +89,22 @@ class SimilarityOpsSpec extends SparkSpec {
     val b = SimilarityOps.bruteTopK(emb.repartition(7)).collect().toSeq
     assert(a.toSet === b.toSet)
   }
+
+  test("dimStats computes exact per-dimension moments") {
+    import spark.implicits._
+    // Two 64-dim vectors: dim0 = {0.5, -0.25}, other dims 0.
+    val v1 = Array.fill(64)(0.0f); v1(0) = 0.5f
+    val v2 = Array.fill(64)(0.0f); v2(0) = -0.25f
+    val df = Seq((1L, v1.toSeq), (2L, v2.toSeq)).toDF("vec_id", "embedding")
+    val rows = SimilarityOps.dimStats(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size === 64)
+    val d0 = rows(0L)
+    assert(d0.getAs[Long]("sum_q") === 500000L - 250000L)
+    assert(d0.getAs[Long]("sum_q2") === 500000L * 500000L + 250000L * 250000L)
+    assert(d0.getAs[Long]("min_q") === -250000L)
+    assert(d0.getAs[Long]("max_q") === 500000L)
+    assert(d0.getAs[Double]("mean_q") === 125000.0)
+    assert(rows(5L).getAs[Long]("sum_q2") === 0L)
+  }
 }

@@ -28,6 +28,23 @@ class TextStatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("scrub counts and redacts emails, urls and digit runs in order") {
+    val df = Seq((1L, "write to bob1@mail.co or see http://x.y/z page 42 and 7"))
+      .toDF("doc_id", "text")
+    val r = TextStatsOps.scrub(df).head()
+    assert(r.getAs[Long]("n_email") === 1L)
+    assert(r.getAs[Long]("n_url") === 1L)
+    assert(r.getAs[Long]("n_num") === 2L)   // 42 and 7; email digits excluded
+    val cleaned = "write to <EMAIL> or see <URL> page <NUM> and <NUM>"
+    assert(r.getAs[Long]("n_chars_clean") === cleaned.length.toLong)
+  }
+
+  test("dirtyCorpus appends deterministic scrub targets") {
+    val df = Seq((7L, "base")).toDF("doc_id", "text")
+    val t = TextStatsOps.dirtyCorpus(df).head().getString(1)
+    assert(t === "base contact u7@ex.com http://site/p7 id " + 7 * 7919)
+  }
+
   test("textStats computes exact counts on a known document") {
     val df = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
     val r = TextStatsOps.textStats(df).head()
