@@ -204,6 +204,18 @@ object SparkEntry {
             col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
             lit(0.0))).as("std_qty"))),
 
+    // Exact interpolated quantiles (percentile = sort + linear
+    // interpolation at rank p·(n−1)): the distribution-profiling
+    // aggregate. At 100 TB swap in approx_percentile (t-digest sketch,
+    // constant state) — exact kept on the oracle path because the oracle
+    // is exact.
+    "q_agg_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("median"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"),
+        count(lit(1)).as("cnt"))),
+
     // grouping sets
     "q_rollup" -> ((s, d) =>
       Tables.lineitem(s, d).rollup("l_returnflag", "l_linestatus").agg(
@@ -522,6 +534,13 @@ object SparkEntry {
     "q_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE CAST(concat('0x', substr(md5('smp-' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10""",
+    "q_agg_quantile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_extendedprice, 0.25) AS p25,
+                quantile_cont(l_extendedprice, 0.5) AS median,
+                quantile_cont(l_extendedprice, 0.75) AS p75,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
     "q_dedup_exact" -> OracleSql.dedupExactSql,
     "q_dedup_minhash" -> OracleSql.dedupMinhashSql,

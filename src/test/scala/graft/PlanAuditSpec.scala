@@ -70,4 +70,31 @@ class PlanAuditSpec extends SparkSpec {
     // previously produced four full copies of the signature pipeline.
     assert(md5Count <= 2, s"signature subplan duplicated $md5Count times")
   }
+
+  test("per-group top-k plans WindowGroupLimit (partial top-k pre-shuffle)") {
+    assert(planOf("q_window_topk").contains("WindowGroupLimit"))
+  }
+
+  test("lag/lead and rank windows share one key exchange") {
+    val p = planOf("q_window_lag")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected a single o_custkey exchange:\n$p")
+  }
+
+  test("stratified sample pushes nothing to the driver (pure filter scan)") {
+    val p = planOf("q_sample_stratified")
+    assert(!p.toLowerCase.contains("exchange"), s"unexpected shuffle:\n$p")
+  }
+
+  test("embedding dim-stats is a single aggregation exchange") {
+    val p = planOf("q_embed_dimstats")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected one dim-keyed exchange:\n$p")
+    assert(p.contains("partial_"), "expected map-side partial aggregation")
+  }
+
+  test("scrub is shuffle-free per-row expression work") {
+    val p = planOf("q_scrub")
+    assert(!p.toLowerCase.contains("exchange"), s"unexpected shuffle:\n$p")
+  }
 }
