@@ -112,6 +112,17 @@ object SparkEntry {
           count(lit(1)).as("n_cust"),
           AggOps.exactSum(col("c_acctbal")).as("sum_bal"))
     }),
+    // Salted join (skew guard): identical results to the plain join —
+    // which is exactly what the oracle verifies.
+    "q_join_salted" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_linenumber"), col("l_quantity"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      JoinOps.saltedJoin(l, o, "k", col("l_linenumber"))
+        .select(col("k").as("o_orderkey"), col("l_linenumber"),
+          col("o_orderpriority"), col("l_quantity"))
+    }),
 
     // §2.7 set ops
     "q_union" -> ((s, d) => {
@@ -316,6 +327,9 @@ object SparkEntry {
     // PII-style scrubbing over a deterministically dirtied corpus.
     "q_scrub" -> ((s, d) =>
       TextStatsOps.scrub(TextStatsOps.dirtyCorpus(Tables.documents(s, d)))),
+    // Characteristic terms per doc (tf·idf, integer-scaled idf).
+    "q_tfidf" -> ((s, d) =>
+      TextStatsOps.tfidfTopTerms(Tables.documents(s, d))),
     // Per-dimension embedding moments (dataset profiling before
     // normalization/whitening): 64 rows out regardless of corpus size.
     "q_embed_dimstats" -> ((s, d) =>
@@ -534,6 +548,25 @@ object SparkEntry {
     "q_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE CAST(concat('0x', substr(md5('smp-' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10""",
+    "q_join_salted" ->
+      """SELECT o_orderkey, l_linenumber, o_orderpriority, l_quantity
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+         FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+         df AS (SELECT w, count(*) AS df FROM
+                  (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
+         n AS (SELECT count(*) AS nd FROM documents),
+         s AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                      CAST(tf.tf * 1000000 * n.nd AS BIGINT) // df.df AS weight
+               FROM tf JOIN df USING (w) CROSS JOIN n),
+         r AS (SELECT doc_id, w, tf, df, weight,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY weight DESC, w ASC) AS rn
+               FROM s)
+         SELECT doc_id, w, tf, df, weight, rn FROM r WHERE rn <= 3""",
     "q_agg_quantile" ->
       """SELECT l_returnflag,
                 quantile_cont(l_extendedprice, 0.25) AS p25,

@@ -34,6 +34,25 @@ object JoinOps {
               joinType: String = "inner"): DataFrame =
     fact.join(broadcast(dim), cond, joinType)
 
+  /** Salted equi-join — the skew-mitigation pattern for hot join keys at
+    * 100 TB: the fact side gets a deterministic salt in [0, buckets), the
+    * (smaller) right side is replicated once per salt value, and the join
+    * runs on (key, salt) so one hot key spreads across `buckets` reducers
+    * instead of melting a single one. Results are identical to the plain
+    * join (which is what the oracle checks); `saltFrom` must be
+    * deterministic so runs are reproducible. AQE's skew-join split is the
+    * runtime alternative; explicit salting is the plan-level guarantee
+    * for known-skewed keys, at the cost of a `buckets`× blow-up of the
+    * replicated side.
+    */
+  def saltedJoin(fact: DataFrame, right: DataFrame, key: String,
+                 saltFrom: Column, buckets: Int = 8): DataFrame = {
+    val f = fact.withColumn("_salt", pmod(hash(saltFrom), lit(buckets)))
+    val r = right.withColumn("_salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    f.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** As-of join (Spark has no native one): for every left row, the single
     * most recent right row with rightTime ≤ leftTime on the same key.
     *

@@ -85,6 +85,35 @@ object TextStatsOps {
       size(regexp_extract_all(col("text"),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
 
+  /** Top-k characteristic terms per document by tf·idf weighting, with
+    * the idf factor integer-scaled instead of logarithmic:
+    * weight = (tf · 10^6 · N) div df. Rationale: ln/log10 are libm calls
+    * whose last-ulp behavior differs between engines, so a log-idf score
+    * could not be oracle-checked bit-for-bit; the rational form preserves
+    * the ranking property that matters (rarer term ⇒ larger weight,
+    * monotone in tf) with exact int64 math. Swap in log-idf for
+    * production ranking — the plan shape (two keyed aggs + broadcast
+    * scalar + per-doc top-k) is identical.
+    *
+    * Scale shape: tf agg keyed on (doc, term), df agg keyed on term, the
+    * corpus size N rides in as a broadcast scalar, and the per-doc top-k
+    * is WindowGroupLimit — nothing funnels to the driver.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val t = toks(docs)
+    val tf = t.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = t.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("weight").desc, col("w").asc)
+    tf.join(df, "w").crossJoin(broadcast(n))
+      .withColumn("weight", expr("(tf * 1000000L * nd) div df"))
+      .select(col("doc_id"), col("w"), col("tf"), col("df"), col("weight"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Deterministic "dirty" corpus for the scrubber: the fixture text is
     * synthetic prose with no PII-shaped tokens, so scrub targets are
     * appended reproducibly (same trick as DedupOps.dupCorpus): an email,

@@ -98,4 +98,34 @@ class RelOpsSpec extends SparkSpec {
     val j = JoinOps.inner(orders, li, orders("o_orderkey") === li("l_orderkey"))
     assert(j.count() == li.count())
   }
+
+  test("saltedJoin equals the plain join on every bucket count") {
+    import org.apache.spark.sql.functions.col
+    val l = li.select(col("l_orderkey").as("k"), col("l_linenumber"))
+    val o = orders.select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val plain = l.join(o, "k").collect().map(_.toSeq).toSet
+    for (b <- Seq(1, 3, 8)) {
+      val salted = JoinOps.saltedJoin(l, o, "k", col("l_linenumber"), b)
+        .select("k", "l_linenumber", "o_orderpriority")
+        .collect().map(_.toSeq).toSet
+      assert(salted === plain, s"buckets=$b")
+    }
+  }
+
+  test("tfidf ranks rare terms above common ones") {
+    import spark.implicits._
+    import graft.ops.TextStatsOps
+    // 'rare' appears in one doc, 'common' in all three; equal tf within
+    // doc 1 → rare must outrank common.
+    val docs = Seq((1L, "rare common x"), (2L, "common y q"), (3L, "common z p"))
+      .toDF("doc_id", "text")
+    val top = TextStatsOps.tfidfTopTerms(docs, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) === "rare")
+    val all = TextStatsOps.tfidfTopTerms(docs, 3)
+      .filter($"doc_id" === 1L).collect()
+      .map(r => (r.getString(1), r.getLong(4))).toMap
+    // weight = tf*1e6*N div df: rare 3e6, common 1e6.
+    assert(all("rare") === 3000000L && all("common") === 1000000L)
+  }
 }
