@@ -215,6 +215,28 @@ object SparkEntry {
             col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
             lit(0.0))).as("std_qty"))),
 
+    // Bounded-frame moving window (ROWS BETWEEN 2 PRECEDING AND CURRENT):
+    // per-customer 3-order moving spend — the frame-clause surface the
+    // running-sum query doesn't exercise. Sum stays DECIMAL (exact);
+    // the average is an IEEE division of exact inputs.
+    "q_window_moving" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        AggOps.exactWindowSum(col("o_totalprice"), w).as("mov_sum"),
+        count(lit(1)).over(w).as("mov_n"))
+        .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
+    }),
+
+    // Calendar rollup: month-truncated time dimension — the standard
+    // time-series aggregation missing from the flat TPC-H-ish queries.
+    "q_agg_monthly" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          AggOps.exactSum(col("o_totalprice")).as("sum_price"))),
+
     // Exact interpolated quantiles (percentile = sort + linear
     // interpolation at rank p·(n−1)): the distribution-profiling
     // aggregate. At 100 TB swap in approx_percentile (t-digest sketch,
@@ -225,6 +247,14 @@ object SparkEntry {
         expr("percentile(l_extendedprice, 0.25)").as("p25"),
         expr("percentile(l_extendedprice, 0.5)").as("median"),
         expr("percentile(l_extendedprice, 0.75)").as("p75"),
+        count(lit(1)).as("cnt"))),
+    // The 100 TB quantile path: t-digest sketch (constant state per
+    // group, single sketch shuffle — exact percentile must hold every
+    // group value in memory). Estimates are engine-specific → rows-only
+    // driver check, same contract as q_agg_uniq_approx.
+    "q_agg_quantile_approx" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("median_est"),
         count(lit(1)).as("cnt"))),
 
     // grouping sets
@@ -551,6 +581,22 @@ object SparkEntry {
     "q_join_salted" ->
       """SELECT o_orderkey, l_linenumber, o_orderpriority, l_quantity
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "q_window_moving" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE)
+                  AS mov_sum,
+                count(*) OVER w AS mov_n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE)
+                  / (count(*) OVER w) AS mov_avg
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "q_agg_monthly" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_price
+         FROM orders GROUP BY date_trunc('month', o_orderdate)""",
     "q_tfidf" ->
       """WITH toks AS (SELECT doc_id,
            unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
