@@ -65,6 +65,36 @@ class GraphOpsSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents matches a union-find model on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val n = 2 + rnd.nextInt(14)
+      val nodes = (0 until n).map(_ => rnd.nextInt(1000).toLong).distinct
+      val m = 1 + rnd.nextInt(nodes.size * 2)
+      val edges = (0 until m).map { _ =>
+        (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        // Union-find reference model.
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = members
+          .map(v => v -> members.filter(u => find(u) == find(v)).min).toMap
+        val got = GraphOps.connectedComponents(edges.toDF("a", "b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, s"trial=$trial edges=$edges")
+      }
+    }
+  }
+
   test("connectedComponents is deterministic across partition layouts") {
     val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L), (30L, 40L), (60L, 70L))
       .toDF("a", "b")

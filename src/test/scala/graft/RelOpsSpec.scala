@@ -74,6 +74,30 @@ class RelOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 12L, 2L -> 10L)) // id 3: nothing ≤ 5 → absent
   }
 
+  test("asofJoin matches a per-row scan model on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val keys = Seq("a", "b", "c")
+    val left = (1 to 60).map(i =>
+      (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(50).toLong))
+    val right = (1 to 40).map(i =>
+      (keys(rnd.nextInt(3)), (100 + i).toLong, rnd.nextInt(50).toLong))
+    val l = left.toDF("event_id", "k", "t")
+    val r = right.toDF("k", "rid", "rt")
+    val got = JoinOps.asofJoin(l, r, "k", "t", "rt", "rid").collect()
+      .map(x => x.getLong(0) -> (x.getLong(3), x.getLong(4))).toMap
+    // Model: latest right row with rt <= t, ties by max rid.
+    val want = left.flatMap { case (id, k, t) =>
+      val c = right.filter(x => x._1 == k && x._3 <= t)
+      if (c.isEmpty) None
+      else {
+        val best = c.maxBy(x => (x._3, x._2))
+        Some(id -> (best._2, best._3))
+      }
+    }.toMap
+    assert(got === want)
+  }
+
   test("rangeSelfJoin finds in-width pairs across bucket boundaries, once") {
     import spark.implicits._
     // width 100: pairs (1,2) dt=30 same bucket, (2,3) dt=90 crosses the
