@@ -388,6 +388,23 @@ object SparkEntry {
     // is the stubbed Dataset pipeline in MultimodalOps, spec-tested).
     "q_multimodal" -> ((s, d) =>
       MultimodalOps.assetStats(Tables.documents(s, d))),
+
+    // Write-path round trip: distributed CSV sink → re-scan → aggregate,
+    // oracle-checked against the direct aggregate on the source table —
+    // equality proves the sink/scan pair lossless (doubles survive via
+    // shortest-round-trip formatting). Writes to the JVM temp dir keyed
+    // by scale factor so concurrent scales don't collide.
+    "q_sink_roundtrip" -> ((s, d) => {
+      val src = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_sink_rt_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
+      SinkOps.writeCsv(src, out)
+      s.read.schema(src.schema).option("header", "true").csv(out)
+        .groupBy("l_returnflag").agg(
+          AggOps.exactSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+    }),
   )
 
   /** q_pagerank fixture/shape constants (shared by query + oracle). */
@@ -644,5 +661,10 @@ object SparkEntry {
     "q_parse_tolerant" -> OracleSql.parseTolerantSql,
     "q_multimodal" -> OracleSql.multimodalSql,
     "q_pipeline" -> OracleSql.pipelineSql,
+    "q_sink_roundtrip" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag""",
   )
 }
