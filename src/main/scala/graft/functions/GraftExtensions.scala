@@ -15,21 +15,35 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    already built)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.arrayDotL)
+    ext.injectFunction(GraftFunctions.hash60)
+  }
 }
 
 object GraftFunctions {
-  private def build(exprs: Seq[Expression]): Expression = {
+  private def buildDot(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"array_dot_l expects 2 arguments, got ${exprs.length}")
     ArrayDotProduct(exprs.head, exprs(1))
+  }
+
+  private def buildHash60(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, s"hash60 expects 1 argument, got ${exprs.length}")
+    Hash60Expr(exprs.head)
   }
 
   val arrayDotL: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("array_dot_l"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot_l"),
-      build _)
+      buildDot _)
 
-  def register(spark: SparkSession): Unit =
-    GraftSqlBridge.registerFunction(spark, "array_dot_l", build)
+  val hash60: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hash60"),
+      new ExpressionInfo(classOf[Hash60Expr].getName, "hash60"),
+      buildHash60 _)
+
+  def register(spark: SparkSession): Unit = {
+    GraftSqlBridge.registerFunction(spark, "array_dot_l", buildDot)
+    GraftSqlBridge.registerFunction(spark, "hash60", buildHash60)
+  }
 }

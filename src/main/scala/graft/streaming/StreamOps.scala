@@ -119,6 +119,16 @@ object StreamOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * broadcast snapshot of a dimension table — the standard streaming
+    * lookup (user → profile, product → category). The static side is
+    * re-read per batch by Spark's stream-static join semantics, so a
+    * dimension refresh lands without restarting the query; broadcast
+    * keeps the stream side from shuffling.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Sliding/tumbling windowed counts per event_type. */
   def windowedCounts(events: DataFrame, window: String = "10 minutes",
                      watermark: String = "1 hour"): DataFrame =

@@ -37,11 +37,13 @@ class FunctionsSpec extends SparkSpec {
     assert(v.agg(min("d")).head().getLong(0) >= 0L)
   }
 
-  test("array_dot_l is callable from SQL after registration") {
+  test("array_dot_l and hash60 are callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT array_dot_l(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
     assert(r.head().getLong(0) === 32L)
+    val h = spark.sql("SELECT hash60('mh-a-0') AS h")
+    assert(h.head().getLong(0) === graft.ops.DedupOps.hash60Local("mh-a-0"))
     // extension hook applies cleanly to a fresh extensions container
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)

@@ -161,4 +161,24 @@ class MultimodalStreamSpec extends SparkSpec {
       assert(rows("view") === ((1L, 4.0)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    val base = 1700000000000L
+    def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamOps.enrich(mem.toDF().toDF(cols: _*), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), 1L, "click", 1.0), (2L, ts(5), 9L, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+      assert(rows(1L) === "gold")
+      assert(rows(2L) === null) // left join keeps unmatched stream rows
+    } finally q.stop()
+  }
 }
