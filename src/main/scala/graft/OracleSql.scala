@@ -497,6 +497,26 @@ object OracleSql {
                  AS avg_bytes
         FROM documents GROUP BY 1"""
 
+  /** Frame-sample twin in closed form: with C = 256-byte chunks and every
+    * 2nd sampled, n_frames = (nchunks−1)//2 + 1 and the byte total is
+    * full chunks except when the (partial) last chunk is sampled.
+    */
+  def frameSampleSql: String =
+    s"""WITH a AS (SELECT doc_id AS asset_id,
+                          octet_length(encode(text)) AS len FROM documents),
+        c AS (SELECT asset_id, len,
+                     CAST(ceil(len / 256.0) AS BIGINT) AS nchunks
+              FROM a WHERE len > 0),
+        s AS (SELECT asset_id, len, nchunks,
+                     (nchunks - 1) // 2 + 1 AS n_frames,
+                     ((nchunks - 1) // 2) * 2 AS max_idx
+              FROM c)
+        SELECT asset_id, n_frames,
+               CASE WHEN max_idx = nchunks - 1
+                    THEN 256 * (n_frames - 1) + (len - 256 * (nchunks - 1))
+                    ELSE 256 * n_frames END AS sampled_bytes
+        FROM s"""
+
   def parseTolerantSql: String =
     s"""WITH lines AS (
           SELECT unnest(list_filter(string_split_regex(text, '\\s+'),

@@ -388,6 +388,10 @@ object SparkEntry {
     // is the stubbed Dataset pipeline in MultimodalOps, spec-tested).
     "q_multimodal" -> ((s, d) =>
       MultimodalOps.assetStats(Tables.documents(s, d))),
+    // Frame sampling through the typed flatMap pipeline, aggregated and
+    // checked against a closed-form oracle (chunk arithmetic on lengths).
+    "q_frame_sample" -> ((s, d) =>
+      MultimodalOps.frameSampleStats(Tables.documents(s, d))),
 
     // Write-path round trip: distributed CSV sink → re-scan → aggregate,
     // oracle-checked against the direct aggregate on the source table —
@@ -660,6 +664,7 @@ object SparkEntry {
     "q_json" -> OracleSql.jsonStatsSql,
     "q_parse_tolerant" -> OracleSql.parseTolerantSql,
     "q_multimodal" -> OracleSql.multimodalSql,
+    "q_frame_sample" -> OracleSql.frameSampleSql,
     "q_pipeline" -> OracleSql.pipelineSql,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag,

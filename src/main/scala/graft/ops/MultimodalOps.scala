@@ -10,6 +10,9 @@ case class Asset(asset_id: Long, fmt: String, payload: Array[Byte])
 case class AssetFeatures(asset_id: Long, fmt: String, n_bytes: Long,
                          width: Int, height: Int, checksum: Long)
 
+/** One sampled frame of a (video-like) asset. */
+case class Frame(asset_id: Long, frame_idx: Int, payload: Array[Byte])
+
 /** Multimodal-column operators (north-star tier): treat image/audio/video
   * as opaque `binary` columns with typed metadata, and run decode /
   * feature-extraction as batched per-partition functions over a typed
@@ -59,6 +62,59 @@ object MultimodalOps {
       // per-partition setup hook for a real codec would go here
       it.map(decodeStub)
     }
+  }
+
+  /** STUB resize — deterministic byte downsample standing in for an image
+    * rescale: keep every stride-th payload byte until `targetBytes`. A
+    * production build swaps the body for a real rescaler; the typed
+    * map-partition shape (pure map-side, no shuffle) is unchanged.
+    */
+  def resizeStub(a: Asset, targetBytes: Int): Asset = {
+    val n = a.payload.length
+    if (n <= targetBytes) a
+    else {
+      val stride = math.max(1, n / targetBytes)
+      val out = a.payload.indices.collect {
+        case i if i % stride == 0 => a.payload(i)
+      }.take(targetBytes).toArray
+      Asset(a.asset_id, a.fmt, out)
+    }
+  }
+
+  def resize(assets: Dataset[Asset], targetBytes: Int = 256): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(it => it.map(resizeStub(_, targetBytes)))
+  }
+
+  /** STUB frame sampler — fixed-size payload chunks stand in for video
+    * frames; every `everyNth` chunk is emitted. The 1→N typed flatMap is
+    * the real distributed shape (map-side fan-out, no shuffle); a real
+    * demuxer slots into the chunking. Deterministic from the blob alone,
+    * so the aggregate over its output is oracle-checkable in closed form.
+    */
+  def frameSampleStub(a: Asset, chunkBytes: Int, everyNth: Int): Iterator[Frame] =
+    a.payload.grouped(chunkBytes).zipWithIndex
+      .filter(_._2 % everyNth == 0)
+      .map { case (bytes, i) => Frame(a.asset_id, i, bytes) }
+
+  def frameSample(assets: Dataset[Asset], chunkBytes: Int = 256,
+                  everyNth: Int = 2): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap(frameSampleStub(_, chunkBytes, everyNth))
+  }
+
+  /** Per-asset aggregate over the sampled frames: the q_frame_sample
+    * query surface — the typed flatMap pipeline feeding a relational
+    * aggregation, verified against a closed-form SQL oracle.
+    */
+  def frameSampleStats(docs: DataFrame, chunkBytes: Int = 256,
+                       everyNth: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    frameSample(assets(docs).as[Asset], chunkBytes, everyNth)
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(octet_length(col("payload"))).cast("long").as("sampled_bytes"))
   }
 
   /** Oracle-checkable aggregate over the binary surface: per-format asset

@@ -162,6 +162,24 @@ class MultimodalStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frameSample emits every nth chunk; resize bounds payload size") {
+    val a = Asset(7L, "wav", (0 until 1000).map(_.toByte).toArray)
+    val frames = MultimodalOps.frameSampleStub(a, 256, 2).toList
+    // chunks: 256,256,256,232 → sampled idx 0 and 2
+    assert(frames.map(_.frame_idx) === List(0, 2))
+    assert(frames.map(_.payload.length) === List(256, 256))
+    val partial = MultimodalOps.frameSampleStub(
+      Asset(8L, "wav", new Array[Byte](600)), 256, 2).toList
+    assert(partial.map(_.frame_idx) === List(0, 2))
+    assert(partial.map(_.payload.length) === List(256, 88))
+    val r = MultimodalOps.resizeStub(a, 256)
+    assert(r.payload.length <= 256 && r.payload(1) === a.payload(3))
+    // typed pipeline end-to-end
+    val ds = Seq(a).toDS()
+    assert(MultimodalOps.frameSample(ds).count() === 2L)
+    assert(MultimodalOps.resize(ds).head().payload.length <= 256)
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim") {
     val base = 1700000000000L
     def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
