@@ -393,6 +393,15 @@ object SparkEntry {
     "q_frame_sample" -> ((s, d) =>
       MultimodalOps.frameSampleStats(Tables.documents(s, d))),
 
+    // SQL front door: the identical SQL text runs in spark.sql here and
+    // in DuckDB as the oracle (SqlQ3 scaladoc).
+    "q_sql_q3" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlQ3)
+    }),
+
     // Write-path round trip: distributed CSV sink → re-scan → aggregate,
     // oracle-checked against the direct aggregate on the source table —
     // equality proves the sink/scan pair lossless (doubles survive via
@@ -414,6 +423,26 @@ object SparkEntry {
   /** q_pagerank fixture/shape constants (shared by query + oracle). */
   private val PrMod = 997
   private val PrIters = 10
+
+  /** The SQL front door: q_sql_q3 runs ONE SQL text through both engines
+    * — spark.sql over temp views here, DuckDB as the oracle — proving
+    * the declared surface is dialect-shared, not just API-equivalent.
+    * Shape = TPC-H Q3 (shipping-priority) adapted to the fixture schema;
+    * revenue rides the DECIMAL cast for order-independence, and the
+    * ORDER BY carries a full tie-break so LIMIT is deterministic.
+    */
+  private val SqlQ3 =
+    """SELECT l_orderkey,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey
+       LIMIT 10"""
 
   /** DuckDB oracle for q_pagerank: same fixed-point integer recurrence as
     * GraphOps.pageRankFixed, unrolled into one chained CTE per iteration
@@ -665,6 +694,7 @@ object SparkEntry {
     "q_parse_tolerant" -> OracleSql.parseTolerantSql,
     "q_multimodal" -> OracleSql.multimodalSql,
     "q_frame_sample" -> OracleSql.frameSampleSql,
+    "q_sql_q3" -> SqlQ3,
     "q_pipeline" -> OracleSql.pipelineSql,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag,
