@@ -67,4 +67,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.keySet === Set(1L, 2L))
     assert(out(1L) === 150000000000L) // no inlinks → base rank
   }
+
+  test("connectedComponents on empty and single-edge inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraphOps.connectedComponents(empty).count() === 0)
+    val one = GraphOps.connectedComponents(Seq((5L, 9L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(5L -> 5L, 9L -> 5L))
+  }
+
+  test("scrub and tfidf on empty/degenerate documents") {
+    val docs = Seq((1L, ""), (2L, "solo")).toDF("doc_id", "text")
+    val s = TextStatsOps.scrub(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(s(1L) === 0L && s(2L) === 4L) // nothing redacted, lengths kept
+    // tfidf: empty doc yields no terms; 'solo' df=1, tf=1 → weight 2e6 (N=2)
+    val t = TextStatsOps.tfidfTopTerms(docs).collect()
+    assert(t.length === 1 && t.head.getLong(4) === 2000000L)
+    val none = TextStatsOps.tfidfTopTerms(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(none.count() === 0)
+  }
+
+  test("frame sampling of payloads smaller than one chunk") {
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val out = MultimodalOps.frameSampleStats(tiny).head()
+    assert(out.getLong(1) === 1L && out.getLong(2) === 2L)
+  }
+
+  test("saltedJoin with empty sides") {
+    val l = Seq.empty[(Long, Long)].toDF("k", "x")
+    val r = Seq((1L, "p")).toDF("k", "y")
+    assert(JoinOps.saltedJoin(l, r, "k", col("x")).count() === 0)
+    assert(JoinOps.saltedJoin(r, l.toDF("k", "y2"), "k", col("y")).count() === 0)
+  }
 }
