@@ -40,4 +40,18 @@ object SinkOps {
                   mode: SaveMode = SaveMode.Overwrite): Unit =
     df.select(concat_ws("\t", df.columns.map(col): _*).as("value"))
       .write.mode(mode).text(path)
+
+  /** Bucketed managed table — the co-located-join layout: two tables
+    * bucketed on their join key with the same bucket count sort-merge
+    * join WITHOUT a shuffle (the bucketing IS the exchange, paid once at
+    * write time). The amortization play for fact tables joined on the
+    * same key query after query at 100 TB; `sortBy` additionally
+    * pre-sorts bucket files so single-file buckets skip the sort.
+    * Plan-asserted in SinkOpsSpec.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
 }

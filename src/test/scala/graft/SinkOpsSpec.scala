@@ -42,4 +42,22 @@ class SinkOpsSpec extends SparkSpec {
     val lines = spark.read.text(path).as[String].collect().toSet
     assert(lines === Set("alpha\t3", "beta\t5"))
   }
+
+  test("bucketed tables sort-merge join with NO shuffle exchange") {
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    SinkOps.writeBucketed(o, "t_orders_b", "o_orderkey", 4)
+    SinkOps.writeBucketed(l, "t_li_b", "l_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("t_orders_b").join(spark.table("t_li_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(j.count() === l.count()) // fk integrity: one match per lineitem
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -19,6 +19,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // managed tables (bucketed-join specs) must not land in the repo
+      .config("spark.sql.warehouse.dir",
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_test_warehouse").getPath)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
