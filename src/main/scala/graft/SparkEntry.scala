@@ -309,6 +309,16 @@ object SparkEntry {
     // operators have real duplicates to find.
     "q_dedup_exact" -> ((s, d) =>
       DedupOps.exactDedup(DedupOps.dupCorpus(Tables.documents(s, d)))),
+    // Ingestion-time dedup: the dup corpus arrives as the "incoming"
+    // batch, docs with doc_id < 250 are the already-ingested set —
+    // survivors are incoming rows whose text digest is new.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.dedupAgainst(
+        DedupOps.dupCorpus(docs).select("doc_id", "text"),
+        docs.filter(col("doc_id") < 250).select("doc_id", "text"))
+        .select("doc_id")
+    }),
     "q_dedup_minhash" -> ((s, d) =>
       DedupOps.minhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
     "q_dedup_simhash" -> ((s, d) =>
@@ -372,6 +382,19 @@ object SparkEntry {
           when(col("o_orderstatus") === "F", 20)
             .when(col("o_orderstatus") === "O", 5).otherwise(50))
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")),
+    // Deterministic train/val/test assignment (90/5/5 by hash range):
+    // every row gets a stable split label that survives re-runs, engine
+    // swaps, and corpus growth (a doc's split never changes). Output is
+    // the per-split audit count.
+    "q_split_assign" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          TextOps.hash60(concat(lit("split-"), col("doc_id"))) % 100)
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))),
 
     // Events: sessionization, JSON props, tolerant schema-on-read parse.
     "q_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
@@ -672,6 +695,20 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
     "q_dedup_exact" -> OracleSql.dedupExactSql,
+    "q_dedup_incremental" ->
+      s"""WITH ${OracleSql.corpusCte},
+          known AS (SELECT DISTINCT md5(text) AS text_md5 FROM documents
+                    WHERE doc_id < 250)
+          SELECT doc_id FROM corpus
+          WHERE md5(text) NOT IN (SELECT text_md5 FROM known)""",
+    "q_split_assign" ->
+      s"""WITH b AS (SELECT doc_id,
+            ${OracleSql.hash60("'split-' || CAST(doc_id AS VARCHAR)")} % 100
+              AS bucket FROM documents)
+          SELECT CASE WHEN bucket < 90 THEN 'train'
+                      WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+                 count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+          FROM b GROUP BY 1""",
     "q_dedup_minhash" -> OracleSql.dedupMinhashSql,
     "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
     "q_dedup_ngram" -> OracleSql.dedupNgramSql,

@@ -72,6 +72,19 @@ object DedupOps {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_cnt"))
       .filter(col("dup_cnt") >= 2)
 
+  /** Incremental exact dedup — the ingestion-time variant: drop incoming
+    * documents whose text digest already exists in the known corpus.
+    * One digest-keyed anti join; at 100 TB the known side is a compact
+    * (digest) table — text never ships, and the join shuffles 16-byte
+    * digests only. Returns the surviving incoming rows.
+    */
+  def dedupAgainst(incoming: DataFrame, known: DataFrame): DataFrame = {
+    val knownDigests = known.select(md5(col("text")).as("text_md5")).distinct()
+    incoming.withColumn("text_md5", md5(col("text")))
+      .join(knownDigests, Seq("text_md5"), "left_anti")
+      .drop("text_md5")
+  }
+
   /** k-word shingle array from a text column, built with zip_with over
     * pre-sliced arrays so every lambda body references ONLY its lambda
     * variables. Spark re-evaluates captured outer expressions inside a

@@ -46,6 +46,17 @@ class SinkOpsSpec extends SparkSpec {
   test("bucketed tables sort-merge join with NO shuffle exchange") {
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
     val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    // A fresh in-memory catalog can't overwrite a location left by a
+    // previous JVM — drop the table AND the orphan directory.
+    for (t <- Seq("t_orders_b", "t_li_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      if (dir.exists()) rm(dir)
+    }
     SinkOps.writeBucketed(o, "t_orders_b", "o_orderkey", 4)
     SinkOps.writeBucketed(l, "t_li_b", "l_orderkey", 4)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
