@@ -31,17 +31,21 @@ object OracleSql {
          UNION ALL SELECT doc_id + 2000000,
            regexp_replace(text, '^\S+\s*', '') AS text FROM base)"""
 
-  /** Distinct word 3-shingle CTEs over `corpus` (needs corpusCte). */
-  val shingle3Cte: String =
-    """words AS (SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
-       FROM corpus),
+  /** Distinct word 3-shingle CTEs over `src` — one source of truth for
+    * the shingling used by the minhash oracle paths.
+    */
+  def shingle3CteOver(src: String): String =
+    s"""words AS (SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+       FROM $src),
        sh AS (SELECT DISTINCT doc_id, sh FROM (
          SELECT doc_id, unnest(CASE WHEN len(w) >= 3
            THEN list_transform(range(1, len(w) - 1),
                   j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])
            ELSE CAST([] AS VARCHAR[]) END) AS sh
          FROM words))"""
+
+  val shingle3Cte: String = shingle3CteOver("corpus")
 
   def dedupExactSql: String =
     s"""WITH $corpusCte
@@ -167,14 +171,7 @@ object OracleSql {
     val mins = DedupOps.MinhashCoef
       .map { case (i, a, b, _, _) => s"MIN(($a * h + $b) % $p) AS m$i" }
       .mkString(",\n               ")
-    s"""WITH words AS (SELECT doc_id,
-          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
-        FROM documents),
-        sh AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 3
-            THEN list_transform(range(1, len(w) - 1),
-                   j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])
-            ELSE CAST([] AS VARCHAR[]) END) AS sh
-          FROM words),
+    s"""WITH ${shingle3CteOver("documents")},
         hh AS (SELECT doc_id, ${hash60("sh")} % $p AS h FROM sh)
         SELECT doc_id, $mins
         FROM hh GROUP BY doc_id"""
@@ -400,6 +397,24 @@ object OracleSql {
                COALESCE(b.hits, 0) AS hits
         FROM documents d LEFT JOIN best b USING (doc_id)"""
   }
+
+  /** TF-IDF twin — same toks tokenization as the other text oracles and
+    * the identical left-to-right double weight expression.
+    */
+  def tfidfSql: String =
+    s"""WITH $toksCte,
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+        df AS (SELECT w, count(*) AS df FROM
+                 (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
+        n AS (SELECT count(*) AS nd FROM documents),
+        s AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                     CAST(tf.tf AS DOUBLE) * 1000000.0 * n.nd / df.df AS weight
+              FROM tf JOIN df USING (w) CROSS JOIN n),
+        r AS (SELECT doc_id, w, tf, df, weight,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY weight DESC, w ASC) AS rn
+              FROM s)
+        SELECT doc_id, w, tf, df, weight, rn FROM r WHERE rn <= 3"""
 
   def tokenCountSql: String =
     s"""SELECT doc_id,

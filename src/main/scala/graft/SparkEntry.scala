@@ -113,13 +113,16 @@ object SparkEntry {
           AggOps.exactSum(col("c_acctbal")).as("sum_bal"))
     }),
     // Salted join (skew guard): identical results to the plain join —
-    // which is exactly what the oracle verifies.
+    // which is exactly what the oracle verifies. Salt derives from
+    // l_partkey (row-diverse) so a hot order key genuinely spreads over
+    // all buckets; a low-cardinality salt source would cap the spread.
     "q_join_salted" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("k"), col("l_linenumber"), col("l_quantity"))
+        .select(col("l_orderkey").as("k"), col("l_linenumber"),
+          col("l_quantity"), col("l_partkey"))
       val o = Tables.orders(s, d)
         .select(col("o_orderkey").as("k"), col("o_orderpriority"))
-      JoinOps.saltedJoin(l, o, "k", col("l_linenumber"))
+      JoinOps.saltedJoin(l, o, "k", col("l_partkey"))
         .select(col("k").as("o_orderkey"), col("l_linenumber"),
           col("o_orderpriority"), col("l_quantity"))
     }),
@@ -670,22 +673,7 @@ object SparkEntry {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
                   AS sum_price
          FROM orders GROUP BY date_trunc('month', o_orderdate)""",
-    "q_tfidf" ->
-      """WITH toks AS (SELECT doc_id,
-           unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
-         FROM documents),
-         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
-         df AS (SELECT w, count(*) AS df FROM
-                  (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
-         n AS (SELECT count(*) AS nd FROM documents),
-         s AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
-                      CAST(tf.tf * 1000000 * n.nd AS BIGINT) // df.df AS weight
-               FROM tf JOIN df USING (w) CROSS JOIN n),
-         r AS (SELECT doc_id, w, tf, df, weight,
-                      row_number() OVER (PARTITION BY doc_id
-                                         ORDER BY weight DESC, w ASC) AS rn
-               FROM s)
-         SELECT doc_id, w, tf, df, weight, rn FROM r WHERE rn <= 3""",
+    "q_tfidf" -> OracleSql.tfidfSql,
     "q_agg_quantile" ->
       """SELECT l_returnflag,
                 quantile_cont(l_extendedprice, 0.25) AS p25,
@@ -698,9 +686,10 @@ object SparkEntry {
     "q_dedup_incremental" ->
       s"""WITH ${OracleSql.corpusCte},
           known AS (SELECT DISTINCT md5(text) AS text_md5 FROM documents
-                    WHERE doc_id < 250)
+                    WHERE doc_id < 250 AND text IS NOT NULL)
           SELECT doc_id FROM corpus
-          WHERE md5(text) NOT IN (SELECT text_md5 FROM known)""",
+          WHERE text IS NOT NULL
+            AND md5(text) NOT IN (SELECT text_md5 FROM known)""",
     "q_split_assign" ->
       s"""WITH b AS (SELECT doc_id,
             ${OracleSql.hash60("'split-' || CAST(doc_id AS VARCHAR)")} % 100

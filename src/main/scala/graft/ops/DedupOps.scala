@@ -77,10 +77,17 @@ object DedupOps {
     * One digest-keyed anti join; at 100 TB the known side is a compact
     * (digest) table — text never ships, and the join shuffles 16-byte
     * digests only. Returns the surviving incoming rows.
+    *
+    * NULL text is dropped on BOTH sides up front: a NULL digest never
+    * matches an anti-join key (every NULL row would "survive"), and SQL
+    * NOT-IN oracles treat it as no-row — filtering explicitly keeps the
+    * semantics well-defined and engine-identical.
     */
   def dedupAgainst(incoming: DataFrame, known: DataFrame): DataFrame = {
-    val knownDigests = known.select(md5(col("text")).as("text_md5")).distinct()
-    incoming.withColumn("text_md5", md5(col("text")))
+    val knownDigests = known.filter(col("text").isNotNull)
+      .select(md5(col("text")).as("text_md5")).distinct()
+    incoming.filter(col("text").isNotNull)
+      .withColumn("text_md5", md5(col("text")))
       .join(knownDigests, Seq("text_md5"), "left_anti")
       .drop("text_md5")
   }

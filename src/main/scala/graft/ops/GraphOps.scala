@@ -133,13 +133,17 @@ object GraphOps {
     * Iterations needed = component diameter: near-dup clusters are
     * near-cliques (diameter 1-2), so 3-4 rounds close. For graphs with
     * long chains swap in star-contraction (doubles label reach per
-    * round); the join/agg shape below is unchanged.
+    * round); the join/agg shape below is unchanged. If `maxIters` is
+    * exhausted before the fixed point the op THROWS instead of returning
+    * silently-wrong labels (a diameter-49 chain is already pathological
+    * for near-dup data; raise maxIters or contract stars for such
+    * graphs).
     *
     * `edges`: (a, b) undirected pairs. Output: (node, cluster) for every
     * node appearing in an edge. The label table is 16 B/node — broadcast
     * into the edge join for the same reason as the PageRank rank vector.
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 20,
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50,
                           bcastLabels: Boolean = true): DataFrame = {
     // Persist the input FIRST: the bidirectional union references the
     // edge subplan twice, and when edges are themselves the output of an
@@ -177,6 +181,14 @@ object GraphOps {
       it += 1
       converged = changed == 0L
     }
+    // The final labels are checkpoint-backed, so the inputs can be freed
+    // here instead of leaking cache entries for the session's lifetime.
+    und.unpersist()
+    e.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters iterations " +
+        "(component diameter exceeds maxIters); raise maxIters or " +
+        "pre-contract long chains")
     lbl
   }
 

@@ -47,6 +47,10 @@ object JoinOps {
     */
   def saltedJoin(fact: DataFrame, right: DataFrame, key: String,
                  saltFrom: Column, buckets: Int = 8): DataFrame = {
+    // withColumn would silently REPLACE a caller's _salt column and then
+    // drop it from the output — fail fast instead.
+    require(!fact.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "saltedJoin reserves the column name _salt")
     val f = fact.withColumn("_salt", pmod(hash(saltFrom), lit(buckets)))
     val r = right.withColumn("_salt",
       explode(array((0 until buckets).map(lit): _*)))

@@ -86,14 +86,18 @@ object TextStatsOps {
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
 
   /** Top-k characteristic terms per document by tf·idf weighting, with
-    * the idf factor integer-scaled instead of logarithmic:
-    * weight = (tf · 10^6 · N) div df. Rationale: ln/log10 are libm calls
-    * whose last-ulp behavior differs between engines, so a log-idf score
-    * could not be oracle-checked bit-for-bit; the rational form preserves
-    * the ranking property that matters (rarer term ⇒ larger weight,
-    * monotone in tf) with exact int64 math. Swap in log-idf for
-    * production ranking — the plan shape (two keyed aggs + broadcast
-    * scalar + per-doc top-k) is identical.
+    * the idf factor rational instead of logarithmic:
+    * weight = ((tf · 10^6) · N) / df evaluated in double, left to right.
+    * Rationale: ln/log10 are libm calls whose last-ulp behavior differs
+    * between engines, so a log-idf score could not be oracle-checked
+    * bit-for-bit; a fixed IEEE expression over exact integer inputs is
+    * engine-identical, preserves the ranking property that matters
+    * (rarer term ⇒ larger weight, monotone in tf), and — unlike an
+    * all-int64 form — cannot overflow at 10^10+ document corpora
+    * (doubles carry the magnitude; tf·10^6·N as int64 wraps negative
+    * near N·tf ≈ 10^13). Swap in log-idf for production ranking — the
+    * plan shape (two keyed aggs + broadcast scalar + per-doc top-k) is
+    * identical.
     *
     * Scale shape: tf agg keyed on (doc, term), df agg keyed on term, the
     * corpus size N rides in as a broadcast scalar, and the per-doc top-k
@@ -108,7 +112,8 @@ object TextStatsOps {
     val w = Window.partitionBy("doc_id")
       .orderBy(col("weight").desc, col("w").asc)
     tf.join(df, "w").crossJoin(broadcast(n))
-      .withColumn("weight", expr("(tf * 1000000L * nd) div df"))
+      .withColumn("weight",
+        col("tf").cast("double") * 1000000.0 * col("nd") / col("df"))
       .select(col("doc_id"), col("w"), col("tf"), col("df"), col("weight"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)

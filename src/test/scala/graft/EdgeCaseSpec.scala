@@ -83,7 +83,7 @@ class EdgeCaseSpec extends SparkSpec {
     assert(s(1L) === 0L && s(2L) === 4L) // nothing redacted, lengths kept
     // tfidf: empty doc yields no terms; 'solo' df=1, tf=1 → weight 2e6 (N=2)
     val t = TextStatsOps.tfidfTopTerms(docs).collect()
-    assert(t.length === 1 && t.head.getLong(4) === 2000000L)
+    assert(t.length === 1 && t.head.getDouble(4) === 2000000.0)
     val none = TextStatsOps.tfidfTopTerms(
       Seq.empty[(Long, String)].toDF("doc_id", "text"))
     assert(none.count() === 0)

@@ -95,6 +95,17 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents throws rather than returning unconverged labels") {
+    val chain = (0L until 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("a", "b") // diameter-5 path needs ~6 rounds
+    intercept[IllegalStateException] {
+      GraphOps.connectedComponents(chain, maxIters = 2).collect()
+    }
+    // and converges fine with headroom
+    val ok = GraphOps.connectedComponents(chain).collect()
+    assert(ok.map(_.getLong(1)).toSet === Set(0L))
+  }
+
   test("connectedComponents is deterministic across partition layouts") {
     val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L), (30L, 40L), (60L, 70L))
       .toDF("a", "b")

@@ -148,8 +148,8 @@ class RelOpsSpec extends SparkSpec {
     assert(top(1L) === "rare")
     val all = TextStatsOps.tfidfTopTerms(docs, 3)
       .filter($"doc_id" === 1L).collect()
-      .map(r => (r.getString(1), r.getLong(4))).toMap
-    // weight = tf*1e6*N div df: rare 3e6, common 1e6.
-    assert(all("rare") === 3000000L && all("common") === 1000000L)
+      .map(r => (r.getString(1), r.getDouble(4))).toMap
+    // weight = tf*1e6*N/df: rare 3e6, common 1e6.
+    assert(all("rare") === 3000000.0 && all("common") === 1000000.0)
   }
 }
