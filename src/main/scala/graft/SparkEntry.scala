@@ -68,6 +68,13 @@ object SparkEntry {
     "q_topk" -> ((s, d) =>
       SortOps.topK(Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
         100, col("o_totalprice").desc, col("o_orderkey"))),
+    // Z-order (Morton) interleaved key over (custkey, orderkey) — the
+    // multi-dimensional clustering value behind SortOps.zorderLayout;
+    // exact integer bit math, oracle-recomputed in DuckDB.
+    "q_zorder" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        SortOps.zorderValue(
+          col("o_custkey") % 65536L, col("o_orderkey") % 65536L).as("zval"))),
 
     // §2.3 joins
     "q_join" -> ((s, d) => {
@@ -551,6 +558,14 @@ object SparkEntry {
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_zorder" -> {
+      val terms = (0 until 16).map { i =>
+        s"((o_custkey % 65536) // ${1L << i}) % 2 * ${1L << (2 * i)} + " +
+          s"((o_orderkey % 65536) // ${1L << i}) % 2 * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""SELECT o_orderkey, o_custkey, CAST($terms AS BIGINT) AS zval
+          FROM orders"""
+    },
     "q_join" ->
       """SELECT o_orderkey, l_linenumber, o_custkey, l_partkey
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",

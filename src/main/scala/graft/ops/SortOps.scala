@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Sort / top-k operators.
   *
@@ -28,4 +29,32 @@ object SortOps {
     */
   def topK(df: DataFrame, k: Int, keys: Column*): DataFrame =
     df.orderBy(keys: _*).limit(k)
+
+  /** Z-order (Morton) value of two nonnegative dimension columns: bit i
+    * of `a` lands at position 2i, bit i of `b` at 2i+1, so rows close in
+    * BOTH dimensions get close z-values. Pure integer expression
+    * (division/mod per bit, whole-stage codegen), identical arithmetic
+    * in the DuckDB oracle. Inputs must fit in `bits` bits (caller maps
+    * keys into range, e.g. `% (1 << bits)`).
+    */
+  def zorderValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftright(a.cast("long"), i) % 2L * lit(1L << (2 * i)) +
+        shiftright(b.cast("long"), i) % 2L * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Z-order data layout: range-partition + sort by the interleaved key,
+    * so files written from the result carry tight min/max ranges on BOTH
+    * dimensions — 2-D box predicates then prune files on either column
+    * (the lakehouse OPTIMIZE ZORDER technique). One range exchange,
+    * in-partition sort, no global bottleneck.
+    */
+  def zorderLayout(df: DataFrame, a: Column, b: Column,
+                   bits: Int = 16): DataFrame = {
+    val z = zorderValue(a, b, bits).as("_z")
+    df.withColumn("_z", z)
+      .repartitionByRange(col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
 }

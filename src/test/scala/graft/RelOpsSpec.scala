@@ -74,6 +74,24 @@ class RelOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 12L, 2L -> 10L)) // id 3: nothing ≤ 5 → absent
   }
 
+  test("zorderValue matches a bit-interleave model; layout sorts by it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 50).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    def model(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val df = rows.toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+        SortOps.zorderValue(col("a"), col("b")).as("z")).collect()
+    got.foreach(r => assert(r.getLong(2) === model(r.getLong(0), r.getLong(1))))
+    // locality property: interleaving bounds each dimension by the z-range
+    assert(model(3, 3) < model(0, 4)) // (3,3) packs below any b>=4 point
+    val plan = SortOps.zorderLayout(df, col("a"), col("b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
+    assert(plan.contains("Sort"), plan)
+  }
+
   test("asofJoin matches a per-row scan model on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
