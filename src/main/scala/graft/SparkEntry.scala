@@ -195,6 +195,18 @@ object SparkEntry {
         rank().over(rnkW).cast("long").as("rnk"),
         dense_rank().over(rnkW).cast("long").as("drnk"))
     }),
+    // Window-family completion: ntile quartiles plus first/last value
+    // over the full-partition frame (rank/dense_rank live in
+    // q_window_lag, frames in q_window_moving).
+    "q_window_extras" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first("o_orderkey").over(full).as("first_key"),
+        last("o_orderkey").over(full).as("last_key"))
+    }),
     // Per-group top-k (row_number ≤ k): Spark plans WindowGroupLimit —
     // partial top-k before the shuffle, the distributed-safe "top N per
     // key" (a global sort+limit would funnel everything to one node).
@@ -631,6 +643,15 @@ object SparkEntry {
          WINDOW ws AS (PARTITION BY o_custkey ORDER BY o_orderkey),
                 wr AS (PARTITION BY o_custkey
                        ORDER BY o_totalprice DESC, o_orderkey)""",
+    "q_window_extras" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                first_value(o_orderkey) OVER wf AS first_key,
+                last_value(o_orderkey) OVER wf AS last_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+                wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
     "q_window_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
            SELECT o_orderpriority, o_orderkey, o_totalprice,
