@@ -22,6 +22,13 @@ object GraftSession {
 
   def configure(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      // ANSI mode is the engine's overflow contract: int64 arithmetic
+      // past bounds (e.g. PageRank's damped sum on a past-headroom graph,
+      // GraphOps scaladoc) THROWS instead of wrapping to silently-wrong
+      // results. Spark 4 defaults to true; pinned so a deployment
+      // override can't reintroduce silent wraps. Spec-pinned in
+      // GraphOpsSpec ("past-headroom graphs fail loudly").
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -30,6 +37,11 @@ object GraftSession {
       // |V|-row rank vector) whose 32+ near-empty shuffle partitions
       // otherwise inflate every downstream job's task count.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // managed tables (bucketed-sink surface) land in the JVM tmpdir,
+      // never the working directory
+      .config("spark.sql.warehouse.dir",
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_warehouse").getPath)
       .config("spark.ui.enabled", "false")
 
   /** Local session sized by SPARK_GRAFT_CPUS (driver harness contract). */

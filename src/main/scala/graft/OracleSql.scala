@@ -107,7 +107,9 @@ object OracleSql {
   def dedupSimhashSql: String = {
     val bitsValues =
       (0 until DedupOps.SimhashBits).map(i => s"($i, ${1L << i})").mkString(", ")
-    val byteValues = (0 until 4).map(j => s"($j, ${1L << (8 * j)})").mkString(", ")
+    val bandMod = 1 << DedupOps.SimhashBandBits
+    val byteValues = (0 until DedupOps.SimhashBands)
+      .map(j => s"($j, ${1L << (DedupOps.SimhashBandBits * j)})").mkString(", ")
     s"""WITH $corpusCte,
         toks AS (SELECT doc_id, w, COUNT(*) AS cnt FROM (
                    SELECT doc_id, unnest(
@@ -124,7 +126,7 @@ object OracleSql {
                         AS simhash
                FROM sb GROUP BY doc_id),
         bytes AS (SELECT * FROM (VALUES $byteValues) t(j, d)),
-        bands AS (SELECT doc_id, simhash, j, (simhash // d) % 256 AS key
+        bands AS (SELECT doc_id, simhash, j, (simhash // d) % $bandMod AS key
                   FROM sh CROSS JOIN bytes),
         pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
                          CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)
@@ -191,17 +193,18 @@ object OracleSql {
                  CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
           FROM qv) WHERE n2 > 0)"""
 
-  /** Hyperplane + bucket CTEs over `n` — twin of SimilarityOps.buckets.
-    * Plane weights recomputed from the same portable hash formula as
-    * SimilarityOps.weight, so both engines use identical hyperplanes.
+  /** Hyperplane + bucket CTEs over `n` — twin of SimilarityOps.buckets
+    * for the given (tables, planes) shape. Plane weights recomputed from
+    * the same portable hash formula as SimilarityOps.weight, so both
+    * engines use identical hyperplanes.
     */
-  private val bucketCte: String = {
+  private def bucketCteFor(tables: Int, planes: Int): String = {
     val h = hash60("'hp-' || CAST(t.range AS VARCHAR) || '-' || " +
       "CAST(p.range AS VARCHAR) || '-' || CAST(i.range AS VARCHAR)")
     s"""hp AS (SELECT t.range AS t, p.range AS p, i.range AS i,
                $h % 2001 - 1000 AS w
-             FROM range(0, ${SimilarityOps.LshTables}) t,
-                  range(0, ${SimilarityOps.LshPlanes}) p,
+             FROM range(0, $tables) t,
+                  range(0, $planes) p,
                   range(0, ${SimilarityOps.Dims}) i),
         sigs AS (SELECT n.vec_id, hp.t, hp.p, SUM(hp.w * n.v[hp.i + 1]) AS s
                  FROM n CROSS JOIN hp GROUP BY n.vec_id, hp.t, hp.p),
@@ -210,6 +213,10 @@ object OracleSql {
                          AS bucket
                 FROM sigs GROUP BY vec_id, t)"""
   }
+
+  /** Query-path bucket CTEs (2 tables × 6 planes). */
+  private val bucketCte: String =
+    bucketCteFor(SimilarityOps.LshTables, SimilarityOps.LshPlanes)
 
   /** Exact-int dot + IEEE cosine over projected columns qvv/vv/qn2/n2. */
   private val cosExpr: String =
@@ -292,9 +299,14 @@ object OracleSql {
                  list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
           FROM embeddings),
         ${quantCte("ecorpus")},
-        $bucketCte,
+        ${bucketCteFor(SimilarityOps.PairTables, SimilarityOps.PairPlanes)},
+        bo AS (SELECT vec_id, t, bucket FROM (
+                 SELECT vec_id, t, bucket,
+                        COUNT(*) OVER (PARTITION BY t, bucket) AS occ
+                 FROM bkt)
+               WHERE occ <= 100000),
         pairs AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-                  FROM bkt x JOIN bkt y
+                  FROM bo x JOIN bo y
                   ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
         pd AS (SELECT p.vec_a, p.vec_b, a.v AS qvv, a.n2 AS qn2,
                       b.v AS vv, b.n2 AS n2

@@ -451,19 +451,99 @@ object SparkEntry {
     // oracle-checked against the direct aggregate on the source table —
     // equality proves the sink/scan pair lossless (doubles survive via
     // shortest-round-trip formatting). Writes to the JVM temp dir keyed
-    // by scale factor so concurrent scales don't collide.
+    // by scale factor + run nonce so concurrent runs can't collide.
     "q_sink_roundtrip" -> ((s, d) => {
       val src = Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_sink_rt_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
+      val out = tmpPath("graft_sink_rt", d)
       SinkOps.writeCsv(src, out)
       s.read.schema(src.schema).option("header", "true").csv(out)
         .groupBy("l_returnflag").agg(
           AggOps.exactSum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("cnt"))
     }),
+
+    // Offset-text source round trip — the reference's flagship scan
+    // contract (offset, line) with intra-file byte-range splits: write
+    // the documents as ONE deterministic sorted key<TAB>value text file,
+    // re-scan it through the DSv2 offset source at a small splitSize so
+    // the single file fans out to many byte-range partitions, and
+    // aggregate over (offset, line). The oracle recomputes every line's
+    // byte offset in closed form (window sum of line byte-lengths), so a
+    // lost, duplicated, or mis-offset line at ANY split boundary breaks
+    // the hash match.
+    "q_offset_scan" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(1).sortWithinPartitions("doc_id")
+      val out = tmpPath("graft_offset_scan", d)
+      SinkOps.writeKvText(src, out)
+      s.read.format("graft.sources.OffsetTextSource")
+        .option("splitSize", "65536").load(out)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("offset")).as("sum_off"),
+          max(col("offset")).as("max_off"),
+          sum(octet_length(col("line")).cast("long")).as("sum_len"))
+    }),
+
+    // Hive-style partitioned parquet sink → re-scan → aggregate: proves
+    // the partitionBy layout round-trips losslessly (partition values
+    // travel through directory names, data columns through parquet).
+    // Downstream scans of such a layout partition-prune for free.
+    "q_sink_partitioned" -> ((s, d) => {
+      val src = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+      val out = tmpPath("graft_sink_part", d)
+      SinkOps.writeParquet(src, out, partitionBy = Seq("l_returnflag"))
+      s.read.parquet(out)
+        .groupBy("l_returnflag", "l_linestatus").agg(
+          AggOps.exactSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // Bucketed-table round trip: both sides written bucketed on the join
+    // key (the write-time exchange that makes every later join on that
+    // key shuffle-free — plan-asserted in SinkOpsSpec), then joined and
+    // aggregated; the oracle is the plain join-aggregate on the source
+    // tables, so equality proves the bucketed layout lossless.
+    "q_sink_bucketed" -> ((s, d) => {
+      val suf = (d + "_" + RunNonce).replaceAll("[^a-zA-Z0-9]", "_")
+      val lt = s"graft_bkt_lineitem_$suf"
+      val ot = s"graft_bkt_orders_$suf"
+      // A fresh in-memory catalog can't overwrite a location left by a
+      // previous JVM (pid reuse): drop table AND orphan directory first.
+      for (t <- Seq(lt, ot)) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val dir = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        if (dir.exists()) rm(dir)
+      }
+      SinkOps.writeBucketed(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity"), lt, "l_orderkey", 8)
+      SinkOps.writeBucketed(Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority"), ot, "o_orderkey", 8)
+      val l = s.table(lt); val o = s.table(ot)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").agg(
+          AggOps.exactSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+    }),
   )
+
+  /** Run nonce for disk-touching queries: env-provided when the harness
+    * wants explicit isolation, else the JVM pid — stable within a run,
+    * distinct across concurrent runs (deliberately not Math.random, which
+    * would defeat overwrite-on-rerun).
+    */
+  private val RunNonce: String =
+    sys.env.getOrElse("GRAFT_RUN_NONCE", ProcessHandle.current().pid().toString)
+
+  /** Temp path under the JVM tmpdir keyed by prefix + sf dir + nonce. */
+  private def tmpPath(prefix: String, d: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      prefix + "_" + d.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + RunNonce).getPath
 
   /** q_pagerank fixture/shape constants (shared by query + oracle). */
   private val PrMod = 997
@@ -763,5 +843,31 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""",
+    "q_offset_scan" ->
+      """WITH l AS (SELECT doc_id,
+                           CAST(doc_id AS VARCHAR) || chr(9) || text AS line
+                    FROM documents),
+              o AS (SELECT line,
+                      CAST(COALESCE(SUM(octet_length(encode(line)) + 1) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS off
+                    FROM l)
+         SELECT count(*) AS n_lines,
+                CAST(SUM(off) AS BIGINT) AS sum_off,
+                MAX(off) AS max_off,
+                CAST(SUM(octet_length(encode(line))) AS BIGINT) AS sum_len
+         FROM o""",
+    "q_sink_partitioned" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_sink_bucketed" ->
+      """SELECT o_orderpriority,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+                count(*) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
   )
 }

@@ -180,14 +180,28 @@ object DedupOps {
       .filter(col("est_jaccard") >= minEst)
   }
 
-  /** SimHash bits: 32, banded as 4 bytes for candidate generation. By
-    * pigeonhole the byte-bands are exhaustive for Hamming distance ≤ 3;
-    * above that they are the standard high-recall heuristic. Deterministic
-    * either way, so the oracle (same banding) agrees by construction.
+  /** SimHash bits: 60 — the full entropy of the portable hash60 (a 64-bit
+    * simhash would leave bits 60-63 of every token hash constant-zero,
+    * i.e. 4 dead signature bits and a crippled 4th band). Banded as
+    * 4 × 15 bits for candidate generation: by pigeonhole the bands are
+    * exhaustive for Hamming distance ≤ 3; above that they are the
+    * standard high-recall heuristic. Deterministic either way, so the
+    * oracle (same banding) agrees by construction.
+    *
+    * Scale: each band keys 2^15 = 32,768 buckets, so bucket occupancy is
+    * ~n/32,768 per band and the candidate self-join stays linear-ish at
+    * billion-doc corpora. (The previous 32-bit/4-byte-band shape had a
+    * fixed 256-bucket domain per band — O((n/256)²) pair generation, a
+    * scale-killer flagged in round 3.) The simhash value itself stays a
+    * nonnegative int64 < 2^60, so every derived quantity — band keys via
+    * nonneg floor-div, bit_count(xor) Hamming — is in the integer dialect
+    * both engines evaluate identically.
     */
-  val SimhashBits = 32
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits = 15
 
-  /** 32-bit SimHash per doc over term-frequency-weighted tokens:
+  /** 60-bit SimHash per doc over term-frequency-weighted tokens:
     * bit_i = [ Σ_tokens cnt·(2·bit_i(h60(token))−1) > 0 ].
     * Bit extraction is nonneg floor-div ((h div 2^i) mod 2), identical in
     * DuckDB. Returns (doc_id, simhash).
@@ -222,13 +236,15 @@ object DedupOps {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidates
-    * bucketed by the 4 simhash bytes. Output (doc_a, doc_b, hamming).
+    * bucketed by the 4 × 15-bit simhash bands (32,768 buckets per band).
+    * Output (doc_a, doc_b, hamming).
     */
   def simhashPairs(corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simhash(corpus)
     val bands = sh.select(col("doc_id"), col("simhash"), explode(array(
-        (0 until 4).map(j => struct(lit(j).as("j"),
-          expr(s"(simhash div ${1L << (8 * j)}) % 256").as("key"))): _*)).as("b"))
+        (0 until SimhashBands).map(j => struct(lit(j).as("j"),
+          expr(s"(simhash div ${1L << (SimhashBandBits * j)}) % ${1 << SimhashBandBits}")
+            .as("key"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.j").as("j"), col("b.key").as("key"))
     bands.as("x").join(bands.as("y"),

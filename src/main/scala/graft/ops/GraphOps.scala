@@ -31,6 +31,11 @@ import org.apache.spark.storage.StorageLevel
   *     Graphs with non-pathological in-degree mass (no node receiving a
   *     constant fraction of total rank) support ~10^6+; for larger
   *     graphs lower Scale (every power of 10 buys 10× more nodes).
+  *     Past-headroom graphs FAIL LOUDLY, never wrap: the session contract
+  *     pins ANSI mode (GraftSession.configure), so the damped
+  *     multiplication throws ARITHMETIC_OVERFLOW the moment any node's
+  *     in-mass exceeds the bound — spec-pinned with a 130k-spoke star
+  *     graph in GraphOpsSpec.
   */
 object GraphOps {
 

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation: the composition a user of this
@@ -21,14 +20,24 @@ object PipelineOps {
              lang: String = "en", samplePct: Int = 50): DataFrame = {
     val stats = TextStatsOps.textStats(docs).select("doc_id", "quality")
     val pred = TextStatsOps.langId(docs).select("doc_id", "pred_lang")
-    val kept = docs.select("doc_id", "text", "lang")
+    // The digest and kept-length are projected at the scan and the text
+    // column dropped immediately: every exchange in this plan carries
+    // (doc_id, 16-byte digest, small ints) — document bodies never
+    // shuffle ("text never shuffles", DedupOps design rule). The earlier
+    // formulation (row_number over a md5-partitioned window) moved every
+    // surviving text through a digest-keyed exchange.
+    val kept = docs.select(col("doc_id"), col("lang"),
+        md5(col("text")).as("text_md5"),
+        length(col("text")).cast("long").as("n_chars_kept"))
       .join(stats, "doc_id").join(pred, "doc_id")
       .filter(col("pred_lang") === lang && col("quality") >= minQuality)
-    // exact dedup keeping the smallest doc_id per identical text
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    kept.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    // exact dedup keeping the smallest doc_id per identical text: keeper
+    // ids via a digest-keyed aggregation (map-side partial min), then a
+    // semi-join of survivors back on doc_id.
+    val keepers = kept.groupBy("text_md5").agg(min("doc_id").as("doc_id"))
+    kept.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
       .filter(TextOps.hash60(concat(lit("cur-"), col("doc_id"))) % 100 < samplePct)
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("quality"),
-        length(col("text")).cast("long").as("n_chars_kept"))
+        col("n_chars_kept"))
   }
 }

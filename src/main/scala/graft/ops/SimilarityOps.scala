@@ -29,12 +29,25 @@ object SimilarityOps {
   /** Quantization scale: 1 unit = 10^-6. */
   val QScale = 1000000L
 
-  /** Hyperplane LSH shape: 2 tables × 6 planes over 64 dims. Two tables
-    * (like MinHash bands) recover most neighbors a single 6-bit bucket
-    * would miss; 64 buckets/table keeps occupancy balanced.
+  /** Hyperplane LSH shapes over 64 dims — two deliberately different
+    * bucket domains:
+    *
+    *  - Per-QUERY top-k (`lshTopK`): 2 tables × 6 planes = 64 buckets per
+    *    table. Queries are few and broadcast, so candidate sets of ~n/64
+    *    per table are the right recall/cost trade.
+    *  - All-PAIRS near-dup (`embedNearDupPairs`): 5 tables × 16 planes =
+    *    65,536 buckets per table. The pair path self-joins every bucket,
+    *    so occupancy must shrink with domain width — the round-3
+    *    2×64-bucket shape put ~n/64 vectors per bucket and made pair
+    *    generation O((n/64)²), quadratic at large corpora. Longer
+    *    signatures lose per-table recall (p^16 vs p^6); more tables
+    *    compensate (1−(1−p^16)^5 ≈ 0.97 at near-dup p ≈ 0.96; measured
+    *    ≥ 0.9 planted-pair recall on the fixture).
     */
   val LshTables = 2
   val LshPlanes = 6
+  val PairTables = 5
+  val PairPlanes = 16
   val Dims = 64
 
   /** Deterministic hyperplane weight for (table, plane, dim) — derived from
@@ -68,21 +81,22 @@ object SimilarityOps {
     emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("n2", dotL(col("qv"), col("qv")))
 
-  /** One LSH bucket signature expression for table `t`: 6 sign bits of
-    * hyperplane dots, packed little-endian. Pure codegen — the plane
-    * weights are array literals, so no join and no shuffle.
+  /** One LSH bucket signature expression for table `t`: `planes` sign
+    * bits of hyperplane dots, packed little-endian. Pure codegen — the
+    * plane weights are array literals, so no join and no shuffle.
     */
-  private def bucketExpr(t: Int, qv: Column): Column =
-    (0 until LshPlanes).map { p =>
+  private def bucketExpr(t: Int, qv: Column, planes: Int): Column =
+    (0 until planes).map { p =>
       val w = typedLit((0 until Dims).map(i => weight(t, p, i)))
       when(dotL(qv, w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** (vec_id, t, bucket) rows — LshTables rows per vector. */
-  def buckets(quant: DataFrame): DataFrame =
+  /** (vec_id, t, bucket) rows — `tables` rows per vector. */
+  def buckets(quant: DataFrame, tables: Int = LshTables,
+              planes: Int = LshPlanes): DataFrame =
     quant.select(col("vec_id"), explode(array(
-      (0 until LshTables).map(t =>
-        struct(lit(t).as("t"), bucketExpr(t, col("qv")).as("bucket"))): _*
+      (0 until tables).map(t =>
+        struct(lit(t).as("t"), bucketExpr(t, col("qv"), planes).as("bucket"))): _*
     )).as("tb")).select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
 
   /** Exact brute-force cosine top-k: the first `numQueries` vectors are the
@@ -205,13 +219,27 @@ object SimilarityOps {
   }
 
   /** Embedding-cosine near-dup pairs via LSH buckets: pairs sharing any
-    * (table, bucket), exact cosine ≥ minCos. Output (vec_a, vec_b, cos_sim).
-    * Never all-pairs: the bucket join is the only pair generator.
+    * (table, bucket) in the wide PAIR domain (4 × 65,536 buckets), exact
+    * cosine ≥ minCos. Output (vec_a, vec_b, cos_sim). Never all-pairs:
+    * the bucket join is the only pair generator.
+    *
+    * `maxBucket` is the occupancy guard (ngram's `maxDf` analogue): a
+    * degenerate bucket — e.g. a mass of near-identical or axis-aligned
+    * vectors landing on the same signature — would self-join
+    * quadratically, so buckets holding more than `maxBucket` vectors are
+    * excluded from pair generation (similarity is then defined over
+    * non-degenerate buckets; the oracle mirrors the same rule). The
+    * occupancy count rides the same (t, bucket) exchange the self-join
+    * needs, so the guard adds no extra shuffle.
     */
-  def embedNearDupPairs(corpus: DataFrame, minCos: Double = 0.95): DataFrame = {
+  def embedNearDupPairs(corpus: DataFrame, minCos: Double = 0.95,
+                        maxBucket: Int = 100000): DataFrame = {
     val v = withQuant(corpus).filter(col("n2") > 0)
-    val b = buckets(v)
-    val pairs = b.as("x").join(b.as("y"),
+    val b = buckets(v, PairTables, PairPlanes)
+    val bo = b.withColumn("occ",
+        count(lit(1)).over(Window.partitionBy("t", "bucket")))
+      .filter(col("occ") <= maxBucket)
+    val pairs = bo.as("x").join(bo.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))

@@ -17,19 +17,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Reference semantics (cited, not copied): the split/record layer emits
   * (LongWritable byte position, Text line) — VDFSRecordReader.java:74-97,
-  * LeanRecordReader.java:98-146 (2 MiB buffered byte scan, '\n' framing).
-  * `spark.read.text` drops the offset; this source keeps it, Spark-first:
-  * one InputPartition per file (offsets are then exact with no
-  * cross-partition coordination), Catalyst handles everything above the
-  * scan. Split-within-file parallelism could be added later by emitting
-  * byte-range partitions that skip the first partial line — the classic
-  * TextInputFormat rule — without changing the schema or the plan shape.
+  * LeanRecordReader.java:98-146 (2 MiB buffered byte scan, '\n' framing) —
+  * and the reference's core scan capability is OVER-decomposing one huge
+  * file into many splits (LeanInputFormat.java:54-64; its benchmark input
+  * was a single 100 GB text file). This source does the same, Spark-first:
+  * each file is planned as `ceil(len / splitSize)` byte-range
+  * InputPartitions, and a reader whose range starts mid-file seeks to
+  * `start − 1` and discards through the first '\n' — the classic
+  * TextInputFormat rule, which assigns every line to exactly the split
+  * containing its first byte (a line is emitted iff its start offset is
+  * in [start, end), and may extend past `end`). Offsets stay exact
+  * without cross-partition coordination because they are byte positions,
+  * not line counters.
   *
   * Usage: spark.read.format("graft.sources.OffsetTextSource").load(path*)
   * → DataFrame[offset: bigint, line: string]. Both the single `path`
   * option and the multi-path `paths` option (what `load(paths*)` sets)
   * are honored; directories are listed recursively; a missing path fails
   * the scan loudly at planning time rather than yielding an empty result.
+  * `splitSize` (bytes, default 32 MiB) tunes intra-file parallelism: at
+  * the default a 100 GB file fans out to ~3,200 tasks.
   */
 class OffsetTextSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -37,13 +44,26 @@ class OffsetTextSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new OffsetTextTable(OffsetTextSource.resolvePaths(properties))
+    new OffsetTextTable(OffsetTextSource.resolvePaths(properties),
+      OffsetTextSource.resolveSplitSize(properties))
 }
 
 object OffsetTextSource {
   val Schema: StructType = StructType(Seq(
     StructField("offset", LongType, nullable = false),
     StructField("line", StringType, nullable = false)))
+
+  /** Default byte-range split size: 32 MiB. */
+  val DefaultSplitSize: Long = 32L * 1024 * 1024
+
+  private[sources] def resolveSplitSize(properties: util.Map[String, String]): Long = {
+    // getTable receives the options case-SENSITIVELY; match the reader
+    // API's case-insensitive option contract explicitly.
+    val v = Option(new CaseInsensitiveStringMap(properties).get("splitsize"))
+      .map(_.toLong).getOrElse(DefaultSplitSize)
+    require(v > 0, s"OffsetTextSource: splitSize must be positive, got $v")
+    v
+  }
 
   /** Collect input paths from the DSv2 options: `path` (single) and/or
     * `paths` (JSON array — what DataFrameReader.load(paths*) passes).
@@ -61,7 +81,7 @@ object OffsetTextSource {
   }
 }
 
-private[sources] class OffsetTextTable(paths: Seq[String])
+private[sources] class OffsetTextTable(paths: Seq[String], splitSize: Long)
     extends Table with SupportsRead {
   override def name(): String = s"offsettext(${paths.mkString(",")})"
   override def schema(): StructType = OffsetTextSource.Schema
@@ -87,28 +107,47 @@ private[sources] class OffsetTextTable(paths: Seq[String])
             listFiles(p.getFileSystem(conf).getFileStatus(p))
           }
           .sortBy(_.getPath.toString)
-          .map(f => OffsetTextPartition(f.getPath.toString): InputPartition)
+          .flatMap { f =>
+            // ceil(len/splitSize) byte ranges per file; empty files yield
+            // no partitions. Ranges need no line alignment — the reader's
+            // skip-first-partial-line rule makes any cut exact.
+            val len = f.getLen
+            (0L until len by splitSize).map { start =>
+              OffsetTextPartition(f.getPath.toString, start,
+                math.min(start + splitSize, len)): InputPartition
+            }
+          }
           .toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
         new PartitionReaderFactory {
-          override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-            new OffsetTextReader(partition.asInstanceOf[OffsetTextPartition].path)
+          override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+            val p = partition.asInstanceOf[OffsetTextPartition]
+            new OffsetTextReader(p.path, p.start, p.end)
+          }
         }
     }
 }
 
-private[sources] case class OffsetTextPartition(path: String) extends InputPartition
-
-/** Buffered byte scan with '\n' framing and exact byte offsets — the
-  * record reader. A trailing line without '\n' is still emitted. Lines are
-  * assembled by scanning the buffer for '\n' and copying whole slices (a
-  * spill buffer is allocated only when a line spans buffer fills); a
-  * zero-byte read() — legal on some streams — is retried, not treated as
-  * EOF.
+/** Byte range [start, end) of one file; lines STARTING in the range belong
+  * to this partition (and may extend past `end`).
   */
-private[sources] class OffsetTextReader(path: String)
+private[sources] case class OffsetTextPartition(path: String, start: Long, end: Long)
+    extends InputPartition
+
+/** Buffered byte scan with '\n' framing and exact byte offsets over the
+  * byte range [start, end) — the record reader. Emits every line whose
+  * START offset lies in the range (such a line may extend past `end`); a
+  * range starting mid-file seeks to `start − 1` and discards through the
+  * first '\n', so a cut exactly on a line boundary discards zero bytes
+  * and ranges compose without duplication or loss. A trailing line
+  * without '\n' is still emitted. Lines are assembled by scanning the
+  * buffer for '\n' and copying whole slices (a spill buffer is allocated
+  * only when a line spans buffer fills); a zero-byte read() — legal on
+  * some streams — is retried, not treated as EOF.
+  */
+private[sources] class OffsetTextReader(path: String, start: Long, end: Long)
     extends PartitionReader[InternalRow] {
   private val in = {
     val p = new Path(path)
@@ -129,7 +168,28 @@ private[sources] class OffsetTextReader(path: String)
     if (n < 0) { eof = true; bufLen = 0; false } else { bufLen = n; true }
   }
 
+  if (start > 0) {
+    // Skip-first-partial-line rule: seek one byte BACK of the range so a
+    // range cut exactly on a line boundary (byte start−1 == '\n')
+    // discards nothing, while a mid-line cut discards the partial line
+    // that belongs to the previous range.
+    in.seek(start - 1)
+    filePos = start - 1
+    var done = false
+    while (!done) {
+      if (bufPos >= bufLen && !fill()) done = true // EOF inside the skip
+      else {
+        var i = bufPos
+        while (i < bufLen && buf(i) != '\n') i += 1
+        filePos += i - bufPos
+        bufPos = i
+        if (i < bufLen) { filePos += 1; bufPos = i + 1; done = true }
+      }
+    }
+  }
+
   override def next(): Boolean = {
+    if (filePos >= end) return false // next line starts in a later range
     if (bufPos >= bufLen && !fill()) return false
     val lineStart = filePos
     var spill: java.io.ByteArrayOutputStream = null // only for buffer-spanning lines

@@ -48,10 +48,31 @@ class DedupOpsSpec extends SparkSpec {
     val sh = DedupOps.simhash(DedupOps.dupCorpus(tinyDocs)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     for (id <- 1L to 3L) assert(sh(id) === sh(id + 1000000L))
-    assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << DedupOps.SimhashBits)))
+    // the full 60-bit signature space is in use (a dead-bit regression —
+    // e.g. hashing with fewer usable bits than SimhashBits — would leave
+    // the top band constant across the corpus)
+    assert(sh.values.map(v => v >> (DedupOps.SimhashBits - DedupOps.SimhashBandBits))
+      .toSet.size > 1)
     val pairs = DedupOps.simhashPairs(DedupOps.dupCorpus(tinyDocs)).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     for (id <- 1L to 3L) assert(pairs((id, id + 1000000L)) === 0L)
+  }
+
+  test("simhash band domain is 4 bands x 32768 buckets (scale guard)") {
+    assert(DedupOps.SimhashBands === 4 && DedupOps.SimhashBandBits === 15)
+    assert(DedupOps.SimhashBands * DedupOps.SimhashBandBits === DedupOps.SimhashBits)
+    // band keys drawn from the dup corpus stay inside [0, 2^15)
+    val sh = DedupOps.simhash(DedupOps.dupCorpus(tinyDocs))
+    val keys = (0 until DedupOps.SimhashBands).flatMap { j =>
+      // integer `div`, not `/`: double division would lose low bits of a
+      // 60-bit value past 2^53
+      sh.selectExpr(
+        s"(simhash div ${1L << (DedupOps.SimhashBandBits * j)}) " +
+          s"% ${1 << DedupOps.SimhashBandBits} AS k")
+        .collect().map(_.getLong(0))
+    }
+    assert(keys.forall(k => k >= 0 && k < (1 << DedupOps.SimhashBandBits)))
   }
 
   test("ngramJaccardPairs scores exact copies 1.0 and near copies below") {

@@ -48,6 +48,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("past-headroom graphs fail loudly (ANSI overflow), never wrap") {
+    // Star graph funneling all mass into node 0: Σshare at node 0 is
+    // |V|·Scale, and 85·|V|·10^12 overflows int64 at |V| ≈ 1.08·10^5 —
+    // the documented worst-case bound. 130k spokes is past it; the
+    // damped multiplication must throw, not wrap to a wrong rank.
+    val star = spark.range(1, 130001)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    val e = intercept[Exception] { GraphOps.pageRankFixed(star, 1).collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(t =>
+      t.toString.toLowerCase.contains("overflow")), s"unexpected: $e")
+  }
+
   test("pageRankConverged stops once the L1 diff is below tolerance") {
     val df = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst") // symmetric: ranks stay 1.0
     val (ranks, iters) = GraphOps.pageRankConverged(df, 50, tolFp = 1000L)

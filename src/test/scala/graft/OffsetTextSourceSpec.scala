@@ -63,6 +63,42 @@ class OffsetTextSourceSpec extends SparkSpec {
     Files.delete(f)
   }
 
+  test("one file fans out to byte-range splits with exact offsets") {
+    // 1000 lines "line-<i>" — with splitSize=256 the single file must plan
+    // many partitions, and the union of ranges must reproduce every line
+    // exactly once at its exact byte offset.
+    val lines = (0 until 1000).map(i => s"line-$i")
+    val content = lines.mkString("", "\n", "\n")
+    val f = Files.createTempFile("graft-otext-split", ".txt")
+    Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+    val df = spark.read.format("graft.sources.OffsetTextSource")
+      .option("splitSize", "256").load(f.toString)
+    assert(df.rdd.getNumPartitions ===
+      (content.length + 255) / 256) // ceil(len/split) ranges for ONE file
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .sortBy(_._1)
+    val want = lines.scanLeft(0L)((off, l) => off + l.length + 1)
+      .zip(lines).map { case (off, l) => (off, l) }
+    assert(got === want)
+    Files.delete(f)
+  }
+
+  test("split cut exactly on a line boundary loses and duplicates nothing") {
+    // "ab\ncd\nef\n" cut at 3 (a boundary) and at 4 (mid-line): every
+    // split size from 1 to 10 must yield the identical row set.
+    val content = "ab\ncd\nef\n"
+    val f = Files.createTempFile("graft-otext-cut", ".txt")
+    Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+    val want = Seq((0L, "ab"), (3L, "cd"), (6L, "ef"))
+    for (split <- 1 to 10) {
+      val got = spark.read.format("graft.sources.OffsetTextSource")
+        .option("splitSize", split.toString).load(f.toString)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+      assert(got === want, s"splitSize=$split")
+    }
+    Files.delete(f)
+  }
+
   test("wordcount runs over the offset-text source end-to-end") {
     val f = Files.createTempFile("graft-otext-wc", ".txt")
     Files.write(f, "a b a\nb a\n".getBytes(StandardCharsets.UTF_8))

@@ -97,4 +97,15 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q_scrub")
     assert(!p.toLowerCase.contains("exchange"), s"unexpected shuffle:\n$p")
   }
+
+  test("curation pipeline never moves document text through an exchange") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = SparkEntry.queries("q_pipeline")(spark, sfDir)
+      .queryExecution.executedPlan
+    val offenders = plan.collect {
+      case e: Exchange if e.output.exists(_.name == "text") => e.nodeName
+    }
+    assert(offenders.isEmpty,
+      s"exchanges carrying the text column: $offenders\n$plan")
+  }
 }

@@ -56,6 +56,18 @@ class SimilarityOpsSpec extends SparkSpec {
     pairs.values.foreach(c => assert(c >= 0.95 && c <= 1.0 + 1e-12))
   }
 
+  test("embedNearDupPairs occupancy guard excludes degenerate buckets") {
+    // 30 identical vectors land in the same bucket of every table — the
+    // degenerate-bucket case the guard exists for. With maxBucket below
+    // the occupancy no pairs are generated; with it above, all C(30,2)
+    // identical pairs appear at cosine 1.
+    val v = Array.fill(64)(0.1f).toSeq
+    val df = (0L until 30L).map(i => (i, v)).toDF("vec_id", "embedding")
+    assert(SimilarityOps.embedNearDupPairs(df, maxBucket = 10).count() === 0)
+    assert(SimilarityOps.embedNearDupPairs(df, maxBucket = 1000).count()
+      === 30L * 29L / 2)
+  }
+
   test("ivfTopK agrees with brute force on shared pairs and finds neighbors") {
     val brute = SimilarityOps.bruteTopK(emb, k = 100).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
