@@ -507,6 +507,29 @@ object OracleSql {
                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, sess_idx"""
 
+  /** Replay twin: the same gap-session derivation as sessionizeSql, with
+    * the session index grouped away — the shape StreamOps.sessionizeReplay
+    * projects the session_window result onto.
+    */
+  def sessionizeReplaySql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+                   FROM events),
+        f AS (SELECT user_id, event_id, tus, value,
+                CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > ${EventOps.GapUs}
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        s AS (SELECT user_id, tus, value,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY tus, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS sess_idx
+              FROM f)
+        SELECT user_id, MIN(tus) AS start_us, MAX(tus) AS end_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sess_idx"""
+
   def jsonStatsSql: String =
     s"""SELECT event_type, COUNT(*) AS n,
                CAST(SUM(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT)

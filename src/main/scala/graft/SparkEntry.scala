@@ -420,6 +420,13 @@ object SparkEntry {
 
     // Events: sessionization, JSON props, tolerant schema-on-read parse.
     "q_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
+    // Streaming evidence on the driver record: the Structured Streaming
+    // sessionizer replayed as real micro-batches (staged files, one per
+    // trigger, arbitrary event-time order) must produce the exact batch
+    // session set — full oracle, same session SQL minus the index.
+    "q_stream_sessionize" -> ((s, d) =>
+      graft.streaming.StreamOps.sessionizeReplay(Tables.events(s, d),
+        tmpPath("graft_stream_sess", d))),
     "q_json"       -> ((s, d) => EventOps.jsonStats(Tables.events(s, d))),
     "q_parse_tolerant" -> ((s, d) =>
       EventOps.tolerantParse(Tables.documents(s, d),
@@ -437,6 +444,11 @@ object SparkEntry {
     // checked against a closed-form oracle (chunk arithmetic on lengths).
     "q_frame_sample" -> ((s, d) =>
       MultimodalOps.frameSampleStats(Tables.documents(s, d))),
+    // REAL image decode + resize (javax.imageio): synthesized PNGs whose
+    // dimensions and planted (0,0) pixel are closed-form in doc_id — the
+    // oracle proves actual pixel decoding happened, not header math.
+    "q_multimodal_decode" -> ((s, d) =>
+      MultimodalOps.decodeResizeStats(Tables.documents(s, d))),
 
     // SQL front door: the identical SQL text runs in spark.sql here and
     // in DuckDB as the oracle (SqlQ3 scaladoc).
@@ -832,10 +844,21 @@ object SparkEntry {
     "q_token_count" -> OracleSql.tokenCountSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_sessionize" -> OracleSql.sessionizeSql,
+    "q_stream_sessionize" -> OracleSql.sessionizeReplaySql,
     "q_json" -> OracleSql.jsonStatsSql,
     "q_parse_tolerant" -> OracleSql.parseTolerantSql,
     "q_multimodal" -> OracleSql.multimodalSql,
     "q_frame_sample" -> OracleSql.frameSampleSql,
+    "q_multimodal_decode" ->
+      """SELECT count(*) AS n_assets,
+                CAST(SUM(1 + doc_id % 16) AS BIGINT) AS sum_width,
+                CAST(SUM(1 + (doc_id // 16) % 16) AS BIGINT) AS sum_height,
+                CAST(SUM(doc_id % 256) AS BIGINT) AS sum_px00,
+                CAST(SUM(greatest(1, (1 + doc_id % 16) // 2)) AS BIGINT)
+                  AS sum_rwidth,
+                CAST(SUM(greatest(1, (1 + (doc_id // 16) % 16) // 2)) AS BIGINT)
+                  AS sum_rheight
+         FROM documents""",
     "q_sql_q3" -> SqlQ3,
     "q_pipeline" -> OracleSql.pipelineSql,
     "q_sink_roundtrip" ->

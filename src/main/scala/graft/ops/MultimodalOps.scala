@@ -18,16 +18,25 @@ case class Frame(asset_id: Long, frame_idx: Int, payload: Array[Byte])
   * feature-extraction as batched per-partition functions over a typed
   * Dataset — the Scala analogue of `mapInPandas` batch UDFs.
   *
-  * The decode step is a STUB: no image/audio codecs exist in this
-  * environment, so `decodeStub` computes deterministic fake dimensions
-  * from the payload bytes. Everything around it — the binary schema, the
-  * Dataset[Asset] → Dataset[AssetFeatures] partition-batched pipeline, the
-  * aggregation — is real Spark plumbing that a production codec would slot
-  * into without changing any plan shape. At 100 TB the decode is pure
-  * map-side work (no shuffle); only the final per-format aggregate
-  * exchanges data.
+  * Two decode tiers:
+  *  - REAL image decode/resize for PNG via the JDK's `javax.imageio`
+  *    (`decodeImage` / `resizeImage` and the Dataset pipelines below):
+  *    actual pixel decoding, oracle-checked end-to-end in
+  *    `q_multimodal_decode` against closed-form dimensions and a planted
+  *    pixel value.
+  *  - A STUB path (`decodeStub`/`resizeStub`) for codecs the JDK does not
+  *    ship (jpg/wav/video): deterministic fakes that keep the
+  *    Dataset[Asset] → Dataset[AssetFeatures] partition-batched plumbing
+  *    testable; a production codec (e.g. ffmpeg bindings) replaces only
+  *    the function body.
+  *
+  * At 100 TB decode/resize is pure map-side work (no shuffle); only the
+  * final aggregates exchange data.
   */
 object MultimodalOps {
+
+  // Raster-only AWT use works without a display; pinned for safety.
+  System.setProperty("java.awt.headless", "true")
 
   /** Derive a deterministic asset table from `documents`: the text bytes
     * stand in for an encoded media payload; the format tag cycles by id.
@@ -115,6 +124,109 @@ object MultimodalOps {
       .groupBy("asset_id")
       .agg(count(lit(1)).as("n_frames"),
         sum(octet_length(col("payload"))).cast("long").as("sampled_bytes"))
+  }
+
+  // ---- real PNG decode tier (javax.imageio, JDK-native) ----
+
+  /** Deterministic synthetic PNG payload for a doc id: a REAL PNG
+    * encoding of a w×h 8-bit grayscale image with w = 1 + id mod 16,
+    * h = 1 + (id div 16) mod 16, pixel (0,0) = id mod 256 and a
+    * deterministic gradient elsewhere. Gray-8 PNG round-trips pixels
+    * losslessly, so decoded dimensions AND the planted pixel are
+    * closed-form functions of the id — which is what makes the decode
+    * tier oracle-checkable without shipping image fixtures.
+    */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = 1 + (docId % 16).toInt
+    val h = 1 + ((docId / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0, ((docId + x * 31L + y * 7L) % 256).toInt)
+    raster.setSample(0, 0, 0, (docId % 256).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Asset table with real PNG payloads, one per document id. */
+  def pngAssets(docs: DataFrame): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.map(id => Asset(id, "png", syntheticPng(id))))
+  }
+
+  /** REAL image decode: parse the payload with javax.imageio, return
+    * actual width/height and the (0,0) pixel sample as the checksum.
+    * Fails loudly on an undecodable payload (a silent null would turn a
+    * corrupt-blob bug into wrong aggregates downstream).
+    */
+  def decodeImage(a: Asset): AssetFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(a.payload))
+    require(img != null, s"asset ${a.asset_id}: undecodable ${a.fmt} payload")
+    AssetFeatures(a.asset_id, a.fmt, a.payload.length.toLong,
+      img.getWidth, img.getHeight, img.getRaster.getSample(0, 0, 0).toLong)
+  }
+
+  /** Batched real decode — same partition-batched shape as
+    * decodeFeatures, with an actual codec in the body.
+    */
+  def decodeImages(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(decodeImage))
+  }
+
+  /** REAL image resize: decode, downscale to
+    * (max(1, w div factor), max(1, h div factor)) via an AWT raster draw,
+    * re-encode as PNG. The output dimensions are exact by construction
+    * (the target raster is allocated at the computed size), so a
+    * decode-after-resize is closed-form checkable.
+    */
+  def resizeImage(a: Asset, factor: Int = 2): Asset = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(a.payload))
+    require(img != null, s"asset ${a.asset_id}: undecodable ${a.fmt} payload")
+    val tw = math.max(1, img.getWidth / factor)
+    val th = math.max(1, img.getHeight / factor)
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = out.createGraphics()
+    g.drawImage(img, 0, 0, tw, th, null)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    Asset(a.asset_id, a.fmt, bos.toByteArray)
+  }
+
+  def resizeImages(assets: Dataset[Asset], factor: Int = 2): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(resizeImage(_, factor)))
+  }
+
+  /** The q_multimodal_decode query surface: synthesize real PNGs, run the
+    * real decode AND the real resize→decode pipeline in one map-side
+    * pass, aggregate dimensions + the planted (0,0) pixel. Every output
+    * is a closed-form function of doc_id, so the DuckDB oracle verifies
+    * that actual image decoding — not header arithmetic — produced the
+    * numbers. One aggregation exchange; decode work never shuffles.
+    */
+  def decodeResizeStats(docs: DataFrame, factor: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    pngAssets(docs).mapPartitions { it =>
+      it.map { a =>
+        val f = decodeImage(a)
+        val r = decodeImage(resizeImage(a, factor))
+        (a.asset_id, f.width.toLong, f.height.toLong, f.checksum,
+          r.width.toLong, r.height.toLong)
+      }
+    }.toDF("asset_id", "width", "height", "px00", "rwidth", "rheight")
+      .agg(count(lit(1)).as("n_assets"),
+        sum("width").as("sum_width"), sum("height").as("sum_height"),
+        sum("px00").as("sum_px00"),
+        sum("rwidth").as("sum_rwidth"), sum("rheight").as("sum_rheight"))
   }
 
   /** Oracle-checkable aggregate over the binary surface: per-format asset

@@ -109,6 +109,53 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Monotonic suffix for memory-sink query names — unique per run of
+    * sessionizeReplay within a session (concurrent Verify/Bench passes
+    * over the same query re-register under fresh names).
+    */
+  private val ReplayCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Batch-equivalence REPLAY of the sessionizer — the driver-visible
+    * proof that the streaming path computes what the (oracle-green)
+    * batch path computes. The input events are staged as `nParts`
+    * parquet files and streamed back as REAL micro-batches (file source,
+    * maxFilesPerTrigger=1, Trigger.AvailableNow), so event-time order
+    * across batches is arbitrary — the out-of-order case. The watermark
+    * is pushed beyond any fixture horizon (complete output mode keeps
+    * all session state anyway), so the final memory-sink table is the
+    * exact session set, projected onto the batch sessionizer's
+    * epoch-micros shape: session_window's end is last-event + gap, so
+    * `end_us = unix_micros(session_end) − gapUs` recovers max(tus).
+    *
+    * Memory sink + complete mode are the test-harness binding only —
+    * production binds `sessionize` to a real sink in append mode with a
+    * finite watermark; the operator under test is identical.
+    */
+  def sessionizeReplay(events: DataFrame, stagingDir: String,
+                       gap: String = "30 minutes",
+                       gapUs: Long = 1800L * 1000000L,
+                       nParts: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    val ev = events.select(col("event_id"), col("user_id"),
+      graft.ops.EventOps.microsOf(events, "ts").as("tus"), col("value"))
+    ev.repartition(nParts).write.mode("overwrite").parquet(stagingDir)
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val sess = sessionize(stream, gap, watermark = "87600 hours")
+    val name = s"graft_sess_replay_${ReplayCounter.incrementAndGet()}"
+    val q = sess.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name).select(col("user_id"),
+      unix_micros(col("session_start")).as("start_us"),
+      (unix_micros(col("session_end")) - gapUs).as("end_us"),
+      col("n_events"), col("sum_value"))
+  }
+
   /** Streaming exactly-once dedup on an id column: late duplicates are
     * dropped as long as they arrive within the watermark horizon — state
     * is one id per event inside the horizon, evicted as the watermark

@@ -31,6 +31,43 @@ class MultimodalStreamSpec extends SparkSpec {
     assert(feats.count() === docs.count())
   }
 
+  test("real PNG decode recovers exact dimensions and the planted pixel") {
+    // ids chosen to hit width/height/pixel wrap-arounds: 0 → 1×1, 255 →
+    // 16×16 px00=255, 256 → 1×2 px00=0, 4095 → 16×16 px00=255
+    for (id <- Seq(0L, 7L, 255L, 256L, 300L, 4095L)) {
+      val f = MultimodalOps.decodeImage(
+        graft.ops.Asset(id, "png", MultimodalOps.syntheticPng(id)))
+      assert(f.width === 1 + (id % 16).toInt, s"id=$id")
+      assert(f.height === 1 + ((id / 16) % 16).toInt, s"id=$id")
+      assert(f.checksum === id % 256, s"id=$id")
+    }
+  }
+
+  test("real resize halves dimensions (floor, min 1) and re-decodes") {
+    for (id <- Seq(0L, 7L, 255L, 33L)) {
+      val a = graft.ops.Asset(id, "png", MultimodalOps.syntheticPng(id))
+      val r = MultimodalOps.decodeImage(MultimodalOps.resizeImage(a, 2))
+      assert(r.width === math.max(1, (1 + (id % 16).toInt) / 2), s"id=$id")
+      assert(r.height === math.max(1, (1 + ((id / 16) % 16).toInt) / 2), s"id=$id")
+    }
+  }
+
+  test("decodeResizeStats is map-side decode + one aggregation") {
+    val docs = Seq((0L, "x"), (255L, "y"), (256L, "z")).toDF("doc_id", "text")
+    val row = MultimodalOps.decodeResizeStats(docs).collect().head
+    assert(row.getAs[Long]("n_assets") === 3L)
+    assert(row.getAs[Long]("sum_width") === (1 + 0) + (1 + 15) + (1 + 0))
+    // heights: id 0 → 1, id 255 → 16, id 256 → 1 (256/16 = 16 ≡ 0 mod 16)
+    assert(row.getAs[Long]("sum_height") === (1 + 0) + (1 + 15) + (1 + 0))
+    assert(row.getAs[Long]("sum_px00") === 0L + 255L + 0L)
+    assert(row.getAs[Long]("sum_rwidth") === 1 + 8 + 1)
+    assert(row.getAs[Long]("sum_rheight") === 1 + 8 + 1)
+    val plan = MultimodalOps.decodeResizeStats(docs)
+      .queryExecution.executedPlan.toString
+    // decode never shuffles; the single exchange is the final aggregation
+    assert("Exchange".r.findAllIn(plan).length <= 1, plan)
+  }
+
   test("assetStats matches a hand computation") {
     val docs = Seq((0L, "abcd"), (3L, "efgh"), (1L, "xy")).toDF("doc_id", "text")
     val out = MultimodalOps.assetStats(docs).collect()
@@ -63,6 +100,22 @@ class MultimodalStreamSpec extends SparkSpec {
       assert(streamed === batch)
       assert(streamed.size === 3)
     } finally q.stop()
+  }
+
+  test("sessionizeReplay over out-of-order micro-batches equals batch sessionize") {
+    val ev = Tables.events(spark, sfDir)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-replay").toString + "/staged"
+    val streamed = StreamOps.sessionizeReplay(ev, staging).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batch = graft.ops.EventOps.sessionize(ev)
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
   }
 
   test("stateful sessionizer closes sessions on gap evidence across batches") {
