@@ -427,6 +427,25 @@ object SparkEntry {
     "q_stream_sessionize" -> ((s, d) =>
       graft.streaming.StreamOps.sessionizeReplay(Tables.events(s, d),
         tmpPath("graft_stream_sess", d))),
+    // Tumbling-window streaming counts, replayed the same way; epoch-
+    // aligned window starts are closed-form in the oracle.
+    "q_stream_windowed" -> ((s, d) =>
+      graft.streaming.StreamOps.windowedReplay(Tables.events(s, d),
+        tmpPath("graft_stream_win", d))),
+    // Streaming dedup: the staged corpus carries every event twice;
+    // dropDuplicatesWithinWatermark must collapse it back to the original
+    // set — oracle is the plain per-type aggregate of events.
+    "q_stream_dedup" -> ((s, d) =>
+      graft.streaming.StreamOps.dedupReplay(Tables.events(s, d),
+        tmpPath("graft_stream_dedup", d))),
+    // Stream-static enrichment: micro-batches join a broadcast customer
+    // snapshot; aggregate equals the batch left join.
+    "q_stream_enrich" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.streaming.StreamOps.enrichReplay(Tables.events(s, d), dim,
+        "user_id", tmpPath("graft_stream_enrich", d), "c_mktsegment")
+    }),
     "q_json"       -> ((s, d) => EventOps.jsonStats(Tables.events(s, d))),
     "q_parse_tolerant" -> ((s, d) =>
       EventOps.tolerantParse(Tables.documents(s, d),
@@ -449,6 +468,25 @@ object SparkEntry {
     // oracle proves actual pixel decoding happened, not header math.
     "q_multimodal_decode" -> ((s, d) =>
       MultimodalOps.decodeResizeStats(Tables.documents(s, d))),
+
+    // SQL-surface registration of the native expressions (§2.10): the
+    // injected functions (hash60, array_dot_l) run inside ONE SQL text;
+    // the oracle recomputes both with DuckDB's own md5/list arithmetic.
+    // (GraftFunctions.register is the live-session twin of the
+    // spark.sql.extensions builder hook, which the spec covers.)
+    "q_sql_functions" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+      s.sql("""SELECT
+          (SELECT sum(hash60(text) % 100000) FROM documents) AS sum_h,
+          (SELECT sum(array_dot_l(
+             transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+             transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))))
+           FROM embeddings) AS sum_n2""")
+    }),
 
     // SQL front door: the identical SQL text runs in spark.sql here and
     // in DuckDB as the oracle (SqlQ3 scaladoc).
@@ -845,6 +883,31 @@ object SparkEntry {
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_sessionize" -> OracleSql.sessionizeSql,
     "q_stream_sessionize" -> OracleSql.sessionizeReplaySql,
+    "q_stream_windowed" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events)
+         SELECT (tus // 600000000) * 600000000 AS w_start_us, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM e GROUP BY 1, 2""",
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type""",
+    "q_stream_enrich" ->
+      """SELECT COALESCE(c_mktsegment, 'none') AS c_mktsegment,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM events LEFT JOIN customer ON user_id = c_custkey
+         GROUP BY COALESCE(c_mktsegment, 'none')""",
+    "q_sql_functions" ->
+      s"""SELECT
+          (SELECT CAST(SUM(${OracleSql.hash60("text")} % 100000) AS BIGINT)
+           FROM documents) AS sum_h,
+          (SELECT CAST(SUM(CAST(list_sum(list_transform(
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+             x -> x * x)) AS BIGINT)) AS BIGINT)
+           FROM embeddings) AS sum_n2""",
     "q_json" -> OracleSql.jsonStatsSql,
     "q_parse_tolerant" -> OracleSql.parseTolerantSql,
     "q_multimodal" -> OracleSql.multimodalSql,

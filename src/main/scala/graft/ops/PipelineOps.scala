@@ -32,10 +32,13 @@ object PipelineOps {
       .join(stats, "doc_id").join(pred, "doc_id")
       .filter(col("pred_lang") === lang && col("quality") >= minQuality)
     // exact dedup keeping the smallest doc_id per identical text: keeper
-    // ids via a digest-keyed aggregation (map-side partial min), then a
-    // semi-join of survivors back on doc_id.
-    val keepers = kept.groupBy("text_md5").agg(min("doc_id").as("doc_id"))
-    kept.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+    // ids via a digest-keyed aggregation (map-side partial min), joined
+    // back on the SAME digest key — both join branches are the identical
+    // kept-subplan partitioned by text_md5, so Catalyst reuses one
+    // exchange (a doc_id-keyed semi-join would add a second shuffle).
+    val keepers = kept.groupBy("text_md5").agg(min("doc_id").as("keep_id"))
+    kept.join(keepers, "text_md5")
+      .filter(col("doc_id") === col("keep_id"))
       .filter(TextOps.hash60(concat(lit("cur-"), col("doc_id"))) % 100 < samplePct)
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("quality"),
         col("n_chars_kept"))

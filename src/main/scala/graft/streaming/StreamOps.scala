@@ -109,52 +109,101 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
-  /** Monotonic suffix for memory-sink query names — unique per run of
-    * sessionizeReplay within a session (concurrent Verify/Bench passes
-    * over the same query re-register under fresh names).
+  /** Monotonic suffix for memory-sink query names — unique per replay
+    * within a session (repeated Verify/Bench passes over the same query
+    * re-register under fresh names).
     */
   private val ReplayCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Batch-equivalence REPLAY of the sessionizer — the driver-visible
-    * proof that the streaming path computes what the (oracle-green)
-    * batch path computes. The input events are staged as `nParts`
-    * parquet files and streamed back as REAL micro-batches (file source,
-    * maxFilesPerTrigger=1, Trigger.AvailableNow), so event-time order
-    * across batches is arbitrary — the out-of-order case. The watermark
-    * is pushed beyond any fixture horizon (complete output mode keeps
-    * all session state anyway), so the final memory-sink table is the
-    * exact session set, projected onto the batch sessionizer's
-    * epoch-micros shape: session_window's end is last-event + gap, so
-    * `end_us = unix_micros(session_end) − gapUs` recovers max(tus).
-    *
-    * Memory sink + complete mode are the test-harness binding only —
-    * production binds `sessionize` to a real sink in append mode with a
-    * finite watermark; the operator under test is identical.
+  /** Replay horizon: a watermark far beyond any fixture timestamp, so no
+    * out-of-order micro-batch ordering can late-drop a row and the final
+    * result is the exact batch answer.
     */
-  def sessionizeReplay(events: DataFrame, stagingDir: String,
-                       gap: String = "30 minutes",
-                       gapUs: Long = 1800L * 1000000L,
-                       nParts: Int = 8): DataFrame = {
+  val ReplayWatermark = "87600 hours"
+
+  /** Batch-equivalence replay harness — the driver-visible proof pattern
+    * for the streaming tier: stage the events as `nParts` parquet files,
+    * stream them back as REAL micro-batches (file source,
+    * maxFilesPerTrigger=1, Trigger.AvailableNow — event-time order across
+    * batches is arbitrary, i.e. the out-of-order case), run the streaming
+    * transform, and return the memory-sink table once the stream drains.
+    * Memory sink + AvailableNow are the harness binding only; production
+    * binds the same transforms to real sinks with finite watermarks.
+    */
+  private def replay(events: DataFrame, stagingDir: String, nParts: Int,
+                     mode: OutputMode)(f: DataFrame => DataFrame): DataFrame = {
     val spark = events.sparkSession
     val ev = events.select(col("event_id"), col("user_id"),
-      graft.ops.EventOps.microsOf(events, "ts").as("tus"), col("value"))
+      graft.ops.EventOps.microsOf(events, "ts").as("tus"),
+      col("event_type"), col("value"))
     ev.repartition(nParts).write.mode("overwrite").parquet(stagingDir)
     val staged = spark.read.parquet(stagingDir)
     val stream = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
       .withColumn("ts", timestamp_micros(col("tus")))
-    val sess = sessionize(stream, gap, watermark = "87600 hours")
-    val name = s"graft_sess_replay_${ReplayCounter.incrementAndGet()}"
-    val q = sess.writeStream.outputMode(OutputMode.Complete)
+    val name = s"graft_replay_${ReplayCounter.incrementAndGet()}"
+    val q = f(stream).writeStream.outputMode(mode)
       .format("memory").queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.table(name).select(col("user_id"),
-      unix_micros(col("session_start")).as("start_us"),
-      (unix_micros(col("session_end")) - gapUs).as("end_us"),
-      col("n_events"), col("sum_value"))
+    spark.table(name)
   }
+
+  /** Sessionizer replay: the streaming session_window result projected
+    * onto the batch sessionizer's epoch-micros shape — session_window's
+    * end is last-event + gap, so `end_us = unix_micros(session_end) −
+    * gapUs` recovers max(tus). Hash-matches the batch session oracle
+    * (q_stream_sessionize).
+    */
+  def sessionizeReplay(events: DataFrame, stagingDir: String,
+                       gap: String = "30 minutes",
+                       gapUs: Long = 1800L * 1000000L,
+                       nParts: Int = 4): DataFrame =
+    replay(events, stagingDir, nParts, OutputMode.Complete)(
+      sessionize(_, gap, watermark = ReplayWatermark))
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        (unix_micros(col("session_end")) - gapUs).as("end_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Windowed-counts replay: tumbling windows are epoch-aligned, so the
+    * oracle recomputes each start as (tus div windowUs)·windowUs
+    * (q_stream_windowed).
+    */
+  def windowedReplay(events: DataFrame, stagingDir: String,
+                     window: String = "10 minutes",
+                     nParts: Int = 4): DataFrame =
+    replay(events, stagingDir, nParts, OutputMode.Complete)(
+      windowedCounts(_, window, watermark = ReplayWatermark))
+      .select(unix_micros(col("w_start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming-dedup replay: every event is staged TWICE; the streamed
+    * dropDuplicatesWithinWatermark must collapse the doubled corpus back
+    * to the original event set — verified as per-type counts + value
+    * sums against the plain batch aggregate (q_stream_dedup).
+    */
+  def dedupReplay(events: DataFrame, stagingDir: String,
+                  nParts: Int = 4): DataFrame =
+    replay(events.union(events), stagingDir, nParts, OutputMode.Append)(
+      dedupeStream(_, "event_id", watermark = ReplayWatermark))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+
+  /** Stream-static-enrichment replay: each micro-batch joins the
+    * broadcast dimension snapshot; the aggregated result equals the
+    * batch join (q_stream_enrich).
+    */
+  def enrichReplay(events: DataFrame, dim: DataFrame, key: String,
+                   stagingDir: String, segCol: String,
+                   nParts: Int = 4): DataFrame =
+    replay(events, stagingDir, nParts, OutputMode.Append)(
+      enrich(_, dim, key))
+      .groupBy(coalesce(col(segCol), lit("none")).as(segCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
 
   /** Streaming exactly-once dedup on an id column: late duplicates are
     * dropped as long as they arrive within the watermark horizon — state
