@@ -20,6 +20,35 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Run nonce: env-provided when the harness wants explicit isolation,
+    * else the JVM pid — stable within a run, distinct across concurrent
+    * runs (deliberately not Math.random, which would defeat
+    * overwrite-on-rerun).
+    */
+  val RunNonce: String =
+    sys.env.getOrElse("GRAFT_RUN_NONCE", ProcessHandle.current().pid().toString)
+
+  /** Per-run scratch root under the JVM tmpdir. Every disk-touching
+    * query surface (sink round trips, streaming staging, managed-table
+    * warehouse) writes beneath it, and a shutdown hook removes the whole
+    * tree on JVM exit — repeated Verify/Bench/test runs do not
+    * accumulate directories in /tmp. (A kill -9'd JVM still leaks its
+    * root; the nonce keeps such leftovers from colliding with live
+    * runs.)
+    */
+  lazy val runTmpRoot: String = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_run_$RunNonce")
+    root.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root)
+    }))
+    root.getPath
+  }
+
   def configure(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions)
       // ANSI mode is the engine's overflow contract: int64 arithmetic
@@ -37,11 +66,10 @@ object GraftSession {
       // |V|-row rank vector) whose 32+ near-empty shuffle partitions
       // otherwise inflate every downstream job's task count.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      // managed tables (bucketed-sink surface) land in the JVM tmpdir,
-      // never the working directory
+      // managed tables (bucketed-sink surface) land in the per-run
+      // scratch root (shutdown-hook-cleaned), never the working directory
       .config("spark.sql.warehouse.dir",
-        new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_warehouse").getPath)
+        new java.io.File(runTmpRoot, "warehouse").getPath)
       .config("spark.ui.enabled", "false")
 
   /** Local session sized by SPARK_GRAFT_CPUS (driver harness contract). */

@@ -527,10 +527,13 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
       val out = tmpPath("graft_offset_scan", d)
       SinkOps.writeKvText(src, out)
+      // sum_off rides DECIMAL: int64 offset sums overflow at the very
+      // scale this source exists for (~10^9 lines × ~5·10^10 mean offset
+      // ≈ 5·10^19 > 2^63 for a single 100 GB file).
       s.read.format("graft.sources.OffsetTextSource")
         .option("splitSize", "65536").load(out)
         .agg(count(lit(1)).as("n_lines"),
-          sum(col("offset")).as("sum_off"),
+          sum(col("offset").cast("decimal(38,0)")).as("sum_off"),
           max(col("offset")).as("max_off"),
           sum(octet_length(col("line")).cast("long")).as("sum_len"))
     }),
@@ -582,18 +585,16 @@ object SparkEntry {
     }),
   )
 
-  /** Run nonce for disk-touching queries: env-provided when the harness
-    * wants explicit isolation, else the JVM pid — stable within a run,
-    * distinct across concurrent runs (deliberately not Math.random, which
-    * would defeat overwrite-on-rerun).
-    */
-  private val RunNonce: String =
-    sys.env.getOrElse("GRAFT_RUN_NONCE", ProcessHandle.current().pid().toString)
+  /** Run nonce for disk-touching queries — see GraftSession.RunNonce. */
+  private def RunNonce: String = GraftSession.RunNonce
 
-  /** Temp path under the JVM tmpdir keyed by prefix + sf dir + nonce. */
+  /** Temp path under the per-run scratch root (shutdown-hook-cleaned,
+    * nonce-isolated — see GraftSession.runTmpRoot), keyed by prefix +
+    * sf dir.
+    */
   private def tmpPath(prefix: String, d: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      prefix + "_" + d.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + RunNonce).getPath
+    new java.io.File(GraftSession.runTmpRoot,
+      prefix + "_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
 
   /** q_pagerank fixture/shape constants (shared by query + oracle). */
   private val PrMod = 997
@@ -940,7 +941,7 @@ object SparkEntry {
                         0) AS BIGINT) AS off
                     FROM l)
          SELECT count(*) AS n_lines,
-                CAST(SUM(off) AS BIGINT) AS sum_off,
+                CAST(SUM(off) AS DECIMAL(38,0)) AS sum_off,
                 MAX(off) AS max_off,
                 CAST(SUM(octet_length(encode(line))) AS BIGINT) AS sum_len
          FROM o""",

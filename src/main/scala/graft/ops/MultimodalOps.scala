@@ -157,18 +157,47 @@ object MultimodalOps {
       .mapPartitions(_.map(id => Asset(id, "png", syntheticPng(id))))
   }
 
-  /** REAL image decode: parse the payload with javax.imageio, return
-    * actual width/height and the (0,0) pixel sample as the checksum.
-    * Fails loudly on an undecodable payload (a silent null would turn a
-    * corrupt-blob bug into wrong aggregates downstream).
+  /** Parse a payload with javax.imageio, failing loudly on an
+    * undecodable blob (a silent null would turn a corrupt-blob bug into
+    * wrong aggregates downstream).
     */
-  def decodeImage(a: Asset): AssetFeatures = {
+  private def readImg(a: Asset): java.awt.image.BufferedImage = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(a.payload))
     require(img != null, s"asset ${a.asset_id}: undecodable ${a.fmt} payload")
+    img
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Downscale to (max(1, w div factor), max(1, h div factor)) via an
+    * AWT raster draw — output dimensions exact by construction.
+    */
+  private def resizeRaster(img: java.awt.image.BufferedImage,
+                           factor: Int): java.awt.image.BufferedImage = {
+    val tw = math.max(1, img.getWidth / factor)
+    val th = math.max(1, img.getHeight / factor)
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = out.createGraphics()
+    g.drawImage(img, 0, 0, tw, th, null)
+    g.dispose()
+    out
+  }
+
+  private def features(a: Asset,
+                       img: java.awt.image.BufferedImage): AssetFeatures =
     AssetFeatures(a.asset_id, a.fmt, a.payload.length.toLong,
       img.getWidth, img.getHeight, img.getRaster.getSample(0, 0, 0).toLong)
-  }
+
+  /** REAL image decode: actual width/height and the (0,0) pixel sample
+    * as the checksum.
+    */
+  def decodeImage(a: Asset): AssetFeatures = features(a, readImg(a))
 
   /** Batched real decode — same partition-batched shape as
     * decodeFeatures, with an actual codec in the body.
@@ -178,27 +207,13 @@ object MultimodalOps {
     assets.mapPartitions(_.map(decodeImage))
   }
 
-  /** REAL image resize: decode, downscale to
-    * (max(1, w div factor), max(1, h div factor)) via an AWT raster draw,
-    * re-encode as PNG. The output dimensions are exact by construction
-    * (the target raster is allocated at the computed size), so a
-    * decode-after-resize is closed-form checkable.
+  /** REAL image resize: decode, downscale, re-encode as PNG. The output
+    * dimensions are exact by construction (the target raster is
+    * allocated at the computed size), so a decode-after-resize is
+    * closed-form checkable.
     */
-  def resizeImage(a: Asset, factor: Int = 2): Asset = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(a.payload))
-    require(img != null, s"asset ${a.asset_id}: undecodable ${a.fmt} payload")
-    val tw = math.max(1, img.getWidth / factor)
-    val th = math.max(1, img.getHeight / factor)
-    val out = new java.awt.image.BufferedImage(
-      tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val g = out.createGraphics()
-    g.drawImage(img, 0, 0, tw, th, null)
-    g.dispose()
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(out, "png", bos)
-    Asset(a.asset_id, a.fmt, bos.toByteArray)
-  }
+  def resizeImage(a: Asset, factor: Int = 2): Asset =
+    Asset(a.asset_id, a.fmt, encodePng(resizeRaster(readImg(a), factor)))
 
   def resizeImages(assets: Dataset[Asset], factor: Int = 2): Dataset[Asset] = {
     import assets.sparkSession.implicits._
@@ -217,8 +232,12 @@ object MultimodalOps {
     import spark.implicits._
     pngAssets(docs).mapPartitions { it =>
       it.map { a =>
-        val f = decodeImage(a)
-        val r = decodeImage(resizeImage(a, factor))
+        // decode once, resize from the already-decoded raster, and
+        // re-decode only the resized PNG (the re-encode evidence)
+        val img = readImg(a)
+        val f = features(a, img)
+        val r = decodeImage(
+          Asset(a.asset_id, a.fmt, encodePng(resizeRaster(img, factor))))
         (a.asset_id, f.width.toLong, f.height.toLong, f.checksum,
           r.width.toLong, r.height.toLong)
       }

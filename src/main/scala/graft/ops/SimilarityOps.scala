@@ -219,7 +219,8 @@ object SimilarityOps {
   }
 
   /** Embedding-cosine near-dup pairs via LSH buckets: pairs sharing any
-    * (table, bucket) in the wide PAIR domain (4 × 65,536 buckets), exact
+    * (table, bucket) in the wide PAIR domain (5 tables × 65,536 buckets,
+    * see PairTables/PairPlanes), exact
     * cosine ≥ minCos. Output (vec_a, vec_b, cos_sim). Never all-pairs:
     * the bucket join is the only pair generator.
     *

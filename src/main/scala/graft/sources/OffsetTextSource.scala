@@ -98,13 +98,28 @@ private[sources] class OffsetTextTable(paths: Seq[String], splitSize: Long)
         val conf = new Configuration()
         // Recursive listing; getFileStatus throws FileNotFoundException on a
         // missing path — the fail-loud contract (no silent empty scan).
+        // Hidden and writer-metadata entries ('_'/'.' prefix: _SUCCESS,
+        // _temporary/, _spark_metadata/, .crc sidecars) are excluded by
+        // the standard Hadoop convention — without this, scanning a
+        // Spark-written directory on a filesystem that lists checksum
+        // files would silently inject metadata bytes as data rows.
+        def hidden(name: String): Boolean =
+          name.startsWith("_") || name.startsWith(".")
         def listFiles(st: FileStatus): Seq[FileStatus] =
-          if (st.isDirectory)
+          if (hidden(st.getPath.getName)) Seq.empty
+          else if (st.isDirectory)
             st.getPath.getFileSystem(conf).listStatus(st.getPath).toSeq.flatMap(listFiles)
           else Seq(st)
         paths.flatMap { s =>
             val p = new Path(s)
-            listFiles(p.getFileSystem(conf).getFileStatus(p))
+            // an explicitly named path is honored even if '_'/'.'-prefixed
+            // — the convention filters directory LISTINGS, not direct
+            // arguments (so the top level expands children itself)
+            val st = p.getFileSystem(conf).getFileStatus(p)
+            if (st.isDirectory)
+              st.getPath.getFileSystem(conf).listStatus(st.getPath)
+                .toSeq.flatMap(listFiles)
+            else Seq(st)
           }
           .sortBy(_.getPath.toString)
           .flatMap { f =>

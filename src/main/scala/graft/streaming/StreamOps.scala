@@ -130,9 +130,25 @@ object StreamOps {
     * Memory sink + AvailableNow are the harness binding only; production
     * binds the same transforms to real sinks with finite watermarks.
     */
+  /** Memory-sink tables from earlier replays, dropped lazily at the next
+    * replay() call: a memory sink pins its full result on the driver
+    * heap for the temp view's lifetime, so without this a Bench/Verify
+    * pass (every replay query × warmup + timed) would accumulate
+    * result-set copies for the whole session. Deferred-drop (rather than
+    * drop-on-return) keeps the just-returned DataFrame readable by the
+    * caller; by the time the next replay runs, the previous result has
+    * been consumed.
+    */
+  private val SpentTables = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   private def replay(events: DataFrame, stagingDir: String, nParts: Int,
                      mode: OutputMode)(f: DataFrame => DataFrame): DataFrame = {
     val spark = events.sparkSession
+    var spent = SpentTables.poll()
+    while (spent != null) {
+      spark.catalog.dropTempView(spent)
+      spent = SpentTables.poll()
+    }
     val ev = events.select(col("event_id"), col("user_id"),
       graft.ops.EventOps.microsOf(events, "ts").as("tus"),
       col("event_type"), col("value"))
@@ -147,6 +163,7 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
+    SpentTables.add(name)
     spark.table(name)
   }
 

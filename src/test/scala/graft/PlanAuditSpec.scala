@@ -20,7 +20,12 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
   test("no registered query plans a CartesianProduct") {
-    SparkEntry.queries.keys.foreach { name =>
+    // q_stream_* replay rows are excluded: building their DataFrame RUNS
+    // a full staged streaming query whose returned plan is just a
+    // memory-sink scan — nothing auditable, minutes of cost. Their
+    // streaming transforms are equivalence-tested in MultimodalStreamSpec
+    // and oracle-checked by the driver.
+    SparkEntry.queries.keys.filterNot(_.startsWith("q_stream_")).foreach { name =>
       assert(!planOf(name).contains("CartesianProduct"),
         s"$name plans a cartesian product")
     }
