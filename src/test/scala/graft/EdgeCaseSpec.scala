@@ -95,6 +95,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.getLong(1) === 1L && out.getLong(2) === 2L)
   }
 
+  test("decode pipeline on degenerate ids (1x1 images, wrap-around)") {
+    // id 0 → 1×1 image (the smallest PNG this tier can produce); resize
+    // of an already-1×1 image must stay 1×1, not hit a 0-dim raster.
+    val docs = Seq((0L, "x")).toDF("doc_id", "text")
+    val row = MultimodalOps.decodeResizeStats(docs).collect().head
+    assert(row.getAs[Long]("sum_width") === 1L)
+    assert(row.getAs[Long]("sum_rwidth") === 1L)
+  }
+
+  test("embedNearDupPairs on empty and zero-norm corpora") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(SimilarityOps.embedNearDupPairs(empty).count() === 0)
+    val zeros = Seq((1L, Array.fill(64)(0.0f)),
+      (2L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    // zero-norm vectors are filtered before bucketing — no NaN cosines
+    assert(SimilarityOps.embedNearDupPairs(zeros).count() === 0)
+  }
+
   test("saltedJoin with empty sides") {
     val l = Seq.empty[(Long, Long)].toDF("k", "x")
     val r = Seq((1L, "p")).toDF("k", "y")

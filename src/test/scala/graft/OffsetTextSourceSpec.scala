@@ -99,6 +99,22 @@ class OffsetTextSourceSpec extends SparkSpec {
     Files.delete(f)
   }
 
+  test("directory listing skips hidden and writer-metadata entries") {
+    val d = Files.createTempDirectory("graft-otext-hidden")
+    Files.write(d.resolve("data.txt"), "keep\n".getBytes(StandardCharsets.UTF_8))
+    // non-empty metadata/hidden entries that MUST NOT surface as rows
+    Files.write(d.resolve("_SUCCESS"), "job marker\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(d.resolve(".data.txt.crc"), "crcbytes\n".getBytes(StandardCharsets.UTF_8))
+    Files.createDirectory(d.resolve("_temporary"))
+    Files.write(d.resolve("_temporary").resolve("part-0"),
+      "partial garbage\n".getBytes(StandardCharsets.UTF_8))
+    val rows = readOffsets(d.toString)
+    assert(rows === Seq((0L, "keep")))
+    // an explicitly named hidden FILE is still honored (direct argument)
+    val direct = readOffsets(d.resolve("_SUCCESS").toString)
+    assert(direct === Seq((0L, "job marker")))
+  }
+
   test("wordcount runs over the offset-text source end-to-end") {
     val f = Files.createTempFile("graft-otext-wc", ".txt")
     Files.write(f, "a b a\nb a\n".getBytes(StandardCharsets.UTF_8))
