@@ -426,12 +426,13 @@ object SparkEntry {
     // session set — full oracle, same session SQL minus the index.
     "q_stream_sessionize" -> ((s, d) =>
       graft.streaming.StreamOps.sessionizeReplay(Tables.events(s, d),
-        tmpPath("graft_stream_sess", d))),
+        tmpPath("graft_stream_events", d))),
     // Tumbling-window streaming counts, replayed the same way; epoch-
-    // aligned window starts are closed-form in the oracle.
+    // aligned window starts are closed-form in the oracle. The three
+    // same-corpus replays share one staging dir (written once per run).
     "q_stream_windowed" -> ((s, d) =>
       graft.streaming.StreamOps.windowedReplay(Tables.events(s, d),
-        tmpPath("graft_stream_win", d))),
+        tmpPath("graft_stream_events", d))),
     // Streaming dedup: the staged corpus carries every event twice;
     // dropDuplicatesWithinWatermark must collapse it back to the original
     // set — oracle is the plain per-type aggregate of events.
@@ -444,7 +445,7 @@ object SparkEntry {
       val dim = Tables.customer(s, d)
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       graft.streaming.StreamOps.enrichReplay(Tables.events(s, d), dim,
-        "user_id", tmpPath("graft_stream_enrich", d), "c_mktsegment")
+        "user_id", tmpPath("graft_stream_events", d), "c_mktsegment")
     }),
     "q_json"       -> ((s, d) => EventOps.jsonStats(Tables.events(s, d))),
     "q_parse_tolerant" -> ((s, d) =>
