@@ -433,6 +433,13 @@ object SparkEntry {
     "q_stream_windowed" -> ((s, d) =>
       graft.streaming.StreamOps.windowedReplay(Tables.events(s, d),
         tmpPath("graft_stream_events", d))),
+    // The custom-state sessionizer (flatMapGroupsWithState) on the
+    // driver record: sentinel events force-close every session, so the
+    // emitted set equals the batch sessions (boundaries + counts; the
+    // double-accumulated sum is projected away — see statefulReplay).
+    "q_stream_stateful" -> ((s, d) =>
+      graft.streaming.StreamOps.statefulReplay(Tables.events(s, d),
+        tmpPath("graft_stream_stateful", d))),
     // Streaming dedup: the staged corpus carries every event twice;
     // dropDuplicatesWithinWatermark must collapse it back to the original
     // set — oracle is the plain per-type aggregate of events.
@@ -885,6 +892,23 @@ object SparkEntry {
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_sessionize" -> OracleSql.sessionizeSql,
     "q_stream_sessionize" -> OracleSql.sessionizeReplaySql,
+    "q_stream_stateful" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+                     FROM events),
+          f AS (SELECT user_id, event_id, tus,
+                  CASE WHEN lag(tus) OVER w IS NULL
+                         OR tus - lag(tus) OVER w > ${EventOps.GapUs}
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+          s AS (SELECT user_id, tus,
+                  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY tus, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS sess_idx
+                FROM f)
+          SELECT user_id, MIN(tus) AS start_us, MAX(tus) AS end_us,
+                 COUNT(*) AS n_events
+          FROM s GROUP BY user_id, sess_idx""",
     "q_stream_windowed" ->
       """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events)
          SELECT (tus // 600000000) * 600000000 AS w_start_us, event_type,

@@ -151,18 +151,25 @@ object StreamOps {
   private val StagedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def replay(events: DataFrame, stagingDir: String, nParts: Int,
-                     mode: OutputMode)(f: DataFrame => DataFrame): DataFrame = {
+                     mode: OutputMode,
+                     augment: DataFrame => DataFrame = identity,
+                     partitionCols: Seq[String] = Nil)
+                    (f: DataFrame => DataFrame): DataFrame = {
     val spark = events.sparkSession
     var spent = SpentTables.poll()
     while (spent != null) {
       spark.catalog.dropTempView(spent)
       spent = SpentTables.poll()
     }
-    val ev = events.select(col("event_id"), col("user_id"),
+    val ev = augment(events.select(col("event_id"), col("user_id"),
       graft.ops.EventOps.microsOf(events, "ts").as("tus"),
-      col("event_type"), col("value"))
-    if (StagedDirs.add(stagingDir))
-      ev.repartition(nParts).write.mode("overwrite").parquet(stagingDir)
+      col("event_type"), col("value")))
+    if (StagedDirs.add(stagingDir)) {
+      val parted =
+        if (partitionCols.isEmpty) ev.repartition(nParts)
+        else ev.repartition(nParts, partitionCols.map(col): _*)
+      parted.write.mode("overwrite").parquet(stagingDir)
+    }
     val staged = spark.read.parquet(stagingDir)
     val stream = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
@@ -193,6 +200,37 @@ object StreamOps {
         unix_micros(col("session_start")).as("start_us"),
         (unix_micros(col("session_end")) - gapUs).as("end_us"),
         col("n_events"), col("sum_value"))
+
+  /** Stateful-sessionizer replay (flatMapGroupsWithState on the driver
+    * record): one SENTINEL event per user, 100 gaps past that user's
+    * last real event, is staged alongside the corpus — its gap evidence
+    * force-closes every real session, so the emitted (append-mode)
+    * closed-session set is exactly the batch sessionizer's. Staging is
+    * partitioned BY user_id so each user's full history (sentinel
+    * included) arrives within one micro-batch — the result is then
+    * independent of micro-batch order; cross-batch arrival semantics are
+    * separately spec-tested (MultimodalStreamSpec out-of-order cases).
+    * sum_value is projected away: the custom state accumulates doubles
+    * in arrival order, which legitimately differs from the oracle's
+    * exact DECIMAL sum in final ulps — session boundaries and counts are
+    * the stateful logic under test.
+    */
+  def statefulReplay(events: DataFrame, stagingDir: String,
+                     gapUs: Long = 1800L * 1000000L,
+                     nParts: Int = 4): DataFrame = {
+    val sentinels: DataFrame => DataFrame = ev =>
+      ev.union(ev.groupBy("user_id")
+        .agg((max("tus") + 100L * gapUs).as("tus"))
+        .select(lit(-1L).as("event_id"), col("user_id"), col("tus"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value")))
+    replay(events, stagingDir, nParts, OutputMode.Append,
+      augment = sentinels, partitionCols = Seq("user_id")) { df =>
+      import df.sparkSession.implicits._
+      sessionizeStateful(
+        df.select(col("user_id"), col("tus"), col("value")).as[SessEvent],
+        gapUs, watermark = ReplayWatermark).toDF()
+    }.select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+  }
 
   /** Windowed-counts replay: tumbling windows are epoch-aligned, so the
     * oracle recomputes each start as (tus div windowUs)·windowUs

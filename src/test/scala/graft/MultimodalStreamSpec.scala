@@ -118,6 +118,19 @@ class MultimodalStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("statefulReplay (sentinel-closed) equals batch session boundaries") {
+    val ev = Tables.events(spark, sfDir)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-sreplay").toString + "/staged"
+    val streamed = StreamOps.statefulReplay(ev, staging).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ops.EventOps.sessionize(ev)
+      .select("user_id", "start_us", "end_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful sessionizer closes sessions on gap evidence across batches") {
     import graft.streaming.SessEvent
     val base = 1700000000000000L // epoch micros
