@@ -428,6 +428,26 @@ object OracleSql {
               FROM s)
         SELECT doc_id, w, tf, df, weight, rn FROM r WHERE rn <= 3"""
 
+  /** Repetition-signal twin: same word-bigram derivation as the ngram
+    * oracle (non-distinct — occurrence counts are the signal).
+    */
+  def repetitionSql: String =
+    s"""WITH words AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM documents),
+        g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1])
+            ELSE CAST([] AS VARCHAR[]) END) AS g
+          FROM words),
+        c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY doc_id, g),
+        a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                     COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS top_cnt
+              FROM c GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, n_distinct,
+               CAST(top_cnt AS DOUBLE) / n_bigrams AS top_frac,
+               CAST(n_distinct AS DOUBLE) / n_bigrams AS distinct_frac
+        FROM a"""
+
   def tokenCountSql: String =
     s"""SELECT doc_id,
           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))

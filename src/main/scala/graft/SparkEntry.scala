@@ -392,6 +392,9 @@ object SparkEntry {
     // Characteristic terms per doc (tf·idf, integer-scaled idf).
     "q_tfidf" -> ((s, d) =>
       TextStatsOps.tfidfTopTerms(Tables.documents(s, d))),
+    // Repetition signals (Gopher/RefinedWeb duplicate-bigram filter).
+    "q_repetition" -> ((s, d) =>
+      TextStatsOps.repetitionStats(Tables.documents(s, d))),
     // Per-dimension embedding moments (dataset profiling before
     // normalization/whitening): 64 rows out regardless of corpus size.
     "q_embed_dimstats" -> ((s, d) =>
@@ -890,6 +893,7 @@ object SparkEntry {
     "q_lang_id" -> OracleSql.langIdSql,
     "q_token_count" -> OracleSql.tokenCountSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,
+    "q_repetition" -> OracleSql.repetitionSql,
     "q_sessionize" -> OracleSql.sessionizeSql,
     "q_stream_sessionize" -> OracleSql.sessionizeReplaySql,
     "q_stream_stateful" ->

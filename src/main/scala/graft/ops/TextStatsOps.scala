@@ -175,4 +175,26 @@ object TextStatsOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), min("g").as("fp_min"),
         expr("bit_xor(g)").as("fp_xor"))
+
+  /** Repetition signals — the Gopher/RefinedWeb-style duplicate-n-gram
+    * quality filter: per doc, the fraction of word-bigram occurrences
+    * taken by the single most repeated bigram (`top_frac`) and the
+    * distinct/total bigram ratio (`distinct_frac`). Boilerplate and
+    * looped text score high top_frac / low distinct_frac; a curation
+    * pipeline thresholds on them. Two doc-keyed aggregations, bigrams
+    * travel once; docs with fewer than two words yield no bigrams and
+    * are excluded (deterministic in both engines). Both fractions are
+    * IEEE divisions of exact int64 counts — engine-identical.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(DedupOps.shingleArr(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        (col("top_cnt").cast("double") / col("n_bigrams")).as("top_frac"),
+        (col("n_distinct").cast("double") / col("n_bigrams")).as("distinct_frac"))
 }

@@ -88,6 +88,22 @@ class TextStatsOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("repetitionStats scores looped text high and varied text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),      // 4 bigrams, all "spam spam"
+      (2L, "the quick brown fox jumps"),     // 4 distinct bigrams
+      (3L, "one"),                           // too short: no bigrams
+      (4L, "a b a b a b")                    // "a b"×3, "b a"×2
+    ).toDF("doc_id", "text")
+    val out = TextStatsOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L))
+    assert(out(1L) === ((4L, 1L, 1.0, 0.25)))
+    assert(out(2L) === ((4L, 4L, 0.25, 1.0)))
+    assert(out(4L) === ((5L, 2L, 0.6, 0.4)))
+  }
+
   test("sessionize splits on gaps > 30min and aggregates per session") {
     val base = 1700000000000000L // epoch micros
     val df = Seq(
