@@ -162,6 +162,110 @@ object OracleSql {
         JOIN sizes b ON b.doc_id = i.doc_b
         WHERE CAST(i.inter AS DOUBLE) / (a.n + b.n - i.inter) >= 0.6"""
 
+  /** Paragraph-dedup twin: 10-word chunk paragraphs over the dup corpus,
+    * keeper = first (doc_id, idx) per md5 via a window, reassembly via
+    * ordered list aggregation. Parallel unnest of two same-length lists
+    * zips in DuckDB, giving (idx, para) aligned pairs.
+    */
+  def dedupParagraphSql: String =
+    s"""WITH $corpusCte,
+        words AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+        FROM corpus WHERE text IS NOT NULL),
+        nz AS (SELECT doc_id, w, (len(w) + 9) // 10 AS nc
+               FROM words WHERE len(w) > 0),
+        p AS (SELECT doc_id,
+                unnest(range(nc)) AS idx,
+                unnest(list_transform(range(nc),
+                  i -> array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ')))
+                  AS para
+              FROM nz),
+        k AS (SELECT doc_id, idx, para,
+                row_number() OVER (PARTITION BY md5(para)
+                                   ORDER BY doc_id, idx) AS rn
+              FROM p)
+        SELECT doc_id, COUNT(*) AS n_kept,
+               array_to_string(list(para ORDER BY idx), ' ') AS text_kept
+        FROM k WHERE rn = 1 GROUP BY doc_id"""
+
+  /** Incremental-dedup twin (also the bloom-prefilter oracle — the bloom
+    * is a prefilter, not a semantics change, so the exact result is the
+    * same digest anti join).
+    */
+  def dedupIncrementalSql: String =
+    s"""WITH $corpusCte,
+        known AS (SELECT DISTINCT md5(text) AS text_md5 FROM documents
+                  WHERE doc_id < 250 AND text IS NOT NULL)
+        SELECT doc_id FROM corpus
+        WHERE text IS NOT NULL
+          AND md5(text) NOT IN (SELECT text_md5 FROM known)"""
+
+  /** Decontamination twin: word 8-grams, benchmark = doc_id % 50 = 0 over
+    * plain documents, train = the dup corpus. range(1, len-6) is empty
+    * whenever the doc has fewer than 8 words, so no CASE guard is needed.
+    */
+  def decontamSql: String = {
+    val gram = (0 until 8).map(o => s"w[j+$o]").mkString(" || ' ' || ")
+    s"""WITH $corpusCte,
+        bw AS (SELECT list_filter(string_split_regex(text, '\\s+'),
+                 x -> x <> '') AS w
+               FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL),
+        bs AS (SELECT DISTINCT ${hash60("g")} AS h FROM (
+                SELECT unnest(list_transform(range(1, len(w) - 6),
+                  j -> $gram)) AS g
+                FROM bw)),
+        tw AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                 x -> x <> '') AS w
+               FROM corpus WHERE text IS NOT NULL),
+        ts AS (SELECT doc_id, ${hash60("g")} AS h FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+                  j -> $gram)) AS g
+                FROM tw))
+        SELECT doc_id, COUNT(DISTINCT h) AS n_hits
+        FROM ts JOIN bs USING (h) GROUP BY doc_id"""
+  }
+
+  /** Pack-layout twin: prefix sum over doc_id order, integer window
+    * arithmetic. DuckDB SUM over BIGINT yields HUGEINT — cast back so //
+    * stays in int64 like Spark's `div`.
+    */
+  def packSql: String =
+    s"""WITH t AS (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '\\s+'),
+            x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents WHERE text IS NOT NULL),
+        s AS (SELECT doc_id, n_tok,
+          CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_off
+        FROM t)
+        SELECT doc_id, n_tok, start_off,
+               (start_off // 256) AS chunk_first,
+               (greatest(start_off, start_off + n_tok - 1) // 256)
+                 AS chunk_last,
+               (greatest(start_off, start_off + n_tok - 1) // 256)
+                 - (start_off // 256) + 1 AS n_chunks
+        FROM s"""
+
+  /** Mix-resample twin: per-lang target percents, all-int64 threshold,
+    * hash-keyed keep decision. CAST(SUM AS BIGINT) keeps id_sum int64.
+    */
+  def mixResampleSql: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+        t AS (SELECT COUNT(*) AS n_tot FROM documents),
+        thr AS (SELECT lang, n_g,
+          CAST(LEAST(1000000,
+            ((CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 25
+                        WHEN 'de' THEN 15 ELSE 10 END)
+             * n_tot * 10000) // n_g) AS BIGINT) AS thr
+          FROM c, t)
+        SELECT d.lang AS lang, th.n_g AS n_orig, th.thr AS thr,
+               COUNT(*) AS n_kept, CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+        FROM documents d JOIN thr th USING (lang)
+        WHERE ${hash60("'mix-' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+          < th.thr
+        GROUP BY d.lang, th.n_g, th.thr"""
+
   /** MinHash-UDAF twin: the same k generated MIN((a·h+b) mod P) aggregate
     * expressions as DedupOps.MinhashCoef, over plain `documents` shingles
     * (no dup corpus — this query exercises the Aggregator surface, not

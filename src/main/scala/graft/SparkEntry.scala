@@ -341,6 +341,24 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250).select("doc_id", "text"))
         .select("doc_id")
     }),
+    // Bloom-prefiltered incremental dedup: same inputs and exact same
+    // result as q_dedup_incremental; rows missing the known-corpus bloom
+    // sketch bypass the anti join entirely (the 100 TB ingestion shape).
+    "q_dedup_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.dedupBloomPrefilter(
+        DedupOps.dupCorpus(docs).select("doc_id", "text"),
+        docs.filter(col("doc_id") < 250).select("doc_id", "text"))
+        .select("doc_id")
+    }),
+    // Paragraph-level exact dedup (C4-style) with document reassembly,
+    // over 10-word chunk paragraphs: exact copies vanish entirely, the
+    // near-copy tier survives (its shifted chunks are distinct strings) —
+    // the granularity difference vs q_dedup_exact is the point.
+    "q_dedup_paragraph" -> ((s, d) =>
+      DedupOps.paragraphDedup(
+        DedupOps.chunkedParas(
+          DedupOps.dupCorpus(Tables.documents(s, d)), 10))),
     "q_dedup_minhash" -> ((s, d) =>
       DedupOps.minhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
     "q_dedup_simhash" -> ((s, d) =>
@@ -395,6 +413,24 @@ object SparkEntry {
     // Repetition signals (Gopher/RefinedWeb duplicate-bigram filter).
     "q_repetition" -> ((s, d) =>
       TextStatsOps.repetitionStats(Tables.documents(s, d))),
+    // Benchmark decontamination: flag dup-corpus docs sharing an 8-gram
+    // with the held-out benchmark slice (doc_id % 50 == 0). Benchmark
+    // gram set broadcasts; the corpus never shuffles.
+    "q_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CurationOps.decontaminate(
+        DedupOps.dupCorpus(docs), docs.filter(col("doc_id") % 50 === 0))
+    }),
+    // Concatenate-and-chunk packing layout: deterministic context-window
+    // assignment from a global token-prefix sum (no text moves).
+    "q_pack" -> ((s, d) =>
+      CurationOps.packLayout(Tables.documents(s, d))),
+    // Target-mix resampling by language: hash-thresholded downsampling
+    // toward a 40/25/15/10/10 training mix, per-group audit output.
+    "q_mix_resample" -> ((s, d) =>
+      CurationOps.mixResample(Tables.documents(s, d), "lang",
+        when(col("lang") === "en", 40).when(col("lang") === "zh", 25)
+          .when(col("lang") === "de", 15).otherwise(10))),
     // Per-dimension embedding moments (dataset profiling before
     // normalization/whitening): 64 rows out regardless of corpus size.
     "q_embed_dimstats" -> ((s, d) =>
@@ -861,13 +897,12 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
     "q_dedup_exact" -> OracleSql.dedupExactSql,
-    "q_dedup_incremental" ->
-      s"""WITH ${OracleSql.corpusCte},
-          known AS (SELECT DISTINCT md5(text) AS text_md5 FROM documents
-                    WHERE doc_id < 250 AND text IS NOT NULL)
-          SELECT doc_id FROM corpus
-          WHERE text IS NOT NULL
-            AND md5(text) NOT IN (SELECT text_md5 FROM known)""",
+    "q_dedup_incremental" -> OracleSql.dedupIncrementalSql,
+    "q_dedup_bloom" -> OracleSql.dedupIncrementalSql,
+    "q_dedup_paragraph" -> OracleSql.dedupParagraphSql,
+    "q_decontam" -> OracleSql.decontamSql,
+    "q_pack" -> OracleSql.packSql,
+    "q_mix_resample" -> OracleSql.mixResampleSql,
     "q_split_assign" ->
       s"""WITH b AS (SELECT doc_id,
             ${OracleSql.hash60("'split-' || CAST(doc_id AS VARCHAR)")} % 100

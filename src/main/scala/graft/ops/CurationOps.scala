@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs after cleaning
+  * and dedup: benchmark decontamination, sequence-packing layout, and
+  * target-mix resampling. All three follow the repo's scale rules — no
+  * collect, candidate work bucketed or broadcast, integer-exact arithmetic
+  * so every result is DuckDB-oracle-checkable bit-for-bit.
+  */
+object CurationOps {
+
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram protocol): flag every
+    * training document sharing at least one word k-gram with a held-out
+    * benchmark. Returns (doc_id, n_hits) for contaminated docs only —
+    * n_hits = distinct contaminated k-grams in that doc.
+    *
+    * Scale shape: the benchmark side is small by definition, so its
+    * distinct k-gram hash set is BROADCAST — the training corpus never
+    * shuffles. Matches (a sliver) are the only rows that move, into the
+    * per-doc distinct-count agg. Shingles travel as 60-bit portable
+    * hashes, never strings.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+                    k: Int = 8): DataFrame = {
+    val bsh = benchmark.filter(col("text").isNotNull)
+      .select(explode(DedupOps.shingleArr(col("text"), k)).as("sh"))
+      .select(TextOps.hash60(col("sh")).as("h")).distinct()
+    train.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(DedupOps.shingleArr(col("text"), k)).as("sh"))
+      .select(col("doc_id"), TextOps.hash60(col("sh")).as("h"))
+      .join(broadcast(bsh), "h")
+      .groupBy("doc_id")
+      .agg(countDistinct("h").as("n_hits"))
+  }
+
+  /** Concatenate-and-chunk packing layout (the GPT-style pretraining
+    * sequence packer): documents are laid out in doc_id order as one
+    * global token stream cut into fixed `budget`-token context windows.
+    * Per doc: its token count, start offset in the stream, and the first /
+    * last window it lands in (a doc may straddle windows). The layout is a
+    * pure function of (order, token counts) — reproducible across engines
+    * and re-runs, so shard assignment never silently changes.
+    *
+    * Scale shape: one global range-partitioned sort (Spark samples range
+    * bounds; each partition computes its prefix sums after a partition-sum
+    * exchange) — the same plan class as q_sort_total, known to hold at
+    * scale. No text moves: the window input is (doc_id, n_tok) pairs.
+    */
+  def packLayout(docs: DataFrame, budget: Long = 256L): DataFrame = {
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .cast("long").as("n_tok"))
+      .withColumn("start_off", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("chunk_first", expr(s"start_off div $budget"))
+      // greatest() pins zero-token docs to their start window instead of
+      // an off-by-one window before it (start_off + n_tok - 1 < start_off).
+      .withColumn("chunk_last",
+        expr(s"greatest(start_off, start_off + n_tok - 1) div $budget"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + lit(1L))
+  }
+
+  /** Deterministic target-mix resampling (data mixing for training): given
+    * a per-group target percentage of the output mix, downsample each
+    * group with a hash threshold so kept counts approach
+    * pct/100 · |corpus|, capped at keeping everything (groups under their
+    * target are never upsampled). A document's keep decision depends only
+    * on its id — stable under re-runs, engine swaps, and corpus growth.
+    * Output: per-group audit (group, n_orig, thr, n_kept, id_sum); id_sum
+    * pins the exact kept id set, not just its size.
+    *
+    * Threshold arithmetic is all-int64: thr = min(10^6, pct·N·10^4 / n_g)
+    * compared against hash60("mix-"||id) mod 10^6. Safe to N ≈ 10^12 docs
+    * (pct·N·10^4 ≤ 100·10^12·10^4 < 2^63).
+    *
+    * Scale shape: group counts and the corpus total are tiny aggregates
+    * broadcast back onto the corpus — the only full-data exchange is the
+    * final per-group audit agg, which map-side combines to ~|groups| rows.
+    */
+  def mixResample(docs: DataFrame, groupCol: String, pct: Column): DataFrame = {
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n_g"))
+    val total = docs.agg(count(lit(1)).as("n_tot"))
+    val thr = counts.crossJoin(broadcast(total))
+      .withColumn("pct", pct)
+      .withColumn("thr",
+        expr("least(1000000, pct * n_tot * 10000 div n_g)").cast("long"))
+      .select(col(groupCol), col("n_g").as("n_orig"), col("thr"))
+    docs.join(broadcast(thr), groupCol)
+      .filter(TextOps.hash60(concat(lit("mix-"), col("doc_id"))) % 1000000L
+        < col("thr"))
+      .groupBy(col(groupCol), col("n_orig"), col("thr"))
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+  }
+}

@@ -291,4 +291,101 @@ object DedupOps {
           .as("jacc"))
       .filter(col("jacc") >= minJaccard)
   }
+
+  /** Fixed-size word-chunk "paragraphs": (doc_id, paras array<string>),
+    * each paragraph `words` whitespace tokens (last one shorter). The
+    * fixture corpus is single-line, so this is its paragraph proxy; a
+    * production corpus splits on '\n\n' instead and feeds the same
+    * `paragraphDedup`. The word array is projected to a bound attribute
+    * BEFORE the transform lambda references it — a lambda that captured
+    * the split expression itself would re-run it once per element (the
+    * shingleArr pitfall).
+    */
+  def chunkedParas(corpus: DataFrame, words: Int): DataFrame =
+    corpus.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), x => x =!= "").as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) > 0,
+          transform(
+            sequence(lit(0),
+              floor((size(col("w")) + lit(words - 1)) / lit(words))
+                .cast("int") - lit(1)),
+            i => array_join(
+              slice(col("w"), i * lit(words) + lit(1), lit(words)), " ")))
+          .otherwise(typedLit(Seq.empty[String])).as("paras"))
+
+  /** Paragraph-level exact dedup (the C4/RefinedWeb formulation): every
+    * repeated paragraph occurrence corpus-wide is dropped except the
+    * lexicographically smallest (doc_id, idx), then each document is
+    * reassembled from its surviving paragraphs in order. Input:
+    * (doc_id, paras array<string>). Output: (doc_id, n_kept, text_kept) —
+    * documents whose every paragraph lost are absent.
+    *
+    * Scale shape: keeper election groups (md5, doc_id, idx) — the wide
+    * digest-keyed exchange carries 48-byte rows, never text. Paragraph
+    * text moves only on document-keyed exchanges (the semi-join probe on
+    * (doc_id, idx) and the reassembly agg on doc_id), i.e. the minimum
+    * any reassembling dedup must move.
+    */
+  def paragraphDedup(paras: DataFrame): DataFrame = {
+    val occ = paras.select(col("doc_id"),
+      posexplode(col("paras")).as(Seq("idx", "para")))
+    val keepers = occ
+      .select(md5(col("para")).as("h"), col("doc_id"), col("idx"))
+      .groupBy("h").agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.idx").as("idx"))
+    occ.join(keepers, Seq("doc_id", "idx"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+            x => x.getField("para")), " ").as("text_kept"))
+  }
+
+  /** Distributed bloom sketch of the known corpus' text hashes — one
+    * aggregation job, returns the serialized filter (~1 MB at the default
+    * shape; a driver-side SCALAR, not collected rows). In an ingestion
+    * pipeline this sketch is built once per known snapshot and reused
+    * across incoming batches. Null when the known side is empty.
+    */
+  def buildKnownBloom(known: DataFrame, expectedItems: Long = 1L << 20,
+                      numBits: Long = 1L << 23): Array[Byte] = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val aggCol = GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(col("text"))),
+        CatLit(expectedItems), CatLit(numBits)).toAggregateExpression())
+    val row = known.filter(col("text").isNotNull).agg(aggCol.as("bf")).head()
+    if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
+  }
+
+  /** Incremental exact dedup with a bloom prefilter — same contract and
+    * exact same result as `dedupAgainst`, different 100 TB shape: rows
+    * whose text hash misses the known-corpus bloom sketch are provably
+    * new and bypass the join entirely, so the digest anti join shuffles
+    * only the (true duplicate + false positive) sliver instead of the
+    * whole incoming batch. False positives cost a join probe, never a
+    * wrong answer. The sketch rides the plan as a foldable literal
+    * (`BloomFilterMightContain` requires a constant or scalar subquery),
+    * evaluated once per partition.
+    */
+  def dedupBloomPrefilter(incoming: DataFrame, known: DataFrame,
+                          expectedItems: Long = 1L << 20,
+                          numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+    val in = incoming.filter(col("text").isNotNull)
+    val bf = buildKnownBloom(known, expectedItems, numBits)
+    if (bf == null) in // empty known corpus: nothing can be a duplicate
+    else {
+      val maybe = GraftSqlBridge.column(BloomFilterMightContain(
+        CatLit(bf), GraftSqlBridge.expression(xxhash64(col("text")))))
+      val tagged = in.withColumn("maybe", maybe)
+      tagged.filter(!col("maybe")).drop("maybe")
+        .union(dedupAgainst(tagged.filter(col("maybe")).drop("maybe"), known))
+    }
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CurationOps, DedupOps}
+
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate flags docs sharing an 8-gram with the benchmark") {
+    val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x b1 b2 b3 b4 b5 b6 b7 b8 y"), // contains the benchmark 8-gram
+      (2L, "b1 b2 b3 b4 b5 b6 b7 other"),  // only 7 shared words in a row
+      (3L, "totally unrelated words here today now see eight nine")
+    ).toDF("doc_id", "text")
+    val out = CurationOps.decontaminate(train, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L))
+  }
+
+  test("decontaminate counts distinct contaminated grams once") {
+    val bench = Seq((100L, "a b c d e f g h i")).toDF("doc_id", "text") // 2 grams
+    val train = Seq(
+      // Contains both benchmark 8-grams, one of them twice.
+      (1L, "a b c d e f g h i z a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val out = CurationOps.decontaminate(train, bench).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("packLayout assigns contiguous windows from the token prefix sum") {
+    val docs = Seq(
+      (1L, "a b c"),    // n_tok 3, start 0
+      (2L, "d e f g"),  // n_tok 4, start 3 — straddles windows 0 and 1
+      (3L, "h"),        // n_tok 1, start 7
+      (4L, "")          // n_tok 0, start 8 — pinned to its start window
+    ).toDF("doc_id", "text")
+    val out = CurationOps.packLayout(docs, budget = 5L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(1L) === ((3L, 0L, 0L, 0L, 1L)))
+    assert(out(2L) === ((4L, 3L, 0L, 1L, 2L)))
+    assert(out(3L) === ((1L, 7L, 1L, 1L, 1L)))
+    assert(out(4L) === ((0L, 8L, 1L, 1L, 1L)))
+  }
+
+  test("packLayout is stable under repartitioning") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = CurationOps.packLayout(docs).collect().map(_.toSeq).toSet
+    val b = CurationOps.packLayout(docs.repartition(7)).collect()
+      .map(_.toSeq).toSet
+    assert(a === b)
+    // Offsets are dense: total span equals the token sum.
+    val total = docs.select(sum(size(filter(split(col("text"), "\\s+"),
+      x => x =!= "")).cast("long"))).head.getLong(0)
+    val last = CurationOps.packLayout(docs)
+      .select(max(col("start_off") + col("n_tok"))).head.getLong(0)
+    assert(last === total)
+  }
+
+  test("mixResample thresholds match a driver-side replica") {
+    val docs = Seq(
+      (1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
+      (5L, "fr"), (6L, "fr")
+    ).toDF("doc_id", "lang").withColumn("text", lit("t"))
+    val pct = when(col("lang") === "en", 50).otherwise(100)
+    val out = CurationOps.mixResample(docs, "lang", pct).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // thr_en = min(1e6, 50*6*10000/4) = 750000; thr_fr = capped 1e6 (all).
+    def kept(ids: Seq[Long], thr: Long): Seq[Long] =
+      ids.filter(id => DedupOps.hash60Local(s"mix-$id") % 1000000L < thr)
+    val en = kept(Seq(1L, 2L, 3L, 4L), 750000L)
+    assert(out("en") === ((4L, 750000L, en.size.toLong, en.sum)))
+    assert(out("fr") === ((2L, 1000000L, 2L, 11L)))
+  }
+}

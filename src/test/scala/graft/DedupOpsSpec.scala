@@ -85,6 +85,66 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkedParas cuts word streams into fixed-size chunks") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 10 + 10 + 5
+      (2L, "solo"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.chunkedParas(docs, 10).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).length === 3)
+    assert(out(1L)(0) === (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(out(1L)(2) === (21 to 25).map(i => s"w$i").mkString(" "))
+    assert(out(2L) === Seq("solo"))
+    assert(out(3L) === Seq.empty)
+  }
+
+  test("paragraphDedup keeps first (doc_id, idx) occurrence and reassembles") {
+    val paras = Seq(
+      (1L, Seq("aa", "bb")),
+      (2L, Seq("bb", "cc")),
+      (3L, Seq("aa")),
+      (4L, Seq("cc", "aa", "dd"))
+    ).toDF("doc_id", "paras")
+    val out = DedupOps.paragraphDedup(paras).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out === Map(
+      1L -> ((2L, "aa bb")), // both first occurrences
+      2L -> ((1L, "cc")),    // "bb" lost to doc 1
+      4L -> ((1L, "dd"))     // "cc" lost to doc 2, "aa" to doc 1
+    ))                       // doc 3 lost everything: absent
+  }
+
+  test("paragraphDedup on chunked dup corpus drops exact copies only") {
+    val out = DedupOps.paragraphDedup(
+      DedupOps.chunkedParas(DedupOps.dupCorpus(tinyDocs), 10))
+      .collect().map(_.getLong(0)).toSet
+    // Exact copies (+1M) share every chunk with the original: gone.
+    // Near copies (+2M) have shifted word chunks, all distinct: kept.
+    assert(out === Set(1L, 2L, 3L, 2000001L, 2000002L, 2000003L))
+  }
+
+  test("dedupBloomPrefilter returns exactly the dedupAgainst result") {
+    val incoming = DedupOps.dupCorpus(tinyDocs).select("doc_id", "text")
+    val known = tinyDocs.filter(col("doc_id") <= 2).select("doc_id", "text")
+    val expect = DedupOps.dedupAgainst(incoming, known)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = DedupOps.dedupBloomPrefilter(incoming, known)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(!got.contains(1000001L) && got.contains(3L))
+  }
+
+  test("dedupBloomPrefilter with empty known keeps every non-null row") {
+    val incoming = Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val known = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = DedupOps.dedupBloomPrefilter(incoming, known)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L))
+  }
+
   test("dedup pipeline runs end-to-end on the documents fixture") {
     val corpus = DedupOps.dupCorpus(Tables.documents(spark, sfDir))
     val exact = DedupOps.exactDedup(corpus)
