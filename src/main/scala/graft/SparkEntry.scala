@@ -346,9 +346,12 @@ object SparkEntry {
     // sketch bypass the anti join entirely (the 100 TB ingestion shape).
     "q_dedup_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // Sketch sized for the fixture known set (the literal rides the
+      // plan string; production sizes it to the known-corpus cardinality).
       DedupOps.dedupBloomPrefilter(
         DedupOps.dupCorpus(docs).select("doc_id", "text"),
-        docs.filter(col("doc_id") < 250).select("doc_id", "text"))
+        docs.filter(col("doc_id") < 250).select("doc_id", "text"),
+        expectedItems = 1L << 16, numBits = 1L << 19)
         .select("doc_id")
     }),
     // Paragraph-level exact dedup (C4-style) with document reassembly,

@@ -113,4 +113,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"exchanges carrying the text column: $offenders\n$plan")
   }
+
+  test("decontamination broadcasts the benchmark gram set (corpus never shuffles)") {
+    val p = planOf("q_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
+  test("paragraph dedup: keeper election exchange carries hashes, not text") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = SparkEntry.queries("q_dedup_paragraph")(spark, sfDir)
+      .queryExecution.executedPlan
+    // Text-bearing exchanges must be doc-keyed (join probe / reassembly);
+    // the md5-keyed keeper election must move only (h, doc_id, idx).
+    val offenders = plan.collect {
+      case e: Exchange if e.output.exists(_.name == "h") &&
+        e.output.exists(a => a.name == "para" || a.name == "text") => e.nodeName
+    }
+    assert(offenders.isEmpty,
+      s"keeper-election exchange carrying paragraph text: $offenders\n$plan")
+  }
+
+  test("bloom dedup embeds the sketch as a literal prefilter") {
+    val p = planOf("q_dedup_bloom")
+    assert(p.contains("might_contain"), s"expected bloom prefilter:\n$p")
+    // The bloom-negative branch is join-free: a Union whose first child
+    // is a plain Filter(NOT might_contain) with no join below it.
+    assert(p.contains("Union"), s"expected filter ∪ anti-join shape:\n$p")
+  }
+
+  test("pack layout shuffles (id, n_tok) pairs only, never text") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = SparkEntry.queries("q_pack")(spark, sfDir)
+      .queryExecution.executedPlan
+    val offenders = plan.collect {
+      case e: Exchange if e.output.exists(_.name == "text") => e.nodeName
+    }
+    assert(offenders.isEmpty, s"exchanges carrying text: $offenders\n$plan")
+  }
+
+  test("mix resample plans broadcast thresholds, no shuffle join on docs") {
+    val p = planOf("q_mix_resample")
+    assert(!p.contains("SortMergeJoin"), s"doc-side shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
 }
