@@ -247,6 +247,26 @@ object OracleSql {
                  - (start_off // 256) + 1 AS n_chunks
         FROM s"""
 
+  /** Vocab-coverage twin: top-10 corpus vocabulary (count desc, word asc —
+    * the deterministic tie-break both engines share), per-doc OOV fraction.
+    */
+  def vocabCoverageSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(text, '\\s+'),
+            x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL),
+        vocab AS (SELECT w FROM (
+          SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+          ORDER BY cnt DESC, w ASC LIMIT 10)),
+        a AS (SELECT t.doc_id, COUNT(*) AS n_tok,
+                CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_in_vocab
+              FROM toks t LEFT JOIN vocab v USING (w)
+              GROUP BY t.doc_id)
+        SELECT doc_id, n_tok, n_in_vocab,
+               CAST(n_tok - n_in_vocab AS DOUBLE) / n_tok AS oov_frac
+        FROM a"""
+
   /** Mix-resample twin: per-lang target percents, all-int64 threshold,
     * hash-keyed keep decision. CAST(SUM AS BIGINT) keeps id_sum int64.
     */

@@ -434,6 +434,10 @@ object SparkEntry {
       CurationOps.mixResample(Tables.documents(s, d), "lang",
         when(col("lang") === "en", 40).when(col("lang") === "zh", 25)
           .when(col("lang") === "de", 15).otherwise(10))),
+    // Vocabulary coverage: top-10 corpus vocab, per-doc OOV fraction
+    // (tokenizer-fit estimation before committing a vocab).
+    "q_vocab_coverage" -> ((s, d) =>
+      CurationOps.vocabCoverage(Tables.documents(s, d))),
     // Per-dimension embedding moments (dataset profiling before
     // normalization/whitening): 64 rows out regardless of corpus size.
     "q_embed_dimstats" -> ((s, d) =>
@@ -906,6 +910,7 @@ object SparkEntry {
     "q_decontam" -> OracleSql.decontamSql,
     "q_pack" -> OracleSql.packSql,
     "q_mix_resample" -> OracleSql.mixResampleSql,
+    "q_vocab_coverage" -> OracleSql.vocabCoverageSql,
     "q_split_assign" ->
       s"""WITH b AS (SELECT doc_id,
             ${OracleSql.hash60("'split-' || CAST(doc_id AS VARCHAR)")} % 100

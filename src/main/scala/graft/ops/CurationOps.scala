@@ -65,6 +65,36 @@ object CurationOps {
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + lit(1L))
   }
 
+  /** Vocabulary coverage / OOV rate: build the top-`vocabSize` corpus
+    * vocabulary (by occurrence count, ties broken by word ascending —
+    * deterministic in both engines), then score every document by the
+    * fraction of its token occurrences outside that vocabulary. The
+    * training-data use: estimating tokenizer fit / UNK pressure before
+    * committing a vocab.
+    *
+    * Scale shape: the vocabulary derives from a word-keyed count agg
+    * (map-side combined — the wordcount plan) plus a global top-k
+    * (TakeOrderedAndProject-able, k rows to the driver side of the plan,
+    * broadcast back). The per-doc pass is explode + broadcast join +
+    * one doc-keyed agg; token strings never hash-shuffle. OOV fraction is
+    * an exact dyadic-free division of int64 counts — engine-identical.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 10): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(vocabSize)
+      .select("w").withColumn("in_vocab", lit(1L))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        coalesce(sum("in_vocab"), lit(0L)).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_tok"), col("n_in_vocab"),
+        ((col("n_tok") - col("n_in_vocab")).cast("double") / col("n_tok"))
+          .as("oov_frac"))
+  }
+
   /** Deterministic target-mix resampling (data mixing for training): given
     * a per-group target percentage of the output mix, downsample each
     * group with a hash threshold so kept counts approach

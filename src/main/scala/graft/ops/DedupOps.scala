@@ -329,8 +329,12 @@ object DedupOps {
     * any reassembling dedup must move.
     */
   def paragraphDedup(paras: DataFrame): DataFrame = {
+    // The occurrence table feeds two branches (keeper election + probe);
+    // persist stops the chunk/explode pipeline running twice. MEMORY_AND_
+    // DISK with spill is the standard trade at scale: re-deriving would
+    // instead re-scan the corpus per branch.
     val occ = paras.select(col("doc_id"),
-      posexplode(col("paras")).as(Seq("idx", "para")))
+      posexplode(col("paras")).as(Seq("idx", "para"))).persist()
     val keepers = occ
       .select(md5(col("para")).as("h"), col("doc_id"), col("idx"))
       .groupBy("h").agg(min(struct(col("doc_id"), col("idx"))).as("k"))

@@ -59,6 +59,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(last === total)
   }
 
+  test("vocabCoverage scores OOV fractions against the top-k vocab") {
+    val docs = Seq(
+      (1L, "a a a b b c"), // a:3 b:2 c:1 corpus-wide with doc 2
+      (2L, "a b z"),       // z is rare
+      (3L, "q r s t")      // fully OOV at vocabSize=2
+    ).toDF("doc_id", "text")
+    // counts: a=4 b=3 c=1 z=1 q=r=s=t=1 → vocab(2) = {a, b}
+    val out = CurationOps.vocabCoverage(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) === ((6L, 5L, 1.0 / 6)))
+    assert(out(2L) === ((3L, 2L, 1.0 / 3)))
+    assert(out(3L) === ((4L, 0L, 1.0)))
+  }
+
+  test("vocabCoverage tie-break is deterministic (word ascending)") {
+    val docs = Seq((1L, "b a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    // a=2 b=2 c=1; vocabSize=1 must pick "a" (count tie, word asc).
+    val out = CurationOps.vocabCoverage(docs, vocabSize = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("mixResample thresholds match a driver-side replica") {
     val docs = Seq(
       (1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
