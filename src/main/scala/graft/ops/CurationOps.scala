@@ -45,23 +45,39 @@ object CurationOps {
     * pure function of (order, token counts) — reproducible across engines
     * and re-runs, so shard assignment never silently changes.
     *
-    * Scale shape: one global range-partitioned sort (Spark samples range
-    * bounds; each partition computes its prefix sums after a partition-sum
-    * exchange) — the same plan class as q_sort_total, known to hold at
-    * scale. No text moves: the window input is (doc_id, n_tok) pairs.
+    * Scale shape: the prefix sum is TWO-LEVEL, never a single-partition
+    * window. Documents are coarsened into order-preserving id buckets
+    * (`doc_id div bucketSpan`); per-bucket token totals (one tiny agg)
+    * get a driver-scale cumulative offset, broadcast back; each bucket
+    * then computes its in-bucket prefix sums in parallel under a window
+    * PARTITIONED by bucket. The only single-partition work is the
+    * cumulative sum over ~|corpus|/bucketSpan bucket rows (10^6 rows at a
+    * 10^12-doc corpus with the default span). No text moves: everything
+    * past the scan is (doc_id, n_tok) pairs. Assumes nonnegative doc ids
+    * (int64 `div` truncation is only order-preserving from 0 up).
     */
-  def packLayout(docs: DataFrame, budget: Long = 256L): DataFrame = {
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    docs.filter(col("text").isNotNull)
+  def packLayout(docs: DataFrame, budget: Long = 256L,
+                 bucketSpan: Long = 1L << 20): DataFrame = {
+    val t = docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         size(filter(split(col("text"), "\\s+"), x => x =!= ""))
           .cast("long").as("n_tok"))
-      .withColumn("start_off", coalesce(sum("n_tok").over(w), lit(0L)))
-      .withColumn("chunk_first", expr(s"start_off div $budget"))
-      // greatest() pins zero-token docs to their start window instead of
-      // an off-by-one window before it (start_off + n_tok - 1 < start_off).
-      .withColumn("chunk_last",
-        expr(s"greatest(start_off, start_off + n_tok - 1) div $budget"))
+      .withColumn("b", expr(s"doc_id div $bucketSpan"))
+    val bw = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val boffs = t.groupBy("b").agg(sum("n_tok").as("bt"))
+      .withColumn("boff", coalesce(sum("bt").over(bw), lit(0L)))
+      .select("b", "boff")
+    val iw = Window.partitionBy("b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(boffs), "b")
+      .withColumn("start_off",
+        col("boff") + coalesce(sum("n_tok").over(iw), lit(0L)))
+      .select(col("doc_id"), col("n_tok"), col("start_off"),
+        expr(s"start_off div $budget").as("chunk_first"),
+        // greatest() pins zero-token docs to their start window instead of
+        // an off-by-one window before it (start_off + n_tok - 1 < start_off).
+        expr(s"greatest(start_off, start_off + n_tok - 1) div $budget")
+          .as("chunk_last"))
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + lit(1L))
   }
 

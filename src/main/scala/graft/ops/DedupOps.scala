@@ -332,7 +332,11 @@ object DedupOps {
     // The occurrence table feeds two branches (keeper election + probe);
     // persist stops the chunk/explode pipeline running twice. MEMORY_AND_
     // DISK with spill is the standard trade at scale: re-deriving would
-    // instead re-scan the corpus per branch.
+    // instead re-scan the corpus per branch. Cache contract: the result is
+    // lazy, so the entry cannot be unpersisted here (unlike GraphOps'
+    // loops, which act inside the op) — the caller frees it after its
+    // action (`spark.catalog.clearCache()`, as Verify/Bench already do
+    // between queries).
     val occ = paras.select(col("doc_id"),
       posexplode(col("paras")).as(Seq("idx", "para"))).persist()
     val keepers = occ
@@ -387,7 +391,10 @@ object DedupOps {
     else {
       val maybe = GraftSqlBridge.column(BloomFilterMightContain(
         CatLit(bf), GraftSqlBridge.expression(xxhash64(col("text")))))
-      val tagged = in.withColumn("maybe", maybe)
+      // Persisted for the same two-branch reason as paragraphDedup (and
+      // under the same caller-frees cache contract): without it, both
+      // union children re-derive the full incoming pipeline + bloom probe.
+      val tagged = in.withColumn("maybe", maybe).persist()
       tagged.filter(!col("maybe")).drop("maybe")
         .union(dedupAgainst(tagged.filter(col("maybe")).drop("maybe"), known))
     }

@@ -45,6 +45,15 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L) === ((0L, 8L, 1L, 1L, 1L)))
   }
 
+  test("packLayout bucketed prefix sum matches the single-bucket layout") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val one = CurationOps.packLayout(docs, 64L, bucketSpan = 1L << 40)
+      .collect().map(_.toSeq).toSet
+    val many = CurationOps.packLayout(docs, 64L, bucketSpan = 16L)
+      .collect().map(_.toSeq).toSet
+    assert(one === many)
+  }
+
   test("packLayout is stable under repartitioning") {
     val docs = Tables.documents(spark, sfDir)
     val a = CurationOps.packLayout(docs).collect().map(_.toSeq).toSet

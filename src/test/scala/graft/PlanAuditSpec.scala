@@ -19,6 +19,18 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  /** Traversable physical plan: `executedPlan` under AQE is an
+    * `AdaptiveSparkPlanExec` LEAF (its `collect` visits one node and no
+    * children — an audit over it passes vacuously), so unwrap to the
+    * input plan the adaptive wrapper will execute.
+    */
+  private def physicalOf(name: String): org.apache.spark.sql.execution.SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+
   test("no registered query plans a CartesianProduct") {
     // q_stream_* replay rows are excluded: building their DataFrame RUNS
     // a full staged streaming query whose returned plan is just a
@@ -105,8 +117,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("curation pipeline never moves document text through an exchange") {
     import org.apache.spark.sql.execution.exchange.Exchange
-    val plan = SparkEntry.queries("q_pipeline")(spark, sfDir)
-      .queryExecution.executedPlan
+    val plan = physicalOf("q_pipeline")
     val offenders = plan.collect {
       case e: Exchange if e.output.exists(_.name == "text") => e.nodeName
     }
@@ -122,8 +133,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("paragraph dedup: keeper election exchange carries hashes, not text") {
     import org.apache.spark.sql.execution.exchange.Exchange
-    val plan = SparkEntry.queries("q_dedup_paragraph")(spark, sfDir)
-      .queryExecution.executedPlan
+    val plan = physicalOf("q_dedup_paragraph")
     // Text-bearing exchanges must be doc-keyed (join probe / reassembly);
     // the md5-keyed keeper election must move only (h, doc_id, idx).
     val offenders = plan.collect {
@@ -135,21 +145,35 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("bloom dedup embeds the sketch as a literal prefilter") {
-    val p = planOf("q_dedup_bloom")
-    assert(p.contains("might_contain"), s"expected bloom prefilter:\n$p")
-    // The bloom-negative branch is join-free: a Union whose first child
-    // is a plain Filter(NOT might_contain) with no join below it.
-    assert(p.contains("Union"), s"expected filter ∪ anti-join shape:\n$p")
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = physicalOf("q_dedup_bloom")
+    assert(plan.toString.contains("might_contain"),
+      s"expected bloom prefilter:\n$plan")
+    // The whole plan holds exactly ONE join — the anti join on the
+    // bloom-positive sliver. The bloom-negative union branch is provably
+    // join-free, or this count would be higher.
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    assert(joins.map(_.joinType.toString) === Seq("LeftAnti"),
+      s"expected exactly one LeftAnti join:\n$plan")
   }
 
-  test("pack layout shuffles (id, n_tok) pairs only, never text") {
-    import org.apache.spark.sql.execution.exchange.Exchange
-    val plan = SparkEntry.queries("q_pack")(spark, sfDir)
-      .queryExecution.executedPlan
-    val offenders = plan.collect {
+  test("pack layout: no single-partition exchange ever carries doc rows") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}
+    val plan = physicalOf("q_pack")
+    // Text never shuffles...
+    val textOff = plan.collect {
       case e: Exchange if e.output.exists(_.name == "text") => e.nodeName
     }
-    assert(offenders.isEmpty, s"exchanges carrying text: $offenders\n$plan")
+    assert(textOff.isEmpty, s"exchanges carrying text: $textOff\n$plan")
+    // ...and the only AllTuples work is the tiny bucket-offset cumsum:
+    // per-doc rows reach windows through hash/range partitioning only.
+    val singleDoc = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition &&
+        e.output.exists(_.name == "doc_id") => e.nodeName
+    }
+    assert(singleDoc.isEmpty,
+      s"single-partition exchange carrying doc rows: $singleDoc\n$plan")
   }
 
   test("mix resample plans broadcast thresholds, no shuffle join on docs") {
