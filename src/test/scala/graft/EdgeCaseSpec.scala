@@ -18,6 +18,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(DedupOps.ngramJaccardPairs(tiny).count() === 0)
   }
 
+  test("curation ops on degenerate inputs") {
+    import graft.ops.CurationOps
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    // Empty benchmark: nothing can contaminate.
+    val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CurationOps.decontaminate(docs, noBench).count() === 0)
+    // Benchmark shorter than the gram width contributes no grams.
+    val shortBench = Seq((9L, "a b c")).toDF("doc_id", "text")
+    assert(CurationOps.decontaminate(docs, shortBench).count() === 0)
+    // All-duplicate corpus: paragraph dedup keeps exactly one copy.
+    val paras = DedupOps.paragraphDedup(DedupOps.chunkedParas(docs, 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(paras.toSeq === Seq((1L, 1L, "a b c d")))
+    // pct=0 target drops the whole group; absent group keys keep others.
+    val zero = CurationOps.mixResample(docs, "text",
+      org.apache.spark.sql.functions.lit(0))
+    assert(zero.count() === 0)
+    // vocabSize beyond the vocabulary: everything is in-vocab.
+    val cov = CurationOps.vocabCoverage(docs, vocabSize = 1000).collect()
+    assert(cov.forall(_.getDouble(3) === 0.0))
+  }
+
   test("empty corpus flows through every dedup operator") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(DedupOps.exactDedup(empty).count() === 0)
