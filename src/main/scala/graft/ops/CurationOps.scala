@@ -53,16 +53,21 @@ object CurationOps {
     * PARTITIONED by bucket. The only single-partition work is the
     * cumulative sum over ~|corpus|/bucketSpan bucket rows (10^6 rows at a
     * 10^12-doc corpus with the default span). No text moves: everything
-    * past the scan is (doc_id, n_tok) pairs. Assumes nonnegative doc ids
-    * (int64 `div` truncation is only order-preserving from 0 up).
+    * past the scan is (doc_id, n_tok) pairs, and that tiny projection is
+    * persisted so its two consumers (bucket totals + the layout join)
+    * tokenize the corpus once, under the same caller-frees cache contract
+    * as paragraphDedup. Rows with a NULL doc_id or NULL text are excluded
+    * up front (a null id has no place in a total order; int64 `div` is
+    * order-preserving for all non-null ids, negative included).
     */
   def packLayout(docs: DataFrame, budget: Long = 256L,
                  bucketSpan: Long = 1L << 20): DataFrame = {
-    val t = docs.filter(col("text").isNotNull)
+    val t = docs.filter(col("text").isNotNull && col("doc_id").isNotNull)
       .select(col("doc_id"),
         size(filter(split(col("text"), "\\s+"), x => x =!= ""))
           .cast("long").as("n_tok"))
       .withColumn("b", expr(s"doc_id div $bucketSpan"))
+      .persist()
     val bw = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     val boffs = t.groupBy("b").agg(sum("n_tok").as("bt"))
       .withColumn("boff", coalesce(sum("bt").over(bw), lit(0L)))

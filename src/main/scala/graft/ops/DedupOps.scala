@@ -382,7 +382,8 @@ object DedupOps {
     */
   def dedupBloomPrefilter(incoming: DataFrame, known: DataFrame,
                           expectedItems: Long = 1L << 20,
-                          numBits: Long = 1L << 23): DataFrame = {
+                          numBits: Long = 1L << 23,
+                          persistIncoming: Boolean = true): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
     val in = incoming.filter(col("text").isNotNull)
@@ -394,7 +395,12 @@ object DedupOps {
       // Persisted for the same two-branch reason as paragraphDedup (and
       // under the same caller-frees cache contract): without it, both
       // union children re-derive the full incoming pipeline + bloom probe.
-      val tagged = in.withColumn("maybe", maybe).persist()
+      // This pins the batch (text included) until the caller frees it — a
+      // looping ingester that already holds the batch materialized should
+      // pass persistIncoming=false and accept the double derivation of
+      // its (cheap, materialized) scan instead.
+      val tagged0 = in.withColumn("maybe", maybe)
+      val tagged = if (persistIncoming) tagged0.persist() else tagged0
       tagged.filter(!col("maybe")).drop("maybe")
         .union(dedupAgainst(tagged.filter(col("maybe")).drop("maybe"), known))
     }
