@@ -267,6 +267,25 @@ object OracleSql {
                CAST(n_tok - n_in_vocab AS DOUBLE) / n_tok AS oov_frac
         FROM a"""
 
+  /** Weighted-sample twin: keep prob ∝ n_chars (capped), hash-keyed. */
+  def sampleWeightedSql: String =
+    s"""SELECT doc_id, n_chars FROM documents
+        WHERE ${hash60("'wsamp-' || CAST(doc_id AS VARCHAR)")} % 1000000
+          < LEAST(1000000, n_chars * 2500)"""
+
+  /** Corpus-report twin: all-int64 per-(source, lang) profile. */
+  def corpusReportSql: String =
+    s"""WITH t AS (SELECT source, lang,
+          CAST(len(list_filter(string_split_regex(text, '\\s+'),
+            x -> x <> '')) AS BIGINT) AS n_tok,
+          CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents WHERE text IS NOT NULL)
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+               MIN(n_tok) AS min_tokens, MAX(n_tok) AS max_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM t GROUP BY source, lang"""
+
   /** Mix-resample twin: per-lang target percents, all-int64 threshold,
     * hash-keyed keep decision. CAST(SUM AS BIGINT) keeps id_sum int64.
     */

@@ -438,6 +438,15 @@ object SparkEntry {
     // (tokenizer-fit estimation before committing a vocab).
     "q_vocab_coverage" -> ((s, d) =>
       CurationOps.vocabCoverage(Tables.documents(s, d))),
+    // Weighted sampling: keep probability ∝ document length (capped at 1),
+    // deterministic via the id hash — importance sampling with replay.
+    "q_sample_weighted" -> ((s, d) =>
+      CurationOps.weightedSample(Tables.documents(s, d),
+        col("n_chars") * lit(2500L)).select("doc_id", "n_chars")),
+    // Corpus profile report: per-(source, lang) dataset card with exact
+    // int64 token/char totals and ranges.
+    "q_corpus_report" -> ((s, d) =>
+      TextStatsOps.corpusReport(Tables.documents(s, d))),
     // Per-dimension embedding moments (dataset profiling before
     // normalization/whitening): 64 rows out regardless of corpus size.
     "q_embed_dimstats" -> ((s, d) =>
@@ -911,6 +920,8 @@ object SparkEntry {
     "q_pack" -> OracleSql.packSql,
     "q_mix_resample" -> OracleSql.mixResampleSql,
     "q_vocab_coverage" -> OracleSql.vocabCoverageSql,
+    "q_sample_weighted" -> OracleSql.sampleWeightedSql,
+    "q_corpus_report" -> OracleSql.corpusReportSql,
     "q_split_assign" ->
       s"""WITH b AS (SELECT doc_id,
             ${OracleSql.hash60("'split-' || CAST(doc_id AS VARCHAR)")} % 100

@@ -116,6 +116,21 @@ object CurationOps {
           .as("oov_frac"))
   }
 
+  /** Deterministic weighted (importance) sampling: keep each row with
+    * probability thr/10^6, thr a caller-supplied integer column in
+    * [0, 10^6] (values above cap at keep-everything) — e.g. proportional
+    * to a quality score or length. The keep decision hashes only the id,
+    * so it is reproducible across engines/re-runs and independent of the
+    * weight formula's evolution for rows whose thr crosses 10^6. Fourth
+    * member of the sampling family: uniform (q_sample), stratified
+    * (q_sample_stratified), target-mix (q_mix_resample), weighted.
+    * Pure filter over a scan — shuffle-free at any scale.
+    */
+  def weightedSample(docs: DataFrame, thr: Column): DataFrame =
+    docs.filter(
+      TextOps.hash60(concat(lit("wsamp-"), col("doc_id"))) % 1000000L
+        < least(lit(1000000L), thr))
+
   /** Deterministic target-mix resampling (data mixing for training): given
     * a per-group target percentage of the output mix, downsample each
     * group with a hash threshold so kept counts approach

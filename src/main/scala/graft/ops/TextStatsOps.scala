@@ -186,6 +186,25 @@ object TextStatsOps {
     * are excluded (deterministic in both engines). Both fractions are
     * IEEE divisions of exact int64 counts — engine-identical.
     */
+  /** Corpus profile report: per (source, lang) doc counts and exact
+    * token/char totals and ranges — the dataset card a curation run emits
+    * before training. All-int64 aggregates (no double sums — those are
+    * order-dependent and would not oracle-check); one map-side-combined
+    * aggregation, output ~|sources|·|langs| rows at any corpus size.
+    */
+  def corpusReport(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("source"), col("lang"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        min("n_tok").as("min_tokens"),
+        max("n_tok").as("max_tokens"),
+        sum("n_chars").as("sum_chars"))
+
   def repetitionStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(DedupOps.shingleArr(col("text"), 2)).as("g"))

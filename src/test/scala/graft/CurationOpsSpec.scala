@@ -92,6 +92,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
   }
 
+  test("weightedSample keep set matches a driver-side replica") {
+    val docs = (1L to 50L).map(i => (i, i * 40000L)).toDF("doc_id", "w")
+    val got = CurationOps.weightedSample(docs, col("w"))
+      .collect().map(_.getLong(0)).toSet
+    val expect = (1L to 50L).filter { i =>
+      DedupOps.hash60Local(s"wsamp-$i") % 1000000L <
+        math.min(1000000L, i * 40000L)
+    }.toSet
+    assert(got === expect)
+    assert(got.nonEmpty && got.size < 50) // caps and misses both exercised
+    // Rows at/above the cap are always kept.
+    assert((25L to 50L).filter(i =>
+      DedupOps.hash60Local(s"wsamp-$i") % 1000000L < 1000000L)
+      .forall(got.contains))
+  }
+
   test("mixResample thresholds match a driver-side replica") {
     val docs = Seq(
       (1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),

@@ -88,6 +88,22 @@ class TextStatsOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("corpusReport aggregates exact int64 profiles per (source, lang)") {
+    val docs = Seq(
+      (1L, "a bb ccc", "en", "s1"),
+      (2L, "dd ee", "en", "s1"),
+      (3L, "f", "fr", "s1"),
+      (4L, null.asInstanceOf[String], "en", "s2") // null text excluded
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextStatsOps.corpusReport(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(out === Map(
+      ("s1", "en") -> ((2L, 5L, 2L, 3L, 13L)),
+      ("s1", "fr") -> ((1L, 1L, 1L, 1L, 1L))))
+  }
+
   test("repetitionStats scores looped text high and varied text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),      // 4 bigrams, all "spam spam"
