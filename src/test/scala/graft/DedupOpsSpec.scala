@@ -125,6 +125,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(out === Set(1L, 2L, 3L, 2000001L, 2000002L, 2000003L))
   }
 
+  test("paragraphDedup is identity on a paragraph-unique corpus") {
+    val paras = (1L to 30L).map(i =>
+      (i, Seq(s"p$i alpha", s"p$i beta", s"p$i gamma")))
+      .toDF("doc_id", "paras")
+    val out = DedupOps.paragraphDedup(paras).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size === 30)
+    (1L to 30L).foreach { i =>
+      assert(out(i) === ((3L, s"p$i alpha p$i beta p$i gamma")))
+    }
+  }
+
   test("dedupBloomPrefilter returns exactly the dedupAgainst result") {
     val incoming = DedupOps.dupCorpus(tinyDocs).select("doc_id", "text")
     val known = tinyDocs.filter(col("doc_id") <= 2).select("doc_id", "text")
