@@ -21,10 +21,13 @@ object CurationOps {
     * distinct k-gram hash set is BROADCAST — the training corpus never
     * shuffles. Matches (a sliver) are the only rows that move, into the
     * per-doc distinct-count agg. Shingles travel as 60-bit portable
-    * hashes, never strings.
+    * hashes, never strings. For a benchmark too large to broadcast (a
+    * full eval-suite union: 10^8+ grams ≳ executor broadcast budget),
+    * pass broadcastBench=false for a hash-join on the gram hashes — the
+    * train side then shuffles (doc_id, h) pairs, still never text.
     */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
-                    k: Int = 8): DataFrame = {
+                    k: Int = 8, broadcastBench: Boolean = true): DataFrame = {
     val bsh = benchmark.filter(col("text").isNotNull)
       .select(explode(DedupOps.shingleArr(col("text"), k)).as("sh"))
       .select(TextOps.hash60(col("sh")).as("h")).distinct()
@@ -32,7 +35,7 @@ object CurationOps {
       .select(col("doc_id"),
         explode(DedupOps.shingleArr(col("text"), k)).as("sh"))
       .select(col("doc_id"), TextOps.hash60(col("sh")).as("h"))
-      .join(broadcast(bsh), "h")
+      .join(if (broadcastBench) broadcast(bsh) else bsh, "h")
       .groupBy("doc_id")
       .agg(countDistinct("h").as("n_hits"))
   }

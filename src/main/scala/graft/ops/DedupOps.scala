@@ -356,6 +356,14 @@ object DedupOps {
     * shape; a driver-side SCALAR, not collected rows). In an ingestion
     * pipeline this sketch is built once per known snapshot and reused
     * across incoming batches. Null when the known side is empty.
+    *
+    * Sizing at scale: a useful sketch needs ~10 bits/known digest (≈1% FP
+    * → 1% of incoming reaches the anti join). Spark caps the catalyst
+    * bloom aggregate via `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems` (4M) and `.maxNumBits` (2^26) — a 10^9-digest known
+    * corpus needs those confs raised (the sketch is then ~1.2 GB: still a
+    * scalar, but size the driver/executor overhead accordingly, or shard
+    * the known corpus into multiple sketches).
     */
   def buildKnownBloom(known: DataFrame, expectedItems: Long = 1L << 20,
                       numBits: Long = 1L << 23): Array[Byte] = {
