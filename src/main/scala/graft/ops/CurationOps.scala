@@ -5,10 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a training-data pipeline runs after cleaning
-  * and dedup: benchmark decontamination, sequence-packing layout, and
-  * target-mix resampling. All three follow the repo's scale rules — no
-  * collect, candidate work bucketed or broadcast, integer-exact arithmetic
-  * so every result is DuckDB-oracle-checkable bit-for-bit.
+  * and dedup: benchmark decontamination, sequence-packing layout,
+  * vocabulary coverage, weighted sampling, and target-mix resampling. All
+  * follow the repo's scale rules — no collect, candidate work bucketed or
+  * broadcast, integer-exact arithmetic so every result is
+  * DuckDB-oracle-checkable bit-for-bit.
   */
 object CurationOps {
 
@@ -101,7 +102,7 @@ object CurationOps {
     * (TakeOrderedAndProject-able, k rows to the driver side of the plan,
     * broadcast back). The per-doc pass is explode + broadcast join +
     * one doc-keyed agg; token strings never hash-shuffle. OOV fraction is
-    * an exact dyadic-free division of int64 counts — engine-identical.
+    * one IEEE division of exact int64 counts — engine-identical.
     */
   def vocabCoverage(docs: DataFrame, vocabSize: Int = 10): DataFrame = {
     val toks = docs.filter(col("text").isNotNull)
@@ -150,6 +151,8 @@ object CurationOps {
     * Scale shape: group counts and the corpus total are tiny aggregates
     * broadcast back onto the corpus — the only full-data exchange is the
     * final per-group audit agg, which map-side combines to ~|groups| rows.
+    * Rows with a NULL group key drop out at the join (SQL equality) —
+    * assign an explicit "unknown" group upstream if they must be kept.
     */
   def mixResample(docs: DataFrame, groupCol: String, pct: Column): DataFrame = {
     val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n_g"))
