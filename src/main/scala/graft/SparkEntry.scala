@@ -531,6 +531,13 @@ object SparkEntry {
     // oracle proves actual pixel decoding happened, not header math.
     "q_multimodal_decode" -> ((s, d) =>
       MultimodalOps.decodeResizeStats(Tables.documents(s, d))),
+    // Second real image codec: JDK JPEG decode, exact dims after a lossy
+    // round trip.
+    "q_multimodal_jpeg" -> ((s, d) =>
+      MultimodalOps.jpegDecodeStats(Tables.documents(s, d))),
+    // Real audio codec: JDK WAV/PCM decode, exact sample sums.
+    "q_multimodal_wav" -> ((s, d) =>
+      MultimodalOps.wavDecodeStats(Tables.documents(s, d))),
 
     // SQL-surface registration of the native expressions (§2.10): the
     // injected functions (hash60, array_dot_l) run inside ONE SQL text;
@@ -1006,6 +1013,23 @@ object SparkEntry {
                 CAST(SUM(greatest(1, (1 + (doc_id // 16) % 16) // 2)) AS BIGINT)
                   AS sum_rheight
          FROM documents""",
+    "q_multimodal_jpeg" ->
+      """SELECT count(*) AS n_assets,
+                CAST(SUM(1 + doc_id % 16) AS BIGINT) AS sum_width,
+                CAST(SUM(1 + (doc_id // 16) % 16) AS BIGINT) AS sum_height
+         FROM documents""",
+    "q_multimodal_wav" ->
+      """WITH s AS (SELECT doc_id,
+                unnest(range(64 + doc_id % 128)) AS i
+              FROM documents),
+            a AS (SELECT doc_id, COUNT(*) AS n,
+                CAST(SUM(((doc_id * 31 + i * 17) % 65536) - 32768)
+                  AS BIGINT) AS ssum
+              FROM s GROUP BY doc_id)
+         SELECT COUNT(*) AS n_assets,
+                CAST(SUM(n) AS BIGINT) AS sum_samples,
+                CAST(SUM(ssum) AS BIGINT) AS sum_amp
+         FROM a""",
     "q_sql_q3" -> SqlQ3,
     "q_pipeline" -> OracleSql.pipelineSql,
     "q_sink_roundtrip" ->

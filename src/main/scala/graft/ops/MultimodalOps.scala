@@ -19,16 +19,16 @@ case class Frame(asset_id: Long, frame_idx: Int, payload: Array[Byte])
   * Dataset — the Scala analogue of `mapInPandas` batch UDFs.
   *
   * Two decode tiers:
-  *  - REAL image decode/resize for PNG via the JDK's `javax.imageio`
-  *    (`decodeImage` / `resizeImage` and the Dataset pipelines below):
-  *    actual pixel decoding, oracle-checked end-to-end in
-  *    `q_multimodal_decode` against closed-form dimensions and a planted
-  *    pixel value.
-  *  - A STUB path (`decodeStub`/`resizeStub`) for codecs the JDK does not
-  *    ship (jpg/wav/video): deterministic fakes that keep the
-  *    Dataset[Asset] → Dataset[AssetFeatures] partition-batched plumbing
-  *    testable; a production codec (e.g. ffmpeg bindings) replaces only
-  *    the function body.
+  *  - REAL codecs, all JDK-native: PNG decode/resize via `javax.imageio`
+  *    (`q_multimodal_decode`: closed-form dimensions + a planted pixel,
+  *    losslessly round-tripped), JPEG decode via the same API
+  *    (`q_multimodal_jpeg`: lossy, dimensions exact), and WAV PCM decode
+  *    via `javax.sound.sampled` (`q_multimodal_wav`: exact sample sums).
+  *  - A STUB path (`decodeStub`/`resizeStub`) for codecs the JDK
+  *    genuinely does not ship (video demux, modern image/audio formats):
+  *    deterministic fakes that keep the Dataset[Asset] →
+  *    Dataset[AssetFeatures] partition-batched plumbing testable; a
+  *    production codec (e.g. ffmpeg bindings) replaces only the body.
   *
   * At 100 TB decode/resize is pure map-side work (no shuffle); only the
   * final aggregates exchange data.
@@ -246,6 +246,118 @@ object MultimodalOps {
         sum("width").as("sum_width"), sum("height").as("sum_height"),
         sum("px00").as("sum_px00"),
         sum("rwidth").as("sum_rwidth"), sum("rheight").as("sum_rheight"))
+  }
+
+  // ---- real JPEG decode tier (javax.imageio ships a JPEG codec) ----
+
+  /** Deterministic synthetic JPEG: same raster as syntheticPng, encoded
+    * lossily. Dimensions survive the lossy round trip exactly (pixels do
+    * not — only dims are oracle-checked; the spec checks the planted
+    * pixel within a JPEG quantization tolerance).
+    */
+  def syntheticJpeg(docId: Long): Array[Byte] = {
+    val w = 1 + (docId % 16).toInt
+    val h = 1 + ((docId / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0, ((docId + x * 31L + y * 7L) % 256).toInt)
+    raster.setSample(0, 0, 0, (docId % 256).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** The q_multimodal_jpeg query surface: synthesize real JPEGs, decode
+    * with the JDK's JPEG codec, aggregate the exact dimensions. Proves a
+    * SECOND real image codec through the same batched map-side shape.
+    */
+  def jpegDecodeStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val f = decodeImage(Asset(id, "jpg", syntheticJpeg(id)))
+        (id, f.width.toLong, f.height.toLong)
+      })
+      .toDF("asset_id", "width", "height")
+      .agg(count(lit(1)).as("n_assets"),
+        sum("width").as("sum_width"), sum("height").as("sum_height"))
+  }
+
+  // ---- real WAV decode tier (javax.sound.sampled, JDK-native) ----
+
+  /** Extracted per-asset audio features (decode output schema). */
+  case class AudioFeatures(asset_id: Long, n_samples: Long,
+                           sample_rate: Int, channels: Int, sample_sum: Long)
+
+  /** Deterministic synthetic WAV: 16-bit signed little-endian mono PCM at
+    * 8 kHz, n = 64 + id mod 128 samples, sample i =
+    * ((id·31 + i·17) mod 2^16) − 2^15. PCM round-trips losslessly, so
+    * the decoded sample SUM is a closed-form integer function of the id —
+    * the decode tier's oracle handle.
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = 64 + (docId % 128).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((docId * 31 + i.toLong * 17) % 65536) - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV decode via javax.sound.sampled: parse the container, check
+    * the PCM format loudly, and recompute the sample sum from the decoded
+    * frames (proof actual audio decoding ran, not header arithmetic).
+    */
+  def decodeWav(a: Asset): AudioFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(a.payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian && fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"asset ${a.asset_id}: unexpected wav format $fmt")
+    val n = ais.getFrameLength.toInt
+    val bytes = ais.readAllBytes()
+    require(bytes.length == n * 2,
+      s"asset ${a.asset_id}: short read ${bytes.length} of ${n * 2}")
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+      i += 1
+    }
+    AudioFeatures(a.asset_id, n.toLong, fmt.getSampleRate.toInt,
+      fmt.getChannels, sum)
+  }
+
+  /** The q_multimodal_wav query surface: synthesize real WAVs, decode,
+    * aggregate frame counts and exact PCM sample sums. Map-side decode,
+    * one aggregation exchange — the same 100 TB shape as the image tiers.
+    */
+  def wavDecodeStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val f = decodeWav(Asset(id, "wav", syntheticWav(id)))
+        (id, f.n_samples, f.sample_sum)
+      })
+      .toDF("asset_id", "n_samples", "sample_sum")
+      .agg(count(lit(1)).as("n_assets"),
+        sum("n_samples").as("sum_samples"), sum("sample_sum").as("sum_amp"))
   }
 
   /** Oracle-checkable aggregate over the binary surface: per-format asset

@@ -43,6 +43,31 @@ class MultimodalStreamSpec extends SparkSpec {
     }
   }
 
+  test("real JPEG decode recovers exact dims; planted pixel within lossy tolerance") {
+    for (id <- Seq(0L, 7L, 255L, 256L, 300L, 4095L)) {
+      val f = MultimodalOps.decodeImage(
+        graft.ops.Asset(id, "jpg", MultimodalOps.syntheticJpeg(id)))
+      assert(f.width === 1 + (id % 16).toInt, s"id=$id")
+      assert(f.height === 1 + ((id / 16) % 16).toInt, s"id=$id")
+      // JPEG is lossy: the planted (0,0) sample survives only
+      // approximately (quantization over high-gradient tiny tiles).
+      assert(math.abs(f.checksum - id % 256) <= 96, s"id=$id got ${f.checksum}")
+    }
+  }
+
+  test("real WAV decode recovers exact PCM sample sums") {
+    for (id <- Seq(0L, 1L, 127L, 128L, 255L, 4095L)) {
+      val f = MultimodalOps.decodeWav(
+        graft.ops.Asset(id, "wav", MultimodalOps.syntheticWav(id)))
+      val n = 64 + (id % 128).toInt
+      val expect = (0 until n).map(i =>
+        ((id * 31 + i.toLong * 17) % 65536) - 32768).sum
+      assert(f.n_samples === n.toLong, s"id=$id")
+      assert(f.sample_rate === 8000 && f.channels === 1, s"id=$id")
+      assert(f.sample_sum === expect, s"id=$id")
+    }
+  }
+
   test("real resize halves dimensions (floor, min 1) and re-decodes") {
     for (id <- Seq(0L, 7L, 255L, 33L)) {
       val a = graft.ops.Asset(id, "png", MultimodalOps.syntheticPng(id))
