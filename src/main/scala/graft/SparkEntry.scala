@@ -1019,13 +1019,18 @@ object SparkEntry {
                 CAST(SUM(1 + (doc_id // 16) % 16) AS BIGINT) AS sum_height
          FROM documents""",
     "q_multimodal_wav" ->
-      """WITH s AS (SELECT doc_id,
-                unnest(range(64 + doc_id % 128)) AS i
+      // Grouped by a synthetic row key, not doc_id: the Spark side decodes
+      // one asset per input ROW, so the oracle must too (grouping by
+      // doc_id would silently merge duplicate ids).
+      """WITH d AS (SELECT doc_id, row_number() OVER () AS rid
               FROM documents),
-            a AS (SELECT doc_id, COUNT(*) AS n,
+            s AS (SELECT rid, doc_id,
+                unnest(range(64 + doc_id % 128)) AS i
+              FROM d),
+            a AS (SELECT rid, COUNT(*) AS n,
                 CAST(SUM(((doc_id * 31 + i * 17) % 65536) - 32768)
                   AS BIGINT) AS ssum
-              FROM s GROUP BY doc_id)
+              FROM s GROUP BY rid)
          SELECT COUNT(*) AS n_assets,
                 CAST(SUM(n) AS BIGINT) AS sum_samples,
                 CAST(SUM(ssum) AS BIGINT) AS sum_amp

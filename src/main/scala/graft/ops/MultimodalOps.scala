@@ -128,15 +128,13 @@ object MultimodalOps {
 
   // ---- real PNG decode tier (javax.imageio, JDK-native) ----
 
-  /** Deterministic synthetic PNG payload for a doc id: a REAL PNG
-    * encoding of a w×h 8-bit grayscale image with w = 1 + id mod 16,
-    * h = 1 + (id div 16) mod 16, pixel (0,0) = id mod 256 and a
-    * deterministic gradient elsewhere. Gray-8 PNG round-trips pixels
-    * losslessly, so decoded dimensions AND the planted pixel are
-    * closed-form functions of the id — which is what makes the decode
-    * tier oracle-checkable without shipping image fixtures.
+  /** Deterministic w×h 8-bit grayscale raster for a doc id: w = 1 + id
+    * mod 16, h = 1 + (id div 16) mod 16, pixel (0,0) = id mod 256 and a
+    * deterministic gradient elsewhere. SHARED oracle contract of the PNG
+    * and JPEG tiers — both closed-form oracles encode these formulas, so
+    * the raster must never fork per format.
     */
-  def syntheticPng(docId: Long): Array[Byte] = {
+  private def syntheticGrayImage(docId: Long): java.awt.image.BufferedImage = {
     val w = 1 + (docId % 16).toInt
     val h = 1 + ((docId / 16) % 16).toInt
     val img = new java.awt.image.BufferedImage(
@@ -145,8 +143,18 @@ object MultimodalOps {
     for (y <- 0 until h; x <- 0 until w)
       raster.setSample(x, y, 0, ((docId + x * 31L + y * 7L) % 256).toInt)
     raster.setSample(0, 0, 0, (docId % 256).toInt)
+    img
+  }
+
+  /** Deterministic synthetic PNG payload: a REAL PNG encoding of the
+    * shared gray raster. Gray-8 PNG round-trips pixels losslessly, so
+    * decoded dimensions AND the planted pixel are closed-form functions
+    * of the id — which is what makes the decode tier oracle-checkable
+    * without shipping image fixtures.
+    */
+  def syntheticPng(docId: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(syntheticGrayImage(docId), "png", bos)
     bos.toByteArray
   }
 
@@ -250,22 +258,14 @@ object MultimodalOps {
 
   // ---- real JPEG decode tier (javax.imageio ships a JPEG codec) ----
 
-  /** Deterministic synthetic JPEG: same raster as syntheticPng, encoded
+  /** Deterministic synthetic JPEG: the shared gray raster, encoded
     * lossily. Dimensions survive the lossy round trip exactly (pixels do
     * not — only dims are oracle-checked; the spec checks the planted
     * pixel within a JPEG quantization tolerance).
     */
   def syntheticJpeg(docId: Long): Array[Byte] = {
-    val w = 1 + (docId % 16).toInt
-    val h = 1 + ((docId / 16) % 16).toInt
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    for (y <- 0 until h; x <- 0 until w)
-      raster.setSample(x, y, 0, ((docId + x * 31L + y * 7L) % 256).toInt)
-    raster.setSample(0, 0, 0, (docId % 256).toInt)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
+    javax.imageio.ImageIO.write(syntheticGrayImage(docId), "jpg", bos)
     bos.toByteArray
   }
 

@@ -176,16 +176,6 @@ object TextStatsOps {
       .agg(count(lit(1)).as("n_grams"), min("g").as("fp_min"),
         expr("bit_xor(g)").as("fp_xor"))
 
-  /** Repetition signals — the Gopher/RefinedWeb-style duplicate-n-gram
-    * quality filter: per doc, the fraction of word-bigram occurrences
-    * taken by the single most repeated bigram (`top_frac`) and the
-    * distinct/total bigram ratio (`distinct_frac`). Boilerplate and
-    * looped text score high top_frac / low distinct_frac; a curation
-    * pipeline thresholds on them. Two doc-keyed aggregations, bigrams
-    * travel once; docs with fewer than two words yield no bigrams and
-    * are excluded (deterministic in both engines). Both fractions are
-    * IEEE divisions of exact int64 counts — engine-identical.
-    */
   /** Corpus profile report: per (source, lang) doc counts and exact
     * token/char totals and ranges — the dataset card a curation run emits
     * before training. All-int64 aggregates (no double sums — those are
@@ -205,6 +195,16 @@ object TextStatsOps {
         max("n_tok").as("max_tokens"),
         sum("n_chars").as("sum_chars"))
 
+  /** Repetition signals — the Gopher/RefinedWeb-style duplicate-n-gram
+    * quality filter: per doc, the fraction of word-bigram occurrences
+    * taken by the single most repeated bigram (`top_frac`) and the
+    * distinct/total bigram ratio (`distinct_frac`). Boilerplate and
+    * looped text score high top_frac / low distinct_frac; a curation
+    * pipeline thresholds on them. Two doc-keyed aggregations, bigrams
+    * travel once; docs with fewer than two words yield no bigrams and
+    * are excluded (deterministic in both engines). Both fractions are
+    * IEEE divisions of exact int64 counts — engine-identical.
+    */
   def repetitionStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(DedupOps.shingleArr(col("text"), 2)).as("g"))

@@ -16,6 +16,11 @@ class CurationOpsSpec extends SparkSpec {
     val out = CurationOps.decontaminate(train, bench)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 1L))
+    // The too-big-to-broadcast fallback joins the same result.
+    val shuffled = CurationOps.decontaminate(train, bench,
+      broadcastBench = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled === out)
   }
 
   test("decontaminate counts distinct contaminated grams once") {
@@ -102,10 +107,8 @@ class CurationOpsSpec extends SparkSpec {
     }.toSet
     assert(got === expect)
     assert(got.nonEmpty && got.size < 50) // caps and misses both exercised
-    // Rows at/above the cap are always kept.
-    assert((25L to 50L).filter(i =>
-      DedupOps.hash60Local(s"wsamp-$i") % 1000000L < 1000000L)
-      .forall(got.contains))
+    // Rows at/above the cap (w ≥ 10^6, i.e. id ≥ 25) are always kept.
+    assert((25L to 50L).forall(got.contains))
   }
 
   test("mixResample thresholds match a driver-side replica") {

@@ -10,8 +10,8 @@ Usage: python3 tools/coverage_check.py   (exit 0 iff in sync)
 import re
 import sys
 
-survey = set(re.findall(r"`(q_[a-z0-9_]+)`", open("SURVEY.md").read()))
-entry_src = open("src/main/scala/graft/SparkEntry.scala").read()
+survey = set(re.findall(r"`(q_[a-z0-9_]+)`", open("SURVEY.md", encoding="utf-8").read()))
+entry_src = open("src/main/scala/graft/SparkEntry.scala", encoding="utf-8").read()
 # The queries map precedes `def oracleSql`; oracle entries reuse the keys.
 queries_part, oracle_part = entry_src.split("def oracleSql", 1)
 registered = set(re.findall(r'"(q_[a-z0-9_]+)"\s*->', queries_part))
