@@ -26,11 +26,19 @@ object Hash60 {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Thread-local digest for callers that stream input incrementally
+    * (KGram); the caller resets it before use.
+    */
+  def digest(): MessageDigest = md.get()
+
+  /** First 60 bits of an md5 digest as a nonnegative Long. */
+  def fold(dig: Array[Byte]): Long =
+    java.nio.ByteBuffer.wrap(dig, 0, 8).getLong >>> 4
+
   def hashBytes(bytes: Array[Byte]): Long = {
     val d = md.get()
     d.reset()
-    val dig = d.digest(bytes)
-    (java.nio.ByteBuffer.wrap(dig, 0, 8).getLong >>> 4)
+    fold(d.digest(bytes))
   }
 
   /** Codegen entry point (referenced from generated Java). */

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native k-gram hasher: `kgram_hash60(text, k)` ≡
+  * `transform(shingleArr(text, k), g -> hash60(g))` — the portable 60-bit
+  * hash of every word k-gram — WITHOUT materializing a single gram
+  * string. The composed form allocates O(n·k) gram characters per
+  * document (zip_with chains building each gram, then md5 over the
+  * result); this expression walks the UTF-8 bytes once, records token
+  * boundaries, and feeds each gram's token slices plus single-space
+  * separators straight into the digest. Byte-for-byte the digest input
+  * equals the composed form's gram string (tokens are byte slices of the
+  * original text; the join separator is the same 0x20), so the values are
+  * bit-identical — spec-verified against the composition, oracle SQL
+  * unchanged.
+  *
+  * Tokenization matches `split(text, "\\s+")` + drop-empty exactly: Java
+  * regex `\s` (no UNICODE_CHARACTER_CLASS) is precisely
+  * [' ', '\t', '\n', 0x0B, '\f', '\r'] — six ASCII bytes, which in UTF-8
+  * never occur inside a multi-byte sequence, so byte-level splitting is
+  * correct for all input.
+  */
+object KGram {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** Hash60 of every k-gram of s (n-k+1 values; empty below k tokens). */
+  def hashes(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    // Token runs: starts(i) inclusive, ends(i) exclusive.
+    var nTok = 0
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        val s0 = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s0
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    val nGrams = math.max(nTok - k + 1, 0)
+    val out = new Array[Long](nGrams)
+    val md = Hash60.digest()
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      var t = g
+      while (t < g + k) {
+        if (t > g) md.update(' '.toByte)
+        md.update(bytes, starts(t), ends(t) - starts(t))
+        t += 1
+      }
+      out(g) = Hash60.fold(md.digest())
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class KGramHash60(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k-gram width must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_hash60"
+
+  override def nullSafeEval(v: Any): Any =
+    KGram.hashes(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.KGram.hashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): KGramHash60 =
+    copy(child = newChild)
+}
+
+object KGramHash60 {
+  def apply(c: Column, k: Int): Column =
+    GraftSqlBridge.column(KGramHash60(GraftSqlBridge.expression(c), k))
+}

@@ -30,12 +30,11 @@ object CurationOps {
   def decontaminate(train: DataFrame, benchmark: DataFrame,
                     k: Int = 8, broadcastBench: Boolean = true): DataFrame = {
     val bsh = benchmark.filter(col("text").isNotNull)
-      .select(explode(DedupOps.shingleArr(col("text"), k)).as("sh"))
-      .select(TextOps.hash60(col("sh")).as("h")).distinct()
+      .select(explode(graft.functions.KGramHash60(col("text"), k)).as("h"))
+      .distinct()
     train.filter(col("text").isNotNull)
       .select(col("doc_id"),
-        explode(DedupOps.shingleArr(col("text"), k)).as("sh"))
-      .select(col("doc_id"), TextOps.hash60(col("sh")).as("h"))
+        explode(graft.functions.KGramHash60(col("text"), k)).as("h"))
       .join(if (broadcastBench) broadcast(bsh) else bsh, "h")
       .groupBy("doc_id")
       .agg(countDistinct("h").as("n_hits"))

@@ -130,10 +130,12 @@ object DedupOps {
   def minhashSigArr(corpus: DataFrame): DataFrame = {
     // No distinct(): min-aggregation is duplicate-insensitive, so repeated
     // shingles cannot change any signature value — and skipping the
-    // per-shingle dedup removes an entire string-keyed shuffle.
+    // per-shingle dedup removes an entire string-keyed shuffle. Shingle
+    // hashes come from the native KGramHash60 (bit-identical to the
+    // shingleArr+hash60 composition, no gram strings materialized).
     val sh = corpus.select(col("doc_id"),
-        explode(shingleArr(col("text"), 3)).as("sh"))
-      .withColumn("h", TextOps.hash60(col("sh")) % P)
+        explode(graft.functions.KGramHash60(col("text"), 3)).as("sh"))
+      .withColumn("h", col("sh") % P)
     val aggs = MinhashCoef.map { case (i, a, b, _, _) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"m$i")
     }
@@ -271,8 +273,8 @@ object DedupOps {
   def ngramJaccardPairs(corpus: DataFrame, maxDf: Int = 100,
                         minJaccard: Double = 0.6): DataFrame = {
     val s = corpus.select(col("doc_id"),
-        explode(shingleArr(col("text"), 2)).as("g"))
-      .select(col("doc_id"), TextOps.hash60(col("g")).as("sh")).distinct()
+        explode(graft.functions.KGramHash60(col("text"), 2)).as("sh"))
+      .distinct()
     val rare = s.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
     // Per-doc rare-shingle count rides along via a window, so the inverted

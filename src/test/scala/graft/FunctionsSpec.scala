@@ -63,6 +63,43 @@ class FunctionsSpec extends SparkSpec {
       === graft.ops.DedupOps.hash60Local("mh-a-0"))
   }
 
+  test("KGramHash60 equals the shingleArr+hash60 composition, all edge shapes") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and   multiple   spaces  ",
+      "tabs\tand\nnewlines\rmixed\fwhitespacehere ok",
+      "one",
+      "two words",
+      "",
+      "   ",
+      "unicode tökens żółć 中文 mixed in stream",
+      "a b c d e f g h i j k l m n o p"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3, 8)) {
+      val diff = docs.select(
+          graft.functions.KGramHash60(col("text"), k).as("native"),
+          transform(DedupOps.shingleArr(col("text"), k),
+            g => TextOps.hash60(g)).as("composed"))
+        .filter(not(col("native") <=> col("composed")))
+      assert(diff.count() === 0, s"k=$k mismatch")
+    }
+  }
+
+  test("KGramHash60 null propagation and codegen participation") {
+    val df = Seq(Some("a b c"), None).toDF("text")
+    val out = df.select(graft.functions.KGramHash60(col("text"), 2)).collect()
+    assert(out(0).getSeq[Long](0).length === 2)
+    assert(out(1).isNullAt(0))
+    // Codegen participation needs a non-local scan (LocalTableScan folds
+    // the projection eagerly with no codegen stage to inspect).
+    val plan = Tables.documents(spark, sfDir)
+      .select(graft.functions.KGramHash60(col("text"), 2))
+      .queryExecution.executedPlan.toString
+    // The "*(n)" prefix marks operators fused into a WholeStageCodegen
+    // stage in the compact tree rendering.
+    assert(plan.contains("*(1) Project [kgram_hash60"), plan)
+  }
+
   test("MinHashAgg UDAF equals the expression-path signature") {
     val corpus = DedupOps.dupCorpus(Tables.documents(spark, sfDir))
     val hashed = DedupOps.shingles3(corpus)
