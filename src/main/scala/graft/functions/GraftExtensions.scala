@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.arrayDotL)
     ext.injectFunction(GraftFunctions.hash60)
+    ext.injectFunction(GraftFunctions.kgramHash60)
   }
 }
 
@@ -42,8 +43,25 @@ object GraftFunctions {
       new ExpressionInfo(classOf[Hash60Expr].getName, "hash60"),
       buildHash60 _)
 
+  private def buildKGram(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"kgram_hash60 expects (text, k), got ${exprs.length} arguments")
+    val k = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case e => throw new IllegalArgumentException(
+        s"kgram_hash60 k must be an integer literal, got $e")
+    }
+    KGramHash60(exprs.head, k)
+  }
+
+  val kgramHash60: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("kgram_hash60"),
+      new ExpressionInfo(classOf[KGramHash60].getName, "kgram_hash60"),
+      buildKGram _)
+
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "array_dot_l", buildDot)
     GraftSqlBridge.registerFunction(spark, "hash60", buildHash60)
+    GraftSqlBridge.registerFunction(spark, "kgram_hash60", buildKGram)
   }
 }

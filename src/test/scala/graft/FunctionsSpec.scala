@@ -63,6 +63,15 @@ class FunctionsSpec extends SparkSpec {
       === graft.ops.DedupOps.hash60Local("mh-a-0"))
   }
 
+  test("kgram_hash60 is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT kgram_hash60('a b c', 2) AS hs").head.getSeq[Long](0)
+    assert(r.length === 2)
+    assert(r(0) === DedupOps.hash60Local("a b"))
+    assert(r(1) === DedupOps.hash60Local("b c"))
+  }
+
   test("KGramHash60 equals the shingleArr+hash60 composition, all edge shapes") {
     val docs = Seq(
       "the quick brown fox jumps over the lazy dog",
