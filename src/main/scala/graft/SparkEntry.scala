@@ -382,8 +382,9 @@ object SparkEntry {
     // oracle. Same values as the expression path in minhashSigArr.
     "q_minhash_udaf" -> ((s, d) => {
       val h = Tables.documents(s, d)
-        .select(col("doc_id"), explode(DedupOps.shingleArr(col("text"), 3)).as("sh"))
-        .select(col("doc_id"), (TextOps.hash60(col("sh")) % DedupOps.P).as("h"))
+        .select(col("doc_id"),
+          explode(graft.functions.KGramHash60(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), (col("sh") % DedupOps.P).as("h"))
       h.groupBy("doc_id")
         .agg(graft.functions.MinHashAgg.minhashSig(col("h")).as("ms"))
         .select(col("doc_id") +:

@@ -46,10 +46,19 @@ object GraftFunctions {
   private def buildKGram(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
       s"kgram_hash60 expects (text, k), got ${exprs.length} arguments")
+    // Any foldable integral k works (2, 2L, CAST(2 AS INT), 1+1): the
+    // builder runs before constant folding, so evaluate it here.
     val k = exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case e if e.foldable => e.eval() match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case b: java.lang.Byte => b.intValue
+        case v => throw new IllegalArgumentException(
+          s"kgram_hash60 k must be an integer constant, got $v")
+      }
       case e => throw new IllegalArgumentException(
-        s"kgram_hash60 k must be an integer literal, got $e")
+        s"kgram_hash60 k must be a constant, got non-foldable $e")
     }
     KGramHash60(exprs.head, k)
   }

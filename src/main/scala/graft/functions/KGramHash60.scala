@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,11 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * bit-identical — spec-verified against the composition, oracle SQL
   * unchanged.
   *
-  * Tokenization matches `split(text, "\\s+")` + drop-empty exactly: Java
-  * regex `\s` (no UNICODE_CHARACTER_CLASS) is precisely
-  * [' ', '\t', '\n', 0x0B, '\f', '\r'] — six ASCII bytes, which in UTF-8
-  * never occur inside a multi-byte sequence, so byte-level splitting is
-  * correct for all input.
+  * Tokenization matches `split(text, "\\s+")` + drop-empty exactly for
+  * all VALID UTF-8: Java regex `\s` (no UNICODE_CHARACTER_CLASS) is
+  * precisely [' ', '\t', '\n', 0x0B, '\f', '\r'] — six ASCII bytes,
+  * which in UTF-8 never occur inside a multi-byte sequence, so
+  * byte-level splitting is safe. Malformed UTF-8 is the one divergence:
+  * the composed form hashes grams after String conversion replaces bad
+  * bytes with U+FFFD, while this expression digests the raw bytes —
+  * still deterministic, but a different value (don't mix the two forms
+  * over non-UTF-8 binary-cast columns).
   */
 object KGram {
   private def isWs(b: Byte): Boolean =
@@ -69,7 +73,10 @@ object KGram {
       out(g) = Hash60.fold(md.digest())
       g += 1
     }
-    new GenericArrayData(out)
+    // fromPrimitiveArray keeps the hot path unboxed (GenericArrayData
+    // over Array[Long] would box one java.lang.Long per gram).
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 }
 
