@@ -18,6 +18,14 @@ class EdgeCaseSpec extends SparkSpec {
     assert(DedupOps.ngramJaccardPairs(tiny).count() === 0)
   }
 
+  test("driver contract: entry() yields rows; every query key has SQL or a rows-only note") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // Rows-only set is exactly the three declared engine-specific queries.
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("q_agg_uniq_approx", "q_agg_quantile_approx",
+      "q_pagerank_conv"))
+  }
+
   test("curation ops on degenerate inputs") {
     import graft.ops.CurationOps
     val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
