@@ -584,6 +584,24 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
     }),
 
+    // JSONL round trip — write the documents as JSON lines (the LLM
+    // corpus interchange format), re-scan with an explicit schema, and
+    // aggregate: the oracle computes the same aggregate from the
+    // pre-write table, so any row lost or mangled by JSON
+    // escaping/parsing breaks the hash. Text travels the full
+    // escape/unescape path; the md5-sum pin catches content mutation.
+    "q_sink_jsonl" -> ((s, d) => {
+      val src = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val out = tmpPath("graft_sink_jsonl", d)
+      SinkOps.writeJsonl(src, out)
+      s.read.schema(src.schema).json(out)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("doc_id").as("id_sum"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          min(md5(col("text"))).as("min_text_md5"))
+    }),
+
     // Offset-text source round trip — the reference's flagship scan
     // contract (offset, line) with intra-file byte-range splits: write
     // the documents as ONE deterministic sorted key<TAB>value text file,
@@ -1043,6 +1061,12 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""",
+    "q_sink_jsonl" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+                MIN(md5(text)) AS min_text_md5
+         FROM documents GROUP BY lang""",
     "q_offset_scan" ->
       """WITH l AS (SELECT doc_id,
                            CAST(doc_id AS VARCHAR) || chr(9) || text AS line

@@ -41,6 +41,16 @@ object SinkOps {
     df.select(concat_ws("\t", df.columns.map(col): _*).as("value"))
       .write.mode(mode).text(path)
 
+  /** JSON-lines sink — the de-facto LLM corpus interchange format (one
+    * JSON object per line). JSON string escaping round-trips text
+    * losslessly, numbers print shortest-round-trip — re-scan with an
+    * explicit schema recovers the exact rows (q_sink_jsonl proves it
+    * against the pre-write oracle).
+    */
+  def writeJsonl(df: DataFrame, path: String,
+                 mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
   /** Bucketed managed table — the co-located-join layout: two tables
     * bucketed on their join key with the same bucket count sort-merge
     * join WITHOUT a shuffle (the bucketing IS the exchange, paid once at
