@@ -602,6 +602,26 @@ object SparkEntry {
           min(md5(col("text"))).as("min_text_md5"))
     }),
 
+    // ORC round trip — the second columnar format: typed round trip of
+    // the full events row shape (timestamp, double, string) with a
+    // filter pushed to the ORC re-scan. Oracle aggregates the pre-write
+    // table identically.
+    "q_sink_orc" -> ((s, d) => {
+      val src = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+      val out = tmpPath("graft_sink_orc", d)
+      SinkOps.writeOrc(src, out)
+      s.read.schema(src.schema).orc(out)
+        .filter(col("value") > 10.0)
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("user_id").as("uid_sum"),
+          // floor-scaled int64 sum: per-row IEEE multiply+floor is
+          // engine-identical for arbitrary doubles (a DECIMAL cast's
+          // rounding would be the engines' own).
+          sum(floor(col("value") * 10000).cast("long")).as("value_scaled"))
+    }),
+
     // Offset-text source round trip — the reference's flagship scan
     // contract (offset, line) with intra-file byte-range splits: write
     // the documents as ONE deterministic sorted key<TAB>value text file,
@@ -1061,6 +1081,12 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""",
+    "q_sink_orc" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+                CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT)
+                  AS value_scaled
+         FROM events WHERE value > 10.0 GROUP BY event_type""",
     "q_sink_jsonl" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(SUM(doc_id) AS BIGINT) AS id_sum,

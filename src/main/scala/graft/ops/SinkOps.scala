@@ -51,6 +51,14 @@ object SinkOps {
                  mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** ORC sink — Spark's second built-in columnar format; completes the
+    * on-disk matrix (parquet/csv/text/jsonl/orc). Typed columnar
+    * round trip, statistics + pushdown on re-scan like parquet.
+    */
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Bucketed managed table — the co-located-join layout: two tables
     * bucketed on their join key with the same bucket count sort-merge
     * join WITHOUT a shuffle (the bucketing IS the exchange, paid once at
