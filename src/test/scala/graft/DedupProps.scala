@@ -58,4 +58,33 @@ object DedupProps extends Properties("dedup") {
       }
       sig(hs) == expect
     }
+
+  // KGram.hashes is a pure function — property-test it against the
+  // reference formulation (regex split + gram join + hash60Local) on
+  // random text with random whitespace shapes. Texts are built from
+  // word/ws atoms so empty runs, leading/trailing/multiple whitespace,
+  // and multi-byte UTF-8 all occur.
+  private val wordGen = Gen.oneOf(
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+    Gen.oneOf("żółć", "中文", "tökén", "a", "@#$%", "x1"))
+  private val wsGen = Gen.nonEmptyListOf(
+    Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r')).map(_.mkString)
+  private val textGen: Gen[String] = for {
+    pairs <- Gen.listOf(Gen.zip(wordGen, wsGen))
+    lead <- Gen.oneOf("", " ", "\t\n")
+  } yield lead + pairs.map { case (w, s) => w + s }.mkString
+
+  private def referenceGrams(text: String, k: Int): Seq[Long] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+    (0 to toks.length - k).map(i =>
+      DedupOps.hash60Local(toks.slice(i, i + k).mkString(" ")))
+  }
+
+  property("KGram.hashes equals regex-split + hash60 of joined grams") =
+    forAll(textGen, Gen.chooseNum(1, 5)) { (text, k) =>
+      val native = graft.functions.KGram
+        .hashes(org.apache.spark.unsafe.types.UTF8String.fromString(text), k)
+        .toLongArray.toSeq
+      native == referenceGrams(text, k)
+    }
 }
