@@ -7,8 +7,10 @@ import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every key in `queries` has a matching DuckDB oracle in `oracleSql`
-  * (same column names — the driver sorts columns by name before hashing).
+  * Every key in `queries` has a matching DuckDB oracle in `oracleSql`,
+  * except the three declared rows-only estimates (HLL distinct, t-digest
+  * quantiles, convergence PageRank — spec-pinned in EdgeCaseSpec). Column
+  * names match exactly (the driver sorts columns by name before hashing).
   * Double-typed aggregates go through AggOps.exactSum (DECIMAL inside,
   * double out) so Spark and DuckDB agree bit-for-bit regardless of
   * partition/accumulation order.
