@@ -635,15 +635,29 @@ object OracleSql {
                           ROW_NUMBER() OVER (PARTITION BY doc_id
                                              ORDER BY hits DESC, cand ASC) AS rn
                    FROM hits) WHERE rn = 1),
-        kept AS (SELECT d.doc_id, d.text, d.lang, b.pred_lang, q.quality
+        big AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1])
+                  ELSE CAST([] AS VARCHAR[]) END) AS g
+                FROM (SELECT doc_id,
+                        list_filter(string_split_regex(text, '\\s+'),
+                          x -> x <> '') AS w
+                      FROM documents)),
+        bc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM big GROUP BY doc_id, g),
+        rep AS (SELECT doc_id,
+                  CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_frac
+                FROM bc GROUP BY doc_id),
+        kept AS (SELECT d.doc_id, d.text, d.lang, b.pred_lang, q.quality,
+                        r.top_frac
                  FROM documents d
                  JOIN q USING (doc_id) JOIN best b USING (doc_id)
-                 WHERE b.pred_lang = 'en' AND q.quality >= 0.4),
+                 JOIN rep r USING (doc_id)
+                 WHERE b.pred_lang = 'en' AND q.quality >= 0.4
+                   AND r.top_frac <= 0.04),
         dedup AS (SELECT * FROM (
                     SELECT kept.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
                                                       ORDER BY doc_id) AS rn
                     FROM kept) WHERE rn = 1)
-        SELECT doc_id, lang, pred_lang, quality,
+        SELECT doc_id, lang, pred_lang, quality, top_frac,
                CAST(len(text) AS BIGINT) AS n_chars_kept
         FROM dedup
         WHERE ${hash60("'cur-' || CAST(doc_id AS VARCHAR)")} % 100 < 50"""
