@@ -638,13 +638,18 @@ object SparkEntry {
         .repartition(1).sortWithinPartitions("doc_id")
       val out = tmpPath("graft_offset_scan", d)
       SinkOps.writeKvText(src, out)
-      // sum_off rides DECIMAL: int64 offset sums overflow at the very
-      // scale this source exists for (~10^9 lines × ~5·10^10 mean offset
-      // ≈ 5·10^19 > 2^63 for a single 100 GB file).
+      // sum_off rides DECIMAL internally: int64 offset sums overflow at
+      // the very scale this source exists for (~10^9 lines × ~5·10^10
+      // mean offset ≈ 5·10^19 > 2^63 for a single 100 GB file). The
+      // driver-visible column is the decimal's STRING rendering — the
+      // one portable representation that stays bit-exact past 2^53
+      // (a double cast would round there; both engines print an
+      // integer-valued DECIMAL(38,0) identically).
       s.read.format("graft.sources.OffsetTextSource")
         .option("splitSize", "65536").load(out)
         .agg(count(lit(1)).as("n_lines"),
-          sum(col("offset").cast("decimal(38,0)")).as("sum_off"),
+          sum(col("offset").cast("decimal(38,0)")).cast("string")
+            .as("sum_off"),
           max(col("offset")).as("max_off"),
           sum(octet_length(col("line")).cast("long")).as("sum_len"))
     }),
@@ -1106,7 +1111,7 @@ object SparkEntry {
                         0) AS BIGINT) AS off
                     FROM l)
          SELECT count(*) AS n_lines,
-                CAST(SUM(off) AS DECIMAL(38,0)) AS sum_off,
+                CAST(CAST(SUM(off) AS DECIMAL(38,0)) AS VARCHAR) AS sum_off,
                 MAX(off) AS max_off,
                 CAST(SUM(octet_length(encode(line))) AS BIGINT) AS sum_len
          FROM o""",
