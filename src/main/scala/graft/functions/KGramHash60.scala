@@ -78,6 +78,48 @@ object KGram {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(out)
   }
+
+  /** Hash60 of every k-CHAR (code point) window of s — the char-gram
+    * twin of [[hashes]] for rolling fingerprints: one UTF-8 walk records
+    * code-point start offsets, then each window digests the raw byte
+    * slice [start(j), start(j+k)) — no per-window substring string. For
+    * valid UTF-8 the digest input is byte-identical to
+    * `hash60(substring(s, j+1, k))` (substring slices whole code points,
+    * and a code-point run's bytes ARE the substring's UTF-8 encoding),
+    * so values match the composed form bit-for-bit — spec- and
+    * property-verified; the DuckDB oracle's `substr(text, j, 8)` is the
+    * same code-point slice. Below k chars: empty (no grams).
+    */
+  def charGramHashes(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // Code-point start offsets; starts(n) sentinel = len.
+    var starts = new Array[Int](math.max(math.min(len + 1, 4096), 16))
+    var n = 0
+    var i = 0
+    while (i < len) {
+      if (n == starts.length) starts = java.util.Arrays.copyOf(starts, n * 2)
+      starts(n) = i
+      n += 1
+      i += 1
+      // Continuation bytes are 10xxxxxx — never a code-point start.
+      while (i < len && (bytes(i) & 0xc0) == 0x80) i += 1
+    }
+    if (n == starts.length) starts = java.util.Arrays.copyOf(starts, n + 1)
+    starts(n) = len
+    val nGrams = math.max(n - k + 1, 0)
+    val out = new Array[Long](nGrams)
+    val md = Hash60.digest()
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      md.update(bytes, starts(g), starts(g + k) - starts(g))
+      out(g) = Hash60.fold(md.digest())
+      g += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 }
 
 case class KGramHash60(child: Expression, k: Int) extends UnaryExpression {
@@ -104,4 +146,33 @@ case class KGramHash60(child: Expression, k: Int) extends UnaryExpression {
 object KGramHash60 {
   def apply(c: Column, k: Int): Column =
     GraftSqlBridge.column(KGramHash60(GraftSqlBridge.expression(c), k))
+}
+
+/** `chargram_hash60(text, k)` ≡ hash60 of every k-code-point window —
+  * see [[KGram.charGramHashes]] for the contract.
+  */
+case class CharGramHash60(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"char-gram width must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "chargram_hash60"
+
+  override def nullSafeEval(v: Any): Any =
+    KGram.charGramHashes(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.KGram.charGramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHash60 =
+    copy(child = newChild)
+}
+
+object CharGramHash60 {
+  def apply(c: Column, k: Int): Column =
+    GraftSqlBridge.column(CharGramHash60(GraftSqlBridge.expression(c), k))
 }

@@ -163,15 +163,16 @@ object TextStatsOps {
   /** Rolling 8-char-gram fingerprint: portable hash at every position;
     * emits the min-hash (bottom-1 sketch), an order-independent XOR fold,
     * and the gram count. Documents shorter than 8 chars yield no grams
-    * and are excluded (deterministic in both engines).
+    * and are excluded (deterministic in both engines — the native hasher
+    * returns an empty array below k chars and explode drops it). The
+    * char-gram hashes come from one native UTF-8 walk per document
+    * (CharGramHash60) instead of an explode(sequence)+substring+hash
+    * chain that allocated a gram string per character position; values
+    * are bit-identical (spec + property test), oracle SQL unchanged.
     */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"),
-        explode(when(length(col("text")) >= 8,
-            sequence(lit(1), length(col("text")) - 7))
-          .otherwise(array().cast("array<int>"))).as("j"))
-      .select(col("doc_id"),
-        TextOps.hash60(expr("substring(text, j, 8)")).as("g"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.CharGramHash60(col("text"), 8)).as("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), min("g").as("fp_min"),
         expr("bit_xor(g)").as("fp_xor"))

@@ -87,4 +87,31 @@ object DedupProps extends Properties("dedup") {
         .toLongArray.toSeq
       native == referenceGrams(text, k)
     }
+
+  // Char-gram twin: windows are CODE POINTS (a substr unit in both
+  // engines), so the reference slices by code point — astral atoms
+  // (4-byte UTF-8, surrogate pairs in the JVM string) exercise the
+  // boundary walk beyond what BMP text can.
+  private val charTextGen: Gen[String] = for {
+    base <- textGen
+    astral <- Gen.oneOf("", "😀", "𝕏🌀")
+    pos <- Gen.chooseNum(0, base.length)
+    // never split a surrogate pair in the host string
+    at = if (pos > 0 && Character.isHighSurrogate(base.charAt(pos - 1))) pos - 1 else pos
+  } yield base.substring(0, at) + astral + base.substring(at)
+
+  private def referenceCharGrams(text: String, k: Int): Seq[Long] = {
+    val cps = text.codePoints().toArray
+    (0 to cps.length - k).map(i =>
+      DedupOps.hash60Local(new String(cps, i, k)))
+  }
+
+  property("KGram.charGramHashes equals code-point substring + hash60") =
+    forAll(charTextGen, Gen.chooseNum(1, 9)) { (text, k) =>
+      val native = graft.functions.KGram
+        .charGramHashes(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text), k)
+        .toLongArray.toSeq
+      native == referenceCharGrams(text, k)
+    }
 }

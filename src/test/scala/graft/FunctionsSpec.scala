@@ -94,6 +94,38 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("CharGramHash60 equals the substring+hash60 composition, all edge shapes") {
+    val docs = Seq(
+      "the quick brown fox",
+      "short",
+      "exactly8",
+      "sevench",
+      "",
+      "   spaces count as chars   ",
+      "unicode żółć 中文 mixed",
+      "astral 😀 pair 𝕏 inside", // 4-byte UTF-8 code points
+      "tabs\tand\nnewlines kept verbatim"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 8)) {
+      val diff = docs.select(
+          graft.functions.CharGramHash60(col("text"), k).as("native"),
+          when(length(col("text")) >= k,
+            transform(sequence(lit(1), length(col("text")) - (k - 1)),
+              j => TextOps.hash60(expr("text").substr(j, lit(k)))))
+            .otherwise(array().cast("array<bigint>")).as("composed"))
+        .filter(not(col("native") <=> col("composed")))
+      assert(diff.count() === 0, s"k=$k mismatch")
+    }
+  }
+
+  test("CharGramHash60 null propagation and sub-k emptiness") {
+    val df = Seq(Some("abcdefgh"), Some("abc"), None).toDF("text")
+    val out = df.select(graft.functions.CharGramHash60(col("text"), 8)).collect()
+    assert(out(0).getSeq[Long](0).length === 1)
+    assert(out(1).getSeq[Long](0).isEmpty)
+    assert(out(2).isNullAt(0))
+  }
+
   test("KGramHash60 null propagation and codegen participation") {
     val df = Seq(Some("a b c"), None).toDF("text")
     val out = df.select(graft.functions.KGramHash60(col("text"), 2)).collect()
