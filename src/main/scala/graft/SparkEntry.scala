@@ -498,6 +498,14 @@ object SparkEntry {
     "q_stream_stateful" -> ((s, d) =>
       graft.streaming.StreamOps.statefulReplay(Tables.events(s, d),
         tmpPath("graft_stream_stateful", d))),
+    // The same stateful sessionizer, staged as time-ordered slices with
+    // boundaries planted INSIDE sessions (intra-event quantiles), so the
+    // matching result is produced by state CARRIED ACROSS micro-batches
+    // rather than per-user single-batch delivery — the cross-batch state
+    // path, in the driver's record.
+    "q_stream_stateful_xbatch" -> ((s, d) =>
+      graft.streaming.StreamOps.statefulXBatchReplay(Tables.events(s, d),
+        tmpPath("graft_stream_xbatch", d))),
     // Streaming dedup: the staged corpus carries every event twice;
     // dropDuplicatesWithinWatermark must collapse it back to the original
     // set — oracle is the plain per-type aggregate of events.
@@ -763,6 +771,29 @@ object SparkEntry {
         SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / 1e12 AS rank FROM r$iters"""
   }
 
+  /** Batch gap-sessionizer oracle (boundaries + counts) — shared by the
+    * single-batch (q_stream_stateful) and cross-batch
+    * (q_stream_stateful_xbatch) stateful replays: both must emit the
+    * exact batch closed-session set.
+    */
+  private val StatefulSessionSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+                   FROM events),
+        f AS (SELECT user_id, event_id, tus,
+                CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > ${EventOps.GapUs}
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        s AS (SELECT user_id, tus,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY tus, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS sess_idx
+              FROM f)
+        SELECT user_id, MIN(tus) AS start_us, MAX(tus) AS end_us,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sess_idx"""
+
   /** DuckDB oracles. The driver registers each parquet table as a view of
     * its bare name (contract example: `FROM lineitem`).
     */
@@ -1003,23 +1034,10 @@ object SparkEntry {
     "q_repetition" -> OracleSql.repetitionSql,
     "q_sessionize" -> OracleSql.sessionizeSql,
     "q_stream_sessionize" -> OracleSql.sessionizeReplaySql,
-    "q_stream_stateful" ->
-      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
-                     FROM events),
-          f AS (SELECT user_id, event_id, tus,
-                  CASE WHEN lag(tus) OVER w IS NULL
-                         OR tus - lag(tus) OVER w > ${EventOps.GapUs}
-                       THEN 1 ELSE 0 END AS new_sess
-                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-          s AS (SELECT user_id, tus,
-                  CAST(SUM(new_sess) OVER (PARTITION BY user_id
-                                           ORDER BY tus, event_id
-                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                    AS sess_idx
-                FROM f)
-          SELECT user_id, MIN(tus) AS start_us, MAX(tus) AS end_us,
-                 COUNT(*) AS n_events
-          FROM s GROUP BY user_id, sess_idx""",
+    "q_stream_stateful" -> StatefulSessionSql,
+    // Same batch-session oracle: the cross-batch replay must produce the
+    // identical closed-session set.
+    "q_stream_stateful_xbatch" -> StatefulSessionSql,
     "q_stream_windowed" ->
       """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events)
          SELECT (tus // 600000000) * 600000000 AS w_start_us, event_type,

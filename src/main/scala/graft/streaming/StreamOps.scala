@@ -150,20 +150,54 @@ object StreamOps {
     */
   private val StagedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  private def drainSpent(spark: org.apache.spark.sql.SparkSession): Unit = {
+    var spent = SpentTables.poll()
+    while (spent != null) {
+      spark.catalog.dropTempView(spent)
+      spent = SpentTables.poll()
+    }
+  }
+
+  /** Run a streaming transform result to a fresh memory-sink table
+    * (AvailableNow) and return it; the table is dropped lazily at the
+    * next replay — see SpentTables.
+    */
+  private def runToMemory(result: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = result.sparkSession
+    val name = s"graft_replay_${ReplayCounter.incrementAndGet()}"
+    val q = result.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    SpentTables.add(name)
+    spark.table(name)
+  }
+
+  /** The (event_id, user_id, tus, event_type, value) staging shape. */
+  private def stagingShape(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"),
+      graft.ops.EventOps.microsOf(events, "ts").as("tus"),
+      col("event_type"), col("value"))
+
+  /** One sentinel per user, `mult` gaps past that user's last event —
+    * gap evidence that force-closes every real session.
+    */
+  private def withSentinels(ev: DataFrame, gapUs: Long,
+                            mult: Long = 100L): DataFrame =
+    ev.union(ev.groupBy("user_id")
+      .agg((max("tus") + mult * gapUs).as("tus"))
+      .select(lit(-1L).as("event_id"), col("user_id"), col("tus"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value")))
+
   private def replay(events: DataFrame, stagingDir: String, nParts: Int,
                      mode: OutputMode,
                      augment: DataFrame => DataFrame = identity,
                      partitionCols: Seq[String] = Nil)
                     (f: DataFrame => DataFrame): DataFrame = {
     val spark = events.sparkSession
-    var spent = SpentTables.poll()
-    while (spent != null) {
-      spark.catalog.dropTempView(spent)
-      spent = SpentTables.poll()
-    }
-    val ev = augment(events.select(col("event_id"), col("user_id"),
-      graft.ops.EventOps.microsOf(events, "ts").as("tus"),
-      col("event_type"), col("value")))
+    drainSpent(spark)
+    val ev = augment(stagingShape(events))
     if (StagedDirs.add(stagingDir)) {
       val parted =
         if (partitionCols.isEmpty) ev.repartition(nParts)
@@ -174,28 +208,22 @@ object StreamOps {
     val stream = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
       .withColumn("ts", timestamp_micros(col("tus")))
-    val name = s"graft_replay_${ReplayCounter.incrementAndGet()}"
-    val q = f(stream).writeStream.outputMode(mode)
-      .format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
-    SpentTables.add(name)
-    spark.table(name)
+    runToMemory(f(stream), mode)
   }
 
   /** Sessionizer replay: the streaming session_window result projected
     * onto the batch sessionizer's epoch-micros shape — session_window's
     * end is last-event + gap, so `end_us = unix_micros(session_end) −
     * gapUs` recovers max(tus). Hash-matches the batch session oracle
-    * (q_stream_sessionize).
+    * (q_stream_sessionize). The session_window gap string is derived
+    * from gapUs — a single source of truth for the duration (a
+    * free-form pair could silently disagree).
     */
   def sessionizeReplay(events: DataFrame, stagingDir: String,
-                       gap: String = "30 minutes",
                        gapUs: Long = 1800L * 1000000L,
                        nParts: Int = 4): DataFrame =
     replay(events, stagingDir, nParts, OutputMode.Complete)(
-      sessionize(_, gap, watermark = ReplayWatermark))
+      sessionize(_, s"$gapUs microseconds", watermark = ReplayWatermark))
       .select(col("user_id"),
         unix_micros(col("session_start")).as("start_us"),
         (unix_micros(col("session_end")) - gapUs).as("end_us"),
@@ -217,19 +245,99 @@ object StreamOps {
     */
   def statefulReplay(events: DataFrame, stagingDir: String,
                      gapUs: Long = 1800L * 1000000L,
-                     nParts: Int = 4): DataFrame = {
-    val sentinels: DataFrame => DataFrame = ev =>
-      ev.union(ev.groupBy("user_id")
-        .agg((max("tus") + 100L * gapUs).as("tus"))
-        .select(lit(-1L).as("event_id"), col("user_id"), col("tus"),
-          lit("sentinel").as("event_type"), lit(0.0).as("value")))
+                     nParts: Int = 4): DataFrame =
     replay(events, stagingDir, nParts, OutputMode.Append,
-      augment = sentinels, partitionCols = Seq("user_id")) { df =>
+      augment = withSentinels(_, gapUs), partitionCols = Seq("user_id")) { df =>
       import df.sparkSession.implicits._
       sessionizeStateful(
         df.select(col("user_id"), col("tus"), col("value")).as[SessEvent],
         gapUs, watermark = ReplayWatermark).toDF()
     }.select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+
+  /** Cross-batch stateful replay — the same flatMapGroupsWithState
+    * sessionizer as [[statefulReplay]], but staged so sessions GENUINELY
+    * SPAN micro-batches: the corpus is cut into time-contiguous slices,
+    * one file per slice with strictly ascending modification times, so
+    * the file source (maxFilesPerTrigger=1, oldest-first) delivers
+    * time-ordered micro-batches and any session straddling a slice
+    * boundary is carried in the state store between triggers.
+    *
+    * Boundary placement is what makes the span guarantee deterministic:
+    * boundaries are quantiles of INTRA-SESSION event times (events whose
+    * same-user predecessor lies within the gap) — each distinct boundary
+    * b is such an event's timestamp, whose predecessor (< b, same
+    * session) lands in the slice below, so at least one session provably
+    * crosses every boundary. Time-ordered slicing is also what keeps the
+    * append-mode output equal to the batch oracle: an emitted session
+    * can never be bridged retroactively, because every later-slice event
+    * lies at or past the gap evidence that closed it. Within a slice,
+    * arrival order is arbitrary (the interval merge sorts); sentinels
+    * ride the top slice and force-close each user's final session.
+    *
+    * Scale note: boundary selection is one map-side-combined
+    * percentile_approx over the intra-event sliver, broadcast back as a
+    * single array row; slice writes stream the corpus once per slice at
+    * fixture scale (harness-only — production binds a real ordered
+    * source, not restaged files).
+    */
+  def statefulXBatchReplay(events: DataFrame, stagingDir: String,
+                           gapUs: Long = 1800L * 1000000L,
+                           nSlices: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    drainSpent(spark)
+    val ev = stagingShape(events)
+    val all = withSentinels(ev, gapUs)
+    if (StagedDirs.add(stagingDir)) {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tus", "event_id")
+      val qs = (1 until nSlices).map(_.toDouble / nSlices)
+      // Strictly-later intra-session events: tus > prev (a boundary at a
+      // tied timestamp could not separate the pair) and within the gap.
+      val bounds = ev
+        .withColumn("prev", lag("tus", 1).over(byUser))
+        .filter(col("prev").isNotNull &&
+          col("tus") > col("prev") && col("tus") - col("prev") <= gapUs)
+        .agg(array_distinct(percentile_approx(col("tus"),
+          typedLit(qs), lit(100000))).as("bs"))
+      val sliced = all.crossJoin(broadcast(bounds))
+        .withColumn("slice",
+          size(filter(coalesce(col("bs"), array().cast("array<bigint>")),
+            b => b <= col("tus"))))
+        .drop("bs")
+      val dirP = java.nio.file.Paths.get(stagingDir)
+      java.nio.file.Files.createDirectories(dirP)
+      val build = new java.io.File(stagingDir, "_slice_build")
+      for (i <- 0 until nSlices) {
+        sliced.filter(col("slice") === i).drop("slice")
+          .coalesce(1).write.mode("overwrite").parquet(build.getPath)
+        // An empty slice (duplicate quantiles collapse ids) may write a
+        // rowless part file — staging it is harmless (an empty batch).
+        Option(build.listFiles()).toSeq.flatten
+          .find(_.getName.endsWith(".parquet")).foreach { part =>
+            val dst = dirP.resolve(f"slice-$i%04d.parquet")
+            java.nio.file.Files.move(part.toPath, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            // Ascending mtimes pin oldest-first delivery order.
+            dst.toFile.setLastModified(1700000000000L + i * 60000L)
+            ()
+          }
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(build)
+    }
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+      .withColumn("ts", timestamp_micros(col("tus")))
+    import spark.implicits._
+    runToMemory(
+      sessionizeStateful(
+        stream.select(col("user_id"), col("tus"), col("value")).as[SessEvent],
+        gapUs, watermark = ReplayWatermark).toDF(),
+      OutputMode.Append)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
   }
 
   /** Windowed-counts replay: tumbling windows are epoch-aligned, so the

@@ -156,6 +156,40 @@ class MultimodalStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("statefulXBatchReplay carries sessions across micro-batches, equals batch") {
+    val ev = Tables.events(spark, sfDir)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-xreplay").toString + "/staged"
+    val streamed = StreamOps.statefulXBatchReplay(ev, staging).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ops.EventOps.sessionize(ev)
+      .select("user_id", "start_us", "end_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // The staging really is multi-file (multi-micro-batch), time-sliced...
+    val slices = new java.io.File(staging).listFiles()
+      .filter(_.getName.startsWith("slice-")).sortBy(_.getName)
+    assert(slices.length >= 2, "staging must fan out to multiple batches")
+    val ranges = slices.map { f =>
+      val mm = spark.read.parquet(f.getPath)
+        .filter(col("event_id") =!= -1L)
+        .agg(min("tus"), max("tus")).head
+      if (mm.isNullAt(0)) None else Some((mm.getLong(0), mm.getLong(1)))
+    }
+    // ...slices are time-contiguous (no real-event overlap between files)
+    ranges.flatten.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+    // ...and at least one session provably SPANS a slice boundary, i.e.
+    // was carried in the state store between micro-batches.
+    val boundaries = ranges.flatten.drop(1).map(_._1)
+    assert(boundaries.exists(b =>
+        streamed.exists { case (_, s, e, _) => s < b && b <= e }),
+      "no session spans a micro-batch boundary — cross-batch state unexercised")
+  }
+
   test("stateful sessionizer closes sessions on gap evidence across batches") {
     import graft.streaming.SessEvent
     val base = 1700000000000000L // epoch micros
