@@ -428,6 +428,73 @@ object OracleSql {
               FROM s)
         SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
 
+  /** Recall twin: brute/LSH/IVF top-k recomputed (CTEs disambiguated),
+    * then per-query hit counts of each approximate set against brute.
+    */
+  def simsearchRecallSql: String =
+    s"""WITH ${quantCte("embeddings")},
+        q AS (SELECT vec_id AS q_id, v AS qvv, n2 AS qn2 FROM n WHERE vec_id < 5),
+        bc AS (SELECT q.q_id, n.vec_id, q.qvv, q.qn2, n.v AS vv, n.n2
+               FROM q, n WHERE n.vec_id <> q.q_id),
+        bs AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM bc),
+        br AS (SELECT q_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rnk
+               FROM bs),
+        brute AS (SELECT q_id, vec_id FROM br WHERE rnk <= 10),
+        $bucketCte,
+        qb AS (SELECT vec_id AS q_id, t, bucket FROM bkt WHERE vec_id < 5),
+        lcand AS (SELECT DISTINCT qb.q_id, b.vec_id
+                  FROM qb JOIN bkt b ON qb.t = b.t AND qb.bucket = b.bucket
+                  WHERE b.vec_id <> qb.q_id),
+        lpd AS (SELECT c.q_id, c.vec_id, qn.v AS qvv, qn.n2 AS qn2,
+                       vn.v AS vv, vn.n2 AS n2
+                FROM lcand c
+                JOIN n qn ON qn.vec_id = c.q_id
+                JOIN n vn ON vn.vec_id = c.vec_id),
+        ls AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM lpd),
+        lr AS (SELECT q_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rnk
+               FROM ls),
+        lsh AS (SELECT q_id, vec_id FROM lr WHERE rnk <= 10),
+        cent AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM n
+                 WHERE vec_id < ${SimilarityOps.IvfCentroids}),
+        pr AS (SELECT n.vec_id, c.c_id, n.n2, c.cn2, n.v AS vv, c.cv AS cvv
+               FROM n CROSS JOIN cent c),
+        asg AS (SELECT vec_id, c_id,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                    (n2 + cn2 - 2 * CAST(list_sum(list_transform(
+                       range(1, len(vv) + 1), i -> vv[i] * cvv[i])) AS BIGINT))
+                    ASC, c_id ASC) AS rc
+                FROM pr),
+        assign AS (SELECT vec_id, c_id FROM asg WHERE rc = 1),
+        probes AS (SELECT vec_id AS q_id, c_id FROM asg
+                   WHERE vec_id < 5 AND rc <= ${SimilarityOps.IvfProbes}),
+        icand AS (SELECT DISTINCT p.q_id, a.vec_id
+                  FROM probes p JOIN assign a USING (c_id)
+                  WHERE a.vec_id <> p.q_id),
+        ipd AS (SELECT c.q_id, c.vec_id, qn.v AS qvv, qn.n2 AS qn2,
+                       vn.v AS vv, vn.n2 AS n2
+                FROM icand c
+                JOIN n qn ON qn.vec_id = c.q_id
+                JOIN n vn ON vn.vec_id = c.vec_id),
+        isc AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM ipd),
+        ir AS (SELECT q_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rnk
+               FROM isc),
+        ivf AS (SELECT q_id, vec_id FROM ir WHERE rnk <= 10)
+        SELECT b.q_id AS q_id, COUNT(*) AS n_true,
+               CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS lsh_hits,
+               CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ivf_hits
+        FROM brute b
+        LEFT JOIN lsh l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+        LEFT JOIN ivf i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+        GROUP BY b.q_id"""
+
   def aggSaltedSql: String =
     """SELECT l_returnflag,
               CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
@@ -458,6 +525,46 @@ object OracleSql {
                JOIN n b ON b.vec_id = p.vec_b),
         s AS (SELECT vec_a, vec_b, $cosExpr AS cos_sim FROM pd)
         SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.95"""
+
+  /** Planted-pair recall twin: ground truth by direct (v, v+10^6) id
+    * join, found set by the same bucket-join pipeline as dedupEmbedSql.
+    */
+  def dedupEmbedRecallSql: String =
+    s"""WITH ecorpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+          FROM embeddings),
+        ${quantCte("ecorpus")},
+        ${bucketCteFor(SimilarityOps.PairTables, SimilarityOps.PairPlanes)},
+        bo AS (SELECT vec_id, t, bucket FROM (
+                 SELECT vec_id, t, bucket,
+                        COUNT(*) OVER (PARTITION BY t, bucket) AS occ
+                 FROM bkt)
+               WHERE occ <= 100000),
+        pairs AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                  FROM bo x JOIN bo y
+                  ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        pd AS (SELECT p.vec_a, p.vec_b, a.v AS qvv, a.n2 AS qn2,
+                      b.v AS vv, b.n2 AS n2
+               FROM pairs p
+               JOIN n a ON a.vec_id = p.vec_a
+               JOIN n b ON b.vec_id = p.vec_b),
+        s AS (SELECT vec_a, vec_b, $cosExpr AS cos_sim FROM pd),
+        found AS (SELECT vec_a, vec_b FROM s WHERE cos_sim >= 0.95),
+        pl0 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       a.v AS qvv, a.n2 AS qn2, b.v AS vv, b.n2 AS n2
+                FROM n a JOIN n b ON b.vec_id = a.vec_id + 1000000
+                WHERE a.vec_id < 1000000),
+        planted AS (SELECT vec_a, vec_b FROM (
+                      SELECT vec_a, vec_b, $cosExpr AS cos_sim FROM pl0)
+                    WHERE cos_sim >= 0.95)
+        SELECT COUNT(*) AS n_planted,
+               CAST(SUM(CASE WHEN f.vec_b IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_found
+        FROM planted p
+        LEFT JOIN found f ON p.vec_a = f.vec_a AND p.vec_b = f.vec_b"""
 
   /** Per-dimension embedding stats twin — quantized exact moments, dims
     * indexed by a range cross join (DuckDB's unnest has no ordinality).

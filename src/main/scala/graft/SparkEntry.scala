@@ -401,9 +401,18 @@ object SparkEntry {
       SimilarityOps.lshTopK(Tables.embeddings(s, d))),
     "q_simsearch_ivf" -> ((s, d) =>
       SimilarityOps.ivfTopK(Tables.embeddings(s, d))),
+    // Search-quality audit: recall@10 of the LSH and IVF paths against
+    // the exact brute-force baseline, per query, as exact integer hit
+    // counts — the >=0.9 recall claim, pinned into the driver record.
+    "q_simsearch_recall" -> ((s, d) =>
+      SimilarityOps.recallAtK(Tables.embeddings(s, d))),
     "q_dedup_embed" -> ((s, d) =>
       SimilarityOps.embedNearDupPairs(
         SimilarityOps.embedDupCorpus(Tables.embeddings(s, d)))),
+    // Planted-pair recall of the near-dup path (ground truth by direct
+    // id join, no LSH) — the >=0.9 claim as exact driver-checked counts.
+    "q_dedup_embed_recall" -> ((s, d) =>
+      SimilarityOps.plantedPairRecall(Tables.embeddings(s, d))),
 
     // LLM-pipeline tier: text analysis over documents.
     "q_text_stats"  -> ((s, d) => TextStatsOps.textStats(Tables.documents(s, d))),
@@ -1025,6 +1034,8 @@ object SparkEntry {
     "q_simsearch" -> OracleSql.simsearchSql,
     "q_simsearch_lsh" -> OracleSql.simsearchLshSql,
     "q_simsearch_ivf" -> OracleSql.simsearchIvfSql,
+    "q_simsearch_recall" -> OracleSql.simsearchRecallSql,
+    "q_dedup_embed_recall" -> OracleSql.dedupEmbedRecallSql,
     "q_agg_salted" -> OracleSql.aggSaltedSql,
     "q_dedup_embed" -> OracleSql.dedupEmbedSql,
     "q_text_stats" -> OracleSql.textStatsSql,

@@ -84,6 +84,35 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("recallAtK counts match a driver-side set intersection") {
+    val brute = SimilarityOps.bruteTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SimilarityOps.recallAtK(emb).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getLong(1) === brute.count(_._1 == q))
+      assert(r.getLong(2) === (brute & lsh).count(_._1 == q))
+      assert(r.getLong(3) === (brute & ivf).count(_._1 == q))
+    }
+    // IVF is the generic-top-k tool on this near-orthogonal fixture —
+    // its recall must dominate LSH's (see the lshTopK regime note).
+    val (lshTot, ivfTot) = (rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    assert(ivfTot > lshTot)
+    assert(ivfTot >= (0.7 * rows.map(_.getLong(1)).sum).toLong)
+  }
+
+  test("plantedPairRecall pins the >=0.9 near-dup recall claim") {
+    val Array(row) = SimilarityOps.plantedPairRecall(emb).collect()
+    val (planted, found) = (row.getLong(0), row.getLong(1))
+    assert(planted > 0 && found <= planted)
+    assert(found.toDouble / planted >= 0.9)
+  }
+
   test("saltedSum equals the direct groupBy (skew path is exact)") {
     import graft.ops.AggOps
     val li = Tables.lineitem(spark, sfDir)
