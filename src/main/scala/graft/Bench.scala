@@ -58,7 +58,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout gets tail-captured by the driver and can truncate the
+    // per-query map on long suites; the file copy keeps the full record.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_bench.json"), line + "\n")
     spark.stop()
   }
 }

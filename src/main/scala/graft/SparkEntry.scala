@@ -558,6 +558,12 @@ object SparkEntry {
     // Real audio codec: JDK WAV/PCM decode, exact sample sums.
     "q_multimodal_wav" -> ((s, d) =>
       MultimodalOps.wavDecodeStats(Tables.documents(s, d))),
+    // Real CONTAINER-level video demux (ISO BMFF box walk + sample
+    // tables): frames extracted at stco/stsc/stsz-derived offsets, byte
+    // sums over the extracted slices — a mis-parsed offset breaks the
+    // closed-form oracle. Pixel decode stays out (no JDK video codec).
+    "q_multimodal_video" -> ((s, d) =>
+      MultimodalOps.videoDemuxStats(Tables.documents(s, d))),
 
     // SQL-surface registration of the native expressions (§2.10): the
     // injected functions (hash60, array_dot_l) run inside ONE SQL text;
@@ -1110,6 +1116,26 @@ object SparkEntry {
                 CAST(SUM(n) AS BIGINT) AS sum_samples,
                 CAST(SUM(ssum) AS BIGINT) AS sum_amp
          FROM a""",
+    "q_multimodal_video" ->
+      // Closed-form twin of Mp4.synthFrames: n = 4 + id mod 8 frames,
+      // frame i is 32 + (id·7 + i·13) mod 64 bytes, byte j is
+      // (id·7919 + i·131 + j·31) mod 256; duration = n·3000 ticks.
+      """WITH fr AS (SELECT doc_id, i.range AS i,
+                            CAST(32 + (doc_id*7 + i.range*13) % 64 AS BIGINT)
+                              AS sz
+                     FROM documents, range(0, 12) i
+                     WHERE i.range < 4 + doc_id % 8),
+           fb AS (SELECT doc_id, i, sz,
+                         CAST(SUM((doc_id*7919 + i*131 + j.range*31) % 256)
+                           AS BIGINT) AS bsum
+                  FROM fr, range(0, 96) j WHERE j.range < sz
+                  GROUP BY doc_id, i, sz)
+         SELECT doc_id AS asset_id, COUNT(*) AS n_frames,
+                CAST(SUM(sz) AS BIGINT) AS frame_bytes,
+                CAST(SUM(bsum) AS BIGINT) AS frame_byte_sum,
+                CAST(MAX((4 + doc_id % 8) * 3000) AS BIGINT)
+                  AS duration_ticks
+         FROM fb GROUP BY doc_id""",
     "q_sql_q3" -> SqlQ3,
     "q_pipeline" -> OracleSql.pipelineSql,
     "q_sink_roundtrip" ->

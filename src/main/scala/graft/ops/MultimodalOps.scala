@@ -19,16 +19,20 @@ case class Frame(asset_id: Long, frame_idx: Int, payload: Array[Byte])
   * Dataset — the Scala analogue of `mapInPandas` batch UDFs.
   *
   * Two decode tiers:
-  *  - REAL codecs, all JDK-native: PNG decode/resize via `javax.imageio`
-  *    (`q_multimodal_decode`: closed-form dimensions + a planted pixel,
-  *    losslessly round-tripped), JPEG decode via the same API
-  *    (`q_multimodal_jpeg`: lossy, dimensions exact), and WAV PCM decode
-  *    via `javax.sound.sampled` (`q_multimodal_wav`: exact sample sums).
-  *  - A STUB path (`decodeStub`/`resizeStub`) for codecs the JDK
-  *    genuinely does not ship (video demux, modern image/audio formats):
-  *    deterministic fakes that keep the Dataset[Asset] →
-  *    Dataset[AssetFeatures] partition-batched plumbing testable; a
-  *    production codec (e.g. ffmpeg bindings) replaces only the body.
+  *  - REAL codecs/parsers, all pure-JVM: PNG decode/resize via
+  *    `javax.imageio` (`q_multimodal_decode`: closed-form dimensions +
+  *    a planted pixel, losslessly round-tripped), JPEG decode via the
+  *    same API (`q_multimodal_jpeg`: lossy, dimensions exact), WAV PCM
+  *    decode via `javax.sound.sampled` (`q_multimodal_wav`: exact
+  *    sample sums), and ISO BMFF (MP4) CONTAINER demux via [[Mp4]]
+  *    (`q_multimodal_video`: frames extracted at sample-table-derived
+  *    offsets, byte sums over the extracted slices).
+  *  - A STUB path (`decodeStub`/`resizeStub`) for the codec layers the
+  *    JDK genuinely does not ship (video PIXEL decode, modern
+  *    image/audio formats): deterministic fakes that keep the
+  *    Dataset[Asset] → Dataset[AssetFeatures] partition-batched
+  *    plumbing testable; a production codec (e.g. ffmpeg bindings)
+  *    replaces only the body.
   *
   * At 100 TB decode/resize is pure map-side work (no shuffle); only the
   * final aggregates exchange data.
@@ -97,9 +101,10 @@ object MultimodalOps {
 
   /** STUB frame sampler — fixed-size payload chunks stand in for video
     * frames; every `everyNth` chunk is emitted. The 1→N typed flatMap is
-    * the real distributed shape (map-side fan-out, no shuffle); a real
-    * demuxer slots into the chunking. Deterministic from the blob alone,
-    * so the aggregate over its output is oracle-checkable in closed form.
+    * the real distributed shape (map-side fan-out, no shuffle); the real
+    * demuxer counterpart is [[Mp4.frames]] (container-level offsets, see
+    * videoDemuxStats). Deterministic from the blob alone, so the
+    * aggregate over its output is oracle-checkable in closed form.
     */
   def frameSampleStub(a: Asset, chunkBytes: Int, everyNth: Int): Iterator[Frame] =
     a.payload.grouped(chunkBytes).zipWithIndex
@@ -358,6 +363,41 @@ object MultimodalOps {
       .toDF("asset_id", "n_samples", "sample_sum")
       .agg(count(lit(1)).as("n_assets"),
         sum("n_samples").as("sum_samples"), sum("sample_sum").as("sum_amp"))
+  }
+
+  // ---- real MP4 container demux tier (pure-JVM ISO BMFF, see Mp4) ----
+
+  /** The q_multimodal_video query surface: synthesize real ISO BMFF
+    * containers, demux them at the container level (box walk + sample
+    * tables), extract every frame at its stco/stsc/stsz-derived byte
+    * offset, and aggregate per asset: frame count, frame bytes, the sum
+    * of extracted frame BYTES (a mis-parsed offset or size breaks it),
+    * and the media duration in ticks. All closed-form functions of the
+    * id (Mp4.synthFrames), so the DuckDB oracle verifies that actual
+    * container demuxing — not header arithmetic — produced the numbers.
+    * Pixel decode stays honestly out of scope: the JDK ships no video
+    * codec; this is the demux stage a real pipeline runs BEFORE handing
+    * frame ranges to one. Map-side demux, one aggregation exchange.
+    */
+  def videoDemuxStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val asset = Asset(id, "mp4", Mp4.syntheticMp4(id))
+        val t = Mp4.demux(asset.payload)
+        Mp4.frames(asset).map { fr =>
+          (id, fr.payload.length.toLong,
+            fr.payload.foldLeft(0L)((acc, b) => acc + (b & 0xff)),
+            t.durationTicks)
+        }
+      })
+      .toDF("asset_id", "n_bytes", "byte_sum", "dur")
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum("n_bytes").as("frame_bytes"),
+        sum("byte_sum").as("frame_byte_sum"),
+        max("dur").as("duration_ticks"))
   }
 
   /** Oracle-checkable aggregate over the binary surface: per-format asset

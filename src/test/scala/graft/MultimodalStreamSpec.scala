@@ -101,6 +101,51 @@ class MultimodalStreamSpec extends SparkSpec {
     assert(out("jpg") === ((1L, 2L, 2.0)))
   }
 
+  test("MP4 demux round-trips every synthesized frame byte-for-byte") {
+    import graft.ops.Mp4
+    // id range covers 4..11 frames, i.e. 2..4 chunks at 3/chunk — both
+    // the equal-chunks and smaller-tail stsc shapes
+    for (id <- 0L to 16L) {
+      val payload = Mp4.syntheticMp4(id)
+      val t = Mp4.demux(payload)
+      val expect = Mp4.synthFrames(id)
+      assert(t.sampleSizes.length === expect.length)
+      assert(t.timescale === Mp4.MediaTimescale)
+      assert(t.durationTicks === expect.length * Mp4.FrameDelta)
+      val got = Mp4.frames(Asset(id, "mp4", payload)).toSeq
+      got.zip(expect).foreach { case (fr, ex) =>
+        assert(fr.payload.toSeq === ex.toSeq, s"id=$id frame ${fr.frame_idx}")
+      }
+    }
+  }
+
+  test("MP4 demux fails loudly on corrupt containers") {
+    import graft.ops.Mp4
+    val good = Mp4.syntheticMp4(7L)
+    // corrupt the top-level mdat box size
+    val bad = good.clone()
+    val ftypLen = java.nio.ByteBuffer.wrap(good, 0, 4).getInt
+    bad(ftypLen) = 0x7f.toByte // absurd 4-byte size prefix
+    intercept[IllegalArgumentException](Mp4.demux(bad))
+    // truncated container
+    intercept[Exception](Mp4.demux(good.take(good.length - 10)))
+    // not a container at all
+    intercept[Exception](Mp4.demux("plainly not an mp4".getBytes))
+  }
+
+  test("videoDemuxStats is map-side demux + one aggregation exchange") {
+    val out = MultimodalOps.videoDemuxStats(Tables.documents(spark, sfDir))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length <= 1, plan)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 4 + id % 8)
+      assert(r.getLong(4) === (4 + id % 8) * 3000)
+    }
+  }
+
   test("streaming sessionize matches the batch session_window result") {
     val base = 1700000000000L // epoch millis
     def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
