@@ -22,6 +22,13 @@ object OracleSql {
   def hash60(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Whitespace tokenizer class — RE2 twin of TextOps.WsRegex. Spelled
+    * as the six explicit code points because RE2's `\s` excludes U+000B
+    * while Java's includes it; the explicit class makes both engines
+    * split identically by construction.
+    */
+  val Ws: String = """[ \t\n\x0B\f\r]+"""
+
   /** Near-dup corpus CTEs — DuckDB twin of DedupOps.dupCorpus. */
   val corpusCte: String =
     """base AS (SELECT doc_id, text FROM documents),
@@ -36,7 +43,7 @@ object OracleSql {
     */
   def shingle3CteOver(src: String): String =
     s"""words AS (SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+         list_filter(string_split_regex(text, '$Ws'), x -> x <> '') AS w
        FROM $src),
        sh AS (SELECT DISTINCT doc_id, sh FROM (
          SELECT doc_id, unnest(CASE WHEN len(w) >= 3
@@ -113,7 +120,7 @@ object OracleSql {
     s"""WITH $corpusCte,
         toks AS (SELECT doc_id, w, COUNT(*) AS cnt FROM (
                    SELECT doc_id, unnest(
-                     list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                     list_filter(string_split_regex(text, '$Ws'), x -> x <> ''))
                      AS w FROM corpus)
                  GROUP BY doc_id, w),
         th AS (SELECT doc_id, cnt, ${hash60("w")} AS h FROM toks),
@@ -139,7 +146,7 @@ object OracleSql {
   def dedupNgramSql: String =
     s"""WITH $corpusCte,
         words AS (SELECT doc_id,
-          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+          list_filter(string_split_regex(text, '$Ws'), x -> x <> '') AS w
         FROM corpus),
         s AS (SELECT DISTINCT doc_id, ${hash60("g")} AS sh FROM (
           SELECT doc_id, unnest(CASE WHEN len(w) >= 2
@@ -170,7 +177,7 @@ object OracleSql {
   def dedupParagraphSql: String =
     s"""WITH $corpusCte,
         words AS (SELECT doc_id,
-          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+          list_filter(string_split_regex(text, '$Ws'), x -> x <> '') AS w
         FROM corpus WHERE text IS NOT NULL),
         nz AS (SELECT doc_id, w, (len(w) + 9) // 10 AS nc
                FROM words WHERE len(w) > 0),
@@ -207,14 +214,14 @@ object OracleSql {
   def decontamSql: String = {
     val gram = (0 until 8).map(o => s"w[j+$o]").mkString(" || ' ' || ")
     s"""WITH $corpusCte,
-        bw AS (SELECT list_filter(string_split_regex(text, '\\s+'),
+        bw AS (SELECT list_filter(string_split_regex(text, '$Ws'),
                  x -> x <> '') AS w
                FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL),
         bs AS (SELECT DISTINCT ${hash60("g")} AS h FROM (
                 SELECT unnest(list_transform(range(1, len(w) - 6),
                   j -> $gram)) AS g
                 FROM bw)),
-        tw AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+        tw AS (SELECT doc_id, list_filter(string_split_regex(text, '$Ws'),
                  x -> x <> '') AS w
                FROM corpus WHERE text IS NOT NULL),
         ts AS (SELECT doc_id, ${hash60("g")} AS h FROM (
@@ -231,7 +238,7 @@ object OracleSql {
     */
   def packSql: String =
     s"""WITH t AS (SELECT doc_id,
-          CAST(len(list_filter(string_split_regex(text, '\\s+'),
+          CAST(len(list_filter(string_split_regex(text, '$Ws'),
             x -> x <> '')) AS BIGINT) AS n_tok
         FROM documents WHERE text IS NOT NULL),
         s AS (SELECT doc_id, n_tok,
@@ -252,7 +259,7 @@ object OracleSql {
     */
   def vocabCoverageSql: String =
     s"""WITH toks AS (SELECT doc_id,
-          unnest(list_filter(string_split_regex(text, '\\s+'),
+          unnest(list_filter(string_split_regex(text, '$Ws'),
             x -> x <> '')) AS w
         FROM documents WHERE text IS NOT NULL),
         vocab AS (SELECT w FROM (
@@ -276,7 +283,7 @@ object OracleSql {
   /** Corpus-report twin: all-int64 per-(source, lang) profile. */
   def corpusReportSql: String =
     s"""WITH t AS (SELECT source, lang,
-          CAST(len(list_filter(string_split_regex(text, '\\s+'),
+          CAST(len(list_filter(string_split_regex(text, '$Ws'),
             x -> x <> '')) AS BIGINT) AS n_tok,
           CAST(length(text) AS BIGINT) AS n_chars
         FROM documents WHERE text IS NOT NULL)
@@ -619,8 +626,8 @@ object OracleSql {
   // ---- text analysis (TextStatsOps twins) ----
 
   private val toksCte: String =
-    """toks AS (SELECT doc_id,
-         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+    s"""toks AS (SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '$Ws'), x -> x <> '')) AS w
        FROM documents)"""
 
   def textStatsSql: String = {
@@ -683,7 +690,7 @@ object OracleSql {
     */
   def repetitionSql: String =
     s"""WITH words AS (SELECT doc_id,
-          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+          list_filter(string_split_regex(text, '$Ws'), x -> x <> '') AS w
         FROM documents),
         g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
             THEN list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1])
@@ -700,7 +707,7 @@ object OracleSql {
 
   def tokenCountSql: String =
     s"""SELECT doc_id,
-          CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+          CAST(len(list_filter(string_split_regex(text, '$Ws'), x -> x <> ''))
                AS BIGINT) AS n_ws,
           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
                AS BIGINT) AS n_bpe
@@ -746,7 +753,7 @@ object OracleSql {
                   THEN list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1])
                   ELSE CAST([] AS VARCHAR[]) END) AS g
                 FROM (SELECT doc_id,
-                        list_filter(string_split_regex(text, '\\s+'),
+                        list_filter(string_split_regex(text, '$Ws'),
                           x -> x <> '') AS w
                       FROM documents)),
         bc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM big GROUP BY doc_id, g),
@@ -853,7 +860,7 @@ object OracleSql {
 
   def parseTolerantSql: String =
     s"""WITH lines AS (
-          SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+          SELECT unnest(list_filter(string_split_regex(text, '$Ws'),
                                     x -> x <> '')) AS line FROM documents
           UNION ALL SELECT CAST(l_quantity AS VARCHAR) FROM lineitem
           UNION ALL SELECT '#' || CAST(o_orderkey AS VARCHAR) FROM orders),

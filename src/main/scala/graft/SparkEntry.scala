@@ -814,8 +814,9 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_wordcount" ->
-      """SELECT word, count(*) AS cnt
-         FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+      s"""SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split_regex(text, '${OracleSql.Ws}'))
+                 AS word FROM documents)
          WHERE word <> '' GROUP BY word""",
     "q_grep" ->
       """SELECT m AS match, count(*) AS cnt

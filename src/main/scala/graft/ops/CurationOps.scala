@@ -59,18 +59,21 @@ object CurationOps {
     * past the scan is (doc_id, n_tok) pairs, and that tiny projection is
     * persisted so its two consumers (bucket totals + the layout join)
     * tokenize the corpus once, under the same caller-frees cache contract
-    * as paragraphDedup. Rows with a NULL doc_id or NULL text are excluded
-    * up front (a null id has no place in a total order; int64 `div` is
-    * order-preserving for all non-null ids, negative included).
+    * as paragraphDedup (cacheCounts=false opts out for long-lived
+    * sessions, re-tokenizing once instead of pinning an entry). Rows with
+    * a NULL doc_id or NULL text are excluded up front (a null id has no
+    * place in a total order; int64 `div` is order-preserving for all
+    * non-null ids, negative included).
     */
   def packLayout(docs: DataFrame, budget: Long = 256L,
-                 bucketSpan: Long = 1L << 20): DataFrame = {
-    val t = docs.filter(col("text").isNotNull && col("doc_id").isNotNull)
+                 bucketSpan: Long = 1L << 20,
+                 cacheCounts: Boolean = true): DataFrame = {
+    val t0 = docs.filter(col("text").isNotNull && col("doc_id").isNotNull)
       .select(col("doc_id"),
-        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+        size(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
           .cast("long").as("n_tok"))
       .withColumn("b", expr(s"doc_id div $bucketSpan"))
-      .persist()
+    val t = if (cacheCounts) t0.persist() else t0
     val bw = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     val boffs = t.groupBy("b").agg(sum("n_tok").as("bt"))
       .withColumn("boff", coalesce(sum("bt").over(bw), lit(0L)))
@@ -106,7 +109,7 @@ object CurationOps {
   def vocabCoverage(docs: DataFrame, vocabSize: Int = 10): DataFrame = {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
-        explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("w"))
+        explode(filter(split(col("text"), TextOps.WsRegex), x => x =!= "")).as("w"))
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc).limit(vocabSize)
       .select("w").withColumn("in_vocab", lit(1L))

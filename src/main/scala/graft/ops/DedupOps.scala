@@ -102,7 +102,7 @@ object DedupOps {
     * it, leaving exactly max(n-k+1, 0) shingles.
     */
   def shingleArr(textCol: Column, k: Int): Column = {
-    val w = filter(split(textCol, "\\s+"), x => x =!= "")
+    val w = filter(split(textCol, TextOps.WsRegex), x => x =!= "")
     val joined = (2 to k).foldLeft(w) { (acc, i) =>
       zip_with(acc, slice(w, lit(i), size(w)), (x, y) => concat(x, lit(" "), y))
     }
@@ -225,7 +225,7 @@ object DedupOps {
     // silently lose bits beyond 2^53 on the 60-bit hash.
     val toks = corpus
       .select(col("doc_id"),
-        explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("w"))
+        explode(filter(split(col("text"), TextOps.WsRegex), x => x =!= "")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .withColumn("h", TextOps.hash60(col("w")))
     val bitSums = (0 until SimhashBits).map(i =>
@@ -306,7 +306,7 @@ object DedupOps {
   def chunkedParas(corpus: DataFrame, words: Int): DataFrame =
     corpus.filter(col("text").isNotNull)
       .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), x => x =!= "").as("w"))
+        filter(split(col("text"), TextOps.WsRegex), x => x =!= "").as("w"))
       .select(col("doc_id"),
         when(size(col("w")) > 0,
           transform(
@@ -330,7 +330,7 @@ object DedupOps {
     * (doc_id, idx) and the reassembly agg on doc_id), i.e. the minimum
     * any reassembling dedup must move.
     */
-  def paragraphDedup(paras: DataFrame): DataFrame = {
+  def paragraphDedup(paras: DataFrame, cacheOccurrences: Boolean = true): DataFrame = {
     // The occurrence table feeds two branches (keeper election + probe);
     // persist stops the chunk/explode pipeline running twice. MEMORY_AND_
     // DISK with spill is the standard trade at scale: re-deriving would
@@ -338,9 +338,13 @@ object DedupOps {
     // lazy, so the entry cannot be unpersisted here (unlike GraphOps'
     // loops, which act inside the op) — the caller frees it after its
     // action (`spark.catalog.clearCache()`, as Verify/Bench already do
-    // between queries).
-    val occ = paras.select(col("doc_id"),
-      posexplode(col("paras")).as(Seq("idx", "para"))).persist()
+    // between queries). Long-lived sessions composing many curation ops
+    // can pass cacheOccurrences=false to trade the double derivation for
+    // zero pinned entries (same escape hatch as dedupBloomPrefilter's
+    // persistIncoming).
+    val occ0 = paras.select(col("doc_id"),
+      posexplode(col("paras")).as(Seq("idx", "para")))
+    val occ = if (cacheOccurrences) occ0.persist() else occ0
     val keepers = occ
       .select(md5(col("para")).as("h"), col("doc_id"), col("idx"))
       .groupBy("h").agg(min(struct(col("doc_id"), col("idx"))).as("k"))

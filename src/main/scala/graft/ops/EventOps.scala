@@ -77,7 +77,7 @@ object EventOps {
   def tolerantParse(docs: DataFrame, lineitem: DataFrame,
                     orders: DataFrame): DataFrame = {
     val lines = docs
-      .select(explode(filter(split(col("text"), "\\s+"), x => x =!= ""))
+      .select(explode(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
         .as("line"))
       .union(lineitem.select(col("l_quantity").cast("string").as("line")))
       .union(orders.select(concat(lit("#"), col("o_orderkey")).as("line")))

@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Whitespace tokenizer class — Java regex `\s` spelled out as its six
+    * code points, so the contract is engine-identical BY CONSTRUCTION:
+    * DuckDB's RE2 `\s` excludes U+000B while Java's includes it, a latent
+    * divergence this explicit class removes (OracleSql.Ws is the same
+    * class; KGram's byte tokenizer walks the identical set).
+    */
+  val WsRegex = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** line/document column → one row per whitespace token. */
   def tokens(df: DataFrame, textCol: String, out: String = "word"): DataFrame =
-    df.select(explode(split(col(textCol), "\\s+")).as(out))
+    df.select(explode(split(col(textCol), TextOps.WsRegex)).as(out))
       .filter(col(out) =!= "")
 
   /** wordcount: token → count. Output order is unspecified (the driver

@@ -29,7 +29,7 @@ object TextStatsOps {
   ).flatMap { case (l, ws) => ws.map(l -> _) }
 
   private def toks(docs: DataFrame) = docs.select(col("doc_id"),
-    explode(filter(split(col("text"), "\\s+"), x => x =!= "")).as("w"))
+    explode(filter(split(col("text"), TextOps.WsRegex), x => x =!= "")).as("w"))
 
   /** Per-document quality stats: token/char counts, distinct ratio,
     * stopword ratio, and a [0,1] quality score
@@ -80,7 +80,7 @@ object TextStatsOps {
     */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+      size(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
         .cast("long").as("n_ws"),
       size(regexp_extract_all(col("text"),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_bpe"))
@@ -186,7 +186,7 @@ object TextStatsOps {
   def corpusReport(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("source"), col("lang"),
-        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+        size(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
           .cast("long").as("n_tok"),
         length(col("text")).cast("long").as("n_chars"))
       .groupBy("source", "lang")
