@@ -435,6 +435,62 @@ object OracleSql {
               FROM s)
         SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
 
+  /** k-means IVF twin: the integer-lattice Lloyd training unrolled as
+    * one CTE block per iteration (assignment rank → per-dim exact sums →
+    * floor-snap rebuild → empty-cluster carry), then the same IVF probe
+    * over the trained centroids. floor(double-div of exact ints) is the
+    * engine-identical mean snap — see SimilarityOps.kmeansCentroids.
+    */
+  def simsearchIvfKmeansSql(iters: Int = 2): String = {
+    def rankCte(centRel: String, out: String): String =
+      s"""$out AS (SELECT vec_id, c_id, rc FROM (
+            SELECT n.vec_id, c.c_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                     (n.n2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+                        range(1, len(n.v) + 1), ii -> n.v[ii] * c.cv[ii]))
+                        AS BIGINT)) ASC, c.c_id ASC) AS rc
+            FROM n CROSS JOIN $centRel c))"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""${rankCte(s"cent${i - 1}", s"kasg$i")},
+          ksum$i AS (SELECT a.c_id, r.range AS dim,
+                       CAST(floor(CAST(SUM(n.v[r.range + 1]) AS DOUBLE)
+                         / COUNT(*)) AS BIGINT) AS c
+                     FROM n
+                     JOIN (SELECT vec_id, c_id FROM kasg$i WHERE rc = 1) a
+                       USING (vec_id),
+                     range(0, ${SimilarityOps.Dims}) r
+                     GROUP BY a.c_id, r.range),
+          kreb$i AS (SELECT c_id, list(c ORDER BY dim) AS cv
+                     FROM ksum$i GROUP BY c_id),
+          cent$i AS (SELECT p.c_id, COALESCE(r.cv, p.cv) AS cv,
+                       COALESCE(CAST(list_sum(list_transform(r.cv,
+                         x -> x * x)) AS BIGINT), p.cn2) AS cn2
+                     FROM cent${i - 1} p LEFT JOIN kreb$i r USING (c_id))"""
+    }.mkString(",\n")
+    s"""WITH ${quantCte("embeddings")},
+        cent0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM n
+                  WHERE vec_id < ${SimilarityOps.IvfCentroids}),
+        $iterCtes,
+        ${rankCte(s"cent$iters", "asg")},
+        assign AS (SELECT vec_id, c_id FROM asg WHERE rc = 1),
+        probes AS (SELECT vec_id AS q_id, c_id FROM asg
+                   WHERE vec_id < 5 AND rc <= ${SimilarityOps.IvfProbes}),
+        cand AS (SELECT DISTINCT p.q_id, a.vec_id
+                 FROM probes p JOIN assign a USING (c_id)
+                 WHERE a.vec_id <> p.q_id),
+        pd AS (SELECT c.q_id, c.vec_id, qn.v AS qvv, qn.n2 AS qn2,
+                      vn.v AS vv, vn.n2 AS n2
+               FROM cand c
+               JOIN n qn ON qn.vec_id = c.q_id
+               JOIN n vn ON vn.vec_id = c.vec_id),
+        s AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM pd),
+        r AS (SELECT q_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos_sim DESC, vec_id) AS rnk
+              FROM s)
+        SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
+  }
+
   /** Recall twin: brute/LSH/IVF top-k recomputed (CTEs disambiguated),
     * then per-query hit counts of each approximate set against brute.
     */

@@ -401,6 +401,11 @@ object SparkEntry {
       SimilarityOps.lshTopK(Tables.embeddings(s, d))),
     "q_simsearch_ivf" -> ((s, d) =>
       SimilarityOps.ivfTopK(Tables.embeddings(s, d))),
+    // The same IVF index over TRAINED centroids: 2 integer-lattice Lloyd
+    // iterations (floor-snapped means keep scoring exact int64), oracle
+    // replays the whole training bit-identically.
+    "q_simsearch_ivf_kmeans" -> ((s, d) =>
+      SimilarityOps.ivfTopK(Tables.embeddings(s, d), trainIters = 2)),
     // Search-quality audit: recall@10 of the LSH and IVF paths against
     // the exact brute-force baseline, per query, as exact integer hit
     // counts — the >=0.9 recall claim, pinned into the driver record.
@@ -1041,6 +1046,7 @@ object SparkEntry {
     "q_simsearch" -> OracleSql.simsearchSql,
     "q_simsearch_lsh" -> OracleSql.simsearchLshSql,
     "q_simsearch_ivf" -> OracleSql.simsearchIvfSql,
+    "q_simsearch_ivf_kmeans" -> OracleSql.simsearchIvfKmeansSql(2),
     "q_simsearch_recall" -> OracleSql.simsearchRecallSql,
     "q_dedup_embed_recall" -> OracleSql.dedupEmbedRecallSql,
     "q_agg_salted" -> OracleSql.aggSaltedSql,

@@ -157,19 +157,67 @@ object SimilarityOps {
   val IvfCentroids = 16
   val IvfProbes = 4
 
+  /** Seed centroids: the first [[IvfCentroids]] corpus vectors —
+    * deterministic in both engines.
+    */
+  private def seedCentroids(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn2"))
+
   /** (vec_id, c_id, rc): every vector ranked against every centroid by
     * exact int64 squared distance ‖v‖² + ‖c‖² − 2·v·c (ties by c_id).
     * rc=1 is the cluster assignment; rc ≤ nProbe is the query probe set.
     * Centroids are broadcast; ranking is one window per vector.
     */
-  private def centroidRanks(v: DataFrame): DataFrame = {
-    val cent = broadcast(v.filter(col("vec_id") < IvfCentroids)
-      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn2")))
+  private def centroidRanks(v: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)
-    v.join(cent)
+    v.join(broadcast(cent))
       .select(col("vec_id"), col("c_id"),
         (col("n2") + col("cn2") - lit(2L) * dotL(col("qv"), col("cv"))).as("d2"))
       .withColumn("rc", row_number().over(w))
+  }
+
+  /** INTEGER-LATTICE Lloyd training for the IVF coarse quantizer: `iters`
+    * k-means steps where each new centroid is the per-dimension mean of
+    * its cluster SNAPPED BACK to the int64 quantization lattice,
+    * `floor(Σq / m)` (floor of a double division of exactly-representable
+    * ints — engine-identical; plain integer `div`/`//` would disagree
+    * between engines on negative sums, truncation vs floor). Snapping
+    * costs less than one quantization unit (10^-6) of centroid precision
+    * per step — irrelevant to cluster geometry — and buys the property
+    * that matters here: centroids remain exact int64 vectors, so
+    * assignment keeps using the same exact integer distances as the rest
+    * of the ANN tier and the DuckDB oracle replays the whole training
+    * bit-identically (the iteration count is fixed; convergence breaks
+    * would be engine-dependent).
+    *
+    * Scale shape per iteration: one broadcast-join assignment pass (the
+    * corpus never shuffles for it), one (c_id, dim)-keyed exact-int sum
+    * — map-side combined, ≤ k·64 output rows — and a k-row rebuild.
+    * Empty clusters keep their previous centroid (left-join + coalesce).
+    */
+  def kmeansCentroids(v: DataFrame, iters: Int = 2): DataFrame = {
+    var cent = seedCentroids(v)
+    for (_ <- 0 until iters) {
+      val assign = centroidRanks(v, cent).filter(col("rc") === 1)
+        .select("vec_id", "c_id")
+      val sums = v.join(assign, "vec_id")
+        .select(col("c_id"), posexplode(col("qv")).as(Seq("dim", "q")))
+        .groupBy("c_id", "dim")
+        .agg(sum("q").as("s"), count(lit(1)).as("m"))
+        .select(col("c_id"), col("dim"),
+          floor(col("s").cast("double") / col("m")).cast("long").as("c"))
+      val rebuilt = sums.groupBy("c_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cv"))
+        .withColumn("cn2", dotL(col("cv"), col("cv")))
+      cent = cent.select(col("c_id"), col("cv").as("cv0"), col("cn2").as("cn20"))
+        .join(rebuilt, Seq("c_id"), "left")
+        .select(col("c_id"),
+          coalesce(col("cv"), col("cv0")).as("cv"),
+          coalesce(col("cn2"), col("cn20")).as("cn2"))
+    }
+    cent
   }
 
   /** IVF ANN top-k: assign vectors to their nearest centroid, probe the
@@ -177,10 +225,15 @@ object SimilarityOps {
     * those clusters only. Same output shape as bruteTopK/lshTopK. At
     * scale: candidates per query ≈ nProbe/nCentroids of the corpus, and
     * the inverted file is one hash-partitioned table keyed by c_id.
+    * Seed (first-N) centroids by default; `q_simsearch_ivf_kmeans` runs
+    * the same index over [[kmeansCentroids]]-trained ones.
     */
-  def ivfTopK(emb: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame = {
+  def ivfTopK(emb: DataFrame, numQueries: Int = 5, k: Int = 10,
+              trainIters: Int = 0): DataFrame = {
     val v = withQuant(emb).filter(col("n2") > 0)
-    val ranks = centroidRanks(v)
+    val cent =
+      if (trainIters == 0) seedCentroids(v) else kmeansCentroids(v, trainIters)
+    val ranks = centroidRanks(v, cent)
     val assign = ranks.filter(col("rc") === 1).select("vec_id", "c_id")
     val probes = ranks.filter(col("vec_id") < numQueries && col("rc") <= IvfProbes)
       .select(col("vec_id").as("q_id"), col("c_id"))

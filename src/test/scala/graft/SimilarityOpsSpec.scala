@@ -113,6 +113,46 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(found.toDouble / planted >= 0.9)
   }
 
+  test("kmeansCentroids equals a driver-side Lloyd reference, bit for bit") {
+    val v = emb.select(col("vec_id"),
+        SimilarityOps.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", SimilarityOps.dotL(col("qv"), col("qv")))
+      .filter(col("n2") > 0)
+    val vecs = v.select("vec_id", "qv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    // reference: plain-Scala integer-lattice Lloyd, same seed/snap/ties
+    var cent: Map[Long, Array[Long]] =
+      vecs.filter(_._1 < SimilarityOps.IvfCentroids).toMap
+    for (_ <- 0 until 2) {
+      def d2(a: Array[Long], b: Array[Long]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      val assign = vecs.map { case (id, q) =>
+        val best = cent.toSeq.map { case (c, cv) => (d2(q, cv), c) }.min
+        (best._2, q)
+      }
+      cent = cent.map { case (c, old) =>
+        val members = assign.filter(_._1 == c).map(_._2)
+        if (members.isEmpty) c -> old
+        else c -> Array.tabulate(old.length)(i =>
+          math.floor(members.map(_(i)).sum.toDouble / members.length).toLong)
+      }
+    }
+    val got = SimilarityOps.kmeansCentroids(v).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(got.keySet === cent.keySet)
+    cent.foreach { case (c, cv) =>
+      assert(got(c).toSeq === cv.toSeq, s"centroid $c")
+    }
+    // trained-index query path stays a valid ranked list
+    val km = SimilarityOps.ivfTopK(emb, trainIters = 2).collect()
+    km.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.sameElements(1L to rows.length))
+    }
+  }
+
   test("saltedSum equals the direct groupBy (skew path is exact)") {
     import graft.ops.AggOps
     val li = Tables.lineitem(spark, sfDir)
