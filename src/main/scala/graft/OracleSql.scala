@@ -491,6 +491,24 @@ object OracleSql {
         SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
   }
 
+  /** Chunk-overlap twin: 1-based inclusive list slices mirror Spark's
+    * slice(w, start+1, window); range(0, n, stride) mirrors the sequence
+    * starts; md5 of the space-rejoined window pins the exact text.
+    */
+  def chunkOverlapSql(window: Int, stride: Int): String =
+    s"""WITH wd AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '$Ws'), x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL),
+        st AS (SELECT doc_id, w, unnest(range(0, len(w), $stride)) AS start
+               FROM wd WHERE len(w) > 0)
+        SELECT doc_id,
+               CAST(start // $stride AS BIGINT) AS chunk_idx,
+               CAST(start AS BIGINT) AS start_tok,
+               CAST(len(w[start + 1 : start + $window]) AS BIGINT) AS n_tok,
+               md5(array_to_string(w[start + 1 : start + $window], ' '))
+                 AS chunk_md5
+        FROM st"""
+
   /** Recall twin: brute/LSH/IVF top-k recomputed (CTEs disambiguated),
     * then per-query hit counts of each approximate set against brute.
     */

@@ -445,6 +445,10 @@ object SparkEntry {
     // assignment from a global token-prefix sum (no text moves).
     "q_pack" -> ((s, d) =>
       CurationOps.packLayout(Tables.documents(s, d))),
+    // Overlapping token-window chunking (RAG / retrieval prep): windows
+    // of 64 tokens advancing by 48; md5 per chunk pins the exact text.
+    "q_chunk_overlap" -> ((s, d) =>
+      CurationOps.chunkOverlap(Tables.documents(s, d))),
     // Target-mix resampling by language: hash-thresholded downsampling
     // toward a 40/25/15/10/10 training mix, per-group audit output.
     "q_mix_resample" -> ((s, d) =>
@@ -1023,6 +1027,7 @@ object SparkEntry {
     "q_dedup_paragraph" -> OracleSql.dedupParagraphSql,
     "q_decontam" -> OracleSql.decontamSql,
     "q_pack" -> OracleSql.packSql,
+    "q_chunk_overlap" -> OracleSql.chunkOverlapSql(64, 48),
     "q_mix_resample" -> OracleSql.mixResampleSql,
     "q_vocab_coverage" -> OracleSql.vocabCoverageSql,
     "q_sample_weighted" -> OracleSql.sampleWeightedSql,

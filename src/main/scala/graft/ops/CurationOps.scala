@@ -40,6 +40,37 @@ object CurationOps {
       .agg(countDistinct("h").as("n_hits"))
   }
 
+  /** Overlapping token-window chunking — the RAG / context-window prep
+    * stage: each document's token stream is cut into windows of `window`
+    * tokens whose starts advance by `stride` (< window ⇒ overlapping
+    * chunks, the standard retrieval-chunking shape). Emits one row per
+    * chunk: (doc_id, chunk_idx, start_tok, n_tok, chunk_md5) — the md5 is
+    * over the space-rejoined window, keeping the result compact while
+    * still proving the exact chunk text (a one-token slip breaks it).
+    * Every start < n_tokens is emitted, so the last window may be short;
+    * empty documents yield no chunks. Pure per-document expression work
+    * (one generate + projection, no shuffle at all until a consumer
+    * aggregates) — embarrassingly parallel at any corpus size.
+    */
+  def chunkOverlap(docs: DataFrame, window: Int = 64,
+                   stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1, s"bad window/stride $window/$stride")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(col("text"), TextOps.WsRegex), x => x =!= "").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(when(size(col("w")) > 0,
+            sequence(lit(0), size(col("w")) - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        size(slice(col("w"), col("start") + 1, lit(window)))
+          .cast("long").as("n_tok"),
+        md5(array_join(slice(col("w"), col("start") + 1, lit(window)), " "))
+          .as("chunk_md5"))
+  }
+
   /** Concatenate-and-chunk packing layout (the GPT-style pretraining
     * sequence packer): documents are laid out in doc_id order as one
     * global token stream cut into fixed `budget`-token context windows.

@@ -33,6 +33,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
+  test("chunkOverlap emits stride-advanced windows with exact text md5s") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"),     // 5 tokens: starts 0, 2, 4 at stride 2
+      (1L, "x y"),           // shorter than one window: one chunk
+      (2L, ""),              // empty: no chunks
+      (3L, "  p   q  r ")    // whitespace runs collapse
+    ).toDF("doc_id", "text")
+    val got = CurationOps.chunkOverlap(docs, window = 3, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === Set(
+      (0L, 0L, 0L, 3L, m("a b c")),
+      (0L, 1L, 2L, 3L, m("c d e")),
+      (0L, 2L, 4L, 1L, m("e")),
+      (1L, 0L, 0L, 2L, m("x y")),
+      (3L, 0L, 0L, 3L, m("p q r")),
+      (3L, 1L, 2L, 1L, m("r"))))
+    // overlap invariant: consecutive chunks share window - stride tokens
+    val plan = CurationOps.chunkOverlap(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // map-only, no shuffle
+  }
+
   test("packLayout assigns contiguous windows from the token prefix sum") {
     val docs = Seq(
       (1L, "a b c"),    // n_tok 3, start 0
