@@ -872,6 +872,19 @@ object OracleSql {
                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, sess_idx"""
 
+  /** Stream-stream interval-join twin: the batch view→click attribution
+    * join the streamed self-join must reproduce exactly — all-int64
+    * micros arithmetic on both engines, boundaries inclusive.
+    */
+  def streamJoinSql(maxLagUs: Long): String =
+    s"""SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'click'
+         AND epoch_us(b.ts) >= epoch_us(a.ts)
+         AND epoch_us(b.ts) <= epoch_us(a.ts) + $maxLagUs"""
+
   /** Replay twin: the same gap-session derivation as sessionizeSql, with
     * the session index grouped away — the shape StreamOps.sessionizeReplay
     * projects the session_window result onto.

@@ -530,6 +530,13 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, d) =>
       graft.streaming.StreamOps.dedupReplay(Tables.events(s, d),
         tmpPath("graft_stream_dedup", d))),
+    // Stream-stream event-time interval join: view→click attribution
+    // within 1 hour, both sides streamed as micro-batches of the same
+    // staged corpus (a streaming self-join) — append-mode pairs must
+    // equal the batch interval join exactly.
+    "q_stream_join" -> ((s, d) =>
+      graft.streaming.StreamOps.streamJoinReplay(Tables.events(s, d),
+        tmpPath("graft_stream_events", d))),
     // Stream-static enrichment: micro-batches join a broadcast customer
     // snapshot; aggregate equals the batch left join.
     "q_stream_enrich" -> ((s, d) => {
@@ -1063,6 +1070,7 @@ object SparkEntry {
     "q_repetition" -> OracleSql.repetitionSql,
     "q_sessionize" -> OracleSql.sessionizeSql,
     "q_stream_sessionize" -> OracleSql.sessionizeReplaySql,
+    "q_stream_join" -> OracleSql.streamJoinSql(3600L * 1000000L),
     "q_stream_stateful" -> StatefulSessionSql,
     // Same batch-session oracle: the cross-batch replay must produce the
     // identical closed-session set.

@@ -398,6 +398,55 @@ object StreamOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream event-time interval join — the funnel/attribution
+    * shape: pair each left event with the same-key right events whose
+    * event time lands in [l_ts, l_ts + maxLagUs]. Both sides carry a
+    * watermark and the range predicate is on the watermarked event-time
+    * columns — exactly what Spark's stream-stream state-cleanup planner
+    * keys on, so each side's buffered join state is evicted once the
+    * other side's watermark passes its reach: state is O(events within
+    * watermark + lag), not O(stream). The caller renames the right
+    * side's columns (rKey, rTs) disjoint from the left's, keeping a
+    * self-derived two-sided stream unambiguous; the lag is taken once
+    * in micros and the INTERVAL literal is derived from it (no
+    * must-agree duration pair).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lKey: String, rKey: String,
+                   lTs: String = "ts", rTs: String = "r_ts",
+                   maxLagUs: Long = 3600L * 1000000L,
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(lTs, watermark)
+    val r = right.withWatermark(rTs, watermark)
+    l.join(r, col(lKey) === col(rKey) &&
+      col(rTs) >= col(lTs) &&
+      col(rTs) <= col(lTs) + expr(s"INTERVAL $maxLagUs MICROSECOND"))
+  }
+
+  /** Stream-stream join replay: views and clicks are two streaming
+    * filters of ONE staged corpus (a streaming self-join — each side
+    * re-reads the file source), paired per user within maxLagUs. Inner
+    * join under the replay-horizon watermark means state is never
+    * evicted, so no micro-batch order can drop a pair and the
+    * append-mode result is exactly the batch interval join
+    * (q_stream_join's oracle). Shares the events staging dir with the
+    * other event replays.
+    */
+  def streamJoinReplay(events: DataFrame, stagingDir: String,
+                       maxLagUs: Long = 3600L * 1000000L,
+                       nParts: Int = 4): DataFrame =
+    replay(events, stagingDir, nParts, OutputMode.Append) { stream =>
+      val views = stream.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("r_user"), col("ts").as("r_ts"))
+      intervalJoin(views, clicks, "user_id", "r_user",
+        maxLagUs = maxLagUs, watermark = ReplayWatermark)
+        .select(col("view_id"), col("click_id"), col("user_id"),
+          (unix_micros(col("r_ts")) - unix_micros(col("ts"))).as("dt_us"))
+    }
+
   /** Sliding/tumbling windowed counts per event_type. */
   def windowedCounts(events: DataFrame, window: String = "10 minutes",
                      watermark: String = "1 hour"): DataFrame =

@@ -369,4 +369,56 @@ class MultimodalStreamSpec extends SparkSpec {
       assert(rows(2L) === null) // left join keeps unmatched stream rows
     } finally q.stop()
   }
+
+  test("streamJoinReplay equals the batch interval join") {
+    val ev = Tables.events(spark, sfDir)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-jreplay").toString + "/staged"
+    val lagUs = 3600L * 1000000L
+    val streamed = StreamOps.streamJoinReplay(ev, staging, lagUs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        graft.ops.EventOps.microsOf(ev, "ts").as("a_us"))
+    val b = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("u2"),
+        graft.ops.EventOps.microsOf(ev, "ts").as("b_us"))
+    val batch = a.join(b, col("user_id") === col("u2") &&
+        col("b_us") >= col("a_us") && col("b_us") <= col("a_us") + lagUs)
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        (col("b_us") - col("a_us")).as("dt_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("intervalJoin pairs within the lag, inclusive bounds, per key") {
+    val base = 1700000000000L
+    def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, Long, Timestamp)]
+    val rmem = MemoryStream[(Long, Long, Timestamp)]
+    val left = lmem.toDF().toDF("view_id", "user_id", "ts")
+    val right = rmem.toDF().toDF("click_id", "r_user", "r_ts")
+    val q = StreamOps.intervalJoin(left, right, "user_id", "r_user",
+        maxLagUs = 10L * 1000000L, watermark = StreamOps.ReplayWatermark)
+      .select("view_id", "click_id")
+      .writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").start()
+    try {
+      // view 1 @t0: clicks at t0 (inclusive low), t10 (inclusive high),
+      // t11 (out); click 40 arrives a batch EARLIER than its view —
+      // buffered right-side state must still match. user 2 never pairs
+      // (key mismatch).
+      rmem.addData((40L, 1L, ts(10)))
+      q.processAllAvailable()
+      lmem.addData((1L, 1L, ts(0)), (2L, 2L, ts(0)))
+      rmem.addData((41L, 1L, ts(0)), (42L, 1L, ts(11)), (43L, 3L, ts(5)))
+      q.processAllAvailable()
+      val got = spark.table("ij_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 40L), (1L, 41L)))
+    } finally q.stop()
+  }
 }
