@@ -872,6 +872,49 @@ object OracleSql {
                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, sess_idx"""
 
+  /** CDC merge twin: the same deterministic change stream (delete ≡0,
+    * two update versions ≡1 — latest wins, insert ≡2 at key+10^9)
+    * derived and applied in SQL; latest election via row_number,
+    * application via full join. Payload arithmetic is single IEEE ops
+    * on parquet-read doubles — engine-identical.
+    */
+  def mergeUpsertSql: String =
+    s"""WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  epoch_us(o_orderdate) AS ord_us, o_orderpriority FROM orders),
+        ch AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice + 1000.0 AS o_totalprice, ord_us,
+                 o_orderpriority, 'U' AS op, 1 AS seq
+          FROM b WHERE o_orderkey % 10 = 1
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2.0,
+                 ord_us, o_orderpriority, 'U', 2
+          FROM b WHERE o_orderkey % 10 = 1
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, ord_us,
+                 o_orderpriority, 'D', 1
+          FROM b WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+                 o_totalprice, ord_us, o_orderpriority, 'I', 1
+          FROM b WHERE o_orderkey % 10 = 2),
+        l AS (SELECT * FROM (SELECT ch.*, row_number() OVER
+                (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch)
+              WHERE rn = 1)
+        SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN l.op IS NOT NULL THEN l.o_custkey
+                    ELSE b.o_custkey END AS o_custkey,
+               CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice,
+               CASE WHEN l.op IS NOT NULL THEN l.ord_us
+                    ELSE b.ord_us END AS ord_us,
+               CASE WHEN l.op IS NOT NULL THEN l.o_orderpriority
+                    ELSE b.o_orderpriority END AS o_orderpriority
+        FROM b FULL JOIN l ON b.o_orderkey = l.o_orderkey
+        WHERE l.op IS NULL OR l.op <> 'D'"""
+
   /** Stream-stream interval-join twin: the batch view→click attribution
     * join the streamed self-join must reproduce exactly — all-int64
     * micros arithmetic on both engines, boundaries inclusive.

@@ -135,6 +135,12 @@ object SparkEntry {
         .select(col("k").as("o_orderkey"), col("l_linenumber"),
           col("o_orderpriority"), col("l_quantity"))
     }),
+    // CDC merge/upsert (MERGE INTO semantics): a deterministic change
+    // stream (deletes, latest-wins double updates, key-shifted inserts)
+    // applied to the orders snapshot — latest election is one max_by
+    // agg, application one full-outer join.
+    "q_merge_upsert" -> ((s, d) =>
+      ops.CdcOps.mergeUpsertDemo(Tables.orders(s, d))),
 
     // §2.7 set ops
     "q_union" -> ((s, d) => {
@@ -1003,6 +1009,7 @@ object SparkEntry {
     "q_join_salted" ->
       """SELECT o_orderkey, l_linenumber, o_orderpriority, l_quantity
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "q_merge_upsert" -> OracleSql.mergeUpsertSql,
     "q_window_moving" ->
       """SELECT o_orderkey, o_custkey,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE)

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application — the warehouse MERGE INTO / upsert
+  * staple the reference's batch jobs emulate with re-writes. A change
+  * stream carries full-row payloads tagged (op ∈ I/U/D, seq); applying
+  * it to a base snapshot yields the next snapshot: latest change per key
+  * wins, D drops the key, I/U replace (or introduce) the row, untouched
+  * base rows pass through.
+  *
+  * Contract: `changes` has the base's columns plus (op, seq); (key, seq)
+  * pairs are unique (a CDC log's sequence number), and an I/U row carries
+  * the complete intended payload (full-row images, the Debezium-style
+  * after-state shape).
+  */
+object CdcOps {
+
+  /** Apply `changes` to `base` keyed by `key`.
+    *
+    * Scale shape: latest-change election is ONE map-side-combined
+    * `max_by(struct(payload), seq)` aggregation — no window sort over
+    * the log — and the application is a single full-outer equi-join on
+    * the key. Both sides shuffle once on the key (or not at all if the
+    * base is bucketed by it; AQE broadcasts the change side when the
+    * day's delta is small, the common case). No driver materialization
+    * at any size.
+    */
+  def mergeApply(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == key)
+    require(payload.nonEmpty && base.columns.contains(key),
+      s"key $key must be a base column with payload alongside")
+    val latest = changes.groupBy(col(key))
+      .agg(max_by(struct((payload :+ "op").map(col): _*), col("seq")).as("ch"))
+    base.join(latest, Seq(key), "full_outer")
+      .filter(col("ch").isNull || col("ch.op") =!= "D")
+      .select(col(key) +: payload.map(c =>
+        when(col("ch").isNotNull, col(s"ch.$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Deterministic demo change stream over `orders` for the driver row:
+    * keys ≡0 (mod 10) are deleted; keys ≡1 get TWO update versions
+    * (seq 1 adds 1000, seq 2 doubles — latest must win); keys ≡2 spawn
+    * inserts at key+10^9 (collision-free with the base key space).
+    * Payloads are single IEEE ops on parquet-read doubles — engine-
+    * identical by construction, same contract as the tfidf weights.
+    */
+  def demoOrderChanges(orders: DataFrame): DataFrame = {
+    val b = orders
+    def tagged(df: DataFrame, op: String, seq: Long) =
+      df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+    val u1 = tagged(b.filter(col("o_orderkey") % 10 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0), "U", 1L)
+    val u2 = tagged(b.filter(col("o_orderkey") % 10 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") * 2.0), "U", 2L)
+    val d = tagged(b.filter(col("o_orderkey") % 10 === 0), "D", 1L)
+    val i = tagged(b.filter(col("o_orderkey") % 10 === 2)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000000L), "I", 1L)
+    u1.union(u2).union(d).union(i)
+  }
+
+  /** The registered merged snapshot: orders + demo changes, order dates
+    * projected to epoch micros (the suite's portable timestamp shape).
+    */
+  def mergeUpsertDemo(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ord_us"),
+      col("o_orderpriority"))
+    mergeApply(base, demoOrderChanges(base), "o_orderkey")
+  }
+}

@@ -170,4 +170,39 @@ class RelOpsSpec extends SparkSpec {
     // weight = tf*1e6*N/df: rare 3e6, common 1e6.
     assert(all("rare") === 3000000.0 && all("common") === 1000000.0)
   }
+
+  test("mergeApply: latest wins, D drops, I inserts, untouched rows pass") {
+    import spark.implicits._
+    import graft.ops.CdcOps
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val changes = Seq(
+      (2L, "b-old", "U", 1L), (2L, "b-new", "U", 2L), // latest must win
+      (3L, "c", "D", 1L),                             // delete
+      (5L, "e", "I", 1L)                              // insert
+    ).toDF("k", "v", "op", "seq")
+    val got = CdcOps.mergeApply(base, changes, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a"), (2L, "b-new"), (4L, "d"), (5L, "e")))
+  }
+
+  test("mergeUpsertDemo matches a driver-side replica of the change rules") {
+    import graft.ops.CdcOps
+    val orders = Tables.orders(spark, sfDir)
+    val got = CdcOps.mergeUpsertDemo(orders).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val base = orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = base.flatMap { case (k, c, p) =>
+      k % 10 match {
+        case 0 => Nil                        // deleted
+        case 1 => Seq(k -> (c, p * 2.0))     // latest update wins
+        case 2 => Seq(k -> (c, p), (k + 1000000000L) -> (c, p)) // + insert
+        case _ => Seq(k -> (c, p))
+      }
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
