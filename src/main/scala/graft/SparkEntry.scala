@@ -327,6 +327,13 @@ object SparkEntry {
       GraphOps.pageRankConverged(
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod),
         maxIters = 30, tolFp = GraphOps.Scale / 1000)._1),
+    // Per-node triangle counts on the same synthetic graph: the degree-
+    // ordered node-iterator (wedge out-degrees bounded O(√m), hot
+    // vertices generate zero wedges) — oracle is the canonical a<b<c
+    // three-way self-join.
+    "q_triangle" -> ((s, d) =>
+      GraphOps.triangleCounts(
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod))),
 
     // Skew-mitigation pattern: salted two-phase aggregation; oracle is
     // the plain GROUP BY (identical results prove exactness).
@@ -1035,6 +1042,17 @@ object SparkEntry {
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
+    "q_triangle" ->
+      s"""WITH raw AS (SELECT l_orderkey % $PrMod AS src,
+                              l_partkey % $PrMod AS dst FROM lineitem),
+          ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM raw WHERE src <> dst),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM ed e1
+                  JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+                  JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+          n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+          SELECT node, COUNT(*) AS n_tri FROM n GROUP BY node""",
     "q_dedup_exact" -> OracleSql.dedupExactSql,
     "q_dedup_incremental" -> OracleSql.dedupIncrementalSql,
     "q_dedup_bloom" -> OracleSql.dedupIncrementalSql,

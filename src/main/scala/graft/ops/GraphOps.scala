@@ -240,4 +240,60 @@ object GraphOps {
         (col("rank_fp").cast("double") / lit(Scale.toDouble)).as("rank"))
       .orderBy(col("rank_fp").desc, col("node")), it)
   }
+
+  /** Per-node triangle counts via the degree-ordered node-iterator —
+    * the classic O(m^1.5) triangle algorithm (Schank/Wagner; the shape
+    * behind every distributed triangle count since MR "Counting
+    * Triangles in Massive Graphs"). Each undirected edge is oriented
+    * from its (degree, id)-smaller endpoint to the larger, so every
+    * vertex's out-degree is O(√m) regardless of skew — a star graph's
+    * hub gets ALL edges pointed at it and generates zero wedges, which
+    * is what makes wedge generation bounded at 100 TB where the naive
+    * u-centered enumeration explodes on hot vertices. Wedges (u→v, u→w)
+    * with (deg,id)-ordered v < w close iff the oriented edge v→w exists
+    * — each triangle counted exactly once, then exploded to its three
+    * corners for per-node counts.
+    *
+    * Shuffle shape: degree agg (int64 rows), one broadcastable degree
+    * attach, wedge self-join keyed on u, closing equi-join keyed on
+    * (v, w), final count agg — every exchange carries only node-id/deg
+    * int64s. `edges`: (src, dst) directed or undirected; self-loops and
+    * duplicate/reciprocal pairs collapse. Output: (node, n_tri) for
+    * nodes in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // (deg, id) total order orients each edge; broadcast the degree
+    // table (16 B/node) so the edge list never shuffles to attach it.
+    val da = broadcast(deg.select(col("node").as("a"), col("deg").as("da")))
+    val db = broadcast(deg.select(col("node").as("b"), col("deg").as("db")))
+    val oriented = und.join(da, "a").join(db, "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("lo"), col("b").as("hi"), col("db").as("hd")))
+        .otherwise(
+          struct(col("b").as("lo"), col("a").as("hi"), col("da").as("hd")))
+        .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"), col("e.hd").as("hd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val o1 = oriented.select(col("lo").as("u"), col("hi").as("v"),
+      col("hd").as("dv"))
+    val o2 = oriented.select(col("lo").as("u2"), col("hi").as("w"),
+      col("hd").as("dw"))
+    val wedges = o1.join(o2, col("u") === col("u2") &&
+        (col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w"))))
+      .select(col("u"), col("v"), col("w"))
+    val closing = oriented.select(col("lo").as("v"), col("hi").as("w"))
+    wedges.join(closing, Seq("v", "w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -128,4 +128,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(a === b)
     assert(a.map(_.getLong(1)) === Set(10L, 60L))
   }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node; pendant has none") {
+    // K4 on {1,2,3,4} with noisy input: self-loop, duplicate, reciprocal
+    // pair — all must collapse. Pendant 4-5 joins no triangle.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (1L, 2L), (3L, 3L), (4L, 5L)
+    ).toDF("src", "dst")
+    val got = GraphOps.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // total triangles = Σ n_tri / 3 = 4
+    assert(got.values.sum === 12L)
+  }
+
+  test("triangleCounts is deterministic across partition layouts") {
+    val edges = Tables.lineitem(spark, sfDir)
+      .select((col("l_orderkey") % 101).as("src"),
+        (col("l_partkey") % 101).as("dst"))
+    val a = GraphOps.triangleCounts(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = GraphOps.triangleCounts(edges.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
