@@ -872,6 +872,32 @@ object OracleSql {
                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, sess_idx"""
 
+  /** Bigram-LM score twin: same bigram derivation as repetitionSql, ppm
+    * probabilities as exact integer floor-divs (`//` = Spark's `div` on
+    * nonnegative operands), HUGEINT sums cast back to BIGINT.
+    */
+  def lmScoreSql: String =
+    s"""WITH words AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '$Ws'), x -> x <> '') AS w
+        FROM documents),
+        g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1])
+            ELSE CAST([] AS VARCHAR[]) END) AS g
+          FROM words),
+        db AS (SELECT doc_id, g, split_part(g, ' ', 1) AS w1,
+                      COUNT(*) AS cnt
+               FROM g GROUP BY 1, 2, 3),
+        cb AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS cb FROM db GROUP BY g),
+        cp AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cp
+               FROM db GROUP BY w1),
+        s AS (SELECT db.doc_id, db.cnt, (cb.cb * 1000000) // cp.cp AS p_ppm
+              FROM db JOIN cb USING (g) JOIN cp USING (w1))
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               CAST(SUM(cnt * p_ppm) AS BIGINT) AS lm_sum,
+               CAST(CAST(SUM(cnt * p_ppm) AS BIGINT)
+                    // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS lm_avg_ppm
+        FROM s GROUP BY doc_id"""
+
   /** CDC merge twin: the same deterministic change stream (delete ≡0,
     * two update versions ≡1 — latest wins, insert ≡2 at key+10^9)
     * derived and applied in SQL; latest election via row_number,

@@ -446,6 +446,10 @@ object SparkEntry {
     // Repetition signals (Gopher/RefinedWeb duplicate-bigram filter).
     "q_repetition" -> ((s, d) =>
       TextStatsOps.repetitionStats(Tables.documents(s, d))),
+    // Self-trained bigram-LM fluency score (CCNet-style quality signal),
+    // ppm integer probabilities — engine-exact, no libm logs.
+    "q_lm_score" -> ((s, d) =>
+      TextStatsOps.lmScore(Tables.documents(s, d))),
     // Benchmark decontamination: flag dup-corpus docs sharing an 8-gram
     // with the held-out benchmark slice (doc_id % 50 == 0). Benchmark
     // gram set broadcasts; the corpus never shuffles.
@@ -1093,6 +1097,7 @@ object SparkEntry {
     "q_token_count" -> OracleSql.tokenCountSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_repetition" -> OracleSql.repetitionSql,
+    "q_lm_score" -> OracleSql.lmScoreSql,
     "q_sessionize" -> OracleSql.sessionizeSql,
     "q_stream_sessionize" -> OracleSql.sessionizeReplaySql,
     "q_stream_join" -> OracleSql.streamJoinSql(3600L * 1000000L),

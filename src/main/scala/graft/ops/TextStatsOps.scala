@@ -217,4 +217,50 @@ object TextStatsOps {
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
         (col("top_cnt").cast("double") / col("n_bigrams")).as("top_frac"),
         (col("n_distinct").cast("double") / col("n_bigrams")).as("distinct_frac"))
+
+  /** Bigram language-model quality score — the KenLM-style fluency
+    * signal of CCNet/Gopher-class pipelines, self-trained: corpus bigram
+    * counts are the model, and each document is scored by the average
+    * conditional probability of its bigrams, p(w2|w1) = c(w1 w2)/c(w1 ·).
+    * Natural text (whose bigrams follow the corpus distribution) scores
+    * high; shuffled or out-of-domain text scores low.
+    *
+    * Probabilities are held as ppm integers — (c(w1 w2) · 10^6) div
+    * c(w1 ·) — and summed exactly, NOT as log-prob doubles: transcendental
+    * libm results and order-dependent float sums both diverge across
+    * engines, while integer arithmetic is bit-identical on any partition
+    * layout and in the DuckDB twin (the suite-wide determinism contract).
+    * Output per doc with ≥1 bigram: (doc_id, n_bigrams, lm_sum,
+    * lm_avg_ppm); sub-2-token docs have no bigram evidence and are
+    * excluded (deterministic in both engines).
+    *
+    * Scale shape: one doc-keyed bigram-count agg (the persisted frame —
+    * `persist=false` for composing callers, the dedupBloomPrefilter
+    * contract), two map-side-combined global count aggs derived from it,
+    * two equi-joins keyed on gram/prefix strings, one final doc-keyed
+    * agg. ANSI headroom: c(bigram)·10^6 must stay under 2^63 — any
+    * single bigram repeated < 9·10^12 times, far past a 100 TB corpus's
+    * token count; breach throws, never wraps. String gram keys follow
+    * the TF-IDF precedent; at extreme vocab, dictionary-encode first.
+    */
+  def lmScore(docs: DataFrame, scale: Long = 1000000L,
+              persist: Boolean = true): DataFrame = {
+    val db = docs.select(col("doc_id"),
+        explode(DedupOps.shingleArr(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val kept = if (persist)
+      db.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else db
+    val cb = kept.groupBy("g").agg(sum("cnt").as("cb"))
+    val cp = kept.groupBy("w1").agg(sum("cnt").as("cp"))
+    kept.join(cb, "g").join(cp, "w1")
+      .select(col("doc_id"), col("cnt"),
+        expr(s"(cb * ${scale}L) div cp").as("p_ppm"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_bigrams"),
+        sum(col("cnt") * col("p_ppm")).as("lm_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_sum"),
+        expr("lm_sum div n_bigrams").as("lm_avg_ppm"))
+  }
 }

@@ -163,4 +163,30 @@ class TextStatsOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_dropped") === 4L)
     assert(r.getAs[Double]("sum_parsed") === 3.75)
   }
+
+  test("lmScore matches hand-computed ppm bigram probabilities") {
+    import spark.implicits._
+    // corpus bigram counts: "a b"→3, "b a"→1, "b c"→1; prefix counts:
+    // a→3, b→2. p_ppm: "a b"=1000000, "b a"=500000, "b c"=500000.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextStatsOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1: bigrams (a b)x2, (b a)x1 → sum 2.5e6, avg 2500000 div 3
+    assert(got(1L) === ((3L, 2500000L, 833333L)))
+    // doc 2: (a b), (b c) → sum 1.5e6, avg 750000
+    assert(got(2L) === ((2L, 1500000L, 750000L)))
+    // 1-token doc has no bigram evidence
+    assert(!got.contains(3L))
+  }
+
+  test("lmScore ranks natural text above shuffled text") {
+    import spark.implicits._
+    val nat = (1 to 20).map(i => (i.toLong, "the cat sat on the mat"))
+    val shuf = Seq((100L, "mat the on sat cat the"))
+    val got = TextStatsOps.lmScore((nat ++ shuf).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) > got(100L))
+  }
 }
