@@ -215,6 +215,17 @@ object SparkEntry {
         first("o_orderkey").over(full).as("first_key"),
         last("o_orderkey").over(full).as("last_key"))
     }),
+    // Relative-rank completion: percent_rank + cume_dist. The full
+    // tie-break makes the order total, so both are single IEEE
+    // divisions of exact ranks — engine-identical.
+    "q_window_ranks" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderpriority"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+    }),
     // Per-group top-k (row_number ≤ k): Spark plans WindowGroupLimit —
     // partial top-k before the shuffle, the distributed-safe "top N per
     // key" (a global sort+limit would funnel everything to one node).
@@ -979,6 +990,13 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
                 wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    "q_window_ranks" ->
+      """SELECT o_orderpriority, o_orderkey,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cum_dist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)""",
     "q_window_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
            SELECT o_orderpriority, o_orderkey, o_totalprice,
