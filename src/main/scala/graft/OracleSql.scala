@@ -491,6 +491,45 @@ object OracleSql {
         SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
   }
 
+  /** PQ-ADC twin: same subspace split (1-based inclusive slices),
+    * codebook seed, argmin encoding, and integer ADC sums as
+    * SimilarityOps.pqTopK.
+    */
+  def simsearchPqSql: String = {
+    val sd = SimilarityOps.PqSubDim
+    s"""WITH ${quantCte("embeddings")},
+        sub AS (SELECT vec_id, r.range AS m,
+                       v[r.range * $sd + 1 : r.range * $sd + $sd] AS sv
+                FROM n, range(0, ${SimilarityOps.PqSub}) r),
+        subn AS (SELECT vec_id, m, sv,
+                        CAST(list_sum(list_transform(sv, x -> x * x))
+                          AS BIGINT) AS svn2
+                 FROM sub),
+        cb AS (SELECT m, vec_id AS kc, sv AS cw, svn2 AS cwn2
+               FROM subn WHERE vec_id < ${SimilarityOps.PqCodes}),
+        encd AS (SELECT s.vec_id, s.m, c.kc,
+                        s.svn2 + c.cwn2 - 2 * CAST(list_sum(list_transform(
+                          range(1, $sd + 1), ii -> s.sv[ii] * c.cw[ii]))
+                          AS BIGINT) AS d2
+                 FROM subn s JOIN cb c USING (m)),
+        enc AS (SELECT vec_id, m, kc AS code FROM (
+                  SELECT vec_id, m, kc,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                            ORDER BY d2 ASC, kc ASC) AS rc
+                  FROM encd) WHERE rc = 1),
+        qdt AS (SELECT vec_id AS q_id, m, kc AS code, d2 AS d2q
+                FROM encd WHERE vec_id < 5),
+        adc AS (SELECT q.q_id, e.vec_id, CAST(SUM(q.d2q) AS BIGINT) AS adc_d2
+                FROM enc e JOIN qdt q ON q.m = e.m AND q.code = e.code
+                WHERE e.vec_id <> q.q_id
+                GROUP BY q.q_id, e.vec_id),
+        r AS (SELECT q_id, vec_id, adc_d2,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY adc_d2 ASC, vec_id) AS rnk
+              FROM adc)
+        SELECT q_id, vec_id, adc_d2, rnk FROM r WHERE rnk <= 10"""
+  }
+
   /** Chunk-overlap twin: 1-based inclusive list slices mirror Spark's
     * slice(w, start+1, window); range(0, n, stride) mirrors the sequence
     * starts; md5 of the space-rejoined window pins the exact text.

@@ -430,6 +430,11 @@ object SparkEntry {
     // replays the whole training bit-identically.
     "q_simsearch_ivf_kmeans" -> ((s, d) =>
       SimilarityOps.ivfTopK(Tables.embeddings(s, d), trainIters = 2)),
+    // Product-quantization ANN: 8×16 codebooks, 4-byte codes (64×
+    // compression), asymmetric-distance scan over the compressed corpus
+    // — exact integer ADC sums, bit-identical ranking in both engines.
+    "q_simsearch_pq" -> ((s, d) =>
+      SimilarityOps.pqTopK(Tables.embeddings(s, d))),
     // Search-quality audit: recall@10 of the LSH and IVF paths against
     // the exact brute-force baseline, per query, as exact integer hit
     // counts — the >=0.9 recall claim, pinned into the driver record.
@@ -1106,6 +1111,7 @@ object SparkEntry {
     "q_simsearch_lsh" -> OracleSql.simsearchLshSql,
     "q_simsearch_ivf" -> OracleSql.simsearchIvfSql,
     "q_simsearch_ivf_kmeans" -> OracleSql.simsearchIvfKmeansSql(2),
+    "q_simsearch_pq" -> OracleSql.simsearchPqSql,
     "q_simsearch_recall" -> OracleSql.simsearchRecallSql,
     "q_dedup_embed_recall" -> OracleSql.dedupEmbedRecallSql,
     "q_agg_salted" -> OracleSql.aggSaltedSql,

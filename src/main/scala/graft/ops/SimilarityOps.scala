@@ -249,6 +249,71 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
   }
 
+  /** Product-quantization shape: 8 subspaces × 8 dims, 16 codewords per
+    * subspace — 8 codes ≈ 4 bytes per vector vs 256 bytes of floats, the
+    * 64× memory compression that lets a 100 TB embedding corpus's index
+    * live in executor memory. Codebooks are the first [[PqCodes]] corpus
+    * vectors' subvectors (deterministic in both engines, the IVF-seed
+    * precedent; lattice-Lloyd training would swap in without changing
+    * plan shape).
+    */
+  val PqSub = 8
+  val PqSubDim: Int = Dims / PqSub
+  val PqCodes = 16
+
+  /** (vec_id, m, sv, svn2): each quantized vector split into [[PqSub]]
+    * subvectors with exact subspace norms. Pure per-row generate.
+    */
+  private def subVectors(v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+        explode(array((0 until PqSub).map(m =>
+          struct(lit(m).as("m"),
+            slice(col("qv"), m * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+      .withColumn("svn2", dotL(col("sv"), col("sv")))
+
+  /** PQ ANN top-k by asymmetric distance (ADC): corpus vectors are
+    * encoded once as 8 codebook indices (nearest codeword per subspace,
+    * exact int64 subspace distances, ties by codeword id); each query
+    * scores the COMPRESSED corpus by summing its per-subspace
+    * query→codeword distance table over the stored codes. Distances are
+    * estimates (that is PQ's trade) but every intermediate is an exact
+    * integer, so ranking is bit-identical across engines and layouts.
+    *
+    * Scale shape: encoding is a broadcast-codebook join + per-(vector,
+    * subspace) argmin window — corpus never shuffles except keyed on its
+    * own (vec_id, m) rows; the ADC scan joins the 8-codes-per-vector
+    * table against a BROADCAST (numQueries × 8 × 16)-row distance table
+    * and map-side-combines the 8 partial sums before the one (q_id,
+    * vec_id)-keyed exchange feeding the per-query top-k. Nothing wider
+    * than int64 ids ever moves. Output (q_id, vec_id, adc_d2, rnk ≤ k).
+    */
+  def pqTopK(emb: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = withQuant(emb).filter(col("n2") > 0)
+    val sub = subVectors(v)
+    val cb = sub.filter(col("vec_id") < PqCodes)
+      .select(col("m"), col("vec_id").cast("int").as("kc"),
+        col("sv").as("cw"), col("svn2").as("cwn2"))
+    val d2all = sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("kc"),
+        (col("svn2") + col("cwn2") - lit(2L) * dotL(col("sv"), col("cw")))
+          .as("d2"))
+    val wEnc = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2").asc, col("kc").asc)
+    val enc = d2all.withColumn("rc", row_number().over(wEnc))
+      .filter(col("rc") === 1)
+      .select(col("vec_id"), col("m"), col("kc").as("code"))
+    val qdt = d2all.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("kc").as("code"),
+        col("d2").as("d2q"))
+    val adc = enc.join(broadcast(qdt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("d2q").as("adc_d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col("vec_id"))
+    adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Recall@k audit of the approximate searches against the exact brute
     * baseline: per query, the number of true top-k neighbors each
     * approximate path recovered, as exact integers (hash-stable in any

@@ -188,4 +188,39 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(d0.getAs[Double]("mean_q") === 125000.0)
     assert(rows(5L).getAs[Long]("sum_q2") === 0L)
   }
+
+  test("pqTopK: ADC distance is exact when vectors sit on codewords") {
+    import spark.implicits._
+    // Corpus = 16 codebook seeds + 2 copies of seeds 3 and 7: a copy's
+    // subvectors all encode to its seed's codes, so ADC(query=seed,
+    // copy-of-same-seed) must be exactly 0 and rank first.
+    val base = (0 until 16).map { i =>
+      val a = Array.fill(64)(0.0f)
+      a(i % 64) = 1.0f + i; a((i * 7 + 3) % 64) = -0.5f * (i + 1)
+      (i.toLong, a.toSeq)
+    }
+    val copies = Seq(100L -> base(3)._2, 101L -> base(7)._2)
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val out = SimilarityOps.pqTopK(df, numQueries = 8, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val top3 = out.filter(t => t._1 === 3L && t._4 === 1L).head
+    assert(top3._2 === 100L && top3._3 === 0L)
+    val top7 = out.filter(t => t._1 === 7L && t._4 === 1L).head
+    assert(top7._2 === 101L && top7._3 === 0L)
+  }
+
+  test("pqTopK emits k ranked candidates per query on the fixture") {
+    val out = SimilarityOps.pqTopK(emb).collect()
+    assert(out.length === 50)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).sorted.sameElements(1L to 10L))
+      // ranks follow estimated distance asc; self excluded
+      val sorted = rows.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+      assert(rows.forall(r => r.getLong(1) !== r.getLong(0)))
+      assert(rows.forall(_.getLong(2) >= 0L))
+    }
+  }
 }
