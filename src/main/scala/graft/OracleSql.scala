@@ -911,6 +911,39 @@ object OracleSql {
                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, sess_idx"""
 
+  /** Gap-fill twin: same bucket floor-div, latest-event election via a
+    * DESC row_number (Spark's max_by over the unique (tus, event_id)
+    * order), dense range grid, and IGNORE NULLS carry-forward.
+    */
+  def gapFillSql(bucketUs: Long): String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+                   FROM events),
+        eb AS (SELECT user_id, event_id, tus, value,
+                      (tus // $bucketUs) * $bucketUs AS bucket_us FROM e),
+        pb AS (SELECT user_id, bucket_us, value AS v, n_events FROM (
+                 SELECT user_id, bucket_us, value,
+                        ROW_NUMBER() OVER (PARTITION BY user_id, bucket_us
+                                           ORDER BY tus DESC, event_id DESC)
+                          AS rn,
+                        COUNT(*) OVER (PARTITION BY user_id, bucket_us)
+                          AS n_events
+                 FROM eb) WHERE rn = 1),
+        grid AS (SELECT user_id,
+                        unnest(range(b0, b1 + $bucketUs, $bucketUs))
+                          AS bucket_us
+                 FROM (SELECT user_id, MIN(bucket_us) AS b0,
+                              MAX(bucket_us) AS b1
+                       FROM eb GROUP BY user_id)),
+        j AS (SELECT g.user_id, g.bucket_us, p.v,
+                     COALESCE(p.n_events, 0) AS n_events
+              FROM grid g LEFT JOIN pb p USING (user_id, bucket_us))
+        SELECT user_id, bucket_us,
+               last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY bucket_us ROWS UNBOUNDED PRECEDING) AS value_ff,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+        FROM j"""
+
   /** Bigram-LM score twin: same bigram derivation as repetitionSql, ppm
     * probabilities as exact integer floor-divs (`//` = Spark's `div` on
     * nonnegative operands), HUGEINT sums cast back to BIGINT.
@@ -937,14 +970,13 @@ object OracleSql {
                     // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS lm_avg_ppm
         FROM s GROUP BY doc_id"""
 
-  /** CDC merge twin: the same deterministic change stream (delete ≡0,
-    * two update versions ≡1 — latest wins, insert ≡2 at key+10^9)
-    * derived and applied in SQL; latest election via row_number,
-    * application via full join. Payload arithmetic is single IEEE ops
-    * on parquet-read doubles — engine-identical.
+  /** The CDC demo change stream (delete ≡0, two update versions ≡1 —
+    * latest wins, insert ≡2 at key+10^9), shared by the merge and SCD2
+    * twins. Payload arithmetic is single IEEE ops on parquet-read
+    * doubles — engine-identical.
     */
-  def mergeUpsertSql: String =
-    s"""WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+  private val cdcDemoCtes: String =
+    s"""b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                   epoch_us(o_orderdate) AS ord_us, o_orderpriority FROM orders),
         ch AS (
           SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -962,7 +994,13 @@ object OracleSql {
           UNION ALL
           SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
                  o_totalprice, ord_us, o_orderpriority, 'I', 1
-          FROM b WHERE o_orderkey % 10 = 2),
+          FROM b WHERE o_orderkey % 10 = 2)"""
+
+  /** CDC merge twin: latest election via row_number, application via
+    * full join.
+    */
+  def mergeUpsertSql: String =
+    s"""WITH $cdcDemoCtes,
         l AS (SELECT * FROM (SELECT ch.*, row_number() OVER
                 (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch)
               WHERE rn = 1)
@@ -979,6 +1017,26 @@ object OracleSql {
                     ELSE b.o_orderpriority END AS o_orderpriority
         FROM b FULL JOIN l ON b.o_orderkey = l.o_orderkey
         WHERE l.op IS NULL OR l.op <> 'D'"""
+
+  /** SCD2 twin: base snapshot as version seq=0, one lead() window per
+    * key for the validity intervals, D tombstones close but never emit.
+    */
+  def scd2Sql: String =
+    s"""WITH $cdcDemoCtes,
+        v AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     ord_us, o_orderpriority, 'I' AS op, 0 AS seq FROM b
+              UNION ALL
+              SELECT * FROM ch),
+        w AS (SELECT *, lead(seq) OVER (PARTITION BY o_orderkey
+                                        ORDER BY seq) AS vto
+              FROM v)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, ord_us,
+               o_orderpriority,
+               CAST(seq AS BIGINT) AS valid_from_seq,
+               CAST(vto AS BIGINT) AS valid_to_seq,
+               CAST(CASE WHEN vto IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_current
+        FROM w WHERE op <> 'D'"""
 
   /** Stream-stream interval-join twin: the batch view→click attribution
     * join the streamed self-join must reproduce exactly — all-int64

@@ -141,6 +141,10 @@ object SparkEntry {
     // agg, application one full-outer join.
     "q_merge_upsert" -> ((s, d) =>
       ops.CdcOps.mergeUpsertDemo(Tables.orders(s, d))),
+    // SCD2 history build: every version as a validity interval — one
+    // lead() window per key, no joins; tombstones close predecessors.
+    "q_scd2" -> ((s, d) =>
+      ops.CdcOps.scd2Demo(Tables.orders(s, d))),
 
     // §2.7 set ops
     "q_union" -> ((s, d) => {
@@ -578,6 +582,9 @@ object SparkEntry {
       graft.streaming.StreamOps.enrichReplay(Tables.events(s, d), dim,
         "user_id", tmpPath("graft_stream_events", d), "c_mktsegment")
     }),
+    // Time-grid resample + forward fill (6-hour buckets): the time-
+    // series downsample/carry-forward staple, dense per-user grids.
+    "q_gap_fill" -> ((s, d) => EventOps.gapFill(Tables.events(s, d))),
     "q_json"       -> ((s, d) => EventOps.jsonStats(Tables.events(s, d))),
     "q_parse_tolerant" -> ((s, d) =>
       EventOps.tolerantParse(Tables.documents(s, d),
@@ -1044,6 +1051,7 @@ object SparkEntry {
       """SELECT o_orderkey, l_linenumber, o_orderpriority, l_quantity
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
     "q_merge_upsert" -> OracleSql.mergeUpsertSql,
+    "q_scd2" -> OracleSql.scd2Sql,
     "q_window_moving" ->
       """SELECT o_orderkey, o_custkey,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE)
@@ -1123,6 +1131,7 @@ object SparkEntry {
     "q_repetition" -> OracleSql.repetitionSql,
     "q_lm_score" -> OracleSql.lmScoreSql,
     "q_sessionize" -> OracleSql.sessionizeSql,
+    "q_gap_fill" -> OracleSql.gapFillSql(21600L * 1000000L),
     "q_stream_sessionize" -> OracleSql.sessionizeReplaySql,
     "q_stream_join" -> OracleSql.streamJoinSql(3600L * 1000000L),
     "q_stream_stateful" -> StatefulSessionSql,

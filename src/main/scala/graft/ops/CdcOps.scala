@@ -60,14 +60,51 @@ object CdcOps {
     u1.union(u2).union(d).union(i)
   }
 
-  /** The registered merged snapshot: orders + demo changes, order dates
-    * projected to epoch micros (the suite's portable timestamp shape).
+  /** Orders projected to the portable payload shape shared by the CDC
+    * demos (order dates as epoch micros, the suite's timestamp contract).
     */
-  def mergeUpsertDemo(orders: DataFrame): DataFrame = {
-    val base = orders.select(col("o_orderkey"), col("o_custkey"),
+  def baseOrders(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"),
       unix_micros(col("o_orderdate").cast("timestamp")).as("ord_us"),
       col("o_orderpriority"))
+
+  /** The registered merged snapshot: orders + demo changes. */
+  def mergeUpsertDemo(orders: DataFrame): DataFrame = {
+    val base = baseOrders(orders)
     mergeApply(base, demoOrderChanges(base), "o_orderkey")
+  }
+
+  /** SCD2 history build — the history-preserving twin of [[mergeApply]]:
+    * instead of the latest snapshot, emit EVERY version as a validity
+    * interval. The base snapshot is version seq=0; each change opens a
+    * version at its seq; a version closes at the next change's seq
+    * (`valid_to_seq`, null while current); D tombstones close their
+    * predecessor and emit nothing. One user_id-free window per key — a
+    * single hash shuffle on the key at any scale, no joins at all.
+    */
+  def scd2(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val payload = base.columns.filterNot(_ == key)
+    val versions = base.select(
+        (col(key) +: payload.map(col)) ++
+          Seq(lit("I").as("op"), lit(0L).as("seq")): _*)
+      .unionByName(changes.select(
+        (col(key) +: payload.map(col)) ++
+          Seq(col("op"), col("seq").cast("long").as("seq")): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy("seq")
+    versions
+      .withColumn("valid_to_seq", lead("seq", 1).over(w))
+      .filter(col("op") =!= "D")
+      .select((col(key) +: payload.map(col)) ++ Seq(
+        col("seq").as("valid_from_seq"), col("valid_to_seq"),
+        when(col("valid_to_seq").isNull, 1L).otherwise(0L)
+          .as("is_current")): _*)
+  }
+
+  /** The registered SCD2 history: orders as version 0 + demo changes. */
+  def scd2Demo(orders: DataFrame): DataFrame = {
+    val base = baseOrders(orders)
+    scd2(base, demoOrderChanges(base), "o_orderkey")
   }
 }

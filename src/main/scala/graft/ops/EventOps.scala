@@ -56,6 +56,42 @@ object EventOps {
         AggOps.exactSum(col("value")).as("sum_value"))
   }
 
+  /** Time-grid resample + forward fill — the time-series ETL staple
+    * (downsample to fixed buckets, carry the last observation forward
+    * through empty ones). Per user: events land in `bucketUs`-wide
+    * epoch-aligned buckets; each bucket keeps its LATEST event's value
+    * (max_by over the unique (tus, event_id) order — deterministic);
+    * the per-user grid spans min..max occupied bucket, and empty buckets
+    * take the previous bucket's value (`filled` = 1). The first grid
+    * bucket is occupied by construction, so no leading nulls.
+    *
+    * Values pass through untouched (no arithmetic), so doubles are
+    * engine-identical. Scale shape: one (user, bucket)-keyed agg, one
+    * tiny per-user span agg whose grid explode is pure generate, one
+    * keyed left join, one per-user window — all reusing the user_id
+    * hash partitioning (Catalyst reuses the exchange); grids are dense
+    * int64 rows, never wider than the fill columns.
+    */
+  def gapFill(events: DataFrame, bucketUs: Long = 21600L * 1000000L): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"),
+        micros(events).as("tus"), col("value"))
+      .withColumn("bucket_us", expr(s"(tus div ${bucketUs}L) * ${bucketUs}L"))
+    val per = e.groupBy("user_id", "bucket_us")
+      .agg(max_by(col("value"), struct(col("tus"), col("event_id"))).as("v"),
+        count(lit(1)).as("n_events"))
+    val grid = e.groupBy("user_id")
+      .agg(min("bucket_us").as("b0"), max("bucket_us").as("b1"))
+      .select(col("user_id"),
+        explode(sequence(col("b0"), col("b1"), lit(bucketUs))).as("bucket_us"))
+    val w = Window.partitionBy("user_id").orderBy("bucket_us")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(per, Seq("user_id", "bucket_us"), "left")
+      .select(col("user_id"), col("bucket_us"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_ff"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("v").isNull, 1L).otherwise(0L).as("filled"))
+  }
+
   /** JSON property extraction + aggregate: pulls `$.k` out of the string
     * `props` column and aggregates per event_type. avg_k is a division of
     * exact integers (deterministic IEEE).

@@ -186,6 +186,27 @@ class RelOpsSpec extends SparkSpec {
     assert(got === Set((1L, "a"), (2L, "b-new"), (4L, "d"), (5L, "e")))
   }
 
+  test("scd2 builds validity intervals; tombstones close but never emit") {
+    import spark.implicits._
+    import graft.ops.CdcOps
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", "U", 1L), (2L, "b3", "U", 2L), // two versions of key 2
+      (3L, "c", "D", 1L),                       // delete closes version 0
+      (5L, "e", "I", 1L)                        // late insert, no base row
+    ).toDF("k", "v", "op", "seq")
+    val got = CdcOps.scd2(base, changes, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, "a", 0L, None, 1L),          // untouched, current
+      (2L, "b", 0L, Some(1L), 0L),      // closed by first update
+      (2L, "b2", 1L, Some(2L), 0L),
+      (2L, "b3", 2L, None, 1L),         // latest, current
+      (3L, "c", 0L, Some(1L), 0L),      // closed by tombstone, not current
+      (5L, "e", 1L, None, 1L)))
+  }
+
   test("mergeUpsertDemo matches a driver-side replica of the change rules") {
     import graft.ops.CdcOps
     val orders = Tables.orders(spark, sfDir)

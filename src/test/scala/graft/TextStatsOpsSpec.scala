@@ -141,6 +141,32 @@ class TextStatsOpsSpec extends SparkSpec {
     assert(out((20L, 1L)) === ((1L, base, base, 8.0)))
   }
 
+  test("gapFill carries the last observation through empty buckets") {
+    val b = 21600L * 1000000L // 6h buckets
+    val base = (1700000000000000L / b) * b // bucket-aligned epoch micros
+    val df = Seq(
+      // user 10: bucket 0 has two events (latest wins), buckets 1-2
+      // empty (forward-filled), bucket 3 occupied
+      (1L, base + 1000L, 10L, 1.0),
+      (2L, base + 2000L, 10L, 7.0),
+      (3L, base + 3 * b + 5L, 10L, 9.0),
+      // user 20: single event → single-bucket grid
+      (4L, base + b + 1L, 20L, 4.0)
+    ).toDF("event_id", "tus_us", "user_id", "value")
+      .select(col("event_id"), (col("tus_us") * 1000).as("ts"), // nanos-long path
+        col("user_id"), col("value"))
+    val out = EventOps.gapFill(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet === Set((10L, base), (10L, base + b), (10L, base + 2 * b),
+      (10L, base + 3 * b), (20L, base + b)))
+    assert(out((10L, base)) === ((7.0, 2L, 0L)))          // latest of 2 events
+    assert(out((10L, base + b)) === ((7.0, 0L, 1L)))      // filled
+    assert(out((10L, base + 2 * b)) === ((7.0, 0L, 1L)))  // filled
+    assert(out((10L, base + 3 * b)) === ((9.0, 1L, 0L)))
+    assert(out((20L, base + b)) === ((4.0, 1L, 0L)))
+  }
+
   test("jsonStats extracts numeric props per event_type") {
     val df = Seq(
       (1L, "click", """{"k": 10}"""),
