@@ -911,6 +911,45 @@ object OracleSql {
                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, sess_idx"""
 
+  /** Table-digest twin: same `|`-joined canonical string, portable
+    * 60-bit hash, and XOR fold per table.
+    */
+  def tableDigestSql(tables: Seq[(String, Seq[String])]): String =
+    tables.map { case (t, cols) =>
+      val cc = "concat_ws('|', " +
+        cols.map(c => s"CAST($c AS VARCHAR)").mkString(", ") + ")"
+      s"""SELECT '$t' AS tbl, COUNT(*) AS n_rows,
+            bit_xor(${hash60(cc)}) AS xor_digest FROM $t"""
+    }.mkString("\nUNION ALL\n")
+
+  /** Funnel twin: one conditional-min CTE per ordered step (inclusive
+    * at-or-after), left joins accumulate depth.
+    */
+  def funnelSql(steps: Seq[String]): String = {
+    val head = steps.head
+    val ctes = steps.zipWithIndex.tail.map { case (st, i) =>
+      s"""s${i + 1} AS (SELECT e.user_id, MIN(e.tus) AS t${i + 1}_us
+            FROM e JOIN s$i ON e.user_id = s$i.user_id
+            WHERE e.event_type = '$st' AND e.tus >= s$i.t${i}_us
+            GROUP BY e.user_id)"""
+    }.mkString(",\n")
+    val joins = steps.indices.tail
+      .map(i => s"LEFT JOIN s${i + 1} ON s1.user_id = s${i + 1}.user_id")
+      .mkString("\n")
+    val tcols = steps.indices.map(i => s"t${i + 1}_us").mkString(", ")
+    val depth = steps.indices
+      .map(i => s"CASE WHEN t${i + 1}_us IS NULL THEN 0 ELSE 1 END")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+                   FROM events),
+        s1 AS (SELECT user_id, MIN(tus) AS t1_us FROM e
+               WHERE event_type = '$head' GROUP BY user_id),
+        $ctes
+        SELECT s1.user_id, $tcols, CAST($depth AS BIGINT) AS depth
+        FROM s1
+        $joins"""
+  }
+
   /** Gap-fill twin: same bucket floor-div, latest-event election via a
     * DESC row_number (Spark's max_by over the unique (tus, event_id)
     * order), dense range grid, and IGNORE NULLS carry-forward.

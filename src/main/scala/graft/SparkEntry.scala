@@ -57,6 +57,15 @@ object SparkEntry {
     // driver records a rows-only check (group count is stable).
     "q_agg_uniq_approx" -> ((s, d) =>
       AggOps.approxUniqCount(Tables.orders(s, d), "o_orderpriority", "o_custkey")),
+    // Cross-system content digest: XOR-folded portable row hashes —
+    // order/partition/engine-independent table checksums.
+    "q_table_digest" -> ((s, d) =>
+      AggOps.tableDigest(Tables.orders(s, d), "orders",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .union(AggOps.tableDigest(Tables.customer(s, d), "customer",
+          Seq("c_custkey", "c_name", "c_mktsegment")))
+        .union(AggOps.tableDigest(Tables.nation(s, d), "nation",
+          Seq("n_nationkey", "n_name")))),
 
     // §2.6 sorts / top-k
     "q_sort_total" -> ((s, d) =>
@@ -585,6 +594,10 @@ object SparkEntry {
     // Time-grid resample + forward fill (6-hour buckets): the time-
     // series downsample/carry-forward staple, dense per-user grids.
     "q_gap_fill" -> ((s, d) => EventOps.gapFill(Tables.events(s, d))),
+    // Ordered funnel (signup → view → click): earliest in-order step
+    // completion per user; one conditional min-agg per step, all on the
+    // user_id partitioning.
+    "q_funnel" -> ((s, d) => EventOps.funnel(Tables.events(s, d))),
     "q_json"       -> ((s, d) => EventOps.jsonStats(Tables.events(s, d))),
     "q_parse_tolerant" -> ((s, d) =>
       EventOps.tolerantParse(Tables.documents(s, d),
@@ -1132,6 +1145,12 @@ object SparkEntry {
     "q_lm_score" -> OracleSql.lmScoreSql,
     "q_sessionize" -> OracleSql.sessionizeSql,
     "q_gap_fill" -> OracleSql.gapFillSql(21600L * 1000000L),
+    "q_funnel" -> OracleSql.funnelSql(Seq("signup", "view", "click")),
+    "q_table_digest" -> OracleSql.tableDigestSql(Seq(
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority"),
+      "customer" -> Seq("c_custkey", "c_name", "c_mktsegment"),
+      "nation" -> Seq("n_nationkey", "n_name"))),
     "q_stream_sessionize" -> OracleSql.sessionizeReplaySql,
     "q_stream_join" -> OracleSql.streamJoinSql(3600L * 1000000L),
     "q_stream_stateful" -> StatefulSessionSql,

@@ -102,4 +102,24 @@ object AggOps {
         floor(col(valueCol) / bucketWidth).cast("long").as("bucket"))
       .agg(count(lit(1)).as("cnt"),
         min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+
+  /** Order-independent table content digest — the cross-system migration
+    * check ("does the copy hold exactly these rows?"): each row's listed
+    * columns canonicalize to a `|`-joined string, hash through the
+    * portable 60-bit digest, and fold with XOR — commutative and
+    * associative, so the digest is identical on any partition layout,
+    * row order, or engine, with no overflow to manage. One map-side-
+    * combined aggregation, one 3-column row out at any table size.
+    * Caller lists int/string columns only (float formatting is not
+    * cross-engine canonical); columns must be non-null (concat_ws skips
+    * nulls, which would alias rows differing only in null position).
+    */
+  def tableDigest(df: DataFrame, table: String,
+                  cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    df.select(TextOps.hash60(
+        concat_ws("|", cols.map(c => col(c).cast("string")): _*)).as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_digest"))
+      .select(lit(table).as("tbl"), col("n_rows"), col("xor_digest"))
+  }
 }

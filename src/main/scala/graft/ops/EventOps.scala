@@ -92,6 +92,40 @@ object EventOps {
         when(col("v").isNull, 1L).otherwise(0L).as("filled"))
   }
 
+  /** Ordered funnel analysis — the product-analytics staple: per user,
+    * the earliest time each step of `steps` completed IN ORDER (step
+    * i+1 counts only at-or-after step i's completion time; simultaneous
+    * events satisfy order — the standard inclusive convention).
+    * Output: (user_id, t1_us..tn_us nullable, depth = completed steps).
+    * Users with no step-1 event are absent.
+    *
+    * Shape: one conditional min-agg per step, every agg and join keyed
+    * on user_id — Catalyst reuses one hash partitioning end-to-end, so
+    * at any scale this is a single shuffle of (user_id, micros) rows.
+    * All-int64 micros comparisons; no value arithmetic at all.
+    */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("signup", "view", "click")): DataFrame = {
+    require(steps.nonEmpty)
+    val e = events.select(col("user_id"), col("event_type"),
+      micros(events).as("tus"))
+    val first = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("tus").as("t1_us"))
+    val full = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (st, i)) =>
+      val prev = s"t${i}_us"
+      val cur = s"t${i + 1}_us"
+      val next = e.filter(col("event_type") === st)
+        .join(acc.select(col("user_id"), col(prev)), "user_id")
+        .filter(col("tus") >= col(prev))
+        .groupBy("user_id").agg(min("tus").as(cur))
+      acc.join(next, Seq("user_id"), "left")
+    }
+    val depth = steps.indices.map(i =>
+      when(col(s"t${i + 1}_us").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    full.withColumn("depth", depth)
+  }
+
   /** JSON property extraction + aggregate: pulls `$.k` out of the string
     * `props` column and aggregates per event_type. avg_k is a division of
     * exact integers (deterministic IEEE).

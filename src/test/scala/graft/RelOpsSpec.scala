@@ -186,6 +186,24 @@ class RelOpsSpec extends SparkSpec {
     assert(got === Set((1L, "a"), (2L, "b-new"), (4L, "d"), (5L, "e")))
   }
 
+  test("tableDigest is layout-independent and detects any row change") {
+    import spark.implicits._
+    import graft.ops.AggOps
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val d1 = AggOps.tableDigest(df, "t", Seq("k", "v")).head()
+    val d2 = AggOps.tableDigest(df.repartition(7), "t", Seq("k", "v")).head()
+    assert(d1 === d2)
+    assert(d1.getLong(1) === 3L)
+    val changed = AggOps.tableDigest(
+      Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v"), "t",
+      Seq("k", "v")).head()
+    assert(changed.getLong(2) !== d1.getLong(2))
+    // XOR self-check: hash of the changed row in/out
+    val h = graft.ops.DedupOps.hash60Local("2|b") ^
+      graft.ops.DedupOps.hash60Local("2|B")
+    assert((changed.getLong(2) ^ d1.getLong(2)) === h)
+  }
+
   test("scd2 builds validity intervals; tombstones close but never emit") {
     import spark.implicits._
     import graft.ops.CdcOps

@@ -167,6 +167,34 @@ class TextStatsOpsSpec extends SparkSpec {
     assert(out((20L, base + b)) === ((4.0, 1L, 0L)))
   }
 
+  test("funnel completes steps only in order, inclusive at ties") {
+    val base = 1700000000000000L
+    def ev(id: Long, off: Long, u: Long, t: String) =
+      (id, (base + off * 1000000L) * 1000, u, t) // nanos-long ts path
+    val df = Seq(
+      // user 1: full funnel in order
+      ev(1, 0, 1L, "signup"), ev(2, 10, 1L, "view"), ev(3, 20, 1L, "click"),
+      // user 2: click BEFORE its view → depth 2 (click at 5 < view at 10)
+      ev(4, 0, 2L, "signup"), ev(5, 5, 2L, "click"), ev(6, 10, 2L, "view"),
+      // user 3: view before signup doesn't count; later view does
+      ev(7, 5, 3L, "signup"), ev(8, 0, 3L, "view"), ev(9, 30, 3L, "view"),
+      // user 4: no signup → absent
+      ev(10, 0, 4L, "view"),
+      // user 5: simultaneous signup+view at t0 → tie satisfies order
+      ev(11, 0, 5L, "signup"), ev(12, 0, 5L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0))
+    val got = EventOps.funnel(df).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4))).toMap
+    def us(off: Long) = Some(base + off * 1000000L)
+    assert(got.keySet === Set(1L, 2L, 3L, 5L))
+    assert(got(1L) === ((us(0), us(10), us(20), 3L)))
+    assert(got(2L) === ((us(0), us(10), None, 2L)))
+    assert(got(3L) === ((us(5), us(30), None, 2L)))
+    assert(got(5L) === ((us(0), us(0), None, 2L)))
+  }
+
   test("jsonStats extracts numeric props per event_type") {
     val df = Seq(
       (1L, "click", """{"k": 10}"""),
