@@ -351,13 +351,16 @@ object SparkEntry {
       GraphOps.pageRankConverged(
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod),
         maxIters = 30, tolFp = GraphOps.Scale / 1000)._1),
-    // Per-node triangle counts on the same synthetic graph: the degree-
-    // ordered node-iterator (wedge out-degrees bounded O(√m), hot
-    // vertices generate zero wedges) — oracle is the canonical a<b<c
-    // three-way self-join.
+    // Per-node triangle counts: the degree-ordered node-iterator (wedge
+    // out-degrees bounded O(√m), hot vertices generate zero wedges) —
+    // oracle is the canonical a<b<c three-way self-join. Uses a SPARSER
+    // modulus than PageRank: mod 997 makes lineitem a near-complete
+    // graph whose triangle count is cubic-degenerate (~5.7·10^7 at
+    // sf0.1) — no algorithm makes enumerating those cheap; mod 9973
+    // keeps realistic social-graph density at every fixture scale.
     "q_triangle" -> ((s, d) =>
       GraphOps.triangleCounts(
-        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod))),
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod))),
 
     // Skew-mitigation pattern: salted two-phase aggregation; oracle is
     // the plain GROUP BY (identical results prove exactness).
@@ -808,6 +811,11 @@ object SparkEntry {
   private val PrMod = 997
   private val PrIters = 10
 
+  /** q_triangle graph modulus (shared by query + oracle) — sparser than
+    * PageRank's so triangle counts stay realistic, not cubic-degenerate.
+    */
+  private val TriMod = 9973
+
   /** The SQL front door: q_sql_q3 runs ONE SQL text through both engines
     * — spark.sql over temp views here, DuckDB as the oracle — proving
     * the declared surface is dialect-shared, not just API-equivalent.
@@ -1091,8 +1099,8 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
     "q_triangle" ->
-      s"""WITH raw AS (SELECT l_orderkey % $PrMod AS src,
-                              l_partkey % $PrMod AS dst FROM lineitem),
+      s"""WITH raw AS (SELECT l_orderkey % $TriMod AS src,
+                              l_partkey % $TriMod AS dst FROM lineitem),
           ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
                  FROM raw WHERE src <> dst),
           tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
