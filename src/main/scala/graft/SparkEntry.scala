@@ -585,7 +585,7 @@ object SparkEntry {
     // equal the batch interval join exactly.
     "q_stream_join" -> ((s, d) =>
       graft.streaming.StreamOps.streamJoinReplay(Tables.events(s, d),
-        tmpPath("graft_stream_events", d))),
+        tmpPath("graft_stream_join", d))),
     // Stream-static enrichment: micro-batches join a broadcast customer
     // snapshot; aggregate equals the batch left join.
     "q_stream_enrich" -> ((s, d) => {
