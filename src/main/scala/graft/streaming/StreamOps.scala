@@ -161,15 +161,29 @@ object StreamOps {
   /** Run a streaming transform result to a fresh memory-sink table
     * (AvailableNow) and return it; the table is dropped lazily at the
     * next replay — see SpentTables.
+    *
+    * Stateful operators commit EVERY state-store partition every
+    * micro-batch, so at fixture scale the 32-partition session default
+    * makes commit fan-out, not data, the dominant replay cost (measured
+    * ~2× on the stream-stream join). The state partitioning is scoped
+    * to 8 for the replay's query only (the conf is read at stream
+    * planning; batch queries and concurrent plans keep the session
+    * value) — production tuning would size it to real per-key volume.
     */
   private def runToMemory(result: DataFrame, mode: OutputMode): DataFrame = {
     val spark = result.sparkSession
     val name = s"graft_replay_${ReplayCounter.incrementAndGet()}"
-    val q = result.writeStream.outputMode(mode)
-      .format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = result.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // The stream plans its batches asynchronously after start(), so
+      // the scoped conf must stay in place until the stream drains.
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     SpentTables.add(name)
     spark.table(name)
   }
@@ -462,15 +476,7 @@ object StreamOps {
       maxLagUs = maxLagUs, watermark = ReplayWatermark)
       .select(col("view_id"), col("click_id"), col("user_id"),
         (unix_micros(col("r_ts")) - unix_micros(col("ts"))).as("dt_us"))
-    // A stream-stream join commits BOTH sides' state in every store
-    // partition every micro-batch — at fixture scale 32 partitions make
-    // the commit fan-out, not data, the dominant cost (measured ~2×).
-    // Scope the state partitioning to the replay; production tuning
-    // would size it to real per-key volume instead.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try runToMemory(joined, OutputMode.Append)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    runToMemory(joined, OutputMode.Append)
   }
 
   /** Sliding/tumbling windowed counts per event_type. */
