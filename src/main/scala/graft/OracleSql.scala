@@ -911,6 +911,35 @@ object OracleSql {
                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, sess_idx"""
 
+  /** Inverted-index twin: same tokenization, distinct postings, list
+    * agg ordered by doc_id, 1-based inclusive cap slice, CSV join.
+    */
+  def invertedIndexSql(cap: Int): String =
+    s"""WITH t0 AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(text, '$Ws'), x -> x <> ''))
+            AS term
+        FROM documents WHERE text IS NOT NULL),
+        toks AS (SELECT DISTINCT doc_id, term FROM t0)
+        SELECT term, COUNT(*) AS df,
+               array_to_string(list_transform(
+                 (list(doc_id ORDER BY doc_id))[1:$cap],
+                 x -> CAST(x AS VARCHAR)), ',') AS postings
+        FROM toks GROUP BY term"""
+
+  /** Column-profiler twin: one UNION ALL branch per column replicating
+    * the single-pass stats (numeric ranges as doubles, exact casts).
+    */
+  def profileSql(table: String, cols: Seq[(String, Boolean)]): String =
+    cols.map { case (c, isNum) =>
+      val mn = if (isNum) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (isNum) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+            COUNT($c) AS n_non_null, COUNT(*) - COUNT($c) AS n_null,
+            COUNT(DISTINCT $c) AS n_distinct,
+            $mn AS min_num, $mx AS max_num
+          FROM $table"""
+    }.mkString("\nUNION ALL\n")
+
   /** Table-digest twin: same `|`-joined canonical string, portable
     * 60-bit hash, and XOR fold per table.
     */

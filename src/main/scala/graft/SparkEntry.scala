@@ -57,6 +57,12 @@ object SparkEntry {
     // driver records a rows-only check (group count is stable).
     "q_agg_uniq_approx" -> ((s, d) =>
       AggOps.approxUniqCount(Tables.orders(s, d), "o_orderpriority", "o_custkey")),
+    // Single-pass column profiler (ANALYZE-TABLE statistics): all
+    // columns in one aggregation, one row per column out.
+    "q_profile" -> ((s, d) =>
+      AggOps.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_linestatus"))),
     // Cross-system content digest: XOR-folded portable row hashes —
     // order/partition/engine-independent table checksums.
     "q_table_digest" -> ((s, d) =>
@@ -498,6 +504,10 @@ object SparkEntry {
     // of 64 tokens advancing by 48; md5 per chunk pins the exact text.
     "q_chunk_overlap" -> ((s, d) =>
       CurationOps.chunkOverlap(Tables.documents(s, d))),
+    // Inverted-index build: capped posting lists in doc order plus true
+    // document frequency per term — the retrieval-index prep stage.
+    "q_inverted_index" -> ((s, d) =>
+      CurationOps.invertedIndex(Tables.documents(s, d))),
     // Target-mix resampling by language: hash-thresholded downsampling
     // toward a 40/25/15/10/10 training mix, per-group audit output.
     "q_mix_resample" -> ((s, d) =>
@@ -1116,6 +1126,11 @@ object SparkEntry {
     "q_decontam" -> OracleSql.decontamSql,
     "q_pack" -> OracleSql.packSql,
     "q_chunk_overlap" -> OracleSql.chunkOverlapSql(64, 48),
+    "q_inverted_index" -> OracleSql.invertedIndexSql(20),
+    "q_profile" -> OracleSql.profileSql("lineitem", Seq(
+      "l_orderkey" -> true, "l_partkey" -> true, "l_linenumber" -> true,
+      "l_quantity" -> true, "l_extendedprice" -> true,
+      "l_returnflag" -> false, "l_linestatus" -> false)),
     "q_mix_resample" -> OracleSql.mixResampleSql,
     "q_vocab_coverage" -> OracleSql.vocabCoverageSql,
     "q_sample_weighted" -> OracleSql.sampleWeightedSql,

@@ -122,4 +122,38 @@ object AggOps {
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_digest"))
       .select(lit(table).as("tbl"), col("n_rows"), col("xor_digest"))
   }
+
+  /** Single-pass column profiler — the ANALYZE-TABLE statistics pass
+    * (null counts, NDV, numeric ranges) a planner or data-quality gate
+    * consumes. ALL columns profile in ONE aggregation over one scan
+    * (Catalyst plans the multi-distinct via one expand — still a single
+    * pass over the data, one exchange), then the stats row unpivots to
+    * a row per column. Numeric ranges surface as doubles (exact cast of
+    * parquet-read values, no arithmetic); non-numeric columns leave
+    * them null. Output rows = |columns| at any table size.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val numeric = cols.filter(c => df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }).toSet
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"n_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        (if (numeric(c)) min(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"mn_$c"),
+        (if (numeric(c)) max(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = cols.map(c => struct(
+      lit(c).as("col_name"), col("n_rows").as("n_rows"),
+      col(s"n_$c").as("n_non_null"), col(s"nd_$c").as("n_distinct"),
+      col(s"mn_$c").as("min_num"), col(s"mx_$c").as("max_num")))
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_name"), col("r.n_rows"), col("r.n_non_null"),
+        (col("r.n_rows") - col("r.n_non_null")).as("n_null"),
+        col("r.n_distinct"), col("r.min_num"), col("r.max_num"))
+  }
 }

@@ -153,6 +153,29 @@ object CurationOps {
           .as("oov_frac"))
   }
 
+  /** Inverted-index build (search/RAG index prep): per term, document
+    * frequency and the first `cap` postings in doc_id order — the
+    * capped posting list a retrieval layer consumes. The cap is the
+    * scale guard (ngram's `maxDf` analogue): a stop word's full posting
+    * list is O(corpus) and belongs in a dedicated store, not an index
+    * row; `df` still reports the TRUE frequency so the consumer knows
+    * the list was truncated. One distinct + one term-keyed agg; the
+    * sort is per-group over ≤ df elements with only (term, doc_id)
+    * pairs ever shuffling.
+    */
+  def invertedIndex(docs: DataFrame, cap: Int = 20): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
+          .as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(
+            slice(array_sort(collect_list(col("doc_id"))), 1, cap),
+            x => x.cast("string")), ",")
+          .as("postings"))
+
   /** Deterministic weighted (importance) sampling: keep each row with
     * probability thr/10^6, thr a caller-supplied integer column in
     * [0, 10^6] (values above cap at keep-everything) — e.g. proportional

@@ -59,6 +59,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan) // map-only, no shuffle
   }
 
+  test("invertedIndex caps postings but reports true df") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "b a"), (1L, "a a b"), (2L, "a c"), (4L, "")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.invertedIndex(docs, cap = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // 'a' occurs in docs 1,2,3 (distinct within doc); cap 2 keeps 1,2
+    assert(got("a") === ((3L, "1,2")))
+    assert(got("b") === ((2L, "1,3")))
+    assert(got("c") === ((1L, "2")))
+    assert(got.size === 3)
+  }
+
   test("packLayout assigns contiguous windows from the token prefix sum") {
     val docs = Seq(
       (1L, "a b c"),    // n_tok 3, start 0

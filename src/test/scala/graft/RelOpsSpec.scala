@@ -186,6 +186,20 @@ class RelOpsSpec extends SparkSpec {
     assert(got === Set((1L, "a"), (2L, "b-new"), (4L, "d"), (5L, "e")))
   }
 
+  test("profile computes per-column stats in one pass") {
+    import spark.implicits._
+    import graft.ops.AggOps
+    val df = Seq(
+      (1L, Some(2.5), "x"), (2L, None, "y"), (3L, Some(2.5), "y")
+    ).toDF("k", "v", "s")
+    val got = AggOps.profile(df, Seq("k", "v", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)), Option(r.get(6)))).toMap
+    assert(got("k") === ((3L, 3L, 0L, 3L, Some(1.0), Some(3.0))))
+    assert(got("v") === ((3L, 2L, 1L, 1L, Some(2.5), Some(2.5))))
+    assert(got("s") === ((3L, 3L, 0L, 2L, None, None)))
+  }
+
   test("tableDigest is layout-independent and detects any row change") {
     import spark.implicits._
     import graft.ops.AggOps
