@@ -674,6 +674,12 @@ object SparkEntry {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(SqlQ3)
     }),
+    // Second shared-text query: TPC-H Q1 (pricing summary) — the same
+    // one SQL text runs in spark.sql and DuckDB.
+    "q_sql_q1" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlQ1)
+    }),
 
     // Write-path round trip: distributed CSV sink → re-scan → aggregate,
     // oracle-checked against the direct aggregate on the source table —
@@ -845,6 +851,30 @@ object SparkEntry {
        GROUP BY l_orderkey, o_orderdate, o_orderpriority
        ORDER BY revenue DESC, l_orderkey
        LIMIT 10"""
+
+  /** TPC-H Q1 (pricing summary) adapted to the fixture schema — the
+    * second shared-text query. Sums ride DECIMAL casts for
+    * order-independence; averages are single IEEE divisions of the
+    * exact DECIMAL-summed values cast to double. The charge product
+    * casts at scale 6, not 4: price·(1−disc)·(1+tax) has SIX true
+    * decimal digits, so a scale-4 cast rounds genuine midpoints and
+    * engines break those ties differently (measured: 43 of 5398 rows);
+    * at the value's own scale there is no midpoint to disagree on.
+    */
+  private val SqlQ1 =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+              CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_price,
+              CAST(sum(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
 
   /** DuckDB oracle for q_pagerank: same fixed-point integer recurrence as
     * GraphOps.pageRankFixed, unrolled into one chained CTE per iteration
@@ -1262,6 +1292,7 @@ object SparkEntry {
                   AS duration_ticks
          FROM fb GROUP BY doc_id""",
     "q_sql_q3" -> SqlQ3,
+    "q_sql_q1" -> SqlQ1,
     "q_pipeline" -> OracleSql.pipelineSql,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag,
