@@ -596,6 +596,16 @@ object SparkEntry {
     "q_stream_join" -> ((s, d) =>
       graft.streaming.StreamOps.streamJoinReplay(Tables.events(s, d),
         tmpPath("graft_stream_join", d))),
+    // Streaming CDC upsert (foreachBatch MERGE INTO): the demo change
+    // log streamed in seq order folds into the orders snapshot; the
+    // drained snapshot must equal the batch merge exactly — same
+    // oracle as q_merge_upsert.
+    "q_stream_upsert" -> ((s, d) => {
+      val base = ops.CdcOps.baseOrders(Tables.orders(s, d))
+      graft.streaming.StreamOps.upsertReplay(base,
+        ops.CdcOps.demoOrderChanges(base), "o_orderkey",
+        tmpPath("graft_stream_upsert", d))
+    }),
     // Stream-static enrichment: micro-batches join a broadcast customer
     // snapshot; aggregate equals the batch left join.
     "q_stream_enrich" -> ((s, d) => {
@@ -1112,6 +1122,8 @@ object SparkEntry {
       """SELECT o_orderkey, l_linenumber, o_orderpriority, l_quantity
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
     "q_merge_upsert" -> OracleSql.mergeUpsertSql,
+    // The streamed fold must land on the identical final snapshot.
+    "q_stream_upsert" -> OracleSql.mergeUpsertSql,
     "q_scd2" -> OracleSql.scd2Sql,
     "q_window_moving" ->
       """SELECT o_orderkey, o_custkey,

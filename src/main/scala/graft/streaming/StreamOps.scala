@@ -392,6 +392,73 @@ object StreamOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
 
+  /** Streaming CDC upsert — the Delta-style "streaming MERGE INTO"
+    * pattern: each micro-batch of change rows folds into a maintained
+    * snapshot via foreachBatch + CdcOps.mergeApply (latest-wins within
+    * the batch by seq; across batches, the later batch wins — correct
+    * whenever the log is delivered in sequence order across batches,
+    * the CDC source contract). The snapshot is eagerly
+    * localCheckpoint-ed per batch: without lineage truncation every
+    * batch's plan would nest all previous merges (and on a cluster,
+    * recovery would replay the whole history); with it each merge plans
+    * against materialized state. Production binds a transactional sink
+    * (the foreachBatch body is exactly what a Delta/Iceberg MERGE
+    * call site looks like); the in-session snapshot is the harness
+    * binding.
+    *
+    * The replay stages changes into `nSlices` seq-range files with
+    * ascending mtimes (oldest-first file delivery = in-order log), so
+    * cross-batch latest-wins is genuinely exercised: a key updated in
+    * two different micro-batches must end at the later version.
+    */
+  def upsertReplay(base: DataFrame, changes: DataFrame, key: String,
+                   stagingDir: String, nSlices: Int = 2): DataFrame = {
+    val spark = base.sparkSession
+    if (StagedDirs.add(stagingDir)) {
+      val dirP = java.nio.file.Paths.get(stagingDir)
+      java.nio.file.Files.createDirectories(dirP)
+      val bounds = changes.agg(min("seq"), max("seq")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = math.max(1L, hi - lo + 1)
+      val build = new java.io.File(stagingDir, "_slice_build")
+      for (i <- 0 until nSlices) {
+        val sLo = lo + i * span / nSlices
+        val sHi = lo + (i + 1) * span / nSlices
+        changes.filter(col("seq") >= sLo && col("seq") < sHi)
+          .coalesce(1).write.mode("overwrite").parquet(build.getPath)
+        Option(build.listFiles()).toSeq.flatten
+          .find(_.getName.endsWith(".parquet")).foreach { part =>
+            val dst = dirP.resolve(f"slice-$i%04d.parquet")
+            java.nio.file.Files.move(part.toPath, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            dst.toFile.setLastModified(1700000000000L + i * 60000L)
+            ()
+          }
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(build)
+    }
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    // AtomicReference, not a var: foreachBatch runs on the stream's
+    // thread; the reference is the memory barrier for the final read.
+    val snapshot = new java.util.concurrent.atomic.AtomicReference(
+      base.localCheckpoint(true))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        snapshot.set(graft.ops.CdcOps.mergeApply(snapshot.get(), batch, key)
+          .localCheckpoint(true))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    snapshot.get()
+  }
+
   /** Streaming exactly-once dedup on an id column: late duplicates are
     * dropped as long as they arrive within the watermark horizon — state
     * is one id per event inside the horizon, evicted as the watermark

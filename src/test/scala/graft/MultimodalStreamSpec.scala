@@ -370,6 +370,21 @@ class MultimodalStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertReplay folds micro-batches in log order; cross-batch latest wins") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // slice 0 (seq 1): update 2→b1, insert 3; slice 1 (seq 2): update
+    // 2→b2 (must override b1 from the EARLIER batch), delete 1.
+    val changes = Seq(
+      (2L, "b1", "U", 1L), (3L, "c", "I", 1L),
+      (2L, "b2", "U", 2L), (1L, "a", "D", 2L)
+    ).toDF("k", "v", "op", "seq")
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-upsert").toString + "/staged"
+    val got = StreamOps.upsertReplay(base, changes, "k", staging)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((2L, "b2"), (3L, "c")))
+  }
+
   test("streamJoinReplay equals the batch interval join") {
     val ev = Tables.events(spark, sfDir)
     val staging = java.nio.file.Files
