@@ -725,6 +725,21 @@ object SparkEntry {
           min(md5(col("text"))).as("min_text_md5"))
     }),
 
+    // Compressed round trip (jsonl.gz — the corpus wire format): the
+    // gzip codec must be lossless through write + re-scan; same oracle
+    // as the uncompressed jsonl round trip.
+    "q_sink_jsonl_gz" -> ((s, d) => {
+      val src = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val out = tmpPath("graft_sink_jsonl_gz", d)
+      SinkOps.writeJsonlGz(src, out)
+      s.read.schema(src.schema).json(out)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("doc_id").as("id_sum"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          min(md5(col("text"))).as("min_text_md5"))
+    }),
+
     // ORC round trip — the second columnar format: typed round trip of
     // the full events row shape (timestamp, double, string) with a
     // filter pushed to the ORC re-scan. Oracle aggregates the pre-write
@@ -1318,6 +1333,12 @@ object SparkEntry {
                   AS value_scaled
          FROM events WHERE value > 10.0 GROUP BY event_type""",
     "q_sink_jsonl" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+                MIN(md5(text)) AS min_text_md5
+         FROM documents GROUP BY lang""",
+    "q_sink_jsonl_gz" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(SUM(doc_id) AS BIGINT) AS id_sum,
                 CAST(SUM(length(text)) AS BIGINT) AS sum_chars,

@@ -51,6 +51,16 @@ object SinkOps {
                  mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Compressed JSONL sink — the wire format LLM corpora actually ship
+    * in (jsonl.gz). Compression is per-file, so the sink stays fully
+    * distributed; gzip is the interchange default (splittability is
+    * irrelevant here — files are already partition-sized by the writer,
+    * and a re-scan parallelizes per file).
+    */
+  def writeJsonlGz(df: DataFrame, path: String,
+                   mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("compression", "gzip").json(path)
+
   /** ORC sink — Spark's second built-in columnar format; completes the
     * on-disk matrix (parquet/csv/text/jsonl/orc). Typed columnar
     * round trip, statistics + pushdown on re-scan like parquet.

@@ -43,6 +43,18 @@ class SinkOpsSpec extends SparkSpec {
     assert(lines === Set("alpha\t3", "beta\t5"))
   }
 
+  test("writeJsonlGz compresses (files end .json.gz) and round-trips") {
+    val path = tmp("jsonlgz")
+    val df = Seq((1L, "hello \"quoted\"\ttext"), (2L, "plain"))
+      .toDF("doc_id", "text")
+    SinkOps.writeJsonlGz(df, path)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".json.gz")))
+    val back = spark.read.schema(df.schema).json(path)
+    assert(back.collect().toSet === df.collect().toSet)
+  }
+
   test("bucketed tables sort-merge join with NO shuffle exchange") {
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
     val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
