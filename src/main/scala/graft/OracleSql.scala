@@ -604,15 +604,51 @@ object OracleSql {
                       ROW_NUMBER() OVER (PARTITION BY q_id
                                          ORDER BY cos_sim DESC, vec_id) AS rnk
                FROM isc),
-        ivf AS (SELECT q_id, vec_id FROM ir WHERE rnk <= 10)
+        ivf AS (SELECT q_id, vec_id FROM ir WHERE rnk <= 10),
+        psub AS (SELECT vec_id, r.range AS m,
+                        v[r.range * ${SimilarityOps.PqSubDim} + 1 :
+                          r.range * ${SimilarityOps.PqSubDim} +
+                          ${SimilarityOps.PqSubDim}] AS sv
+                 FROM n, range(0, ${SimilarityOps.PqSub}) r),
+        psubn AS (SELECT vec_id, m, sv,
+                         CAST(list_sum(list_transform(sv, x -> x * x))
+                           AS BIGINT) AS svn2
+                  FROM psub),
+        pcb AS (SELECT m, vec_id AS kc, sv AS cw, svn2 AS cwn2
+                FROM psubn WHERE vec_id < ${SimilarityOps.PqCodes}),
+        pencd AS (SELECT s.vec_id, s.m, c.kc,
+                         s.svn2 + c.cwn2 - 2 * CAST(list_sum(list_transform(
+                           range(1, ${SimilarityOps.PqSubDim} + 1),
+                           ii -> s.sv[ii] * c.cw[ii])) AS BIGINT) AS d2
+                  FROM psubn s JOIN pcb c USING (m)),
+        penc AS (SELECT vec_id, m, kc AS code FROM (
+                   SELECT vec_id, m, kc,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                             ORDER BY d2 ASC, kc ASC) AS rc
+                   FROM pencd) WHERE rc = 1),
+        pqdt AS (SELECT vec_id AS q_id, m, kc AS code, d2 AS d2q
+                 FROM pencd WHERE vec_id < 5),
+        padc AS (SELECT q.q_id, e.vec_id,
+                        CAST(SUM(q.d2q) AS BIGINT) AS adc_d2
+                 FROM penc e JOIN pqdt q ON q.m = e.m AND q.code = e.code
+                 WHERE e.vec_id <> q.q_id
+                 GROUP BY q.q_id, e.vec_id),
+        prk AS (SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY adc_d2 ASC, vec_id) AS rnk
+                FROM padc),
+        pq AS (SELECT q_id, vec_id FROM prk WHERE rnk <= 10)
         SELECT b.q_id AS q_id, COUNT(*) AS n_true,
                CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                  AS BIGINT) AS lsh_hits,
                CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-                 AS BIGINT) AS ivf_hits
+                 AS BIGINT) AS ivf_hits,
+               CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS pq_hits
         FROM brute b
         LEFT JOIN lsh l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
         LEFT JOIN ivf i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+        LEFT JOIN pq p ON b.q_id = p.q_id AND b.vec_id = p.vec_id
         GROUP BY b.q_id"""
 
   def aggSaltedSql: String =

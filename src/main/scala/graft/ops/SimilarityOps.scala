@@ -333,9 +333,11 @@ object SimilarityOps {
     brute.groupBy("q_id").agg(count(lit(1)).as("n_true"))
       .join(hits(lshTopK(emb, numQueries, k), "lsh_hits"), Seq("q_id"), "left")
       .join(hits(ivfTopK(emb, numQueries, k), "ivf_hits"), Seq("q_id"), "left")
+      .join(hits(pqTopK(emb, numQueries, k), "pq_hits"), Seq("q_id"), "left")
       .select(col("q_id"), col("n_true"),
         coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
-        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
+        coalesce(col("pq_hits"), lit(0L)).as("pq_hits"))
   }
 
   /** Planted-pair recall of the embedding near-dup path, one row of
