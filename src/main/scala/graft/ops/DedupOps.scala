@@ -228,6 +228,23 @@ object DedupOps {
         explode(filter(split(col("text"), TextOps.WsRegex), x => x =!= "")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .withColumn("h", TextOps.hash60(col("w")))
+    toks.groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhashOf(col("h"), col("cnt"))
+        .as("simhash"))
+  }
+
+  /** The 60-generated-sum-expressions formulation of [[simhash]] — the
+    * previous hot path, kept as the cross-check twin for the typed
+    * [[graft.functions.SimHashAgg]] (spec asserts bit-identical output;
+    * the UDAF folds all 60 counters in one primitive-loop update and
+    * measured faster on the CPU-bound aggregation).
+    */
+  def simhashExprTwin(corpus: DataFrame): DataFrame = {
+    val toks = corpus
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), TextOps.WsRegex), x => x =!= "")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", TextOps.hash60(col("w")))
     val bitSums = (0 until SimhashBits).map(i =>
       sum(col("cnt") * (expr(s"(h div ${1L << i}) % 2") * 2 - 1)).as(s"s$i"))
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)

@@ -162,4 +162,28 @@ class FunctionsSpec extends SparkSpec {
       l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
     assert(all.toSeq === merged.toSeq)
   }
+
+  test("SimHashAgg equals the 60-expression bit-sum twin on the fixture") {
+    val corpus = graft.ops.DedupOps.dupCorpus(Tables.documents(spark, sfDir))
+    val fast = graft.ops.DedupOps.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twin = graft.ops.DedupOps.simhashExprTwin(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === twin)
+    assert(fast.nonEmpty)
+  }
+
+  test("SimHashAgg merge is order-independent (partial-agg safe)") {
+    val agg = new graft.functions.SimHashAgg
+    val ins = Seq((0xF0F0F0F0F0L, 3L), (0x0F0F0F0F0FL, 2L), (123456789L, 1L))
+    val all = ins.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = ins.splitAt(1)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(all.toSeq === merged.toSeq)
+    // ties (counter == 0) leave the bit clear
+    val tie = agg.merge(
+      agg.reduce(agg.zero, (1L, 1L)), agg.reduce(agg.zero, (0L, 1L)))
+    assert(agg.finish(tie) === 0L)
+  }
 }
