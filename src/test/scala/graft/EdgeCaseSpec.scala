@@ -149,4 +149,64 @@ class EdgeCaseSpec extends SparkSpec {
     assert(JoinOps.saltedJoin(l, r, "k", col("x")).count() === 0)
     assert(JoinOps.saltedJoin(r, l.toDF("k", "y2"), "k", col("y")).count() === 0)
   }
+
+  test("round-5 text/curation ops on empty and degenerate corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val tiny = Seq((1L, "solo"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(CurationOps.chunkOverlap(empty).count() === 0)
+    assert(CurationOps.chunkOverlap(tiny).count() === 1) // only 'solo'
+    assert(CurationOps.invertedIndex(empty).count() === 0)
+    assert(TextStatsOps.lmScore(empty).count() === 0)
+    assert(TextStatsOps.lmScore(tiny).count() === 0)     // no bigrams anywhere
+  }
+
+  test("round-5 relational ops on empty inputs") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val noChanges = Seq.empty[(Long, String, String, Long)]
+      .toDF("k", "v", "op", "seq")
+    assert(CdcOps.mergeApply(base, noChanges, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "a")))
+    val hist = CdcOps.scd2(base, noChanges, "k").head()
+    assert(hist.getLong(2) === 0L && hist.getLong(4) === 1L) // v0, current
+    val emptyBase = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(CdcOps.mergeApply(emptyBase,
+      Seq((5L, "e", "I", 1L)).toDF("k", "v", "op", "seq"), "k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((5L, "e")))
+    assert(AggOps.profile(emptyBase, Seq("k", "v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSet ===
+      Set(("k", 0L, 0L), ("v", 0L, 0L)))
+    assert(AggOps.tableDigest(emptyBase, "t", Seq("k")).head().getLong(1) === 0L)
+  }
+
+  test("round-5 graph/event ops on empty and tiny inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.triangleCounts(noEdges).count() === 0)
+    // one edge, no triangle
+    assert(GraphOps.triangleCounts(
+      Seq((1L, 2L)).toDF("src", "dst")).count() === 0)
+    val noEvents = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("event_id", "ts", "user_id", "value")
+      .withColumn("event_type", lit("view"))
+    assert(EventOps.gapFill(noEvents).count() === 0)
+    assert(EventOps.funnel(noEvents).count() === 0)
+    val one = Seq((1L, 1700000000000000000L, 9L, 2.5))
+      .toDF("event_id", "ts", "user_id", "value")
+      .withColumn("event_type", lit("signup"))
+    val f = EventOps.funnel(one).head()
+    assert(f.getLong(4) === 1L) // depth 1, later steps null
+    assert(EventOps.gapFill(one).count() === 1)
+  }
+
+  test("pqTopK with a corpus smaller than the codebook") {
+    val few = (0 until 6).map { i =>
+      val a = Array.fill(64)(0.0f); a(i) = 1.0f + i; (i.toLong, a.toSeq)
+    }.toDF("vec_id", "embedding")
+    // codebook = all 6 vectors; 5 queries over 6 vectors still rank
+    val out = SimilarityOps.pqTopK(few, numQueries = 5, k = 10).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) !== r.getLong(1)))
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(SimilarityOps.pqTopK(empty).count() === 0)
+  }
 }
