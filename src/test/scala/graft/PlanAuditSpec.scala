@@ -181,4 +181,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"doc-side shuffle join:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
+
+  test("CDC merge elects the latest change with an agg, not a window sort") {
+    val p = planOf("q_merge_upsert")
+    assert(p.contains("max_by"), s"no max_by election:\n$p")
+    assert(!p.contains("Window"), s"window sort crept into the election:\n$p")
+  }
+
+  test("triangle counting broadcasts the degree attach (edges never shuffle for it)") {
+    val p = planOf("q_triangle")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast degree attach:\n$p")
+  }
+
+  test("chunk overlap is a map-only plan (zero exchanges)") {
+    val p = planOf("q_chunk_overlap")
+    assert(!p.contains("Exchange"), s"chunking should never shuffle:\n$p")
+  }
+
+  test("funnel never shuffles on anything but user_id") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = physicalOf("q_funnel")
+    // at sf0.001 the single-partition source satisfies every
+    // distribution with ZERO exchanges (the ideal); any shuffle that
+    // does appear at scale must key on user_id
+    val offKey = plan.collect {
+      case e: ShuffleExchangeExec
+        if !e.outputPartitioning.toString.contains("user_id") => e.nodeName
+    }
+    assert(offKey.isEmpty, s"non-user_id shuffles: $offKey")
+  }
+
+  test("gap fill plans no cartesian and no single-partition grid") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = physicalOf("q_gap_fill")
+    val single = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        e.nodeName
+    }
+    assert(single.isEmpty, s"single-partition exchange in gap fill: $single")
+  }
+
+  test("table digest partially aggregates before its one exchange") {
+    val p = planOf("q_table_digest")
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.contains("partial_bit_xor") || p.contains("partial bit_xor"),
+      s"no map-side combine in digest:\n$p")
+  }
 }
