@@ -57,6 +57,10 @@ object SparkEntry {
     // driver records a rows-only check (group count is stable).
     "q_agg_uniq_approx" -> ((s, d) =>
       AggOps.approxUniqCount(Tables.orders(s, d), "o_orderpriority", "o_custkey")),
+    // Skew report (shuffle doctor): heavy hitters + key-space size for
+    // a prospective shuffle key, exact ppm shares.
+    "q_skew_report" -> ((s, d) =>
+      AggOps.skewReport(Tables.lineitem(s, d), "l_orderkey")),
     // Single-pass column profiler (ANALYZE-TABLE statistics): all
     // columns in one aggregation, one row per column out.
     "q_profile" -> ((s, d) =>
@@ -1226,6 +1230,15 @@ object SparkEntry {
     "q_sessionize" -> OracleSql.sessionizeSql,
     "q_gap_fill" -> OracleSql.gapFillSql(21600L * 1000000L),
     "q_funnel" -> OracleSql.funnelSql(Seq("signup", "view", "click")),
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_orderkey AS key, COUNT(*) AS cnt
+                    FROM lineitem GROUP BY 1),
+          t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                       COUNT(*) AS n_keys FROM c),
+          r AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10)
+          SELECT key, cnt, total, n_keys,
+                 cnt * 1000000 // total AS frac_ppm
+          FROM r, t""",
     "q_table_digest" -> OracleSql.tableDigestSql(Seq(
       "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderpriority"),

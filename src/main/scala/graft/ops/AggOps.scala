@@ -103,6 +103,23 @@ object AggOps {
       .agg(count(lit(1)).as("cnt"),
         min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
 
+  /** Per-key skew report — the shuffle doctor: before keying a 100 TB
+    * join or aggregation on a column, this surfaces its heavy hitters
+    * (top-k keys by row count with exact ppm share of the table) and
+    * the key-space size — the numbers that decide between a plain
+    * shuffle, a broadcast, salting, or AQE skew handling. One map-side-
+    * combined count agg + TakeOrderedAndProject for the top-k + a
+    * broadcast 1-row total; k+0 rows out at any table size.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(k)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"), col("total"), col("n_keys"),
+        expr("cnt * 1000000 div total").as("frac_ppm"))
+  }
+
   /** Order-independent table content digest — the cross-system migration
     * check ("does the copy hold exactly these rows?"): each row's listed
     * columns canonicalize to a `|`-joined string, hash through the

@@ -186,6 +186,18 @@ class RelOpsSpec extends SparkSpec {
     assert(got === Set((1L, "a"), (2L, "b-new"), (4L, "d"), (5L, "e")))
   }
 
+  test("skewReport ranks heavy hitters with exact ppm shares") {
+    import spark.implicits._
+    import graft.ops.AggOps
+    val df = (Seq.fill(6)(7L) ++ Seq.fill(3)(8L) ++ Seq(9L)).toDF("k")
+    val got = AggOps.skewReport(df, "k", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (7L, 6L, 10L, 3L, 600000L),
+      (8L, 3L, 10L, 3L, 300000L)))
+  }
+
   test("profile computes per-column stats in one pass") {
     import spark.implicits._
     import graft.ops.AggOps
