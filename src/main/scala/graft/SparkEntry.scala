@@ -77,6 +77,34 @@ object SparkEntry {
         .union(AggOps.tableDigest(Tables.nation(s, d), "nation",
           Seq("n_nationkey", "n_name")))),
 
+    // Exact bivariate moments: population covariance + Pearson
+    // correlation from DECIMAL-exact Σx, Σy, Σxy, Σx², Σy² — the same
+    // order-independent contract as q_agg_stats (built-in corr/covar
+    // accumulate floats order-dependently and would not hash-match).
+    "q_agg_corr" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          AggOps.exactSum(col("l_quantity")).as("sx"),
+          AggOps.exactSum(col("l_extendedprice")).as("sy"),
+          AggOps.exactSum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+          AggOps.exactSum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          AggOps.exactSum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")))
+            .as("cov_pop"),
+          ((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+            sqrt((col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))) *
+              (col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))))
+            .as("corr"))),
+    // Ordered string aggregation (SQL string_agg / group_concat): names
+    // sorted within the aggregate so the result is a deterministic
+    // canonical string per group.
+    "q_agg_strings" -> ((s, d) =>
+      Tables.customer(s, d).groupBy("c_mktsegment").agg(
+        count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col("c_name"))), ",")
+          .as("names"))),
+
     // §2.6 sorts / top-k
     "q_sort_total" -> ((s, d) =>
       SortOps.totalSort(
@@ -1114,6 +1142,24 @@ object SparkEntry {
                 s2 / n - (s1 / n) * (s1 / n) AS var_qty,
                 sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS std_qty
          FROM a""",
+    "q_agg_corr" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+                CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+         FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                sxy / n - (sx / n) * (sy / n) AS cov_pop,
+                (sxy / n - (sx / n) * (sy / n)) /
+                  sqrt((sxx / n - (sx / n) * (sx / n)) *
+                       (syy / n - (sy / n) * (sy / n))) AS corr
+         FROM a""",
+    "q_agg_strings" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                string_agg(c_name, ',' ORDER BY c_name) AS names
+         FROM customer GROUP BY c_mktsegment""",
     "q_window" ->
       """SELECT o_orderkey, o_custkey,
                 row_number() OVER w AS rn,
