@@ -389,6 +389,15 @@ object SparkEntry {
       GraphOps.pageRankConverged(
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod),
         maxIters = 30, tolFp = GraphOps.Scale / 1000)._1),
+    // Degree distribution on the triangle graph: the profiling pass a
+    // partitioning/broadcast decision consumes.
+    "q_degree_dist" -> ((s, d) =>
+      GraphOps.degreeDistribution(
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod))),
+    // Sentence segmentation: per-sentence rows with exact-text md5s;
+    // shared no-lookbehind boundary class keeps both engines identical.
+    "q_sentences" -> ((s, d) =>
+      TextOps.sentences(Tables.documents(s, d))),
     // Per-node triangle counts: the degree-ordered node-iterator (wedge
     // out-degrees bounded O(√m), hot vertices generate zero wedges) —
     // oracle is the canonical a<b<c three-way self-join. Uses a SPARSER
@@ -1215,6 +1224,25 @@ object SparkEntry {
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
+    "q_degree_dist" ->
+      s"""WITH raw AS (SELECT l_orderkey % $TriMod AS src,
+                              l_partkey % $TriMod AS dst FROM lineitem),
+          ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM raw WHERE src <> dst),
+          nd AS (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed),
+          dg AS (SELECT node, COUNT(*) AS degree FROM nd GROUP BY node)
+          SELECT degree, COUNT(*) AS n_nodes FROM dg GROUP BY degree""",
+    "q_sentences" ->
+      s"""WITH s AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '${graft.ops.TextOps.SentenceRegex}'),
+              x -> x <> '') AS ss
+          FROM documents WHERE text IS NOT NULL),
+          e AS (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i
+                FROM s WHERE len(ss) > 0)
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+                 CAST(length(ss[i]) AS BIGINT) AS n_chars,
+                 md5(ss[i]) AS sent_md5
+          FROM e""",
     "q_triangle" ->
       s"""WITH raw AS (SELECT l_orderkey % $TriMod AS src,
                               l_partkey % $TriMod AS dst FROM lineitem),

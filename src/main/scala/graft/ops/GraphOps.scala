@@ -241,6 +241,20 @@ object GraphOps {
       .orderBy(col("rank_fp").desc, col("node")), it)
   }
 
+  /** Degree distribution — the graph-profiling pass run before choosing
+    * a partitioning/broadcast strategy: undirected degree per node,
+    * re-aggregated to (degree, n_nodes). Two keyed int64 aggs; at most
+    * max-degree rows out at any graph size.
+    */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+
   /** Per-node triangle counts via the degree-ordered node-iterator —
     * the classic O(m^1.5) triangle algorithm (Schank/Wagner; the shape
     * behind every distributed triangle count since MR "Counting

@@ -77,4 +77,24 @@ object TextOps {
 
   /** hash60 reduced mod 2^31-1 — safe for modular multiply in int64. */
   def hash31(c: Column): Column = hash60(c) % 2147483647L
+
+  /** Sentence-boundary class: one-or-more enders followed by whitespace.
+    * No lookbehind (RE2 has none), so the delimiter run is consumed —
+    * identically in both engines; the oracle uses the same pattern.
+    */
+  val SentenceRegex: String = """[.!?]+[ \t\n\x0B\f\r]+"""
+
+  /** Sentence segmentation: one row per non-empty sentence with its
+    * post-filter index, length, and md5 (pins the exact split). Pure
+    * per-doc generate — zero shuffle, parallel at any corpus size.
+    */
+  def sentences(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(col("text"), SentenceRegex), x => x =!= "").as("ss"))
+      .filter(size(col("ss")) > 0)
+      .select(col("doc_id"), posexplode(col("ss")).as(Seq("sent_idx", "sent")))
+      .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+        length(col("sent")).cast("long").as("n_chars"),
+        md5(col("sent")).as("sent_md5"))
 }

@@ -143,6 +143,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.sum === 12L)
   }
 
+  test("degreeDistribution collapses duplicates and counts undirected degree") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 3L), (4L, 5L) // reciprocal, self-loop, pendant
+    ).toDF("src", "dst")
+    val got = GraphOps.degreeDistribution(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: nodes 1,2,3 degree 3; node 4 degree 4 (pendant); node 5 degree 1
+    assert(got === Map(3L -> 3L, 4L -> 1L, 1L -> 1L))
+  }
+
   test("triangleCounts is deterministic across partition layouts") {
     val edges = Tables.lineitem(spark, sfDir)
       .select((col("l_orderkey") % 101).as("src"),

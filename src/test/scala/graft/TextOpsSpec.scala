@@ -37,4 +37,26 @@ class TextOpsSpec extends SparkSpec {
     // recompute: first 15 hex chars of md5("hello") = 5d41402abc4b2a7
     assert(h == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
   }
+
+  test("sentences split on ender+ws runs; indices post-filter; md5 exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One. Two sentences!  Three?? Four"),
+      (2L, ". Leading ender. "),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = graft.ops.TextOps.sentences(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    // the ender+whitespace run is the SEPARATOR (consumed — no
+    // lookbehind in RE2); leading/trailing empties filtered both engines
+    assert(got === Set(
+      (1L, 0L, 3L, m("One")),
+      (1L, 1L, 13L, m("Two sentences")),
+      (1L, 2L, 5L, m("Three")),
+      (1L, 3L, 4L, m("Four")),
+      (2L, 0L, 13L, m("Leading ender"))))
+  }
 }
