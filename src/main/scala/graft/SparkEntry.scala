@@ -193,6 +193,40 @@ object SparkEntry {
     "q_scd2" -> ((s, d) =>
       ops.CdcOps.scd2Demo(Tables.orders(s, d))),
 
+    // Argmax/argmin aggregation (max_by/min_by): per priority, WHICH
+    // order carries the extreme price — the "top row per group without
+    // a window" shape; ties impossible (price tie broken by key in the
+    // ordering struct, mirrored in the oracle).
+    "q_agg_argmax" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority").agg(
+        max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("max_key"),
+        min_by(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderkey"))).as("min_key"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_totalprice")).as("min_price"))),
+    // Cohort retention: users bucketed by first-seen week, activity
+    // counted per (cohort week, active week) — the product-analytics
+    // retention matrix. Two user-keyed aggs + one matrix agg.
+    "q_cohort" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val e = ev.select(col("user_id"),
+          EventOps.microsOf(ev, "ts").as("tus"))
+        .select(col("user_id"), expr("tus div 604800000000L").as("w"))
+      val first = e.groupBy("user_id").agg(min("w").as("w0"))
+      e.distinct().join(first, "user_id")
+        .groupBy("w0", "w").agg(countDistinct("user_id").as("n_users"))
+    }),
+    // Schema-evolution union (unionByName, missing columns null-filled):
+    // the ETL staple for merging v1/v2 table generations.
+    "q_union_byname" -> ((s, d) => {
+      val v1 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val v2 = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"))
+      v1.unionByName(v2, allowMissingColumns = true)
+    }),
+
     // §2.7 set ops
     "q_union" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -1151,6 +1185,34 @@ object SparkEntry {
                 s2 / n - (s1 / n) * (s1 / n) AS var_qty,
                 sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS std_qty
          FROM a""",
+    "q_agg_argmax" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey DESC)
+                  AS rx,
+                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice ASC, o_orderkey ASC)
+                  AS rn
+              FROM orders)
+         SELECT o_orderpriority,
+                MAX(CASE WHEN rx = 1 THEN o_orderkey END) AS max_key,
+                MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS min_key,
+                MAX(o_totalprice) AS max_price,
+                MIN(o_totalprice) AS min_price
+         FROM r GROUP BY o_orderpriority""",
+    "q_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS w
+                    FROM events),
+          f AS (SELECT user_id, MIN(w) AS w0 FROM e GROUP BY user_id),
+          d AS (SELECT DISTINCT user_id, w FROM e)
+          SELECT w0, w, COUNT(DISTINCT user_id) AS n_users
+          FROM d JOIN f USING (user_id) GROUP BY w0, w""",
+    "q_union_byname" ->
+      """SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR) AS o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 1""",
     "q_agg_corr" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
