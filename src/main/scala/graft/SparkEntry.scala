@@ -57,6 +57,12 @@ object SparkEntry {
     // driver records a rows-only check (group count is stable).
     "q_agg_uniq_approx" -> ((s, d) =>
       AggOps.approxUniqCount(Tables.orders(s, d), "o_orderpriority", "o_custkey")),
+    // Histogram quantiles: the deterministic bounded-state 100 TB
+    // quantile (exact bucket counts + uniform interpolation) — the
+    // full-oracle companion to the rows-only t-digest row.
+    "q_agg_quantile_hist" -> ((s, d) =>
+      AggOps.histogramQuantiles(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity", 5.0)),
     // Skew report (shuffle doctor): heavy hitters + key-space size for
     // a prospective shuffle key, exact ppm shares.
     "q_skew_report" -> ((s, d) =>
@@ -1366,6 +1372,30 @@ object SparkEntry {
     "q_sessionize" -> OracleSql.sessionizeSql,
     "q_gap_fill" -> OracleSql.gapFillSql(21600L * 1000000L),
     "q_funnel" -> OracleSql.funnelSql(Seq("signup", "view", "click")),
+    "q_agg_quantile_hist" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+                CAST(floor(l_quantity / 5.0) AS BIGINT) AS bk,
+                COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1, 2),
+          c AS (SELECT g, bk, cnt,
+                CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bk
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+              FROM b),
+          e25 AS (SELECT g, CAST(bk AS DOUBLE) * 5.0 + 5.0 *
+                  CAST(tgt - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE) AS p25
+              FROM (SELECT c.*, (n * 25 + 99) // 100 AS tgt FROM c)
+              WHERE cum >= tgt AND cum - cnt < tgt),
+          e50 AS (SELECT g, CAST(bk AS DOUBLE) * 5.0 + 5.0 *
+                  CAST(tgt - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE) AS p50
+              FROM (SELECT c.*, (n * 50 + 99) // 100 AS tgt FROM c)
+              WHERE cum >= tgt AND cum - cnt < tgt),
+          e75 AS (SELECT g, CAST(bk AS DOUBLE) * 5.0 + 5.0 *
+                  CAST(tgt - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE) AS p75
+              FROM (SELECT c.*, (n * 75 + 99) // 100 AS tgt FROM c)
+              WHERE cum >= tgt AND cum - cnt < tgt)
+          SELECT e25.g AS l_returnflag, p25, p50, p75
+          FROM e25 JOIN e50 ON e25.g = e50.g JOIN e75 ON e25.g = e75.g""",
     "q_skew_report" ->
       """WITH c AS (SELECT l_orderkey AS key, COUNT(*) AS cnt
                     FROM lineitem GROUP BY 1),

@@ -103,6 +103,40 @@ object AggOps {
       .agg(count(lit(1)).as("cnt"),
         min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
 
+  /** Histogram quantiles — the deterministic 100 TB quantile: exact
+    * equi-width bucket counts (bounded state: one int64 per occupied
+    * bucket, trivially mergeable map-side) plus uniform-within-bucket
+    * interpolation. Unlike t-digest/approx_percentile the result is a
+    * pure function of exact integers and fixed IEEE ops — bit-identical
+    * on any partition layout and in the DuckDB twin — and unlike the
+    * exact sort-based percentile it never materializes a group's values.
+    * The rank target for probability p is ceil(n·p/100); the estimate is
+    * the target bucket's lower edge + width·(rank remainder)/bucket
+    * count. Resolution is the bucket width — the documented trade.
+    */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                         width: Double, pcts: Seq[Int] = Seq(25, 50, 75)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 99))
+    import org.apache.spark.sql.expressions.Window
+    val b = df.groupBy(col(groupCol).as("g"),
+        floor(col(valueCol) / width).cast("long").as("bk"))
+      .agg(count(lit(1)).as("cnt"))
+    val c = b
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("g").orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("g")))
+    val ests = pcts.map { p =>
+      c.withColumn("tgt", expr(s"(n * $p + 99) div 100"))
+        .filter(col("cum") >= col("tgt") && col("cum") - col("cnt") < col("tgt"))
+        .select(col("g"),
+          (col("bk").cast("double") * width + lit(width) *
+            (col("tgt") - (col("cum") - col("cnt"))).cast("double") /
+            col("cnt").cast("double")).as(s"p$p"))
+    }
+    ests.reduce(_.join(_, "g")).withColumnRenamed("g", groupCol)
+  }
+
   /** Per-key skew report — the shuffle doctor: before keying a 100 TB
     * join or aggregation on a column, this surfaces its heavy hitters
     * (top-k keys by row count with exact ppm share of the table) and

@@ -186,6 +186,18 @@ class RelOpsSpec extends SparkSpec {
     assert(got === Set((1L, "a"), (2L, "b-new"), (4L, "d"), (5L, "e")))
   }
 
+  test("histogramQuantiles interpolates within exact-count buckets") {
+    import spark.implicits._
+    import graft.ops.AggOps
+    val df = (1 to 10).map(v => ("a", v.toDouble)).toDF("g", "v")
+    val r = AggOps.histogramQuantiles(df, "g", "v", 2.0).head()
+    // buckets of width 2 over 1..10; targets ceil(n*p/100) = 3, 5, 8
+    assert(r.getString(0) === "a")
+    assert(r.getDouble(1) === 4.0) // p25: bucket 1 (cum 3), rem 2/2
+    assert(r.getDouble(2) === 6.0) // p50: bucket 2 (cum 5), rem 2/2
+    assert(r.getDouble(3) === 9.0) // p75: bucket 4 (cum 9), rem 1/2
+  }
+
   test("skewReport ranks heavy hitters with exact ppm shares") {
     import spark.implicits._
     import graft.ops.AggOps
