@@ -83,6 +83,38 @@ object SparkEntry {
         .union(AggOps.tableDigest(Tables.nation(s, d), "nation",
           Seq("n_nationkey", "n_name")))),
 
+    // Two-level top-k: aggregate first (revenue per customer), THEN
+    // rank within region — "top customers by revenue per segment", the
+    // analytics staple distinct from raw-row top-k (q_window_topk).
+    // Agg shrinks the window input to one row per customer, so the
+    // rank window never sees raw rows; WindowGroupLimit still applies.
+    "q_topk_grouped" -> ((s, d) => {
+      val rev = Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(AggOps.exactSum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("revenue").desc, col("o_custkey"))
+      rev.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+    }),
+    // Inter-arrival gaps: per event_type, exact int64 micro diffs
+    // between consecutive same-user events — mean gap rides the
+    // DECIMAL-exact sum contract.
+    "q_interarrival" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      ev.select(col("user_id"), col("event_id"), col("event_type"),
+          EventOps.microsOf(ev, "ts").as("tus"))
+        .withColumn("gap", col("tus") - lag("tus", 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("gap").as("sum_gap_us"),
+          max("gap").as("max_gap_us"),
+          expr("sum(gap) div count(1)").as("mean_gap_us"))
+    }),
     // Exact bivariate moments: population covariance + Pearson
     // correlation from DECIMAL-exact Σx, Σy, Σxy, Σx², Σy² — the same
     // order-independent contract as q_agg_stats (built-in corr/covar
@@ -1191,6 +1223,30 @@ object SparkEntry {
                 s2 / n - (s1 / n) * (s1 / n) AS var_qty,
                 sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS std_qty
          FROM a""",
+    "q_topk_grouped" ->
+      """WITH rev AS (SELECT c_mktsegment, o_custkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  AS revenue,
+                COUNT(*) AS n_orders
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment, o_custkey),
+          r AS (SELECT rev.*, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                  ORDER BY revenue DESC, o_custkey) AS rnk FROM rev)
+          SELECT c_mktsegment, o_custkey, revenue, n_orders, rnk
+          FROM r WHERE rnk <= 5""",
+    "q_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                    FROM events),
+          g AS (SELECT event_type,
+                  tus - lag(tus) OVER (PARTITION BY user_id
+                                       ORDER BY tus, event_id) AS gap
+                FROM e)
+          SELECT event_type, COUNT(*) AS n_gaps,
+                 CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+                 CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+                 CAST(CAST(SUM(gap) AS BIGINT) // COUNT(*) AS BIGINT)
+                   AS mean_gap_us
+          FROM g WHERE gap IS NOT NULL GROUP BY event_type""",
     "q_agg_argmax" ->
       """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
