@@ -20,6 +20,13 @@ package graft
   * measure a cache read, not the operator (same measurement-validity
   * class as the count()-pruning bug this harness already fixed). Each
   * timed query therefore runs cold-cache but JIT-warm.
+  *
+  * TWO timed passes per query, per-query MIN recorded: single-pass
+  * timings on a shared host drift 30-70% between sessions, and
+  * round-over-round comparison repeatedly false-alarmed 2-3× "phantom
+  * regressions" that TimeOne MINs then disproved. MIN over two passes
+  * is the cheapest estimator that discards one-off scheduler/IO stalls;
+  * it measures the plan, not the host's worst moment.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,16 +48,19 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      try run(name)
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    def timedPass(): Seq[(String, Double)] =
+      SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        val t0 = System.nanoTime()
+        try run(name)
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
-    }
+    val results = (timedPass() ++ timedPass())
+      .groupMapReduce(_._1)(_._2)(math.min).toSeq.sortBy(_._1)
 
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -59,10 +69,16 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","agg":"min_of_2"}"""
     println(line)
     // Stdout gets tail-captured by the driver and can truncate the
-    // per-query map on long suites; the file copy keeps the full record.
+    // per-query map on long suites; the file copies keep the full
+    // record. A run-unique name (sf + pid) prevents concurrent or
+    // consecutive runs clobbering each other; the fixed legacy path
+    // stays as the latest-run convenience copy.
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val uniq = s"/tmp/graft_bench_${sfBase}_${ProcessHandle.current().pid()}.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(uniq), line + "\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/graft_bench.json"), line + "\n")
     spark.stop()

@@ -73,6 +73,15 @@ object SparkEntry {
       AggOps.profile(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
           "l_extendedprice", "l_returnflag", "l_linestatus"))),
+    // Scale-safe profiler twin: HLL++ NDV — no Expand, one mergeable
+    // sketch pass (the 100 TB default). Estimates are engine-specific
+    // → rows-only, same contract as q_agg_uniq_approx; exact q_profile
+    // above stays the full-oracle twin.
+    "q_profile_approx" -> ((s, d) =>
+      AggOps.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_linestatus"),
+        approxNdv = true)),
     // Cross-system content digest: XOR-folded portable row hashes —
     // order/partition/engine-independent table checksums.
     "q_table_digest" -> ((s, d) =>
@@ -696,6 +705,14 @@ object SparkEntry {
     "q_stream_stateful_xbatch" -> ((s, d) =>
       graft.streaming.StreamOps.statefulXBatchReplay(Tables.events(s, d),
         tmpPath("graft_stream_xbatch", d))),
+    // Checkpoint-restart durability: half the slices drain into a
+    // checkpointed parquet sink, the query STOPS, a new query restarts
+    // from the checkpoint and drains the rest — restored file-source
+    // offsets + state store must reproduce the exact batch session set
+    // (sessions provably straddle the restart point).
+    "q_stream_restart" -> ((s, d) =>
+      graft.streaming.StreamOps.statefulRestartReplay(Tables.events(s, d),
+        tmpPath("graft_stream_restart", d))),
     // Streaming dedup: the staged corpus carries every event twice;
     // dropDuplicatesWithinWatermark must collapse it back to the original
     // set — oracle is the plain per-type aggregate of events.
@@ -802,6 +819,23 @@ object SparkEntry {
     "q_sql_q1" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(SqlQ1)
+    }),
+    // Correlated EXISTS through the front door (TPC-H Q4 shape):
+    // Catalyst plans the EXISTS as a left-semi join — the subquery
+    // surface an analytics user hits weekly, same one-text contract.
+    "q_sql_q4" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlQ4)
+    }),
+    // Correlated scalar aggregate subquery (TPC-H Q17 shape): the
+    // per-part threshold is two correlated scalar subqueries; the
+    // comparison is pure int64 (quantities are integral) so both
+    // engines decide each row identically — no division, no midpoint.
+    "q_sql_q17" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(SqlQ17)
     }),
 
     // Write-path round trip: distributed CSV sink → re-scan → aggregate,
@@ -1013,6 +1047,41 @@ object SparkEntry {
        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
        GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
+
+  /** Correlated-EXISTS front-door text (TPC-H Q4 shape adapted to the
+    * fixture schema — no commit/receipt dates, so "late order" = any
+    * line shipped after a fixed horizon). The correlation is the Q4
+    * key equality `l_orderkey = o_orderkey`; both engines plan the
+    * EXISTS as a semi join. One text, two engines.
+    */
+  private val SqlQ4 =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1997-09-01')
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  /** Correlated scalar-aggregate subquery text (TPC-H Q17 shape): rows
+    * below 20% of their part's average quantity. The threshold
+    * comparison is rearranged to avoid division — `5·q·count < sum`
+    * over exact int64 (fixture quantities are integral doubles, so the
+    * BIGINT cast is exact in both engines) — no IEEE rounding for the
+    * engines to disagree on; the money aggregate rides the usual
+    * DECIMAL cast. Two correlated scalar subqueries, one text.
+    */
+  private val SqlQ17 =
+    """SELECT p_brand, count(*) AS n_small,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p_size <= 10
+         AND CAST(l_quantity AS BIGINT) * 5 *
+               (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+             < (SELECT sum(CAST(l3.l_quantity AS BIGINT)) FROM lineitem l3
+                WHERE l3.l_partkey = l.l_partkey)
+       GROUP BY p_brand
+       ORDER BY p_brand"""
 
   /** DuckDB oracle for q_pagerank: same fixed-point integer recurrence as
     * GraphOps.pageRankFixed, unrolled into one chained CTE per iteration
@@ -1472,6 +1541,7 @@ object SparkEntry {
     // Same batch-session oracle: the cross-batch replay must produce the
     // identical closed-session set.
     "q_stream_stateful_xbatch" -> StatefulSessionSql,
+    "q_stream_restart" -> StatefulSessionSql,
     "q_stream_windowed" ->
       """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events)
          SELECT (tus // 600000000) * 600000000 AS w_start_us, event_type,
@@ -1555,6 +1625,8 @@ object SparkEntry {
          FROM fb GROUP BY doc_id""",
     "q_sql_q3" -> SqlQ3,
     "q_sql_q1" -> SqlQ1,
+    "q_sql_q4" -> SqlQ4,
+    "q_sql_q17" -> SqlQ17,
     "q_pipeline" -> OracleSql.pipelineSql,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag,

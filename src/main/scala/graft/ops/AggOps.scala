@@ -116,7 +116,8 @@ object AggOps {
     */
   def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                          width: Double, pcts: Seq[Int] = Seq(25, 50, 75)): DataFrame = {
-    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 99))
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 99) &&
+      pcts.distinct.size == pcts.size)
     import org.apache.spark.sql.expressions.Window
     val b = df.groupBy(col(groupCol).as("g"),
         floor(col(valueCol) / width).cast("long").as("bk"))
@@ -182,16 +183,29 @@ object AggOps {
     * a row per column. Numeric ranges surface as doubles (exact cast of
     * parquet-read values, no arithmetic); non-numeric columns leave
     * them null. Output rows = |columns| at any table size.
+    *
+    * `approxNdv`: exact NDV makes Catalyst plan the N distinct
+    * aggregates via one Expand that multiplies scan rows ×(N+1) and
+    * feeds a full exact-distinct shuffle per column — the classic
+    * ANALYZE killer at 100 TB. With `approxNdv = true` the NDV column
+    * is `approx_count_distinct` (HLL++, default 5% rsd): partial-
+    * mergeable sketch state, genuinely ONE pass with NO Expand — the
+    * scale default. Exact stays the oracle-checked twin (the
+    * `q_agg_uniq_approx` registration precedent).
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String],
+              approxNdv: Boolean = false): DataFrame = {
     require(cols.nonEmpty)
     val numeric = cols.filter(c => df.schema(c).dataType match {
       case _: org.apache.spark.sql.types.NumericType => true
       case _ => false
     }).toSet
+    val ndv: String => org.apache.spark.sql.Column =
+      if (approxNdv) c => approx_count_distinct(col(c))
+      else c => countDistinct(col(c))
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"n_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
+        ndv(c).as(s"nd_$c"),
         (if (numeric(c)) min(col(c)).cast("double")
          else lit(null).cast("double")).as(s"mn_$c"),
         (if (numeric(c)) max(col(c)).cast("double")

@@ -274,8 +274,15 @@ object GraphOps {
     * int64s. `edges`: (src, dst) directed or undirected; self-loops and
     * duplicate/reciprocal pairs collapse. Output: (node, n_tri) for
     * nodes in ≥1 triangle.
+    *
+    * `bcastDeg`: the degree table is 16 B/node — broadcastable to
+    * ~10^8 nodes, but a 10^9-node graph (plausible at a 100 TB edge
+    * list) would be a ~16 GB broadcast that dies at plan time. Pass
+    * false to fall back to a shuffled degree attach (two extra
+    * int64-only exchanges, same result) — the same escape hatch
+    * `pageRankFixed`/`connectedComponents` carry for their vectors.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame, bcastDeg: Boolean = true): DataFrame = {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -286,8 +293,10 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // (deg, id) total order orients each edge; broadcast the degree
     // table (16 B/node) so the edge list never shuffles to attach it.
-    val da = broadcast(deg.select(col("node").as("a"), col("deg").as("da")))
-    val db = broadcast(deg.select(col("node").as("b"), col("deg").as("db")))
+    val hint: DataFrame => DataFrame =
+      if (bcastDeg) broadcast else _.hint("shuffle_hash")
+    val da = hint(deg.select(col("node").as("a"), col("deg").as("da")))
+    val db = hint(deg.select(col("node").as("b"), col("deg").as("db")))
     val oriented = und.join(da, "a").join(db, "b")
       .select(when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),

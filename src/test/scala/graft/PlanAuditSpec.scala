@@ -228,4 +228,92 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("partial_bit_xor") || p.contains("partial bit_xor"),
       s"no map-side combine in digest:\n$p")
   }
+
+  test("AQE splits a skewed join partition with salting OFF (SURVEY §4.2 claim)") {
+    // The load-bearing replacement for the reference's hand-tuned
+    // reducer counts: on a deliberately skewed key (~90% of rows on one
+    // key), AQE's OptimizeSkewedJoin must split the hot partition at
+    // runtime — no manual salt. Thresholds are lowered to make fixture-
+    // scale partitions eligible; broadcast is disabled so the join
+    // actually shuffles (the skew path only applies to SMJ/SHJ).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // sf0.01 + a pre-repartition: AQE splits a skewed partition at
+      // MAPPER granularity, so the join's shuffle needs several mappers
+      // (one small parquet file = one map task = unsplittable) and
+      // enough hot bytes per mapper to cross the advisory size.
+      val sf01 = "/root/testdata/sf0.01"
+      val l = Tables.lineitem(spark, sf01).repartition(8)
+        .select(when(col("l_orderkey") % 10 < 9, lit(0L))
+            .otherwise(col("l_orderkey")).as("k"),
+          col("l_quantity"), col("l_partkey"))
+      val r = Tables.orders(spark, sf01).repartition(8)
+        .select(when(col("o_orderkey") % 10 < 9, lit(0L))
+            .otherwise(col("o_orderkey")).as("k"),
+          col("o_orderpriority"))
+      // Global (not same-key) aggregate downstream: OptimizeSkewedJoin
+      // reverts itself if the split would introduce an extra shuffle,
+      // which a groupBy on the join key after the join would.
+      val j = l.join(r, "k")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+      j.collect() // run to finalize the adaptive plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true") ||
+        plan.contains("skewed"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("hive-layout re-scan prunes partitions (PartitionFilters, not a full scan)") {
+    // q_sink_partitioned writes l_returnflag=... hive layout; SURVEY
+    // claims "prune for free" — assert the filtered re-scan plans a
+    // PartitionFilters entry and reads fewer files than the full scan.
+    val src = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val scan = spark.read.parquet(out).filter(col("l_returnflag") === "A")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(l_returnflag"),
+      s"no partition pruning in:\n$plan")
+    // Pruning must be real, not cosmetic: the pruned scan touches only
+    // the one matching partition's files.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.queryExecution.executedPlan
+      val root = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case o => o
+      }
+      root.collectFirst { case f: FileSourceScanExec => f }.get
+    }
+    val pruned = scanOf(scan).selectedPartitions.partitionCount
+    val full = scanOf(spark.read.parquet(out)).selectedPartitions.partitionCount
+    assert(pruned === 1 && full === 3,
+      s"expected 1 of 3 partitions scanned, got $pruned of $full")
+  }
+
+  test("approx profiler plans no Expand (exact-NDV twin does)") {
+    // Exact multi-countDistinct forces one Expand multiplying scan rows
+    // ×(N+1) — the ANALYZE killer at 100 TB. The HLL++ twin must plan a
+    // plain partial/final sketch agg with no Expand.
+    assert(!planOf("q_profile_approx").contains("Expand"),
+      "q_profile_approx must not plan an Expand")
+    assert(planOf("q_profile").contains("Expand"),
+      "exact q_profile is expected to plan the multi-distinct Expand " +
+        "(if Catalyst stops doing so, update profile()'s scaladoc)")
+  }
 }
