@@ -786,6 +786,12 @@ object SparkEntry {
     // closed-form oracle. Pixel decode stays out (no JDK video codec).
     "q_multimodal_video" -> ((s, d) =>
       MultimodalOps.videoDemuxStats(Tables.documents(s, d))),
+    // MJPEG pixel decode: real JPEG frames inside the MP4 container —
+    // demux locates each sample's bytes, the JDK JPEG codec decodes
+    // them, decoded dimensions aggregate per asset (closed-form oracle).
+    // Retires the former "no video pixel decode" stub end-to-end.
+    "q_multimodal_mjpeg" -> ((s, d) =>
+      MultimodalOps.mjpegDecodeStats(Tables.documents(s, d))),
 
     // SQL-surface registration of the native expressions (§2.10): the
     // injected functions (hash60, array_dot_l) run inside ONE SQL text;
@@ -1623,6 +1629,17 @@ object SparkEntry {
                 CAST(MAX((4 + doc_id % 8) * 3000) AS BIGINT)
                   AS duration_ticks
          FROM fb GROUP BY doc_id""",
+    "q_multimodal_mjpeg" ->
+      // Closed-form twin of MultimodalOps.syntheticFrameImage dims:
+      // n = 3 + id mod 6 frames; frame i decodes to width
+      // 1 + (id+i) mod 16 and height 1 + ((id+i) // 16) mod 16.
+      """WITH fr AS (SELECT doc_id, i.range AS i
+                     FROM documents, range(0, 9) i
+                     WHERE i.range < 3 + doc_id % 6)
+         SELECT doc_id AS asset_id, COUNT(*) AS n_frames,
+                CAST(SUM(1 + (doc_id + i) % 16) AS BIGINT) AS sum_width,
+                CAST(SUM(1 + ((doc_id + i) // 16) % 16) AS BIGINT) AS sum_height
+         FROM fr GROUP BY doc_id""",
     "q_sql_q3" -> SqlQ3,
     "q_sql_q1" -> SqlQ1,
     "q_sql_q4" -> SqlQ4,

@@ -86,8 +86,14 @@ object Mp4 {
   /** A real (if austere) MP4: ftyp + mdat(frames) + moov with a full
     * sample table. Frames are grouped [[SamplesPerChunk]] per chunk.
     */
-  def syntheticMp4(docId: Long): Array[Byte] = {
-    val frames = synthFrames(docId)
+  def syntheticMp4(docId: Long): Array[Byte] =
+    containerize(synthFrames(docId))
+
+  /** Containerize caller-provided frame payloads (the writer half of the
+    * demux contract, independent of the synthetic byte pattern) — e.g.
+    * real JPEG frames for the MJPEG decode tier.
+    */
+  def containerize(frames: IndexedSeq[Array[Byte]]): Array[Byte] = {
     val n = frames.length
     val sizes = frames.map(_.length.toLong)
     val ftyp = box("ftyp", ascii("isom"), be32(0x200), ascii("isommp42"))

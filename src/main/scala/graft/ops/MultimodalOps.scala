@@ -400,6 +400,74 @@ object MultimodalOps {
         max("dur").as("duration_ticks"))
   }
 
+  // ---- MJPEG-in-MP4 decode tier (Mp4 demux + the JDK JPEG codec) ----
+
+  /** Deterministic per-frame gray raster for (docId, frame i): width
+    * 1 + (id+i) mod 16, height 1 + ((id+i) div 16) mod 16, the shared
+    * gradient fill. Closed-form dims are the MJPEG oracle handle (JPEG
+    * is lossy, so — as in the still-JPEG tier — pixels are spec-checked
+    * within quantization tolerance, dims oracle-checked exactly).
+    */
+  private def syntheticFrameImage(docId: Long,
+                                  i: Int): java.awt.image.BufferedImage = {
+    val w = 1 + ((docId + i) % 16).toInt
+    val h = 1 + (((docId + i) / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0, ((docId + i * 13L + x * 31L + y * 7L) % 256).toInt)
+    img
+  }
+
+  /** Frames per MJPEG asset: 3 + id mod 6 (shared with the oracle). */
+  def mjpegFrameCount(docId: Long): Int = 3 + (docId % 6).toInt
+
+  /** A real MJPEG-in-MP4 asset: every sample in the container is a
+    * complete JPEG image (motion JPEG — the classic intraframe-only
+    * video codec), so the SAME byte ranges the sample table locates are
+    * directly decodable by the JDK's JPEG codec. This is the pixel path
+    * the container-only tier couldn't walk: interframe codecs (H.26x)
+    * have no JVM decoder, but MJPEG needs none beyond ImageIO.
+    */
+  def syntheticMjpegMp4(docId: Long): Array[Byte] =
+    Mp4.containerize((0 until mjpegFrameCount(docId)).map { i =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(syntheticFrameImage(docId, i), "jpg", bos)
+      bos.toByteArray
+    })
+
+  /** The q_multimodal_mjpeg query surface: containerize real JPEG
+    * frames, demux the MP4 (stco/stsc/stsz sample walk), pixel-DECODE
+    * each extracted frame with the JDK codec, and aggregate the decoded
+    * dimensions per asset. End-to-end container→frame-bytes→pixels —
+    * the full video ingest path a multimodal pipeline runs, with no
+    * stub left: a mis-parsed sample offset yields undecodable bytes
+    * (loud require), a wrong decode yields wrong dims (oracle). Same
+    * map-side demux + one aggregation exchange shape as the other
+    * codec tiers — at 100 TB the decode work scales with executors and
+    * only (id, w, h) int64 triples reach the shuffle.
+    */
+  def mjpegDecodeStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val asset = Asset(id, "mp4", syntheticMjpegMp4(id))
+        Mp4.frames(asset).map { fr =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(fr.payload))
+          require(img != null,
+            s"asset $id frame ${fr.frame_idx}: undecodable JPEG sample")
+          (id, img.getWidth.toLong, img.getHeight.toLong)
+        }
+      })
+      .toDF("asset_id", "w", "h")
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum("w").as("sum_width"), sum("h").as("sum_height"))
+  }
+
   /** Oracle-checkable aggregate over the binary surface: per-format asset
     * counts and payload byte totals (octet_length semantics in both
     * engines). Exercises binary casting + metadata without the stub.

@@ -119,6 +119,28 @@ class MultimodalStreamSpec extends SparkSpec {
     }
   }
 
+  test("MJPEG-in-MP4: extracted samples pixel-decode to the planted rasters") {
+    import graft.ops.Mp4
+    for (id <- 0L to 12L) {
+      val payload = MultimodalOps.syntheticMjpegMp4(id)
+      val frames = Mp4.frames(Asset(id, "mp4", payload)).toSeq
+      assert(frames.length === MultimodalOps.mjpegFrameCount(id))
+      frames.foreach { fr =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(fr.payload))
+        assert(img != null, s"id=$id frame ${fr.frame_idx} undecodable")
+        val i = fr.frame_idx
+        assert(img.getWidth === 1 + ((id + i) % 16).toInt)
+        assert(img.getHeight === 1 + (((id + i) / 16) % 16).toInt)
+        // Lossy codec: the planted corner pixel survives within JPEG
+        // quantization tolerance (same contract as the still-JPEG tier).
+        val want = ((id + i * 13L) % 256).toInt
+        val got = img.getRaster.getSample(0, 0, 0)
+        assert(math.abs(got - want) <= 32, s"id=$id frame $i: $got vs $want")
+      }
+    }
+  }
+
   test("MP4 demux fails loudly on corrupt containers") {
     import graft.ops.Mp4
     val good = Mp4.syntheticMp4(7L)
