@@ -1155,6 +1155,21 @@ object OracleSql {
          AND epoch_us(b.ts) >= epoch_us(a.ts)
          AND epoch_us(b.ts) <= epoch_us(a.ts) + $maxLagUs"""
 
+  /** Left-outer twin of [[streamJoinSql]]: unmatched views keep null
+    * click columns — the watermark-eviction rows of the streaming
+    * replay.
+    */
+  def streamJoinOuterSql(maxLagUs: Long): String =
+    s"""WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'view'),
+             c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'click')
+        SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+               c.t - v.t AS dt_us
+        FROM v LEFT JOIN c
+          ON v.user_id = c.user_id
+         AND c.t >= v.t AND c.t <= v.t + $maxLagUs"""
+
   /** Replay twin: the same gap-session derivation as sessionizeSql, with
     * the session index grouped away — the shape StreamOps.sessionizeReplay
     * projects the session_window result onto.

@@ -402,6 +402,22 @@ object SparkEntry {
         .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
     }),
 
+    // Time-RANGE window frame: trailing 1-hour per-user aggregate over
+    // event time — the time-series staple ROWS frames can't express
+    // (the frame is value-bounded, so it tracks wall time, not row
+    // count). RANGE includes all peers of a tied timestamp → result is
+    // order-independent; same keyed exchange shape as the ROWS twin.
+    "q_window_range" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy("tus")
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"),
+          ops.EventOps.microsOf(ev, "ts").as("tus"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          AggOps.exactWindowSum(col("value"), w).as("sum_1h"))
+    }),
+
     // Calendar rollup: month-truncated time dimension — the standard
     // time-series aggregation missing from the flat TPC-H-ish queries.
     "q_agg_monthly" -> ((s, d) =>
@@ -726,6 +742,14 @@ object SparkEntry {
     "q_stream_join" -> ((s, d) =>
       graft.streaming.StreamOps.streamJoinReplay(Tables.events(s, d),
         tmpPath("graft_stream_join", d))),
+    // LEFT OUTER stream-stream interval join: unmatched views emit null
+    // click columns only when the (finite) watermark proves no click
+    // can still arrive — outer rows are watermark-driven state
+    // evictions. Time-ordered slices make the finite watermark safe;
+    // result must equal the batch LEFT JOIN, nulls included.
+    "q_stream_join_outer" -> ((s, d) =>
+      graft.streaming.StreamOps.streamOuterJoinReplay(Tables.events(s, d),
+        tmpPath("graft_stream_join_outer", d))),
     // Streaming CDC upsert (foreachBatch MERGE INTO): the demo change
     // log streamed in seq order folds into the orders snapshot; the
     // drained snapshot must equal the batch merge exactly — same
@@ -842,6 +866,33 @@ object SparkEntry {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       Tables.part(s, d).createOrReplaceTempView("part")
       s.sql(SqlQ17)
+    }),
+    // Conditional aggregation (TPC-H Q12 shape): sum(CASE…) counters.
+    "q_sql_q12" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlQ12)
+    }),
+    // IN over a grouped-HAVING subquery (TPC-H Q18 shape).
+    "q_sql_q18" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlQ18)
+    }),
+    // Disjunctive band predicates over both join sides (TPC-H Q19 shape).
+    "q_sql_q19" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(SqlQ19)
+    }),
+    // NOT EXISTS anti join + division-free scalar-average threshold
+    // (TPC-H Q22 shape).
+    "q_sql_q22" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SqlQ22)
     }),
 
     // Write-path round trip: distributed CSV sink → re-scan → aggregate,
@@ -1088,6 +1139,67 @@ object SparkEntry {
                 WHERE l3.l_partkey = l.l_partkey)
        GROUP BY p_brand
        ORDER BY p_brand"""
+
+  /** CASE-conditional aggregation text (TPC-H Q12 shape — shipmode
+    * replaced by the fixture's order priority): counting via
+    * sum(CASE…) inside one grouped join, the classic conditional-agg
+    * idiom. DuckDB sums INTEGER to HUGEINT → both sides cast to BIGINT.
+    */
+  private val SqlQ12 =
+    """SELECT l_linestatus,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+       GROUP BY l_linestatus
+       ORDER BY l_linestatus"""
+
+  /** IN-over-grouped-HAVING subquery text (TPC-H Q18, large-volume
+    * customers): the membership subquery is itself an aggregate with a
+    * HAVING filter — planned as a semi join against an aggregated
+    * subplan. Quantities are integral doubles, so the HAVING sum is
+    * exact in both engines; the ORDER BY carries a full tie-break.
+    */
+  private val SqlQ18 =
+    """SELECT c_name, o_orderkey, o_totalprice,
+              CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                            GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+       GROUP BY c_name, o_orderkey, o_totalprice
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 20"""
+
+  /** Disjunctive multi-predicate join text (TPC-H Q19, discount
+    * revenue): OR-of-AND bands over both join sides — the shape that
+    * exercises predicate normalization and join-condition pushdown
+    * (Catalyst extracts the common p_partkey = l_partkey conjunct).
+    */
+  private val SqlQ19 =
+    """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1 AND l_quantity <= 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30)"""
+
+  /** NOT EXISTS + uncorrelated scalar subqueries text (TPC-H Q22,
+    * global-market opportunity): above-average-balance customers with
+    * no high-value order. The average is rearranged division-free
+    * (bal·count > sum over exact DECIMAL) so no IEEE quotient exists
+    * for the engines to round differently at the boundary; the NOT
+    * EXISTS plans as an anti join.
+    */
+  private val SqlQ22 =
+    """SELECT n_name, count(*) AS numcust,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS totacctbal
+       FROM customer JOIN nation ON n_nationkey = c_nationkey
+       WHERE CAST(c_acctbal AS DECIMAL(28,4)) * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+             > (SELECT sum(CAST(c_acctbal AS DECIMAL(28,4))) FROM customer WHERE c_acctbal > 0.0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+       GROUP BY n_name
+       ORDER BY n_name"""
 
   /** DuckDB oracle for q_pagerank: same fixed-point integer recurrence as
     * GraphOps.pageRankFixed, unrolled into one chained CTE per iteration
@@ -1408,6 +1520,16 @@ object SparkEntry {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "q_window_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value
+                    FROM events)
+         SELECT event_id, user_id,
+                count(*) OVER w AS n_1h,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE)
+                  AS sum_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     "q_agg_monthly" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
                 count(*) AS n_orders,
@@ -1543,6 +1665,7 @@ object SparkEntry {
       "nation" -> Seq("n_nationkey", "n_name"))),
     "q_stream_sessionize" -> OracleSql.sessionizeReplaySql,
     "q_stream_join" -> OracleSql.streamJoinSql(3600L * 1000000L),
+    "q_stream_join_outer" -> OracleSql.streamJoinOuterSql(3600L * 1000000L),
     "q_stream_stateful" -> StatefulSessionSql,
     // Same batch-session oracle: the cross-batch replay must produce the
     // identical closed-session set.
@@ -1644,6 +1767,10 @@ object SparkEntry {
     "q_sql_q1" -> SqlQ1,
     "q_sql_q4" -> SqlQ4,
     "q_sql_q17" -> SqlQ17,
+    "q_sql_q12" -> SqlQ12,
+    "q_sql_q18" -> SqlQ18,
+    "q_sql_q19" -> SqlQ19,
+    "q_sql_q22" -> SqlQ22,
     "q_pipeline" -> OracleSql.pipelineSql,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag,

@@ -604,6 +604,108 @@ object StreamOps {
       col(rTs) <= col(lTs) + expr(s"INTERVAL $maxLagUs MICROSECOND"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the attribution shape
+    * where a view with NO click inside the lag window must still emit
+    * (with nulls), and may only do so once the watermark PROVES no
+    * matching click can arrive: the null row for an unmatched left is
+    * emitted when the watermark passes lTs + maxLag, i.e. outer results
+    * are watermark-driven state evictions, not per-batch lookups. Both
+    * sides take a REAL (finite) watermark — an infinite replay horizon
+    * would hold unmatched lefts forever and the outer rows would never
+    * surface.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+                        lKey: String, rKey: String,
+                        lTs: String = "ts", rTs: String = "r_ts",
+                        maxLagUs: Long = 3600L * 1000000L,
+                        watermark: String = "60 seconds"): DataFrame = {
+    val l = left.withWatermark(lTs, watermark)
+    val r = right.withWatermark(rTs, watermark)
+    l.join(r, col(lKey) === col(rKey) &&
+      col(rTs) >= col(lTs) &&
+      col(rTs) <= col(lTs) + expr(s"INTERVAL $maxLagUs MICROSECOND"),
+      "left_outer")
+  }
+
+  /** Left-outer join replay: the corpus is staged as TIME-ORDERED
+    * slices (the [[stageTimeSlices]] machinery — ordered delivery is
+    * what makes a finite watermark safe: no batch can contain an event
+    * older than an already-advanced watermark, so nothing is late-
+    * dropped and the result is deterministic). Views that never see a
+    * click within the lag emit null click columns once the watermark
+    * passes their window; the per-user sentinels ride BOTH sides
+    * (each side's watermark is computed independently and the join
+    * uses the minimum, so both need the far-future evidence) and are
+    * projected out after the join — a sentinel can never pair with a
+    * real event, 100 gaps past its user's last activity. The drained
+    * append result must equal the batch LEFT JOIN exactly, nulls
+    * included (q_stream_join_outer's oracle).
+    */
+  def streamOuterJoinReplay(events: DataFrame, stagingDir: String,
+                            maxLagUs: Long = 3600L * 1000000L,
+                            gapUs: Long = 1800L * 1000000L,
+                            nSlices: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    drainSpent(spark)
+    if (StagedDirs.add(stagingDir)) {
+      stageTimeSlices(events, stagingDir, gapUs, nSlices)
+      // Flush slice: one far-future sentinel delivered as its OWN final
+      // micro-batch. The top real slice's sentinels advance the
+      // watermark past every real view's window, but evictions only
+      // execute while a batch is running and AvailableNow does not run
+      // a no-data batch — without this row the last few unmatched
+      // views' null rows would stay in state at termination (observed:
+      // the corpus-tail views).
+      import spark.implicits._
+      val far = stagingShape(events).agg(max("tus")).head().getLong(0) +
+        201L * gapUs
+      val build = new java.io.File(stagingDir, "_flush_build")
+      Seq((-2L, -1L, far, "sentinel", 0.0))
+        .toDF("event_id", "user_id", "tus", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(build.getPath)
+      Option(build.listFiles()).toSeq.flatten
+        .find(_.getName.endsWith(".parquet")).foreach { part =>
+          val dst = java.nio.file.Paths.get(stagingDir, "slice-9998.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(SliceMtime0 + 9998L * 60000L)
+          ()
+        }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(build)
+    }
+    val schema = spark.read.parquet(stagingDir).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val views = src()
+      .filter(col("event_type").isin("view", "sentinel"))
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+        col("event_type").as("l_type"))
+    val clicks = src()
+      .filter(col("event_type").isin("click", "sentinel"))
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+    // The sentinel projection MUST happen on the drained batch table,
+    // not inside the streaming plan: a pre-sink filter on l_type is a
+    // left-side-only predicate, so Catalyst legally pushes it below the
+    // left watermark node — the views stream then never sees its
+    // sentinels, the left watermark stalls at the last real view, and
+    // the corpus-tail unmatched views are never evicted (observed).
+    val joined = intervalJoinOuter(views, clicks, "user_id", "r_user",
+        maxLagUs = maxLagUs)
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("ts"))).as("dt_us"),
+        col("l_type"), col("r_type"))
+    runToMemory(joined, OutputMode.Append)
+      .filter(col("l_type") === "view" &&
+        (col("r_type").isNull || col("r_type") === "click"))
+      .select(col("view_id"), col("click_id"), col("user_id"), col("dt_us"))
+  }
+
   /** Stream-stream join replay: views and clicks are staged as two
     * SEPARATE file sources (each side reads only its own event type —
     * a shared staged corpus would make both sources scan and discard
