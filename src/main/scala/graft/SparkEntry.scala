@@ -67,6 +67,29 @@ object SparkEntry {
     // a prospective shuffle key, exact ppm shares.
     "q_skew_report" -> ((s, d) =>
       AggOps.skewReport(Tables.lineitem(s, d), "l_orderkey")),
+    // Count-Min Sketch frequency estimation: fixed 4×4096 int64 grid at
+    // any key cardinality; pure-sum state makes the sketch order-
+    // independent, so — unlike the HLL/t-digest rows — it carries a
+    // FULL oracle (DuckDB mirrors the grid via the shared hash60).
+    // Probes 0..19 span present and absent keys; est ≥ exact always.
+    "q_cms_freq" -> ((s, d) => {
+      val keys = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+      val sketch = keys.agg(
+        graft.functions.CmsAgg.sketchOf(col("k")).as("grid"))
+      val w = graft.functions.CmsAgg.Width
+      val probes = s.range(0, 20).select(col("id").as("key"))
+      val exact = keys.groupBy("k").agg(count(lit(1)).as("cnt"))
+      val ests = (0 until graft.functions.CmsAgg.Depth).map { dd =>
+        element_at(col("grid"), (lit(dd * w) + pmod(TextOps.hash60(
+          concat(lit(s"cms$dd-"), col("key").cast("string"))), lit(w)) +
+          lit(1)).cast("int"))
+      }
+      probes.crossJoin(broadcast(sketch))
+        .select(col("key"), least(ests: _*).as("est"))
+        .join(exact, col("key") === col("k"), "left")
+        .select(col("key"), col("est"),
+          coalesce(col("cnt"), lit(0L)).as("exact"))
+    }),
     // Single-pass column profiler (ANALYZE-TABLE statistics): all
     // columns in one aggregation, one row per column out.
     "q_profile" -> ((s, d) =>
@@ -1658,6 +1681,28 @@ object SparkEntry {
           SELECT key, cnt, total, n_keys,
                  cnt * 1000000 // total AS frac_ppm
           FROM r, t""",
+    // Exact mirror of the CMS grid: GROUP BY (depth, hash60-cell) sums,
+    // estimate = min over depth of the probe's cells (0 when absent).
+    "q_cms_freq" -> {
+      val w = graft.functions.CmsAgg.Width
+      val dep = graft.functions.CmsAgg.Depth
+      def h(e: String) =
+        OracleSql.hash60(s"'cms' || CAST(d.range AS VARCHAR) || '-' || CAST($e AS VARCHAR)")
+      s"""WITH keys AS (SELECT l_orderkey AS k FROM lineitem),
+            grid AS (SELECT d.range AS d, ${h("k")} % $w AS cell,
+                            COUNT(*) AS c
+                     FROM keys, range(0, $dep) d GROUP BY 1, 2),
+            probe AS (SELECT p.range AS key FROM range(0, 20) p),
+            est AS (SELECT probe.key,
+                           CAST(MIN(COALESCE(g.c, 0)) AS BIGINT) AS est
+                    FROM probe CROSS JOIN range(0, $dep) d
+                    LEFT JOIN grid g ON g.d = d.range
+                      AND g.cell = ${h("probe.key")} % $w
+                    GROUP BY probe.key),
+            ex AS (SELECT k, COUNT(*) AS c FROM keys GROUP BY k)
+          SELECT e.key, e.est, CAST(COALESCE(x.c, 0) AS BIGINT) AS exact
+          FROM est e LEFT JOIN ex x ON x.k = e.key"""
+    },
     "q_table_digest" -> OracleSql.tableDigestSql(Seq(
       "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderpriority"),

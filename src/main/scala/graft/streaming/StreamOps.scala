@@ -644,7 +644,7 @@ object StreamOps {
   def streamOuterJoinReplay(events: DataFrame, stagingDir: String,
                             maxLagUs: Long = 3600L * 1000000L,
                             gapUs: Long = 1800L * 1000000L,
-                            nSlices: Int = 6): DataFrame = {
+                            nSlices: Int = 4): DataFrame = {
     val spark = events.sparkSession
     drainSpent(spark)
     if (StagedDirs.add(stagingDir)) {

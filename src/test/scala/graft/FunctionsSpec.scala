@@ -186,4 +186,36 @@ class FunctionsSpec extends SparkSpec {
       agg.reduce(agg.zero, (1L, 1L)), agg.reduce(agg.zero, (0L, 1L)))
     assert(agg.finish(tie) === 0L)
   }
+
+  test("CmsAgg: estimates upper-bound exact counts; merge is order-independent") {
+    import graft.functions.CmsAgg
+    val agg = new CmsAgg
+    val keys = (0L until 500L).flatMap(k => Seq.fill((k % 7).toInt + 1)(k))
+    val grid = keys.foldLeft(agg.zero)(agg.reduce)
+    def est(k: Long): Long = (0 until CmsAgg.Depth)
+      .map(d => grid(d * CmsAgg.Width + CmsAgg.cell(d, k))).min
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+    // CMS never under-counts — collisions only add.
+    exact.foreach { case (k, n) => assert(est(k) >= n, s"key $k") }
+    // Order-independence: any split + merge gives the same grid.
+    val (a, b) = scala.util.Random.shuffle(keys).splitAt(keys.size / 3)
+    val merged = agg.merge(
+      a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.toSeq === grid.toSeq)
+  }
+
+  test("CmsAgg cell matches the hash60 SQL expression (cross-engine contract)") {
+    import graft.functions.CmsAgg
+    // The UDAF's Scala-side hash must equal the hash60 Catalyst
+    // expression over the same "cms<d>-<key>" string — the contract the
+    // DuckDB oracle grid relies on.
+    val df = spark.range(0, 100).select(col("id"))
+    val got = df.select(col("id"),
+      pmod(graft.ops.TextOps.hash60(concat(lit("cms2-"),
+        col("id").cast("string"))), lit(CmsAgg.Width)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 100L).foreach { k =>
+      assert(got(k) === CmsAgg.cell(2, k).toLong, s"key $k")
+    }
+  }
 }
