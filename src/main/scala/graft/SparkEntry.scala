@@ -535,6 +535,13 @@ object SparkEntry {
       AggOps.saltedSum(Tables.lineitem(s, d), Seq("l_returnflag"),
         "l_quantity", col("l_orderkey"))),
 
+    // Fuzzy canonicalization (entity resolution): each distinct part
+    // name maps to the most frequent name within edit distance 2 of it.
+    // Candidates blocked on the last token + length band INSIDE the
+    // join condition — levenshtein only ever runs on the blocked sliver.
+    "q_fuzzy_canon" -> ((s, d) =>
+      DedupOps.fuzzyCanonicalize(Tables.part(s, d), "p_name")),
+
     // LLM-pipeline tier: deduplication (north star). All run over the
     // deterministic dup-bearing corpus (DedupOps.dupCorpus) so the
     // operators have real duplicates to find.
@@ -639,6 +646,31 @@ object SparkEntry {
     // PII-style scrubbing over a deterministically dirtied corpus.
     "q_scrub" -> ((s, d) =>
       TextStatsOps.scrub(TextStatsOps.dirtyCorpus(Tables.documents(s, d)))),
+    // Unicode canonicalization (native NFC + strip-accents codegen
+    // expressions): a decomposed tail (combining acute + diaeresis) is
+    // appended to every doc, then both transforms run map-side; hash60
+    // sums pin the exact normalized bytes against DuckDB's
+    // nfc_normalize/strip_accents (both utf8proc-backed).
+    "q_text_normalize" -> ((s, d) => {
+      import graft.functions.{NfcNormalizeExpr, StripAccentsExpr}
+      // "cafe" + combining acute, "nai" + combining diaeresis + "ve" -
+      // decomposed on purpose (NFC shortens it); escapes keep the
+      // source file ASCII.
+      val dec = concat(col("text"), lit(" cafe\u0301 nai\u0308ve"))
+      Tables.documents(s, d)
+        .select(col("lang"), dec.as("dec"))
+        .select(col("lang"), col("dec"),
+          NfcNormalizeExpr(col("dec")).as("nfc"),
+          StripAccentsExpr(col("dec")).as("stripped"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("dec"))).as("sum_len_dec"),
+          sum(length(col("nfc"))).as("sum_len_nfc"),
+          sum(length(col("stripped"))).as("sum_len_stripped"),
+          sum(pmod(TextOps.hash60(col("nfc")), lit(1000000L))).as("sum_h_nfc"),
+          sum(pmod(TextOps.hash60(col("stripped")), lit(1000000L))).as("sum_h_stripped"))
+        .orderBy("lang")
+    }),
     // Characteristic terms per doc (tf·idf, integer-scaled idf).
     "q_tfidf" -> ((s, d) =>
       TextStatsOps.tfidfTopTerms(Tables.documents(s, d))),
@@ -916,6 +948,24 @@ object SparkEntry {
       Tables.nation(s, d).createOrReplaceTempView("nation")
       Tables.orders(s, d).createOrReplaceTempView("orders")
       s.sql(SqlQ22)
+    }),
+    // IN-subquery whose body itself contains correlated scalar
+    // subqueries (TPC-H Q20 shape) — the deepest nesting in the suite.
+    "q_sql_q20" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.part(s, d).createOrReplaceTempView("part")
+      s.sql(SqlQ20)
+    }),
+    // EXISTS + NOT EXISTS against the same table with supplier
+    // inequality and an outer-column correlation (TPC-H Q21 shape).
+    "q_sql_q21" -> ((s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlQ21)
     }),
 
     // Write-path round trip: distributed CSV sink → re-scan → aggregate,
@@ -1223,6 +1273,51 @@ object SparkEntry {
                          WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
        GROUP BY n_name
        ORDER BY n_name"""
+
+  /** Nested-subquery front-door text (TPC-H Q20 shape, no partsupp in
+    * the fixture): suppliers who shipped an above-average line of a
+    * large part. The IN-subquery body carries TWO correlated scalar
+    * subqueries — the deepest nesting in the suite; the above-average
+    * test is the division-free `q·count > sum` rearrangement over
+    * exact int64 (Q17's lesson), so no quotient exists for the engines
+    * to round differently.
+    */
+  private val SqlQ20 =
+    """SELECT s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_name IN ('NATION_3','NATION_7','NATION_11')
+         AND s_suppkey IN (
+           SELECT l1.l_suppkey FROM lineitem l1
+           WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+             AND CAST(l1.l_quantity AS BIGINT) *
+                   (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+                 > (SELECT sum(CAST(l3.l_quantity AS BIGINT)) FROM lineitem l3
+                    WHERE l3.l_partkey = l1.l_partkey))
+       ORDER BY s_name"""
+
+  /** Waiting-supplier text (TPC-H Q21 shape, fixture late = shipped
+    * >60 days after order date): EXISTS proves the order is
+    * multi-supplier, NOT EXISTS — correlated on the OUTER order's date
+    * through a supplier-inequality predicate — proves this supplier is
+    * the only late one. The classic same-table EXISTS/NOT-EXISTS pair
+    * every blame/attribution query uses.
+    */
+  private val SqlQ21 =
+    """SELECT s_name, count(*) AS numwait
+       FROM supplier
+       JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE o_orderstatus = 'F'
+         AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name
+       LIMIT 20"""
 
   /** DuckDB oracle for q_pagerank: same fixed-point integer recurrence as
     * GraphOps.pageRankFixed, unrolled into one chained CTE per iteration
@@ -1598,6 +1693,44 @@ object SparkEntry {
                   JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
           n AS (SELECT unnest([x, y, z]) AS node FROM tri)
           SELECT node, COUNT(*) AS n_tri FROM n GROUP BY node""",
+    // Same multi-pass blocking + election as DedupOps.fuzzyCanonicalize:
+    // block on first AND last token (pairs deduped across passes),
+    // length band, levenshtein <= 2, row_number election with the full
+    // (cnt DESC, name ASC) tie-break.
+    "q_fuzzy_canon" ->
+      """WITH counts AS (SELECT p_name AS nm, COUNT(*) AS cnt
+                         FROM part GROUP BY p_name),
+            keyed AS (SELECT nm, cnt, length(nm) AS len, u.blk
+                      FROM counts, UNNEST(list_distinct([
+                        split_part(nm, ' ', 1),
+                        split_part(nm, ' ', -1)])) AS u(blk)),
+            cand AS (SELECT DISTINCT a.nm, a.cnt, b.nm AS nm2, b.cnt AS cnt2
+                     FROM keyed a JOIN keyed b ON a.blk = b.blk
+                       AND abs(a.len - b.len) <= 2
+                       AND levenshtein(a.nm, b.nm) <= 2),
+            elect AS (SELECT nm, cnt, nm2, row_number() OVER
+                        (PARTITION BY nm ORDER BY cnt2 DESC, nm2 ASC) AS rk
+                      FROM cand)
+          SELECT nm, nm2 AS canonical,
+                 CAST(levenshtein(nm, nm2) AS INTEGER) AS dist,
+                 CAST(cnt AS BIGINT) AS cnt
+          FROM elect WHERE rk = 1""",
+    // Decomposed tail built with chr() (DuckDB chr is full Unicode;
+    // Spark's is not, so the Spark side uses a \u escape literal);
+    // nfc_normalize + strip_accents are DuckDB built-ins.
+    "q_text_normalize" ->
+      s"""WITH d AS (SELECT lang,
+                            text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' AS dec
+                     FROM documents),
+             n AS (SELECT lang, dec, nfc_normalize(dec) AS nfc,
+                          strip_accents(dec) AS stripped FROM d)
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(length(dec)) AS BIGINT) AS sum_len_dec,
+                 CAST(SUM(length(nfc)) AS BIGINT) AS sum_len_nfc,
+                 CAST(SUM(length(stripped)) AS BIGINT) AS sum_len_stripped,
+                 CAST(SUM(${OracleSql.hash60("nfc")} % 1000000) AS BIGINT) AS sum_h_nfc,
+                 CAST(SUM(${OracleSql.hash60("stripped")} % 1000000) AS BIGINT) AS sum_h_stripped
+          FROM n GROUP BY lang ORDER BY lang""",
     "q_dedup_exact" -> OracleSql.dedupExactSql,
     "q_dedup_incremental" -> OracleSql.dedupIncrementalSql,
     "q_dedup_bloom" -> OracleSql.dedupIncrementalSql,
@@ -1816,6 +1949,8 @@ object SparkEntry {
     "q_sql_q18" -> SqlQ18,
     "q_sql_q19" -> SqlQ19,
     "q_sql_q22" -> SqlQ22,
+    "q_sql_q20" -> SqlQ20,
+    "q_sql_q21" -> SqlQ21,
     "q_pipeline" -> OracleSql.pipelineSql,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag,

@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.arrayDotL)
     ext.injectFunction(GraftFunctions.hash60)
     ext.injectFunction(GraftFunctions.kgramHash60)
+    ext.injectFunction(GraftFunctions.nfcNormalize)
+    ext.injectFunction(GraftFunctions.stripAccents)
   }
 }
 
@@ -68,9 +70,31 @@ object GraftFunctions {
       new ExpressionInfo(classOf[KGramHash60].getName, "kgram_hash60"),
       buildKGram _)
 
+  private def buildNfc(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, s"nfc_normalize expects 1 argument, got ${exprs.length}")
+    NfcNormalizeExpr(exprs.head)
+  }
+
+  private def buildStripAccents(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, s"strip_accents expects 1 argument, got ${exprs.length}")
+    StripAccentsExpr(exprs.head)
+  }
+
+  val nfcNormalize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      buildNfc _)
+
+  val stripAccents: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccentsExpr].getName, "strip_accents"),
+      buildStripAccents _)
+
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "array_dot_l", buildDot)
     GraftSqlBridge.registerFunction(spark, "hash60", buildHash60)
     GraftSqlBridge.registerFunction(spark, "kgram_hash60", buildKGram)
+    GraftSqlBridge.registerFunction(spark, "nfc_normalize", buildNfc)
+    GraftSqlBridge.registerFunction(spark, "strip_accents", buildStripAccents)
   }
 }

@@ -436,4 +436,56 @@ object DedupOps {
         .union(dedupAgainst(tagged.filter(col("maybe")).drop("maybe"), known))
     }
   }
+
+  /** Fuzzy canonicalization (entity resolution): map each distinct value
+    * of `nameCol` to the most frequent value within `maxDist` edit
+    * distance of it, ties broken lexicographically. The everyday
+    * data-cleaning op ("Jon Smith" → "John Smith") the sketch-based
+    * dedupers above are too coarse for.
+    *
+    * 100 TB shape: levenshtein is O(len²) per pair, so the pair space is
+    * the whole cost — candidates are generated ONLY inside blocking
+    * buckets, with MULTI-PASS blocking (a name blocks on BOTH its first
+    * and last whitespace token, pairs deduped across passes) so a typo
+    * in either token still finds its mate — the standard record-linkage
+    * answer to single-key blocking's blind spot. The triangle-inequality
+    * prune |len(a)−len(b)| ≤ maxDist sits in the join condition next to
+    * the distance itself, so both apply during the join, not after.
+    * Distinct-value counts, not rows, flow into the self-join: the join
+    * input is |distinct names|, which a name-shaped column keeps far
+    * below |rows|. Election is a row_number window per name —
+    * deterministic via the full (cnt DESC, name ASC) tie-break.
+    *
+    * Output: (nm, canonical, dist, cnt) — every distinct name, its
+    * elected canonical form, the edit distance between them, and the
+    * name's own occurrence count.
+    */
+  def fuzzyCanonicalize(df: DataFrame, nameCol: String,
+                        maxDist: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(col(nameCol).as("nm"))
+      .groupBy("nm").agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("nm")))
+    // Multi-pass blocking: one (nm, blk) row per distinct blocking key
+    // (first token, last token — identical for one-token names).
+    val keyed = counts.select(col("nm"), col("cnt"), col("len"),
+      explode(array_distinct(array(
+        element_at(split(col("nm"), " "), 1),
+        element_at(split(col("nm"), " "), -1)))).as("blk"))
+    val cand = keyed.join(
+      keyed.select(col("nm").as("nm2"), col("cnt").as("cnt2"),
+        col("blk").as("blk2"), col("len").as("len2")),
+      col("blk") === col("blk2") &&
+        abs(col("len") - col("len2")) <= maxDist &&
+        levenshtein(col("nm"), col("nm2")) <= maxDist)
+      // A pair found by both passes (shared first AND last token) must
+      // count once in the election.
+      .select("nm", "cnt", "nm2", "cnt2").distinct()
+    val w = Window.partitionBy("nm")
+      .orderBy(col("cnt2").desc, col("nm2").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("nm"), col("nm2").as("canonical"),
+        levenshtein(col("nm"), col("nm2")).as("dist"), col("cnt"))
+  }
 }

@@ -169,4 +169,35 @@ class DedupOpsSpec extends SparkSpec {
         col("doc_b") === col("doc_a") + 1000000L)
     assert(mh.count() === exact.count())
   }
+
+  test("fuzzyCanonicalize elects the most frequent in-block neighbor") {
+    // Typo in the LAST token ("red widgt"): found via the FIRST-token
+    // blocking pass (block "red") - the case single-key blocking on the
+    // last token would miss. Typo in the FIRST token ("redd widget"):
+    // found via the last-token pass. Both map to the frequent form.
+    val rows = Seq.fill(5)("red widget") ++ Seq("red widgt") ++
+      Seq("redd widget") ++ Seq.fill(3)("blue bolt")
+    val df = rows.toDF("nm_in")
+    val got = DedupOps.fuzzyCanonicalize(df, "nm_in")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got("red widgt") === (("red widget", 1, 1L)))
+    assert(got("redd widget") === (("red widget", 1, 1L)))
+    assert(got("red widget") === (("red widget", 0, 5L)))
+    assert(got("blue bolt") === (("blue bolt", 0, 3L)))
+  }
+
+  test("fuzzyCanonicalize honors blocking: no shared token, no pair") {
+    // "rod belt" is within maxDist=2 of "red bolt" (rod->red, belt->
+    // bolt) but shares NEITHER first nor last token with it, so no
+    // blocking pass may pair them: each canonicalizes to itself even
+    // though a full O(n^2) scan would have linked them. Blocking is a
+    // declared recall trade and the op must honor it deterministically.
+    val df = (Seq.fill(9)("red bolt") ++ Seq.fill(2)("rod belt"))
+      .toDF("nm_in")
+    val got = DedupOps.fuzzyCanonicalize(df, "nm_in")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("red bolt") === "red bolt")
+    assert(got("rod belt") === "rod belt")
+  }
 }

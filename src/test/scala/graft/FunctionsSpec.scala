@@ -218,4 +218,36 @@ class FunctionsSpec extends SparkSpec {
       assert(got(k) === CmsAgg.cell(2, k).toLong, s"key $k")
     }
   }
+
+  test("UnicodeNorm: NFC composes, stripAccents drops marks, ASCII is identity") {
+    import graft.functions.{NfcNormalizeExpr, StripAccentsExpr}
+    val df = Seq(
+      ("cafe\u0301", "caf\u00e9", "cafe"),   // decomposed -> composed -> stripped
+      ("nai\u0308ve", "na\u00efve", "naive"),
+      ("plain ascii", "plain ascii", "plain ascii"),
+      ("\u00e9\u0301", "\u00e9\u0301", "e")  // composed e-acute + extra acute: NFC keeps, strip drops both marks
+    ).toDF("raw", "want_nfc", "want_stripped")
+    val got = df.select(
+      NfcNormalizeExpr(col("raw")).as("nfc"),
+      StripAccentsExpr(col("raw")).as("stripped"),
+      col("want_nfc"), col("want_stripped")).collect()
+    got.foreach { r =>
+      assert(r.getString(0) === r.getString(2))
+      assert(r.getString(1) === r.getString(3))
+    }
+    // Null propagation.
+    val n = Seq(Option.empty[String]).toDF("raw")
+      .select(NfcNormalizeExpr(col("raw")), StripAccentsExpr(col("raw")))
+      .collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("nfc_normalize and strip_accents are callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301') AS a, strip_accents('cafe\u0301') AS b")
+      .collect()(0)
+    assert(r.getString(0) === "caf\u00e9")
+    assert(r.getString(1) === "cafe")
+  }
 }
