@@ -224,6 +224,32 @@ object SparkEntry {
         EventOps.microsOf(or, "o_orderdate").as("o_us"))
       JoinOps.asofJoin(eu, ou, "user_id", "tus", "o_us", "o_orderkey")
     }),
+    // Forward as-of: per view event, the same user's next purchase AT
+    // or AFTER the view — the time-to-conversion direction backward
+    // as-of can't express.
+    "q_join_asof_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          EventOps.microsOf(ev, "ts").as("tus"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          EventOps.microsOf(ev, "ts").as("buy_us"))
+      JoinOps.asofJoinForward(views, buys, "user_id", "tus", "buy_us", "buy_id")
+    }),
+    // Nearest as-of: per view event, the user's closest purchase in
+    // EITHER direction, backward preferred on exact-distance ties
+    // (pandas merge_asof direction='nearest').
+    "q_join_asof_near" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          EventOps.microsOf(ev, "ts").as("tus"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          EventOps.microsOf(ev, "ts").as("buy_us"))
+      JoinOps.asofJoinNearest(views, buys, "user_id", "tus", "buy_us", "buy_id")
+    }),
     // Banded range self-join: event pairs of the same user within 1 hour.
     "q_join_range" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -319,6 +345,20 @@ object SparkEntry {
       val o = Tables.orders(s, d)
       o.filter(col("o_orderstatus") === "F").select("o_custkey")
         .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+    }),
+    // Multiset (bag) semantics: a customer with 3 F orders and 1 O order
+    // survives EXCEPT ALL twice — multiplicities subtract instead of the
+    // set ops' existence test. Spark plans both as aggregate+generate
+    // (count per side, replicate the difference/min), not a join per row.
+    "q_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .exceptAll(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+    }),
+    "q_intersect_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersectAll(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
     }),
     // Full outer join of two per-customer aggregates (customers with only
     // F orders, only O orders, or both) — the outer-join surface with a
@@ -638,6 +678,18 @@ object SparkEntry {
     "q_dedup_embed_recall" -> ((s, d) =>
       SimilarityOps.plantedPairRecall(Tables.embeddings(s, d))),
 
+    // Positional explode (UDTF/LATERAL surface): one row per token WITH
+    // its 0-based position — order-preserving generation, the primitive
+    // sequence labeling and n-gram windows build on. Empty tokens are
+    // filtered BEFORE positioning so positions stay gap-free.
+    "q_explode_pos" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"),
+          posexplode(filter(split(col("text"), TextOps.WsRegex),
+            t => t =!= "")))
+        .select(col("doc_id"), col("pos"), col("col").as("token"))),
+
     // LLM-pipeline tier: text analysis over documents.
     "q_text_stats"  -> ((s, d) => TextStatsOps.textStats(Tables.documents(s, d))),
     "q_lang_id"     -> ((s, d) => TextStatsOps.langId(Tables.documents(s, d))),
@@ -948,6 +1000,14 @@ object SparkEntry {
       Tables.nation(s, d).createOrReplaceTempView("nation")
       Tables.orders(s, d).createOrReplaceTempView("orders")
       s.sql(SqlQ22)
+    }),
+    // GROUPING SETS with grouping() membership flags — the general form
+    // rollup/cube specialize. Shared text; grouping() (0/1 per column)
+    // rather than grouping_id() because the bit order of the packed id
+    // is engine-specific while the per-column flag is standard.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(SqlGroupingSets)
     }),
     // IN-subquery whose body itself contains correlated scalar
     // subqueries (TPC-H Q20 shape) — the deepest nesting in the suite.
@@ -1274,6 +1334,20 @@ object SparkEntry {
        GROUP BY n_name
        ORDER BY n_name"""
 
+  /** GROUPING SETS shared text: four explicit sets (the cube of two
+    * columns) with per-column grouping() flags. The flags, not the
+    * NULLs, distinguish "subtotal row" from "group whose key IS NULL" —
+    * the correctness detail rollup/cube consumers rely on.
+    */
+  private val SqlGroupingSets =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+              CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+              count(*) AS cnt,
+              CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())"""
+
   /** Nested-subquery front-door text (TPC-H Q20 shape, no partsupp in
     * the fixture): suppliers who shipped an above-average line of a
     * large part. The IN-subquery body carries TWO correlated scalar
@@ -1453,6 +1527,52 @@ object SparkEntry {
                              ORDER BY o.o_us DESC, o.o_orderkey DESC) AS rn
                     FROM e JOIN o USING (user_id) WHERE o.o_us <= e.tus)
          SELECT event_id, user_id, tus, o_orderkey, o_us FROM j WHERE rn = 1""",
+    "q_join_asof_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+                    WHERE event_type = 'view'),
+              o AS (SELECT user_id, event_id AS buy_id, epoch_us(ts) AS buy_us
+                    FROM events WHERE event_type = 'purchase'),
+              j AS (SELECT e.event_id, e.user_id, e.tus, o.buy_id, o.buy_us,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY e.event_id, e.user_id, e.tus
+                             ORDER BY o.buy_us ASC, o.buy_id ASC) AS rn
+                    FROM e JOIN o USING (user_id) WHERE o.buy_us >= e.tus)
+         SELECT event_id, user_id, tus, buy_id, buy_us FROM j WHERE rn = 1""",
+    // Backward and forward elections, then the nearest choice with a
+    // backward preference on exact ties — the same decision tree the
+    // Spark operator applies to its two window passes.
+    "q_join_asof_near" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+                    WHERE event_type = 'view'),
+              o AS (SELECT user_id, event_id AS buy_id, epoch_us(ts) AS buy_us
+                    FROM events WHERE event_type = 'purchase'),
+              b AS (SELECT e.event_id, e.user_id, e.tus, o.buy_id, o.buy_us,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY e.event_id, e.user_id, e.tus
+                             ORDER BY o.buy_us DESC, o.buy_id DESC) AS rn
+                    FROM e JOIN o USING (user_id) WHERE o.buy_us <= e.tus),
+              f AS (SELECT e.event_id, e.user_id, e.tus, o.buy_id, o.buy_us,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY e.event_id, e.user_id, e.tus
+                             ORDER BY o.buy_us ASC, o.buy_id ASC) AS rn
+                    FROM e JOIN o USING (user_id) WHERE o.buy_us >= e.tus),
+              bb AS (SELECT * FROM b WHERE rn = 1),
+              ff AS (SELECT * FROM f WHERE rn = 1)
+         SELECT e.event_id, e.user_id, e.tus,
+                CASE WHEN bb.buy_us IS NULL THEN ff.buy_id
+                     WHEN ff.buy_us IS NULL THEN bb.buy_id
+                     WHEN ff.buy_us - e.tus < e.tus - bb.buy_us THEN ff.buy_id
+                     ELSE bb.buy_id END AS buy_id,
+                CASE WHEN bb.buy_us IS NULL THEN ff.buy_us
+                     WHEN ff.buy_us IS NULL THEN bb.buy_us
+                     WHEN ff.buy_us - e.tus < e.tus - bb.buy_us THEN ff.buy_us
+                     ELSE bb.buy_us END AS buy_us
+         FROM e
+         LEFT JOIN bb ON bb.event_id = e.event_id AND bb.user_id = e.user_id
+                     AND bb.tus = e.tus
+         LEFT JOIN ff ON ff.event_id = e.event_id AND ff.user_id = e.user_id
+                     AND ff.tus = e.tus
+         WHERE bb.buy_us IS NOT NULL OR ff.buy_us IS NOT NULL""",
     "q_join_range" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events)
          SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
@@ -1479,6 +1599,23 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          EXCEPT
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT ALL
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    // Ordinality via a range join (DuckDB lacks WITH ORDINALITY);
+    // empties filtered before positioning, mirroring the Spark side.
+    "q_explode_pos" ->
+      s"""WITH t AS (SELECT doc_id,
+               list_filter(string_split_regex(text, '${OracleSql.Ws}'),
+                           x -> x <> '') AS w
+             FROM documents WHERE doc_id % 100 = 0)
+          SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS pos, w[r.i] AS token
+          FROM t JOIN range(1, 100000) r(i) ON r.i <= len(w)""",
     "q_join_outer" ->
       """WITH f AS (SELECT o_custkey, count(*) AS n_f FROM orders
                     WHERE o_orderstatus = 'F' GROUP BY o_custkey),
@@ -1951,6 +2088,7 @@ object SparkEntry {
     "q_sql_q22" -> SqlQ22,
     "q_sql_q20" -> SqlQ20,
     "q_sql_q21" -> SqlQ21,
+    "q_grouping_sets" -> SqlGroupingSets,
     "q_pipeline" -> OracleSql.pipelineSql,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag,

@@ -80,6 +80,25 @@ object JoinOps {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightTieBreak: String): DataFrame = {
+    val (u, rCols) = asofUnion(left, right, key, leftTime, rightTime, rightTieBreak)
+    val w = Window.partitionBy(key)
+      .orderBy(col("_t").asc, col("_is_l").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = u
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_is_l") === 1 && col("_r").isNotNull)
+    filled.select(left.columns.map(col).toSeq ++
+      rCols.map(c => col("_r").getField(c).as(c)): _*)
+  }
+
+  /** Both sides unioned into one per-key stream for the union-merge
+    * as-of family: left rows carry a null `_r` payload, right rows a
+    * struct of all their non-key columns. `_is_l` disambiguates sides
+    * at equal time, `_tb` totally orders right rows within a timestamp.
+    */
+  private def asofUnion(left: DataFrame, right: DataFrame, key: String,
+                        leftTime: String, rightTime: String,
+                        rightTieBreak: String): (DataFrame, Seq[String]) = {
     val rCols = right.columns.filterNot(_ == key).toSeq
     val lU = left.select(
       col(key) +: left.columns.filterNot(_ == key).map(col).toSeq ++: Seq(
@@ -94,14 +113,65 @@ object JoinOps {
         col(rightTime).as("_t"), lit(0).as("_is_l"),
         col(rightTieBreak).cast("long").as("_tb"),
         struct(rCols.map(col): _*).as("_r")): _*)
+    (lU.unionByName(rU), rCols)
+  }
+
+  /** Forward as-of join: for every left row, the single EARLIEST right
+    * row with rightTime ≥ leftTime on the same key (inclusive) — the
+    * "next event after" direction. Same union-merge shape as
+    * [[asofJoin]] (one key shuffle, one in-partition sort, no
+    * left×history intermediate); the window simply looks forward, with
+    * left rows sorting BEFORE right rows at equal time so an equal-time
+    * right row is still eligible. Right-row ties at one timestamp
+    * resolve to the min tie-break (the mirror of backward's max).
+    * Inner semantics: left rows with no following right row are dropped.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      rightTieBreak: String): DataFrame = {
+    val (u, rCols) = asofUnion(left, right, key, leftTime, rightTime, rightTieBreak)
     val w = Window.partitionBy(key)
-      .orderBy(col("_t").asc, col("_is_l").asc, col("_tb").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = lU.unionByName(rU)
-      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .orderBy(col("_t").asc, col("_is_l").desc, col("_tb").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = u
+      .withColumn("_r", first(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_is_l") === 1 && col("_r").isNotNull)
     filled.select(left.columns.map(col).toSeq ++
       rCols.map(c => col("_r").getField(c).as(c)): _*)
+  }
+
+  /** Nearest as-of join: the closer of the backward and forward
+    * matches, backward preferred on exact distance ties (the pandas
+    * merge_asof direction='nearest' contract). One key shuffle; the two
+    * window passes (backward last + forward first) reuse the same
+    * partitioning, so the second window adds only an in-partition
+    * re-sort, not an exchange. Inner semantics: left rows with no right
+    * row on either side are dropped.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      rightTieBreak: String): DataFrame = {
+    val (u, rCols) = asofUnion(left, right, key, leftTime, rightTime, rightTieBreak)
+    val wB = Window.partitionBy(key)
+      .orderBy(col("_t").asc, col("_is_l").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(key)
+      .orderBy(col("_t").asc, col("_is_l").desc, col("_tb").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = u
+      .withColumn("_rb", last(col("_r"), ignoreNulls = true).over(wB))
+      .withColumn("_rf", first(col("_r"), ignoreNulls = true).over(wF))
+      .filter(col("_is_l") === 1 &&
+        (col("_rb").isNotNull || col("_rf").isNotNull))
+    val dB = col("_t") - col("_rb").getField(rightTime)
+    val dF = col("_rf").getField(rightTime) - col("_t")
+    val chosen = when(col("_rb").isNull, col("_rf"))
+      .when(col("_rf").isNull, col("_rb"))
+      .when(dF < dB, col("_rf"))
+      .otherwise(col("_rb"))
+    filled.withColumn("_r", chosen)
+      .select(left.columns.map(col).toSeq ++
+        rCols.map(c => col("_r").getField(c).as(c)): _*)
   }
 
   /** Banded range self-join: pairs of rows on the same key whose times

@@ -74,6 +74,61 @@ class RelOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 12L, 2L -> 10L)) // id 3: nothing ≤ 5 → absent
   }
 
+  test("asofJoinForward and asofJoinNearest: directions, ties, inclusivity") {
+    import spark.implicits._
+    val l = Seq((1L, 100L), (2L, 50L), (3L, 5L), (4L, 90L)).toDF("id", "t")
+      .withColumn("k", lit("u"))
+    val r = Seq((10L, 40L), (11L, 90L), (12L, 90L), (13L, 200L))
+      .toDF("rid", "rt").withColumn("k", lit("u"))
+    // Forward: earliest rt >= t; equal-time right rows eligible (id 4
+    // at t=90 takes rid 11, the min tiebreak); id 1 (t=100) skips to
+    // 200; nothing follows no one here, id 3 takes rid 10.
+    val fwd = JoinOps.asofJoinForward(l, r, "k", "t", "rt", "rid")
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("rid")).toMap
+    assert(fwd === Map(1L -> 13L, 2L -> 11L, 3L -> 10L, 4L -> 11L))
+    // Nearest: id 1 (t=100) has backward dist 10 (rt=90) vs forward
+    // dist 100 (rt=200) -> backward rid 12 (max tiebreak); id 2 (t=50)
+    // dist 10 both ways (40 vs 90... backward 10, forward 40) -> rid 10;
+    // id 3 (t=5): only forward (dist 35) -> rid 10; id 4 (t=90): dist 0
+    // both directions -> backward preference, rid 12.
+    val near = JoinOps.asofJoinNearest(l, r, "k", "t", "rt", "rid")
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("rid")).toMap
+    assert(near === Map(1L -> 12L, 2L -> 10L, 3L -> 10L, 4L -> 12L))
+  }
+
+  test("asofJoinNearest matches a per-row scan model on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("a", "b", "c")
+    val left = (1 to 60).map(i =>
+      (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(50).toLong))
+    val right = (1 to 40).map(i =>
+      (keys(rnd.nextInt(3)), (100 + i).toLong, rnd.nextInt(50).toLong))
+    val got = JoinOps.asofJoinNearest(
+      left.toDF("event_id", "k", "t"), right.toDF("k", "rid", "rt"),
+      "k", "t", "rt", "rid").collect()
+      .map(x => x.getLong(0) -> (x.getLong(3), x.getLong(4))).toMap
+    val want = left.flatMap { case (id, k, t) =>
+      val c = right.filter(_._1 == k)
+      if (c.isEmpty) None
+      else {
+        val back = c.filter(_._3 <= t)
+        val fwd = c.filter(_._3 >= t)
+        val b = if (back.isEmpty) None else Some(back.maxBy(x => (x._3, x._2)))
+        val f = if (fwd.isEmpty) None else Some(fwd.minBy(x => (x._3, x._2)))
+        (b, f) match {
+          case (None, None) => None
+          case (Some(x), None) => Some(id -> (x._2, x._3))
+          case (None, Some(x)) => Some(id -> (x._2, x._3))
+          case (Some(x), Some(y)) =>
+            val pick = if (y._3 - t < t - x._3) y else x
+            Some(id -> (pick._2, pick._3))
+        }
+      }
+    }.toMap
+    assert(got === want)
+  }
+
   test("zorderValue matches a bit-interleave model; layout sorts by it") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
