@@ -90,6 +90,22 @@ object SparkEntry {
         .select(col("key"), col("est"),
           coalesce(col("cnt"), lit(0L)).as("exact"))
     }),
+    // Incremental aggregate maintenance: "yesterday's" state (2 of 3
+    // order slices) absorbs the third slice as a delta — state-sized
+    // merge, base never rescanned. The oracle aggregates the WHOLE
+    // table from scratch: equality proves the incremental path is
+    // exact, not just close.
+    "q_agg_incremental" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val prev = AggOps.aggState(
+        li.filter(pmod(col("l_orderkey"), lit(3)) =!= 0),
+        "l_returnflag", "l_quantity")
+      val delta = AggOps.aggState(
+        li.filter(pmod(col("l_orderkey"), lit(3)) === 0),
+        "l_returnflag", "l_quantity")
+      AggOps.aggStateView(
+        AggOps.mergeAggStates(prev, delta, "l_returnflag"), "l_returnflag")
+    }),
     // Single-pass column profiler (ANALYZE-TABLE statistics): all
     // columns in one aggregation, one row per column out.
     "q_profile" -> ((s, d) =>
@@ -569,6 +585,13 @@ object SparkEntry {
       GraphOps.triangleCounts(
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod))),
 
+    // k-core decomposition (k=12 on the mod-9973 graph): parallel
+    // peeling to a fixpoint — 10 rounds at sf0.01, instant at denser
+    // scales. The cohesion filter that precedes community analysis.
+    "q_kcore" -> ((s, d) =>
+      GraphOps.kCore(
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod), 12)),
+
     // Skew-mitigation pattern: salted two-phase aggregation; oracle is
     // the plain GROUP BY (identical results prove exactness).
     "q_agg_salted" -> ((s, d) =>
@@ -678,6 +701,28 @@ object SparkEntry {
     "q_dedup_embed_recall" -> ((s, d) =>
       SimilarityOps.plantedPairRecall(Tables.embeddings(s, d))),
 
+    // Unpivot (melt): wide metric columns → long (metric, value) rows,
+    // the inverse of pivot and the shape feature stores ingest. Spark's
+    // native unpivot operator; value columns unify to double.
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double"),
+          col("l_extendedprice").cast("double"),
+          col("l_discount").cast("double"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")),
+    // regexp_extract_all: every long-word occurrence per document →
+    // corpus frequency. The multi-match sibling of q_grep_group's
+    // single-capture extract.
+    "q_regex_all" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(regexp_extract_all(col("text"),
+          lit("[a-z]{5,}"), lit(0))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))),
     // Positional explode (UDTF/LATERAL surface): one row per token WITH
     // its 0-based position — order-preserving generation, the primitive
     // sequence labeling and n-gram windows build on. Empty tokens are
@@ -1607,6 +1652,23 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          INTERSECT ALL
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    // Manual union-all unpivot: dialect-stable (UNPIVOT syntax differs
+    // across engines; the union is the semantics).
+    "q_unpivot" ->
+      """WITH t AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+         SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                CAST(l_quantity AS DOUBLE) AS value FROM t
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                CAST(l_extendedprice AS DOUBLE) FROM t
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount',
+                CAST(l_discount AS DOUBLE) FROM t""",
+    "q_regex_all" ->
+      """SELECT u.token, count(*) AS n
+         FROM (SELECT unnest(regexp_extract_all(text, '[a-z]{5,}')) AS token
+               FROM documents) u
+         GROUP BY u.token""",
     // Ordinality via a range join (DuckDB lacks WITH ORDINALITY);
     // empties filtered before positioning, mirroring the Spark side.
     "q_explode_pos" ->
@@ -1868,6 +1930,29 @@ object SparkEntry {
                  CAST(SUM(${OracleSql.hash60("nfc")} % 1000000) AS BIGINT) AS sum_h_nfc,
                  CAST(SUM(${OracleSql.hash60("stripped")} % 1000000) AS BIGINT) AS sum_h_stripped
           FROM n GROUP BY lang ORDER BY lang""",
+    // Peeling unrolled to 14 rounds (fixpoint at 10 on sf0.01; extra
+    // rounds are no-ops, so any early Spark convergence still matches).
+    "q_kcore" -> {
+      val k = 12
+      val base =
+        s"""e0 AS MATERIALIZED (SELECT DISTINCT least(l_orderkey % $TriMod, l_partkey % $TriMod) AS a,
+                          greatest(l_orderkey % $TriMod, l_partkey % $TriMod) AS b
+                   FROM lineitem
+                   WHERE l_orderkey % $TriMod <> l_partkey % $TriMod)"""
+      val rounds = (1 to 14).map { i =>
+        s"""n$i AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e${i - 1}
+                     UNION ALL SELECT b FROM e${i - 1})
+                   GROUP BY node HAVING count(*) >= $k),
+            e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+                   JOIN n$i x ON x.node = e.a
+                   JOIN n$i y ON y.node = e.b)"""
+      }.mkString(",\n")
+      s"""WITH $base,
+          $rounds
+          SELECT node, count(*) AS deg
+          FROM (SELECT a AS node FROM e14 UNION ALL SELECT b FROM e14)
+          GROUP BY node"""
+    },
     "q_dedup_exact" -> OracleSql.dedupExactSql,
     "q_dedup_incremental" -> OracleSql.dedupIncrementalSql,
     "q_dedup_bloom" -> OracleSql.dedupIncrementalSql,
@@ -1951,6 +2036,14 @@ object SparkEntry {
           SELECT key, cnt, total, n_keys,
                  cnt * 1000000 // total AS frac_ppm
           FROM r, t""",
+    // From-scratch aggregate over the full table — the incremental
+    // merge must reproduce this exactly.
+    "q_agg_incremental" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_v,
+                min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_v
+         FROM lineitem GROUP BY l_returnflag""",
     // Exact mirror of the CMS grid: GROUP BY (depth, hash60-cell) sums,
     // estimate = min over depth of the probe's cells (0 when absent).
     "q_cms_freq" -> {

@@ -221,4 +221,46 @@ object AggOps {
         (col("r.n_rows") - col("r.n_non_null")).as("n_null"),
         col("r.n_distinct"), col("r.min_num"), col("r.max_num"))
   }
+
+  // ---- Incremental aggregate maintenance (insert-only IVM) ----
+
+  /** Per-key aggregate STATE for incremental maintenance: every field
+    * is a commutative monoid (count/sum add, min/max lattice-join), so
+    * states merge associatively — the explicit user-level form of
+    * Spark's own partial aggregation, and the contract a materialized
+    * aggregate view needs to absorb a delta batch without rescanning
+    * the base.
+    *
+    * Sum rides DECIMAL (exact, order-independent); avg is deliberately
+    * NOT state — it's derived at read time (sum/cnt), the standard IVM
+    * decomposition of non-monoid aggregates into monoid parts.
+    */
+  def aggState(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key)).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(valueCol).cast(DecimalType(28, 4))).as("sum_v"),
+      min(col(valueCol)).as("min_v"),
+      max(col(valueCol)).as("max_v"))
+
+  /** Merge aggregate states: re-aggregate the union of state rows with
+    * each monoid's own combine. Cost is |keys in a| + |keys in b| state
+    * rows — NEVER the base table: a nightly delta against a petabyte
+    * base touches only the delta scan plus this state-sized merge.
+    * Insert-only by design: deletes would need negative counts (fine
+    * for cnt/sum) but break min/max without auxiliary per-key
+    * structures — the classic IVM caveat, documented not hidden.
+    */
+  def mergeAggStates(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.unionByName(b).groupBy(col(key)).agg(
+      sum(col("cnt")).as("cnt"),
+      sum(col("sum_v")).as("sum_v"),
+      min(col("min_v")).as("min_v"),
+      max(col("max_v")).as("max_v"))
+
+  /** Read-time view over a state: derived avg, double-cast sum. */
+  def aggStateView(state: DataFrame, key: String): DataFrame =
+    state.select(col(key), col("cnt"),
+      col("sum_v").cast("double").as("sum_v"),
+      col("min_v"), col("max_v"),
+      (col("sum_v").cast("double") / col("cnt")).as("avg_v"))
 }

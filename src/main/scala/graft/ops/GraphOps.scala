@@ -319,4 +319,55 @@ object GraphOps {
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** k-core decomposition by parallel peeling: repeatedly delete ALL
+    * nodes of current degree < k (and their edges) until a fixpoint —
+    * what remains is the maximal subgraph where every node keeps ≥ k
+    * neighbors, the standard cohesion filter before community/triangle
+    * analysis prunes the long degree-1 tail.
+    *
+    * Each round is two int64-only exchanges (degree count + two
+    * left-semi restrictions on the survivor set); the edge payload
+    * never widens. Rounds are O(peeling depth), not O(V): every round
+    * removes every currently-underdegreed node at once. Same scale
+    * discipline as [[connectedComponents]]: eager localCheckpoint
+    * truncates lineage per round, convergence is a driver-side scalar
+    * (the one sanctioned driver action), and non-convergence throws
+    * rather than returning a half-peeled subgraph. The survivor set is
+    * joined, not broadcast — it starts at |V| and can stay huge.
+    *
+    * Input: directed edge list (src, dst); de-duplicated undirected
+    * internally. Output: (node, deg) for every k-core member, deg
+    * being its degree INSIDE the core (≥ k by construction).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIters: Int = 40): DataFrame = {
+    var und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = und.count()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val next = und
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val nNext = next.count()
+      converged = nNext == nEdges
+      und = next
+      nEdges = nNext
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kCore did not reach a fixpoint in $maxIters rounds; " +
+        "raise maxIters (peeling depth exceeds the cap)")
+    und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
 }

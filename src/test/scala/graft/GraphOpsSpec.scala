@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.GraphOps
+import graft.ops.{AggOps, GraphOps}
 
 class GraphOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -204,5 +204,35 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === bc)
     assert(got.nonEmpty)
+  }
+
+  test("kCore keeps exactly the maximal k-degree subgraph, cascading peels") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + chain 4-5-6: at k=3 the chain must peel in
+    // cascade (6 first, then 5 exposes as degree-1) and the clique
+    // survives with in-core degree 3 each.
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = GraphOps.kCore(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the clique degree empties the core.
+    assert(GraphOps.kCore(edges, 4).count() === 0L)
+  }
+
+  test("aggState merge equals the from-scratch aggregate, any split") {
+    val li = Tables.lineitem(spark, sfDir)
+    val direct = AggOps.aggStateView(
+      AggOps.aggState(li, "l_returnflag", "l_quantity"), "l_returnflag")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val merged = AggOps.aggStateView(
+      AggOps.mergeAggStates(
+        AggOps.aggState(li.filter(col("l_orderkey") % 2 === 0),
+          "l_returnflag", "l_quantity"),
+        AggOps.aggState(li.filter(col("l_orderkey") % 2 =!= 0),
+          "l_returnflag", "l_quantity"),
+        "l_returnflag"), "l_returnflag")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(merged === direct)
   }
 }
