@@ -1142,6 +1142,64 @@ object OracleSql {
                  AS is_current
         FROM w WHERE op <> 'D'"""
 
+  /** Point-in-time twin: replay changes with seq ≤ atSeq, last writer
+    * wins — an INDEPENDENT reconstruction of the snapshot the SCD2
+    * interval filter claims for that seq.
+    */
+  def pitLookupSql(atSeq: Long): String =
+    s"""WITH $cdcDemoCtes,
+        l AS (SELECT * FROM (SELECT ch.*, row_number() OVER
+                (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+              FROM ch WHERE seq <= $atSeq)
+              WHERE rn = 1)
+        SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN l.op IS NOT NULL THEN l.o_custkey
+                    ELSE b.o_custkey END AS o_custkey,
+               CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice,
+               CASE WHEN l.op IS NOT NULL THEN l.ord_us
+                    ELSE b.ord_us END AS ord_us,
+               CASE WHEN l.op IS NOT NULL THEN l.o_orderpriority
+                    ELSE b.o_orderpriority END AS o_orderpriority
+        FROM b FULL JOIN l ON b.o_orderkey = l.o_orderkey
+        WHERE l.op IS NULL OR l.op <> 'D'"""
+
+  /** Table-diff twin: rebuild the merged snapshot, then classify keys
+    * with a full join + column-wise IS DISTINCT FROM.
+    */
+  def tableDiffSql: String =
+    s"""WITH $cdcDemoCtes,
+        l AS (SELECT * FROM (SELECT ch.*, row_number() OVER
+                (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch)
+              WHERE rn = 1),
+        m AS (SELECT COALESCE(l.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN l.op IS NOT NULL THEN l.o_custkey
+                    ELSE b.o_custkey END AS o_custkey,
+               CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN l.op IS NOT NULL THEN l.o_totalprice
+                    ELSE b.o_totalprice END AS o_totalprice,
+               CASE WHEN l.op IS NOT NULL THEN l.ord_us
+                    ELSE b.ord_us END AS ord_us,
+               CASE WHEN l.op IS NOT NULL THEN l.o_orderpriority
+                    ELSE b.o_orderpriority END AS o_orderpriority
+              FROM b FULL JOIN l ON b.o_orderkey = l.o_orderkey
+              WHERE l.op IS NULL OR l.op <> 'D'),
+        d AS (SELECT COALESCE(b.o_orderkey, m.o_orderkey) AS k,
+               CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                    WHEN m.o_orderkey IS NULL THEN 'removed'
+                    WHEN (b.o_custkey IS DISTINCT FROM m.o_custkey)
+                      OR (b.o_orderstatus IS DISTINCT FROM m.o_orderstatus)
+                      OR (b.o_totalprice IS DISTINCT FROM m.o_totalprice)
+                      OR (b.ord_us IS DISTINCT FROM m.ord_us)
+                      OR (b.o_orderpriority IS DISTINCT FROM m.o_orderpriority)
+                    THEN 'changed' ELSE 'unchanged' END AS status
+              FROM b FULL JOIN m ON b.o_orderkey = m.o_orderkey)
+        SELECT status, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_key
+        FROM d GROUP BY status"""
+
   /** Stream-stream interval-join twin: the batch view→click attribution
     * join the streamed self-join must reproduce exactly — all-int64
     * micros arithmetic on both engines, boundaries inclusive.

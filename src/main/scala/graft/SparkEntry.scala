@@ -304,6 +304,21 @@ object SparkEntry {
     // lead() window per key, no joins; tombstones close predecessors.
     "q_scd2" -> ((s, d) =>
       ops.CdcOps.scd2Demo(Tables.orders(s, d))),
+    // Point-in-time lookup at seq=1 (mid-history: the +1000 update is
+    // live, the seq-2 doubling is not): time travel as an interval-
+    // filter scan over the SCD2 history. The oracle reconstructs the
+    // snapshot independently by replaying changes ≤ 1.
+    "q_scd2_pit" -> ((s, d) =>
+      ops.CdcOps.pitLookup(ops.CdcOps.scd2Demo(Tables.orders(s, d)), 1L)),
+    // Row-level reconciliation: base vs merged snapshot classified
+    // added/removed/changed/unchanged — bounded (≤4 rows) at any size.
+    "q_table_diff" -> ((s, d) => {
+      val base = ops.CdcOps.baseOrders(Tables.orders(s, d))
+      ops.CdcOps.tableDiff(base,
+        ops.CdcOps.mergeApply(base,
+          ops.CdcOps.demoOrderChanges(base), "o_orderkey"),
+        "o_orderkey")
+    }),
 
     // Argmax/argmin aggregation (max_by/min_by): per priority, WHICH
     // order carries the extreme price — the "top row per group without
@@ -701,6 +716,24 @@ object SparkEntry {
     "q_dedup_embed_recall" -> ((s, d) =>
       SimilarityOps.plantedPairRecall(Tables.embeddings(s, d))),
 
+    // Calendar spine (sequence + explode): the generated date dimension
+    // gap-fill and reporting joins hang off. Weekend test is portable
+    // integer arithmetic (days-since-epoch mod 7; 1970-01-01 was a
+    // Thursday, so residues 2/3 are Sat/Sun) — no engine dayofweek
+    // convention involved.
+    "q_date_spine" -> ((s, d) =>
+      s.range(0, 1).select(explode(sequence(
+          lit(java.sql.Date.valueOf("1995-01-01")),
+          lit(java.sql.Date.valueOf("1996-12-31")),
+          expr("interval 1 day"))).as("day"))
+        .select(date_format(col("day"), "yyyy-MM").as("month"), col("day"),
+          pmod(datediff(col("day"),
+            lit(java.sql.Date.valueOf("1970-01-01"))), lit(7)).as("dow7"))
+        .groupBy("month").agg(
+          count(lit(1)).as("n_days"),
+          sum(when(col("dow7").isin(2, 3), 1L).otherwise(0L)).as("n_weekend"),
+          min(date_format(col("day"), "yyyy-MM-dd")).as("first_day"),
+          max(date_format(col("day"), "yyyy-MM-dd")).as("last_day"))),
     // Unpivot (melt): wide metric columns → long (metric, value) rows,
     // the inverse of pivot and the shape feature stores ingest. Spark's
     // native unpivot operator; value columns unify to double.
@@ -1652,6 +1685,17 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          INTERSECT ALL
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    "q_date_spine" ->
+      """WITH days AS (SELECT CAST(gs.generate_series AS DATE) AS day
+                       FROM generate_series(DATE '1995-01-01',
+                                            DATE '1996-12-31',
+                                            INTERVAL 1 DAY) gs)
+         SELECT strftime(day, '%Y-%m') AS month, count(*) AS n_days,
+                CAST(sum(CASE WHEN (day - DATE '1970-01-01') % 7 IN (2, 3)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+                min(strftime(day, '%Y-%m-%d')) AS first_day,
+                max(strftime(day, '%Y-%m-%d')) AS last_day
+         FROM days GROUP BY month""",
     // Manual union-all unpivot: dialect-stable (UNPIVOT syntax differs
     // across engines; the union is the semantics).
     "q_unpivot" ->
@@ -1827,6 +1871,8 @@ object SparkEntry {
     // The streamed fold must land on the identical final snapshot.
     "q_stream_upsert" -> OracleSql.mergeUpsertSql,
     "q_scd2" -> OracleSql.scd2Sql,
+    "q_scd2_pit" -> OracleSql.pitLookupSql(1L),
+    "q_table_diff" -> OracleSql.tableDiffSql,
     "q_window_moving" ->
       """SELECT o_orderkey, o_custkey,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) OVER w AS DOUBLE)

@@ -107,4 +107,44 @@ object CdcOps {
     val base = baseOrders(orders)
     scd2(base, demoOrderChanges(base), "o_orderkey")
   }
+
+  /** Point-in-time lookup over an SCD2 history: the table exactly as it
+    * stood at `atSeq` — the consumption contract the history exists
+    * for. Pure interval filter (valid_from ≤ t < valid_to, open
+    * current), zero joins/shuffles: time travel is a scan predicate.
+    * The oracle reconstructs the same snapshot INDEPENDENTLY (replaying
+    * changes up to t with last-writer-wins), so a hash match proves the
+    * interval endpoints are mutually consistent, not just well-formed.
+    */
+  def pitLookup(history: DataFrame, atSeq: Long): DataFrame =
+    history.filter(col("valid_from_seq") <= atSeq &&
+        (col("valid_to_seq").isNull || col("valid_to_seq") > atSeq))
+      .drop("valid_from_seq", "valid_to_seq", "is_current")
+
+  /** Row-level table diff: classify every key across two snapshots as
+    * added / removed / changed / unchanged — the reconciliation report
+    * behind every migration cutover and replication audit (the
+    * row-resolution complement of the digest-only tableDigest).
+    *
+    * One full-outer equi-join on the key; payloads compare as single
+    * structs (null-safe), so the exchange carries each row once and the
+    * comparison is one codegen'd struct equality, not N column joins.
+    * Returns per-status counts + key checksums: bounded output (≤ 4
+    * rows) at any table size.
+    */
+  def tableDiff(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val payload = a.columns.filterNot(_ == key)
+    require(b.columns.sorted.sameElements(a.columns.sorted),
+      "tableDiff requires identical schemas")
+    val l = a.select(col(key), struct(payload.map(col): _*).as("_pa"))
+    val r = b.select(col(key), struct(payload.map(col): _*).as("_pb"))
+    l.join(r, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("_pa").isNull, "added")
+          .when(col("_pb").isNull, "removed")
+          .when(!(col("_pa") <=> col("_pb")), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum(col(key)).as("sum_key"))
+  }
 }

@@ -297,6 +297,39 @@ class RelOpsSpec extends SparkSpec {
     assert((changed.getLong(2) ^ d1.getLong(2)) === h)
   }
 
+  test("pitLookup returns each seq's exact snapshot from one history") {
+    import spark.implicits._
+    import graft.ops.CdcOps
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", "U", 1L), (2L, "b3", "U", 2L),
+      (3L, "c", "D", 1L), (5L, "e", "I", 1L)
+    ).toDF("k", "v", "op", "seq")
+    val hist = CdcOps.scd2(base, changes, "k")
+    def snap(t: Long) = CdcOps.pitLookup(hist, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(snap(0L) === Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(snap(1L) === Set(1L -> "a", 2L -> "b2", 5L -> "e"))
+    assert(snap(2L) === Set(1L -> "a", 2L -> "b3", 5L -> "e"))
+  }
+
+  test("tableDiff classifies added/removed/changed/unchanged with null-safety") {
+    import spark.implicits._
+    import graft.ops.CdcOps
+    val a = Seq((1L, Option("x")), (2L, Option("y")),
+      (3L, Option.empty[String]), (4L, Option("z"))).toDF("k", "v")
+    val b = Seq((1L, Option("x")), (2L, Option("Y")),
+      (3L, Option.empty[String]), (5L, Option("w"))).toDF("k", "v")
+    // null == null payloads (key 3) must be UNCHANGED, not changed.
+    val got = CdcOps.tableDiff(a, b, "k").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "unchanged" -> ((2L, 4L)),  // keys 1, 3
+      "changed" -> ((1L, 2L)),
+      "removed" -> ((1L, 4L)),
+      "added" -> ((1L, 5L))))
+  }
+
   test("scd2 builds validity intervals; tombstones close but never emit") {
     import spark.implicits._
     import graft.ops.CdcOps
