@@ -891,6 +891,12 @@ object SparkEntry {
     "q_stream_windowed" -> ((s, d) =>
       graft.streaming.StreamOps.windowedReplay(Tables.events(s, d),
         tmpPath("graft_stream_events", d))),
+    // Overlapping 10-min/5-min hopping windows: every event feeds TWO
+    // concurrent window states; the oracle enumerates both covering
+    // starts per event in closed form.
+    "q_stream_sliding" -> ((s, d) =>
+      graft.streaming.StreamOps.slidingWindowedReplay(Tables.events(s, d),
+        tmpPath("graft_stream_events", d))),
     // The custom-state sessionizer (flatMapGroupsWithState) on the
     // driver record: sentinel events force-close every session, so the
     // emitted set equals the batch sessions (boundaries + counts; the
@@ -2131,6 +2137,18 @@ object SparkEntry {
                 COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
          FROM e GROUP BY 1, 2""",
+    // Each event's two covering hop starts: (t div 5min)·5min and the
+    // 5 minutes before it (always covers: t < start + 10min holds for
+    // both by construction).
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+              w AS (SELECT u.s AS w_start_us, event_type, value FROM e,
+                    UNNEST([(tus // 300000000) * 300000000,
+                            (tus // 300000000) * 300000000 - 300000000])
+                      AS u(s))
+         SELECT w_start_us, event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2""",
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value

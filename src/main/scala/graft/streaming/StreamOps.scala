@@ -759,4 +759,35 @@ object StreamOps {
         sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Overlapping (hopping) windowed counts: window length > slide, so
+    * every event lands in length/slide windows and the streaming state
+    * tracks all of them concurrently — the moving-average shape
+    * tumbling windows can't express. Watermark eviction bounds state to
+    * (watermark + length)/slide open windows per group at any rate.
+    */
+  def slidingWindowCounts(events: DataFrame, window: String,
+                          slide: String,
+                          watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window replay (q_stream_sliding): 10-minute windows every
+    * 5 minutes — epoch-aligned, so the oracle enumerates each event's
+    * TWO covering window starts ((t div slide)·slide and its
+    * predecessor) in closed form.
+    */
+  def slidingWindowedReplay(events: DataFrame, stagingDir: String,
+                            nParts: Int = 4): DataFrame =
+    replay(events, stagingDir, nParts, OutputMode.Complete)(
+      slidingWindowCounts(_, "10 minutes", "5 minutes",
+        watermark = ReplayWatermark))
+      .select(unix_micros(col("w_start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
 }

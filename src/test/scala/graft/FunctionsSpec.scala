@@ -250,4 +250,25 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(0) === "caf\u00e9")
     assert(r.getString(1) === "cafe")
   }
+
+  test("UnicodeNorm passes non-BMP text (surrogate pairs) through intact") {
+    import graft.functions.{NfcNormalizeExpr, StripAccentsExpr}
+    // Emoji + Gothic letter live outside the BMP (UTF-16 surrogate
+    // pairs); neither transform may mangle them, and combining marks
+    // AFTER a non-BMP base must still strip without corrupting the pair.
+    val emoji = new String(Character.toChars(0x1F600))
+    val gothic = new String(Character.toChars(0x10330))
+    val mixed = emoji + "e\u0301" + gothic
+    val got = Seq((emoji, gothic, mixed)).toDF("a", "b", "m")
+      .select(NfcNormalizeExpr(col("a")), StripAccentsExpr(col("a")),
+        NfcNormalizeExpr(col("b")), StripAccentsExpr(col("b")),
+        NfcNormalizeExpr(col("m")), StripAccentsExpr(col("m")))
+      .collect()(0)
+    assert(got.getString(0) === emoji)
+    assert(got.getString(1) === emoji)
+    assert(got.getString(2) === gothic)
+    assert(got.getString(3) === gothic)
+    assert(got.getString(4) === emoji + "\u00e9" + gothic)
+    assert(got.getString(5) === emoji + "e" + gothic)
+  }
 }

@@ -275,6 +275,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter injects into the probe side of a selective join") {
+    // The reference hand-tunes semi-join reductions; Spark's runtime
+    // bloom filter is the subsuming mechanism: a selective dim filter
+    // spawns a bloom aggregate whose might_contain probe prunes the
+    // fact scan BEFORE the shuffle. Thresholds lowered so fixture-scale
+    // tables qualify (production defaults: 10 MB creation / 10 GB
+    // application); broadcast disabled because the rewrite targets
+    // shuffle joins.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      spark.catalog.clearCache()
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_totalprice") > 400000.0) // selective creation side
+      val l = Tables.lineitem(spark, sfDir)
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter in:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("hive-layout re-scan prunes partitions (PartitionFilters, not a full scan)") {
     // q_sink_partitioned writes l_returnflag=... hive layout; SURVEY
     // claims "prune for free" — assert the filtered re-scan plans a
