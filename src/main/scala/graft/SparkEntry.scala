@@ -106,6 +106,27 @@ object SparkEntry {
       AggOps.aggStateView(
         AggOps.mergeAggStates(prev, delta, "l_returnflag"), "l_returnflag")
     }),
+    // Grouped OLS regression from exact moments (not the double-summing
+    // regr_* built-ins): price-on-quantity slope/intercept/r² per flag.
+    "q_regression" -> ((s, d) =>
+      AggOps.groupedRegression(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
+    // z-score outlier report: squared-domain threshold (no sqrt in the
+    // decision), group moments broadcast back — facts never reshuffle.
+    "q_outliers" -> ((s, d) =>
+      AggOps.zscoreOutliers(Tables.events(s, d),
+        "event_type", "value", "event_id", zThreshold = 2.0)),
+    // Forward fill (LOCF): deterministically punched-out values (id ≡ 0
+    // mod 7) re-imputed from each user's prior observation.
+    "q_locf" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sparse = ev.select(col("event_id"), col("user_id"),
+        EventOps.microsOf(ev, "ts").as("tus"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      EventOps.forwardFill(sparse, "user_id", "tus", "event_id", "value")
+        .select("event_id", "user_id", "value")
+    }),
     // Single-pass column profiler (ANALYZE-TABLE statistics): all
     // columns in one aggregation, one row per column out.
     "q_profile" -> ((s, d) =>
@@ -2088,6 +2109,49 @@ object SparkEntry {
           SELECT key, cnt, total, n_keys,
                  cnt * 1000000 // total AS frac_ppm
           FROM r, t""",
+    // Same exact moments, same closed-form IEEE arithmetic in the same
+    // operation order — identical doubles out.
+    "q_regression" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+                sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS sy_d,
+                sum(CAST(CAST(l_quantity AS BIGINT) * l_extendedprice AS DECIMAL(28,4))) AS sxy_d,
+                sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS syy_d
+              FROM lineitem GROUP BY l_returnflag),
+          d AS (SELECT l_returnflag, n,
+                CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                CAST(sxx AS DOUBLE) AS sxxd, CAST(sy_d AS DOUBLE) AS syd,
+                CAST(sxy_d AS DOUBLE) AS sxyd, CAST(syy_d AS DOUBLE) AS syyd
+              FROM m)
+          SELECT l_returnflag, n,
+                 (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+                 (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd AS intercept,
+                 ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) /
+                   ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2
+          FROM d""",
+    "q_outliers" ->
+      """WITH s AS (SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sv,
+                CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS svv
+              FROM events GROUP BY event_type),
+          st AS (SELECT event_type, sv / n AS mean,
+                        svv / n - (sv / n) * (sv / n) AS variance FROM s)
+          SELECT e.event_type, count(*) AS n_outliers,
+                 CAST(sum(e.event_id) AS BIGINT) AS sum_outlier_ids,
+                 min(e.value) AS min_outlier, max(e.value) AS max_outlier
+          FROM events e JOIN st ON st.event_type = e.event_type
+          WHERE (e.value - st.mean) * (e.value - st.mean) > 4.0 * st.variance
+          GROUP BY e.event_type""",
+    "q_locf" ->
+      """WITH sparse AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+                CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+              FROM events)
+          SELECT event_id, user_id,
+                 last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+          FROM sparse""",
     // From-scratch aggregate over the full table — the incremental
     // merge must reproduce this exactly.
     "q_agg_incremental" ->

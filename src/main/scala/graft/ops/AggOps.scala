@@ -263,4 +263,67 @@ object AggOps {
       col("sum_v").cast("double").as("sum_v"),
       col("min_v"), col("max_v"),
       (col("sum_v").cast("double") / col("cnt")).as("avg_v"))
+
+  /** Grouped simple linear regression (y on x) from exact moments —
+    * slope, intercept, r² per group in ONE map-side-combined pass.
+    * Deliberately NOT the built-in regr_slope/regr_intercept: those sum
+    * doubles (order-dependent at scale); here every moment rides an
+    * exact sum (BIGINT for integral x, DECIMAL for y and products), and
+    * only the FINAL closed-form arithmetic runs in IEEE — identical in
+    * any engine given identical exact moments. `x` must be integral
+    * (cast exact); y of fixed decimal scale.
+    */
+  def groupedRegression(df: DataFrame, groupCol: String,
+                        xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("bigint")
+    val m = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"),
+      sum(x * x).as("sxx"),
+      sum(col(yCol).cast(DecimalType(28, 4))).as("sy_d"),
+      sum((x * col(yCol)).cast(DecimalType(28, 4))).as("sxy_d"),
+      sum((col(yCol) * col(yCol)).cast(DecimalType(28, 8))).as("syy_d"))
+    val (n, sx, sxx) = (col("n").cast("double"), col("sx").cast("double"),
+      col("sxx").cast("double"))
+    val sy = col("sy_d").cast("double")
+    val sxy = col("sxy_d").cast("double")
+    val syy = col("syy_d").cast("double")
+    val covN = n * sxy - sx * sy   // n²·cov
+    val varxN = n * sxx - sx * sx  // n²·var(x)
+    val varyN = n * syy - sy * sy
+    m.select(col(groupCol), col("n"),
+      (covN / varxN).as("slope"),
+      ((sy - (covN / varxN) * sx) / n).as("intercept"),
+      ((covN * covN) / (varxN * varyN)).as("r2"))
+  }
+
+  /** Grouped z-score outlier report: rows whose squared deviation from
+    * the group mean exceeds (zThreshold·σ)² — compared in the squared
+    * domain, so no sqrt enters the decision. Two passes over the data
+    * by necessity (the mean must exist before deviations do), but pass
+    * one reduces to |groups| moment rows broadcast back into pass two's
+    * map-side filter — the group stats never shuffle the fact rows.
+    * Moments are exact sums; the threshold arithmetic is closed-form
+    * IEEE on identical inputs — engine-exact boundaries.
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     idCol: String, zThreshold: Double = 3.0): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast(DecimalType(28, 4))).as("sv_d"),
+      sum((col(valueCol) * col(valueCol)).cast(DecimalType(28, 8))).as("svv_d"))
+      .select(col(groupCol), col("n"),
+        (col("sv_d").cast("double") / col("n")).as("mean"),
+        (col("svv_d").cast("double") / col("n") -
+          (col("sv_d").cast("double") / col("n")) *
+          (col("sv_d").cast("double") / col("n"))).as("variance"))
+    val dev = col(valueCol) - col("mean")
+    df.join(broadcast(stats), Seq(groupCol))
+      .filter(dev * dev > lit(zThreshold * zThreshold) * col("variance"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_outliers"),
+        sum(col(idCol)).as("sum_outlier_ids"),
+        min(col(valueCol)).as("min_outlier"),
+        max(col(valueCol)).as("max_outlier"))
+  }
 }

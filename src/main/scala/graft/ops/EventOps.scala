@@ -157,4 +157,22 @@ object EventOps {
         (count(lit(1)) - count(col("v"))).as("n_dropped"),
         AggOps.exactSum(coalesce(col("v"), lit(0.0))).as("sum_parsed"))
   }
+
+  /** Forward fill (LOCF — last observation carried forward): nulls in
+    * `valueCol` take the most recent non-null value of the same key in
+    * (time, tieBreak) order; leading nulls stay null. THE time-series
+    * imputation primitive for sensor gaps and sparse CDC columns. One
+    * key shuffle + in-partition sort; the carried value is a running
+    * last(ignoreNulls) — no self-join, no per-gap work, and the fill
+    * never crosses keys. Values pass through untouched (no arithmetic),
+    * so filled output is bit-identical to the source observations.
+    */
+  def forwardFill(df: DataFrame, key: String, timeCol: String,
+                  tieBreak: String, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col(timeCol).asc, col(tieBreak).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
 }

@@ -330,6 +330,52 @@ class RelOpsSpec extends SparkSpec {
       "added" -> ((1L, 5L))))
   }
 
+  test("groupedRegression recovers a planted line exactly") {
+    import spark.implicits._
+    // y = 3x + 7, two groups with different noise-free lines.
+    val rows = (1L to 20L).map(x => ("a", x, 3.0 * x + 7.0)) ++
+      (1L to 20L).map(x => ("b", x, -2.0 * x + 100.0))
+    val got = AggOps.groupedRegression(
+      rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (sa, ia, ra) = got("a")
+    val (sb, ib, rb) = got("b")
+    assert(math.abs(sa - 3.0) < 1e-9 && math.abs(ia - 7.0) < 1e-9)
+    assert(math.abs(sb + 2.0) < 1e-9 && math.abs(ib - 100.0) < 1e-9)
+    assert(math.abs(ra - 1.0) < 1e-9 && math.abs(rb - 1.0) < 1e-9)
+  }
+
+  test("zscoreOutliers flags exactly the planted extremes") {
+    import spark.implicits._
+    // 100 values at 10.0 +- 0.5 plus two wild points; sigma is tiny so
+    // only the planted ids cross 3 sigma.
+    val base = (1L to 100L).map(i => ("t", i, 10.0 + (i % 2) * 0.5))
+    val wild = Seq(("t", 998L, 500.0), ("t", 999L, -500.0))
+    val got = AggOps.zscoreOutliers((base ++ wild).toDF("g", "id", "v"),
+      "g", "v", "id").collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getLong(1) === 2L && r.getLong(2) === 998L + 999L)
+    assert(r.getDouble(3) === -500.0 && r.getDouble(4) === 500.0)
+  }
+
+  test("forwardFill carries last non-null per key; leading nulls stay") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 1L, 1L, Option.empty[Double]), // leading null stays
+      ("u", 2L, 2L, Option(5.0)),
+      ("u", 3L, 3L, Option.empty[Double]), // -> 5.0
+      ("u", 4L, 4L, Option(9.0)),
+      ("v", 1L, 5L, Option.empty[Double])  // other key: stays null
+    ).toDF("k", "t", "id", "v")
+    val got = EventOps.forwardFill(df, "k", "t", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got === Map(("u", 1L) -> None, ("u", 2L) -> Some(5.0),
+      ("u", 3L) -> Some(5.0), ("u", 4L) -> Some(9.0), ("v", 5L) -> None))
+  }
+
   test("scd2 builds validity intervals; tombstones close but never emit") {
     import spark.implicits._
     import graft.ops.CdcOps
