@@ -106,6 +106,19 @@ object SparkEntry {
       AggOps.aggStateView(
         AggOps.mergeAggStates(prev, delta, "l_returnflag"), "l_returnflag")
     }),
+    // Data-quality constraint suite (Deequ/dbt-test shape) over a
+    // deterministically dirtied orders table: row-local checks fuse
+    // into ONE scan/aggregation; unique adds a keyed count, the FK an
+    // anti join. 5 report rows out at any size.
+    "q_quality_check" -> ((s, d) => {
+      import QualityOps._
+      check(dirtyOrders(Tables.orders(s, d)), "o_orderkey", Seq(
+        NotNull("o_orderstatus"),
+        InRange("o_totalprice", 0.0, 1e9),
+        InSet("o_orderstatus", Seq("F", "O")), // 'P' counts as violation
+        Unique("o_orderkey"),
+        ForeignKey("o_custkey", Tables.customer(s, d), "c_custkey")))
+    }),
     // Grouped OLS regression from exact moments (not the double-summing
     // regr_* built-ins): price-on-quantity slope/intercept/r² per flag.
     "q_regression" -> ((s, d) =>
@@ -2109,6 +2122,51 @@ object SparkEntry {
           SELECT key, cnt, total, n_keys,
                  cnt * 1000000 // total AS frac_ppm
           FROM r, t""",
+    // Mirrors QualityOps.check over the same dirtied table: one CTE per
+    // constraint, identical names, counts, and max-key samples.
+    "q_quality_check" ->
+      """WITH base AS (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 23 = 0 THEN o_custkey + 1000000000
+                     ELSE o_custkey END AS o_custkey,
+                CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                     ELSE o_orderstatus END AS o_orderstatus,
+                CASE WHEN o_orderkey % 17 = 0 THEN -o_totalprice
+                     ELSE o_totalprice END AS o_totalprice
+              FROM orders),
+          dirty AS (SELECT * FROM base
+                    UNION ALL SELECT * FROM base WHERE o_orderkey % 19 = 0),
+          nn AS (SELECT 'not_null(o_orderstatus)' AS check_name,
+                CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                max(CASE WHEN o_orderstatus IS NULL THEN o_orderkey END) AS sample_key
+              FROM dirty),
+          rg AS (SELECT 'range(o_totalprice)',
+                CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0.0 OR o_totalprice > 1000000000.0)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+                max(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0.0 OR o_totalprice > 1000000000.0)
+                         THEN o_orderkey END)
+              FROM dirty),
+          st AS (SELECT 'in_set(o_orderstatus)',
+                CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F', 'O')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+                max(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F', 'O')
+                         THEN o_orderkey END)
+              FROM dirty),
+          uq AS (SELECT 'unique(o_orderkey)',
+                CAST(COALESCE(sum(cnt - 1), 0) AS BIGINT), max(mk)
+              FROM (SELECT o_orderkey, count(*) AS cnt, max(o_orderkey) AS mk
+                    FROM dirty GROUP BY o_orderkey HAVING count(*) > 1)),
+          fk AS (SELECT 'foreign_key(o_custkey)',
+                CAST(count(*) AS BIGINT), max(o_orderkey)
+              FROM dirty
+              WHERE o_custkey IS NOT NULL
+                AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+          SELECT * FROM nn UNION ALL SELECT * FROM rg
+          UNION ALL SELECT * FROM st UNION ALL SELECT * FROM uq
+          UNION ALL SELECT * FROM fk""",
     // Same exact moments, same closed-form IEEE arithmetic in the same
     // operation order — identical doubles out.
     "q_regression" ->

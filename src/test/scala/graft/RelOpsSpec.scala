@@ -330,6 +330,36 @@ class RelOpsSpec extends SparkSpec {
       "added" -> ((1L, 5L))))
   }
 
+  test("QualityOps.check counts each planted violation class exactly") {
+    import spark.implicits._
+    import graft.ops.QualityOps._
+    val t = Seq(
+      (1L, "F", 10.0, 100L), (2L, "O", -5.0, 100L), // range violation (id 2)
+      (3L, "X", 20.0, 100L),                        // in_set violation
+      (4L, null.asInstanceOf[String], 30.0, 100L),  // not_null violation
+      (5L, "F", 40.0, 100L), (5L, "F", 40.0, 100L), // duplicate key 5
+      (6L, "O", 50.0, 999L)                         // dangling FK
+    ).toDF("k", "status", "price", "fk")
+    val dim = Seq(100L).toDF("dk")
+    val got = check(t, "k", Seq(
+      NotNull("status"), InRange("price", 0.0, 100.0),
+      InSet("status", Seq("F", "O")), Unique("k"),
+      ForeignKey("fk", dim, "dk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got("not_null(status)") === ((1L, 4L)))
+    assert(got("range(price)") === ((1L, 2L)))
+    assert(got("in_set(status)") === ((1L, 3L)))
+    assert(got("unique(k)") === ((1L, 5L)))
+    assert(got("foreign_key(fk)") === ((1L, 6L)))
+    // A clean table reports all-zero violations, not missing rows.
+    val clean = Seq((1L, "F", 10.0, 100L)).toDF("k", "status", "price", "fk")
+    val zeros = check(clean, "k", Seq(NotNull("status"), Unique("k"),
+      ForeignKey("fk", dim, "dk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(zeros.values.forall(_ == 0L) && zeros.size === 3)
+  }
+
   test("groupedRegression recovers a planted line exactly") {
     import spark.implicits._
     // y = 3x + 7, two groups with different noise-free lines.
