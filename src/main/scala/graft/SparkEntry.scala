@@ -388,6 +388,29 @@ object SparkEntry {
       v1.unionByName(v2, allowMissingColumns = true)
     }),
 
+    // Scan-layer schema merge: two table GENERATIONS written with
+    // different physical schemas (v2 adds n_words) land in one
+    // directory tree; mergeSchema=true reconciles them at read time —
+    // v1 rows surface null n_words without a rewrite. The lakehouse
+    // answer to unionByName's ETL-side merge.
+    "q_schema_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val out = tmpPath("graft_schema_merge", d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"),
+          size(filter(split(col("text"), TextOps.WsRegex), t => t =!= ""))
+            .cast("long").as("n_words"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          count(col("n_words")).as("n_with_words"),
+          sum(coalesce(col("n_words"), lit(0L))).as("sum_words"))
+    }),
+
     // §2.7 set ops
     "q_union" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -1863,6 +1886,19 @@ object SparkEntry {
          UNION ALL
          SELECT o_orderkey, o_custkey, o_orderpriority
          FROM orders WHERE o_orderkey % 2 = 1""",
+    // The merged-scan result reconstructed from the source: even docs
+    // contribute no word count (v1 generation), odd docs the ws token
+    // count (v2) — same whitespace class as the engine.
+    "q_schema_merge" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+                CASE WHEN doc_id % 2 = 1 THEN CAST(len(list_filter(
+                       string_split_regex(text, '${OracleSql.Ws}'),
+                       x -> x <> '')) AS BIGINT) END AS n_words
+              FROM documents)
+          SELECT lang, count(*) AS n_docs,
+                 count(n_words) AS n_with_words,
+                 CAST(sum(COALESCE(n_words, 0)) AS BIGINT) AS sum_words
+          FROM d GROUP BY lang""",
     "q_agg_corr" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
