@@ -948,6 +948,14 @@ object SparkEntry {
     "q_stream_windowed" -> ((s, d) =>
       graft.streaming.StreamOps.windowedReplay(Tables.events(s, d),
         tmpPath("graft_stream_events", d))),
+    // Watermark late-data EXCLUSION under a real 30-min delay: batch 1
+    // replays first-day events as new ids — all below the watermark,
+    // all provably dropped (leaks double early windows; over-eviction
+    // loses emitted ones). Own staging dir: the slices differ from the
+    // shared-corpus replays'.
+    "q_stream_late" -> ((s, d) =>
+      graft.streaming.StreamOps.lateDataReplay(Tables.events(s, d),
+        tmpPath("graft_stream_late", d))),
     // Overlapping 10-min/5-min hopping windows: every event feeds TWO
     // concurrent window states; the oracle enumerates both covering
     // starts per event in closed form.
@@ -2295,6 +2303,18 @@ object SparkEntry {
                 COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
          FROM e GROUP BY 1, 2""",
+    // Original events only (the late replays must all drop), restricted
+    // to windows whose end ≤ final watermark (max event time − 30 min —
+    // append mode emits exactly those).
+    "q_stream_late" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+              wm AS (SELECT max(tus) - 1800000000 AS w FROM e)
+         SELECT (tus // 600000000) * 600000000 AS w_start_us, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM e, wm
+         WHERE (tus // 600000000) * 600000000 + 600000000 <= wm.w
+         GROUP BY 1, 2""",
     // Each event's two covering hop starts: (t div 5min)·5min and the
     // 5 minutes before it (always covers: t < start + 10min holds for
     // both by construction).

@@ -352,6 +352,105 @@ object StreamOps {
   /** Base mtime stamped on slice files (ascending per slice index). */
   private val SliceMtime0 = 1700000000000L
 
+  /** Stage `df` as the single parquet file `slice-<idx>.parquet` in
+    * `dir`, mtime ascending in idx — the one-file-per-micro-batch
+    * delivery contract the slice replays rely on.
+    */
+  private def writeSliceFile(df: DataFrame, dir: String, idx: Int): Unit = {
+    val dirP = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(dirP)
+    val build = new java.io.File(dir, "_slice_build")
+    df.coalesce(1).write.mode("overwrite").parquet(build.getPath)
+    Option(build.listFiles()).toSeq.flatten
+      .find(_.getName.endsWith(".parquet")).foreach { part =>
+        val dst = dirP.resolve(f"slice-$idx%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(SliceMtime0 + idx * 60000L)
+        ()
+      }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(build)
+  }
+
+  /** Late-data exclusion replay — the watermark EVICTION contract the
+    * other streaming rows deliberately bypass (their huge
+    * ReplayWatermark admits everything; this row runs a REAL 30-minute
+    * delay). Two staged micro-batches: batch 0 is the full corpus —
+    * after it drains, the watermark stands at max(event time) − 30 min;
+    * batch 1 replays first-day events re-keyed as new ids — every one
+    * of them now below the watermark and into long-finalized windows,
+    * so the engine MUST drop them all. Append mode emits exactly the
+    * windows whose end ≤ the final watermark. The oracle aggregates the
+    * ORIGINAL events over those emitted windows: had any late replay
+    * row leaked into state, its window's count would double and the
+    * hash would break; had eviction been too eager, emitted windows
+    * would go missing. Both failure directions are caught.
+    */
+  def lateDataReplay(events: DataFrame, stagingDir: String,
+                     delayUs: Long = 1800L * 1000000L): DataFrame = {
+    val spark = events.sparkSession
+    drainSpent(spark)
+    val stagedDir = s"$stagingDir/staged"
+    val liveDir = s"$stagingDir/live"
+    val ckptDir = s"$stagingDir/ckpt"
+    val outDir = s"$stagingDir/out"
+
+    // Two PHYSICAL phases (the restart replay's reveal pattern), not
+    // maxFilesPerTrigger batching: the watermark that must judge the
+    // late batch is the one persisted in the checkpoint after phase 1 —
+    // file-count batching inside one run can coalesce, which would let
+    // the late rows ride the still-zero initial watermark.
+    def reveal(i: Int): Unit = {
+      val liveP = java.nio.file.Paths.get(liveDir)
+      java.nio.file.Files.createDirectories(liveP)
+      val name = f"slice-$i%04d.parquet"
+      val dst = liveP.resolve(name)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(stagedDir, name), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(SliceMtime0 + i * 60000L)
+      ()
+    }
+
+    def runPhase(): Unit = {
+      val schema = spark.read.parquet(stagedDir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(liveDir)
+        .withColumn("ts", timestamp_micros(col("tus")))
+      val result = windowedCounts(stream, "10 minutes",
+        watermark = s"${delayUs / 1000000L} seconds")
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = result.writeStream.outputMode(OutputMode.Append)
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckptDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
+    if (StagedDirs.add(stagingDir)) {
+      val ev = stagingShape(events)
+      writeSliceFile(ev, stagedDir, 0)
+      val firstDayEnd = ev.agg(min("tus")).head().getLong(0) + 86400000000L
+      writeSliceFile(
+        ev.filter(col("tus") < firstDayEnd)
+          .withColumn("event_id", col("event_id") + 10000000L),
+        stagedDir, 1)
+      reveal(0)
+      runPhase() // full corpus: watermark commits at max(ts) − delay
+      reveal(1)
+      runPhase() // late batch: every row below the restored watermark
+    }
+    spark.read.parquet(outDir)
+      .select(unix_micros(col("w_start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
   def statefulXBatchReplay(events: DataFrame, stagingDir: String,
                            gapUs: Long = 1800L * 1000000L,
                            nSlices: Int = 8): DataFrame = {
