@@ -300,6 +300,15 @@ object SparkEntry {
           EventOps.microsOf(ev, "ts").as("buy_us"))
       JoinOps.asofJoinNearest(views, buys, "user_id", "tus", "buy_us", "buy_id")
     }),
+    // Interval-overlap join: concurrent sessions of DIFFERENT users
+    // (who was online together) — bucket-decomposed, never a cross join.
+    "q_join_interval" -> ((s, d) => {
+      val sess = EventOps.sessionize(Tables.events(s, d))
+        .select(col("user_id"), col("sess_idx"),
+          col("start_us"), col("end_us"))
+      JoinOps.intervalOverlapJoin(sess, "user_id", "sess_idx",
+        "start_us", "end_us", 3600L * 1000000L)
+    }),
     // Banded range self-join: event pairs of the same user within 1 hour.
     "q_join_range" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -1722,6 +1731,29 @@ object SparkEntry {
          LEFT JOIN ff ON ff.event_id = e.event_id AND ff.user_id = e.user_id
                      AND ff.tus = e.tus
          WHERE bb.buy_us IS NOT NULL OR ff.buy_us IS NOT NULL""",
+    // Quadratic overlap join over the same session derivation — an
+    // INDEPENDENT formulation (no buckets), so a bucket-decomposition
+    // bug (missed pair, duplicate) cannot hide.
+    "q_join_interval" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+              f AS (SELECT user_id, event_id, tus,
+                      CASE WHEN lag(tus) OVER w IS NULL
+                             OR tus - lag(tus) OVER w > ${graft.ops.EventOps.GapUs}
+                           THEN 1 ELSE 0 END AS new_sess
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+              s AS (SELECT user_id,
+                      CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                               ORDER BY tus, event_id
+                                               ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS sess_idx, tus
+                    FROM f),
+              sess AS (SELECT user_id, sess_idx, min(tus) AS s, max(tus) AS e
+                       FROM s GROUP BY user_id, sess_idx)
+          SELECT a.user_id AS k_a, a.sess_idx AS id_a,
+                 b.user_id AS k_b, b.sess_idx AS id_b,
+                 least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+          FROM sess a JOIN sess b
+            ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e""",
     "q_join_range" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events)
          SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,

@@ -174,6 +174,38 @@ object JoinOps {
         rCols.map(c => col("_r").getField(c).as(c)): _*)
   }
 
+  /** Interval-overlap self-join: pairs of intervals from DIFFERENT keys
+    * that overlap in time (inclusive endpoints) — concurrent sessions,
+    * calendar conflicts, reservation clashes. The scale shape is the
+    * bucket decomposition again: each interval explodes to the time
+    * buckets it covers, overlapping intervals provably share at least
+    * one bucket (their intersection lies in both cover sets), so the
+    * pair generator is a plain equi-join on the bucket — never an
+    * inequality cross join. Pairs spanning several shared buckets dedup
+    * with one DISTINCT. Bucket width trades fan-out (long intervals →
+    * many buckets) against bucket occupancy (hot buckets → quadratic
+    * within); size it near the typical interval length.
+    *
+    * Output: (k_a, id_a, k_b, id_b, overlap_us), k_a < k_b.
+    */
+  def intervalOverlapJoin(iv: DataFrame, key: String, idCol: String,
+                          startCol: String, endCol: String,
+                          bucketUs: Long): DataFrame = {
+    def side(sfx: String) = iv.select(
+      col(key).as(s"k_$sfx"), col(idCol).as(s"id_$sfx"),
+      col(startCol).as(s"s_$sfx"), col(endCol).as(s"e_$sfx"),
+      explode(expr(
+        s"sequence($startCol div $bucketUs, $endCol div $bucketUs)"))
+        .as(s"bk_$sfx"))
+    side("a").join(side("b"),
+        col("bk_a") === col("bk_b") && col("k_a") < col("k_b") &&
+          col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select(col("k_a"), col("id_a"), col("k_b"), col("id_b"),
+        (least(col("e_a"), col("e_b")) -
+          greatest(col("s_a"), col("s_b"))).as("overlap_us"))
+      .distinct()
+  }
+
   /** Banded range self-join: pairs of rows on the same key whose times
     * are within `widthUs`, earlier row first (ties by id). The classic
     * time-bucket decomposition keeps it scale-safe: the earlier side is

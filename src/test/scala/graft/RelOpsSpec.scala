@@ -171,6 +171,27 @@ class RelOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("intervalOverlapJoin: boundary touch counts once, same key never") {
+    import spark.implicits._
+    // Bucket width 100. Pairs: (a1, b1) overlap crossing a bucket
+    // boundary (shares buckets 0 and 1 -> must emit ONCE); (a1, c1)
+    // touch exactly at t=150 (inclusive endpoints -> overlap 0);
+    // (a2, b1) disjoint; (a1, a2) same key -> excluded even though the
+    // intervals overlap.
+    val iv = Seq(
+      ("a", 1L, 50L, 150L), ("a", 2L, 140L, 160L),
+      ("b", 1L, 90L, 145L), ("c", 1L, 150L, 250L)
+    ).toDF("k", "id", "s", "e")
+    val got = JoinOps.intervalOverlapJoin(iv, "k", "id", "s", "e", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3)) -> r.getLong(4)).toMap
+    assert(got === Map(
+      ("a", 1L, "b", 1L) -> 55L,   // [90,145] within [50,150]
+      ("a", 2L, "b", 1L) -> 5L,    // [140,145]
+      ("a", 1L, "c", 1L) -> 0L,    // boundary touch at 150
+      ("a", 2L, "c", 1L) -> 10L))  // [150,160]
+  }
+
   test("rangeSelfJoin finds in-width pairs across bucket boundaries, once") {
     import spark.implicits._
     // width 100: pairs (1,2) dt=30 same bucket, (2,3) dt=90 crosses the
