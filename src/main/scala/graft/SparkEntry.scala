@@ -1186,6 +1186,23 @@ object SparkEntry {
       s.sql(SqlQ21)
     }),
 
+    // Remaining TPC-H shapes through the one-text front door — with
+    // these twelve the full 22-query suite runs as shared SQL (partsupp
+    // is absent from the fixture, so Q2/Q9/Q11/Q16 use lineitem as the
+    // part–supplier association, the Q20 precedent).
+    "q_sql_q2"  -> sqlQuery(SqlQ2,  "part", "lineitem", "supplier", "nation", "region"),
+    "q_sql_q5"  -> sqlQuery(SqlQ5,  "customer", "orders", "lineitem", "supplier", "nation", "region"),
+    "q_sql_q6"  -> sqlQuery(SqlQ6,  "lineitem"),
+    "q_sql_q7"  -> sqlQuery(SqlQ7,  "supplier", "lineitem", "orders", "customer", "nation"),
+    "q_sql_q8"  -> sqlQuery(SqlQ8,  "part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+    "q_sql_q9"  -> sqlQuery(SqlQ9,  "part", "lineitem", "supplier", "orders", "nation"),
+    "q_sql_q10" -> sqlQuery(SqlQ10, "customer", "orders", "lineitem", "nation"),
+    "q_sql_q11" -> sqlQuery(SqlQ11, "lineitem", "supplier", "nation"),
+    "q_sql_q13" -> sqlQuery(SqlQ13, "customer", "orders"),
+    "q_sql_q14" -> sqlQuery(SqlQ14, "lineitem", "part"),
+    "q_sql_q15" -> sqlQuery(SqlQ15, "lineitem", "supplier"),
+    "q_sql_q16" -> sqlQuery(SqlQ16, "lineitem", "part", "supplier"),
+
     // Write-path round trip: distributed CSV sink → re-scan → aggregate,
     // oracle-checked against the direct aggregate on the source table —
     // equality proves the sink/scan pair lossless (doubles survive via
@@ -1550,6 +1567,213 @@ object SparkEntry {
        GROUP BY s_name
        ORDER BY numwait DESC, s_name
        LIMIT 20"""
+
+  /** Registers the named fixture tables as temp views and runs one
+    * shared SQL text — the front-door pattern every q_sql_* entry uses.
+    */
+  private def sqlQuery(sql: String, tables: String*): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      tables.foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
+      s.sql(sql)
+    }
+
+  /** Min-cost-supplier text (TPC-H Q2 shape; lineitem stands in for
+    * partsupp, so "cost" = the extended price a supplier shipped the
+    * part at). The correlated MIN subquery re-joins supplier→nation→
+    * region inside the correlation — Q2's defining shape. The min is an
+    * exact comparison of identical stored doubles, so both engines keep
+    * the same rows; DISTINCT collapses repeat shipments and makes the
+    * ORDER BY a total order (s_name, p_partkey determine the rest).
+    */
+  private val SqlQ2 =
+    """SELECT DISTINCT CAST(s_acctbal AS DOUBLE) AS acctbal, s_name, n_name, p_partkey, p_name
+       FROM part JOIN lineitem ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+       WHERE p_size = 15 AND r_name = 'EUROPE'
+         AND l_extendedprice = (
+           SELECT min(l2.l_extendedprice)
+           FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+             JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+             JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+           WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       ORDER BY acctbal DESC, n_name, s_name, p_partkey
+       LIMIT 100"""
+
+  /** Local-supplier-volume text (TPC-H Q5): the six-way join with the
+    * customer-nation = supplier-nation colocation predicate carried on
+    * the supplier join.
+    */
+  private val SqlQ5 =
+    """SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  /** Forecast-revenue text (TPC-H Q6): the pure single-table scan-agg —
+    * the query whose entire cost is scan + filter, the pushdown
+    * showcase. Band predicates on stored doubles compare exactly.
+    */
+  private val SqlQ6 =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+  /** Volume-shipping text (TPC-H Q7): nation self-pair via two aliases
+    * of the same dimension plus an OR of symmetric pairs, grouped by
+    * extracted year (cast to INTEGER on both engines — DuckDB EXTRACT
+    * yields BIGINT, Spark INT).
+    */
+  private val SqlQ7 =
+    """SELECT supp_nation, cust_nation, l_year,
+              CAST(sum(volume) AS DOUBLE) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+                    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)) AS volume
+             FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+               JOIN orders ON o_orderkey = l_orderkey
+               JOIN customer ON c_custkey = o_custkey
+               JOIN nation n1 ON s_nationkey = n1.n_nationkey
+               JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+               AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31') shipping
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** National-market-share text (TPC-H Q8): conditional share =
+    * sum(CASE)/sum — both sums ride exact DECIMAL and the share is one
+    * IEEE division of identical operands, so the engines agree bit-for-
+    * bit (the Q1 average lesson). The ELSE 0 keeps a zero share 0
+    * rather than NULL when a year has no NATION_5 volume.
+    */
+  private val SqlQ8 =
+    """SELECT o_year,
+              CAST(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+                   / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+       FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)) AS volume,
+                    n2.n_name AS nation
+             FROM part JOIN lineitem ON p_partkey = l_partkey
+               JOIN supplier ON s_suppkey = l_suppkey
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation n1 ON c_nationkey = n1.n_nationkey
+               JOIN region ON n1.n_regionkey = r_regionkey
+               JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             WHERE r_name = 'AMERICA' AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+               AND p_type = 'ECONOMY') all_nations
+       GROUP BY o_year ORDER BY o_year"""
+
+  /** Product-type-profit text (TPC-H Q9; no supplycost in the fixture,
+    * so cost = half the part's retail price). The profit expression is
+    * evaluated in IEEE double with identical textual association on
+    * both engines, then cast to DECIMAL(28,4) — at the value's own
+    * scale (price 2dp × discount 2dp = 4dp), so no midpoint exists for
+    * the engines' tie modes to disagree on.
+    */
+  private val SqlQ9 =
+    """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+       FROM (SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                    CAST(l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS DECIMAL(28,4)) AS amount
+             FROM part JOIN lineitem ON p_partkey = l_partkey
+               JOIN supplier ON s_suppkey = l_suppkey
+               JOIN orders ON o_orderkey = l_orderkey
+               JOIN nation ON s_nationkey = n_nationkey
+             WHERE p_name LIKE '%ol%') profit
+       GROUP BY nation, o_year ORDER BY nation, o_year DESC"""
+
+  /** Returned-item-reporting text (TPC-H Q10): revenue per customer over
+    * returned lines, top 20 with the custkey tie-break making the LIMIT
+    * deterministic.
+    */
+  private val SqlQ10 =
+    """SELECT c_custkey, c_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+              CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
+       FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20"""
+
+  /** Important-stock text (TPC-H Q11; lineitem value stands in for
+    * supplycost·availqty): groups above a fraction of the national
+    * total, the fraction test division-free (sum·1000 > total over
+    * exact DECIMAL) so no quotient exists to round differently.
+    */
+  private val SqlQ11 =
+    """SELECT l_partkey AS ps_partkey,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS part_value
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_name = 'NATION_3'
+       GROUP BY l_partkey
+       HAVING sum(CAST(l_extendedprice AS DECIMAL(28,4))) * 1000 >
+         (SELECT sum(CAST(l_extendedprice AS DECIMAL(28,4))) FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3')
+       ORDER BY part_value DESC, ps_partkey"""
+
+  /** Customer-distribution text (TPC-H Q13): LEFT JOIN with the filter
+    * in the join condition (not WHERE — the distinction that keeps
+    * order-less customers at count 0), then a histogram of counts.
+    */
+  private val SqlQ13 =
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             GROUP BY c_custkey) c_orders
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC"""
+
+  /** Promotion-effect text (TPC-H Q14): a percentage of conditional
+    * revenue — both sums exact DECIMAL, one shared multiply-then-divide
+    * in IEEE double on identical operands.
+    */
+  private val SqlQ14 =
+    """SELECT CAST(100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))
+                       ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS DOUBLE) AS promo_revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'"""
+
+  /** Top-supplier text (TPC-H Q15): the CTE replaces the spec's CREATE
+    * VIEW; the max-revenue filter is an uncorrelated scalar subquery
+    * over the same CTE, compared in exact DECIMAL.
+    */
+  private val SqlQ15 =
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s_suppkey"""
+
+  /** Parts-supplier-relationship text (TPC-H Q16; lineitem as the
+    * part–supplier association): COUNT(DISTINCT) under a NOT IN
+    * exclusion subquery — the anti-join + distinct-agg combination.
+    */
+  private val SqlQ16 =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
 
   /** DuckDB oracle for q_pagerank: same fixed-point integer recurrence as
     * GraphOps.pageRankFixed, unrolled into one chained CTE per iteration
@@ -2455,6 +2679,18 @@ object SparkEntry {
     "q_sql_q22" -> SqlQ22,
     "q_sql_q20" -> SqlQ20,
     "q_sql_q21" -> SqlQ21,
+    "q_sql_q2"  -> SqlQ2,
+    "q_sql_q5"  -> SqlQ5,
+    "q_sql_q6"  -> SqlQ6,
+    "q_sql_q7"  -> SqlQ7,
+    "q_sql_q8"  -> SqlQ8,
+    "q_sql_q9"  -> SqlQ9,
+    "q_sql_q10" -> SqlQ10,
+    "q_sql_q11" -> SqlQ11,
+    "q_sql_q13" -> SqlQ13,
+    "q_sql_q14" -> SqlQ14,
+    "q_sql_q15" -> SqlQ15,
+    "q_sql_q16" -> SqlQ16,
     "q_grouping_sets" -> SqlGroupingSets,
     "q_pipeline" -> OracleSql.pipelineSql,
     "q_sink_roundtrip" ->
