@@ -1202,6 +1202,36 @@ object SparkEntry {
     "q_sql_q14" -> sqlQuery(SqlQ14, "lineitem", "part"),
     "q_sql_q15" -> sqlQuery(SqlQ15, "lineitem", "supplier"),
     "q_sql_q16" -> sqlQuery(SqlQ16, "lineitem", "part", "supplier"),
+    // Window function through the front door: per-group top-5 by
+    // row_number with full tie-break — proves the windowed-SQL dialect
+    // is shared, not just the join/agg/subquery subset.
+    "q_sql_window" -> sqlQuery(SqlWindowTopk, "lineitem"),
+    // Correlated LATERAL derived table with ORDER BY + LIMIT — per-key
+    // top-k as a join operand, the decorrelation-hard shape.
+    "q_sql_lateral" -> sqlQuery(SqlLateral, "customer", "orders"),
+
+    // MODE family: deterministic most-frequent value per group (ties
+    // toward the smallest value on both engines).
+    "q_agg_mode" -> ((s, d) =>
+      AggOps.modeOf(Tables.lineitem(s, d), "l_returnflag", "l_quantity")
+        .withColumnRenamed("mode_v", "mode_qty")),
+
+    // Chi-square independence statistic from the contingency table —
+    // margins broadcast, terms summed in DECIMAL (order-independent).
+    "q_chisq" -> ((s, d) =>
+      AggOps.chiSquare(Tables.lineitem(s, d), "l_returnflag", "l_linestatus")),
+
+    // Exact phi-heavy-hitters over a synthesized skewed key (30% of
+    // rows concentrated on three hot keys, the q_join_salted fixture
+    // pattern): SpaceSaving candidates per partition, broadcast
+    // semi-join, exact count verify — the full key domain never
+    // shuffles.
+    "q_heavy_hitters" -> ((s, d) => {
+      val skewed = Tables.lineitem(s, d).select(
+        when(pmod(col("l_orderkey"), lit(10)) < 3, pmod(col("l_orderkey"), lit(5)))
+          .otherwise(lit(100) + col("l_orderkey")).as("hk"))
+      AggOps.heavyHitters(skewed, "hk", 1000)
+    }),
 
     // Write-path round trip: distributed CSV sink → re-scan → aggregate,
     // oracle-checked against the direct aggregate on the source table —
@@ -1774,6 +1804,35 @@ object SparkEntry {
          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
        GROUP BY p_brand, p_type, p_size
        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** Windowed-SQL front-door text: per-group top-5 by row_number. The
+    * ORDER BY inside the frame carries the (orderkey, linenumber)
+    * unique tie-break, so both engines rank identically.
+    */
+  private val SqlWindowTopk =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, rnk
+       FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+                    row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+             FROM lineitem) ranked
+       WHERE rnk <= 5
+       ORDER BY l_returnflag, rnk"""
+
+  /** Correlated-LATERAL front-door text: each qualifying customer joins
+    * its own top-3 orders — a derived table with ORDER BY + LIMIT
+    * correlated on the outer row, the decorrelation shape window
+    * functions can't always replace (the inner LIMIT applies per key
+    * before the join). Full tie-breaks keep the per-key top-3 unique.
+    */
+  private val SqlLateral =
+    """SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+       FROM customer, LATERAL (
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 3) top_orders
+       WHERE c_acctbal > 9000.0
+       ORDER BY c_custkey, totalprice DESC, o_orderkey"""
 
   /** DuckDB oracle for q_pagerank: same fixed-point integer recurrence as
     * GraphOps.pageRankFixed, unrolled into one chained CTE per iteration
@@ -2691,6 +2750,47 @@ object SparkEntry {
     "q_sql_q14" -> SqlQ14,
     "q_sql_q15" -> SqlQ15,
     "q_sql_q16" -> SqlQ16,
+    "q_sql_window" -> SqlWindowTopk,
+    "q_sql_lateral" -> SqlLateral,
+
+    "q_agg_mode" ->
+      """SELECT l_returnflag, mode_qty, cnt FROM (
+           SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS cnt,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY count(*) DESC, l_quantity) AS rn
+           FROM lineitem GROUP BY l_returnflag, l_quantity) t
+         WHERE rn = 1""",
+
+    // Mirrors chiSquare's exact expression structure: the grid is the
+    // full margin cross product (structural zeros contribute e),
+    // e = ra·cb/n in double, (o−e)²/e per cell cast to DECIMAL(28,8),
+    // order-free sum.
+    "q_chisq" ->
+      """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS o
+                        FROM lineitem GROUP BY 1, 2),
+              rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+              ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+              nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                            CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof
+                     FROM cells),
+              grid AS (SELECT a, b, ra, cb, COALESCE(o, 0) AS o
+                       FROM rt CROSS JOIN ct LEFT JOIN cells USING (a, b))
+         SELECT CAST(sum(CAST(
+                  (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,8))) AS DOUBLE) AS chi2,
+                dof
+         FROM grid CROSS JOIN nn
+         GROUP BY dof""",
+
+    // The oracle recomputes heaviness exactly — the sketch phase only
+    // prunes candidates, so exact HAVING is the complete ground truth.
+    "q_heavy_hitters" ->
+      """WITH keyed AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN l_orderkey % 5
+                                    ELSE 100 + l_orderkey END AS hk
+                        FROM lineitem)
+         SELECT hk, count(*) AS cnt FROM keyed GROUP BY hk
+         HAVING count(*) * 1000 >= (SELECT count(*) FROM keyed)""",
     "q_grouping_sets" -> SqlGroupingSets,
     "q_pipeline" -> OracleSql.pipelineSql,
     "q_sink_roundtrip" ->

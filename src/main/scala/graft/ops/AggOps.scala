@@ -306,6 +306,93 @@ object AggOps {
     * Moments are exact sums; the threshold arithmetic is closed-form
     * IEEE on identical inputs — engine-exact boundaries.
     */
+  /** MODE family: deterministic most-frequent value per group. Ties are
+    * broken toward the smallest value, so any engine elects the same
+    * winner. The fact rows shuffle once as (group, value) pairs with
+    * map-side combine; the argmax pass then sees only
+    * |distinct (group, value)| rows — both stages hold constant state
+    * per key, the 100 TB shape.
+    */
+  def modeOf(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(groupCol))
+      .agg(max_by(struct(col("cnt"), col(valueCol).as("v")),
+        struct(col("cnt"), negate(col(valueCol)))).as("w"))
+      .select(col(groupCol), col("w.v").as("mode_v"), col("w.cnt").as("cnt"))
+
+  /** Chi-square statistic of independence for two categorical columns,
+    * from the contingency table. Cell and margin counts are exact
+    * longs; each cell's (o−e)²/e term is one fixed IEEE expression of
+    * those counts (e = ra·cb/n in double), so the oracle reproduces
+    * every term bit-for-bit; terms sum in DECIMAL(28,8) for
+    * order-independence. The margins are |A| and |B| rows — broadcast —
+    * and the fact rows shuffle exactly once to build the cells.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col(aCol)).agg(sum("o").as("ra"))
+    val colT = cells.groupBy(col(bCol)).agg(sum("o").as("cb"))
+    val tot = cells.agg(sum("o").as("n"),
+      ((countDistinct(col(aCol)) - 1) * (countDistinct(col(bCol)) - 1)).as("dof"))
+    // The grid is the full margin cross product, NOT the observed cells:
+    // a structural zero (o = 0, e > 0) still contributes e to the
+    // statistic, and groupBy never materializes it. Margin tables are
+    // |A| and |B| rows, so the cross join is margins-sized.
+    val grid = rowT.crossJoin(colT)
+      .join(cells, Seq(aCol, bCol), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val e = col("ra").cast("double") * col("cb").cast("double") / col("n").cast("double")
+    val o = col("o").cast("double")
+    grid.crossJoin(broadcast(tot))
+      .select((((o - e) * (o - e)) / e).cast(DecimalType(28, 8)).as("term"), col("dof"))
+      .groupBy(col("dof"))
+      .agg(sum(col("term")).cast("double").as("chi2"))
+      .select(col("chi2"), col("dof"))
+  }
+
+  /** Exact φ-heavy-hitters with sketch-bounded shuffle — keys holding at
+    * least 1/k of all rows. Phase 1 runs a SpaceSaving summary of
+    * `8·k` counters inside each partition and emits every summarized
+    * key: any key with local share above cap⁻¹ of its partition is
+    * guaranteed present (Metwally et al., the public space-saving
+    * bound), so with partitions within 8× of the mean size the
+    * candidate set provably covers every global 1/k-heavy key. Phase 2
+    * semi-joins the broadcast candidates and counts exactly — only
+    * candidate-key rows ever shuffle, and the final filter
+    * `cnt·k ≥ n` re-derives heaviness from exact counts, so the
+    * nondeterministic sketch intermediate cannot leak into the result.
+    * At 100 TB: the full key domain never shuffles and per-partition
+    * state is a fixed 8k-entry map.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"heaviness denominator must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cap = 8 * k
+    val cands = df.select(col(keyCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.LongMap.empty[Long]
+        it.foreach { key =>
+          m.get(key) match {
+            case Some(c)              => m.update(key, c + 1L)
+            case None if m.size < cap => m.update(key, 1L)
+            case None => // SpaceSaving: evict a min counter, inherit its count
+              var minK = 0L; var minV = Long.MaxValue
+              m.foreachEntry((kk, vv) => if (vv < minV) { minV = vv; minK = kk })
+              m.subtractOne(minK); m.update(key, minV + 1L)
+          }
+        }
+        m.keys.toArray.iterator
+      }.toDF(keyCol).distinct()
+    val n = df.agg(count(lit(1)).as("n"))
+    df.join(broadcast(cands), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * k >= col("n"))
+      .select(col(keyCol), col("cnt"))
+  }
+
   def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      idCol: String, zThreshold: Double = 3.0): DataFrame = {
     val stats = df.groupBy(col(groupCol)).agg(

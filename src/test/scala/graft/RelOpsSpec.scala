@@ -411,6 +411,46 @@ class RelOpsSpec extends SparkSpec {
     assert(r.getDouble(3) === -500.0 && r.getDouble(4) === 500.0)
   }
 
+  test("modeOf elects the most frequent value, ties toward the smallest") {
+    import spark.implicits._
+    // g=a: 3 is strictly most frequent. g=b: 1 and 7 tie at 2 — the
+    // smaller value must win on any engine / partition layout.
+    val df = Seq(("a", 3.0), ("a", 3.0), ("a", 5.0),
+      ("b", 7.0), ("b", 7.0), ("b", 1.0), ("b", 1.0), ("b", 9.0))
+      .toDF("g", "v")
+    val got = AggOps.modeOf(df, "g", "v").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === Map("a" -> ((3.0, 2L)), "b" -> ((1.0, 2L))))
+    val shuffled = AggOps.modeOf(df.repartition(7), "g", "v").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(shuffled === got)
+  }
+
+  test("chiSquare is exactly zero on an independent table, positive otherwise") {
+    import spark.implicits._
+    // Perfectly independent 2x2: every cell count = ra*cb/n exactly.
+    val indep = Seq.tabulate(40)(i => (s"a${i % 2}", s"b${(i / 2) % 2}"))
+      .toDF("x", "y")
+    val r0 = AggOps.chiSquare(indep, "x", "y").head()
+    assert(r0.getDouble(0) === 0.0 && r0.getLong(1) === 1L)
+    // Perfectly dependent: x determines y -> chi2 = n on a 2x2.
+    val dep = Seq.tabulate(40)(i => (s"a${i % 2}", s"b${i % 2}")).toDF("x", "y")
+    val r1 = AggOps.chiSquare(dep, "x", "y").head()
+    assert(r1.getDouble(0) === 40.0 && r1.getLong(1) === 1L)
+  }
+
+  test("heavyHitters matches the exact groupBy-HAVING answer under forced eviction") {
+    import spark.implicits._
+    // k=2 -> cap=16 counters per partition, but 100 distinct cold keys
+    // force SpaceSaving evictions; the planted hot key holds 60% of
+    // rows. The exact verify phase must reproduce the ground truth
+    // regardless of which candidates the sketch emitted.
+    val rows = (1L to 150L).map(i => if (i <= 90) 7L else i) // 90x key 7
+    val df = rows.toDF("k").repartition(5)
+    val got = AggOps.heavyHitters(df, "k", 2).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 90L)))
+  }
+
   test("forwardFill carries last non-null per key; leading nulls stay") {
     import spark.implicits._
     val df = Seq(
