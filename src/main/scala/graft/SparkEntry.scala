@@ -1233,6 +1233,16 @@ object SparkEntry {
       AggOps.heavyHitters(skewed, "hk", 1000)
     }),
 
+    // Market-basket co-occurrence: part pairs sharing an order, pair
+    // support counted across orders — per-basket-bounded expansion.
+    "q_cooccur" -> ((s, d) =>
+      AggOps.coOccurrence(Tables.lineitem(s, d), "l_orderkey", "l_partkey")),
+
+    // Mergeable HLL sketch rollup: daily sketches unioned to monthly
+    // estimates. Approximate → rows-only; spec pins the error band.
+    "q_agg_sketch_rollup" -> ((s, d) =>
+      AggOps.sketchRollup(Tables.events(s, d), "ts", "user_id")),
+
     // Write-path round trip: distributed CSV sink → re-scan → aggregate,
     // oracle-checked against the direct aggregate on the source table —
     // equality proves the sink/scan pair lossless (doubles survive via
@@ -2782,6 +2792,15 @@ object SparkEntry {
                 dof
          FROM grid CROSS JOIN nn
          GROUP BY dof""",
+
+    "q_cooccur" ->
+      """WITH its AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS p FROM lineitem)
+         SELECT a.p AS p1, b.p AS p2, count(*) AS support
+         FROM its a JOIN its b ON a.bk = b.bk AND a.p < b.p
+         GROUP BY 1, 2
+         HAVING count(*) >= 2
+         ORDER BY support DESC, p1, p2
+         LIMIT 50""",
 
     // The oracle recomputes heaviness exactly — the sketch phase only
     // prunes candidates, so exact HAVING is the complete ground truth.

@@ -393,6 +393,43 @@ object AggOps {
       .select(col(keyCol), col("cnt"))
   }
 
+  /** Frequent co-occurring item pairs (market-basket support): unordered
+    * (p1 < p2) pairs of items sharing a basket, counted across baskets,
+    * thresholded and top-k'd with a total-order tie-break. The pair
+    * expansion is a self-join on the basket key, so its output is
+    * Σ L_b² over per-basket line counts — bounded per basket (TPC-H-like
+    * baskets hold ≤7 lines), never global-quadratic. Shuffles: one on
+    * the basket key (both join sides reuse the same exchange), one on
+    * the pair key with map-side combine.
+    */
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
+                   minSupport: Long = 2L, topK: Int = 50): DataFrame = {
+    val items = df.select(col(basketCol).as("bk"), col(itemCol).as("p1")).distinct()
+    items.join(items.withColumnRenamed("p1", "p2"), Seq("bk"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(topK)
+  }
+
+  /** Mergeable-sketch algebra: per-day HLL sketches of distinct keys,
+    * unioned into per-month estimates WITHOUT re-touching fact rows —
+    * the pre-aggregated rollup pattern that makes 100 TB distinct
+    * counting incremental (persist daily sketch bytes once; any rollup
+    * window is a union of sketches, not a rescan). Estimates are
+    * approximate → registered rows-only; the spec pins the relative
+    * error against exact distinct counts.
+    */
+  def sketchRollup(df: DataFrame, tsCol: String, keyCol: String): DataFrame =
+    df.select(date_trunc("day",
+        timestamp_micros(EventOps.microsOf(df, tsCol))).as("d"),
+        col(keyCol).as("k"))
+      .groupBy("d").agg(hll_sketch_agg(col("k")).as("sk"))
+      .groupBy(date_trunc("month", col("d")).as("m"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_keys"))
+      .orderBy("m")
+
   def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      idCol: String, zThreshold: Double = 3.0): DataFrame = {
     val stats = df.groupBy(col(groupCol)).agg(

@@ -451,6 +451,34 @@ class RelOpsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 90L)))
   }
 
+  test("coOccurrence counts unordered pair support across baskets") {
+    import spark.implicits._
+    // Basket 1 holds {10,20,30} (with a duplicate 10-line that must not
+    // double-count); baskets 2 and 3 hold {10,20} -> only (10,20)
+    // reaches support 3; every other pair has support 1 < minSupport.
+    val df = Seq((1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L)).toDF("bk", "p")
+    val got = AggOps.coOccurrence(df, "bk", "p", minSupport = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((10L, 20L, 3L)))
+  }
+
+  test("sketchRollup monthly estimates land within 5% of exact distinct") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val est = AggOps.sketchRollup(ev, "ts", "user_id").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val exact = ev.select(date_trunc("month",
+        timestamp_micros(EventOps.microsOf(ev, "ts"))).as("m"), col("user_id"))
+      .distinct().groupBy("m").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet && est.nonEmpty)
+    exact.foreach { case (m, n) =>
+      assert(math.abs(est(m).toDouble - n) / n < 0.05,
+        s"month $m: est ${est(m)} vs exact $n")
+    }
+  }
+
   test("forwardFill carries last non-null per key; leading nulls stay") {
     import spark.implicits._
     val df = Seq(
