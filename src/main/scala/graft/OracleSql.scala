@@ -834,6 +834,45 @@ object OracleSql {
               FROM s)
         SELECT doc_id, w, tf, df, weight, rn FROM r WHERE rn <= 3"""
 
+  /** BM25 ranked-retrieval twin: same toks tokenization, the identical
+    * left-to-right double term expression (constants written as the
+    * literal doubles 1.2/0.75/2.2, never computed), per-term DECIMAL
+    * sum. The query list is inlined as a VALUES table with explicit
+    * BIGINT ids.
+    */
+  def bm25Sql(queries: Seq[(Long, String)], k: Int): String = {
+    val vals = queries
+      .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }.mkString(", ")
+    s"""WITH $toksCte,
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        df AS (SELECT w, count(*) AS df FROM
+                 (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
+        stats AS (SELECT (SELECT count(*) FROM documents) AS nd,
+                         CAST((SELECT count(*) FROM toks) AS DOUBLE)
+                           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+        qs AS (SELECT * FROM (VALUES $vals) v(q_id, qtext)),
+        qterms AS (SELECT DISTINCT q_id,
+                     unnest(list_filter(string_split_regex(qtext, '$Ws'),
+                                        x -> x <> '')) AS w
+                   FROM qs),
+        terms AS (SELECT q.q_id, tf.doc_id,
+                    CAST(1000000.0 * CAST(s.nd AS DOUBLE) / CAST(df.df AS DOUBLE)
+                         * (CAST(tf.tf AS DOUBLE) * 2.2)
+                         / (CAST(tf.tf AS DOUBLE)
+                            + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl))
+                         AS DECIMAL(28,6)) AS t
+                  FROM tf JOIN qterms q USING (w) JOIN df USING (w)
+                    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+        scored AS (SELECT q_id, doc_id, CAST(sum(t) AS DOUBLE) AS score
+                   FROM terms GROUP BY q_id, doc_id),
+        ranked AS (SELECT q_id, doc_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score DESC, doc_id) AS rnk
+                   FROM scored)
+        SELECT q_id, doc_id, score, rnk FROM ranked WHERE rnk <= $k"""
+  }
+
   /** Repetition-signal twin: same word-bigram derivation as the ngram
     * oracle (non-distinct — occurrence counts are the signal).
     */

@@ -897,6 +897,11 @@ object SparkEntry {
     // document frequency per term — the retrieval-index prep stage.
     "q_inverted_index" -> ((s, d) =>
       CurationOps.invertedIndex(Tables.documents(s, d))),
+    // BM25-family ranked retrieval over those postings: broadcast query
+    // terms prune the corpus pre-shuffle; rational idf (no libm),
+    // DECIMAL-summed doc scores, top-10 per query.
+    "q_rank_bm25" -> ((s, d) =>
+      CurationOps.bm25TopK(Tables.documents(s, d), Bm25Queries)),
     // Target-mix resampling by language: hash-thresholded downsampling
     // toward a 40/25/15/10/10 training mix, per-group audit output.
     "q_mix_resample" -> ((s, d) =>
@@ -1607,6 +1612,14 @@ object SparkEntry {
        GROUP BY s_name
        ORDER BY numwait DESC, s_name
        LIMIT 20"""
+
+  /** The retrieval query set for q_rank_bm25 — terms drawn from the
+    * synthetic documents' vocabulary; shared verbatim by the Spark
+    * query and the DuckDB oracle's VALUES table.
+    */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "hash join"), (2L, "fast scan filter"), (3L, "window agg"),
+    (4L, "customer order query"), (5L, "slow merge sort"))
 
   /** Registers the named fixture tables as temp views and runs one
     * shared SQL text — the front-door pattern every q_sql_* entry uses.
@@ -2416,6 +2429,7 @@ object SparkEntry {
     "q_pack" -> OracleSql.packSql,
     "q_chunk_overlap" -> OracleSql.chunkOverlapSql(64, 48),
     "q_inverted_index" -> OracleSql.invertedIndexSql(20),
+    "q_rank_bm25" -> OracleSql.bm25Sql(Bm25Queries, 10),
     "q_profile" -> OracleSql.profileSql("lineitem", Seq(
       "l_orderkey" -> true, "l_partkey" -> true, "l_linenumber" -> true,
       "l_quantity" -> true, "l_extendedprice" -> true,

@@ -176,6 +176,63 @@ object CurationOps {
             x => x.cast("string")), ",")
           .as("postings"))
 
+  /** BM25-family ranked retrieval over token postings: each query scores
+    * candidate documents by Σ_terms idf_ppm · tf·(K1+1) / (tf + K1·(1 −
+    * B + B·dl/avgdl)) and keeps the top-k per query. idf_ppm =
+    * 10⁶·N/df is the repo's rational idf (no libm — the same monotone
+    * per-term ordering as ln-idf); K1/B and K1+1 are written as the
+    * literal doubles 1.2 / 0.75 / 2.2 on BOTH engines, never computed
+    * (1.2 + 1.0 in IEEE is not the double literal 2.2). Per-term
+    * scores sum in DECIMAL(28,6), so a document's score is
+    * order-independent and oracle-exact.
+    *
+    * Scale shape: the query-term set is tiny and broadcast; joining it
+    * into the postings drops every non-query term BEFORE anything
+    * shuffles, so the corpus moves only its matching (term, doc)
+    * postings — document text never leaves the scan. df and dl are
+    * per-term / per-doc aggregates the index build already pays for.
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)],
+               k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
+          .as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = toks.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("nd"))
+      .crossJoin(toks.agg(count(lit(1)).as("ntok")))
+      .select(col("nd"),
+        (col("ntok").cast("double") / col("nd").cast("double")).as("avgdl"))
+    val qterms = queries.toDF("q_id", "qtext")
+      .select(col("q_id"),
+        explode(filter(split(col("qtext"), TextOps.WsRegex), x => x =!= ""))
+          .as("w"))
+      .distinct()
+    val idf = lit(1000000.0) * col("nd").cast("double") / col("df").cast("double")
+    val term = idf * (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(1.0) - lit(0.75) +
+          lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    val rank = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), Seq("w"))
+      .join(broadcast(df.join(broadcast(qterms.select("w").distinct()), Seq("w"))
+        .select("w", "df")), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        term.cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("t"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("t")).cast("double").as("score"))
+      .withColumn("rnk", row_number().over(rank).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic weighted (importance) sampling: keep each row with
     * probability thr/10^6, thr a caller-supplied integer column in
     * [0, 10^6] (values above cap at keep-everything) — e.g. proportional

@@ -137,6 +137,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
   }
 
+  test("bm25TopK ranks the term-dense shorter document first") {
+    import spark.implicits._
+    // Same corpus-frequency term 'a': doc 1 is denser (3/4 tokens) than
+    // doc 2 (1/4); doc 3 never matches. Higher tf and equal dl -> doc 1
+    // must outrank doc 2; non-matching docs must not appear.
+    val docs = Seq((1L, "a a a b"), (2L, "a b b b"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val got = CurationOps.bm25TopK(docs, Seq((7L, "a")), k = 10)
+      .collect().sortBy(_.getLong(3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq((7L, 1L, 1L), (7L, 2L, 2L)))
+  }
+
   test("weightedSample keep set matches a driver-side replica") {
     val docs = (1L to 50L).map(i => (i, i * 40000L)).toDF("doc_id", "w")
     val got = CurationOps.weightedSample(docs, col("w"))

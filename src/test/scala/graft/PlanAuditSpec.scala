@@ -275,6 +275,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces undersized shuffle partitions (no fixed reducer count)") {
+    // The other half of the reducer-count story (skew-split is above):
+    // the reference pins reducer counts per job; Spark plans at
+    // spark.sql.shuffle.partitions and then MERGES undersized outputs
+    // at runtime from actual map sizes. A 3-group aggregate must
+    // execute its final stage on coalesced AQEShuffleRead partitions,
+    // not the static 32.
+    val j = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"AQE did not coalesce the shuffle read:\n$plan")
+  }
+
   test("runtime bloom filter injects into the probe side of a selective join") {
     // The reference hand-tunes semi-join reductions; Spark's runtime
     // bloom filter is the subsuming mechanism: a selective dim filter
