@@ -976,6 +976,12 @@ object SparkEntry {
     "q_stream_sliding" -> ((s, d) =>
       graft.streaming.StreamOps.slidingWindowedReplay(Tables.events(s, d),
         tmpPath("graft_stream_events", d))),
+    // Sketches in streaming state: per-day CMS grids folded across
+    // micro-batches (elementwise-sum merge == batch grid), probed for
+    // keys 0-9 — full oracle via the windowed grid mirror.
+    "q_stream_cms" -> ((s, d) =>
+      graft.streaming.StreamOps.cmsWindowedReplay(Tables.events(s, d),
+        tmpPath("graft_stream_events", d))),
     // The custom-state sessionizer (flatMapGroupsWithState) on the
     // driver record: sentinel events force-close every session, so the
     // emitted set equals the batch sessions (boundaries + counts; the
@@ -2666,6 +2672,28 @@ object SparkEntry {
          SELECT w_start_us, event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
          FROM w GROUP BY 1, 2""",
+    // Windowed twin of the q_cms_freq grid mirror: day windows are
+    // epoch-aligned, the grid per window is a GROUP BY over the shared
+    // portable hash, estimates are min over the depth cells.
+    "q_stream_cms" -> {
+      val w = graft.functions.CmsAgg.Width
+      val dep = graft.functions.CmsAgg.Depth
+      def h(e: String) =
+        OracleSql.hash60(s"'cms' || CAST(d.range AS VARCHAR) || '-' || CAST($e AS VARCHAR)")
+      s"""WITH keys AS (SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS w_us,
+                               user_id AS k FROM events),
+            grid AS (SELECT w_us, d.range AS d, ${h("k")} % $w AS cell,
+                            COUNT(*) AS c
+                     FROM keys, range(0, $dep) d GROUP BY 1, 2, 3),
+            wins AS (SELECT DISTINCT w_us FROM keys),
+            probe AS (SELECT p.range AS key FROM range(0, 10) p)
+          SELECT w.w_us AS w_start_us, probe.key,
+                 CAST(MIN(COALESCE(g.c, 0)) AS BIGINT) AS est
+          FROM wins w CROSS JOIN probe CROSS JOIN range(0, $dep) d
+          LEFT JOIN grid g ON g.w_us = w.w_us AND g.d = d.range
+            AND g.cell = ${h("probe.key")} % $w
+          GROUP BY 1, 2"""
+    },
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value

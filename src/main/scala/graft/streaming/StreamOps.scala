@@ -877,6 +877,38 @@ object StreamOps {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sketches in streaming state (q_stream_cms): a per-window CMS grid
+    * of user ids built incrementally across micro-batches, then probed
+    * for fixed keys after the drain. The grid UDAF's merge is
+    * elementwise addition — commutative and associative — so
+    * Complete-mode incremental state folds micro-batch partials into
+    * EXACTLY the batch grid regardless of file arrival order, and the
+    * estimates hash-match the DuckDB per-window grid mirror (the
+    * q_cms_freq oracle, windowed). This is the streaming shape for
+    * "key frequency right now" at 100 TB: state is a fixed 128 KB grid
+    * per open window instead of unbounded per-key counters. Day
+    * windows are epoch-aligned, so the oracle recovers each window as
+    * (tus div dayUs)·dayUs.
+    */
+  def cmsWindowedReplay(events: DataFrame, stagingDir: String,
+                        nParts: Int = 4): DataFrame = {
+    val win = replay(events, stagingDir, nParts, OutputMode.Complete)(st =>
+      st.withWatermark("ts", ReplayWatermark)
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 day"))
+        .agg(graft.functions.CmsAgg.sketchOf(col("user_id")).as("grid"))
+        .select(col("window.start").as("w_start"), col("grid")))
+    val w = graft.functions.CmsAgg.Width
+    val probes = events.sparkSession.range(0, 10).select(col("id").as("key"))
+    val ests = (0 until graft.functions.CmsAgg.Depth).map { dd =>
+      element_at(col("grid"), (lit(dd * w) + pmod(graft.ops.TextOps.hash60(
+        concat(lit(s"cms$dd-"), col("key").cast("string"))), lit(w)) +
+        lit(1)).cast("int"))
+    }
+    win.crossJoin(broadcast(probes))
+      .select(unix_micros(col("w_start")).as("w_start_us"), col("key"),
+        least(ests: _*).as("est"))
+  }
+
   /** Sliding-window replay (q_stream_sliding): 10-minute windows every
     * 5 minutes — epoch-aligned, so the oracle enumerates each event's
     * TWO covering window starts ((t div slide)·slide and its

@@ -322,6 +322,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning injects a runtime dim filter into the fact scan") {
+    // Static pruning (below) handles literal predicates; DPP is the
+    // runtime twin — the dim-side join filter prunes fact PARTITIONS
+    // before the scan, the mechanism that makes star-join date/region
+    // filters free on a partitioned 100 TB fact table. The dim filter
+    // is on a NON-join column, so only DPP (not static pruning) can
+    // narrow the fact side.
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val fact = spark.read.parquet(out)
+    // The dim must be FILE-backed: a local Seq folds its filter into
+    // the LocalRelation during optimization, leaving no selective
+    // Filter node for the PartitionPruning rule to extract (observed).
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dppdim").toString
+    Seq(("A", 1L), ("N", 2L), ("R", 3L)).toDF("rf", "attr")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val j = fact.join(dim.filter(col("attr") === lit(1L)),
+        col("l_returnflag") === col("rf"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in:\n$plan")
+  }
+
   test("hive-layout re-scan prunes partitions (PartitionFilters, not a full scan)") {
     // q_sink_partitioned writes l_returnflag=... hive layout; SURVEY
     // claims "prune for free" — assert the filtered re-scan plans a
