@@ -1220,6 +1220,9 @@ object SparkEntry {
     // Correlated LATERAL derived table with ORDER BY + LIMIT — per-key
     // top-k as a join operand, the decorrelation-hard shape.
     "q_sql_lateral" -> sqlQuery(SqlLateral, "customer", "orders"),
+    // WITH RECURSIVE through the front door (Spark 4's recursive CTE):
+    // level-by-level hierarchy traversal in one shared text.
+    "q_sql_recursive" -> sqlQuery(SqlRecursive, "supplier"),
 
     // MODE family: deterministic most-frequent value per group (ties
     // toward the smallest value on both engines).
@@ -1618,6 +1621,25 @@ object SparkEntry {
        GROUP BY s_name
        ORDER BY numwait DESC, s_name
        LIMIT 20"""
+
+  /** Recursive-CTE front-door text: a heap-style hierarchy over
+    * supplier keys (children of k are 2k and 2k+1 — pure integer
+    * arithmetic, because `//` vs `div` integer division is the one
+    * place the dialects split), traversed level by level and rolled up
+    * per depth. Demonstrates WITH RECURSIVE as shared surface; for
+    * 100 TB-scale iteration the dedicated broadcast-loop graph ops
+    * (pageRankFixed, connectedComponents) remain the right tool — a
+    * recursive CTE re-joins the frontier each level through the
+    * general-purpose planner.
+    */
+  private val SqlRecursive =
+    """WITH RECURSIVE tree(k, depth) AS (
+         SELECT s_suppkey, 0 FROM supplier WHERE s_suppkey = 1
+         UNION ALL
+         SELECT s.s_suppkey, t.depth + 1
+         FROM supplier s JOIN tree t ON s.s_suppkey = t.k * 2 OR s.s_suppkey = t.k * 2 + 1)
+       SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+       FROM tree GROUP BY depth ORDER BY depth"""
 
   /** The retrieval query set for q_rank_bm25 — terms drawn from the
     * synthetic documents' vocabulary; shared verbatim by the Spark
@@ -2804,6 +2826,7 @@ object SparkEntry {
     "q_sql_q16" -> SqlQ16,
     "q_sql_window" -> SqlWindowTopk,
     "q_sql_lateral" -> SqlLateral,
+    "q_sql_recursive" -> SqlRecursive,
 
     "q_agg_mode" ->
       """SELECT l_returnflag, mode_qty, cnt FROM (
