@@ -20,11 +20,11 @@ class EdgeCaseSpec extends SparkSpec {
 
   test("driver contract: entry() yields rows; every query key has SQL or a rows-only note") {
     assert(SparkEntry.entry(spark).count() > 0)
-    // Rows-only set is exactly the four declared engine-specific queries
+    // Rows-only set is exactly the five declared engine-specific queries
     // (sketch estimates differ across engines by design).
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set("q_agg_uniq_approx", "q_agg_quantile_approx",
-      "q_pagerank_conv", "q_profile_approx"))
+      "q_pagerank_conv", "q_profile_approx", "q_agg_sketch_rollup"))
   }
 
   test("curation ops on degenerate inputs") {
