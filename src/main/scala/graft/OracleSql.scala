@@ -986,6 +986,66 @@ object OracleSql {
                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, sess_idx"""
 
+  /** Interval-merge twin: same running-max gaps-and-islands derivation
+    * (new island exactly when an interval's start exceeds the max end
+    * seen so far), all int64 micros.
+    */
+  def intervalMergeSql(durUs: Long): String =
+    s"""WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                           epoch_us(ts) + $durUs AS e
+                    FROM events),
+        f AS (SELECT user_id, event_id, s, e,
+                CASE WHEN max(e) OVER pw IS NULL OR s > max(e) OVER pw
+                     THEN 1 ELSE 0 END AS new_isl
+              FROM iv WINDOW pw AS (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        g AS (SELECT user_id, s, e,
+                CAST(SUM(new_isl) OVER (PARTITION BY user_id
+                  ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS isl
+              FROM f)
+        SELECT user_id, isl, COUNT(*) AS n_events,
+               MIN(s) AS start_us, MAX(e) AS end_us,
+               MAX(e) - MIN(s) AS covered_us
+        FROM g GROUP BY user_id, isl"""
+
+  /** Cumulative-distinct twin: first-seen day per user, per-day counts,
+    * running sum over the per-day rollup. `//` floor-div vs Spark's
+    * truncating `div` agree because epoch micros are nonnegative.
+    */
+  def cumulativeDistinctSql(bucketUs: Long): String =
+    s"""WITH fs AS (SELECT user_id,
+                      MIN((epoch_us(ts) // $bucketUs) * $bucketUs) AS day_us
+                    FROM events GROUP BY user_id),
+        pd AS (SELECT day_us, COUNT(*) AS new_users FROM fs GROUP BY day_us)
+        SELECT day_us, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day_us
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM pd"""
+
+  /** Weighted-moving-average twin: the same k lag terms with
+    * power-of-two weights over floor-cents values; j = 0 is the bare
+    * current-row column on both engines (no lag-0 edge semantics).
+    */
+  def wmaSql(k: Int): String = {
+    def lagE(j: Int) = if (j == 0) "cents" else s"lag(cents, $j) OVER w"
+    val num = (0 until k).map { j =>
+      val w = 1L << (k - 1 - j)
+      s"CASE WHEN ${lagE(j)} IS NOT NULL THEN ${lagE(j)} * $w ELSE 0 END"
+    }.mkString(" + ")
+    val den = (0 until k).map { j =>
+      val w = 1L << (k - 1 - j)
+      s"CASE WHEN ${lagE(j)} IS NOT NULL THEN $w ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                          CAST(floor(value * 100) AS BIGINT) AS cents
+                   FROM events)
+        SELECT user_id, event_id,
+               CAST($num AS BIGINT) AS wma_num,
+               CAST($den AS BIGINT) AS wma_den
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)"""
+  }
+
   /** Inverted-index twin: same tokenization, distinct postings, list
     * agg ordered by doc_id, 1-based inclusive cap slice, CSV join.
     */

@@ -673,6 +673,17 @@ object SparkEntry {
       GraphOps.kCore(
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod), 12)),
 
+    // Single-source BFS shortest-path levels (source node 1, ≤8 hops)
+    // on the mod-9973 graph: broadcast-frontier expansion, one round
+    // per level — oracle unrolls the same frontier rounds as
+    // materialized CTEs (a naive recursive CTE enumerates ALL paths,
+    // combinatorial at degree ~12; the frontier form is the scalable
+    // shape on both engines).
+    "q_bfs" -> ((s, d) =>
+      GraphOps.bfsLevels(
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod),
+        BfsSource, BfsDepth)),
+
     // Skew-mitigation pattern: salted two-phase aggregation; oracle is
     // the plain GROUP BY (identical results prove exactness).
     "q_agg_salted" -> ((s, d) =>
@@ -1051,6 +1062,19 @@ object SparkEntry {
     // completion per user; one conditional min-agg per step, all on the
     // user_id partitioning.
     "q_funnel" -> ((s, d) => EventOps.funnel(Tables.events(s, d))),
+    // Gaps-and-islands interval merge: 30-minute activity intervals
+    // per user merged into maximal islands (running-max formulation).
+    "q_interval_merge" -> ((s, d) =>
+      EventOps.intervalMerge(Tables.events(s, d))),
+    // Growth curve: cumulative distinct users by first-seen day — the
+    // heavy agg is user-keyed; the running sum is over the tiny
+    // per-day rollup.
+    "q_cum_distinct" -> ((s, d) =>
+      EventOps.cumulativeDistinct(Tables.events(s, d))),
+    // Exact weighted moving average (power-of-two weights, floor-cents
+    // values): ships (num, den) pairs so no division rounding crosses
+    // engines; one window, k codegen lag terms.
+    "q_wma" -> ((s, d) => EventOps.weightedMovingAvg(Tables.events(s, d))),
     "q_json"       -> ((s, d) => EventOps.jsonStats(Tables.events(s, d))),
     "q_parse_tolerant" -> ((s, d) =>
       EventOps.tolerantParse(Tables.documents(s, d),
@@ -1422,6 +1446,10 @@ object SparkEntry {
     * PageRank's so triangle counts stay realistic, not cubic-degenerate.
     */
   private val TriMod = 9973
+
+  /** q_bfs fixture constants (shared by query + oracle). */
+  private val BfsSource = 1L
+  private val BfsDepth = 8
 
   /** The SQL front door: q_sql_q3 runs ONE SQL text through both engines
     * — spark.sql over temp views here, DuckDB as the oracle — proving
@@ -2449,6 +2477,27 @@ object SparkEntry {
           FROM (SELECT a AS node FROM e14 UNION ALL SELECT b FROM e14)
           GROUP BY node"""
     },
+    "q_bfs" -> {
+      val sym =
+        s"""sym AS MATERIALIZED (
+              SELECT l_orderkey % $TriMod AS src, l_partkey % $TriMod AS dst
+              FROM lineitem WHERE l_orderkey % $TriMod <> l_partkey % $TriMod
+              UNION
+              SELECT l_partkey % $TriMod, l_orderkey % $TriMod
+              FROM lineitem WHERE l_orderkey % $TriMod <> l_partkey % $TriMod)"""
+      val rounds = (1 to BfsDepth).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM sym e
+               JOIN f${i - 1} f ON e.src = f.node
+               WHERE e.dst NOT IN (SELECT node FROM v${i - 1})),
+            v$i AS MATERIALIZED (SELECT node, dist FROM v${i - 1}
+               UNION ALL SELECT node, $i AS dist FROM f$i)"""
+      }.mkString(",\n")
+      s"""WITH $sym,
+          v0 AS (SELECT CAST($BfsSource AS BIGINT) AS node, 0 AS dist),
+          f0 AS (SELECT node FROM v0),
+          $rounds
+          SELECT node, dist FROM v$BfsDepth"""
+    },
     "q_dedup_exact" -> OracleSql.dedupExactSql,
     "q_dedup_incremental" -> OracleSql.dedupIncrementalSql,
     "q_dedup_bloom" -> OracleSql.dedupIncrementalSql,
@@ -2500,6 +2549,9 @@ object SparkEntry {
     "q_sessionize" -> OracleSql.sessionizeSql,
     "q_gap_fill" -> OracleSql.gapFillSql(21600L * 1000000L),
     "q_funnel" -> OracleSql.funnelSql(Seq("signup", "view", "click")),
+    "q_interval_merge" -> OracleSql.intervalMergeSql(EventOps.GapUs),
+    "q_cum_distinct" -> OracleSql.cumulativeDistinctSql(86400L * 1000000L),
+    "q_wma" -> OracleSql.wmaSql(8),
     "q_agg_quantile_hist" ->
       """WITH b AS (SELECT l_returnflag AS g,
                 CAST(floor(l_quantity / 5.0) AS BIGINT) AS bk,

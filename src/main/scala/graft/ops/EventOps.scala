@@ -175,4 +175,86 @@ object EventOps {
         org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** Gaps-and-islands interval coverage: each event spawns the interval
+    * [tus, tus + durUs); overlapping or touching intervals per user
+    * merge into maximal islands (the running-max formulation: a new
+    * island starts exactly when an interval's start exceeds the max
+    * end seen so far). Output one row per island:
+    * (user_id, isl, n_events, start_us, end_us, covered_us).
+    *
+    * Same 100 TB plan as [[sessionize]]: one hash-shuffle on user_id
+    * feeds both window passes and the final groupBy in the same
+    * partitioning — islands never span users, so there is no global
+    * ordering anywhere. All arithmetic is int64 microseconds (exact on
+    * both engines).
+    */
+  def intervalMerge(events: DataFrame, durUs: Long = GapUs): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val iv = events.select(col("user_id"), col("event_id"),
+        micros(events).as("s"))
+      .withColumn("e", col("s") + durUs)
+    val flagged = iv
+      .withColumn("pmax",
+        max("e").over(order.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+    flagged
+      .withColumn("isl",
+        sum("new_isl").over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "isl")
+      .agg(count(lit(1)).as("n_events"),
+        min("s").as("start_us"), max("e").as("end_us"))
+      .withColumn("covered_us", col("end_us") - col("start_us"))
+  }
+
+  /** Cumulative distinct users by first-seen day: (day_us, new_users,
+    * cum_users) — the growth-curve staple. A user contributes to
+    * exactly one day (its min event day), so the heavy work is one
+    * user-keyed aggregation; the cumulative sum then runs over the
+    * per-day rollup, which is |distinct days| rows at ANY corpus scale
+    * — the single-partition running-sum window is over that tiny
+    * rollup, not the data (the packLayout prefix-sum discipline).
+    */
+  def cumulativeDistinct(events: DataFrame,
+                         bucketUs: Long = 86400L * 1000000L): DataFrame = {
+    val firstSeen = events
+      .select(col("user_id"), micros(events).as("tus"))
+      .withColumn("day_us", expr(s"(tus div ${bucketUs}L) * ${bucketUs}L"))
+      .groupBy("user_id").agg(min("day_us").as("day_us"))
+    val perDay = firstSeen.groupBy("day_us").agg(count(lit(1)).as("new_users"))
+    perDay.withColumn("cum_users",
+      sum("new_users").over(
+        Window.orderBy("day_us")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Exact weighted moving average over each user's last `k` events
+    * (ordered by time): weights are descending powers of two
+    * (most-recent = 2^(k-1)), values are floor-cents of `value` — so
+    * numerator and denominator are exact int64 on both engines and the
+    * "average" ships as the (wma_num, wma_den) pair instead of a
+    * division whose rounding could differ. Rows with fewer than k
+    * predecessors weight only what exists (den reflects it).
+    *
+    * Expressed as k lag() terms over ONE window — a single user_id
+    * shuffle + in-partition sort, no self-joins; k is a compile-time
+    * constant so the whole expression stays inside codegen.
+    */
+  def weightedMovingAvg(events: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 62, "weights 2^(k-1) must fit int64")
+    val order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val e = events.select(col("user_id"), col("event_id"),
+        micros(events).as("tus"),
+        floor(col("value") * 100).as("cents"))
+    val terms = (0 until k).map { j =>
+      val w = 1L << (k - 1 - j)
+      val lagged = if (j == 0) col("cents") else lag("cents", j).over(order)
+      (when(lagged.isNotNull, lagged * w).otherwise(0L),
+        when(lagged.isNotNull, lit(w)).otherwise(0L))
+    }
+    e.withColumn("wma_num", terms.map(_._1).reduce(_ + _))
+      .withColumn("wma_den", terms.map(_._2).reduce(_ + _))
+      .select("user_id", "event_id", "wma_num", "wma_den")
+  }
 }

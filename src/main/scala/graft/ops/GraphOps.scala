@@ -370,4 +370,58 @@ object GraphOps {
     und.select(col("a").as("node")).union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
+
+  /** Single-source BFS shortest-path levels over the undirected view of
+    * the edge list: (node, dist) for every node within `maxDepth` hops
+    * of `source`, dist = minimum hop count. Frontier expansion, one
+    * round per level — the distributed BFS shape: each round joins the
+    * current frontier against the edge list, then anti-joins the
+    * visited set so a node is labeled exactly once, at its first
+    * (= minimum) depth. Rounds are O(eccentricity), not O(V).
+    *
+    * Scale: the frontier is broadcast into the edge join by default
+    * (it is a set of int64s — even a 10^8-node frontier is ~800 MB,
+    * and real frontiers are far smaller), so the big edge table never
+    * shuffles for the probe; pass `bcastFrontier = false` to fall back
+    * to a shuffled join when a frontier could exceed broadcast budget
+    * (the [[pageRankFixed]] `bcastRanks` discipline). The visited set
+    * is joined, not broadcast — it grows toward |V|. Each round
+    * localCheckpoints the new frontier and visited set: lineage
+    * truncation per round, same as [[connectedComponents]]. The
+    * per-round emptiness check is an aggregated driver-side scalar —
+    * the sanctioned convergence pattern.
+    */
+  def bfsLevels(edges: DataFrame, source: Long, maxDepth: Int,
+                bcastFrontier: Boolean = true): DataFrame = {
+    require(maxDepth >= 0)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .union(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = Seq((source, 0)).toDF("node", "dist")
+      .localCheckpoint(true)
+    var frontier = visited.select("node")
+    var depth = 0
+    var exhausted = false
+    while (depth < maxDepth && !exhausted) {
+      depth += 1
+      val f = if (bcastFrontier) broadcast(frontier) else frontier
+      val next = sym.join(f, sym("src") === f("node"))
+        .select(sym("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited
+          .union(next.select(col("node"), lit(depth).as("dist")))
+          .localCheckpoint(true)
+        frontier = next
+      }
+    }
+    visited
+  }
 }

@@ -206,6 +206,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("bfsLevels labels each node at its minimum depth, capped by maxDepth") {
+    import spark.implicits._
+    // Path 1-2-3-4 with mixed edge directions (BFS is undirected) plus a
+    // disconnected component {5,6} that must never appear.
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val got = GraphOps.bfsLevels(edges, 1L, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2)) // 4 is 3 hops: cut off
+    val full = GraphOps.bfsLevels(edges, 1L, maxDepth = 8,
+        bcastFrontier = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
   test("kCore keeps exactly the maximal k-degree subgraph, cascading peels") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + chain 4-5-6: at k=3 the chain must peel in

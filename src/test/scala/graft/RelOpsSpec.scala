@@ -495,6 +495,53 @@ class RelOpsSpec extends SparkSpec {
       ("u", 3L) -> Some(5.0), ("u", 4L) -> Some(9.0), ("v", 5L) -> None))
   }
 
+  test("intervalMerge: overlapping and touching intervals fuse, gaps split") {
+    import spark.implicits._
+    // user 1, dur=30: starts 0,10,40 chain into one island ([0,30) overlaps
+    // [10,40); [40,70) TOUCHES the running max end 40 and must fuse);
+    // start 100 clears the max end 70 -> second island.
+    val df = Seq((1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 40L), (1L, 4L, 100L),
+        (2L, 5L, 5L))
+      .toDF("user_id", "event_id", "m")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("m")).as("ts"))
+    val got = EventOps.intervalMerge(df, durUs = 30L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === Map(
+      (1L, 1L) -> (3L, 0L, 70L, 70L),
+      (1L, 2L) -> (1L, 100L, 130L, 30L),
+      (2L, 1L) -> (1L, 5L, 35L, 30L)))
+  }
+
+  test("cumulativeDistinct counts each user once, at its first-seen day") {
+    import spark.implicits._
+    val df = Seq((100L, 1L, 3L), (200L, 2L, 12L), (100L, 3L, 25L),
+        (300L, 4L, 25L))
+      .toDF("user_id", "event_id", "m")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("m")).as("ts"))
+    val got = EventOps.cumulativeDistinct(df, bucketUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    // user 100's second event (day 20) must not re-count it.
+    assert(got === Seq((0L, 1L, 1L), (10L, 1L, 2L), (20L, 1L, 3L)))
+  }
+
+  test("weightedMovingAvg: power-of-two weights, partial windows shrink den") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 2.0), (1L, 3L, 3L, 3.0),
+        (2L, 4L, 1L, 4.0))
+      .toDF("user_id", "event_id", "m", "value")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("m")).as("ts"), col("value"))
+    val got = EventOps.weightedMovingAvg(df, k = 2)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // k=2 weights (2,1) over cents: first rows have no lag -> den 2.
+    assert(got === Map(1L -> (200L, 2L), 2L -> (500L, 3L),
+      3L -> (800L, 3L), 4L -> (800L, 2L)))
+  }
+
   test("scd2 builds validity intervals; tombstones close but never emit") {
     import spark.implicits._
     import graft.ops.CdcOps
