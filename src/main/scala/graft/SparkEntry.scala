@@ -124,6 +124,13 @@ object SparkEntry {
     "q_regression" -> ((s, d) =>
       AggOps.groupedRegression(Tables.lineitem(s, d),
         "l_returnflag", "l_quantity", "l_extendedprice")),
+    // Welch two-sample t-test ('A' vs 'R' extended price): exact
+    // DECIMAL moments in one conditional map-side-combined pass (one
+    // state row out); t/dof are closed-form IEEE at the very end, the
+    // oracle mirroring the association order bit-for-bit.
+    "q_ttest" -> ((s, d) =>
+      AggOps.welchTTest(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", "A", "R")),
     // z-score outlier report: squared-domain threshold (no sqrt in the
     // decision), group moments broadcast back — facts never reshuffle.
     "q_outliers" -> ((s, d) =>
@@ -2651,6 +2658,33 @@ object SparkEntry {
                  ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) /
                    ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2
           FROM d""",
+    "q_ttest" ->
+      """WITH m AS (SELECT
+              CAST(count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS cnt_a,
+              CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS cnt_b,
+              sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(28,4)) END) AS sa_d,
+              sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(28,4)) END) AS sb_d,
+              sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8)) END) AS saa_d,
+              sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8)) END) AS sbb_d
+            FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+          d AS (SELECT cnt_a, cnt_b,
+              CAST(cnt_a AS DOUBLE) AS na, CAST(cnt_b AS DOUBLE) AS nb,
+              CAST(sa_d AS DOUBLE) AS sa, CAST(sb_d AS DOUBLE) AS sb,
+              CAST(saa_d AS DOUBLE) AS saa, CAST(sbb_d AS DOUBLE) AS sbb
+            FROM m),
+          e AS (SELECT cnt_a, cnt_b, na, nb,
+              sa / na AS ma, sb / nb AS mb,
+              (saa - sa * sa / na) / (na - 1) AS va,
+              (sbb - sb * sb / nb) / (nb - 1) AS vb
+            FROM d),
+          f AS (SELECT cnt_a, cnt_b, na, nb, ma, mb,
+              va / na AS sea, vb / nb AS seb
+            FROM e)
+          SELECT cnt_a AS n_a, cnt_b AS n_b, ma AS mean_a, mb AS mean_b,
+                 (ma - mb) / sqrt(sea + seb) AS t_stat,
+                 (sea + seb) * (sea + seb) /
+                   (sea * sea / (na - 1) + seb * seb / (nb - 1)) AS dof
+          FROM f""",
     "q_outliers" ->
       """WITH s AS (SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sv,

@@ -297,6 +297,48 @@ object AggOps {
       ((covN * covN) / (varxN * varyN)).as("r2"))
   }
 
+  /** Welch two-sample t-test (unequal variances) between two groups,
+    * from exact moments: counts and DECIMAL sums/sum-of-squares
+    * accumulate order-independently in ONE map-side-combined pass (1
+    * state row out at any scale), then mean/variance/t/dof are a fixed
+    * closed-form IEEE expression tree over identical doubles — the
+    * [[groupedRegression]] determinism contract. The oracle mirrors the
+    * exact association order, so every correctly-rounded IEEE step
+    * lands on the same bits. Output one row:
+    * (n_a, n_b, mean_a, mean_b, t_stat, dof) with Welch–Satterthwaite
+    * degrees of freedom.
+    */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+                 groupA: String, groupB: String): DataFrame = {
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    val v = col(valueCol)
+    val m = df.filter(isA || isB).agg(
+      sum(when(isA, 1L)).as("cnt_a"),
+      sum(when(isB, 1L)).as("cnt_b"),
+      sum(when(isA, v.cast(DecimalType(28, 4)))).as("sa_d"),
+      sum(when(isB, v.cast(DecimalType(28, 4)))).as("sb_d"),
+      sum(when(isA, (v * v).cast(DecimalType(28, 8)))).as("saa_d"),
+      sum(when(isB, (v * v).cast(DecimalType(28, 8)))).as("sbb_d"))
+    val na = col("cnt_a").cast("double")
+    val nb = col("cnt_b").cast("double")
+    val sa = col("sa_d").cast("double")
+    val sb = col("sb_d").cast("double")
+    val saa = col("saa_d").cast("double")
+    val sbb = col("sbb_d").cast("double")
+    val ma = sa / na
+    val mb = sb / nb
+    val va = (saa - sa * sa / na) / (na - 1)
+    val vb = (sbb - sb * sb / nb) / (nb - 1)
+    val sea = va / na
+    val seb = vb / nb
+    val se2 = sea + seb
+    m.select(col("cnt_a").as("n_a"), col("cnt_b").as("n_b"),
+      ma.as("mean_a"), mb.as("mean_b"),
+      ((ma - mb) / sqrt(se2)).as("t_stat"),
+      (se2 * se2 / (sea * sea / (na - 1) + seb * seb / (nb - 1))).as("dof"))
+  }
+
   /** Grouped z-score outlier report: rows whose squared deviation from
     * the group mean exceeds (zThreshold·σ)² — compared in the squared
     * domain, so no sqrt enters the decision. Two passes over the data

@@ -495,6 +495,21 @@ class RelOpsSpec extends SparkSpec {
       ("u", 3L) -> Some(5.0), ("u", 4L) -> Some(9.0), ("v", 5L) -> None))
   }
 
+  test("welchTTest matches the closed form on a hand-computed fixture") {
+    import spark.implicits._
+    // A = {1,2,3}: mean 2, var 1.  B = {2,4}: mean 3, var 2.
+    // se2 = 1/3 + 1 = 4/3; t = -1/sqrt(4/3); dof = (4/3)^2/((1/3)^2/2 + 1).
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 2.0), ("B", 4.0),
+      ("C", 99.0)).toDF("g", "v") // C must be excluded
+    val r = AggOps.welchTTest(df, "g", "v", "A", "B").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - (-1.0 / math.sqrt(4.0 / 3.0))) < 1e-12)
+    val dof = (4.0 / 3.0) * (4.0 / 3.0) / ((1.0 / 9.0) / 2.0 + 1.0)
+    assert(math.abs(r.getDouble(5) - dof) < 1e-12)
+  }
+
   test("intervalMerge: overlapping and touching intervals fuse, gaps split") {
     import spark.implicits._
     // user 1, dur=30: starts 0,10,40 chain into one island ([0,30) overlaps
