@@ -1000,6 +1000,14 @@ object SparkEntry {
     "q_stream_cms" -> ((s, d) =>
       graft.streaming.StreamOps.cmsWindowedReplay(Tables.events(s, d),
         tmpPath("graft_stream_events", d))),
+    // Chained stateful aggregations in ONE streaming query (window
+    // over window_time): 5-min counts re-aggregated into 30-min
+    // rollups without re-reading events; Append-only emission flushed
+    // by a far-future sentinel slice. Oracle = both window levels in
+    // closed epoch-aligned form.
+    "q_stream_chained" -> ((s, d) =>
+      graft.streaming.StreamOps.chainedWindowedReplay(Tables.events(s, d),
+        tmpPath("graft_stream_chained", d))),
     // The custom-state sessionizer (flatMapGroupsWithState) on the
     // driver record: sentinel events force-close every session, so the
     // emitted set equals the batch sessions (boundaries + counts; the
@@ -2780,6 +2788,19 @@ object SparkEntry {
          SELECT w_start_us, event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
          FROM w GROUP BY 1, 2""",
+    // Both chained window levels in closed form: inner 5-min bucket per
+    // event, outer 30-min bucket per inner bucket (inner divides outer,
+    // so window_time routing == floor-div on the inner start).
+    "q_stream_chained" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
+              i AS (SELECT event_type,
+                      (tus // 300000000) * 300000000 AS iw, COUNT(*) AS n
+                    FROM e GROUP BY 1, 2)
+         SELECT (iw // 1800000000) * 1800000000 AS w_start_us, event_type,
+                CAST(SUM(n) AS BIGINT) AS total,
+                CAST(MAX(n) AS BIGINT) AS peak,
+                COUNT(*) AS n_inner
+         FROM i GROUP BY 1, 2""",
     // Windowed twin of the q_cms_freq grid mirror: day windows are
     // epoch-aligned, the grid per window is a GROUP BY over the shared
     // portable hash, estimates are min over the depth cells.

@@ -909,6 +909,66 @@ object StreamOps {
         least(ests: _*).as("est"))
   }
 
+  /** Two chained stateful window aggregations in ONE streaming query —
+    * the multiple-stateful-operator shape (window over window_time):
+    * stage 1 counts events per (5-minute window, event_type); stage 2
+    * folds those micro-aggregates into 30-minute windows (sum/max/count
+    * of the stage-1 counts) without re-reading events — stage-2 state
+    * is per-inner-window rows, not raw data, the telemetry-rollup shape
+    * at 100 TB (raw events reduce 300× before the second shuffle).
+    * Chained stateful aggregation supports Append mode only: a window
+    * emits exactly once, when the watermark passes its end.
+    */
+  def chainedWindowCounts(events: DataFrame,
+                          inner: String = "5 minutes",
+                          outer: String = "30 minutes",
+                          watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), inner),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(org.apache.spark.sql.functions.window(
+          window_time(col("window")), outer), col("event_type"))
+      .agg(sum("n").as("total"), max("n").as("peak"),
+        count(lit(1)).as("n_inner"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("total"), col("peak"), col("n_inner"))
+
+  /** Chained-aggregation replay (q_stream_chained): because Append mode
+    * emits a window only once the watermark passes it, the corpus slice
+    * is followed by a single far-future sentinel slice (pinned mtimes —
+    * delivered strictly after, its own window forever open and never
+    * emitted) that pushes the final watermark past every real window.
+    * Both window sizes are epoch-aligned with the inner dividing the
+    * outer, so the oracle recovers each level in closed form:
+    * inner = (tus div 300e6)·300e6, outer = (inner div 1800e6)·1800e6
+    * — equal to window_time routing because inner+300e6−1 crosses a
+    * 30-minute boundary exactly when inner does.
+    */
+  def chainedWindowedReplay(events: DataFrame,
+                            stagingDir: String): DataFrame = {
+    val spark = events.sparkSession
+    drainSpent(spark)
+    if (StagedDirs.add(stagingDir)) {
+      val ev = stagingShape(events)
+      writeSliceFile(ev, stagingDir, 0)
+      val sentinel = ev.agg(max("tus").as("m"))
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          (col("m") + 365L * 86400000000L).as("tus"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"))
+      writeSliceFile(sentinel, stagingDir, 1)
+    }
+    val schema = spark.read.parquet(stagingDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+      .withColumn("ts", timestamp_micros(col("tus")))
+    runToMemory(chainedWindowCounts(stream), OutputMode.Append)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_micros(col("w_start")).as("w_start_us"),
+        col("event_type"), col("total"), col("peak"), col("n_inner"))
+  }
+
   /** Sliding-window replay (q_stream_sliding): 10-minute windows every
     * 5 minutes — epoch-aligned, so the oracle enumerates each event's
     * TWO covering window starts ((t div slide)·slide and its

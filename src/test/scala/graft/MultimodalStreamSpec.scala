@@ -210,6 +210,32 @@ class MultimodalStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("chainedWindowedReplay (two stateful aggs) equals the batch rollup") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-chained").toString + "/staged"
+    val streamed = StreamOps.chainedWindowedReplay(ev, staging).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val inner = ev
+      .select(col("event_type"),
+        graft.ops.EventOps.microsOf(ev, "ts").as("tus"))
+      .withColumn("iw", expr("(tus div 300000000L) * 300000000L"))
+      .groupBy("event_type", "iw").agg(count(lit(1)).as("n"))
+    val batch = inner
+      .withColumn("w_start_us", expr("(iw div 1800000000L) * 1800000000L"))
+      .groupBy("w_start_us", "event_type")
+      .agg(sum("n").as("total"), max("n").as("peak"),
+        count(lit(1)).as("n_inner"))
+      .select("w_start_us", "event_type", "total", "peak", "n_inner")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("statefulReplay (sentinel-closed) equals batch session boundaries") {
     val ev = Tables.events(spark, sfDir)
     val staging = java.nio.file.Files
