@@ -569,6 +569,121 @@ object SparkEntry {
         .withColumn("mov_avg", col("mov_sum") / col("mov_n"))
     }),
 
+    // Rolling median over a 5-row trailing frame: an ORDER-STATISTIC
+    // aggregate inside a moving window (sum/avg frames can't express
+    // it). Spark bars percentile-family aggregates from framed windows
+    // (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the median is
+    // composed: collect the ≤5-element frame, sort_array, pick the
+    // middle (odd) or average the two middles (even) — closed-form
+    // array ops, no UDF. Inputs are int64 floor-cents, so every median
+    // is an integer or an exact .5 — bit-identical across engines as a
+    // double.
+    "q_window_median" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      val arr = sort_array(collect_list(col("cents")).over(w))
+      val n = size(arr)
+      // Column `/` is IEEE division (double); the frame is ≤5 elements
+      // so the quotients are exact halves — cast("int") truncates to
+      // the 1-based middle index.
+      val med = when(n % 2 === 1,
+          element_at(arr, ((n + 1) / 2).cast("int")).cast("double"))
+        .otherwise((element_at(arr, (n / 2).cast("int"))
+            + element_at(arr, (n / 2).cast("int") + 1))
+          .cast("double") / 2.0)
+      ev.select(col("user_id"), col("event_id"),
+          EventOps.microsOf(ev, "ts").as("tus"),
+          floor(col("value") * 100).as("cents"))
+        .select(col("user_id"), col("event_id"), med.as("med_cents"))
+    }),
+
+    // Sequence-transition mining (first-order Markov counts): per-user
+    // consecutive event_type pairs in event-time order, global
+    // transition counts, and row-conditional probabilities in integer
+    // ppm (exact int64 floor division — no libm). The lag window runs
+    // on the user_id exchange; the transition matrix is |types|² rows,
+    // so the second window is over a handful of rows at any scale.
+    "q_markov" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val steps = ev.select(col("user_id"), col("event_type"),
+          EventOps.microsOf(ev, "ts").as("tus"), col("event_id"))
+        .select(col("event_type").as("to_type"),
+          lag("event_type", 1).over(w).as("from_type"))
+        .filter(col("from_type").isNotNull)
+      steps.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(n * 1000000) div sum(n) over (partition by from_type)")
+            .as("p_ppm"))
+    }),
+
+    // Day-of-week × hour-of-day seasonality profile in pure epoch
+    // arithmetic — deliberately NO calendar functions (dow numbering
+    // conventions differ across engines): dow0 = (epoch_days + 3) % 7
+    // makes 0 = Monday (1970-01-01 was a Thursday), hod is the UTC
+    // hour. One map-side-combined aggregation; ≤168 rows out at any
+    // scale.
+    "q_seasonality" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.select(EventOps.microsOf(ev, "ts").as("tus"), col("value"))
+        .select(expr("((tus div 86400000000) + 3) % 7").as("dow0"),
+          expr("(tus div 3600000000) % 24").as("hod"), col("value"))
+        .groupBy("dow0", "hod")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+    }),
+
+    // Set-as-bitmask aggregation: event_type → dense bit index
+    // (row_number over the tiny sorted distinct-type table, broadcast
+    // into the fact scan), per-user int64 membership mask via
+    // bit_or(1L << bit), cardinality via bit_count. The constant-width
+    // distinct-set trick: a ≤64-domain set costs 8 bytes/user at any
+    // scale (vs an unbounded collect_set), and masks AND/OR-compose
+    // across rollups. The unpartitioned row_number window is over
+    // |distinct types| rows — a constant.
+    "q_bitset_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val types = ev.select("event_type").distinct()
+        .select(col("event_type"),
+          (row_number().over(Window.orderBy("event_type")) - 1).as("bit"))
+      ev.join(broadcast(types), "event_type")
+        .groupBy("user_id")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))")
+          .as("type_mask"))
+        .select(col("user_id"), col("type_mask"),
+          expr("CAST(bit_count(type_mask) AS INT)").as("n_types"))
+    }),
+
+    // k-anonymity suppression gate (k = KAnonK): quasi-identifier
+    // groups (priority, status, order month) below k are folded into a
+    // single '*' bucket before publication; retained groups carry
+    // exact stats. Scan-side cost is one aggregation; the split runs
+    // on the ~1,300-row grouped result. The suppressed row is emitted
+    // only when suppressed groups exist (both engines agree — at large
+    // SF every group can clear k).
+    "q_kanon" -> ((s, d) => {
+      val g = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+        .agg(count(lit(1)).as("n"),
+          // stays DECIMAL (not exactSum's double) so the suppressed
+          // bucket's re-sum is order-independent too
+          sum(col("o_totalprice").cast("decimal(28,4)")).as("sp"))
+      val kept = g.filter(col("n") >= KAnonK)
+        .select(col("o_orderpriority").as("qi_priority"),
+          col("o_orderstatus").as("qi_status"),
+          col("m").cast("string").as("qi_month"),
+          col("n"), col("sp").cast("double").as("sum_price"))
+      val supp = g.filter(col("n") < KAnonK)
+        .agg(sum("n").as("n"), sum("sp").as("sp"))
+        .select(lit("*").as("qi_priority"), lit("*").as("qi_status"),
+          lit("*").as("qi_month"), col("n"),
+          col("sp").cast("double").as("sum_price"))
+        .filter(col("n").isNotNull)
+      kept.unionByName(supp)
+    }),
+
     // Time-RANGE window frame: trailing 1-hour per-user aggregate over
     // event time — the time-series staple ROWS frames can't express
     // (the frame is value-bounded, so it tracks wall time, not row
@@ -1461,6 +1576,9 @@ object SparkEntry {
     * PageRank's so triangle counts stay realistic, not cubic-degenerate.
     */
   private val TriMod = 9973
+
+  /** q_kanon suppression threshold (shared by query + oracle). */
+  private val KAnonK = 10
 
   /** q_bfs fixture constants (shared by query + oracle). */
   private val BfsSource = 1L
@@ -2386,6 +2504,65 @@ object SparkEntry {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY tus
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "q_window_median" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                           CAST(floor(value * 100) AS BIGINT) AS cents
+                    FROM events)
+         SELECT user_id, event_id,
+                CAST(median(cents) OVER w AS DOUBLE) AS med_cents
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    "q_markov" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+                           event_id FROM events),
+              s AS (SELECT event_type AS to_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY tus, event_id) AS from_type
+                    FROM e),
+              c AS (SELECT from_type, to_type, count(*) AS n
+                    FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                CAST((n * 1000000)
+                  // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+                  AS BIGINT) AS p_ppm
+         FROM c""",
+    "q_seasonality" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, value FROM events)
+         SELECT ((tus // 86400000000) + 3) % 7 AS dow0,
+                (tus // 3600000000) % 24 AS hod,
+                count(*) AS n,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM e GROUP BY 1, 2""",
+    "q_bitset_agg" ->
+      """WITH t AS (SELECT event_type,
+                           row_number() OVER (ORDER BY event_type) - 1
+                             AS bit
+                    FROM (SELECT DISTINCT event_type FROM events)),
+              m AS (SELECT e.user_id,
+                           bit_or(CAST(1 AS BIGINT) << t.bit) AS type_mask
+                    FROM events e JOIN t USING (event_type)
+                    GROUP BY e.user_id)
+         SELECT user_id, type_mask,
+                CAST(bit_count(type_mask) AS INT) AS n_types
+         FROM m""",
+    "q_kanon" ->
+      s"""WITH g AS (SELECT o_orderpriority, o_orderstatus,
+                            CAST(date_trunc('month', o_orderdate) AS DATE)
+                              AS m,
+                            count(*) AS n,
+                            sum(CAST(o_totalprice AS DECIMAL(28,4))) AS sp
+                     FROM orders GROUP BY 1, 2, 3)
+          SELECT o_orderpriority AS qi_priority,
+                 o_orderstatus AS qi_status,
+                 CAST(m AS VARCHAR) AS qi_month,
+                 n, CAST(sp AS DOUBLE) AS sum_price
+          FROM g WHERE n >= $KAnonK
+          UNION ALL
+          SELECT '*', '*', '*', CAST(sum(n) AS BIGINT),
+                 CAST(sum(sp) AS DOUBLE)
+          FROM g WHERE n < $KAnonK HAVING count(*) > 0""",
     "q_agg_monthly" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
                 count(*) AS n_orders,
