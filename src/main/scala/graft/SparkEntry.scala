@@ -806,6 +806,17 @@ object SparkEntry {
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod),
         BfsSource, BfsDepth)),
 
+    // Weighted single-source shortest paths (Bellman-Ford min-merge
+    // rounds, fixpoint-or-throw) on the mod-9973 graph with symmetric
+    // pure-function weights — the weighted companion to q_bfs. The
+    // oracle unrolls the same rounds as materialized CTEs; rounds past
+    // the fixpoint are no-ops, so both engines land on the identical
+    // distance vector.
+    "q_sssp" -> ((s, d) =>
+      GraphOps.sssp(
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod),
+        BfsSource, SsspMaxRounds)),
+
     // Skew-mitigation pattern: salted two-phase aggregation; oracle is
     // the plain GROUP BY (identical results prove exactness).
     "q_agg_salted" -> ((s, d) =>
@@ -1555,6 +1566,79 @@ object SparkEntry {
           AggOps.exactSum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("cnt"))
     }),
+
+    // Zstd-compressed parquet round trip: the cold-storage codec choice
+    // (zstd ≈ gzip ratio at ~3× the decode speed — the right default
+    // for a 100 TB archive tier). Write with compression=zstd, read
+    // back, aggregate; oracle aggregates the source directly, proving
+    // the codec path lossless. FileNameSpec-style check lives in
+    // SinkOpsSpec (part files carry the .zstd.parquet infix).
+    "q_sink_zstd" -> ((s, d) => {
+      val src = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_quantity", "l_extendedprice")
+      val out = tmpPath("graft_sink_zstd", d)
+      src.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd").parquet(out)
+      s.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          AggOps.exactSum(col("l_quantity")).as("sum_qty"),
+          AggOps.exactSum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // Mann-Whitney U (rank-sum) test between the A and R return-flag
+    // populations on l_quantity — the nonparametric A/B test. Scale
+    // shape: ranks are NEVER materialized per row; the value domain is
+    // compressed first (one map-side-combined count agg), then the
+    // rank algebra runs over the ≤|domain| distinct values (U_A =
+    // Σ_v cntA(v)·(cumB(<v) + cntB(v)/2), kept integral as 2U). The
+    // unpartitioned window is over the ~50-row compressed domain, not
+    // the table. z uses the tie-corrected normal approximation — a
+    // fixed IEEE expression of exact int64 moments, association order
+    // mirrored in the oracle.
+    "q_mannwhitney" -> ((s, d) => {
+      val h = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_quantity").cast("long").as("v"))
+        .agg(sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val t = h.select(col("ca"), col("cb"),
+        coalesce(sum("cb").over(w), lit(0L)).as("cumb"))
+      t.agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+          sum(col("ca") * (lit(2L) * col("cumb") + col("cb"))).as("u2_a"),
+          sum((col("ca") + col("cb")) * (col("ca") + col("cb"))
+            * (col("ca") + col("cb")) - (col("ca") + col("cb"))).as("tie3"))
+        .selectExpr("n_a", "n_b", "u2_a",
+          """(CAST(u2_a AS DOUBLE) - CAST(n_a * n_b AS DOUBLE)) /
+             (2.0 * sqrt(CAST(n_a * n_b AS DOUBLE) *
+               ((CAST(n_a + n_b AS DOUBLE) + 1.0) -
+                CAST(tie3 AS DOUBLE) /
+                  (CAST(n_a + n_b AS DOUBLE) *
+                   (CAST(n_a + n_b AS DOUBLE) - 1.0))) / 12.0)) AS z""")
+    }),
+
+    // Equi-depth decile binning — the feature-engineering quantizer.
+    // Same domain-compression discipline as q_mannwhitney: count per
+    // distinct value (map-side combined), cumulative rank over the
+    // tiny compressed domain, then the whole tie-group lands in the
+    // decile of its LAST member (bucket = ((cum-1)·10) div n) — a
+    // deterministic rule, unlike NTILE's arbitrary tie splitting.
+    // Adjacent deciles swallowed by a heavy tie-group simply don't
+    // appear — exact, reproducible bucket boundaries at any scale.
+    "q_binning" -> ((s, d) => {
+      val h = Tables.lineitem(s, d)
+        .groupBy(col("l_quantity").cast("long").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      h.select(col("v"), col("cnt"),
+          sum("cnt").over(w).as("cum"), expr("sum(cnt) over ()").as("n"))
+        .select(col("v"), col("cnt"),
+          expr("((cum - 1) * 10) div n").as("bucket"))
+        .groupBy("bucket").agg(sum("cnt").as("n_rows"),
+          min("v").as("min_v"), max("v").as("max_v"))
+    }),
   )
 
   /** Run nonce for disk-touching queries — see GraftSession.RunNonce. */
@@ -1583,6 +1667,13 @@ object SparkEntry {
   /** q_bfs fixture constants (shared by query + oracle). */
   private val BfsSource = 1L
   private val BfsDepth = 8
+
+  /** q_sssp round budget (shared by query + oracle unroll). Weighted
+    * shortest paths can use more hops than the unweighted BFS depth
+    * (a chain of light edges can beat one heavy edge), so the budget
+    * sits above BfsDepth; sssp throws if the fixpoint needs more.
+    */
+  private val SsspMaxRounds = 15
 
   /** The SQL front door: q_sql_q3 runs ONE SQL text through both engines
     * — spark.sql over temp views here, DuckDB as the oracle — proving
@@ -2690,6 +2781,30 @@ object SparkEntry {
           $rounds
           SELECT node, dist FROM v$BfsDepth"""
     },
+    "q_sssp" -> {
+      val sym =
+        s"""sym0 AS (
+              SELECT l_orderkey % $TriMod AS src, l_partkey % $TriMod AS dst
+              FROM lineitem WHERE l_orderkey % $TriMod <> l_partkey % $TriMod
+              UNION
+              SELECT l_partkey % $TriMod, l_orderkey % $TriMod
+              FROM lineitem WHERE l_orderkey % $TriMod <> l_partkey % $TriMod),
+            sym AS MATERIALIZED (
+              SELECT src, dst, ((src + dst) % 9) + 1 AS w FROM sym0)"""
+      val rounds = (1 to SsspMaxRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+               SELECT node, dist FROM d${i - 1}
+               UNION ALL
+               SELECT e.dst AS node, d.dist + e.w AS dist
+               FROM sym e JOIN d${i - 1} d ON e.src = d.node)
+             GROUP BY node)"""
+      }.mkString(",\n")
+      s"""WITH $sym,
+          d0 AS (SELECT CAST($BfsSource AS BIGINT) AS node,
+                        CAST(0 AS BIGINT) AS dist),
+          $rounds
+          SELECT node, dist FROM d$SsspMaxRounds"""
+    },
     "q_dedup_exact" -> OracleSql.dedupExactSql,
     "q_dedup_incremental" -> OracleSql.dedupIncrementalSql,
     "q_dedup_bloom" -> OracleSql.dedupIncrementalSql,
@@ -3210,5 +3325,51 @@ object SparkEntry {
                 count(*) AS cnt
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    "q_sink_zstd" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_price
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_mannwhitney" ->
+      """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+                CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+                CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+              FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+            t AS (SELECT ca, cb,
+                CAST(coalesce(sum(cb) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cumb
+              FROM h),
+            a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                CAST(sum(cb) AS BIGINT) AS n_b,
+                CAST(sum(ca * (2 * cumb + cb)) AS BIGINT) AS u2_a,
+                CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                  AS BIGINT) AS tie3
+              FROM t)
+         SELECT n_a, n_b, u2_a,
+                (CAST(u2_a AS DOUBLE) - CAST(n_a * n_b AS DOUBLE)) /
+                (2.0 * sqrt(CAST(n_a * n_b AS DOUBLE) *
+                  ((CAST(n_a + n_b AS DOUBLE) + 1.0) -
+                   CAST(tie3 AS DOUBLE) /
+                     (CAST(n_a + n_b AS DOUBLE) *
+                      (CAST(n_a + n_b AS DOUBLE) - 1.0))) / 12.0)) AS z
+         FROM a""",
+    "q_binning" ->
+      """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS cnt
+                    FROM lineitem GROUP BY 1),
+            c AS (SELECT v, cnt,
+                CAST(sum(cnt) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(cnt) OVER () AS BIGINT) AS n
+              FROM h)
+         SELECT ((cum - 1) * 10) // n AS bucket,
+                CAST(sum(cnt) AS BIGINT) AS n_rows,
+                min(v) AS min_v, max(v) AS max_v
+         FROM c GROUP BY 1""",
   )
 }

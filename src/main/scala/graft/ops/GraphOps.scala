@@ -424,4 +424,61 @@ object GraphOps {
     }
     visited
   }
+
+  /** Single-source shortest paths over nonnegative integer edge
+    * weights: Bellman-Ford rounds — each round min-merges the current
+    * distance vector with every one-edge relaxation, so after round r
+    * the vector holds exact shortest distances using ≤ r hops. Edge
+    * weight is the symmetric pure function ((src + dst) % 9) + 1 of
+    * the undirected pair (deterministic across engines and layouts).
+    * Runs to the fixpoint and THROWS if `maxRounds` arrives first: the
+    * oracle unrolls the same rounds as materialized CTEs, and unrolled
+    * rounds past the fixpoint are no-ops, so convergence is the
+    * contract that keeps both engines identical (the
+    * [[connectedComponents]] fixpoint-or-throw discipline).
+    *
+    * Scale: `bcastDist` broadcasts the 16 B/node distance vector into
+    * the edge join — the big edge list never shuffles, and the only
+    * exchange per round is the min re-aggregation keyed on node; pass
+    * false past broadcast budget for a shuffled join (the
+    * [[pageRankFixed]] `bcastRanks` escape hatch). Each round
+    * localCheckpoints the merged vector (per-round lineage
+    * truncation); the per-round improvement count is an aggregated
+    * driver-side scalar — the sanctioned convergence pattern.
+    * Output: (node, dist) for every node reachable from `source`.
+    */
+  def sssp(edges: DataFrame, source: Long, maxRounds: Int,
+           bcastDist: Boolean = true): DataFrame = {
+    require(maxRounds >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .union(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .select(col("src"), col("dst"),
+        (((col("src") + col("dst")) % 9) + 1).as("w"))
+      .localCheckpoint(true)
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val dd = if (bcastDist) broadcast(dist) else dist
+      val relax = sym.join(dd, sym("src") === dd("node"))
+        .select(sym("dst").as("node"), (dd("dist") + sym("w")).as("dist"))
+      val next = dist.union(relax)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      val old = dist.withColumnRenamed("dist", "od")
+      val improved = next.join(old, Seq("node"), "left_outer")
+        .filter(col("od").isNull || col("dist") < col("od")).count()
+      if (improved == 0L) converged = true else dist = next
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"sssp did not reach a fixpoint in $maxRounds rounds")
+    dist
+  }
 }

@@ -220,6 +220,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(full === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("sssp finds weighted shortest paths, light multi-hop beats heavy edge") {
+    import spark.implicits._
+    // Weights are ((src+dst)%9)+1: (1,2)=4 (2,3)=6 (1,3)=5 (3,4)=8
+    // (1,10)=3 (10,4)=6. Node 4: direct-ish route via 3 costs 5+8=13,
+    // the lighter 2-hop route via 10 costs 3+6=9 — the case BFS hop
+    // counting gets wrong. Disconnected {7,8} must never appear.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 10L),
+      (10L, 4L), (7L, 8L)).toDF("src", "dst")
+    val want = Map(1L -> 0L, 2L -> 4L, 3L -> 5L, 10L -> 3L, 4L -> 9L)
+    val got = GraphOps.sssp(edges, 1L, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // Shuffled-join fallback is bit-identical to the broadcast path.
+    val fb = GraphOps.sssp(edges, 1L, maxRounds = 8, bcastDist = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fb === want)
+    // A round budget below the fixpoint hop count must throw, not
+    // return a silently-unconverged vector.
+    assertThrows[IllegalStateException] {
+      GraphOps.sssp(edges, 1L, maxRounds = 1).collect()
+    }
+  }
+
   test("kCore keeps exactly the maximal k-degree subgraph, cascading peels") {
     import spark.implicits._
     // 4-clique {1,2,3,4} + chain 4-5-6: at k=3 the chain must peel in

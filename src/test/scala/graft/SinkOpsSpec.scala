@@ -26,6 +26,17 @@ class SinkOpsSpec extends SparkSpec {
     assert(one.count() === li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("zstd parquet writes .zstd.parquet part files and round-trips") {
+    val path = tmp("zstd")
+    val df = Seq((1L, "a", 2.5), (2L, "b", 4.0)).toDF("k", "s", "v")
+    df.write.option("compression", "zstd").parquet(path)
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".zstd.parquet")),
+      "every part file must carry the zstd codec infix")
+    assert(spark.read.parquet(path).collect().toSet === df.collect().toSet)
+  }
+
   test("writeCsv round-trips values with header") {
     val path = tmp("csv")
     val df = Seq((1L, "a", 2.5), (2L, "b", 4.0)).toDF("k", "s", "v")
