@@ -1245,6 +1245,13 @@ object SparkEntry {
     // Real audio codec: JDK WAV/PCM decode, exact sample sums.
     "q_multimodal_wav" -> ((s, d) =>
       MultimodalOps.wavDecodeStats(Tables.documents(s, d))),
+    // Frame-level audio features (64-sample frames: exact energy Σs²
+    // and zero-crossing counts) — the per-hop feature extraction a
+    // speech pipeline runs before any model. Oracle regenerates the
+    // synthetic PCM via lateral range() and replays the identical
+    // integer arithmetic.
+    "q_audio_frames" -> ((s, d) =>
+      MultimodalOps.audioFrameFeatures(Tables.documents(s, d))),
     // Real CONTAINER-level video demux (ISO BMFF box walk + sample
     // tables): frames extracted at stco/stsc/stsz-derived offsets, byte
     // sums over the extracted slices — a mis-parsed offset breaks the
@@ -1638,6 +1645,60 @@ object SparkEntry {
           expr("((cum - 1) * 10) div n").as("bucket"))
         .groupBy("bucket").agg(sum("cnt").as("n_rows"),
           min("v").as("min_v"), max("v").as("max_v"))
+    }),
+
+    // Small-file compaction round trip: fragment the source into 64
+    // shards (a landing zone's worth of tiny files), compact to 4
+    // right-sized files with one round-robin exchange (SinkOps
+    // .compact), read back and aggregate — the oracle on the source
+    // proves the rewrite is a pure layout change. File-count contract
+    // spec-asserted in SinkOpsSpec.
+    "q_compact" -> ((s, d) => {
+      val src = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      val frag = tmpPath("graft_compact_in", d)
+      src.repartition(64).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
+      val out = tmpPath("graft_compact_out", d)
+      SinkOps.compact(s, frag, out, 4)
+      s.read.parquet(out).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          AggOps.exactSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Kendall tau-b rank correlation — exact, at scale, via the same
+    // domain-compression discipline as q_mannwhitney: joint histogram
+    // over the (l_quantity ≤50 × l_linenumber ≤7) domain, then the
+    // concordant/discordant pair algebra runs on the ≤350-cell grid
+    // (the inequality self-join is a broadcast nested loop over
+    // constant-size data — never the raw table). Each unordered cell
+    // pair is counted once (strict x2 > x ordering); tie terms n1/n2
+    // from the marginals; tau-b's (n0−n1)(n0−n2) product exceeds int64
+    // at 100 TB row counts, so the final expression moves to IEEE
+    // doubles — association order mirrored in the oracle.
+    "q_kendall" -> ((s, d) => {
+      val h = Tables.lineitem(s, d)
+        .groupBy(col("l_quantity").cast("long").as("x"),
+          col("l_linenumber").cast("long").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val h2 = h.select(col("x").as("x2"), col("y").as("y2"),
+        col("c").as("c2"))
+      val pq = h.join(h2, (col("x2") > col("x")) &&
+          ((col("y2") > col("y")) || (col("y2") < col("y"))))
+        .agg(sum(when(col("y2") > col("y"), col("c") * col("c2"))
+            .otherwise(0L)).as("p_conc"),
+          sum(when(col("y2") < col("y"), col("c") * col("c2"))
+            .otherwise(0L)).as("q_disc"))
+      val nx = h.groupBy("x").agg(sum("c").as("tx"))
+        .agg(sum(expr("tx * (tx - 1) div 2")).as("n1"))
+      val ny = h.groupBy("y").agg(sum("c").as("ty"))
+        .agg(sum(expr("ty * (ty - 1) div 2")).as("n2"))
+      val nn = h.agg(sum("c").as("n"))
+      pq.crossJoin(nx).crossJoin(ny).crossJoin(nn)
+        .selectExpr("n", "p_conc", "q_disc", "n1", "n2",
+          """(CAST(p_conc AS DOUBLE) - CAST(q_disc AS DOUBLE)) /
+             sqrt(CAST(n * (n - 1) div 2 - n1 AS DOUBLE) *
+                  CAST(n * (n - 1) div 2 - n2 AS DOUBLE)) AS tau""")
     }),
   )
 
@@ -3371,5 +3432,58 @@ object SparkEntry {
                 CAST(sum(cnt) AS BIGINT) AS n_rows,
                 min(v) AS min_v, max(v) AS max_v
          FROM c GROUP BY 1""",
+    "q_compact" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_qty
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_audio_frames" ->
+      // Regenerate the synthetic PCM (one asset per input ROW — the
+      // q_multimodal_wav rid discipline) and replay the framing math:
+      // 64-sample frames, energy Σs², zero crossings on sign(s)=s≥0
+      // with no crossing charged at a frame's first sample.
+      """WITH d AS (SELECT doc_id, row_number() OVER () AS rid
+              FROM documents),
+            s AS (SELECT rid, doc_id,
+                unnest(range(64 + doc_id % 128)) AS i
+              FROM d),
+            v AS (SELECT rid, i, i // 64 AS frame_idx,
+                ((doc_id * 31 + i * 17) % 65536) - 32768 AS sv
+              FROM s),
+            z AS (SELECT rid, frame_idx, sv,
+                CASE WHEN lag(sv) OVER w IS NULL THEN 0
+                     WHEN (sv >= 0) <> (lag(sv) OVER w >= 0) THEN 1
+                     ELSE 0 END AS zc
+              FROM v
+              WINDOW w AS (PARTITION BY rid, frame_idx ORDER BY i)),
+            f AS (SELECT rid, frame_idx,
+                CAST(sum(sv * sv) AS BIGINT) AS energy2,
+                CAST(sum(zc) AS BIGINT) AS zcs
+              FROM z GROUP BY rid, frame_idx)
+         SELECT frame_idx, count(*) AS n_frames,
+                CAST(sum(energy2) AS BIGINT) AS sum_energy2,
+                CAST(sum(zcs) AS BIGINT) AS sum_zc
+         FROM f GROUP BY frame_idx""",
+    "q_kendall" ->
+      """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                CAST(l_linenumber AS BIGINT) AS y, count(*) AS c
+              FROM lineitem GROUP BY 1, 2),
+            pq AS (SELECT
+                CAST(sum(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS p_conc,
+                CAST(sum(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS q_disc
+              FROM h a JOIN h b
+                ON b.x > a.x AND (b.y > a.y OR b.y < a.y)),
+            nx AS (SELECT CAST(sum(tx * (tx - 1) // 2) AS BIGINT) AS n1
+              FROM (SELECT CAST(sum(c) AS BIGINT) AS tx FROM h GROUP BY x)),
+            ny AS (SELECT CAST(sum(ty * (ty - 1) // 2) AS BIGINT) AS n2
+              FROM (SELECT CAST(sum(c) AS BIGINT) AS ty FROM h GROUP BY y)),
+            nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h)
+         SELECT n, p_conc, q_disc, n1, n2,
+                (CAST(p_conc AS DOUBLE) - CAST(q_disc AS DOUBLE)) /
+                sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE) *
+                     CAST(n * (n - 1) // 2 - n2 AS DOUBLE)) AS tau
+         FROM pq, nx, ny, nn""",
   )
 }

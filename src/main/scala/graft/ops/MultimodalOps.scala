@@ -365,6 +365,52 @@ object MultimodalOps {
         sum("n_samples").as("sum_samples"), sum("sample_sum").as("sum_amp"))
   }
 
+  /** The q_audio_frames query surface: frame-level feature extraction —
+    * what a speech pipeline computes per hop before any model sees the
+    * audio. Each decoded WAV is cut into 64-sample frames; per frame,
+    * energy (Σ s², exact int64 — 64·32768² ≈ 6.9e10) and zero-crossing
+    * count (sign(s_i) ≠ sign(s_{i−1}) within the frame, sign = s ≥ 0).
+    * Corpus rollup per frame index. The samples are the closed-form
+    * synthetic PCM (syntheticWav), so the DuckDB oracle regenerates
+    * them with a lateral range() and replays the identical integer
+    * arithmetic — proof the decode + framing ran, not header math.
+    * Map-side decode, one aggregation exchange.
+    */
+  def audioFrameFeatures(docs: DataFrame, frameLen: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .flatMap { id =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(syntheticWav(id)))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"asset $id: unexpected wav format $fmt")
+        val n = ais.getFrameLength.toInt
+        val bytes = ais.readAllBytes()
+        require(bytes.length == n * 2, s"asset $id: short read")
+        val samples = Array.tabulate(n)(i =>
+          ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong)
+        (0 until (n + frameLen - 1) / frameLen).map { fi =>
+          val lo = fi * frameLen
+          val hi = math.min(lo + frameLen, n)
+          var e = 0L; var zc = 0L
+          var i = lo
+          while (i < hi) {
+            e += samples(i) * samples(i)
+            if (i > lo && (samples(i) >= 0L) != (samples(i - 1) >= 0L))
+              zc += 1
+            i += 1
+          }
+          (fi.toLong, e, zc)
+        }
+      }
+      .toDF("frame_idx", "energy2", "zc")
+      .groupBy("frame_idx")
+      .agg(count(lit(1)).as("n_frames"),
+        sum("energy2").as("sum_energy2"), sum("zc").as("sum_zc"))
+  }
+
   // ---- real MP4 container demux tier (pure-JVM ISO BMFF, see Mp4) ----
 
   /** The q_multimodal_video query surface: synthesize real ISO BMFF

@@ -82,4 +82,21 @@ object SinkOps {
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table) // managed: lives under spark.sql.warehouse.dir
+
+  /** Small-file compaction — the lakehouse maintenance op: a landing
+    * zone accumulating thousands of tiny files (one per micro-batch /
+    * ingest task) is rewritten into `targetFiles` right-sized files
+    * with ONE round-robin repartition exchange; no data is inspected,
+    * reordered, or dropped, so the rewrite is a pure layout change.
+    * At 100 TB the target count comes from size: total bytes /
+    * desired file size (e.g. 512 MB) — the caller decides; coalesce
+    * is deliberately NOT used (it caps read parallelism by gluing
+    * input partitions instead of rebalancing them).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetFiles: Int): Unit = {
+    require(targetFiles >= 1)
+    spark.read.parquet(inPath).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
 }

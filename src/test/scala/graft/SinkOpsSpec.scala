@@ -37,6 +37,18 @@ class SinkOpsSpec extends SparkSpec {
     assert(spark.read.parquet(path).collect().toSet === df.collect().toSet)
   }
 
+  test("compact rewrites a fragmented dir into the target file count") {
+    val frag = tmp("compact-in"); val out = tmp("compact-out")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    li.repartition(16).write.parquet(frag)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(frag) === 16)
+    graft.ops.SinkOps.compact(spark, frag, out, 3)
+    assert(parts(out) === 3, "compaction must hit the target file count")
+    assert(spark.read.parquet(out).count() === li.count())
+  }
+
   test("writeCsv round-trips values with header") {
     val path = tmp("csv")
     val df = Seq((1L, "a", 2.5), (2L, "b", 4.0)).toDF("k", "s", "v")
