@@ -1666,6 +1666,67 @@ object SparkEntry {
           AggOps.exactSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Last-touch marketing attribution: every purchase is attributed
+    // to the same user's most recent click (as-of backward join — ONE
+    // shuffle via the union-merge JoinOps.asofJoin), a 7-day horizon
+    // drops stale attributions, and the deliverable is the rollup by
+    // recency bucket with exact floor-cents revenue. The composition
+    // analytics teams actually run, expressed over the same as-of
+    // machinery q_join_asof pins.
+    "q_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          EventOps.microsOf(ev, "ts").as("tus"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          EventOps.microsOf(ev, "ts").as("click_us"))
+      val day = 86400000000L
+      JoinOps.asofJoin(buys, clicks, "user_id", "tus", "click_us",
+          "click_id")
+        .withColumn("gap_us", col("tus") - col("click_us"))
+        .filter(col("gap_us") <= lit(7L * day))
+        .select(when(col("gap_us") < lit(day), "1d")
+            .when(col("gap_us") < lit(3L * day), "3d")
+            .otherwise("7d").as("bucket"),
+          col("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_attributed"), sum("cents").as("sum_cents"))
+    }),
+
+    // One BPE merge step — the unit of tokenizer TRAINING (the loop a
+    // BPE trainer runs ~50k times): corpus → word frequency table →
+    // adjacent symbol-pair counts (weighted by word freq, overlapping
+    // adjacents — the classic get_stats) → argmax pair with a
+    // deterministic (count desc, pair asc) tie-break → greedy
+    // non-overlapping merge applied via replace() (left-to-right, the
+    // same greedy order both engines implement), shrinking each word's
+    // symbol count by its merge count. Scale shape: everything after
+    // the word-frequency agg runs on the compressed vocab (|distinct
+    // words|, not |corpus|); the 1-row best pair attaches by broadcast
+    // crossJoin. Words are restricted to ^[a-z]+$ post-lower so the
+    // symbol alphabet is engine-identical.
+    "q_bpe_step" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), TextOps.WsRegex)).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val best = words
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("p"))
+        .groupBy("p").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("p").asc).limit(1)
+        .select(col("p").as("merge_pair"), col("cnt").as("pair_count"))
+      words.crossJoin(best)
+        .groupBy("merge_pair", "pair_count")
+        .agg(count(lit(1)).as("vocab_words"),
+          sum(col("f") * length(col("w"))).as("symbols_before"),
+          sum(col("f") * length(expr("replace(w, merge_pair, 'Z')")))
+            .as("symbols_after"))
+    }),
+
     // Kendall tau-b rank correlation — exact, at scale, via the same
     // domain-compression discipline as q_mannwhitney: joint histogram
     // over the (l_quantity ≤50 × l_linenumber ≤7) domain, then the
@@ -3464,6 +3525,42 @@ object SparkEntry {
                 CAST(sum(energy2) AS BIGINT) AS sum_energy2,
                 CAST(sum(zcs) AS BIGINT) AS sum_zc
          FROM f GROUP BY frame_idx""",
+    "q_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+                CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, event_id AS click_id, epoch_us(ts)
+                  AS click_us
+              FROM events WHERE event_type = 'click'),
+            j AS (SELECT p.event_id, p.cents, p.tus - c.click_us AS gap_us,
+                ROW_NUMBER() OVER (
+                  PARTITION BY p.event_id, p.user_id, p.tus
+                  ORDER BY c.click_us DESC, c.click_id DESC) AS rn
+              FROM p JOIN c USING (user_id) WHERE c.click_us <= p.tus),
+            a AS (SELECT CASE WHEN gap_us < 86400000000 THEN '1d'
+                       WHEN gap_us < 3 * 86400000000 THEN '3d'
+                       ELSE '7d' END AS bucket, cents
+              FROM j WHERE rn = 1 AND gap_us <= 7 * 86400000000)
+         SELECT bucket, count(*) AS n_attributed,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM a GROUP BY bucket""",
+    "q_bpe_step" ->
+      s"""WITH w0 AS (SELECT unnest(string_split_regex(lower(text),
+                  '${OracleSql.Ws}')) AS w FROM documents),
+            words AS (SELECT w, count(*) AS f FROM w0
+              WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2
+              GROUP BY w),
+            pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS p,
+                CAST(sum(f) AS BIGINT) AS cnt
+              FROM words, unnest(range(1, length(w))) t(i)
+              GROUP BY 1),
+            best AS (SELECT p AS merge_pair, cnt AS pair_count FROM pairs
+              ORDER BY cnt DESC, p ASC LIMIT 1)
+         SELECT merge_pair, pair_count, count(*) AS vocab_words,
+                CAST(sum(f * length(w)) AS BIGINT) AS symbols_before,
+                CAST(sum(f * length(replace(w, merge_pair, 'Z')))
+                  AS BIGINT) AS symbols_after
+         FROM words, best GROUP BY merge_pair, pair_count""",
     "q_kendall" ->
       """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS x,
                 CAST(l_linenumber AS BIGINT) AS y, count(*) AS c
