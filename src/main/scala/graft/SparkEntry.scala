@@ -1409,7 +1409,7 @@ object SparkEntry {
 
     // Exact phi-heavy-hitters over a synthesized skewed key (30% of
     // rows concentrated on three hot keys, the q_join_salted fixture
-    // pattern): SpaceSaving candidates per partition, broadcast
+    // pattern): Misra-Gries candidates per partition, broadcast
     // semi-join, exact count verify — the full key domain never
     // shuffles.
     "q_heavy_hitters" -> ((s, d) => {
@@ -1664,6 +1664,101 @@ object SparkEntry {
       s.read.parquet(out).groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           AggOps.exactSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Gini coefficient of the event-value distribution — the standard
+    // inequality/concentration metric (is 1% of users 99% of spend?).
+    // Domain-compressed exact computation: per-distinct-cents counts
+    // (map-side combined), then the weighted-rank algebra over the
+    // ≤|cents domain| rows — a tie-group occupying ranks r+1..r+k
+    // contributes c·(k·r + k(k+1)/2) to Σ rank·x, all exact int64; the
+    // classic G = 2Σ/(nS) − (n+1)/n closes in fixed IEEE at the end.
+    // Ranks are never materialized per row.
+    "q_gini" -> ((s, d) => {
+      val h = Tables.events(s, d)
+        .select(floor(col("value") * 100).cast("long").as("c"))
+        .filter(col("c") >= 1)
+        .groupBy("c").agg(count(lit(1)).as("k"))
+      val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+      h.select(col("c"), col("k"),
+          coalesce(sum("k").over(w), lit(0L)).as("r"))
+        .agg(sum("k").as("n"), sum(col("c") * col("k")).as("s_cents"),
+          sum(col("c") * (col("k") * col("r") + expr("k * (k + 1) div 2")))
+            .as("t_rank"))
+        .selectExpr("n", "s_cents", "t_rank",
+          """2.0 * CAST(t_rank AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(s_cents AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini""")
+    }),
+
+    // Benford first-digit profile — the bulk fraud/corruption smoke
+    // test over any monetary column: observed counts + integer-ppm
+    // shares of the leading digit of exact cents (int64 → string is
+    // engine-identical; no float formatting is ever parsed). 9 rows
+    // out of one map-side-combined agg at any scale.
+    "q_benford" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .filter(col("cents") >= 1)
+        .select(substring(col("cents").cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000) div sum(n) over ()").as("ppm"))),
+
+    // Lag-7 autocorrelation of the daily mean order value — the
+    // weekly-seasonality detector. The series is the per-day rollup
+    // (domain compression to ≤|days| rows), pairs align by date
+    // arithmetic (day = day−7), and the Pearson correlation comes from
+    // exact integer moments — the q_agg_corr discipline. The series is
+    // the integer-div MEAN in whole dollars, not the cents total, so
+    // every moment stays below 2^53 at ANY scale factor (bounded by
+    // the price range × |days|, not row count): a DECIMAL whose value
+    // exceeds 2^53 converts to double differently across engines
+    // (DuckDB's conversion is not correctly rounded), which a 1-ulp
+    // hash gate turns into a red row.
+    "q_autocorr" -> ((s, d) => {
+      val ser = Tables.orders(s, d)
+        .select(col("o_orderdate").cast("date").as("day"),
+          floor(col("o_totalprice")).cast("long").as("dollars"))
+        .groupBy("day").agg(expr("sum(dollars) div count(1)").as("x"))
+      val a = ser.select(col("day"), col("x"))
+      val b = ser.select(col("day").as("bday"), col("x").as("y"))
+      a.join(b, a("day") === date_add(col("bday"), 7))
+        .agg(count(lit(1)).as("n"),
+          AggOps.exactSum(col("x"), 0).as("sx"),
+          AggOps.exactSum(col("y"), 0).as("sy"),
+          AggOps.exactSum(col("x") * col("y"), 0).as("sxy"),
+          AggOps.exactSum(col("x") * col("x"), 0).as("sxx"),
+          AggOps.exactSum(col("y") * col("y"), 0).as("syy"))
+        .select(col("n"),
+          ((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+            sqrt((col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))) *
+              (col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))))
+            .as("corr_l7"))
+    }),
+
+    // Naive Bayes training counts — the quality-classifier trainer's
+    // sufficient statistics: per-(lang, token) counts with
+    // Laplace-smoothed likelihoods in integer ppm ((cnt+1)·10⁶ div
+    // (langTotal + vocab) — no libm), capped to the top-20 tokens per
+    // class by a deterministic (count desc, token asc) rank. Heavy
+    // work is two token-keyed aggs; the smoothing constants attach as
+    // 1-row broadcasts.
+    "q_nb_train" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(split(lower(col("text")), TextOps.WsRegex)).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+      val cnt = toks.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("lang").agg(sum("cnt").as("tot"))
+      val voc = cnt.agg(countDistinct("w").as("vocab"))
+      val rk = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("w").asc)
+      cnt.join(tot, "lang").crossJoin(voc)
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 20)
+        .select(col("lang"), col("w"), col("cnt"), col("rk"),
+          expr("((cnt + 1) * 1000000) div (tot + vocab)").as("ppm"))
     }),
 
     // Last-touch marketing attribution: every purchase is attributed
@@ -3525,6 +3620,73 @@ object SparkEntry {
                 CAST(sum(energy2) AS BIGINT) AS sum_energy2,
                 CAST(sum(zcs) AS BIGINT) AS sum_zc
          FROM f GROUP BY frame_idx""",
+    "q_gini" ->
+      """WITH h AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c,
+                count(*) AS k
+              FROM events WHERE floor(value * 100) >= 1 GROUP BY 1),
+            t AS (SELECT c, k,
+                CAST(coalesce(sum(k) OVER (ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS r
+              FROM h),
+            a AS (SELECT CAST(sum(k) AS BIGINT) AS n,
+                CAST(sum(c * k) AS BIGINT) AS s_cents,
+                CAST(sum(c * (k * r + k * (k + 1) // 2)) AS BIGINT)
+                  AS t_rank
+              FROM t)
+         SELECT n, s_cents, t_rank,
+                2.0 * CAST(t_rank AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(s_cents AS DOUBLE))
+                - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+         FROM a""",
+    "q_benford" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)
+                  AS cents
+              FROM lineitem WHERE floor(l_extendedprice * 100) >= 1),
+            d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+                count(*) AS n
+              FROM c GROUP BY 1)
+         SELECT digit, n,
+                CAST((n * 1000000) // CAST(sum(n) OVER () AS BIGINT)
+                  AS BIGINT) AS ppm
+         FROM d""",
+    "q_autocorr" ->
+      """WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                  AS BIGINT) // count(*) AS BIGINT) AS x
+              FROM orders GROUP BY 1),
+            p AS (SELECT a.x, b.x AS y
+              FROM ser a JOIN ser b ON a.day = b.day + 7),
+            m AS (SELECT count(*) AS n,
+                CAST(sum(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(y AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(x * y AS DECIMAL(28,0))) AS DOUBLE) AS sxy,
+                CAST(sum(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(y * y AS DECIMAL(28,0))) AS DOUBLE) AS syy
+              FROM p)
+         SELECT n,
+                (sxy / n - (sx / n) * (sy / n)) /
+                sqrt((sxx / n - (sx / n) * (sx / n)) *
+                     (syy / n - (sy / n) * (sy / n))) AS corr_l7
+         FROM m""",
+    "q_nb_train" ->
+      s"""WITH toks AS (SELECT lang,
+                unnest(string_split_regex(lower(text), '${OracleSql.Ws}'))
+                  AS w
+              FROM documents),
+            cnt AS (SELECT lang, w, count(*) AS cnt FROM toks
+              WHERE regexp_full_match(w, '[a-z]+') GROUP BY 1, 2),
+            tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot
+              FROM cnt GROUP BY 1),
+            voc AS (SELECT count(DISTINCT w) AS vocab FROM cnt),
+            rk AS (SELECT c.lang, c.w, c.cnt, t.tot,
+                row_number() OVER (PARTITION BY c.lang
+                  ORDER BY c.cnt DESC, c.w ASC) AS rk
+              FROM cnt c JOIN tot t USING (lang))
+         SELECT lang, w, cnt, rk,
+                CAST(((cnt + 1) * 1000000) // (tot + vocab) AS BIGINT)
+                  AS ppm
+         FROM rk, voc WHERE rk <= 20""",
     "q_attribution" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
                 CAST(floor(value * 100) AS BIGINT) AS cents

@@ -442,7 +442,7 @@ class RelOpsSpec extends SparkSpec {
   test("heavyHitters matches the exact groupBy-HAVING answer under forced eviction") {
     import spark.implicits._
     // k=2 -> cap=16 counters per partition, but 100 distinct cold keys
-    // force SpaceSaving evictions; the planted hot key holds 60% of
+    // force Misra-Gries decrement sweeps; the planted hot key holds 60% of
     // rows. The exact verify phase must reproduce the ground truth
     // regardless of which candidates the sketch emitted.
     val rows = (1L to 150L).map(i => if (i <= 90) 7L else i) // 90x key 7
