@@ -1106,6 +1106,15 @@ object SparkEntry {
     "q_stream_windowed" -> ((s, d) =>
       graft.streaming.StreamOps.windowedReplay(Tables.events(s, d),
         tmpPath("graft_stream_events", d))),
+    // Exactly-once PARQUET FILE sink: the same windowed rollup landed
+    // on a lake directory through the _spark_metadata commit log +
+    // checkpoint (append mode, sentinel-flushed) — the durability
+    // contract memory-sink replays can't prove. Own staging dir (the
+    // flush sentinel slice differs from the shared-corpus replays').
+    "q_stream_file_sink" -> ((s, d) =>
+      graft.streaming.StreamOps.fileSinkReplay(Tables.events(s, d),
+        tmpPath("graft_stream_fsink", d),
+        tmpPath("graft_fsink_out", d))),
     // Watermark late-data EXCLUSION under a real 30-min delay: batch 1
     // replays first-day events as new ids — all below the watermark,
     // all provably dropped (leaks double early windows; over-eviction
@@ -1645,6 +1654,27 @@ object SparkEntry {
           expr("((cum - 1) * 10) div n").as("bucket"))
         .groupBy("bucket").agg(sum("cnt").as("n_rows"),
           min("v").as("min_v"), max("v").as("max_v"))
+    }),
+
+    // Custom record-delimiter text round trip (lineSep = ASCII RS,
+    // U+001E): the log-shard format where records are NOT
+    // newline-framed — multi-line payloads stay single records, the
+    // framing byte-range split contract the offset-text source pins
+    // for \n. Write and read both use the custom delimiter; the
+    // aggregate equals the source-table derivation (oracle), proving
+    // the framing lossless.
+    "q_source_linesep" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(
+        concat_ws("|", col("doc_id"), md5(col("text"))).as("value"))
+      val out = tmpPath("graft_linesep", d)
+      src.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("lineSep", "\u001e").text(out)
+      s.read.option("lineSep", "\u001e").text(out)
+        .select(split(col("value"), "\\|").as("p"))
+        .select(col("p").getItem(0).cast("long").as("doc_id"),
+          col("p").getItem(1).as("h"))
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+          min("h").as("min_md5"), max("h").as("max_md5"))
     }),
 
     // Small-file compaction round trip: fragment the source into 64
@@ -3273,6 +3303,13 @@ object SparkEntry {
                 COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
          FROM e GROUP BY 1, 2""",
+    // The file-sink landing of the same rollup must read back equal.
+    "q_stream_file_sink" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events)
+         SELECT (tus // 600000000) * 600000000 AS w_start_us, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+         FROM e GROUP BY 1, 2""",
     // Original events only (the late replays must all drop), restricted
     // to windows whose end ≤ final watermark (max event time − 30 min —
     // append mode emits exactly those).
@@ -3588,6 +3625,10 @@ object SparkEntry {
                 CAST(sum(cnt) AS BIGINT) AS n_rows,
                 min(v) AS min_v, max(v) AS max_v
          FROM c GROUP BY 1""",
+    "q_source_linesep" ->
+      """SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+         FROM documents""",
     "q_compact" ->
       """SELECT l_returnflag, count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)

@@ -969,6 +969,60 @@ object StreamOps {
         col("event_type"), col("total"), col("peak"), col("n_inner"))
   }
 
+  /** Streaming PARQUET FILE sink with exactly-once commit semantics —
+    * the durability surface memory-sink replays can't prove. Each
+    * micro-batch's output files become visible only through the file
+    * sink's `_spark_metadata` commit log: `spark.read.parquet` on the
+    * sink dir lists committed files (a crashed batch's stray parts are
+    * invisible), and the checkpoint ties batch ids to commits so a
+    * retried batch cannot double-write — the production contract for
+    * landing streaming output on a lake. Append-mode windowed counts
+    * (a window emits exactly once, when the watermark passes its end,
+    * so files are never rewritten); the far-future sentinel slice
+    * (pinned mtimes, delivered strictly last — the q_stream_chained
+    * flush discipline) pushes the final watermark past every real
+    * window. Re-running against the same checkpoint emits nothing new
+    * and returns the identical committed result — exactly-once resume,
+    * exercised for free by the bench's repeated passes. The read-back
+    * equals the batch windowed rollup (oracle = the q_stream_windowed
+    * closed form).
+    */
+  def fileSinkReplay(events: DataFrame, stagingDir: String,
+                     outDir: String, window: String = "10 minutes",
+                     watermark: String = "30 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    drainSpent(spark)
+    if (StagedDirs.add(stagingDir)) {
+      val ev = stagingShape(events)
+      writeSliceFile(ev, stagingDir, 0)
+      val sentinel = ev.agg(max("tus").as("m"))
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          (col("m") + 365L * 86400000000L).as("tus"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"))
+      writeSliceFile(sentinel, stagingDir, 1)
+    }
+    val schema = spark.read.parquet(stagingDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val result = windowedCounts(stream, window, watermark)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = result.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", outDir + "_chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_micros(col("w_start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
   /** Sliding-window replay (q_stream_sliding): 10-minute windows every
     * 5 minutes — epoch-aligned, so the oracle enumerates each event's
     * TWO covering window starts ((t div slide)·slide and its
