@@ -1696,6 +1696,57 @@ object SparkEntry {
           AggOps.exactSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Empirical-CDF quantile normalization — the rank-based feature
+    // transform (quantile normalization without a gaussian table):
+    // each value maps to its inclusive CDF position in integer ppm.
+    // Domain-compressed: the CDF is built over the ≤|cents domain|
+    // rows and BROADCAST back onto the fact table — events never
+    // shuffle, the transform is a map-side join at any scale.
+    "q_quantile_norm" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val hmap = ev.groupBy("cents").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+      val cdf = hmap.select(col("cents"), sum("cnt").over(w).as("cum"),
+          expr("sum(cnt) over ()").as("n"))
+        .select(col("cents"), expr("(cum * 1000000) div n").as("cdf_ppm"))
+      ev.join(broadcast(cdf), "cents")
+        .select(col("event_id"), col("cents"), col("cdf_ppm"))
+    }),
+
+    // Hashing-trick vectorizer (feature hashing): token → fixed
+    // 1024-bucket id via the shared hash60 — the vocabulary-free
+    // featurization that needs NO dictionary shuffle or vocab
+    // broadcast at 100 TB (the hash IS the feature id). Per-bucket
+    // occupancy + distinct-term collision diagnostic; 1024 rows out.
+    "q_feature_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), TextOps.WsRegex)).as("w"))
+        .filter(col("w") =!= "")
+        .select((TextOps.hash60(concat(lit("fh-"), col("w"))) % 1024)
+          .as("bucket"), col("w"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_tokens"),
+          countDistinct("w").as("n_terms"))),
+
+    // Class-balanced downsampling: every lang class is cut to the
+    // smallest class's size by keeping the m docs with the smallest
+    // deterministic hash — a uniform, reproducible, shuffle-once
+    // balancer (the class-imbalance fix before classifier training).
+    // The 1-row min-count attaches by broadcast; ties break on doc_id.
+    "q_class_balance" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextOps.hash60(concat(lit("bal-"), col("doc_id"))).as("hk"))
+      val m = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("m"))
+      val rk = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+      docs.withColumn("rk", row_number().over(rk))
+        .crossJoin(broadcast(m))
+        .filter(col("rk") <= col("m"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+          sum("doc_id").as("id_sum"))
+    }),
+
     // Gini coefficient of the event-value distribution — the standard
     // inequality/concentration metric (is 1% of users 99% of spend?).
     // Domain-compressed exact computation: per-distinct-cents counts
@@ -3661,6 +3712,42 @@ object SparkEntry {
                 CAST(sum(energy2) AS BIGINT) AS sum_energy2,
                 CAST(sum(zcs) AS BIGINT) AS sum_zc
          FROM f GROUP BY frame_idx""",
+    "q_quantile_norm" ->
+      """WITH e AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT)
+                  AS cents FROM events),
+            h AS (SELECT cents, count(*) AS cnt FROM e GROUP BY 1),
+            cdf AS (SELECT cents,
+                CAST((CAST(sum(cnt) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) * 1000000)
+                  // CAST(sum(cnt) OVER () AS BIGINT) AS BIGINT)
+                  AS cdf_ppm
+              FROM h)
+         SELECT e.event_id, e.cents, cdf.cdf_ppm
+         FROM e JOIN cdf USING (cents)""",
+    "q_feature_hash" ->
+      s"""WITH t AS (SELECT unnest(string_split_regex(lower(text),
+                  '${OracleSql.Ws}')) AS w FROM documents),
+            b AS (SELECT ${OracleSql.hash60("'fh-' || w")} % 1024
+                  AS bucket, w
+              FROM t WHERE w <> '')
+         SELECT bucket, count(*) AS n_tokens,
+                count(DISTINCT w) AS n_terms
+         FROM b GROUP BY bucket""",
+    "q_class_balance" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+                ${OracleSql.hash60("'bal-' || CAST(doc_id AS VARCHAR)")}
+                  AS hk
+              FROM documents),
+            m AS (SELECT min(cnt) AS m FROM
+              (SELECT count(*) AS cnt FROM d GROUP BY lang)),
+            r AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY hk, doc_id) AS rk
+              FROM d)
+         SELECT lang, count(*) AS n_kept,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM r, m WHERE rk <= m GROUP BY lang""",
     "q_gini" ->
       """WITH h AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c,
                 count(*) AS k
