@@ -1696,6 +1696,58 @@ object SparkEntry {
           AggOps.exactSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Rolling 7-day active users (WAU) — THE product-health series.
+    // Scale shape: events first reduce to distinct (day, user) — the
+    // only heavy shuffle — then each pair expands to the ≤7 window
+    // days it supports and a second distinct+count runs on the reduced
+    // set; the trailing horizon attaches as a 1-row broadcast max.
+    "q_wau" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val du = ev.select(
+          EventOps.microsOf(ev, "ts").as("tus"), col("user_id"))
+        .select(expr("tus div 86400000000").as("day"), col("user_id"))
+        .distinct()
+      val mx = du.agg(max("day").as("m"))
+      du.select(explode(expr("sequence(day, day + 6)")).as("wday"),
+          col("user_id"))
+        .distinct()
+        .crossJoin(broadcast(mx))
+        .filter(col("wday") <= col("m"))
+        .groupBy("wday").agg(count(lit(1)).as("wau"))
+    }),
+
+    // 2-D skyline (Pareto frontier) of orders on (max price, min
+    // date): the classic multi-criteria operator relational engines
+    // lack. Spark runs SortOps.skyline2D's two-phase shape (bucketed
+    // prune drops dominated rows map-side; the exact window sees only
+    // the sliver); the oracle runs the naive one-window formulation —
+    // pruning is semantics-preserving, so they must agree exactly.
+    "q_skyline" -> ((s, d) =>
+      SortOps.skyline2D(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+          col("o_orderdate").cast("date").as("day")),
+        "price_c", "day")),
+
+    // CUSUM changepoint scan over the daily mean-dollar series: the
+    // level-shift detector — max |running Σ(x−μ)| marks the most
+    // likely change day. Integer μ (floor mean) keeps every partial
+    // sum exact int64; the argmax tie-breaks on earliest day. All
+    // window work runs on the ≤|days| compressed series.
+    "q_changepoint" -> ((s, d) => {
+      val ser = Tables.orders(s, d)
+        .select(col("o_orderdate").cast("date").as("day"),
+          floor(col("o_totalprice")).cast("long").as("dollars"))
+        .groupBy("day").agg(expr("sum(dollars) div count(1)").as("x"))
+      val mu = ser.agg(expr("sum(x) div count(1)").as("mu"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      ser.crossJoin(broadcast(mu))
+        .select(col("day"), sum(col("x") - col("mu")).over(w).as("s"))
+        .select(col("day"), abs(col("s")).as("dev"))
+        .orderBy(col("dev").desc, col("day").asc).limit(1)
+        .select(col("day").cast("string").as("cp_day"), col("dev"))
+    }),
+
     // Empirical-CDF quantile normalization — the rank-based feature
     // transform (quantile normalization without a gaussian table):
     // each value maps to its inclusive CDF position in integer ppm.
@@ -3712,6 +3764,47 @@ object SparkEntry {
                 CAST(sum(energy2) AS BIGINT) AS sum_energy2,
                 CAST(sum(zcs) AS BIGINT) AS sum_zc
          FROM f GROUP BY frame_idx""",
+    "q_wau" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                user_id FROM events),
+            mx AS (SELECT max(day) AS m FROM du),
+            e AS (SELECT DISTINCT day + i AS wday, user_id
+              FROM du, range(0, 7) t(i))
+         SELECT wday, count(*) AS wau
+         FROM e, mx WHERE wday <= m GROUP BY wday""",
+    "q_skyline" ->
+      // Naive one-window formulation: dominance via two value-RANGE
+      // frames on the price total order (strictly-higher / tied-or-
+      // higher). The Spark side prunes first (skyline2D) — the result
+      // set is identical by construction.
+      """WITH o AS (SELECT o_orderkey,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c,
+                CAST(o_orderdate AS DATE) AS day
+              FROM orders),
+            m AS (SELECT o_orderkey, price_c, day,
+                min(day) OVER (ORDER BY price_c DESC
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS m1,
+                min(day) OVER (ORDER BY price_c DESC
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS m2
+              FROM o)
+         SELECT o_orderkey, price_c, day
+         FROM m WHERE (m1 IS NULL OR m1 > day) AND m2 >= day""",
+    "q_changepoint" ->
+      """WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                  AS BIGINT) // count(*) AS BIGINT) AS x
+              FROM orders GROUP BY 1),
+            mu AS (SELECT CAST(CAST(sum(x) AS BIGINT) // count(*)
+                  AS BIGINT) AS mu FROM ser),
+            c AS (SELECT day,
+                abs(CAST(sum(x - mu) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT)) AS dev
+              FROM ser, mu)
+         SELECT CAST(day AS VARCHAR) AS cp_day, dev
+         FROM c ORDER BY dev DESC, day ASC LIMIT 1""",
     "q_quantile_norm" ->
       """WITH e AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT)
                   AS cents FROM events),

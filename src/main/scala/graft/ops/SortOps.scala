@@ -57,4 +57,50 @@ object SortOps {
       .sortWithinPartitions("_z")
       .drop("_z")
   }
+
+  /** 2-D skyline (Pareto frontier): rows not dominated on
+    * (maximize `xCol`, minimize `yCol`) — a dominates b when a.x ≥ b.x,
+    * a.y ≤ b.y, strict in at least one. Two phases:
+    *
+    * Phase 1 (scalable prune): bucket x by `bucketWidth`, take each
+    * bucket's min-y, and compute per bucket the running min-y over all
+    * STRICTLY higher buckets (a tiny |buckets|-row window, broadcast
+    * back). Any row whose y is ≥ that bound is dominated by a
+    * concretely-existing higher-x row and is dropped map-side — the
+    * full table never reaches a global window. Pruning is
+    * semantics-preserving (it only removes dominated rows), so the
+    * oracle can run the naive one-window formulation and must agree.
+    *
+    * Phase 2 (exact, small): over the surviving sliver, two value-RANGE
+    * frames on the x total order decide dominance exactly — strictly
+    * higher x with y ≤ mine, or tied-or-higher x with y < mine (the
+    * frame including ties covers the equal-x strict-y case; a row never
+    * dominates itself since y < y is false). Duplicate (x, y) points
+    * all survive together, deterministically.
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+                bucketWidth: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("_bk",
+      expr(s"CAST($xCol AS BIGINT) div $bucketWidth"))
+    val wb = Window.orderBy(col("_bk").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val bounds = b.groupBy("_bk")
+      .agg(min(col(yCol)).as("_bmin"))
+      .withColumn("_hmin", min(col("_bmin")).over(wb))
+      .select(col("_bk"), col("_hmin"))
+    val survivors = b.join(broadcast(bounds), Seq("_bk"))
+      .filter(col("_hmin").isNull || col(yCol) < col("_hmin"))
+      .drop("_bk", "_hmin")
+    val strictHigher = Window.orderBy(col(xCol).desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val tiedOrHigher = Window.orderBy(col(xCol).desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors
+      .withColumn("_m1", min(col(yCol)).over(strictHigher))
+      .withColumn("_m2", min(col(yCol)).over(tiedOrHigher))
+      .filter((col("_m1").isNull || col("_m1") > col(yCol)) &&
+        col("_m2") >= col(yCol))
+      .drop("_m1", "_m2")
+  }
 }

@@ -451,6 +451,22 @@ class RelOpsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 90L)))
   }
 
+  test("skyline2D keeps exactly the Pareto frontier, ties included") {
+    import spark.implicits._
+    // Maximize x, minimize y. Frontier: (12,9); (10,5); the duplicate
+    // (8,3) pair BOTH survive; (3,1). (10,7) falls to the tied-x
+    // stricter-y rule; (6,4) falls to (8,3). bucketWidth=4 forces the
+    // phase-1 prune to actually fire (it must drop (6,4) map-side).
+    val pts = Seq((1L, 10L, 5L), (2L, 10L, 7L), (3L, 8L, 3L), (4L, 8L, 3L),
+      (5L, 6L, 4L), (6L, 12L, 9L), (7L, 3L, 1L)).toDF("id", "x", "y")
+    val got = graft.ops.SortOps.skyline2D(pts, "x", "y", bucketWidth = 4L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L, 4L, 6L, 7L))
+    // empty input -> empty frontier, no window errors
+    val empty = Seq.empty[(Long, Long, Long)].toDF("id", "x", "y")
+    assert(graft.ops.SortOps.skyline2D(empty, "x", "y").count() === 0L)
+  }
+
   test("coOccurrence counts unordered pair support across baskets") {
     import spark.implicits._
     // Basket 1 holds {10,20,30} (with a duplicate 10-line that must not
