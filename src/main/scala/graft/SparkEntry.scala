@@ -1696,6 +1696,100 @@ object SparkEntry {
           AggOps.exactSum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Winsorized robust statistics: exact p1/p99 order statistics from
+    // the compressed cents domain (discrete percentile = smallest value
+    // whose inclusive cumulative count reaches ceil(n·p/100) — the
+    // histogramQuantiles rank-target convention), values clipped to
+    // the fences, exact clipped sum + IEEE mean. The 1-row threshold
+    // frame attaches by broadcast; events never shuffle.
+    "q_winsorize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(floor(col("value") * 100).cast("long").as("c"))
+      val h = ev.groupBy("c").agg(count(lit(1)).as("k"))
+      val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+      val thr = h.select(col("c"), sum("k").over(w).as("cum"),
+          expr("sum(k) over ()").as("n"))
+        .agg(min(when(col("cum") >= expr("(n * 1 + 99) div 100"), col("c")))
+            .as("p01_c"),
+          min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("c")))
+            .as("p99_c"))
+      ev.crossJoin(broadcast(thr))
+        .select(least(greatest(col("c"), col("p01_c")), col("p99_c"))
+          .as("cc"), col("p01_c"), col("p99_c"))
+        .groupBy("p01_c", "p99_c")
+        .agg(count(lit(1)).as("n"), sum("cc").as("sum_clip"))
+        .select(col("n"), col("p01_c"), col("p99_c"), col("sum_clip"),
+          (col("sum_clip").cast("double") / col("n").cast("double"))
+            .as("mean_clip"))
+    }),
+
+    // Wald-Wolfowitz runs test on the daily mean-dollar series — the
+    // randomness check that catches regime structure a mean/variance
+    // summary can't. Sign = above/at-or-below the integer mean
+    // (deterministic), runs counted via one lag over the ≤|days|
+    // compressed series, z from the closed-form run moments — fixed
+    // IEEE over exact int64 counts, association mirrored in the
+    // oracle.
+    "q_runs_test" -> ((s, d) => {
+      val ser = Tables.orders(s, d)
+        .select(col("o_orderdate").cast("date").as("day"),
+          floor(col("o_totalprice")).cast("long").as("dollars"))
+        .groupBy("day").agg(expr("sum(dollars) div count(1)").as("x"))
+      val mu = ser.agg(expr("sum(x) div count(1)").as("mu"))
+      val w = Window.orderBy("day")
+      val signed = ser.crossJoin(broadcast(mu))
+        .select(col("day"), when(col("x") > col("mu"), 1L).otherwise(0L)
+          .as("sgn"))
+        .select(col("sgn"), lag("sgn", 1).over(w).as("prev"))
+      signed.agg(
+          sum(col("sgn")).as("n_above"),
+          sum(lit(1L) - col("sgn")).as("n_below"),
+          (sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+            .otherwise(0L))).as("runs"))
+        .selectExpr("n_above", "n_below", "runs",
+          """(CAST(runs AS DOUBLE) -
+              (1.0 + 2.0 * CAST(n_above * n_below AS DOUBLE)
+                 / CAST(n_above + n_below AS DOUBLE))) /
+             sqrt((2.0 * CAST(n_above * n_below AS DOUBLE)
+                 * (2.0 * CAST(n_above * n_below AS DOUBLE)
+                    - CAST(n_above + n_below AS DOUBLE)))
+               / (CAST(n_above + n_below AS DOUBLE)
+                  * CAST(n_above + n_below AS DOUBLE)
+                  * (CAST(n_above + n_below AS DOUBLE) - 1.0))) AS z""")
+    }),
+
+    // Temporal train/test split with a leakage audit — the ML-pipeline
+    // split done RIGHT: the cutoff is the earliest day whose inclusive
+    // cumulative event count reaches 80%, train/test divide on it, and
+    // the deliverable includes the user-overlap count — the leakage
+    // number a random split hides and a temporal-split review asks
+    // for. Heavy work: one day-rollup + two user-keyed distincts.
+    "q_time_split" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val ev = ev0
+        .select(EventOps.microsOf(ev0, "ts").as("tus"), col("user_id"))
+        .select(expr("tus div 86400000000").as("day"), col("user_id"))
+      val byDay = ev.groupBy("day").agg(count(lit(1)).as("k"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val cut = byDay.select(col("day"), sum("k").over(w).as("cum"),
+          expr("sum(k) over ()").as("n"))
+        .agg(min(when(col("cum") >= expr("(n * 80 + 99) div 100"),
+          col("day"))).as("cut"))
+      val tagged = ev.crossJoin(broadcast(cut))
+        .select(col("user_id"),
+          when(col("day") < col("cut"), "train").otherwise("test")
+            .as("split"), col("cut"))
+      val stats = tagged.groupBy("cut", "split")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("users"))
+      val leak = tagged.select("split", "user_id").distinct()
+        .groupBy("user_id").agg(count(lit(1)).as("sides"))
+        .filter(col("sides") === 2)
+        .agg(count(lit(1)).as("leak_users"))
+      stats.crossJoin(broadcast(leak))
+        .select(col("cut").as("cutoff_day"), col("split"), col("n"),
+          col("users"), col("leak_users"))
+    }),
+
     // Rolling 7-day active users (WAU) — THE product-health series.
     // Scale shape: events first reduce to distinct (day, user) — the
     // only heavy shuffle — then each pair expands to the ≤7 window
@@ -3764,6 +3858,82 @@ object SparkEntry {
                 CAST(sum(energy2) AS BIGINT) AS sum_energy2,
                 CAST(sum(zcs) AS BIGINT) AS sum_zc
          FROM f GROUP BY frame_idx""",
+    "q_winsorize" ->
+      """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c
+              FROM events),
+            h AS (SELECT c, count(*) AS k FROM e GROUP BY 1),
+            t AS (SELECT c,
+                CAST(sum(k) OVER (ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(k) OVER () AS BIGINT) AS n
+              FROM h),
+            thr AS (SELECT
+                min(CASE WHEN cum >= (n * 1 + 99) // 100 THEN c END)
+                  AS p01_c,
+                min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN c END)
+                  AS p99_c
+              FROM t),
+            cl AS (SELECT least(greatest(c, p01_c), p99_c) AS cc,
+                p01_c, p99_c
+              FROM e, thr)
+         SELECT count(*) AS n, p01_c, p99_c,
+                CAST(sum(cc) AS BIGINT) AS sum_clip,
+                CAST(CAST(sum(cc) AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mean_clip
+         FROM cl GROUP BY p01_c, p99_c""",
+    "q_runs_test" ->
+      """WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                  AS BIGINT) // count(*) AS BIGINT) AS x
+              FROM orders GROUP BY 1),
+            mu AS (SELECT CAST(CAST(sum(x) AS BIGINT) // count(*)
+                  AS BIGINT) AS mu FROM ser),
+            sg AS (SELECT day,
+                CASE WHEN x > mu THEN 1 ELSE 0 END AS sgn
+              FROM ser, mu),
+            lg AS (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev
+              FROM sg),
+            a AS (SELECT CAST(sum(sgn) AS BIGINT) AS n_above,
+                CAST(sum(1 - sgn) AS BIGINT) AS n_below,
+                CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn
+                  THEN 1 ELSE 0 END) AS BIGINT) AS runs
+              FROM lg)
+         SELECT n_above, n_below, runs,
+                (CAST(runs AS DOUBLE) -
+                 (1.0 + 2.0 * CAST(n_above * n_below AS DOUBLE)
+                    / CAST(n_above + n_below AS DOUBLE))) /
+                sqrt((2.0 * CAST(n_above * n_below AS DOUBLE)
+                    * (2.0 * CAST(n_above * n_below AS DOUBLE)
+                       - CAST(n_above + n_below AS DOUBLE)))
+                  / (CAST(n_above + n_below AS DOUBLE)
+                     * CAST(n_above + n_below AS DOUBLE)
+                     * (CAST(n_above + n_below AS DOUBLE) - 1.0))) AS z
+         FROM a""",
+    "q_time_split" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+              FROM events),
+            bd AS (SELECT day, count(*) AS k FROM e GROUP BY 1),
+            t AS (SELECT day,
+                CAST(sum(k) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(k) OVER () AS BIGINT) AS n
+              FROM bd),
+            c AS (SELECT min(CASE WHEN cum >= (n * 80 + 99) // 100
+                  THEN day END) AS cut FROM t),
+            tg AS (SELECT user_id,
+                CASE WHEN day < cut THEN 'train' ELSE 'test' END AS split,
+                cut
+              FROM e, c),
+            st AS (SELECT cut, split, count(*) AS n,
+                count(DISTINCT user_id) AS users
+              FROM tg GROUP BY 1, 2),
+            lk AS (SELECT count(*) AS leak_users FROM
+              (SELECT user_id FROM (SELECT DISTINCT split, user_id FROM tg)
+               GROUP BY user_id HAVING count(*) = 2))
+         SELECT cut AS cutoff_day, split, n, users, leak_users
+         FROM st, lk""",
     "q_wau" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
                 user_id FROM events),
