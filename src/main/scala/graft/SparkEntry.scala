@@ -1790,6 +1790,77 @@ object SparkEntry {
           col("users"), col("leak_users"))
     }),
 
+    // Degree assortativity — does this graph wire hubs to hubs? The
+    // Pearson correlation of end degrees over symmetrized undirected
+    // edges: canonical edges → degree table (broadcast twice into the
+    // edge ends), exact integer moments (each < 2^53 — degrees are
+    // bounded by the modulus), fixed-IEEE close. One agg exchange.
+    "q_assortativity" -> ((s, d) => {
+      val und = GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val sym = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      val dx = deg.select(col("node").as("u"), col("deg").as("dx"))
+      val dy = deg.select(col("node").as("v"), col("deg").as("dy"))
+      sym.join(broadcast(dx), "u").join(broadcast(dy), "v")
+        .agg(count(lit(1)).as("n"),
+          AggOps.exactSum(col("dx"), 0).as("sx"),
+          AggOps.exactSum(col("dy"), 0).as("sy"),
+          AggOps.exactSum(col("dx") * col("dy"), 0).as("sxy"),
+          AggOps.exactSum(col("dx") * col("dx"), 0).as("sxx"),
+          AggOps.exactSum(col("dy") * col("dy"), 0).as("syy"))
+        .select(col("n"),
+          ((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+            sqrt((col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))) *
+              (col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))))
+            .as("assortativity"))
+    }),
+
+    // Cluster-size distribution of the near-dup graph — the dedup
+    // health report (a giant near-dup cluster means a template flood;
+    // many pairs means boilerplate): rollup of the q_dedup_cluster
+    // components to (size, n_clusters).
+    "q_cc_sizes" -> ((s, d) =>
+      GraphOps.connectedComponents(
+        DedupOps.minhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"))),
+
+    // Readability profile per language — words/sentence and
+    // chars/word, the structural half of a Flesch-style score (no
+    // syllable dictionary; shared regex classes on both engines).
+    // Exact int64 counts per doc, one agg exchange, ratios fixed IEEE.
+    "q_readability" -> ((s, d) => {
+      val per = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("lang"),
+          size(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
+            .cast("long").as("nw"),
+          size(filter(split(col("text"), TextOps.SentenceRegex),
+            x => x =!= "")).cast("long").as("ns"),
+          length(regexp_replace(col("text"), TextOps.WsRegex, ""))
+            .cast("long").as("nc"))
+      per.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum("ns").as("n_sents"), sum("nw").as("n_words"),
+          sum("nc").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_sents"),
+          col("n_words"), col("n_chars"),
+          (col("n_words").cast("double") / col("n_sents").cast("double"))
+            .as("words_per_sent"),
+          (col("n_chars").cast("double") / col("n_words").cast("double"))
+            .as("chars_per_word"))
+    }),
+
+    // GROUP BY ALL through the shared-text front door.
+    "q_sql_group_all" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(SqlGroupAll)
+    }),
+
     // Rolling 7-day active users (WAU) — THE product-health series.
     // Scale shape: events first reduce to distinct (day, user) — the
     // only heavy shuffle — then each pair expands to the ≤7 window
@@ -2126,6 +2197,16 @@ object SparkEntry {
     * revenue rides the DECIMAL cast for order-independence, and the
     * ORDER BY carries a full tie-break so LIMIT is deterministic.
     */
+  /** Shared-text GROUP BY ALL (every non-aggregate select item groups
+    * implicitly) — the analyst-ergonomics surface both engines added
+    * recently; one text, both engines, same rows.
+    */
+  private val SqlGroupAll =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                AS sum_price
+       FROM orders GROUP BY ALL"""
+
   private val SqlQ3 =
     """SELECT l_orderkey,
               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
@@ -3858,6 +3939,58 @@ object SparkEntry {
                 CAST(sum(energy2) AS BIGINT) AS sum_energy2,
                 CAST(sum(zcs) AS BIGINT) AS sum_zc
          FROM f GROUP BY frame_idx""",
+    "q_assortativity" ->
+      s"""WITH raw AS (SELECT l_orderkey % $TriMod AS src,
+                l_partkey % $TriMod AS dst FROM lineitem),
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                greatest(src, dst) AS b FROM raw WHERE src <> dst),
+            nd AS (SELECT a AS node FROM und UNION ALL SELECT b FROM und),
+            dg AS (SELECT node, count(*) AS deg FROM nd GROUP BY node),
+            sym AS (SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und),
+            j AS (SELECT x.deg AS dx, y.deg AS dy
+              FROM sym JOIN dg x ON sym.u = x.node
+                       JOIN dg y ON sym.v = y.node),
+            m AS (SELECT count(*) AS n,
+                CAST(sum(CAST(dx AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(dy AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(dx * dy AS DECIMAL(28,0))) AS DOUBLE) AS sxy,
+                CAST(sum(CAST(dx * dx AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(dy * dy AS DECIMAL(28,0))) AS DOUBLE) AS syy
+              FROM j)
+         SELECT n,
+                (sxy / n - (sx / n) * (sy / n)) /
+                sqrt((sxx / n - (sx / n) * (sx / n)) *
+                     (syy / n - (sy / n) * (sy / n))) AS assortativity
+         FROM m""",
+    "q_cc_sizes" -> {
+      s"""WITH cc AS (${OracleSql.dedupClusterSql}),
+            cs AS (SELECT cluster, count(*) AS size FROM cc
+              GROUP BY cluster)
+         SELECT size, count(*) AS n_clusters FROM cs GROUP BY size"""
+    },
+    "q_readability" ->
+      s"""WITH per AS (SELECT lang,
+                CAST(len(list_filter(string_split_regex(text,
+                  '${OracleSql.Ws}'), x -> x <> '')) AS BIGINT) AS nw,
+                CAST(len(list_filter(string_split_regex(text,
+                  '${graft.ops.TextOps.SentenceRegex}'), x -> x <> ''))
+                  AS BIGINT) AS ns,
+                CAST(length(regexp_replace(text, '${OracleSql.Ws}', '',
+                  'g')) AS BIGINT) AS nc
+              FROM documents WHERE text IS NOT NULL)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(ns) AS BIGINT) AS n_sents,
+                CAST(sum(nw) AS BIGINT) AS n_words,
+                CAST(sum(nc) AS BIGINT) AS n_chars,
+                CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(sum(ns) AS BIGINT) AS DOUBLE)
+                  AS words_per_sent,
+                CAST(CAST(sum(nc) AS BIGINT) AS DOUBLE)
+                  / CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE)
+                  AS chars_per_word
+         FROM per GROUP BY lang""",
+    "q_sql_group_all" -> SqlGroupAll,
     "q_winsorize" ->
       """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c
               FROM events),
