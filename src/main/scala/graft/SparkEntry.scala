@@ -1106,6 +1106,17 @@ object SparkEntry {
     "q_stream_windowed" -> ((s, d) =>
       graft.streaming.StreamOps.windowedReplay(Tables.events(s, d),
         tmpPath("graft_stream_events", d))),
+    // foreachBatch dual-sink fanout with idempotent batch_id-keyed
+    // dynamic-overwrite writes (the exactly-once-effect recipe for the
+    // otherwise at-least-once foreachBatch): raw lake dir + per-batch
+    // partial-aggregate serving dir, read back and joined — equal per
+    // type, pinned to the batch answer by the oracle.
+    "q_stream_fanout" -> ((s, d) =>
+      graft.streaming.StreamOps.fanoutReplay(Tables.events(s, d),
+        tmpPath("graft_stream_fanout", d),
+        tmpPath("graft_fanout_raw", d),
+        tmpPath("graft_fanout_agg", d))),
+
     // Exactly-once PARQUET FILE sink: the same windowed rollup landed
     // on a lake directory through the _spark_metadata commit log +
     // checkpoint (append mode, sentinel-flushed) — the durability
@@ -1788,6 +1799,83 @@ object SparkEntry {
       stats.crossJoin(broadcast(leak))
         .select(col("cut").as("cutoff_day"), col("split"), col("n"),
           col("users"), col("leak_users"))
+    }),
+
+    // CUPED variance-reduced A/B readout — the modern experimentation
+    // workhorse: per-user pre-period covariate x and post-period
+    // metric y (both integer MEANS of cents, so every pooled moment
+    // stays < 2^53 up to ~10^6 users — the q_autocorr bound), pooled
+    // θ = cov(x,y)/var(x), and each arm's adjusted mean
+    // ȳ − θ·(x̄_arm − x̄_pooled). Arms split on user parity; the
+    // pre/post boundary is the 50%-event cutoff day. θ and the pooled
+    // mean attach as a 1-row broadcast; association order mirrored in
+    // the oracle.
+    "q_abtest_cuped" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(EventOps.microsOf(ev0, "ts").as("tus"),
+          col("user_id"), floor(col("value") * 100).cast("long").as("cents"))
+        .select(expr("tus div 86400000000").as("day"), col("user_id"),
+          col("cents"))
+      val byDay = ev.groupBy("day").agg(count(lit(1)).as("k"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val cut = byDay.select(col("day"), sum("k").over(w).as("cum"),
+          expr("sum(k) over ()").as("n"))
+        .agg(min(when(col("cum") >= expr("(n * 50 + 99) div 100"),
+          col("day"))).as("cut"))
+      val tagged = ev.crossJoin(broadcast(cut))
+      val pre = tagged.filter(col("day") < col("cut")).groupBy("user_id")
+        .agg(expr("sum(cents) div count(1)").as("x"))
+      val post = tagged.filter(col("day") >= col("cut")).groupBy("user_id")
+        .agg(expr("sum(cents) div count(1)").as("y"))
+      val u = pre.join(post, "user_id")
+        .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+      val pooled = u.agg(count(lit(1)).as("n"),
+          AggOps.exactSum(col("x"), 0).as("sx"),
+          AggOps.exactSum(col("y"), 0).as("sy"),
+          AggOps.exactSum(col("x") * col("y"), 0).as("sxy"),
+          AggOps.exactSum(col("x") * col("x"), 0).as("sxx"))
+        .select((col("sx") / col("n")).as("mx"),
+          ((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+            (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))))
+            .as("theta"))
+      u.groupBy("arm").agg(count(lit(1)).as("n_users"),
+          AggOps.exactSum(col("x"), 0).as("ax"),
+          AggOps.exactSum(col("y"), 0).as("ay"))
+        .crossJoin(broadcast(pooled))
+        .select(col("arm"), col("n_users"),
+          (col("ay") / col("n_users")).as("mean_y"),
+          ((col("ay") / col("n_users"))
+            - col("theta") * ((col("ax") / col("n_users")) - col("mx")))
+            .as("adj_mean_y"))
+    }),
+
+    // Tukey-fence (IQR) outlier census — the robust cousin of the
+    // z-score outlier row: exact discrete quartiles from the
+    // compressed cents domain, fences compared in DOUBLED integer
+    // space (2c ≶ 2q ∓ 3·IQR) so no fractional arithmetic exists to
+    // diverge. 1-row fence broadcast; one counting pass.
+    "q_iqr_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(floor(col("value") * 100).cast("long").as("c"))
+      val h = ev.groupBy("c").agg(count(lit(1)).as("k"))
+      val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+      val thr = h.select(col("c"), sum("k").over(w).as("cum"),
+          expr("sum(k) over ()").as("n"))
+        .agg(min(when(col("cum") >= expr("(n * 25 + 99) div 100"), col("c")))
+            .as("q1_c"),
+          min(when(col("cum") >= expr("(n * 75 + 99) div 100"), col("c")))
+            .as("q3_c"))
+      ev.crossJoin(broadcast(thr))
+        .groupBy("q1_c", "q3_c")
+        .agg(count(lit(1)).as("n"),
+          sum(when(lit(2L) * col("c")
+            < lit(2L) * col("q1_c") - lit(3L) * (col("q3_c") - col("q1_c")),
+            1L).otherwise(0L)).as("n_low"),
+          sum(when(lit(2L) * col("c")
+            > lit(2L) * col("q3_c") + lit(3L) * (col("q3_c") - col("q1_c")),
+            1L).otherwise(0L)).as("n_high"))
+        .select(col("n"), col("q1_c"), col("q3_c"), col("n_low"),
+          col("n_high"))
     }),
 
     // Degree assortativity — does this graph wire hubs to hubs? The
@@ -3939,6 +4027,77 @@ object SparkEntry {
                 CAST(sum(energy2) AS BIGINT) AS sum_energy2,
                 CAST(sum(zcs) AS BIGINT) AS sum_zc
          FROM f GROUP BY frame_idx""",
+    "q_abtest_cuped" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+                CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+            bd AS (SELECT day, count(*) AS k FROM e GROUP BY 1),
+            t AS (SELECT day,
+                CAST(sum(k) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(k) OVER () AS BIGINT) AS n
+              FROM bd),
+            ct AS (SELECT min(CASE WHEN cum >= (n * 50 + 99) // 100
+                  THEN day END) AS cut FROM t),
+            pre AS (SELECT user_id,
+                CAST(CAST(sum(cents) AS BIGINT) // count(*) AS BIGINT)
+                  AS x
+              FROM e, ct WHERE day < cut GROUP BY user_id),
+            post AS (SELECT user_id,
+                CAST(CAST(sum(cents) AS BIGINT) // count(*) AS BIGINT)
+                  AS y
+              FROM e, ct WHERE day >= cut GROUP BY user_id),
+            u AS (SELECT pre.user_id % 2 AS arm, x, y
+              FROM pre JOIN post USING (user_id)),
+            pl AS (SELECT count(*) AS n,
+                CAST(sum(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(y AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(x * y AS DECIMAL(28,0))) AS DOUBLE) AS sxy,
+                CAST(sum(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx
+              FROM u),
+            th AS (SELECT sx / n AS mx,
+                (sxy / n - (sx / n) * (sy / n)) /
+                (sxx / n - (sx / n) * (sx / n)) AS theta
+              FROM pl),
+            ar AS (SELECT arm, count(*) AS n_users,
+                CAST(sum(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS ax,
+                CAST(sum(CAST(y AS DECIMAL(28,0))) AS DOUBLE) AS ay
+              FROM u GROUP BY arm)
+         SELECT arm, n_users, ay / n_users AS mean_y,
+                (ay / n_users) - theta * ((ax / n_users) - mx)
+                  AS adj_mean_y
+         FROM ar, th""",
+    "q_iqr_outliers" ->
+      """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c
+              FROM events),
+            h AS (SELECT c, count(*) AS k FROM e GROUP BY 1),
+            t AS (SELECT c,
+                CAST(sum(k) OVER (ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(k) OVER () AS BIGINT) AS n
+              FROM h),
+            thr AS (SELECT
+                min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN c END)
+                  AS q1_c,
+                min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN c END)
+                  AS q3_c
+              FROM t)
+         SELECT count(*) AS n, q1_c, q3_c,
+                CAST(sum(CASE WHEN 2 * c < 2 * q1_c - 3 * (q3_c - q1_c)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                CAST(sum(CASE WHEN 2 * c > 2 * q3_c + 3 * (q3_c - q1_c)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         FROM e, thr GROUP BY q1_c, q3_c""",
+    // Both fanout sinks must read back to the batch per-type answer.
+    "q_stream_fanout" ->
+      """SELECT event_type, count(*) AS n_raw,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_raw,
+                count(*) AS n_agg,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_agg
+         FROM events GROUP BY event_type""",
     "q_assortativity" ->
       s"""WITH raw AS (SELECT l_orderkey % $TriMod AS src,
                 l_partkey % $TriMod AS dst FROM lineitem),

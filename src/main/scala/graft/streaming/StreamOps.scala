@@ -1023,6 +1023,68 @@ object StreamOps {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** foreachBatch dual-sink fanout — one stream feeding TWO sinks per
+    * micro-batch (raw events to a lake dir, per-batch partial
+    * aggregates to a serving dir), written IDEMPOTENTLY: each sink
+    * partitions by batch_id with dynamic partition overwrite, so a
+    * retried batch REPLACES its own partition instead of
+    * double-appending — the textbook exactly-once-effect recipe for
+    * foreachBatch (which is otherwise only at-least-once). The
+    * deliverable joins both sinks' read-backs per event_type: equal
+    * counts/sums prove the fanout consistent, and the oracle pins both
+    * to the batch answer.
+    */
+  def fanoutReplay(events: DataFrame, stagingDir: String,
+                   outRaw: String, outAgg: String,
+                   nParts: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    drainSpent(spark)
+    val ev = stagingShape(events)
+    if (StagedDirs.add(stagingDir)) {
+      ev.repartition(nParts).write.mode("overwrite").parquet(stagingDir)
+    }
+    val schema = spark.read.parquet(stagingDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevOverwrite =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val b = batch.persist()
+          b.withColumn("batch_id", lit(id))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outRaw)
+          b.groupBy("event_type")
+            .agg(count(lit(1)).as("pn"),
+              sum(col("value").cast("decimal(28,4)")).as("psum"))
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outAgg)
+          b.unpersist()
+          ()
+        }
+        .option("checkpointLocation", outRaw + "_chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        prevOverwrite)
+    }
+    val a = spark.read.parquet(outRaw).groupBy("event_type")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_raw"))
+    val b = spark.read.parquet(outAgg).groupBy("event_type")
+      .agg(sum("pn").as("n_agg"),
+        sum("psum").cast("double").as("sum_agg"))
+    a.join(b, "event_type")
+  }
+
   /** Sliding-window replay (q_stream_sliding): 10-minute windows every
     * 5 minutes — epoch-aligned, so the oracle enumerates each event's
     * TWO covering window starts ((t div slide)·slide and its
