@@ -1801,6 +1801,76 @@ object SparkEntry {
           col("users"), col("leak_users"))
     }),
 
+    // Delete-one-bucket jackknife — error bars for a 100 TB mean
+    // without resampling: 32 deterministic hash buckets, exact
+    // per-bucket (n, Σcents), leave-one-out means QUANTIZED to integer
+    // milli-cents (so Σθ and Σθ² stay exact int64 — a float sum over buckets
+    // would be partition-order-dependent), and the jackknife variance
+    // (B−1)/B·(Σθ² − (Σθ)²/B) closes in fixed IEEE. One aggregation
+    // pass + 32-row algebra.
+    "q_jackknife" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(floor(col("value") * 100).cast("long").as("c"),
+          (TextOps.hash60(concat(lit("jk-"), col("event_id"))) % 32)
+            .as("b"))
+      val bk = ev.groupBy("b").agg(count(lit(1)).as("nb"),
+        sum("c").as("sb"))
+      val tot = bk.agg(sum("nb").as("n"), sum("sb").as("s"),
+        count(lit(1)).as("nbuckets"))
+      bk.crossJoin(broadcast(tot))
+        .select(col("n"), col("nbuckets"),
+          expr("((s - sb) * 1000) div (n - nb)").as("theta_mc"))
+        .groupBy("n", "nbuckets")
+        .agg(sum("theta_mc").as("st"),
+          sum(col("theta_mc") * col("theta_mc")).as("stt"))
+        .selectExpr("n", "nbuckets", "st", "stt",
+          """(CAST(nbuckets AS DOUBLE) - 1.0) / CAST(nbuckets AS DOUBLE)
+             * (CAST(stt AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                  / CAST(nbuckets AS DOUBLE)) AS jk_var_mc2""")
+    }),
+
+    // Distribution-free median confidence interval — order-statistic
+    // bounds (the binomial-rank construction, no libm beyond sqrt):
+    // rank bounds from n alone, values looked up in the compressed
+    // cents domain. The CI a robust-metrics dashboard puts around its
+    // median at any scale.
+    "q_median_ci" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(floor(col("value") * 100).cast("long").as("c"))
+      val h = ev.groupBy("c").agg(count(lit(1)).as("k"))
+      val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+      val t = h.select(col("c"), sum("k").over(w).as("cum"),
+        expr("sum(k) over ()").as("n"))
+      t.select(col("c"), col("cum"), col("n"),
+          expr("CAST(floor((CAST(n AS DOUBLE) " +
+            "- 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)")
+            .as("r_lo"),
+          expr("CAST(ceil((CAST(n AS DOUBLE) " +
+            "+ 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0 + 1.0) AS BIGINT)")
+            .as("r_hi"),
+          expr("(n + 1) div 2").as("r_med"))
+        .groupBy("n", "r_lo", "r_hi", "r_med")
+        .agg(min(when(col("cum") >= col("r_med"), col("c"))).as("median_c"),
+          min(when(col("cum") >= col("r_lo"), col("c"))).as("ci_lo_c"),
+          min(when(col("cum") >= col("r_hi"), col("c"))).as("ci_hi_c"))
+        .select(col("n"), col("median_c"), col("ci_lo_c"), col("ci_hi_c"))
+    }),
+
+    // 2-D histogram (value band × hour-of-day heatmap) — the joint
+    // density grid behind every anomaly heatmap; pure epoch/int
+    // arithmetic, one map-side-combined agg, ≤|bands|·24 rows out.
+    "q_histogram2d" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.select(EventOps.microsOf(ev, "ts").as("tus"), col("value"))
+        .select(expr("(tus div 3600000000) % 24").as("hod"),
+          floor(col("value") / 50.0).cast("long").as("band"),
+          col("value"))
+        .groupBy("band", "hod")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+    }),
+
     // CUPED variance-reduced A/B readout — the modern experimentation
     // workhorse: per-user pre-period covariate x and post-period
     // metric y (both integer MEANS of cents, so every pooled moment
@@ -4027,6 +4097,64 @@ object SparkEntry {
                 CAST(sum(energy2) AS BIGINT) AS sum_energy2,
                 CAST(sum(zcs) AS BIGINT) AS sum_zc
          FROM f GROUP BY frame_idx""",
+    "q_jackknife" ->
+      s"""WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c,
+                ${OracleSql.hash60("'jk-' || CAST(event_id AS VARCHAR)")}
+                  % 32 AS b
+              FROM events),
+            bk AS (SELECT b, count(*) AS nb,
+                CAST(sum(c) AS BIGINT) AS sb
+              FROM e GROUP BY b),
+            tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+                CAST(sum(sb) AS BIGINT) AS s,
+                count(*) AS nbuckets
+              FROM bk),
+            th AS (SELECT n, nbuckets,
+                CAST(((s - sb) * 1000) // (n - nb) AS BIGINT)
+                  AS theta_mc
+              FROM bk, tot),
+            a AS (SELECT n, nbuckets,
+                CAST(sum(theta_mc) AS BIGINT) AS st,
+                CAST(sum(theta_mc * theta_mc) AS BIGINT) AS stt
+              FROM th GROUP BY n, nbuckets)
+         SELECT n, nbuckets, st, stt,
+                (CAST(nbuckets AS DOUBLE) - 1.0) / CAST(nbuckets AS DOUBLE)
+                * (CAST(stt AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                     / CAST(nbuckets AS DOUBLE)) AS jk_var_mc2
+         FROM a""",
+    "q_median_ci" ->
+      """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c
+              FROM events),
+            h AS (SELECT c, count(*) AS k FROM e GROUP BY 1),
+            t AS (SELECT c,
+                CAST(sum(k) OVER (ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(k) OVER () AS BIGINT) AS n
+              FROM h),
+            r AS (SELECT c, cum, n,
+                CAST(floor((CAST(n AS DOUBLE)
+                  - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)
+                  AS r_lo,
+                CAST(ceil((CAST(n AS DOUBLE)
+                  + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0 + 1.0) AS BIGINT)
+                  AS r_hi,
+                (n + 1) // 2 AS r_med
+              FROM t)
+         SELECT n,
+                min(CASE WHEN cum >= r_med THEN c END) AS median_c,
+                min(CASE WHEN cum >= r_lo THEN c END) AS ci_lo_c,
+                min(CASE WHEN cum >= r_hi THEN c END) AS ci_hi_c
+         FROM r GROUP BY n, r_lo, r_hi, r_med""",
+    "q_histogram2d" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, value FROM events)
+         SELECT CAST(floor(value / 50.0) AS BIGINT) AS band,
+                (tus // 3600000000) % 24 AS hod,
+                count(*) AS n,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM e GROUP BY 1, 2""",
     "q_abtest_cuped" ->
       """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id,
                 CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
