@@ -1801,6 +1801,138 @@ object SparkEntry {
           col("users"), col("leak_users"))
     }),
 
+    // Two-sample Kolmogorov-Smirnov distance between the purchase and
+    // view value distributions — EXACT: D = max|F₁−F₂| evaluated on
+    // the compressed cents domain as max|cum₁·n₂ − cum₂·n₁| (pure
+    // int64; one final IEEE division by n₁n₂). The distribution-shift
+    // detector with zero approximation.
+    "q_ks_test" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(floor(col("value") * 100).cast("long").as("c"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("g"))
+      val h = ev.groupBy("c").agg(
+        sum(col("g")).as("k1"), sum(lit(1L) - col("g")).as("k2"))
+      val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+      h.select(col("c"), sum("k1").over(w).as("cum1"),
+          sum("k2").over(w).as("cum2"),
+          expr("sum(k1) over ()").as("n1"), expr("sum(k2) over ()").as("n2"))
+        .select(col("n1"), col("n2"),
+          abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dn"))
+        .groupBy("n1", "n2").agg(max("dn").as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double")))
+            .as("ks_d"))
+    }),
+
+    // Exact ROC AUC via the rank-sum identity AUC = U/(n₁n₀) with the
+    // tie/2 convention — the q_mannwhitney algebra pointed at a
+    // classifier readout (score = value, positive = purchase). Ranks
+    // never materialize; 2U stays integral; one IEEE division.
+    "q_auc" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(floor(col("value") * 100).cast("long").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("g"))
+      val h = ev.groupBy("v").agg(
+        sum(col("g")).as("cp"), sum(lit(1L) - col("g")).as("cn"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val t = h.select(col("cp"), col("cn"),
+        coalesce(sum("cn").over(w), lit(0L)).as("cumn"))
+      t.agg(sum("cp").as("n_pos"), sum("cn").as("n_neg"),
+          sum(col("cp") * (lit(2L) * col("cumn") + col("cn"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          (col("u2").cast("double") / (lit(2.0)
+            * col("n_pos").cast("double") * col("n_neg").cast("double")))
+            .as("auc"))
+    }),
+
+    // Population drift as total-variation distance (the no-libm PSI
+    // replacement): value-band distributions of the pre/post halves
+    // (the q_time_split 50% cutoff), TVD = ½Σ|p−q| computed from exact
+    // per-band counts — max|…| products stay int64; one IEEE close.
+    "q_drift_tvd" -> ((s, d) => {
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(EventOps.microsOf(ev0, "ts").as("tus"),
+          col("value"))
+        .select(expr("tus div 86400000000").as("day"),
+          floor(col("value") / 50.0).cast("long").as("band"))
+      val byDay = ev.groupBy("day").agg(count(lit(1)).as("k"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val cut = byDay.select(col("day"), sum("k").over(w).as("cum"),
+          expr("sum(k) over ()").as("n"))
+        .agg(min(when(col("cum") >= expr("(n * 50 + 99) div 100"),
+          col("day"))).as("cut"))
+      val h = ev.crossJoin(broadcast(cut))
+        .groupBy("band").agg(
+          sum(when(col("day") < col("cut"), 1L).otherwise(0L)).as("k1"),
+          sum(when(col("day") >= col("cut"), 1L).otherwise(0L)).as("k2"))
+      h.select(col("k1"), col("k2"),
+          expr("sum(k1) over ()").as("n1"), expr("sum(k2) over ()").as("n2"))
+        .groupBy("n1", "n2")
+        .agg(sum(abs(col("k1") * col("n2") - col("k2") * col("n1")))
+          .as("num"))
+        .select(col("n1"), col("n2"),
+          (col("num").cast("double")
+            / (lit(2.0) * col("n1").cast("double")
+               * col("n2").cast("double"))).as("tvd"))
+    }),
+
+    // Threshold-classifier confusion matrix + precision/recall in
+    // integer ppm: score = value, positive = purchase, threshold = the
+    // global median cents (deterministic discrete order statistic).
+    // One counting pass against the broadcast threshold.
+    "q_confusion" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(floor(col("value") * 100).cast("long").as("c"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("g"))
+      val h = ev.groupBy("c").agg(count(lit(1)).as("k"))
+      val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+      val thr = h.select(col("c"), sum("k").over(w).as("cum"),
+          expr("sum(k) over ()").as("n"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("c")))
+          .as("thr"))
+      ev.crossJoin(broadcast(thr))
+        .agg(sum(when(col("c") >= col("thr"), col("g")).otherwise(0L))
+            .as("tp"),
+          sum(when(col("c") >= col("thr"), lit(1L) - col("g"))
+            .otherwise(0L)).as("fp"),
+          sum(when(col("c") < col("thr"), col("g")).otherwise(0L))
+            .as("fn"),
+          sum(when(col("c") < col("thr"), lit(1L) - col("g"))
+            .otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
+          expr("(tp * 1000000) div (tp + fn)").as("recall_ppm"))
+    }),
+
+    // Cumulative-gains (lift) curve by score decile: the deterministic
+    // q_binning decile rule on the score domain, positives captured
+    // per decile, cumulative capture rate in ppm from the top decile
+    // down — the targeting-efficiency readout.
+    "q_lift_curve" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(floor(col("value") * 100).cast("long").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("g"))
+      val h = ev.groupBy("v").agg(count(lit(1)).as("k"), sum("g").as("p"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val dec = h.select(col("v"), col("k"), col("p"),
+          sum("k").over(w).as("cum"), expr("sum(k) over ()").as("n"))
+        .select(col("k"), col("p"),
+          expr("((cum - 1) * 10) div n").as("decile"))
+        .groupBy("decile").agg(sum("k").as("n_rows"), sum("p").as("n_pos"))
+      val wd = Window.orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dec.select(col("decile"), col("n_rows"), col("n_pos"),
+          sum("n_pos").over(wd).as("cum_pos"),
+          expr("sum(n_pos) over ()").as("tot_pos"))
+        .select(col("decile"), col("n_rows"), col("n_pos"),
+          expr("(cum_pos * 1000000) div tot_pos").as("capture_ppm"))
+    }),
+
     // Delete-one-bucket jackknife — error bars for a 100 TB mean
     // without resampling: 32 deterministic hash buckets, exact
     // per-bucket (n, Σcents), leave-one-out means QUANTIZED to integer
@@ -4097,6 +4229,134 @@ object SparkEntry {
                 CAST(sum(energy2) AS BIGINT) AS sum_energy2,
                 CAST(sum(zcs) AS BIGINT) AS sum_zc
          FROM f GROUP BY frame_idx""",
+    "q_ks_test" ->
+      """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+              FROM events WHERE event_type IN ('purchase', 'view')),
+            h AS (SELECT c, CAST(sum(g) AS BIGINT) AS k1,
+                CAST(sum(1 - g) AS BIGINT) AS k2
+              FROM e GROUP BY 1),
+            t AS (SELECT
+                CAST(sum(k1) OVER (ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum1,
+                CAST(sum(k2) OVER (ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum2,
+                CAST(sum(k1) OVER () AS BIGINT) AS n1,
+                CAST(sum(k2) OVER () AS BIGINT) AS n2
+              FROM h),
+            a AS (SELECT n1, n2,
+                CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+              FROM t GROUP BY n1, n2)
+         SELECT n1, n2, d_num,
+                CAST(d_num AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+         FROM a""",
+    "q_auc" ->
+      """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+              FROM events WHERE event_type IN ('purchase', 'view')),
+            h AS (SELECT v, CAST(sum(g) AS BIGINT) AS cp,
+                CAST(sum(1 - g) AS BIGINT) AS cn
+              FROM e GROUP BY 1),
+            t AS (SELECT cp, cn,
+                CAST(coalesce(sum(cn) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cumn
+              FROM h),
+            a AS (SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+                CAST(sum(cn) AS BIGINT) AS n_neg,
+                CAST(sum(cp * (2 * cumn + cn)) AS BIGINT) AS u2
+              FROM t)
+         SELECT n_pos, n_neg, u2,
+                CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE)
+                  * CAST(n_neg AS DOUBLE)) AS auc
+         FROM a""",
+    "q_drift_tvd" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                CAST(floor(value / 50.0) AS BIGINT) AS band FROM events),
+            bd AS (SELECT day, count(*) AS k FROM e GROUP BY 1),
+            t AS (SELECT day,
+                CAST(sum(k) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(k) OVER () AS BIGINT) AS n
+              FROM bd),
+            ct AS (SELECT min(CASE WHEN cum >= (n * 50 + 99) // 100
+                  THEN day END) AS cut FROM t),
+            h AS (SELECT band,
+                CAST(sum(CASE WHEN day < cut THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k1,
+                CAST(sum(CASE WHEN day >= cut THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k2
+              FROM e, ct GROUP BY band),
+            s AS (SELECT k1, k2,
+                CAST(sum(k1) OVER () AS BIGINT) AS n1,
+                CAST(sum(k2) OVER () AS BIGINT) AS n2
+              FROM h),
+            a AS (SELECT n1, n2,
+                CAST(sum(abs(k1 * n2 - k2 * n1)) AS BIGINT) AS num
+              FROM s GROUP BY n1, n2)
+         SELECT n1, n2,
+                CAST(num AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)
+                  * CAST(n2 AS DOUBLE)) AS tvd
+         FROM a""",
+    "q_confusion" ->
+      """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+              FROM events WHERE event_type IN ('purchase', 'view')),
+            h AS (SELECT c, count(*) AS k FROM e GROUP BY 1),
+            t AS (SELECT c,
+                CAST(sum(k) OVER (ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(k) OVER () AS BIGINT) AS n
+              FROM h),
+            thr AS (SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN c END)
+                  AS thr FROM t),
+            a AS (SELECT
+                CAST(sum(CASE WHEN c >= thr THEN g ELSE 0 END) AS BIGINT)
+                  AS tp,
+                CAST(sum(CASE WHEN c >= thr THEN 1 - g ELSE 0 END)
+                  AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN c < thr THEN g ELSE 0 END) AS BIGINT)
+                  AS fn,
+                CAST(sum(CASE WHEN c < thr THEN 1 - g ELSE 0 END)
+                  AS BIGINT) AS tn
+              FROM e, thr)
+         SELECT tp, fp, fn, tn,
+                CAST((tp * 1000000) // (tp + fp) AS BIGINT)
+                  AS precision_ppm,
+                CAST((tp * 1000000) // (tp + fn) AS BIGINT)
+                  AS recall_ppm
+         FROM a""",
+    "q_lift_curve" ->
+      """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+              FROM events WHERE event_type IN ('purchase', 'view')),
+            h AS (SELECT v, count(*) AS k, CAST(sum(g) AS BIGINT) AS p
+              FROM e GROUP BY 1),
+            t AS (SELECT k, p,
+                CAST(sum(k) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(k) OVER () AS BIGINT) AS n
+              FROM h),
+            dec AS (SELECT ((cum - 1) * 10) // n AS decile,
+                CAST(sum(k) AS BIGINT) AS n_rows,
+                CAST(sum(p) AS BIGINT) AS n_pos
+              FROM t GROUP BY 1),
+            c AS (SELECT decile, n_rows, n_pos,
+                CAST(sum(n_pos) OVER (ORDER BY decile DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_pos,
+                CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+              FROM dec)
+         SELECT decile, n_rows, n_pos,
+                CAST((cum_pos * 1000000) // tot_pos AS BIGINT)
+                  AS capture_ppm
+         FROM c""",
     "q_jackknife" ->
       s"""WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c,
                 ${OracleSql.hash60("'jk-' || CAST(event_id AS VARCHAR)")}
