@@ -117,4 +117,68 @@ class Round6InvariantSpec extends SparkSpec {
       .filter(expr("CAST(bit_count(type_mask) AS INT) <> n_types or type_mask = 0"))
     assert(bad.count() === 0L)
   }
+
+  test("q_auc / q_ks_test / q_drift_tvd statistics live in their unit ranges") {
+    val auc = run("q_auc").head()
+    assert(auc.getDouble(3) >= 0.0 && auc.getDouble(3) <= 1.0)
+    assert(auc.getLong(2) <= 2L * auc.getLong(0) * auc.getLong(1)) // 2U bound
+    val ks = run("q_ks_test").head()
+    assert(ks.getDouble(3) >= 0.0 && ks.getDouble(3) <= 1.0)
+    assert(ks.getLong(2) <= ks.getLong(0) * ks.getLong(1))
+    val tvd = run("q_drift_tvd").head()
+    assert(tvd.getDouble(2) >= 0.0 && tvd.getDouble(2) <= 1.0)
+  }
+
+  test("q_confusion conserves the population and keeps ppm ratios in range") {
+    val r = run("q_confusion").head()
+    val total = r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3)
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "view")).count()
+    assert(total === expected)
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+    assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000L)
+  }
+
+  test("q_lift_curve capture is monotone toward ppm 1e6 at the last decile") {
+    val rows = run("q_lift_curve").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(-_._1)
+    rows.sliding(2).foreach {
+      case Array((_, c1), (_, c2)) => assert(c2 >= c1)
+      case _ =>
+    }
+    assert(rows.last._2 === 1000000L) // lowest decile captures everything
+  }
+
+  test("q_median_ci brackets the median; q_winsorize mean sits inside fences") {
+    val ci = run("q_median_ci").head()
+    assert(ci.getLong(2) <= ci.getLong(1) && ci.getLong(1) <= ci.getLong(3))
+    val wz = run("q_winsorize").head()
+    assert(wz.getLong(1) <= wz.getLong(2)) // p01 <= p99
+    val mean = wz.getDouble(4)
+    assert(mean >= wz.getLong(1).toDouble && mean <= wz.getLong(2).toDouble)
+  }
+
+  test("q_jackknife variance is nonnegative over the full 32-bucket panel") {
+    val r = run("q_jackknife").head()
+    assert(r.getLong(1) === 32L)
+    assert(r.getDouble(4) >= 0.0)
+  }
+
+  test("q_assortativity is a correlation; q_sssp roots the source at 0") {
+    val a = run("q_assortativity").head()
+    assert(a.getDouble(1) >= -1.0 && a.getDouble(1) <= 1.0)
+    val dists = run("q_sssp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dists(1L) === 0L) // BfsSource
+    assert(dists.values.forall(_ >= 0L))
+  }
+
+  test("q_quantile_norm plans a broadcast join, never a shuffled one") {
+    val plan = SparkEntry.queries("q_quantile_norm")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "CDF map must broadcast onto the fact table")
+    assert(!plan.contains("SortMergeJoin"),
+      "the fact table must not shuffle for the CDF attach")
+  }
 }
