@@ -1327,6 +1327,21 @@ object OracleSql {
           ON v.user_id = c.user_id
          AND c.t >= v.t AND c.t <= v.t + $maxLagUs"""
 
+  /** Full-outer twin: unmatched rows on EITHER side survive with the
+    * other side null — the two-sided watermark-eviction contract.
+    */
+  def streamJoinFullSql(maxLagUs: Long): String =
+    s"""WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'view'),
+             c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'click')
+        SELECT v.event_id AS view_id, c.event_id AS click_id,
+               coalesce(v.user_id, c.user_id) AS user_id,
+               c.t - v.t AS dt_us
+        FROM v FULL JOIN c
+          ON v.user_id = c.user_id
+         AND c.t >= v.t AND c.t <= v.t + $maxLagUs"""
+
   /** Replay twin: the same gap-session derivation as sessionizeSql, with
     * the session index grouped away — the shape StreamOps.sessionizeReplay
     * projects the session_window result onto.

@@ -1198,6 +1198,13 @@ object SparkEntry {
     "q_stream_join_outer" -> ((s, d) =>
       graft.streaming.StreamOps.streamOuterJoinReplay(Tables.events(s, d),
         tmpPath("graft_stream_join_outer", d))),
+    // FULL OUTER stream-stream interval join: unmatched rows on BOTH
+    // sides emit null partners on watermark-proven eviction — the last
+    // member of the stream-join family (inner/left/full). Must equal
+    // the batch FULL JOIN, nulls included.
+    "q_stream_join_full" -> ((s, d) =>
+      graft.streaming.StreamOps.streamFullJoinReplay(Tables.events(s, d),
+        tmpPath("graft_stream_join_full", d))),
     // Streaming CDC upsert (foreachBatch MERGE INTO): the demo change
     // log streamed in seq order folds into the orders snapshot; the
     // drained snapshot must equal the batch merge exactly — same
@@ -3860,6 +3867,7 @@ object SparkEntry {
     "q_stream_sessionize" -> OracleSql.sessionizeReplaySql,
     "q_stream_join" -> OracleSql.streamJoinSql(3600L * 1000000L),
     "q_stream_join_outer" -> OracleSql.streamJoinOuterSql(3600L * 1000000L),
+    "q_stream_join_full" -> OracleSql.streamJoinFullSql(3600L * 1000000L),
     "q_stream_stateful" -> StatefulSessionSql,
     // Same batch-session oracle: the cross-batch replay must produce the
     // identical closed-session set.

@@ -805,6 +805,76 @@ object StreamOps {
       .select(col("view_id"), col("click_id"), col("user_id"), col("dt_us"))
   }
 
+  /** FULL outer stream-stream join replay — the last member of the
+    * stream-join family: unmatched rows on EITHER side emit with the
+    * other side null once the watermark proves no partner can still
+    * arrive (state evictions on both sides, vs one in the left-outer
+    * twin). Same time-ordered-slice staging, both-side sentinels, and
+    * final flush micro-batch as [[streamOuterJoinReplay]] (both
+    * watermarks need the far-future evidence); sentinel-origin rows —
+    * which surface as unmatched on their own side — are projected out
+    * on the drained batch table, never inside the streaming plan (the
+    * predicate-pushdown-below-watermark trap documented on the left
+    * join). Result equals the batch FULL JOIN exactly, nulls included.
+    */
+  def streamFullJoinReplay(events: DataFrame, stagingDir: String,
+                           maxLagUs: Long = 3600L * 1000000L,
+                           gapUs: Long = 1800L * 1000000L,
+                           nSlices: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    drainSpent(spark)
+    if (StagedDirs.add(stagingDir)) {
+      stageTimeSlices(events, stagingDir, gapUs, nSlices)
+      import spark.implicits._
+      val far = stagingShape(events).agg(max("tus")).head().getLong(0) +
+        201L * gapUs
+      val build = new java.io.File(stagingDir, "_flush_build")
+      Seq((-2L, -1L, far, "sentinel", 0.0))
+        .toDF("event_id", "user_id", "tus", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(build.getPath)
+      Option(build.listFiles()).toSeq.flatten
+        .find(_.getName.endsWith(".parquet")).foreach { part =>
+          val dst = java.nio.file.Paths.get(stagingDir, "slice-9998.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(SliceMtime0 + 9998L * 60000L)
+          ()
+        }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(build)
+    }
+    val schema = spark.read.parquet(stagingDir).schema
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val views = src()
+      .filter(col("event_type").isin("view", "sentinel"))
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+        col("event_type").as("l_type"))
+    val clicks = src()
+      .filter(col("event_type").isin("click", "sentinel"))
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+    val l = views.withWatermark("ts", "60 seconds")
+    val r = clicks.withWatermark("r_ts", "60 seconds")
+    val joined = l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("ts") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $maxLagUs MICROSECOND"),
+        "full_outer")
+      .select(col("view_id"), col("click_id"),
+        coalesce(col("user_id"), col("r_user")).as("uid"),
+        (unix_micros(col("r_ts")) - unix_micros(col("ts"))).as("dt_us"),
+        col("l_type"), col("r_type"))
+    runToMemory(joined, OutputMode.Append)
+      .filter((col("l_type").isNull || col("l_type") === "view") &&
+        (col("r_type").isNull || col("r_type") === "click"))
+      .select(col("view_id"), col("click_id"), col("uid").as("user_id"),
+        col("dt_us"))
+  }
+
   /** Stream-stream join replay: views and clicks are staged as two
     * SEPARATE file sources (each side reads only its own event type —
     * a shared staged corpus would make both sources scan and discard
