@@ -96,6 +96,47 @@ object OracleSql {
     s"""WITH $minhashPairsCtes
         SELECT doc_a, doc_b, est_jaccard FROM mh_pairs"""
 
+  /** Cross-corpus near-dup decontamination twin: the identical
+    * shingle → signature → band chain as [[dedupMinhashSql]], over the
+    * train/eval/planted cross corpus, with the candidate join
+    * restricted to cross-boundary pairs (train id < 5e6 ≤ eval id).
+    */
+  def decontamNearSql: String = {
+    val coefValues = DedupOps.MinhashCoef
+      .map { case (i, a, b, band, w31) => s"($i, $a, $b, $band, $w31)" }
+      .mkString(", ")
+    val p = DedupOps.P
+    s"""WITH base AS (SELECT doc_id, text,
+             CAST(substr(source, 4, 10) AS INT) AS si FROM documents),
+        corpus AS (
+          SELECT doc_id, text FROM base WHERE si < 10
+          UNION ALL SELECT doc_id + 5000000, text FROM base WHERE si >= 10
+          UNION ALL SELECT doc_id + 6000000,
+            regexp_replace(text, '^\\S+\\s*', '') AS text
+          FROM base WHERE si < 10 AND doc_id % 37 = 0),
+        $shingle3Cte,
+        hh AS (SELECT doc_id, ${hash60("sh")} % $p AS h FROM sh),
+        coef AS (SELECT * FROM (VALUES $coefValues) t(i, a, b, band, w31)),
+        sig AS (SELECT doc_id, i, MIN((a * h + b) % $p) AS m
+                FROM hh CROSS JOIN coef GROUP BY doc_id, i),
+        bk AS (SELECT doc_id, band, CAST(SUM(m * w31) AS BIGINT) AS bk
+               FROM sig JOIN coef USING (i) GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT x.doc_id AS train_id, y.doc_id AS eval_id
+                 FROM bk x JOIN bk y
+                 ON x.band = y.band AND x.bk = y.bk
+                AND x.doc_id < 5000000 AND y.doc_id >= 5000000),
+        mh_pairs AS (
+          SELECT c.train_id, c.eval_id,
+                 SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / ${DedupOps.K}.0
+                   AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.train_id
+          JOIN sig sb ON sb.doc_id = c.eval_id AND sb.i = sa.i
+          GROUP BY c.train_id, c.eval_id
+          HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / ${DedupOps.K}.0 >= 0.5)
+        SELECT train_id, eval_id, est_jaccard FROM mh_pairs"""
+  }
+
   /** Dedup-cluster twin: transitive closure of the near-dup pairs via a
     * recursive CTE (UNION set semantics terminates on cycles); each
     * node's cluster is the minimum reachable doc id — the same fixed

@@ -2010,6 +2010,55 @@ object SparkEntry {
           sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
     }),
 
+    // NEAR-dup benchmark decontamination — the 8-gram exact decontam's
+    // blind spot closed: eval items that PARAPHRASE training docs
+    // (here: planted first-word-stripped twins of every 37th train
+    // doc) share no 8-gram but minhash-collide. Train = sources 0-9
+    // (original ids), eval = sources 10-19 (+5e6) plus the planted
+    // contamination (+6e6); the LSH band join emits only
+    // cross-boundary pairs. Same bucketed scale shape as q_dedup_minhash.
+    "q_decontam_near" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          expr("CAST(substr(source, 4, 10) AS INT)").as("si"))
+      val corpus = base.filter(col("si") < 10)
+        .select(col("doc_id"), col("text"))
+        .union(base.filter(col("si") >= 10)
+          .select(col("doc_id") + 5000000L, col("text")))
+        .union(base.filter(col("si") < 10 && col("doc_id") % 37 === 0)
+          .select(col("doc_id") + 6000000L,
+            regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
+      DedupOps.minhashCrossPairs(corpus, 5000000L)
+    }),
+
+    // Collocation mining by lift (the no-libm PMI): document-level
+    // co-occurrence of frequent terms, lift = P(a,b)/(P(a)P(b))
+    // computed as a mirrored integer floor-division chain in ppm. The
+    // frequent-vocab filter (df ≥ 20) broadcasts and bounds the
+    // per-doc pair expansion; top-20 by (lift, pair) deterministic.
+    "q_collocations" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dt = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), TextOps.WsRegex)).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .distinct()
+      val cw = dt.groupBy("w").agg(count(lit(1)).as("cw"))
+        .filter(col("cw") >= 20)
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val freq = dt.join(broadcast(cw), "w")
+      val pairs = freq.select(col("doc_id"), col("w").as("wa"),
+          col("cw").as("ca"))
+        .join(freq.select(col("doc_id"), col("w").as("wb"),
+          col("cw").as("cb")), "doc_id")
+        .filter(col("wa") < col("wb"))
+        .groupBy("wa", "wb", "ca", "cb").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      pairs.crossJoin(broadcast(nd))
+        .select(col("wa"), col("wb"), col("ca"), col("cb"), col("cab"),
+          expr("((cab * 1000000) div ca) * nd div cb").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("wa"), col("wb")).limit(20)
+    }),
+
     // CUPED variance-reduced A/B readout — the modern experimentation
     // workhorse: per-user pre-period covariate x and post-period
     // metric y (both integer MEANS of cents, so every pooled moment
@@ -4237,6 +4286,25 @@ object SparkEntry {
                 CAST(sum(energy2) AS BIGINT) AS sum_energy2,
                 CAST(sum(zcs) AS BIGINT) AS sum_zc
          FROM f GROUP BY frame_idx""",
+    "q_decontam_near" -> OracleSql.decontamNearSql,
+    "q_collocations" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, w FROM (
+              SELECT doc_id, unnest(string_split_regex(lower(text),
+                '${OracleSql.Ws}')) AS w FROM documents)
+            WHERE regexp_full_match(w, '[a-z]+')),
+          cw AS (SELECT w, count(*) AS cw FROM dt GROUP BY w
+                 HAVING count(*) >= 20),
+          nd AS (SELECT count(*) AS nd FROM documents),
+          f AS (SELECT dt.doc_id, dt.w, cw.cw FROM dt JOIN cw USING (w)),
+          p AS (SELECT a.w AS wa, b.w AS wb, a.cw AS ca, b.cw AS cb,
+                count(*) AS cab
+            FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.w < b.w
+            GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5)
+        SELECT wa, wb, ca, cb, cab,
+               CAST(((cab * 1000000) // ca) * nd // cb AS BIGINT)
+                 AS lift_ppm
+        FROM p, nd
+        ORDER BY lift_ppm DESC, wa, wb LIMIT 20""",
     "q_ks_test" ->
       """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c,
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g

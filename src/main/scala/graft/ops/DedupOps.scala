@@ -182,6 +182,37 @@ object DedupOps {
       .filter(col("est_jaccard") >= minEst)
   }
 
+  /** Cross-corpus near-dup pairs — benchmark decontamination at the
+    * NEAR-dup level (the 8-gram exact decontam's blind spot: a
+    * paraphrased or lightly-edited eval item shares no 8-gram but
+    * minhash-collides). `corpus` carries BOTH sides with ids below /
+    * at-or-above `boundary` (train / eval); the LSH band join emits
+    * only cross-boundary candidates, so within-side duplicates never
+    * pair — same signatures, same bands, same estimate as
+    * [[minhashPairs]], one extra predicate. Scale identical to the
+    * within-corpus path: bands are the sole pair generator.
+    */
+  def minhashCrossPairs(corpus: DataFrame, boundary: Long,
+                        minEst: Double = 0.5): DataFrame = {
+    val sig = minhashSigArr(corpus)
+    val bandRows = sig.select(col("doc_id"), col("ms"), explode(array(
+      (0 until Bands).map(j =>
+        struct(lit(j).as("band"), col(s"bk$j").as("bk"))): _*)).as("b"))
+      .select(col("doc_id"), col("ms"), col("b.band").as("band"),
+        col("b.bk").as("bk"))
+    bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < boundary && col("y.doc_id") >= boundary)
+      .select(col("x.doc_id").as("train_id"), col("y.doc_id").as("eval_id"),
+        col("x.ms").as("ma"), col("y.ms").as("mb"))
+      .distinct()
+      .select(col("train_id"), col("eval_id"),
+        (aggregate(zip_with(col("ma"), col("mb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x) / K.toDouble).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
   /** SimHash bits: 60 — the full entropy of the portable hash60 (a 64-bit
     * simhash would leave bits 60-63 of every token hash constant-zero,
     * i.e. 4 dead signature bits and a crippled 4th band). Banded as
