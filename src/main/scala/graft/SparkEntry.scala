@@ -2010,6 +2010,30 @@ object SparkEntry {
           sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
     }),
 
+    // Label-centroid separation matrix — the embedding-space class
+    // geometry report (which labels are confusable?): per-(label, dim)
+    // integer centroid from quantized components, then all 45 pairwise
+    // squared distances. The floor-mean shifts by +QScale before the
+    // div so BOTH engines floor a nonnegative quotient (div truncates,
+    // // floors — they disagree on negatives); Σ diff² ≤ 64·(2·QScale)²
+    // ≈ 2.6e14 — exact int64, < 2^53.
+    "q_label_centroids" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).select(col("label"),
+        posexplode(SimilarityOps.quantize(col("embedding")))
+          .as(Seq("dim", "qv")))
+      val cent = q.groupBy("label", "dim")
+        .agg(expr("((sum(qv) + count(1) * 1000000) div count(1)) - 1000000")
+          .as("cm"))
+      val a = cent.select(col("label").as("la"), col("dim"),
+        col("cm").as("ca"))
+      val b = cent.select(col("label").as("lb"), col("dim"),
+        col("cm").as("cb"))
+      a.join(b, Seq("dim")).filter(col("la") < col("lb"))
+        .groupBy("la", "lb")
+        .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+          .as("dist2"))
+    }),
+
     // NEAR-dup benchmark decontamination — the 8-gram exact decontam's
     // blind spot closed: eval items that PARAPHRASE training docs
     // (here: planted first-word-stripped twins of every 37th train
@@ -4286,6 +4310,21 @@ object SparkEntry {
                 CAST(sum(energy2) AS BIGINT) AS sum_energy2,
                 CAST(sum(zcs) AS BIGINT) AS sum_zc
          FROM f GROUP BY frame_idx""",
+    "q_label_centroids" ->
+      s"""WITH qv AS (SELECT label, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * ${ops.SimilarityOps.QScale})
+                AS BIGINT)) AS v
+            FROM embeddings),
+          d AS (SELECT label, r.range AS dim, v[r.range + 1] AS q
+                FROM qv, range(0, ${ops.SimilarityOps.Dims}) r),
+          c AS (SELECT label, dim,
+                CAST((CAST(sum(q) AS BIGINT) + count(*) * 1000000)
+                  // count(*) - 1000000 AS BIGINT) AS cm
+              FROM d GROUP BY 1, 2)
+        SELECT a.label AS la, b.label AS lb,
+               CAST(sum((a.cm - b.cm) * (a.cm - b.cm)) AS BIGINT) AS dist2
+        FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2""",
     "q_decontam_near" -> OracleSql.decontamNearSql,
     "q_collocations" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id, w FROM (
