@@ -817,6 +817,19 @@ object SparkEntry {
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod),
         BfsSource, SsspMaxRounds)),
 
+    // General weighted-graph API: DIRECTED edges carrying their own
+    // weight column (src, dst, w) — a real user's first graph shape —
+    // with w = min(l_linenumber) per collapsed pair (data-derived, not
+    // the symmetric pure-function weight q_sssp synthesizes). Direction
+    // matters: only order→part arcs exist, so the distance vector is the
+    // directed reachable set. Convergence detection rides the min-merge
+    // aggregate itself (origin-tagged rows, one exchange + one action
+    // per round); oracle unrolls the same rounds, no-ops past fixpoint.
+    "q_sssp_weighted" -> ((s, d) =>
+      GraphOps.ssspWeighted(
+        GraphOps.weightedEdgesFromLineitem(Tables.lineitem(s, d), TriMod),
+        BfsSource, SsspWMaxRounds)),
+
     // Skew-mitigation pattern: salted two-phase aggregation; oracle is
     // the plain GROUP BY (identical results prove exactness).
     "q_agg_salted" -> ((s, d) =>
@@ -2560,6 +2573,13 @@ object SparkEntry {
     */
   private val SsspMaxRounds = 15
 
+  /** q_sssp_weighted round budget (shared by query + oracle unroll).
+    * The directed order→part graph alternates id spaces each hop, so
+    * shortest weighted paths can be longer than the symmetric case;
+    * rounds past the fixpoint are no-ops on both engines.
+    */
+  private val SsspWMaxRounds = 25
+
   /** The SQL front door: q_sql_q3 runs ONE SQL text through both engines
     * — spark.sql over temp views here, DuckDB as the oracle — proving
     * the declared surface is dialect-shared, not just API-equivalent.
@@ -3699,6 +3719,27 @@ object SparkEntry {
                         CAST(0 AS BIGINT) AS dist),
           $rounds
           SELECT node, dist FROM d$SsspMaxRounds"""
+    },
+    "q_sssp_weighted" -> {
+      val we =
+        s"""we AS MATERIALIZED (
+              SELECT l_orderkey % $TriMod AS src, l_partkey % $TriMod AS dst,
+                     CAST(min(l_linenumber) AS BIGINT) AS w
+              FROM lineitem WHERE l_orderkey % $TriMod <> l_partkey % $TriMod
+              GROUP BY 1, 2)"""
+      val rounds = (1 to SsspWMaxRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+               SELECT node, dist FROM d${i - 1}
+               UNION ALL
+               SELECT e.dst AS node, d.dist + e.w AS dist
+               FROM we e JOIN d${i - 1} d ON e.src = d.node)
+             GROUP BY node)"""
+      }.mkString(",\n")
+      s"""WITH $we,
+          d0 AS (SELECT CAST($BfsSource AS BIGINT) AS node,
+                        CAST(0 AS BIGINT) AS dist),
+          $rounds
+          SELECT node, dist FROM d$SsspWMaxRounds"""
     },
     "q_dedup_exact" -> OracleSql.dedupExactSql,
     "q_dedup_incremental" -> OracleSql.dedupIncrementalSql,

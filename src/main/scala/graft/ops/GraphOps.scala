@@ -42,6 +42,35 @@ object GraphOps {
   /** Fixed-point scale: 1 rank unit = 10^12. */
   val Scale: Long = 1000000000000L
 
+  /** Broadcast budget in bytes = the session's
+    * `spark.sql.autoBroadcastJoinThreshold` (honors "10MB"-style byte
+    * strings and the -1 disable sentinel). The graph operators size their
+    * per-node vectors against THIS, so turning broadcasts down/off for a
+    * cluster turns the graph loops' broadcasts down/off with it.
+    */
+  private[graft] def broadcastBudget(spark: org.apache.spark.sql.SparkSession): Long = {
+    val raw = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    if (raw.startsWith("-")) -1L
+    else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+  }
+
+  /** Adaptive broadcast guard shared by every graph loop: a per-node
+    * int64 vector (node + payload ≈ `bytesPerRow`) is broadcast only if
+    * `rows × bytesPerRow` fits the session broadcast budget. `explicit`
+    * (the per-operator `bcast*` parameter) always wins when supplied —
+    * the caller who KNOWS the graph shape keeps the override — but the
+    * default no longer assumes the vector fits: a 10^9-node graph now
+    * selects the shuffled plan automatically instead of dying at plan
+    * time on a ~16 GB broadcast. `rows` comes from ONE aggregated count
+    * per decision (the sanctioned driver-side scalar), evaluated on the
+    * already-persisted/checkpointed vector.
+    */
+  private[graft] def decideBroadcast(explicit: Option[Boolean], rows: => Long,
+                                     budget: Long,
+                                     bytesPerRow: Long = 16L): Boolean =
+    explicit.getOrElse(budget > 0 && rows * bytesPerRow <= budget)
+
   /** Distinct endpoints of the edge list. */
   def nodes(edges: DataFrame): DataFrame =
     edges.select(col("src").as("node"))
@@ -57,6 +86,20 @@ object GraphOps {
         (col("l_partkey") % mod).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+
+  /** Deterministic synthetic WEIGHTED directed edge list from lineitem —
+    * the [[edgesFromLineitem]] discipline with a data-derived weight
+    * column: w = min(l_linenumber) over the rows collapsing to each
+    * (src, dst) pair. Integer min is order-independent and identical in
+    * DuckDB, so weighted-graph oracles replay the same derivation.
+    */
+  def weightedEdgesFromLineitem(lineitem: DataFrame, mod: Int): DataFrame =
+    lineitem.select(
+        (col("l_orderkey") % mod).as("src"),
+        (col("l_partkey") % mod).as("dst"),
+        col("l_linenumber"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("l_linenumber").cast("long").as("w"))
 
   /** Nodes with no incoming edges — their rank is the damping base every
     * iteration, so it is computed ONCE and unioned in per step instead of
@@ -103,16 +146,22 @@ object GraphOps {
     * vector is |V| rows — 16 B/node — so the segments are cheap to hold.
     */
   def pageRankFixed(edges: DataFrame, iters: Int, dampPct: Int = 85,
-                    bcastRanks: Boolean = true, persistEvery: Int = 3): DataFrame = {
+                    bcastRanks: Option[Boolean] = None,
+                    persistEvery: Int = 3): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100 && persistEvery >= 1)
     val e = edges
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // Reused every iteration — persist so the scan+distinct+join runs once.
     val ew = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val noIn = noInNodes(e).persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodes(e).select(col("node"), lit(Scale).as("rank_fp"))
+    val n0 = nodes(e).persist(StorageLevel.MEMORY_AND_DISK)
+    // |V| is constant across iterations, so the broadcast-vs-shuffle
+    // decision is made ONCE from one aggregated count of the node set.
+    val bc = decideBroadcast(bcastRanks, n0.count(),
+      broadcastBudget(e.sparkSession))
+    var ranks = n0.select(col("node"), lit(Scale).as("rank_fp"))
     for (i <- 1 to iters) {
-      ranks = step(ew, noIn, ranks, dampPct, bcastRanks)
+      ranks = step(ew, noIn, ranks, dampPct, bc)
       if (i % persistEvery == 0 && i < iters)
         ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
     }
@@ -149,7 +198,7 @@ object GraphOps {
     * into the edge join for the same reason as the PageRank rank vector.
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50,
-                          bcastLabels: Boolean = true): DataFrame = {
+                          bcastLabels: Option[Boolean] = None): DataFrame = {
     // Persist the input FIRST: the bidirectional union references the
     // edge subplan twice, and when edges are themselves the output of an
     // expensive pipeline (MinHash pair generation) each branch would
@@ -161,10 +210,13 @@ object GraphOps {
     var lbl = und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("cluster"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // |V| is fixed for the whole propagation — one count decides the path.
+    val bc = decideBroadcast(bcastLabels, lbl.count(),
+      broadcastBudget(edges.sparkSession))
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      val l = if (bcastLabels) broadcast(lbl) else lbl
+      val l = if (bc) broadcast(lbl) else lbl
       val nbrMin = und.join(l, und("u") === l("node"))
         .groupBy(und("v").as("node")).agg(min("cluster").as("nmin"))
       // localCheckpoint (eager) truncates the LOGICAL lineage each round:
@@ -210,24 +262,27 @@ object GraphOps {
     * (final ranks sorted desc, iterations run).
     */
   def pageRankConverged(edges: DataFrame, maxIters: Int, tolFp: Long,
-                        dampPct: Int = 85, bcastRanks: Boolean = true,
+                        dampPct: Int = 85, bcastRanks: Option[Boolean] = None,
                         checkEvery: Int = 3): (DataFrame, Int) = {
     require(checkEvery >= 1)
     val e = edges
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ew = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val noIn = noInNodes(e).persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodes(e).select(col("node"), lit(Scale).as("rank_fp"))
+    val n0 = nodes(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val bc = decideBroadcast(bcastRanks, n0.count(),
+      broadcastBudget(e.sparkSession))
+    var ranks = n0.select(col("node"), lit(Scale).as("rank_fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
       val block = math.min(checkEvery, maxIters - it)
       var next = ranks
-      for (_ <- 1 to block) next = step(ew, noIn, next, dampPct, bcastRanks)
+      for (_ <- 1 to block) next = step(ew, noIn, next, dampPct, bc)
       next = next.persist(StorageLevel.MEMORY_AND_DISK)
       val prev0 = ranks.withColumnRenamed("rank_fp", "prev_fp")
-      val prev = if (bcastRanks) broadcast(prev0) else prev0
+      val prev = if (bc) broadcast(prev0) else prev0
       val diff = next.join(prev, "node")
         .agg(sum(abs(col("rank_fp") - col("prev_fp"))).as("l1"))
         .head().getLong(0)
@@ -282,7 +337,8 @@ object GraphOps {
     * int64-only exchanges, same result) — the same escape hatch
     * `pageRankFixed`/`connectedComponents` carry for their vectors.
     */
-  def triangleCounts(edges: DataFrame, bcastDeg: Boolean = true): DataFrame = {
+  def triangleCounts(edges: DataFrame,
+                     bcastDeg: Option[Boolean] = None): DataFrame = {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -291,10 +347,15 @@ object GraphOps {
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // (deg, id) total order orients each edge; broadcast the degree
-    // table (16 B/node) so the edge list never shuffles to attach it.
+    // table (16 B/node) so the edge list never shuffles to attach it —
+    // unless |V|·16 B exceeds the session broadcast budget (or the
+    // caller overrides), in which case the attach shuffles.
+    val bc = decideBroadcast(bcastDeg, deg.count(),
+      broadcastBudget(edges.sparkSession))
     val hint: DataFrame => DataFrame =
-      if (bcastDeg) broadcast else _.hint("shuffle_hash")
+      if (bc) broadcast else _.hint("shuffle_hash")
     val da = hint(deg.select(col("node").as("a"), col("deg").as("da")))
     val db = hint(deg.select(col("node").as("b"), col("deg").as("db")))
     val oriented = und.join(da, "a").join(db, "b")
@@ -392,10 +453,11 @@ object GraphOps {
     * the sanctioned convergence pattern.
     */
   def bfsLevels(edges: DataFrame, source: Long, maxDepth: Int,
-                bcastFrontier: Boolean = true): DataFrame = {
+                bcastFrontier: Option[Boolean] = None): DataFrame = {
     require(maxDepth >= 0)
     val spark = edges.sparkSession
     import spark.implicits._
+    val budget = broadcastBudget(spark)
     val sym = edges.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .union(edges.filter(col("src") =!= col("dst"))
@@ -405,16 +467,23 @@ object GraphOps {
     var visited = Seq((source, 0)).toDF("node", "dist")
       .localCheckpoint(true)
     var frontier = visited.select("node")
+    // The frontier grows and shrinks per level, so the broadcast
+    // decision is re-made per round from the frontier size just counted
+    // (the count doubles as the emptiness test — no extra action).
+    var frontierRows = 1L
     var depth = 0
     var exhausted = false
     while (depth < maxDepth && !exhausted) {
       depth += 1
-      val f = if (bcastFrontier) broadcast(frontier) else frontier
+      val bc = decideBroadcast(bcastFrontier, frontierRows, budget,
+        bytesPerRow = 8L)
+      val f = if (bc) broadcast(frontier) else frontier
       val next = sym.join(f, sym("src") === f("node"))
         .select(sym("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint(true)
-      if (next.isEmpty) exhausted = true
+      frontierRows = next.count()
+      if (frontierRows == 0L) exhausted = true
       else {
         visited = visited
           .union(next.select(col("node"), lit(depth).as("dist")))
@@ -448,10 +517,7 @@ object GraphOps {
     * Output: (node, dist) for every node reachable from `source`.
     */
   def sssp(edges: DataFrame, source: Long, maxRounds: Int,
-           bcastDist: Boolean = true): DataFrame = {
-    require(maxRounds >= 1)
-    val spark = edges.sparkSession
-    import spark.implicits._
+           bcastDist: Option[Boolean] = None): DataFrame = {
     val sym = edges.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
       .union(edges.filter(col("src") =!= col("dst"))
@@ -459,26 +525,66 @@ object GraphOps {
       .distinct()
       .select(col("src"), col("dst"),
         (((col("src") + col("dst")) % 9) + 1).as("w"))
+    ssspWeighted(sym, source, maxRounds, bcastDist)
+  }
+
+  /** General weighted single-source shortest paths: `edges` is a
+    * DIRECTED edge list carrying its own nonnegative integer weight
+    * column `(src, dst, w)` — a real user's first graph — where [[sssp]]
+    * above is the fixture-weighted symmetric convenience wrapper.
+    * Bellman-Ford min-merge rounds, fixpoint-or-throw, exactly as
+    * documented on [[sssp]].
+    *
+    * Per round the work is ONE keyed exchange and ONE action: the relax
+    * rows are unioned with the current vector tagged by origin, and the
+    * min-merge aggregate carries BOTH the new distance and the old
+    * distance (min over origin-tagged rows) through the same groupBy, so
+    * improvement detection is a residual-free scan of the just-
+    * checkpointed round output — no second join, no second exchange
+    * (previously a per-round left-outer join + count doubled the round
+    * cost). The same scan returns the vector row count, which feeds the
+    * adaptive broadcast guard for the NEXT round ([[decideBroadcast]]):
+    * the distance vector grows toward |V| as the frontier expands, so a
+    * graph whose reachable set outgrows the broadcast budget flips to
+    * the shuffled join mid-run instead of dying at plan time.
+    */
+  def ssspWeighted(edges: DataFrame, source: Long, maxRounds: Int,
+                   bcastDist: Option[Boolean] = None): DataFrame = {
+    require(maxRounds >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val budget = broadcastBudget(spark)
+    val e = edges.select(col("src"), col("dst"), col("w"))
       .localCheckpoint(true)
     var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
+    var distRows = 1L
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val dd = if (bcastDist) broadcast(dist) else dist
-      val relax = sym.join(dd, sym("src") === dd("node"))
-        .select(sym("dst").as("node"), (dd("dist") + sym("w")).as("dist"))
-      val next = dist.union(relax)
-        .groupBy("node").agg(min("dist").as("dist"))
+      val bc = decideBroadcast(bcastDist, distRows, budget)
+      val dd = if (bc) broadcast(dist) else dist
+      val relax = e.join(dd, e("src") === dd("node"))
+        .select(e("dst").as("node"), (dd("dist") + e("w")).as("dist"),
+          lit(0).as("isold"))
+      val merged = dist
+        .select(col("node"), col("dist"), lit(1).as("isold"))
+        .union(relax)
+        .groupBy("node").agg(
+          min("dist").as("dist"),
+          min(when(col("isold") === 1, col("dist"))).as("od"))
         .localCheckpoint(true)
-      val old = dist.withColumnRenamed("dist", "od")
-      val improved = next.join(old, Seq("node"), "left_outer")
-        .filter(col("od").isNull || col("dist") < col("od")).count()
-      if (improved == 0L) converged = true else dist = next
+      val stats = merged.agg(
+        count(when(col("od").isNull || col("dist") < col("od"), lit(1)))
+          .as("improved"),
+        count(lit(1)).as("n")).head()
+      distRows = stats.getLong(1)
+      if (stats.getLong(0) == 0L) converged = true
+      else dist = merged.select("node", "dist")
     }
     if (!converged)
       throw new IllegalStateException(
         s"sssp did not reach a fixpoint in $maxRounds rounds")
-    dist
+    dist.select("node", "dist")
   }
 }

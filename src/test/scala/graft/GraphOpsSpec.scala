@@ -166,33 +166,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  /** Plan audit that recurses into InMemoryRelation cached plans (the
+    * degree attach lives inside the persisted `oriented` segment) and
+    * unwraps AQE roots.
+    */
+  private def planText(p: org.apache.spark.sql.execution.SparkPlan): String = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val root = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val sb = new StringBuilder(root.toString)
+    root.foreach {
+      case s: InMemoryTableScanExec => sb.append(planText(s.relation.cachedPlan))
+      case a: AdaptiveSparkPlanExec => sb.append(planText(a.inputPlan))
+      case _ => ()
+    }
+    sb.toString
+  }
+
   test("triangleCounts shuffled-degree fallback (bcastDeg=false) matches broadcast path") {
     // The 10^9-node escape hatch: degree attach via shuffled join must
     // produce bit-identical counts, and its plan must not broadcast deg.
-    // The attach lives inside the persisted `oriented` segment, so the
-    // audit recurses into InMemoryRelation cached plans (and clears the
-    // cache between paths so the fallback computes its own attach).
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    def planText(p: SparkPlan): String = {
-      val root = p match {
-        case a: AdaptiveSparkPlanExec => a.inputPlan
-        case other => other
-      }
-      val sb = new StringBuilder(root.toString)
-      root.foreach {
-        case s: InMemoryTableScanExec => sb.append(planText(s.relation.cachedPlan))
-        case a: AdaptiveSparkPlanExec => sb.append(planText(a.inputPlan))
-        case _ => ()
-      }
-      sb.toString
-    }
     val edges = Tables.lineitem(spark, sfDir)
       .select((col("l_orderkey") % 101).as("src"),
         (col("l_partkey") % 101).as("dst"))
     spark.catalog.clearCache()
-    val sh = GraphOps.triangleCounts(edges, bcastDeg = false)
+    val sh = GraphOps.triangleCounts(edges, bcastDeg = Some(false))
     // The degree attach must honor the shuffle hint (other joins at
     // fixture scale may still auto-broadcast — that's fine).
     val plan = planText(sh.queryExecution.executedPlan)
@@ -215,7 +216,7 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2)) // 4 is 3 hops: cut off
     val full = GraphOps.bfsLevels(edges, 1L, maxDepth = 8,
-        bcastFrontier = false)
+        bcastFrontier = Some(false))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(full === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
@@ -233,7 +234,7 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want)
     // Shuffled-join fallback is bit-identical to the broadcast path.
-    val fb = GraphOps.sssp(edges, 1L, maxRounds = 8, bcastDist = false)
+    val fb = GraphOps.sssp(edges, 1L, maxRounds = 8, bcastDist = Some(false))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fb === want)
     // A round budget below the fixpoint hop count must throw, not
@@ -255,6 +256,62 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
     // k above the clique degree empties the core.
     assert(GraphOps.kCore(edges, 4).count() === 0L)
+  }
+
+  test("adaptive broadcast guard: decision honors budget, override, and disable") {
+    // Unit contract of the shared helper behind every bcast* default.
+    assert(GraphOps.decideBroadcast(Some(true), sys.error("not evaluated"),
+      budget = -1L))
+    assert(!GraphOps.decideBroadcast(Some(false), sys.error("not evaluated"),
+      budget = Long.MaxValue))
+    assert(GraphOps.decideBroadcast(None, 1000L, budget = 16001L))
+    assert(!GraphOps.decideBroadcast(None, 1001L, budget = 16000L))
+    assert(!GraphOps.decideBroadcast(None, 1L, budget = -1L)) // -1 disables
+  }
+
+  test("adaptive broadcast guard: a vector past budget auto-selects the shuffled plan") {
+    // The 100x foot-gun the guard retires: with NO explicit override, a
+    // node vector that exceeds the session broadcast budget must flip
+    // the degree attach to the shuffled plan automatically (simulated by
+    // shrinking the budget under the fixture's ~100-node vector), and
+    // the default budget must still pick the broadcast attach.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val edges = Tables.lineitem(spark, sfDir)
+      .select((col("l_orderkey") % 101).as("src"),
+        (col("l_partkey") % 101).as("dst"))
+    try {
+      spark.catalog.clearCache()
+      spark.conf.set(key, "64")
+      val auto = GraphOps.triangleCounts(edges)
+      val plan = planText(auto.queryExecution.executedPlan)
+      assert(plan.contains("ShuffledHashJoin"),
+        s"past-budget vector must auto-select a shuffled degree attach:\n$plan")
+      val got = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache()
+      spark.conf.set(key, saved)
+      val bc = GraphOps.triangleCounts(edges)
+      val bcPlan = planText(bc.queryExecution.executedPlan)
+      assert(!bcPlan.contains("ShuffledHashJoin"),
+        s"in-budget vector must keep the broadcast degree attach:\n$bcPlan")
+      assert(bc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === got)
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("ssspWeighted: directed user-supplied weights, direction respected") {
+    import spark.implicits._
+    // Directed: 1→2 (w1), 2→3 (w1), 1→3 (w5): the 2-hop light path wins.
+    // 4→1 points AT the source, so 4 must stay unreachable.
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (4L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.ssspWeighted(e, 1L, maxRounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // Shuffled fallback is bit-identical.
+    val fb = GraphOps.ssspWeighted(e, 1L, maxRounds = 6,
+        bcastDist = Some(false))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fb === got)
   }
 
   test("aggState merge equals the from-scratch aggregate, any split") {
