@@ -139,7 +139,8 @@ object StreamOps {
     * caller; by the time the next replay runs, the previous result has
     * been consumed.
     */
-  private val SpentTables = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val SpentTables = new java.util.concurrent.ConcurrentLinkedQueue[
+    (org.apache.spark.sql.SparkSession, String)]()
 
   /** Staging dirs already written this session: replays deriving the
     * SAME frame from the same sf dir share one staging dir (the three
@@ -150,42 +151,54 @@ object StreamOps {
     */
   private val StagedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def drainSpent(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private def drainSpent(): Unit = {
     var spent = SpentTables.poll()
     while (spent != null) {
-      spark.catalog.dropTempView(spent)
+      // Memory-sink views are session-scoped: drop each on the replay
+      // clone that registered it (holding the clone in the queue keeps
+      // it reachable until its table is released).
+      spent._1.catalog.dropTempView(spent._2)
       spent = SpentTables.poll()
     }
+  }
+
+  /** One cloned session per replay — the replay-scoped conf carrier.
+    * Stateful operators commit EVERY state-store partition every
+    * micro-batch, so at fixture scale the 32-partition session default
+    * makes commit fan-out, not data, the dominant replay cost (measured
+    * ~2× on the stream-stream join); production tuning would size it to
+    * real per-key volume. The 8-partition setting lives on a
+    * `newSession()` CLONE (same SparkContext, forked SQL conf + temp
+    * views), so the parent session's conf is NEVER mutated — a
+    * concurrent batch query in the parent keeps planning at the session
+    * value, closing the r5/r6 set-restore visibility window.
+    */
+  private def replaySession(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val rs = spark.newSession()
+    rs.conf.set("spark.sql.shuffle.partitions", "8")
+    rs
   }
 
   /** Run a streaming transform result to a fresh memory-sink table
     * (AvailableNow) and return it; the table is dropped lazily at the
     * next replay — see SpentTables.
     *
-    * Stateful operators commit EVERY state-store partition every
-    * micro-batch, so at fixture scale the 32-partition session default
-    * makes commit fan-out, not data, the dominant replay cost (measured
-    * ~2× on the stream-stream join). The state partitioning is scoped
-    * to 8 for the replay's query only (the conf is read at stream
-    * planning; batch queries and concurrent plans keep the session
-    * value) — production tuning would size it to real per-key volume.
+    * `result` must be built on a [[replaySession]] clone (every caller
+    * constructs its readStream there): the stream plans against the
+    * DataFrame's own session, so the clone's 8-partition state conf
+    * applies to this replay only and the parent session is untouched.
     */
   private def runToMemory(result: DataFrame, mode: OutputMode): DataFrame = {
-    val spark = result.sparkSession
+    val rs = result.sparkSession
     val name = s"graft_replay_${ReplayCounter.incrementAndGet()}"
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = result.writeStream.outputMode(mode)
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // The stream plans its batches asynchronously after start(), so
-      // the scoped conf must stay in place until the stream drains.
-      try q.awaitTermination() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    SpentTables.add(name)
-    spark.table(name)
+    val q = result.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    SpentTables.add((rs, name))
+    rs.table(name)
   }
 
   /** The (event_id, user_id, tus, event_type, value) staging shape. */
@@ -210,7 +223,7 @@ object StreamOps {
                      partitionCols: Seq[String] = Nil)
                     (f: DataFrame => DataFrame): DataFrame = {
     val spark = events.sparkSession
-    drainSpent(spark)
+    drainSpent()
     val ev = augment(stagingShape(events))
     if (StagedDirs.add(stagingDir)) {
       val parted =
@@ -218,8 +231,9 @@ object StreamOps {
         else ev.repartition(nParts, partitionCols.map(col): _*)
       parted.write.mode("overwrite").parquet(stagingDir)
     }
-    val staged = spark.read.parquet(stagingDir)
-    val stream = spark.readStream.schema(staged.schema)
+    val rs = replaySession(spark)
+    val staged = rs.read.parquet(stagingDir)
+    val stream = rs.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
       .withColumn("ts", timestamp_micros(col("tus")))
     runToMemory(f(stream), mode)
@@ -392,7 +406,7 @@ object StreamOps {
   def lateDataReplay(events: DataFrame, stagingDir: String,
                      delayUs: Long = 1800L * 1000000L): DataFrame = {
     val spark = events.sparkSession
-    drainSpent(spark)
+    drainSpent()
     val stagedDir = s"$stagingDir/staged"
     val liveDir = s"$stagingDir/live"
     val ckptDir = s"$stagingDir/ckpt"
@@ -415,22 +429,19 @@ object StreamOps {
     }
 
     def runPhase(): Unit = {
-      val schema = spark.read.parquet(stagedDir).schema
-      val stream = spark.readStream.schema(schema)
+      val rs = replaySession(spark)
+      val schema = rs.read.parquet(stagedDir).schema
+      val stream = rs.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(liveDir)
         .withColumn("ts", timestamp_micros(col("tus")))
       val result = windowedCounts(stream, "10 minutes",
         watermark = s"${delayUs / 1000000L} seconds")
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = result.writeStream.outputMode(OutputMode.Append)
-          .format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckptDir)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination() finally q.stop()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val q = result.writeStream.outputMode(OutputMode.Append)
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
     }
 
     if (StagedDirs.add(stagingDir)) {
@@ -455,11 +466,12 @@ object StreamOps {
                            gapUs: Long = 1800L * 1000000L,
                            nSlices: Int = 8): DataFrame = {
     val spark = events.sparkSession
-    drainSpent(spark)
+    drainSpent()
     if (StagedDirs.add(stagingDir))
       stageTimeSlices(events, stagingDir, gapUs, nSlices)
-    val staged = spark.read.parquet(stagingDir)
-    val stream = spark.readStream.schema(staged.schema)
+    val rs = replaySession(spark)
+    val staged = rs.read.parquet(stagingDir)
+    val stream = rs.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
       .withColumn("ts", timestamp_micros(col("tus")))
     import spark.implicits._
@@ -499,7 +511,7 @@ object StreamOps {
                             gapUs: Long = 1800L * 1000000L,
                             nSlices: Int = 8): DataFrame = {
     val spark = events.sparkSession
-    drainSpent(spark)
+    drainSpent()
     val stagedDir = s"$stagingDir/staged"
     val liveDir = s"$stagingDir/live"
     val ckptDir = s"$stagingDir/ckpt"
@@ -524,22 +536,19 @@ object StreamOps {
 
     def runPhase(): Unit = {
       import spark.implicits._
-      val schema = spark.read.parquet(stagedDir).schema
-      val stream = spark.readStream.schema(schema)
+      val rs = replaySession(spark)
+      val schema = rs.read.parquet(stagedDir).schema
+      val stream = rs.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(liveDir)
       val result = sessionizeStateful(
         stream.select(col("user_id"), col("tus"), col("value")).as[SessEvent],
         gapUs, watermark = ReplayWatermark).toDF()
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = result.writeStream.outputMode(OutputMode.Append)
-          .format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckptDir)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination() finally q.stop()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val q = result.writeStream.outputMode(OutputMode.Append)
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
     }
 
     if (StagedDirs.add(stagingDir)) {
@@ -745,7 +754,7 @@ object StreamOps {
                             gapUs: Long = 1800L * 1000000L,
                             nSlices: Int = 4): DataFrame = {
     val spark = events.sparkSession
-    drainSpent(spark)
+    drainSpent()
     if (StagedDirs.add(stagingDir)) {
       stageTimeSlices(events, stagingDir, gapUs, nSlices)
       // Flush slice: one far-future sentinel delivered as its OWN final
@@ -775,8 +784,9 @@ object StreamOps {
       }
       rm(build)
     }
-    val schema = spark.read.parquet(stagingDir).schema
-    def src() = spark.readStream.schema(schema)
+    val rs = replaySession(spark)
+    val schema = rs.read.parquet(stagingDir).schema
+    def src() = rs.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
       .withColumn("ts", timestamp_micros(col("tus")))
     val views = src()
@@ -822,7 +832,7 @@ object StreamOps {
                            gapUs: Long = 1800L * 1000000L,
                            nSlices: Int = 4): DataFrame = {
     val spark = events.sparkSession
-    drainSpent(spark)
+    drainSpent()
     if (StagedDirs.add(stagingDir)) {
       stageTimeSlices(events, stagingDir, gapUs, nSlices)
       import spark.implicits._
@@ -845,8 +855,9 @@ object StreamOps {
       }
       rm(build)
     }
-    val schema = spark.read.parquet(stagingDir).schema
-    def src() = spark.readStream.schema(schema)
+    val rs = replaySession(spark)
+    val schema = rs.read.parquet(stagingDir).schema
+    def src() = rs.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
       .withColumn("ts", timestamp_micros(col("tus")))
     val views = src()
@@ -889,7 +900,7 @@ object StreamOps {
                        maxLagUs: Long = 3600L * 1000000L,
                        nParts: Int = 4): DataFrame = {
     val spark = events.sparkSession
-    drainSpent(spark)
+    drainSpent()
     val ev = stagingShape(events)
     val vDir = s"$stagingDir/views"
     val cDir = s"$stagingDir/clicks"
@@ -899,9 +910,10 @@ object StreamOps {
       ev.filter(col("event_type") === "click").repartition(nParts)
         .write.mode("overwrite").parquet(cDir)
     }
+    val rs = replaySession(spark)
     def src(dir: String) = {
-      val staged = spark.read.parquet(dir)
-      spark.readStream.schema(staged.schema)
+      val staged = rs.read.parquet(dir)
+      rs.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
         .withColumn("ts", timestamp_micros(col("tus")))
     }
@@ -1019,7 +1031,7 @@ object StreamOps {
   def chainedWindowedReplay(events: DataFrame,
                             stagingDir: String): DataFrame = {
     val spark = events.sparkSession
-    drainSpent(spark)
+    drainSpent()
     if (StagedDirs.add(stagingDir)) {
       val ev = stagingShape(events)
       writeSliceFile(ev, stagingDir, 0)
@@ -1029,8 +1041,9 @@ object StreamOps {
           lit("sentinel").as("event_type"), lit(0.0).as("value"))
       writeSliceFile(sentinel, stagingDir, 1)
     }
-    val schema = spark.read.parquet(stagingDir).schema
-    val stream = spark.readStream.schema(schema)
+    val rs = replaySession(spark)
+    val schema = rs.read.parquet(stagingDir).schema
+    val stream = rs.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
       .withColumn("ts", timestamp_micros(col("tus")))
     runToMemory(chainedWindowCounts(stream), OutputMode.Append)
@@ -1061,7 +1074,7 @@ object StreamOps {
                      outDir: String, window: String = "10 minutes",
                      watermark: String = "30 minutes"): DataFrame = {
     val spark = events.sparkSession
-    drainSpent(spark)
+    drainSpent()
     if (StagedDirs.add(stagingDir)) {
       val ev = stagingShape(events)
       writeSliceFile(ev, stagingDir, 0)
@@ -1071,22 +1084,19 @@ object StreamOps {
           lit("sentinel").as("event_type"), lit(0.0).as("value"))
       writeSliceFile(sentinel, stagingDir, 1)
     }
-    val schema = spark.read.parquet(stagingDir).schema
-    val stream = spark.readStream.schema(schema)
+    val rs = replaySession(spark)
+    val schema = rs.read.parquet(stagingDir).schema
+    val stream = rs.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
       .withColumn("ts", timestamp_micros(col("tus")))
     val result = windowedCounts(stream, window, watermark)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = result.writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .format("parquet").option("path", outDir)
-        .option("checkpointLocation", outDir + "_chk")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val q = result.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", outDir + "_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
     spark.read.parquet(outDir)
       .filter(col("event_type") =!= "sentinel")
       .select(unix_micros(col("w_start")).as("w_start_us"),
@@ -1108,44 +1118,38 @@ object StreamOps {
                    outRaw: String, outAgg: String,
                    nParts: Int = 4): DataFrame = {
     val spark = events.sparkSession
-    drainSpent(spark)
+    drainSpent()
     val ev = stagingShape(events)
     if (StagedDirs.add(stagingDir)) {
       ev.repartition(nParts).write.mode("overwrite").parquet(stagingDir)
     }
-    val schema = spark.read.parquet(stagingDir).schema
-    val stream = spark.readStream.schema(schema)
+    // The dynamic-overwrite mode rides the replay clone too: foreachBatch
+    // micro-batch DataFrames plan against the clone's conf, so the
+    // parent session's overwrite mode is never touched.
+    val rs = replaySession(spark)
+    rs.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val schema = rs.read.parquet(stagingDir).schema
+    val stream = rs.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevOverwrite =
-      spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          val b = batch.persist()
-          b.withColumn("batch_id", lit(id))
-            .write.mode("overwrite").partitionBy("batch_id")
-            .parquet(outRaw)
-          b.groupBy("event_type")
-            .agg(count(lit(1)).as("pn"),
-              sum(col("value").cast("decimal(28,4)")).as("psum"))
-            .withColumn("batch_id", lit(id))
-            .write.mode("overwrite").partitionBy("batch_id")
-            .parquet(outAgg)
-          b.unpersist()
-          ()
-        }
-        .option("checkpointLocation", outRaw + "_chk")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-        prevOverwrite)
-    }
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.persist()
+        b.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outRaw)
+        b.groupBy("event_type")
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast("decimal(28,4)")).as("psum"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(outAgg)
+        b.unpersist()
+        ()
+      }
+      .option("checkpointLocation", outRaw + "_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
     val a = spark.read.parquet(outRaw).groupBy("event_type")
       .agg(count(lit(1)).as("n_raw"),
         sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_raw"))
