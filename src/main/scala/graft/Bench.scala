@@ -48,19 +48,31 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // A failed pass records +∞, not its (near-zero) fail-fast elapsed
+    // time: the MIN must never come from a pass that did no work — a
+    // query erroring in one pass would otherwise understate the total
+    // with the failure visible only in the errors map.
     def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.keys.toSeq.sorted.map { name =>
         val t0 = System.nanoTime()
-        try run(name)
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { run(name); true }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
+          }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
         spark.catalog.clearCache()
         name -> dt
       }
+    // The two timed passes are INTERLEAVED (A..Z, A..Z, min per query
+    // across passes), not per-query back-to-back — a slow host phase
+    // hits different queries in each pass instead of both samples of
+    // one query. A query that failed BOTH passes reports in `errors`
+    // only; it contributes no timing (and no near-zero total shrink).
     val results = (timedPass() ++ timedPass())
       .groupMapReduce(_._1)(_._2)(math.min).toSeq.sortBy(_._1)
+      .filter(_._2.isFinite)
 
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -891,7 +891,8 @@ object OracleSql {
                  (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
         stats AS (SELECT (SELECT count(*) FROM documents) AS nd,
                          CAST((SELECT count(*) FROM toks) AS DOUBLE)
-                           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+                           / CAST((SELECT count(DISTINCT doc_id) FROM toks)
+                                  AS DOUBLE) AS avgdl),
         qs AS (SELECT * FROM (VALUES $vals) v(q_id, qtext)),
         qterms AS (SELECT DISTINCT q_id,
                      unnest(list_filter(string_split_regex(qtext, '$Ws'),

@@ -395,11 +395,16 @@ object AggOps {
 
   /** Exact φ-heavy-hitters with sketch-bounded shuffle — keys holding at
     * least 1/k of all rows. Phase 1 runs a Misra-Gries frequent-items
-    * summary of `8·k` counters inside each partition and emits every
-    * summarized key: MG guarantees any key with local count above
-    * N_part/cap survives the summary (the public Misra-Gries bound),
-    * so with partitions within 8× of the mean size the candidate set
-    * provably covers every global 1/k-heavy key. Eviction is the
+    * summary of `cap = 8·k` counters inside each partition and emits
+    * every summarized key. The candidate cover is UNCONDITIONAL — no
+    * partition-size/skew assumption: each decrement-all event retires
+    * cap+1 row-instances, so partition p runs at most N_p/(cap+1)
+    * decrements, and a key ABSENT from p's final summary has local
+    * count ≤ N_p/(cap+1). A non-candidate key is absent from EVERY
+    * partition's summary, so its global count ≤ Σ_p N_p/(cap+1) =
+    * n/(8k+1) < n/k — it cannot be 1/k-heavy, whatever the partition
+    * layout (spec-pinned with a 100×-skewed layout in AggOpsSpec).
+    * Eviction is the
     * decrement-all step, NOT a per-miss min scan: one O(cap) sweep
     * frees every count-1 slot at once, so on unique-heavy streams the
     * sweep amortizes to O(1) per row (the per-miss min-scan variant

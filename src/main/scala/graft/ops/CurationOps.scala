@@ -204,10 +204,15 @@ object CurationOps {
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val df = toks.select("doc_id", "w").distinct()
       .groupBy("w").agg(count(lit(1)).as("df"))
+    // avgdl averages over INDEXED docs (≥1 token): mean(dl) = Σdl / |dl|.
+    // Dividing by the full doc count would deflate avgdl whenever
+    // null-text rows exist — nonstandard length normalization. nd (the
+    // idf numerator) stays the corpus size.
     val stats = docs.agg(count(lit(1)).as("nd"))
-      .crossJoin(toks.agg(count(lit(1)).as("ntok")))
+      .crossJoin(toks.agg(count(lit(1)).as("ntok"),
+        countDistinct(col("doc_id")).as("ndl")))
       .select(col("nd"),
-        (col("ntok").cast("double") / col("nd").cast("double")).as("avgdl"))
+        (col("ntok").cast("double") / col("ndl").cast("double")).as("avgdl"))
     val qterms = queries.toDF("q_id", "qtext")
       .select(col("q_id"),
         explode(filter(split(col("qtext"), TextOps.WsRegex), x => x =!= ""))

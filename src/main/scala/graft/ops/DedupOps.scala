@@ -490,11 +490,18 @@ object DedupOps {
     * Output: (nm, canonical, dist, cnt) — every distinct name, its
     * elected canonical form, the edit distance between them, and the
     * name's own occurrence count.
+    *
+    * Null-name rows are EXCLUDED by explicit contract (the filter
+    * below), not as a join side effect: a null has no tokens to block
+    * on and no edit distance to anything, so it can never elect or be
+    * a canonical form — callers wanting a policy for null names apply
+    * it upstream (e.g. coalesce to a sentinel before calling).
     */
   def fuzzyCanonicalize(df: DataFrame, nameCol: String,
                         maxDist: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.select(col(nameCol).as("nm"))
+      .filter(col("nm").isNotNull)
       .groupBy("nm").agg(count(lit(1)).as("cnt"))
       .withColumn("len", length(col("nm")))
     // Multi-pass blocking: one (nm, blk) row per distinct blocking key

@@ -77,6 +77,18 @@ object SortOps {
     * frame including ties covers the equal-x strict-y case; a row never
     * dominates itself since y < y is false). Duplicate (x, y) points
     * all survive together, deterministically.
+    *
+    * Adversarial-input bound: phase 2's window is an unpartitioned
+    * global sort, sized by the phase-1 survivor sliver. On
+    * ANTI-CORRELATED data (x and y improve together, so most rows are
+    * Pareto-optimal) the prune removes little and the sliver approaches
+    * the input — inherent to EXACT skylines, whose output is then
+    * itself O(n) and not a useful deliverable. The operator is sized
+    * for the common correlated/independent case where the frontier
+    * (and hence the sliver, which phase 1 keeps within a bucket-width
+    * band of it) is orders of magnitude below the input; for frontier-
+    * dense data, pre-aggregate (e.g. quantize x) or accept a top-k
+    * relaxation before calling.
     */
   def skyline2D(df: DataFrame, xCol: String, yCol: String,
                 bucketWidth: Long = 100000L): DataFrame = {

@@ -451,6 +451,29 @@ class RelOpsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 90L)))
   }
 
+  test("heavyHitters candidate cover survives extreme partition skew") {
+    import spark.implicits._
+    // The Misra-Gries absent-key bound is per-partition (≤ N_p/(cap+1))
+    // and sums to n/(cap+1) over ANY layout — so even a layout where one
+    // partition holds ~100× the others' rows must not drop a global
+    // 1/k-heavy key. Partition by a routing tag that funnels the cold
+    // mass (4000 unique keys, forcing constant decrement sweeps) plus
+    // HALF the hot key's rows into one giant partition, spreading the
+    // rest thinly — the skewed-partition trap the old scaladoc excluded.
+    val k = 5
+    // 1100 of 5100 rows ≈ 21.6% > 1/5; hot rows spread thinly (~137 per
+    // partition) while ALL cold mass lands in routing tag 0 — the giant
+    // partition holds ~4137 rows vs ~137 elsewhere.
+    val hot = (1 to 1100).map(i => (99999L, i % 8))
+    val cold = (1L to 4000L).map(i => (i, 0))
+    val df = (hot ++ cold).toDF("k", "tag")
+      .repartition(8, col("tag"))
+      .drop("tag")
+    val got = AggOps.heavyHitters(df, "k", k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((99999L, 1100L)))
+  }
+
   test("skyline2D keeps exactly the Pareto frontier, ties included") {
     import spark.implicits._
     // Maximize x, minimize y. Frontier: (12,9); (10,5); the duplicate
