@@ -1675,9 +1675,11 @@ object SparkEntry {
     // Adjacent deciles swallowed by a heavy tie-group simply don't
     // appear — exact, reproducible bucket boundaries at any scale.
     "q_binning" -> ((s, d) => {
-      val h = Tables.lineitem(s, d)
-        .groupBy(col("l_quantity").cast("long").as("v"))
-        .agg(count(lit(1)).as("cnt"))
+      val h = AggOps.domainGuard(
+        Tables.lineitem(s, d)
+          .groupBy(col("l_quantity").cast("long").as("v"))
+          .agg(count(lit(1)).as("cnt")),
+        DomainBound, "q_binning")
       val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
       h.select(col("v"), col("cnt"),
           sum("cnt").over(w).as("cum"), expr("sum(cnt) over ()").as("n"))
@@ -1736,7 +1738,9 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(floor(col("value") * 100).cast("long").as("c"))
-      val h = ev.groupBy("c").agg(count(lit(1)).as("k"))
+      val h = AggOps.domainGuard(
+        ev.groupBy("c").agg(count(lit(1)).as("k")),
+        DomainBound, "q_winsorize")
       val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
       val thr = h.select(col("c"), sum("k").over(w).as("cum"),
           expr("sum(k) over ()").as("n"))
@@ -2306,13 +2310,39 @@ object SparkEntry {
       val ev = Tables.events(s, d)
         .select(col("event_id"),
           floor(col("value") * 100).cast("long").as("cents"))
-      val hmap = ev.groupBy("cents").agg(count(lit(1)).as("cnt"))
+      val hmap = AggOps.domainGuard(
+        ev.groupBy("cents").agg(count(lit(1)).as("cnt")),
+        DomainBound, "q_quantile_norm")
       val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
       val cdf = hmap.select(col("cents"), sum("cnt").over(w).as("cum"),
           expr("sum(cnt) over ()").as("n"))
         .select(col("cents"), expr("(cum * 1000000) div n").as("cdf_ppm"))
       ev.join(broadcast(cdf), "cents")
         .select(col("event_id"), col("cents"), col("cdf_ppm"))
+    }),
+
+    // Fixed-width BANDED quantile normalization — the unbounded-domain
+    // fallback for the domain-compression family (the q_histogram2d
+    // shape): values quantize to $5 bands FIRST, so the compressed
+    // frame holds at most range/width rows no matter how many distinct
+    // raw values exist — the path a high-cardinality double column
+    // takes when AggOps.domainGuard would (correctly) refuse the exact
+    // per-value CDF. Band edges are deterministic integer arithmetic,
+    // so the oracle replays them exactly.
+    "q_quantile_norm_banded" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .filter(col("cents") >= 0) // div truncation = floor only for nonneg
+        .select(col("event_id"),
+          expr(s"cents div $QnormBandCents").as("band"))
+      val hmap = ev.groupBy("band").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+      val cdf = hmap.select(col("band"), sum("cnt").over(w).as("cum"),
+          expr("sum(cnt) over ()").as("n"))
+        .select(col("band"), expr("(cum * 1000000) div n").as("cdf_ppm"))
+      ev.join(broadcast(cdf), "band")
+        .select(col("event_id"), col("band"), col("cdf_ppm"))
     }),
 
     // Hashing-trick vectorizer (feature hashing): token → fixed
@@ -2356,10 +2386,12 @@ object SparkEntry {
     // classic G = 2Σ/(nS) − (n+1)/n closes in fixed IEEE at the end.
     // Ranks are never materialized per row.
     "q_gini" -> ((s, d) => {
-      val h = Tables.events(s, d)
-        .select(floor(col("value") * 100).cast("long").as("c"))
-        .filter(col("c") >= 1)
-        .groupBy("c").agg(count(lit(1)).as("k"))
+      val h = AggOps.domainGuard(
+        Tables.events(s, d)
+          .select(floor(col("value") * 100).cast("long").as("c"))
+          .filter(col("c") >= 1)
+          .groupBy("c").agg(count(lit(1)).as("k")),
+        DomainBound, "q_gini")
       val w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
       h.select(col("c"), col("k"),
           coalesce(sum("k").over(w), lit(0L)).as("r"))
@@ -2561,6 +2593,20 @@ object SparkEntry {
 
   /** q_kanon suppression threshold (shared by query + oracle). */
   private val KAnonK = 10
+
+  /** Occupancy bound for the domain-compression statistics family
+    * (AggOps.domainGuard): 2^20 compressed rows ≈ 16 MB broadcast —
+    * comfortably inside executor broadcast budget, far above any
+    * bounded cents/days/quantity domain. Operators whose column can
+    * exceed it use the fixed-width banded variants.
+    */
+  private val DomainBound = 1L << 20
+
+  /** q_quantile_norm_banded band width in cents ($5): occupancy =
+    * value-range / width by construction, independent of the distinct-
+    * value count — the unbounded-domain fallback shape.
+    */
+  private val QnormBandCents = 500L
 
   /** q_bfs fixture constants (shared by query + oracle). */
   private val BfsSource = 1L
@@ -4824,6 +4870,21 @@ object SparkEntry {
               FROM h)
          SELECT e.event_id, e.cents, cdf.cdf_ppm
          FROM e JOIN cdf USING (cents)""",
+    "q_quantile_norm_banded" ->
+      s"""WITH e AS (SELECT event_id,
+                CAST(floor(value * 100) AS BIGINT) // $QnormBandCents
+                  AS band
+              FROM events WHERE CAST(floor(value * 100) AS BIGINT) >= 0),
+            h AS (SELECT band, count(*) AS cnt FROM e GROUP BY 1),
+            cdf AS (SELECT band,
+                CAST((CAST(sum(cnt) OVER (ORDER BY band
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) * 1000000)
+                  // CAST(sum(cnt) OVER () AS BIGINT) AS BIGINT)
+                  AS cdf_ppm
+              FROM h)
+         SELECT e.event_id, e.band, cdf.cdf_ppm
+         FROM e JOIN cdf USING (band)""",
     "q_feature_hash" ->
       s"""WITH t AS (SELECT unnest(string_split_regex(lower(text),
                   '${OracleSql.Ws}')) AS w FROM documents),

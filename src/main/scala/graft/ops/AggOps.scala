@@ -36,6 +36,42 @@ object AggOps {
   def exactSum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
+  /** Plan-side occupancy guard for the domain-compression family.
+    *
+    * The rank-statistics operators (Gini, quantile normalization,
+    * winsorize, equi-depth binning, Mann-Whitney, KS, ...) run their
+    * rank algebra over the per-distinct-value compressed histogram and
+    * then broadcast it and/or run an unpartitioned cumulative window
+    * over it — valid only while the compressed domain stays small
+    * (bounded cents/days domains). On a high-cardinality double column
+    * the "compressed" frame approaches the fact table and both the
+    * broadcast and the single-partition window degrade SILENTLY.
+    *
+    * This guard makes the precondition explicit and LOUD: it attaches
+    * the compressed frame's row count (one tiny aggregate, broadcast
+    * back) and asserts `rows ≤ bound` inside the plan — the job FAILS
+    * with the operator's name and remedy the moment the domain
+    * outgrows the bound, instead of limping into a degenerate plan.
+    * The assert rides a filter predicate (`coalesce(assert_true(...),
+    * true)` — always-true for surviving plans), so no output column
+    * changes and the optimizer cannot prune it as unused (spec-pinned:
+    * an over-bound domain throws, an in-bound one is unchanged).
+    * Operators with genuinely unbounded domains use the fixed-width
+    * banded variants (q_quantile_norm_banded / q_histogram2d shape),
+    * whose occupancy is range/width by construction.
+    */
+  def domainGuard(compressed: DataFrame, bound: Long, op: String): DataFrame = {
+    val n = compressed.agg(count(lit(1)).as("_dom_n"))
+    compressed.crossJoin(broadcast(n))
+      .filter(coalesce(
+        assert_true(col("_dom_n") <= bound,
+          lit(s"$op: compressed value domain exceeds $bound rows — the " +
+            "domain-compression precondition does not hold for this " +
+            "column; use a fixed-width banded variant instead")),
+        lit(true)))
+      .drop("_dom_n")
+  }
+
   /** Windowed (running) exact sum — same determinism rationale. */
   def exactWindowSum(c: Column, w: org.apache.spark.sql.expressions.WindowSpec,
                      scale: Int = 4): Column =

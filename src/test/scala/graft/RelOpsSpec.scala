@@ -451,6 +451,32 @@ class RelOpsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 90L)))
   }
 
+  test("domainGuard: in-bound passes unchanged, over-bound fails loudly, fixtures fit") {
+    import spark.implicits._
+    val h = (1L to 100L).map(v => (v, v)).toDF("v", "cnt")
+    // In-bound: the guard must be a no-op on the data.
+    val ok = AggOps.domainGuard(h, 100L, "t").collect()
+    assert(ok.length === 100)
+    // Over-bound: the job must fail with the operator's message — this
+    // also proves the optimizer did not prune the assert from the plan.
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${msgs(t.getCause)}"
+    val e = intercept[Throwable] {
+      AggOps.domainGuard(h, 99L, "t").collect()
+    }
+    assert(msgs(e).contains("compressed value domain"), msgs(e))
+    // Fixture contract behind the guarded operators (q_quantile_norm,
+    // q_gini, q_winsorize, q_binning): compression columns stay far
+    // under the 2^20 bound.
+    val cents = Tables.events(spark, sfDir)
+      .select(floor(col("value") * 100).cast("long").as("c"))
+      .distinct().count()
+    assert(cents < (1L << 20))
+    val qty = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("long").as("v")).distinct().count()
+    assert(qty < (1L << 20))
+  }
+
   test("heavyHitters candidate cover survives extreme partition skew") {
     import spark.implicits._
     // The Misra-Gries absent-key bound is per-partition (≤ N_p/(cap+1))
