@@ -747,6 +747,39 @@ object SparkEntry {
           coalesce(col("F"), lit(0L)).as("n_f"),
           coalesce(col("O"), lit(0L)).as("n_o"),
           coalesce(col("P"), lit(0L)).as("n_p"))),
+    // DYNAMIC pivot with a capped deterministic domain: the pivot
+    // columns are ELECTED by an aggregate — global top-k values by
+    // (count desc, value asc) over the domain-compressed count frame —
+    // never by a driver collect of an unbounded domain; everything
+    // outside the top-k folds into `n_other`. The output schema is
+    // FIXED (k slot pairs + other) at any data: each slot carries its
+    // elected value alongside its per-group count, so the result is
+    // self-describing and the deterministic election replays exactly
+    // in the oracle. The 100 TB shape: election + legend are
+    // |domain|-row aggregates, the fact table takes one broadcast slot
+    // attach and one group-by — no second scan, no driver round-trip.
+    "q_pivot_dynamic" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cnts = o.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val wrk = Window.orderBy(col("cnt").desc, col("o_orderpriority").asc)
+      val slots = cnts.withColumn("rk", row_number().over(wrk))
+        .filter(col("rk") <= PivotDynK)
+        .select(col("o_orderpriority").as("pv"), col("rk"))
+      val legend = slots.agg(
+        max(when(col("rk") === 1, col("pv"))).as("v1"),
+        max(when(col("rk") === 2, col("pv"))).as("v2"),
+        max(when(col("rk") === 3, col("pv"))).as("v3"))
+      o.join(broadcast(slots), o("o_orderpriority") === col("pv"), "left")
+        .groupBy("o_orderstatus").agg(
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("rk") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("rk") === 3, 1L).otherwise(0L)).as("n3"),
+          sum(when(col("rk").isNull, 1L).otherwise(0L)).as("n_other"))
+        .crossJoin(broadcast(legend))
+        .select(col("o_orderstatus"), col("v1"), col("n1"), col("v2"),
+          col("n2"), col("v3"), col("n3"), col("n_other"))
+    }),
+
     // Deterministic hash sample — reproducible ~10% split on a stable
     // key (training-data pipelines need splits that survive re-runs and
     // engine changes; rand()-based sampling does not).
@@ -2248,6 +2281,40 @@ object SparkEntry {
       s.sql(SqlGroupAll)
     }),
 
+    // SQL DDL/DML front door: CREATE TABLE ... AS SELECT onto a lake
+    // dir followed by INSERT INTO — the weekly analyst write path the
+    // engine previously exposed only through the DataFrame writer. The
+    // two statements land disjoint slices (F-status rows via CTAS, the
+    // rest via INSERT) in one external parquet table; the deliverable
+    // re-reads THE TABLE and aggregates, and the oracle runs the same
+    // rollup on the source — equality proves both writes landed
+    // exactly once, losslessly (the q_sink_roundtrip discipline).
+    // Idempotent per run: the table and its location are dropped
+    // before re-creation (bench warmup + timed passes).
+    "q_sql_ctas" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      val loc = tmpPath("graft_ctas", d)
+      s.sql("DROP TABLE IF EXISTS graft_ctas_sales")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(loc))
+      s.sql(s"""CREATE TABLE graft_ctas_sales USING PARQUET LOCATION '$loc'
+                AS SELECT o_orderkey, o_custkey, o_orderstatus,
+                          o_totalprice, o_orderpriority
+                   FROM orders WHERE o_orderstatus = 'F'""")
+      s.sql("""INSERT INTO graft_ctas_sales
+               SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_totalprice, o_orderpriority
+               FROM orders WHERE o_orderstatus <> 'F'""")
+      s.sql("""SELECT o_orderstatus, count(*) AS n,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(28,4)))
+                        AS DOUBLE) AS sum_price,
+                      min(o_orderkey) AS min_key,
+                      max(o_orderkey) AS max_key
+               FROM graft_ctas_sales GROUP BY o_orderstatus""")
+    }),
+
     // Rolling 7-day active users (WAU) — THE product-health series.
     // Scale shape: events first reduce to distinct (day, user) — the
     // only heavy shuffle — then each pair expands to the ≤7 window
@@ -2607,6 +2674,9 @@ object SparkEntry {
     * value count — the unbounded-domain fallback shape.
     */
   private val QnormBandCents = 500L
+
+  /** q_pivot_dynamic elected-slot count (shared by query + oracle). */
+  private val PivotDynK = 3
 
   /** q_bfs fixture constants (shared by query + oracle). */
   private val BfsSource = 1L
@@ -3524,6 +3594,33 @@ object SparkEntry {
                 CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
                 CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
          FROM orders GROUP BY o_orderpriority""",
+    "q_pivot_dynamic" ->
+      s"""WITH cnts AS (SELECT o_orderpriority AS pv, count(*) AS cnt
+                        FROM orders GROUP BY 1),
+            slots AS (SELECT pv, rk FROM (
+                SELECT pv, row_number() OVER (ORDER BY cnt DESC, pv ASC)
+                  AS rk FROM cnts) WHERE rk <= $PivotDynK),
+            legend AS (SELECT
+                max(CASE WHEN rk = 1 THEN pv END) AS v1,
+                max(CASE WHEN rk = 2 THEN pv END) AS v2,
+                max(CASE WHEN rk = 3 THEN pv END) AS v3 FROM slots),
+            counts AS (SELECT o.o_orderstatus,
+                CAST(sum(CASE WHEN s.rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN s.rk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                CAST(sum(CASE WHEN s.rk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                CAST(sum(CASE WHEN s.rk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_other
+              FROM orders o LEFT JOIN slots s ON o.o_orderpriority = s.pv
+              GROUP BY 1)
+         SELECT o_orderstatus, v1, n1, v2, n2, v3, n3, n_other
+         FROM counts CROSS JOIN legend""",
+    "q_sql_ctas" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_price,
+                min(o_orderkey) AS min_key,
+                max(o_orderkey) AS max_key
+         FROM orders GROUP BY o_orderstatus""",
     "q_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE CAST(concat('0x', substr(md5('smp-' || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10""",
