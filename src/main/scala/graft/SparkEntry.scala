@@ -863,6 +863,26 @@ object SparkEntry {
         GraphOps.weightedEdgesFromLineitem(Tables.lineitem(s, d), TriMod),
         BfsSource, SsspWMaxRounds)),
 
+    // Weighted PageRank on the same directed (src, dst, w) user-graph
+    // shape as q_sssp_weighted: rank splits across out-arcs by weight —
+    // share = (rank·w) div wdeg, int64 fixed-point throughout, so the
+    // oracle's unrolled CTE rounds land bit-identical. Uses the sparse
+    // mod-9973 graph (the dense mod-997 fixture's weighted mass profile
+    // adds nothing the unweighted q_pagerank doesn't already pin).
+    "q_pagerank_weighted" -> ((s, d) =>
+      GraphOps.pageRankWeighted(
+        GraphOps.weightedEdgesFromLineitem(Tables.lineitem(s, d), TriMod),
+        PrwIters)),
+
+    // Local clustering coefficient: 2·tri/(deg·(deg−1)) per node with
+    // deg ≥ 2 — the neighborhood-density profile on top of the
+    // degree-ordered triangle kernel. Exact int64 triangle/degree
+    // counts; the single terminal IEEE division is deterministic in
+    // both engines.
+    "q_clustering_coef" -> ((s, d) =>
+      GraphOps.clusteringCoefficient(
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod))),
+
     // Skew-mitigation pattern: salted two-phase aggregation; oracle is
     // the plain GROUP BY (identical results prove exactness).
     "q_agg_salted" -> ((s, d) =>
@@ -2696,6 +2716,9 @@ object SparkEntry {
     */
   private val SsspWMaxRounds = 25
 
+  /** q_pagerank_weighted iteration count (shared by query + oracle). */
+  private val PrwIters = 10
+
   /** The SQL front door: q_sql_q3 runs ONE SQL text through both engines
     * — spark.sql over temp views here, DuckDB as the oracle — proving
     * the declared surface is dialect-shared, not just API-equivalent.
@@ -3190,6 +3213,36 @@ object SparkEntry {
           FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
         nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_fp FROM nodes),
+        $ctes
+        SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / 1e12 AS rank FROM r$iters"""
+  }
+
+  /** Weighted PageRank oracle: the [[pageRankOracle]] unroll with the
+    * q_sssp_weighted edge derivation (w = min(l_linenumber) per collapsed
+    * directed pair) and weight-proportional shares —
+    * (rank_fp · w) // wdeg, all operands nonnegative so `//` ≡ `div`.
+    */
+  private def pageRankWeightedOracle(iters: Int, mod: Int): String = {
+    val ctes = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT n.node,
+                  CAST(150000000000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank_fp
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst, CAST(SUM((r.rank_fp * e.w) // o.wdeg) AS BIGINT) AS c
+             FROM edges e
+             JOIN r${i - 1} r ON r.node = e.src
+             JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst) s ON s.dst = n.node)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+          SELECT l_orderkey % $mod AS src, l_partkey % $mod AS dst,
+                 CAST(min(l_linenumber) AS BIGINT) AS w
+          FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod
+          GROUP BY 1, 2),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg
+                   FROM edges GROUP BY src),
         r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_fp FROM nodes),
         $ctes
         SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / 1e12 AS rank FROM r$iters"""
@@ -3727,6 +3780,28 @@ object SparkEntry {
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
+    "q_pagerank_weighted" -> pageRankWeightedOracle(PrwIters, TriMod),
+    // Triangle oracle extended with the undirected degree table; lcc's
+    // two int64 inputs are exact, so the one double division agrees.
+    "q_clustering_coef" ->
+      s"""WITH raw AS (SELECT l_orderkey % $TriMod AS src,
+                              l_partkey % $TriMod AS dst FROM lineitem),
+          ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                 FROM raw WHERE src <> dst),
+          deg AS (SELECT node, COUNT(*) AS deg
+                  FROM (SELECT unnest([a, b]) AS node FROM ed) GROUP BY node),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM ed e1
+                  JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+                  JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+          tc AS (SELECT node, COUNT(*) AS n_tri
+                 FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node)
+          SELECT d.node, CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+                 CAST(d.deg AS BIGINT) AS deg,
+                 CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE) /
+                   CAST(d.deg * (d.deg - 1) AS DOUBLE) AS lcc
+          FROM deg d LEFT JOIN tc t ON t.node = d.node
+          WHERE d.deg >= 2""",
     "q_degree_dist" ->
       s"""WITH raw AS (SELECT l_orderkey % $TriMod AS src,
                               l_partkey % $TriMod AS dst FROM lineitem),

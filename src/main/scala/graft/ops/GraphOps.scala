@@ -170,6 +170,61 @@ object GraphOps {
       .orderBy(col("rank_fp").desc, col("node"))
   }
 
+  /** Weighted PageRank over a general DIRECTED weighted edge list
+    * (src, dst, w: int64 > 0) — the companion to [[ssspWeighted]] on the
+    * same real-user graph shape: weights arrive as a COLUMN, not a
+    * synthesized function. Each node's rank splits across its out-arcs
+    * proportionally to weight: share(u→v) = (rank_fp(u) · w) div
+    * wdeg(u), wdeg = Σ outgoing w — integer arithmetic throughout, so
+    * ranks stay bit-identical across partitionings and engines (the
+    * [[pageRankFixed]] discipline; with uniform weights the two
+    * operators coincide, spec-pinned).
+    *
+    * Scale shape is [[pageRankFixed]]'s exactly: the rank vector
+    * (16 B/node) broadcasts into the edge join under the adaptive guard
+    * — the weighted edge list itself never shuffles for the join; the
+    * only per-iteration exchange is the contribution re-aggregation
+    * keyed on dst. Lineage is persist-cut every `persistEvery` rounds.
+    *
+    * Headroom: the share numerator is rank_fp·w BEFORE the div, so the
+    * worst case tightens from the unweighted bound by max(w):
+    * max(w)·|V|·Scale < 2^63. Enforced with one aggregated max at
+    * entry (BigInt check — the guard itself cannot overflow); ANSI mode
+    * still backstops any in-loop concentration overflow loudly.
+    */
+  def pageRankWeighted(wEdges: DataFrame, iters: Int, dampPct: Int = 85,
+                       bcastRanks: Option[Boolean] = None,
+                       persistEvery: Int = 3): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100 && persistEvery >= 1)
+    val wdeg = wEdges.groupBy("src").agg(sum("w").as("wdeg"))
+    val ew = wEdges.join(wdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val noIn = noInNodes(wEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    val n0 = nodes(wEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = n0.count()
+    val maxW = wEdges.agg(max("w")).head().getLong(0)
+    require(maxW >= 1, s"edge weights must be positive (max=$maxW)")
+    require(BigInt(maxW) * nNodes * Scale < BigInt(Long.MaxValue),
+      s"max(w)=$maxW at |V|=$nNodes exceeds int64 fixed-point headroom; " +
+        "lower GraphOps.Scale or rescale weights")
+    val bc = decideBroadcast(bcastRanks, nNodes, broadcastBudget(wEdges.sparkSession))
+    val base = (100L - dampPct) * (Scale / 100)
+    var ranks = n0.select(col("node"), lit(Scale).as("rank_fp"))
+    for (i <- 1 to iters) {
+      val r = if (bc) broadcast(ranks) else ranks
+      val contrib = ew.join(r, ew("src") === r("node"))
+        .select(ew("dst").as("node"), expr("(rank_fp * w) div wdeg").as("share"))
+      ranks = contrib.groupBy("node").agg(sum("share").as("c"))
+        .select(col("node"),
+          (lit(base) + expr(s"($dampPct * c) div 100")).as("rank_fp"))
+        .union(noIn.select(col("node"), lit(base).as("rank_fp")))
+      if (i % persistEvery == 0 && i < iters)
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    ranks.select(col("node"), col("rank_fp"),
+        (col("rank_fp").cast("double") / lit(Scale.toDouble)).as("rank"))
+      .orderBy(col("rank_fp").desc, col("node"))
+  }
+
   /** Connected components by min-label propagation — the dedup-cluster
     * primitive: near-dup PAIRS (from MinHash/SimHash/embedding LSH) become
     * CLUSTERS, and each cluster's minimum doc id is the canonical
@@ -379,6 +434,38 @@ object GraphOps {
     wedges.join(closing, Seq("v", "w"))
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Local clustering coefficient — lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    * on the de-duplicated undirected simple graph, for every node with
+    * deg ≥ 2 (where the ratio is defined; triangle-free nodes report 0).
+    * The "how clique-like is each neighborhood" profile that separates
+    * community cores from pure hubs — degree alone can't.
+    *
+    * Composition, not a new algorithm: triangles come from
+    * [[triangleCounts]] (degree-ordered wedges, O(√m) out-degree bound —
+    * the part that must survive 100 TB), degrees from one int64
+    * explode-agg, joined on node id. Both int64 inputs are exact, so the
+    * one IEEE division at the end is deterministic across engines and
+    * partitionings. Exchanges carry only (node, count) int64 rows;
+    * `bcastDeg` passes through to the triangle kernel's degree attach.
+    */
+  def clusteringCoefficient(edges: DataFrame,
+                            bcastDeg: Option[Boolean] = None): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(edges, bcastDeg)
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        col("deg"),
+        ((coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double")).as("lcc"))
   }
 
   /** k-core decomposition by parallel peeling: repeatedly delete ALL

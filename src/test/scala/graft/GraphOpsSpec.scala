@@ -314,6 +314,59 @@ class GraphOpsSpec extends SparkSpec {
     assert(fb === got)
   }
 
+  test("pageRankWeighted with uniform weights equals pageRankFixed") {
+    import spark.implicits._
+    val edges = GraphOps.edgesFromLineitem(Tables.lineitem(spark, sfDir), 97)
+    val uni = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+    val got = GraphOps.pageRankWeighted(uni, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = GraphOps.pageRankFixed(edges, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // Weights steer mass: 1→2 carries 9× the weight of 1→3, so after one
+    // round node 2 must outrank node 3 (equal under uniform weights).
+    val skew = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r1 = GraphOps.pageRankWeighted(skew, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(2L) > r1(3L))
+    // share = (Scale·w) div wdeg: 9/10 and 1/10 of the damped unit mass.
+    assert(r1(2L) === 150000000000L + 85L * (GraphOps.Scale * 9 / 10) / 100L)
+    assert(r1(3L) === 150000000000L + 85L * (GraphOps.Scale / 10) / 100L)
+  }
+
+  test("pageRankWeighted rejects nonpositive weights and headroom overruns") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankWeighted(bad, 1).collect()
+    }
+    // max(w)·|V|·Scale ≥ 2^63 must be refused at entry (BigInt check),
+    // not left to wrap inside the loop.
+    val huge = Seq((1L, 2L, Long.MaxValue / GraphOps.Scale))
+      .toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankWeighted(huge, 1).collect()
+    }
+  }
+
+  test("clusteringCoefficient: triangle-with-pendant has the textbook lccs") {
+    import spark.implicits._
+    // Triangle 1-2-3 plus pendant 3-4: deg(1)=deg(2)=2 lcc=1,
+    // deg(3)=3 lcc=2·1/(3·2)=1/3, node 4 deg=1 → excluded.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.clusteringCoefficient(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((1L, 2L, 1.0)), 2L -> ((1L, 2L, 1.0)),
+      3L -> ((1L, 3L, 1.0 / 3.0))))
+    // Triangle-free node of degree ≥ 2 reports an explicit 0, not a gap.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = GraphOps.clusteringCoefficient(path).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(p === Map(2L -> 0.0))
+  }
+
   test("aggState merge equals the from-scratch aggregate, any split") {
     val li = Tables.lineitem(spark, sfDir)
     val direct = AggOps.aggStateView(
