@@ -2153,6 +2153,20 @@ object SparkEntry {
         .orderBy(col("lift_ppm").desc, col("wa"), col("wb")).limit(20)
     }),
 
+    // Association-rule mining (market-basket 2-itemsets): orders are
+    // baskets, the compressed part catalog (l_partkey mod AssocItemMod)
+    // is the item domain, support is RELATIVE (≥ 1/AssocSupDiv of
+    // baskets — scale-free, nothing to retune at 100 TB). Frequent
+    // items prune BEFORE pair expansion (Apriori's monotonicity),
+    // broadcast the ≤|catalog| frequent set, one keyed pair agg; both
+    // rule directions out with exact-count conf/lift.
+    "q_assoc_rules" -> ((s, d) =>
+      CurationOps.assocRules(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("basket"),
+            (col("l_partkey") % AssocItemMod).as("item")),
+        "basket", "item", AssocSupDiv)),
+
     // CUPED variance-reduced A/B readout — the modern experimentation
     // workhorse: per-user pre-period covariate x and post-period
     // metric y (both integer MEANS of cents, so every pooled moment
@@ -2718,6 +2732,13 @@ object SparkEntry {
 
   /** q_pagerank_weighted iteration count (shared by query + oracle). */
   private val PrwIters = 10
+
+  /** q_assoc_rules item-domain modulus + relative-support divisor
+    * (shared by query + oracle): catalog compresses to ≤50 items so
+    * fixture baskets co-occur; min_sup = n_baskets div 250 (0.4%).
+    */
+  private val AssocItemMod = 50
+  private val AssocSupDiv = 250L
 
   /** The SQL front door: q_sql_q3 runs ONE SQL text through both engines
     * — spark.sql over temp views here, DuckDB as the oracle — proving
@@ -3781,6 +3802,36 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
     "q_pagerank_weighted" -> pageRankWeightedOracle(PrwIters, TriMod),
+    // Same distinct→frequent-prune→pair-count derivation; `//` ≡ `div`
+    // on the nonnegative counts; conf/lift are terminal IEEE divisions
+    // of exact integer products.
+    "q_assoc_rules" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS basket,
+                            l_partkey % $AssocItemMod AS item FROM lineitem),
+          thr AS (SELECT COUNT(DISTINCT basket) AS n_b,
+                         COUNT(DISTINCT basket) // $AssocSupDiv AS min_sup
+                  FROM b),
+          ic AS (SELECT item, COUNT(*) AS cnt, n_b
+                 FROM b, thr GROUP BY item, n_b, min_sup
+                 HAVING COUNT(*) >= min_sup),
+          bf AS (SELECT b.basket, b.item FROM b JOIN ic ON ic.item = b.item),
+          fp AS (SELECT a.item AS i1, c.item AS i2, COUNT(*) AS n_pair
+                 FROM bf a JOIN bf c
+                   ON a.basket = c.basket AND a.item < c.item
+                 GROUP BY 1, 2),
+          fq AS (SELECT i1, i2, n_pair FROM fp, thr WHERE n_pair >= min_sup),
+          rules AS (SELECT i1 AS ante, i2 AS cons, n_pair FROM fq
+                    UNION ALL
+                    SELECT i2 AS ante, i1 AS cons, n_pair FROM fq)
+          SELECT r.ante, r.cons, CAST(r.n_pair AS BIGINT) AS n_pair,
+                 CAST(a.cnt AS BIGINT) AS n_ante,
+                 CAST(c.cnt AS BIGINT) AS n_cons,
+                 CAST(r.n_pair AS DOUBLE) / CAST(a.cnt AS DOUBLE) AS conf,
+                 CAST(r.n_pair * a.n_b AS DOUBLE) /
+                   CAST(a.cnt * c.cnt AS DOUBLE) AS lift
+          FROM rules r
+          JOIN ic a ON a.item = r.ante
+          JOIN ic c ON c.item = r.cons""",
     // Triangle oracle extended with the undirected degree table; lcc's
     // two int64 inputs are exact, so the one double division agrees.
     "q_clustering_coef" ->

@@ -286,4 +286,63 @@ object CurationOps {
       .groupBy(col(groupCol), col("n_orig"), col("thr"))
       .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
   }
+
+  /** Association-rule mining over (basket, item) pairs — frequent item
+    * PAIRS with support, confidence, and lift (the market-basket /
+    * co-occurrence analysis classic; the 2-itemset core of Apriori,
+    * which is where real retail/log analysis stops anyway). Both rule
+    * directions are emitted: (ante → cons, n_pair, n_ante, n_cons,
+    * conf = n_pair/n_ante, lift = n_pair·N / (n_ante·n_cons)).
+    *
+    * Support is RELATIVE — min_sup = N div supDiv baskets (default
+    * 0.4%) — so the operator is scale-free: the same threshold
+    * semantics at sf0.001 and at 100 TB, with no absolute count to
+    * retune (and the oracle replays it exactly: one integer divide).
+    *
+    * Scale shape (the Apriori pruning argument): the input first
+    * reduces to DISTINCT (basket, item) — the only full-data shuffle.
+    * Items below min_sup are pruned BEFORE pair generation via a
+    * broadcast semi-join (the frequent-item set is ≤ |catalog| rows by
+    * construction), so per-basket pair expansion is choose-2 over
+    * frequent items only — a hot basket of rare junk expands to
+    * nothing. Pair counting is one keyed agg on (i1, i2); the
+    * threshold and basket total attach as 1-row broadcasts. All counts
+    * exact int64; conf/lift are single terminal IEEE divisions of
+    * exact integer products (n_pair·N < 2^63 to N ≈ 3·10^9 baskets
+    * with int32-bounded pair counts — beyond that, widen to DECIMAL).
+    */
+  def assocRules(pairs: DataFrame, basketCol: String, itemCol: String,
+                 supDiv: Long = 250L): DataFrame = {
+    require(supDiv >= 1, s"supDiv must be >= 1, got $supDiv")
+    val b = pairs.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = b.agg(countDistinct("basket").as("n_b"))
+      .select(col("n_b"), expr(s"n_b div $supDiv").as("min_sup"))
+    val ic = b.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(thr))
+      .filter(col("cnt") >= col("min_sup"))
+      .select(col("item"), col("cnt"), col("n_b"))
+    // Frequent-item pruning BEFORE pair expansion (broadcast semi-join).
+    val bf = b.join(broadcast(ic.select("item")), "item")
+      .select(col("basket"), col("item"))
+    val fp = bf.select(col("basket"), col("item").as("i1"))
+      .join(bf.select(col("basket").as("basket2"), col("item").as("i2")),
+        col("basket") === col("basket2") && col("i1") < col("i2"))
+      .groupBy("i1", "i2").agg(count(lit(1)).as("n_pair"))
+      .crossJoin(broadcast(thr.select(col("min_sup"))))
+      .filter(col("n_pair") >= col("min_sup"))
+    val rules = fp.select(col("i1").as("ante"), col("i2").as("cons"), col("n_pair"))
+      .union(fp.select(col("i2").as("ante"), col("i1").as("cons"), col("n_pair")))
+    rules
+      .join(broadcast(ic.select(col("item").as("ante"), col("cnt").as("n_ante"),
+        col("n_b"))), "ante")
+      .join(broadcast(ic.select(col("item").as("cons"), col("cnt").as("n_cons"))),
+        "cons")
+      .select(col("ante"), col("cons"), col("n_pair"), col("n_ante"),
+        col("n_cons"),
+        (col("n_pair").cast("double") / col("n_ante").cast("double")).as("conf"),
+        ((col("n_pair") * col("n_b")).cast("double") /
+          (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
+  }
 }

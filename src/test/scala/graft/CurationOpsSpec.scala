@@ -180,4 +180,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("en") === ((4L, 750000L, en.size.toLong, en.sum)))
     assert(out("fr") === ((2L, 1000000L, 2L, 11L)))
   }
+
+  test("assocRules: hand-computed support, confidence, and lift") {
+    // 4 baskets; supDiv=2 → min_sup = 4 div 2 = 2.
+    // item counts: a=3, b=2, c=2, d=1 (d infrequent → pruned pre-pair).
+    // frequent pairs: (a,b) in baskets 1,2 → n_pair=2; (a,c) only in
+    // basket 3 → below min_sup, dropped. Duplicate (1,a) collapses.
+    val pairs = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "d"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),
+      (4L, "c")
+    ).toDF("basket", "item")
+    val got = CurationOps.assocRules(pairs, "basket", "item", supDiv = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6))))
+      .toMap
+    // conf(a→b) = 2/3, conf(b→a) = 2/2; lift = 2·4/(3·2) both ways.
+    assert(got === Map(
+      ("a", "b") -> ((2L, 3L, 2L, 2.0 / 3.0, 8.0 / 6.0)),
+      ("b", "a") -> ((2L, 2L, 3L, 1.0, 8.0 / 6.0))))
+  }
 }
