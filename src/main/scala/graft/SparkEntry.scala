@@ -1333,6 +1333,14 @@ object SparkEntry {
       MultimodalOps.decodeResizeStats(Tables.documents(s, d))),
     // Second real image codec: JDK JPEG decode, exact dims after a lossy
     // round trip.
+    // Perceptual average-hash fingerprints from REAL decoded PNG
+    // pixels: fixed 8×8 nearest-neighbor sample grid thresholded at
+    // the floor-mean, 64-bit fingerprint as a bitstring + popcount.
+    // The oracle regenerates the synthetic raster closed-form — all 64
+    // bits must match, which only actual pixel decode produces.
+    "q_image_ahash" -> ((s, d) =>
+      MultimodalOps.imageAHash(Tables.documents(s, d))),
+
     "q_multimodal_jpeg" -> ((s, d) =>
       MultimodalOps.jpegDecodeStats(Tables.documents(s, d))),
     // Real audio codec: JDK WAV/PCM decode, exact sample sums.
@@ -4361,6 +4369,35 @@ object SparkEntry {
                 CAST(SUM(greatest(1, (1 + (doc_id // 16) % 16) // 2)) AS BIGINT)
                   AS sum_rheight
          FROM documents""",
+    // Closed-form twin of MultimodalOps.imageAHash on the synthetic
+    // raster: pixel(x,y) = (id + 31x + 7y) mod 256 with the planted
+    // (0,0) = id mod 256; floor mean over all w·h pixels; 8×8
+    // nearest-neighbor grid sx = gx·w//8, sy = gy·h//8 (nonneg, so
+    // `//` ≡ `div`); bits packed row-major into the bitstring.
+    "q_image_ahash" ->
+      """WITH dims AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
+                              CAST(1 + (doc_id // 16) % 16 AS BIGINT) AS h
+                       FROM documents),
+          m AS (SELECT doc_id, w, h,
+                  CAST(SUM(CASE WHEN i.range = 0 THEN doc_id % 256
+                                ELSE (doc_id + 31 * (i.range % w)
+                                      + 7 * (i.range // w)) % 256
+                           END) AS BIGINT) // (w * h) AS mean_px
+                FROM dims, range(0, 256) i WHERE i.range < w * h
+                GROUP BY doc_id, w, h),
+          b AS (SELECT doc_id, w, h, mean_px, k.range AS k,
+                  CASE WHEN (CASE WHEN (k.range % 8) * w // 8 = 0
+                                   AND (k.range // 8) * h // 8 = 0
+                                  THEN doc_id % 256
+                                  ELSE (doc_id + 31 * ((k.range % 8) * w // 8)
+                                        + 7 * ((k.range // 8) * h // 8)) % 256
+                             END) > mean_px
+                       THEN 1 ELSE 0 END AS bit
+                FROM m, range(0, 64) k)
+          SELECT doc_id AS asset_id, w, h, mean_px,
+                 string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS ahash,
+                 CAST(SUM(bit) AS BIGINT) AS n_set
+          FROM b GROUP BY doc_id, w, h, mean_px""",
     "q_multimodal_jpeg" ->
       """SELECT count(*) AS n_assets,
                 CAST(SUM(1 + doc_id % 16) AS BIGINT) AS sum_width,

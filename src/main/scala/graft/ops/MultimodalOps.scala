@@ -261,6 +261,49 @@ object MultimodalOps {
         sum("rwidth").as("sum_rwidth"), sum("rheight").as("sum_rheight"))
   }
 
+  /** Perceptual average-hash (aHash) over REAL decoded PNG pixels — the
+    * standard near-duplicate image fingerprint: sample the decoded
+    * raster on a fixed 8×8 nearest-neighbor grid (sx = gx·w div 8,
+    * sy = gy·h div 8), threshold each sample against the image's floor
+    * integer mean, pack the 64 bits row-major. The fingerprint is
+    * emitted as a 64-char bitstring plus its popcount — strings diff
+    * by Hamming distance downstream exactly like packed ints, and the
+    * bitstring keeps every per-bit decision visible to the oracle
+    * (and clear of int64's bit-63 sign trap).
+    *
+    * Scale shape: pure map-side work — decode + 64 samples + mean per
+    * asset inside one mapPartitions (the codec tier's only sanctioned
+    * imperative island); no exchange at all until a consumer
+    * aggregates. Every output is integer-exact, so the DuckDB oracle
+    * regenerates the synthetic raster closed-form and must land on the
+    * identical 64 bits — proving real pixel decode, not header math.
+    */
+  def imageAHash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val img = readImg(Asset(id, "png", syntheticPng(id)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var psum = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          psum += raster.getSample(x, y, 0)
+        val mean = psum / (w.toLong * h)
+        val bits = new StringBuilder(64)
+        var nSet = 0L
+        for (k <- 0 until 64) {
+          val sx = (k % 8) * w / 8
+          val sy = (k / 8) * h / 8
+          val bit = if (raster.getSample(sx, sy, 0) > mean) 1 else 0
+          nSet += bit
+          bits.append(bit)
+        }
+        (id, w.toLong, h.toLong, mean, bits.toString, nSet)
+      })
+      .toDF("asset_id", "w", "h", "mean_px", "ahash", "n_set")
+  }
+
   // ---- real JPEG decode tier (javax.imageio ships a JPEG codec) ----
 
   /** Deterministic synthetic JPEG: the shared gray raster, encoded

@@ -43,6 +43,32 @@ class MultimodalStreamSpec extends SparkSpec {
     }
   }
 
+  test("imageAHash matches a raster-formula replica bit for bit") {
+    // Local replica computes the fingerprint from the pixel FORMULA
+    // (never touching PNG bytes); the operator must land on the same 64
+    // bits from the real decode. ids cover 1×1, tiny, and 16×16 rasters.
+    def px(id: Long, x: Long, y: Long): Long =
+      if (x == 0 && y == 0) id % 256 else (id + 31 * x + 7 * y) % 256
+    val ids = Seq(0L, 7L, 255L, 256L, 300L, 4095L)
+    val got = MultimodalOps.imageAHash(ids.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getLong(5)))).toMap
+    for (id <- ids) {
+      val w = 1 + id % 16
+      val h = 1 + (id / 16) % 16
+      val mean = (for (y <- 0L until h; x <- 0L until w) yield px(id, x, y))
+        .sum / (w * h)
+      val bits = (0 until 64).map { k =>
+        if (px(id, (k % 8) * w / 8, (k / 8) * h / 8) > mean) 1 else 0
+      }
+      assert(got(id) === ((w, h, mean, bits.mkString, bits.sum.toLong)),
+        s"id=$id")
+    }
+    // 1×1 raster: every grid sample IS the single pixel, never > mean.
+    assert(got(0L)._4 === "0" * 64)
+  }
+
   test("real JPEG decode recovers exact dims; planted pixel within lossy tolerance") {
     for (id <- Seq(0L, 7L, 255L, 256L, 300L, 4095L)) {
       val f = MultimodalOps.decodeImage(
