@@ -2559,6 +2559,66 @@ object SparkEntry {
             .as("corr_l7"))
     }),
 
+    // Weekday-seasonal decomposition of the daily revenue series —
+    // additive x = trend + seasonal + residual, the sanity pass every
+    // metric dashboard runs before alerting on a "drop" that is just a
+    // weekend. The series first compresses to ≤|days| rows
+    // (domainGuard-pinned — the rank-statistics discipline), so the
+    // centered 7-day trend window and the ≤7-row seasonal table are
+    // tiny; trend is an exact int floor-mean over complete windows
+    // only, seasonal/residual are single terminal IEEE divisions of
+    // exact int sums (negatives never floor-divide — the div-vs-//
+    // negative split can't bite). Weekday = epoch-days mod 7: one
+    // arithmetic definition both engines share, not two calendars.
+    "q_seasonal" -> ((s, d) => {
+      val ser = AggOps.domainGuard(
+        Tables.orders(s, d)
+          .select(col("o_orderdate").cast("date").as("day"),
+            floor(col("o_totalprice")).cast("long").as("dollars"))
+          .groupBy("day").agg(sum("dollars").as("x")),
+        20000L, "q_seasonal")
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      val t = ser
+        .withColumn("wd",
+          expr("CAST(datediff(day, date'1970-01-01') % 7 AS BIGINT)"))
+        .withColumn("tsum", sum("x").over(w))
+        .withColumn("tn", count(lit(1)).over(w))
+        .filter(col("tn") === 7)
+        .withColumn("trend", expr("tsum div 7"))
+        .withColumn("det", col("x") - col("trend"))
+      val seas = t.groupBy("wd")
+        .agg(sum("det").as("dsum"), count(lit(1)).as("dn"))
+        .select(col("wd"),
+          (col("dsum").cast("double") / col("dn").cast("double")).as("seas"))
+      t.join(broadcast(seas), "wd")
+        .select(col("day"), col("x"), col("trend"), col("wd"), col("seas"),
+          ((col("x") - col("trend")).cast("double") - col("seas")).as("resid"))
+    }),
+
+    // CUSUM changepoint scan on the same daily series: S_k scaled by n
+    // (S_k = n·prefix_k − k·total) keeps every deviation sum EXACT
+    // int64 — no mean division anywhere — and the argmax day (earliest
+    // on ties) is the level-shift estimate. Headroom n·total < 2^63
+    // holds to ~10^15 daily dollars × 10^4 days; past it ANSI throws
+    // loudly. One compressed-series window, one 1-row broadcast.
+    "q_cusum" -> ((s, d) => {
+      val ser = AggOps.domainGuard(
+        Tables.orders(s, d)
+          .select(col("o_orderdate").cast("date").as("day"),
+            floor(col("o_totalprice")).cast("long").as("dollars"))
+          .groupBy("day").agg(sum("dollars").as("x")),
+        20000L, "q_cusum")
+      val tot = ser.agg(count(lit(1)).as("n"), sum("x").as("tot"))
+      val wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val wr = Window.orderBy("day")
+      ser.crossJoin(broadcast(tot))
+        .withColumn("s",
+          col("n") * sum("x").over(wc) - row_number().over(wr) * col("tot"))
+        .select(col("day").as("chg_day"), abs(col("s")).as("s_abs"),
+          col("n").as("n_days"))
+        .orderBy(col("s_abs").desc, col("chg_day")).limit(1)
+    }),
+
     // Naive Bayes training counts — the quality-classifier trainer's
     // sufficient statistics: per-(lang, token) counts with
     // Laplace-smoothed likelihoods in integer ppm ((cnt+1)·10⁶ div
@@ -5217,6 +5277,42 @@ object SparkEntry {
                 sqrt((sxx / n - (sx / n) * (sx / n)) *
                      (syy / n - (sy / n) * (sy / n))) AS corr_l7
          FROM m""",
+    "q_seasonal" ->
+      """WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+              FROM orders GROUP BY 1),
+          t AS (SELECT day, x,
+                  CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS wd,
+                  CAST(SUM(x) OVER w AS BIGINT) AS tsum,
+                  COUNT(*) OVER w AS tn
+                FROM ser
+                WINDOW w AS (ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          c AS (SELECT day, x, wd, tsum // 7 AS trend,
+                       x - tsum // 7 AS det
+                FROM t WHERE tn = 7),
+          seas AS (SELECT wd,
+                     CAST(SUM(det) AS DOUBLE) / COUNT(*) AS seas
+                   FROM c GROUP BY wd)
+          SELECT c.day, c.x, CAST(c.trend AS BIGINT) AS trend, c.wd, s.seas,
+                 CAST(c.x - c.trend AS DOUBLE) - s.seas AS resid
+          FROM c JOIN seas s ON s.wd = c.wd""",
+    "q_cusum" ->
+      """WITH ser AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+              FROM orders GROUP BY 1),
+          tot AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS tot
+                  FROM ser),
+          c AS (SELECT day,
+                  CAST(t.n * SUM(x) OVER (ORDER BY day
+                                          ROWS UNBOUNDED PRECEDING)
+                       - (ROW_NUMBER() OVER (ORDER BY day)) * t.tot
+                    AS BIGINT) AS s,
+                  t.n
+                FROM ser, tot t)
+          SELECT day AS chg_day, CAST(abs(s) AS BIGINT) AS s_abs,
+                 n AS n_days
+          FROM c ORDER BY abs(s) DESC, day LIMIT 1""",
     "q_nb_train" ->
       s"""WITH toks AS (SELECT lang,
                 unnest(string_split_regex(lower(text), '${OracleSql.Ws}'))
