@@ -1644,6 +1644,30 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
     }),
 
+    // Right-to-be-forgotten delete on a partitioned lake table: lay
+    // orders down partitioned by priority, erase the custkey-mod-97
+    // cohort via SinkOps.deleteWhere (partition-scoped rewrite, dynamic
+    // overwrite, fully-emptied partitions removed explicitly), then
+    // re-read THE TABLE and aggregate. The oracle runs the same rollup
+    // on the anti-filtered source — equality proves the rewrite deleted
+    // exactly the cohort and nothing else, losslessly.
+    "q_gdpr_delete" -> ((s, d) => {
+      val out = tmpPath("graft_gdpr", d)
+      SinkOps.writeParquet(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority"),
+        out, partitionBy = Seq("o_orderpriority"))
+      SinkOps.deleteWhere(s, out, "o_orderpriority",
+        col("o_custkey") % 97 === 0)
+      s.read.parquet(out)
+        .groupBy("o_orderpriority").agg(
+          count(lit(1)).as("cnt"),
+          AggOps.exactSum(col("o_totalprice")).as("sum_price"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+    }),
+
     // Bucketed-table round trip: both sides written bucketed on the join
     // key (the write-time exchange that makes every later join on that
     // key shuffle-free — plan-asserted in SinkOpsSpec), then joined and
@@ -4629,6 +4653,14 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_gdpr_delete" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_price,
+                min(o_orderkey) AS min_key,
+                max(o_orderkey) AS max_key
+         FROM orders WHERE o_custkey % 97 <> 0
+         GROUP BY o_orderpriority""",
     "q_sink_bucketed" ->
       """SELECT o_orderpriority,
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,

@@ -99,4 +99,62 @@ object SinkOps {
     spark.read.parquet(inPath).repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
   }
+
+  /** Targeted delete on a hive-partitioned parquet lake table — the
+    * right-to-be-forgotten / retention-purge maintenance op: delete
+    * every row matching `forget` by rewriting ONLY the partitions that
+    * contain at least one matching row. Untouched partitions' files
+    * are never read for the rewrite and never replaced — at 100 TB a
+    * cohort deletion touching 3 of 3000 date partitions rewrites 0.1%
+    * of the table, which is the entire point (a naive full overwrite
+    * rewrites everything; a row-level-delete format like Iceberg/Delta
+    * solves this with tombstones — on plain parquet, partition-scoped
+    * rewrite IS the mechanism).
+    *
+    * Mechanics: affected partitions are found with one partition-
+    * pruned aggregate and broadcast back as a semi-join (partition
+    * values are few by construction); survivors of those partitions
+    * are staged with an eager localCheckpoint (the stage-then-swap a
+    * plain-parquet lake needs — Spark correctly refuses to overwrite
+    * a path it is still reading lazily from), then written with
+    * DYNAMIC partition overwrite so exactly the affected directories
+    * swap. The overwrite mode is scoped to a cloned session — no conf
+    * mutation is visible to concurrent queries (the streaming-replay
+    * discipline).
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+                  partitionCol: String,
+                  forget: org.apache.spark.sql.Column): Unit = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val t = s2.read.parquet(path)
+    val affected = t.filter(forget).select(partitionCol).distinct()
+      .localCheckpoint(true)
+    val survivors = t.join(broadcast(affected), Seq(partitionCol))
+      .filter(!forget)
+      // Same column order as the original layout (partitionBy moves the
+      // partition column last on disk; select restores logical order).
+      .select(t.columns.map(col): _*)
+      .localCheckpoint(true)
+    // Dynamic overwrite only replaces partitions PRESENT in the write:
+    // a partition whose every row matched `forget` produces no survivor
+    // rows and would silently keep its old files. Those fully-deleted
+    // partitions are removed explicitly — the value list is ≤
+    // |partition domain| rows, the same sanctioned bounded collect as
+    // the bloom-filter literal.
+    val emptied = affected.join(
+        survivors.select(partitionCol).distinct(), Seq(partitionCol),
+        "left_anti")
+      .collect().map(_.get(0))
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        s2.sessionState.newHadoopConf())
+      emptied.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"$partitionCol=$v"),
+          true)
+      }
+    }
+    survivors.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(path)
+  }
 }

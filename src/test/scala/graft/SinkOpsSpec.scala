@@ -26,6 +26,36 @@ class SinkOpsSpec extends SparkSpec {
     assert(one.count() === li.filter(col("l_returnflag") === "R").count())
   }
 
+  test("deleteWhere rewrites only affected partitions, removes emptied ones") {
+    val path = tmp("gdpr")
+    // Partition a: {1,2,3} (2 forgotten); b: {5,7} (untouched);
+    // c: {6} (fully forgotten → must vanish).
+    val src = Seq((1L, "a"), (2L, "a"), (3L, "a"), (5L, "b"), (7L, "b"),
+      (6L, "c")).toDF("id", "p")
+    SinkOps.writeParquet(src, path, partitionBy = Seq("p"))
+    def files(part: String): Map[String, Long] =
+      Option(new java.io.File(path, s"p=$part").listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val aBefore = files("a")
+    val bBefore = files("b")
+    assert(aBefore.nonEmpty && bBefore.nonEmpty)
+    SinkOps.deleteWhere(spark, path, "p", col("id") % 2 === 0)
+    // Survivors exactly: odd ids. Partition c (all forgotten) is GONE.
+    val back = spark.read.parquet(path)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 3L, 5L, 7L))
+    assert(!new java.io.File(path, "p=c").exists())
+    // Untouched partition b keeps its exact original files (no rewrite).
+    assert(files("b") === bBefore)
+    // Affected partition a was rewritten (fresh file set).
+    assert(files("a").nonEmpty &&
+      files("a").keySet.intersect(aBefore.keySet).isEmpty)
+    // Session conf was never mutated (cloned-session discipline).
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+      "static") !== "dynamic")
+  }
+
   test("zstd parquet writes .zstd.parquet part files and round-trips") {
     val path = tmp("zstd")
     val df = Seq((1L, "a", 2.5), (2L, "b", 4.0)).toDF("k", "s", "v")
