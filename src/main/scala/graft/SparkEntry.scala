@@ -883,6 +883,17 @@ object SparkEntry {
       GraphOps.clusteringCoefficient(
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod))),
 
+    // Community detection by synchronous label propagation on the
+    // mod-9973 graph: plurality label over the closed neighborhood,
+    // (count desc, label asc) election, fixpoint-or-throw. Converges in
+    // 17/14/8 rounds at sf0.001/0.01/0.1; the oracle unrolls LpaRounds
+    // rounds — rounds past the fixpoint are no-ops, so both engines
+    // land on the identical labeling (the q_sssp unroll contract).
+    "q_communities" -> ((s, d) =>
+      GraphOps.labelPropagation(
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod),
+        LpaRounds)),
+
     // Skew-mitigation pattern: salted two-phase aggregation; oracle is
     // the plain GROUP BY (identical results prove exactness).
     "q_agg_salted" -> ((s, d) =>
@@ -2191,13 +2202,15 @@ object SparkEntry {
     // baskets — scale-free, nothing to retune at 100 TB). Frequent
     // items prune BEFORE pair expansion (Apriori's monotonicity),
     // broadcast the ≤|catalog| frequent set, one keyed pair agg; both
-    // rule directions out with exact-count conf/lift.
+    // rule directions out with exact-count conf/lift. Hot baskets are
+    // capped at AssocMaxBasket top-support items (oracle mirrors the
+    // identical deterministic rank).
     "q_assoc_rules" -> ((s, d) =>
       CurationOps.assocRules(
         Tables.lineitem(s, d)
           .select(col("l_orderkey").as("basket"),
             (col("l_partkey") % AssocItemMod).as("item")),
-        "basket", "item", AssocSupDiv)),
+        "basket", "item", AssocSupDiv, AssocMaxBasket)),
 
     // CUPED variance-reduced A/B readout — the modern experimentation
     // workhorse: per-user pre-period covariate x and post-period
@@ -2361,10 +2374,12 @@ object SparkEntry {
       Tables.orders(s, d).createOrReplaceTempView("orders")
       val loc = tmpPath("graft_ctas", d)
       s.sql("DROP TABLE IF EXISTS graft_ctas_sales")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(loc))
+      // Hadoop FS recursive delete (the SinkOps.deleteWhere pattern), not
+      // java.io.File: on an object-store lake the local-File recursion
+      // would silently no-op and CTAS would land on a dirty location.
+      val locPath = new org.apache.hadoop.fs.Path(loc)
+      locPath.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(locPath, true)
       s.sql(s"""CREATE TABLE graft_ctas_sales USING PARQUET LOCATION '$loc'
                 AS SELECT o_orderkey, o_custkey, o_orderstatus,
                           o_totalprice, o_orderpriority
@@ -2825,12 +2840,20 @@ object SparkEntry {
   /** q_pagerank_weighted iteration count (shared by query + oracle). */
   private val PrwIters = 10
 
+  /** q_communities round budget (shared by query + oracle unroll).
+    * LPA converges in 17/14/8 rounds at sf0.001/0.01/0.1 on the
+    * mod-9973 graph; rounds past the fixpoint are no-ops on both
+    * engines, so the oracle unrolls the full budget.
+    */
+  private val LpaRounds = 24
+
   /** q_assoc_rules item-domain modulus + relative-support divisor
     * (shared by query + oracle): catalog compresses to ≤50 items so
     * fixture baskets co-occur; min_sup = n_baskets div 250 (0.4%).
     */
   private val AssocItemMod = 50
   private val AssocSupDiv = 250L
+  private val AssocMaxBasket = 64
 
   /** The SQL front door: q_sql_q3 runs ONE SQL text through both engines
     * — spark.sql over temp views here, DuckDB as the oracle — proving
@@ -3359,6 +3382,39 @@ object SparkEntry {
         r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_fp FROM nodes),
         $ctes
         SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / 1e12 AS rank FROM r$iters"""
+  }
+
+  /** Label-propagation oracle: `rounds` unrolled synchronous LPA steps
+    * over the mod-`mod` graph. Each round counts the closed-
+    * neighborhood label multiset (neighbor labels arriving over the
+    * symmetric edge set + the node's own label) and elects the
+    * plurality label with the (count desc, label asc) total order —
+    * row_number here ≡ the engine's min(struct(-c, label)) aggregate.
+    * Rounds at or past the fixpoint are no-ops, so unrolling the full
+    * budget matches the engine's converged labeling exactly.
+    */
+  private def lpaOracle(rounds: Int, mod: Int): String = {
+    val ctes = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT node, community, COUNT(*) AS c FROM (
+             SELECT s.v AS node, l.community
+             FROM sym s JOIN l${i - 1} l ON s.u = l.node
+             UNION ALL SELECT node, community FROM l${i - 1}) t$i
+           GROUP BY node, community),
+         l$i AS MATERIALIZED (SELECT node, community FROM (
+             SELECT node, community, row_number() OVER (
+               PARTITION BY node ORDER BY c DESC, community ASC) AS rk
+             FROM c$i) e$i
+           WHERE rk = 1)"""
+    }.mkString(",\n")
+    s"""WITH ed AS (
+          SELECT DISTINCT least(l_orderkey % $mod, l_partkey % $mod) AS a,
+                          greatest(l_orderkey % $mod, l_partkey % $mod) AS b
+          FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+        sym AS (SELECT a AS u, b AS v FROM ed
+                UNION ALL SELECT b AS u, a AS v FROM ed),
+        l0 AS (SELECT DISTINCT u AS node, u AS community FROM sym),
+        $ctes
+        SELECT node, community FROM l$rounds"""
   }
 
   /** Batch gap-sessionizer oracle (boundaries + counts) — shared by the
@@ -3894,6 +3950,7 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
     "q_pagerank_weighted" -> pageRankWeightedOracle(PrwIters, TriMod),
+    "q_communities" -> lpaOracle(LpaRounds, TriMod),
     // Same distinct→frequent-prune→pair-count derivation; `//` ≡ `div`
     // on the nonnegative counts; conf/lift are terminal IEEE divisions
     // of exact integer products.
@@ -3906,7 +3963,12 @@ object SparkEntry {
           ic AS (SELECT item, COUNT(*) AS cnt, n_b
                  FROM b, thr GROUP BY item, n_b, min_sup
                  HAVING COUNT(*) >= min_sup),
-          bf AS (SELECT b.basket, b.item FROM b JOIN ic ON ic.item = b.item),
+          bf AS (SELECT basket, item FROM (
+                   SELECT b.basket, b.item,
+                          row_number() OVER (PARTITION BY b.basket
+                            ORDER BY ic.cnt DESC, b.item ASC) AS rk
+                   FROM b JOIN ic ON ic.item = b.item)
+                 WHERE rk <= $AssocMaxBasket),
           fp AS (SELECT a.item AS i1, c.item AS i2, COUNT(*) AS n_pair
                  FROM bf a JOIN bf c
                    ON a.basket = c.basket AND a.item < c.item

@@ -305,15 +305,26 @@ object CurationOps {
     * broadcast semi-join (the frequent-item set is ≤ |catalog| rows by
     * construction), so per-basket pair expansion is choose-2 over
     * frequent items only — a hot basket of rare junk expands to
-    * nothing. Pair counting is one keyed agg on (i1, i2); the
-    * threshold and basket total attach as 1-row broadcasts. All counts
-    * exact int64; conf/lift are single terminal IEEE divisions of
-    * exact integer products (n_pair·N < 2^63 to N ≈ 3·10^9 baskets
-    * with int32-bounded pair counts — beyond that, widen to DECIMAL).
+    * nothing. A basket of many FREQUENT items is bounded too:
+    * `maxBasketItems` keeps each basket's top-m frequent items by the
+    * deterministic (support desc, item asc) order before pairing, so
+    * expansion is ≤ choose-2(m) per basket — an adversarial
+    * all-frequent-items mega-basket (a crawl bucket holding the whole
+    * catalog) costs O(m²), not O(catalog²). The rank rides the same
+    * basket-keyed exchange the pair self-join needs; truncated baskets
+    * lose only their weakest-support items, and the oracle replays the
+    * identical rank, so both engines see the same truncation. Pair
+    * counting is one keyed agg on (i1, i2); the threshold and basket
+    * total attach as 1-row broadcasts. All counts exact int64;
+    * conf/lift are single terminal IEEE divisions of exact integer
+    * products (n_pair·N < 2^63 to N ≈ 3·10^9 baskets with
+    * int32-bounded pair counts — beyond that, widen to DECIMAL).
     */
   def assocRules(pairs: DataFrame, basketCol: String, itemCol: String,
-                 supDiv: Long = 250L): DataFrame = {
+                 supDiv: Long = 250L, maxBasketItems: Int = 64): DataFrame = {
     require(supDiv >= 1, s"supDiv must be >= 1, got $supDiv")
+    require(maxBasketItems >= 2,
+      s"maxBasketItems must be >= 2, got $maxBasketItems")
     val b = pairs.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -323,8 +334,15 @@ object CurationOps {
       .crossJoin(broadcast(thr))
       .filter(col("cnt") >= col("min_sup"))
       .select(col("item"), col("cnt"), col("n_b"))
-    // Frequent-item pruning BEFORE pair expansion (broadcast semi-join).
-    val bf = b.join(broadcast(ic.select("item")), "item")
+    // Frequent-item pruning BEFORE pair expansion (broadcast attach of
+    // the frequent-item counts), then the per-basket top-m cap: rank
+    // each basket's surviving items by (support desc, item asc) and
+    // keep rk ≤ maxBasketItems — the hot-basket expansion bound.
+    val bf = b.join(broadcast(ic.select(col("item"), col("cnt"))), "item")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("basket")
+          .orderBy(col("cnt").desc, col("item").asc)))
+      .filter(col("rk") <= maxBasketItems)
       .select(col("basket"), col("item"))
     val fp = bf.select(col("basket"), col("item").as("i1"))
       .join(bf.select(col("basket").as("basket2"), col("item").as("i2")),

@@ -304,6 +304,84 @@ object GraphOps {
     lbl
   }
 
+  /** Community detection by synchronous label propagation (LPA) — the
+    * mode-label sibling of [[connectedComponents]]: where CC takes the
+    * MIN of neighbor labels (yielding reachability classes), LPA takes
+    * the PLURALITY label over the closed neighborhood {self} ∪
+    * neighbors, so densely interconnected groups lock onto one label
+    * while sparse bridges between them don't carry it over — the
+    * standard near-linear community baseline (Raghavan et al. 2007).
+    *
+    * Determinism (the property plain LPA lacks): updates are
+    * synchronous (every node recomputes from the SAME previous label
+    * vector — no sequential/random order), and the plurality election
+    * is totally ordered by (count desc, label asc) via one min(struct)
+    * aggregate. Including the self-label both regularizes oscillation
+    * (the lazy-dynamics trick) and makes round 0 well-defined. The
+    * fixed point is a function of the graph alone, so a DuckDB oracle
+    * replays the identical rounds; runs past the fixed point are
+    * no-ops, which is what lets the oracle unroll a fixed round count
+    * ≥ the convergence round ([[ssspWeighted]]'s contract). If
+    * `maxRounds` arrives before the fixed point the op THROWS — never
+    * silently-wrong communities (the [[connectedComponents]]
+    * discipline).
+    *
+    * Scale shape, per round: the label vector (16 B/node) broadcasts
+    * into the symmetric-edge join under the adaptive guard
+    * ([[decideBroadcast]]) — the edge list never shuffles for it; the
+    * candidate counts and plurality election are two node-keyed int64
+    * aggs; convergence is one aggregated driver-side scalar; lineage
+    * is cut per round with eager localCheckpoint. Rounds are
+    * O(community mixing time) — small for the cohesive groups LPA
+    * targets.
+    *
+    * Input: directed edge list (src, dst); de-duplicated undirected
+    * internally, self-loops dropped. Output: (node, community) for
+    * every node with ≥ 1 edge.
+    */
+  def labelPropagation(edges: DataFrame, maxRounds: Int = 20,
+                       bcastLabels: Option[Boolean] = None): DataFrame = {
+    require(maxRounds >= 1)
+    val e = edges.filter(col("src") =!= col("dst"))
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var lbl = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+      .localCheckpoint(true)
+    val bc = decideBroadcast(bcastLabels, lbl.count(),
+      broadcastBudget(edges.sparkSession))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val l = if (bc) broadcast(lbl) else lbl
+      // Closed-neighborhood label multiset: one row per (neighbor
+      // label arriving over an edge) plus the node's own label.
+      val cand = sym.join(l, sym("u") === l("node"))
+        .select(sym("v").as("node"), l("community"))
+        .union(lbl.select(col("node"), col("community")))
+        .groupBy("node", "community").agg(count(lit(1)).as("c"))
+      // Plurality election, totally ordered: min over (-count, label)
+      // structs ≡ (count desc, label asc) — one agg, no window.
+      val next = cand
+        .groupBy("node").agg(min(struct((-col("c")).as("nc"),
+          col("community").as("community"))).as("m"))
+        .select(col("node"), col("m.community").as("community"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(lbl.withColumnRenamed("community", "prev"), "node")
+        .filter(col("community") =!= col("prev")).count()
+      lbl = next
+      converged = changed == 0L
+    }
+    if (!converged) throw new IllegalStateException(
+      s"labelPropagation did not reach a fixed point in $maxRounds rounds; " +
+        "raise maxRounds (or the graph oscillates beyond the lazy damping)")
+    lbl
+  }
+
   /** Convergence-driven PageRank: iterate until the L1 rank diff (in
     * fixed-point units) drops below `tolFp` or `maxIters` is hit.
     * Convergence is tested every `checkEvery` iterations: each check
@@ -393,7 +471,19 @@ object GraphOps {
     * `pageRankFixed`/`connectedComponents` carry for their vectors.
     */
   def triangleCounts(edges: DataFrame,
-                     bcastDeg: Option[Boolean] = None): DataFrame = {
+                     bcastDeg: Option[Boolean] = None): DataFrame =
+    triangleKernel(edges, bcastDeg)._3
+
+  /** The triangle computation with its internals exposed:
+    * (und, deg, tri) — the de-duplicated undirected edge set, the
+    * undirected degree table, and the per-node triangle counts, where
+    * und and deg are the SAME persisted DataFrames the triangle pass
+    * used. Compositions over triangles + degrees
+    * ([[clusteringCoefficient]]) reuse them instead of re-running the
+    * distinct + degree agg scans.
+    */
+  private[graft] def triangleKernel(edges: DataFrame,
+      bcastDeg: Option[Boolean]): (DataFrame, DataFrame, DataFrame) = {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -431,9 +521,10 @@ object GraphOps {
           (col("dv") === col("dw") && col("v") < col("w"))))
       .select(col("u"), col("v"), col("w"))
     val closing = oriented.select(col("lo").as("v"), col("hi").as("w"))
-    wedges.join(closing, Seq("v", "w"))
+    val tri = wedges.join(closing, Seq("v", "w"))
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    (und, deg, tri)
   }
 
   /** Local clustering coefficient — lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
@@ -442,23 +533,19 @@ object GraphOps {
     * The "how clique-like is each neighborhood" profile that separates
     * community cores from pure hubs — degree alone can't.
     *
-    * Composition, not a new algorithm: triangles come from
-    * [[triangleCounts]] (degree-ordered wedges, O(√m) out-degree bound —
-    * the part that must survive 100 TB), degrees from one int64
-    * explode-agg, joined on node id. Both int64 inputs are exact, so the
-    * one IEEE division at the end is deterministic across engines and
-    * partitionings. Exchanges carry only (node, count) int64 rows;
-    * `bcastDeg` passes through to the triangle kernel's degree attach.
+    * Composition, not a new algorithm: triangles AND degrees come from
+    * ONE [[triangleKernel]] call (degree-ordered wedges, O(√m)
+    * out-degree bound — the part that must survive 100 TB), so the
+    * distinct + degree-agg scans the triangle pass already persisted
+    * are reused, not recomputed, and the composition adds only the
+    * node-id join and one division. Both int64 inputs are exact, so
+    * the one IEEE division at the end is deterministic across engines
+    * and partitionings. Exchanges carry only (node, count) int64 rows;
+    * `bcastDeg` passes through to the kernel's degree attach.
     */
   def clusteringCoefficient(edges: DataFrame,
                             bcastDeg: Option[Boolean] = None): DataFrame = {
-    val und = edges.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val tri = triangleCounts(edges, bcastDeg)
+    val (_, deg, tri) = triangleKernel(edges, bcastDeg)
     deg.filter(col("deg") >= 2)
       .join(tri, Seq("node"), "left")
       .select(col("node"),

@@ -203,4 +203,24 @@ class CurationOpsSpec extends SparkSpec {
       ("a", "b") -> ((2L, 3L, 2L, 2.0 / 3.0, 8.0 / 6.0)),
       ("b", "a") -> ((2L, 2L, 3L, 1.0, 8.0 / 6.0))))
   }
+
+  test("assocRules: adversarial all-frequent mega-basket expansion is capped") {
+    // 20 items, each frequent (appears in both baskets 1 and 2 → count 2
+    // ≥ min_sup = 2 div 1 = 2). Basket 1 holds the whole catalog — with
+    // maxBasketItems = 5 it expands to choose-2(5) = 10 pairs, not
+    // choose-2(20) = 190. All item supports tie at 2, so the
+    // deterministic (support desc, item asc) rank keeps i00..i04.
+    val items = (0 until 20).map(i => f"i$i%02d")
+    val pairs = (items.map(1L -> _) ++ items.map(2L -> _))
+      .toDF("basket", "item")
+    val got = CurationOps.assocRules(pairs, "basket", "item",
+      supDiv = 1L, maxBasketItems = 5)
+    // Both baskets truncate to the same top-5 → every kept pair occurs
+    // in both baskets (n_pair=2); 10 unordered pairs → 20 directed rules.
+    val rules = got.collect()
+    assert(rules.length === 20)
+    val kept = rules.map(_.getString(0)).toSet
+    assert(kept === Set("i00", "i01", "i02", "i03", "i04"))
+    assert(rules.forall(_.getLong(2) === 2L))
+  }
 }

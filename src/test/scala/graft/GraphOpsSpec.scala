@@ -367,6 +367,56 @@ class GraphOpsSpec extends SparkSpec {
     assert(p === Map(2L -> 0.0))
   }
 
+  test("labelPropagation equals connectedComponents on a triangle-free graph") {
+    import spark.implicits._
+    // Two components, both triangle-free (a path and a star): the closed-
+    // neighborhood plurality degenerates to min-label spread, so the LPA
+    // fixed point is exactly the CC labeling.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("src", "dst")
+    val lpa = GraphOps.labelPropagation(e, maxRounds = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = GraphOps.connectedComponents(
+        e.select(col("src").as("a"), col("dst").as("b"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa === cc)
+    assert(lpa === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("labelPropagation separates two cliques joined by one bridge") {
+    import spark.implicits._
+    // Two 4-cliques {1..4} and {11..14} bridged by 4-11: plurality
+    // labeling keeps each clique on its own min label — the community
+    // structure CC cannot see (CC would merge everything into one).
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ ((4L, 11L))).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(e, maxRounds = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L))
+  }
+
+  test("labelPropagation throws rather than returning pre-fixpoint labels") {
+    import spark.implicits._
+    // A 6-path needs ~5 rounds to settle; a 1-round budget must throw.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    intercept[IllegalStateException] {
+      GraphOps.labelPropagation(e, maxRounds = 1).collect()
+    }
+  }
+
+  test("labelPropagation is deterministic across partition layouts") {
+    val edges = GraphOps.edgesFromLineitem(Tables.lineitem(spark, sfDir), 97)
+    val a = GraphOps.labelPropagation(edges, 30).collect().toSeq.sortBy(_.getLong(0))
+    val b = GraphOps.labelPropagation(edges.repartition(7), 30).collect()
+      .toSeq.sortBy(_.getLong(0))
+    assert(a === b)
+  }
+
   test("aggState merge equals the from-scratch aggregate, any split") {
     val li = Tables.lineitem(spark, sfDir)
     val direct = AggOps.aggStateView(
