@@ -482,17 +482,23 @@ object OracleSql {
     * over the trained centroids. floor(double-div of exact ints) is the
     * engine-identical mean snap — see SimilarityOps.kmeansCentroids.
     */
-  def simsearchIvfKmeansSql(iters: Int = 2): String = {
-    def rankCte(centRel: String, out: String): String =
-      s"""$out AS (SELECT vec_id, c_id, rc FROM (
-            SELECT n.vec_id, c.c_id,
-                   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-                     (n.n2 + c.cn2 - 2 * CAST(list_sum(list_transform(
-                        range(1, len(n.v) + 1), ii -> n.v[ii] * c.cv[ii]))
-                        AS BIGINT)) ASC, c.c_id ASC) AS rc
-            FROM n CROSS JOIN $centRel c))"""
-    val iterCtes = (1 to iters).map { i =>
-      s"""${rankCte(s"cent${i - 1}", s"kasg$i")},
+  private def kmeansRankCte(centRel: String, out: String): String =
+    s"""$out AS (SELECT vec_id, c_id, rc FROM (
+          SELECT n.vec_id, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                   (n.n2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+                      range(1, len(n.v) + 1), ii -> n.v[ii] * c.cv[ii]))
+                      AS BIGINT)) ASC, c.c_id ASC) AS rc
+          FROM n CROSS JOIN $centRel c))"""
+
+  /** cent0 → cent`iters` integer-lattice Lloyd CTE rounds (assignment
+    * rank → per-dim exact sums → floor-snap rebuild → empty-cluster
+    * carry) — shared by the IVF-kmeans probe twin and the general
+    * kmeans-fixpoint oracle.
+    */
+  private def kmeansTrainCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""${kmeansRankCte(s"cent${i - 1}", s"kasg$i")},
           ksum$i AS (SELECT a.c_id, r.range AS dim,
                        CAST(floor(CAST(SUM(n.v[r.range + 1]) AS DOUBLE)
                          / COUNT(*)) AS BIGINT) AS c
@@ -503,16 +509,38 @@ object OracleSql {
                      GROUP BY a.c_id, r.range),
           kreb$i AS (SELECT c_id, list(c ORDER BY dim) AS cv
                      FROM ksum$i GROUP BY c_id),
-          cent$i AS (SELECT p.c_id, COALESCE(r.cv, p.cv) AS cv,
+          cent$i AS MATERIALIZED (SELECT p.c_id, COALESCE(r.cv, p.cv) AS cv,
                        COALESCE(CAST(list_sum(list_transform(r.cv,
                          x -> x * x)) AS BIGINT), p.cn2) AS cn2
                      FROM cent${i - 1} p LEFT JOIN kreb$i r USING (c_id))"""
     }.mkString(",\n")
+
+  /** General k-means fixpoint oracle: `iters` unrolled Lloyd rounds
+    * (≥ the engine's convergence round; rounds past the fixed point
+    * are no-ops), final centroids unnested to (c_id, dim, c) rows plus
+    * the final-assignment member counts — the
+    * SimilarityOps.kmeansFixpoint contract.
+    */
+  def kmeansSql(iters: Int): String =
     s"""WITH ${quantCte("embeddings")},
         cent0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM n
                   WHERE vec_id < ${SimilarityOps.IvfCentroids}),
-        $iterCtes,
-        ${rankCte(s"cent$iters", "asg")},
+        ${kmeansTrainCtes(iters)},
+        ${kmeansRankCte(s"cent$iters", "fasg")},
+        memb AS (SELECT c_id, COUNT(*) AS n_members FROM fasg
+                 WHERE rc = 1 GROUP BY c_id)
+        SELECT c.c_id, CAST(r.range AS BIGINT) AS dim,
+               CAST(c.cv[r.range + 1] AS BIGINT) AS c,
+               CAST(COALESCE(m.n_members, 0) AS BIGINT) AS n_members
+        FROM cent$iters c
+        LEFT JOIN memb m USING (c_id), range(0, ${SimilarityOps.Dims}) r"""
+
+  def simsearchIvfKmeansSql(iters: Int = 2): String = {
+    s"""WITH ${quantCte("embeddings")},
+        cent0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM n
+                  WHERE vec_id < ${SimilarityOps.IvfCentroids}),
+        ${kmeansTrainCtes(iters)},
+        ${kmeansRankCte(s"cent$iters", "asg")},
         assign AS (SELECT vec_id, c_id FROM asg WHERE rc = 1),
         probes AS (SELECT vec_id AS q_id, c_id FROM asg
                    WHERE vec_id < 5 AND rc <= ${SimilarityOps.IvfProbes}),

@@ -985,6 +985,22 @@ object SparkEntry {
     // replays the whole training bit-identically.
     "q_simsearch_ivf_kmeans" -> ((s, d) =>
       SimilarityOps.ivfTopK(Tables.embeddings(s, d), trainIters = 2)),
+    // General k-means to the Lloyd FIXED POINT (convergence-or-budget;
+    // the 2-round IVF trainer is the fixed-round special case):
+    // integer-lattice floor-snap keeps centroids exact int64, so the
+    // fixed point is exact equality and the oracle's KmeansRounds
+    // unrolled rounds are no-ops past convergence (13/9/18 rounds at
+    // sf0.001/0.01/0.1). Output: centroids unnested per dimension +
+    // final-assignment member counts.
+    "q_kmeans" -> ((s, d) => {
+      val v = SimilarityOps.withQuant(Tables.embeddings(s, d))
+        .filter(col("n2") > 0)
+      SimilarityOps.kmeansFixpoint(v, KmeansRounds)
+        .select(col("c_id"), col("n_members"),
+          posexplode(col("cv")).as(Seq("dim", "c")))
+        .select(col("c_id"), col("dim").cast("long").as("dim"),
+          col("c"), col("n_members"))
+    }),
     // Product-quantization ANN: 8×16 codebooks, 4-byte codes (64×
     // compression), asymmetric-distance scan over the compressed corpus
     // — exact integer ADC sums, bit-identical ranking in both engines.
@@ -2840,6 +2856,12 @@ object SparkEntry {
   /** q_pagerank_weighted iteration count (shared by query + oracle). */
   private val PrwIters = 10
 
+  /** q_kmeans Lloyd round budget (shared by query + oracle unroll):
+    * fixpoint at 13/9/18 rounds (sf0.001/0.01/0.1); unrolled rounds
+    * past the fixed point are no-ops on both engines.
+    */
+  private val KmeansRounds = 24
+
   /** q_communities round budget (shared by query + oracle unroll).
     * LPA converges in 17/14/8 rounds at sf0.001/0.01/0.1 on the
     * mod-9973 graph; rounds past the fixpoint are no-ops on both
@@ -4201,6 +4223,7 @@ object SparkEntry {
     "q_simsearch_lsh" -> OracleSql.simsearchLshSql,
     "q_simsearch_ivf" -> OracleSql.simsearchIvfSql,
     "q_simsearch_ivf_kmeans" -> OracleSql.simsearchIvfKmeansSql(2),
+    "q_kmeans" -> OracleSql.kmeansSql(KmeansRounds),
     "q_simsearch_pq" -> OracleSql.simsearchPqSql,
     "q_simsearch_recall" -> OracleSql.simsearchRecallSql,
     "q_dedup_embed_recall" -> OracleSql.dedupEmbedRecallSql,

@@ -198,26 +198,84 @@ object SimilarityOps {
     */
   def kmeansCentroids(v: DataFrame, iters: Int = 2): DataFrame = {
     var cent = seedCentroids(v)
-    for (_ <- 0 until iters) {
-      val assign = centroidRanks(v, cent).filter(col("rc") === 1)
-        .select("vec_id", "c_id")
-      val sums = v.join(assign, "vec_id")
-        .select(col("c_id"), posexplode(col("qv")).as(Seq("dim", "q")))
-        .groupBy("c_id", "dim")
-        .agg(sum("q").as("s"), count(lit(1)).as("m"))
-        .select(col("c_id"), col("dim"),
-          floor(col("s").cast("double") / col("m")).cast("long").as("c"))
-      val rebuilt = sums.groupBy("c_id")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).as("cv"))
-        .withColumn("cn2", dotL(col("cv"), col("cv")))
-      cent = cent.select(col("c_id"), col("cv").as("cv0"), col("cn2").as("cn20"))
-        .join(rebuilt, Seq("c_id"), "left")
-        .select(col("c_id"),
-          coalesce(col("cv"), col("cv0")).as("cv"),
-          coalesce(col("cn2"), col("cn20")).as("cn2"))
-    }
+    for (_ <- 0 until iters) cent = lloydRound(v, cent)
     cent
+  }
+
+  /** One integer-lattice Lloyd round: assignment pass (broadcast
+    * centroids — the corpus never shuffles for it), per-(cluster, dim)
+    * exact int64 sums (map-side combined, ≤ k·64 rows out), floor-snap
+    * rebuild, empty clusters keep their previous centroid.
+    */
+  private[graft] def lloydRound(v: DataFrame, cent: DataFrame): DataFrame = {
+    val assign = centroidRanks(v, cent).filter(col("rc") === 1)
+      .select("vec_id", "c_id")
+    val sums = v.join(assign, "vec_id")
+      .select(col("c_id"), posexplode(col("qv")).as(Seq("dim", "q")))
+      .groupBy("c_id", "dim")
+      .agg(sum("q").as("s"), count(lit(1)).as("m"))
+      .select(col("c_id"), col("dim"),
+        floor(col("s").cast("double") / col("m")).cast("long").as("c"))
+    val rebuilt = sums.groupBy("c_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cv"))
+      .withColumn("cn2", dotL(col("cv"), col("cv")))
+    cent.select(col("c_id"), col("cv").as("cv0"), col("cn2").as("cn20"))
+      .join(rebuilt, Seq("c_id"), "left")
+      .select(col("c_id"),
+        coalesce(col("cv"), col("cv0")).as("cv"),
+        coalesce(col("cn2"), col("cn20")).as("cn2"))
+  }
+
+  /** General k-means to the Lloyd FIXED POINT — [[kmeansCentroids]]
+    * (the IVF trainer's fixed-round special case) generalized to
+    * convergence-or-budget: rounds run until the centroid set is
+    * bit-identical round-over-round, and if `maxIters` arrives first
+    * the op THROWS instead of returning drifting centroids (the
+    * [[graft.ops.GraphOps.connectedComponents]] discipline).
+    *
+    * The integer-lattice floor-snap is what makes "fixed point" a
+    * well-defined, engine-portable predicate: centroids are exact
+    * int64 vectors, so round-over-round equality is exact equality,
+    * not an epsilon test — and once centroids repeat, assignments
+    * repeat, so every further round is a no-op. That is the contract
+    * that lets a DuckDB oracle unroll a fixed round budget ≥ the
+    * convergence round and land on the identical centroid set
+    * (the SSSP/LPA unroll pattern). Lloyd on a finite lattice with
+    * the deterministic (d2, c_id) tie-break cannot oscillate without
+    * strictly decreasing the (finite, nonnegative) within-cluster
+    * cost, so the fixed point exists; `maxIters` guards the
+    * pathological plateau-cycle case loudly.
+    *
+    * Scale shape per round is [[lloydRound]]'s: one broadcast-centroid
+    * assignment pass, one (c_id, dim)-keyed exact-int agg, a k-row
+    * rebuild; convergence is one aggregated driver-side scalar per
+    * round on k rows; lineage is cut per round with eager
+    * localCheckpoint. Returns (c_id, cv, cn2, n_members) — n_members
+    * from the final assignment pins the clustering itself, not just
+    * the centroid geometry.
+    */
+  def kmeansFixpoint(v: DataFrame, maxIters: Int = 40): DataFrame = {
+    var cent = seedCentroids(v).localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      it += 1
+      val next = lloydRound(v, cent).localCheckpoint(true)
+      val changed = cent.select(col("c_id"), col("cv").as("cv_prev"))
+        .join(next, "c_id")
+        .filter(col("cv") =!= col("cv_prev")).count()
+      cent = next
+      converged = changed == 0L
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kmeansFixpoint did not converge in $maxIters Lloyd rounds; " +
+        "raise maxIters (lattice plateau cycle or slow-mixing corpus)")
+    val members = centroidRanks(v, cent).filter(col("rc") === 1)
+      .groupBy("c_id").agg(count(lit(1)).as("n_members"))
+    cent.join(members, Seq("c_id"), "left")
+      .select(col("c_id"), col("cv"), col("cn2"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
   }
 
   /** IVF ANN top-k: assign vectors to their nearest centroid, probe the

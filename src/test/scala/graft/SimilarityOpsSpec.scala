@@ -153,6 +153,44 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeansFixpoint: converged centroids are a Lloyd fixed point; " +
+      "IVF trainer is its fixed-round prefix") {
+    val v = emb.select(col("vec_id"),
+        SimilarityOps.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", SimilarityOps.dotL(col("qv"), col("qv")))
+      .filter(col("n2") > 0)
+    val fix = SimilarityOps.kmeansFixpoint(v, maxIters = 40)
+    val cents = fix.collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toSeq, r.getLong(3))))
+      .toMap
+    assert(cents.keySet === (0L until SimilarityOps.IvfCentroids).toSet)
+    // Fixed point: one more Lloyd round leaves every centroid unchanged.
+    val centDf = fix.select(col("c_id"), col("cv"), col("cn2"))
+    val again = SimilarityOps.lloydRound(v, centDf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    cents.foreach { case (c, (cv, _)) => assert(again(c) === cv, s"centroid $c") }
+    // Member counts cover the whole corpus exactly once.
+    assert(cents.values.map(_._2).sum === v.count())
+    // The 2-round IVF trainer is the same recurrence stopped early:
+    // round 2 equals lloydRound∘lloydRound of the seed.
+    val two = SimilarityOps.kmeansCentroids(v, 2)
+    val seed = SimilarityOps.kmeansCentroids(v, 0)
+    val manual = SimilarityOps.lloydRound(v, SimilarityOps.lloydRound(v, seed))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val twoM = two.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(twoM === manual)
+  }
+
+  test("kmeansFixpoint throws rather than returning drifting centroids") {
+    val v = emb.select(col("vec_id"),
+        SimilarityOps.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", SimilarityOps.dotL(col("qv"), col("qv")))
+      .filter(col("n2") > 0)
+    intercept[IllegalStateException] {
+      SimilarityOps.kmeansFixpoint(v, maxIters = 1)
+    }
+  }
+
   test("saltedSum equals the direct groupBy (skew path is exact)") {
     import graft.ops.AggOps
     val li = Tables.lineitem(spark, sfDir)
