@@ -599,6 +599,46 @@ object OracleSql {
         SELECT q_id, vec_id, adc_d2, rnk FROM r WHERE rnk <= 10"""
   }
 
+  /** BPE training twin: `merges` unrolled merge rounds over the wrapped-
+    * symbol vocab encoding (`"|h||e||l||l||o|"` — see ops/BpeOps). Each
+    * round: adjacent wrapped-pair counts weighted by word frequency, the
+    * (count desc, pair asc) deterministic argmax, and the greedy
+    * left-to-right non-overlapping rewrite — `replace` substitutes
+    * occurrences in the identical order in both engines, and the wrapped
+    * blocks make cross-symbol false matches impossible.
+    */
+  def bpeTrainSql(merges: Int): String = {
+    val symsOf = "list_filter(string_split(sym, '|'), x -> x <> '')"
+    val rounds = (1 to merges).map { i =>
+      s"""p$i AS (SELECT pk, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+              SELECT f, '|' || s[ii] || '||' || s[ii + 1] || '|' AS pk
+              FROM (SELECT f, $symsOf AS s FROM v${i - 1}) q$i,
+                   unnest(range(1, len(s))) t$i(ii)) e$i
+            GROUP BY pk),
+          b$i AS (SELECT pk, cnt FROM p$i ORDER BY cnt DESC, pk ASC LIMIT 1),
+          v$i AS MATERIALIZED (SELECT f,
+                 replace(sym, b.pk, replace(b.pk, '||', '')) AS sym
+               FROM v${i - 1}, b$i b),
+          o$i AS (SELECT CAST($i AS BIGINT) AS round, b.pk AS merge_pair,
+                    b.cnt AS pair_count, s.vocab_words, s.symbols_after
+                  FROM b$i b, (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_words,
+                         CAST(SUM(f * len($symsOf)) AS BIGINT)
+                           AS symbols_after
+                       FROM v$i) s)"""
+    }.mkString(",\n")
+    val sel = (1 to merges).map(i => s"SELECT * FROM o$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (SELECT unnest(string_split_regex(lower(text), '$Ws')) AS w
+            FROM documents),
+        v0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS f,
+               regexp_replace(w, '(.)', '|\\1|', 'g') AS sym
+             FROM w0
+             WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2
+             GROUP BY w),
+        $rounds
+        $sel"""
+  }
+
   /** Chunk-overlap twin: 1-based inclusive list slices mirror Spark's
     * slice(w, start+1, window); range(0, n, stride) mirrors the sequence
     * starts; md5 of the space-rejoined window pins the exact text.

@@ -2759,6 +2759,17 @@ object SparkEntry {
             .as("symbols_after"))
     }),
 
+    // Iterative BPE tokenizer TRAINING — the k-merge loop q_bpe_step is
+    // round 1 of (spec-pinned): wrapped-symbol vocab encoding, per-round
+    // weighted adjacent-pair counts on the COMPRESSED vocab, the
+    // (count desc, pair asc) deterministic argmax broadcast back via
+    // crossJoin (no driver collect), and a greedy left-to-right
+    // non-overlapping replace both engines execute identically. Output:
+    // the merge table — one row per round with the elected pair, its
+    // count, and the shrinking corpus symbol total.
+    "q_bpe_train" -> ((s, d) =>
+      BpeOps.train(Tables.documents(s, d), BpeMerges)),
+
     // Kendall tau-b rank correlation — exact, at scale, via the same
     // domain-compression discipline as q_mannwhitney: joint histogram
     // over the (l_quantity ≤50 × l_linenumber ≤7) domain, then the
@@ -2855,6 +2866,9 @@ object SparkEntry {
 
   /** q_pagerank_weighted iteration count (shared by query + oracle). */
   private val PrwIters = 10
+
+  /** q_bpe_train merge-round count (shared by query + oracle unroll). */
+  private val BpeMerges = 8
 
   /** q_kmeans Lloyd round budget (shared by query + oracle unroll):
     * fixpoint at 13/9/18 rounds (sf0.001/0.01/0.1); unrolled rounds
@@ -4224,6 +4238,7 @@ object SparkEntry {
     "q_simsearch_ivf" -> OracleSql.simsearchIvfSql,
     "q_simsearch_ivf_kmeans" -> OracleSql.simsearchIvfKmeansSql(2),
     "q_kmeans" -> OracleSql.kmeansSql(KmeansRounds),
+    "q_bpe_train" -> OracleSql.bpeTrainSql(BpeMerges),
     "q_simsearch_pq" -> OracleSql.simsearchPqSql,
     "q_simsearch_recall" -> OracleSql.simsearchRecallSql,
     "q_dedup_embed_recall" -> OracleSql.dedupEmbedRecallSql,

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE tokenizer training — the k-merge loop a real tokenizer
+  * trainer runs (~50k rounds at production scale), of which `q_bpe_step`
+  * is round 1. Reference analogue: the corpus statistics the reference's
+  * wordcount pipeline feeds (WordCountMapper.java:24-31); the merge loop
+  * itself is the standard Sennrich et al. 2016 algorithm, built here
+  * Spark-first on the COMPRESSED vocab.
+  *
+  * Representation — the piece that makes the loop engine-portable: each
+  * word is a string of WRAPPED symbols, `"hello"` → `"|h||e||l||l||o|"`.
+  * Merging pair (a, b) is then one `replace(sym, "|a||b|", "|ab|")`:
+  *  - `replace` in both Spark and DuckDB substitutes occurrences
+  *    LEFT-TO-RIGHT, NON-OVERLAPPING — exactly the classic greedy BPE
+  *    merge order, so `"|a||a||a||a|"` merges to `"|aa||aa|"`, never
+  *    `"|aa||a||a|"` (a space-separated encoding gets this wrong: the
+  *    shared boundary space is consumed by the first match and breaks
+  *    the second).
+  *  - No false matches: the word string is a concatenation of `"|s|"`
+  *    blocks over a `|`-free symbol alphabet, so the pattern
+  *    `"|a||b|"` — whose `a` must directly follow a `|` and whose
+  *    middle `||` occurs only between blocks — matches only complete
+  *    adjacent symbols.
+  * The merged symbol is `replace(pk, "||", "")` — `"|ab|"` — so the
+  * pair key itself carries the rewrite.
+  *
+  * Scale shape (the driver-loop discipline of GraphOps.pageRankFixed,
+  * GraphOps.scala:148): the corpus is scanned ONCE into the word
+  * frequency table; every round after that runs on the compressed vocab
+  * (|distinct words| rows, orders of magnitude below |corpus|). Per
+  * round: one generated pair explode + keyed int64 agg (map-side
+  * combined), a 1-row deterministic argmax ((count desc, pair asc) —
+  * total order, no RNG), broadcast back via crossJoin — never a driver
+  * collect — and one codegen'd string replace over the vocab. Vocab
+  * lineage is cut with an eager localCheckpoint per round (the merge
+  * chain would otherwise nest k replace plans deep).
+  */
+object BpeOps {
+
+  /** Bare symbols of a wrapped word: split on `|`, drop empties. */
+  def syms(sym: Column): Column =
+    filter(split(sym, "\\|"), x => x =!= "")
+
+  /** Compressed vocab (f, sym) from the documents corpus: lowercase
+    * `^[a-z]+$` words of length ≥ 2 (engine-identical alphabet — the
+    * q_bpe_step restriction), frequency-aggregated, wrapped-symbol
+    * encoded one char per symbol.
+    */
+  def initVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), TextOps.WsRegex)).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("f"), regexp_replace(col("w"), "(.)", "|$1|").as("sym"))
+
+  /** Adjacent wrapped-pair keys of each vocab row, one per overlapping
+    * symbol adjacency (the classic get_stats multiset, weighted by f
+    * downstream): zip each symbol with its successor.
+    */
+  private def pairKeys(sym: Column): Column = {
+    val s = syms(sym)
+    filter(
+      zip_with(s, slice(s, lit(2), greatest(size(s) - 1, lit(0))),
+        (x, y) => concat(lit("|"), x, lit("||"), y, lit("|"))),
+      p => p.isNotNull)
+  }
+
+  /** k BPE merge rounds to a merge TABLE: one row per round —
+    * (round, merge_pair, pair_count, vocab_words, symbols_after).
+    * `merge_pair` is the wrapped pair key (`"|a||b|"`); `pair_count`
+    * its weighted adjacency count at election time; `symbols_after`
+    * the corpus symbol total Σ f·|syms| after applying the merge —
+    * the quantity whose monotone decrease is the whole point of BPE.
+    * Round 1 coincides with the single-step `q_bpe_step` election
+    * (spec-pinned).
+    */
+  def train(docs: DataFrame, merges: Int): DataFrame = {
+    require(merges >= 1)
+    var vocab = initVocab(docs).localCheckpoint(true)
+    val rounds = (1 to merges).map { r =>
+      val best = vocab
+        .select(col("f"), explode(pairKeys(col("sym"))).as("pk"))
+        .groupBy("pk").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("pk").asc).limit(1)
+        .localCheckpoint(true) // 1 row; reused by the rewrite AND the report
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(col("f"),
+          expr("replace(sym, pk, replace(pk, '||', ''))").as("sym"))
+        .localCheckpoint(true) // cut the nested replace-chain lineage
+      val stats = vocab.agg(
+        count(lit(1)).as("vocab_words"),
+        sum(col("f") * size(syms(col("sym")))).as("symbols_after"))
+      best.select(lit(r.toLong).as("round"), col("pk").as("merge_pair"),
+          col("cnt").as("pair_count"))
+        .crossJoin(stats)
+    }
+    rounds.reduce(_.union(_))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.BpeOps
+
+class BpeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train: greedy left-to-right non-overlapping merge (the aaaa case)") {
+    // Corpus of one word "aaaa" (f=1): round 1 elects (a,a) with count 3
+    // (overlapping adjacencies all count — classic get_stats), and the
+    // rewrite must produce |aa||aa| (4 → 2 symbols), NOT |aa||a||a|.
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val r1 = BpeOps.train(docs, 1).collect()
+    assert(r1.length === 1)
+    val row = r1.head
+    assert(row.getLong(0) === 1L)
+    assert(row.getString(1) === "|a||a|")
+    assert(row.getLong(2) === 3L)
+    assert(row.getLong(3) === 1L)      // vocab_words
+    assert(row.getLong(4) === 2L)      // symbols_after: [aa, aa]
+  }
+
+  test("train: merged symbols pair in later rounds; frequency weighting holds") {
+    // "ab ab cd" per doc over 3 docs: round 1 elects (a,b) count 6
+    // (two "ab" words x 3 docs... vocab is DISTINCT words with freq:
+    // ab f=6, cd f=3). Round 2: "ab" is now one symbol |ab|; remaining
+    // pairs: (c,d) f=3 -> elected.
+    val docs = (1L to 3L).map(i => (i, "ab ab cd")).toDF("doc_id", "text")
+    val rows = BpeOps.train(docs, 2).collect().sortBy(_.getLong(0))
+    assert(rows(0).getString(1) === "|a||b|")
+    assert(rows(0).getLong(2) === 6L)
+    assert(rows(1).getString(1) === "|c||d|")
+    assert(rows(1).getLong(2) === 3L)
+    // After round 2 every word is a single symbol: symbols_after = 9
+    // word instances... vocab-weighted: f(ab)=6 + f(cd)=3 = 9 symbols.
+    assert(rows(1).getLong(4) === 9L)
+  }
+
+  test("round 1 of the training loop IS the q_bpe_step election") {
+    // Same corpus, same restriction (^[a-z]+$, len >= 2): the step
+    // query's elected 2-char pair and count must equal round 1's —
+    // the step's "ab" pair string is the train loop's "|a||b|" key.
+    val docs = Tables.documents(spark, sfDir)
+    val step = SparkEntry.queries("q_bpe_step")(spark, sfDir).collect().head
+    val r1 = BpeOps.train(docs, 1).collect().head
+    val stepPair = step.getString(0)
+    assert(r1.getString(1) ===
+      s"|${stepPair.charAt(0)}||${stepPair.charAt(1)}|")
+    assert(r1.getLong(2) === step.getLong(1))
+  }
+
+  test("symbols_after decreases monotonically across merge rounds") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = BpeOps.train(docs, 5).collect().sortBy(_.getLong(0))
+    assert(rows.length === 5)
+    val totals = rows.map(_.getLong(4))
+    totals.sliding(2).foreach { case Array(a, b) => assert(b < a) }
+    // Each round's elected count is positive and the election is
+    // deterministic: re-running yields the identical merge table.
+    assert(rows.forall(_.getLong(2) > 0L))
+    val again = BpeOps.train(docs, 5).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+}
