@@ -96,6 +96,64 @@ object OracleSql {
     s"""WITH $minhashPairsCtes
         SELECT doc_a, doc_b, est_jaccard FROM mh_pairs"""
 
+  /** Incremental-index twin: replays the engine's persisted-index path
+    * end-to-end from the base table — known-corpus signatures/band keys
+    * and digests (what writeMinhashIndex materialized) plus arrivals
+    * signatures, the cross-only band probe, the est ≥ 0.5 neighbor
+    * count, and the digest hit — via the shared hash60/coefficient
+    * literals, so the verdict table matches bit-for-bit.
+    */
+  def dedupMinhashIncrSql: String = {
+    val coefValues = DedupOps.MinhashCoef
+      .map { case (i, a, b, band, w31) => s"($i, $a, $b, $band, $w31)" }
+      .mkString(", ")
+    val p = DedupOps.P
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+        arrivals AS (
+          SELECT doc_id + 1000000 AS doc_id, text FROM base
+          WHERE doc_id % 3 = 0
+          UNION ALL SELECT doc_id + 2000000,
+            regexp_replace(text, '^\\S+\\s*', '') FROM base
+          WHERE doc_id % 3 = 1
+          UNION ALL SELECT doc_id + 3000000, reverse(text) FROM base
+          WHERE doc_id % 3 = 2),
+        corpus AS (SELECT doc_id, text FROM base WHERE text IS NOT NULL
+                   UNION ALL
+                   SELECT doc_id, text FROM arrivals WHERE text IS NOT NULL),
+        ${shingle3CteOver("corpus")},
+        hh AS (SELECT doc_id, ${hash60("sh")} % $p AS h FROM sh),
+        coef AS (SELECT * FROM (VALUES $coefValues) t(i, a, b, band, w31)),
+        sig AS (SELECT doc_id, i, MIN((a * h + b) % $p) AS m
+                FROM hh CROSS JOIN coef GROUP BY doc_id, i),
+        bk AS (SELECT doc_id, band, CAST(SUM(m * w31) AS BIGINT) AS bk
+               FROM sig JOIN coef USING (i) GROUP BY doc_id, band),
+        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS k_id
+                 FROM bk x JOIN bk y
+                 ON x.band = y.band AND x.bk = y.bk
+                AND x.doc_id >= 1000000 AND y.doc_id < 1000000),
+        est AS (SELECT c.a_id, c.k_id
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.a_id
+                JOIN sig sb ON sb.doc_id = c.k_id AND sb.i = sa.i
+                GROUP BY c.a_id, c.k_id
+                HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                         / ${DedupOps.K}.0 >= 0.5),
+        near AS (SELECT a_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_near
+                 FROM est GROUP BY a_id),
+        dig AS (SELECT DISTINCT md5(text) AS text_md5 FROM base
+                WHERE text IS NOT NULL)
+        SELECT a.doc_id,
+               CAST(CASE WHEN d.text_md5 IS NOT NULL THEN 1 ELSE 0 END
+                 AS BIGINT) AS exact_dup,
+               COALESCE(n.n_near, 0) AS n_near,
+               CAST(CASE WHEN d.text_md5 IS NULL AND n.n_near IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM arrivals a
+        LEFT JOIN dig d ON md5(a.text) = d.text_md5
+        LEFT JOIN near n ON n.doc_id = a.doc_id
+        WHERE a.text IS NOT NULL"""
+  }
+
   /** Cross-corpus near-dup decontamination twin: the identical
     * shingle → signature → band chain as [[dedupMinhashSql]], over the
     * train/eval/planted cross corpus, with the candidate join

@@ -945,6 +945,30 @@ object SparkEntry {
           DedupOps.dupCorpus(Tables.documents(s, d)), 10))),
     "q_dedup_minhash" -> ((s, d) =>
       DedupOps.minhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
+    // Incremental NEAR-dup dedup against a PERSISTED LSH index — the
+    // daily 100 TB operation: the known corpus's band buckets + digests
+    // are written once (writeMinhashIndex) and the arrivals batch is
+    // judged by one keyed probe into those tables — signatures built
+    // for arrivals only, the corpus never re-mined. Arrivals plant
+    // cross-slice twins: exact copies (id+1M, doc_id%3=0), near copies
+    // (id+2M, %3=1, first token dropped), and fresh char-reversed texts
+    // (id+3M, %3=2). Verdict per arrival: exact digest hit, near-dup
+    // index-neighbor count, kept flag. Oracle replays the index build
+    // from the base table via the shared hash60/coefficients.
+    "q_dedup_minhash_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = tmpPath("graft_mhidx", d)
+      DedupOps.writeMinhashIndex(docs.select("doc_id", "text"), idx)
+      val arrivals = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
+        .union(docs.filter(col("doc_id") % 3 === 2)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            reverse(col("text")).as("text")))
+      DedupOps.dedupMinhashIncremental(arrivals, idx)
+    }),
     "q_dedup_simhash" -> ((s, d) =>
       DedupOps.simhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
     "q_dedup_ngram" -> ((s, d) =>
@@ -4226,6 +4250,7 @@ object SparkEntry {
                  count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
           FROM b GROUP BY 1""",
     "q_dedup_minhash" -> OracleSql.dedupMinhashSql,
+    "q_dedup_minhash_incr" -> OracleSql.dedupMinhashIncrSql,
     "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
     "q_dedup_ngram" -> OracleSql.dedupNgramSql,
     "q_minhash_udaf" -> OracleSql.minhashUdafSql,

@@ -159,16 +159,13 @@ object DedupOps {
     * one exchange that Spark reuses across all four references.
     */
   def minhashPairs(corpus: DataFrame, minEst: Double = 0.5): DataFrame = {
-    val sig = minhashSigArr(corpus)
-    // The signature arrays ride along through the band join: both join
-    // branches are the IDENTICAL subplan (same projection), so Spark
-    // computes the signature exchange once and reuses it — with separate
-    // pair→signature lookup joins, per-branch column pruning made each
-    // branch unique and the signature build ran once per reference.
-    val bandRows = sig.select(col("doc_id"), col("ms"), explode(array(
-      (0 until Bands).map(j =>
-        struct(lit(j).as("band"), col(s"bk$j").as("bk"))): _*)).as("b"))
-      .select(col("doc_id"), col("ms"), col("b.band").as("band"), col("b.bk").as("bk"))
+    // The signature arrays ride along through the band join
+    // (bandRowsOf): both join branches are the IDENTICAL subplan (same
+    // projection), so Spark computes the signature exchange once and
+    // reuses it — with separate pair→signature lookup joins, per-branch
+    // column pruning made each branch unique and the signature build
+    // ran once per reference.
+    val bandRows = bandRowsOf(corpus)
     bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -180,6 +177,86 @@ object DedupOps {
             (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, x) => acc + x) / K.toDouble).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
+  }
+
+  /** (doc_id, ms, band, bk) band rows of a corpus — the signature
+    * subplan exploded to one row per LSH band, signatures riding along
+    * (the [[minhashPairs]] discipline: candidates found by a band join
+    * carry both sides' signatures, no second lookup join).
+    */
+  private def bandRowsOf(corpus: DataFrame): DataFrame = {
+    val sig = minhashSigArr(corpus)
+    sig.select(col("doc_id"), col("ms"), explode(array(
+      (0 until Bands).map(j =>
+        struct(lit(j).as("band"), col(s"bk$j").as("bk"))): _*)).as("b"))
+      .select(col("doc_id"), col("ms"), col("b.band").as("band"),
+        col("b.bk").as("bk"))
+  }
+
+  /** Persist the near-dup INDEX of a known corpus: MinHash band-bucket
+    * rows (with signatures) under `path`/bands and exact text digests
+    * under `path`/digests. Built ONCE per corpus snapshot; every
+    * arrivals batch then dedups against these tables without
+    * re-mining the corpus — the operation that turns the O(corpus)
+    * full-remine family into an O(arrivals) daily increment.
+    *
+    * Scale notes: the band table is 4 rows × ~150 B per document —
+    * parquet-compressed far below the text it summarizes; at 100 TB
+    * partition it by `band` and bucket by `bk` so the arrivals probe
+    * co-locates without shuffling the index. The digest table is one
+    * 16-byte md5 per distinct text.
+    */
+  def writeMinhashIndex(known: DataFrame, path: String): Unit = {
+    val k = known.filter(col("text").isNotNull)
+    bandRowsOf(k).write.mode("overwrite").parquet(path + "/bands")
+    k.select(md5(col("text")).as("text_md5")).distinct()
+      .write.mode("overwrite").parquet(path + "/digests")
+  }
+
+  /** Incremental near-dup dedup against a PERSISTED index
+    * ([[writeMinhashIndex]]): every arrival is judged by (a) exact
+    * digest membership in the index digest table and (b) MinHash LSH
+    * banding against the index band table — signatures are built for
+    * the ARRIVALS ONLY; the known corpus contributes pre-computed
+    * index rows, so per-batch cost is O(|arrivals|) + one keyed join
+    * into the index, never a corpus re-mine. Candidates come solely
+    * from band-bucket collisions (no all-pairs path), and the
+    * estimate is the usual matching-position fraction over the two
+    * signature arrays riding the band join.
+    *
+    * Output, one row per non-null-text arrival:
+    * (doc_id, exact_dup 0/1, n_near = #index docs with est ≥ minEst,
+    * kept 0/1 — the survivors a pipeline would admit). All counts
+    * exact int64; deterministic in any engine/layout.
+    */
+  def dedupMinhashIncremental(arrivals: DataFrame, indexPath: String,
+                              minEst: Double = 0.5): DataFrame = {
+    val spark = arrivals.sparkSession
+    val idxBands = spark.read.parquet(indexPath + "/bands")
+    val idxDigests = spark.read.parquet(indexPath + "/digests")
+    val arr = arrivals.filter(col("text").isNotNull)
+    val arrBands = bandRowsOf(arr)
+    val near = arrBands.as("x").join(idxBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("idx_id"),
+        col("x.ms").as("ma"), col("y.ms").as("mb"))
+      .distinct()
+      .select(col("doc_id"), col("idx_id"),
+        (aggregate(zip_with(col("ma"), col("mb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x) / K.toDouble).as("est"))
+      .filter(col("est") >= minEst)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    arr.withColumn("text_md5", md5(col("text")))
+      .join(idxDigests.select(col("text_md5"), lit(1L).as("exact_dup")),
+        Seq("text_md5"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        when(coalesce(col("exact_dup"), lit(0L)) === 0L &&
+            coalesce(col("n_near"), lit(0L)) === 0L, 1L)
+          .otherwise(0L).as("kept"))
   }
 
   /** Cross-corpus near-dup pairs — benchmark decontamination at the
@@ -194,12 +271,7 @@ object DedupOps {
     */
   def minhashCrossPairs(corpus: DataFrame, boundary: Long,
                         minEst: Double = 0.5): DataFrame = {
-    val sig = minhashSigArr(corpus)
-    val bandRows = sig.select(col("doc_id"), col("ms"), explode(array(
-      (0 until Bands).map(j =>
-        struct(lit(j).as("band"), col(s"bk$j").as("bk"))): _*)).as("b"))
-      .select(col("doc_id"), col("ms"), col("b.band").as("band"),
-        col("b.bk").as("bk"))
+    val bandRows = bandRowsOf(corpus)
     bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < boundary && col("y.doc_id") >= boundary)

@@ -187,6 +187,44 @@ class DedupOpsSpec extends SparkSpec {
     assert(got("blue bolt") === (("blue bolt", 0, 3L)))
   }
 
+  test("dedupMinhashIncremental: planted cross-slice twins caught, " +
+      "fresh texts kept") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mhidx_spec").toString
+    DedupOps.writeMinhashIndex(tinyDocs, idx)
+    val arrivals = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // exact twin of 1
+      (102L, "my box with five dozen liquor jugs"),          // near twin of 2
+      (103L, "completely unrelated sentence about distributed engines")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupMinhashIncremental(arrivals, idx).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(101L)._1 === 1L)            // exact digest hit
+    assert(got(101L)._2 >= 1L)             // and an LSH neighbor
+    assert(got(101L)._3 === 0L)
+    assert(got(102L) === ((0L, 1L, 0L)))   // near twin: LSH-only catch
+    assert(got(103L) === ((0L, 0L, 1L)))   // fresh survives
+  }
+
+  test("dedupMinhashIncremental scans only the index, never the corpus") {
+    // Arrivals are an in-memory DataFrame, so every file scan in the
+    // physical plan must read the persisted index — the corpus that
+    // built it contributes no scan (the whole point of incremental:
+    // per-batch cost is O(arrivals), the known side is pre-mined).
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mhidx_spec2").toString
+    DedupOps.writeMinhashIndex(tinyDocs, idx)
+    val arrivals = Seq((200L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val plan = DedupOps.dedupMinhashIncremental(arrivals, idx)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(s.contains("graft_mhidx_spec2"),
+      s"non-index file scan in plan: $s"))
+  }
+
   test("fuzzyCanonicalize honors blocking: no shared token, no pair") {
     // "rod belt" is within maxDist=2 of "red bolt" (rod->red, belt->
     // bolt) but shares NEITHER first nor last token with it, so no
