@@ -697,6 +697,54 @@ object OracleSql {
         $sel"""
   }
 
+  /** RGB decode twin: per-channel closed-form raster replay — one
+    * (mean, aHash-bits) CTE pair per channel over the shared dims, so
+    * a decoder that swapped or gray-fused bands diverges on at least
+    * one channel. Pixel formulas and planted (0,0) overrides mirror
+    * MultimodalOps.syntheticRgbImage; the 8×8 grid and floor mean
+    * mirror the gray q_image_ahash oracle.
+    */
+  def imageRgbSql: String = {
+    // (suffix, id coefficient, x coefficient, y coefficient, planted
+    // (0,0) id multiplier) per channel.
+    val chans = Seq(("r", 1L, 31L, 7L), ("g", 1L, 13L, 17L), ("b", 3L, 5L, 11L))
+    val planted = Map("r" -> 1L, "g" -> 7L, "b" -> 13L)
+    val per = chans.map { case (c, ai, bx, by) =>
+      val p = s"(${planted(c)} * doc_id) % 256"
+      val pix =
+        s"($ai * doc_id + $bx * (i.range % w) + $by * (i.range // w)) % 256"
+      val pixK = s"($ai * doc_id + $bx * ((k.range % 8) * w // 8) " +
+        s"+ $by * ((k.range // 8) * h // 8)) % 256"
+      s"""m$c AS (SELECT doc_id, w, h,
+            CAST(SUM(CASE WHEN i.range = 0 THEN $p ELSE $pix END)
+              AS BIGINT) // (w * h) AS mean_px
+          FROM dims, range(0, 256) i WHERE i.range < w * h
+          GROUP BY doc_id, w, h),
+        b$c AS (SELECT doc_id,
+            string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS ahash,
+            CAST(SUM(bit) AS BIGINT) AS n_set
+          FROM (SELECT doc_id, k.range AS k,
+                  CASE WHEN (CASE WHEN (k.range % 8) * w // 8 = 0
+                                   AND (k.range // 8) * h // 8 = 0
+                                  THEN $p ELSE $pixK END) > mean_px
+                       THEN 1 ELSE 0 END AS bit
+                FROM m$c, range(0, 64) k) t$c
+          GROUP BY doc_id)"""
+    }.mkString(",\n")
+    s"""WITH dims AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
+                             CAST(1 + (doc_id // 16) % 16 AS BIGINT) AS h
+                      FROM documents),
+        $per
+        SELECT d.doc_id AS asset_id, d.w, d.h,
+               mr.mean_px AS mean_r, br.ahash AS ahash_r, br.n_set AS nset_r,
+               mg.mean_px AS mean_g, bg.ahash AS ahash_g, bg.n_set AS nset_g,
+               mb.mean_px AS mean_b, bb.ahash AS ahash_b, bb.n_set AS nset_b
+        FROM dims d
+        JOIN mr ON mr.doc_id = d.doc_id JOIN br ON br.doc_id = d.doc_id
+        JOIN mg ON mg.doc_id = d.doc_id JOIN bg ON bg.doc_id = d.doc_id
+        JOIN mb ON mb.doc_id = d.doc_id JOIN bb ON bb.doc_id = d.doc_id"""
+  }
+
   /** Chunk-overlap twin: 1-based inclusive list slices mirror Spark's
     * slice(w, start+1, window); range(0, n, stride) mirrors the sequence
     * starts; md5 of the space-rejoined window pins the exact text.

@@ -1391,6 +1391,11 @@ object SparkEntry {
     // bits must match, which only actual pixel decode produces.
     "q_image_ahash" -> ((s, d) =>
       MultimodalOps.imageAHash(Tables.documents(s, d))),
+    // RGB (3-band) decode proof: per-channel means + aHashes over real
+    // decoded RGB PNGs — independent closed-form gradients per channel,
+    // so band swaps or gray-fusing fail the oracle on at least one band.
+    "q_image_rgb" -> ((s, d) =>
+      MultimodalOps.imageRgbStats(Tables.documents(s, d))),
 
     "q_multimodal_jpeg" -> ((s, d) =>
       MultimodalOps.jpegDecodeStats(Tables.documents(s, d))),
@@ -4607,6 +4612,7 @@ object SparkEntry {
                  string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS ahash,
                  CAST(SUM(bit) AS BIGINT) AS n_set
           FROM b GROUP BY doc_id, w, h, mean_px""",
+    "q_image_rgb" -> OracleSql.imageRgbSql,
     "q_multimodal_jpeg" ->
       """SELECT count(*) AS n_assets,
                 CAST(SUM(1 + doc_id % 16) AS BIGINT) AS sum_width,

@@ -304,6 +304,83 @@ object MultimodalOps {
       .toDF("asset_id", "w", "h", "mean_px", "ahash", "n_set")
   }
 
+  // ---- real RGB (3-band) decode tier ----
+
+  /** Deterministic w×h RGB raster — the 3-band sibling of
+    * [[syntheticGrayImage]], one closed-form gradient per channel so
+    * the oracle can check each band independently (a gray-collapsed
+    * decode would fuse them and fail all three):
+    *   R(x,y) = (id + 31x + 7y) mod 256, planted R(0,0) = id mod 256
+    *   G(x,y) = (id + 13x + 17y) mod 256, planted G(0,0) = 7·id mod 256
+    *   B(x,y) = (3·id + 5x + 11y) mod 256, planted B(0,0) = 13·id mod 256
+    */
+  private def syntheticRgbImage(docId: Long): java.awt.image.BufferedImage = {
+    val w = 1 + (docId % 16).toInt
+    val h = 1 + ((docId / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      raster.setSample(x, y, 0, ((docId + x * 31L + y * 7L) % 256).toInt)
+      raster.setSample(x, y, 1, ((docId + x * 13L + y * 17L) % 256).toInt)
+      raster.setSample(x, y, 2, ((docId * 3 + x * 5L + y * 11L) % 256).toInt)
+    }
+    raster.setSample(0, 0, 0, (docId % 256).toInt)
+    raster.setSample(0, 0, 1, ((docId * 7) % 256).toInt)
+    raster.setSample(0, 0, 2, ((docId * 13) % 256).toInt)
+    img
+  }
+
+  /** Real RGB PNG payload of the 3-band raster (lossless). */
+  def syntheticRgbPng(docId: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(syntheticRgbImage(docId), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-CHANNEL stats + aHash over REAL decoded RGB PNG pixels — the
+    * 3-band proof the gray tier can't give: each channel's floor mean
+    * and 64-bit average-hash are computed from the decoded image's own
+    * R/G/B samples (via the packed sRGB pixel — channel extraction by
+    * bit shift, no ColorModel reinterpretation), and the closed-form
+    * oracle checks all three independently, so a decoder that dropped,
+    * swapped, or gray-fused bands fails loudly. Same scale shape as
+    * [[imageAHash]]: decode + per-channel passes are pure map-side
+    * work in one mapPartitions; no exchange until a consumer
+    * aggregates.
+    */
+  def imageRgbStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val img = readImg(Asset(id, "png", syntheticRgbPng(id)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        def chan(c: Int, x: Int, y: Int): Int =
+          (img.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+        def stats(c: Int): (Long, String, Long) = {
+          var psum = 0L
+          for (y <- 0 until h; x <- 0 until w) psum += chan(c, x, y)
+          val mean = psum / (w.toLong * h)
+          val bits = new StringBuilder(64)
+          var nSet = 0L
+          for (k <- 0 until 64) {
+            val sx = (k % 8) * w / 8
+            val sy = (k / 8) * h / 8
+            val bit = if (chan(c, sx, sy) > mean) 1 else 0
+            nSet += bit
+            bits.append(bit)
+          }
+          (mean, bits.toString, nSet)
+        }
+        val r = stats(0); val g = stats(1); val b = stats(2)
+        (id, w.toLong, h.toLong, r._1, r._2, r._3,
+          g._1, g._2, g._3, b._1, b._2, b._3)
+      })
+      .toDF("asset_id", "w", "h", "mean_r", "ahash_r", "nset_r",
+        "mean_g", "ahash_g", "nset_g", "mean_b", "ahash_b", "nset_b")
+  }
+
   // ---- real JPEG decode tier (javax.imageio ships a JPEG codec) ----
 
   /** Deterministic synthetic JPEG: the shared gray raster, encoded

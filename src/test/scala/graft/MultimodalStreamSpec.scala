@@ -69,6 +69,36 @@ class MultimodalStreamSpec extends SparkSpec {
     assert(got(0L)._4 === "0" * 64)
   }
 
+  test("imageRgbStats: each channel matches its own formula replica") {
+    // Three independent per-channel replicas — the decode must keep the
+    // bands apart (a gray-fused or band-swapped decode diverges).
+    def px(ai: Long, bx: Long, by: Long, pl: Long)(id: Long, x: Long, y: Long): Long =
+      if (x == 0 && y == 0) (pl * id) % 256 else (ai * id + bx * x + by * y) % 256
+    val chans = Seq(px(1, 31, 7, 1) _, px(1, 13, 17, 7) _, px(3, 5, 11, 13) _)
+    val ids = Seq(0L, 7L, 255L, 300L, 4095L)
+    val got = MultimodalOps.imageRgbStats(ids.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- ids) {
+      val w = 1 + id % 16
+      val h = 1 + (id / 16) % 16
+      assert((got(id).getLong(1), got(id).getLong(2)) === ((w, h)), s"id=$id dims")
+      for ((f, c) <- chans.zipWithIndex) {
+        val mean = (for (y <- 0L until h; x <- 0L until w) yield f(id, x, y))
+          .sum / (w * h)
+        val bits = (0 until 64).map { k =>
+          if (f(id, (k % 8) * w / 8, (k / 8) * h / 8) > mean) 1 else 0
+        }
+        val base = 3 + c * 3
+        assert(got(id).getLong(base) === mean, s"id=$id chan=$c mean")
+        assert(got(id).getString(base + 1) === bits.mkString, s"id=$id chan=$c bits")
+        assert(got(id).getLong(base + 2) === bits.sum.toLong, s"id=$id chan=$c nset")
+      }
+    }
+    // The channels genuinely differ on a non-degenerate raster.
+    val r300 = got(300L)
+    assert(Set(r300.getString(4), r300.getString(7), r300.getString(10)).size >= 2)
+  }
+
   test("real JPEG decode recovers exact dims; planted pixel within lossy tolerance") {
     for (id <- Seq(0L, 7L, 255L, 256L, 300L, 4095L)) {
       val f = MultimodalOps.decodeImage(
