@@ -202,14 +202,29 @@ object SimilarityOps {
     cent
   }
 
+  /** Nearest-centroid assignment as ONE hash aggregate: min over
+    * (d2, c_id) structs ≡ the centroidRanks rc=1 row (same exact
+    * distances, same tie-break) without the per-vector sort window —
+    * partially aggregated map-side, so the exchange carries one struct
+    * per vector. The training loop's hot path; centroidRanks stays for
+    * the probe path, which genuinely needs ranks 2..nProbe.
+    */
+  private[graft] def assignMin(v: DataFrame, cent: DataFrame): DataFrame =
+    v.join(broadcast(cent))
+      .select(col("vec_id"), struct(
+          (col("n2") + col("cn2") - lit(2L) * dotL(col("qv"), col("cv")))
+            .as("d2"),
+          col("c_id").as("c_id")).as("dc"))
+      .groupBy("vec_id").agg(min("dc").as("m"))
+      .select(col("vec_id"), col("m.c_id").as("c_id"))
+
   /** One integer-lattice Lloyd round: assignment pass (broadcast
     * centroids — the corpus never shuffles for it), per-(cluster, dim)
     * exact int64 sums (map-side combined, ≤ k·64 rows out), floor-snap
     * rebuild, empty clusters keep their previous centroid.
     */
   private[graft] def lloydRound(v: DataFrame, cent: DataFrame): DataFrame = {
-    val assign = centroidRanks(v, cent).filter(col("rc") === 1)
-      .select("vec_id", "c_id")
+    val assign = assignMin(v, cent)
     val sums = v.join(assign, "vec_id")
       .select(col("c_id"), posexplode(col("qv")).as(Seq("dim", "q")))
       .groupBy("c_id", "dim")
@@ -271,7 +286,7 @@ object SimilarityOps {
     if (!converged) throw new IllegalStateException(
       s"kmeansFixpoint did not converge in $maxIters Lloyd rounds; " +
         "raise maxIters (lattice plateau cycle or slow-mixing corpus)")
-    val members = centroidRanks(v, cent).filter(col("rc") === 1)
+    val members = assignMin(v, cent)
       .groupBy("c_id").agg(count(lit(1)).as("n_members"))
     cent.join(members, Seq("c_id"), "left")
       .select(col("c_id"), col("cv"), col("cn2"),

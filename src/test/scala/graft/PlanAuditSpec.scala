@@ -193,6 +193,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast degree attach:\n$p")
   }
 
+  test("clustering coefficient reuses the triangle kernel's cached tables " +
+      "(one distinct + one degree agg total)") {
+    // The composition must NOT rebuild the undirected edge set or the
+    // degree table the kernel already persisted: every Deduplicate and
+    // the degree aggregation live INSIDE the kernel's cached relations,
+    // so the outer optimized plan shows InMemoryRelation leaves and no
+    // Deduplicate of its own.
+    spark.catalog.clearCache()
+    try {
+      val qe = SparkEntry.queries("q_clustering_coef")(spark, sfDir)
+        .queryExecution
+      val opt = qe.optimizedPlan.toString
+      assert(opt.contains("InMemoryRelation"),
+        s"kernel tables not reused via cache:\n$opt")
+      assert(!opt.contains("Deduplicate"),
+        s"composition rebuilds a distinct the kernel already computed:\n$opt")
+    } finally spark.catalog.clearCache()
+  }
+
   test("chunk overlap is a map-only plan (zero exchanges)") {
     val p = planOf("q_chunk_overlap")
     assert(!p.contains("Exchange"), s"chunking should never shuffle:\n$p")
