@@ -541,8 +541,11 @@ object OracleSql {
     * engine-identical mean snap — see SimilarityOps.kmeansCentroids.
     */
   private def kmeansRankCte(centRel: String, out: String): String =
-    s"""$out AS (SELECT vec_id, c_id, rc FROM (
+    s"""$out AS (SELECT vec_id, c_id, d2, rc FROM (
           SELECT n.vec_id, c.c_id,
+                 (n.n2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+                    range(1, len(n.v) + 1), ii -> n.v[ii] * c.cv[ii]))
+                    AS BIGINT)) AS d2,
                  ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
                    (n.n2 + c.cn2 - 2 * CAST(list_sum(list_transform(
                       range(1, len(n.v) + 1), ii -> n.v[ii] * c.cv[ii]))
@@ -585,11 +588,13 @@ object OracleSql {
                   WHERE vec_id < ${SimilarityOps.IvfCentroids}),
         ${kmeansTrainCtes(iters)},
         ${kmeansRankCte(s"cent$iters", "fasg")},
-        memb AS (SELECT c_id, COUNT(*) AS n_members FROM fasg
-                 WHERE rc = 1 GROUP BY c_id)
+        memb AS (SELECT c_id, COUNT(*) AS n_members,
+                        CAST(SUM(d2) AS BIGINT) AS inertia
+                 FROM fasg WHERE rc = 1 GROUP BY c_id)
         SELECT c.c_id, CAST(r.range AS BIGINT) AS dim,
                CAST(c.cv[r.range + 1] AS BIGINT) AS c,
-               CAST(COALESCE(m.n_members, 0) AS BIGINT) AS n_members
+               CAST(COALESCE(m.n_members, 0) AS BIGINT) AS n_members,
+               CAST(COALESCE(m.inertia, 0) AS BIGINT) AS inertia
         FROM cent$iters c
         LEFT JOIN memb m USING (c_id), range(0, ${SimilarityOps.Dims}) r"""
 

@@ -1020,10 +1020,10 @@ object SparkEntry {
       val v = SimilarityOps.withQuant(Tables.embeddings(s, d))
         .filter(col("n2") > 0)
       SimilarityOps.kmeansFixpoint(v, KmeansRounds)
-        .select(col("c_id"), col("n_members"),
+        .select(col("c_id"), col("n_members"), col("inertia"),
           posexplode(col("cv")).as(Seq("dim", "c")))
         .select(col("c_id"), col("dim").cast("long").as("dim"),
-          col("c"), col("n_members"))
+          col("c"), col("n_members"), col("inertia"))
     }),
     // Product-quantization ANN: 8×16 codebooks, 4-byte codes (64×
     // compression), asymmetric-distance scan over the compressed corpus

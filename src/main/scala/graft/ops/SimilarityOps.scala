@@ -216,7 +216,7 @@ object SimilarityOps {
             .as("d2"),
           col("c_id").as("c_id")).as("dc"))
       .groupBy("vec_id").agg(min("dc").as("m"))
-      .select(col("vec_id"), col("m.c_id").as("c_id"))
+      .select(col("vec_id"), col("m.c_id").as("c_id"), col("m.d2").as("d2"))
 
   /** One integer-lattice Lloyd round: assignment pass (broadcast
     * centroids — the corpus never shuffles for it), per-(cluster, dim)
@@ -224,7 +224,7 @@ object SimilarityOps {
     * rebuild, empty clusters keep their previous centroid.
     */
   private[graft] def lloydRound(v: DataFrame, cent: DataFrame): DataFrame = {
-    val assign = assignMin(v, cent)
+    val assign = assignMin(v, cent).select("vec_id", "c_id")
     val sums = v.join(assign, "vec_id")
       .select(col("c_id"), posexplode(col("qv")).as(Seq("dim", "q")))
       .groupBy("c_id", "dim")
@@ -266,9 +266,11 @@ object SimilarityOps {
     * assignment pass, one (c_id, dim)-keyed exact-int agg, a k-row
     * rebuild; convergence is one aggregated driver-side scalar per
     * round on k rows; lineage is cut per round with eager
-    * localCheckpoint. Returns (c_id, cv, cn2, n_members) — n_members
-    * from the final assignment pins the clustering itself, not just
-    * the centroid geometry.
+    * localCheckpoint. Returns (c_id, cv, cn2, n_members, inertia) —
+    * n_members and inertia (Σ exact int64 squared distance of members
+    * to their centroid, the within-cluster-SSE quality metric every
+    * k-means deployment monitors) from the final assignment pin the
+    * clustering itself, not just the centroid geometry.
     */
   def kmeansFixpoint(v: DataFrame, maxIters: Int = 40): DataFrame = {
     var cent = seedCentroids(v).localCheckpoint(true)
@@ -287,10 +289,12 @@ object SimilarityOps {
       s"kmeansFixpoint did not converge in $maxIters Lloyd rounds; " +
         "raise maxIters (lattice plateau cycle or slow-mixing corpus)")
     val members = assignMin(v, cent)
-      .groupBy("c_id").agg(count(lit(1)).as("n_members"))
+      .groupBy("c_id").agg(count(lit(1)).as("n_members"),
+        sum("d2").as("inertia"))
     cent.join(members, Seq("c_id"), "left")
       .select(col("c_id"), col("cv"), col("cn2"),
-        coalesce(col("n_members"), lit(0L)).as("n_members"))
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"))
   }
 
   /** IVF ANN top-k: assign vectors to their nearest centroid, probe the

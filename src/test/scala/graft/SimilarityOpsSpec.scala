@@ -164,6 +164,17 @@ class SimilarityOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getSeq[Long](1).toSeq, r.getLong(3))))
       .toMap
     assert(cents.keySet === (0L until SimilarityOps.IvfCentroids).toSet)
+    // Inertia: total equals the driver-side sum of min squared
+    // distances over all vectors against the converged centroids.
+    val vecs = v.select("vec_id", "qv").collect()
+      .map(r => r.getSeq[Long](1).toArray)
+    def d2(a: Array[Long], b: Seq[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val expInertia = vecs.map(q => cents.values.map(c => d2(q, c._1)).min).sum
+    assert(fix.collect().map(_.getLong(4)).sum === expInertia)
     // Fixed point: one more Lloyd round leaves every centroid unchanged.
     val centDf = fix.select(col("c_id"), col("cv"), col("cn2"))
     val again = SimilarityOps.lloydRound(v, centDf).collect()
