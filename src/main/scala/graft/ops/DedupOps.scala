@@ -213,6 +213,23 @@ object DedupOps {
       .write.mode("overwrite").parquet(path + "/digests")
   }
 
+  /** Index MAINTENANCE — the other half of the daily loop: append an
+    * admitted batch's band rows and digests to the persisted index, so
+    * the NEXT batch's twins of these documents are caught. Appends are
+    * O(batch) parquet writes — the index never rewrites; duplicate
+    * digests across appends are tolerated by the read path's distinct
+    * ([[dedupMinhashIncremental]]), and duplicate band rows collapse in
+    * its candidate distinct. On a real lake this is the same
+    * append-only discipline as a streaming file sink; compaction is
+    * [[SinkOps]]' existing small-file job.
+    */
+  def appendToMinhashIndex(admitted: DataFrame, path: String): Unit = {
+    val a = admitted.filter(col("text").isNotNull)
+    bandRowsOf(a).write.mode("append").parquet(path + "/bands")
+    a.select(md5(col("text")).as("text_md5")).distinct()
+      .write.mode("append").parquet(path + "/digests")
+  }
+
   /** Incremental near-dup dedup against a PERSISTED index
     * ([[writeMinhashIndex]]): every arrival is judged by (a) exact
     * digest membership in the index digest table and (b) MinHash LSH
@@ -247,8 +264,12 @@ object DedupOps {
           lit(0L), (acc, x) => acc + x) / K.toDouble).as("est"))
       .filter(col("est") >= minEst)
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    // Distinct on the digest read: appends ([[appendToMinhashIndex]])
+    // may land the same digest twice across batches, and a duplicated
+    // join key would duplicate arrival rows.
     arr.withColumn("text_md5", md5(col("text")))
-      .join(idxDigests.select(col("text_md5"), lit(1L).as("exact_dup")),
+      .join(idxDigests.select("text_md5").distinct()
+          .withColumn("exact_dup", lit(1L)),
         Seq("text_md5"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),

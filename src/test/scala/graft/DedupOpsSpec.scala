@@ -225,6 +225,32 @@ class DedupOpsSpec extends SparkSpec {
       s"non-index file scan in plan: $s"))
   }
 
+  test("appendToMinhashIndex: a twin is caught only after its original " +
+      "is admitted") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mhidx_spec3").toString
+    DedupOps.writeMinhashIndex(tinyDocs, idx)
+    val fresh = Seq(
+      (300L, "a genuinely novel admitted document about engine internals"))
+      .toDF("doc_id", "text")
+    val twin = Seq(
+      (301L, "a genuinely novel admitted document about engine internals"))
+      .toDF("doc_id", "text")
+    // Before the append the twin of the not-yet-admitted doc survives...
+    val before = DedupOps.dedupMinhashIncremental(twin, idx).collect().head
+    assert((before.getLong(1), before.getLong(2), before.getLong(3))
+      === ((0L, 0L, 1L)))
+    // ...admit the original, append, and the same twin is now caught
+    // by BOTH the digest and the banded near-dup path.
+    val v1 = DedupOps.dedupMinhashIncremental(fresh, idx).collect().head
+    assert(v1.getLong(3) === 1L)
+    DedupOps.appendToMinhashIndex(fresh, idx)
+    val after = DedupOps.dedupMinhashIncremental(twin, idx).collect().head
+    assert(after.getLong(1) === 1L)
+    assert(after.getLong(2) >= 1L)
+    assert(after.getLong(3) === 0L)
+  }
+
   test("fuzzyCanonicalize honors blocking: no shared token, no pair") {
     // "rod belt" is within maxDist=2 of "red bolt" (rod->red, belt->
     // bolt) but shares NEITHER first nor last token with it, so no
