@@ -230,6 +230,89 @@ object OracleSql {
         WHERE a.text IS NOT NULL"""
   }
 
+  /** Streaming index-ingest twin: the [[dedupIndexUpdateSql]] two-phase
+    * replay with the stream's batch composition — batch 0 verdicts (the
+    * odds vs the evens index) are PART OF THE OUTPUT, and batch 1 (the
+    * +1M exact / +1.5M near twins of those odds) is judged against
+    * evens ∪ batch-0 survivors, i.e. the in-stream index update.
+    */
+  def dedupStreamIngestSql: String = {
+    val coefValues = DedupOps.MinhashCoef
+      .map { case (i, a, b, band, w31) => s"($i, $a, $b, $band, $w31)" }
+      .mkString(", ")
+    val p = DedupOps.P
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+        evens AS (SELECT doc_id, text FROM base
+                  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        odds AS (SELECT doc_id, text FROM base
+                 WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        b2 AS (SELECT doc_id + 1000000 AS doc_id, text FROM odds
+               UNION ALL SELECT doc_id + 1500000,
+                 regexp_replace(text, '^\\S+\\s*', '') FROM odds),
+        corpus AS (SELECT doc_id, text FROM evens
+                   UNION ALL SELECT doc_id, text FROM odds
+                   UNION ALL SELECT doc_id, text FROM b2
+                   WHERE text IS NOT NULL),
+        ${shingle3CteOver("corpus")},
+        hh AS (SELECT doc_id, ${hash60("sh")} % $p AS h FROM sh),
+        coef AS (SELECT * FROM (VALUES $coefValues) t(i, a, b, band, w31)),
+        sig AS (SELECT doc_id, i, MIN((a * h + b) % $p) AS m
+                FROM hh CROSS JOIN coef GROUP BY doc_id, i),
+        bk AS (SELECT doc_id, band, CAST(SUM(m * w31) AS BIGINT) AS bk
+               FROM sig JOIN coef USING (i) GROUP BY doc_id, band),
+        c1 AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS k_id
+               FROM bk x JOIN bk y ON x.band = y.band AND x.bk = y.bk
+               AND x.doc_id < 1000000 AND x.doc_id % 2 = 1
+               AND y.doc_id < 1000000 AND y.doc_id % 2 = 0),
+        e1 AS (SELECT c.a_id, c.k_id FROM c1 c
+               JOIN sig sa ON sa.doc_id = c.a_id
+               JOIN sig sb ON sb.doc_id = c.k_id AND sb.i = sa.i
+               GROUP BY c.a_id, c.k_id
+               HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                        / ${DedupOps.K}.0 >= 0.5),
+        near1 AS (SELECT a_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_near
+                  FROM e1 GROUP BY a_id),
+        dige AS (SELECT DISTINCT md5(text) AS text_md5 FROM evens),
+        v1 AS (SELECT o.doc_id,
+                 CAST(CASE WHEN d.text_md5 IS NOT NULL THEN 1 ELSE 0 END
+                   AS BIGINT) AS exact_dup,
+                 COALESCE(n.n_near, 0) AS n_near,
+                 CAST(CASE WHEN d.text_md5 IS NULL AND n.n_near IS NULL
+                   THEN 1 ELSE 0 END AS BIGINT) AS kept
+               FROM odds o
+               LEFT JOIN dige d ON md5(o.text) = d.text_md5
+               LEFT JOIN near1 n ON n.doc_id = o.doc_id),
+        surv AS (SELECT o.doc_id, o.text FROM odds o
+                 JOIN v1 ON v1.doc_id = o.doc_id AND v1.kept = 1),
+        idx2 AS (SELECT doc_id FROM evens
+                 UNION ALL SELECT doc_id FROM surv),
+        dig2 AS (SELECT text_md5 FROM dige
+                 UNION SELECT DISTINCT md5(text) FROM surv),
+        c2 AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS k_id
+               FROM bk x JOIN bk y ON x.band = y.band AND x.bk = y.bk
+               JOIN idx2 i ON i.doc_id = y.doc_id
+               WHERE x.doc_id >= 1000000),
+        e2 AS (SELECT c.a_id, c.k_id FROM c2 c
+               JOIN sig sa ON sa.doc_id = c.a_id
+               JOIN sig sb ON sb.doc_id = c.k_id AND sb.i = sa.i
+               GROUP BY c.a_id, c.k_id
+               HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                        / ${DedupOps.K}.0 >= 0.5),
+        near2 AS (SELECT a_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_near
+                  FROM e2 GROUP BY a_id),
+        v2 AS (SELECT a.doc_id,
+                 CAST(CASE WHEN d.text_md5 IS NOT NULL THEN 1 ELSE 0 END
+                   AS BIGINT) AS exact_dup,
+                 COALESCE(n.n_near, 0) AS n_near,
+                 CAST(CASE WHEN d.text_md5 IS NULL AND n.n_near IS NULL
+                   THEN 1 ELSE 0 END AS BIGINT) AS kept
+               FROM b2 a
+               LEFT JOIN dig2 d ON md5(a.text) = d.text_md5
+               LEFT JOIN near2 n ON n.doc_id = a.doc_id
+               WHERE a.text IS NOT NULL)
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2"""
+  }
+
   /** Cross-corpus near-dup decontamination twin: the identical
     * shingle → signature → band chain as [[dedupMinhashSql]], over the
     * train/eval/planted cross corpus, with the candidate join

@@ -996,6 +996,28 @@ object SparkEntry {
           col("text")))
       DedupOps.dedupMinhashIncremental(batch2, idx)
     }),
+    // STREAMING ingestion with in-stream index maintenance: micro-batch
+    // 0 (the odd half) is judged against the evens-built index and its
+    // survivors appended inside foreachBatch; micro-batch 1 (exact +1M
+    // and near +1.5M twins of those odds) is then caught by the
+    // IN-STREAM update — the always-on form of q_dedup_index_update.
+    // Slice membership is cut at the literal 1M boundary (replayed
+    // verbatim by the oracle), delivery in-order via staged mtimes.
+    "q_stream_dedup_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = tmpPath("graft_mhidx_stream", d)
+      val staging = tmpPath("graft_mhidx_stage", d)
+      val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      val odds = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+      DedupOps.writeMinhashIndex(evens, idx)
+      val arrivals = odds
+        .union(odds.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text")))
+        .union(odds.select((col("doc_id") + 1500000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
+      graft.streaming.StreamOps.indexIngestReplay(
+        arrivals, idx, staging, Seq(1000000L))
+    }),
     "q_dedup_simhash" -> ((s, d) =>
       DedupOps.simhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
     "q_dedup_ngram" -> ((s, d) =>
@@ -4284,6 +4306,7 @@ object SparkEntry {
     "q_dedup_minhash" -> OracleSql.dedupMinhashSql,
     "q_dedup_minhash_incr" -> OracleSql.dedupMinhashIncrSql,
     "q_dedup_index_update" -> OracleSql.dedupIndexUpdateSql,
+    "q_stream_dedup_index" -> OracleSql.dedupStreamIngestSql,
     "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
     "q_dedup_ngram" -> OracleSql.dedupNgramSql,
     "q_minhash_udaf" -> OracleSql.minhashUdafSql,

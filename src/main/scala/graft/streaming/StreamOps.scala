@@ -667,6 +667,79 @@ object StreamOps {
     snapshot.get()
   }
 
+  /** STREAMING corpus ingestion with incremental near-dup dedup and
+    * per-batch index maintenance — the full daily loop as one streaming
+    * job: each micro-batch of arriving documents is judged against the
+    * persisted LSH index (DedupOps.dedupMinhashIncremental — signatures
+    * built for the batch only), its survivors are APPENDED to the index
+    * (DedupOps.appendToMinhashIndex) before the next batch fires, and
+    * the per-batch verdicts accumulate into the returned table. A
+    * duplicate arriving in a LATER micro-batch of the same stream is
+    * therefore caught by the in-stream index update, not just by the
+    * initial snapshot — the property batch-mode dedup cannot give an
+    * always-on ingest.
+    *
+    * Replay mechanics: arrivals are staged into doc_id-range slice
+    * files cut at the caller's `boundaries` (deterministic batch
+    * membership both engines can replay — no span arithmetic), with
+    * ascending mtimes + maxFilesPerTrigger=1 for in-order delivery.
+    * Each batch's verdict is EAGERLY localCheckpoint-ed BEFORE the
+    * append: the verdict plan reads the index, and materializing it
+    * first pins the judgment to the pre-append state (a lazy verdict
+    * would silently re-read the mutated index). foreachBatch is the
+    * transactional binding, exactly where a production job would sit.
+    */
+  def indexIngestReplay(arrivals: DataFrame, indexPath: String,
+                        stagingDir: String,
+                        boundaries: Seq[Long]): DataFrame = {
+    val spark = arrivals.sparkSession
+    if (StagedDirs.add(stagingDir)) {
+      val dirP = java.nio.file.Paths.get(stagingDir)
+      java.nio.file.Files.createDirectories(dirP)
+      val build = new java.io.File(stagingDir, "_slice_build")
+      val cuts = (Long.MinValue +: boundaries) :+ Long.MaxValue
+      for (i <- 0 until cuts.length - 1) {
+        arrivals.filter(col("doc_id") >= cuts(i) &&
+            col("doc_id") < cuts(i + 1))
+          .coalesce(1).write.mode("overwrite").parquet(build.getPath)
+        Option(build.listFiles()).toSeq.flatten
+          .find(_.getName.endsWith(".parquet")).foreach { part =>
+            val dst = dirP.resolve(f"slice-$i%04d.parquet")
+            java.nio.file.Files.move(part.toPath, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            dst.toFile.setLastModified(1700000000000L + i * 60000L)
+            ()
+          }
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(build)
+    }
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    val verdicts = new java.util.concurrent.atomic.AtomicReference(
+      Option.empty[DataFrame])
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val v = graft.ops.DedupOps
+          .dedupMinhashIncremental(batch, indexPath)
+          .localCheckpoint(true) // judge against the PRE-append index
+        graft.ops.DedupOps.appendToMinhashIndex(
+          batch.join(v.filter(col("kept") === 1L).select("doc_id"),
+            Seq("doc_id"), "left_semi"),
+          indexPath)
+        verdicts.set(Some(verdicts.get().fold(v)(_.union(v))))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    verdicts.get().getOrElse(
+      throw new IllegalStateException("no micro-batch fired"))
+  }
+
   /** Streaming exactly-once dedup on an id column: late duplicates are
     * dropped as long as they arrive within the watermark horizon — state
     * is one id per event inside the horizon, evicted as the watermark

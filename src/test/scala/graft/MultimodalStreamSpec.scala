@@ -224,6 +224,32 @@ class MultimodalStreamSpec extends SparkSpec {
     }
   }
 
+  test("indexIngestReplay: a later micro-batch's twin is caught by the " +
+      "in-stream index update") {
+    import graft.ops.DedupOps
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mhidx_stream_spec").toString
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_mhidx_stage_spec").toString
+    DedupOps.writeMinhashIndex(
+      Seq((1L, "some entirely separate known corpus document"))
+        .toDF("doc_id", "text"), idx)
+    // Batch 0 (< 1M): a fresh doc. Batch 1 (>= 1M): its exact twin —
+    // only catchable if batch 0's survivor was appended in-stream.
+    val arrivals = Seq(
+      (100L, "a brand new arriving document about spark internals"),
+      (1000100L, "a brand new arriving document about spark internals"))
+      .toDF("doc_id", "text")
+    val got = graft.streaming.StreamOps
+      .indexIngestReplay(arrivals, idx, staging, Seq(1000000L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(100L) === ((0L, 0L, 1L)))      // fresh: kept, appended
+    assert(got(1000100L)._1 === 1L)           // twin: digest hit
+    assert(got(1000100L)._2 >= 1L)            // and LSH neighbor
+    assert(got(1000100L)._3 === 0L)           // dropped
+  }
+
   test("streaming sessionize matches the batch session_window result") {
     val base = 1700000000000L // epoch millis
     def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)
