@@ -894,6 +894,26 @@ object SparkEntry {
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod),
         LpaRounds)),
 
+    // WEIGHTED label propagation on the (src, dst, w) user-graph shape:
+    // votes carry edge weight, self-vote weight 1, fixed WlpaRounds
+    // synchronous rounds (the GraphX/GraphFrames contract — weighted
+    // synchronous LPA has no convergence guarantee; both engines stop
+    // at the same round).
+    "q_communities_weighted" -> ((s, d) =>
+      GraphOps.labelPropagationWeighted(
+        GraphOps.weightedEdgesFromLineitem(Tables.lineitem(s, d), TriMod),
+        WlpaRounds)),
+
+    // Modularity of the LPA communities — the community-quality metric
+    // (the graph twin of q_kmeans inertia): per community, intra-edge
+    // count, degree sum, and the e/m − (d/2m)² contribution, exact
+    // int64 inputs with one terminal IEEE expression.
+    "q_modularity" -> ((s, d) => {
+      val edges = GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod)
+      GraphOps.modularity(edges,
+        GraphOps.labelPropagation(edges, LpaRounds))
+    }),
+
     // Skew-mitigation pattern: salted two-phase aggregation; oracle is
     // the plain GROUP BY (identical results prove exactness).
     "q_agg_salted" -> ((s, d) =>
@@ -2961,6 +2981,12 @@ object SparkEntry {
     */
   private val LpaRounds = 24
 
+  /** q_communities_weighted fixed round count (shared by query +
+    * oracle unroll — the fixed-round contract, see
+    * GraphOps.labelPropagationWeighted).
+    */
+  private val WlpaRounds = 10
+
   /** q_assoc_rules item-domain modulus + relative-support divisor
     * (shared by query + oracle): catalog compresses to ≤50 items so
     * fixture baskets co-occur; min_sup = n_baskets div 250 (0.4%).
@@ -3507,7 +3533,10 @@ object SparkEntry {
     * Rounds at or past the fixpoint are no-ops, so unrolling the full
     * budget matches the engine's converged labeling exactly.
     */
-  private def lpaOracle(rounds: Int, mod: Int): String = {
+  /** The LPA CTE chain (ed/sym/l0/c1..l`rounds`) — shared by the
+    * community oracle and the modularity oracle.
+    */
+  private def lpaCtes(rounds: Int, mod: Int): String = {
     val ctes = (1 to rounds).map { i =>
       s"""c$i AS (SELECT node, community, COUNT(*) AS c FROM (
              SELECT s.v AS node, l.community
@@ -3520,12 +3549,78 @@ object SparkEntry {
              FROM c$i) e$i
            WHERE rk = 1)"""
     }.mkString(",\n")
-    s"""WITH ed AS (
+    s"""ed AS (
           SELECT DISTINCT least(l_orderkey % $mod, l_partkey % $mod) AS a,
                           greatest(l_orderkey % $mod, l_partkey % $mod) AS b
           FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
         sym AS (SELECT a AS u, b AS v FROM ed
                 UNION ALL SELECT b AS u, a AS v FROM ed),
+        l0 AS (SELECT DISTINCT u AS node, u AS community FROM sym),
+        $ctes"""
+  }
+
+  private def lpaOracle(rounds: Int, mod: Int): String =
+    s"""WITH ${lpaCtes(rounds, mod)}
+        SELECT node, community FROM l$rounds"""
+
+  /** Modularity oracle: the LPA chain's converged labeling, then
+    * e_c/m − (d_c/2m)² per community — exact int64 inputs, terminal
+    * IEEE expression textually mirrored with the engine's.
+    */
+  private def modularityOracle(rounds: Int, mod: Int): String =
+    s"""WITH ${lpaCtes(rounds, mod)},
+        mm AS (SELECT COUNT(*) AS m FROM ed),
+        intra AS (SELECT la.community, COUNT(*) AS intra_edges
+                  FROM ed
+                  JOIN l$rounds la ON la.node = ed.a
+                  JOIN l$rounds lb ON lb.node = ed.b
+                  WHERE la.community = lb.community
+                  GROUP BY la.community),
+        degs AS (SELECT l.community, COUNT(*) AS n_nodes,
+                        CAST(SUM(d.deg) AS BIGINT) AS deg_sum
+                 FROM (SELECT node, COUNT(*) AS deg FROM (
+                         SELECT unnest([a, b]) AS node FROM ed) u
+                       GROUP BY node) d
+                 JOIN l$rounds l ON l.node = d.node
+                 GROUP BY l.community)
+        SELECT g.community, g.n_nodes,
+               CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+               g.deg_sum,
+               CAST(COALESCE(i.intra_edges, 0) AS DOUBLE) / mm.m -
+                 (CAST(g.deg_sum AS DOUBLE) / (2.0 * mm.m)) *
+                 (CAST(g.deg_sum AS DOUBLE) / (2.0 * mm.m)) AS q_contrib
+        FROM degs g LEFT JOIN intra i USING (community), mm"""
+
+  /** Weighted-LPA oracle: `rounds` unrolled synchronous weighted
+    * plurality rounds over the collapsed undirected weighted graph —
+    * neighbor votes carry edge weight, the self vote weight 1, same
+    * (score desc, label asc) election. Fixed-round contract: both
+    * engines stop at the same round whether or not a fixed point
+    * exists.
+    */
+  private def wlpaOracle(rounds: Int, mod: Int): String = {
+    val ctes = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT node, community, CAST(SUM(w) AS BIGINT) AS s FROM (
+             SELECT s.v AS node, l.community, s.w
+             FROM sym s JOIN l${i - 1} l ON s.u = l.node
+             UNION ALL SELECT node, community, 1 FROM l${i - 1}) t$i
+           GROUP BY node, community),
+         l$i AS MATERIALIZED (SELECT node, community FROM (
+             SELECT node, community, row_number() OVER (
+               PARTITION BY node ORDER BY s DESC, community ASC) AS rk
+             FROM c$i) e$i
+           WHERE rk = 1)"""
+    }.mkString(",\n")
+    s"""WITH de AS (SELECT l_orderkey % $mod AS src, l_partkey % $mod AS dst,
+                           CAST(min(l_linenumber) AS BIGINT) AS w
+                    FROM lineitem
+                    WHERE l_orderkey % $mod <> l_partkey % $mod
+                    GROUP BY 1, 2),
+        ed AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                      CAST(min(w) AS BIGINT) AS w
+               FROM de GROUP BY 1, 2),
+        sym AS (SELECT a AS u, b AS v, w FROM ed
+                UNION ALL SELECT b AS u, a AS v, w FROM ed),
         l0 AS (SELECT DISTINCT u AS node, u AS community FROM sym),
         $ctes
         SELECT node, community FROM l$rounds"""
@@ -4065,6 +4160,8 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
     "q_pagerank_weighted" -> pageRankWeightedOracle(PrwIters, TriMod),
     "q_communities" -> lpaOracle(LpaRounds, TriMod),
+    "q_communities_weighted" -> wlpaOracle(WlpaRounds, TriMod),
+    "q_modularity" -> modularityOracle(LpaRounds, TriMod),
     // Same distinct→frequent-prune→pair-count derivation; `//` ≡ `div`
     // on the nonnegative counts; conf/lift are terminal IEEE divisions
     // of exact integer products.

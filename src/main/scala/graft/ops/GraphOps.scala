@@ -382,6 +382,102 @@ object GraphOps {
     lbl
   }
 
+  /** WEIGHTED label propagation — [[labelPropagation]] with the vote
+    * multiset weighted by edge weight (the q_pagerank_weighted /
+    * q_sssp_weighted user-graph shape: weights arrive as a COLUMN):
+    * label score at a node = Σ w over incident edges carrying that
+    * label, plus the self-label at weight 1 (the same lazy-damping
+    * regularizer), elected by the (score desc, label asc) total order.
+    * Directed input (src, dst, w) is collapsed to an undirected simple
+    * weighted graph — min(w) per unordered pair, the engine-portable
+    * collapse [[weightedEdgesFromLineitem]] pins. Same broadcast and
+    * lineage-cut discipline as the unweighted op.
+    *
+    * FIXED-ROUND contract, not fixpoint-or-throw: under weighted
+    * votes the unit self-vote no longer damps simultaneous swaps, and
+    * synchronous weighted LPA settles into stable 2-cycles on sparse
+    * graphs (measured on the fixture: changed-count constant forever;
+    * parity-alternating updates merely move the cycle inside each
+    * parity class). The ecosystem's answer is the same one GraphX /
+    * GraphFrames ship: run exactly `rounds` synchronous rounds and
+    * return that state — fully deterministic (total-order election,
+    * no RNG), so a DuckDB oracle unrolling the same `rounds` lands on
+    * the identical labeling whether or not a fixed point exists. The
+    * unweighted [[labelPropagation]] keeps its stronger
+    * fixpoint-or-throw contract (unit votes + lazy damping converge
+    * there, spec-pinned).
+    */
+  def labelPropagationWeighted(wEdges: DataFrame, rounds: Int = 10,
+                               bcastLabels: Option[Boolean] = None): DataFrame = {
+    require(rounds >= 1)
+    val und = wEdges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+    val sym = und.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(und.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint(true)
+    var lbl = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("community"))
+      .localCheckpoint(true)
+    val bc = decideBroadcast(bcastLabels, lbl.count(),
+      broadcastBudget(wEdges.sparkSession))
+    for (_ <- 1 to rounds) {
+      val l = if (bc) broadcast(lbl) else lbl
+      val cand = sym.join(l, sym("u") === l("node"))
+        .select(sym("v").as("node"), l("community"), sym("w"))
+        .union(lbl.select(col("node"), col("community"), lit(1L).as("w")))
+        .groupBy("node", "community").agg(sum("w").as("s"))
+      lbl = cand
+        .groupBy("node").agg(min(struct((-col("s")).as("ns"),
+          col("community").as("community"))).as("m"))
+        .select(col("node"), col("m.community").as("community"))
+        .localCheckpoint(true)
+    }
+    lbl
+  }
+
+  /** Modularity of a community assignment over the undirected simple
+    * graph — the quality metric that makes [[labelPropagation]]'s output
+    * judgeable (the graph twin of k-means inertia): per community c,
+    * e_c = intra-community edge count, d_c = Σ member degrees, and the
+    * contribution q_c = e_c/m − (d_c/(2m))²; Q = Σ q_c. All inputs are
+    * exact int64 (one endpoint-label join + two keyed aggs; the label
+    * vector broadcasts under the adaptive guard); the contributions are
+    * terminal IEEE expressions of exact integers, engine-identical.
+    * Output: (community, n_nodes, intra_edges, deg_sum, q_contrib).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 bcastLabels: Option[Boolean] = None): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bc = decideBroadcast(bcastLabels, labels.count(),
+      broadcastBudget(edges.sparkSession))
+    val l = if (bc) broadcast(labels) else labels
+    val la = l.select(col("node").as("a"), col("community").as("ca"))
+    val lb = l.select(col("node").as("b"), col("community").as("cb"))
+    val m = und.count()
+    val intra = und.join(la, "a").join(lb, "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degs = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .join(l, "node")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"))
+    degs.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("deg_sum"),
+        (coalesce(col("intra_edges"), lit(0L)).cast("double") / m -
+          (col("deg_sum").cast("double") / (2.0 * m)) *
+          (col("deg_sum").cast("double") / (2.0 * m))).as("q_contrib"))
+  }
+
   /** Convergence-driven PageRank: iterate until the L1 rank diff (in
     * fixed-point units) drops below `tolFp` or `maxIters` is hit.
     * Convergence is tested every `checkEvery` iterations: each check

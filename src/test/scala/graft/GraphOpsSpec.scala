@@ -417,6 +417,47 @@ class GraphOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("labelPropagationWeighted: heavy edge outvotes light plurality; " +
+      "uniform weights equal the unweighted op") {
+    import spark.implicits._
+    // Node 3's neighbors: 9 over a w=5 edge, 1 and 2 over w=1 edges.
+    // Weighted election after one round: score(9)=5 beats
+    // score(1)=score(2)=score(3 self)=1 — the unweighted op would
+    // tie-break to label 1 instead.
+    val e = Seq((9L, 3L, 5L), (1L, 3L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val one = GraphOps.labelPropagationWeighted(e, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(3L) === 9L)
+    // Uniform weights: identical to the unweighted op once it has
+    // converged within the same round budget.
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val cl = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ ((4L, 11L)))
+    val wu = cl.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val got = GraphOps.labelPropagationWeighted(wu, rounds = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unw = GraphOps.labelPropagation(cl.toDF("src", "dst"), 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === unw)
+  }
+
+  test("modularity: two bridged triangles score the textbook contributions") {
+    import spark.implicits._
+    // Triangles {1,2,3} and {4,5,6} + bridge (3,4): m=7; each community
+    // has 3 intra edges and degree sum 7 → q_c = 3/7 - (7/14)^2.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "community")
+    val got = GraphOps.modularity(e, labels).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val exp = 3.0 / 7 - (7.0 / 14) * (7.0 / 14)
+    assert(got(1L) === ((3L, 3L, 7L, exp)))
+    assert(got(4L) === ((3L, 3L, 7L, exp)))
+  }
+
   test("aggState merge equals the from-scratch aggregate, any split") {
     val li = Tables.lineitem(spark, sfDir)
     val direct = AggOps.aggStateView(
