@@ -829,37 +829,64 @@ object OracleSql {
     * occurrences in the identical order in both engines, and the wrapped
     * blocks make cross-symbol false matches impossible.
     */
-  def bpeTrainSql(merges: Int): String = {
-    val symsOf = "list_filter(string_split(sym, '|'), x -> x <> '')"
-    val rounds = (1 to merges).map { i =>
+  private val BpeSymsOf = "list_filter(string_split(sym, '|'), x -> x <> '')"
+
+  /** The per-round merge CTEs (p/b/v/o for rounds 1..merges) over a
+    * `v0(w, f, sym)` vocab — shared by the train and tokenize twins.
+    */
+  private def bpeRoundCtes(merges: Int): String =
+    (1 to merges).map { i =>
       s"""p$i AS (SELECT pk, CAST(SUM(f) AS BIGINT) AS cnt FROM (
               SELECT f, '|' || s[ii] || '||' || s[ii + 1] || '|' AS pk
-              FROM (SELECT f, $symsOf AS s FROM v${i - 1}) q$i,
+              FROM (SELECT f, $BpeSymsOf AS s FROM v${i - 1}) q$i,
                    unnest(range(1, len(s))) t$i(ii)) e$i
             GROUP BY pk),
           b$i AS (SELECT pk, cnt FROM p$i ORDER BY cnt DESC, pk ASC LIMIT 1),
-          v$i AS MATERIALIZED (SELECT f,
+          v$i AS MATERIALIZED (SELECT w, f,
                  replace(sym, b.pk, replace(b.pk, '||', '')) AS sym
                FROM v${i - 1}, b$i b),
           o$i AS (SELECT CAST($i AS BIGINT) AS round, b.pk AS merge_pair,
                     b.cnt AS pair_count, s.vocab_words, s.symbols_after
                   FROM b$i b, (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_words,
-                         CAST(SUM(f * len($symsOf)) AS BIGINT)
+                         CAST(SUM(f * len($BpeSymsOf)) AS BIGINT)
                            AS symbols_after
                        FROM v$i) s)"""
     }.mkString(",\n")
+
+  /** Trainable word instances WITH doc ids + the v0 vocab over them —
+    * the same multiset the train prologue aggregates.
+    */
+  private val BpeInstanceCtes: String =
+    s"""wi AS (SELECT doc_id,
+            unnest(string_split_regex(lower(text), '$Ws')) AS w
+          FROM documents),
+        ti AS (SELECT doc_id, w FROM wi
+               WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2),
+        v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f,
+               regexp_replace(w, '(.)', '|\\1|', 'g') AS sym
+             FROM ti GROUP BY w)"""
+
+  def bpeTrainSql(merges: Int): String = {
     val sel = (1 to merges).map(i => s"SELECT * FROM o$i")
       .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (SELECT unnest(string_split_regex(lower(text), '$Ws')) AS w
-            FROM documents),
-        v0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS f,
-               regexp_replace(w, '(.)', '|\\1|', 'g') AS sym
-             FROM w0
-             WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2
-             GROUP BY w),
-        $rounds
+    s"""WITH $BpeInstanceCtes,
+        ${bpeRoundCtes(merges)}
         $sel"""
   }
+
+  /** Tokenize-with-trained-vocab twin: the same `merges` training
+    * rounds, then every trainable word instance joins its merged
+    * symbol sequence and per-document exact totals come out — the
+    * apply half of the loop.
+    */
+  def bpeTokenizeSql(merges: Int): String =
+    s"""WITH $BpeInstanceCtes,
+        ${bpeRoundCtes(merges)}
+        SELECT t.doc_id, COUNT(*) AS n_words,
+               CAST(SUM(length(t.w)) AS BIGINT) AS n_chars,
+               CAST(SUM(len($BpeSymsOf)) AS BIGINT) AS n_tokens
+        FROM ti t JOIN v$merges v USING (w)
+        GROUP BY t.doc_id"""
 
   /** RGB decode twin: per-channel closed-form raster replay — one
     * (mean, aHash-bits) CTE pair per channel over the shared dims, so

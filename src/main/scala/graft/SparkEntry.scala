@@ -2868,6 +2868,14 @@ object SparkEntry {
     "q_bpe_train" -> ((s, d) =>
       BpeOps.train(Tables.documents(s, d), BpeMerges)),
 
+    // The APPLY half of the tokenizer loop: train BpeMerges rounds,
+    // then tokenize every document with the trained vocab — one keyed
+    // join from word instances to merged symbol sequences; per-doc
+    // exact (n_words, n_chars, n_tokens) totals, n_tokens/n_chars
+    // being the compression the merges bought.
+    "q_bpe_tokenize" -> ((s, d) =>
+      BpeOps.tokenizeTrained(Tables.documents(s, d), BpeMerges)),
+
     // Kendall tau-b rank correlation — exact, at scale, via the same
     // domain-compression discipline as q_mannwhitney: joint histogram
     // over the (l_quantity ≤50 × l_linenumber ≤7) domain, then the
@@ -4417,6 +4425,7 @@ object SparkEntry {
     "q_simsearch_ivf_kmeans" -> OracleSql.simsearchIvfKmeansSql(2),
     "q_kmeans" -> OracleSql.kmeansSql(KmeansRounds),
     "q_bpe_train" -> OracleSql.bpeTrainSql(BpeMerges),
+    "q_bpe_tokenize" -> OracleSql.bpeTokenizeSql(BpeMerges),
     "q_simsearch_pq" -> OracleSql.simsearchPqSql,
     "q_simsearch_recall" -> OracleSql.simsearchRecallSql,
     "q_dedup_embed_recall" -> OracleSql.dedupEmbedRecallSql,

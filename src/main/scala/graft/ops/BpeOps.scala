@@ -44,16 +44,19 @@ object BpeOps {
   def syms(sym: Column): Column =
     filter(split(sym, "\\|"), x => x =!= "")
 
-  /** Compressed vocab (f, sym) from the documents corpus: lowercase
+  /** Compressed vocab (w, f, sym) from the documents corpus: lowercase
     * `^[a-z]+$` words of length ≥ 2 (engine-identical alphabet — the
     * q_bpe_step restriction), frequency-aggregated, wrapped-symbol
-    * encoded one char per symbol.
+    * encoded one char per symbol. `w` rides through training unchanged
+    * — it is the join key the APPLY side ([[tokenizeTrained]]) uses to
+    * map corpus words to their merged symbol sequences.
     */
   def initVocab(docs: DataFrame): DataFrame =
     docs.select(explode(split(lower(col("text")), TextOps.WsRegex)).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(col("f"), regexp_replace(col("w"), "(.)", "|$1|").as("sym"))
+      .select(col("w"), col("f"),
+        regexp_replace(col("w"), "(.)", "|$1|").as("sym"))
 
   /** Adjacent wrapped-pair keys of each vocab row, one per overlapping
     * symbol adjacency (the classic get_stats multiset, weighted by f
@@ -76,7 +79,12 @@ object BpeOps {
     * Round 1 coincides with the single-step `q_bpe_step` election
     * (spec-pinned).
     */
-  def train(docs: DataFrame, merges: Int): DataFrame = {
+  def train(docs: DataFrame, merges: Int): DataFrame =
+    trainLoop(docs, merges)._1
+
+  /** The shared training loop: (merge table, final vocab (w, f, sym)). */
+  private def trainLoop(docs: DataFrame,
+                        merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1)
     var vocab = initVocab(docs).localCheckpoint(true)
     val rounds = (1 to merges).map { r =>
@@ -86,7 +94,7 @@ object BpeOps {
         .orderBy(col("cnt").desc, col("pk").asc).limit(1)
         .localCheckpoint(true) // 1 row; reused by the rewrite AND the report
       vocab = vocab.crossJoin(broadcast(best))
-        .select(col("f"),
+        .select(col("w"), col("f"),
           expr("replace(sym, pk, replace(pk, '||', ''))").as("sym"))
         .localCheckpoint(true) // cut the nested replace-chain lineage
       val stats = vocab.agg(
@@ -96,6 +104,28 @@ object BpeOps {
           col("cnt").as("pair_count"))
         .crossJoin(stats)
     }
-    rounds.reduce(_.union(_))
+    (rounds.reduce(_.union(_)), vocab)
+  }
+
+  /** TOKENIZE with the trained vocab — the apply half of the train →
+    * apply loop every tokenizer deployment runs: train `merges` rounds,
+    * then map every trainable corpus word to its merged symbol sequence
+    * by one keyed join on the word (the vocab is |distinct words| rows
+    * — far below broadcast budget for natural-language vocabularies;
+    * Spark's own threshold decides), and report per-document exact
+    * totals: (doc_id, n_words, n_chars, n_tokens). n_tokens/n_chars is
+    * the compression the merges bought — the number a tokenizer
+    * deployment tracks per corpus slice.
+    */
+  def tokenizeTrained(docs: DataFrame, merges: Int): DataFrame = {
+    val vocab = trainLoop(docs, merges)._2.select("w", "sym")
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), TextOps.WsRegex)).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .join(vocab, "w")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(size(syms(col("sym")))).cast("long").as("n_tokens"))
   }
 }

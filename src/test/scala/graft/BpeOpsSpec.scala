@@ -50,6 +50,27 @@ class BpeOpsSpec extends SparkSpec {
     assert(r1.getLong(2) === step.getLong(1))
   }
 
+  test("tokenizeTrained: per-doc token counts reflect the trained merges") {
+    // Docs of "ab ab cd": after 2 merges (a,b) and (c,d) every word is
+    // one token — n_tokens = n_words, n_chars = 2 per word.
+    val docs = (1L to 3L).map(i => (i, "ab ab cd")).toDF("doc_id", "text")
+    val got = BpeOps.tokenizeTrained(docs, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    for (i <- 1L to 3L) assert(got(i) === ((3L, 6L, 3L)))
+    // With only 1 merge (a,b), "cd" stays 2 tokens: 1+1+2 = 4.
+    val one = BpeOps.tokenizeTrained(docs, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (i <- 1L to 3L) assert(one(i) === 4L)
+    // Corpus-wide: tokens never exceed chars and never undercut words.
+    val real = BpeOps.tokenizeTrained(Tables.documents(spark, sfDir), 5)
+      .collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(3) >= r.getLong(1))
+    }
+  }
+
   test("symbols_after decreases monotonically across merge rounds") {
     val docs = Tables.documents(spark, sfDir)
     val rows = BpeOps.train(docs, 5).collect().sortBy(_.getLong(0))
