@@ -251,6 +251,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(after.getLong(3) === 0L)
   }
 
+  test("dedupMinhashIncremental equals the full cross-corpus re-mine") {
+    // The O(arrivals) persisted-index path must lose NOTHING against
+    // the O(corpus) re-mine: per arrival, n_near equals the number of
+    // cross-boundary pairs minhashCrossPairs finds on the union corpus
+    // (same signatures, same bands, same estimate threshold).
+    val known = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val arrivals = DedupOps.dupCorpus(known)
+      .filter(col("doc_id") >= 1000000L)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mhidx_spec4").toString
+    DedupOps.writeMinhashIndex(known, idx)
+    val incr = DedupOps.dedupMinhashIncremental(arrivals, idx)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val full = DedupOps.minhashCrossPairs(
+        known.union(arrivals), boundary = 1000000L)
+      .collect().groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    // every arrival with cross pairs agrees on the exact count…
+    full.foreach { case (id, n) => assert(incr(id) === n, s"arrival $id") }
+    // …and arrivals without any cross pair report n_near = 0
+    incr.filter(_._2 > 0L).keySet.foreach(id => assert(full.contains(id)))
+  }
+
   test("fuzzyCanonicalize honors blocking: no shared token, no pair") {
     // "rod belt" is within maxDist=2 of "red bolt" (rod->red, belt->
     // bolt) but shares NEITHER first nor last token with it, so no
