@@ -230,6 +230,79 @@ object OracleSql {
         WHERE a.text IS NOT NULL"""
   }
 
+  /** Incremental cluster-assignment twin: the known dup-corpus's
+    * within-known pairs close into clusters via the recursive CTE (the
+    * [[dedupClusterSql]] fixpoint), then every arrival takes the min
+    * existing cluster over its cross matches — singleton matches
+    * contribute their own id, unmatched arrivals their own — exactly
+    * the assignment-only contract of
+    * DedupOps.assignClustersIncremental.
+    */
+  def dedupClusterIncrSql: String = {
+    val coefValues = DedupOps.MinhashCoef
+      .map { case (i, a, b, band, w31) => s"($i, $a, $b, $band, $w31)" }
+      .mkString(", ")
+    val p = DedupOps.P
+    s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        known AS (
+          SELECT doc_id, text FROM base
+          UNION ALL SELECT doc_id + 1000000, text FROM base
+          UNION ALL SELECT doc_id + 2000000,
+            regexp_replace(text, '^\\S+\\s*', '') FROM base),
+        arrivals AS (
+          SELECT doc_id + 3000000 AS doc_id,
+                 regexp_replace(text, '\\s*\\S+$$', '') AS text
+          FROM base WHERE doc_id % 3 = 0
+          UNION ALL SELECT doc_id + 4000000, text FROM base
+          WHERE doc_id % 3 = 1
+          UNION ALL SELECT doc_id + 5000000, reverse(text) FROM base
+          WHERE doc_id % 3 = 2),
+        corpus AS (SELECT doc_id, text FROM known WHERE text IS NOT NULL
+                   UNION ALL
+                   SELECT doc_id, text FROM arrivals WHERE text IS NOT NULL),
+        ${shingle3CteOver("corpus")},
+        hh AS (SELECT doc_id, ${hash60("sh")} % $p AS h FROM sh),
+        coef AS (SELECT * FROM (VALUES $coefValues) t(i, a, b, band, w31)),
+        sig AS (SELECT doc_id, i, MIN((a * h + b) % $p) AS m
+                FROM hh CROSS JOIN coef GROUP BY doc_id, i),
+        bk AS (SELECT doc_id, band, CAST(SUM(m * w31) AS BIGINT) AS bk
+               FROM sig JOIN coef USING (i) GROUP BY doc_id, band),
+        kcand AS (SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+                  FROM bk x JOIN bk y ON x.band = y.band AND x.bk = y.bk
+                  AND x.doc_id < y.doc_id AND y.doc_id < 3000000),
+        kpairs AS (SELECT c.u, c.v FROM kcand c
+                   JOIN sig sa ON sa.doc_id = c.u
+                   JOIN sig sb ON sb.doc_id = c.v AND sb.i = sa.i
+                   GROUP BY c.u, c.v
+                   HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                            / ${DedupOps.K}.0 >= 0.5),
+        und AS (SELECT u, v FROM kpairs UNION ALL SELECT v, u FROM kpairs),
+        reach(node, lbl) AS (
+          SELECT u, u FROM und
+          UNION
+          SELECT e.v, r.lbl FROM und e JOIN reach r ON r.node = e.u),
+        kclusters AS (SELECT node, MIN(lbl) AS cluster
+                      FROM reach GROUP BY node),
+        xcand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS k_id
+                  FROM bk x JOIN bk y ON x.band = y.band AND x.bk = y.bk
+                  AND x.doc_id >= 3000000 AND y.doc_id < 3000000),
+        xm AS (SELECT c.a_id, c.k_id FROM xcand c
+               JOIN sig sa ON sa.doc_id = c.a_id
+               JOIN sig sb ON sb.doc_id = c.k_id AND sb.i = sa.i
+               GROUP BY c.a_id, c.k_id
+               HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                        / ${DedupOps.K}.0 >= 0.5)
+        SELECT a.doc_id,
+               COALESCE(MIN(COALESCE(kc.cluster, m.k_id)), a.doc_id)
+                 AS cluster,
+               CAST(COUNT(m.k_id) AS BIGINT) AS n_near
+        FROM arrivals a
+        LEFT JOIN xm m ON m.a_id = a.doc_id
+        LEFT JOIN kclusters kc ON kc.node = m.k_id
+        WHERE a.text IS NOT NULL
+        GROUP BY a.doc_id"""
+  }
+
   /** Streaming index-ingest twin: the [[dedupIndexUpdateSql]] two-phase
     * replay with the stream's batch composition — batch 0 verdicts (the
     * odds vs the evens index) are PART OF THE OUTPUT, and batch 1 (the

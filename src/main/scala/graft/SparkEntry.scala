@@ -1016,6 +1016,30 @@ object SparkEntry {
           col("text")))
       DedupOps.dedupMinhashIncremental(batch2, idx)
     }),
+    // Incremental cluster ASSIGNMENT against the persisted cluster map:
+    // the known dup-corpus (whose built-in orig/exact/near triples form
+    // real clusters) is mined once into index + cluster map; arrivals
+    // (last-token-dropped near variants +3M, exact twins +4M, reversed
+    // fresh +5M) each join the min existing cluster of their index
+    // matches — assignment-only (bridges don't merge; the periodic full
+    // rebuild does), O(arrivals) per batch.
+    "q_dedup_cluster_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val known = DedupOps.dupCorpus(docs).select("doc_id", "text")
+      val idx = tmpPath("graft_mhidx_clu", d)
+      DedupOps.writeMinhashIndex(known, idx)
+      DedupOps.writeMinhashClusterMap(known, idx)
+      val arrivals = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          regexp_replace(col("text"), "\\s*\\S+$", "").as("text"))
+        .union(docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+        .union(docs.filter(col("doc_id") % 3 === 2)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            reverse(col("text")).as("text")))
+      DedupOps.assignClustersIncremental(arrivals, idx)
+    }),
+
     // STREAMING ingestion with in-stream index maintenance: micro-batch
     // 0 (the odd half) is judged against the evens-built index and its
     // survivors appended inside foreachBatch; micro-batch 1 (exact +1M
@@ -4411,6 +4435,7 @@ object SparkEntry {
     "q_dedup_minhash" -> OracleSql.dedupMinhashSql,
     "q_dedup_minhash_incr" -> OracleSql.dedupMinhashIncrSql,
     "q_dedup_index_update" -> OracleSql.dedupIndexUpdateSql,
+    "q_dedup_cluster_incr" -> OracleSql.dedupClusterIncrSql,
     "q_stream_dedup_index" -> OracleSql.dedupStreamIngestSql,
     "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
     "q_dedup_ngram" -> OracleSql.dedupNgramSql,

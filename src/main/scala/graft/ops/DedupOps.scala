@@ -213,6 +213,57 @@ object DedupOps {
       .write.mode("overwrite").parquet(path + "/digests")
   }
 
+  /** Persist the known corpus's near-dup CLUSTER MAP alongside the
+    * index: MinHash pairs → connected components → (doc_id, cluster)
+    * parquet under `path`/clusters. Built once per snapshot (this is
+    * the intended full-mine moment); every arrivals batch then joins
+    * existing clusters without re-clustering the corpus
+    * ([[assignClustersIncremental]]). Docs in no near-dup pair have no
+    * row — they are their own singleton cluster by convention, which
+    * the read path restores with a coalesce.
+    */
+  def writeMinhashClusterMap(known: DataFrame, path: String,
+                             minEst: Double = 0.5): Unit =
+    GraphOps.connectedComponents(
+        minhashPairs(known.filter(col("text").isNotNull), minEst)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("node").as("doc_id"), col("cluster"))
+      .write.mode("overwrite").parquet(path + "/clusters")
+
+  /** Incremental cluster ASSIGNMENT — the O(arrivals) companion to
+    * [[writeMinhashClusterMap]]: each arrival joins the persisted
+    * cluster of its near-dup index matches (min over
+    * coalesce(cluster(match), match) — singleton matches contribute
+    * their own id) and unmatched arrivals become their own singleton.
+    * Output: (doc_id, cluster, n_near).
+    *
+    * ASSIGNMENT-ONLY contract, stated plainly: an arrival bridging TWO
+    * existing clusters is assigned the smaller label but does NOT merge
+    * them — exact merge requires re-running the connected-components
+    * closure, which a daily pipeline schedules as the periodic full
+    * rebuild of the cluster map (the same snapshot moment that rebuilds
+    * the index). Deterministic, so the oracle replays the identical
+    * assignment.
+    */
+  def assignClustersIncremental(arrivals: DataFrame, indexPath: String,
+                                minEst: Double = 0.5): DataFrame = {
+    val spark = arrivals.sparkSession
+    val idxBands = spark.read.parquet(indexPath + "/bands")
+    val clusters = spark.read.parquet(indexPath + "/clusters")
+      .withColumnRenamed("doc_id", "idx_id")
+    val arr = arrivals.filter(col("text").isNotNull)
+    val assigned = nearIndexMatches(arr, idxBands, minEst)
+      .join(clusters, Seq("idx_id"), "left")
+      .groupBy("doc_id").agg(
+        min(coalesce(col("cluster"), col("idx_id"))).as("matched_cluster"),
+        count(lit(1)).as("n_near"))
+    arr.select("doc_id")
+      .join(assigned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("matched_cluster"), col("doc_id")).as("cluster"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+  }
+
   /** Index MAINTENANCE — the other half of the daily loop: append an
     * admitted batch's band rows and digests to the persisted index, so
     * the NEXT batch's twins of these documents are caught. Appends are
@@ -229,6 +280,24 @@ object DedupOps {
     a.select(md5(col("text")).as("text_md5")).distinct()
       .write.mode("append").parquet(path + "/digests")
   }
+
+  /** Distinct (arrival doc_id, index doc_id) pairs whose signature
+    * estimate clears `minEst` — the band-bucket probe into a persisted
+    * index's band table, shared by the dedup verdict and the cluster
+    * assignment paths.
+    */
+  private def nearIndexMatches(arr: DataFrame, idxBands: DataFrame,
+                               minEst: Double): DataFrame =
+    bandRowsOf(arr).as("x").join(idxBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("idx_id"),
+        col("x.ms").as("ma"), col("y.ms").as("mb"))
+      .distinct()
+      .select(col("doc_id"), col("idx_id"),
+        (aggregate(zip_with(col("ma"), col("mb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x) / K.toDouble).as("est"))
+      .filter(col("est") >= minEst)
 
   /** Incremental near-dup dedup against a PERSISTED index
     * ([[writeMinhashIndex]]): every arrival is judged by (a) exact
@@ -252,17 +321,7 @@ object DedupOps {
     val idxBands = spark.read.parquet(indexPath + "/bands")
     val idxDigests = spark.read.parquet(indexPath + "/digests")
     val arr = arrivals.filter(col("text").isNotNull)
-    val arrBands = bandRowsOf(arr)
-    val near = arrBands.as("x").join(idxBands.as("y"),
-        col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
-      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("idx_id"),
-        col("x.ms").as("ma"), col("y.ms").as("mb"))
-      .distinct()
-      .select(col("doc_id"), col("idx_id"),
-        (aggregate(zip_with(col("ma"), col("mb"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x) / K.toDouble).as("est"))
-      .filter(col("est") >= minEst)
+    val near = nearIndexMatches(arr, idxBands, minEst)
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
     // Distinct on the digest read: appends ([[appendToMinhashIndex]])
     // may land the same digest twice across batches, and a duplicated

@@ -273,6 +273,33 @@ class DedupOpsSpec extends SparkSpec {
     incr.filter(_._2 > 0L).keySet.foreach(id => assert(full.contains(id)))
   }
 
+  test("assignClustersIncremental joins existing clusters; bridges assign " +
+      "without merging") {
+    // Known corpus: dupCorpus(tinyDocs) — each doc forms a cluster
+    // {id, id+1M, id+2M} with min label = id.
+    val known = DedupOps.dupCorpus(tinyDocs)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mhidx_spec5").toString
+    DedupOps.writeMinhashIndex(known, idx)
+    DedupOps.writeMinhashClusterMap(known, idx)
+    val arrivals = Seq(
+      // exact twin of doc 2's text → joins cluster 2
+      (9000001L, "pack my box with five dozen liquor jugs"),
+      // fresh text, no match → own singleton
+      (9000002L, "completely novel words never seen in the known corpus"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.assignClustersIncremental(arrivals, idx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(9000001L)._1 === 2L)
+    assert(got(9000001L)._2 >= 1L)
+    assert(got(9000002L) === ((9000002L, 0L)))
+    // Assignment-only: the known cluster map itself is untouched by
+    // arrivals (no merge happened on disk).
+    val cm = spark.read.parquet(idx + "/clusters")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cm.keySet.forall(_ < 9000000L))
+  }
+
   test("fuzzyCanonicalize honors blocking: no shared token, no pair") {
     // "rod belt" is within maxDist=2 of "red bolt" (rod->red, belt->
     // bolt) but shares NEITHER first nor last token with it, so no
