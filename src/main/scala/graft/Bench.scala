@@ -82,7 +82,11 @@ object Bench {
     // keeps the full per-query map inside the driver's stdout tail
     // window (the r6/r7 records were truncated mid-line at full
     // double precision).
-    def f4(v: Double): String = f"$v%.4f"
+    // Locale.ROOT: f"" interpolation uses the JVM default locale, and a
+    // comma-decimal locale (de_DE etc.) would make the record invalid
+    // JSON (ADVICE r8).
+    def f4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"${jstr(k)}:${f4(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

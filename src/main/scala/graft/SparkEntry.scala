@@ -977,6 +977,7 @@ object SparkEntry {
     // from the base table via the shared hash60/coefficients.
     "q_dedup_minhash_incr" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      requireIdHeadroom(docs, "doc_id")
       val idx = tmpPath("graft_mhidx", d)
       DedupOps.writeMinhashIndex(docs.select("doc_id", "text"), idx)
       val arrivals = docs.filter(col("doc_id") % 3 === 0)
@@ -999,6 +1000,7 @@ object SparkEntry {
     // deterministic. Output: the batch-2 verdict table.
     "q_dedup_index_update" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      requireIdHeadroom(docs, "doc_id")
       val idx = tmpPath("graft_mhidx_upd", d)
       val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
       val odds = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
@@ -1025,6 +1027,9 @@ object SparkEntry {
     // rebuild does), O(arrivals) per batch.
     "q_dedup_cluster_incr" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // dupCorpus itself occupies the +1M/+2M slices; arrivals start at
+      // +3M, so the base table must stay below 1M ids.
+      requireIdHeadroom(docs, "doc_id")
       val known = DedupOps.dupCorpus(docs).select("doc_id", "text")
       val idx = tmpPath("graft_mhidx_clu", d)
       DedupOps.writeMinhashIndex(known, idx)
@@ -1049,6 +1054,7 @@ object SparkEntry {
     // verbatim by the oracle), delivery in-order via staged mtimes.
     "q_stream_dedup_index" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      requireIdHeadroom(docs, "doc_id")
       val idx = tmpPath("graft_mhidx_stream", d)
       val staging = tmpPath("graft_mhidx_stage", d)
       val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
@@ -1828,14 +1834,14 @@ object SparkEntry {
       val ot = s"graft_bkt_orders_$suf"
       // A fresh in-memory catalog can't overwrite a location left by a
       // previous JVM (pid reuse): drop table AND orphan directory first.
+      // Hadoop FS recursive delete (the q_sql_ctas / SinkOps.deleteWhere
+      // pattern), not java.io.File recursion: on an object-store
+      // warehouse the local-File rm would silently no-op.
       for (t <- Seq(lt, ot)) {
         s.sql(s"DROP TABLE IF EXISTS $t")
-        val dir = new java.io.File(
-          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        if (dir.exists()) rm(dir)
+        val dir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        dir.getFileSystem(s.sessionState.newHadoopConf()).delete(dir, true)
       }
       SinkOps.writeBucketed(Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity"), lt, "l_orderkey", 8)
@@ -2938,6 +2944,22 @@ object SparkEntry {
 
   /** Run nonce for disk-touching queries — see GraftSession.RunNonce. */
   private def RunNonce: String = GraftSession.RunNonce
+
+  /** Loud headroom guard for the synthetic +1M/+2M/… arrival id slices
+    * used by the incremental-index fixtures: those offsets silently
+    * assume the base table never reaches `bound` ids — past it, arrival
+    * ids collide with base ids and BOTH engine and oracle compute over a
+    * corrupted id space (ADVICE r8). One 1-row scalar aggregate per
+    * guarded query, the q_pagerank_weighted headroom-check discipline.
+    */
+  private def requireIdHeadroom(df: DataFrame, idCol: String,
+                                bound: Long = 1000000L): Unit = {
+    val mx = df.agg(coalesce(max(col(idCol)), lit(Long.MinValue)))
+      .head.getLong(0)
+    require(mx < bound,
+      s"max($idCol) = $mx >= $bound: the +1M/+2M arrival id slices would " +
+        "collide with base ids; widen the fixture offsets for this scale")
+  }
 
   /** Temp path under the per-run scratch root (shutdown-hook-cleaned,
     * nonce-isolated — see GraftSession.runTmpRoot), keyed by prefix +

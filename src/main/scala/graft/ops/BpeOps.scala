@@ -93,6 +93,14 @@ object BpeOps {
         .groupBy("pk").agg(sum("f").as("cnt"))
         .orderBy(col("cnt").desc, col("pk").asc).limit(1)
         .localCheckpoint(true) // 1 row; reused by the rewrite AND the report
+      // Loud-failure contract (the connectedComponents discipline): if no
+      // adjacent pairs remain — `merges` exceeds what the corpus supports
+      // — the argmax is EMPTY and the crossJoin below would silently wipe
+      // the whole vocab, collapsing every later round and tokenizeTrained
+      // to empty tables (ADVICE r8). Cheap: `best` is localCheckpointed.
+      if (best.isEmpty) throw new IllegalStateException(
+        s"BPE round $r: no adjacent symbol pairs remain — the corpus " +
+          s"supports only ${r - 1} merges; lower `merges`")
       vocab = vocab.crossJoin(broadcast(best))
         .select(col("w"), col("f"),
           expr("replace(sym, pk, replace(pk, '||', ''))").as("sym"))
