@@ -222,10 +222,25 @@ object SimilarityOps {
     * centroids — the corpus never shuffles for it), per-(cluster, dim)
     * exact int64 sums (map-side combined, ≤ k·64 rows out), floor-snap
     * rebuild, empty clusters keep their previous centroid.
+    *
+    * ONE corpus-keyed exchange per round: `qv` rides the min-struct
+    * assignment aggregate's TAIL — (d2, c_id) is unique per (vector,
+    * centroid) candidate row, so the array field never participates in
+    * the ordering — which hands the sum pass (c_id, qv) directly. The
+    * previous shape aggregated (vec_id, c_id) and then REJOINED the
+    * corpus to recover qv: a second corpus-sized exchange per round,
+    * the dominant avoidable cost of a 100 TB × ~15-round training run.
     */
   private[graft] def lloydRound(v: DataFrame, cent: DataFrame): DataFrame = {
-    val assign = assignMin(v, cent).select("vec_id", "c_id")
-    val sums = v.join(assign, "vec_id")
+    val assignQ = v.join(broadcast(cent))
+      .select(col("vec_id"), struct(
+          (col("n2") + col("cn2") - lit(2L) * dotL(col("qv"), col("cv")))
+            .as("d2"),
+          col("c_id").as("c_id"),
+          col("qv").as("qv")).as("dc"))
+      .groupBy("vec_id").agg(min("dc").as("m"))
+      .select(col("m.c_id").as("c_id"), col("m.qv").as("qv"))
+    val sums = assignQ
       .select(col("c_id"), posexplode(col("qv")).as(Seq("dim", "q")))
       .groupBy("c_id", "dim")
       .agg(sum("q").as("s"), count(lit(1)).as("m"))

@@ -192,6 +192,25 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(twoM === manual)
   }
 
+  test("lloydRound shuffles the corpus exactly once per round (qv rides " +
+      "the assignment aggregate, no rejoin)") {
+    val v = emb.select(col("vec_id"),
+        SimilarityOps.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", SimilarityOps.dotL(col("qv"), col("qv")))
+      .filter(col("n2") > 0)
+    val seed = SimilarityOps.kmeansCentroids(v, 0)
+    val p = SimilarityOps.lloydRound(v, seed)
+      .queryExecution.executedPlan.toString
+    // The only vec_id-keyed (corpus-sized) exchange is the assignment
+    // aggregate; every other exchange is (c_id[, dim])-keyed, <= k*64
+    // rows. The pre-r9 shape rejoined the corpus to recover qv: two
+    // more hashpartitioning(vec_id) exchanges here.
+    val corpusExchanges =
+      "hashpartitioning\\(vec_id".r.findAllIn(p).length
+    assert(corpusExchanges === 1,
+      s"expected exactly one vec_id-keyed exchange:\n$p")
+  }
+
   test("kmeansFixpoint throws rather than returning drifting centroids") {
     val v = emb.select(col("vec_id"),
         SimilarityOps.quantize(col("embedding")).as("qv"))
