@@ -1201,6 +1201,134 @@ object OracleSql {
         FROM planted p
         LEFT JOIN found f ON p.vec_a = f.vec_a AND p.vec_b = f.vec_b"""
 
+  /** Incremental embed near-dup twin (SimilarityOps
+    * .embedNearDupIncremental): the persisted index's bucket rows and
+    * quantized vectors are pure per-vector functions, so the oracle
+    * replays the whole build by bucketing the base∪arrivals union and
+    * keeping only cross-boundary (arrival ≥ 1M, index < 1M) candidate
+    * pairs — the same candidates the Spark probe's keyed joins
+    * generate. Verdict: exact-cosine recheck ≥ 0.95, per-arrival
+    * counts, kept flag.
+    */
+  def dedupEmbedIncrSql: String =
+    s"""WITH ecorpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id % 3 = 0
+          UNION ALL
+          SELECT vec_id + 2000000 AS vec_id,
+                 list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+          FROM embeddings WHERE vec_id % 3 = 1
+          UNION ALL
+          SELECT vec_id + 3000000 AS vec_id,
+                 list_reverse(embedding) AS embedding
+          FROM embeddings WHERE vec_id % 3 = 2),
+        ${quantCte("ecorpus")},
+        ${bucketCteFor(SimilarityOps.PairTables, SimilarityOps.PairPlanes)},
+        cand AS (SELECT DISTINCT a.vec_id, b.vec_id AS idx_id
+                 FROM bkt a JOIN bkt b
+                 ON a.t = b.t AND a.bucket = b.bucket
+                 WHERE a.vec_id >= 1000000 AND b.vec_id < 1000000),
+        pd AS (SELECT c.vec_id, an.v AS qvv, an.n2 AS qn2,
+                      bn.v AS vv, bn.n2 AS n2
+               FROM cand c
+               JOIN n an ON an.vec_id = c.vec_id
+               JOIN n bn ON bn.vec_id = c.idx_id),
+        near AS (SELECT vec_id, COUNT(*) AS n_near FROM pd
+                 WHERE $cosExpr >= 0.95 GROUP BY vec_id)
+        SELECT a.vec_id, CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near,
+               CAST(CASE WHEN COALESCE(nr.n_near, 0) = 0 THEN 1 ELSE 0 END
+                 AS BIGINT) AS kept
+        FROM (SELECT vec_id FROM n WHERE vec_id >= 1000000) a
+        LEFT JOIN near nr USING (vec_id)"""
+
+  /** Embed-index maintenance twin (two judge-append cycles): batch-1
+    * admission (odds with no ≥0.95 neighbor among evens) is replayed
+    * in SQL, the batch-2 index side is evens ∪ admitted odds, and the
+    * final verdict counts batch-2 arrivals' neighbors in that side —
+    * exactly what the appended parquet index contains.
+    */
+  def embedIndexUpdateSql: String =
+    s"""WITH ecorpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id % 2 = 1
+          UNION ALL
+          SELECT vec_id + 2000000 AS vec_id,
+                 list_reverse(embedding) AS embedding
+          FROM embeddings WHERE vec_id % 2 = 1
+          UNION ALL
+          SELECT vec_id + 4000000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id % 2 = 0),
+        ${quantCte("ecorpus")},
+        ${bucketCteFor(SimilarityOps.PairTables, SimilarityOps.PairPlanes)},
+        cand1 AS (SELECT DISTINCT a.vec_id, b.vec_id AS idx_id
+                  FROM bkt a JOIN bkt b
+                  ON a.t = b.t AND a.bucket = b.bucket
+                  WHERE a.vec_id < 1000000 AND a.vec_id % 2 = 1
+                    AND b.vec_id < 1000000 AND b.vec_id % 2 = 0),
+        pd1 AS (SELECT c.vec_id, an.v AS qvv, an.n2 AS qn2,
+                       bn.v AS vv, bn.n2 AS n2
+                FROM cand1 c
+                JOIN n an ON an.vec_id = c.vec_id
+                JOIN n bn ON bn.vec_id = c.idx_id),
+        near1 AS (SELECT DISTINCT vec_id FROM pd1 WHERE $cosExpr >= 0.95),
+        idx2 AS (SELECT vec_id FROM n
+                 WHERE vec_id < 1000000 AND vec_id % 2 = 0
+                 UNION ALL
+                 SELECT vec_id FROM n
+                 WHERE vec_id < 1000000 AND vec_id % 2 = 1
+                   AND vec_id NOT IN (SELECT vec_id FROM near1)),
+        cand2 AS (SELECT DISTINCT a.vec_id, b.vec_id AS idx_id
+                  FROM bkt a JOIN bkt b
+                  ON a.t = b.t AND a.bucket = b.bucket
+                  JOIN idx2 i ON i.vec_id = b.vec_id
+                  WHERE a.vec_id >= 1000000),
+        pd2 AS (SELECT c.vec_id, an.v AS qvv, an.n2 AS qn2,
+                       bn.v AS vv, bn.n2 AS n2
+                FROM cand2 c
+                JOIN n an ON an.vec_id = c.vec_id
+                JOIN n bn ON bn.vec_id = c.idx_id),
+        near2 AS (SELECT vec_id, COUNT(*) AS n_near FROM pd2
+                  WHERE $cosExpr >= 0.95 GROUP BY vec_id)
+        SELECT a.vec_id, CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near,
+               CAST(CASE WHEN COALESCE(nr.n_near, 0) = 0 THEN 1 ELSE 0 END
+                 AS BIGINT) AS kept
+        FROM (SELECT vec_id FROM n WHERE vec_id >= 1000000) a
+        LEFT JOIN near2 nr USING (vec_id)"""
+
+  /** Incremental top-k serving twin: simsearchLshSql with the query set
+    * replaced by the five perturbed +1M arrivals probing the base
+    * corpus as the persisted index side.
+    */
+  def simsearchIncrSql: String =
+    s"""WITH ecorpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id,
+                 list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+          FROM embeddings WHERE vec_id < 5),
+        ${quantCte("ecorpus")},
+        $bucketCte,
+        qb AS (SELECT vec_id AS q_id, t, bucket FROM bkt
+               WHERE vec_id >= 1000000),
+        cand AS (SELECT DISTINCT qb.q_id, b.vec_id
+                 FROM qb JOIN bkt b ON qb.t = b.t AND qb.bucket = b.bucket
+                 WHERE b.vec_id < 1000000),
+        pd AS (SELECT c.q_id, c.vec_id, qn.v AS qvv, qn.n2 AS qn2,
+                      vn.v AS vv, vn.n2 AS n2
+               FROM cand c
+               JOIN n qn ON qn.vec_id = c.q_id
+               JOIN n vn ON vn.vec_id = c.vec_id),
+        s AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM pd),
+        r AS (SELECT q_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos_sim DESC, vec_id) AS rnk
+              FROM s)
+        SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
+
   /** Per-dimension embedding stats twin — quantized exact moments, dims
     * indexed by a range cross join (DuckDB's unnest has no ordinality).
     */

@@ -1137,6 +1137,81 @@ object SparkEntry {
     "q_dedup_embed" -> ((s, d) =>
       SimilarityOps.embedNearDupPairs(
         SimilarityOps.embedDupCorpus(Tables.embeddings(s, d)))),
+    // Persisted embedding-ANN index tier — the r8 text-index discipline
+    // for vectors: bucket rows + quantized vectors written once per
+    // corpus snapshot (writeEmbedIndex); arrivals build signatures for
+    // THEMSELVES ONLY and probe with keyed joins. Arrivals plant
+    // cross-slice twins: exact copies (+1M, vec_id%3=0), near copies
+    // (+2M, %3=1, first component zeroed — the embedDupCorpus
+    // perturbation), fresh reversed vectors (+3M, %3=2). Verdict per
+    // arrival: near-neighbor count vs the index, kept flag. Oracle
+    // replays the index build via the shared quantization/hyperplanes.
+    "q_dedup_embed_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      requireIdHeadroom(emb, "vec_id")
+      val idx = tmpPath("graft_embidx", d)
+      SimilarityOps.writeEmbedIndex(emb, idx)
+      val arrivals = emb.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .union(emb.filter(col("vec_id") % 3 === 1)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            concat(array(lit(0.0f)),
+              slice(col("embedding"), 2, SimilarityOps.Dims - 1))
+              .as("embedding")))
+        .union(emb.filter(col("vec_id") % 3 === 2)
+          .select((col("vec_id") + 3000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+      SimilarityOps.embedNearDupIncremental(arrivals, idx)
+    }),
+    // Embed-index MAINTENANCE loop — two daily cycles end-to-end
+    // (the q_dedup_index_update shape for vectors): build the index
+    // from the even-id half, judge batch 1 (the odd half), APPEND
+    // batch-1 survivors' vectors + bucket rows, then judge batch 2 —
+    // exact twins of the odds (+1M) are caught partly through the
+    // APPENDED rows (admitted odds) and partly through the base index
+    // (odds that were near an even), exact twins of the evens (+4M)
+    // by the base index, and reversed odds (+2M) stay fresh. Output:
+    // the batch-2 verdict table.
+    "q_embed_index_update" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      requireIdHeadroom(emb, "vec_id")
+      val idx = tmpPath("graft_embidx_upd", d)
+      val evens = emb.filter(col("vec_id") % 2 === 0)
+        .select("vec_id", "embedding")
+      val odds = emb.filter(col("vec_id") % 2 === 1)
+        .select("vec_id", "embedding")
+      SimilarityOps.writeEmbedIndex(evens, idx)
+      val verdict1 = SimilarityOps.embedNearDupIncremental(odds, idx)
+      val admitted = odds.join(
+        verdict1.filter(col("kept") === 1L).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      SimilarityOps.appendToEmbedIndex(admitted, idx)
+      val batch2 = odds
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .union(odds.select((col("vec_id") + 2000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+        .union(evens.select((col("vec_id") + 4000000L).as("vec_id"),
+          col("embedding")))
+      SimilarityOps.embedNearDupIncremental(batch2, idx)
+    }),
+    // Incremental top-k SERVING against a persisted QUERY-domain index:
+    // arriving queries (perturbed copies of the first 5 corpus vectors,
+    // +1M ids — genuinely new vectors whose neighborhoods include their
+    // base twins) probe the pre-built index; lshTopK's math with the
+    // corpus side read from parquet instead of rebuilt in-plan.
+    "q_simsearch_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      requireIdHeadroom(emb, "vec_id")
+      val idx = tmpPath("graft_embidx_topk", d)
+      SimilarityOps.writeEmbedIndex(emb, idx,
+        SimilarityOps.LshTables, SimilarityOps.LshPlanes)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(lit(0.0f)),
+            slice(col("embedding"), 2, SimilarityOps.Dims - 1))
+            .as("embedding"))
+      SimilarityOps.probeTopKIncremental(queries, idx)
+    }),
     // Planted-pair recall of the near-dup path (ground truth by direct
     // id join, no LSH) — the >=0.9 claim as exact driver-checked counts.
     "q_dedup_embed_recall" -> ((s, d) =>
@@ -4478,6 +4553,9 @@ object SparkEntry {
     "q_dedup_embed_recall" -> OracleSql.dedupEmbedRecallSql,
     "q_agg_salted" -> OracleSql.aggSaltedSql,
     "q_dedup_embed" -> OracleSql.dedupEmbedSql,
+    "q_dedup_embed_incr" -> OracleSql.dedupEmbedIncrSql,
+    "q_embed_index_update" -> OracleSql.embedIndexUpdateSql,
+    "q_simsearch_incr" -> OracleSql.simsearchIncrSql,
     "q_text_stats" -> OracleSql.textStatsSql,
     "q_lang_id" -> OracleSql.langIdSql,
     "q_token_count" -> OracleSql.tokenCountSql,

@@ -480,6 +480,137 @@ object SimilarityOps {
         col("min_q"), col("max_q"),
         (col("sum_q").cast("double") / col("n")).as("mean_q"))
 
+  // ---- persisted embedding-ANN index + incremental probe ----
+  // The r8 text-index discipline (DedupOps.writeMinhashIndex /
+  // dedupMinhashIncremental, DedupOps.scala) applied to vectors: the
+  // corpus's LSH bucket rows and quantized vectors are persisted ONCE
+  // per snapshot; every arrivals batch then builds signatures for
+  // ITSELF ONLY and probes the index with keyed joins — O(arrivals)
+  // per batch, the corpus never re-scored.
+
+  /** Persist the ANN index of a known corpus under `path`:
+    *
+    *  - `path`/vectors — (vec_id, qv, n2): quantized vectors + exact
+    *    norms, stored ONCE (not per bucket row — at 512 B per 64-dim
+    *    int64 vector, riding the 5-way bucket explode would 5× the
+    *    index; the probe recovers them with one vec_id-keyed join).
+    *  - `path`/buckets — (vec_id, t, bucket, occ): hyperplane-LSH
+    *    bucket rows in the given (tables, planes) domain, `occ` the
+    *    bucket's occupancy at write time (the [[embedNearDupPairs]]
+    *    `maxBucket` degenerate-bucket guard, precomputed so the probe
+    *    never re-aggregates the index; appends recompute it
+    *    within-batch only — occupancy drift across appends is accepted
+    *    until the periodic snapshot rebuild, the
+    *    [[graft.ops.DedupOps.assignClustersIncremental]] contract).
+    *
+    * Domain choice: near-dup probing writes the PAIR domain (5×16,
+    * default); a top-k serving index writes the QUERY domain (2×6,
+    * [[LshTables]]/[[LshPlanes]]) — same writer, same probe math.
+    * At 100 TB partition `buckets` by (t, bucket-range) and bucket
+    * `vectors` by vec_id so the probe's two joins co-locate.
+    */
+  def writeEmbedIndex(corpus: DataFrame, path: String,
+                      tables: Int = PairTables,
+                      planes: Int = PairPlanes): Unit = {
+    val v = withQuant(corpus).filter(col("n2") > 0)
+    v.write.mode("overwrite").parquet(path + "/vectors")
+    buckets(v, tables, planes)
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("t", "bucket")))
+      .write.mode("overwrite").parquet(path + "/buckets")
+  }
+
+  /** Index MAINTENANCE — append an admitted batch's vectors and bucket
+    * rows so the NEXT batch's twins of these vectors are caught.
+    * O(batch) parquet appends; the index never rewrites. `occ` is the
+    * within-batch occupancy (see [[writeEmbedIndex]]); duplicate
+    * vec_ids across replayed appends are tolerated by the probe's
+    * dropDuplicates read.
+    */
+  def appendToEmbedIndex(admitted: DataFrame, path: String,
+                         tables: Int = PairTables,
+                         planes: Int = PairPlanes): Unit = {
+    val v = withQuant(admitted).filter(col("n2") > 0)
+    v.write.mode("append").parquet(path + "/vectors")
+    buckets(v, tables, planes)
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("t", "bucket")))
+      .write.mode("append").parquet(path + "/buckets")
+  }
+
+  /** Distinct (arrival vec_id, index vec_id, cos_sim) matches clearing
+    * `minCos` — the bucket-probe into a persisted index, shared by the
+    * near-dup verdict and top-k probe paths. Arrivals' signatures are
+    * built HERE (arrivals only); the index contributes pre-computed
+    * rows. Degenerate index buckets (occ > maxBucket) are excluded
+    * from candidate generation, mirroring [[embedNearDupPairs]].
+    */
+  private def embedIndexMatches(arr: DataFrame, indexPath: String,
+                                minCos: Double, maxBucket: Int,
+                                tables: Int, planes: Int): DataFrame = {
+    val spark = arr.sparkSession
+    val idxB = spark.read.parquet(indexPath + "/buckets")
+      .filter(col("occ") <= maxBucket)
+      .select(col("vec_id").as("idx_id"), col("t"), col("bucket"))
+    // dropDuplicates: a replayed append (task retry) may land the same
+    // vector twice; a duplicated join key would duplicate match rows.
+    // vec_id-keyed, linear.
+    val idxV = spark.read.parquet(indexPath + "/vectors")
+      .select(col("vec_id").as("idx_id"), col("qv").as("qb"),
+        col("n2").as("nb"))
+      .dropDuplicates("idx_id")
+    val cand = buckets(arr, tables, planes).join(idxB, Seq("t", "bucket"))
+      .select(col("vec_id"), col("idx_id")).distinct()
+    cand
+      .join(arr.select(col("vec_id"), col("qv").as("qa"), col("n2").as("na")),
+        "vec_id")
+      .join(idxV, "idx_id")
+      .select(col("vec_id"), col("idx_id"),
+        cosine(dotL(col("qa"), col("qb")), col("na"), col("nb")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** Incremental embedding near-dup dedup against a PERSISTED index
+    * ([[writeEmbedIndex]], pair domain): each arrival is judged by
+    * bucket-join candidates + exact-cosine re-check against the stored
+    * quantized vectors. Output, one row per nonzero-norm arrival:
+    * (vec_id, n_near = #index vectors with cos ≥ minCos, kept 0/1) —
+    * the [[graft.ops.DedupOps.dedupMinhashIncremental]] verdict shape
+    * for vectors. Exact copies need no separate digest tier: an
+    * identical vector scores cos ≈ 1 ≥ any sane minCos.
+    */
+  def embedNearDupIncremental(arrivals: DataFrame, indexPath: String,
+                              minCos: Double = 0.95,
+                              maxBucket: Int = 100000): DataFrame = {
+    val arr = withQuant(arrivals).filter(col("n2") > 0)
+    val near = embedIndexMatches(arr, indexPath, minCos, maxBucket,
+        PairTables, PairPlanes)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_near"))
+    arr.select("vec_id").join(near, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        when(coalesce(col("n_near"), lit(0L)) === 0L, 1L)
+          .otherwise(0L).as("kept"))
+  }
+
+  /** Incremental top-k similarity SERVING against a persisted
+    * QUERY-domain index ([[writeEmbedIndex]] with
+    * [[LshTables]]×[[LshPlanes]]): arriving query vectors build their
+    * own signatures, bucket-join the index, and rank exact cosine over
+    * candidates only — [[lshTopK]] where the corpus side is the
+    * pre-built index instead of an in-plan rebuild. Output
+    * (q_id, vec_id, cos_sim, rnk ≤ k).
+    */
+  def probeTopKIncremental(queries: DataFrame, indexPath: String,
+                           k: Int = 10): DataFrame = {
+    val q = withQuant(queries).filter(col("n2") > 0)
+    val scored = embedIndexMatches(q, indexPath, minCos = -2.0,
+        maxBucket = Int.MaxValue, LshTables, LshPlanes)
+      .select(col("vec_id").as("q_id"), col("idx_id").as("vec_id"),
+        col("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic near-dup embedding corpus: original ∪ copy with the
     * first component zeroed (cos ≈ 0.99+), ids shifted by 1_000_000.
     */

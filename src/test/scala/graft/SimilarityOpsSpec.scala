@@ -221,6 +221,136 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- persisted embed-index tier ----
+
+  /** The q_dedup_embed_incr arrival fixture: exact twins (+1M), near
+    * twins (+2M, first component zeroed), fresh reversed (+3M).
+    */
+  private def embArrivals = {
+    val third = (r: Int) => emb.filter(col("vec_id") % 3 === r)
+    third(0).select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .union(third(1).select((col("vec_id") + 2000000L).as("vec_id"),
+        concat(array(lit(0.0f)),
+          slice(col("embedding"), 2, SimilarityOps.Dims - 1)).as("embedding")))
+      .union(third(2).select((col("vec_id") + 3000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding")))
+  }
+
+  test("embedNearDupIncremental: planted cross-slice twins caught, " +
+      "fresh reversed vectors kept") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_embidx_spec").toString
+    SimilarityOps.writeEmbedIndex(emb, idx)
+    val got = SimilarityOps.embedNearDupIncremental(embArrivals, idx)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val exact = got.keys.filter(id => id >= 1000000L && id < 2000000L)
+    val near = got.keys.filter(id => id >= 2000000L && id < 3000000L)
+    val fresh = got.keys.filter(_ >= 3000000L)
+    assert(exact.nonEmpty && near.nonEmpty && fresh.nonEmpty)
+    // Exact twins: identical vector -> identical buckets in every
+    // table -> candidate always generated, cosine ~1: all caught.
+    exact.foreach { id =>
+      assert(got(id)._1 >= 1L && got(id)._2 === 0L, s"exact twin $id") }
+    // Near twins: LSH recall is probabilistic by design (~0.97 any-of-5
+    // tables at cos~0.99); pin the >=0.9 recall claim on the set.
+    val nearCaught = near.count(id => got(id)._1 >= 1L)
+    assert(nearCaught.toDouble / near.size >= 0.9,
+      s"near-twin recall $nearCaught/${near.size}")
+    // Fresh reversed vectors survive (deterministic on this fixture).
+    fresh.foreach { id => assert(got(id) === ((0L, 1L)), s"fresh $id") }
+  }
+
+  test("embedNearDupIncremental scans only the index, never the corpus") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_embidx_spec2").toString
+    SimilarityOps.writeEmbedIndex(emb, idx)
+    val arrivals = emb.limit(3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true) // cut lineage: arrivals must contribute no scan
+    val plan = SimilarityOps.embedNearDupIncremental(arrivals, idx)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(s.contains("graft_embidx_spec2"),
+      s"non-index file scan in plan: $s"))
+  }
+
+  test("embedNearDupIncremental equals the full union-corpus re-mine") {
+    // The O(arrivals) persisted-index path must lose NOTHING against
+    // the O(corpus) re-mine: per arrival, n_near equals the number of
+    // cross-boundary pairs embedNearDupPairs finds on the union corpus
+    // (same quantization, same hyperplanes, same cosine threshold).
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_embidx_spec3").toString
+    SimilarityOps.writeEmbedIndex(emb, idx)
+    val incr = SimilarityOps.embedNearDupIncremental(embArrivals, idx)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = SimilarityOps.embedNearDupPairs(
+        emb.select("vec_id", "embedding").union(embArrivals))
+      .filter(col("vec_a") < 1000000L && col("vec_b") >= 1000000L)
+      .groupBy("vec_b").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr.nonEmpty)
+    incr.foreach { case (id, n) =>
+      assert(n === full.getOrElse(id, 0L), s"arrival $id") }
+    assert(full.keySet.subsetOf(incr.keySet))
+  }
+
+  test("appendToEmbedIndex: a twin is caught only after its original " +
+      "is admitted") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_embidx_spec4").toString
+    SimilarityOps.writeEmbedIndex(emb, idx)
+    // A reversed corpus vector is fresh w.r.t. the base index; its
+    // exact twin arrives in the NEXT batch.
+    val fresh = emb.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val twin = emb.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val before = SimilarityOps.embedNearDupIncremental(twin, idx)
+      .collect().head
+    assert((before.getLong(1), before.getLong(2)) === ((0L, 1L)))
+    val v1 = SimilarityOps.embedNearDupIncremental(fresh, idx)
+      .collect().head
+    assert(v1.getLong(2) === 1L) // admitted
+    SimilarityOps.appendToEmbedIndex(fresh, idx)
+    val after = SimilarityOps.embedNearDupIncremental(twin, idx)
+      .collect().head
+    assert(after.getLong(1) >= 1L && after.getLong(2) === 0L)
+  }
+
+  test("probeTopKIncremental over exact query copies equals lshTopK " +
+      "modulo the self row") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_embidx_spec5").toString
+    SimilarityOps.writeEmbedIndex(emb, idx,
+      SimilarityOps.LshTables, SimilarityOps.LshPlanes)
+    // Queries = UNperturbed copies of the first 5 corpus vectors at +1M
+    // ids: identical vectors share every bucket, so each probe's rank-1
+    // hit is the query's own base twin (cos ~1) and the tail must equal
+    // lshTopK's ranked list for the base vector.
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val probed = SimilarityOps.probeTopKIncremental(queries, idx).collect()
+      .groupBy(_.getLong(0))
+    val ref = SimilarityOps.lshTopK(emb).collect().groupBy(_.getLong(0))
+    assert(probed.keySet === Set(1000000L, 1000001L, 1000002L,
+      1000003L, 1000004L))
+    probed.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to rows.length))
+      assert(sorted.head.getLong(1) === qid - 1000000L) // self twin first
+      assert(sorted.head.getDouble(2) > 0.999999)
+      val tail = sorted.tail.map(r => (r.getLong(1), r.getDouble(2)))
+      val expect = ref(qid - 1000000L).sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).take(tail.length)
+      assert(tail.toSeq === expect.toSeq, s"query $qid")
+    }
+  }
+
   test("saltedSum equals the direct groupBy (skew path is exact)") {
     import graft.ops.AggOps
     val li = Tables.lineitem(spark, sfDir)
