@@ -1565,6 +1565,22 @@ object SparkEntry {
     // bits must match, which only actual pixel decode produces.
     "q_image_ahash" -> ((s, d) =>
       MultimodalOps.imageAHash(Tables.documents(s, d))),
+    // Image NEAR-DUP pairing over aHash fingerprints — the MinHash-band
+    // analogue for the multimodal tier: 4×16-bit bands generate
+    // candidates (never all-pairs), exact Hamming ≤ 3 verifies. The
+    // synthetic raster is a pure function of doc_id mod 256, so the
+    // corpus is bounded to the < 256 slice (mutually distinct images)
+    // plus planted brightness-shifted (+8) variants in the +1M id
+    // slice. Banding is pigeonhole-EXHAUSTIVE at Hamming ≤ 3, so the
+    // oracle checks the STRONGER closed-form all-pairs answer — the
+    // banded engine result must equal it exactly.
+    "q_image_neardup" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 256)
+      val fps = MultimodalOps.imageAHash(base)
+        .unionByName(MultimodalOps.imageAHashShifted(base, 1000000L, 8))
+        .select("asset_id", "ahash")
+      MultimodalOps.imageNearDupPairs(fps)
+    }),
     // RGB (3-band) decode proof: per-channel means + aHashes over real
     // decoded RGB PNGs — independent closed-form gradients per channel,
     // so band swaps or gray-fusing fail the oracle on at least one band.
@@ -4894,6 +4910,48 @@ object SparkEntry {
                  string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS ahash,
                  CAST(SUM(bit) AS BIGINT) AS n_set
           FROM b GROUP BY doc_id, w, h, mean_px""",
+    // STRONGER-than-replay oracle for the banded near-dup path: the
+    // 4×16-bit banding is pigeonhole-exhaustive at Hamming <= 3, so
+    // the closed-form ALL-PAIRS answer over the regenerated
+    // fingerprints (base slice delta 0, +1M slice brightness +8, every
+    // pixel (p + delta) mod 256) must equal the engine's banded result
+    // exactly — a banding recall bug shows up as a missing row.
+    "q_image_neardup" ->
+      """WITH src AS (
+           SELECT doc_id AS asset_id, doc_id AS id, 0 AS delta
+           FROM documents WHERE doc_id < 256
+           UNION ALL
+           SELECT doc_id + 1000000, doc_id, 8
+           FROM documents WHERE doc_id < 256),
+         dims AS (SELECT asset_id, id, delta,
+                         CAST(1 + id % 16 AS BIGINT) AS w,
+                         CAST(1 + (id // 16) % 16 AS BIGINT) AS h
+                  FROM src),
+         m AS (SELECT asset_id, id, delta, w, h,
+                 CAST(SUM(((CASE WHEN i.range = 0 THEN id % 256
+                            ELSE (id + 31 * (i.range % w)
+                                  + 7 * (i.range // w)) % 256 END)
+                           + delta) % 256) AS BIGINT) // (w * h) AS mean_px
+               FROM dims, range(0, 256) i WHERE i.range < w * h
+               GROUP BY asset_id, id, delta, w, h),
+         b AS (SELECT asset_id, k.range AS k,
+                 CASE WHEN ((CASE WHEN (k.range % 8) * w // 8 = 0
+                                   AND (k.range // 8) * h // 8 = 0
+                             THEN id % 256
+                             ELSE (id + 31 * ((k.range % 8) * w // 8)
+                                   + 7 * ((k.range // 8) * h // 8)) % 256
+                             END) + delta) % 256 > mean_px
+                      THEN '1' ELSE '0' END AS bit
+               FROM m, range(0, 64) k),
+         fp AS (SELECT asset_id,
+                       string_agg(bit, '' ORDER BY k) AS ahash
+                FROM b GROUP BY asset_id),
+         pairs AS (SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+                     CAST(list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN x.ahash[i] != y.ahash[i]
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+                   FROM fp x JOIN fp y ON x.asset_id < y.asset_id)
+         SELECT asset_a, asset_b, hamming FROM pairs WHERE hamming <= 3""",
     "q_image_rgb" -> OracleSql.imageRgbSql,
     "q_multimodal_jpeg" ->
       """SELECT count(*) AS n_assets,

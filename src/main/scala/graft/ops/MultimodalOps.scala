@@ -278,7 +278,20 @@ object MultimodalOps {
     * regenerates the synthetic raster closed-form and must land on the
     * identical 64 bits — proving real pixel decode, not header math.
     */
-  def imageAHash(docs: DataFrame): DataFrame = {
+  def imageAHash(docs: DataFrame): DataFrame = imageAHashShifted(docs, 0L, 0)
+
+  /** [[imageAHash]] over BRIGHTNESS-SHIFTED copies of the decoded
+    * rasters — the deterministic near-duplicate generator of the image
+    * tier: every decoded sample becomes (sample + delta) mod 256 before
+    * the mean/threshold pass, and asset ids shift by `idOffset` into
+    * their own slice. A small delta preserves most threshold decisions
+    * (mean and samples shift together except at the mod-256 wrap), so
+    * the variant lands within a few Hamming bits of its original —
+    * exactly the perturbation class aHash is designed to absorb.
+    * delta = 0, idOffset = 0 IS the base fingerprint path.
+    */
+  def imageAHashShifted(docs: DataFrame, idOffset: Long,
+                        delta: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select("doc_id").as[Long]
@@ -286,22 +299,56 @@ object MultimodalOps {
         val img = readImg(Asset(id, "png", syntheticPng(id)))
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
+        def px(x: Int, y: Int): Long =
+          (raster.getSample(x, y, 0).toLong + delta) % 256
         var psum = 0L
         for (y <- 0 until h; x <- 0 until w)
-          psum += raster.getSample(x, y, 0)
+          psum += px(x, y)
         val mean = psum / (w.toLong * h)
         val bits = new StringBuilder(64)
         var nSet = 0L
         for (k <- 0 until 64) {
           val sx = (k % 8) * w / 8
           val sy = (k / 8) * h / 8
-          val bit = if (raster.getSample(sx, sy, 0) > mean) 1 else 0
+          val bit = if (px(sx, sy) > mean) 1 else 0
           nSet += bit
           bits.append(bit)
         }
-        (id, w.toLong, h.toLong, mean, bits.toString, nSet)
+        (id + idOffset, w.toLong, h.toLong, mean, bits.toString, nSet)
       })
       .toDF("asset_id", "w", "h", "mean_px", "ahash", "n_set")
+  }
+
+  /** Image NEAR-DUP pairs over aHash fingerprints — the MinHash-band
+    * analogue for the multimodal tier ([[graft.ops.DedupOps]]'s
+    * bandRowsOf discipline): the 64-bit fingerprint is banded as
+    * 4 × 16 bits, candidates come ONLY from pairs sharing a band
+    * bucket (never all-pairs), and each candidate is verified by the
+    * exact Hamming distance over the full bitstrings riding the band
+    * join. By pigeonhole the four bands are EXHAUSTIVE for Hamming
+    * ≤ 3 — two fingerprints differing in ≤ 3 bits must agree on some
+    * 16-bit band — so with the default threshold the banded result
+    * provably equals the all-pairs scan (the SimHash 4×15 precedent;
+    * the oracle exploits it by checking the closed-form all-pairs
+    * answer). Scale: each band keys 2^16 buckets; occupancy ~n/65,536
+    * per band keeps the self-join linear-ish at large corpora.
+    */
+  def imageNearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = fps.select(col("asset_id"), col("ahash"), explode(array(
+        (0 until 4).map(j => struct(lit(j).as("band"),
+          substring(col("ahash"), j * 16 + 1, 16).as("bk"))): _*)).as("b"))
+      .select(col("asset_id"), col("ahash"),
+        col("b.band").as("band"), col("b.bk").as("bk"))
+    val ham = aggregate(zip_with(split(col("ha"), ""), split(col("hb"), ""),
+      (x, y) => when(x =!= y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .distinct()
+      .select(col("asset_a"), col("asset_b"), ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   // ---- real RGB (3-band) decode tier ----

@@ -69,6 +69,31 @@ class MultimodalStreamSpec extends SparkSpec {
     assert(got(0L)._4 === "0" * 64)
   }
 
+  test("imageNearDupPairs: banded pairs equal the all-pairs Hamming scan " +
+      "(pigeonhole exhaustive at <= 3); planted shifted twins found") {
+    import spark.implicits._
+    val base = (0L until 64L).toDF("doc_id")
+    val fps = MultimodalOps.imageAHash(base)
+      .unionByName(MultimodalOps.imageAHashShifted(base, 1000000L, 8))
+      .select("asset_id", "ahash")
+    val got = MultimodalOps.imageNearDupPairs(fps).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // Reference: driver-side ALL-pairs Hamming <= 3 over the collected
+    // fingerprints — the banding must lose nothing at this threshold.
+    val fp = fps.collect().map(r => r.getLong(0) -> r.getString(1))
+    val ref = (for {
+      (a, ha) <- fp; (b, hb) <- fp if a < b
+      d = ha.zip(hb).count { case (x, y) => x != y } if d <= 3
+    } yield (a, b) -> d.toLong).toMap
+    assert(got === ref)
+    // The brightness+8 perturbation leaves a good share of twins within
+    // 3 bits (136/256 on the full slice); pin that the planted pair
+    // channel is nonempty and every found pair is a verified distance.
+    val planted = got.keys.filter { case (a, b) => b - a == 1000000L }
+    assert(planted.nonEmpty)
+    assert(got.values.forall(_ <= 3L))
+  }
+
   test("imageRgbStats: each channel matches its own formula replica") {
     // Three independent per-channel replicas — the decode must keep the
     // bands apart (a gray-fused or band-swapped decode diverges).
