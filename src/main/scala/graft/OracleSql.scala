@@ -961,6 +961,31 @@ object OracleSql {
         FROM ti t JOIN v$merges v USING (w)
         GROUP BY t.doc_id"""
 
+  /** Persisted-vocab apply twin: the same training rounds (the
+    * persisted vocab IS v`merges`), then word instances of the
+    * OOV-augmented corpus LEFT-join the vocab; misses fall back to the
+    * character-level initial encoding and are counted. Mirrors
+    * BpeOps.tokenizeWithVocab over trainWriteVocab's artifact.
+    */
+  def bpeApplySql(merges: Int): String =
+    s"""WITH $BpeInstanceCtes,
+        ${bpeRoundCtes(merges)},
+        wi2 AS (SELECT doc_id,
+              unnest(string_split_regex(lower(text || ' qzjxvw'), '$Ws')) AS w
+            FROM documents),
+        ti2 AS (SELECT doc_id, w FROM wi2
+                WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2),
+        ap AS (SELECT t.doc_id, t.w,
+                 CASE WHEN v.sym IS NULL THEN 1 ELSE 0 END AS oov,
+                 COALESCE(v.sym,
+                   regexp_replace(t.w, '(.)', '|\\1|', 'g')) AS sym
+               FROM ti2 t LEFT JOIN v$merges v USING (w))
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+               CAST(SUM(len($BpeSymsOf)) AS BIGINT) AS n_tokens,
+               CAST(SUM(oov) AS BIGINT) AS n_oov
+        FROM ap GROUP BY doc_id"""
+
   /** RGB decode twin: per-channel closed-form raster replay — one
     * (mean, aHash-bits) CTE pair per channel over the shared dims, so
     * a decoder that swapped or gray-fused bands diverges on at least

@@ -2997,6 +2997,24 @@ object SparkEntry {
     "q_bpe_tokenize" -> ((s, d) =>
       BpeOps.tokenizeTrained(Tables.documents(s, d), BpeMerges)),
 
+    // PERSISTED-vocab apply — the production tokenization path: train
+    // once, write merges + word→symbols artifacts to parquet
+    // (trainWriteVocab), then tokenize by reading the artifact — no
+    // retraining in the apply plan. The applied corpus appends one
+    // out-of-vocabulary word per document ("qzjxvw", absent from the
+    // training corpus), exercising the char-level OOV fallback every
+    // real tokenizer ships; per-doc totals gain an exact n_oov count.
+    // Oracle replays train + apply; persisted vocab ≡ trained vocab,
+    // so the SQL twin trains the same rounds and left-joins.
+    "q_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = tmpPath("graft_bpe_vocab", d)
+      BpeOps.trainWriteVocab(docs, BpeMerges, path)
+      BpeOps.tokenizeWithVocab(
+        docs.select(col("doc_id"),
+          concat(col("text"), lit(" qzjxvw")).as("text")), path)
+    }),
+
     // Kendall tau-b rank correlation — exact, at scale, via the same
     // domain-compression discipline as q_mannwhitney: joint histogram
     // over the (l_quantity ≤50 × l_linenumber ≤7) domain, then the
@@ -4564,6 +4582,7 @@ object SparkEntry {
     "q_kmeans" -> OracleSql.kmeansSql(KmeansRounds),
     "q_bpe_train" -> OracleSql.bpeTrainSql(BpeMerges),
     "q_bpe_tokenize" -> OracleSql.bpeTokenizeSql(BpeMerges),
+    "q_bpe_apply" -> OracleSql.bpeApplySql(BpeMerges),
     "q_simsearch_pq" -> OracleSql.simsearchPqSql,
     "q_simsearch_recall" -> OracleSql.simsearchRecallSql,
     "q_dedup_embed_recall" -> OracleSql.dedupEmbedRecallSql,

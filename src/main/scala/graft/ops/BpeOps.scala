@@ -125,6 +125,49 @@ object BpeOps {
     * the compression the merges bought — the number a tokenizer
     * deployment tracks per corpus slice.
     */
+  /** Train and PERSIST the tokenizer artifacts — the artifact half of
+    * the train → write → apply lifecycle every tokenizer deployment
+    * runs (the [[graft.ops.DedupOps.writeMinhashIndex]] persisted-
+    * artifact discipline): the merge table under `path`/merges (the
+    * audit/provenance record) and the final word → merged-symbols map
+    * under `path`/vocab (the apply-side join artifact, |distinct
+    * words| rows — parquet-tiny for natural-language vocabularies).
+    * Trained once per corpus snapshot; every later tokenization reads
+    * the artifact instead of re-running the merge loop.
+    */
+  def trainWriteVocab(docs: DataFrame, merges: Int, path: String): Unit = {
+    val (mergeTable, vocab) = trainLoop(docs, merges)
+    mergeTable.write.mode("overwrite").parquet(path + "/merges")
+    vocab.select("w", "sym").write.mode("overwrite").parquet(path + "/vocab")
+  }
+
+  /** Tokenize with a PERSISTED vocab ([[trainWriteVocab]]) — apply
+    * without retraining: one keyed join from word instances to the
+    * stored merged-symbol map (Spark's own broadcast threshold
+    * decides the join strategy). Out-of-vocabulary words — absent
+    * from the training corpus — fall back to the character-level
+    * initial encoding (every real BPE tokenizer's byte/char
+    * fallback), contributing length(w) tokens each, and are counted
+    * per document. Output: (doc_id, n_words, n_chars, n_tokens,
+    * n_oov).
+    */
+  def tokenizeWithVocab(docs: DataFrame, path: String): DataFrame = {
+    val vocab = docs.sparkSession.read.parquet(path + "/vocab")
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), TextOps.WsRegex)).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .join(vocab, Seq("w"), "left")
+      .select(col("doc_id"), col("w"),
+        when(col("sym").isNull, 1L).otherwise(0L).as("oov"),
+        coalesce(col("sym"),
+          regexp_replace(col("w"), "(.)", "|$1|")).as("sym"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_chars"),
+        sum(size(syms(col("sym")))).cast("long").as("n_tokens"),
+        sum(col("oov")).cast("long").as("n_oov"))
+  }
+
   def tokenizeTrained(docs: DataFrame, merges: Int): DataFrame = {
     val vocab = trainLoop(docs, merges)._2.select("w", "sym")
     docs.select(col("doc_id"),

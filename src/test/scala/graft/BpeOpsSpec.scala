@@ -71,6 +71,48 @@ class BpeOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenizeWithVocab over the persisted artifact equals the " +
+      "inline-trained apply; OOV words char-fallback and are counted") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe_vocab_spec").toString
+    BpeOps.trainWriteVocab(docs, 5, path)
+    // apply ≡ inline train on the SAME corpus: identical totals, no OOV
+    val applied = BpeOps.tokenizeWithVocab(docs, path).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val inline = BpeOps.tokenizeTrained(docs, 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(applied.keySet === inline.keySet)
+    applied.foreach { case (id, (w, c, t, oov)) =>
+      assert((w, c, t) === inline(id), s"doc $id")
+      assert(oov === 0L, s"doc $id")
+    }
+    // OOV fallback: an unseen word tokenizes char-level (length(w)
+    // tokens) and is counted; trained words still use their merges.
+    val oovDocs = Seq((9000L, "ab qqqzzz")).toDF("doc_id", "text")
+    val tinyPath = java.nio.file.Files
+      .createTempDirectory("graft_bpe_vocab_spec2").toString
+    BpeOps.trainWriteVocab(
+      (1L to 3L).map(i => (i, "ab ab cd")).toDF("doc_id", "text"),
+      2, tinyPath)
+    val Array(row) = BpeOps.tokenizeWithVocab(oovDocs, tinyPath).collect()
+    // "ab" → 1 merged token; "qqqzzz" → 6 char tokens, 1 OOV word.
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      === ((2L, 8L, 7L, 1L)))
+    // The apply plan reads ONLY the persisted artifact — no retraining:
+    // with in-memory docs, every file scan must hit the vocab path.
+    val memDocs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+      .localCheckpoint(true)
+    val plan = BpeOps.tokenizeWithVocab(memDocs, tinyPath)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(s.contains("graft_bpe_vocab_spec2"),
+      s"non-artifact file scan in plan: $s"))
+  }
+
   test("symbols_after decreases monotonically across merge rounds") {
     val docs = Tables.documents(spark, sfDir)
     val rows = BpeOps.train(docs, 5).collect().sortBy(_.getLong(0))
