@@ -986,6 +986,44 @@ object OracleSql {
                CAST(SUM(oov) AS BIGINT) AS n_oov
         FROM ap GROUP BY doc_id"""
 
+  /** HTML-extraction twin: rebuilds the synthetic page closed-form
+    * (CurationOps.htmlWrap's exact literal), then replays the strip
+    * pipeline — script/style blocks with content, tags to spaces,
+    * entity decode with &amp; last, whitespace collapse. RE2 handles
+    * the lazy spans and inline (?is) flags identically to Java regex
+    * on this pattern class.
+    */
+  def htmlExtractSql: String =
+    """WITH pages AS (SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           '</title><style>body { margin: 0; } p > a { color: #00f; }' ||
+           '</style></head><body><script type="text/javascript">var x = 1;' ||
+           ' if (x &lt; 2 && x &gt; 0) { emit("<p>not text</p>"); }' ||
+           '</script><nav><ul><li>Home</li><li>About</li></ul></nav>' ||
+           '<div id="main"><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+           '</h1><p>' || text ||
+           '</p><p>tail &amp; more&nbsp;text &#39;quoted&#39;</p></div>' ||
+           '<footer>fin</footer></body></html>' AS html
+         FROM documents WHERE text IS NOT NULL),
+       s1 AS (SELECT doc_id, regexp_replace(html,
+                '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t
+              FROM pages),
+       s2 AS (SELECT doc_id, regexp_replace(t,
+                '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+       s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t
+              FROM s2),
+       s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(
+                replace(t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s3),
+       s5 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g'))
+                AS main_text FROM s4)
+       SELECT doc_id, main_text,
+              CAST(CASE WHEN length(main_text) = 0 THEN 0
+                   ELSE len(string_split(main_text, ' ')) END AS BIGINT)
+                AS n_words,
+              CAST(length(main_text) AS BIGINT) AS n_chars
+       FROM s5"""
+
   /** RGB decode twin: per-channel closed-form raster replay — one
     * (mean, aHash-bits) CTE pair per channel over the shared dims, so
     * a decoder that swapped or gray-fused bands diverges on at least

@@ -1271,6 +1271,17 @@ object SparkEntry {
 
     // LLM-pipeline tier: text analysis over documents.
     "q_text_stats"  -> ((s, d) => TextStatsOps.textStats(Tables.documents(s, d))),
+    // HTML/boilerplate extraction — the web-crawl front half of
+    // curation, ahead of the quality tier: a deterministic synthetic
+    // HTML wrapper (title/style/script/nav/footer boilerplate around
+    // the document text, entity-bearing) is stripped back to main text
+    // — script/style blocks dropped WITH content, tags to spaces,
+    // entities decoded (&amp; last), whitespace collapsed. The script
+    // body plants markup-looking text ("<p>not text</p>") that would
+    // leak into the output if block-stripping broke. Pure codegen
+    // expression work, zero shuffle; oracle replays wrap + extraction.
+    "q_html_extract" -> ((s, d) =>
+      CurationOps.htmlExtract(CurationOps.htmlWrap(Tables.documents(s, d)))),
     "q_lang_id"     -> ((s, d) => TextStatsOps.langId(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextStatsOps.tokenCounts(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextStatsOps.fingerprint(Tables.documents(s, d))),
@@ -4592,6 +4603,7 @@ object SparkEntry {
     "q_embed_index_update" -> OracleSql.embedIndexUpdateSql,
     "q_simsearch_incr" -> OracleSql.simsearchIncrSql,
     "q_text_stats" -> OracleSql.textStatsSql,
+    "q_html_extract" -> OracleSql.htmlExtractSql,
     "q_lang_id" -> OracleSql.langIdSql,
     "q_token_count" -> OracleSql.tokenCountSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,

@@ -13,6 +13,64 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** Deterministic synthetic HTML wrapper around the documents corpus —
+    * the [[htmlExtract]] fixture contract, shared closed-form with the
+    * DuckDB oracle: title/style boilerplate in the head, a script block
+    * (with markup-looking string content and entities), nav chrome, the
+    * document text in the main div, an entity-bearing tail paragraph,
+    * and a footer. Null-text rows are dropped (the corpus's malformed
+    * tier).
+    */
+  def htmlWrap(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>body { margin: 0; } p > a { color: #00f; }" +
+        "</style></head><body><script type=\"text/javascript\">var x = 1;" +
+        " if (x &lt; 2 && x &gt; 0) { emit(\"<p>not text</p>\"); }" +
+        "</script><nav><ul><li>Home</li><li>About</li></ul></nav>" +
+        "<div id=\"main\"><h1>Doc "), col("doc_id"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><p>tail &amp; more&nbsp;text &#39;quoted&#39;</p></div>" +
+        "<footer>fin</footer></body></html>")).as("html"))
+
+  /** HTML → main-text extraction — the web-crawl front half of curation,
+    * ahead of the quality tier ([[graft.ops.TextStatsOps]] composes
+    * downstream on `main_text`). Pure per-row expression work (regex +
+    * literal replaces, whole-stage codegen, zero shuffle):
+    *
+    *  1. `<script>`/`<style>` blocks are dropped WITH their content
+    *     (lazy `.*?` spans, case-insensitive, DOTALL) — boilerplate
+    *     code is not text;
+    *  2. every remaining tag `<[^>]*>` becomes a space (the naive-HTML
+    *     contract, stated plainly: an unescaped literal `>` inside an
+    *     attribute value truncates that tag early — both engines share
+    *     the behavior, and real crawl extractors accept the same trade);
+    *  3. the common entities decode (`&nbsp; &lt; &gt; &quot; &#39;`,
+    *     then `&amp;` LAST so `&amp;lt;` single-decodes to `&lt;`, not
+    *     double to `<`);
+    *  4. whitespace collapses to single spaces, trimmed.
+    *
+    * Output: (doc_id, main_text, n_words, n_chars) — exact counts over
+    * the extracted text.
+    */
+  def htmlExtract(pages: DataFrame): DataFrame = {
+    val noScript = regexp_replace(col("html"),
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    val main = trim(regexp_replace(decoded, "\\s+", " "))
+    pages.select(col("doc_id"), main.as("main_text"))
+      .select(col("doc_id"), col("main_text"),
+        when(length(col("main_text")) === 0, 0L)
+          .otherwise(size(split(col("main_text"), " ")).cast("long"))
+          .as("n_words"),
+        length(col("main_text")).cast("long").as("n_chars"))
+  }
+
   /** Benchmark decontamination (the GPT-3/PaLM n-gram protocol): flag every
     * training document sharing at least one word k-gram with a held-out
     * benchmark. Returns (doc_id, n_hits) for contaminated docs only —

@@ -6,6 +6,43 @@ import graft.ops.{CurationOps, DedupOps}
 class CurationOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("htmlExtract strips blocks with content, decodes entities in " +
+      "order, collapses whitespace") {
+    val pages = Seq(
+      // script content (markup-looking) must vanish entirely
+      (1L, "<p>keep</p><script>var s = \"<b>leak</b>\";</script><p>tail</p>"),
+      // style with a literal '>' in a selector; case-insensitive tags
+      (2L, "<STYLE>p > a { x }</STYLE><DIV>body text</DIV>"),
+      // entity order: &amp;lt; single-decodes to "&lt;", never to "<"
+      (3L, "<p>a &amp;lt; b &lt; c &amp; d&nbsp;e &#39;f&#39; &quot;g&quot;</p>"),
+      // multi-line block spans (DOTALL) + whitespace collapse
+      (4L, "<script>\nline1\nline2\n</script>  one \n\t two  "),
+      // empty after extraction
+      (5L, "<script>only code</script><style>only css</style>")
+    ).toDF("doc_id", "html")
+    val got = CurationOps.htmlExtract(pages).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("keep tail", 2L, 9L)))
+    assert(got(2L) === (("body text", 2L, 9L)))
+    assert(got(3L) === (("a &lt; b < c & d e 'f' \"g\"", 10L, 26L)))
+    assert(got(4L) === (("one two", 2L, 7L)))
+    assert(got(5L) === (("", 0L, 0L)))
+  }
+
+  test("htmlWrap + htmlExtract recovers the document text surrounded " +
+      "by the fixed chrome") {
+    val docs = Seq((7L, "alpha beta"), (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = CurationOps.htmlExtract(CurationOps.htmlWrap(docs)).collect()
+    assert(out.length === 1) // null text dropped
+    val main = out.head.getString(1)
+    assert(main === "Doc 7 Home About Doc 7 alpha beta " +
+      "tail & more text 'quoted' fin")
+    // the planted script string must never leak
+    assert(!main.contains("not text") && !main.contains("margin"))
+  }
+
   test("decontaminate flags docs sharing an 8-gram with the benchmark") {
     val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text")
     val train = Seq(
