@@ -27,6 +27,15 @@ package graft
   * regressions" that TimeOne MINs then disproved. MIN over two passes
   * is the cheapest estimator that discards one-off scheduler/IO stalls;
   * it measures the plan, not the host's worst moment.
+  *
+  * Known residual noise (r9 TimeOne audit): decode-bound multimodal
+  * queries (q_image_ahash and siblings) still drift up to ~2× WITHIN a
+  * full-suite run — javax.imageio codec state is JVM-global and shared
+  * across the interleaved suite, so suite ordering perturbs them in
+  * ways two-pass MIN cannot fully discard (r8 recorded q_image_ahash
+  * at 1.89 s; isolated TimeOne min is 0.84 s with no code change).
+  * Judge suite-context drift on these via TimeOne before calling it a
+  * regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

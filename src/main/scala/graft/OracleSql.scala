@@ -1362,6 +1362,129 @@ object OracleSql {
         FROM (SELECT vec_id FROM n WHERE vec_id >= 1000000) a
         LEFT JOIN near2 nr USING (vec_id)"""
 
+  /** Incremental embed cluster-assignment twin: known corpus
+    * (base ∪ +1M zeroed-first twins) pairs via the bucket pipeline →
+    * recursive-CTE connected components (min-label closure) → arrivals
+    * (≥ 2M) take MIN(COALESCE(cluster(match), match)) over their
+    * cosine-verified index matches, unmatched become singletons.
+    */
+  def embedClusterIncrSql: String =
+    s"""WITH RECURSIVE ecorpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_concat([CAST(0.0 AS FLOAT)], embedding[2:])
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 2000000,
+                 list_concat([CAST(0.0 AS FLOAT)], embedding[2:])
+          FROM embeddings WHERE vec_id % 3 = 0
+          UNION ALL
+          SELECT vec_id + 3000000, embedding
+          FROM embeddings WHERE vec_id % 3 = 1
+          UNION ALL
+          SELECT vec_id + 4000000, list_reverse(embedding)
+          FROM embeddings WHERE vec_id % 3 = 2),
+        ${quantCte("ecorpus")},
+        ${bucketCteFor(SimilarityOps.PairTables, SimilarityOps.PairPlanes)},
+        kcand AS (SELECT DISTINCT x.vec_id AS u, y.vec_id AS v
+                  FROM bkt x JOIN bkt y
+                  ON x.t = y.t AND x.bucket = y.bucket
+                  AND x.vec_id < y.vec_id AND y.vec_id < 2000000),
+        kpd AS (SELECT c.u, c.v, a.v AS qvv, a.n2 AS qn2,
+                       b.v AS vv, b.n2 AS n2
+                FROM kcand c
+                JOIN n a ON a.vec_id = c.u
+                JOIN n b ON b.vec_id = c.v),
+        kpairs AS (SELECT u, v FROM kpd WHERE $cosExpr >= 0.95),
+        und AS (SELECT u, v FROM kpairs UNION ALL SELECT v, u FROM kpairs),
+        reach(node, lbl) AS (
+          SELECT u, u FROM und
+          UNION
+          SELECT e.v, r.lbl FROM und e JOIN reach r ON r.node = e.u),
+        kclusters AS (SELECT node, MIN(lbl) AS cluster
+                      FROM reach GROUP BY node),
+        xcand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS k_id
+                  FROM bkt x JOIN bkt y
+                  ON x.t = y.t AND x.bucket = y.bucket
+                  AND x.vec_id >= 2000000 AND y.vec_id < 2000000),
+        xpd AS (SELECT c.a_id, c.k_id, a.v AS qvv, a.n2 AS qn2,
+                       b.v AS vv, b.n2 AS n2
+                FROM xcand c
+                JOIN n a ON a.vec_id = c.a_id
+                JOIN n b ON b.vec_id = c.k_id),
+        xm AS (SELECT a_id, k_id FROM xpd WHERE $cosExpr >= 0.95)
+        SELECT a.vec_id,
+               COALESCE(MIN(COALESCE(kc.cluster, m.k_id)), a.vec_id)
+                 AS cluster,
+               CAST(COUNT(m.k_id) AS BIGINT) AS n_near
+        FROM (SELECT vec_id FROM n WHERE vec_id >= 2000000) a
+        LEFT JOIN xm m ON m.a_id = a.vec_id
+        LEFT JOIN kclusters kc ON kc.node = m.k_id
+        GROUP BY a.vec_id"""
+
+  /** Streaming embed-index ingest twin: batch-0 verdicts (odds vs the
+    * evens index) are PART OF THE OUTPUT, and batch 1 (+1M exact /
+    * +1.5M near twins of those odds) is judged against evens ∪ batch-0
+    * survivors — the in-stream index update, replayed in SQL.
+    */
+  def embedStreamIngestSql: String =
+    s"""WITH ecorpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, embedding
+          FROM embeddings WHERE vec_id % 2 = 1
+          UNION ALL
+          SELECT vec_id + 1500000,
+                 list_concat([CAST(0.0 AS FLOAT)], embedding[2:])
+          FROM embeddings WHERE vec_id % 2 = 1),
+        ${quantCte("ecorpus")},
+        ${bucketCteFor(SimilarityOps.PairTables, SimilarityOps.PairPlanes)},
+        cand1 AS (SELECT DISTINCT a.vec_id, b.vec_id AS idx_id
+                  FROM bkt a JOIN bkt b
+                  ON a.t = b.t AND a.bucket = b.bucket
+                  WHERE a.vec_id < 1000000 AND a.vec_id % 2 = 1
+                    AND b.vec_id < 1000000 AND b.vec_id % 2 = 0),
+        pd1 AS (SELECT c.vec_id, c.idx_id, an.v AS qvv, an.n2 AS qn2,
+                       bn.v AS vv, bn.n2 AS n2
+                FROM cand1 c
+                JOIN n an ON an.vec_id = c.vec_id
+                JOIN n bn ON bn.vec_id = c.idx_id),
+        xm1 AS (SELECT vec_id, idx_id FROM pd1 WHERE $cosExpr >= 0.95),
+        b0 AS (SELECT a.vec_id,
+                 CAST(COUNT(m.idx_id) AS BIGINT) AS n_near,
+                 CAST(CASE WHEN COUNT(m.idx_id) = 0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS kept
+               FROM (SELECT vec_id FROM n
+                     WHERE vec_id < 1000000 AND vec_id % 2 = 1) a
+               LEFT JOIN xm1 m ON m.vec_id = a.vec_id
+               GROUP BY a.vec_id),
+        idx2 AS (SELECT vec_id FROM n
+                 WHERE vec_id < 1000000 AND vec_id % 2 = 0
+                 UNION ALL
+                 SELECT vec_id FROM b0 WHERE kept = 1),
+        cand2 AS (SELECT DISTINCT a.vec_id, b.vec_id AS idx_id
+                  FROM bkt a JOIN bkt b
+                  ON a.t = b.t AND a.bucket = b.bucket
+                  JOIN idx2 i ON i.vec_id = b.vec_id
+                  WHERE a.vec_id >= 1000000),
+        pd2 AS (SELECT c.vec_id, c.idx_id, an.v AS qvv, an.n2 AS qn2,
+                       bn.v AS vv, bn.n2 AS n2
+                FROM cand2 c
+                JOIN n an ON an.vec_id = c.vec_id
+                JOIN n bn ON bn.vec_id = c.idx_id),
+        xm2 AS (SELECT vec_id, idx_id FROM pd2 WHERE $cosExpr >= 0.95),
+        b1 AS (SELECT a.vec_id,
+                 CAST(COUNT(m.idx_id) AS BIGINT) AS n_near,
+                 CAST(CASE WHEN COUNT(m.idx_id) = 0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS kept
+               FROM (SELECT vec_id FROM n WHERE vec_id >= 1000000) a
+               LEFT JOIN xm2 m ON m.vec_id = a.vec_id
+               GROUP BY a.vec_id)
+        SELECT vec_id, n_near, kept FROM b0
+        UNION ALL
+        SELECT vec_id, n_near, kept FROM b1"""
+
   /** Incremental top-k serving twin: simsearchLshSql with the query set
     * replaced by the five perturbed +1M arrivals probing the base
     * corpus as the persisted index side.

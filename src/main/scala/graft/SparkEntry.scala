@@ -1194,6 +1194,61 @@ object SparkEntry {
           col("embedding")))
       SimilarityOps.embedNearDupIncremental(batch2, idx)
     }),
+    // Incremental cluster ASSIGNMENT for vectors (the
+    // q_dedup_cluster_incr shape): the known dup-bearing corpus
+    // (embedDupCorpus — orig + zeroed-first twins form real 2-clusters)
+    // is mined once into index + CC cluster map; arrivals (zeroed-first
+    // variants +2M — exact twins of the +1M members, exact copies +3M,
+    // reversed fresh +4M) each take the min existing cluster of their
+    // index matches — assignment-only, O(arrivals) per batch. Oracle
+    // replays pairs → recursive-CTE closure → assignment.
+    "q_embed_cluster_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      requireIdHeadroom(emb, "vec_id")
+      val known = SimilarityOps.embedDupCorpus(emb)
+      val idx = tmpPath("graft_embidx_clu", d)
+      SimilarityOps.writeEmbedIndex(known, idx)
+      SimilarityOps.writeEmbedClusterMap(known, idx)
+      val arrivals = emb.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          concat(array(lit(0.0f)),
+            slice(col("embedding"), 2, SimilarityOps.Dims - 1))
+            .as("embedding"))
+        .union(emb.filter(col("vec_id") % 3 === 1)
+          .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding")))
+        .union(emb.filter(col("vec_id") % 3 === 2)
+          .select((col("vec_id") + 4000000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding")))
+      SimilarityOps.assignEmbedClustersIncremental(arrivals, idx)
+    }),
+    // STREAMING vector ingestion with in-stream index maintenance —
+    // the q_stream_dedup_index shape for embeddings: micro-batch 0
+    // (the odd half) is judged against the evens-built index and its
+    // survivors appended inside foreachBatch; micro-batch 1 (exact +1M
+    // and near +1.5M twins of those odds) is then caught by the
+    // IN-STREAM update. Slice membership cut at the 1M boundary,
+    // delivery in-order via staged mtimes; output = both batches'
+    // verdicts.
+    "q_stream_embed_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      requireIdHeadroom(emb, "vec_id")
+      val idx = tmpPath("graft_embidx_stream", d)
+      val staging = tmpPath("graft_embidx_stage", d)
+      val evens = emb.filter(col("vec_id") % 2 === 0)
+        .select("vec_id", "embedding")
+      val odds = emb.filter(col("vec_id") % 2 === 1)
+        .select("vec_id", "embedding")
+      SimilarityOps.writeEmbedIndex(evens, idx)
+      val arrivals = odds
+        .union(odds.select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding")))
+        .union(odds.select((col("vec_id") + 1500000L).as("vec_id"),
+          concat(array(lit(0.0f)),
+            slice(col("embedding"), 2, SimilarityOps.Dims - 1))
+            .as("embedding")))
+      graft.streaming.StreamOps.embedIndexIngestReplay(
+        arrivals, idx, staging, Seq(1000000L))
+    }),
     // Incremental top-k SERVING against a persisted QUERY-domain index:
     // arriving queries (perturbed copies of the first 5 corpus vectors,
     // +1M ids — genuinely new vectors whose neighborhoods include their
@@ -4601,6 +4656,8 @@ object SparkEntry {
     "q_dedup_embed" -> OracleSql.dedupEmbedSql,
     "q_dedup_embed_incr" -> OracleSql.dedupEmbedIncrSql,
     "q_embed_index_update" -> OracleSql.embedIndexUpdateSql,
+    "q_embed_cluster_incr" -> OracleSql.embedClusterIncrSql,
+    "q_stream_embed_index" -> OracleSql.embedStreamIngestSql,
     "q_simsearch_incr" -> OracleSql.simsearchIncrSql,
     "q_text_stats" -> OracleSql.textStatsSql,
     "q_html_extract" -> OracleSql.htmlExtractSql,

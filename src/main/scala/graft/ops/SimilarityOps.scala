@@ -568,6 +568,50 @@ object SimilarityOps {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Persist the known corpus's near-dup CLUSTER MAP alongside the
+    * index: [[embedNearDupPairs]] → connected components →
+    * (vec_id, cluster) parquet under `path`/clusters — the
+    * [[graft.ops.DedupOps.writeMinhashClusterMap]] discipline for
+    * vectors. Built once per snapshot (the intended full-mine moment);
+    * vectors in no near-dup pair have no row — their own singleton
+    * cluster by convention, restored by the read path's coalesce.
+    */
+  def writeEmbedClusterMap(known: DataFrame, path: String,
+                           minCos: Double = 0.95): Unit =
+    GraphOps.connectedComponents(
+        embedNearDupPairs(known, minCos)
+          .select(col("vec_a").as("a"), col("vec_b").as("b")))
+      .select(col("node").as("vec_id"), col("cluster"))
+      .write.mode("overwrite").parquet(path + "/clusters")
+
+  /** Incremental cluster ASSIGNMENT for vectors — the O(arrivals)
+    * companion to [[writeEmbedClusterMap]]: each arrival joins the
+    * persisted cluster of its index matches (min over
+    * coalesce(cluster(match), match) — singleton matches contribute
+    * their own id); unmatched arrivals become their own singleton.
+    * Output: (vec_id, cluster, n_near). ASSIGNMENT-ONLY contract (the
+    * [[graft.ops.DedupOps.assignClustersIncremental]] statement): an
+    * arrival bridging two existing clusters takes the smaller label
+    * but does NOT merge them — the periodic snapshot rebuild does.
+    */
+  def assignEmbedClustersIncremental(arrivals: DataFrame, indexPath: String,
+                                     minCos: Double = 0.95): DataFrame = {
+    val spark = arrivals.sparkSession
+    val clusters = spark.read.parquet(indexPath + "/clusters")
+      .withColumnRenamed("vec_id", "idx_id")
+    val arr = withQuant(arrivals).filter(col("n2") > 0)
+    val assigned = embedIndexMatches(arr, indexPath, minCos,
+        maxBucket = 100000, PairTables, PairPlanes)
+      .join(clusters, Seq("idx_id"), "left")
+      .groupBy("vec_id").agg(
+        min(coalesce(col("cluster"), col("idx_id"))).as("matched_cluster"),
+        count(lit(1)).as("n_near"))
+    arr.select("vec_id").join(assigned, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("matched_cluster"), col("vec_id")).as("cluster"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+  }
+
   /** Incremental embedding near-dup dedup against a PERSISTED index
     * ([[writeEmbedIndex]], pair domain): each arrival is judged by
     * bucket-join candidates + exact-cosine re-check against the stored

@@ -691,7 +691,43 @@ object StreamOps {
     */
   def indexIngestReplay(arrivals: DataFrame, indexPath: String,
                         stagingDir: String,
-                        boundaries: Seq[Long]): DataFrame = {
+                        boundaries: Seq[Long]): DataFrame =
+    ingestReplayCore(arrivals, stagingDir, "doc_id", boundaries,
+      batch => graft.ops.DedupOps.dedupMinhashIncremental(batch, indexPath),
+      admitted =>
+        graft.ops.DedupOps.appendToMinhashIndex(admitted, indexPath))
+
+  /** [[indexIngestReplay]] for the EMBEDDING index — streaming vector
+    * ingestion with per-batch incremental near-dup judgment
+    * (SimilarityOps.embedNearDupIncremental, signatures built for the
+    * batch only) and in-stream index appends
+    * (SimilarityOps.appendToEmbedIndex): a near-duplicate vector
+    * arriving in a LATER micro-batch of the same stream is caught by
+    * the in-stream update. Same staged-slice replay mechanics and the
+    * same eager pre-append verdict pinning.
+    */
+  def embedIndexIngestReplay(arrivals: DataFrame, indexPath: String,
+                             stagingDir: String,
+                             boundaries: Seq[Long]): DataFrame =
+    ingestReplayCore(arrivals, stagingDir, "vec_id", boundaries,
+      batch =>
+        graft.ops.SimilarityOps.embedNearDupIncremental(batch, indexPath),
+      admitted =>
+        graft.ops.SimilarityOps.appendToEmbedIndex(admitted, indexPath))
+
+  /** The shared judge-then-append ingest loop behind
+    * [[indexIngestReplay]] and [[embedIndexIngestReplay]]: stage
+    * arrivals into `idCol`-range slice files cut at `boundaries`
+    * (ascending mtimes + maxFilesPerTrigger=1 → in-order delivery),
+    * then for each micro-batch run `judge` (whose verdict carries
+    * (idCol, …, kept)), EAGERLY localCheckpoint the verdict BEFORE
+    * `append` mutates the index — pinning the judgment to the
+    * pre-append state — and append only the kept survivors.
+    */
+  private def ingestReplayCore(arrivals: DataFrame, stagingDir: String,
+                               idCol: String, boundaries: Seq[Long],
+                               judge: DataFrame => DataFrame,
+                               append: DataFrame => Unit): DataFrame = {
     val spark = arrivals.sparkSession
     if (StagedDirs.add(stagingDir)) {
       val dirP = java.nio.file.Paths.get(stagingDir)
@@ -699,8 +735,8 @@ object StreamOps {
       val build = new java.io.File(stagingDir, "_slice_build")
       val cuts = (Long.MinValue +: boundaries) :+ Long.MaxValue
       for (i <- 0 until cuts.length - 1) {
-        arrivals.filter(col("doc_id") >= cuts(i) &&
-            col("doc_id") < cuts(i + 1))
+        arrivals.filter(col(idCol) >= cuts(i) &&
+            col(idCol) < cuts(i + 1))
           .coalesce(1).write.mode("overwrite").parquet(build.getPath)
         Option(build.listFiles()).toSeq.flatten
           .find(_.getName.endsWith(".parquet")).foreach { part =>
@@ -723,13 +759,10 @@ object StreamOps {
       Option.empty[DataFrame])
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val v = graft.ops.DedupOps
-          .dedupMinhashIncremental(batch, indexPath)
+        val v = judge(batch)
           .localCheckpoint(true) // judge against the PRE-append index
-        graft.ops.DedupOps.appendToMinhashIndex(
-          batch.join(v.filter(col("kept") === 1L).select("doc_id"),
-            Seq("doc_id"), "left_semi"),
-          indexPath)
+        append(batch.join(v.filter(col("kept") === 1L).select(idCol),
+          Seq(idCol), "left_semi"))
         verdicts.set(Some(verdicts.get().fold(v)(_.union(v))))
         ()
       }

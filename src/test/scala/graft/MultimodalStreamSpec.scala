@@ -275,6 +275,35 @@ class MultimodalStreamSpec extends SparkSpec {
     assert(got(1000100L)._3 === 0L)           // dropped
   }
 
+  test("embedIndexIngestReplay: a later micro-batch's vector twin is " +
+      "caught by the in-stream index update") {
+    import graft.ops.SimilarityOps
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_embidx_stream_spec").toString
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_embidx_stage_spec").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    // Known corpus: one unrelated vector (the reversed vec 3).
+    SimilarityOps.writeEmbedIndex(
+      emb.filter(col("vec_id") === 3L)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      idx)
+    // Batch 0 (< 1M): corpus vector 11, fresh w.r.t. the index.
+    // Batch 1 (>= 1M): its exact twin — only catchable if batch 0's
+    // survivor was appended in-stream.
+    val arrivals = emb.filter(col("vec_id") === 11L)
+      .select("vec_id", "embedding")
+      .union(emb.filter(col("vec_id") === 11L)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val got = graft.streaming.StreamOps
+      .embedIndexIngestReplay(arrivals, idx, staging, Seq(1000000L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(11L) === ((0L, 1L)))        // fresh: kept, appended
+    assert(got(1000011L)._1 >= 1L)         // twin: caught in-stream
+    assert(got(1000011L)._2 === 0L)        // dropped
+  }
+
   test("streaming sessionize matches the batch session_window result") {
     val base = 1700000000000L // epoch millis
     def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000)

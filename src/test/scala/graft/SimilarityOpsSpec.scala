@@ -322,6 +322,36 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(after.getLong(1) >= 1L && after.getLong(2) === 0L)
   }
 
+  test("assignEmbedClustersIncremental: twins join their original's " +
+      "cluster, fresh become singletons, the map is untouched") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_embidx_spec6").toString
+    val known = SimilarityOps.embedDupCorpus(emb)
+    SimilarityOps.writeEmbedIndex(known, idx)
+    SimilarityOps.writeEmbedClusterMap(known, idx)
+    val mapBefore = spark.read.parquet(idx + "/clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exact copy of vec 4 (+3M): its matches are vec 4 itself (always —
+    // identical buckets) and usually the zeroed-first +1M twin; the min
+    // assigned cluster is 4 whether or not the (4, 1000004) known pair
+    // made it into the map (coalesce falls back to the match's own id).
+    val arrivals = emb.filter(col("vec_id") === 4L)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+      .union(emb.filter(col("vec_id") === 5L)
+        .select((col("vec_id") + 4000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    val got = SimilarityOps.assignEmbedClustersIncremental(arrivals, idx)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(3000004L)._1 === 4L)
+    assert(got(3000004L)._2 >= 1L)
+    assert(got(4000005L) === ((4000005L, 0L))) // fresh singleton
+    // Assignment never mutates the persisted map.
+    val mapAfter = spark.read.parquet(idx + "/clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mapAfter === mapBefore && mapBefore.nonEmpty)
+  }
+
   test("probeTopKIncremental over exact query copies equals lshTopK " +
       "modulo the self row") {
     val idx = java.nio.file.Files
