@@ -1647,6 +1647,28 @@ object SparkEntry {
         .select("asset_id", "ahash")
       MultimodalOps.imageNearDupPairs(fps)
     }),
+    // Incremental image near-dup vs a PERSISTED aHash index — the
+    // image tier's daily loop: base fingerprints banded once
+    // (writeImageIndex); arrivals band THEMSELVES only and probe with
+    // one keyed join. Arrival slices: exact copies (+1M, delta 0,
+    // always caught — identical fingerprint), brightness +8 near
+    // variants (+2M, mostly within 3 bits), brightness +128 far
+    // variants (+3M, mostly fresh — though flat/tiny rasters whose
+    // fingerprints are delta-invariant still collide, consistently in
+    // both engines). Banding is pigeonhole-exhaustive at Hamming ≤ 3,
+    // so the oracle's closed-form all-pairs verdict is EXACT.
+    "q_image_dedup_incr" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 256)
+      val idx = tmpPath("graft_imgidx", d)
+      MultimodalOps.writeImageIndex(
+        MultimodalOps.imageAHash(base).select("asset_id", "ahash"), idx)
+      val third = (r: Int) => base.filter(col("doc_id") % 3 === r)
+      val arrivals = MultimodalOps.imageAHashShifted(third(0), 1000000L, 0)
+        .unionByName(MultimodalOps.imageAHashShifted(third(1), 2000000L, 8))
+        .unionByName(MultimodalOps.imageAHashShifted(third(2), 3000000L, 128))
+        .select("asset_id", "ahash")
+      MultimodalOps.imageNearDupIncremental(arrivals, idx)
+    }),
     // RGB (3-band) decode proof: per-channel means + aHashes over real
     // decoded RGB PNGs — independent closed-form gradients per channel,
     // so band swaps or gray-fusing fail the oracle on at least one band.
@@ -5040,6 +5062,58 @@ object SparkEntry {
                             THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
                    FROM fp x JOIN fp y ON x.asset_id < y.asset_id)
          SELECT asset_a, asset_b, hamming FROM pairs WHERE hamming <= 3""",
+    // Incremental twin: same closed-form fingerprint regeneration over
+    // the base + three arrival slices, then the EXACT all-pairs
+    // cross-boundary verdict (banding is exhaustive at <= 3).
+    "q_image_dedup_incr" ->
+      """WITH src AS (
+           SELECT doc_id AS asset_id, doc_id AS id, 0 AS delta
+           FROM documents WHERE doc_id < 256
+           UNION ALL
+           SELECT doc_id + 1000000, doc_id, 0
+           FROM documents WHERE doc_id < 256 AND doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, doc_id, 8
+           FROM documents WHERE doc_id < 256 AND doc_id % 3 = 1
+           UNION ALL
+           SELECT doc_id + 3000000, doc_id, 128
+           FROM documents WHERE doc_id < 256 AND doc_id % 3 = 2),
+         dims AS (SELECT asset_id, id, delta,
+                         CAST(1 + id % 16 AS BIGINT) AS w,
+                         CAST(1 + (id // 16) % 16 AS BIGINT) AS h
+                  FROM src),
+         m AS (SELECT asset_id, id, delta, w, h,
+                 CAST(SUM(((CASE WHEN i.range = 0 THEN id % 256
+                            ELSE (id + 31 * (i.range % w)
+                                  + 7 * (i.range // w)) % 256 END)
+                           + delta) % 256) AS BIGINT) // (w * h) AS mean_px
+               FROM dims, range(0, 256) i WHERE i.range < w * h
+               GROUP BY asset_id, id, delta, w, h),
+         b AS (SELECT asset_id, k.range AS k,
+                 CASE WHEN ((CASE WHEN (k.range % 8) * w // 8 = 0
+                                   AND (k.range // 8) * h // 8 = 0
+                             THEN id % 256
+                             ELSE (id + 31 * ((k.range % 8) * w // 8)
+                                   + 7 * ((k.range // 8) * h // 8)) % 256
+                             END) + delta) % 256 > mean_px
+                      THEN '1' ELSE '0' END AS bit
+               FROM m, range(0, 64) k),
+         fp AS (SELECT asset_id,
+                       string_agg(bit, '' ORDER BY k) AS ahash
+                FROM b GROUP BY asset_id),
+         xm AS (SELECT x.asset_id, y.asset_id AS idx_id
+                FROM fp x JOIN fp y
+                ON x.asset_id >= 1000000 AND y.asset_id < 1000000
+                WHERE CAST(list_sum(list_transform(range(1, 65),
+                        i -> CASE WHEN x.ahash[i] != y.ahash[i]
+                             THEN 1 ELSE 0 END)) AS BIGINT) <= 3)
+         SELECT a.asset_id,
+                CAST(COUNT(m.idx_id) AS BIGINT) AS n_near,
+                CAST(CASE WHEN COUNT(m.idx_id) = 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS kept
+         FROM (SELECT asset_id FROM src WHERE asset_id >= 1000000) a
+         LEFT JOIN xm m ON m.asset_id = a.asset_id
+         GROUP BY a.asset_id""",
     "q_image_rgb" -> OracleSql.imageRgbSql,
     "q_multimodal_jpeg" ->
       """SELECT count(*) AS n_assets,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Opaque asset payload: binary blob + typed metadata. */
@@ -333,22 +333,83 @@ object MultimodalOps {
     * answer). Scale: each band keys 2^16 buckets; occupancy ~n/65,536
     * per band keeps the self-join linear-ish at large corpora.
     */
-  def imageNearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bands = fps.select(col("asset_id"), col("ahash"), explode(array(
+  /** (asset_id, ahash, band, bk) band rows of a fingerprint table —
+    * the 64-bit aHash banded as 4 × 16 bits, fingerprints riding along
+    * (the bandRowsOf discipline: candidates found by a band join carry
+    * both sides' fingerprints, no second lookup join — 64 chars is
+    * cheap enough to ride, unlike the 512 B embed vectors).
+    */
+  private def ahashBandRows(fps: DataFrame): DataFrame =
+    fps.select(col("asset_id"), col("ahash"), explode(array(
         (0 until 4).map(j => struct(lit(j).as("band"),
           substring(col("ahash"), j * 16 + 1, 16).as("bk"))): _*)).as("b"))
       .select(col("asset_id"), col("ahash"),
         col("b.band").as("band"), col("b.bk").as("bk"))
-    val ham = aggregate(zip_with(split(col("ha"), ""), split(col("hb"), ""),
+
+  /** Exact Hamming distance between bitstring columns `ha` and `hb`. */
+  private def hammingExpr: Column =
+    aggregate(zip_with(split(col("ha"), ""), split(col("hb"), ""),
       (x, y) => when(x =!= y, 1L).otherwise(0L)), lit(0L), (acc, x) => acc + x)
+
+  def imageNearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = ahashBandRows(fps)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.asset_id") < col("y.asset_id"))
       .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
         col("x.ahash").as("ha"), col("y.ahash").as("hb"))
       .distinct()
-      .select(col("asset_a"), col("asset_b"), ham.as("hamming"))
+      .select(col("asset_a"), col("asset_b"), hammingExpr.as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Persist the image near-dup INDEX of a known fingerprint corpus:
+    * aHash band rows under `path`/bands — the
+    * [[graft.ops.DedupOps.writeMinhashIndex]] discipline for images.
+    * Built once per snapshot; arrivals then band THEMSELVES ONLY and
+    * probe with one keyed join ([[imageNearDupIncremental]]). At
+    * 100 TB partition by `band` and bucket by `bk` so the probe
+    * co-locates; the band table is 4 rows × ~90 B per image —
+    * parquet-tiny next to the payloads it summarizes.
+    */
+  def writeImageIndex(fps: DataFrame, path: String): Unit =
+    ahashBandRows(fps).write.mode("overwrite").parquet(path + "/bands")
+
+  /** Index MAINTENANCE: append an admitted batch's band rows —
+    * O(batch) appends, the index never rewrites; duplicate band rows
+    * across replayed appends collapse in the probe's candidate
+    * distinct.
+    */
+  def appendToImageIndex(admittedFps: DataFrame, path: String): Unit =
+    ahashBandRows(admittedFps).write.mode("append").parquet(path + "/bands")
+
+  /** Incremental image near-dup dedup against a PERSISTED aHash index
+    * ([[writeImageIndex]]): each arriving fingerprint is judged by
+    * band-bucket candidates + exact Hamming ≤ maxHamming against the
+    * stored fingerprints riding the index rows — per-batch cost
+    * O(arrivals), the known corpus never re-fingerprinted. Output, one
+    * row per arrival: (asset_id, n_near, kept) — the
+    * [[graft.ops.DedupOps.dedupMinhashIncremental]] verdict shape for
+    * images; at the default threshold the banding is exhaustive
+    * (pigeonhole), so the verdict is EXACT, not approximate.
+    */
+  def imageNearDupIncremental(arrivalFps: DataFrame, indexPath: String,
+                              maxHamming: Int = 3): DataFrame = {
+    val idx = arrivalFps.sparkSession.read.parquet(indexPath + "/bands")
+    val near = ahashBandRows(arrivalFps).as("x").join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk"))
+      .select(col("x.asset_id").as("asset_id"),
+        col("y.asset_id").as("idx_id"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .distinct()
+      .select(col("asset_id"), col("idx_id"), hammingExpr.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("asset_id").agg(count(lit(1)).as("n_near"))
+    arrivalFps.select("asset_id").join(near, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        when(coalesce(col("n_near"), lit(0L)) === 0L, 1L)
+          .otherwise(0L).as("kept"))
   }
 
   // ---- real RGB (3-band) decode tier ----

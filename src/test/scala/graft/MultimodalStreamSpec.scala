@@ -94,6 +94,50 @@ class MultimodalStreamSpec extends SparkSpec {
     assert(got.values.forall(_ <= 3L))
   }
 
+  test("imageNearDupIncremental equals the cross-boundary slice of the " +
+      "full banded mine; twins caught only after append") {
+    import spark.implicits._
+    val base = (0L until 48L).toDF("doc_id")
+    val fps = MultimodalOps.imageAHash(base).select("asset_id", "ahash")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_imgidx_spec").toString
+    MultimodalOps.writeImageIndex(fps, idx)
+    val arrivals = MultimodalOps.imageAHashShifted(base, 1000000L, 8)
+      .select("asset_id", "ahash")
+    // incremental ≡ full: per arrival, n_near equals the cross-boundary
+    // pair count of the full banded mine over the union corpus.
+    val incr = MultimodalOps.imageNearDupIncremental(arrivals, idx)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val full = MultimodalOps.imageNearDupPairs(fps.union(arrivals))
+      .filter(col("asset_a") < 1000000L && col("asset_b") >= 1000000L)
+      .groupBy("asset_b").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr.keySet === (0L until 48L).map(_ + 1000000L).toSet)
+    incr.foreach { case (id, (n, kept)) =>
+      assert(n === full.getOrElse(id, 0L), s"arrival $id")
+      assert(kept === (if (n == 0L) 1L else 0L), s"arrival $id")
+    }
+    // Exact twins (delta 0) share the fingerprint — always caught.
+    val exact = MultimodalOps.imageAHashShifted(base, 2000000L, 0)
+      .select("asset_id", "ahash")
+    MultimodalOps.imageNearDupIncremental(exact, idx).collect()
+      .foreach(r => assert(r.getLong(1) >= 1L && r.getLong(2) === 0L))
+    // Append cycle: a twin of a NEW image is caught only after its
+    // original's bands are appended.
+    val fresh = MultimodalOps.imageAHashShifted(base.limit(1), 3000000L, 128)
+      .select("asset_id", "ahash")
+    val twin = MultimodalOps.imageAHashShifted(base.limit(1), 4000000L, 128)
+      .select("asset_id", "ahash")
+    val before = MultimodalOps.imageNearDupIncremental(twin, idx)
+      .collect().head
+    MultimodalOps.appendToImageIndex(fresh, idx)
+    val after = MultimodalOps.imageNearDupIncremental(twin, idx)
+      .collect().head
+    assert(after.getLong(1) === before.getLong(1) + 1L)
+    assert(after.getLong(2) === 0L)
+  }
+
   test("imageRgbStats: each channel matches its own formula replica") {
     // Three independent per-channel replicas — the decode must keep the
     // bands apart (a gray-fused or band-swapped decode diverges).
