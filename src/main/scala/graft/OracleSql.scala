@@ -855,6 +855,110 @@ object OracleSql {
         SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
   }
 
+  /** Quantize + norm CTEs for the perturbed +1M query slice shared by
+    * the incremental-serving twins (first 5 vectors, first component
+    * zeroed): qn(vec_id, v, n2), zero-norm dropped.
+    */
+  private val queryQuantCte: String =
+    s"""qsrc AS (SELECT vec_id + 1000000 AS vec_id,
+            list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+          FROM embeddings WHERE vec_id < 5),
+        qq AS (SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * ${SimilarityOps.QScale})
+                   AS BIGINT)) AS v
+          FROM qsrc),
+        qn AS (SELECT * FROM (
+          SELECT vec_id, v,
+                 CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+          FROM qq) WHERE n2 > 0)"""
+
+  /** Incremental-IVF serving twin: the same `iters` training rounds
+    * (the persisted centroids ARE cent`iters`), the corpus assignment
+    * (the persisted inverted file), then the EXTERNAL query slice
+    * ranks centroids, probes, and re-ranks exact cosine — mirroring
+    * SimilarityOps.ivfProbeIncremental over writeIvfIndex's artifact.
+    */
+  def simsearchIvfIncrSql(iters: Int = 2): String =
+    s"""WITH ${quantCte("embeddings")},
+        $queryQuantCte,
+        cent0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM n
+                  WHERE vec_id < ${SimilarityOps.IvfCentroids}),
+        ${kmeansTrainCtes(iters)},
+        ${kmeansRankCte(s"cent$iters", "asg")},
+        assign AS (SELECT vec_id, c_id FROM asg WHERE rc = 1),
+        qasg AS (SELECT vec_id, c_id, rc FROM (
+          SELECT q.vec_id, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   (q.n2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+                      range(1, len(q.v) + 1), ii -> q.v[ii] * c.cv[ii]))
+                      AS BIGINT)) ASC, c.c_id ASC) AS rc
+          FROM qn q CROSS JOIN cent$iters c)),
+        probes AS (SELECT vec_id AS q_id, c_id FROM qasg
+                   WHERE rc <= ${SimilarityOps.IvfProbes}),
+        cand AS (SELECT DISTINCT p.q_id, a.vec_id
+                 FROM probes p JOIN assign a USING (c_id)),
+        pd AS (SELECT c.q_id, c.vec_id, q.v AS qvv, q.n2 AS qn2,
+                      vn.v AS vv, vn.n2 AS n2
+               FROM cand c
+               JOIN qn q ON q.vec_id = c.q_id
+               JOIN n vn ON vn.vec_id = c.vec_id),
+        s AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM pd),
+        r AS (SELECT q_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos_sim DESC, vec_id) AS rnk
+              FROM s)
+        SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
+
+  /** Incremental-PQ serving twin: corpus codebooks + argmin codes (the
+    * persisted artifact), then the external query slice's distance
+    * tables ADC-scan the codes — mirroring
+    * SimilarityOps.pqProbeIncremental over writePqIndex's artifact.
+    */
+  def simsearchPqIncrSql: String = {
+    val sd = SimilarityOps.PqSubDim
+    s"""WITH ${quantCte("embeddings")},
+        $queryQuantCte,
+        sub AS (SELECT vec_id, r.range AS m,
+                       v[r.range * $sd + 1 : r.range * $sd + $sd] AS sv
+                FROM n, range(0, ${SimilarityOps.PqSub}) r),
+        subn AS (SELECT vec_id, m, sv,
+                        CAST(list_sum(list_transform(sv, x -> x * x))
+                          AS BIGINT) AS svn2
+                 FROM sub),
+        cb AS (SELECT m, vec_id AS kc, sv AS cw, svn2 AS cwn2
+               FROM subn WHERE vec_id < ${SimilarityOps.PqCodes}),
+        encd AS (SELECT s.vec_id, s.m, c.kc,
+                        s.svn2 + c.cwn2 - 2 * CAST(list_sum(list_transform(
+                          range(1, $sd + 1), ii -> s.sv[ii] * c.cw[ii]))
+                          AS BIGINT) AS d2
+                 FROM subn s JOIN cb c USING (m)),
+        enc AS (SELECT vec_id, m, kc AS code FROM (
+                  SELECT vec_id, m, kc,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                            ORDER BY d2 ASC, kc ASC) AS rc
+                  FROM encd) WHERE rc = 1),
+        qsub AS (SELECT vec_id, r.range AS m,
+                        v[r.range * $sd + 1 : r.range * $sd + $sd] AS sv
+                 FROM qn, range(0, ${SimilarityOps.PqSub}) r),
+        qsubn AS (SELECT vec_id, m, sv,
+                         CAST(list_sum(list_transform(sv, x -> x * x))
+                           AS BIGINT) AS svn2
+                  FROM qsub),
+        qdt AS (SELECT s.vec_id AS q_id, s.m, c.kc AS code,
+                       s.svn2 + c.cwn2 - 2 * CAST(list_sum(list_transform(
+                         range(1, $sd + 1), ii -> s.sv[ii] * c.cw[ii]))
+                         AS BIGINT) AS d2q
+                FROM qsubn s JOIN cb c USING (m)),
+        adc AS (SELECT q.q_id, e.vec_id, CAST(SUM(q.d2q) AS BIGINT) AS adc_d2
+                FROM enc e JOIN qdt q ON q.m = e.m AND q.code = e.code
+                GROUP BY q.q_id, e.vec_id),
+        r AS (SELECT q_id, vec_id, adc_d2,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY adc_d2 ASC, vec_id) AS rnk
+              FROM adc)
+        SELECT q_id, vec_id, adc_d2, rnk FROM r WHERE rnk <= 10"""
+  }
+
   /** PQ-ADC twin: same subspace split (1-based inclusive slices),
     * codebook seed, argmin encoding, and integer ADC sums as
     * SimilarityOps.pqTopK.

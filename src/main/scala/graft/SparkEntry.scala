@@ -1267,6 +1267,41 @@ object SparkEntry {
             .as("embedding"))
       SimilarityOps.probeTopKIncremental(queries, idx)
     }),
+    // Incremental IVF serving vs the persisted trained index: the
+    // 2-iteration lattice-Lloyd quantizer, inverted lists, and vectors
+    // written once (writeIvfIndex); arriving queries rank the stored
+    // centroids, probe 4 lists by keyed join, re-rank exact cosine.
+    // Oracle replays training bit-identically (kmeansTrainCtes) and
+    // probes with the external query slice.
+    "q_simsearch_ivf_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      requireIdHeadroom(emb, "vec_id")
+      val idx = tmpPath("graft_ivfidx", d)
+      SimilarityOps.writeIvfIndex(emb, idx)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(lit(0.0f)),
+            slice(col("embedding"), 2, SimilarityOps.Dims - 1))
+            .as("embedding"))
+      SimilarityOps.ivfProbeIncremental(queries, idx)
+    }),
+    // Incremental PQ serving vs the persisted compressed index:
+    // codebooks + 4-byte codes written once (writePqIndex); arriving
+    // queries build their own distance tables against the stored
+    // codebooks and ADC-scan the stored codes — the full-precision
+    // corpus is never read at query time.
+    "q_simsearch_pq_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      requireIdHeadroom(emb, "vec_id")
+      val idx = tmpPath("graft_pqidx", d)
+      SimilarityOps.writePqIndex(emb, idx)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(lit(0.0f)),
+            slice(col("embedding"), 2, SimilarityOps.Dims - 1))
+            .as("embedding"))
+      SimilarityOps.pqProbeIncremental(queries, idx)
+    }),
     // Planted-pair recall of the near-dup path (ground truth by direct
     // id join, no LSH) — the >=0.9 claim as exact driver-checked counts.
     "q_dedup_embed_recall" -> ((s, d) =>
@@ -4681,6 +4716,8 @@ object SparkEntry {
     "q_embed_cluster_incr" -> OracleSql.embedClusterIncrSql,
     "q_stream_embed_index" -> OracleSql.embedStreamIngestSql,
     "q_simsearch_incr" -> OracleSql.simsearchIncrSql,
+    "q_simsearch_ivf_incr" -> OracleSql.simsearchIvfIncrSql(2),
+    "q_simsearch_pq_incr" -> OracleSql.simsearchPqIncrSql,
     "q_text_stats" -> OracleSql.textStatsSql,
     "q_html_extract" -> OracleSql.htmlExtractSql,
     "q_lang_id" -> OracleSql.langIdSql,

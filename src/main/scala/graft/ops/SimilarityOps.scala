@@ -341,6 +341,67 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
   }
 
+  /** Persist the IVF ANN index — the production serving shape: the
+    * lattice-Lloyd-trained coarse quantizer under `path`/centroids
+    * (k rows), the inverted-list assignment under `path`/assign
+    * (vec_id → c_id — THE inverted file, hash-partitioned by c_id at
+    * scale), and the quantized vectors under `path`/vectors. Trained
+    * and written once per corpus snapshot; arriving queries then rank
+    * the k stored centroids, probe `IvfProbes` lists by one keyed
+    * join, and re-rank exact cosine over candidates only
+    * ([[ivfProbeIncremental]]) — the corpus is never re-assigned at
+    * query time.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    trainIters: Int = 2): Unit = {
+    val v = withQuant(corpus).filter(col("n2") > 0)
+    val cent =
+      if (trainIters == 0) seedCentroids(v) else kmeansCentroids(v, trainIters)
+    cent.write.mode("overwrite").parquet(path + "/centroids")
+    assignMin(v, cent).select("vec_id", "c_id")
+      .write.mode("overwrite").parquet(path + "/assign")
+    v.write.mode("overwrite").parquet(path + "/vectors")
+  }
+
+  /** Incremental IVF top-k SERVING against [[writeIvfIndex]]'s
+    * artifact: each arriving query ranks the (broadcast, k-row) stored
+    * centroids by exact int64 distance, probes its [[IvfProbes]]
+    * nearest inverted lists with one c_id-keyed join, recovers
+    * candidate vectors by one vec_id-keyed join, and ranks exact
+    * cosine — [[ivfTopK]]'s math with every corpus-side pass replaced
+    * by an index read. Candidates per query ≈ nProbe/nCentroids of
+    * the corpus; nothing else is scanned.
+    */
+  def ivfProbeIncremental(queries: DataFrame, indexPath: String,
+                          k: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    val cent = spark.read.parquet(indexPath + "/centroids")
+    val assign = spark.read.parquet(indexPath + "/assign")
+    val idxV = spark.read.parquet(indexPath + "/vectors")
+      .select(col("vec_id"), col("qv").as("vv"), col("n2").as("vn2"))
+      .dropDuplicates("vec_id")
+    val q = withQuant(queries).filter(col("n2") > 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("n2").as("qn2"))
+    val wp = Window.partitionBy("q_id").orderBy(col("d2").asc, col("c_id").asc)
+    val probes = q.join(broadcast(cent))
+      .select(col("q_id"), col("c_id"),
+        (col("qn2") + col("cn2") - lit(2L) * dotL(col("qqv"), col("cv")))
+          .as("d2"))
+      .withColumn("rc", row_number().over(wp))
+      .filter(col("rc") <= IvfProbes)
+      .select("q_id", "c_id")
+    val cand = broadcast(probes).join(assign, "c_id")
+      .select("q_id", "vec_id").distinct()
+    val scored = cand.join(broadcast(q), "q_id").join(idxV, "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(dotL(col("qqv"), col("vv")), col("qn2"), col("vn2"))
+          .as("cos_sim"))
+    val wr = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Product-quantization shape: 8 subspaces × 8 dims, 16 codewords per
     * subspace — 8 codes ≈ 4 bytes per vector vs 256 bytes of floats, the
     * 64× memory compression that lets a 100 TB embedding corpus's index
@@ -400,6 +461,62 @@ object SimilarityOps {
         col("d2").as("d2q"))
     val adc = enc.join(broadcast(qdt), Seq("m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum("d2q").as("adc_d2"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col("vec_id"))
+    adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Persist the PQ ANN index — compressed serving at scale: the
+    * per-subspace codebooks under `path`/codebooks (PqSub × PqCodes
+    * rows) and every corpus vector's 8 codebook indices under
+    * `path`/codes — ~4 B per vector, the 64× compression that lets a
+    * 100 TB embedding corpus's index live in executor memory. Encoded
+    * once per snapshot; arriving queries then compute their own
+    * (numQueries × 8 × 16)-row distance tables against the stored
+    * codebooks and ADC-scan the stored codes ([[pqProbeIncremental]])
+    * — the full-precision corpus is never read at query time.
+    */
+  def writePqIndex(corpus: DataFrame, path: String): Unit = {
+    val v = withQuant(corpus).filter(col("n2") > 0)
+    val sub = subVectors(v)
+    val cb = sub.filter(col("vec_id") < PqCodes)
+      .select(col("m"), col("vec_id").cast("int").as("kc"),
+        col("sv").as("cw"), col("svn2").as("cwn2"))
+    cb.write.mode("overwrite").parquet(path + "/codebooks")
+    val d2all = sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("kc"),
+        (col("svn2") + col("cwn2") - lit(2L) * dotL(col("sv"), col("cw")))
+          .as("d2"))
+    val wEnc = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2").asc, col("kc").asc)
+    d2all.withColumn("rc", row_number().over(wEnc))
+      .filter(col("rc") === 1)
+      .select(col("vec_id"), col("m"), col("kc").as("code"))
+      .write.mode("overwrite").parquet(path + "/codes")
+  }
+
+  /** Incremental PQ top-k SERVING against [[writePqIndex]]'s artifact
+    * by asymmetric distance: each arriving query splits into
+    * subvectors, scores the BROADCAST stored codebooks into its
+    * distance table, and ADC-scans the stored codes with one
+    * (m, code)-keyed join + map-side-combined sums — [[pqTopK]]'s math
+    * with the encode pass replaced by the index read. Output
+    * (q_id, vec_id, adc_d2, rnk ≤ k); every intermediate an exact
+    * integer.
+    */
+  def pqProbeIncremental(queries: DataFrame, indexPath: String,
+                         k: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = spark.read.parquet(indexPath + "/codebooks")
+    val codes = spark.read.parquet(indexPath + "/codes")
+      .dropDuplicates("vec_id", "m")
+    val q = withQuant(queries).filter(col("n2") > 0)
+    val qdt = subVectors(q).join(broadcast(cb), "m")
+      .select(col("vec_id").as("q_id"), col("m"), col("kc").as("code"),
+        (col("svn2") + col("cwn2") - lit(2L) * dotL(col("sv"), col("cw")))
+          .as("d2q"))
+    val adc = codes.join(broadcast(qdt), Seq("m", "code"))
       .groupBy("q_id", "vec_id").agg(sum("d2q").as("adc_d2"))
     val w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc, col("vec_id"))
     adc.withColumn("rnk", row_number().over(w).cast("long"))

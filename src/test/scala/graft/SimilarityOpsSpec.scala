@@ -381,6 +381,57 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfProbeIncremental over exact query copies equals " +
+      "ivfTopK(trained) modulo the self row") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx_spec").toString
+    SimilarityOps.writeIvfIndex(Tables.embeddings(spark, sfDir), idx)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val probed = SimilarityOps.ivfProbeIncremental(queries, idx).collect()
+      .groupBy(_.getLong(0))
+    val ref = SimilarityOps.ivfTopK(emb, trainIters = 2).collect()
+      .groupBy(_.getLong(0))
+    assert(probed.keySet === (0L until 5L).map(_ + 1000000L).toSet)
+    probed.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to rows.length))
+      // an exact copy ranks its own cluster first, so its base twin is
+      // in the probe set and wins at cos ~1
+      assert(sorted.head.getLong(1) === qid - 1000000L)
+      assert(sorted.head.getDouble(2) > 0.999999)
+      val tail = sorted.tail.map(r => (r.getLong(1), r.getDouble(2)))
+      val expect = ref(qid - 1000000L).sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).take(tail.length)
+      assert(tail.toSeq === expect.toSeq, s"query $qid")
+    }
+  }
+
+  test("pqProbeIncremental over exact query copies reproduces pqTopK's " +
+      "ADC distances on shared pairs") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_pqidx_spec").toString
+    SimilarityOps.writePqIndex(Tables.embeddings(spark, sfDir), idx)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val probed = SimilarityOps.pqProbeIncremental(queries, idx).collect()
+    val ref = SimilarityOps.pqTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(probed.nonEmpty)
+    probed.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.sameElements(1L to rows.length))
+    }
+    // identical subvectors -> identical distance tables: every pair the
+    // in-plan scan also ranked must carry the same exact integer ADC
+    val shared = probed.flatMap { r =>
+      ref.get((r.getLong(0) - 1000000L, r.getLong(1)))
+        .map(exp => (r.getLong(0), r.getLong(1), r.getLong(2), exp))
+    }
+    assert(shared.nonEmpty)
+    shared.foreach { case (q, v, got, exp) =>
+      assert(got === exp, s"pair ($q, $v)") }
+  }
+
   test("saltedSum equals the direct groupBy (skew path is exact)") {
     import graft.ops.AggOps
     val li = Tables.lineitem(spark, sfDir)
