@@ -1128,6 +1128,60 @@ object OracleSql {
               CAST(length(main_text) AS BIGINT) AS n_chars
        FROM s5"""
 
+  /** Shared URL-fixture + normalization CTEs (CurationOps.urlWrap /
+    * urlNormalize twins): closed-form URL per doc, then the same parse
+    * → lowercase scheme+host → default-port strip → trailing-slash
+    * strip → tracking-param filter pipeline. Ends with CTE `u`
+    * (doc_id, url, url_norm, domain).
+    */
+  private val urlNormCtes: String =
+    """pages AS (SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END) ||
+         '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' ||
+         (CASE WHEN doc_id % 3 = 0 THEN
+                 (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+               WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+         '/A/b' || CAST(doc_id % 5 AS VARCHAR) ||
+         (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+         '?utm_source=feed&page=' || CAST(doc_id % 3 AS VARCHAR) ||
+         '&fbclid=zzz&sort=asc#sec' || CAST(doc_id % 2 AS VARCHAR) AS url
+       FROM documents),
+       parts AS (SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS auth,
+         regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path0,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+       FROM pages),
+       hostp AS (SELECT *,
+         CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+              ELSE auth END AS host
+       FROM parts),
+       np AS (SELECT *, regexp_replace(path0, '/+$', '') AS path,
+         array_to_string(list_filter(string_split(query, '&'),
+           p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid)=')
+                AND p <> ''), '&') AS keptq
+       FROM hostp),
+       u AS (SELECT doc_id, url,
+         scheme || '://' || host || path ||
+           (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END) AS url_norm,
+         regexp_replace(regexp_replace(host, ':[0-9]+$', ''),
+           '^www\.', '') AS domain
+       FROM np)"""
+
+  def urlNormalizeSql: String =
+    s"""WITH $urlNormCtes
+        SELECT doc_id, url, url_norm, domain FROM u"""
+
+  def domainStatsSql: String =
+    s"""WITH $urlNormCtes
+        SELECT domain, COUNT(*) AS n_pages,
+               CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_canonical,
+               CAST(COUNT(DISTINCT regexp_extract(url_norm,
+                 '^[^:]+://[^/?#]*([^?#]*)', 1)) AS BIGINT) AS n_paths
+        FROM u GROUP BY domain"""
+
   /** RGB decode twin: per-channel closed-form raster replay — one
     * (mean, aHash-bits) CTE pair per channel over the shared dims, so
     * a decoder that swapped or gray-fused bands diverges on at least

@@ -1372,6 +1372,20 @@ object SparkEntry {
     // expression work, zero shuffle; oracle replays wrap + extraction.
     "q_html_extract" -> ((s, d) =>
       CurationOps.htmlExtract(CurationOps.htmlWrap(Tables.documents(s, d)))),
+    // URL canonicalization — the crawl-dedup front half: lowercase
+    // scheme/host, scheme-default ports dropped, trailing slashes
+    // stripped, tracking params (utm_*, fbclid) removed with real
+    // params kept in order, fragment dropped. Synthetic URL fixture
+    // exercises every rule; 7 hosts × cyclic groups produce real
+    // canonical collisions. Pure codegen, zero shuffle.
+    "q_url_normalize" -> ((s, d) =>
+      CurationOps.urlNormalize(CurationOps.urlWrap(Tables.documents(s, d)))),
+    // Per-domain crawl rollup over the canonical URLs: page count,
+    // distinct canonical URLs (the recrawl-collapse ratio), distinct
+    // paths; one domain-keyed exchange.
+    "q_domain_stats" -> ((s, d) =>
+      CurationOps.domainStats(
+        CurationOps.urlNormalize(CurationOps.urlWrap(Tables.documents(s, d))))),
     "q_lang_id"     -> ((s, d) => TextStatsOps.langId(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextStatsOps.tokenCounts(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextStatsOps.fingerprint(Tables.documents(s, d))),
@@ -4720,6 +4734,8 @@ object SparkEntry {
     "q_simsearch_pq_incr" -> OracleSql.simsearchPqIncrSql,
     "q_text_stats" -> OracleSql.textStatsSql,
     "q_html_extract" -> OracleSql.htmlExtractSql,
+    "q_url_normalize" -> OracleSql.urlNormalizeSql,
+    "q_domain_stats" -> OracleSql.domainStatsSql,
     "q_lang_id" -> OracleSql.langIdSql,
     "q_token_count" -> OracleSql.tokenCountSql,
     "q_fingerprint" -> OracleSql.fingerprintSql,

@@ -71,6 +71,77 @@ object CurationOps {
         length(col("main_text")).cast("long").as("n_chars"))
   }
 
+  /** Deterministic synthetic URL per document — the [[urlNormalize]]
+    * fixture contract, shared closed-form with the oracle. Exercises
+    * every normalization rule: mixed-case scheme/host, scheme-default
+    * and non-default ports, trailing path slashes, tracking params
+    * (utm_*, fbclid) interleaved with real ones, and fragments. Only
+    * 7 hosts × small cyclic groups, so canonicalization produces REAL
+    * collisions for the rollup.
+    */
+  def urlWrap(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      when(col("doc_id") % 2 === 0, "http").otherwise("HTTPS"), lit("://"),
+      lit("WWW.Site"), col("doc_id") % 7, lit(".Example.COM"),
+      when(col("doc_id") % 3 === 0,
+          when(col("doc_id") % 2 === 0, ":80").otherwise(":443"))
+        .when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
+      lit("/A/b"), col("doc_id") % 5,
+      when(col("doc_id") % 4 === 0, "/").otherwise(lit("")),
+      lit("?utm_source=feed&page="), col("doc_id") % 3,
+      lit("&fbclid=zzz&sort=asc#sec"), col("doc_id") % 2).as("url"))
+
+  /** URL canonicalization — the crawl-dedup front half ahead of exact/
+    * near dedup (two crawls of one page differ only in chrome: case,
+    * default ports, tracking params, fragments). Pure per-row
+    * expression work, zero shuffle:
+    *
+    *  1. scheme and host lowercase (path/query case-SIGNIFICANT, kept);
+    *  2. scheme-default ports dropped (:80 for http, :443 for https;
+    *     other ports kept);
+    *  3. trailing path slashes stripped (bare "/" collapses to none —
+    *     the aggressive variant, stated plainly);
+    *  4. tracking params (utm_*, fbclid) dropped, remaining params kept
+    *     IN ORDER (no reorder: param order can be semantic);
+    *  5. fragment dropped.
+    *
+    * Output: (doc_id, url, url_norm, domain) — domain is the
+    * lowercased host minus one leading "www." label (the plain-domain
+    * contract; registrable-domain/eTLD+1 needs the public-suffix list,
+    * out of scope and stated so).
+    */
+  def urlNormalize(pages: DataFrame): DataFrame = {
+    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(col("url"), "^[^:]+://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path0 = regexp_extract(col("url"), "^[^:]+://[^/?#]*([^?#]*)", 1)
+    val path = regexp_replace(path0, "/+$", "")
+    val query = regexp_extract(col("url"), "\\?([^#]*)", 1)
+    val keptQ = array_join(
+      filter(split(query, "&"),
+        p => !p.rlike("^(utm_[^=]*|fbclid)=") && p =!= ""), "&")
+    val norm = concat(scheme, lit("://"), host, path,
+      when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ)))
+    // domain: port stripped (a domain rollup groups by host, and
+    // non-default ports survive normalization), then one www. label.
+    pages.select(col("doc_id"), col("url"), norm.as("url_norm"),
+      regexp_replace(regexp_replace(host, ":[0-9]+$", ""), "^www\\.", "")
+        .as("domain"))
+  }
+
+  /** Per-domain crawl rollup over canonical URLs: page count, distinct
+    * canonical URLs (the recrawl-collapse ratio every crawl pipeline
+    * monitors), distinct paths. One domain-keyed exchange.
+    */
+  def domainStats(normalized: DataFrame): DataFrame =
+    normalized.groupBy("domain").agg(
+      count(lit(1)).as("n_pages"),
+      countDistinct(col("url_norm")).as("n_canonical"),
+      countDistinct(regexp_extract(col("url_norm"),
+        "^[^:]+://[^/?#]*([^?#]*)", 1)).as("n_paths"))
+
   /** Benchmark decontamination (the GPT-3/PaLM n-gram protocol): flag every
     * training document sharing at least one word k-gram with a held-out
     * benchmark. Returns (doc_id, n_hits) for contaminated docs only —

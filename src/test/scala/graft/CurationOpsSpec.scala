@@ -43,6 +43,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(!main.contains("not text") && !main.contains("margin"))
   }
 
+  test("urlNormalize: case, default ports, trailing slashes, tracking " +
+      "params, and fragments canonicalize; real params keep order") {
+    val urls = Seq(
+      (1L, "HTTP://WWW.Example.COM:80/Path/?utm_source=x&b=2&a=1#frag"),
+      (2L, "https://example.com:443/p"),
+      (3L, "https://example.com:8443/p"),         // non-default port kept
+      (4L, "http://example.com/"),                // bare slash collapses
+      (5L, "http://example.com/CaseKept?fbclid=z&utm_medium=m"),
+      (6L, "http://sub.www.example.com/x")        // only LEADING www. strips
+    ).toDF("doc_id", "url")
+    val got = CurationOps.urlNormalize(urls).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(got(1L) === (("http://www.example.com/Path?b=2&a=1",
+      "example.com")))
+    assert(got(2L) === (("https://example.com/p", "example.com")))
+    assert(got(3L) === (("https://example.com:8443/p", "example.com")))
+    assert(got(4L) === (("http://example.com", "example.com")))
+    assert(got(5L) === (("http://example.com/CaseKept", "example.com")))
+    assert(got(6L) === (("http://sub.www.example.com/x",
+      "sub.www.example.com")))
+  }
+
+  test("domainStats: canonical collapse counts recrawls once") {
+    val urls = Seq(
+      (1L, "http://a.com/x?utm_source=1"),
+      (2L, "HTTP://A.com/x#two"),        // same canonical as 1
+      (3L, "http://a.com/y"),
+      (4L, "https://b.com/x/")
+    ).toDF("doc_id", "url")
+    val got = CurationOps.domainStats(CurationOps.urlNormalize(urls))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a.com") === ((3L, 2L, 2L)))
+    assert(got("b.com") === ((1L, 1L, 1L)))
+  }
+
   test("decontaminate flags docs sharing an 8-gram with the benchmark") {
     val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text")
     val train = Seq(
