@@ -1097,8 +1097,12 @@ object OracleSql {
     * the lazy spans and inline (?is) flags identically to Java regex
     * on this pattern class.
     */
-  def htmlExtractSql: String =
-    """WITH pages AS (SELECT doc_id,
+  /** The htmlWrap-fixture + strip-pipeline CTE chain, ending in
+    * s5(doc_id, main_text) — shared by the extraction oracle and the
+    * crawl-pipeline composition.
+    */
+  private val htmlStripCtes: String =
+    """pages AS (SELECT doc_id,
            '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
            '</title><style>body { margin: 0; } p > a { color: #00f; }' ||
            '</style></head><body><script type="text/javascript">var x = 1;' ||
@@ -1120,7 +1124,10 @@ object OracleSql {
                 replace(t, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
                 '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s3),
        s5 AS (SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g'))
-                AS main_text FROM s4)
+                AS main_text FROM s4)"""
+
+  def htmlExtractSql: String =
+    s"""WITH $htmlStripCtes
        SELECT doc_id, main_text,
               CAST(CASE WHEN length(main_text) = 0 THEN 0
                    ELSE len(string_split(main_text, ' ')) END AS BIGINT)
@@ -1865,12 +1872,32 @@ object OracleSql {
   /** Curation pipeline twin: langId + textStats-quality + md5 dedup +
     * hash sample, composed in SQL exactly like PipelineOps.curate.
     */
-  def pipelineSql: String = {
+  def pipelineSql: String = pipelineBodyOver("documents", "WITH ")
+
+  /** Crawl-to-curation composition twin: html strip CTEs produce the
+    * extracted text, the lang column rejoins from the source table,
+    * and the whole curate pipeline runs over that relation — mirroring
+    * PipelineOps.crawlCurate's single fused plan.
+    */
+  def crawlPipelineSql: String = pipelineBodyOver("xdocs",
+    s"""WITH $htmlStripCtes,
+        xdocs AS (SELECT s5.doc_id, s5.main_text AS text, d.lang
+                  FROM s5 JOIN documents d USING (doc_id)),
+        """)
+
+  /** The curate-pipeline CTE body over a (doc_id, text, lang) relation
+    * `src`; `prefix` supplies the WITH header (plus any CTEs that
+    * define `src`).
+    */
+  private def pipelineBodyOver(src: String, prefix: String): String = {
     val en = TextStatsOps.Stopwords.filter(_._1 == "en")
       .map(w => s"'${w._2}'").mkString(", ")
     val stop = TextStatsOps.Stopwords
       .map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
-    s"""WITH $toksCte,
+    s"""${prefix}toks AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(text, '$Ws'), x -> x <> ''))
+            AS w
+        FROM $src),
         agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
                        COUNT(DISTINCT w) AS n_distinct,
                        CAST(SUM(CASE WHEN w IN ($en) THEN 1 ELSE 0 END)
@@ -1895,14 +1922,14 @@ object OracleSql {
                 FROM (SELECT doc_id,
                         list_filter(string_split_regex(text, '$Ws'),
                           x -> x <> '') AS w
-                      FROM documents)),
+                      FROM $src)),
         bc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM big GROUP BY doc_id, g),
         rep AS (SELECT doc_id,
                   CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_frac
                 FROM bc GROUP BY doc_id),
         kept AS (SELECT d.doc_id, d.text, d.lang, b.pred_lang, q.quality,
                         r.top_frac
-                 FROM documents d
+                 FROM $src d
                  JOIN q USING (doc_id) JOIN best b USING (doc_id)
                  JOIN rep r USING (doc_id)
                  WHERE b.pred_lang = 'en' AND q.quality >= 0.4

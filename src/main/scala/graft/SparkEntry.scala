@@ -1657,6 +1657,12 @@ object SparkEntry {
     // Capstone composition: the full curation pipeline (lang filter →
     // quality threshold → dedup → deterministic sample) as ONE plan.
     "q_pipeline" -> ((s, d) => PipelineOps.curate(Tables.documents(s, d))),
+    // The crawl front half fused onto the curation pipeline: HTML
+    // strip → quality/langid/repetition gates → exact dedup → sample,
+    // one Catalyst plan from page bytes to curated survivors
+    // (extraction is pure projection — zero added exchanges).
+    "q_crawl_pipeline" -> ((s, d) =>
+      PipelineOps.crawlCurate(Tables.documents(s, d))),
 
     // Multimodal: binary payload columns + typed metadata (decode itself
     // is the stubbed Dataset pipeline in MultimodalOps, spec-tested).
@@ -5296,6 +5302,7 @@ object SparkEntry {
          HAVING count(*) * 1000 >= (SELECT count(*) FROM keyed)""",
     "q_grouping_sets" -> SqlGroupingSets,
     "q_pipeline" -> OracleSql.pipelineSql,
+    "q_crawl_pipeline" -> OracleSql.crawlPipelineSql,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag,
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,

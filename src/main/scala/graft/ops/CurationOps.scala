@@ -21,8 +21,17 @@ object CurationOps {
     * and a footer. Null-text rows are dropped (the corpus's malformed
     * tier).
     */
-  def htmlWrap(docs: DataFrame): DataFrame =
-    docs.filter(col("text").isNotNull).select(col("doc_id"), concat(
+  def htmlWrap(docs: DataFrame): DataFrame = htmlWrap(docs, Nil)
+
+  /** [[htmlWrap]] carrying extra source columns through the projection
+    * (e.g. `lang` for the crawl pipeline) — a ride-along, never a
+    * rejoin.
+    */
+  def htmlWrap(docs: DataFrame, carry: Seq[String]): DataFrame =
+    docs.filter(col("text").isNotNull).select(
+      col("doc_id") +: carry.map(col) :+ htmlOf: _*)
+
+  private def htmlOf: Column = concat(
       lit("<html><head><title>Doc "), col("doc_id"),
       lit("</title><style>body { margin: 0; } p > a { color: #00f; }" +
         "</style></head><body><script type=\"text/javascript\">var x = 1;" +
@@ -31,7 +40,7 @@ object CurationOps {
         "<div id=\"main\"><h1>Doc "), col("doc_id"),
       lit("</h1><p>"), col("text"),
       lit("</p><p>tail &amp; more&nbsp;text &#39;quoted&#39;</p></div>" +
-        "<footer>fin</footer></body></html>")).as("html"))
+        "<footer>fin</footer></body></html>")).as("html")
 
   /** HTML → main-text extraction — the web-crawl front half of curation,
     * ahead of the quality tier ([[graft.ops.TextStatsOps]] composes
@@ -53,7 +62,12 @@ object CurationOps {
     * Output: (doc_id, main_text, n_words, n_chars) — exact counts over
     * the extracted text.
     */
-  def htmlExtract(pages: DataFrame): DataFrame = {
+  def htmlExtract(pages: DataFrame): DataFrame = htmlExtract(pages, Nil)
+
+  /** [[htmlExtract]] carrying extra input columns through (the
+    * [[htmlWrap]] carry twin).
+    */
+  def htmlExtract(pages: DataFrame, carry: Seq[String]): DataFrame = {
     val noScript = regexp_replace(col("html"),
       "(?is)<script\\b[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript,
@@ -63,12 +77,12 @@ object CurationOps {
         "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
     val main = trim(regexp_replace(decoded, "\\s+", " "))
-    pages.select(col("doc_id"), main.as("main_text"))
-      .select(col("doc_id"), col("main_text"),
+    pages.select(col("doc_id") +: carry.map(col) :+ main.as("main_text"): _*)
+      .select(col("doc_id") +: carry.map(col) :+ col("main_text") :+
         when(length(col("main_text")) === 0, 0L)
           .otherwise(size(split(col("main_text"), " ")).cast("long"))
-          .as("n_words"),
-        length(col("main_text")).cast("long").as("n_chars"))
+          .as("n_words") :+
+        length(col("main_text")).cast("long").as("n_chars"): _*)
   }
 
   /** Deterministic synthetic URL per document — the [[urlNormalize]]

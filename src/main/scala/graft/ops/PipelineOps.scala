@@ -53,4 +53,23 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("quality"),
         col("top_frac"), col("n_chars_kept"))
   }
+
+  /** The crawl-to-curation composition — the full web-pipeline front
+    * half fused onto [[curate]]: raw HTML pages are stripped to main
+    * text ([[graft.ops.CurationOps.htmlExtract]], pure projection — it
+    * fuses into each scan branch) and the extracted text becomes the
+    * curation input, `lang` RIDING the projection (never a rejoin —
+    * the first cut joined lang back by doc_id and doubled every scan
+    * branch). Still ONE Catalyst plan from page bytes to curated
+    * survivors, with exactly [[curate]]'s exchange count
+    * (plan-asserted in PlanAuditSpec).
+    */
+  def crawlCurate(docs: DataFrame, minQuality: Double = 0.4,
+                  lang: String = "en", samplePct: Int = 50,
+                  maxTopFrac: Double = 0.04): DataFrame = {
+    val extracted = CurationOps.htmlExtract(
+        CurationOps.htmlWrap(docs, Seq("lang")), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("main_text").as("text"))
+    curate(extracted, minQuality, lang, samplePct, maxTopFrac)
+  }
 }

@@ -110,6 +110,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "expected map-side partial aggregation")
   }
 
+  test("crawl pipeline fuses HTML extraction at zero added exchanges") {
+    val base = "Exchange".r.findAllIn(planOf("q_pipeline")).length
+    val crawl = "Exchange".r.findAllIn(planOf("q_crawl_pipeline")).length
+    assert(crawl === base,
+      s"extraction must fuse into the scan branches: $base vs $crawl")
+  }
+
+  test("html extraction and url normalization are shuffle-free " +
+      "expression work") {
+    assert(!planOf("q_html_extract").toLowerCase.contains("exchange"))
+    assert(!planOf("q_url_normalize").toLowerCase.contains("exchange"))
+  }
+
   test("scrub is shuffle-free per-row expression work") {
     val p = planOf("q_scrub")
     assert(!p.toLowerCase.contains("exchange"), s"unexpected shuffle:\n$p")

@@ -352,6 +352,34 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(mapAfter === mapBefore && mapBefore.nonEmpty)
   }
 
+  test("append-chain index equals a from-scratch snapshot rebuild " +
+      "(the periodic-rebuild contract)") {
+    // Build evens + append odds in two batches, vs ONE build over the
+    // union: every later probe verdict must be identical — the
+    // property that licenses compacting/rebuilding the appended index
+    // at the periodic snapshot moment without changing any judgment.
+    val chainIdx = java.nio.file.Files
+      .createTempDirectory("graft_embidx_chain").toString
+    val snapIdx = java.nio.file.Files
+      .createTempDirectory("graft_embidx_snap").toString
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    SimilarityOps.writeEmbedIndex(evens, chainIdx)
+    SimilarityOps.appendToEmbedIndex(
+      odds.filter(col("vec_id") % 4 === 1), chainIdx)
+    SimilarityOps.appendToEmbedIndex(
+      odds.filter(col("vec_id") % 4 === 3), chainIdx)
+    SimilarityOps.writeEmbedIndex(evens.union(odds), snapIdx)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    def verdict(idx: String) =
+      SimilarityOps.embedNearDupIncremental(probes, idx).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(verdict(chainIdx) === verdict(snapIdx))
+  }
+
   test("probeTopKIncremental over exact query copies equals lshTopK " +
       "modulo the self row") {
     val idx = java.nio.file.Files
