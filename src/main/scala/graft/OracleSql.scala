@@ -2393,4 +2393,250 @@ object OracleSql {
                CAST(SUM(CAST(COALESCE(v, 0.0) AS DECIMAL(28,4))) AS DOUBLE)
                  AS sum_parsed
         FROM p"""
+
+  // ---- round-9 additions: span dedup, classifier apply, budget select,
+  //      PII report, int8 quantization, SemDeDup, URL prefix filter ----
+
+  /** Duplicated-substring twin: quote corpus (DedupOps.quoteCorpus —
+    * every third doc spawns a +1M twin embedding words 3..14 between
+    * unique framing), word 8-grams hashed with the shared portable
+    * formula, df ≥ 2 marks, gaps-and-islands longest run.
+    */
+  def dedupSubstringSql: String =
+    s"""WITH qdocs AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL),
+        qw AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '$Ws'), x -> x <> '')
+                   AS w
+               FROM qdocs),
+        corpus2 AS (
+          SELECT doc_id, text FROM qdocs
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 'quoteopen' || CAST(doc_id AS VARCHAR) ||
+                 ' begins here now ' ||
+                 array_to_string(list_slice(w, 3, 14), ' ') ||
+                 ' quoteclose' || CAST(doc_id AS VARCHAR) AS text
+          FROM qw WHERE doc_id % 3 = 0),
+        words AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '$Ws'),
+                                x -> x <> '') AS w
+                  FROM corpus2),
+        g AS (SELECT doc_id,
+                unnest(range(1, len(w) - 6)) AS pos,
+                unnest(list_transform(range(1, len(w) - 6),
+                  j -> ${hash60("array_to_string(list_slice(w, j, j + 7), ' ')")}))
+                  AS sh
+              FROM words WHERE len(w) >= 8),
+        d AS (SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS df
+                              FROM g GROUP BY sh) WHERE df >= 2),
+        m AS (SELECT g.doc_id, g.pos,
+                     CASE WHEN d.sh IS NULL THEN 0 ELSE 1 END AS is_dup
+              FROM g LEFT JOIN d ON g.sh = d.sh),
+        runs AS (SELECT doc_id,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS isl
+                 FROM m WHERE is_dup = 1),
+        mr AS (SELECT doc_id, MAX(c) AS max_run FROM (
+                 SELECT doc_id, isl, COUNT(*) AS c FROM runs
+                 GROUP BY doc_id, isl) GROUP BY doc_id),
+        st AS (SELECT doc_id, COUNT(*) AS n_grams,
+                      CAST(SUM(is_dup) AS BIGINT) AS n_dup
+               FROM m GROUP BY doc_id)
+        SELECT st.doc_id, st.n_grams, st.n_dup,
+               st.n_dup * 1000000 // st.n_grams AS dup_ppm,
+               COALESCE(mr.max_run, 0) AS max_run
+        FROM st LEFT JOIN mr ON st.doc_id = mr.doc_id"""
+
+  /** Linear-classifier twin: identical smoothed ppm-difference weights
+    * and int64 document sums (TextStatsOps.linearClassifierApply).
+    */
+  def classifierApplySql: String =
+    s"""WITH tk AS (SELECT doc_id, lang,
+                 unnest(string_split_regex(lower(text), '$Ws')) AS w
+               FROM documents),
+        tk2 AS (SELECT * FROM tk WHERE regexp_full_match(w, '[a-z]+')),
+        cnt AS (SELECT w,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cpos,
+                 CAST(SUM(CASE WHEN lang IS NOT NULL AND lang <> 'en'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS cneg
+               FROM tk2 GROUP BY w),
+        tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS tpos,
+                       CAST(SUM(cneg) AS BIGINT) AS tneg,
+                       COUNT(*) AS vocab
+                FROM cnt),
+        wts AS (SELECT w,
+                  CAST(((cpos + 1) * 1000000) // (tpos + vocab)
+                    - ((cneg + 1) * 1000000) // (tneg + vocab) AS BIGINT)
+                    AS wt
+                FROM cnt, tot),
+        sc AS (SELECT doc_id, lang, CAST(SUM(wt) AS BIGINT) AS score
+               FROM tk2 JOIN wts USING (w) GROUP BY doc_id, lang)
+        SELECT lang,
+               CASE WHEN score > 0 THEN 'en' ELSE 'other' END AS pred,
+               COUNT(*) AS n_docs, CAST(SUM(score) AS BIGINT) AS sum_score
+        FROM sc GROUP BY lang, pred"""
+
+  /** Budget-select twin: one global window prefix sum ORDER BY
+    * (score_ppm DESC, doc_id) — the engine's bucketed two-phase prefix
+    * sum computes the identical total order.
+    */
+  def budgetSelectSql: String =
+    s"""WITH w0 AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '$Ws'), x -> x <> '')
+                   AS w
+               FROM documents WHERE text IS NOT NULL),
+        st AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+                      CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+               FROM w0 WHERE len(w) > 0),
+        sc AS (SELECT doc_id, n_tok,
+                      n_uniq * 1000000 // n_tok AS score_ppm
+               FROM st),
+        bud AS (SELECT CAST(SUM(n_tok) // 4 AS BIGINT) AS budget FROM sc),
+        cum AS (SELECT doc_id, n_tok, score_ppm,
+                  CAST(SUM(n_tok) OVER (ORDER BY score_ppm DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tok
+                FROM sc)
+        SELECT doc_id, n_tok, score_ppm, cum_tok
+        FROM cum, bud WHERE cum_tok <= budget"""
+
+  /** PII-report twin: identical closed-form dirty fixture and per-class
+    * regex counts on the RAW text (classes never mask each other).
+    */
+  def piiReportSql: String = {
+    val classes = Seq(
+      "email" -> "[a-z0-9]+@[a-z0-9.]+",
+      "phone" -> """\+[0-9]+-[0-9]{3}-[0-9]{4}""",
+      "ipv4" -> """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}""",
+      "card" -> "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}")
+    val perCols = classes.map { case (nm, re) =>
+      s"len(regexp_extract_all(text, '$re')) AS n_$nm"
+    }.mkString(",\n               ")
+    val aggCols = classes.map { case (nm, _) =>
+      s"""CAST(SUM(n_$nm) AS BIGINT) AS m_$nm,
+          CAST(SUM(CASE WHEN n_$nm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS d_$nm"""
+    }.mkString(",\n          ")
+    val arms = classes.map { case (nm, _) =>
+      s"""SELECT lang, '$nm' AS pii_type, m_$nm AS n_matches,
+             d_$nm AS n_docs_hit, d_$nm * 1000000 // n_docs AS hit_ppm
+          FROM r"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""WITH p AS (SELECT doc_id, lang,
+             text || ' call +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+               CAST(doc_id % 100 AS VARCHAR) ||
+               ' card 4111 2222 3333 ' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org' AS text
+           FROM documents WHERE text IS NOT NULL),
+        per AS (SELECT lang,
+               $perCols
+             FROM p),
+        r AS (SELECT lang, COUNT(*) AS n_docs,
+          $aggCols
+          FROM per GROUP BY lang)
+        $arms"""
+  }
+
+  /** Int8 quantization-audit twin: the identical fixed IEEE-754
+    * expression tree per element (widen, one multiply, one divide, one
+    * add, floor) — no float reductions, so bit-equality holds.
+    */
+  def embedQuantizeSql: String =
+    s"""WITH v0 AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+        a AS (SELECT * FROM (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS amax
+                FROM v0) WHERE amax > 0),
+        c AS (SELECT vec_id, v, amax,
+                list_transform(v,
+                  x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))
+                  AS code
+              FROM a),
+        e AS (SELECT vec_id, v, amax, code,
+                list_max(list_transform(range(1, len(v) + 1),
+                  i -> abs(v[i] - CAST(code[i] AS DOUBLE) * amax / 127.0)))
+                  AS max_err
+              FROM c)
+        SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+               CAST(list_sum(code) AS BIGINT) AS sum_code,
+               CAST(list_sum(list_transform(code, x -> abs(x))) AS BIGINT)
+                 AS sum_abs_code,
+               CAST(len(list_filter(code, x -> abs(x) = 127)) AS BIGINT)
+                 AS n_sat,
+               CAST(floor(max_err * 1000000.0 / amax) AS BIGINT) AS err_ppm
+        FROM e"""
+
+  /** SemDeDup twin: the embedDupCorpus planted near-dups, the SAME
+    * fixed-round integer-lattice Lloyd prefix as the IVF trainer, exact
+    * within-cluster cosine pairs, min-id survivor drop — rolled up per
+    * cluster.
+    */
+  def dedupSemanticSql(iters: Int = 2, minCos: Double = 0.9): String =
+    s"""WITH ecorpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+          FROM embeddings),
+        ${quantCte("ecorpus")},
+        cent0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM n
+                  WHERE vec_id < ${SimilarityOps.IvfCentroids}),
+        ${kmeansTrainCtes(iters)},
+        ${kmeansRankCte(s"cent$iters", "fasg")},
+        mm AS (SELECT a.c_id, n.vec_id, n.v, n.n2
+               FROM (SELECT vec_id, c_id FROM fasg WHERE rc = 1) a
+               JOIN n USING (vec_id)),
+        pr AS (SELECT x.c_id, x.vec_id AS vec_a, y.vec_id AS vec_b,
+                 CAST(CAST(list_sum(list_transform(range(1, len(x.v) + 1),
+                   i -> x.v[i] * y.v[i])) AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+                   AS cos_sim
+               FROM mm x JOIN mm y
+                 ON x.c_id = y.c_id AND x.vec_id < y.vec_id),
+        prf AS (SELECT * FROM pr WHERE cos_sim >= $minCos),
+        drp AS (SELECT c_id, COUNT(*) AS n_dropped FROM (
+                  SELECT DISTINCT c_id, vec_b FROM prf) GROUP BY c_id),
+        np AS (SELECT c_id, COUNT(*) AS n_pairs FROM prf GROUP BY c_id),
+        memb AS (SELECT c_id, COUNT(*) AS n_members FROM mm GROUP BY c_id)
+        SELECT m.c_id, m.n_members,
+               COALESCE(np.n_pairs, 0) AS n_pairs,
+               COALESCE(d.n_dropped, 0) AS n_dropped
+        FROM memb m
+        LEFT JOIN np USING (c_id)
+        LEFT JOIN drp d USING (c_id)"""
+
+  /** URL prefix-filter twin: the same VALUES rule table, LIKE-prefix
+    * candidate match, longest-rule (deny-wins) election per URL.
+    */
+  def urlFilterSql: String = {
+    val rules = graft.ops.CurationOps.UrlRules
+      .map { case (d, p, dec) => s"('$d', '$p', '$dec')" }.mkString(", ")
+    s"""WITH $urlNormCtes,
+        rules(r_domain, r_path, r_decision) AS (SELECT * FROM (VALUES $rules)),
+        wp AS (SELECT doc_id, url_norm, domain,
+                 regexp_extract(url_norm, '^[^:]+://[^/?#]*([^?#]*)', 1)
+                   AS path
+               FROM u),
+        mt AS (SELECT wp.doc_id, wp.url_norm, wp.domain,
+                      r.r_path, r.r_decision
+               FROM wp LEFT JOIN rules r
+                 ON wp.domain = r.r_domain
+                AND wp.path LIKE r.r_path || '%'),
+        el AS (SELECT doc_id, url_norm, domain, r_path, r_decision,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY length(r_path) DESC, r_decision DESC,
+                            r_path ASC) AS rk
+               FROM mt)
+        SELECT doc_id, url_norm, domain,
+               COALESCE(r_path, '') AS rule_path,
+               COALESCE(r_decision, 'allow') AS decision
+        FROM el WHERE rk = 1"""
+  }
 }

@@ -1137,6 +1137,20 @@ object SparkEntry {
     "q_dedup_embed" -> ((s, d) =>
       SimilarityOps.embedNearDupPairs(
         SimilarityOps.embedDupCorpus(Tables.embeddings(s, d)))),
+    // SemDeDup: k-means clusters (the SAME fixed-round integer-lattice
+    // Lloyd prefix as the IVF trainer, so the oracle replays it) bound
+    // the pair space; exact within-cluster cosine ≥ 0.9 marks semantic
+    // duplicates; per-cluster dedup-pressure rollup. Planted +1M
+    // near-copies give real positives.
+    "q_dedup_semantic" -> ((s, d) =>
+      SimilarityOps.semanticDedup(
+        SimilarityOps.embedDupCorpus(Tables.embeddings(s, d)))),
+    // Int8 scalar-quantization audit: symmetric max-abs per-vector
+    // scaling, fixed IEEE expression tree per element (no float
+    // reductions), per-vector code sums + saturation + worst-dim
+    // reconstruction error in ppm of the vector's own scale.
+    "q_embed_quantize" -> ((s, d) =>
+      SimilarityOps.int8QuantAudit(Tables.embeddings(s, d))),
     // Persisted embedding-ANN index tier — the r8 text-index discipline
     // for vectors: bucket rows + quantized vectors written once per
     // corpus snapshot (writeEmbedIndex); arrivals build signatures for
@@ -1386,6 +1400,41 @@ object SparkEntry {
     "q_domain_stats" -> ((s, d) =>
       CurationOps.domainStats(
         CurationOps.urlNormalize(CurationOps.urlWrap(Tables.documents(s, d))))),
+    // URL prefix-rule filter — the robots/blocklist gate after
+    // canonicalization: longest matching per-domain path prefix decides
+    // keep/drop (deny wins ties; no rule → allow). The rule table
+    // broadcasts; the URL side shuffles once, doc-keyed, for the
+    // election window.
+    "q_url_filter" -> ((s, d) =>
+      CurationOps.urlFilter(
+        CurationOps.urlNormalize(CurationOps.urlWrap(Tables.documents(s, d))))),
+    // Span-level exact dedup (the k-gram formulation of substring
+    // dedup): every word 8-gram occurring in 2+ distinct docs is a
+    // duplicated span position; per-doc dup share in ppm + longest
+    // duplicated run. Quote corpus plants partial overlaps (every third
+    // doc gets a quoting twin embedding words 3..14), so dup_ppm and
+    // max_run take real intermediate values instead of 0 or 10^6.
+    "q_dedup_substring" -> ((s, d) =>
+      DedupOps.substringDupStats(
+        DedupOps.quoteCorpus(Tables.documents(s, d)))),
+    // Train-then-apply linear quality classifier (fastText shape):
+    // smoothed ppm class-probability-difference token weights, int64
+    // doc sums, training-set confusion rollup. Log-free by design so
+    // the scorer is order-independent and oracle-exact.
+    "q_classifier_apply" -> ((s, d) =>
+      TextStatsOps.linearClassifierApply(Tables.documents(s, d))),
+    // Corpus-level PII prevalence report (the audit before scrub
+    // policy): per (lang, class) match/doc counts over a closed-form
+    // dirtied corpus — email, phone, IPv4, card classes counted
+    // independently on raw text.
+    "q_pii_report" -> ((s, d) =>
+      TextStatsOps.piiReport(TextStatsOps.piiCorpus(Tables.documents(s, d)))),
+    // Token-budget greedy selection — the final pretraining cut: rank
+    // by lexical-diversity ppm, keep best docs until a quarter of the
+    // corpus tokens is spent. Global prefix sum via the packLayout
+    // bucket trick (no corpus-sized single-partition window).
+    "q_budget_select" -> ((s, d) =>
+      CurationOps.budgetSelect(Tables.documents(s, d))),
     "q_lang_id"     -> ((s, d) => TextStatsOps.langId(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => TextStatsOps.tokenCounts(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextStatsOps.fingerprint(Tables.documents(s, d))),
@@ -4740,6 +4789,13 @@ object SparkEntry {
     "q_simsearch_pq_incr" -> OracleSql.simsearchPqIncrSql,
     "q_text_stats" -> OracleSql.textStatsSql,
     "q_html_extract" -> OracleSql.htmlExtractSql,
+    "q_url_filter" -> OracleSql.urlFilterSql,
+    "q_dedup_substring" -> OracleSql.dedupSubstringSql,
+    "q_classifier_apply" -> OracleSql.classifierApplySql,
+    "q_pii_report" -> OracleSql.piiReportSql,
+    "q_budget_select" -> OracleSql.budgetSelectSql,
+    "q_dedup_semantic" -> OracleSql.dedupSemanticSql(),
+    "q_embed_quantize" -> OracleSql.embedQuantizeSql,
     "q_url_normalize" -> OracleSql.urlNormalizeSql,
     "q_domain_stats" -> OracleSql.domainStatsSql,
     "q_lang_id" -> OracleSql.langIdSql,

@@ -506,4 +506,99 @@ object CurationOps {
         ((col("n_pair") * col("n_b")).cast("double") /
           (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
   }
+
+  /** Token-budget corpus selection — the final cut every pretraining run
+    * makes: rank documents by a quality score, keep the best until a
+    * token budget is spent. Score: lexical diversity in ppm
+    * (`distinct_tokens·10^6 div n_tokens` — exact int), rank by
+    * (score desc, doc_id asc), budget = corpus tokens `div budgetDen`
+    * (derived, so the op scales with the corpus instead of pinning a
+    * constant). A document is kept while the INCLUSIVE running token sum
+    * stays ≤ budget — the greedy prefix. Output: every kept doc
+    * (doc_id, n_tok, score_ppm, cum_tok).
+    *
+    * Scale shape: per-doc stats are one doc-keyed agg; the global
+    * ordered prefix sum is the [[packLayout]] two-phase bucket trick on
+    * the score axis — per-bucket subtotals (≤ 101 rows: score_ppm div
+    * 10^4) prefix-summed on a single tiny partition, broadcast back,
+    * in-bucket window partitioned BY bucket — so no corpus-sized
+    * single-partition window anywhere. Ties inside a bucket order by
+    * (score desc, doc_id): deterministic total order in both engines.
+    */
+  def budgetSelect(docs: DataFrame, budgetDen: Long = 4L): DataFrame = {
+    val stats = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(col("text"), TextOps.WsRegex), x => x =!= "").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        size(array_distinct(col("w"))).cast("long").as("n_uniq"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        expr("n_uniq * 1000000 div n_tok").as("score_ppm"))
+    val budget = stats.agg(sum("n_tok").as("sum_tok"))
+      .select(expr(s"sum_tok div $budgetDen").as("budget"))
+    val b = stats.withColumn("bkt", expr("-(score_ppm div 10000)"))
+    val bw = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val boffs = b.groupBy("bkt").agg(sum("n_tok").as("bt"))
+      .withColumn("boff", coalesce(sum("bt").over(bw), lit(0L)))
+      .select("bkt", "boff")
+    val iw = Window.partitionBy("bkt")
+      .orderBy(col("score_ppm").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(boffs), "bkt")
+      .withColumn("cum_tok", col("boff") + sum("n_tok").over(iw))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tok") <= col("budget"))
+      .select("doc_id", "n_tok", "score_ppm", "cum_tok")
+  }
+
+  /** Crawl-policy prefix rules — the [[urlFilter]] fixture: per-host
+    * path-prefix allow/deny rules in robots.txt spirit (most-specific,
+    * i.e. LONGEST matching prefix, wins; tie on length → deny). Tiny by
+    * nature (a policy table), always broadcast.
+    */
+  val UrlRules: Seq[(String, String, String)] = Seq(
+    ("site0.example.com", "/A", "deny"),
+    ("site0.example.com", "/A/b1", "allow"),
+    ("site1.example.com", "/A/b2", "deny"),
+    ("site2.example.com", "/", "deny"),
+    ("site2.example.com", "/A/b3", "allow"),
+    ("site3.example.com", "/A/b4", "deny"),
+    ("site4.example.com", "/", "allow"),
+    ("site5.example.com", "/A/b0", "deny"),
+    ("site5.example.com", "/A/b0/x", "allow"))
+
+  /** URL prefix-rule filtering — the robots/blocklist gate between crawl
+    * canonicalization and fetch/keep: each canonical URL is judged by
+    * the longest [[UrlRules]] path prefix for its domain (no matching
+    * rule → allow by default). Input: the [[urlNormalize]] output.
+    * Output: (doc_id, url_norm, domain, rule_path, decision).
+    *
+    * Scale shape: the rule table broadcasts (policy tables are KBs);
+    * candidate matching is a broadcast equi-join on domain plus a
+    * startswith predicate, and the longest-prefix election is one
+    * window keyed by doc_id — no shuffle of the URL table beyond that
+    * doc-keyed election. `path` here is the canonical URL's path
+    * component, query excluded, matching robots semantics.
+    */
+  def urlFilter(urls: DataFrame): DataFrame = {
+    val rules = urls.sparkSession.createDataFrame(
+      UrlRules.map(r => (r._1, r._2, r._3)))
+      .toDF("r_domain", "r_path", "r_decision")
+    val withPath = urls.select(col("doc_id"), col("url_norm"), col("domain"),
+      regexp_extract(col("url_norm"), "^[^:]+://[^/?#]*([^?#]*)", 1)
+        .as("path"))
+    val matched = withPath.join(broadcast(rules),
+        col("domain") === col("r_domain") &&
+          col("path").startsWith(col("r_path")), "left")
+    val w = Window.partitionBy("doc_id")
+      // length desc = most-specific rule; decision DESC puts "deny"
+      // before "allow" on a same-length tie (deny-wins contract).
+      .orderBy(length(col("r_path")).desc,
+        col("r_decision").desc, col("r_path").asc)
+    matched.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("url_norm"), col("domain"),
+        coalesce(col("r_path"), lit("")).as("rule_path"),
+        coalesce(col("r_decision"), lit("allow")).as("decision"))
+  }
 }

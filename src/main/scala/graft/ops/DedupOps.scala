@@ -678,4 +678,77 @@ object DedupOps {
       .select(col("nm"), col("nm2").as("canonical"),
         levenshtein(col("nm"), col("nm2")).as("dist"), col("cnt"))
   }
+
+  /** Partial-overlap corpus for [[substringDupStats]] — the quote/
+    * syndication shape real span-level dedup exists for: every third
+    * document spawns a "quoting" twin (id+1_000_000) that embeds words
+    * 3..14 of the original between unique framing text. Unlike
+    * [[dupCorpus]] (whole-document copies — every gram would be
+    * duplicated, a degenerate fixture for span detection), only the
+    * quoted window's interior k-grams are shared, so dup_ppm and
+    * max_run take real intermediate values. Closed-form, shared with
+    * the DuckDB oracle.
+    */
+  def quoteCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val w = filter(split(col("text"), graft.ops.TextOps.WsRegex),
+      x => x =!= "")
+    val quoted = base.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), array_join(slice(w, 3, 12), " ").as("span"))
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("quoteopen"), col("doc_id"),
+          lit(" begins here now "), col("span"),
+          lit(" quoteclose"), col("doc_id")).as("text"))
+    base.union(quoted)
+  }
+
+  /** Exact duplicated-substring detection (the span-level dedup family
+    * member, after document-level exact and paragraph-level dedup): mark
+    * every word k-gram that occurs in 2+ DISTINCT documents corpus-wide,
+    * then report per document how much of it is duplicated span —
+    * (doc_id, n_grams, n_dup, dup_ppm, max_run), where `max_run` is the
+    * longest consecutive run of duplicated k-gram positions (a run of r
+    * duplicated k-grams witnesses a shared substring of r+k-1 words).
+    * Documents under k words have no k-grams and are absent (both
+    * engines drop them at the explode).
+    *
+    * Scale shape: grams travel as (int64 pos, int64 hash60) — text never
+    * shuffles. One gram-keyed exchange builds the document frequency
+    * (two-phase distinct-doc count), one gram-keyed join marks
+    * positions, and per-doc work (the run window + final agg) is
+    * doc-keyed. Everything is linear in corpus gram count; no pair
+    * space is ever materialized, which is what lets span-level dedup
+    * run where pairwise near-dup would not (cf. suffix-array substring
+    * dedup in the literature — this is its relational k-gram
+    * formulation). Internal repetition within one document does NOT
+    * count as duplication (frequency is per distinct doc).
+    */
+  def substringDupStats(corpus: DataFrame, k: Int = 8,
+                        minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = corpus.select(col("doc_id"),
+      posexplode(graft.functions.KGramHash60(col("text"), k))
+        .as(Seq("pos", "sh")))
+    val df = grams.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf).select("sh")
+    // Left-mark: a gram with no row in `df` is unique corpus-wide.
+    val marked = grams.join(df.withColumn("is_dup", lit(1L)), Seq("sh"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+    // Gaps-and-islands over duplicated positions only: consecutive pos
+    // values share (pos - row_number), so each island is one shared span.
+    val dupRuns = marked.filter(col("is_dup") === 1L)
+      .withColumn("isl", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "isl").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max(col("run")).as("max_run"))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("is_dup")).as("n_dup"))
+      .join(dupRuns, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        expr("n_dup * 1000000 div n_grams").as("dup_ppm"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
 }

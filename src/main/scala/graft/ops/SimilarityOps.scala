@@ -816,4 +816,92 @@ object SimilarityOps {
         cosine(dotL(col("qa"), col("qb")), col("na"), col("nb")).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
+
+  /** Int8 scalar quantization audit — the serving-side compression every
+    * embedding store applies (4 B/dim float → 1 B/dim int8, 4×), with the
+    * reconstruction-quality report that decides whether it is safe:
+    * per-vector symmetric max-abs scaling, `code_i = floor(v_i·127/amax
+    * + 0.5)` ∈ [−127, 127]. Every arithmetic step is a single correctly-
+    * rounded IEEE-754 double op (float→double widening is exact, one
+    * multiply, one divide, one add, floor) — no reductions over floats —
+    * so codes and error metrics are bit-identical in any engine and on
+    * any partition layout, the same discipline as [[quantize]]. Output
+    * per vector: (vec_id, n_dims, sum_code, sum_abs_code, n_sat ≔ #|code|
+    * = 127, err_ppm ≔ floor(max_i|v_i − code_i·amax/127|·10^6/amax) — the
+    * worst per-dim reconstruction error relative to the vector's own
+    * scale). Zero vectors (amax = 0) are excluded by contract.
+    *
+    * Scale shape: pure per-row expression work — whole-stage codegen,
+    * zero shuffle, embarrassingly parallel. The audit aggregates ride
+    * the same map pass that would write the codes.
+    */
+  def int8QuantAudit(emb: DataFrame): DataFrame = {
+    val v = col("v")
+    val amax = array_max(transform(v, x => abs(x)))
+    val code = transform(v, x => floor(x * lit(127.0) / col("amax") +
+      lit(0.5)).cast("long"))
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("amax", amax).filter(col("amax") > 0.0)
+      .withColumn("code", code)
+      .select(col("vec_id"), col("v"), col("amax"), col("code"),
+        array_max(zip_with(col("v"), col("code"),
+          (x, c) => abs(x - c.cast("double") * col("amax") / lit(127.0))))
+          .as("max_err"))
+      .select(col("vec_id"),
+        size(col("v")).cast("long").as("n_dims"),
+        aggregate(col("code"), lit(0L), (a, x) => a + x).as("sum_code"),
+        aggregate(col("code"), lit(0L), (a, x) => a + abs(x))
+          .as("sum_abs_code"),
+        size(filter(col("code"), c => abs(c) === 127L)).cast("long")
+          .as("n_sat"),
+        floor(col("max_err") * lit(1000000.0) / col("amax")).cast("long")
+          .as("err_ppm"))
+  }
+
+  /** SemDeDup — semantic deduplication via cluster-bounded cosine
+    * pairing (Abbas et al. 2023's recipe, relationally): k-means
+    * clusters bound the candidate space, exact cosine within each
+    * cluster finds semantic duplicates, and each vector with a
+    * smaller-id near-duplicate in its cluster is marked dropped. The
+    * training uses the SAME fixed-round integer-lattice Lloyd prefix as
+    * the IVF coarse quantizer ([[kmeansCentroids]]) so the DuckDB
+    * oracle replays clustering bit-identically. Output per cluster:
+    * (c_id, n_members, n_pairs, n_dropped) — the dedup pressure report
+    * a curation run reads before committing the drop.
+    *
+    * Scale shape: clustering is the audited IVF loop (broadcast
+    * centroids, corpus never shuffles to assign). Pairing self-joins
+    * WITHIN clusters only — the SemDeDup bargain: pair work is
+    * Σ_c |c|²/2, controlled by the centroid count (production: k ≈
+    * corpus/10⁴ keeps clusters bounded; cross-cluster duplicates are
+    * forgone by design, stated plainly). Quantized int64 dots keep the
+    * verify exact.
+    */
+  def semanticDedup(emb: DataFrame, iters: Int = 2,
+                    minCos: Double = 0.9): DataFrame = {
+    val v = withQuant(emb).filter(col("n2") > 0)
+    val cent = kmeansCentroids(v, iters)
+    val m = assignMin(v, cent).select("vec_id", "c_id")
+      .join(v, "vec_id")
+    val pairs = m.as("x").join(m.as("y"),
+        col("x.c_id") === col("y.c_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.c_id").as("c_id"),
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosine(dotL(col("x.qv"), col("y.qv")), col("x.n2"), col("y.n2"))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+    val dropped = pairs.select(col("c_id"), col("vec_b").as("vec_id"))
+      .distinct()
+    val members = m.select("c_id", "vec_id")
+    members.groupBy("c_id").agg(count(lit(1)).as("n_members"))
+      .join(pairs.groupBy("c_id").agg(count(lit(1)).as("n_pairs")),
+        Seq("c_id"), "left")
+      .join(dropped.groupBy("c_id").agg(count(lit(1)).as("n_dropped")),
+        Seq("c_id"), "left")
+      .select(col("c_id"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
 }

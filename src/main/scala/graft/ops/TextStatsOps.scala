@@ -263,4 +263,97 @@ object TextStatsOps {
       .select(col("doc_id"), col("n_bigrams"), col("lm_sum"),
         expr("lm_sum div n_bigrams").as("lm_avg_ppm"))
   }
+
+  /** Train-then-apply linear quality/language classifier — the fastText
+    * shape every curation pipeline runs (score each document by a sum of
+    * per-token weights from a trained table, threshold, keep/label):
+    * binary task "is the document `posLang`", trained on the corpus's own
+    * labels. Per-token weight = smoothed class-probability DIFFERENCE in
+    * ppm, `((c_pos+1)·10^6) div (tot_pos+V) − ((c_neg+1)·10^6) div
+    * (tot_neg+V)` — the additive log-free stand-in for NB log-odds,
+    * chosen deliberately: int64 weights make the scorer's document sums
+    * order-independent and the DuckDB oracle bit-exact, where float log
+    * sums would be partition-order-dependent. Output: the training-set
+    * confusion rollup (lang, pred, n_docs, sum_score).
+    *
+    * Scale shape: one token-keyed count agg (map-side combined), one
+    * token-keyed join of tokens→weights (vocab-sized right side —
+    * broadcastable when the vocab fits, AQE-skew-handled otherwise;
+    * stopword keys are the classic skew case), one doc-keyed sum, and a
+    * tiny final rollup. Docs with no alphabetic token never enter the
+    * scorer and are absent by contract.
+    */
+  def linearClassifierApply(docs: DataFrame,
+                            posLang: String = "en"): DataFrame = {
+    val tk = docs.select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), TextOps.WsRegex)).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+    val cnt = tk.groupBy("w").agg(
+      sum(when(col("lang") === posLang, 1L).otherwise(0L)).as("cpos"),
+      sum(when(col("lang") =!= posLang, 1L).otherwise(0L)).as("cneg"))
+    val tot = cnt.agg(sum("cpos").as("tpos"), sum("cneg").as("tneg"),
+      count(lit(1)).as("vocab"))
+    val wts = cnt.crossJoin(broadcast(tot))
+      .select(col("w"),
+        (expr("((cpos + 1) * 1000000) div (tpos + vocab)") -
+          expr("((cneg + 1) * 1000000) div (tneg + vocab)")).as("wt"))
+    tk.join(wts, "w")
+      .groupBy("doc_id", "lang").agg(sum("wt").as("score"))
+      .select(col("lang"),
+        when(col("score") > 0, posLang).otherwise("other").as("pred"),
+        col("score"))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_score"))
+  }
+
+  /** Richer PII fixture than [[dirtyCorpus]]: appends a phone number, an
+    * IPv4 address, and a 16-digit card-shaped number (all derived from
+    * doc_id, closed-form shared with the oracle) to every document.
+    */
+  def piiCorpus(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        lit(" call +1-555-"), lpad(col("doc_id") % 10000, 4, "0"),
+        lit(" host 10."), col("doc_id") % 256, lit(".0."),
+        col("doc_id") % 100,
+        lit(" card 4111 2222 3333 "), lpad(col("doc_id") % 10000, 4, "0"),
+        lit(" mail u"), col("doc_id"), lit("@ex.org")).as("text"))
+
+  /** Corpus-level PII prevalence report — the audit a pipeline runs
+    * BEFORE deciding scrub policy (where [[scrub]] is the enforcement
+    * half): per (lang, pii class) match counts, affected-document
+    * counts, and affected share in ppm of that language's documents.
+    * Classes: email, phone (+N-NNN-NNNN shapes), IPv4 dotted quad,
+    * card-shaped 4×4 digit groups. Patterns stay in the common
+    * Java-regex/RE2 subset (no lookaround, no backreferences) so both
+    * engines match identically; matching order is class-independent
+    * (each class counted on the raw text — unlike [[scrub]]'s
+    * sequential redaction, a report must not let one class mask
+    * another). Pure per-row expression work into one tiny rollup.
+    */
+  def piiReport(docs: DataFrame): DataFrame = {
+    val classes = Seq(
+      "email" -> "[a-z0-9]+@[a-z0-9.]+",
+      "phone" -> "\\+[0-9]+-[0-9]{3}-[0-9]{4}",
+      "ipv4" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+      "card" -> "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}")
+    val perDoc = docs.select(col("lang") +: classes.map { case (nm, re) =>
+      size(regexp_extract_all(col("text"), lit(re), lit(0)))
+        .cast("long").as(s"n_$nm")
+    }: _*)
+    val aggs = classes.map { case (nm, _) =>
+      struct(sum(col(s"n_$nm")).as("m"),
+        sum(when(col(s"n_$nm") > 0, 1L).otherwise(0L)).as("d"))
+        .as(s"s_$nm")
+    }
+    val rolled = perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+    rolled.select(explode(array(classes.map { case (nm, _) =>
+        struct(lit(nm).as("pii_type"), col("n_docs"),
+          col(s"s_$nm.m").as("n_matches"), col(s"s_$nm.d").as("n_docs_hit"))
+      }: _*)).as("e"), col("lang"))
+      .select(col("lang"), col("e.pii_type"), col("e.n_matches"),
+        col("e.n_docs_hit"),
+        expr("e.n_docs_hit * 1000000 div e.n_docs").as("hit_ppm"))
+  }
 }

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CurationOps, DedupOps, SimilarityOps, TextStatsOps}
+
+/** Specs for the round-9 curation additions: span-level substring dedup,
+  * linear classifier apply, token-budget selection, PII report, int8
+  * quantization audit, SemDeDup, URL prefix filtering.
+  */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- substringDupStats ----
+
+  test("substringDupStats marks cross-doc 8-gram spans, ignores " +
+      "internal repetition, and measures the longest run") {
+    val docs = Seq(
+      // A and B share exactly the 8-gram a1..a8 (A's first, B's second)
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (2L, "b0 a1 a2 a3 a4 a5 a6 a7 a8 b9"),
+      // internal repetition only: gram r1..r8 occurs twice WITHIN doc 3,
+      // in no other doc — df counts distinct docs, so NOT a dup
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+      // full-copy pair: every gram duplicated, run = all 3 positions
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"),
+      (5L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"),
+      // below k words: no grams, absent from output
+      (6L, "f1 f2")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.substringDupStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((3L, 1L, 333333L, 1L)))
+    assert(got(2L) === ((3L, 1L, 333333L, 1L)))
+    assert(got(3L) === ((9L, 0L, 0L, 0L)))
+    assert(got(4L) === ((3L, 3L, 1000000L, 3L)))
+    assert(got(5L) === ((3L, 3L, 1000000L, 3L)))
+    assert(!got.contains(6L))
+  }
+
+  test("quoteCorpus embeds words 3..14 of every third doc between " +
+      "unique framing") {
+    val docs = Seq(
+      (3L, "w1 w2 w3 w4 w5"),
+      (4L, "x1 x2 x3 x4 x5")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.quoteCorpus(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set(3L, 4L, 1000003L))
+    assert(out(1000003L) ===
+      "quoteopen3 begins here now w3 w4 w5 quoteclose3")
+  }
+
+  // ---- linearClassifierApply ----
+
+  test("linearClassifierApply derives ppm-difference weights and a " +
+      "training-set confusion rollup") {
+    val docs = Seq(
+      (1L, "en", "hello world"), (2L, "en", "hello world"),
+      (3L, "de", "hallo welt"), (4L, "de", "hallo welt")
+    ).toDF("doc_id", "lang", "text")
+    // cpos(hello)=2, cneg=0; tpos=tneg=4, vocab=4:
+    //   w(hello) = (3*1e6)//8 - (1*1e6)//8 = 250000; w(hallo) = -250000
+    val got = TextStatsOps.linearClassifierApply(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("en", "en")) === ((2L, 1000000L)))
+    assert(got(("de", "other")) === ((2L, -1000000L)))
+    assert(got.size === 2)
+  }
+
+  // ---- budgetSelect ----
+
+  test("budgetSelect keeps the quality-ranked prefix within the " +
+      "derived token budget (inclusive cumsum)") {
+    val docs = Seq(
+      (1L, "a b c d"),   // score 1_000_000, 4 tokens
+      (2L, "a a b b"),   // score   500_000, 4 tokens
+      (3L, "a a a a"),   // score   250_000, 4 tokens
+      (4L, "x y")        // score 1_000_000, 2 tokens
+    ).toDF("doc_id", "text")
+    // budget = 14 div 2 = 7; order: doc1 (cum 4), doc4 (cum 6),
+    // doc2 (cum 10 > 7 — cut), doc3 never reached.
+    val got = CurationOps.budgetSelect(docs, budgetDen = 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 4L, 4L -> 6L))
+  }
+
+  // ---- piiReport ----
+
+  test("piiReport counts each class independently on raw text") {
+    val docs = Seq(
+      (1L, "en", "x u1@a.com +1-555-1234 1.2.3.4 1111 2222 3333 4444"),
+      (2L, "en", "clean words only")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextStatsOps.piiReport(docs).collect()
+      .map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("email") === ((1L, 1L, 500000L)))
+    assert(got("phone") === ((1L, 1L, 500000L)))
+    assert(got("ipv4") === ((1L, 1L, 500000L)))
+    assert(got("card") === ((1L, 1L, 500000L)))
+  }
+
+  // ---- int8QuantAudit ----
+
+  test("int8QuantAudit computes exact codes, saturation, and worst-dim " +
+      "reconstruction error; zero vectors excluded") {
+    val emb = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = SimilarityOps.int8QuantAudit(emb).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    // codes: floor(127.5)=127, floor(-63.5+0.5)=-63, floor(32.25)=32, 0
+    assert(r.getLong(1) === 4L)            // n_dims
+    assert(r.getLong(2) === 96L)           // sum_code = 127-63+32+0
+    assert(r.getLong(3) === 222L)          // sum_abs_code
+    assert(r.getLong(4) === 1L)            // n_sat (the 1.0 dim)
+    // worst err: |-0.5 - (-63/127)| = 0.00393700787… → 3937 ppm
+    assert(r.getLong(5) === 3937L)
+  }
+
+  // ---- semanticDedup ----
+
+  test("semanticDedup drops the larger-id member of a within-cluster " +
+      "cosine near-dup pair") {
+    // Four orthogonal seed vectors (ids < 16 seed the Lloyd prefix) and
+    // one scaled copy of vec 0 at id 20: same direction → cos = 1.
+    def unit(i: Int, s: Float) =
+      (0 until 4).map(j => if (j == i) s else 0.0f)
+    val emb = Seq(
+      (0L, unit(0, 1.0f)), (1L, unit(1, 1.0f)),
+      (2L, unit(2, 1.0f)), (3L, unit(3, 1.0f)),
+      (20L, unit(0, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticDedup(emb).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) === ((2L, 1L, 1L)))     // pair (0,20), 20 dropped
+    assert(got(1L) === ((1L, 0L, 0L)))
+    assert(got(2L) === ((1L, 0L, 0L)))
+    assert(got(3L) === ((1L, 0L, 0L)))
+  }
+
+  // ---- urlFilter ----
+
+  test("urlFilter elects the longest matching prefix rule; no rule " +
+      "means allow") {
+    val urls = Seq(
+      // /A/b1x matches both site0 rules — longest ('/A/b1', allow) wins
+      (1L, "http://site0.example.com/A/b1x", "site0.example.com"),
+      // only '/A' matches → deny
+      (2L, "http://site0.example.com/A/b2", "site0.example.com"),
+      // no rules for site6 → default allow with empty rule_path
+      (3L, "http://site6.example.com/zzz", "site6.example.com"),
+      // site2: '/' deny and '/A/b3' allow — longest wins
+      (4L, "http://site2.example.com/A/b3", "site2.example.com")
+    ).toDF("doc_id", "url_norm", "domain")
+    val got = CurationOps.urlFilter(urls).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getString(4)))).toMap
+    assert(got(1L) === (("/A/b1", "allow")))
+    assert(got(2L) === (("/A", "deny")))
+    assert(got(3L) === (("", "allow")))
+    assert(got(4L) === (("/A/b3", "allow")))
+  }
+}
