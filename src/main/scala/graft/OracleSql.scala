@@ -2448,11 +2448,11 @@ object OracleSql {
                COALESCE(mr.max_run, 0) AS max_run
         FROM st LEFT JOIN mr ON st.doc_id = mr.doc_id"""
 
-  /** Linear-classifier twin: identical smoothed ppm-difference weights
-    * and int64 document sums (TextStatsOps.linearClassifierApply).
+  /** Classifier-weight CTE chain ending in `wts(w, wt)` + the training
+    * token stream `tk2` — twin of TextStatsOps.classifierWeights.
     */
-  def classifierApplySql: String =
-    s"""WITH tk AS (SELECT doc_id, lang,
+  private val classifierWtsCtes: String =
+    s"""tk AS (SELECT doc_id, lang,
                  unnest(string_split_regex(lower(text), '$Ws')) AS w
                FROM documents),
         tk2 AS (SELECT * FROM tk WHERE regexp_full_match(w, '[a-z]+')),
@@ -2470,13 +2470,91 @@ object OracleSql {
                   CAST(((cpos + 1) * 1000000) // (tpos + vocab)
                     - ((cneg + 1) * 1000000) // (tneg + vocab) AS BIGINT)
                     AS wt
-                FROM cnt, tot),
+                FROM cnt, tot)"""
+
+  /** Linear-classifier twin: identical smoothed ppm-difference weights
+    * and int64 document sums (TextStatsOps.linearClassifierApply).
+    */
+  def classifierApplySql: String =
+    s"""WITH $classifierWtsCtes,
         sc AS (SELECT doc_id, lang, CAST(SUM(wt) AS BIGINT) AS score
                FROM tk2 JOIN wts USING (w) GROUP BY doc_id, lang)
         SELECT lang,
                CASE WHEN score > 0 THEN 'en' ELSE 'other' END AS pred,
                COUNT(*) AS n_docs, CAST(SUM(score) AS BIGINT) AS sum_score
         FROM sc GROUP BY lang, pred"""
+
+  /** Persisted-classifier twin: the same trained weights (persisted ≡
+    * trained), applied to the corpus with one appended OOV token per
+    * doc via a LEFT join (OOV weight 0, counted).
+    */
+  def classifierPersistSql: String =
+    s"""WITH $classifierWtsCtes,
+        adocs AS (SELECT doc_id, lang, text || ' qzjxvw' AS text
+                  FROM documents WHERE text IS NOT NULL),
+        atk AS (SELECT doc_id, lang,
+                  unnest(string_split_regex(lower(text), '$Ws')) AS w
+                FROM adocs),
+        atk2 AS (SELECT * FROM atk WHERE regexp_full_match(w, '[a-z]+')),
+        sc AS (SELECT a.doc_id, a.lang, COUNT(*) AS n_toks,
+                 CAST(SUM(CASE WHEN ww.wt IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_oov,
+                 CAST(SUM(COALESCE(ww.wt, 0)) AS BIGINT) AS score
+               FROM atk2 a LEFT JOIN wts ww ON a.w = ww.w
+               GROUP BY a.doc_id, a.lang)
+        SELECT doc_id, lang, n_toks, n_oov, score,
+               CASE WHEN score > 0 THEN 'en' ELSE 'other' END AS pred
+        FROM sc"""
+
+  /** Incremental span-dedup twin: the snapshot's distinct gram set is
+    * the persisted index; arrival (quote-twin) gram positions LEFT-join
+    * it, then the shared islands tail.
+    */
+  def dedupSubstringIncrSql: String =
+    s"""WITH qdocs AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL),
+        qw AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '$Ws'), x -> x <> '')
+                   AS w
+               FROM qdocs),
+        ig AS (SELECT DISTINCT
+                 unnest(list_transform(range(1, len(w) - 6),
+                   j -> ${hash60("array_to_string(list_slice(w, j, j + 7), ' ')")}))
+                   AS sh
+               FROM qw WHERE len(w) >= 8),
+        arr AS (SELECT doc_id + 1000000 AS doc_id,
+                 'quoteopen' || CAST(doc_id AS VARCHAR) ||
+                 ' begins here now ' ||
+                 array_to_string(list_slice(w, 3, 14), ' ') ||
+                 ' quoteclose' || CAST(doc_id AS VARCHAR) AS text
+               FROM qw WHERE doc_id % 3 = 0),
+        aw AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '$Ws'), x -> x <> '')
+                   AS w
+               FROM arr),
+        ag AS (SELECT doc_id,
+                 unnest(range(1, len(w) - 6)) AS pos,
+                 unnest(list_transform(range(1, len(w) - 6),
+                   j -> ${hash60("array_to_string(list_slice(w, j, j + 7), ' ')")}))
+                   AS sh
+               FROM aw WHERE len(w) >= 8),
+        m AS (SELECT ag.doc_id, ag.pos,
+                     CASE WHEN ig.sh IS NULL THEN 0 ELSE 1 END AS is_dup
+              FROM ag LEFT JOIN ig ON ag.sh = ig.sh),
+        runs AS (SELECT doc_id,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS isl
+                 FROM m WHERE is_dup = 1),
+        mr AS (SELECT doc_id, MAX(c) AS max_run FROM (
+                 SELECT doc_id, isl, COUNT(*) AS c FROM runs
+                 GROUP BY doc_id, isl) GROUP BY doc_id),
+        st AS (SELECT doc_id, COUNT(*) AS n_grams,
+                      CAST(SUM(is_dup) AS BIGINT) AS n_dup
+               FROM m GROUP BY doc_id)
+        SELECT st.doc_id, st.n_grams, st.n_dup,
+               st.n_dup * 1000000 // st.n_grams AS dup_ppm,
+               COALESCE(mr.max_run, 0) AS max_run
+        FROM st LEFT JOIN mr ON st.doc_id = mr.doc_id"""
 
   /** Budget-select twin: one global window prefix sum ORDER BY
     * (score_ppm DESC, doc_id) — the engine's bucketed two-phase prefix

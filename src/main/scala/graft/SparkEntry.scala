@@ -1423,6 +1423,36 @@ object SparkEntry {
     // the scorer is order-independent and oracle-exact.
     "q_classifier_apply" -> ((s, d) =>
       TextStatsOps.linearClassifierApply(Tables.documents(s, d))),
+    // Persisted-model inference: train once, write the (token, weight)
+    // parquet, score a LATER corpus from the artifact — the classifier
+    // twin of the BPE-vocab/MinHash-index persisted-artifact
+    // discipline. The scored corpus appends an out-of-vocabulary token
+    // per doc ("qzjxvw"), exercising the OOV-weight-0 + n_oov drift
+    // counter every production scorer ships. Oracle replays train +
+    // apply (persisted weights ≡ trained weights).
+    "q_classifier_persist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = tmpPath("graft_clfw", d)
+      TextStatsOps.trainWriteClassifier(docs, path)
+      TextStatsOps.scoreWithClassifier(
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            concat(col("text"), lit(" qzjxvw")).as("text")), path)
+    }),
+    // Incremental span-level dedup against a persisted gram index: the
+    // snapshot's per-gram doc frequencies are written once; arrivals
+    // (the quote twins) compute their own gram positions only and
+    // probe by one gram-keyed join — O(arrival grams), the substring
+    // twin of q_dedup_minhash_incr. Cross-boundary-only contract
+    // stated in the scaladoc.
+    "q_dedup_substring_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      requireIdHeadroom(docs, "doc_id")
+      val path = tmpPath("graft_gramidx", d)
+      DedupOps.writeGramIndex(docs, path)
+      DedupOps.substringDupIncremental(
+        DedupOps.quoteCorpus(docs).filter(col("doc_id") >= 1000000L), path)
+    }),
     // Corpus-level PII prevalence report (the audit before scrub
     // policy): per (lang, class) match/doc counts over a closed-form
     // dirtied corpus — email, phone, IPv4, card classes counted
@@ -4791,7 +4821,9 @@ object SparkEntry {
     "q_html_extract" -> OracleSql.htmlExtractSql,
     "q_url_filter" -> OracleSql.urlFilterSql,
     "q_dedup_substring" -> OracleSql.dedupSubstringSql,
+    "q_dedup_substring_incr" -> OracleSql.dedupSubstringIncrSql,
     "q_classifier_apply" -> OracleSql.classifierApplySql,
+    "q_classifier_persist" -> OracleSql.classifierPersistSql,
     "q_pii_report" -> OracleSql.piiReportSql,
     "q_budget_select" -> OracleSql.budgetSelectSql,
     "q_dedup_semantic" -> OracleSql.dedupSemanticSql(),

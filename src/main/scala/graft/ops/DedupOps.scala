@@ -726,15 +726,28 @@ object DedupOps {
     */
   def substringDupStats(corpus: DataFrame, k: Int = 8,
                         minDf: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = corpus.select(col("doc_id"),
-      posexplode(graft.functions.KGramHash60(col("text"), k))
-        .as(Seq("pos", "sh")))
+    val grams = gramPositions(corpus, k)
     val df = grams.groupBy("sh")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf).select("sh")
-    // Left-mark: a gram with no row in `df` is unique corpus-wide.
-    val marked = grams.join(df.withColumn("is_dup", lit(1L)), Seq("sh"), "left")
+    dupSpanTail(grams, df)
+  }
+
+  /** (doc_id, pos, sh) word k-gram position rows (native hasher). */
+  private def gramPositions(corpus: DataFrame, k: Int): DataFrame =
+    corpus.filter(col("text").isNotNull).select(col("doc_id"),
+      posexplode(graft.functions.KGramHash60(col("text"), k))
+        .as(Seq("pos", "sh")))
+
+  /** Shared tail of the span-dedup family: mark each gram position
+    * against the duplicated-gram set `dupSh(sh)`, then per-doc stats +
+    * the gaps-and-islands longest duplicated run.
+    */
+  private def dupSpanTail(grams: DataFrame, dupSh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Left-mark: a gram with no row in `dupSh` is unique corpus-wide.
+    val marked = grams
+      .join(dupSh.withColumn("is_dup", lit(1L)), Seq("sh"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("is_dup"), lit(0L)).as("is_dup"))
     // Gaps-and-islands over duplicated positions only: consecutive pos
@@ -750,5 +763,35 @@ object DedupOps {
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         expr("n_dup * 1000000 div n_grams").as("dup_ppm"),
         coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
+  /** Persist the span-dedup gram index: per-gram distinct-doc frequency
+    * (sh, df) over the snapshot corpus — the substring twin of
+    * [[writeMinhashIndex]]. Built once per snapshot; arrivals probe it
+    * in O(arrival grams).
+    */
+  def writeGramIndex(known: DataFrame, path: String, k: Int = 8): Unit =
+    gramPositions(known, k)
+      .groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
+      .write.mode("overwrite").parquet(path + "/grams")
+
+  /** Incremental span-level dedup against the persisted gram index:
+    * arrivals compute THEIR OWN k-gram positions only and left-join the
+    * snapshot's gram set — a gram present in the index is a duplicated
+    * span position (the snapshot already contains it). Same output and
+    * islands tail as [[substringDupStats]], semantics restricted to
+    * cross-boundary duplication (arrival-vs-snapshot; arrival-vs-
+    * arrival duplication waits for the periodic snapshot re-mine, the
+    * same contract as [[dedupMinhashIncremental]]).
+    *
+    * Scale shape: O(arrival grams) — one gram-keyed join against the
+    * index (bucket the index by sh to make the probe co-located) plus
+    * the doc-keyed islands window. The snapshot corpus is never
+    * re-scanned; that is the point of persisting.
+    */
+  def substringDupIncremental(arrivals: DataFrame, path: String,
+                              k: Int = 8): DataFrame = {
+    val idx = arrivals.sparkSession.read.parquet(path + "/grams")
+    dupSpanTail(gramPositions(arrivals, k), idx.select("sh"))
   }
 }

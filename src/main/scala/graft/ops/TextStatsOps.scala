@@ -283,20 +283,35 @@ object TextStatsOps {
     * tiny final rollup. Docs with no alphabetic token never enter the
     * scorer and are absent by contract.
     */
-  def linearClassifierApply(docs: DataFrame,
-                            posLang: String = "en"): DataFrame = {
-    val tk = docs.select(col("doc_id"), col("lang"),
+  /** Lowercased alphabetic token stream (doc_id, lang, w) — the shared
+    * tokenization of the classifier train and apply halves.
+    */
+  private def alphaToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), TextOps.WsRegex)).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
-    val cnt = tk.groupBy("w").agg(
+
+  /** Trained per-token weight table (w, wt) — see
+    * [[linearClassifierApply]] for the weight formula and the log-free
+    * rationale.
+    */
+  def classifierWeights(docs: DataFrame,
+                        posLang: String = "en"): DataFrame = {
+    val cnt = alphaToks(docs).groupBy("w").agg(
       sum(when(col("lang") === posLang, 1L).otherwise(0L)).as("cpos"),
       sum(when(col("lang") =!= posLang, 1L).otherwise(0L)).as("cneg"))
     val tot = cnt.agg(sum("cpos").as("tpos"), sum("cneg").as("tneg"),
       count(lit(1)).as("vocab"))
-    val wts = cnt.crossJoin(broadcast(tot))
+    cnt.crossJoin(broadcast(tot))
       .select(col("w"),
         (expr("((cpos + 1) * 1000000) div (tpos + vocab)") -
           expr("((cneg + 1) * 1000000) div (tneg + vocab)")).as("wt"))
+  }
+
+  def linearClassifierApply(docs: DataFrame,
+                            posLang: String = "en"): DataFrame = {
+    val tk = alphaToks(docs)
+    val wts = classifierWeights(docs, posLang)
     tk.join(wts, "w")
       .groupBy("doc_id", "lang").agg(sum("wt").as("score"))
       .select(col("lang"),
@@ -304,6 +319,41 @@ object TextStatsOps {
         col("score"))
       .groupBy("lang", "pred")
       .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_score"))
+  }
+
+  /** Persist the trained classifier weights — the model artifact half
+    * of the persisted-artifact discipline (the classifier twin of the
+    * BPE vocab / MinHash index writes): one (w, wt) parquet per
+    * training snapshot, applied to any later corpus without retraining.
+    */
+  def trainWriteClassifier(docs: DataFrame, path: String,
+                           posLang: String = "en"): Unit =
+    classifierWeights(docs, posLang)
+      .write.mode("overwrite").parquet(path + "/weights")
+
+  /** Score a corpus against PERSISTED classifier weights — production
+    * inference: tokens left-join the weight table; out-of-vocabulary
+    * tokens contribute weight 0 and are counted (`n_oov` — the drift
+    * signal that tells a pipeline the model needs retraining). Output
+    * per document: (doc_id, lang, n_toks, n_oov, score, pred).
+    *
+    * Scale shape: one token-keyed join against a vocab-sized weight
+    * table (broadcastable when it fits) + one doc-keyed agg — the
+    * arrivals never shuffle twice. Unlike [[linearClassifierApply]]
+    * (which trains in-plan), the weight read is O(vocab), not
+    * O(training corpus) — the point of persisting.
+    */
+  def scoreWithClassifier(docs: DataFrame, path: String,
+                          posLang: String = "en"): DataFrame = {
+    val wts = docs.sparkSession.read.parquet(path + "/weights")
+    alphaToks(docs).join(wts, Seq("w"), "left")
+      .groupBy("doc_id", "lang").agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("wt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("wt"), lit(0L))).as("score"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("n_oov"),
+        col("score"),
+        when(col("score") > 0, posLang).otherwise("other").as("pred"))
   }
 
   /** Richer PII fixture than [[dirtyCorpus]]: appends a phone number, an

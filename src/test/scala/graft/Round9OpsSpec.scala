@@ -144,6 +144,61 @@ class Round9OpsSpec extends SparkSpec {
     assert(got(3L) === ((1L, 0L, 0L)))
   }
 
+  // ---- persisted classifier ----
+
+  test("scoreWithClassifier applies persisted weights with OOV " +
+      "counted at weight zero") {
+    val docs = Seq(
+      (1L, "en", "hello world"), (2L, "en", "hello world"),
+      (3L, "de", "hallo welt"), (4L, "de", "hallo welt")
+    ).toDF("doc_id", "lang", "text")
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spec_clfw").getPath
+    TextStatsOps.trainWriteClassifier(docs, path)
+    val scored = TextStatsOps.scoreWithClassifier(
+      docs.select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" zzoov")).as("text")), path)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    // w(hello)=w(world)=250000, w(hallo)=w(welt)=-250000; zzoov → 0.
+    assert(scored(1L) === ((3L, 1L, 500000L, "en")))
+    assert(scored(3L) === ((3L, 1L, -500000L, "other")))
+  }
+
+  // ---- incremental substring dedup vs persisted gram index ----
+
+  test("substringDupIncremental over the persisted gram index equals " +
+      "the full re-mine's verdict on the arrival slice (no " +
+      "arrival-arrival dups in the fixture)") {
+    val snapshot = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 a15"),
+      (2L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10")
+    ).toDF("doc_id", "text")
+    val arrivals = Seq(
+      // embeds snapshot words a3..a12 between unique framing
+      (100L, "x1 x2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 y1 y2"),
+      // all-fresh arrival: nothing known
+      (101L, "f1 f2 f3 f4 f5 f6 f7 f8 f9")
+    ).toDF("doc_id", "text")
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spec_gramidx").getPath
+    DedupOps.writeGramIndex(snapshot, path)
+    val incr = DedupOps.substringDupIncremental(arrivals, path).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    // doc 100: 7 grams; positions 2..4 (a3..a10, a4..a11, a5..a12) are
+    // snapshot grams → n_dup 3, max_run 3. doc 101: 2 grams, none known.
+    assert(incr(100L) === ((7L, 3L, 3L)))
+    assert(incr(101L) === ((2L, 0L, 0L)))
+    // Equivalence: the full re-mine over snapshot ∪ arrivals judges the
+    // arrival slice identically (fixture has no arrival-arrival dups).
+    val full = DedupOps.substringDupStats(snapshot.union(arrivals))
+      .filter(col("doc_id") >= 100L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(full === incr)
+  }
+
   // ---- urlFilter ----
 
   test("urlFilter elects the longest matching prefix rule; no rule " +
