@@ -2690,6 +2690,35 @@ object OracleSql {
         LEFT JOIN np USING (c_id)
         LEFT JOIN drp d USING (c_id)"""
 
+  /** Link-graph twin: identical closed-form linked-page fixture, anchor
+    * extraction by the same regex (the `<link href>` tripwire must not
+    * match), host-to-host rollup.
+    */
+  def linkGraphSql: String =
+    s"""WITH pg AS (SELECT doc_id,
+             'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+               AS src_domain,
+             '<html><head><link href="http://cdn.example.com/x.css">' ||
+             '</head><body><p>' || text ||
+             '</p><a href="http://site' ||
+             CAST((doc_id + 1) % 7 AS VARCHAR) ||
+             '.example.com/p' || CAST(doc_id % 5 AS VARCHAR) ||
+             '">l1</a><a href="http://site' ||
+             CAST((doc_id * 2 + 3) % 7 AS VARCHAR) ||
+             '.example.com/p' || CAST((doc_id + 1) % 5 AS VARCHAR) ||
+             '">l2</a></body></html>' AS html
+           FROM documents WHERE text IS NOT NULL),
+        l AS (SELECT doc_id, src_domain,
+                unnest(regexp_extract_all(html, '<a href="([^"]+)"', 1))
+                  AS href
+              FROM pg),
+        e AS (SELECT doc_id, src_domain,
+                regexp_extract(href, '^[^:]+://([^/]+)', 1) AS dst_domain
+              FROM l)
+        SELECT src_domain, dst_domain, COUNT(*) AS n_links,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
+        FROM e GROUP BY src_domain, dst_domain"""
+
   /** URL prefix-filter twin: the same VALUES rule table, LIKE-prefix
     * candidate match, longest-rule (deny-wins) election per URL.
     */

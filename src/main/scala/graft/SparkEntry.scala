@@ -1459,6 +1459,13 @@ object SparkEntry {
     // independently on raw text.
     "q_pii_report" -> ((s, d) =>
       TextStatsOps.piiReport(TextStatsOps.piiCorpus(Tables.documents(s, d)))),
+    // Hyperlink graph extraction — the crawl side-product: anchor
+    // hrefs pulled from page HTML (stylesheet <link href> tripwire
+    // excluded), rolled up to the host-to-host edge list that seeds
+    // PageRank/community/frontier scoring. Per-row regex + one
+    // (src,dst)-keyed rollup.
+    "q_link_graph" -> ((s, d) =>
+      CurationOps.linkGraph(CurationOps.linkWrap(Tables.documents(s, d)))),
     // Token-budget greedy selection — the final pretraining cut: rank
     // by lexical-diversity ppm, keep best docs until a quarter of the
     // corpus tokens is spent. Global prefix sum via the packLayout
@@ -4826,6 +4833,7 @@ object SparkEntry {
     "q_classifier_persist" -> OracleSql.classifierPersistSql,
     "q_pii_report" -> OracleSql.piiReportSql,
     "q_budget_select" -> OracleSql.budgetSelectSql,
+    "q_link_graph" -> OracleSql.linkGraphSql,
     "q_dedup_semantic" -> OracleSql.dedupSemanticSql(),
     "q_embed_quantize" -> OracleSql.embedQuantizeSql,
     "q_url_normalize" -> OracleSql.urlNormalizeSql,

@@ -507,6 +507,47 @@ object CurationOps {
           (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
   }
 
+  /** Deterministic linked-page fixture for [[linkGraph]]: each document
+    * becomes a page on `site(doc_id%7).example.com` whose body carries
+    * TWO anchor links to other sites (cyclic-group targets so the
+    * domain graph has real structure, including the site4 self-loop)
+    * plus a `<link href>` stylesheet tripwire that anchor extraction
+    * must NOT pick up. Closed-form, shared with the oracle.
+    */
+  def linkWrap(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      concat(lit("site"), col("doc_id") % 7, lit(".example.com"))
+        .as("src_domain"),
+      concat(
+        lit("<html><head><link href=\"http://cdn.example.com/x.css\">" +
+          "</head><body><p>"),
+        col("text"),
+        lit("</p><a href=\"http://site"), (col("doc_id") + 1) % 7,
+        lit(".example.com/p"), col("doc_id") % 5,
+        lit("\">l1</a><a href=\"http://site"), (col("doc_id") * 2 + 3) % 7,
+        lit(".example.com/p"), (col("doc_id") + 1) % 5,
+        lit("\">l2</a></body></html>")).as("html"))
+
+  /** Hyperlink graph extraction — the crawl side-product every web
+    * corpus ships (host-level link graph for PageRank seeds, spam
+    * domain detection, crawl frontier scoring): anchor hrefs pulled
+    * from page HTML (`<a href="…"` — the `<link>` stylesheet tripwire
+    * proves only anchors count), reduced to a host-to-host edge rollup
+    * (src_domain, dst_domain, n_links, n_pages). Extraction is pure
+    * per-row regex work; the only shuffle is the (src, dst)-keyed
+    * rollup. Feeds [[graft.ops.GraphOps]] directly (the edge list is
+    * PageRank/community input).
+    */
+  def linkGraph(pages: DataFrame): DataFrame =
+    pages.select(col("doc_id"), col("src_domain"),
+        explode(regexp_extract_all(col("html"),
+          lit("<a href=\"([^\"]+)\""), lit(1))).as("href"))
+      .select(col("doc_id"), col("src_domain"),
+        regexp_extract(col("href"), "^[^:]+://([^/]+)", 1).as("dst_domain"))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_pages"))
+
   /** Token-budget corpus selection — the final cut every pretraining run
     * makes: rank documents by a quality score, keep the best until a
     * token budget is spent. Score: lexical diversity in ppm

@@ -199,6 +199,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(full === incr)
   }
 
+  // ---- linkGraph ----
+
+  test("linkGraph extracts anchor hrefs only (link-tag tripwire) and " +
+      "rolls up host-to-host edges") {
+    val pages = Seq(
+      (1L, "a.com", "<link href=\"http://cdn.x/y.css\">" +
+        "<a href=\"http://b.com/p1\">x</a><a href=\"http://b.com/p2\">y</a>"),
+      (2L, "a.com", "<a href=\"http://b.com/p3\">z</a>"),
+      (3L, "b.com", "<a href=\"http://a.com/\">w</a> no more links")
+    ).toDF("doc_id", "src_domain", "html")
+    val got = CurationOps.linkGraph(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // cdn stylesheet never appears; a.com→b.com has 3 links on 2 pages
+    assert(got === Map(
+      ("a.com", "b.com") -> ((3L, 2L)),
+      ("b.com", "a.com") -> ((1L, 1L))))
+  }
+
   // ---- urlFilter ----
 
   test("urlFilter elects the longest matching prefix rule; no rule " +
