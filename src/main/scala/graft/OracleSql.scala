@@ -2694,8 +2694,8 @@ object OracleSql {
     * extraction by the same regex (the `<link href>` tripwire must not
     * match), host-to-host rollup.
     */
-  def linkGraphSql: String =
-    s"""WITH pg AS (SELECT doc_id,
+  private val linkPageCtes: String =
+    """pg AS (SELECT doc_id,
              'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
                AS src_domain,
              '<html><head><link href="http://cdn.example.com/x.css">' ||
@@ -2714,10 +2714,48 @@ object OracleSql {
               FROM pg),
         e AS (SELECT doc_id, src_domain,
                 regexp_extract(href, '^[^:]+://([^/]+)', 1) AS dst_domain
-              FROM l)
+              FROM l)"""
+
+  def linkGraphSql: String =
+    s"""WITH $linkPageCtes
         SELECT src_domain, dst_domain, COUNT(*) AS n_links,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
         FROM e GROUP BY src_domain, dst_domain"""
+
+  /** Crawl-rank twin: the link-graph fixture reduced to weighted domain
+    * edges (w = n_links), then the weighted-PageRank integer fixed-point
+    * unroll (share = (rank_fp·w) // wdeg, damping 85/100, scale 10^12)
+    * over STRING node keys — same arithmetic as the
+    * q_pagerank_weighted oracle.
+    */
+  def crawlRankSql(iters: Int): String = {
+    val ctes = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT n.node,
+                  CAST(150000000000 + (85 * COALESCE(s.c, 0)) // 100
+                    AS BIGINT) AS rank_fp
+           FROM nodes n LEFT JOIN (
+             SELECT ed.dst, CAST(SUM((r.rank_fp * ed.w) // o.wdeg)
+               AS BIGINT) AS c
+             FROM edges ed
+             JOIN r${i - 1} r ON r.node = ed.src
+             JOIN outdeg o ON o.src = ed.src
+             GROUP BY ed.dst) s ON s.dst = n.node)"""
+    }.mkString(",\n")
+    s"""WITH $linkPageCtes,
+        edges AS (SELECT src_domain AS src, dst_domain AS dst,
+                         COUNT(*) AS w
+                  FROM e GROUP BY src_domain, dst_domain),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg
+                   FROM edges GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_fp
+               FROM nodes),
+        $ctes
+        SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / 1e12 AS rank
+        FROM r$iters"""
+  }
 
   /** URL prefix-filter twin: the same VALUES rule table, LIKE-prefix
     * candidate match, longest-rule (deny-wins) election per URL.

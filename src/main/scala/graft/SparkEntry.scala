@@ -1466,6 +1466,17 @@ object SparkEntry {
     // (src,dst)-keyed rollup.
     "q_link_graph" -> ((s, d) =>
       CurationOps.linkGraph(CurationOps.linkWrap(Tables.documents(s, d)))),
+    // Crawl ranking — the composition the link graph exists FOR: the
+    // extracted host-to-host edges (w = link count) feed weighted
+    // PageRank directly; the domain graph is tiny here but the plan is
+    // the production shape (extraction fused ahead of the iterative
+    // rank loop, string node keys end-to-end).
+    "q_crawl_rank" -> ((s, d) =>
+      GraphOps.pageRankWeighted(
+        CurationOps.linkGraph(CurationOps.linkWrap(Tables.documents(s, d)))
+          .select(col("src_domain").as("src"),
+            col("dst_domain").as("dst"), col("n_links").as("w")),
+        PrIters)),
     // Token-budget greedy selection — the final pretraining cut: rank
     // by lexical-diversity ppm, keep best docs until a quarter of the
     // corpus tokens is spent. Global prefix sum via the packLayout
@@ -4834,6 +4845,7 @@ object SparkEntry {
     "q_pii_report" -> OracleSql.piiReportSql,
     "q_budget_select" -> OracleSql.budgetSelectSql,
     "q_link_graph" -> OracleSql.linkGraphSql,
+    "q_crawl_rank" -> OracleSql.crawlRankSql(PrIters),
     "q_dedup_semantic" -> OracleSql.dedupSemanticSql(),
     "q_embed_quantize" -> OracleSql.embedQuantizeSql,
     "q_url_normalize" -> OracleSql.urlNormalizeSql,
