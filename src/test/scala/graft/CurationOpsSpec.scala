@@ -67,17 +67,17 @@ class CurationOpsSpec extends SparkSpec {
 
   test("domainStats: canonical collapse counts recrawls once") {
     val urls = Seq(
-      (1L, "http://a.com/x?utm_source=1"),
-      (2L, "HTTP://A.com/x#two"),        // same canonical as 1
-      (3L, "http://a.com/y"),
-      (4L, "https://b.com/x/")
+      (1L, "http://a.example.com/x?utm_source=1"),
+      (2L, "HTTP://A.example.com/x#two"),        // same canonical as 1
+      (3L, "http://a.example.com/y"),
+      (4L, "https://b.example.com/x/")
     ).toDF("doc_id", "url")
     val got = CurationOps.domainStats(CurationOps.urlNormalize(urls))
       .collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(got("a.com") === ((3L, 2L, 2L)))
-    assert(got("b.com") === ((1L, 1L, 1L)))
+    assert(got("a.example.com") === ((3L, 2L, 2L)))
+    assert(got("b.example.com") === ((1L, 1L, 1L)))
   }
 
   test("decontaminate flags docs sharing an 8-gram with the benchmark") {

@@ -204,18 +204,18 @@ class Round9OpsSpec extends SparkSpec {
   test("linkGraph extracts anchor hrefs only (link-tag tripwire) and " +
       "rolls up host-to-host edges") {
     val pages = Seq(
-      (1L, "a.com", "<link href=\"http://cdn.x/y.css\">" +
-        "<a href=\"http://b.com/p1\">x</a><a href=\"http://b.com/p2\">y</a>"),
-      (2L, "a.com", "<a href=\"http://b.com/p3\">z</a>"),
-      (3L, "b.com", "<a href=\"http://a.com/\">w</a> no more links")
+      (1L, "a.example.com", "<link href=\"http://cdn.example.com/y.css\">" +
+        "<a href=\"http://b.example.com/p1\">x</a><a href=\"http://b.example.com/p2\">y</a>"),
+      (2L, "a.example.com", "<a href=\"http://b.example.com/p3\">z</a>"),
+      (3L, "b.example.com", "<a href=\"http://a.example.com/\">w</a> no more links")
     ).toDF("doc_id", "src_domain", "html")
     val got = CurationOps.linkGraph(pages).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3)))).toMap
     // cdn stylesheet never appears; a.com→b.com has 3 links on 2 pages
     assert(got === Map(
-      ("a.com", "b.com") -> ((3L, 2L)),
-      ("b.com", "a.com") -> ((1L, 1L))))
+      ("a.example.com", "b.example.com") -> ((3L, 2L)),
+      ("b.example.com", "a.example.com") -> ((1L, 1L))))
   }
 
   // ---- crawl rank (link graph → weighted PageRank) ----
@@ -225,18 +225,18 @@ class Round9OpsSpec extends SparkSpec {
     import graft.ops.GraphOps
     // b gets 3x the link mass from a; c links back to a.
     val edges = Seq(
-      ("a.com", "b.com", 3L), ("a.com", "c.com", 1L),
-      ("b.com", "c.com", 1L), ("c.com", "a.com", 1L)
+      ("a.example.com", "b.example.com", 3L), ("a.example.com", "c.com", 1L),
+      ("b.example.com", "c.com", 1L), ("c.com", "a.example.com", 1L)
     ).toDF("src", "dst", "w")
     val ranks = GraphOps.pageRankWeighted(edges, 10).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(ranks.keySet === Set("a.com", "b.com", "c.com"))
+    assert(ranks.keySet === Set("a.example.com", "b.example.com", "c.com"))
     // c receives from both a (1/4 share) and b (all) — highest;
     // b (3/4 of a) beats a only if c's backlink mass is lower than …
     // pin the invariant that matters: all ranks positive, and b > its
     // no-inlink base (it receives real mass).
     assert(ranks.values.forall(_ > 0L))
-    assert(ranks("b.com") > 150000000000L)
+    assert(ranks("b.example.com") > 150000000000L)
   }
 
   // ---- urlFilter ----

@@ -28,11 +28,16 @@ PATTERNS = {
         r"^\s*import\s+(?:com|net|io|ai|dev|org)\.(?!apache\.(?:spark|hadoop|parquet|commons|log4j)"
         r"|scalatest|scalacheck|slf4j|fasterxml|xerial|codehaus|roaringbitmap|junit)"
     ),
-    # URLs outside apache/github/w3 and the obviously-synthetic fixture hosts
+    # URLs outside apache/github/w3 and the obviously-synthetic fixture hosts.
+    # Any subdomain of the RFC-2606 example domains is synthetic by
+    # construction (cdn.example.com, siteN.example.com, sub.www.example.com —
+    # the crawl-fixture hosts), as is a bare `http://site` literal whose host
+    # is completed dynamically by a fixture expression.
     "internal-url": re.compile(
         r"https?://(?!www\.apache\.org|apache\.org|spark\.apache\.org|hadoop\.apache\.org"
         r"|github\.com|raw\.githubusercontent\.com|www\.w3\.org|maven\.apache\.org|duckdb\.org"
-        r"|localhost|127\.0\.0\.1|example\.(?:com|org)|site/|x\.y/|\[)\S+"  # `[` = regex literal, not a URL
+        r"|localhost|127\.0\.0\.1|(?:[\w.-]+\.)?example\.(?:com|org)\b"
+        r"|site[/'\"]|x\.y/|\[)\S+"  # `[` = regex literal, not a URL
     ),
     # Non-public package roots that would signal copied proprietary code
     "internal-pkg2": re.compile(r"\b(?:com|net|io)\.(?:velox|dicl)\b|\binternal\.(?:corp|infra)\b"),
