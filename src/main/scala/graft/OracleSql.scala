@@ -2506,6 +2506,79 @@ object OracleSql {
                CASE WHEN score > 0 THEN 'en' ELSE 'other' END AS pred
         FROM sc"""
 
+  /** Streaming-classifier twin: stateless inference means streaming ≡
+    * batch, so the oracle scores both arrival slices (base + drifted
+    * +1M twin) in one pass with the same trained weights.
+    */
+  def classifierStreamSql: String =
+    s"""WITH $classifierWtsCtes,
+        adocs AS (
+          SELECT doc_id, lang, text || ' qzjxvw' AS text
+          FROM documents WHERE text IS NOT NULL
+          UNION ALL
+          SELECT doc_id + 1000000, lang,
+                 text || ' qzjxvw zzdrift qqdrift' AS text
+          FROM documents WHERE text IS NOT NULL),
+        atk AS (SELECT doc_id, lang,
+                  unnest(string_split_regex(lower(text), '$Ws')) AS w
+                FROM adocs),
+        atk2 AS (SELECT * FROM atk WHERE regexp_full_match(w, '[a-z]+')),
+        sc AS (SELECT a.doc_id, a.lang, COUNT(*) AS n_toks,
+                 CAST(SUM(CASE WHEN ww.wt IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_oov,
+                 CAST(SUM(COALESCE(ww.wt, 0)) AS BIGINT) AS score
+               FROM atk2 a LEFT JOIN wts ww ON a.w = ww.w
+               GROUP BY a.doc_id, a.lang)
+        SELECT doc_id, lang, n_toks, n_oov, score,
+               CASE WHEN score > 0 THEN 'en' ELSE 'other' END AS pred
+        FROM sc"""
+
+  /** Hard-negative twin: brute cosine ranking restricted to
+    * different-label candidates (null labels never pair).
+    */
+  def hardNegativesSql: String =
+    s"""WITH lqv AS (SELECT vec_id, label, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${SimilarityOps.QScale})
+                 AS BIGINT)) AS v
+        FROM embeddings),
+        ln AS (SELECT * FROM (
+          SELECT vec_id, label, v,
+                 CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+                   AS n2
+          FROM lqv) WHERE n2 > 0),
+        q AS (SELECT vec_id AS q_id, label AS q_label, v AS qvv,
+                     n2 AS qn2
+              FROM ln WHERE vec_id < 5),
+        c AS (SELECT q.q_id, ln.vec_id, q.qvv, q.qn2, ln.v AS vv, ln.n2
+              FROM q JOIN ln ON ln.label <> q.q_label),
+        s AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM c),
+        r AS (SELECT q_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY cos_sim DESC, vec_id)
+                       AS rnk
+              FROM s)
+        SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 10"""
+
+  /** Length-bucket twin: identical next-power-of-two bit math. */
+  def lengthBucketsSql: String =
+    s"""WITH t AS (SELECT CAST(len(list_filter(
+             string_split_regex(text, '$Ws'), x -> x <> '')) AS BIGINT)
+             AS n_tok
+           FROM documents WHERE text IS NOT NULL),
+        t2 AS (SELECT n_tok FROM t WHERE n_tok > 0),
+        b AS (SELECT n_tok,
+                CASE WHEN n_tok = 1 THEN 1
+                     ELSE CAST(1 AS BIGINT) << length(bin(n_tok - 1))
+                END AS cap
+              FROM t2),
+        g AS (SELECT cap, COUNT(*) AS n_docs,
+                     CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+              FROM b GROUP BY cap)
+        SELECT cap, n_docs, sum_tok, cap * n_docs AS padded_tok,
+               (cap * n_docs - sum_tok) * 1000000 // (cap * n_docs)
+                 AS waste_ppm
+        FROM g"""
+
   /** Incremental span-dedup twin: the snapshot's distinct gram set is
     * the persisted index; arrival (quote-twin) gram positions LEFT-join
     * it, then the shared islands tail.

@@ -1145,6 +1145,13 @@ object SparkEntry {
     "q_dedup_semantic" -> ((s, d) =>
       SimilarityOps.semanticDedup(
         SimilarityOps.embedDupCorpus(Tables.embeddings(s, d)))),
+    // Hard-negative mining for contrastive training: per query vector,
+    // the top-k most-similar vectors with a DIFFERENT label — the
+    // bruteTopK shape with the label-inequality predicate riding the
+    // broadcast join; production composes the same filter onto the
+    // IVF/LSH candidate generators.
+    "q_hard_negatives" -> ((s, d) =>
+      SimilarityOps.hardNegatives(Tables.embeddings(s, d))),
     // Int8 scalar-quantization audit: symmetric max-abs per-vector
     // scaling, fixed IEEE expression tree per element (no float
     // reductions), per-vector code sums + saturation + worst-dim
@@ -1439,6 +1446,27 @@ object SparkEntry {
           .select(col("doc_id"), col("lang"),
             concat(col("text"), lit(" qzjxvw")).as("text")), path)
     }),
+    // Streaming model inference against the persisted classifier
+    // artifact: micro-batches of arriving documents are scored inside
+    // foreachBatch (token join vs the weight parquet, OOV at weight 0),
+    // verdicts accumulating across batches. Batch 2 (+1M slice) drifts
+    // — two extra OOV tokens per doc — so the n_oov signal moves
+    // across batches. Stateless inference ≡ batch scoring, which is
+    // exactly what the oracle pins.
+    "q_stream_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      requireIdHeadroom(docs, "doc_id")
+      val wpath = tmpPath("graft_clfw_s", d)
+      TextStatsOps.trainWriteClassifier(docs, wpath)
+      val base = docs.filter(col("text").isNotNull)
+      val arrivals = base.select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" qzjxvw")).as("text"))
+        .union(base.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("lang"),
+          concat(col("text"), lit(" qzjxvw zzdrift qqdrift")).as("text")))
+      graft.streaming.StreamOps.classifierScoreReplay(
+        arrivals, wpath, tmpPath("graft_clf_stage", d), Seq(1000000L))
+    }),
     // Incremental span-level dedup against a persisted gram index: the
     // snapshot's per-gram doc frequencies are written once; arrivals
     // (the quote twins) compute their own gram positions only and
@@ -1477,6 +1505,12 @@ object SparkEntry {
           .select(col("src_domain").as("src"),
             col("dst_domain").as("dst"), col("n_links").as("w")),
         PrIters)),
+    // Length-bucket padding audit: docs bucket to the next power of two
+    // of their token count (pure integer bit math); per bucket, the
+    // padding waste a pad-to-bucket-max loader would pay — the report
+    // that chooses batching boundaries.
+    "q_length_buckets" -> ((s, d) =>
+      CurationOps.lengthBuckets(Tables.documents(s, d))),
     // Token-budget greedy selection — the final pretraining cut: rank
     // by lexical-diversity ppm, keep best docs until a quarter of the
     // corpus tokens is spent. Global prefix sum via the packLayout
@@ -4842,6 +4876,9 @@ object SparkEntry {
     "q_dedup_substring_incr" -> OracleSql.dedupSubstringIncrSql,
     "q_classifier_apply" -> OracleSql.classifierApplySql,
     "q_classifier_persist" -> OracleSql.classifierPersistSql,
+    "q_stream_classifier" -> OracleSql.classifierStreamSql,
+    "q_hard_negatives" -> OracleSql.hardNegativesSql,
+    "q_length_buckets" -> OracleSql.lengthBucketsSql,
     "q_pii_report" -> OracleSql.piiReportSql,
     "q_budget_select" -> OracleSql.budgetSelectSql,
     "q_link_graph" -> OracleSql.linkGraphSql,

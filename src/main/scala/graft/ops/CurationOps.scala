@@ -592,6 +592,32 @@ object CurationOps {
       .select("doc_id", "n_tok", "score_ppm", "cum_tok")
   }
 
+  /** Length-bucket padding audit — the batching-efficiency report for
+    * training loaders that pad every sequence in a batch to the batch
+    * max: documents bucket to the next power of two of their token
+    * count (`cap(n) = 1 << len(bin(n−1))`, n = 1 → 1 — pure integer
+    * bit math, engine-identical), and each bucket reports how many
+    * tokens padding would waste if batches were cut per bucket
+    * (waste_ppm = (cap·docs − real tokens)·10⁶ div cap·docs). The
+    * number a pipeline reads before choosing bucket boundaries.
+    * One doc-keyed map + one ≤64-row bucket rollup, zero wide state.
+    */
+  def lengthBuckets(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(size(filter(split(col("text"), TextOps.WsRegex),
+        x => x =!= "")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("n_tok"),
+        when(col("n_tok") === 1L, 1L)
+          .otherwise(expr("CAST(shiftleft(1, length(bin(n_tok - 1))) " +
+            "AS BIGINT)")).as("cap"))
+      .groupBy("cap").agg(
+        count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+      .select(col("cap"), col("n_docs"), col("sum_tok"),
+        (col("cap") * col("n_docs")).as("padded_tok"),
+        expr("(cap * n_docs - sum_tok) * 1000000 div (cap * n_docs)")
+          .as("waste_ppm"))
+
   /** Crawl-policy prefix rules — the [[urlFilter]] fixture: per-host
     * path-prefix allow/deny rules in robots.txt spirit (most-specific,
     * i.e. LONGEST matching prefix, wins; tie on length → deny). Tiny by

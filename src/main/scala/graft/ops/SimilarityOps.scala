@@ -817,6 +817,38 @@ object SimilarityOps {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the top-k most-similar vectors with a DIFFERENT
+    * label (high-similarity wrong-class examples are the negatives that
+    * teach a contrastive model its decision boundary). Same exact
+    * int64-quantized cosine + broadcast-query shape as [[bruteTopK]],
+    * with the label-inequality predicate riding the broadcast join.
+    * Null-label rows never pair (SQL null semantics, both engines).
+    * Output: (q_id, vec_id, cos_sim, rnk ≤ k).
+    *
+    * Scale shape: queries broadcast, corpus never shuffles for the
+    * scoring; per-query top-k is the one keyed window. Production
+    * swaps the brute scan for the IVF/LSH candidate generators in this
+    * file — the label filter composes unchanged.
+    */
+  def hardNegatives(emb: DataFrame, numQueries: Int = 5,
+                    k: Int = 10): DataFrame = {
+    val v = emb.select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("n2", dotL(col("qv"), col("qv")))
+      .filter(col("n2") > 0)
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qv").as("qqv"), col("n2").as("qn2"))
+    val scored = broadcast(q).join(v, col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(dotL(col("qqv"), col("qv")), col("qn2"), col("n2"))
+          .as("cos_sim"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Int8 scalar quantization audit — the serving-side compression every
     * embedding store applies (4 B/dim float → 1 B/dim int8, 4×), with the
     * reconstruction-quality report that decides whether it is safe:

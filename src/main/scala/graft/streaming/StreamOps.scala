@@ -715,6 +715,45 @@ object StreamOps {
       admitted =>
         graft.ops.SimilarityOps.appendToEmbedIndex(admitted, indexPath))
 
+  /** Streaming model inference against a persisted artifact — the
+    * production scoring loop: document micro-batches are scored with
+    * the PERSISTED classifier weights
+    * (TextStatsOps.scoreWithClassifier — token join, OOV counted at
+    * weight 0) inside foreachBatch; per-doc verdicts accumulate across
+    * batches. Stateless inference, so streaming ≡ batch scoring — which
+    * is exactly what the oracle pins (the SQL twin scores the same
+    * corpus in one pass); the replay proves the scoring composes with
+    * the micro-batch harness (slice staging, in-order delivery,
+    * AvailableNow) without verdict loss or duplication. The per-doc
+    * `n_oov` column is the drift signal a production loop aggregates
+    * per batch to decide retraining.
+    */
+  def classifierScoreReplay(docs: DataFrame, weightsPath: String,
+                            stagingDir: String,
+                            boundaries: Seq[Long]): DataFrame = {
+    val spark = docs.sparkSession
+    stageSlices(docs, stagingDir, "doc_id", boundaries)
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    val verdicts = new java.util.concurrent.atomic.AtomicReference(
+      Option.empty[DataFrame])
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Eager pin: the batch frame is only valid inside this call.
+        val v = graft.ops.TextStatsOps
+          .scoreWithClassifier(batch, weightsPath)
+          .localCheckpoint(true)
+        verdicts.set(Some(verdicts.get().fold(v)(_.union(v))))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    verdicts.get().getOrElse(
+      throw new IllegalStateException("no micro-batch fired"))
+  }
+
   /** The shared judge-then-append ingest loop behind
     * [[indexIngestReplay]] and [[embedIndexIngestReplay]]: stage
     * arrivals into `idCol`-range slice files cut at `boundaries`
@@ -724,11 +763,13 @@ object StreamOps {
     * `append` mutates the index — pinning the judgment to the
     * pre-append state — and append only the kept survivors.
     */
-  private def ingestReplayCore(arrivals: DataFrame, stagingDir: String,
-                               idCol: String, boundaries: Seq[Long],
-                               judge: DataFrame => DataFrame,
-                               append: DataFrame => Unit): DataFrame = {
-    val spark = arrivals.sparkSession
+  /** Stage `arrivals` into `idCol`-range slice files cut at
+    * `boundaries` under `stagingDir` (ascending mtimes, so file-source
+    * delivery order is the slice order). Shared by the ingest replays
+    * and the streaming-inference replay.
+    */
+  private def stageSlices(arrivals: DataFrame, stagingDir: String,
+                          idCol: String, boundaries: Seq[Long]): Unit =
     if (StagedDirs.add(stagingDir)) {
       val dirP = java.nio.file.Paths.get(stagingDir)
       java.nio.file.Files.createDirectories(dirP)
@@ -752,6 +793,13 @@ object StreamOps {
       }
       rm(build)
     }
+
+  private def ingestReplayCore(arrivals: DataFrame, stagingDir: String,
+                               idCol: String, boundaries: Seq[Long],
+                               judge: DataFrame => DataFrame,
+                               append: DataFrame => Unit): DataFrame = {
+    val spark = arrivals.sparkSession
+    stageSlices(arrivals, stagingDir, idCol, boundaries)
     val staged = spark.read.parquet(stagingDir)
     val stream = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)

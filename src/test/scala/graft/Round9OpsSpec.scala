@@ -218,6 +218,66 @@ class Round9OpsSpec extends SparkSpec {
       ("b.example.com", "a.example.com") -> ((1L, 1L))))
   }
 
+  // ---- hard negatives ----
+
+  test("hardNegatives ranks only different-label candidates") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),   // query, label 1
+      (10L, Seq(1.0f, 0.0f), 1),  // same label — never a negative
+      (11L, Seq(1.0f, 0.1f), 2),  // different label, most similar
+      (12L, Seq(0.0f, 1.0f), 2)   // different label, orthogonal
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.hardNegatives(emb, numQueries = 1, k = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(got === Set((11L, 1), (12L, 2)))
+  }
+
+  // ---- length buckets ----
+
+  test("lengthBuckets pads to the next power of two and reports waste") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d e"), (5L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.lengthBuckets(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((1L, 1L, 1L, 0L)))
+    assert(got(2L) === ((1L, 2L, 2L, 0L)))
+    assert(got(4L) === ((1L, 3L, 4L, 250000L)))
+    assert(got(8L) === ((2L, 13L, 16L, 187500L)))
+  }
+
+  // ---- streaming classifier scoring ----
+
+  test("classifierScoreReplay verdicts equal batch scoring (stateless " +
+      "inference across micro-batches)") {
+    val docs = Seq(
+      (1L, "en", "hello world"), (2L, "en", "hello world"),
+      (3L, "de", "hallo welt"), (4L, "de", "hallo welt")
+    ).toDF("doc_id", "lang", "text")
+    val wpath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spec_sclfw").getPath
+    TextStatsOps.trainWriteClassifier(docs, wpath)
+    val arrivals = docs.select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" zzoov")).as("text"))
+      .union(docs.select((col("doc_id") + 100L).as("doc_id"), col("lang"),
+        concat(col("text"), lit(" zzoov zzdrift")).as("text")))
+    val staging = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_spec_sclf_stage_${System.nanoTime()}").getPath
+    val streamed = graft.streaming.StreamOps.classifierScoreReplay(
+        arrivals, wpath, staging, Seq(100L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val batch = TextStatsOps.scoreWithClassifier(arrivals, wpath)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed === batch)
+    assert(streamed(1L)._2 === 1L)   // batch-1 doc: one OOV token
+    assert(streamed(101L)._2 === 2L) // drifted batch-2 twin: two
+    assert(streamed.size === 8)
+  }
+
   // ---- crawl rank (link graph → weighted PageRank) ----
 
   test("pageRankWeighted over string-keyed link-graph edges gives the " +
