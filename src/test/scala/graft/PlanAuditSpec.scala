@@ -414,6 +414,41 @@ class PlanAuditSpec extends SparkSpec {
       s"expected 1 of 3 partitions scanned, got $pruned of $full")
   }
 
+  test("urlFilter broadcasts the policy-rule table") {
+    val p = planOf("q_url_filter")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"rule table must broadcast:\n$p")
+  }
+
+  test("hardNegatives broadcasts the query set (corpus never shuffles " +
+      "for scoring)") {
+    val p = planOf("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+  }
+
+  test("budgetSelect: the only single-partition exchange feeds the " +
+      "tiny bucket-offset window, corpus windows are bucket-partitioned") {
+    val p = planOf("q_budget_select")
+    // Exactly two SinglePartition exchanges are expected and both are
+    // tiny by construction: the ≤101-row bucket-offset window and the
+    // 1-row global budget aggregate. The corpus-sized data must only
+    // ever cross bkt-hashed exchanges.
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles <= 2, s"unexpected single-partition exchange:\n$p")
+    assert(p.contains("hashpartitioning(bkt"),
+      s"per-bucket window must partition by bkt:\n$p")
+  }
+
+  test("substringDupStats aggregates gram frequency with a map-side " +
+      "partial (grams travel as int64, combined before the exchange)") {
+    val p = planOf("q_dedup_substring")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no partial aggregation in gram df:\n$p")
+  }
+
   test("approx profiler plans no Expand (exact-NDV twin does)") {
     // Exact multi-countDistinct forces one Expand multiplying scan rows
     // ×(N+1) — the ANALYZE killer at 100 TB. The HLL++ twin must plan a
