@@ -96,6 +96,55 @@ object OracleSql {
     s"""WITH $minhashPairsCtes
         SELECT doc_a, doc_b, est_jaccard FROM mh_pairs"""
 
+  /** Planted-pair recall twin of the text MinHash path: truth from the
+    * dupCorpus construction, found from the shared mh_pairs chain.
+    */
+  def dedupMinhashRecallSql: String =
+    s"""WITH $minhashPairsCtes,
+        wc AS (SELECT doc_id,
+                 len(list_filter(string_split_regex(text, '$Ws'),
+                                 x -> x <> '')) AS n
+               FROM documents WHERE text IS NOT NULL),
+        truth AS (
+          SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+                 'exact' AS pair_class
+          FROM wc WHERE n >= 3
+          UNION ALL
+          SELECT doc_id, doc_id + 2000000, 'near' FROM wc WHERE n >= 4),
+        j AS (SELECT t.pair_class,
+                     CASE WHEN p.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+              FROM truth t LEFT JOIN mh_pairs p
+                ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+        g AS (SELECT pair_class, COUNT(*) AS n_truth,
+                     CAST(SUM(hit) AS BIGINT) AS n_found
+              FROM j GROUP BY pair_class)
+        SELECT pair_class, n_truth, n_found,
+               n_found * 1000000 // n_truth AS recall_ppm
+        FROM g"""
+
+  /** Temperature-mix twin: the same exact integer sqrt (IEEE sqrt with
+    * the ±1 correction) and int64 share/allocation ratios.
+    */
+  def temperatureMixSql: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+                   WHERE lang IS NOT NULL GROUP BY lang),
+        f AS (SELECT lang, n_docs,
+                CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS f0
+              FROM c),
+        w AS (SELECT lang, n_docs,
+                CASE WHEN (f0 + 1) * (f0 + 1) <= n_docs THEN f0 + 1
+                     WHEN f0 * f0 > n_docs THEN f0 - 1
+                     ELSE f0 END AS isqrt
+              FROM f),
+        t AS (SELECT CAST(SUM(isqrt) AS BIGINT) AS tot_w,
+                     CAST(SUM(n_docs) AS BIGINT) AS tot_docs
+              FROM w)
+        SELECT lang, n_docs, isqrt AS w_sqrt,
+               n_docs * 1000000 // tot_docs AS nat_ppm,
+               isqrt * 1000000 // tot_w AS temp_ppm,
+               (tot_docs // 2) * isqrt // tot_w AS alloc_docs
+        FROM w, t"""
+
   /** Incremental-index twin: replays the engine's persisted-index path
     * end-to-end from the base table — known-corpus signatures/band keys
     * and digests (what writeMinhashIndex materialized) plus arrivals

@@ -1505,6 +1505,19 @@ object SparkEntry {
           .select(col("src_domain").as("src"),
             col("dst_domain").as("dst"), col("n_links").as("w")),
         PrIters)),
+    // Temperature-flattened domain mixing (α = 0.5): sampling weight
+    // ∝ ⌊√n⌋ (exact integer sqrt), natural vs flattened share ppm and
+    // a derived-budget doc allocation per lang — the low-resource
+    // rebalancing every multilingual mix applies.
+    "q_mix_temperature" -> ((s, d) =>
+      CurationOps.temperatureMix(Tables.documents(s, d))),
+    // Planted-pair recall audit of the text MinHash/LSH path: truth
+    // from the dupCorpus construction (exact copies at +1M, first-
+    // token-dropped near copies at +2M), found from minhashPairs;
+    // per-class recall ppm as driver-checked integers — the search-
+    // quality number the banding shape rests on.
+    "q_dedup_minhash_recall" -> ((s, d) =>
+      DedupOps.minhashPlantedRecall(Tables.documents(s, d))),
     // Length-bucket padding audit: docs bucket to the next power of two
     // of their token count (pure integer bit math); per bucket, the
     // padding waste a pad-to-bucket-max loader would pay — the report
@@ -4879,6 +4892,8 @@ object SparkEntry {
     "q_stream_classifier" -> OracleSql.classifierStreamSql,
     "q_hard_negatives" -> OracleSql.hardNegativesSql,
     "q_length_buckets" -> OracleSql.lengthBucketsSql,
+    "q_mix_temperature" -> OracleSql.temperatureMixSql,
+    "q_dedup_minhash_recall" -> OracleSql.dedupMinhashRecallSql,
     "q_pii_report" -> OracleSql.piiReportSql,
     "q_budget_select" -> OracleSql.budgetSelectSql,
     "q_link_graph" -> OracleSql.linkGraphSql,

@@ -592,6 +592,39 @@ object CurationOps {
       .select("doc_id", "n_tok", "score_ppm", "cum_tok")
   }
 
+  /** Temperature-flattened domain mixing (α = 0.5) — the multilingual /
+    * multi-domain rebalancing every pretraining mix applies: sampling
+    * weight ∝ n^α flattens the natural distribution so small domains
+    * are not drowned (α = 0.5 is the sqrt flattening used for
+    * low-resource languages). Exactness discipline: the weight is the
+    * INTEGER sqrt — floor(sqrt(n)) from the IEEE sqrt with a ±1
+    * integer correction, so the value is exactly ⌊√n⌋ in both engines
+    * regardless of last-ulp rounding — making every share and
+    * allocation an exact int64 ratio. Output per domain: natural share
+    * ppm, temperature share ppm, and the doc allocation of a derived
+    * budget (total div `budgetDen`). One domain-keyed count + a
+    * broadcast scalar join.
+    */
+  def temperatureMix(docs: DataFrame, groupCol: String = "lang",
+                     budgetDen: Long = 2L): DataFrame = {
+    val counts = docs.filter(col(groupCol).isNotNull)
+      .groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+    val w = counts
+      .withColumn("f0", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      .withColumn("isqrt",
+        when((col("f0") + 1L) * (col("f0") + 1L) <= col("n_docs"),
+          col("f0") + 1L)
+          .when(col("f0") * col("f0") > col("n_docs"), col("f0") - 1L)
+          .otherwise(col("f0")))
+    val tot = w.agg(sum("isqrt").as("tot_w"), sum("n_docs").as("tot_docs"))
+    w.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("isqrt").as("w_sqrt"),
+        expr("n_docs * 1000000 div tot_docs").as("nat_ppm"),
+        expr("isqrt * 1000000 div tot_w").as("temp_ppm"),
+        expr(s"(tot_docs div $budgetDen) * isqrt div tot_w")
+          .as("alloc_docs"))
+  }
+
   /** Length-bucket padding audit — the batching-efficiency report for
     * training loaders that pad every sequence in a batch to the batch
     * max: documents bucket to the next power of two of their token

@@ -765,6 +765,41 @@ object DedupOps {
         coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
 
+  /** Planted-pair recall audit of the MinHash/LSH near-dup path — the
+    * text twin of SimilarityOps.plantedPairRecall: ground truth is the
+    * [[dupCorpus]] construction itself ((id, id+1M) exact copies for
+    * shingleable docs, (id, id+2M) first-token-dropped near copies for
+    * docs of ≥ 4 words), the found set is [[minhashPairs]]. Output per
+    * pair class: exact truth/found counts and recall ppm — the search-
+    * quality number the banding-shape claims rest on, pinned as driver-
+    * checked integers. Identical-shingle-set copies hash to identical
+    * signatures, so exact-copy recall is 100% by construction (the
+    * audit would catch a banding regression that broke even that);
+    * near-copy recall measures the real LSH trade.
+    */
+  def minhashPlantedRecall(docs: DataFrame,
+                           minEst: Double = 0.5): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
+          .as("n"))
+    val truth = base.filter(col("n") >= 3)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1000000L).as("doc_b"),
+        lit("exact").as("pair_class"))
+      .union(base.filter(col("n") >= 4)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 2000000L).as("doc_b"),
+          lit("near").as("pair_class")))
+    val found = minhashPairs(dupCorpus(docs), minEst)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy("pair_class").agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("pair_class"), col("n_truth"), col("n_found"),
+        expr("n_found * 1000000 div n_truth").as("recall_ppm"))
+  }
+
   /** Persist the span-dedup gram index: per-gram distinct-doc frequency
     * (sh, df) over the snapshot corpus — the substring twin of
     * [[writeMinhashIndex]]. Built once per snapshot; arrivals probe it

@@ -278,6 +278,39 @@ class Round9OpsSpec extends SparkSpec {
     assert(streamed.size === 8)
   }
 
+  // ---- temperature mixing ----
+
+  test("temperatureMix flattens shares by exact integer sqrt") {
+    val docs = (1L to 16L).map(i => (i, "en", "t")) ++
+      (17L to 20L).map(i => (i, "de", "t"))
+    val got = CurationOps.temperatureMix(
+        docs.toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // isqrt(16)=4, isqrt(4)=2; tot_w=6, tot_docs=20, budget=10.
+    assert(got("en") === ((16L, 4L, 800000L, 666666L, 6L)))
+    assert(got("de") === ((4L, 2L, 200000L, 333333L, 3L)))
+  }
+
+  // ---- minhash planted recall ----
+
+  test("minhashPlantedRecall finds every exact-copy planted pair") {
+    // 12-word docs: the near copy shares 9 of 10 shingles (jacc 0.9) —
+    // the near-dup regime the ≥0.9 banding claim is made for. Shorter
+    // docs measurably degrade (6 words → jacc 0.75 → ~78% expected
+    // detection), which is the audit working, not failing.
+    val docs = (1L to 8L).map(i =>
+      (i, (1 to 12).map(j => s"w$i-$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = DedupOps.minhashPlantedRecall(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got("exact") === ((8L, 1000000L)))
+    assert(got("near")._1 === 8L)
+    assert(got("near")._2 >= 875000L) // ≥7 of 8 at p_detect ≈ 0.986
+  }
+
   // ---- crawl rank (link graph → weighted PageRank) ----
 
   test("pageRankWeighted over string-keyed link-graph edges gives the " +
