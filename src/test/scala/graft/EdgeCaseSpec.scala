@@ -27,6 +27,41 @@ class EdgeCaseSpec extends SparkSpec {
       "q_pagerank_conv", "q_profile_approx", "q_agg_sketch_rollup"))
   }
 
+  test("round-9 ops on degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // Span dedup: empty and all-null corpora yield no rows, no throw.
+    assert(DedupOps.substringDupStats(empty).count() === 0)
+    assert(DedupOps.substringDupStats(nulls).count() === 0)
+    // Budget select: zero-token and null docs never enter the ranking.
+    assert(CurationOps.budgetSelect(empty).count() === 0)
+    assert(CurationOps.budgetSelect(
+      Seq((1L, ""), (2L, "  ")).toDF("doc_id", "text")).count() === 0)
+    // Length buckets: empty in, empty out.
+    assert(CurationOps.lengthBuckets(nulls).count() === 0)
+    // PII report on a lang-null corpus groups under the null lang
+    // rather than throwing.
+    val langNull = Seq((1L, null.asInstanceOf[String], "u@ex.org x"))
+      .toDF("doc_id", "lang", "text")
+    assert(TextStatsOps.piiReport(langNull).count() === 4)
+    // Classifier: a corpus with no alphabetic tokens trains an empty
+    // weight table and scores nothing — empty result, no throw.
+    val numeric = Seq((1L, "en", "123 456")).toDF("doc_id", "lang", "text")
+    assert(TextStatsOps.linearClassifierApply(numeric).count() === 0)
+    // Quantization audit: all-zero vectors are excluded by contract.
+    val zeros = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(SimilarityOps.int8QuantAudit(zeros).count() === 0)
+    // Hard negatives: single-label corpus has no valid negative.
+    val oneLabel = Seq((0L, Seq(1.0f, 0.0f), 7), (1L, Seq(0.0f, 1.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    assert(SimilarityOps.hardNegatives(oneLabel).count() === 0)
+    // Temperature mix: single-domain corpus takes the whole allocation.
+    val one = CurationOps.temperatureMix(
+      Seq((1L, "en", "t"), (2L, "en", "t")).toDF("doc_id", "lang", "text"))
+      .collect()
+    assert(one.length === 1 && one.head.getLong(4) === 1000000L)
+  }
+
   test("curation ops on degenerate inputs") {
     import graft.ops.CurationOps
     val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
