@@ -3336,6 +3336,67 @@ object SparkEntry {
              sqrt(CAST(n * (n - 1) div 2 - n1 AS DOUBLE) *
                   CAST(n * (n - 1) div 2 - n2 AS DOUBLE)) AS tau""")
     }),
+
+    // Spearman rank correlation — exact with average-rank tie handling,
+    // via the q_kendall domain-compression discipline: the joint
+    // (l_quantity ≤50 × l_linenumber ≤7) histogram is the only
+    // corpus-sized pass; DOUBLED average ranks (2·below + t + 1, an
+    // integer, so no .5 ranks ever materialize) come from a cumulative
+    // window over the ≤50-row marginals; the five moment sums are exact
+    // int64 (worst cell term c·rx2·ry2 ≤ n·(2n)² < 2^63 up to n ≈ 1.3M;
+    // past that the histogram sums themselves need the same
+    // domainGuard-style widening every exact stat here documents). The
+    // n·s products in the final Pearson-over-ranks exceed int64 at any
+    // scale, so the combine is IEEE doubles over exactly-computed int64
+    // sums — deterministic in both engines. The doubling cancels in the
+    // ratio (numerator and variance terms both scale by 4).
+    "q_spearman" -> ((s, d) => {
+      val wCum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def ranks2(h: DataFrame, key: String): DataFrame =
+        h.groupBy(col(key).as("v")).agg(sum("c").as("t"))
+          .select(col("v"),
+            (lit(2L) * coalesce(sum("t").over(wCum), lit(0L)) +
+              col("t") + lit(1L)).as("r2"))
+      val h = Tables.lineitem(s, d)
+        .groupBy(col("l_quantity").cast("long").as("x"),
+          col("l_linenumber").cast("long").as("y"))
+        .agg(count(lit(1)).as("c"))
+      val rx = ranks2(h, "x").withColumnsRenamed(
+        Map("v" -> "x", "r2" -> "rx2"))
+      val ry = ranks2(h, "y").withColumnsRenamed(
+        Map("v" -> "y", "r2" -> "ry2"))
+      h.join(rx, "x").join(ry, "y")
+        .agg(sum("c").as("n"),
+          sum(col("c") * col("rx2")).as("sx"),
+          sum(col("c") * col("ry2")).as("sy"),
+          sum(col("c") * col("rx2") * col("rx2")).as("sxx"),
+          sum(col("c") * col("ry2") * col("ry2")).as("syy"),
+          sum(col("c") * col("rx2") * col("ry2")).as("sxy"))
+        .selectExpr("n", "sxy",
+          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                  (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho""")
+    }),
+
+    // l-diversity audit — the k-anonymity companion (q_kanon): per
+    // quasi-identifier group (nation × market segment), how many
+    // DISTINCT sensitive values (acctbal rounded to $1000 buckets)
+    // appear. A group where every member shares one sensitive bucket is
+    // re-identifiable even when k-anonymous; the gate is l ≥ 3. One
+    // QI-keyed exchange; the distinct count rides the same aggregate
+    // (exact — the sensitive domain is bounded by construction, ~12
+    // buckets, so no Expand blowup).
+    "q_ldiversity" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(floor(col("c_acctbal") / 1000.0).cast("long"))
+            .as("l_distinct"))
+        .withColumn("diverse", (col("l_distinct") >= 3).cast("int"))),
   )
 
   /** Run nonce for disk-touching queries — see GraftSession.RunNonce. */
@@ -6273,5 +6334,43 @@ object SparkEntry {
                 sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE) *
                      CAST(n * (n - 1) // 2 - n2 AS DOUBLE)) AS tau
          FROM pq, nx, ny, nn""",
+    "q_spearman" ->
+      """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                CAST(l_linenumber AS BIGINT) AS y, count(*) AS c
+              FROM lineitem GROUP BY 1, 2),
+            rx AS (SELECT x,
+                2 * COALESCE(CAST(sum(t) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) + t + 1 AS rx2
+              FROM (SELECT x, CAST(sum(c) AS BIGINT) AS t
+                    FROM h GROUP BY x)),
+            ry AS (SELECT y,
+                2 * COALESCE(CAST(sum(t) OVER (ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) + t + 1 AS ry2
+              FROM (SELECT y, CAST(sum(c) AS BIGINT) AS t
+                    FROM h GROUP BY y)),
+            m AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                CAST(sum(c * rx2) AS BIGINT) AS sx,
+                CAST(sum(c * ry2) AS BIGINT) AS sy,
+                CAST(sum(c * rx2 * rx2) AS BIGINT) AS sxx,
+                CAST(sum(c * ry2 * ry2) AS BIGINT) AS syy,
+                CAST(sum(c * rx2 * ry2) AS BIGINT) AS sxy
+              FROM h JOIN rx USING (x) JOIN ry USING (y))
+         SELECT n, sxy,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                     (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+         FROM m""",
+    "q_ldiversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+                count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                  AS l_distinct,
+                CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0)
+                  AS BIGINT)) >= 3 AS INTEGER) AS diverse
+         FROM customer GROUP BY c_nationkey, c_mktsegment""",
   )
 }

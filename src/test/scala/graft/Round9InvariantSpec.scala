@@ -157,4 +157,60 @@ class Round9InvariantSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("q_spearman: histogram-path rho equals a window-rank " +
+      "recomputation; rho in [-1, 1]") {
+    val row = run("q_spearman").head
+    val (n, rho) = (row.getLong(0), row.getDouble(2))
+    assert(rho >= -1.0 && rho <= 1.0)
+    // Independent implementation: doubled average rank per ROW via two
+    // global window passes (rank + per-value tie count), then the same
+    // Pearson combine — a different plan shape over the raw rows must
+    // agree exactly with the registered histogram derivation.
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("long").as("x"),
+        col("l_linenumber").cast("long").as("y"))
+    def r2(c: String) = {
+      val w = Window.orderBy(col(c))
+      rank().over(w) * 2 + count(lit(1)).over(
+        Window.partitionBy(col(c))) - 1
+    }
+    val m = li.select(r2("x").as("rx2"), r2("y").as("ry2"))
+      .agg(count(lit(1)).as("n"), sum("rx2").as("sx"), sum("ry2").as("sy"),
+        sum(col("rx2") * col("rx2")).as("sxx"),
+        sum(col("ry2") * col("ry2")).as("syy"),
+        sum(col("rx2") * col("ry2")).as("sxy"))
+      .selectExpr("n",
+        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+           sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                 CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho""")
+      .head
+    assert(m.getLong(0) === n)
+    assert(m.getDouble(1) === rho)
+    spark.catalog.clearCache()
+  }
+
+  test("q_ldiversity: distinct-bucket counts match a two-phase " +
+      "recomputation; flags consistent") {
+    val rows = run("q_ldiversity").collect()
+    assert(rows.nonEmpty)
+    val twin = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("b"))
+      .distinct()
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("l")).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val (l, nGrp) = (r.getLong(3), r.getLong(2))
+      assert(l >= 1L && l <= nGrp)
+      assert(r.getInt(4) === (if (l >= 3L) 1 else 0))
+      assert(twin((r.getInt(0), r.getString(1))) === l)
+    }
+    spark.catalog.clearCache()
+  }
 }
