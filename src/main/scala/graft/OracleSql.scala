@@ -1184,6 +1184,95 @@ object OracleSql {
               CAST(length(main_text) AS BIGINT) AS n_chars
        FROM s5"""
 
+  /** Shared line-structured page fixture CTE (CurationOps.lineWrap
+    * twin): the word-soup corpus refolded into 8-word lines with
+    * congruence-keyed decorations (bullets mod 5, javascript/brace
+    * boilerplate mod 11/13, lorem-ipsum marker mod 97, terminal-
+    * punctuation cycle mod 7/3/2). Ends with CTE `pg` (doc_id, page).
+    */
+  private val lineWrapCtes: String =
+    s"""wsplit AS (SELECT doc_id, string_split_regex(text, '$Ws') AS w
+          FROM documents WHERE text IS NOT NULL),
+        pg AS (SELECT doc_id, array_to_string(list_transform(
+            range(0, (len(w) + 7) // 8),
+            j -> concat(
+              if((doc_id + j) % 5 = 0, '- ', ''),
+              array_to_string(w[(j*8+1):(j*8+8)], ' '),
+              if((doc_id + j) % 11 = 0, ' javascript void', ''),
+              if((doc_id + j) % 13 = 0, ' {x}', ''),
+              if(j = 0 AND doc_id % 97 = 0, ' lorem ipsum', ''),
+              CASE WHEN (doc_id + j) % 7 = 0 THEN '...'
+                   WHEN (doc_id + j) % 3 = 0 THEN '.'
+                   WHEN (doc_id + j) % 2 = 0 THEN '!'
+                   ELSE '' END)), chr(10)) AS page
+          FROM wsplit)"""
+
+  /** Gopher doc-quality rules — CurationOps.gopherRules twin. */
+  def gopherRulesSql: String =
+    s"""WITH $lineWrapCtes,
+        m AS (SELECT doc_id,
+            list_filter(string_split_regex(page, '$Ws'), x -> x <> '')
+              AS wds,
+            string_split(page, chr(10)) AS lines
+          FROM pg),
+        t AS (SELECT doc_id,
+            CAST(len(wds) AS BIGINT) AS n_words,
+            CAST(coalesce(list_sum(list_transform(wds, x -> length(x))),
+              0) AS BIGINT) AS tot_chars,
+            CAST(len(list_filter(lines, l -> starts_with(l, '- ')))
+              AS BIGINT) AS n_bullet,
+            CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+              AS BIGINT) AS n_ellipsis,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(wds, x -> x = 'the' OR x = 'a'
+              OR x = 'of' OR x = 'to' OR x = 'and' OR x = 'in'))
+              AS BIGINT) AS stop_hits,
+            CAST(len(list_filter(wds, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha
+          FROM m),
+        g AS (SELECT doc_id, n_words,
+            CAST((1000 * tot_chars) // greatest(n_words, 1) AS BIGINT)
+              AS mean_wlen_milli,
+            CAST((1000000 * n_bullet) // n_lines AS BIGINT) AS bullet_ppm,
+            CAST((1000000 * n_ellipsis) // n_lines AS BIGINT)
+              AS ellipsis_ppm,
+            stop_hits,
+            CAST((1000000 * n_alpha) // greatest(n_words, 1) AS BIGINT)
+              AS alpha_ppm
+          FROM t)
+       SELECT doc_id, n_words, mean_wlen_milli, bullet_ppm, ellipsis_ppm,
+              stop_hits, alpha_ppm,
+              CAST(n_words >= 50 AND n_words <= 100000
+                AND mean_wlen_milli >= 3000 AND mean_wlen_milli <= 10000
+                AND bullet_ppm <= 900000 AND ellipsis_ppm <= 300000
+                AND stop_hits >= 2 AND alpha_ppm >= 800000 AS INTEGER)
+                AS keep
+       FROM g"""
+
+  /** C4 line-level filter — CurationOps.c4LineFilter twin. */
+  def c4FilterSql: String =
+    s"""WITH $lineWrapCtes,
+        t AS (SELECT doc_id, page, string_split(page, chr(10)) AS lines
+          FROM pg),
+        k AS (SELECT doc_id, page,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            list_filter(lines, l ->
+              (ends_with(l, '.') OR ends_with(l, '!')
+                OR ends_with(l, '?'))
+              AND len(string_split(l, ' ')) >= 5
+              AND NOT contains(l, 'javascript')
+              AND NOT contains(l, '{')) AS kept
+          FROM t)
+       SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS kept_lines,
+              CAST(coalesce(list_sum(list_transform(kept,
+                l -> len(string_split(l, ' ')))), 0) AS BIGINT)
+                AS kept_words,
+              CAST(coalesce(list_sum(list_transform(kept,
+                l -> length(l))), 0) AS BIGINT) AS kept_chars,
+              CAST(len(kept) >= 3
+                AND NOT contains(page, 'lorem ipsum') AS INTEGER) AS keep
+       FROM k"""
+
   /** Shared URL-fixture + normalization CTEs (CurationOps.urlWrap /
     * urlNormalize twins): closed-form URL per doc, then the same parse
     * → lowercase scheme+host → default-port strip → trailing-slash

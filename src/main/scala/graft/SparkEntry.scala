@@ -1393,6 +1393,16 @@ object SparkEntry {
     // expression work, zero shuffle; oracle replays wrap + extraction.
     "q_html_extract" -> ((s, d) =>
       CurationOps.htmlExtract(CurationOps.htmlWrap(Tables.documents(s, d)))),
+    // Gopher doc-quality rules over the deterministic line-structured
+    // page fixture — six exact integer metrics + composite keep gate;
+    // scan-side expression work, zero shuffle.
+    "q_gopher_rules" -> ((s, d) =>
+      CurationOps.gopherRules(CurationOps.lineWrap(Tables.documents(s, d)))),
+    // C4 line-level filter over the same fixture: per-line terminal-
+    // punctuation/length/boilerplate gates, doc-level lorem-ipsum and
+    // min-retention gates; exact retention counts. Zero shuffle.
+    "q_c4_filter" -> ((s, d) =>
+      CurationOps.c4LineFilter(CurationOps.lineWrap(Tables.documents(s, d)))),
     // URL canonicalization — the crawl-dedup front half: lowercase
     // scheme/host, scheme-default ports dropped, trailing slashes
     // stripped, tracking params (utm_*, fbclid) removed with real
@@ -4945,6 +4955,8 @@ object SparkEntry {
     "q_simsearch_pq_incr" -> OracleSql.simsearchPqIncrSql,
     "q_text_stats" -> OracleSql.textStatsSql,
     "q_html_extract" -> OracleSql.htmlExtractSql,
+    "q_gopher_rules" -> OracleSql.gopherRulesSql,
+    "q_c4_filter" -> OracleSql.c4FilterSql,
     "q_url_filter" -> OracleSql.urlFilterSql,
     "q_dedup_substring" -> OracleSql.dedupSubstringSql,
     "q_dedup_substring_incr" -> OracleSql.dedupSubstringIncrSql,

@@ -701,4 +701,101 @@ object CurationOps {
         coalesce(col("r_path"), lit("")).as("rule_path"),
         coalesce(col("r_decision"), lit("allow")).as("decision"))
   }
+
+  /** Deterministic multi-line page fixture — the [[gopherRules]] /
+    * [[c4LineFilter]] fixture contract, shared closed-form with the
+    * DuckDB oracle (the [[htmlWrap]]/[[urlWrap]] discipline). The
+    * single-line word-soup corpus is refolded into 8-word lines, then
+    * decorated by doc_id/line-index congruences so every filter rule
+    * fires on a real sub-population: `- ` bullet prefixes (mod 5),
+    * boilerplate `javascript void` / `{x}` injections (mod 11 / 13),
+    * one `lorem ipsum` contamination marker per mod-97 doc, and a
+    * terminal-punctuation cycle (`...` mod 7, else `.` mod 3, else `!`
+    * mod 2, else unterminated). Pure per-row expression work (split +
+    * transform + concat_ws, whole-stage codegen, zero shuffle).
+    */
+  def lineWrap(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        split(col("text"), graft.ops.TextOps.WsRegex).as("w"))
+      .selectExpr("doc_id",
+        s"""concat_ws('\n', transform(
+              sequence(0, cast((size(w) + 7) div 8 as int) - 1),
+              j -> concat(
+                if((doc_id + j) % 5 = 0, '- ', ''),
+                array_join(slice(w, j * 8 + 1, 8), ' '),
+                if((doc_id + j) % 11 = 0, ' javascript void', ''),
+                if((doc_id + j) % 13 = 0, ' {x}', ''),
+                if(j = 0 and doc_id % 97 = 0, ' lorem ipsum', ''),
+                case when (doc_id + j) % 7 = 0 then '...'
+                     when (doc_id + j) % 3 = 0 then '.'
+                     when (doc_id + j) % 2 = 0 then '!'
+                     else '' end))) AS page""")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, table A1 —
+    * the canonical LLM pre-training doc filter) over [[lineWrap]]
+    * pages: per doc, the six rule metrics and the composite keep gate,
+    * every ratio an exact integer (milli / ppm via int64 floor-div) so
+    * the DuckDB oracle matches bit-for-bit. Word-level metrics split
+    * the whole page on whitespace (bullets count as the bare `-` token
+    * — stated contract); line-level metrics split on `\n`.
+    *
+    * Rules: 50 ≤ words ≤ 100k; mean word length in [3, 10] chars;
+    * ≤ 90% of lines bulleted; ≤ 30% of lines ellipsis-terminated;
+    * ≥ 2 stopword hits (the/a/of/to/and/in, punctuation-sensitive by
+    * contract); ≥ 80% of words contain an alphabetic character. Pure
+    * per-row expression work, zero shuffle — at 100 TB this runs as a
+    * scan-side filter fused into whatever pipeline consumes it.
+    */
+  def gopherRules(pages: DataFrame): DataFrame = {
+    val wds = filter(split(col("page"), graft.ops.TextOps.WsRegex),
+      x => x =!= "")
+    val lines = split(col("page"), "\n")
+    pages.select(col("doc_id"),
+        size(wds).cast("long").as("n_words"),
+        aggregate(wds, lit(0L), (a, x) => a + length(x)).as("tot_chars"),
+        size(filter(lines, _.startsWith("- "))).cast("long").as("n_bullet"),
+        size(filter(lines, _.endsWith("..."))).cast("long").as("n_ellipsis"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(wds, _.isin("the", "a", "of", "to", "and", "in")))
+          .cast("long").as("stop_hits"),
+        size(filter(wds, _.rlike("[a-z]"))).cast("long").as("n_alpha"))
+      // greatest(n_words, 1): an empty page (possible only for an empty
+      // source doc) must yield zero metrics, not an ANSI div-by-zero.
+      .selectExpr("doc_id", "n_words",
+        "(1000 * tot_chars) div greatest(n_words, 1L) AS mean_wlen_milli",
+        "(1000000 * n_bullet) div n_lines AS bullet_ppm",
+        "(1000000 * n_ellipsis) div n_lines AS ellipsis_ppm",
+        "stop_hits",
+        "(1000000 * n_alpha) div greatest(n_words, 1L) AS alpha_ppm")
+      .withColumn("keep",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_wlen_milli") >= 3000 && col("mean_wlen_milli") <= 10000 &&
+          col("bullet_ppm") <= 900000L && col("ellipsis_ppm") <= 300000L &&
+          col("stop_hits") >= 2 && col("alpha_ppm") >= 800000L).cast("int"))
+  }
+
+  /** C4-style line-level filter (Raffel et al. 2020 §2.2) over
+    * [[lineWrap]] pages: a line survives iff it terminates in
+    * `.`/`!`/`?`, has ≥ 5 space-separated tokens, and carries no
+    * `javascript` or `{` boilerplate; the doc survives iff ≥ 3 lines
+    * survive and the page lacks the `lorem ipsum` placeholder. Exact
+    * per-doc retention counts (lines/words/chars of the kept text) —
+    * the difference between doc-level (Gopher) and line-level (C4)
+    * filtering is the point of carrying both. Zero shuffle.
+    */
+  def c4LineFilter(pages: DataFrame): DataFrame = {
+    val kept = filter(split(col("page"), "\n"), l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?")) &&
+        size(split(l, " ")) >= 5 &&
+        !l.contains("javascript") && !l.contains("{"))
+    pages.select(col("doc_id"),
+      size(split(col("page"), "\n")).cast("long").as("n_lines"),
+      size(kept).cast("long").as("kept_lines"),
+      aggregate(kept, lit(0L), (a, l) => a + size(split(l, " ")))
+        .as("kept_words"),
+      aggregate(kept, lit(0L), (a, l) => a + length(l)).as("kept_chars"),
+      (size(kept) >= 3 && !col("page").contains("lorem ipsum"))
+        .cast("int").as("keep"))
+  }
 }

@@ -353,4 +353,81 @@ class Round9OpsSpec extends SparkSpec {
     assert(got(3L) === (("", "allow")))
     assert(got(4L) === (("/A/b3", "allow")))
   }
+
+  // ---- gopherRules / c4LineFilter ----
+
+  test("gopherRules: each rule gates independently on hand-built pages") {
+    val sixty = Array.fill(30)("the word").mkString(" ") // 60 words, 2+ stops
+    val pages = Seq(
+      (1L, sixty),                                   // clean -> keep
+      (2L, "the a short page"),                      // <50 words
+      (3L, Seq.fill(10)("- " + sixty).mkString("\n")), // 100% bulleted
+      (4L, Seq.fill(10)(sixty + "...").mkString("\n")), // 100% ellipsis
+      (5L, Array.fill(30)("no stop").mkString(" ") + " word " + sixty
+        .replace("the ", "xx ").replace(" a ", " b ")), // stopword-free
+      (6L, Array.fill(60)("9 -").mkString(" "))      // no alpha chars
+    ).toDF("doc_id", "page")
+    val got = CurationOps.gopherRules(pages).collect()
+      .map(r => r.getLong(0) -> r.getInt(7)).toMap
+    assert(got(1L) === 1)
+    assert(got(2L) === 0)
+    assert(got(3L) === 0)
+    assert(got(4L) === 0)
+    assert(got(5L) === 0)
+    assert(got(6L) === 0)
+  }
+
+  test("gopherRules: exact metric values on a two-line page") {
+    val page = "- the cat sat...\nbig dogs run fast."
+    val r = CurationOps.gopherRules(Seq((7L, page)).toDF("doc_id", "page"))
+      .head
+    assert(r.getLong(1) === 8L)            // n_words (bullet '-' counts)
+    // chars: 1+3+3+6 + 3+4+3+5 = 28 -> 28000/8 = 3500
+    assert(r.getLong(2) === 3500L)
+    assert(r.getLong(3) === 500000L)       // 1 of 2 lines bulleted
+    assert(r.getLong(4) === 500000L)       // 1 of 2 ellipsis-terminated
+    assert(r.getLong(5) === 1L)            // 'the' only ('sat...' != stop)
+    // alpha words: all but '-' -> 7/8
+    assert(r.getLong(6) === 875000L)
+  }
+
+  test("c4LineFilter: line gates, retention counts, and doc gates") {
+    val keepable = "one two three four five."
+    val pages = Seq(
+      // 3 kept lines + 3 dropped (short / unterminated / javascript)
+      (1L, Seq(keepable, "short.", "no terminal punct here",
+        "uses javascript one two three.", keepable, keepable)
+        .mkString("\n")),
+      // only 2 kept -> doc dropped
+      (2L, Seq(keepable, keepable, "x.").mkString("\n")),
+      // lorem ipsum kills the doc even with 3 kept lines
+      (3L, Seq(keepable, keepable, keepable, "lorem ipsum x")
+        .mkString("\n")),
+      // brace boilerplate dropped per-line
+      (4L, Seq(keepable, keepable, keepable, "a b { c d e.")
+        .mkString("\n"))
+    ).toDF("doc_id", "page")
+    val got = CurationOps.c4LineFilter(pages).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getInt(5)))).toMap
+    assert(got(1L) === ((6L, 3L, 15L, 72L, 1)))
+    assert(got(2L) === ((3L, 2L, 10L, 48L, 0)))
+    assert(got(3L) === ((4L, 3L, 15L, 72L, 0)))
+    assert(got(4L) === ((4L, 3L, 15L, 72L, 1)))
+  }
+
+  test("lineWrap: refold shape and decoration congruences") {
+    val docs = Seq((0L, (1 to 20).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val page = CurationOps.lineWrap(docs).head.getString(1)
+    val lines = page.split("\n")
+    assert(lines.length === 3) // ceil(20/8)
+    // doc 0, line 0: bullet (0%5=0), ellipsis (0%7=0)
+    assert(lines(0).startsWith("- w1 ") && lines(0).endsWith("..."))
+    // line 1: no bullet; 1%7!=0, 1%3!=0, 1%2!=0 -> unterminated
+    assert(lines(1) === "w9 w10 w11 w12 w13 w14 w15 w16")
+    // line 2: 2%11!=0, 2%13!=0; 2%2=0 -> '!'
+    assert(lines(2) === "w17 w18 w19 w20!")
+  }
 }
