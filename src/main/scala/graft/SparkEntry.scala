@@ -794,6 +794,25 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) =>
       GraphOps.pageRankFixed(
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod), PrIters)),
+    // HITS hubs/authorities — 8 mutual-reinforcement rounds with
+    // max-normalization so every intermediate stays exact int64
+    // (GraphOps.hitsFixed scaladoc); bit-identical across engines.
+    "q_hits" -> ((s, d) =>
+      GraphOps.hitsFixed(
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod), HitsIters)),
+    // Personalized PageRank — teleport mass restricted to the mod-10
+    // seed set; the related-page / topic-conditioned ranking query.
+    "q_ppr" -> ((s, d) =>
+      GraphOps.personalizedPageRank(
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), PrMod),
+        PrIters, PprSeedMod)),
+    // Common-neighbor link prediction: wedge-join candidates (never all
+    // pairs) on the sparse TriMod graph, exact Jaccard ppm, stable
+    // top-100 under a deterministic total order.
+    "q_link_predict" -> ((s, d) =>
+      GraphOps.linkPredict(
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod),
+        LinkPredictK)),
     // Convergence-driven variant (driver-side scalar L1 stop). Iteration
     // count is data-dependent → no SQL oracle; driver records a
     // rows-only check per the contract.
@@ -3440,6 +3459,11 @@ object SparkEntry {
   private val PrMod = 997
   private val PrIters = 10
 
+  /** q_hits / q_ppr / q_link_predict constants (shared by oracles). */
+  private val HitsIters = 8
+  private val PprSeedMod = 10
+  private val LinkPredictK = 100
+
   /** q_triangle graph modulus (shared by query + oracle) — sparser than
     * PageRank's so triangle counts stay realistic, not cubic-degenerate.
     */
@@ -4044,6 +4068,102 @@ object SparkEntry {
         $ctes
         SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / 1e12 AS rank FROM r$iters"""
   }
+
+  /** HITS oracle: `iters` unrolled (authority, hub) rounds with the
+    * engine's max-normalization — raw in-link (resp. out-link) sums,
+    * then rescale to [0, HitsScale] by integer floor-div against the
+    * round's max (scalar subquery). Mirrors GraphOps.hitsFixed
+    * term-for-term.
+    */
+  private def hitsOracle(iters: Int, mod: Int): String = {
+    val sc = graft.ops.GraphOps.HitsScale
+    val ctes = (1 to iters).map { i =>
+      s"""a${i}r AS MATERIALIZED (
+           SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS raw
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS v
+             FROM edges e JOIN h${i - 1} h ON h.node = e.src
+             GROUP BY e.dst) s ON s.node = n.node),
+         a$i AS MATERIALIZED (SELECT node,
+           CAST((raw * $sc) // (SELECT max(raw) FROM a${i}r) AS BIGINT)
+             AS a FROM a${i}r),
+         h${i}r AS MATERIALIZED (
+           SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS raw
+           FROM nodes n LEFT JOIN (
+             SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS v
+             FROM edges e JOIN a$i a ON a.node = e.dst
+             GROUP BY e.src) s ON s.node = n.node),
+         h$i AS MATERIALIZED (SELECT node,
+           CAST((raw * $sc) // (SELECT max(raw) FROM h${i}r) AS BIGINT)
+             AS h FROM h${i}r)"""
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+          FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+        nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        h0 AS MATERIALIZED (SELECT node, CAST($sc AS BIGINT) AS h FROM nodes),
+        $ctes
+        SELECT a.node, a.a AS a_fp, h.h AS h_fp,
+               CAST(a.a AS DOUBLE) / $sc.0 AS auth,
+               CAST(h.h AS DOUBLE) / $sc.0 AS hub
+        FROM a$iters a JOIN h$iters h ON h.node = a.node"""
+  }
+
+  /** Personalized-PageRank oracle: the [[pageRankOracle]] unroll with
+    * teleport base only on the mod-`seedMod` seed set (engine's
+    * GraphOps.personalizedPageRank term-for-term, including the seeded
+    * r0).
+    */
+  private def pprOracle(iters: Int, mod: Int, seedMod: Int): String = {
+    val base = "CASE WHEN n.node % " + seedMod +
+      " = 0 THEN 150000000000 ELSE 0 END"
+    val ctes = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT n.node,
+                  CAST($base + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT)
+                    AS rank_fp
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst, CAST(SUM(r.rank_fp // o.deg) AS BIGINT) AS c
+             FROM edges e
+             JOIN r${i - 1} r ON r.node = e.src
+             JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst) s ON s.dst = n.node)"""
+    }.mkString(",\n")
+    s"""WITH edges AS (
+          SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+          FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT n.node,
+          CAST(CASE WHEN n.node % $seedMod = 0 THEN 150000000000
+               ELSE 0 END AS BIGINT) AS rank_fp FROM nodes n),
+        $ctes
+        SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / 1e12 AS rank
+        FROM r$iters"""
+  }
+
+  /** Link-prediction oracle: symmetrize, wedge-join shared-neighbor
+    * pairs, drop adjacent ones, exact Jaccard ppm, deterministic
+    * top-k (GraphOps.linkPredict term-for-term).
+    */
+  private def linkPredictOracle(mod: Int, k: Int): String =
+    s"""WITH edges AS (
+          SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+          FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+        und AS (SELECT src AS a, dst AS b FROM edges
+                UNION SELECT dst, src FROM edges),
+        deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+        cand AS (SELECT x.a AS a, y.a AS b, count(*) AS cn
+                 FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
+                 GROUP BY 1, 2),
+        nonadj AS (SELECT c.a, c.b, c.cn FROM cand c
+                   LEFT JOIN und u ON u.a = c.a AND u.b = c.b
+                   WHERE u.a IS NULL)
+        SELECT n.a, n.b, n.cn,
+               CAST((1000000 * n.cn) // (da.deg + db.deg - n.cn) AS BIGINT)
+                 AS jacc_ppm
+        FROM nonadj n JOIN deg da ON da.a = n.a JOIN deg db ON db.a = n.b
+        ORDER BY n.cn DESC, jacc_ppm DESC, n.a, n.b LIMIT $k"""
 
   /** Label-propagation oracle: `rounds` unrolled synchronous LPA steps
     * over the mod-`mod` graph. Each round counts the closed-
@@ -4679,6 +4799,9 @@ object SparkEntry {
                 count(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
+    "q_hits" -> hitsOracle(HitsIters, PrMod),
+    "q_ppr" -> pprOracle(PrIters, PrMod, PprSeedMod),
+    "q_link_predict" -> linkPredictOracle(TriMod, LinkPredictK),
     "q_pagerank_weighted" -> pageRankWeightedOracle(PrwIters, TriMod),
     "q_communities" -> lpaOracle(LpaRounds, TriMod),
     "q_communities_weighted" -> wlpaOracle(WlpaRounds, TriMod),

@@ -857,4 +857,146 @@ object GraphOps {
         s"sssp did not reach a fixpoint in $maxRounds rounds")
     dist.select("node", "dist")
   }
+
+  /** HITS fixed-point scale for hub/authority scores. Smaller than
+    * [[Scale]] because each round multiplies a degree-sum by the scale
+    * before the normalizing div: worst term maxdeg · HitsScale² must
+    * stay under 2^63 → maxdeg < 9.2·10^6 at 10^6 scale (any real web
+    * graph after the usual supernode capping; past that, drop a digit).
+    */
+  val HitsScale: Long = 1000000L
+
+  /** HITS hubs/authorities (Kleinberg 1999) over a directed edge list —
+    * fixed `iters` mutual-reinforcement rounds with MAX-normalization
+    * instead of L2: dividing by the round's max score keeps every
+    * intermediate an exact int64 (the [[pageRankFixed]] fixed-point
+    * discipline), converges to the same principal direction, and makes
+    * the result bit-identical across partitionings and engines. Each
+    * round: a(v) = Σ_{u→v} h(u), rescaled to [0, HitsScale]; then
+    * h(u) = Σ_{u→v} a(v), rescaled. Nodes without in-links hold
+    * authority 0; without out-links, hub 0.
+    *
+    * Scale shape: the score vector (≤ 16 B/node) broadcasts into the
+    * edge join under the [[decideBroadcast]] guard — edges never
+    * shuffle; per round the only corpus exchanges are the two keyed
+    * re-aggregations, plus two 1-row max aggregates for the rescale
+    * (in-plan cross joins, no driver collect). Lineage persist-cut
+    * every `persistEvery` rounds.
+    */
+  def hitsFixed(edges: DataFrame, iters: Int,
+                bcastScores: Option[Boolean] = None): DataFrame = {
+    require(iters >= 1)
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val n0 = nodes(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val bc = decideBroadcast(bcastScores, n0.count(),
+      broadcastBudget(e.sparkSession))
+    // Each round's score vector is localCheckpoint-materialized (≤ 16
+    // B/node — cheap) BEFORE its max is read as a driver scalar (the
+    // sanctioned 1-row aggregate, the kmeansFixpoint discipline): an
+    // in-plan scalar-max broadcast would nest one broadcast subtree per
+    // round and re-run the whole prefix chain for each, turning the
+    // loop quadratic.
+    def sumOver(scores: DataFrame, scoreCol: String, joinKey: String,
+                outKey: String): DataFrame = {
+      val r = if (bc) broadcast(scores) else scores
+      val raw = e.join(r, e(joinKey) === r("node"))
+        .groupBy(e(outKey).as("node")).agg(sum(scoreCol).as("raw"))
+        .localCheckpoint(true)
+      val m = raw.agg(coalesce(max("raw"), lit(0L))).head.getLong(0)
+      if (m == 0L) n0.select(col("node"), lit(0L).as(scoreCol))
+      else n0.join(raw, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"(coalesce(raw, 0L) * ${HitsScale}L) div ${m}L")
+            .as(scoreCol))
+        .localCheckpoint(true)
+    }
+    var hub = n0.select(col("node"), lit(HitsScale).as("h_fp"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = sumOver(hub, "h_fp", "src", "dst")
+        .withColumnRenamed("h_fp", "a_fp")
+      hub = sumOver(auth.withColumnRenamed("a_fp", "h_fp"), "h_fp",
+        "dst", "src")
+    }
+    auth.join(hub, "node")
+      .select(col("node"), col("a_fp"), col("h_fp"),
+        (col("a_fp").cast("double") / HitsScale.toDouble).as("auth"),
+        (col("h_fp").cast("double") / HitsScale.toDouble).as("hub"))
+      .orderBy(col("a_fp").desc, col("node"))
+  }
+
+  /** Personalized PageRank — the [[pageRankFixed]] loop with teleport
+    * mass restricted to the seed set (node % seedMod = 0): ranks answer
+    * "importance as seen FROM the seeds", the query behind related-page
+    * and topic-conditioned crawl ranking. base(v) = (100−damp)% · Scale
+    * for seeds, 0 otherwise; non-seed rank arrives only through
+    * in-links, so mass decays through dangling nodes exactly as the
+    * push-style formulation prescribes — deterministic int64 fixed
+    * point throughout. One keyed exchange per round (the contribution
+    * re-sum); rank vector broadcasts under the guard; node set left-
+    * joins the sums (the varying base forbids the no-in-union shortcut
+    * pageRankFixed uses).
+    */
+  def personalizedPageRank(edges: DataFrame, iters: Int, seedMod: Int,
+                           dampPct: Int = 85,
+                           bcastRanks: Option[Boolean] = None,
+                           persistEvery: Int = 3): DataFrame = {
+    require(iters >= 1 && seedMod >= 1 && dampPct >= 0 && dampPct <= 100)
+    val e = edges
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ew = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val n0 = nodes(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val bc = decideBroadcast(bcastRanks, n0.count(),
+      broadcastBudget(e.sparkSession))
+    val base = (100L - dampPct) * (Scale / 100)
+    val baseOf = when(col("node") % seedMod === 0, base).otherwise(0L)
+    var ranks = n0.select(col("node"), baseOf.as("rank_fp"))
+    for (i <- 1 to iters) {
+      val r = if (bc) broadcast(ranks) else ranks
+      val sums = ew.join(r, ew("src") === r("node"))
+        .select(ew("dst").as("node"),
+          expr("rank_fp div deg").as("share"))
+        .groupBy("node").agg(sum("share").as("c"))
+      ranks = n0.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (baseOf + expr(s"($dampPct * coalesce(c, 0L)) div 100"))
+            .as("rank_fp"))
+      if (i % persistEvery == 0 && i < iters)
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    ranks.select(col("node"), col("rank_fp"),
+        (col("rank_fp").cast("double") / Scale.toDouble).as("rank"))
+      .orderBy(col("rank_fp").desc, col("node"))
+  }
+
+  /** Common-neighbor link prediction over the symmetrized graph: for
+    * every non-adjacent pair reachable through a shared neighbor,
+    * cn = |N(a) ∩ N(b)| and Jaccard = cn / |N(a) ∪ N(b)| (exact ppm
+    * via int64 floor-div), top `k` by (cn desc, jacc desc, a, b) — a
+    * deterministic total order, so the limit is stable. The candidate
+    * generation is the triangle wedge join (never all pairs): cost
+    * Σ_w deg(w)², the standard bound, with the same sparse-modulus
+    * fixture q_triangle uses. TakeOrderedAndProject caps the result
+    * driver-side at k rows.
+    */
+  def linkPredict(edges: DataFrame, k: Int): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    val w1 = und.select(col("a"), col("b").as("w"))
+    val w2 = und.select(col("a").as("b2"), col("b").as("w2"))
+    val cand = w1.join(w2, col("w") === col("w2") && col("a") < col("b2"))
+      .groupBy(col("a"), col("b2").as("b")).agg(count(lit(1)).as("cn"))
+      .join(und.select(col("a"), col("b"), lit(1).as("adj")),
+        Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.withColumnsRenamed(Map("a" -> "a", "deg" -> "dega")), "a")
+      .join(deg.withColumnsRenamed(Map("a" -> "b", "deg" -> "degb")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        expr("(1000000 * cn) div (dega + degb - cn)").as("jacc_ppm"))
+      .orderBy(col("cn").desc, col("jacc_ppm").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

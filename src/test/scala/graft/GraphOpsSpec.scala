@@ -473,4 +473,84 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
     assert(merged === direct)
   }
+
+  test("hitsFixed: one hand-computed max-norm round; and an " +
+      "independent model at depth") {
+    // 1->2, 3->2, 2->4: after round 1, authority max-norms on node 2.
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val s = GraphOps.HitsScale
+    val got1 = GraphOps.hitsFixed(edges, 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got1(2L) === ((s, s / 2)))       // a: 2S/2S; h: a(4)=S/2 max-normed
+    assert(got1(4L) === ((s / 2, 0L)))      // a: S/2S; no out-links
+    assert(got1(1L) === ((0L, s)))          // no in-links; h: a(2)=S
+    assert(got1(3L) === ((0L, s)))
+    // Depth: independent Scala-collections model, 5 rounds.
+    def modelHits(es: Seq[(Long, Long)], iters: Int) = {
+      val ns = es.flatMap(t => Seq(t._1, t._2)).distinct
+      var h = ns.map(_ -> s).toMap
+      var a = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        val ar = ns.map(n => n -> es.filter(_._2 == n)
+          .map(e => h(e._1)).sum).toMap
+        val am = ar.values.max
+        a = ar.map { case (n, v) => n -> (if (am == 0) 0L else v * s / am) }
+        val hr = ns.map(n => n -> es.filter(_._1 == n)
+          .map(e => a(e._2)).sum).toMap
+        val hm = hr.values.max
+        h = hr.map { case (n, v) => n -> (if (hm == 0) 0L else v * s / hm) }
+      }
+      ns.map(n => n -> ((a(n), h(n)))).toMap
+    }
+    val es5 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L),
+      (4L, 2L))
+    val got5 = GraphOps.hitsFixed(es5.toDF("src", "dst"), 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got5 === modelHits(es5, 5))
+  }
+
+  test("personalizedPageRank: seeds carry the base, non-seed no-in " +
+      "nodes stay 0; seedless teleport decays mass") {
+    // seeds = even nodes; node 1 (odd) has in-links only from 2.
+    val edges = Seq((2L, 1L), (1L, 3L), (4L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = GraphOps.personalizedPageRank(edges, 6, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = 150000000000L
+    // seeds hold at least the teleport base
+    assert(got(2L) >= base && got(4L) >= base)
+    // non-seed with in-links accumulates rank but no base
+    assert(got(1L) > 0L)
+    // node 2 has no in-links at all -> exactly the base
+    assert(got(2L) === base)
+    // independent model
+    def model(iters: Int): Map[Long, Long] = {
+      val es = Seq((2L, 1L), (1L, 3L), (4L, 1L), (3L, 4L))
+      val ns = es.flatMap(t => Seq(t._1, t._2)).distinct
+      val deg = es.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      var r = ns.map(n => n -> (if (n % 2 == 0) base else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val sums = es.groupBy(_._2).map { case (d, in) =>
+          d -> in.map { case (srcN, _) => r(srcN) / deg(srcN) }.sum }
+        r = ns.map(n => n ->
+          ((if (n % 2 == 0) base else 0L) +
+            85L * sums.getOrElse(n, 0L) / 100L)).toMap
+      }
+      r
+    }
+    assert(got === model(6))
+  }
+
+  test("linkPredict: cycle diagonals found with exact Jaccard, " +
+      "adjacent pairs excluded") {
+    // 4-cycle 1-2-3-4-1: only non-adjacent pairs are the diagonals.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = GraphOps.linkPredict(edges, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // diagonals share BOTH other nodes: cn=2, jacc = 2/(2+2-2) = 1
+    assert(got === Map((1L, 3L) -> ((2L, 1000000L)),
+      (2L, 4L) -> ((2L, 1000000L))))
+  }
 }
