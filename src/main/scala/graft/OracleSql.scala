@@ -1936,15 +1936,43 @@ object OracleSql {
     * sum. The query list is inlined as a VALUES table with explicit
     * BIGINT ids.
     */
-  def bm25Sql(queries: Seq[(Long, String)], k: Int): String = {
+  def bm25Sql(queries: Seq[(Long, String)], k: Int): String =
+    bm25SqlFrom("documents", "", queries, k)
+
+  /** BM25 over the base + (+1M, first-word-stripped) arrival corpus —
+    * the oracle for the persisted-index append path: replay the union
+    * corpus through the same scoring, which must equal serving the
+    * base index plus the appended partials.
+    */
+  def bm25IncrSql(queries: Seq[(Long, String)], k: Int): String =
+    bm25SqlFrom("corpus",
+      """corpus AS (SELECT doc_id, text FROM documents
+         UNION ALL SELECT doc_id + 1000000,
+           regexp_replace(text, '^\S+\s*', '') FROM documents),
+      """, queries, k)
+
+  private def bm25SqlFrom(src: String, lead: String,
+                          queries: Seq[(Long, String)], k: Int): String =
+    s"""WITH ${bm25Ctes(src, lead, queries)}
+        SELECT q_id, doc_id, score, rnk FROM ranked WHERE rnk <= $k"""
+
+  /** The BM25 CTE chain (toks → tf/dl/df/stats → qterms → scored →
+    * ranked) without a terminal SELECT — shared by [[bm25SqlFrom]] and
+    * the RRF fusion oracle.
+    */
+  private def bm25Ctes(src: String, lead: String,
+                       queries: Seq[(Long, String)]): String = {
     val vals = queries
       .map { case (id, q) => s"(CAST($id AS BIGINT), '$q')" }.mkString(", ")
-    s"""WITH $toksCte,
+    s"""${lead}toks AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(text, '$Ws'), x -> x <> ''))
+            AS w
+        FROM $src),
         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
         df AS (SELECT w, count(*) AS df FROM
                  (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
-        stats AS (SELECT (SELECT count(*) FROM documents) AS nd,
+        stats AS (SELECT (SELECT count(*) FROM $src) AS nd,
                          CAST((SELECT count(*) FROM toks) AS DOUBLE)
                            / CAST((SELECT count(DISTINCT doc_id) FROM toks)
                                   AS DOUBLE) AS avgdl),
@@ -1966,9 +1994,39 @@ object OracleSql {
         ranked AS (SELECT q_id, doc_id, score,
                      row_number() OVER (PARTITION BY q_id
                                         ORDER BY score DESC, doc_id) AS rnk
-                   FROM scored)
-        SELECT q_id, doc_id, score, rnk FROM ranked WHERE rnk <= $k"""
+                   FROM scored)"""
   }
+
+  /** Reciprocal-rank-fusion oracle — CurationOps.rrfFuse twin over the
+    * BM25 and term-count rankers: both top-`depth` lists, contribution
+    * floor(10^9/(60+rank)) in integer micro-units (exact in both
+    * engines — no float sum-order hazard), full-outer merge, top-`k`.
+    */
+  def rrfSql(queries: Seq[(Long, String)], depth: Int, k: Int): String =
+    s"""WITH ${bm25Ctes("documents", "", queries)},
+        list_a AS (SELECT q_id, doc_id, rnk FROM ranked
+                   WHERE rnk <= $depth),
+        tcnt AS (SELECT q.q_id, t.doc_id, count(*) AS cnt
+                 FROM toks t JOIN qterms q USING (w)
+                 GROUP BY q.q_id, t.doc_id),
+        list_b AS (SELECT q_id, doc_id, rnk FROM (
+                     SELECT q_id, doc_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cnt DESC, doc_id) AS rnk
+                     FROM tcnt) WHERE rnk <= $depth),
+        fused AS (SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+                    COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                    CAST(COALESCE(a.rnk, 0) AS BIGINT) AS rnk_a,
+                    CAST(COALESCE(b.rnk, 0) AS BIGINT) AS rnk_b,
+                    CAST(COALESCE(1000000000 // (60 + a.rnk), 0)
+                       + COALESCE(1000000000 // (60 + b.rnk), 0)
+                       AS BIGINT) AS rrf
+                  FROM list_a a FULL OUTER JOIN list_b b
+                    ON a.q_id = b.q_id AND a.doc_id = b.doc_id)
+        SELECT q_id, doc_id, rnk_a, rnk_b, rrf, rnk FROM (
+          SELECT f.*, row_number() OVER (PARTITION BY q_id
+                        ORDER BY rrf DESC, doc_id) AS rnk
+          FROM fused f) WHERE rnk <= $k"""
 
   /** Repetition-signal twin: same word-bigram derivation as the ngram
     * oracle (non-distinct — occurrence counts are the signal).

@@ -1625,6 +1625,39 @@ object SparkEntry {
     // DECIMAL-summed doc scores, top-10 per query.
     "q_rank_bm25" -> ((s, d) =>
       CurationOps.bm25TopK(Tables.documents(s, d), Bm25Queries)),
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 and
+    // term-count rankers' top-20 lists, integer micro-unit
+    // contributions (exact — no float sum-order hazard), top-10 fused.
+    "q_rrf_fusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CurationOps.rrfFuse(
+        CurationOps.bm25TopK(docs, Bm25Queries, 20),
+        CurationOps.termCountTopK(docs, Bm25Queries, 20), 10)
+    }),
+    // Persisted BM25 index round trip: write the four index tables for
+    // the corpus snapshot, then serve top-k from the ARTIFACT — the
+    // corpus is never re-read; postings/termdf scans prune to the
+    // query's term set (PushedFilters In).
+    "q_bm25_persist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = tmpPath("graft_bm25idx", d)
+      CurationOps.writeBm25Index(docs, path)
+      CurationOps.bm25TopKIndexed(s, path, Bm25QueriesB)
+    }),
+    // Index maintenance: append an arrival batch (+1M ids, first word
+    // stripped) as O(batch) partials, then serve — must equal BM25 over
+    // the union corpus (the oracle replays it; df/stats partials merge
+    // at serve time).
+    "q_bm25_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      requireIdHeadroom(docs, "doc_id")
+      val path = tmpPath("graft_bm25inc", d)
+      CurationOps.writeBm25Index(docs, path)
+      CurationOps.appendToBm25Index(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text")), path)
+      CurationOps.bm25TopKIndexed(s, path, Bm25QueriesB)
+    }),
     // Target-mix resampling by language: hash-thresholded downsampling
     // toward a 40/25/15/10/10 training mix, per-group audit output.
     "q_mix_resample" -> ((s, d) =>
@@ -3776,6 +3809,14 @@ object SparkEntry {
     (1L, "hash join"), (2L, "fast scan filter"), (3L, "window agg"),
     (4L, "customer order query"), (5L, "slow merge sort"))
 
+  /** Query set for the persisted-index entries — distinct from
+    * [[Bm25Queries]] so the persist/incr results aren't byte-twins of
+    * q_rank_bm25.
+    */
+  private val Bm25QueriesB: Seq[(Long, String)] = Seq(
+    (1L, "stream batch window"), (2L, "filter the table"),
+    (3L, "vector scan"), (4L, "merge join order"), (5L, "big data row"))
+
   /** Registers the named fixture tables as temp views and runs one
     * shared SQL text — the front-door pattern every q_sql_* entry uses.
     */
@@ -5028,6 +5069,9 @@ object SparkEntry {
     "q_chunk_overlap" -> OracleSql.chunkOverlapSql(64, 48),
     "q_inverted_index" -> OracleSql.invertedIndexSql(20),
     "q_rank_bm25" -> OracleSql.bm25Sql(Bm25Queries, 10),
+    "q_bm25_persist" -> OracleSql.bm25Sql(Bm25QueriesB, 10),
+    "q_bm25_incr" -> OracleSql.bm25IncrSql(Bm25QueriesB, 10),
+    "q_rrf_fusion" -> OracleSql.rrfSql(Bm25Queries, 20, 10),
     "q_profile" -> OracleSql.profileSql("lineitem", Seq(
       "l_orderkey" -> true, "l_partkey" -> true, "l_linenumber" -> true,
       "l_quantity" -> true, "l_extendedprice" -> true,

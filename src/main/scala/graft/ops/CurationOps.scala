@@ -337,12 +337,7 @@ object CurationOps {
     */
   def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)],
                k: Int = 10): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val toks = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        explode(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
-          .as("w"))
+    val toks = bm25Toks(docs)
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val df = toks.select("doc_id", "w").distinct()
@@ -356,11 +351,37 @@ object CurationOps {
         countDistinct(col("doc_id")).as("ndl")))
       .select(col("nd"),
         (col("ntok").cast("double") / col("ndl").cast("double")).as("avgdl"))
-    val qterms = queries.toDF("q_id", "qtext")
+    bm25Score(tf, dl, df, stats, bm25QTerms(docs.sparkSession, queries), k)
+  }
+
+  /** Tokenized (doc_id, w) postings stream shared by the BM25 builders. */
+  private def bm25Toks(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
+          .as("w"))
+
+  /** Distinct (q_id, w) query-term pairs. */
+  private def bm25QTerms(spark: org.apache.spark.sql.SparkSession,
+                         queries: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    queries.toDF("q_id", "qtext")
       .select(col("q_id"),
         explode(filter(split(col("qtext"), TextOps.WsRegex), x => x =!= ""))
           .as("w"))
       .distinct()
+  }
+
+  /** Shared BM25 scoring tail: query-term-pruned postings × doc-length
+    * × term df × corpus stats → DECIMAL-summed per-doc score, top-k per
+    * query. DECIMAL addition is exact, so the score is independent of
+    * both accumulation order and whether the inputs came from the
+    * in-memory build ([[bm25TopK]]) or the persisted index
+    * ([[bm25TopKIndexed]]) — the equality the persist spec pins.
+    */
+  private def bm25Score(tf: DataFrame, dl: DataFrame, dfT: DataFrame,
+                        stats: DataFrame, qterms: DataFrame,
+                        k: Int): DataFrame = {
     val idf = lit(1000000.0) * col("nd").cast("double") / col("df").cast("double")
     val term = idf * (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") +
@@ -369,7 +390,7 @@ object CurationOps {
     val rank = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("doc_id"))
     tf.join(broadcast(qterms), Seq("w"))
-      .join(broadcast(df.join(broadcast(qterms.select("w").distinct()), Seq("w"))
+      .join(broadcast(dfT.join(broadcast(qterms.select("w").distinct()), Seq("w"))
         .select("w", "df")), Seq("w"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -377,6 +398,118 @@ object CurationOps {
         term.cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("t"))
       .groupBy("q_id", "doc_id")
       .agg(sum(col("t")).cast("double").as("score"))
+      .withColumn("rnk", row_number().over(rank).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Persist the BM25 retrieval index for a corpus snapshot — the
+    * persisted-artifact discipline (DedupOps.writeMinhashIndex) applied
+    * to ranked retrieval. Four parquet tables under `path`:
+    * `postings` (w, doc_id, tf) term-clustered by a repartition on w
+    * (on a real lake: partition by hash-bucket of w so a query's terms
+    * prune to their buckets), `doclen` (doc_id, dl), `termdf` (w, df),
+    * and `stats` (nd, ntok, ndl — RAW counts, not the derived avgdl).
+    * termdf and stats are stored as mergeable partials: appends write
+    * more rows and the serve path re-aggregates, so index maintenance
+    * is O(batch) with no read-modify-write cycle.
+    */
+  def writeBm25Index(docs: DataFrame, path: String): Unit =
+    writeBm25Index(docs, path, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Append one arrival batch to a persisted BM25 index — O(batch):
+    * postings/doclen rows for the batch plus termdf/stats partials the
+    * serve path merges. Batches must carry disjoint doc_ids (the
+    * caller's contract, as with appendToMinhashIndex).
+    */
+  def appendToBm25Index(docs: DataFrame, path: String): Unit =
+    writeBm25Index(docs, path, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeBm25Index(docs: DataFrame, path: String,
+                             mode: org.apache.spark.sql.SaveMode): Unit = {
+    val toks = bm25Toks(docs)
+    toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .repartition(col("w"))
+      .write.mode(mode).parquet(s"$path/postings")
+    toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .write.mode(mode).parquet(s"$path/doclen")
+    toks.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .write.mode(mode).parquet(s"$path/termdf")
+    docs.agg(count(lit(1)).as("nd"))
+      .crossJoin(toks.agg(count(lit(1)).as("ntok"),
+        countDistinct(col("doc_id")).as("ndl")))
+      .write.mode(mode).parquet(s"$path/stats")
+  }
+
+  /** Serve BM25 top-k from the PERSISTED index: the corpus is never
+    * touched — postings and termdf scans are pruned to the query's
+    * term set with a literal IN filter (PushedFilters at the parquet
+    * reader; with the bucket layout above, partition pruning too), so
+    * per-query cost is O(postings of the query terms) plus one
+    * doc-keyed join against doclen (bucket doclen by doc_id on a real
+    * lake to make it co-located). termdf/stats partials from any
+    * number of appends merge in one tiny aggregate each. Equals
+    * [[bm25TopK]] over the concatenated corpus exactly (spec-pinned).
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      path: String, queries: Seq[(Long, String)],
+                      k: Int = 10): DataFrame = {
+    val qwords = queries.flatMap(_._2.split(TextOps.WsRegex))
+      .filter(_.nonEmpty).distinct
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("w").isin(qwords: _*))
+    val dfT = spark.read.parquet(s"$path/termdf")
+      .filter(col("w").isin(qwords: _*))
+      .groupBy("w").agg(sum("df").as("df"))
+    val dl = spark.read.parquet(s"$path/doclen")
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum("nd").as("nd"), sum("ntok").as("ntok"),
+        sum("ndl").as("ndl"))
+      .select(col("nd"),
+        (col("ntok").cast("double") / col("ndl").cast("double")).as("avgdl"))
+    bm25Score(tf, dl, dfT, stats, bm25QTerms(spark, queries), k)
+  }
+
+  /** Term-count ranker — the cheap boolean-ish retrieval baseline RRF
+    * fuses against BM25: score = total occurrences of the query's
+    * terms in the doc, top-k per query under the (cnt desc, doc_id)
+    * total order. Broadcast query terms prune the postings pre-shuffle
+    * exactly as in [[bm25TopK]].
+    */
+  def termCountTopK(docs: DataFrame, queries: Seq[(Long, String)],
+                    k: Int = 10): DataFrame = {
+    val rank = Window.partitionBy("q_id")
+      .orderBy(col("cnt").desc, col("doc_id"))
+    bm25Toks(docs)
+      .join(broadcast(bm25QTerms(docs.sparkSession, queries)), Seq("w"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(rank).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists
+    * (q_id, doc_id, rnk): contribution floor(10^9 / (60 + rank)) in
+    * INTEGER micro-units — the standard rrf_k = 60 with the division
+    * done in int64 so the fused score is exact and engine-portable (a
+    * float 1/(60+r) sum would hang the result on accumulation order).
+    * Absent-from-one-list docs contribute 0 from that list (rank
+    * reported as 0). One (q_id, doc_id)-keyed outer merge + the top-k
+    * window — both rankers' lists are already ≤ depth·|queries| rows,
+    * so at 100 TB this stage is trivially driver-scale while the
+    * rankers themselves stay distributed.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col("q_id"), col("doc_id"), col("rnk").as(s"rnk_$tag"),
+        expr("1000000000 div (60 + rnk)").as(s"c_$tag"))
+    val rank = Window.partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    side(a, "a").join(side(b, "b"), Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        coalesce(col("rnk_a"), lit(0L)).as("rnk_a"),
+        coalesce(col("rnk_b"), lit(0L)).as("rnk_b"),
+        (coalesce(col("c_a"), lit(0L)) + coalesce(col("c_b"), lit(0L)))
+          .as("rrf"))
       .withColumn("rnk", row_number().over(rank).cast("long"))
       .filter(col("rnk") <= k)
   }

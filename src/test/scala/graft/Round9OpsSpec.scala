@@ -417,6 +417,42 @@ class Round9OpsSpec extends SparkSpec {
     assert(got(4L) === ((4L, 3L, 15L, 72L, 1)))
   }
 
+  // ---- persisted BM25 index + RRF fusion ----
+
+  test("bm25TopKIndexed: serve-from-artifact equals in-memory BM25, " +
+      "before and after an append") {
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val qs = Seq((1L, "hash join"), (2L, "fast scan filter"))
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25idx").toString
+    graft.ops.CurationOps.writeBm25Index(base, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(rows(graft.ops.CurationOps.bm25TopKIndexed(spark, path, qs)) ===
+      rows(graft.ops.CurationOps.bm25TopK(base, qs)))
+    // append an arrival slice; serve must equal BM25 over the union
+    val arrivals = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
+    graft.ops.CurationOps.appendToBm25Index(arrivals, path)
+    assert(rows(graft.ops.CurationOps.bm25TopKIndexed(spark, path, qs)) ===
+      rows(graft.ops.CurationOps.bm25TopK(base.union(arrivals), qs)))
+    spark.catalog.clearCache()
+  }
+
+  test("rrfFuse: hand-computed fusion of two tiny lists") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q_id", "doc_id", "rnk")
+    val b = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("q_id", "doc_id", "rnk")
+    val got = graft.ops.CurationOps.rrfFuse(a, b, 10).collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val c1 = 1000000000L / 61; val c2 = 1000000000L / 62
+    // doc 11 in both lists wins; 10 vs 12 tie on score, doc_id breaks
+    assert(got(11L) === ((2L, 1L, c1 + c2, 1L)))
+    assert(got(10L) === ((1L, 0L, c1, 2L)))
+    assert(got(12L) === ((0L, 2L, c2, 3L)))
+  }
+
   test("lineWrap: refold shape and decoration congruences") {
     val docs = Seq((0L, (1 to 20).map(i => s"w$i").mkString(" ")))
       .toDF("doc_id", "text")
