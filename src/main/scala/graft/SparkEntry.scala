@@ -1892,6 +1892,11 @@ object SparkEntry {
     // bits must match, which only actual pixel decode produces.
     "q_image_ahash" -> ((s, d) =>
       MultimodalOps.imageAHash(Tables.documents(s, d))),
+    // dHash gradient fingerprints — adjacent-sample comparisons on a
+    // 9×8 grid: brightness-shift-invariant where aHash is not; decode
+    // + 64 comparisons per asset in one mapPartitions, no exchange.
+    "q_image_dhash" -> ((s, d) =>
+      MultimodalOps.imageDHash(Tables.documents(s, d))),
     // Image NEAR-DUP pairing over aHash fingerprints — the MinHash-band
     // analogue for the multimodal tier: 4×16-bit bands generate
     // candidates (never all-pairs), exact Hamming ≤ 3 verifies. The
@@ -5479,6 +5484,30 @@ object SparkEntry {
                  string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS ahash,
                  CAST(SUM(bit) AS BIGINT) AS n_set
           FROM b GROUP BY doc_id, w, h, mean_px""",
+    "q_image_dhash" ->
+      """WITH dims AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
+                              CAST(1 + (doc_id // 16) % 16 AS BIGINT) AS h
+                       FROM documents),
+          b AS (SELECT doc_id, w, h, k.range AS k,
+                  CASE WHEN
+                    (CASE WHEN ((k.range % 8) + 1) * w // 9 = 0
+                               AND (k.range // 8) * h // 8 = 0
+                          THEN doc_id % 256
+                          ELSE (doc_id + 31 * (((k.range % 8) + 1) * w // 9)
+                                + 7 * ((k.range // 8) * h // 8)) % 256
+                     END) >
+                    (CASE WHEN (k.range % 8) * w // 9 = 0
+                               AND (k.range // 8) * h // 8 = 0
+                          THEN doc_id % 256
+                          ELSE (doc_id + 31 * ((k.range % 8) * w // 9)
+                                + 7 * ((k.range // 8) * h // 8)) % 256
+                     END)
+                  THEN 1 ELSE 0 END AS bit
+                FROM dims, range(0, 64) k)
+          SELECT doc_id AS asset_id, w, h,
+                 string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS dhash,
+                 CAST(SUM(bit) AS BIGINT) AS n_set
+          FROM b GROUP BY doc_id, w, h""",
     // STRONGER-than-replay oracle for the banded near-dup path: the
     // 4×16-bit banding is pigeonhole-exhaustive at Hamming <= 3, so
     // the closed-form ALL-PAIRS answer over the regenerated

@@ -319,6 +319,41 @@ object MultimodalOps {
       .toDF("asset_id", "w", "h", "mean_px", "ahash", "n_set")
   }
 
+  /** dHash (difference hash) fingerprints — the gradient companion to
+    * [[imageAHash]]: bit (i, j) compares two ADJACENT grid samples on
+    * row i (px at column j+1 vs column j of a 9-wide × 8-tall sample
+    * grid) instead of sample-vs-mean, so the fingerprint captures
+    * horizontal gradient direction and is invariant to global
+    * brightness shifts (where aHash flips bits at the mean boundary).
+    * Same scale shape as aHash: decode + 64 comparisons per asset
+    * inside one mapPartitions, no exchange; integer-exact, closed-form
+    * DuckDB oracle over the regenerated raster.
+    */
+  def imageDHash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val img = readImg(Asset(id, "png", syntheticPng(id)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        def px(x: Int, y: Int): Long = raster.getSample(x, y, 0).toLong
+        val bits = new StringBuilder(64)
+        var nSet = 0L
+        for (k <- 0 until 64) {
+          val j = k % 8
+          val y = (k / 8) * h / 8
+          val x0 = j * w / 9
+          val x1 = (j + 1) * w / 9
+          val bit = if (px(x1, y) > px(x0, y)) 1 else 0
+          nSet += bit
+          bits.append(bit)
+        }
+        (id, w.toLong, h.toLong, bits.toString, nSet)
+      })
+      .toDF("asset_id", "w", "h", "dhash", "n_set")
+  }
+
   /** Image NEAR-DUP pairs over aHash fingerprints — the MinHash-band
     * analogue for the multimodal tier ([[graft.ops.DedupOps]]'s
     * bandRowsOf discipline): the 64-bit fingerprint is banded as

@@ -453,6 +453,19 @@ class Round9OpsSpec extends SparkSpec {
     assert(got(12L) === ((0L, 2L, c2, 3L)))
   }
 
+  test("imageDHash: hand-computed gradient bits on known rasters") {
+    val docs = Seq(0L, 8L).toDF("doc_id")
+    val got = graft.ops.MultimodalOps.imageDHash(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getLong(4)))).toMap
+    // id 0: w = h = 1 — every sample is the same pixel, strict > never
+    // fires
+    assert(got(0L) === (("0" * 64, 0L)))
+    // id 8: w = 9, h = 1 — px(x) = 8 + 31x mod 256 rises for 7 steps
+    // then wraps at x = 8 (8 + 248 = 256 -> 0), every grid row samples
+    // the single raster row
+    assert(got(8L) === (("11111110" * 8, 56L)))
+  }
+
   test("lineWrap: refold shape and decoration congruences") {
     val docs = Seq((0L, (1 to 20).map(i => s"w$i").mkString(" ")))
       .toDF("doc_id", "text")
