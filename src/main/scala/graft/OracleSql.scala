@@ -1833,6 +1833,39 @@ object OracleSql {
                CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / count(*) AS mean_q
         FROM d GROUP BY dim"""
 
+  /** Random-projection distortion twin — SimilarityOps.rpDistortion:
+    * same quantization, hash-derived ±1 sign matrix, exact int64
+    * projections and squared distances, final IEEE ratio.
+    */
+  def rpDistortionSql: String =
+    s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${SimilarityOps.QScale})
+            AS BIGINT)) AS v
+        FROM embeddings),
+        sm AS (SELECT j.range AS j, i.range AS i,
+            CASE WHEN ${hash60("'rp-' || j.range || '-' || i.range")} % 2 = 0
+                 THEN 1 ELSE -1 END AS s
+          FROM range(0, ${SimilarityOps.RpDims}) j,
+               range(0, ${SimilarityOps.Dims}) i),
+        proj AS (SELECT q.vec_id, s.j,
+            CAST(SUM(q.v[s.i + 1] * s.s) AS BIGINT) AS p
+          FROM qv q, sm s GROUP BY q.vec_id, s.j),
+        od AS (SELECT a.vec_id AS a, b.vec_id AS b,
+            CAST(list_sum(list_transform(range(1, ${SimilarityOps.Dims + 1}),
+              i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS BIGINT)
+              AS d2_orig
+          FROM qv a JOIN qv b ON b.vec_id = a.vec_id + 1),
+        pd AS (SELECT pa.vec_id AS a,
+            CAST(SUM((pa.p - pb.p) * (pa.p - pb.p)) AS BIGINT) AS d2_proj
+          FROM proj pa JOIN proj pb
+            ON pb.vec_id = pa.vec_id + 1 AND pb.j = pa.j
+          GROUP BY pa.vec_id)
+        SELECT od.a, od.b, od.d2_orig, pd.d2_proj,
+               CAST(pd.d2_proj AS DOUBLE) /
+                 (${SimilarityOps.RpDims}.0 * CAST(od.d2_orig AS DOUBLE))
+                 AS ratio
+        FROM od JOIN pd ON pd.a = od.a WHERE od.d2_orig > 0"""
+
   /** Scrub twin: identical dirty-corpus derivation and redaction order
     * (emails → URLs → digit runs); DuckDB regexp_replace needs the 'g'
     * flag to match Spark's replace-all default.

@@ -1681,6 +1681,11 @@ object SparkEntry {
     // normalization/whitening): 64 rows out regardless of corpus size.
     "q_embed_dimstats" -> ((s, d) =>
       SimilarityOps.dimStats(Tables.embeddings(s, d))),
+    // JL ±1 random projection (64 → 16 dims, hash-derived sign matrix
+    // as array literals — map-only codegen) + per-consecutive-pair
+    // distortion audit: exact int64 distances, final IEEE JL ratio.
+    "q_embed_rp" -> ((s, d) =>
+      SimilarityOps.rpDistortion(Tables.embeddings(s, d))),
     // Stratified deterministic sampling: per-class hash-threshold rates
     // (class-rebalancing splits that survive re-runs and engine swaps).
     "q_sample_stratified" -> ((s, d) =>
@@ -5104,6 +5109,7 @@ object SparkEntry {
     "q_dedup_cluster" -> OracleSql.dedupClusterSql,
     "q_scrub" -> OracleSql.scrubSql,
     "q_embed_dimstats" -> OracleSql.dimStatsSql,
+    "q_embed_rp" -> OracleSql.rpDistortionSql,
     "q_sample_stratified" -> OracleSql.sampleStratifiedSql,
     "q_simsearch" -> OracleSql.simsearchSql,
     "q_simsearch_lsh" -> OracleSql.simsearchLshSql,

@@ -936,4 +936,51 @@ object SimilarityOps {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
+
+  /** Johnson-Lindenstrauss target dimensionality for [[rpDistortion]]
+    * (shared with the oracle).
+    */
+  val RpDims = 16
+
+  /** ±1 sign for the random-projection matrix cell (j, i) — derived
+    * from the portable hash (the [[weight]] discipline) so the oracle
+    * regenerates the identical matrix.
+    */
+  def rpSign(j: Int, i: Int): Long =
+    if (DedupOps.hash60Local(s"rp-$j-$i") % 2 == 0) 1L else -1L
+
+  /** Random projection (Achlioptas ±1 JL transform) + distortion
+    * audit: quantized vectors project onto [[RpDims]] hash-derived ±1
+    * sign rows — each projected coordinate is one exact int64 dot
+    * against an array LITERAL (pure codegen, no join, no shuffle; the
+    * matrix is (j,i)-hash-derived so nothing ships). For every
+    * consecutive (vec_id, vec_id+1) pair the audit reports the exact
+    * squared distance before and after projection and the JL ratio
+    * d2_proj / (m · d2_orig) (expected ≈ 1; a final IEEE division of
+    * exact int64s). This is the compress-before-ANN step: at 100 TB,
+    * projecting 64-dim → 16-dim quarters every downstream
+    * bucket/probe cost, and the audit is the evidence the distortion
+    * stays inside JL bounds. One keyed self-join per audit pair —
+    * the projection itself is map-only.
+    */
+  def rpDistortion(emb: DataFrame, m: Int = RpDims): DataFrame = {
+    val signs = (0 until m).map(j =>
+      typedLit((0 until Dims).map(i => rpSign(j, i))))
+    val q = withQuant(emb).select(col("vec_id"), col("qv"),
+      array(signs.map(sv => dotL(col("qv"), sv)): _*).as("p"))
+    def sq(u: Column, v: Column): Column =
+      aggregate(zip_with(u, v, (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _)
+    val a = q.select(col("vec_id").as("a"), col("qv").as("qa"),
+      col("p").as("pa"))
+    val b = q.select((col("vec_id") - 1).as("a"), col("vec_id").as("b"),
+      col("qv").as("qb"), col("p").as("pb"))
+    a.join(b, "a")
+      .select(col("a"), col("b"),
+        sq(col("qa"), col("qb")).as("d2_orig"),
+        sq(col("pa"), col("pb")).as("d2_proj"))
+      .filter(col("d2_orig") > 0)
+      .withColumn("ratio", col("d2_proj").cast("double") /
+        (lit(m.toDouble) * col("d2_orig").cast("double")))
+  }
 }

@@ -158,6 +158,18 @@ class Round9InvariantSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q_embed_rp: JL ratios concentrate near 1 on the fixture") {
+    val ratios = run("q_embed_rp").collect().map(_.getDouble(4))
+    assert(ratios.nonEmpty)
+    ratios.foreach(r => assert(r > 0.0))
+    // ±1 JL with m = 16: individual pairs wander, but the mean ratio
+    // over hundreds of pairs must sit near 1 — a sign-matrix or
+    // normalization bug shifts it far outside this band.
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"mean JL ratio $mean")
+    spark.catalog.clearCache()
+  }
+
   test("q_spearman: histogram-path rho equals a window-rank " +
       "recomputation; rho in [-1, 1]") {
     val row = run("q_spearman").head
