@@ -1634,6 +1634,19 @@ object SparkEntry {
         CurationOps.bm25TopK(docs, Bm25Queries, 20),
         CurationOps.termCountTopK(docs, Bm25Queries, 20), 10)
     }),
+    // Streaming retrieval serving against the persisted BM25 index:
+    // query micro-batches served inside foreachBatch (term-pruned
+    // artifact probes); stateless, so streaming ≡ one-pass batch
+    // scoring — which is what the oracle pins.
+    "q_stream_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = tmpPath("graft_bm25_sidx", d)
+      CurationOps.writeBm25Index(docs, path)
+      import s.implicits._
+      graft.streaming.StreamOps.bm25ServeReplay(
+        Bm25StreamQueries.toDF("q_id", "qtext"), path,
+        tmpPath("graft_bm25_stage", d), Seq(11L))
+    }),
     // Persisted BM25 index round trip: write the four index tables for
     // the corpus snapshot, then serve top-k from the ARTIFACT — the
     // corpus is never re-read; postings/termdf scans prune to the
@@ -3827,6 +3840,13 @@ object SparkEntry {
     (1L, "stream batch window"), (2L, "filter the table"),
     (3L, "vector scan"), (4L, "merge join order"), (5L, "big data row"))
 
+  /** Two-micro-batch query workload for the streaming serve replay:
+    * [[Bm25Queries]] in batch 1, [[Bm25QueriesB]] (ids shifted +10 so
+    * the sets stay disjoint) in batch 2.
+    */
+  private val Bm25StreamQueries: Seq[(Long, String)] =
+    Bm25Queries ++ Bm25QueriesB.map { case (id, q) => (id + 10L, q) }
+
   /** Registers the named fixture tables as temp views and runs one
     * shared SQL text — the front-door pattern every q_sql_* entry uses.
     */
@@ -5080,6 +5100,7 @@ object SparkEntry {
     "q_inverted_index" -> OracleSql.invertedIndexSql(20),
     "q_rank_bm25" -> OracleSql.bm25Sql(Bm25Queries, 10),
     "q_bm25_persist" -> OracleSql.bm25Sql(Bm25QueriesB, 10),
+    "q_stream_bm25" -> OracleSql.bm25Sql(Bm25StreamQueries, 10),
     "q_bm25_incr" -> OracleSql.bm25IncrSql(Bm25QueriesB, 10),
     "q_rrf_fusion" -> OracleSql.rrfSql(Bm25Queries, 20, 10),
     "q_profile" -> OracleSql.profileSql("lineitem", Seq(

@@ -754,6 +754,48 @@ object StreamOps {
       throw new IllegalStateException("no micro-batch fired"))
   }
 
+  /** Streaming retrieval serving against the PERSISTED BM25 index —
+    * the query-side production loop completing the
+    * streaming-against-artifact family (classifier scoring, dedup
+    * ingest, embed ingest): query micro-batches arrive on the stream,
+    * each batch's (q_id, qtext) rows are collected to the driver (a
+    * query workload is human-issued and driver-scale BY NATURE — tens
+    * of rows, never corpus-shaped; the sanctioned-collect contract)
+    * and served with CurationOps.bm25TopKIndexed, whose postings scan
+    * prunes to the batch's term set via IN pushdown. Stateless
+    * serving, so streaming ≡ batch — the oracle scores the full query
+    * set in one pass; the replay proves the serve path composes with
+    * the micro-batch harness without result loss or duplication.
+    */
+  def bm25ServeReplay(queries: DataFrame, indexPath: String,
+                      stagingDir: String,
+                      boundaries: Seq[Long]): DataFrame = {
+    val spark = queries.sparkSession
+    stageSlices(queries, stagingDir, "q_id", boundaries)
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    val results = new java.util.concurrent.atomic.AtomicReference(
+      Option.empty[DataFrame])
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qs = batch.select("q_id", "qtext").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        if (qs.nonEmpty) {
+          val v = graft.ops.CurationOps
+            .bm25TopKIndexed(spark, indexPath, qs)
+            .localCheckpoint(true)
+          results.set(Some(results.get().fold(v)(_.union(v))))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    results.get().getOrElse(
+      throw new IllegalStateException("no micro-batch fired"))
+  }
+
   /** The shared judge-then-append ingest loop behind
     * [[indexIngestReplay]] and [[embedIndexIngestReplay]]: stage
     * arrivals into `idCol`-range slice files cut at `boundaries`
