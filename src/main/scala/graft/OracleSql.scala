@@ -2631,6 +2631,28 @@ object OracleSql {
     * unique framing), word 8-grams hashed with the shared portable
     * formula, df ≥ 2 marks, gaps-and-islands longest run.
     */
+  /** Novelty twin — DedupOps.noveltyStats over the dup corpus: same
+    * distinct-8-gram derivation, first occurrence by min doc_id.
+    */
+  def noveltySql: String =
+    s"""WITH $corpusCte,
+        words AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '$Ws'), x -> x <> '') AS w
+          FROM corpus WHERE text IS NOT NULL),
+        g AS (SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(w) - 6),
+              j -> ${hash60("array_to_string(list_slice(w, j, j + 7), ' ')")}))
+              AS sh
+          FROM words WHERE len(w) >= 8),
+        f AS (SELECT sh, min(doc_id) AS first_doc FROM g GROUP BY sh)
+        SELECT g.doc_id, count(*) AS n_distinct,
+               CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel,
+               CAST((CAST(sum(CASE WHEN f.first_doc = g.doc_id
+                   THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*)
+                 AS BIGINT) AS novelty_ppm
+        FROM g JOIN f USING (sh) GROUP BY g.doc_id"""
+
   def dedupSubstringSql: String =
     s"""WITH qdocs AS (SELECT doc_id, text FROM documents
                        WHERE text IS NOT NULL),

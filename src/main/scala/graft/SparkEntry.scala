@@ -813,6 +813,23 @@ object SparkEntry {
       GraphOps.linkPredict(
         GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod),
         LinkPredictK)),
+    // Incremental PageRank vs a PERSISTED rank vector: rank the base
+    // edge subset (lines 1-4) with the full 10-round budget, persist
+    // the vector, then re-rank the GROWN edge set (all lines) with 3
+    // warm-started rounds — the nightly-append shape; new nodes start
+    // at the cold init. Oracle unrolls base+warm rounds exactly.
+    "q_pagerank_incr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val path = tmpPath("graft_prwarm", d)
+      GraphOps.pageRankFixed(
+          GraphOps.edgesFromLineitem(
+            li.filter(col("l_linenumber") <= 4), PrMod), PrIters)
+        .select("node", "rank_fp")
+        .write.mode("overwrite").parquet(path)
+      GraphOps.pageRankWarmStart(
+        GraphOps.edgesFromLineitem(li, PrMod),
+        s.read.parquet(path), PrWarmIters)
+    }),
     // Convergence-driven variant (driver-side scalar L1 stop). Iteration
     // count is data-dependent → no SQL oracle; driver records a
     // rows-only check per the contract.
@@ -1091,6 +1108,11 @@ object SparkEntry {
       DedupOps.simhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
     "q_dedup_ngram" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
+    // Per-doc novelty (marginal contribution) over the dup corpus:
+    // distinct 8-grams first seen in this doc, ppm — full copies (+1M
+    // slice) score 0, the id-order-first originals score high.
+    "q_novelty" -> ((s, d) =>
+      DedupOps.noveltyStats(DedupOps.dupCorpus(Tables.documents(s, d)))),
     // Near-dup CLUSTERS from near-dup PAIRS: connected components (min-
     // label propagation, driver-scalar convergence) over the MinHash LSH
     // pairs — each doc maps to its cluster's minimum id, the canonical
@@ -3520,6 +3542,9 @@ object SparkEntry {
   private val PprSeedMod = 10
   private val LinkPredictK = 100
 
+  /** q_pagerank_incr warm-start round budget (shared by oracle). */
+  private val PrWarmIters = 3
+
   /** q_triangle graph modulus (shared by query + oracle) — sparser than
     * PageRank's so triangle counts stay realistic, not cubic-degenerate.
     */
@@ -4236,6 +4261,54 @@ object SparkEntry {
         FROM nonadj n JOIN deg da ON da.a = n.a JOIN deg db ON db.a = n.b
         ORDER BY n.cn DESC, jacc_ppm DESC, n.a, n.b LIMIT $k"""
 
+  /** Warm-start incremental-PageRank oracle: `baseIters` unrolled
+    * rounds over the line-1..4 edge subset, then `warmIters` rounds
+    * over the FULL edge set initialized from the base result (new
+    * nodes at the cold init) — GraphOps.pageRankWarmStart
+    * term-for-term.
+    */
+  private def pageRankIncrOracle(baseIters: Int, warmIters: Int,
+                                 mod: Int): String = {
+    def round(name: String, prev: String, e: String, n: String,
+              o: String): String =
+      s"""$name AS (
+           SELECT n.node,
+                  CAST(150000000000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS rank_fp
+           FROM $n n LEFT JOIN (
+             SELECT e.dst, CAST(SUM(r.rank_fp // o.deg) AS BIGINT) AS c
+             FROM $e e
+             JOIN $prev r ON r.node = e.src
+             JOIN $o o ON o.src = e.src
+             GROUP BY e.dst) s ON s.dst = n.node)"""
+    val baseCtes = (1 to baseIters)
+      .map(i => round(s"r$i", s"r${i - 1}", "ebase", "nodes0", "outdeg0"))
+      .mkString(",\n")
+    val warmCtes = (1 to warmIters)
+      .map(i => round(s"s$i", s"s${i - 1}", "eall", "nodesa", "outdega"))
+      .mkString(",\n")
+    s"""WITH ebase AS (
+          SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+          FROM lineitem
+          WHERE l_linenumber <= 4 AND l_orderkey % $mod <> l_partkey % $mod),
+        nodes0 AS (SELECT src AS node FROM ebase UNION SELECT dst FROM ebase),
+        outdeg0 AS (SELECT src, count(*) AS deg FROM ebase GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank_fp
+               FROM nodes0),
+        $baseCtes,
+        eall AS (
+          SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
+          FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
+        nodesa AS (SELECT src AS node FROM eall UNION SELECT dst FROM eall),
+        outdega AS (SELECT src, count(*) AS deg FROM eall GROUP BY src),
+        s0 AS (SELECT n.node,
+                 CAST(COALESCE(r.rank_fp, 1000000000000) AS BIGINT)
+                   AS rank_fp
+               FROM nodesa n LEFT JOIN r$baseIters r ON r.node = n.node),
+        $warmCtes
+        SELECT node, rank_fp, CAST(rank_fp AS DOUBLE) / 1e12 AS rank
+        FROM s$warmIters"""
+  }
+
   /** Label-propagation oracle: `rounds` unrolled synchronous LPA steps
     * over the mod-`mod` graph. Each round counts the closed-
     * neighborhood label multiset (neighbor labels arriving over the
@@ -4871,6 +4944,7 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
     "q_pagerank" -> pageRankOracle(PrIters, PrMod),
     "q_hits" -> hitsOracle(HitsIters, PrMod),
+    "q_pagerank_incr" -> pageRankIncrOracle(PrIters, PrWarmIters, PrMod),
     "q_ppr" -> pprOracle(PrIters, PrMod, PprSeedMod),
     "q_link_predict" -> linkPredictOracle(TriMod, LinkPredictK),
     "q_pagerank_weighted" -> pageRankWeightedOracle(PrwIters, TriMod),
@@ -5126,6 +5200,7 @@ object SparkEntry {
     "q_stream_dedup_index" -> OracleSql.dedupStreamIngestSql,
     "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
     "q_dedup_ngram" -> OracleSql.dedupNgramSql,
+    "q_novelty" -> OracleSql.noveltySql,
     "q_minhash_udaf" -> OracleSql.minhashUdafSql,
     "q_dedup_cluster" -> OracleSql.dedupClusterSql,
     "q_scrub" -> OracleSql.scrubSql,

@@ -733,6 +733,31 @@ object DedupOps {
     dupSpanTail(grams, df)
   }
 
+  /** Per-document NOVELTY scoring — the marginal-contribution signal
+    * data-curation loops rank ingest candidates by: a doc's distinct
+    * word k-grams are "novel" iff no LOWER-id document contains them
+    * (first occurrence under the deterministic doc_id total order —
+    * the ingestion-order proxy). Output per doc (≥ k words): distinct
+    * gram count, novel count, novelty ppm. A full-copy doc scores 0;
+    * the corpus's first doc scores 10^6. Two keyed exchanges: the
+    * gram-keyed min-doc aggregate (the join back is co-partitioned on
+    * the same key) and the doc-keyed rollup; text never ships — grams
+    * ride as native 60-bit hashes.
+    */
+  def noveltyStats(corpus: DataFrame, k: Int = 8): DataFrame = {
+    val grams = corpus.filter(col("text").isNotNull).select(col("doc_id"),
+        explode(graft.functions.KGramHash60(col("text"), k)).as("sh"))
+      .distinct()
+    val firsts = grams.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    grams.join(firsts, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_distinct"), col("n_novel"),
+        expr("n_novel * 1000000 div n_distinct").as("novelty_ppm"))
+  }
+
   /** (doc_id, pos, sh) word k-gram position rows (native hasher). */
   private def gramPositions(corpus: DataFrame, k: Int): DataFrame =
     corpus.filter(col("text").isNotNull).select(col("doc_id"),

@@ -541,6 +541,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === model(6))
   }
 
+  test("pageRankWarmStart: resuming from a persisted vector equals " +
+      "one longer cold run") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+      .toDF("src", "dst")
+    val prior = GraphOps.pageRankFixed(edges, 7).select("node", "rank_fp")
+    val warm = GraphOps.pageRankWarmStart(edges, prior, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = GraphOps.pageRankFixed(edges, 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm === cold)
+    // a node absent from the prior starts at the cold init
+    val grown = edges.union(Seq((5L, 3L)).toDF("src", "dst"))
+    val w2 = GraphOps.pageRankWarmStart(grown, prior, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 5 has no in-links: after one round it holds the damping base
+    assert(w2(5L) === 150000000000L)
+  }
+
+  test("noveltyStats: first occurrence by id order, copies score 0") {
+    import graft.ops.DedupOps
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),   // 2 grams, both novel
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),   // full copy -> 0
+      // shares gram a1..a8 with doc 1, adds one new gram b
+      (3L, "b0 a1 a2 a3 a4 a5 a6 a7 a8"),
+      (4L, "x1 x2")                          // < 8 words -> absent
+    ).toDF("doc_id", "text")
+    val got = DedupOps.noveltyStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((2L, 2L, 1000000L)))
+    assert(got(2L) === ((2L, 0L, 0L)))
+    assert(got(3L) === ((2L, 1L, 500000L)))
+    assert(!got.contains(4L))
+  }
+
   test("linkPredict: cycle diagonals found with exact Jaccard, " +
       "adjacent pairs excluded") {
     // 4-cycle 1-2-3-4-1: only non-adjacent pairs are the diagonals.
