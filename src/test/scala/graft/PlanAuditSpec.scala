@@ -449,6 +449,44 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial aggregation in gram df:\n$p")
   }
 
+  test("gopher and c4 quality filters are shuffle-free expression work") {
+    assert(!planOf("q_gopher_rules").toLowerCase.contains("exchange"))
+    assert(!planOf("q_c4_filter").toLowerCase.contains("exchange"))
+  }
+
+  test("served BM25 prunes the postings scan to the query's term set " +
+      "(IN pushdown at the parquet reader)") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25audit").toString
+    graft.ops.CurationOps.writeBm25Index(docs, path)
+    val p = graft.ops.CurationOps.bm25TopKIndexed(spark, path,
+      Seq((1L, "hash join"))).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(w, [hash,join]")
+        || p.contains("PushedFilters: [In(w, [join,hash]"),
+      s"postings scan not term-pruned:\n$p")
+  }
+
+  test("random projection is map-only up to the audit pair join " +
+      "(sign matrix as literals — no matrix join, one keyed exchange)") {
+    val p = physicalOf("q_embed_rp")
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // at most the two audit-join sides shuffle (keyed on the pair id);
+    // the projection itself adds no exchange
+    assert(exchanges.length <= 2, s"unexpected exchanges:\n$p")
+    assert(!p.toString.toLowerCase.contains("cartesianproduct"))
+    assert(!p.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("link prediction wedge join is keyed (no cartesian, no " +
+      "nested-loop fallback)") {
+    val p = planOf("q_link_predict")
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("approx profiler plans no Expand (exact-NDV twin does)") {
     // Exact multi-countDistinct forces one Expand multiplying scan rows
     // ×(N+1) — the ANALYZE killer at 100 TB. The HLL++ twin must plan a
