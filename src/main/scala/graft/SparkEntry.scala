@@ -3444,6 +3444,38 @@ object SparkEntry {
                   CAST(n * (n - 1) div 2 - n2 AS DOUBLE)) AS tau""")
     }),
 
+    // Kaplan-Meier risk table (activity survival): subject = one
+    // (user, event_type) activity stream; duration = days between its
+    // first and last event; censored iff still active in the final
+    // 7-day horizon (per-user-only durations degenerate on this
+    // fixture — everyone spans the window — while per-type streams
+    // churn for real). Per duration t: at-risk count (reverse
+    // cumulative over the ≤ window-days domain), events, censored,
+    // exact hazard ppm — the KM estimator's (d_t, n_t) table with the
+    // survival product left to the consumer (a float Π is
+    // engine-order-hazardous; the table is the lossless form). One
+    // subject-keyed exchange + one tiny duration rollup.
+    "q_survival" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val users = ev.groupBy("user_id", "event_type").agg(
+        min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"))
+      val mx = ev.agg(max(to_date(col("ts"))).as("max_day"))
+      val byT = users.crossJoin(broadcast(mx))
+        .select(
+          datediff(col("last_day"), col("first_day")).cast("long").as("t"),
+          (datediff(col("max_day"), col("last_day")) >= 7).cast("long")
+            .as("observed"))
+        .groupBy("t").agg(count(lit(1)).as("n_t"),
+          sum("observed").as("d_events"))
+      val wRisk = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byT.withColumn("n_risk", sum("n_t").over(wRisk))
+        .select(col("t"), col("n_risk"), col("d_events"),
+          (col("n_t") - col("d_events")).as("n_censored"),
+          expr("d_events * 1000000 div n_risk").as("hazard_ppm"))
+    }),
+
     // Spearman rank correlation — exact with average-rank tie handling,
     // via the q_kendall domain-compression discipline: the joint
     // (l_quantity ≤50 × l_linenumber ≤7) histogram is the only
@@ -6644,6 +6676,27 @@ object SparkEntry {
                 sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE) *
                      CAST(n * (n - 1) // 2 - n2 AS DOUBLE)) AS tau
          FROM pq, nx, ny, nn""",
+    "q_survival" ->
+      """WITH u AS (SELECT user_id, event_type,
+              CAST(date_diff('day', min(CAST(ts AS DATE)),
+                max(CAST(ts AS DATE))) AS BIGINT) AS t,
+              max(CAST(ts AS DATE)) AS last_day
+            FROM events GROUP BY user_id, event_type),
+          mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+          bt AS (SELECT t, count(*) AS n_t,
+              CAST(sum(CASE WHEN date_diff('day', last_day, max_day) >= 7
+                THEN 1 ELSE 0 END) AS BIGINT) AS d_events
+            FROM u, mx GROUP BY t)
+         SELECT t,
+                CAST(sum(n_t) OVER (ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk,
+                d_events,
+                CAST(n_t - d_events AS BIGINT) AS n_censored,
+                CAST((d_events * 1000000) // (sum(n_t) OVER (ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  AS BIGINT) AS hazard_ppm
+         FROM bt""",
     "q_spearman" ->
       """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS x,
                 CAST(l_linenumber AS BIGINT) AS y, count(*) AS c

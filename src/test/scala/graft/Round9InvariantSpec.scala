@@ -158,6 +158,30 @@ class Round9InvariantSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q_survival: KM accounting identities hold") {
+    val rows = run("q_survival").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // n_risk is the reverse cumulative of (d + c): strictly decreasing
+    // down the table, and each step removes exactly that t's subjects
+    rows.sliding(2).filter(_.length == 2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(a._2 === b._2 + a._3 + a._4,
+        s"risk-set step broken at t=${a._1}")
+    }
+    // largest duration: everyone remaining leaves here
+    val last = rows.last
+    assert(last._2 === last._3 + last._4)
+    // total subjects = distinct (user, type) streams
+    val subjects = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    assert(rows.head._2 === subjects)
+    rows.foreach { r =>
+      assert(r._5 === r._3 * 1000000L / r._2, s"hazard at t=${r._1}") }
+    spark.catalog.clearCache()
+  }
+
   test("q_embed_rp: JL ratios concentrate near 1 on the fixture") {
     val ratios = run("q_embed_rp").collect().map(_.getDouble(4))
     assert(ratios.nonEmpty)
