@@ -1993,6 +1993,11 @@ object SparkEntry {
     // integer arithmetic.
     "q_audio_frames" -> ((s, d) =>
       MultimodalOps.audioFrameFeatures(Tables.documents(s, d))),
+    // Integer linear-interpolation resample (8 kHz → 3 kHz): exact
+    // ×3-scaled interpolants from the real WAV decode; sum/weighted-sum
+    // checksums pin every value and position. Zero exchange.
+    "q_audio_resample" -> ((s, d) =>
+      MultimodalOps.audioResample(Tables.documents(s, d))),
     // Real CONTAINER-level video demux (ISO BMFF box walk + sample
     // tables): frames extracted at stco/stsc/stsz-derived offsets, byte
     // sums over the extracted slices — a mis-parsed offset breaks the
@@ -5742,6 +5747,24 @@ object SparkEntry {
                 CAST(SUM(1 + doc_id % 16) AS BIGINT) AS sum_width,
                 CAST(SUM(1 + (doc_id // 16) % 16) AS BIGINT) AS sum_height
          FROM documents""",
+    "q_audio_resample" ->
+      """WITH p AS (SELECT doc_id AS asset_id,
+              CAST(64 + doc_id % 128 AS BIGINT) AS n FROM documents),
+          kk AS (SELECT asset_id, n, k.range AS k,
+              (8 * k.range) // 3 AS i, (8 * k.range) % 3 AS r
+            FROM p, range(0, 256) k WHERE 8 * k.range <= 3 * n - 4),
+          v AS (SELECT asset_id, n, k,
+              (3 - r) * (((asset_id * 31 + 17 * i) % 65536) - 32768)
+              + r * (((asset_id * 31 + 17 * (i + 1)) % 65536) - 32768)
+                AS out3
+            FROM kk)
+         SELECT asset_id, CAST(max(n) AS BIGINT) AS n_in,
+                count(*) AS n_out,
+                CAST(sum(out3) AS BIGINT) AS sum3,
+                CAST(sum(out3 * (k + 1)) AS BIGINT) AS wsum3,
+                CAST(min(out3) AS BIGINT) AS min3,
+                CAST(max(out3) AS BIGINT) AS max3
+         FROM v GROUP BY asset_id""",
     "q_multimodal_wav" ->
       // Grouped by a synthetic row key, not doc_id: the Spark side decodes
       // one asset per input ROW, so the oracle must too (grouping by

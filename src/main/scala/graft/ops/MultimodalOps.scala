@@ -639,6 +639,51 @@ object MultimodalOps {
     * arithmetic — proof the decode + framing ran, not header math.
     * Map-side decode, one aggregation exchange.
     */
+  /** Integer linear-interpolation audio RESAMPLE (8 kHz → 3 kHz, the
+    * ratio expressed as num/den = 8/3): output sample k sits at source
+    * position (k·num)/den, so with i = (8k) div 3 and r = (8k) mod 3
+    * the interpolated value ×den is EXACTLY
+    * out3 = (3−r)·s(i) + r·s(i+1) — all int64, no float resampler, so
+    * the DuckDB oracle regenerates the identical values closed-form.
+    * Output per asset: input/output lengths and the sum / k-weighted
+    * sum / min / max of the ×3-scaled resampled signal (the weighted
+    * sum pins every value AND its position). Emission stops at the
+    * last k whose right neighbor exists (i ≤ n−2) — the standard
+    * drop-the-tail contract. Real WAV container decode inside one
+    * mapPartitions; zero exchange.
+    */
+  def audioResample(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(syntheticWav(id)))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"asset $id: unexpected wav format $fmt")
+        val n = ais.getFrameLength.toInt
+        val bytes = ais.readAllBytes()
+        require(bytes.length == n * 2, s"asset $id: short read")
+        def s(i: Int): Long =
+          ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong
+        var k = 0L
+        var (sum3, wsum3) = (0L, 0L)
+        var (min3, max3) = (Long.MaxValue, Long.MinValue)
+        var i = 0L
+        while ({ i = (8L * k) / 3; i <= n - 2 }) {
+          val r = (8L * k) % 3
+          val out3 = (3 - r) * s(i.toInt) + r * s(i.toInt + 1)
+          sum3 += out3; wsum3 += out3 * (k + 1)
+          if (out3 < min3) min3 = out3
+          if (out3 > max3) max3 = out3
+          k += 1
+        }
+        (id, n.toLong, k, sum3, wsum3, min3, max3)
+      })
+      .toDF("asset_id", "n_in", "n_out", "sum3", "wsum3", "min3", "max3")
+  }
+
   def audioFrameFeatures(docs: DataFrame, frameLen: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
