@@ -2653,6 +2653,53 @@ object OracleSql {
                  AS BIGINT) AS novelty_ppm
         FROM g JOIN f USING (sh) GROUP BY g.doc_id"""
 
+  /** Containment twin — DedupOps.containmentPairs over the quote
+    * corpus: same distinct-8-gram sets, df ≤ 100 rare filter, exact
+    * two-direction containment ppm.
+    */
+  def dedupContainmentSql: String =
+    s"""WITH qdocs AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL),
+        qw AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '$Ws'), x -> x <> '')
+                   AS w
+               FROM qdocs),
+        corpus2 AS (
+          SELECT doc_id, text FROM qdocs
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 'quoteopen' || CAST(doc_id AS VARCHAR) ||
+                 ' begins here now ' ||
+                 array_to_string(list_slice(w, 3, 14), ' ') ||
+                 ' quoteclose' || CAST(doc_id AS VARCHAR) AS text
+          FROM qw WHERE doc_id % 3 = 0),
+        words AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '$Ws'),
+                                x -> x <> '') AS w
+                  FROM corpus2),
+        g AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(w) - 6),
+                  j -> ${hash60("array_to_string(list_slice(w, j, j + 7), ' ')")}))
+                  AS sh
+              FROM words WHERE len(w) >= 8),
+        rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM g
+                                 GROUP BY sh) WHERE c <= 100),
+        gr AS (SELECT g.doc_id, g.sh,
+                 count(*) OVER (PARTITION BY g.doc_id) AS n
+               FROM g JOIN rare USING (sh)),
+        p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                CAST(x.n AS BIGINT) AS na, CAST(y.n AS BIGINT) AS nb,
+                count(*) AS inter
+              FROM gr x JOIN gr y
+                ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, inter, na, nb,
+               CAST((inter * 1000000) // na AS BIGINT) AS cont_a_ppm,
+               CAST((inter * 1000000) // nb AS BIGINT) AS cont_b_ppm
+        FROM p
+        WHERE greatest((inter * 1000000) // na,
+                       (inter * 1000000) // nb) >= 300000"""
+
   def dedupSubstringSql: String =
     s"""WITH qdocs AS (SELECT doc_id, text FROM documents
                        WHERE text IS NOT NULL),

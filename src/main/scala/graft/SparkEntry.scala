@@ -1475,6 +1475,12 @@ object SparkEntry {
     "q_dedup_substring" -> ((s, d) =>
       DedupOps.substringDupStats(
         DedupOps.quoteCorpus(Tables.documents(s, d)))),
+    // Containment (asymmetric Jaccard) quote detection over the same
+    // planted-quote corpus: the +1M quoting twins share ~half of THEIR
+    // rare grams with the original while symmetric Jaccard stays low.
+    "q_dedup_containment" -> ((s, d) =>
+      DedupOps.containmentPairs(
+        DedupOps.quoteCorpus(Tables.documents(s, d)))),
     // Train-then-apply linear quality classifier (fastText shape):
     // smoothed ppm class-probability-difference token weights, int64
     // doc sums, training-set confusion rollup. Log-free by design so
@@ -5238,6 +5244,7 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
     "q_dedup_ngram" -> OracleSql.dedupNgramSql,
     "q_novelty" -> OracleSql.noveltySql,
+    "q_dedup_containment" -> OracleSql.dedupContainmentSql,
     "q_minhash_udaf" -> OracleSql.minhashUdafSql,
     "q_dedup_cluster" -> OracleSql.dedupClusterSql,
     "q_scrub" -> OracleSql.scrubSql,

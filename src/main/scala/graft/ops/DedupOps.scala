@@ -733,6 +733,42 @@ object DedupOps {
     dupSpanTail(grams, df)
   }
 
+  /** CONTAINMENT near-dup pairs (asymmetric Jaccard) — the quote
+    * detector symmetric Jaccard is blind to: a 12-word quote inside a
+    * 60-word original shares ~all of ITS grams but a small fraction of
+    * the original's, so inter/|A∪B| stays low while inter/|quote| is
+    * high. Same inverted-index shape as [[ngramJaccardPairs]]: word
+    * k-gram sets (distinct, as native hashes), candidates only from
+    * grams with df ≤ `maxDf` (ubiquitous grams carry no quote signal —
+    * the cap is also what keeps the inverted self-join linear-ish at
+    * corpus scale), per-doc set sizes riding via a window so both join
+    * branches stay identical (one exchange, reused). Containment is
+    * computed over the rare-gram sets, both directions, exact ppm;
+    * pairs kept when either direction ≥ `minContPpm`.
+    */
+  def containmentPairs(corpus: DataFrame, k: Int = 8, maxDf: Int = 100,
+                       minContPpm: Long = 300000L): DataFrame = {
+    val s = corpus.filter(col("text").isNotNull).select(col("doc_id"),
+        explode(graft.functions.KGramHash60(col("text"), k)).as("sh"))
+      .distinct()
+    val rare = s.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val srn = s.join(rare, "sh").withColumn("n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")))
+    srn.as("x").join(srn.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+        col("nb"),
+        expr("inter * 1000000 div na").as("cont_a_ppm"),
+        expr("inter * 1000000 div nb").as("cont_b_ppm"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm"))
+        >= minContPpm)
+  }
+
   /** Per-document NOVELTY scoring — the marginal-contribution signal
     * data-curation loops rank ingest candidates by: a doc's distinct
     * word k-grams are "novel" iff no LOWER-id document contains them

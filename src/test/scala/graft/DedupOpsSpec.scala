@@ -4,6 +4,27 @@ import org.apache.spark.sql.functions._
 import graft.ops.DedupOps
 
 class DedupOpsSpec extends SparkSpec {
+
+  test("containmentPairs: quote-in-document caught asymmetrically, " +
+      "disjoint docs silent") {
+    import spark.implicits._
+    val docs = Seq(
+      // original: 16 words -> 9 grams
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"),
+      // quote doc: 10 words = q1 q2 + w3..w10 -> 3 grams, 1 of which
+      // (w3..w10) is inside the original
+      (2L, "q1 q2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")  // disjoint
+    ).toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // inter=1, na=9, nb=3: cont_b = 333333 >= threshold; cont_a low
+    assert(got((1L, 2L)) === ((1L, 9L, 3L, 111111L, 333333L)))
+    assert(got.size === 1)
+  }
+
   import spark.implicits._
 
   private def tinyDocs = Seq(
