@@ -811,8 +811,8 @@ object SparkEntry {
     // top-100 under a deterministic total order.
     "q_link_predict" -> ((s, d) =>
       GraphOps.linkPredict(
-        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod),
-        LinkPredictK)),
+        GraphOps.edgesFromLineitem(Tables.lineitem(s, d), LpMod),
+        LinkPredictK, LpNbrCap)),
     // Incremental PageRank vs a PERSISTED rank vector: rank the base
     // edge subset (lines 1-4) with the full 10-round budget, persist
     // the vector, then re-rank the GROWN edge set (all lines) with 3
@@ -3588,6 +3588,13 @@ object SparkEntry {
   /** q_pagerank_incr warm-start round budget (shared by oracle). */
   private val PrWarmIters = 3
 
+  /** q_link_predict graph modulus — sparser than even TriMod: the
+    * wedge-join cost is Σ deg², so the fixture keeps mean degree ~24
+    * at sf0.1 (the q_triangle sparsity rationale, one notch further).
+    */
+  private val LpMod = 49999
+  private val LpNbrCap = 256L
+
   /** q_triangle graph modulus (shared by query + oracle) — sparser than
     * PageRank's so triangle counts stay realistic, not cubic-degenerate.
     */
@@ -4285,18 +4292,21 @@ object SparkEntry {
     * pairs, drop adjacent ones, exact Jaccard ppm, deterministic
     * top-k (GraphOps.linkPredict term-for-term).
     */
-  private def linkPredictOracle(mod: Int, k: Int): String =
+  private def linkPredictOracle(mod: Int, k: Int, cap: Long): String =
     s"""WITH edges AS (
           SELECT DISTINCT l_orderkey % $mod AS src, l_partkey % $mod AS dst
           FROM lineitem WHERE l_orderkey % $mod <> l_partkey % $mod),
-        und AS (SELECT src AS a, dst AS b FROM edges
-                UNION SELECT dst, src FROM edges),
+        undall AS (SELECT src AS a, dst AS b FROM edges
+                   UNION SELECT dst, src FROM edges),
+        fd AS (SELECT b, count(*) AS bdeg FROM undall GROUP BY b),
+        und AS (SELECT u.a, u.b FROM undall u
+                JOIN fd ON fd.b = u.b AND fd.bdeg <= $cap),
         deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
         cand AS (SELECT x.a AS a, y.a AS b, count(*) AS cn
                  FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
                  GROUP BY 1, 2),
         nonadj AS (SELECT c.a, c.b, c.cn FROM cand c
-                   LEFT JOIN und u ON u.a = c.a AND u.b = c.b
+                   LEFT JOIN undall u ON u.a = c.a AND u.b = c.b
                    WHERE u.a IS NULL)
         SELECT n.a, n.b, n.cn,
                CAST((1000000 * n.cn) // (da.deg + db.deg - n.cn) AS BIGINT)
@@ -4989,7 +4999,7 @@ object SparkEntry {
     "q_hits" -> hitsOracle(HitsIters, PrMod),
     "q_pagerank_incr" -> pageRankIncrOracle(PrIters, PrWarmIters, PrMod),
     "q_ppr" -> pprOracle(PrIters, PrMod, PprSeedMod),
-    "q_link_predict" -> linkPredictOracle(TriMod, LinkPredictK),
+    "q_link_predict" -> linkPredictOracle(LpMod, LinkPredictK, LpNbrCap),
     "q_pagerank_weighted" -> pageRankWeightedOracle(PrwIters, TriMod),
     "q_communities" -> lpaOracle(LpaRounds, TriMod),
     "q_communities_weighted" -> wlpaOracle(WlpaRounds, TriMod),

@@ -1017,17 +1017,27 @@ object GraphOps {
     * fixture q_triangle uses. TakeOrderedAndProject caps the result
     * driver-side at k rows.
     */
-  def linkPredict(edges: DataFrame, k: Int): DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+  def linkPredict(edges: DataFrame, k: Int,
+                  maxNbrDeg: Long = 256L): DataFrame = {
+    val undAll = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .filter(col("a") =!= col("b")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Hub cap — the supernode guard every production common-neighbor
+    // job carries: neighbor SETS are restricted to members of degree
+    // ≤ maxNbrDeg (a shared hub connects everything to everything and
+    // carries no signal, while contributing deg² wedges — the skew
+    // that kills the join at scale). Degrees, wedges, and Jaccard all
+    // run on the pruned sets, so the semantics stay coherent:
+    // "similarity of non-hub neighborhoods".
+    val fullDeg = undAll.groupBy("b").agg(count(lit(1)).as("bdeg"))
+    val und = undAll.join(fullDeg.filter(col("bdeg") <= maxNbrDeg), "b")
+      .select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
     val w1 = und.select(col("a"), col("b").as("w"))
     val w2 = und.select(col("a").as("b2"), col("b").as("w2"))
     val cand = w1.join(w2, col("w") === col("w2") && col("a") < col("b2"))
       .groupBy(col("a"), col("b2").as("b")).agg(count(lit(1)).as("cn"))
-      .join(und.select(col("a"), col("b"), lit(1).as("adj")),
+      .join(undAll.select(col("a"), col("b"), lit(1).as("adj")),
         Seq("a", "b"), "left_anti")
     cand
       .join(deg.withColumnsRenamed(Map("a" -> "a", "deg" -> "dega")), "a")

@@ -589,4 +589,15 @@ class GraphOpsSpec extends SparkSpec {
     assert(got === Map((1L, 3L) -> ((2L, 1000000L)),
       (2L, 4L) -> ((2L, 1000000L))))
   }
+
+  test("linkPredict hub cap: wedges through a supernode are pruned") {
+    // star: hub 9 -> leaves 1..5 (hub degree 5)
+    val star = (1L to 5L).map(l => (9L, l)).toDF("src", "dst")
+    // cap admits the hub: every leaf pair shares it (cn = 1)
+    val open = GraphOps.linkPredict(star, 100, maxNbrDeg = 5L).collect()
+    assert(open.length === 10) // C(5,2) leaf pairs
+    open.foreach(r => assert(r.getLong(2) === 1L))
+    // cap excludes the hub: neighbor sets empty, no candidates at all
+    assert(GraphOps.linkPredict(star, 100, maxNbrDeg = 2L).isEmpty)
+  }
 }
