@@ -2786,6 +2786,32 @@ object OracleSql {
     * trained), applied to the corpus with one appended OOV token per
     * doc via a LEFT join (OOV weight 0, counted).
     */
+  /** Calibration twin — same trained weights, in-sample scoring, rank
+    * deciles under the (score, doc_id) total order.
+    */
+  def calibrationSql: String =
+    s"""WITH $classifierWtsCtes,
+        sc AS (SELECT a.doc_id, a.lang,
+                 CAST(SUM(COALESCE(ww.wt, 0)) AS BIGINT) AS score
+               FROM tk2 a LEFT JOIN wts ww ON a.w = ww.w
+               GROUP BY a.doc_id, a.lang),
+        nn AS (SELECT count(*) AS n_all FROM sc),
+        r AS (SELECT lang, score,
+                row_number() OVER (ORDER BY score, doc_id) AS rn
+              FROM sc),
+        dcl AS (SELECT lang, score, ((rn - 1) * 10) // n_all AS decile
+                FROM r, nn)
+        SELECT decile, count(*) AS n,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_predpos,
+               CAST(min(score) AS BIGINT) AS min_score,
+               CAST(max(score) AS BIGINT) AS max_score,
+               CAST((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 * 1000000) // count(*) AS BIGINT) AS pos_rate_ppm
+        FROM dcl GROUP BY decile"""
+
   def classifierPersistSql: String =
     s"""WITH $classifierWtsCtes,
         adocs AS (SELECT doc_id, lang, text || ' qzjxvw' AS text

@@ -1524,6 +1524,34 @@ object SparkEntry {
       graft.streaming.StreamOps.classifierScoreReplay(
         arrivals, wpath, tmpPath("graft_clf_stage", d), Seq(1000000L))
     }),
+    // Calibration / reliability table for the linear classifier:
+    // rank-deciles of the int64 score (row_number under the total
+    // (score, doc_id) order — deterministic in both engines, unlike
+    // ntile boundary semantics), per-decile observed-positive vs
+    // predicted-positive counts and exact rates. In-sample by design
+    // (the demo set is the training set); a production loop feeds a
+    // held-out slice through the same table. Global rank over the
+    // eval set — calibration sets are sampled/driver-scale by nature.
+    "q_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = tmpPath("graft_clfcal", d)
+      TextStatsOps.trainWriteClassifier(docs, path)
+      val sc = TextStatsOps.scoreWithClassifier(
+          docs.filter(col("text").isNotNull), path)
+        .select("doc_id", "lang", "score")
+      val nAll = sc.agg(count(lit(1)).as("n_all"))
+      val w = Window.orderBy(col("score"), col("doc_id"))
+      sc.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(nAll))
+        .select(col("lang"), col("score"),
+          expr("((rn - 1) * 10) div n_all").as("decile"))
+        .groupBy("decile").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_predpos"),
+          min("score").as("min_score"), max("score").as("max_score"))
+        .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n"))
+    }),
     // Incremental span-level dedup against a persisted gram index: the
     // snapshot's per-gram doc frequencies are written once; arrivals
     // (the quote twins) compute their own gram positions only and
@@ -5290,6 +5318,7 @@ object SparkEntry {
     "q_dedup_substring_incr" -> OracleSql.dedupSubstringIncrSql,
     "q_classifier_apply" -> OracleSql.classifierApplySql,
     "q_classifier_persist" -> OracleSql.classifierPersistSql,
+    "q_calibration" -> OracleSql.calibrationSql,
     "q_stream_classifier" -> OracleSql.classifierStreamSql,
     "q_hard_negatives" -> OracleSql.hardNegativesSql,
     "q_length_buckets" -> OracleSql.lengthBucketsSql,

@@ -158,6 +158,25 @@ class Round9InvariantSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q_calibration: decile accounting and monotone score bands") {
+    val rows = run("q_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L to 9L).toSeq)
+    // decile sizes differ by at most 1; bands tile the score axis
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    rows.sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(0)._6 <= w(1)._5, "score bands overlap out of order") }
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._4 <= r._2)
+      assert(r._7 === r._3 * 1000000L / r._2)
+    }
+    // positive rate rises with score decile overall
+    assert(rows.last._3 * rows.head._2 >= rows.head._3 * rows.last._2)
+    spark.catalog.clearCache()
+  }
+
   test("q_survival: KM accounting identities hold") {
     val rows = run("q_survival").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
