@@ -234,6 +234,51 @@ class EdgeCaseSpec extends SparkSpec {
     assert(EventOps.gapFill(one).count() === 1)
   }
 
+  test("round-9 session ops on empty and degenerate inputs") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val nullDoc = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // curation filters: empty corpora vanish; a null text row is dropped
+    assert(CurationOps.gopherRules(CurationOps.lineWrap(noDocs)).count() === 0)
+    assert(CurationOps.c4LineFilter(CurationOps.lineWrap(nullDoc)).count() === 0)
+    // an empty-text doc must not ANSI-crash the div guards
+    val emptyText = CurationOps.gopherRules(
+      Seq((1L, "page")).toDF("doc_id", "page")
+        .select(col("doc_id"), lit("").as("page"))).head()
+    assert(emptyText.getLong(1) === 0L)
+    // dedup family: empty corpora are silent
+    assert(DedupOps.containmentPairs(noDocs).count() === 0)
+    assert(DedupOps.noveltyStats(noDocs).count() === 0)
+    assert(DedupOps.noveltyStats(nullDoc).count() === 0)
+    // graph ops: empty edge sets yield empty results, no throw
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.hitsFixed(noEdges, 3).count() === 0)
+    assert(GraphOps.personalizedPageRank(noEdges, 3, 2).count() === 0)
+    assert(GraphOps.linkPredict(noEdges, 10).count() === 0)
+    val noPrior = Seq.empty[(Long, Long)].toDF("node", "rank_fp")
+    // warm start with an empty prior == cold start
+    val cold = GraphOps.pageRankFixed(
+      Seq((1L, 2L)).toDF("src", "dst"), 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val warm = GraphOps.pageRankWarmStart(
+      Seq((1L, 2L)).toDF("src", "dst"), noPrior, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm === cold)
+    // retrieval: empty index serve returns empty, not a crash
+    val p = java.nio.file.Files.createTempDirectory("bm25empty").toString
+    CurationOps.writeBm25Index(noDocs, p)
+    assert(CurationOps.bm25TopKIndexed(spark, p,
+      Seq((1L, "hash join"))).count() === 0)
+    // rrf with one empty side degrades to the other list's order
+    val a = Seq((1L, 10L, 1L)).toDF("q_id", "doc_id", "rnk")
+    val b = Seq.empty[(Long, Long, Long)].toDF("q_id", "doc_id", "rnk")
+    val fused = CurationOps.rrfFuse(a, b, 5).head()
+    assert(fused.getLong(1) === 10L && fused.getLong(5) === 1L)
+    // projection: the all-zero vector pair is filtered by d2 > 0
+    val zeros = Seq((1L, Seq.fill(64)(0.0f)), (2L, Seq.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(SimilarityOps.rpDistortion(zeros).count() === 0)
+  }
+
   test("pqTopK with a corpus smaller than the codebook") {
     val few = (0 until 6).map { i =>
       val a = Array.fill(64)(0.0f); a(i) = 1.0f + i; (i.toLong, a.toSeq)
