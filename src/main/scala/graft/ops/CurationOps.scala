@@ -349,8 +349,7 @@ object CurationOps {
     val stats = docs.agg(count(lit(1)).as("nd"))
       .crossJoin(toks.agg(count(lit(1)).as("ntok"),
         countDistinct(col("doc_id")).as("ndl")))
-      .select(col("nd"),
-        (col("ntok").cast("double") / col("ndl").cast("double")).as("avgdl"))
+      .select(col("nd"), avgdlOf).as("avgdl_stats")
     bm25Score(tf, dl, df, stats, bm25QTerms(docs.sparkSession, queries), k)
   }
 
@@ -360,6 +359,16 @@ object CurationOps {
       .select(col("doc_id"),
         explode(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
           .as("w"))
+
+  /** avgdl = ntok / ndl with the divisor floored at 1: an EMPTY corpus
+    * or index has ndl = 0, and Spark-4 ANSI mode raises DIVIDE_BY_ZERO
+    * even for DOUBLE division — the serve path must return empty, not
+    * throw. For any nonempty corpus ndl ≥ 1 and the guard is identity,
+    * so oracle parity is untouched.
+    */
+  private def avgdlOf: Column =
+    (col("ntok").cast("double") /
+      greatest(col("ndl"), lit(1L)).cast("double")).as("avgdl")
 
   /** Distinct (q_id, w) query-term pairs. */
   private def bm25QTerms(spark: org.apache.spark.sql.SparkSession,
@@ -465,8 +474,7 @@ object CurationOps {
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum("nd").as("nd"), sum("ntok").as("ntok"),
         sum("ndl").as("ndl"))
-      .select(col("nd"),
-        (col("ntok").cast("double") / col("ndl").cast("double")).as("avgdl"))
+      .select(col("nd"), avgdlOf)
     bm25Score(tf, dl, dfT, stats, bm25QTerms(spark, queries), k)
   }
 
