@@ -2030,6 +2030,52 @@ object OracleSql {
                    FROM scored)"""
   }
 
+  /** Retrieval-eval twin (CurationOps.rankEval): the BM25 CTE chain
+    * feeds the ranked list; ground truth is conjunctive term matching
+    * (relevant ⇔ doc contains EVERY query term); MRR / P@k / recall /
+    * AP are the same ppm floor divisions — every metric an exact int64.
+    */
+  def rankEvalSql(queries: Seq[(Long, String)], k: Int): String =
+    s"""WITH ${bm25Ctes("documents", "", queries)},
+        topk AS (SELECT q_id, doc_id, rnk FROM ranked WHERE rnk <= $k),
+        dw AS (SELECT DISTINCT doc_id, w FROM toks),
+        nq AS (SELECT q_id, COUNT(*) AS n_qt FROM qterms GROUP BY q_id),
+        mt AS (SELECT q.q_id, d.doc_id, COUNT(*) AS n_match
+               FROM dw d JOIN qterms q USING (w) GROUP BY q.q_id, d.doc_id),
+        relv AS (SELECT m.q_id, m.doc_id FROM mt m JOIN nq USING (q_id)
+                 WHERE m.n_match = nq.n_qt),
+        nrel AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+                 FROM relv GROUP BY q_id),
+        mk AS (SELECT t.q_id, t.rnk,
+                 CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+               FROM topk t LEFT JOIN relv r
+                 ON r.q_id = t.q_id AND r.doc_id = t.doc_id),
+        cm AS (SELECT q_id, rnk, is_rel,
+                 SUM(is_rel) OVER (PARTITION BY q_id ORDER BY rnk)
+                   AS cum_hits
+               FROM mk),
+        pq AS (SELECT q_id, CAST(SUM(is_rel) AS BIGINT) AS hits_k,
+                 MIN(CASE WHEN is_rel = 1 THEN rnk END) AS fr,
+                 CAST(SUM(CASE WHEN is_rel = 1
+                   THEN (cum_hits * 1000000) // rnk ELSE 0 END) AS BIGINT)
+                   AS ap_num
+               FROM cm GROUP BY q_id),
+        base AS (SELECT qi.q_id,
+                   COALESCE(n.n_rel, 0) AS n_rel,
+                   COALESCE(p.hits_k, 0) AS hits_k,
+                   CAST(COALESCE(p.fr, 0) AS BIGINT) AS first_rel,
+                   COALESCE(p.ap_num, 0) AS ap_num
+                 FROM (SELECT DISTINCT q_id FROM qterms) qi
+                 LEFT JOIN pq p ON p.q_id = qi.q_id
+                 LEFT JOIN nrel n ON n.q_id = qi.q_id)
+        SELECT q_id, n_rel, hits_k, first_rel,
+               CAST(CASE WHEN first_rel > 0 THEN 1000000 // first_rel
+                 ELSE 0 END AS BIGINT) AS mrr_ppm,
+               (hits_k * 1000000) // $k AS p_at_k_ppm,
+               (hits_k * 1000000) // greatest(n_rel, 1) AS recall_ppm,
+               ap_num // greatest(least(n_rel, $k), 1) AS ap_ppm
+        FROM base"""
+
   /** Reciprocal-rank-fusion oracle — CurationOps.rrfFuse twin over the
     * BM25 and term-count rankers: both top-`depth` lists, contribution
     * floor(10^9/(60+rank)) in integer micro-units (exact in both

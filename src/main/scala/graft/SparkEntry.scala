@@ -1054,6 +1054,36 @@ object SparkEntry {
           col("text")))
       DedupOps.dedupMinhashIncremental(batch2, idx)
     }),
+    // Index COMPACTION — the lifecycle's periodic maintenance: the same
+    // two-cycle flow as q_dedup_index_update, but the survivor append is
+    // REPLAYED (appended twice — the at-least-once re-delivery a real
+    // ingest loop suffers) and the index then compacted to its distinct
+    // row set through a Hadoop-FS generation swap before batch 2 is
+    // judged. The oracle is the SAME SQL as the single-append update
+    // query: double-append + compact ≡ single append is exactly the
+    // invariant under test, pinned bit-for-bit by the driver gate.
+    "q_dedup_index_compact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      requireIdHeadroom(docs, "doc_id")
+      val idx = tmpPath("graft_mhidx_cmp", d)
+      val evens = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      val odds = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+      DedupOps.writeMinhashIndex(evens, idx)
+      val verdict1 = DedupOps.dedupMinhashIncremental(odds, idx)
+      val admitted = odds.join(
+        verdict1.filter(col("kept") === 1L).select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      DedupOps.appendToMinhashIndex(admitted, idx)
+      DedupOps.appendToMinhashIndex(admitted, idx) // replayed delivery
+      DedupOps.compactMinhashIndex(idx)
+      val batch2 = odds
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .union(odds.select((col("doc_id") + 2000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
+        .union(evens.select((col("doc_id") + 4000000L).as("doc_id"),
+          col("text")))
+      DedupOps.dedupMinhashIncremental(batch2, idx)
+    }),
     // Incremental cluster ASSIGNMENT against the persisted cluster map:
     // the known dup-corpus (whose built-in orig/exact/near triples form
     // real clusters) is mined once into index + cluster map; arrivals
@@ -1681,6 +1711,12 @@ object SparkEntry {
     // DECIMAL-summed doc scores, top-10 per query.
     "q_rank_bm25" -> ((s, d) =>
       CurationOps.bm25TopK(Tables.documents(s, d), Bm25Queries)),
+    // Retrieval-quality evaluation: MRR / P@10 / recall / AP of the
+    // BM25 ranker against conjunctive (ALL-terms) boolean ground
+    // truth — every metric an exact int64 ppm (floor division), the
+    // eval twin of q_simsearch_recall for ranked text retrieval.
+    "q_rank_eval" -> ((s, d) =>
+      CurationOps.rankEval(Tables.documents(s, d), Bm25Queries)),
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 and
     // term-count rankers' top-20 lists, integer micro-unit
     // contributions (exact — no float sum-order hazard), top-10 fused.
@@ -1791,6 +1827,13 @@ object SparkEntry {
     // same-corpus replays share one staging dir (written once per run).
     "q_stream_windowed" -> ((s, d) =>
       graft.streaming.StreamOps.windowedReplay(Tables.events(s, d),
+        tmpPath("graft_stream_events", d))),
+    // Streaming leaderboard: stateful windowed per-user aggregate in the
+    // stream, top-3-per-window rank on the serving read (a state store
+    // holds per-key aggregates, never a global order — rank-on-read IS
+    // the production leaderboard shape).
+    "q_stream_topk" -> ((s, d) =>
+      graft.streaming.StreamOps.windowedTopKReplay(Tables.events(s, d),
         tmpPath("graft_stream_events", d))),
     // foreachBatch dual-sink fanout with idempotent batch_id-keyed
     // dynamic-overwrite writes (the exactly-once-effect recipe for the
@@ -5258,6 +5301,7 @@ object SparkEntry {
     "q_stream_bm25" -> OracleSql.bm25Sql(Bm25StreamQueries, 10),
     "q_bm25_incr" -> OracleSql.bm25IncrSql(Bm25QueriesB, 10),
     "q_rrf_fusion" -> OracleSql.rrfSql(Bm25Queries, 20, 10),
+    "q_rank_eval" -> OracleSql.rankEvalSql(Bm25Queries, 10),
     "q_profile" -> OracleSql.profileSql("lineitem", Seq(
       "l_orderkey" -> true, "l_partkey" -> true, "l_linenumber" -> true,
       "l_quantity" -> true, "l_extendedprice" -> true,
@@ -5277,6 +5321,9 @@ object SparkEntry {
     "q_dedup_minhash" -> OracleSql.dedupMinhashSql,
     "q_dedup_minhash_incr" -> OracleSql.dedupMinhashIncrSql,
     "q_dedup_index_update" -> OracleSql.dedupIndexUpdateSql,
+    // Deliberately the single-append update SQL: double-append + compact
+    // must be probe-equivalent to one clean append.
+    "q_dedup_index_compact" -> OracleSql.dedupIndexUpdateSql,
     "q_dedup_cluster_incr" -> OracleSql.dedupClusterIncrSql,
     "q_stream_dedup_index" -> OracleSql.dedupStreamIngestSql,
     "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
@@ -5541,6 +5588,16 @@ object SparkEntry {
                 COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
          FROM e GROUP BY 1, 2""",
+    "q_stream_topk" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, user_id, value FROM events),
+         g AS (SELECT (tus // 600000000) * 600000000 AS w_start_us, user_id,
+                      COUNT(*) AS n,
+                      CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                        AS sum_value
+               FROM e GROUP BY 1, 2),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY w_start_us
+                 ORDER BY n DESC, user_id ASC) AS BIGINT) AS rn FROM g)
+         SELECT w_start_us, user_id, n, sum_value, rn FROM r WHERE rn <= 3""",
     // The file-sink landing of the same rollup must read back equal.
     "q_stream_file_sink" ->
       """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events)

@@ -522,6 +522,72 @@ object CurationOps {
       .filter(col("rnk") <= k)
   }
 
+  /** Retrieval-quality EVALUATION — the measurement loop every ranked
+    * retriever (BM25 serving, hybrid fusion, ANN) ships with: per
+    * query, MRR, precision@k, recall@k, and average precision of the
+    * BM25 top-k against BOOLEAN-retrieval ground truth (relevant ⇔ the
+    * document contains EVERY query term — conjunctive matching, fully
+    * SQL-expressible, so the truth set is deterministic in both
+    * engines and needs no human labels). The eval twin of the ANN
+    * tier's [[graft.ops.SimilarityOps.recallAtK]]: there truth is the
+    * brute scan, here the conjunctive term filter.
+    *
+    * Every metric is an exact int64 in ppm via floor division — MRR =
+    * 10^6 div first-relevant-rank, P@k = hits·10^6 div k, recall =
+    * hits·10^6 div n_rel, AP = (Σ over relevant positions i of
+    * cum_hits_i·10^6 div i) div min(n_rel, k) — no float summation
+    * anywhere, so the table is engine- and layout-identical and a
+    * recall regression shows as a changed integer, not a drifting
+    * float. Queries with an empty truth set report zeros (guarded
+    * divisors), never divide-by-zero.
+    *
+    * Scale shape: ground truth is one broadcast-qterms join over the
+    * distinct (doc, term) postings with a per-(query, doc) match
+    * count — linear, keyed; the metric pass runs over ≤ k·|queries|
+    * ranked rows. At 100 TB the eval query set is a sample and this
+    * whole table is driver-scale while the ranker stays distributed.
+    */
+  def rankEval(docs: DataFrame, queries: Seq[(Long, String)],
+               k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val res = bm25TopK(docs, queries, k)
+    val qt = bm25QTerms(spark, queries)
+    val nq = qt.groupBy("q_id").agg(count(lit(1)).as("n_qt"))
+    val dw = bm25Toks(docs).select("doc_id", "w").distinct()
+    val rel = dw.join(broadcast(qt), Seq("w"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("n_match"))
+      .join(broadcast(nq), Seq("q_id"))
+      .filter(col("n_match") === col("n_qt"))
+      .select("q_id", "doc_id")
+    val nRel = rel.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val w = Window.partitionBy("q_id").orderBy("rnk")
+    val marked = res
+      .join(rel.withColumn("is_rel", lit(1L)), Seq("q_id", "doc_id"), "left")
+      .select(col("q_id"), col("rnk"),
+        coalesce(col("is_rel"), lit(0L)).as("is_rel"))
+      .withColumn("cum_hits", sum("is_rel").over(w))
+    val perQ = marked.groupBy("q_id").agg(
+      sum("is_rel").as("hits_k"),
+      min(when(col("is_rel") === 1L, col("rnk"))).as("fr"),
+      sum(when(col("is_rel") === 1L,
+          expr("(cum_hits * 1000000) div rnk")).otherwise(lit(0L)))
+        .as("ap_num"))
+    qt.select("q_id").distinct()
+      .join(perQ, Seq("q_id"), "left")
+      .join(nRel, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits_k"), lit(0L)).as("hits_k"),
+        coalesce(col("fr"), lit(0L)).as("first_rel"),
+        coalesce(col("ap_num"), lit(0L)).as("ap_num"))
+      .select(col("q_id"), col("n_rel"), col("hits_k"), col("first_rel"),
+        when(col("first_rel") > 0L, expr("1000000 div first_rel"))
+          .otherwise(lit(0L)).as("mrr_ppm"),
+        expr(s"(hits_k * 1000000) div $k").as("p_at_k_ppm"),
+        expr("(hits_k * 1000000) div greatest(n_rel, 1)").as("recall_ppm"),
+        expr(s"ap_num div greatest(least(n_rel, $k), 1)").as("ap_ppm"))
+  }
+
   /** Deterministic weighted (importance) sampling: keep each row with
     * probability thr/10^6, thr a caller-supplied integer column in
     * [0, 10^6] (values above cap at keep-everything) — e.g. proportional

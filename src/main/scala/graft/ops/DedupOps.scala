@@ -281,6 +281,48 @@ object DedupOps {
       .write.mode("append").parquet(path + "/digests")
   }
 
+  /** Index COMPACTION — the periodic maintenance that closes the
+    * append-only loop (write → probe → append → COMPACT): replayed
+    * appends (task retries, at-least-once foreachBatch re-deliveries)
+    * and re-admitted digests accumulate duplicate rows across many
+    * small files, which the read path tolerates by distinct-ing but
+    * pays for on every probe. Compaction rewrites each index table as
+    * its DISTINCT row set in one generation swap: write the distinct
+    * rows beside the live table, then delete-and-rename through the
+    * Hadoop FileSystem API (correct on HDFS/object stores, not just
+    * local disk — the `java.io.File` recursion this repo already
+    * retired from its CTAS cleanup would silently no-op there).
+    *
+    * Probe semantics are unchanged BY CONSTRUCTION:
+    * [[dedupMinhashIncremental]]'s candidate distinct and digest
+    * distinct already collapse duplicates, so
+    * probe(compact(idx)) ≡ probe(idx) — the equivalence
+    * q_dedup_index_compact's oracle pins by matching the
+    * UN-compacted update query's verdict bit-for-bit. Cost is one
+    * linear distinct per table, scheduled at the same cadence as the
+    * cluster-map snapshot rebuild; between compactions appends stay
+    * O(batch).
+    */
+  def compactMinhashIndex(path: String, targetFiles: Int = 1): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    for (sub <- Seq("bands", "digests")) {
+      val live = s"$path/$sub"
+      val tmp = s"$path/_${sub}_compact_tmp"
+      // targetFiles sizes the compacted generation — a production run
+      // derives it from table bytes / desired file size (the SinkOps
+      // compaction arithmetic); the default collapses a fixture-scale
+      // index to one file per table.
+      spark.read.parquet(live).distinct().coalesce(targetFiles)
+        .write.mode("overwrite").parquet(tmp)
+      val liveP = new org.apache.hadoop.fs.Path(live)
+      val fs = liveP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(liveP, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), liveP))
+        throw new IllegalStateException(
+          s"compactMinhashIndex: rename $tmp -> $live failed")
+    }
+  }
+
   /** Distinct (arrival doc_id, index doc_id) pairs whose signature
     * estimate clears `minEst` — the band-bucket probe into a persisted
     * index's band table, shared by the dedup verdict and the cluster

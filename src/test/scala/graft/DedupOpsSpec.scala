@@ -272,6 +272,44 @@ class DedupOpsSpec extends SparkSpec {
     assert(after.getLong(3) === 0L)
   }
 
+  test("compactMinhashIndex: dedups replayed appends, shrinks files, " +
+      "and leaves the probe verdict unchanged") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mhidx_spec_cmp").toString
+    DedupOps.writeMinhashIndex(tinyDocs, idx)
+    val admitted = Seq(
+      (400L, "a freshly admitted paragraph concerning query planners"))
+      .toDF("doc_id", "text")
+    // Replayed delivery: the same batch appended twice.
+    DedupOps.appendToMinhashIndex(admitted, idx)
+    DedupOps.appendToMinhashIndex(admitted, idx)
+    val probe = Seq(
+      (401L, "a freshly admitted paragraph concerning query planners"),
+      (402L, "wholly unrelated content that must keep surviving"))
+      .toDF("doc_id", "text")
+    def verdict() = DedupOps.dedupMinhashIncremental(probe, idx).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val before = verdict()
+    val bandsBefore = spark.read.parquet(s"$idx/bands").count()
+    val distinctBands = spark.read.parquet(s"$idx/bands").distinct().count()
+    assert(bandsBefore > distinctBands, "double append must duplicate rows")
+    def parquetFiles(sub: String) =
+      Option(new java.io.File(s"$idx/$sub").listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    val filesBefore = parquetFiles("bands")
+    DedupOps.compactMinhashIndex(idx)
+    assert(spark.read.parquet(s"$idx/bands").count() === distinctBands)
+    assert(spark.read.parquet(s"$idx/digests").count() ===
+      spark.read.parquet(s"$idx/digests").distinct().count())
+    assert(parquetFiles("bands") < filesBefore,
+      "compaction must reduce the file count")
+    val after = verdict()
+    assert(after === before, "compaction must not change probe verdicts")
+    assert(after(401L)._1 === 1L && after(401L)._3 === 0L)
+    assert(after(402L) === ((0L, 0L, 1L)))
+  }
+
   test("dedupMinhashIncremental equals the full cross-corpus re-mine") {
     // The O(arrivals) persisted-index path must lose NOTHING against
     // the O(corpus) re-mine: per arrival, n_near equals the number of

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.CurationOps
+
+/** Specs for the late-round-9 additions: retrieval-quality evaluation
+  * (rankEval) and the streaming windowed top-k leaderboard.
+  * (compactMinhashIndex's spec lives with its family in DedupOpsSpec.)
+  */
+class Round9cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- rankEval ----
+
+  test("rankEval: conjunctive ground truth, exact ppm metrics, and " +
+      "zero-guarded empty truth sets") {
+    val docs = Seq(
+      (1L, "apple pie recipe"),           // relevant to q1 (apple AND pie)
+      (2L, "apple tart with apple"),      // apple only — NOT relevant to q1
+      (3L, "pie pie pie apple"),          // relevant to q1
+      (4L, "unrelated words here")        // relevant to q3 only
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple pie"), (2L, "zebra"), (3L, "unrelated here"))
+    val got = CurationOps.rankEval(docs, queries).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    // q1: truth = {1, 3}; all 3 apple/pie docs are retrieved (k=10), so
+    // hits = 2 and recall = 100%. Ranking order between the relevant
+    // pair and doc 2 is BM25's business; relevance structure bounds the
+    // order-sensitive metrics instead of hand-computing scores.
+    val q1 = got(1L)
+    assert(q1.getLong(1) === 2L)                  // n_rel
+    assert(q1.getLong(2) === 2L)                  // hits_k
+    assert(q1.getLong(6) === 1000000L)            // recall_ppm
+    assert(q1.getLong(5) === 200000L)             // p@10 = 2/10
+    assert(q1.getLong(3) >= 1L && q1.getLong(3) <= 2L) // first_rel
+    assert(q1.getLong(4) >= 500000L)              // mrr ≥ 1/2
+
+    // q2: empty truth set — all metrics zero, no divide-by-zero.
+    val q2 = got(2L)
+    assert((1 to 7).map(q2.getLong) === Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+
+    // q3: single relevant doc, retrieved at rank 1 (it is the only doc
+    // containing either term) — the perfect-ranking closed form.
+    val q3 = got(3L)
+    assert(q3.getLong(1) === 1L && q3.getLong(2) === 1L)
+    assert(q3.getLong(3) === 1L)                  // first_rel
+    assert(q3.getLong(4) === 1000000L)            // mrr
+    assert(q3.getLong(6) === 1000000L)            // recall
+    assert(q3.getLong(7) === 1000000L)            // AP = 1
+  }
+
+  test("rankEval AP equals the hand summation on a forced ordering") {
+    // Single-term queries make ranking order fully determined by tf
+    // saturation: higher tf ⇒ higher score for the same term. Truth for
+    // "x" is every doc containing x (conjunctive over one term), so
+    // every retrieved doc is relevant and AP must be exactly 10^6.
+    val docs = Seq(
+      (1L, "x x x filler"), (2L, "x x other"), (3L, "x alone"),
+      (4L, "no match at all")
+    ).toDF("doc_id", "text")
+    val got = CurationOps.rankEval(docs, Seq((7L, "x"))).collect().head
+    assert(got.getLong(1) === 3L)       // n_rel
+    assert(got.getLong(2) === 3L)       // hits
+    assert(got.getLong(4) === 1000000L) // mrr: top doc relevant
+    assert(got.getLong(7) === 1000000L) // AP: precision 1 at every hit
+  }
+
+  // ---- windowedTopKReplay ----
+
+  test("windowedTopKReplay equals the batch windowed top-3 rank") {
+    val ev = Tables.events(spark, sfDir)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_stream_topk_spec").toString
+    val got = graft.streaming.StreamOps.windowedTopKReplay(ev, staging)
+    val winUs = 600000000L
+    val tus = graft.ops.EventOps.microsOf(ev, "ts")
+    val agg = ev.select((tus - pmod(tus, lit(winUs))).as("w_start_us"),
+        col("user_id"), col("value"))
+      .groupBy("w_start_us", "user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w_start_us").orderBy(col("n").desc, col("user_id").asc)
+    val expected = agg.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+}
