@@ -2030,6 +2030,37 @@ object OracleSql {
                    FROM scored)"""
   }
 
+  /** Portable-HLL increment twin (AggOps.hllMergeIncremental): replay
+    * both slices' register tables from orders via the shared hash60 —
+    * bucket = h mod 64, rho = 33 − a comparison-indicator sum (no
+    * libm) — and the per-bucket max merge. Registers are exact int64s,
+    * so the full artifact (not just an estimate) hash-matches.
+    */
+  def hllIncrSql(boundary: String): String = {
+    val h = hash60("concat('hll-', CAST(o_custkey AS VARCHAR))")
+    val ind = (0 until 32)
+      .map(i => s"CASE WHEN rest >= ${1L << i} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    def regs(src: String) =
+      s"""(SELECT bucket, CAST(MAX(33 - ($ind)) AS BIGINT) AS reg
+           FROM (SELECT h % 64 AS bucket, (h // 64) % 4294967296 AS rest
+                 FROM (SELECT $h AS h FROM $src
+                       WHERE o_custkey IS NOT NULL))
+           GROUP BY bucket)"""
+    s"""WITH base AS (SELECT o_custkey FROM orders
+                      WHERE CAST(o_orderdate AS DATE) < DATE '$boundary'),
+        arr AS (SELECT o_custkey FROM orders
+                WHERE CAST(o_orderdate AS DATE) >= DATE '$boundary'),
+        hb AS ${regs("base")},
+        ha AS ${regs("arr")}
+        SELECT COALESCE(hb.bucket, ha.bucket) AS bucket,
+               COALESCE(hb.reg, 0) AS reg_base,
+               COALESCE(ha.reg, 0) AS reg_arrivals,
+               GREATEST(COALESCE(hb.reg, 0), COALESCE(ha.reg, 0))
+                 AS reg_merged
+        FROM hb FULL JOIN ha ON hb.bucket = ha.bucket"""
+  }
+
   /** Retrieval-eval twin (CurationOps.rankEval): the BM25 CTE chain
     * feeds the ranked list; ground truth is conjunctive term matching
     * (relevant ⇔ doc contains EVERY query term); MRR / P@k / recall /

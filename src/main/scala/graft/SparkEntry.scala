@@ -2252,6 +2252,22 @@ object SparkEntry {
     "q_agg_sketch_rollup" -> ((s, d) =>
       AggOps.sketchRollup(Tables.events(s, d), "ts", "user_id")),
 
+    // Persisted PORTABLE-HLL registers + incremental merge — the
+    // deterministic twin of q_agg_sketch_rollup with a FULL oracle:
+    // pre-boundary orders build the 64-row register artifact once;
+    // the post-boundary arrivals batch folds in by per-bucket max
+    // (HLL's union algebra) without re-reading the base corpus.
+    // Registers are exact comparison-indicator ints, so the entire
+    // artifact hash-matches, not just a ±rsd estimate.
+    "q_hll_incr" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val path = tmpPath("graft_hll", d)
+      val day = col("o_orderdate").cast("date")
+      val bd = lit("1995-06-01").cast("date")
+      AggOps.writeHllRegisters(orders.filter(day < bd), "o_custkey", path)
+      AggOps.hllMergeIncremental(orders.filter(day >= bd), "o_custkey", path)
+    }),
+
     // Write-path round trip: distributed CSV sink → re-scan → aggregate,
     // oracle-checked against the direct aggregate on the source table —
     // equality proves the sink/scan pair lossless (doubles survive via
@@ -5302,6 +5318,7 @@ object SparkEntry {
     "q_bm25_incr" -> OracleSql.bm25IncrSql(Bm25QueriesB, 10),
     "q_rrf_fusion" -> OracleSql.rrfSql(Bm25Queries, 20, 10),
     "q_rank_eval" -> OracleSql.rankEvalSql(Bm25Queries, 10),
+    "q_hll_incr" -> OracleSql.hllIncrSql("1995-06-01"),
     "q_profile" -> OracleSql.profileSql("lineitem", Seq(
       "l_orderkey" -> true, "l_partkey" -> true, "l_linenumber" -> true,
       "l_quantity" -> true, "l_extendedprice" -> true,

@@ -524,6 +524,75 @@ object AggOps {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_keys"))
       .orderBy("m")
 
+  // ---- portable deterministic HyperLogLog registers ----
+
+  /** HLL shape shared with the oracle: 64 buckets (6 hash bits), rank
+    * window 32 bits → register values in [1, 33].
+    */
+  val HllBuckets = 64
+  val HllWidth = 32
+
+  /** Per-bucket HLL REGISTERS of a key column — the PORTABLE sketch
+    * twin of [[approxUniqCount]]'s engine-native HLL++: bucket =
+    * hash60 mod 64, register = max over the bucket's keys of
+    * rho = (leading zeros of the next 32 hash bits) + 1. rho is
+    * computed as 33 − Σ_{i<32} [rest ≥ 2^i] — a comparison-indicator
+    * sum, no libm log2 — so registers are exact int64s both engines
+    * and any partition layout reproduce bit-for-bit. That portability
+    * is the point: unlike HLL++'s opaque binary sketches, the register
+    * TABLE is itself oracle-checkable AND mergeable by per-bucket max
+    * — the algebra ([[hllMergeIncremental]]) every distributed
+    * count-distinct rollup runs on. 64 rows out regardless of input
+    * size; one keyed exchange, map-side combined.
+    */
+  def hllRegisters(df: DataFrame, key: String): DataFrame =
+    df.filter(col(key).isNotNull)
+      .select(TextOps.hash60(concat(lit("hll-"), col(key).cast("string")))
+        .as("h"))
+      .select((col("h") % HllBuckets).as("bucket"),
+        expr(s"(h div $HllBuckets) % 4294967296").as("rest"))
+      .select(col("bucket"),
+        (lit((HllWidth + 1).toLong) -
+          (0 until HllWidth).map(i =>
+            when(col("rest") >= lit(1L << i), 1L).otherwise(0L))
+            .reduce(_ + _)).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("reg"))
+
+  /** Persist the register table for a corpus snapshot — the
+    * persisted-artifact discipline (DedupOps.writeMinhashIndex) for
+    * cardinality sketches: 64 rows of state summarize the whole
+    * corpus's distinct-key structure, and any future batch can be
+    * folded in without re-reading the corpus.
+    */
+  def writeHllRegisters(df: DataFrame, key: String, path: String): Unit =
+    hllRegisters(df, key).write.mode("overwrite").parquet(path)
+
+  /** Incremental sketch MERGE against persisted registers — the
+    * O(arrivals) daily loop for count-distinct monitoring: arrivals
+    * build their own 64-row register table; the merge is a per-bucket
+    * max against the stored one (HLL's union algebra — max commutes,
+    * associates, and is idempotent, so replayed appends and
+    * out-of-order batches cannot corrupt the sketch; the base read
+    * re-maxes per bucket to tolerate appended register generations).
+    * Output per bucket: (bucket, reg_base, reg_arrivals, reg_merged),
+    * absent sides as 0 — the merged column IS the updated artifact a
+    * maintenance job would write back.
+    */
+  def hllMergeIncremental(arrivals: DataFrame, key: String,
+                          path: String): DataFrame = {
+    val spark = arrivals.sparkSession
+    val base = spark.read.parquet(path)
+      .groupBy("bucket").agg(max("reg").as("rb"))
+    val arr = hllRegisters(arrivals, key)
+      .select(col("bucket"), col("reg").as("ra"))
+    base.join(arr, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("rb"), lit(0L)).as("reg_base"),
+        coalesce(col("ra"), lit(0L)).as("reg_arrivals"),
+        greatest(coalesce(col("rb"), lit(0L)), coalesce(col("ra"), lit(0L)))
+          .as("reg_merged"))
+  }
+
   def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      idCol: String, zThreshold: Double = 3.0): DataFrame = {
     val stats = df.groupBy(col(groupCol)).agg(

@@ -66,6 +66,49 @@ class Round9cOpsSpec extends SparkSpec {
     assert(got.getLong(7) === 1000000L) // AP: precision 1 at every hit
   }
 
+  // ---- portable HLL registers ----
+
+  test("hllRegisters: registers in range, union law holds, estimate " +
+      "lands near the exact NDV") {
+    import graft.ops.AggOps
+    val orders = Tables.orders(spark, sfDir)
+    val day = col("o_orderdate").cast("date")
+    val bd = lit("1995-06-01").cast("date")
+    val a = orders.filter(day < bd)
+    val b = orders.filter(day >= bd)
+    val regsA = AggOps.hllRegisters(a, "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val regsB = AggOps.hllRegisters(b, "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val regsU = AggOps.hllRegisters(orders, "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (regsA.values ++ regsB.values).foreach(v => assert(v >= 1L && v <= 33L))
+    // Union algebra: regs(A ∪ B) = per-bucket max of regs(A), regs(B).
+    val merged = (regsA.keySet ++ regsB.keySet).map(k =>
+      k -> math.max(regsA.getOrElse(k, 0L), regsB.getOrElse(k, 0L))).toMap
+    assert(merged === regsU)
+    // The persisted-artifact path computes the same merge.
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hll_spec").toString
+    AggOps.writeHllRegisters(a, "o_custkey", path)
+    val inc = AggOps.hllMergeIncremental(b, "o_custkey", path).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(inc === merged)
+    // Estimate sanity: standard HLL with m=64 (alpha = 0.709) should
+    // land within ~3 sigma of 1.04/sqrt(64) = 13% of the exact NDV.
+    val m = AggOps.HllBuckets
+    val zeros = m - regsU.size
+    val rawSum = (0 until m).map(bkt =>
+      math.pow(2.0, -regsU.getOrElse(bkt.toLong, 0L).toDouble)).sum
+    val raw = 0.709 * m * m / rawSum
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    val exact = orders.select("o_custkey").distinct().count().toDouble
+    assert(math.abs(est - exact) / exact < 0.4,
+      s"HLL estimate $est too far from exact $exact")
+  }
+
   // ---- windowedTopKReplay ----
 
   test("windowedTopKReplay equals the batch windowed top-3 rank") {
