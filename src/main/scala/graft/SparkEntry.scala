@@ -2009,6 +2009,12 @@ object SparkEntry {
     // bits must match, which only actual pixel decode produces.
     "q_image_ahash" -> ((s, d) =>
       MultimodalOps.imageAHash(Tables.documents(s, d))),
+    // PNG metadata by chunk walk, NO decode — the scan-cheap half of
+    // the image tier (dimension/format filters + CRC corruption triage
+    // before anything pays pixel decode). Oracle: closed-form dims +
+    // gray-8 header fields + all-CRCs-valid.
+    "q_image_meta" -> ((s, d) =>
+      MultimodalOps.imageMeta(Tables.documents(s, d))),
     // dHash gradient fingerprints — adjacent-sample comparisons on a
     // 9×8 grid: brightness-shift-invariant where aHash is not; decode
     // + 64 comparisons per asset in one mapPartitions, no exchange.
@@ -5719,6 +5725,17 @@ object SparkEntry {
     // (0,0) = id mod 256; floor mean over all w·h pixels; 8×8
     // nearest-neighbor grid sx = gx·w//8, sy = gy·h//8 (nonneg, so
     // `//` ≡ `div`); bits packed row-major into the bitstring.
+    // Chunk-walk metadata parse: dimensions from the raster formulas,
+    // gray-8 header (bit depth 8, color type 0), every CRC32 valid —
+    // closed-form because the parse reads bytes, never a decoder.
+    "q_image_meta" ->
+      """SELECT doc_id AS asset_id,
+                CAST(1 + doc_id % 16 AS BIGINT) AS width,
+                CAST(1 + (doc_id // 16) % 16 AS BIGINT) AS height,
+                CAST(8 AS BIGINT) AS bit_depth,
+                CAST(0 AS BIGINT) AS color_type,
+                CAST(1 AS BIGINT) AS crc_ok
+         FROM documents""",
     "q_image_ahash" ->
       """WITH dims AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
                               CAST(1 + (doc_id // 16) % 16 AS BIGINT) AS h

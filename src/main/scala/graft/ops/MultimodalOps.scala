@@ -261,6 +261,71 @@ object MultimodalOps {
         sum("rwidth").as("sum_rwidth"), sum("rheight").as("sum_rheight"))
   }
 
+  /** PNG METADATA via chunk walk — header extraction WITHOUT decode:
+    * signature check, then the container walk (4-byte big-endian
+    * length, 4-byte type, data, CRC32 per chunk), IHDR fields (width,
+    * height, bit depth, color type) read straight from bytes, every
+    * chunk's CRC32 recomputed and verified. This is the cheap half of
+    * a 100 TB image pipeline: dimension/format filters and corruption
+    * triage run over headers at ~after-the-first-KB cost, and only
+    * survivors pay the full pixel decode ([[decodeImages]]) — the
+    * classic scan-cheap-then-decode-expensive split. Returns
+    * (width, height, bit_depth, color_type, crc_ok); malformed
+    * payloads (bad signature, missing IHDR, truncated chunk) fail
+    * loudly — the [[readImg]] corrupt-blob contract.
+    */
+  def pngMetaOf(payload: Array[Byte]): (Int, Int, Int, Int, Boolean) = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    require(payload.length > 8 && payload.take(8).sameElements(sig),
+      "not a PNG: bad signature")
+    def be32(o: Int): Long =
+      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    var off = 8
+    var crcOk = true
+    var w = 0; var h = 0; var bd = 0; var ct = 0
+    var first = true
+    var sawEnd = false
+    while (!sawEnd) {
+      require(off + 12 <= payload.length, "truncated PNG chunk header")
+      val len = be32(off).toInt
+      require(off + 12 + len <= payload.length, "truncated PNG chunk data")
+      val typ = new String(payload, off + 4, 4, "US-ASCII")
+      if (first) {
+        require(typ == "IHDR", s"first chunk $typ, expected IHDR")
+        w = be32(off + 8).toInt
+        h = be32(off + 12).toInt
+        bd = payload(off + 16) & 0xff
+        ct = payload(off + 17) & 0xff
+        first = false
+      }
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, off + 4, 4 + len)
+      crcOk &&= crc.getValue == be32(off + 8 + len)
+      if (typ == "IEND") sawEnd = true else off += 12 + len
+    }
+    (w, h, bd, ct, crcOk)
+  }
+
+  /** The q_image_meta query surface: synthesize real PNGs, parse
+    * metadata by chunk walk only — javax.imageio is never called, so
+    * the closed-form oracle (dims from the raster formulas, gray-8
+    * color type, all CRCs valid) passing proves the byte-level parse,
+    * not a decoder, produced the numbers. Pure map-side; zero
+    * exchange.
+    */
+  def imageMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    pngAssets(docs).mapPartitions(_.map { a =>
+      val (w, h, bd, ct, ok) = pngMetaOf(a.payload)
+      (a.asset_id, w.toLong, h.toLong, bd.toLong, ct.toLong,
+        if (ok) 1L else 0L)
+    }).toDF("asset_id", "width", "height", "bit_depth", "color_type",
+      "crc_ok")
+  }
+
   /** Perceptual average-hash (aHash) over REAL decoded PNG pixels — the
     * standard near-duplicate image fingerprint: sample the decoded
     * raster on a fixed 8×8 nearest-neighbor grid (sx = gx·w div 8,

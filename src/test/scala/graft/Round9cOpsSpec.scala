@@ -109,6 +109,44 @@ class Round9cOpsSpec extends SparkSpec {
       s"HLL estimate $est too far from exact $exact")
   }
 
+  // ---- PNG metadata chunk walk ----
+
+  test("pngMetaOf: IHDR fields match the encoder, CRCs verify, and " +
+      "corruption is detected or fails loudly") {
+    import graft.ops.MultimodalOps
+    val png = MultimodalOps.syntheticPng(37L) // 6×3 gray-8 raster
+    val (w, h, bd, ct, ok) = MultimodalOps.pngMetaOf(png)
+    assert((w, h, bd, ct, ok) === ((6, 3, 8, 0, true)))
+
+    // Flip one payload byte past the header: some chunk's CRC breaks.
+    val corrupt = png.clone()
+    corrupt(png.length - 20) = (corrupt(png.length - 20) ^ 0x5a).toByte
+    assert(!MultimodalOps.pngMetaOf(corrupt)._5)
+
+    // Bad signature and truncation fail loudly, never return garbage.
+    intercept[IllegalArgumentException] {
+      MultimodalOps.pngMetaOf("not a png at all".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.pngMetaOf(png.take(20))
+    }
+  }
+
+  test("imageMeta agrees with the real decoder on dimensions") {
+    import graft.ops.MultimodalOps
+    val docs = Tables.documents(spark, sfDir).limit(64)
+    val meta = MultimodalOps.imageMeta(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val spark2 = spark
+    import spark2.implicits._
+    val dec = MultimodalOps.decodeImages(MultimodalOps.pngAssets(docs))
+      .collect().map(f => f.asset_id -> ((f.width.toLong, f.height.toLong)))
+      .toMap
+    assert(meta === dec)
+    assert(MultimodalOps.imageMeta(docs)
+      .filter(col("crc_ok") =!= 1L).isEmpty)
+  }
+
   // ---- windowedTopKReplay ----
 
   test("windowedTopKReplay equals the batch windowed top-3 rank") {
