@@ -1286,6 +1286,36 @@ object SparkEntry {
           col("embedding")))
       SimilarityOps.embedNearDupIncremental(batch2, idx)
     }),
+    // Embed-index COMPACTION: the q_embed_index_update flow with the
+    // survivor append REPLAYED (at-least-once re-delivery) and the
+    // index then compacted — row dedup + GLOBAL occupancy recompute
+    // (restoring the writeEmbedIndex snapshot invariant appends erode)
+    // — before batch 2 is judged. Oracle = the single-append update
+    // SQL: double-append + compact ≡ one clean append.
+    "q_embed_index_compact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      requireIdHeadroom(emb, "vec_id")
+      val idx = tmpPath("graft_embidx_cmp", d)
+      val evens = emb.filter(col("vec_id") % 2 === 0)
+        .select("vec_id", "embedding")
+      val odds = emb.filter(col("vec_id") % 2 === 1)
+        .select("vec_id", "embedding")
+      SimilarityOps.writeEmbedIndex(evens, idx)
+      val verdict1 = SimilarityOps.embedNearDupIncremental(odds, idx)
+      val admitted = odds.join(
+        verdict1.filter(col("kept") === 1L).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      SimilarityOps.appendToEmbedIndex(admitted, idx)
+      SimilarityOps.appendToEmbedIndex(admitted, idx) // replayed delivery
+      SimilarityOps.compactEmbedIndex(idx)
+      val batch2 = odds
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .union(odds.select((col("vec_id") + 2000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+        .union(evens.select((col("vec_id") + 4000000L).as("vec_id"),
+          col("embedding")))
+      SimilarityOps.embedNearDupIncremental(batch2, idx)
+    }),
     // Incremental cluster ASSIGNMENT for vectors (the
     // q_dedup_cluster_incr shape): the known dup-bearing corpus
     // (embedDupCorpus — orig + zeroed-first twins form real 2-clusters)
@@ -1762,6 +1792,23 @@ object SparkEntry {
         docs.select((col("doc_id") + 1000000L).as("doc_id"),
           regexp_replace(col("text"), "^\\S+\\s*", "").as("text")), path)
       CurationOps.bm25TopKIndexed(s, path, Bm25QueriesB)
+    }),
+    // BM25-index COMPACTION: base + append partials re-AGGREGATED into
+    // one generation (termdf folds per term, stats to one totals row,
+    // postings re-clustered by term — the prune-tightness appends
+    // erode); serve after compaction must equal BM25 over the union
+    // corpus, which the q_bm25_incr oracle replays. Query set A keeps
+    // the result from being a byte-twin of q_bm25_incr.
+    "q_bm25_compact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      requireIdHeadroom(docs, "doc_id")
+      val path = tmpPath("graft_bm25cmp", d)
+      CurationOps.writeBm25Index(docs, path)
+      CurationOps.appendToBm25Index(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text")), path)
+      CurationOps.compactBm25Index(path)
+      CurationOps.bm25TopKIndexed(s, path, Bm25Queries)
     }),
     // Target-mix resampling by language: hash-thresholded downsampling
     // toward a 40/25/15/10/10 training mix, per-group audit output.
@@ -5322,6 +5369,8 @@ object SparkEntry {
     "q_bm25_persist" -> OracleSql.bm25Sql(Bm25QueriesB, 10),
     "q_stream_bm25" -> OracleSql.bm25Sql(Bm25StreamQueries, 10),
     "q_bm25_incr" -> OracleSql.bm25IncrSql(Bm25QueriesB, 10),
+    // Compaction must be serve-neutral: same union-corpus replay.
+    "q_bm25_compact" -> OracleSql.bm25IncrSql(Bm25Queries, 10),
     "q_rrf_fusion" -> OracleSql.rrfSql(Bm25Queries, 20, 10),
     "q_rank_eval" -> OracleSql.rankEvalSql(Bm25Queries, 10),
     "q_hll_incr" -> OracleSql.hllIncrSql("1995-06-01"),
@@ -5374,6 +5423,8 @@ object SparkEntry {
     "q_dedup_embed" -> OracleSql.dedupEmbedSql,
     "q_dedup_embed_incr" -> OracleSql.dedupEmbedIncrSql,
     "q_embed_index_update" -> OracleSql.embedIndexUpdateSql,
+    // Double-append + compact (occ refresh) ≡ one clean append.
+    "q_embed_index_compact" -> OracleSql.embedIndexUpdateSql,
     "q_embed_cluster_incr" -> OracleSql.embedClusterIncrSql,
     "q_stream_embed_index" -> OracleSql.embedStreamIngestSql,
     "q_simsearch_incr" -> OracleSql.simsearchIncrSql,

@@ -450,6 +450,43 @@ object CurationOps {
       .write.mode(mode).parquet(s"$path/stats")
   }
 
+  /** BM25-index COMPACTION — a third compaction semantics beside the
+    * band-table distinct (DedupOps.compactMinhashIndex) and the
+    * occupancy refresh (SimilarityOps.compactEmbedIndex): this index
+    * stores MERGEABLE PARTIALS, so compaction is re-AGGREGATION, not
+    * row dedup — termdf partials fold to one (w, df) row per term
+    * (batches carry disjoint doc_ids, the append contract, so partial
+    * dfs ADD), stats partials to a single totals row, and postings
+    * rewrite repartitioned by term — restoring the term clustering
+    * that interleaved appends erode (the serve path prunes postings
+    * by term, so clustering is what keeps that prune tight at scale).
+    * Serve results are unchanged by construction: the serve path
+    * already re-aggregates partials, and aggregation is associative.
+    * Generation swap through the Hadoop FileSystem API.
+    */
+  def compactBm25Index(path: String, targetFiles: Int = 1): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    def swap(live: String, df: DataFrame): Unit = {
+      val tmp = live + "_compact_tmp"
+      df.write.mode("overwrite").parquet(tmp)
+      val liveP = new org.apache.hadoop.fs.Path(live)
+      val fs = liveP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(liveP, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), liveP))
+        throw new IllegalStateException(
+          s"compactBm25Index: rename $tmp -> $live failed")
+    }
+    swap(s"$path/postings", spark.read.parquet(s"$path/postings")
+      .repartition(targetFiles, col("w")))
+    swap(s"$path/doclen", spark.read.parquet(s"$path/doclen")
+      .coalesce(targetFiles))
+    swap(s"$path/termdf", spark.read.parquet(s"$path/termdf")
+      .groupBy("w").agg(sum("df").as("df")).coalesce(targetFiles))
+    swap(s"$path/stats", spark.read.parquet(s"$path/stats")
+      .agg(sum("nd").as("nd"), sum("ntok").as("ntok"),
+        sum("ndl").as("ndl")))
+  }
+
   /** Serve BM25 top-k from the PERSISTED index: the corpus is never
     * touched — postings and termdf scans are pruned to the query's
     * term set with a literal IN filter (PushedFilters at the parquet

@@ -653,6 +653,37 @@ object SimilarityOps {
       .write.mode("append").parquet(path + "/buckets")
   }
 
+  /** Embed-index COMPACTION — [[graft.ops.DedupOps.compactMinhashIndex]]'s
+    * discipline with one extra duty: besides deduplicating replayed
+    * append rows (vectors by full row, bucket rows by (vec_id, t,
+    * bucket)), it RECOMPUTES `occ` globally over the compacted bucket
+    * table — restoring the exact [[writeEmbedIndex]] snapshot
+    * invariant that appends erode (each append only knows its own
+    * within-batch occupancy, the documented drift accepted between
+    * compactions). Generation swap through the Hadoop FileSystem API;
+    * probe verdicts are unchanged wherever the occupancy guard was not
+    * binding, and wherever it WAS binding the refreshed occ is the
+    * correct one.
+    */
+  def compactEmbedIndex(path: String, targetFiles: Int = 1): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    def swap(live: String, df: DataFrame): Unit = {
+      val tmp = live + "_compact_tmp"
+      df.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
+      val liveP = new org.apache.hadoop.fs.Path(live)
+      val fs = liveP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(liveP, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), liveP))
+        throw new IllegalStateException(
+          s"compactEmbedIndex: rename $tmp -> $live failed")
+    }
+    swap(path + "/vectors", spark.read.parquet(path + "/vectors").distinct())
+    val b = spark.read.parquet(path + "/buckets")
+      .select("vec_id", "t", "bucket").distinct()
+    swap(path + "/buckets", b.withColumn("occ",
+      count(lit(1)).over(Window.partitionBy("t", "bucket"))))
+  }
+
   /** Distinct (arrival vec_id, index vec_id, cos_sim) matches clearing
     * `minCos` — the bucket-probe into a persisted index, shared by the
     * near-dup verdict and top-k probe paths. Arrivals' signatures are

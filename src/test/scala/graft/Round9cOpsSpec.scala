@@ -109,6 +109,67 @@ class Round9cOpsSpec extends SparkSpec {
       s"HLL estimate $est too far from exact $exact")
   }
 
+  // ---- embed / BM25 index compaction ----
+
+  test("compactEmbedIndex: dedups replayed appends, refreshes occ to " +
+      "the global occupancy, and preserves probe verdicts") {
+    import graft.ops.SimilarityOps
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_embidx_cmp_spec").toString
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    SimilarityOps.writeEmbedIndex(evens, idx)
+    SimilarityOps.appendToEmbedIndex(odds, idx)
+    SimilarityOps.appendToEmbedIndex(odds, idx) // replayed delivery
+    val probe = emb.filter(col("vec_id") < 20)
+    def verdict() = SimilarityOps.embedNearDupIncremental(probe, idx)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val before = verdict()
+    val rawBuckets = spark.read.parquet(s"$idx/buckets")
+    assert(rawBuckets.count() >
+      rawBuckets.select("vec_id", "t", "bucket").distinct().count())
+    SimilarityOps.compactEmbedIndex(idx)
+    val b = spark.read.parquet(s"$idx/buckets")
+    assert(b.count() ===
+      b.select("vec_id", "t", "bucket").distinct().count())
+    // occ now equals the GLOBAL occupancy of each (t, bucket).
+    val occBad = b.groupBy("t", "bucket")
+      .agg(count(lit(1)).as("n"), max("occ").as("mx"), min("occ").as("mn"))
+      .filter(col("n") =!= col("mx") || col("n") =!= col("mn"))
+    assert(occBad.isEmpty, "occ must equal global bucket occupancy")
+    val v = spark.read.parquet(s"$idx/vectors")
+    assert(v.count() === v.distinct().count())
+    assert(verdict() === before)
+  }
+
+  test("compactBm25Index: folds partials, re-clusters postings, and " +
+      "serves identical rankings") {
+    import graft.ops.CurationOps
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_cmp_spec").toString
+    val qs = Seq((1L, "hash join"), (2L, "fast scan"))
+    CurationOps.writeBm25Index(docs.filter(col("doc_id") % 2 === 0), path)
+    CurationOps.appendToBm25Index(
+      docs.filter(col("doc_id") % 2 === 1), path)
+    def serve() = CurationOps.bm25TopKIndexed(spark, path, qs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val before = serve()
+    val tdBefore = spark.read.parquet(s"$path/termdf")
+    assert(tdBefore.count() > tdBefore.select("w").distinct().count(),
+      "two generations must hold per-batch termdf partials")
+    CurationOps.compactBm25Index(path)
+    val td = spark.read.parquet(s"$path/termdf")
+    assert(td.count() === td.select("w").distinct().count())
+    assert(spark.read.parquet(s"$path/stats").count() === 1L)
+    assert(serve() === before, "compaction must be serve-neutral")
+  }
+
   // ---- PNG metadata chunk walk ----
 
   test("pngMetaOf: IHDR fields match the encoder, CRCs verify, and " +
