@@ -2113,6 +2113,11 @@ object SparkEntry {
 
     "q_multimodal_jpeg" -> ((s, d) =>
       MultimodalOps.jpegDecodeStats(Tables.documents(s, d))),
+    // RIFF chunk-walk metadata, NO decode — the audio twin of
+    // q_image_meta: format/duration filters over an audio lake at
+    // header cost; closed-form oracle from the fixture parameters.
+    "q_audio_meta" -> ((s, d) =>
+      MultimodalOps.audioMeta(Tables.documents(s, d))),
     // Real audio codec: JDK WAV/PCM decode, exact sample sums.
     "q_multimodal_wav" -> ((s, d) =>
       MultimodalOps.wavDecodeStats(Tables.documents(s, d))),
@@ -5953,6 +5958,15 @@ object SparkEntry {
                 CAST(min(out3) AS BIGINT) AS min3,
                 CAST(max(out3) AS BIGINT) AS max3
          FROM v GROUP BY asset_id""",
+    "q_audio_meta" ->
+      """SELECT doc_id AS asset_id,
+                CAST(1 AS BIGINT) AS audio_format,
+                CAST(1 AS BIGINT) AS channels,
+                CAST(8000 AS BIGINT) AS sample_rate,
+                CAST(16 AS BIGINT) AS bits,
+                CAST(64 + doc_id % 128 AS BIGINT) AS n_samples,
+                CAST((64 + doc_id % 128) * 125 AS BIGINT) AS dur_us
+         FROM documents""",
     "q_multimodal_wav" ->
       // Grouped by a synthetic row key, not doc_id: the Spark side decodes
       // one asset per input ROW, so the oracle must too (grouping by

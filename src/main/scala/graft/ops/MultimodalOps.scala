@@ -693,6 +693,69 @@ object MultimodalOps {
         sum("n_samples").as("sum_samples"), sum("sample_sum").as("sum_amp"))
   }
 
+  /** WAV METADATA via RIFF chunk walk — the audio twin of [[pngMetaOf]]:
+    * container signature ("RIFF" size "WAVE"), then the chunk walk
+    * (4-byte type, 4-byte little-endian length, data, even-boundary
+    * padding), fmt fields (audio format, channels, sample rate, bits)
+    * and the data chunk's byte length read straight from bytes —
+    * javax.sound is never touched, so duration/format filters over an
+    * audio lake run at header cost and only survivors pay PCM decode
+    * ([[wavDecodeStats]]). Malformed payloads fail loudly. Returns
+    * (audio_format, channels, sample_rate, bits, data_bytes).
+    */
+  def riffMetaOf(payload: Array[Byte]): (Int, Int, Int, Int, Long) = {
+    def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+    require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    def le32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def le16(o: Int): Int =
+      (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    var off = 12
+    var fmtSeen = false
+    var af = 0; var ch = 0; var sr = 0; var bits = 0
+    var dataBytes = -1L
+    while (off + 8 <= payload.length && dataBytes < 0) {
+      val typ = tag(off)
+      val len = le32(off + 4)
+      if (typ == "fmt ") {
+        require(len >= 16, s"fmt chunk too short: $len")
+        af = le16(off + 8); ch = le16(off + 10)
+        sr = le32(off + 12).toInt; bits = le16(off + 22)
+        fmtSeen = true
+      }
+      if (typ == "data") dataBytes = len
+      // chunks are word-aligned: odd lengths carry one pad byte
+      else off += 8 + len.toInt + (len.toInt & 1)
+    }
+    require(fmtSeen, "no fmt chunk before data")
+    require(dataBytes >= 0, "no data chunk")
+    (af, ch, sr, bits, dataBytes)
+  }
+
+  /** The q_audio_meta query surface: RIFF-walk metadata over the
+    * synthetic WAV corpus — PCM format, mono, 8 kHz, 16-bit, and the
+    * sample count + exact duration derived from the data length, all
+    * closed-form functions of doc_id, so the oracle passing proves the
+    * byte-level walk (never a decoder) produced the numbers. Pure
+    * map-side, zero exchange.
+    */
+  def audioMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val (af, ch, sr, bits, db) = riffMetaOf(syntheticWav(id))
+        val blockAlign = ch * bits / 8
+        val nSamples = db / blockAlign
+        (id, af.toLong, ch.toLong, sr.toLong, bits.toLong, nSamples,
+          nSamples * 1000000L / sr)
+      })
+      .toDF("asset_id", "audio_format", "channels", "sample_rate", "bits",
+        "n_samples", "dur_us")
+  }
+
   /** The q_audio_frames query surface: frame-level feature extraction —
     * what a speech pipeline computes per hop before any model sees the
     * audio. Each decoded WAV is cut into 64-sample frames; per frame,

@@ -208,6 +208,36 @@ class Round9cOpsSpec extends SparkSpec {
       .filter(col("crc_ok") =!= 1L).isEmpty)
   }
 
+  // ---- WAV RIFF metadata walk ----
+
+  test("riffMetaOf: fmt/data fields match the encoder and malformed " +
+      "payloads fail loudly") {
+    import graft.ops.MultimodalOps
+    val wav = MultimodalOps.syntheticWav(70L) // 64 + 70 = 134 samples
+    val (af, ch, sr, bits, db) = MultimodalOps.riffMetaOf(wav)
+    assert((af, ch, sr, bits, db) === ((1, 1, 8000, 16, 268L)))
+    intercept[IllegalArgumentException] {
+      MultimodalOps.riffMetaOf("RIFFxxxxNOPE".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.riffMetaOf(wav.take(16)) // headers only, no fmt/data
+    }
+  }
+
+  test("audioMeta agrees with the real PCM decoder on sample counts") {
+    import graft.ops.{Asset, MultimodalOps}
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 32)
+    val meta = MultimodalOps.audioMeta(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    meta.foreach { case (id, nSamples) =>
+      assert(nSamples === 64L + id % 128)
+      // Cross-check the header-derived count against an actual decode.
+      val dec = MultimodalOps.decodeWav(
+        Asset(id, "wav", MultimodalOps.syntheticWav(id)))
+      assert(nSamples === dec.n_samples)
+    }
+  }
+
   // ---- windowedTopKReplay ----
 
   test("windowedTopKReplay equals the batch windowed top-3 rank") {
