@@ -487,6 +487,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("metadata chunk walks are exchange-free map work") {
+    // The scan-cheap tier's whole value is that it costs one pass and
+    // no shuffle; an Exchange here would mean the header parse moved
+    // data it never needed to.
+    for (q <- Seq("q_image_meta", "q_audio_meta")) {
+      val phys = physicalOf(q).toString
+      assert(!phys.contains("Exchange"),
+        s"$q must be map-only, found an exchange:\n${phys.take(2000)}")
+    }
+  }
+
+  test("HLL registers aggregate map-side before the one keyed exchange") {
+    val p = planOf("q_hll_incr")
+    assert(p.contains("partial_max"),
+      s"register max must combine map-side:\n${p.take(2000)}")
+  }
+
+  test("rankEval broadcasts the query-term set into the truth join") {
+    val p = planOf("q_rank_eval")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("approx profiler plans no Expand (exact-NDV twin does)") {
     // Exact multi-countDistinct forces one Expand multiplying scan rows
     // ×(N+1) — the ANALYZE killer at 100 TB. The HLL++ twin must plan a
