@@ -165,7 +165,15 @@ object DedupOps {
     // reuses it — with separate pair→signature lookup joins, per-branch
     // column pruning made each branch unique and the signature build
     // ran once per reference.
-    val bandRows = bandRowsOf(corpus)
+    pairsFromBandRows(bandRowsOf(corpus), minEst)
+  }
+
+  /** The [[minhashPairs]] tail over an arbitrary band-row set — shared
+    * with the cluster-map snapshot rebuild, which feeds PERSISTED band
+    * rows back in instead of re-signing the corpus.
+    */
+  private def pairsFromBandRows(bandRows: DataFrame,
+                                minEst: Double): DataFrame =
     bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -177,7 +185,6 @@ object DedupOps {
             (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, x) => acc + x) / K.toDouble).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
-  }
 
   /** (doc_id, ms, band, bk) band rows of a corpus — the signature
     * subplan exploded to one row per LSH band, signatures riding along
@@ -223,12 +230,22 @@ object DedupOps {
     * the read path restores with a coalesce.
     */
   def writeMinhashClusterMap(known: DataFrame, path: String,
-                             minEst: Double = 0.5): Unit =
+                             minEst: Double = 0.5): Unit = {
+    // Pairs are mined from the JUST-WRITTEN index artifact (the
+    // [[writeMinhashIndex]] band rows under `path`/bands, which carry
+    // the signatures) rather than re-signing the corpus: the signature
+    // build — 16 min-hash aggregates over every 3-gram shingle — is
+    // the dominant map cost and the index write already paid it. Same
+    // pairs by construction on a fresh snapshot (spec-pinned against
+    // the direct [[minhashPairs]] re-mine); `known` identifies the
+    // session and documents the call-after-write contract.
+    val spark = known.sparkSession
     GraphOps.connectedComponents(
-        minhashPairs(known.filter(col("text").isNotNull), minEst)
+        pairsFromBandRows(spark.read.parquet(path + "/bands"), minEst)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
       .select(col("node").as("doc_id"), col("cluster"))
       .write.mode("overwrite").parquet(path + "/clusters")
+  }
 
   /** Incremental cluster ASSIGNMENT — the O(arrivals) companion to
     * [[writeMinhashClusterMap]]: each arrival joins the persisted

@@ -725,12 +725,37 @@ object SimilarityOps {
     * cluster by convention, restored by the read path's coalesce.
     */
   def writeEmbedClusterMap(known: DataFrame, path: String,
-                           minCos: Double = 0.95): Unit =
+                           minCos: Double = 0.95,
+                           maxBucket: Int = 100000): Unit = {
+    // Pairs are mined from the JUST-WRITTEN index artifact (bucket
+    // rows with precomputed occ + quantized vectors under `path`)
+    // rather than re-scoring the corpus: the bucket-signature build —
+    // 5 tables × 16 hyperplane dots over 64 dims per vector — is the
+    // dominant map cost and the index write already paid it. Same
+    // pairs as the direct [[embedNearDupPairs]] re-mine on a fresh
+    // snapshot (spec-pinned); `known` identifies the session and
+    // documents the call-after-write contract.
+    val spark = known.sparkSession
+    val bo = spark.read.parquet(path + "/buckets")
+      .filter(col("occ") <= maxBucket)
+    val pairs = bo.as("x").join(bo.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val v = spark.read.parquet(path + "/vectors")
+    val va = v.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+      col("n2").as("na"))
+    val vb = v.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+      col("n2").as("nb"))
+    val near = pairs.join(va, "vec_a").join(vb, "vec_b")
+      .filter(cosine(dotL(col("qa"), col("qb")), col("na"), col("nb"))
+        >= minCos)
     GraphOps.connectedComponents(
-        embedNearDupPairs(known, minCos)
-          .select(col("vec_a").as("a"), col("vec_b").as("b")))
+        near.select(col("vec_a").as("a"), col("vec_b").as("b")))
       .select(col("node").as("vec_id"), col("cluster"))
       .write.mode("overwrite").parquet(path + "/clusters")
+  }
 
   /** Incremental cluster ASSIGNMENT for vectors — the O(arrivals)
     * companion to [[writeEmbedClusterMap]]: each arrival joins the

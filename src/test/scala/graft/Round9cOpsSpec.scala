@@ -208,6 +208,42 @@ class Round9cOpsSpec extends SparkSpec {
       .filter(col("crc_ok") =!= 1L).isEmpty)
   }
 
+  // ---- cluster-map snapshot rebuild reads the index ----
+
+  test("writeMinhashClusterMap from the index equals the corpus re-mine") {
+    import graft.ops.{DedupOps, GraphOps}
+    val known = DedupOps.dupCorpus(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mhidx_cmspec").toString
+    DedupOps.writeMinhashIndex(known, idx)
+    DedupOps.writeMinhashClusterMap(known, idx)
+    val fromIndex = spark.read.parquet(s"$idx/clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val remined = GraphOps.connectedComponents(
+        DedupOps.minhashPairs(known.filter(col("text").isNotNull))
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIndex === remined)
+  }
+
+  test("writeEmbedClusterMap from the index equals the corpus re-mine") {
+    import graft.ops.{GraphOps, SimilarityOps}
+    val known = SimilarityOps.embedDupCorpus(
+      Tables.embeddings(spark, sfDir))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_embidx_cmspec").toString
+    SimilarityOps.writeEmbedIndex(known, idx)
+    SimilarityOps.writeEmbedClusterMap(known, idx)
+    val fromIndex = spark.read.parquet(s"$idx/clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val remined = GraphOps.connectedComponents(
+        SimilarityOps.embedNearDupPairs(known)
+          .select(col("vec_a").as("a"), col("vec_b").as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIndex === remined)
+  }
+
   // ---- WAV RIFF metadata walk ----
 
   test("riffMetaOf: fmt/data fields match the encoder and malformed " +
