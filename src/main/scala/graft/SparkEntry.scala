@@ -2062,6 +2062,12 @@ object SparkEntry {
     // gray-8 header fields + all-CRCs-valid.
     "q_image_meta" -> ((s, d) =>
       MultimodalOps.imageMeta(Tables.documents(s, d))),
+    // Metadata gate + decode FUSED in one pass: the chunk-walk header
+    // parse admits (CRC-valid, w·h ≥ 64) assets, ONLY survivors pay
+    // pixel decode + aHash — the scan-cheap/decode-expensive split as
+    // one plan, no second scan or join.
+    "q_image_pipeline" -> ((s, d) =>
+      MultimodalOps.imageGatedAHash(Tables.documents(s, d))),
     // dHash gradient fingerprints — adjacent-sample comparisons on a
     // 9×8 grid: brightness-shift-invariant where aHash is not; decode
     // + 64 comparisons per asset in one mapPartitions, no exchange.
@@ -5796,6 +5802,35 @@ object SparkEntry {
       """WITH dims AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
                               CAST(1 + (doc_id // 16) % 16 AS BIGINT) AS h
                        FROM documents),
+          m AS (SELECT doc_id, w, h,
+                  CAST(SUM(CASE WHEN i.range = 0 THEN doc_id % 256
+                                ELSE (doc_id + 31 * (i.range % w)
+                                      + 7 * (i.range // w)) % 256
+                           END) AS BIGINT) // (w * h) AS mean_px
+                FROM dims, range(0, 256) i WHERE i.range < w * h
+                GROUP BY doc_id, w, h),
+          b AS (SELECT doc_id, w, h, mean_px, k.range AS k,
+                  CASE WHEN (CASE WHEN (k.range % 8) * w // 8 = 0
+                                   AND (k.range // 8) * h // 8 = 0
+                                  THEN doc_id % 256
+                                  ELSE (doc_id + 31 * ((k.range % 8) * w // 8)
+                                        + 7 * ((k.range // 8) * h // 8)) % 256
+                             END) > mean_px
+                       THEN 1 ELSE 0 END AS bit
+                FROM m, range(0, 64) k)
+          SELECT doc_id AS asset_id, w, h, mean_px,
+                 string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS ahash,
+                 CAST(SUM(bit) AS BIGINT) AS n_set
+          FROM b GROUP BY doc_id, w, h, mean_px""",
+    // The q_image_ahash raster contract with the metadata gate folded
+    // into the dims CTE: only w·h ≥ 64 images have fingerprints — the
+    // oracle passing proves the gate pruned BEFORE decode, not after.
+    "q_image_pipeline" ->
+      """WITH dims AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
+                              CAST(1 + (doc_id // 16) % 16 AS BIGINT) AS h
+                       FROM documents
+                       WHERE (1 + doc_id % 16) *
+                             (1 + (doc_id // 16) % 16) >= 64),
           m AS (SELECT doc_id, w, h,
                   CAST(SUM(CASE WHEN i.range = 0 THEN doc_id % 256
                                 ELSE (doc_id + 31 * (i.range % w)

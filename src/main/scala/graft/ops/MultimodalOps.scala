@@ -361,25 +361,61 @@ object MultimodalOps {
     import spark.implicits._
     docs.select("doc_id").as[Long]
       .mapPartitions(_.map { id =>
-        val img = readImg(Asset(id, "png", syntheticPng(id)))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val raster = img.getRaster
-        def px(x: Int, y: Int): Long =
-          (raster.getSample(x, y, 0).toLong + delta) % 256
-        var psum = 0L
-        for (y <- 0 until h; x <- 0 until w)
-          psum += px(x, y)
-        val mean = psum / (w.toLong * h)
-        val bits = new StringBuilder(64)
-        var nSet = 0L
-        for (k <- 0 until 64) {
-          val sx = (k % 8) * w / 8
-          val sy = (k / 8) * h / 8
-          val bit = if (px(sx, sy) > mean) 1 else 0
-          nSet += bit
-          bits.append(bit)
+        val r = aHashOf(readImg(Asset(id, "png", syntheticPng(id))), delta)
+        (id + idOffset, r._1, r._2, r._3, r._4, r._5)
+      })
+      .toDF("asset_id", "w", "h", "mean_px", "ahash", "n_set")
+  }
+
+  /** The aHash body over a decoded raster — shared by the plain,
+    * shifted, and metadata-gated fingerprint paths.
+    */
+  private def aHashOf(img: java.awt.image.BufferedImage,
+                      delta: Int): (Long, Long, Long, String, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    def px(x: Int, y: Int): Long =
+      (raster.getSample(x, y, 0).toLong + delta) % 256
+    var psum = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      psum += px(x, y)
+    val mean = psum / (w.toLong * h)
+    val bits = new StringBuilder(64)
+    var nSet = 0L
+    for (k <- 0 until 64) {
+      val sx = (k % 8) * w / 8
+      val sy = (k / 8) * h / 8
+      val bit = if (px(sx, sy) > mean) 1 else 0
+      nSet += bit
+      bits.append(bit)
+    }
+    (w.toLong, h.toLong, mean, bits.toString, nSet)
+  }
+
+  /** Metadata gate and pixel decode FUSED into one pass — the
+    * production form of the scan-cheap/decode-expensive split
+    * (q_image_pipeline): per asset, the byte-level chunk walk
+    * ([[pngMetaOf]]) decides admission (CRCs valid, w·h ≥ minPixels)
+    * for the cost of reading a header, and ONLY survivors pay the
+    * full pixel decode + aHash fingerprint. One mapPartitions, no
+    * second scan, no join: at 100 TB the gate prunes decode work
+    * in-place instead of materializing an intermediate admitted set.
+    * Oracle: the aHash oracle restricted to the closed-form gate
+    * predicate — proving the gate filtered BEFORE fingerprints, not
+    * after.
+    */
+  def imageGatedAHash(docs: DataFrame, minPixels: Long = 64L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val payload = syntheticPng(id)
+        val (w, h, _, _, crcOk) = pngMetaOf(payload)
+        if (!crcOk || w.toLong * h < minPixels) Iterator.empty
+        else {
+          val r = aHashOf(readImg(Asset(id, "png", payload)), 0)
+          Iterator.single((id, r._1, r._2, r._3, r._4, r._5))
         }
-        (id + idOffset, w.toLong, h.toLong, mean, bits.toString, nSet)
       })
       .toDF("asset_id", "w", "h", "mean_px", "ahash", "n_set")
   }

@@ -208,6 +208,23 @@ class Round9cOpsSpec extends SparkSpec {
       .filter(col("crc_ok") =!= 1L).isEmpty)
   }
 
+  // ---- metadata-gated decode pipeline ----
+
+  test("imageGatedAHash: survivors equal the gated plain-aHash set, " +
+      "small images never decode") {
+    import graft.ops.MultimodalOps
+    val docs = Tables.documents(spark, sfDir)
+    val gated = MultimodalOps.imageGatedAHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    val all = MultimodalOps.imageAHash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    val expected = all.filter { case (_, w, h, _) => w * h >= 64 }
+      .map { case (id, _, _, bits) => id -> bits }.toMap
+    assert(gated === expected)
+    assert(all.exists { case (_, w, h, _) => w * h < 64 },
+      "fixture must exercise the gate's reject branch")
+  }
+
   // ---- cluster-map snapshot rebuild reads the index ----
 
   test("writeMinhashClusterMap from the index equals the corpus re-mine") {
