@@ -2777,6 +2777,47 @@ object OracleSql {
         WHERE greatest((inter * 1000000) // na,
                        (inter * 1000000) // nb) >= 300000"""
 
+  /** CDC chunking twin — DedupOps.cdcChunkStats over the quote corpus:
+    * 1-based gram positions (the fingerprintSql indexing), boundary at
+    * j = 1 or hash ≡ 0 (mod 64), chunk = substring to the next
+    * boundary, md5-keyed sharing across distinct docs.
+    */
+  def dedupCdcSql: String =
+    s"""WITH qdocs AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL),
+        qw AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '$Ws'), x -> x <> '')
+                   AS w
+               FROM qdocs),
+        corpus2 AS (
+          SELECT doc_id, text FROM qdocs
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 'quoteopen' || CAST(doc_id AS VARCHAR) ||
+                 ' begins here now ' ||
+                 array_to_string(list_slice(w, 3, 14), ' ') ||
+                 ' quoteclose' || CAST(doc_id AS VARCHAR) AS text
+          FROM qw WHERE doc_id % 3 = 0),
+        pos AS (SELECT doc_id, text,
+                  unnest(range(1, greatest(len(text) - 6, 1))) AS j
+                FROM corpus2),
+        hh AS (SELECT doc_id, text, j, ${hash60("substr(text, j, 8)")} AS h
+               FROM pos),
+        starts AS (SELECT doc_id, text, j FROM hh
+                   WHERE j = 1 OR h % 64 = 0),
+        ch AS (SELECT doc_id, md5(substring(text, j,
+                 coalesce(lead(j) OVER (PARTITION BY doc_id ORDER BY j),
+                          len(text) + 1) - j)) AS dg
+               FROM starts),
+        share AS (SELECT dg, COUNT(*) AS ndocs
+                  FROM (SELECT DISTINCT dg, doc_id FROM ch) GROUP BY dg)
+        SELECT c.doc_id, COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_shared,
+               CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000 // COUNT(*) AS shared_ppm
+        FROM ch c JOIN share s USING (dg) GROUP BY c.doc_id"""
+
   def dedupSubstringSql: String =
     s"""WITH qdocs AS (SELECT doc_id, text FROM documents
                        WHERE text IS NOT NULL),

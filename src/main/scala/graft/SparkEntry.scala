@@ -1134,6 +1134,13 @@ object SparkEntry {
       graft.streaming.StreamOps.indexIngestReplay(
         arrivals, idx, staging, Seq(1000000L))
     }),
+    // Content-defined chunking dedup over the shifted-quote corpus:
+    // rolling-hash boundaries move with the content, so spans shared at
+    // DIFFERENT offsets still cut into identical md5-keyed chunks — the
+    // property fixed-size blocking lacks and blob-scale dedup needs.
+    "q_dedup_cdc" -> ((s, d) =>
+      DedupOps.cdcChunkStats(DedupOps.quoteCorpus(
+        Tables.documents(s, d).select("doc_id", "text")))),
     "q_dedup_simhash" -> ((s, d) =>
       DedupOps.simhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
     "q_dedup_ngram" -> ((s, d) =>
@@ -5447,6 +5454,7 @@ object SparkEntry {
     "q_c4_filter" -> OracleSql.c4FilterSql,
     "q_url_filter" -> OracleSql.urlFilterSql,
     "q_dedup_substring" -> OracleSql.dedupSubstringSql,
+    "q_dedup_cdc" -> OracleSql.dedupCdcSql,
     "q_dedup_substring_incr" -> OracleSql.dedupSubstringIncrSql,
     "q_classifier_apply" -> OracleSql.classifierApplySql,
     "q_classifier_persist" -> OracleSql.classifierPersistSql,

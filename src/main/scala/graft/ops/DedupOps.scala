@@ -738,6 +738,50 @@ object DedupOps {
         levenshtein(col("nm"), col("nm2")).as("dist"), col("cnt"))
   }
 
+  /** Content-defined chunking (CDC) dedup statistics — the blob-level
+    * dedup mechanism rsync/LBFS-style storage dedup made standard,
+    * relationally: a chunk boundary is declared wherever the rolling
+    * 8-char-gram hash ≡ 0 (mod `divisor`), so boundaries move WITH the
+    * content — a span shared by two documents at DIFFERENT offsets
+    * still cuts into identical chunks, where fixed-size blocks would
+    * misalign after one inserted byte (the misalignment CDC exists to
+    * solve; mean chunk length ≈ divisor chars). Chunks are md5-keyed;
+    * a chunk digest appearing in ≥ 2 distinct documents counts as
+    * shared. Output per document of ≥ k chars (shorter docs have no
+    * gram positions and are excluded, the [[graft.ops.TextStatsOps]]
+    * fingerprint contract): (doc_id, n_chunks, n_shared, shared_ppm).
+    *
+    * Scale shape: boundary detection is the native one-pass char-gram
+    * hasher (map-only codegen); chunk digests need one doc-keyed
+    * lead() window + per-row substring; sharing is one digest-keyed
+    * aggregate — document text never shuffles, only 16-byte digests.
+    * Run over [[quoteCorpus]] (q_dedup_cdc), the planted SHIFTED
+    * shared spans verify the offset-independence property itself, not
+    * just exact-copy collapse.
+    */
+  def cdcChunkStats(docs: DataFrame, k: Int = 8,
+                    divisor: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.filter(col("text").isNotNull)
+    val pos = d.select(col("doc_id"), col("text"),
+      posexplode(graft.functions.CharGramHash60(col("text"), k))
+        .as(Seq("j", "h")))
+    val starts = pos.filter(col("j") === 0 || col("h") % divisor === 0)
+    val w = Window.partitionBy("doc_id").orderBy("j")
+    val chunks = starts.withColumn("nxt", lead(col("j"), 1).over(w))
+      .select(col("doc_id"),
+        md5(expr("substring(text, j + 1, coalesce(nxt, length(text)) - j)"))
+          .as("dg"))
+    val share = chunks.select("dg", "doc_id").distinct()
+      .groupBy("dg").agg(count(lit(1)).as("ndocs"))
+    chunks.join(share, "dg")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        expr("(n_shared * 1000000) div n_chunks").as("shared_ppm"))
+  }
+
   /** Partial-overlap corpus for [[substringDupStats]] — the quote/
     * syndication shape real span-level dedup exists for: every third
     * document spawns a "quoting" twin (id+1_000_000) that embeds words

@@ -208,6 +208,32 @@ class Round9cOpsSpec extends SparkSpec {
       .filter(col("crc_ok") =!= 1L).isEmpty)
   }
 
+  // ---- content-defined chunking ----
+
+  test("cdcChunkStats: shifted shared suffix chunks identically, " +
+      "unrelated text shares nothing") {
+    import graft.ops.DedupOps
+    // A long shared suffix S at DIFFERENT offsets in docs 1 and 2: the
+    // boundaries inside S depend only on S's content, so its interior
+    // chunks get identical digests in both docs — the property
+    // fixed-size blocking lacks. Doc 3 is unrelated.
+    val sharedS = (1 to 40)
+      .map(i => s"word$i token${i * 7 % 13} item${i * 3 % 11}")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, s"short prefix $sharedS"),
+      (2L, s"a much longer and entirely different prefix text $sharedS"),
+      (3L, "wholly unrelated content with no overlap whatsoever at all " +
+        "and quite a bit of additional filler to give it many chunks")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.cdcChunkStats(docs, divisor = 16L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L)._2 >= 1L, s"doc 1 must share interior chunks: $got")
+    assert(got(2L)._2 >= 1L, s"doc 2 must share interior chunks: $got")
+    assert(got(3L)._2 === 0L)
+    assert(got(1L)._1 >= 3L && got(2L)._1 >= 3L)
+  }
+
   // ---- metadata-gated decode pipeline ----
 
   test("imageGatedAHash: survivors equal the gated plain-aHash set, " +
