@@ -2818,6 +2818,49 @@ object OracleSql {
                  AS BIGINT) * 1000000 // COUNT(*) AS shared_ppm
         FROM ch c JOIN share s USING (dg) GROUP BY c.doc_id"""
 
+  /** CDC savings twin: the [[dedupCdcSql]] chunk derivation reduced to
+    * the one-row store-planner report (instances vs distinct digests,
+    * chars held vs chars a single-copy store would hold).
+    */
+  def dedupCdcSavingsSql: String =
+    s"""WITH qdocs AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL),
+        qw AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '$Ws'), x -> x <> '')
+                   AS w
+               FROM qdocs),
+        corpus2 AS (
+          SELECT doc_id, text FROM qdocs
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 'quoteopen' || CAST(doc_id AS VARCHAR) ||
+                 ' begins here now ' ||
+                 array_to_string(list_slice(w, 3, 14), ' ') ||
+                 ' quoteclose' || CAST(doc_id AS VARCHAR) AS text
+          FROM qw WHERE doc_id % 3 = 0),
+        pos AS (SELECT doc_id, text,
+                  unnest(range(1, greatest(len(text) - 6, 1))) AS j
+                FROM corpus2),
+        hh AS (SELECT doc_id, text, j, ${hash60("substr(text, j, 8)")} AS h
+               FROM pos),
+        starts AS (SELECT doc_id, text, j FROM hh
+                   WHERE j = 1 OR h % 64 = 0),
+        ch AS (SELECT doc_id, substring(text, j,
+                 coalesce(lead(j) OVER (PARTITION BY doc_id ORDER BY j),
+                          len(text) + 1) - j) AS chunk
+               FROM starts),
+        cd AS (SELECT md5(chunk) AS dg, CAST(len(chunk) AS BIGINT) AS clen
+               FROM ch),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                     CAST(SUM(clen) AS BIGINT) AS total_chars FROM cd),
+        u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(SUM(clen) AS BIGINT) AS distinct_chars
+              FROM (SELECT dg, MAX(clen) AS clen FROM cd GROUP BY dg))
+        SELECT n_chunks, n_distinct, total_chars, distinct_chars,
+               ((total_chars - distinct_chars) * 1000000) // total_chars
+                 AS savings_ppm
+        FROM t, u WHERE n_chunks > 0"""
+
   def dedupSubstringSql: String =
     s"""WITH qdocs AS (SELECT doc_id, text FROM documents
                        WHERE text IS NOT NULL),

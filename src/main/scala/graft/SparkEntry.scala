@@ -1141,6 +1141,11 @@ object SparkEntry {
     "q_dedup_cdc" -> ((s, d) =>
       DedupOps.cdcChunkStats(DedupOps.quoteCorpus(
         Tables.documents(s, d).select("doc_id", "text")))),
+    // One-row CDC store-planner report: savings a single-copy-per-
+    // distinct-chunk store realizes over the quote corpus.
+    "q_dedup_cdc_savings" -> ((s, d) =>
+      DedupOps.cdcSavings(DedupOps.quoteCorpus(
+        Tables.documents(s, d).select("doc_id", "text")))),
     "q_dedup_simhash" -> ((s, d) =>
       DedupOps.simhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
     "q_dedup_ngram" -> ((s, d) =>
@@ -5455,6 +5460,7 @@ object SparkEntry {
     "q_url_filter" -> OracleSql.urlFilterSql,
     "q_dedup_substring" -> OracleSql.dedupSubstringSql,
     "q_dedup_cdc" -> OracleSql.dedupCdcSql,
+    "q_dedup_cdc_savings" -> OracleSql.dedupCdcSavingsSql,
     "q_dedup_substring_incr" -> OracleSql.dedupSubstringIncrSql,
     "q_classifier_apply" -> OracleSql.classifierApplySql,
     "q_classifier_persist" -> OracleSql.classifierPersistSql,

@@ -782,6 +782,45 @@ object DedupOps {
         expr("(n_shared * 1000000) div n_chunks").as("shared_ppm"))
   }
 
+  /** Corpus-level CDC storage-savings report — what a dedup store
+    * planner reads before committing to chunked storage: total chunk
+    * instances vs distinct chunk digests, total text chars vs chars a
+    * store keeping ONE copy per distinct chunk would hold, and the
+    * savings in ppm. Same boundary/digest derivation as
+    * [[cdcChunkStats]] (chars, not bytes: the synthetic corpus is
+    * ASCII so they coincide; a byte-accurate store planner would swap
+    * in octet_length — stated plainly). One row out at any scale; the
+    * only additions over the per-doc pass are two tiny aggregates.
+    */
+  def cdcSavings(docs: DataFrame, k: Int = 8,
+                 divisor: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.filter(col("text").isNotNull)
+    val pos = d.select(col("doc_id"), col("text"),
+      posexplode(graft.functions.CharGramHash60(col("text"), k))
+        .as(Seq("j", "h")))
+    val starts = pos.filter(col("j") === 0 || col("h") % divisor === 0)
+    val w = Window.partitionBy("doc_id").orderBy("j")
+    val chunks = starts.withColumn("nxt", lead(col("j"), 1).over(w))
+      .select(col("doc_id"),
+        expr("substring(text, j + 1, coalesce(nxt, length(text)) - j)")
+          .as("chunk"))
+      .select(md5(col("chunk")).as("dg"),
+        length(col("chunk")).cast("long").as("clen"))
+    val totals = chunks.agg(count(lit(1)).as("n_chunks"),
+      sum("clen").as("total_chars"))
+    val distincts = chunks.groupBy("dg").agg(max("clen").as("clen"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum("clen").as("distinct_chars"))
+    // No chunks → no report row (an all-null/zero row would make the
+    // empty corpus look like a measured zero-savings corpus).
+    totals.crossJoin(distincts).filter(col("n_chunks") > 0)
+      .select(col("n_chunks"), col("n_distinct"),
+        col("total_chars"), col("distinct_chars"),
+        expr("((total_chars - distinct_chars) * 1000000) div total_chars")
+          .as("savings_ppm"))
+  }
+
   /** Partial-overlap corpus for [[substringDupStats]] — the quote/
     * syndication shape real span-level dedup exists for: every third
     * document spawns a "quoting" twin (id+1_000_000) that embeds words

@@ -27,6 +27,51 @@ class EdgeCaseSpec extends SparkSpec {
       "q_pagerank_conv", "q_profile_approx", "q_agg_sketch_rollup"))
   }
 
+  test("late-round-9 ops on degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val nulls = Seq((1L, null: String), (2L, "short")).toDF("doc_id", "text")
+
+    // CDC: null text excluded, sub-k docs have no gram positions.
+    assert(DedupOps.cdcChunkStats(empty).count() === 0)
+    assert(DedupOps.cdcChunkStats(nulls).count() === 0)
+    assert(DedupOps.cdcSavings(empty).count() === 0) // no chunks → no row
+
+    // HLL: empty input yields an empty register table; merging arrivals
+    // into an empty persisted artifact keeps reg_base = 0 everywhere.
+    val emptyKeys = Seq.empty[Long].toDF("k")
+    assert(AggOps.hllRegisters(emptyKeys, "k").count() === 0)
+    val hllPath = java.nio.file.Files
+      .createTempDirectory("graft_hll_edge").toString
+    AggOps.writeHllRegisters(emptyKeys, "k", hllPath)
+    val merged = AggOps.hllMergeIncremental(
+      Seq(1L, 2L, 3L).toDF("k"), "k", hllPath).collect()
+    assert(merged.nonEmpty)
+    merged.foreach { r =>
+      assert(r.getLong(1) === 0L)              // reg_base
+      assert(r.getLong(3) === r.getLong(2))    // merged = arrivals
+    }
+
+    // rankEval: empty corpus — every query reports all-zero metrics.
+    val ev = CurationOps.rankEval(empty, Seq((1L, "anything"))).collect()
+    assert(ev.length === 1 && (1 to 7).forall(i => ev.head.getLong(i) === 0L))
+
+    // Gated decode: a gate nothing clears yields an empty fingerprint
+    // set, and no decode error can surface (decode never runs).
+    assert(MultimodalOps
+      .imageGatedAHash(Seq((0L, "x")).toDF("doc_id", "text"),
+        minPixels = Long.MaxValue).count() === 0)
+
+    // Compaction on a fresh, append-free index is idempotent.
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mhidx_edge").toString
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    DedupOps.writeMinhashIndex(docs, idx)
+    val before = spark.read.parquet(s"$idx/bands").collect().toSet
+    DedupOps.compactMinhashIndex(idx)
+    assert(spark.read.parquet(s"$idx/bands").collect().toSet === before)
+  }
+
   test("round-9 ops on degenerate inputs") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
