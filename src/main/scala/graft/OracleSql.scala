@@ -2061,6 +2061,28 @@ object OracleSql {
         FROM hb FULL JOIN ha ON hb.bucket = ha.bucket"""
   }
 
+  /** Streaming windowed-HLL twin: epoch-aligned tumbling windows, the
+    * same hash60-derived bucket/rho as [[hllIncrSql]], max per
+    * (window, bucket).
+    */
+  def streamHllSql: String = {
+    val h = hash60("concat('hll-', CAST(user_id AS VARCHAR))")
+    val ind = (0 until 32)
+      .map(i => s"CASE WHEN rest >= ${1L << i} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT epoch_us(ts) AS tus, user_id FROM events
+                   WHERE user_id IS NOT NULL),
+        hh AS (SELECT (tus // 600000000) * 600000000 AS w_start_us,
+                      $h AS h
+               FROM e),
+        b AS (SELECT w_start_us, h % 64 AS bucket,
+                     (h // 64) % 4294967296 AS rest
+              FROM hh)
+        SELECT w_start_us, CAST(bucket AS BIGINT) AS bucket,
+               CAST(MAX(33 - ($ind)) AS BIGINT) AS reg
+        FROM b GROUP BY 1, 2"""
+  }
+
   /** Retrieval-eval twin (CurationOps.rankEval): the BM25 CTE chain
     * feeds the ranked list; ground truth is conjunctive term matching
     * (relevant ⇔ doc contains EVERY query term); MRR / P@k / recall /

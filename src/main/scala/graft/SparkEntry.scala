@@ -1887,6 +1887,12 @@ object SparkEntry {
     "q_stream_windowed" -> ((s, d) =>
       graft.streaming.StreamOps.windowedReplay(Tables.events(s, d),
         tmpPath("graft_stream_events", d))),
+    // Windowed distinct-count sketch state: 64 portable HLL registers
+    // per open window (bounded state for unbounded streams) — the
+    // cardinality twin of q_stream_cms, full register-table oracle.
+    "q_stream_hll" -> ((s, d) =>
+      graft.streaming.StreamOps.windowedHllReplay(Tables.events(s, d),
+        tmpPath("graft_stream_events", d))),
     // Streaming leaderboard: stateful windowed per-user aggregate in the
     // stream, top-3-per-window rank on the serving read (a state store
     // holds per-key aggregates, never a global order — rank-on-read IS
@@ -5687,6 +5693,7 @@ object SparkEntry {
                 COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
          FROM e GROUP BY 1, 2""",
+    "q_stream_hll" -> OracleSql.streamHllSql,
     "q_stream_topk" ->
       """WITH e AS (SELECT epoch_us(ts) AS tus, user_id, value FROM events),
          g AS (SELECT (tus // 600000000) * 600000000 AS w_start_us, user_id,

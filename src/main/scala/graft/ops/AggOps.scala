@@ -547,16 +547,29 @@ object AggOps {
     */
   def hllRegisters(df: DataFrame, key: String): DataFrame =
     df.filter(col(key).isNotNull)
-      .select(TextOps.hash60(concat(lit("hll-"), col(key).cast("string")))
-        .as("h"))
-      .select((col("h") % HllBuckets).as("bucket"),
-        expr(s"(h div $HllBuckets) % 4294967296").as("rest"))
-      .select(col("bucket"),
-        (lit((HllWidth + 1).toLong) -
-          (0 until HllWidth).map(i =>
-            when(col("rest") >= lit(1L << i), 1L).otherwise(0L))
-            .reduce(_ + _)).as("rho"))
+      .select(hllBucketOf(col(key)).as("bucket"), hllRhoOf(col(key)).as("rho"))
       .groupBy("bucket").agg(max("rho").as("reg"))
+
+  /** Bucket expression: hash60 mod 64 — shared by the batch register
+    * build and the streaming windowed-register state
+    * ([[graft.streaming.StreamOps]]).
+    */
+  def hllBucketOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    TextOps.hash60(concat(lit("hll-"), key.cast("string"))) % HllBuckets
+
+  /** Rank expression: rho = 33 − Σ_{i<32} [rest ≥ 2^i] over the next 32
+    * hash bits — the comparison-indicator form (no libm log2), exact in
+    * any engine.
+    */
+  def hllRhoOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = TextOps.hash60(concat(lit("hll-"), key.cast("string")))
+    // h div 64 then mod 2^32 as exact bit ops (h ≥ 0): a double-routed
+    // `/` would lose exactness above 2^53.
+    val rest = shiftright(h, 6).bitwiseAND(lit(4294967295L))
+    lit((HllWidth + 1).toLong) -
+      (0 until HllWidth).map(i =>
+        when(rest >= lit(1L << i), 1L).otherwise(0L)).reduce(_ + _)
+  }
 
   /** Persist the register table for a corpus snapshot — the
     * persisted-artifact discipline (DedupOps.writeMinhashIndex) for

@@ -609,6 +609,33 @@ object StreamOps {
       .filter(col("rn") <= k)
   }
 
+  /** Windowed distinct-count STATE via portable HLL registers — the
+    * cardinality twin of the CMS-in-stream-state op (q_stream_cms):
+    * per tumbling window the stream maintains max-rho per (window,
+    * bucket) — 64 int64 registers per open window, the bounded-state
+    * property that lets an unbounded stream answer "how many distinct
+    * users this window" without keeping user sets. Registers are the
+    * engine-portable comparison-indicator form
+    * ([[graft.ops.AggOps.hllBucketOf]]/[[graft.ops.AggOps.hllRhoOf]]),
+    * so the FULL register table — not a ±rsd estimate — is the
+    * oracle-checked output (q_stream_hll); the estimate is the
+    * reader's division, and merge-by-max means late or replayed
+    * events cannot corrupt state.
+    */
+  def windowedHllReplay(events: DataFrame, stagingDir: String,
+                        windowLen: String = "10 minutes",
+                        nParts: Int = 4): DataFrame =
+    replay(events, stagingDir, nParts, OutputMode.Complete)(
+      _.withWatermark("ts", ReplayWatermark)
+        .filter(col("user_id").isNotNull)
+        .groupBy(window(col("ts"), windowLen),
+          graft.ops.AggOps.hllBucketOf(col("user_id")).as("bucket"))
+        .agg(max(graft.ops.AggOps.hllRhoOf(col("user_id"))).as("reg"))
+        .select(col("window.start").as("w_start"), col("bucket"),
+          col("reg")))
+      .select(unix_micros(col("w_start")).as("w_start_us"),
+        col("bucket"), col("reg"))
+
   /** Streaming-dedup replay: every event is staged TWICE; the streamed
     * dropDuplicatesWithinWatermark must collapse the doubled corpus back
     * to the original event set — verified as per-type counts + value

@@ -319,6 +319,32 @@ class Round9cOpsSpec extends SparkSpec {
 
   // ---- windowedTopKReplay ----
 
+  test("windowedHllReplay equals the batch per-window registers and " +
+      "register-max survives event duplication") {
+    import graft.ops.AggOps
+    val ev = Tables.events(spark, sfDir)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_stream_hll_spec").toString
+    val got = graft.streaming.StreamOps.windowedHllReplay(ev, staging)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val winUs = 600000000L
+    val tus = graft.ops.EventOps.microsOf(ev, "ts")
+    val batch = ev.filter(col("user_id").isNotNull)
+      .select((tus - pmod(tus, lit(winUs))).as("w_start_us"),
+        AggOps.hllBucketOf(col("user_id")).as("bucket"),
+        AggOps.hllRhoOf(col("user_id")).as("rho"))
+      .groupBy("w_start_us", "bucket").agg(max("rho").as("reg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === batch)
+    // Duplicated delivery cannot change a max-merged register table.
+    val staging2 = java.nio.file.Files
+      .createTempDirectory("graft_stream_hll_spec2").toString
+    val doubled = graft.streaming.StreamOps
+      .windowedHllReplay(ev.union(ev), staging2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(doubled === batch)
+  }
+
   test("windowedTopKReplay equals the batch windowed top-3 rank") {
     val ev = Tables.events(spark, sfDir)
     val staging = java.nio.file.Files
