@@ -2061,6 +2061,29 @@ object OracleSql {
         FROM hb FULL JOIN ha ON hb.bucket = ha.bucket"""
   }
 
+  /** Portable sketch-rollup twin (AggOps.portableSketchRollup): daily
+    * register tables rolled to monthly by per-bucket max, months as
+    * epoch micros.
+    */
+  def portableSketchRollupSql: String = {
+    val h = hash60("concat('hll-', CAST(user_id AS VARCHAR))")
+    val ind = (0 until 32)
+      .map(i => s"CASE WHEN rest >= ${1L << i} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT epoch_us(date_trunc('month', ts)) AS m_us,
+                          epoch_us(date_trunc('day', ts)) AS d_us, user_id
+                   FROM events WHERE user_id IS NOT NULL),
+        hh AS (SELECT m_us, d_us, $h AS h FROM e),
+        b AS (SELECT m_us, d_us, h % 64 AS bucket,
+                     (h // 64) % 4294967296 AS rest
+              FROM hh),
+        daily AS (SELECT m_us, d_us, bucket, MAX(33 - ($ind)) AS reg
+                  FROM b GROUP BY 1, 2, 3)
+        SELECT m_us, CAST(bucket AS BIGINT) AS bucket,
+               CAST(MAX(reg) AS BIGINT) AS reg
+        FROM daily GROUP BY 1, 2"""
+  }
+
   /** Streaming windowed-HLL twin: epoch-aligned tumbling windows, the
     * same hash60-derived bucket/rho as [[hllIncrSql]], max per
     * (window, bucket).

@@ -2334,6 +2334,13 @@ object SparkEntry {
     "q_agg_sketch_rollup" -> ((s, d) =>
       AggOps.sketchRollup(Tables.events(s, d), "ts", "user_id")),
 
+    // Daily → monthly sketch rollup on PORTABLE registers — the
+    // full-oracle twin of the rows-only q_agg_sketch_rollup: rollups
+    // re-touch 64-row sketches, never fact rows, and the whole
+    // register output hash-matches across engines.
+    "q_sketch_rollup_portable" -> ((s, d) =>
+      AggOps.portableSketchRollup(Tables.events(s, d), "ts", "user_id")),
+
     // Persisted PORTABLE-HLL registers + incremental merge — the
     // deterministic twin of q_agg_sketch_rollup with a FULL oracle:
     // pre-boundary orders build the 64-row register artifact once;
@@ -5403,6 +5410,7 @@ object SparkEntry {
     "q_rrf_fusion" -> OracleSql.rrfSql(Bm25Queries, 20, 10),
     "q_rank_eval" -> OracleSql.rankEvalSql(Bm25Queries, 10),
     "q_hll_incr" -> OracleSql.hllIncrSql("1995-06-01"),
+    "q_sketch_rollup_portable" -> OracleSql.portableSketchRollupSql,
     "q_profile" -> OracleSql.profileSql("lineitem", Seq(
       "l_orderkey" -> true, "l_partkey" -> true, "l_linenumber" -> true,
       "l_quantity" -> true, "l_extendedprice" -> true,

@@ -571,6 +571,28 @@ object AggOps {
         when(rest >= lit(1L << i), 1L).otherwise(0L)).reduce(_ + _)
   }
 
+  /** Mergeable sketch ROLLUP on portable registers — the FULL-oracle
+    * twin of [[sketchRollup]] (which stays rows-only because HLL++
+    * binary sketches are engine-specific): per-day register tables
+    * roll up to monthly ones by per-bucket max — rollups re-touch
+    * 64-row sketches, not fact rows, exactly the incremental 100 TB
+    * distinct-count pattern — and because the registers are the
+    * portable comparison-indicator form, the ENTIRE rollup output
+    * hash-matches across engines. Output: (m, bucket, reg) per month.
+    */
+  def portableSketchRollup(df: DataFrame, tsCol: String,
+                           keyCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .select(date_trunc("month",
+          timestamp_micros(EventOps.microsOf(df, tsCol))).as("m"),
+        date_trunc("day",
+          timestamp_micros(EventOps.microsOf(df, tsCol))).as("d"),
+        hllBucketOf(col(keyCol)).as("bucket"),
+        hllRhoOf(col(keyCol)).as("rho"))
+      .groupBy("m", "d", "bucket").agg(max("rho").as("reg"))
+      .groupBy("m", "bucket").agg(max("reg").as("reg"))
+      .select(unix_micros(col("m")).as("m_us"), col("bucket"), col("reg"))
+
   /** Persist the register table for a corpus snapshot — the
     * persisted-artifact discipline (DedupOps.writeMinhashIndex) for
     * cardinality sketches: 64 rows of state summarize the whole

@@ -208,6 +208,23 @@ class Round9cOpsSpec extends SparkSpec {
       .filter(col("crc_ok") =!= 1L).isEmpty)
   }
 
+  test("portableSketchRollup equals registers computed per month " +
+      "directly (rollup loses nothing)") {
+    import graft.ops.AggOps
+    val ev = Tables.events(spark, sfDir)
+    val rolled = AggOps.portableSketchRollup(ev, "ts", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val tus = graft.ops.EventOps.microsOf(ev, "ts")
+    val direct = ev.filter(col("user_id").isNotNull)
+      .select(unix_micros(date_trunc("month", timestamp_micros(tus)))
+          .as("m_us"),
+        AggOps.hllBucketOf(col("user_id")).as("bucket"),
+        AggOps.hllRhoOf(col("user_id")).as("rho"))
+      .groupBy("m_us", "bucket").agg(max("rho").as("reg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rolled === direct)
+  }
+
   // ---- content-defined chunking ----
 
   test("cdcChunkStats: shifted shared suffix chunks identically, " +
