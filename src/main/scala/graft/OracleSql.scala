@@ -96,6 +96,33 @@ object OracleSql {
     s"""WITH $minhashPairsCtes
         SELECT doc_a, doc_b, est_jaccard FROM mh_pairs"""
 
+  /** Precision-audit twin (DedupOps.minhashPrecisionAudit): every
+    * mh_pairs candidate re-judged by exact shingle-set Jaccard in
+    * int64 ppm, true-positive at 0.5.
+    */
+  def dedupMinhashPrecisionSql: String =
+    s"""WITH $minhashPairsCtes,
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+                  FROM mh_pairs p
+                  JOIN sh a ON a.doc_id = p.doc_a
+                  JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+                  GROUP BY p.doc_a, p.doc_b),
+        j AS (SELECT p.doc_a, p.doc_b, p.est_jaccard,
+                CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+                CAST(sa.nsh + sb.nsh - COALESCE(i.n_inter, 0) AS BIGINT)
+                  AS n_union
+              FROM mh_pairs p
+              LEFT JOIN inter i
+                ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+              JOIN sizes sa ON sa.doc_id = p.doc_a
+              JOIN sizes sb ON sb.doc_id = p.doc_b)
+        SELECT doc_a, doc_b, est_jaccard, n_inter, n_union,
+               (n_inter * 1000000) // n_union AS true_ppm,
+               CAST(CASE WHEN (n_inter * 1000000) // n_union >= 500000
+                 THEN 1 ELSE 0 END AS BIGINT) AS true_pos
+        FROM j"""
+
   /** Planted-pair recall twin of the text MinHash path: truth from the
     * dupCorpus construction, found from the shared mh_pairs chain.
     */

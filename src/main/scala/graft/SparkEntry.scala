@@ -1146,6 +1146,12 @@ object SparkEntry {
     "q_dedup_cdc_savings" -> ((s, d) =>
       DedupOps.cdcSavings(DedupOps.quoteCorpus(
         Tables.documents(s, d).select("doc_id", "text")))),
+    // MinHash PRECISION audit (the recall audit's twin): every banded
+    // candidate re-judged by exact shingle-set Jaccard ppm — the LSH
+    // verify stage; over-generating band shapes fall out of true_pos.
+    "q_dedup_minhash_precision" -> ((s, d) =>
+      DedupOps.minhashPrecisionAudit(
+        DedupOps.dupCorpus(Tables.documents(s, d)))),
     "q_dedup_simhash" -> ((s, d) =>
       DedupOps.simhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))),
     "q_dedup_ngram" -> ((s, d) =>
@@ -5484,6 +5490,7 @@ object SparkEntry {
     "q_length_buckets" -> OracleSql.lengthBucketsSql,
     "q_mix_temperature" -> OracleSql.temperatureMixSql,
     "q_dedup_minhash_recall" -> OracleSql.dedupMinhashRecallSql,
+    "q_dedup_minhash_precision" -> OracleSql.dedupMinhashPrecisionSql,
     "q_pii_report" -> OracleSql.piiReportSql,
     "q_budget_select" -> OracleSql.budgetSelectSql,
     "q_link_graph" -> OracleSql.linkGraphSql,

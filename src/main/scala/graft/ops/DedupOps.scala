@@ -738,6 +738,49 @@ object DedupOps {
         levenshtein(col("nm"), col("nm2")).as("dist"), col("cnt"))
   }
 
+  /** PRECISION audit completing the MinHash P/R pair (recall:
+    * q_dedup_minhash_recall): every [[minhashPairs]] candidate is
+    * re-judged against the EXACT shingle-set Jaccard — n_inter/n_union
+    * over the distinct word-3-shingle sets, in exact int64 ppm — and
+    * marked true/false positive at tau. This is the verify stage every
+    * LSH deployment pays on its candidate set: a banding shape that
+    * over-generates shows up as a falling true_pos fraction, the twin
+    * failure mode to recall loss. Output per estimated pair:
+    * (doc_a, doc_b, est_jaccard, n_inter, n_union, true_ppm,
+    * true_pos).
+    *
+    * Scale shape: candidates are already banding-bounded; the exact
+    * re-check joins ONLY pair members' shingle sets (pairs ×
+    * shingles/doc, keyed on the shingle string) — the candidate-verify
+    * cost, never a corpus-wide pass beyond the shingling the pair
+    * mining already pays.
+    */
+  def minhashPrecisionAudit(corpus: DataFrame, minEst: Double = 0.5,
+                            tauPpm: Long = 500000L): DataFrame = {
+    val c = corpus.filter(col("text").isNotNull)
+    val pairs = minhashPairs(c, minEst)
+    val sh = shingles3(c)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = pairs.select("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union"))
+      .withColumn("true_ppm", expr("(n_inter * 1000000) div n_union"))
+      .withColumn("true_pos",
+        when(col("true_ppm") >= tauPpm, 1L).otherwise(0L))
+  }
+
   /** Content-defined chunking (CDC) dedup statistics — the blob-level
     * dedup mechanism rsync/LBFS-style storage dedup made standard,
     * relationally: a chunk boundary is declared wherever the rolling

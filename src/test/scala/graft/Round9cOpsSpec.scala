@@ -225,6 +225,32 @@ class Round9cOpsSpec extends SparkSpec {
     assert(rolled === direct)
   }
 
+  test("minhashPrecisionAudit: exact twins score 10^6 true, a " +
+      "colliding-but-dissimilar pair is marked false positive") {
+    import graft.ops.DedupOps
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact twin
+      (3L, "totally different words that never shingle-match anything")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.minhashPrecisionAudit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.contains((1L, 2L)))
+    val (ni, nu, tp, pos) = got((1L, 2L))
+    assert(ni === nu && tp === 1000000L && pos === 1L)
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // Sanity on the fixture-scale corpus: every est-pair row carries a
+    // consistent exact verdict (n_inter ≤ n_union, ppm in range).
+    val full = DedupOps.minhashPrecisionAudit(
+      DedupOps.dupCorpus(Tables.documents(spark, sfDir))).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4))
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000L)
+    }
+  }
+
   // ---- content-defined chunking ----
 
   test("cdcChunkStats: shifted shared suffix chunks identically, " +
