@@ -804,17 +804,8 @@ object DedupOps {
     */
   def cdcChunkStats(docs: DataFrame, k: Int = 8,
                     divisor: Long = 64L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = docs.filter(col("text").isNotNull)
-    val pos = d.select(col("doc_id"), col("text"),
-      posexplode(graft.functions.CharGramHash60(col("text"), k))
-        .as(Seq("j", "h")))
-    val starts = pos.filter(col("j") === 0 || col("h") % divisor === 0)
-    val w = Window.partitionBy("doc_id").orderBy("j")
-    val chunks = starts.withColumn("nxt", lead(col("j"), 1).over(w))
-      .select(col("doc_id"),
-        md5(expr("substring(text, j + 1, coalesce(nxt, length(text)) - j)"))
-          .as("dg"))
+    val chunks = cdcChunks(docs, k, divisor)
+      .select(col("doc_id"), md5(col("chunk")).as("dg"))
     val share = chunks.select("dg", "doc_id").distinct()
       .groupBy("dg").agg(count(lit(1)).as("ndocs"))
     chunks.join(share, "dg")
@@ -823,6 +814,27 @@ object DedupOps {
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
       .select(col("doc_id"), col("n_chunks"), col("n_shared"),
         expr("(n_shared * 1000000) div n_chunks").as("shared_ppm"))
+  }
+
+  /** (doc_id, j, chunk) rows of the content-defined chunking — the
+    * shared derivation under [[cdcChunkStats]] and [[cdcSavings]],
+    * exposed for the partition property test: chunks concatenated in
+    * j order MUST reassemble the exact original text (boundaries cut,
+    * they never drop or duplicate a character).
+    */
+  private[graft] def cdcChunks(docs: DataFrame, k: Int,
+                               divisor: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.filter(col("text").isNotNull)
+    val pos = d.select(col("doc_id"), col("text"),
+      posexplode(graft.functions.CharGramHash60(col("text"), k))
+        .as(Seq("j", "h")))
+    val starts = pos.filter(col("j") === 0 || col("h") % divisor === 0)
+    val w = Window.partitionBy("doc_id").orderBy("j")
+    starts.withColumn("nxt", lead(col("j"), 1).over(w))
+      .select(col("doc_id"), col("j"),
+        expr("substring(text, j + 1, coalesce(nxt, length(text)) - j)")
+          .as("chunk"))
   }
 
   /** Corpus-level CDC storage-savings report — what a dedup store
@@ -837,17 +849,7 @@ object DedupOps {
     */
   def cdcSavings(docs: DataFrame, k: Int = 8,
                  divisor: Long = 64L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = docs.filter(col("text").isNotNull)
-    val pos = d.select(col("doc_id"), col("text"),
-      posexplode(graft.functions.CharGramHash60(col("text"), k))
-        .as(Seq("j", "h")))
-    val starts = pos.filter(col("j") === 0 || col("h") % divisor === 0)
-    val w = Window.partitionBy("doc_id").orderBy("j")
-    val chunks = starts.withColumn("nxt", lead(col("j"), 1).over(w))
-      .select(col("doc_id"),
-        expr("substring(text, j + 1, coalesce(nxt, length(text)) - j)")
-          .as("chunk"))
+    val chunks = cdcChunks(docs, k, divisor)
       .select(md5(col("chunk")).as("dg"),
         length(col("chunk")).cast("long").as("clen"))
     val totals = chunks.agg(count(lit(1)).as("n_chunks"),

@@ -277,6 +277,37 @@ class Round9cOpsSpec extends SparkSpec {
     assert(got(1L)._1 >= 3L && got(2L)._1 >= 3L)
   }
 
+  test("cdcChunks is a PARTITION of the text: chunks reassemble the " +
+      "original exactly, including multibyte and repetitive inputs") {
+    import graft.ops.DedupOps
+    // Seeded pseudo-random corpus: varied lengths (k-1 .. ~600 chars),
+    // repetitive runs (boundary-hash collisions), multibyte code points
+    // (é, 漢, emoji) interleaved — the adversarial cases for an
+    // offset/slicing bug. Deterministic (fixed seed).
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab cde f 漢字é🙂 xyz 01"
+    val docs = (1L to 60L).map { id =>
+      val len = 7 + rnd.nextInt(600)
+      val sb = new StringBuilder
+      while (sb.length < len) {
+        if (rnd.nextInt(5) == 0) sb.append("rep rep rep ")
+        else sb.append(alphabet(rnd.nextInt(alphabet.length)))
+      }
+      (id, sb.toString)
+    }.toDF("doc_id", "text")
+    val reassembled = DedupOps.cdcChunks(docs, 8, 16L)
+      .groupBy("doc_id")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("j"),
+        col("chunk")))).getField("chunk")).as("rebuilt"))
+    val joined = docs.join(reassembled, Seq("doc_id"), "left")
+    // Docs of ≥ 8 code points must reassemble exactly; shorter ones
+    // have no gram positions and produce no chunks.
+    val bad = joined
+      .filter(length(col("text")) >= 8 && col("rebuilt") =!= col("text"))
+    assert(bad.isEmpty, s"non-partition chunks for: ${bad.count()} docs")
+    assert(joined.filter(length(col("text")) >= 8).count() > 0)
+  }
+
   // ---- metadata-gated decode pipeline ----
 
   test("imageGatedAHash: survivors equal the gated plain-aHash set, " +
