@@ -2530,6 +2530,97 @@ object OracleSql {
                     // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS lm_avg_ppm
         FROM s GROUP BY doc_id"""
 
+  /** Persisted-LM lifecycle twin — TextStatsOps.trainWriteLm +
+    * scoreWithLm: bigram model trained on the doc_id%10≠0 slice (same
+    * integer-ppm conditional as lmScoreSql), held-out slice scored via
+    * LEFT JOIN with unseen bigrams at 0 feeding the n_oov counter.
+    */
+  def lmPersistSql: String =
+    s"""WITH words AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '$Ws'), x -> x <> '') AS w
+        FROM documents),
+        g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1])
+            ELSE CAST([] AS VARCHAR[]) END) AS g
+          FROM words),
+        cb AS (SELECT g, COUNT(*) AS cb, split_part(g, ' ', 1) AS w1
+               FROM g WHERE doc_id % 10 <> 0 GROUP BY g),
+        cp AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cp
+               FROM cb GROUP BY w1),
+        model AS (SELECT g, (cb * 1000000) // cp AS p_ppm
+                  FROM cb JOIN cp USING (w1)),
+        sc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g
+               WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+        j AS (SELECT sc.doc_id, sc.cnt, model.p_ppm
+              FROM sc LEFT JOIN model USING (g))
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN p_ppm IS NULL THEN cnt ELSE 0 END)
+                 AS BIGINT) AS n_oov,
+               CAST(SUM(cnt * COALESCE(p_ppm, 0)) AS BIGINT) AS lm_sum,
+               CAST(CAST(SUM(cnt * COALESCE(p_ppm, 0)) AS BIGINT)
+                    // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS lm_avg_ppm
+        FROM j GROUP BY doc_id"""
+
+  /** Code-vs-prose router twin — TextStatsOps.codeDetect over the
+    * planted corpus (doc_id%7≡0 docs get an appended code block):
+    * symbol/indent shares in exact ppm ints, fence count, thresholded
+    * verdict.
+    */
+  def codeDetectSql(symPpmThr: Long, indentPpmThr: Long): String =
+    s"""WITH planted AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || chr(10) ||
+            '    if (x) { y[0] = z; }' || chr(10) || '``' || '`' ||
+            chr(10) || 'return a;' || chr(10) || '``' || '`'
+          ELSE text END AS text
+        FROM documents WHERE text IS NOT NULL),
+        m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(length(text) - length(regexp_replace(text,
+            '[{}();=<>#\\[\\]]', '', 'g')) AS BIGINT) AS n_sym,
+          CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+          CAST(len(list_filter(string_split(text, chr(10)),
+            l -> regexp_matches(l, '^(    |\\t)'))) AS BIGINT) AS n_indent,
+          CAST(len(regexp_extract_all(text, '``' || '`')) AS BIGINT)
+            AS n_fences
+        FROM planted)
+        SELECT doc_id, n_chars, n_sym,
+               n_sym * 1000000 // GREATEST(n_chars, 1) AS sym_ppm,
+               n_lines, n_indent,
+               n_indent * 1000000 // GREATEST(n_lines, 1) AS indent_ppm,
+               n_fences,
+               CASE WHEN n_sym * 1000000 // GREATEST(n_chars, 1)
+                        >= $symPpmThr
+                      OR n_indent * 1000000 // GREATEST(n_lines, 1)
+                        >= $indentPpmThr
+                      OR n_fences > 0
+                 THEN 'code' ELSE 'prose' END AS verdict
+        FROM m"""
+
+  /** Persisted min-max scaler twin — SimilarityOps.fitWriteScaler +
+    * applyScaler: per-dim min/max fitted on the vec_id%10≠0 slice,
+    * held-out slice clamped into the fitted range and scaled to
+    * [0, 10^6] by integer floor division.
+    */
+  def scalerApplySql: String =
+    s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * ${SimilarityOps.QScale})
+            AS BIGINT)) AS v
+        FROM embeddings),
+        d AS (SELECT vec_id, r.range AS dim, v[r.range + 1] AS q
+              FROM qv, range(0, ${SimilarityOps.Dims}) r),
+        fit AS (SELECT dim, MIN(q) AS min_q, MAX(q) AS max_q
+                FROM d WHERE vec_id % 10 <> 0 GROUP BY dim),
+        ap AS (SELECT d.vec_id,
+                 (LEAST(GREATEST(q, min_q), max_q) - min_q) * 1000000
+                   // GREATEST(max_q - min_q, 1) AS scaled,
+                 CASE WHEN q < min_q OR q > max_q THEN 1 ELSE 0 END
+                   AS clamped
+               FROM d JOIN fit USING (dim) WHERE vec_id % 10 = 0)
+        SELECT vec_id, COUNT(*) AS n_dims,
+               CAST(SUM(scaled) AS BIGINT) AS sum_scaled,
+               MIN(scaled) AS min_scaled, MAX(scaled) AS max_scaled,
+               CAST(SUM(clamped) AS BIGINT) AS n_clamped
+        FROM ap GROUP BY vec_id"""
+
   /** The CDC demo change stream (delete ≡0, two update versions ≡1 —
     * latest wins, insert ≡2 at key+10^9), shared by the merge and SCD2
     * twins. Payload arithmetic is single IEEE ops on parquet-read

@@ -956,6 +956,48 @@ object SparkEntry {
       AggOps.saltedSum(Tables.lineitem(s, d), Seq("l_returnflag"),
         "l_quantity", col("l_orderkey"))),
 
+    // Incremental JOIN-view maintenance (the delta rule ΔV = ΔO⋈L ∪
+    // O⋈ΔL ∪ ΔO⋈ΔL): the base×base join is persisted ONCE, the refresh
+    // reads it back and adds only delta terms whose small side
+    // broadcasts — the oracle digests the full unsplit join, so
+    // incremental ≡ full is hash-pinned. Boundary splits both fact
+    // tables by their own event-time column, the realistic
+    // ingest-partition shape.
+    "q_ivm_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val bd = lit(IvmBoundary).cast("date")
+      val (ob, od) = (o.filter(col("o_orderdate").cast("date") < bd),
+        o.filter(col("o_orderdate").cast("date") >= bd))
+      val (lb, ld) = (li.filter(col("l_shipdate").cast("date") < bd),
+        li.filter(col("l_shipdate").cast("date") >= bd))
+      val path = tmpPath("graft_ivm_view", d)
+      JoinOps.writeJoinView(ob, lb, path)
+      JoinOps.ivmJoinRefresh(ob, od, lb, ld, path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("l_quantity")).as("sum_qty"),
+          AggOps.exactSum(col("o_totalprice")).as("sum_price"),
+          sum("o_custkey").as("custkey_sum"))
+    }),
+
+    // Hybrid hot/cold skew join: exact fact-side key counts name the
+    // hot keys; the skew mass joins a broadcast hot-dim sliver, the
+    // cold tail takes the shuffle join the full-size dim would force.
+    // The fact key collapses everything ≥ HotColdCut onto one key, so
+    // a genuinely melted reducer exists for the cold path to dodge.
+    // Oracle: the plain join — hybrid must be exactly it.
+    "q_join_hotcold" -> ((s, d) => {
+      val fact = Tables.lineitem(s, d)
+        .withColumn("jk", least(col("l_partkey"), lit(HotColdCut)))
+      JoinOps.hotColdJoin(fact, Tables.part(s, d), "jk", "p_partkey",
+          hotDen = 10L)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("l_quantity")).as("sum_qty"),
+          sum("l_linenumber").as("line_sum"))
+    }),
+
     // Fuzzy canonicalization (entity resolution): each distinct part
     // name maps to the most frequent name within edit distance 2 of it.
     // Candidates blocked on the last token + length band INSIDE the
@@ -1734,6 +1776,33 @@ object SparkEntry {
     // ppm integer probabilities — engine-exact, no libm logs.
     "q_lm_score" -> ((s, d) =>
       TextStatsOps.lmScore(Tables.documents(s, d))),
+    // Persisted-LM lifecycle: train the bigram model on the 90% slice,
+    // write the (g, p_ppm) artifact, score the held-out 10% from the
+    // artifact alone — unseen bigrams contribute 0 and feed the n_oov
+    // drift counter. Oracle replays train+persist+apply; a spec pins
+    // scoring-the-training-slice ≡ in-plan lmScore with n_oov = 0.
+    "q_lm_persist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = tmpPath("graft_lm", d)
+      TextStatsOps.trainWriteLm(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), path)
+      TextStatsOps.scoreWithLm(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), path)
+    }),
+    // Code-vs-prose routing: symbol-share, indented-line-share, and
+    // fence counts in exact ppm ints — the pre-curation router for
+    // mixed web corpora. Fixture docs are prose, so the synthetic
+    // code-marker append on the doc_id%7 slice plants true positives
+    // the oracle re-derives.
+    "q_code_detect" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"),
+            lit("\n    if (x) { y[0] = z; }\n```\nreturn a;\n```")))
+          .otherwise(col("text")).as("text"))
+      TextStatsOps.codeDetect(planted)
+    }),
     // Benchmark decontamination: flag dup-corpus docs sharing an 8-gram
     // with the held-out benchmark slice (doc_id % 50 == 0). Benchmark
     // gram set broadcasts; the corpus never shuffles.
@@ -1851,6 +1920,19 @@ object SparkEntry {
     // normalization/whitening): 64 rows out regardless of corpus size.
     "q_embed_dimstats" -> ((s, d) =>
       SimilarityOps.dimStats(Tables.embeddings(s, d))),
+    // Persisted feature-scaler lifecycle: fit per-dim min/max on the
+    // 90% slice, persist the Dims-row artifact, min-max scale the
+    // held-out 10% from the artifact with out-of-range clamping (the
+    // n_clamped drift counter) — fit/transform without re-fitting,
+    // exact int64 end-to-end. Oracle replays fit+apply.
+    "q_scaler_apply" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = tmpPath("graft_scaler", d)
+      SimilarityOps.fitWriteScaler(
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), path)
+      SimilarityOps.applyScaler(
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0), path)
+    }),
     // JL ±1 random projection (64 → 16 dims, hash-derived sign matrix
     // as array literals — map-only codegen) + per-consecutive-pair
     // distortion audit: exact int64 distances, final IEEE JL ratio.
@@ -2476,6 +2558,16 @@ object SparkEntry {
           AggOps.exactSum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("cnt"))
     }),
+
+    // Per-source-file provenance audit: corpus written sharded, re-read,
+    // and accounted for by the PATH each row came from (input_file_name),
+    // cross-checked against the shard column with a mismatch counter the
+    // oracle pins to 0 — the find-the-bad-shard sweep of a 100k-file
+    // ingest. Oracle derives the same per-shard rollup from doc_id
+    // arithmetic alone.
+    "q_provenance" -> ((s, d) =>
+      SinkOps.provenanceAudit(Tables.documents(s, d),
+        tmpPath("graft_prov", d))),
 
     // Right-to-be-forgotten delete on a partitioned lake table: lay
     // orders down partitioned by priority, erase the custkey-mod-97
@@ -3757,6 +3849,10 @@ object SparkEntry {
   private def tmpPath(prefix: String, d: String): String =
     new java.io.File(GraftSession.runTmpRoot,
       prefix + "_" + d.replaceAll("[^a-zA-Z0-9.]", "_")).getPath
+
+  /** q_ivm_join / q_join_hotcold constants (shared by oracles). */
+  private val IvmBoundary = "1997-01-01"
+  private val HotColdCut = 25L
 
   /** q_pagerank fixture/shape constants (shared by query + oracle). */
   private val PrMod = 997
@@ -5504,6 +5600,9 @@ object SparkEntry {
     "q_fingerprint" -> OracleSql.fingerprintSql,
     "q_repetition" -> OracleSql.repetitionSql,
     "q_lm_score" -> OracleSql.lmScoreSql,
+    "q_lm_persist" -> OracleSql.lmPersistSql,
+    "q_code_detect" -> OracleSql.codeDetectSql(30000L, 200000L),
+    "q_scaler_apply" -> OracleSql.scalerApplySql,
     "q_sessionize" -> OracleSql.sessionizeSql,
     "q_gap_fill" -> OracleSql.gapFillSql(21600L * 1000000L),
     "q_funnel" -> OracleSql.funnelSql(Seq("signup", "view", "click")),
@@ -5666,6 +5765,33 @@ object SparkEntry {
                 min(l_quantity) AS min_v, max(l_quantity) AS max_v,
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_v
          FROM lineitem GROUP BY l_returnflag""",
+    // From-scratch join over the unsplit tables — the persisted-view +
+    // delta-rule refresh must reproduce this digest exactly.
+    "q_ivm_join" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price,
+                CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY l_returnflag""",
+    // The plain join the hot/cold hybrid decomposes — identical results
+    // prove the split is exact.
+    "q_join_hotcold" ->
+      s"""SELECT p_brand, count(*) AS n_rows,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+                 CAST(sum(l_linenumber) AS BIGINT) AS line_sum
+          FROM lineitem JOIN part ON p_partkey = least(l_partkey, $HotColdCut)
+          GROUP BY p_brand""",
+    // Shard rollup from id arithmetic alone — the path-derived audit
+    // must land on it with zero path/column mismatches.
+    "q_provenance" ->
+      """SELECT doc_id % 8 AS shard, count(*) AS n_docs,
+                min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_quality,
+                CAST(0 AS BIGINT) AS n_path_mismatch
+         FROM documents GROUP BY 1""",
     // Exact mirror of the CMS grid: GROUP BY (depth, hash60-cell) sums,
     // estimate = min over depth of the probe's cells (0 when absent).
     "q_cms_freq" -> {

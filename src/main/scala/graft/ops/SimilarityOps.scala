@@ -597,6 +597,48 @@ object SimilarityOps {
         col("min_q"), col("max_q"),
         (col("sum_q").cast("double") / col("n")).as("mean_q"))
 
+  /** Fit a per-dimension min-max scaler on the quantized lattice and
+    * persist it — the feature-normalization artifact every embedding
+    * pipeline fits once per snapshot and applies to every later batch
+    * (fit/transform must NOT re-fit on arrivals, or train/serve skew
+    * appears): `Dims` rows of (dim, min_q, max_q), a dim-keyed exact
+    * agg over int64 quantized values.
+    */
+  def fitWriteScaler(emb: DataFrame, path: String): Unit =
+    emb.select(posexplode(quantize(col("embedding"))).as(Seq("dim", "q")))
+      .select(col("dim").cast("long").as("dim"), col("q"))
+      .groupBy("dim").agg(min("q").as("min_q"), max("q").as("max_q"))
+      .write.mode("overwrite").parquet(path + "/scaler")
+
+  /** Apply the PERSISTED scaler to a batch: clamp each value into the
+    * fitted range (arrivals legitimately exceed it — that is the skew
+    * the clamp absorbs and the `n_clamped` counter reports), then
+    * min-max scale to [0, 10^6] by integer floor division — exact
+    * int64 end-to-end, so the oracle replays fit+apply bit-identically.
+    * Output: a per-vector digest (n_dims, scaled sum/min/max, clamp
+    * count). Scale shape: the `Dims`-row artifact broadcasts; one
+    * map-side expression pass + one vec-keyed agg — the batch never
+    * shuffles raw vectors.
+    */
+  def applyScaler(emb: DataFrame, path: String): DataFrame = {
+    val sc = broadcast(emb.sparkSession.read.parquet(path + "/scaler"))
+    emb.select(col("vec_id"),
+        posexplode(quantize(col("embedding"))).as(Seq("dim", "q")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("q"))
+      .join(sc, "dim")
+      .select(col("vec_id"),
+        expr("(least(greatest(q, min_q), max_q) - min_q) * 1000000" +
+          " div greatest(max_q - min_q, 1)").as("scaled"),
+        (col("q") < col("min_q") || col("q") > col("max_q"))
+          .cast("long").as("clamped"))
+      .groupBy("vec_id").agg(
+        count(lit(1)).as("n_dims"),
+        sum("scaled").as("sum_scaled"),
+        min("scaled").as("min_scaled"),
+        max("scaled").as("max_scaled"),
+        sum("clamped").as("n_clamped"))
+  }
+
   // ---- persisted embedding-ANN index + incremental probe ----
   // The r8 text-index discipline (DedupOps.writeMinhashIndex /
   // dedupMinhashIncremental, DedupOps.scala) applied to vectors: the

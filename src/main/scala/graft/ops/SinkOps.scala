@@ -157,4 +157,36 @@ object SinkOps {
     survivors.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol).parquet(path)
   }
+
+  /** Per-source-file provenance audit — the find-the-bad-shard tool a
+    * 100 TB ingest runs after every drop: write the corpus hive-
+    * partitioned by an id-derived shard, re-scan, and account for every
+    * row BY THE FILE PATH IT CAME FROM (`input_file_name`), not by a
+    * column the writer claims. Per shard-from-path: row count, id
+    * range, byte mass, and a quality-pass count — plus a loud
+    * `n_path_mismatch` cross-check (path-derived shard vs the column)
+    * the oracle pins to zero, so a misplaced file in any shard
+    * directory breaks the hash, not just a dashboard. Scale shape:
+    * map-side-combined agg keyed by the bounded shard domain; the
+    * rescan prunes nothing here on purpose — the audit must see every
+    * file.
+    */
+  def provenanceAudit(docs: DataFrame, path: String,
+                      shards: Int = 8, minChars: Long = 200L): DataFrame = {
+    val s2 = docs.sparkSession
+    docs.withColumn("shard", pmod(col("doc_id"), lit(shards)))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+    s2.read.parquet(path)
+      .withColumn("shard_path",
+        regexp_extract(input_file_name(), "shard=(\\d+)", 1).cast("long"))
+      .groupBy(col("shard_path").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        sum("n_chars").as("sum_chars"),
+        sum(when(col("n_chars") >= minChars, 1L).otherwise(0L))
+          .as("n_quality"),
+        sum(when(col("shard_path") =!= col("shard"), 1L).otherwise(0L))
+          .as("n_path_mismatch"))
+  }
 }

@@ -356,6 +356,86 @@ object TextStatsOps {
         when(col("score") > 0, posLang).otherwise("other").as("pred"))
   }
 
+  /** Persist the trained bigram LM — the model-artifact half of the
+    * fluency scorer ([[lmScore]] trains in-plan every run): one
+    * (g, p_ppm) parquet per training snapshot, p_ppm the same
+    * integer-ppm conditional `(c(bigram)·10^6) div c(prefix)` (log-free
+    * by design — int64 weights keep the scorer order-independent and
+    * the oracle bit-exact). Scale shape: two gram-keyed aggs (map-side
+    * combined) + one prefix join, artifact O(vocab²-bounded bigram
+    * vocab), written once; scoring never re-reads the training corpus.
+    */
+  def trainWriteLm(docs: DataFrame, path: String,
+                   scale: Long = 1000000L): Unit = {
+    val grams = docs.select(
+      explode(DedupOps.shingleArr(col("text"), 2)).as("g"))
+    val cb = grams.groupBy("g").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val cp = cb.groupBy("w1").agg(sum("cb").as("cp"))
+    cb.join(cp, "w1")
+      .select(col("g"), expr(s"(cb * ${scale}L) div cp").as("p_ppm"))
+      .write.mode("overwrite").parquet(path + "/bigrams")
+  }
+
+  /** Score documents against the PERSISTED bigram LM — production
+    * fluency scoring: per-doc bigram counts left-join the model table;
+    * bigrams the model never saw contribute 0 and are counted
+    * (`n_oov`, the domain-drift signal that triggers retraining).
+    * Output per document: (doc_id, n_bigrams, n_oov, lm_sum,
+    * lm_avg_ppm); documents under two words have no bigrams and are
+    * absent by the [[lmScore]] contract. Scale shape: one gram-keyed
+    * join against the model (broadcastable when the bigram vocab
+    * fits), one doc-keyed agg — O(arrivals + model), never
+    * O(training corpus).
+    */
+  def scoreWithLm(docs: DataFrame, path: String): DataFrame = {
+    val model = docs.sparkSession.read.parquet(path + "/bigrams")
+    docs.select(col("doc_id"),
+        explode(DedupOps.shingleArr(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .join(model, Seq("g"), "left")
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_bigrams"),
+        sum(when(col("p_ppm").isNull, col("cnt")).otherwise(0L))
+          .as("n_oov"),
+        sum(col("cnt") * coalesce(col("p_ppm"), lit(0L))).as("lm_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        col("lm_sum"), expr("lm_sum div n_bigrams").as("lm_avg_ppm"))
+  }
+
+  /** Code-vs-prose detection — the router every mixed web corpus needs
+    * before language-specific curation (code wants different dedup,
+    * quality, and tokenizer settings than prose): per document, the
+    * code-symbol character share (braces/brackets/semicolons/operators
+    * in ppm of all chars), the indented-line share (4-space or tab
+    * starts, in ppm of lines), and the fenced-block count — thresholds
+    * on any of the three route to 'code'. Pure per-row codegen
+    * expression work, no shuffle at all; thresholds are explicit
+    * parameters so the oracle shares them.
+    */
+  def codeDetect(docs: DataFrame, symPpmThr: Long = 30000L,
+                 indentPpmThr: Long = 200000L): DataFrame =
+    docs.filter(col("text").isNotNull).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          "[{}();=<>#\\[\\]]", ""))).cast("long").as("n_sym"),
+        size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
+        size(filter(split(col("text"), "\n", -1),
+          l => l.rlike("^(    |\t)"))).cast("long").as("n_indent"),
+        size(regexp_extract_all(col("text"), lit("```"), lit(0)))
+          .cast("long").as("n_fences"))
+      .select(col("doc_id"), col("n_chars"), col("n_sym"),
+        expr("n_sym * 1000000 div greatest(n_chars, 1)").as("sym_ppm"),
+        col("n_lines"), col("n_indent"),
+        expr("n_indent * 1000000 div greatest(n_lines, 1)")
+          .as("indent_ppm"),
+        col("n_fences"))
+      .withColumn("verdict",
+        when(col("sym_ppm") >= symPpmThr ||
+          col("indent_ppm") >= indentPpmThr ||
+          col("n_fences") > 0, "code").otherwise("prose"))
+
   /** Richer PII fixture than [[dirtyCorpus]]: appends a phone number, an
     * IPv4 address, and a 16-digit card-shaped number (all derived from
     * doc_id, closed-form shared with the oracle) to every document.

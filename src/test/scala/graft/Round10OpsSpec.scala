@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.JoinOps
+
+/** Specs for the round-10 additions: incremental join-view maintenance,
+  * the hybrid hot/cold skew join, and the per-file provenance audit.
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"), name).getPath
+
+  // ---- ivmJoinRefresh ----
+
+  test("ivmJoinRefresh reproduces the full join ROW-FOR-ROW, not just " +
+      "in aggregate") {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val bd = lit("1997-01-01").cast("date")
+    val (ob, od) = (o.filter(col("o_orderdate").cast("date") < bd),
+      o.filter(col("o_orderdate").cast("date") >= bd))
+    val (lb, ld) = (li.filter(col("l_shipdate").cast("date") < bd),
+      li.filter(col("l_shipdate").cast("date") >= bd))
+    val path = tmp("graft_spec_ivm")
+    JoinOps.writeJoinView(ob, lb, path)
+    val incr = JoinOps.ivmJoinRefresh(ob, od, lb, ld, path)
+    val full = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("l_returnflag"), col("l_quantity"), col("o_totalprice"))
+    // (orderkey, linenumber) is the view's primary key — multiset
+    // equality via both anti-joins plus a count tie.
+    assert(incr.count() === full.count())
+    assert(incr.join(full, Seq("o_orderkey", "l_linenumber"),
+      "left_anti").count() === 0L)
+    assert(full.join(incr, Seq("o_orderkey", "l_linenumber"),
+      "left_anti").count() === 0L)
+  }
+
+  test("ivmJoinRefresh delta terms are disjoint: each joined row comes " +
+      "from exactly one of base-view / ΔO⋈L_b / O_b⋈ΔL / ΔO⋈ΔL") {
+    // 2 orders × 2 lineitems, one of each per side of the boundary —
+    // all four quadrants populated; a double-counted term breaks the
+    // primary-key uniqueness.
+    val o = Seq((1L, 10L, "1996-05-01"), (2L, 20L, "1998-05-01"))
+      .toDF("o_orderkey", "o_custkey", "dt")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("dt").cast("timestamp").as("o_orderdate"),
+        lit(1.0).as("o_totalprice"))
+    val li = Seq((1L, 1, "1996-06-01"), (1L, 2, "1998-06-01"),
+        (2L, 1, "1996-07-01"), (2L, 2, "1998-07-01"))
+      .toDF("l_orderkey", "l_linenumber", "dt")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("dt").cast("timestamp").as("l_shipdate"),
+        lit("N").as("l_returnflag"), lit(1.0).as("l_quantity"))
+    val bd = lit("1997-01-01").cast("date")
+    val (ob, od) = (o.filter(col("o_orderdate").cast("date") < bd),
+      o.filter(col("o_orderdate").cast("date") >= bd))
+    val (lb, ld) = (li.filter(col("l_shipdate").cast("date") < bd),
+      li.filter(col("l_shipdate").cast("date") >= bd))
+    val path = tmp("graft_spec_ivm_quad")
+    JoinOps.writeJoinView(ob, lb, path)
+    val got = JoinOps.ivmJoinRefresh(ob, od, lb, ld, path)
+    assert(got.count() === 4L)
+    assert(got.select("o_orderkey", "l_linenumber").distinct()
+      .count() === 4L)
+  }
+
+  // ---- hotColdJoin ----
+
+  test("hotColdJoin equals the plain join and routes the skew mass " +
+      "through the broadcast path, the tail through the shuffle join") {
+    val fact = Tables.lineitem(spark, sfDir)
+      .withColumn("jk", least(col("l_partkey"), lit(25L)))
+    val dim = Tables.part(spark, sfDir)
+    val hybrid = JoinOps.hotColdJoin(fact, dim, "jk", "p_partkey")
+    val plain = fact.join(dim, col("jk") === col("p_partkey"))
+    assert(hybrid.count() === plain.count())
+    val key = Seq("jk", "l_orderkey", "l_linenumber")
+    assert(hybrid.select(key.map(col): _*).except(
+      plain.select(key.map(col): _*)).count() === 0L)
+    // Plan shape: one broadcast-hash side (hot) AND one sort-merge side
+    // (cold) — the hybrid's whole point.
+    val plan = hybrid.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("SortMergeJoin"))
+  }
+
+  test("hotColdJoin hot set is the ≥1/hotDen share keys only") {
+    val fact = Seq.fill(90)((1L, "x")).++(Seq((2L, "y"), (3L, "z")))
+      .toDF("k", "v")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("dk", "name")
+    val got = JoinOps.hotColdJoin(fact, dim, "k", "dk", hotDen = 10L)
+    // 92 fact rows, key 1 carries 90 ≥ 92/10 — hot; 2 and 3 cold but
+    // still joined; dim key 4 matches nothing.
+    assert(got.count() === 92L)
+    assert(got.filter(col("k") === 1L).count() === 90L)
+  }
+
+  // ---- trainWriteLm / scoreWithLm ----
+
+  test("scoreWithLm on the training slice equals in-plan lmScore with " +
+      "zero OOV — the persisted artifact loses nothing") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+      .localCheckpoint(true)
+    val path = tmp("graft_spec_lm")
+    graft.ops.TextStatsOps.trainWriteLm(docs, path)
+    val viaArtifact = graft.ops.TextStatsOps.scoreWithLm(docs, path)
+    assert(viaArtifact.filter(col("n_oov") =!= 0L).count() === 0L)
+    val inline = graft.ops.TextStatsOps.lmScore(docs)
+    val key = Seq("doc_id", "n_bigrams", "lm_sum", "lm_avg_ppm")
+    assert(viaArtifact.select(key.map(col): _*)
+      .except(inline.select(key.map(col): _*)).count() === 0L)
+    assert(viaArtifact.count() === inline.count())
+  }
+
+  test("scoreWithLm counts unseen bigrams as OOV at probability zero") {
+    val train = Seq((1L, "the cat sat"), (2L, "the cat ran"))
+      .toDF("doc_id", "text")
+    val path = tmp("graft_spec_lm_oov")
+    graft.ops.TextStatsOps.trainWriteLm(train, path)
+    // "the cat" seen (p = 10^6 since both 'the' bigrams start 'the cat'
+    // ... actually c('the cat')=2, c('the')=2 → ppm 10^6); "cat flew"
+    // unseen → OOV.
+    val got = graft.ops.TextStatsOps.scoreWithLm(
+      Seq((9L, "the cat flew")).toDF("doc_id", "text"), path).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_bigrams") === 2L)
+    assert(r.getAs[Long]("n_oov") === 1L)
+    assert(r.getAs[Long]("lm_sum") === 1000000L)
+    assert(r.getAs[Long]("lm_avg_ppm") === 500000L)
+  }
+
+  // ---- fitWriteScaler / applyScaler ----
+
+  test("applyScaler scales into [0, 10^6], clamps out-of-range " +
+      "arrivals, and reports them") {
+    val fit = Seq((1L, Array(0.0f, 10.0f)), (2L, Array(1.0f, 20.0f)))
+      .toDF("vec_id", "embedding")
+    val path = tmp("graft_spec_scaler")
+    graft.ops.SimilarityOps.fitWriteScaler(fit, path)
+    // dim0 range [0, 1e6] (quantized), dim1 [1e7, 2e7].
+    // Arrival (0.5, 30.0): dim0 mid-range → 500000, dim1 above max →
+    // clamped to max → 10^6.
+    val got = graft.ops.SimilarityOps.applyScaler(
+      Seq((9L, Array(0.5f, 30.0f))).toDF("vec_id", "embedding"), path)
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_dims") === 2L)
+    assert(r.getAs[Long]("min_scaled") === 500000L)
+    assert(r.getAs[Long]("max_scaled") === 1000000L)
+    assert(r.getAs[Long]("n_clamped") === 1L)
+  }
+
+  test("applyScaler on the fitted slice itself never clamps and spans " +
+      "the full [0, 10^6] range per dimension") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = tmp("graft_spec_scaler_self")
+    graft.ops.SimilarityOps.fitWriteScaler(emb, path)
+    val got = graft.ops.SimilarityOps.applyScaler(emb, path)
+    assert(got.filter(col("n_clamped") =!= 0L).count() === 0L)
+    val r = got.agg(min("min_scaled"), max("max_scaled")).collect().head
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 1000000L)
+  }
+
+  // ---- codeDetect ----
+
+  test("codeDetect separates a code-shaped document from prose with " +
+      "exact counters") {
+    val docs = Seq(
+      (1L, "plain english prose with no markers at all"),
+      (2L, "def f(x) {\n    return x[0] + y;\n    if (z) { w = 1; }\n}"),
+      (3L, "fenced\n```\ncode here\n```")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextStatsOps.codeDetect(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[String]("verdict") === "prose")
+    assert(got(1L).getAs[Long]("n_sym") === 0L)
+    assert(got(2L).getAs[String]("verdict") === "code")
+    assert(got(2L).getAs[Long]("n_indent") === 2L)
+    assert(got(2L).getAs[Long]("n_lines") === 4L)
+    assert(got(3L).getAs[String]("verdict") === "code")
+    assert(got(3L).getAs[Long]("n_fences") === 2L)
+  }
+
+  // ---- provenanceAudit ----
+
+  test("provenanceAudit accounts for every row by source path with " +
+      "zero path/column mismatches") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = graft.ops.SinkOps.provenanceAudit(docs,
+      tmp("graft_spec_prov"))
+    val rows = got.collect()
+    assert(rows.length === 8)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(rows.forall(_.getAs[Long]("n_path_mismatch") === 0L))
+    // Shards are doc_id mod 8 — every shard value present and the id
+    // range consistent with the residue class.
+    assert(rows.map(_.getAs[Long]("shard")).sorted === (0L to 7L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_doc_id") % 8 === r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("max_doc_id") % 8 === r.getAs[Long]("shard"))
+    }
+  }
+}
