@@ -2595,6 +2595,34 @@ object OracleSql {
                  THEN 'code' ELSE 'prose' END AS verdict
         FROM m"""
 
+  /** Positional phrase-search twin — CurationOps.phraseSearch: the same
+    * offset-trick candidate join (start = position − term index) and
+    * slot-count filter over the VALUES-inlined phrase-term table.
+    */
+  def phraseSearchSql(phrases: Seq[String]): String = {
+    val values = phrases.flatMap { ph =>
+      val ws = ph.split(" ")
+      ws.zipWithIndex.map { case (w, i) =>
+        s"('$ph', $i, '$w', ${ws.length})"
+      }
+    }.mkString(", ")
+    s"""WITH words AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '$Ws'), x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL),
+        toks AS (SELECT doc_id, unnest(range(0, len(w))) AS p,
+                        unnest(w) AS term
+                 FROM words),
+        ph AS (SELECT * FROM (VALUES $values) AS t(phrase, ti, term, plen)),
+        cand AS (SELECT toks.doc_id, ph.phrase, ph.plen,
+                        toks.p - ph.ti AS s
+                 FROM toks JOIN ph USING (term)),
+        occ AS (SELECT doc_id, phrase, plen, s, COUNT(*) AS c
+                FROM cand GROUP BY 1, 2, 3, 4)
+        SELECT phrase, COUNT(DISTINCT doc_id) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM occ WHERE c = plen GROUP BY phrase"""
+  }
+
   /** Persisted min-max scaler twin — SimilarityOps.fitWriteScaler +
     * applyScaler: per-dim min/max fitted on the vec_id%10≠0 slice,
     * held-out slice clamped into the fitted range and scaled to

@@ -1821,6 +1821,13 @@ object SparkEntry {
       CurationOps.chunkOverlap(Tables.documents(s, d))),
     // Inverted-index build: capped posting lists in doc order plus true
     // document frequency per term — the retrieval-index prep stage.
+    // Positional phrase search: offset-trick candidate join against a
+    // broadcast phrase-term table, slot-count filter, per-phrase
+    // doc/occurrence rollup — exact contiguous-run semantics a
+    // bag-of-words index cannot answer.
+    "q_phrase_search" -> ((s, d) =>
+      CurationOps.phraseSearch(Tables.documents(s, d), PhraseQueries)),
+
     "q_inverted_index" -> ((s, d) =>
       CurationOps.invertedIndex(Tables.documents(s, d))),
     // BM25-family ranked retrieval over those postings: broadcast query
@@ -2557,6 +2564,58 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus").agg(
           AggOps.exactSum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("cnt"))
+    }),
+
+    // STREAMING incremental view maintenance: lineitem arrivals stream
+    // in micro-batches, each batch's dim-join delta APPENDS to the
+    // persisted view inside foreachBatch — always-on IVM. The digest of
+    // the final artifact must equal the one-shot full join (same oracle
+    // as q_ivm_join).
+    "q_stream_ivm" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val bd = lit(IvmBoundary).cast("date")
+      val lb = li.filter(col("l_shipdate").cast("date") < bd)
+      val ld = li.filter(col("l_shipdate").cast("date") >= bd)
+      // Midpoint cut → two non-degenerate micro-batches at every SF
+      // (bounded two-scalar agg, the upsertReplay span precedent).
+      val b = ld.agg(min("l_orderkey"), max("l_orderkey")).head()
+      graft.streaming.StreamOps.ivmReplay(o, lb, ld,
+          tmpPath("graft_stream_ivm_view", d),
+          tmpPath("graft_stream_ivm_stage", d),
+          boundaries = Seq((b.getLong(0) + b.getLong(1)) / 2))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("l_quantity")).as("sum_qty"),
+          AggOps.exactSum(col("o_totalprice")).as("sum_price"),
+          sum("o_custkey").as("custkey_sum"))
+    }),
+
+    // Manifest-versioned table with time travel: two snapshot commits,
+    // readers pinned per version — the digest of v1 (pre-boundary
+    // orders) and v2 (v1 + appended remainder) in one output, derived
+    // by the oracle from date arithmetic alone.
+    "q_time_travel" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val path = tmpPath("graft_tt", d)
+      // tmpPath survives within a JVM across bench warmup+timed passes;
+      // version history must restart per run, so clear the root first.
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      val bd = lit(IvmBoundary).cast("date")
+      SinkOps.commitVersion(
+        o.filter(col("o_orderdate").cast("date") < bd), path)
+      SinkOps.commitVersion(
+        o.filter(col("o_orderdate").cast("date") >= bd), path)
+      def dig(df: DataFrame, v: Int) = df.agg(
+          count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("o_totalprice")).as("sum_price"),
+          sum("o_custkey").as("custkey_sum"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"),
+          col("custkey_sum"))
+      dig(SinkOps.readVersion(s, path, Some(1)), 1)
+        .unionByName(dig(SinkOps.readVersion(s, path, Some(2)), 2))
     }),
 
     // Per-source-file provenance audit: corpus written sharded, re-read,
@@ -3853,6 +3912,21 @@ object SparkEntry {
   /** q_ivm_join / q_join_hotcold constants (shared by oracles). */
   private val IvmBoundary = "1997-01-01"
   private val HotColdCut = 25L
+
+  /** q_phrase_search query phrases (shared with the oracle VALUES). */
+  private val PhraseQueries = Seq("table value part", "fast merge batch",
+    "scan slow fast", "spark data vector", "window table table")
+
+  /** Shared oracle for the batch and streaming IVM twins: the full
+    * unsplit join's digest.
+    */
+  private val IvmJoinOracle =
+    """SELECT l_returnflag, count(*) AS n_rows,
+              CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price,
+              CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY l_returnflag"""
 
   /** q_pagerank fixture/shape constants (shared by query + oracle). */
   private val PrMod = 997
@@ -5766,14 +5840,25 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS avg_v
          FROM lineitem GROUP BY l_returnflag""",
     // From-scratch join over the unsplit tables — the persisted-view +
-    // delta-rule refresh must reproduce this digest exactly.
-    "q_ivm_join" ->
-      """SELECT l_returnflag, count(*) AS n_rows,
-                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price,
-                CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
-         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         GROUP BY l_returnflag""",
+    // delta-rule refresh must reproduce this digest exactly (and the
+    // streaming maintenance loop the same one).
+    "q_ivm_join" -> IvmJoinOracle,
+    "q_stream_ivm" -> IvmJoinOracle,
+    // Snapshot digests from date arithmetic alone: v1 = pre-boundary
+    // commit, v2 = v1 + appended remainder = the whole table.
+    "q_time_travel" ->
+      s"""SELECT 1 AS version, count(*) AS n_rows,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                   AS sum_price,
+                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+          FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '$IvmBoundary'
+          UNION ALL
+          SELECT 2 AS version, count(*) AS n_rows,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                   AS sum_price,
+                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+          FROM orders""",
+    "q_phrase_search" -> OracleSql.phraseSearchSql(PhraseQueries),
     // The plain join the hot/cold hybrid decomposes — identical results
     // prove the split is exact.
     "q_join_hotcold" ->

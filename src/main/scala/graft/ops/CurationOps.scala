@@ -319,6 +319,42 @@ object CurationOps {
             x => x.cast("string")), ",")
           .as("postings"))
 
+  /** Exact phrase search over a POSITIONAL posting derivation — the
+    * retrieval primitive bag-of-words indexes cannot answer ("table
+    * value part" as a contiguous run, not three scattered terms). The
+    * classic offset trick keeps it one join + one agg: every token that
+    * matches ANY phrase term produces a candidate anchored at
+    * `start = position − term_index`; a start with ALL `len` term slots
+    * filled is a real occurrence (each slot can only be filled by the
+    * one token at that exact position, so plain count ≡ slot count).
+    * Scale shape: the phrase-term table is tiny and broadcast, so the
+    * corpus moves only tokens matching query terms (the BM25 pre-drop
+    * discipline); one (doc, phrase, start)-keyed agg + one phrase
+    * rollup. Output per phrase: matching-doc count and total
+    * occurrences; phrases with no hit are absent (inner-join contract,
+    * shared with the oracle).
+    */
+  def phraseSearch(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = phrases.flatMap { ph =>
+      val ws = ph.split(" ").toSeq
+      ws.zipWithIndex.map { case (w, i) => (ph, i.toLong, w, ws.length.toLong) }
+    }.toDF("phrase", "ti", "term", "plen")
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), TextOps.WsRegex),
+          x => x =!= "")).as(Seq("p", "term")))
+    toks.join(broadcast(terms), "term")
+      .groupBy(col("doc_id"), col("phrase"), col("plen"),
+        (col("p") - col("ti")).as("start"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") === col("plen"))
+      .groupBy("phrase")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"))
+  }
+
   /** BM25-family ranked retrieval over token postings: each query scores
     * candidate documents by Σ_terms idf_ppm · tf·(K1+1) / (tf + K1·(1 −
     * B + B·dl/avgdl)) and keeps the top-k per query. idf_ppm =

@@ -242,9 +242,10 @@ object JoinOps {
       .write.mode("overwrite").parquet(path)
 
   /** The view's row shape — shared by the base write and every delta
-    * term so stored and freshly-derived rows union loss-free.
+    * term (including the streaming maintenance loop) so stored and
+    * freshly-derived rows union loss-free.
     */
-  private def joinViewRows(o: DataFrame, l: DataFrame): DataFrame =
+  private[graft] def joinViewRows(o: DataFrame, l: DataFrame): DataFrame =
     o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
         col("l_returnflag"), col("l_quantity"), col("o_totalprice"))

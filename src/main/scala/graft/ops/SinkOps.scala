@@ -158,6 +158,74 @@ object SinkOps {
       .partitionBy(partitionCol).parquet(path)
   }
 
+  /** Append a snapshot to a MANIFEST-VERSIONED table (the Iceberg/Delta
+    * time-travel discipline, dependency-free): data files land under an
+    * immutable per-version directory, and version N's manifest lists
+    * every data directory composing that snapshot (v1..vN — append-only,
+    * nothing rewritten). Readers plan from the manifest, NEVER from a
+    * directory listing, so a reader pinned to version N is isolated
+    * from concurrent appends (snapshot isolation) and planning is one
+    * manifest read, not a 100k-file listing. All file mutation goes
+    * through the Hadoop `FileSystem` API so the layout works on any
+    * Hadoop-compatible store. Returns the new version number.
+    */
+  def commitVersion(df: DataFrame, path: String): Int = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val v = latestVersion(fs, root) + 1
+    val dataDir = s"data/v$v"
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    val prev = if (v == 1) Nil else manifestDirs(fs, root, v - 1)
+    val mf = new org.apache.hadoop.fs.Path(root, f"manifest/v$v%05d.txt")
+    val out = fs.create(mf, true)
+    try out.write((prev :+ dataDir).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    v
+  }
+
+  /** Read a pinned snapshot of a [[commitVersion]] table. `version`
+    * None reads the latest. Missing table or version fails loudly —
+    * a reader must never silently see a different snapshot than asked.
+    */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+                  version: Option[Int] = None): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val v = version.getOrElse {
+      val latest = latestVersion(fs, root)
+      require(latest >= 1, s"no versions committed at $path")
+      latest
+    }
+    val dirs = manifestDirs(fs, root, v)
+    spark.read.parquet(dirs.map(d =>
+      new org.apache.hadoop.fs.Path(root, d).toString): _*)
+  }
+
+  private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path): Int = {
+    val mdir = new org.apache.hadoop.fs.Path(root, "manifest")
+    if (!fs.exists(mdir)) 0
+    else fs.listStatus(mdir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  private def manifestDirs(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           v: Int): Seq[String] = {
+    val mf = new org.apache.hadoop.fs.Path(root, f"manifest/v$v%05d.txt")
+    require(fs.exists(mf), s"version $v does not exist under $root")
+    val in = fs.open(mf)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
   /** Per-source-file provenance audit — the find-the-bad-shard tool a
     * 100 TB ingest runs after every drop: write the corpus hive-
     * partitioned by an id-derived shard, re-scan, and account for every

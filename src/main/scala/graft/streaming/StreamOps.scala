@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -923,6 +923,39 @@ object StreamOps {
     try q.awaitTermination() finally q.stop()
     verdicts.get().getOrElse(
       throw new IllegalStateException("no micro-batch fired"))
+  }
+
+  /** STREAMING incremental join-view maintenance — the always-on form
+    * of the batch delta rule (JoinOps.ivmJoinRefresh): the base view
+    * O ⋈ L_base is persisted once; each micro-batch of arriving fact
+    * rows joins the static dim side and APPENDS its delta rows to the
+    * stored view inside foreachBatch — the view is never recomputed
+    * and the dim never shuffles (the day-sized batch broadcasts).
+    * Returns the refreshed view read back from the artifact, which the
+    * oracle digests against the full unsplit join — streamed
+    * maintenance ≡ one-shot recompute, hash-pinned. Same staged-slice
+    * replay mechanics (ascending mtimes, maxFilesPerTrigger=1,
+    * AvailableNow) as the index-ingest family.
+    */
+  def ivmReplay(oDim: DataFrame, lBase: DataFrame, lDelta: DataFrame,
+                viewPath: String, stagingDir: String,
+                boundaries: Seq[Long]): DataFrame = {
+    val spark = oDim.sparkSession
+    graft.ops.JoinOps.writeJoinView(oDim, lBase, viewPath)
+    stageSlices(lDelta, stagingDir, "l_orderkey", boundaries)
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.JoinOps.joinViewRows(oDim, broadcast(batch))
+          .write.mode(SaveMode.Append).parquet(viewPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(viewPath)
   }
 
   /** Streaming exactly-once dedup on an id column: late duplicates are

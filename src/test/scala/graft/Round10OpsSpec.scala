@@ -99,6 +99,77 @@ class Round10OpsSpec extends SparkSpec {
     assert(got.filter(col("k") === 1L).count() === 90L)
   }
 
+  // ---- ivmReplay (streaming IVM) ----
+
+  test("ivmReplay streamed view maintenance equals the one-shot join " +
+      "row-for-row") {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val bd = lit("1997-01-01").cast("date")
+    val lb = li.filter(col("l_shipdate").cast("date") < bd)
+    val ld = li.filter(col("l_shipdate").cast("date") >= bd)
+    val b = ld.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val got = graft.streaming.StreamOps.ivmReplay(o, lb, ld,
+      tmp("graft_spec_sivm_view"), tmp("graft_spec_sivm_stage"),
+      Seq((b.getLong(0) + b.getLong(1)) / 2))
+    val full = o.join(li, col("o_orderkey") === col("l_orderkey"))
+    assert(got.count() === full.count())
+    assert(got.join(full, Seq("o_orderkey", "l_linenumber"), "left_anti")
+      .count() === 0L)
+    assert(full.select("o_orderkey", "l_linenumber")
+      .join(got, Seq("o_orderkey", "l_linenumber"), "left_anti")
+      .count() === 0L)
+  }
+
+  // ---- commitVersion / readVersion (time travel) ----
+
+  test("versioned table: pinned readers are isolated from later " +
+      "commits, latest follows, missing versions fail loudly") {
+    val path = tmp("graft_spec_tt")
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(root, true)
+    val s1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val s2 = Seq((3L, "c")).toDF("k", "v")
+    assert(graft.ops.SinkOps.commitVersion(s1, path) === 1)
+    val v1Pinned = graft.ops.SinkOps.readVersion(spark, path, Some(1))
+    assert(v1Pinned.count() === 2L)
+    assert(graft.ops.SinkOps.commitVersion(s2, path) === 2)
+    // The pinned v1 reader still sees the v1 snapshot, not the append.
+    assert(graft.ops.SinkOps.readVersion(spark, path, Some(1))
+      .count() === 2L)
+    assert(graft.ops.SinkOps.readVersion(spark, path, Some(2))
+      .count() === 3L)
+    // Latest = v2; its rows are exactly s1 ∪ s2.
+    val latest = graft.ops.SinkOps.readVersion(spark, path)
+    assert(latest.select("k").as[Long].collect().sorted ===
+      Array(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      graft.ops.SinkOps.readVersion(spark, path, Some(3)).count()
+    }
+    ()
+  }
+
+  // ---- phraseSearch ----
+
+  test("phraseSearch finds contiguous runs only, counts overlapping " +
+      "occurrences, and handles repeated-term phrases") {
+    val docs = Seq(
+      (1L, "x table value part y"),         // 1 occurrence
+      (2L, "table value part table value part"), // 2 occurrences
+      (3L, "table part value"),             // scattered terms, no run
+      (4L, "a a a"),                        // overlapping "a a" twice
+      (5L, "value part table")              // rotation, no run
+    ).toDF("doc_id", "text")
+    val got = graft.ops.CurationOps.phraseSearch(docs,
+        Seq("table value part", "a a", "absent phrase")).collect()
+      .map(r => r.getAs[String]("phrase") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ")))).toMap
+    assert(got("table value part") === ((2L, 3L)))
+    assert(got("a a") === ((1L, 2L)))
+    assert(!got.contains("absent phrase"))
+  }
+
   // ---- trainWriteLm / scoreWithLm ----
 
   test("scoreWithLm on the training slice equals in-plan lmScore with " +
