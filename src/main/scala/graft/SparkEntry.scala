@@ -2618,6 +2618,48 @@ object SparkEntry {
         .unionByName(dig(SinkOps.readVersion(s, path, Some(2)), 2))
     }),
 
+    // Versioned-table compaction (the OPTIMIZE half): after two append
+    // commits, rewrite the current state as one data dir committed as
+    // v3 — same digest as v2 (the oracle proves the rewrite lossless),
+    // old pinned versions untouched (spec).
+    "q_compact_versions" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val path = tmpPath("graft_ttc", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      val bd = lit(IvmBoundary).cast("date")
+      SinkOps.commitVersion(
+        o.filter(col("o_orderdate").cast("date") < bd), path)
+      SinkOps.commitVersion(
+        o.filter(col("o_orderdate").cast("date") >= bd), path)
+      val v = SinkOps.compactVersions(s, path)
+      SinkOps.readVersion(s, path, Some(v)).agg(
+          count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("o_totalprice")).as("sum_price"),
+          sum("o_custkey").as("custkey_sum"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"),
+          col("custkey_sum"))
+    }),
+
+    // Streaming versioned sink: every micro-batch commits as its own
+    // queryable snapshot; the latest snapshot must equal one batch
+    // write of the whole input.
+    "q_stream_versions" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val latest = graft.streaming.StreamOps.versionedSinkReplay(o,
+        tmpPath("graft_ttv", d), tmpPath("graft_ttv_stage", d),
+        "o_orderkey", Seq((b.getLong(0) + b.getLong(1)) / 2))
+      latest.agg(
+          count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("o_totalprice")).as("sum_price"),
+          sum("o_custkey").as("custkey_sum"))
+        .select(col("n_rows"), col("sum_price"), col("custkey_sum"),
+          lit(SinkOps.currentVersion(s, tmpPath("graft_ttv", d)))
+            .as("n_versions"))
+    }),
+
     // Per-source-file provenance audit: corpus written sharded, re-read,
     // and accounted for by the PATH each row came from (input_file_name),
     // cross-checked against the shard column with a mismatch counter the
@@ -5859,6 +5901,22 @@ object SparkEntry {
                  CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
           FROM orders""",
     "q_phrase_search" -> OracleSql.phraseSearchSql(PhraseQueries),
+    // Compaction is a pure rewrite: v3 ≡ v2 ≡ the whole table.
+    "q_compact_versions" ->
+      """SELECT 3 AS version, count(*) AS n_rows,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_price,
+                CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+         FROM orders""",
+    // Streamed versioned commits ≡ one batch write of the whole input;
+    // two staged slices → exactly two versions.
+    "q_stream_versions" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_price,
+                CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+                2 AS n_versions
+         FROM orders""",
     // The plain join the hot/cold hybrid decomposes — identical results
     // prove the split is exact.
     "q_join_hotcold" ->

@@ -169,7 +169,8 @@ object SinkOps {
     * through the Hadoop `FileSystem` API so the layout works on any
     * Hadoop-compatible store. Returns the new version number.
     */
-  def commitVersion(df: DataFrame, path: String): Int = {
+  def commitVersion(df: DataFrame, path: String,
+                    carryForward: Boolean = true): Int = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -177,13 +178,34 @@ object SinkOps {
     val dataDir = s"data/v$v"
     df.write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
-    val prev = if (v == 1) Nil else manifestDirs(fs, root, v - 1)
+    val prev = if (v == 1 || !carryForward) Nil
+      else manifestDirs(fs, root, v - 1)
     val mf = new org.apache.hadoop.fs.Path(root, f"manifest/v$v%05d.txt")
     val out = fs.create(mf, true)
     try out.write((prev :+ dataDir).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     v
+  }
+
+  /** Compact the latest snapshot into ONE data directory committed as a
+    * new version (the OPTIMIZE half of the versioned-table lifecycle:
+    * a long-running append stream accretes day-sized dirs; compaction
+    * rewrites the current state once and the new manifest lists a
+    * single dir — planning returns to O(1) dirs). Readers pinned to
+    * ANY earlier version are untouched: old data dirs and manifests are
+    * immutable, the rewrite only adds. Returns the compacted version.
+    */
+  def compactVersions(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Int =
+    commitVersion(readVersion(spark, path), path, carryForward = false)
+
+  /** The table's latest committed version (0 when uninitialized). */
+  def currentVersion(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    latestVersion(root.getFileSystem(spark.sessionState.newHadoopConf()),
+      root)
   }
 
   /** Read a pinned snapshot of a [[commitVersion]] table. `version`

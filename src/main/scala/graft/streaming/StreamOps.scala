@@ -958,6 +958,39 @@ object StreamOps {
     spark.read.parquet(viewPath)
   }
 
+  /** Streaming sink into a MANIFEST-VERSIONED table — each micro-batch
+    * commits as its own snapshot version (SinkOps.commitVersion), so
+    * the stream's history is queryable: any past version is a pinned,
+    * immutable point-in-time read while the stream keeps appending —
+    * the exactly-once versioned-sink shape (a replayed batch would
+    * re-commit as a NEW version; readers of old versions never see
+    * torn state because a commit is data-files-then-manifest). Returns
+    * the latest snapshot; the oracle digests the whole input — streamed
+    * versioned commits ≡ one batch write. The table root resets per
+    * call so version history is per-run deterministic.
+    */
+  def versionedSinkReplay(rows: DataFrame, tablePath: String,
+                          stagingDir: String, idCol: String,
+                          boundaries: Seq[Long]): DataFrame = {
+    val spark = rows.sparkSession
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(root, true)
+    stageSlices(rows, stagingDir, idCol, boundaries)
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.SinkOps.commitVersion(batch, tablePath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    graft.ops.SinkOps.readVersion(spark, tablePath)
+  }
+
   /** Streaming exactly-once dedup on an id column: late duplicates are
     * dropped as long as they arrive within the watermark horizon — state
     * is one id per event inside the horizon, evicted as the watermark

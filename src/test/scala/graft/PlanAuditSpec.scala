@@ -520,4 +520,39 @@ class PlanAuditSpec extends SparkSpec {
       "exact q_profile is expected to plan the multi-distinct Expand " +
         "(if Catalyst stops doing so, update profile()'s scaladoc)")
   }
+
+  test("IVM refresh joins every delta term by broadcast — base " +
+      "relations never shuffle into a sort-merge join") {
+    val p = planOf("q_ivm_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "a base-relation shuffle join crept into the IVM refresh")
+  }
+
+  test("hot/cold join plans BOTH a broadcast (hot) and a sort-merge " +
+      "(cold) path") {
+    val p = planOf("q_join_hotcold")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("scaler apply broadcasts the Dims-row artifact — the batch " +
+      "never shuffles raw vectors") {
+    val p = planOf("q_scaler_apply")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("phrase search broadcasts the phrase-term table and drops " +
+      "non-query tokens before any exchange") {
+    val p = planOf("q_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LM scoring joins the persisted model, not the training corpus " +
+      "(one parquet scan of the artifact)") {
+    val p = planOf("q_lm_persist")
+    assert(p.contains("graft_lm"),
+      "scoring plan must read the persisted bigram artifact")
+  }
 }

@@ -150,6 +150,46 @@ class Round10OpsSpec extends SparkSpec {
     ()
   }
 
+  // ---- compactVersions / versionedSinkReplay ----
+
+  test("compactVersions rewrites the current state into one data dir " +
+      "and leaves every pinned version readable") {
+    val path = tmp("graft_spec_ttc")
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(root, true)
+    graft.ops.SinkOps.commitVersion(Seq((1L, "a")).toDF("k", "v"), path)
+    graft.ops.SinkOps.commitVersion(Seq((2L, "b")).toDF("k", "v"), path)
+    val cv = graft.ops.SinkOps.compactVersions(spark, path)
+    assert(cv === 3)
+    val v3 = graft.ops.SinkOps.readVersion(spark, path, Some(3))
+    assert(v3.count() === 2L)
+    // The compacted snapshot plans from ONE data dir.
+    assert(v3.inputFiles.nonEmpty)
+    assert(v3.inputFiles.forall(_.contains("data/v3")))
+    // History before the compaction is immutable and still readable.
+    assert(graft.ops.SinkOps.readVersion(spark, path, Some(1))
+      .count() === 1L)
+    assert(graft.ops.SinkOps.readVersion(spark, path, Some(2))
+      .count() === 2L)
+  }
+
+  test("versionedSinkReplay commits one queryable snapshot per " +
+      "micro-batch") {
+    val o = Tables.orders(spark, sfDir)
+    val b = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    val path = tmp("graft_spec_ttv")
+    val latest = graft.streaming.StreamOps.versionedSinkReplay(o, path,
+      tmp("graft_spec_ttv_stage"), "o_orderkey", Seq(mid))
+    assert(graft.ops.SinkOps.currentVersion(spark, path) === 2)
+    assert(latest.count() === o.count())
+    // Version 1 is exactly the first micro-batch — the stream's own
+    // history is a point-in-time read.
+    val v1 = graft.ops.SinkOps.readVersion(spark, path, Some(1))
+    assert(v1.count() === o.filter(col("o_orderkey") < mid).count())
+  }
+
   // ---- phraseSearch ----
 
   test("phraseSearch finds contiguous runs only, counts overlapping " +
