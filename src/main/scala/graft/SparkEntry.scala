@@ -2660,6 +2660,79 @@ object SparkEntry {
             .as("n_versions"))
     }),
 
+    // VACUUM: after compaction the pre-compaction data dirs are
+    // unreferenced by the head — expire removes exactly those two by
+    // reference counting (n_removed pinned), and the surviving head
+    // still reads clean (the digest proves no live file was GC'd).
+    "q_expire_versions" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val path = tmpPath("graft_tte", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      val bd = lit(IvmBoundary).cast("date")
+      SinkOps.commitVersion(
+        o.filter(col("o_orderdate").cast("date") < bd), path)
+      SinkOps.commitVersion(
+        o.filter(col("o_orderdate").cast("date") >= bd), path)
+      val v = SinkOps.compactVersions(s, path)
+      val removed = SinkOps.expireVersions(s, path, keep = v)
+      SinkOps.readVersion(s, path, Some(v)).agg(
+          count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("o_totalprice")).as("sum_price"),
+          sum("o_custkey").as("custkey_sum"))
+        .select(lit(v).as("version"), lit(removed).as("n_removed"),
+          col("n_rows"), col("sum_price"), col("custkey_sum"))
+    }),
+
+    // Write-audit-publish: v1 commits clean; a corrupted batch (negated
+    // prices) is STAGED, audited by reading the staged files back,
+    // rejected and rolled back — the table provably never saw it; the
+    // clean batch stages, audits green, and publishes atomically. The
+    // final digest is the full uncorrupted table: if the audit gate
+    // ever waves the bad batch through, the negated prices break the
+    // hash.
+    "q_wap" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val path = tmpPath("graft_wap", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      val bd = lit(IvmBoundary).cast("date")
+      val rest = o.filter(col("o_orderdate").cast("date") >= bd)
+      SinkOps.commitVersion(
+        o.filter(col("o_orderdate").cast("date") < bd), path)
+      def auditPasses(v: Int): Boolean =
+        SinkOps.readStaged(s, path, v)
+          .filter(col("o_totalprice") < 0).limit(1).count() == 0L
+      val bad = SinkOps.stageVersion(
+        rest.withColumn("o_totalprice", -col("o_totalprice")), path)
+      require(!auditPasses(bad), "audit failed to flag the bad batch")
+      SinkOps.rollbackStaged(s, path, bad)
+      val good = SinkOps.stageVersion(rest, path)
+      require(auditPasses(good), "audit flagged the clean batch")
+      SinkOps.publishStaged(s, path, good)
+      SinkOps.readVersion(s, path).agg(
+          count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("o_totalprice")).as("sum_price"),
+          sum("o_custkey").as("custkey_sum"))
+        .select(lit(SinkOps.currentVersion(s, path)).as("version"),
+          col("n_rows"), col("sum_price"), col("custkey_sum"))
+    }),
+
+    // Retraction IVM: the delete half of incremental aggregate
+    // maintenance — the deleted slice's state SUBTRACTS (cnt/sum have
+    // inverses; min/max dropped by contract, not silently stale). The
+    // oracle recomputes on the surviving rows from scratch.
+    "q_ivm_retract" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val prev = AggOps.aggState(li, "l_returnflag", "l_quantity")
+      val deleted = AggOps.aggState(
+        li.filter(pmod(col("l_orderkey"), lit(5)) === 0),
+        "l_returnflag", "l_quantity")
+      AggOps.retractAggStates(prev, deleted, "l_returnflag")
+    }),
+
     // Per-source-file provenance audit: corpus written sharded, re-read,
     // and accounted for by the PATH each row came from (input_file_name),
     // cross-checked against the shard column with a mismatch counter the
@@ -5908,6 +5981,31 @@ object SparkEntry {
                   AS sum_price,
                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
          FROM orders""",
+    // Expiry GC'd exactly the two pre-compaction dirs; the compacted
+    // head still digests to the whole table.
+    "q_expire_versions" ->
+      """SELECT 3 AS version, 2 AS n_removed, count(*) AS n_rows,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_price,
+                CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+         FROM orders""",
+    // WAP: the corrupted stage was rolled back, the clean one
+    // published — head v2 is the full uncorrupted table.
+    "q_wap" ->
+      """SELECT 2 AS version, count(*) AS n_rows,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_price,
+                CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+         FROM orders""",
+    // Retraction must equal the from-scratch aggregate on survivors.
+    "q_ivm_retract" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_v,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                  / count(*) AS avg_v
+         FROM lineitem WHERE l_orderkey % 5 <> 0
+         GROUP BY l_returnflag""",
     // Streamed versioned commits ≡ one batch write of the whole input;
     // two staged slices → exactly two versions.
     "q_stream_versions" ->

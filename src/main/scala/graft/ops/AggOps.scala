@@ -293,6 +293,36 @@ object AggOps {
       min(col("min_v")).as("min_v"),
       max(col("max_v")).as("max_v"))
 
+  /** RETRACTION merge — the delete half of incremental aggregate
+    * maintenance ([[mergeAggStates]] documents why it is insert-only):
+    * cnt and sum are group monoids with inverses, so a deleted slice's
+    * state subtracts exactly (state-sized work, base never rescanned);
+    * min/max have NO inverse — retracting the current extremum needs
+    * the runner-up, which the state does not hold — so the retractable
+    * view carries (cnt, sum, avg) ONLY, by contract rather than by a
+    * silently-stale column. Keys whose every row was deleted leave the
+    * state (cnt 0 filtered); a retraction exceeding the insertions
+    * throws — it means the delta was mis-scoped, never a valid state.
+    */
+  def retractAggStates(prev: DataFrame, deleted: DataFrame,
+                       key: String): DataFrame = {
+    val merged = prev
+      .unionByName(deleted.select(col(key), (-col("cnt")).as("cnt"),
+        (-col("sum_v")).as("sum_v")), allowMissingColumns = true)
+      .groupBy(col(key)).agg(
+        sum("cnt").as("cnt"), sum("sum_v").as("sum_v"))
+    merged
+      .filter(coalesce(
+        assert_true(col("cnt") >= 0,
+          concat(lit("retraction exceeds insertions for key "),
+            col(key).cast("string"))),
+        lit(true)))
+      .filter(col("cnt") > 0)
+      .select(col(key), col("cnt"),
+        col("sum_v").cast("double").as("sum_v"),
+        (col("sum_v").cast("double") / col("cnt")).as("avg_v"))
+  }
+
   /** Read-time view over a state: derived avg, double-cast sum. */
   def aggStateView(state: DataFrame, key: String): DataFrame =
     state.select(col(key), col("cnt"),

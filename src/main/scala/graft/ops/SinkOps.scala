@@ -200,6 +200,107 @@ object SinkOps {
                       path: String): Int =
     commitVersion(readVersion(spark, path), path, carryForward = false)
 
+  /** VACUUM — expire history older than `keep`: manifests below `keep`
+    * are removed and every data directory referenced by NO surviving
+    * manifest is deleted (reference-counted GC, never an age heuristic
+    * on raw files — a dir shared by a surviving snapshot survives).
+    * Typically run after [[compactVersions]], when the pre-compaction
+    * dirs become unreferenced by the head. Pinned readers of expired
+    * versions now fail loudly instead of silently reading a partial
+    * snapshot. Returns the number of data dirs deleted.
+    */
+  def expireVersions(spark: org.apache.spark.sql.SparkSession,
+                     path: String, keep: Int): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val latest = latestVersion(fs, root)
+    require(keep >= 1 && keep <= latest,
+      s"keep=$keep outside committed versions 1..$latest")
+    val live = (keep to latest)
+      .flatMap(v => manifestDirs(fs, root, v)).toSet
+    val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
+    val all = fs.listStatus(dataRoot).map("data/" + _.getPath.getName)
+    val dead = all.filterNot(live)
+    dead.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, d), true); ()
+    }
+    (1 until keep).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        f"manifest/v$v%05d.txt"), false); ()
+    }
+    dead.length
+  }
+
+  /** Write-audit-publish, stage half: the batch's data files land under
+    * the next version's dir and its manifest is written to `staging/` —
+    * INVISIBLE to readers ([[latestVersion]] only consults
+    * `manifest/`). The auditor reads the staged files back
+    * ([[readStaged]] — auditing what was actually written, not what the
+    * writer intended), then either [[publishStaged]] (one atomic
+    * manifest rename makes it the head) or [[rollbackStaged]] (table
+    * provably untouched). Single-writer contract, as for
+    * [[commitVersion]]. Returns the staged version number.
+    */
+  def stageVersion(df: DataFrame, path: String): Int = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val v = latestVersion(fs, root) + 1
+    val dataDir = s"data/v$v"
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    val prev = if (v == 1) Nil else manifestDirs(fs, root, v - 1)
+    val mf = new org.apache.hadoop.fs.Path(root, f"staging/v$v%05d.txt")
+    val out = fs.create(mf, true)
+    try out.write((prev :+ dataDir).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    v
+  }
+
+  /** Audit-side read of a staged (unpublished) version. */
+  def readStaged(spark: org.apache.spark.sql.SparkSession, path: String,
+                 v: Int): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = new org.apache.hadoop.fs.Path(root, f"staging/v$v%05d.txt")
+    require(fs.exists(mf), s"no staged version $v under $root")
+    val in = fs.open(mf)
+    val dirs = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+    spark.read.parquet(dirs.map(d =>
+      new org.apache.hadoop.fs.Path(root, d).toString): _*)
+  }
+
+  /** Publish a staged version: ONE manifest rename — readers see either
+    * the old head or the complete new snapshot, never torn state.
+    */
+  def publishStaged(spark: org.apache.spark.sql.SparkSession,
+                    path: String, v: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val src = new org.apache.hadoop.fs.Path(root, f"staging/v$v%05d.txt")
+    require(fs.exists(src), s"no staged version $v under $root")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "manifest"))
+    require(fs.rename(src,
+        new org.apache.hadoop.fs.Path(root, f"manifest/v$v%05d.txt")),
+      s"publish rename failed for staged version $v")
+  }
+
+  /** Roll back a staged version: its data dir and staging manifest are
+    * removed; the published table never saw it.
+    */
+  def rollbackStaged(spark: org.apache.spark.sql.SparkSession,
+                     path: String, v: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, s"data/v$v"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      f"staging/v$v%05d.txt"), false)
+    ()
+  }
+
   /** The table's latest committed version (0 when uninitialized). */
   def currentVersion(spark: org.apache.spark.sql.SparkSession,
                      path: String): Int = {

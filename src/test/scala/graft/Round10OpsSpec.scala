@@ -190,6 +190,82 @@ class Round10OpsSpec extends SparkSpec {
     assert(v1.count() === o.filter(col("o_orderkey") < mid).count())
   }
 
+  // ---- expireVersions / stage-publish-rollback / retractAggStates ----
+
+  test("expireVersions is reference-counted: dirs still referenced by " +
+      "surviving manifests are NOT deleted; orphans after compaction " +
+      "are; expired reads fail loudly") {
+    val path = tmp("graft_spec_tte")
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(root, true)
+    graft.ops.SinkOps.commitVersion(Seq((1L, "a")).toDF("k", "v"), path)
+    graft.ops.SinkOps.commitVersion(Seq((2L, "b")).toDF("k", "v"), path)
+    // v2's manifest carries data/v1 forward — expiring v1's MANIFEST
+    // must not delete the still-referenced dir.
+    assert(graft.ops.SinkOps.expireVersions(spark, path, keep = 2) === 0)
+    assert(graft.ops.SinkOps.readVersion(spark, path, Some(2))
+      .count() === 2L)
+    intercept[IllegalArgumentException] {
+      graft.ops.SinkOps.readVersion(spark, path, Some(1)).count()
+    }
+    // After compaction the old dirs become unreferenced → GC'd.
+    val cv = graft.ops.SinkOps.compactVersions(spark, path)
+    assert(graft.ops.SinkOps.expireVersions(spark, path, keep = cv) === 2)
+    assert(graft.ops.SinkOps.readVersion(spark, path, Some(cv))
+      .count() === 2L)
+  }
+
+  test("staged versions are invisible until published and a rollback " +
+      "leaves the table bit-identical") {
+    val path = tmp("graft_spec_wap")
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(root, true)
+    graft.ops.SinkOps.commitVersion(Seq((1L, "a")).toDF("k", "v"), path)
+    val before = graft.ops.SinkOps.readVersion(spark, path).collect().toSet
+    val sv = graft.ops.SinkOps.stageVersion(
+      Seq((2L, "bad")).toDF("k", "v"), path)
+    // Invisible: latest is still v1.
+    assert(graft.ops.SinkOps.currentVersion(spark, path) === 1)
+    assert(graft.ops.SinkOps.readVersion(spark, path).count() === 1L)
+    // The auditor sees the staged snapshot (base + staged batch).
+    assert(graft.ops.SinkOps.readStaged(spark, path, sv).count() === 2L)
+    graft.ops.SinkOps.rollbackStaged(spark, path, sv)
+    assert(graft.ops.SinkOps.readVersion(spark, path).collect().toSet
+      === before)
+    // Publish path: stage again and promote.
+    val sv2 = graft.ops.SinkOps.stageVersion(
+      Seq((3L, "good")).toDF("k", "v"), path)
+    graft.ops.SinkOps.publishStaged(spark, path, sv2)
+    assert(graft.ops.SinkOps.currentVersion(spark, path) === sv2)
+    assert(graft.ops.SinkOps.readVersion(spark, path).count() === 2L)
+  }
+
+  test("retractAggStates subtracts exactly, drops fully-deleted keys, " +
+      "and throws on over-retraction") {
+    val all = Seq(("A", 1.0), ("A", 3.0), ("B", 5.0), ("B", 7.0),
+      ("C", 9.0)).toDF("g", "v")
+    val del = Seq(("A", 3.0), ("C", 9.0)).toDF("g", "v")
+    val prev = graft.ops.AggOps.aggState(all, "g", "v")
+    val dState = graft.ops.AggOps.aggState(del, "g", "v")
+    val got = graft.ops.AggOps.retractAggStates(prev, dState, "g")
+    // min/max are NOT in the retractable view — contract, not staleness.
+    assert(!got.columns.contains("min_v") && !got.columns.contains("max_v"))
+    val m = got.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(m("A") === ((1L, 1.0, 1.0)))
+    assert(m("B") === ((2L, 12.0, 6.0)))
+    assert(!m.contains("C"))
+    // Retracting more than was inserted must throw, not go negative.
+    val over = graft.ops.AggOps.aggState(
+      Seq(("B", 5.0), ("B", 7.0), ("B", 8.0)).toDF("g", "v"), "g", "v")
+    intercept[Exception] {
+      graft.ops.AggOps.retractAggStates(prev, over, "g").collect()
+    }
+    ()
+  }
+
   // ---- phraseSearch ----
 
   test("phraseSearch finds contiguous runs only, counts overlapping " +
