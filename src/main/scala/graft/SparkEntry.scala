@@ -2733,6 +2733,62 @@ object SparkEntry {
       AggOps.retractAggStates(prev, deleted, "l_returnflag")
     }),
 
+    // Additive schema evolution across snapshots: v2's commit carries a
+    // new column; the merged-schema read null-fills legacy rows —
+    // history is never rewritten. Digest split by legacy/evolved.
+    "q_evolve_versions" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val path = tmpPath("graft_ttev", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      val bd = lit(IvmBoundary).cast("date")
+      SinkOps.commitVersion(o.filter(col("o_orderdate").cast("date") < bd)
+        .select("o_orderkey", "o_custkey", "o_totalprice"), path)
+      SinkOps.commitVersion(o.filter(col("o_orderdate").cast("date") >= bd)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (col("o_custkey") % 7).as("o_segment")), path)
+      SinkOps.readVersion(s, path, mergeSchema = true)
+        .groupBy(col("o_segment").isNull.as("legacy"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_custkey").as("custkey_sum"),
+          sum(coalesce(col("o_segment"), lit(0L))).as("seg_sum"))
+    }),
+
+    // Streaming as-of enrichment: micro-batches of events pick up the
+    // latest prior order state — per-batch as-of composes losslessly,
+    // so the shared q_join_asof oracle pins streamed ≡ batch.
+    "q_stream_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val eu = ev.select(col("event_id"), col("user_id"),
+        EventOps.microsOf(ev, "ts").as("tus"))
+      val or = Tables.orders(s, d)
+      val ou = or.select(col("o_custkey").as("user_id"),
+        col("o_orderkey"), EventOps.microsOf(or, "o_orderdate").as("o_us"))
+      val b = eu.agg(min("event_id"), max("event_id")).head()
+      graft.streaming.StreamOps.asofEnrichReplay(eu, ou, "user_id",
+        "tus", "o_us", "o_orderkey",
+        tmpPath("graft_stream_asof", d), "event_id",
+        Seq((b.getLong(0) + b.getLong(1)) / 2))
+    }),
+
+    // Incremental triangle maintenance: base count from the persisted
+    // artifact + the three delta categories (1/2/3 new edges per
+    // triangle), each counted once without re-enumerating base wedges.
+    // Oracle re-enumerates the union with per-triangle delta tags.
+    "q_triangle_incr" -> ((s, d) => {
+      val canon = GraphOps.edgesFromLineitem(Tables.lineitem(s, d), TriMod)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val base = canon.filter((col("a") + col("b")) % 10 =!= 0)
+      val delta = canon.filter((col("a") + col("b")) % 10 === 0)
+      val path = tmpPath("graft_tri_base", d)
+      GraphOps.writeTriangleBase(
+        base.select(col("a").as("src"), col("b").as("dst")), path)
+      GraphOps.triangleIncrement(base, delta, path)
+    }),
+
     // Per-source-file provenance audit: corpus written sharded, re-read,
     // and accounted for by the PATH each row came from (input_file_name),
     // cross-checked against the shard column with a mismatch counter the
@@ -4032,6 +4088,18 @@ object SparkEntry {
   private val PhraseQueries = Seq("table value part", "fast merge batch",
     "scan slow fast", "spark data vector", "window table table")
 
+  /** Shared oracle for the batch and streaming as-of twins. */
+  private val AsofOracle =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+            o AS (SELECT o_custkey AS user_id, o_orderkey,
+                         epoch_us(o_orderdate) AS o_us FROM orders),
+            j AS (SELECT e.event_id, e.user_id, e.tus, o.o_orderkey, o.o_us,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY e.event_id, e.user_id, e.tus
+                           ORDER BY o.o_us DESC, o.o_orderkey DESC) AS rn
+                  FROM e JOIN o USING (user_id) WHERE o.o_us <= e.tus)
+       SELECT event_id, user_id, tus, o_orderkey, o_us FROM j WHERE rn = 1"""
+
   /** Shared oracle for the batch and streaming IVM twins: the full
     * unsplit join's digest.
     */
@@ -5028,16 +5096,49 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderpriority FROM orders o
          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""",
-    "q_join_asof" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
-              o AS (SELECT o_custkey AS user_id, o_orderkey,
-                           epoch_us(o_orderdate) AS o_us FROM orders),
-              j AS (SELECT e.event_id, e.user_id, e.tus, o.o_orderkey, o.o_us,
-                           ROW_NUMBER() OVER (
-                             PARTITION BY e.event_id, e.user_id, e.tus
-                             ORDER BY o.o_us DESC, o.o_orderkey DESC) AS rn
-                    FROM e JOIN o USING (user_id) WHERE o.o_us <= e.tus)
-         SELECT event_id, user_id, tus, o_orderkey, o_us FROM j WHERE rn = 1""",
+    "q_join_asof" -> AsofOracle,
+    // Per-batch as-of composes losslessly: streamed union ≡ one batch
+    // as-of over the whole input — same oracle.
+    "q_stream_asof" -> AsofOracle,
+    // Merged-schema read of the evolved table: legacy rows are the
+    // pre-boundary commit (o_segment null), evolved rows carry
+    // o_custkey % 7.
+    "q_evolve_versions" ->
+      s"""SELECT (CAST(o_orderdate AS DATE) < DATE '$IvmBoundary')
+                   AS legacy,
+                 count(*) AS n_rows,
+                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+                 CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+                                    >= DATE '$IvmBoundary'
+                               THEN o_custkey % 7 ELSE 0 END) AS BIGINT)
+                   AS seg_sum
+          FROM orders GROUP BY 1""",
+    // Re-enumerate the union with per-triangle delta-edge tags — the
+    // incremental partition must land on the same category counts.
+    "q_triangle_incr" ->
+      s"""WITH raw AS (SELECT l_orderkey % $TriMod AS src,
+                              l_partkey % $TriMod AS dst FROM lineitem),
+          ed AS (SELECT DISTINCT least(src, dst) AS a,
+                        greatest(src, dst) AS b
+                 FROM raw WHERE src <> dst),
+          tag AS (SELECT a, b,
+                         CASE WHEN (a + b) % 10 = 0 THEN 1 ELSE 0 END
+                           AS isd
+                  FROM ed),
+          tri AS (SELECT e1.isd + e2.isd + e3.isd AS nd
+                  FROM tag e1
+                  JOIN tag e2 ON e2.a = e1.a AND e2.b > e1.b
+                  JOIN tag e3 ON e3.a = e1.b AND e3.b = e2.b)
+          SELECT CAST(COALESCE(SUM(CASE WHEN nd = 0 THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS t_base,
+                 CAST(COALESCE(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS t1,
+                 CAST(COALESCE(SUM(CASE WHEN nd = 2 THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS t2,
+                 CAST(COALESCE(SUM(CASE WHEN nd = 3 THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS t3,
+                 CAST(COUNT(*) AS BIGINT) AS t_total
+          FROM tri""",
     "q_join_asof_fwd" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
                     WHERE event_type = 'view'),

@@ -661,6 +661,67 @@ object GraphOps {
     (und, deg, tri)
   }
 
+  /** Persist the base snapshot's TOTAL triangle count — the artifact
+    * half of incremental triangle maintenance ([[triangleIncrement]]):
+    * one int64 row per snapshot; the expensive degree-ordered wedge
+    * enumeration over the full graph runs exactly here.
+    */
+  def writeTriangleBase(edges: DataFrame, path: String): Unit =
+    triangleCounts(edges)
+      .agg(coalesce(expr("sum(n_tri) div 3"), lit(0L)).as("t_base"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental triangle counting on edge arrivals — the delta rule
+    * for the graph's most quadratic statistic: with G the base simple
+    * graph (canonical a<b pairs), D a DISJOINT batch of new edges, and
+    * T(G) read from the persisted artifact,
+    *
+    *   T(G∪D) = T(G) + t1 + t2 + t3
+    *
+    * partitioned by how many delta edges each new triangle contains —
+    * each category counted exactly once by construction: t1 = Δ-edge
+    * (u,v) closed by a base wedge (two joins of D against the base
+    * adjacency — work O(|D|·deg), the base wedge space is NEVER
+    * re-enumerated); t2 = Δ-Δ wedge (its unique meeting vertex) closed
+    * by one base-edge lookup; t3 = triangles wholly inside D (the
+    * standard kernel on the tiny batch). Output: one row
+    * (t_base, t1, t2, t3, t_total), all exact int64 — the oracle
+    * re-enumerates the union with per-triangle delta-edge tags and must
+    * land on the same partition.
+    */
+  def triangleIncrement(base: DataFrame, delta: DataFrame,
+                        basePath: String): DataFrame = {
+    val spark = base.sparkSession
+    val gsym = base.select(col("a").as("u"), col("b").as("v"))
+      .union(base.select(col("b").as("u"), col("a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d = delta.select(col("a").as("du"), col("b").as("dv"))
+    val t1 = d
+      .join(gsym.select(col("u").as("du"), col("v").as("w")), "du")
+      .join(gsym.select(col("u").as("dv"), col("v").as("w")),
+        Seq("dv", "w"))
+      .agg(count(lit(1)).as("t1"))
+    val dsym = delta.select(col("a").as("x"), col("b").as("y"))
+      .union(delta.select(col("b").as("x"), col("a").as("y")))
+    val wedges = dsym.as("p")
+      .join(dsym.as("q"),
+        col("p.x") === col("q.x") && col("p.y") < col("q.y"))
+      .select(col("p.y").as("y"), col("q.y").as("z"))
+    val t2 = wedges
+      .select(least(col("y"), col("z")).as("a"),
+        greatest(col("y"), col("z")).as("b"))
+      .join(base, Seq("a", "b"))
+      .agg(count(lit(1)).as("t2"))
+    val t3 = triangleCounts(
+        delta.select(col("a").as("src"), col("b").as("dst")))
+      .agg(coalesce(expr("sum(n_tri) div 3"), lit(0L)).as("t3"))
+    spark.read.parquet(basePath)
+      .crossJoin(t1).crossJoin(t2).crossJoin(t3)
+      .select(col("t_base"), col("t1"), col("t2"), col("t3"),
+        (col("t_base") + col("t1") + col("t2") + col("t3"))
+          .as("t_total"))
+  }
+
   /** Local clustering coefficient — lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
     * on the de-duplicated undirected simple graph, for every node with
     * deg ≥ 2 (where the ratio is defined; triangle-free nodes report 0).

@@ -314,7 +314,8 @@ object SinkOps {
     * a reader must never silently see a different snapshot than asked.
     */
   def readVersion(spark: org.apache.spark.sql.SparkSession, path: String,
-                  version: Option[Int] = None): DataFrame = {
+                  version: Option[Int] = None,
+                  mergeSchema: Boolean = false): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -324,8 +325,12 @@ object SinkOps {
       latest
     }
     val dirs = manifestDirs(fs, root, v)
-    spark.read.parquet(dirs.map(d =>
-      new org.apache.hadoop.fs.Path(root, d).toString): _*)
+    // mergeSchema = schema EVOLUTION across snapshots: a version whose
+    // commits added columns reads as the union schema, legacy rows
+    // null-filled — additive evolution without rewriting history.
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(dirs.map(d =>
+        new org.apache.hadoop.fs.Path(root, d).toString): _*)
   }
 
   private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,

@@ -991,6 +991,40 @@ object StreamOps {
     graft.ops.SinkOps.readVersion(spark, tablePath)
   }
 
+  /** Streaming AS-OF enrichment — each micro-batch of events joins the
+    * latest right-side row at or before its own timestamp
+    * (JoinOps.asofJoin, the union-merge formulation). As-of is
+    * per-left-row independent, so per-batch joins compose losslessly:
+    * streamed union ≡ one batch as-of over the whole input, which is
+    * exactly what the shared q_join_asof oracle pins. The right side is
+    * a static snapshot per batch — the production "latest dim state"
+    * lookup — and only the day-sized batch ever enters the window.
+    */
+  def asofEnrichReplay(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String,
+                       tieBreak: String, stagingDir: String,
+                       idCol: String, boundaries: Seq[Long]): DataFrame = {
+    val spark = left.sparkSession
+    stageSlices(left, stagingDir, idCol, boundaries)
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      Option.empty[DataFrame])
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val v = graft.ops.JoinOps.asofJoin(batch, right, key, leftTime,
+          rightTime, tieBreak).localCheckpoint(true)
+        acc.set(Some(acc.get().fold(v)(_.unionByName(v))))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    acc.get().getOrElse(
+      throw new IllegalStateException("no micro-batch fired"))
+  }
+
   /** Streaming exactly-once dedup on an id column: late duplicates are
     * dropped as long as they arrive within the watermark horizon — state
     * is one id per event inside the horizon, evicted as the watermark

@@ -266,6 +266,76 @@ class Round10OpsSpec extends SparkSpec {
     ()
   }
 
+  // ---- triangleIncrement / evolve / stream as-of ----
+
+  test("triangleIncrement categories partition the union's new " +
+      "triangles exactly (closed-form graph)") {
+    // Base: square 1-2-3-4 with diagonal 1-3 → triangles (1,2,3),(1,3,4).
+    // Delta: edges 2-4 (two 2-delta?? no — 2-4 closes (1,2,4)? 1-2 and
+    // 1-4 in base → t1; (2,3,4): 2-3,3-4 base → t1) and 5-1, 5-2
+    // (wedge 5 closed by base 1-2 → t2) and 5-6,6-7,5-7 (pure delta
+    // triangle → t3).
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("a", "b")
+    val delta = Seq((2L, 4L), (1L, 5L), (2L, 5L), (5L, 6L), (6L, 7L),
+      (5L, 7L)).toDF("a", "b")
+    val path = tmp("graft_spec_tri_incr")
+    graft.ops.GraphOps.writeTriangleBase(
+      base.select(col("a").as("src"), col("b").as("dst")), path)
+    val r = graft.ops.GraphOps.triangleIncrement(base, delta, path)
+      .collect().head
+    assert(r.getAs[Long]("t_base") === 2L)
+    assert(r.getAs[Long]("t1") === 2L) // (1,2,4), (2,3,4) via edge 2-4
+    assert(r.getAs[Long]("t2") === 1L) // (1,2,5) via delta wedge at 5
+    assert(r.getAs[Long]("t3") === 1L) // (5,6,7)
+    assert(r.getAs[Long]("t_total") === 6L)
+    // Cross-check against a from-scratch count on the union.
+    val full = graft.ops.GraphOps.triangleCounts(
+      base.unionByName(delta)
+        .select(col("a").as("src"), col("b").as("dst")))
+      .agg(expr("sum(n_tri) div 3")).collect().head.getLong(0)
+    assert(full === 6L)
+  }
+
+  test("schema evolution: merged read null-fills legacy rows and " +
+      "pinned v1 keeps its original narrow schema") {
+    val path = tmp("graft_spec_ttev")
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(root, true)
+    graft.ops.SinkOps.commitVersion(Seq((1L, "a")).toDF("k", "v"), path)
+    graft.ops.SinkOps.commitVersion(
+      Seq((2L, "b", 99L)).toDF("k", "v", "extra"), path)
+    val merged = graft.ops.SinkOps.readVersion(spark, path,
+      mergeSchema = true)
+    assert(merged.columns.toSet === Set("k", "v", "extra"))
+    assert(merged.filter(col("k") === 1L)
+      .select("extra").collect().head.isNullAt(0))
+    assert(merged.filter(col("k") === 2L)
+      .select("extra").collect().head.getLong(0) === 99L)
+    assert(graft.ops.SinkOps.readVersion(spark, path, Some(1))
+      .columns.toSet === Set("k", "v"))
+  }
+
+  test("asofEnrichReplay equals the batch as-of join row-for-row") {
+    val ev = Tables.events(spark, sfDir)
+    val eu = ev.select(col("event_id"), col("user_id"),
+      graft.ops.EventOps.microsOf(ev, "ts").as("tus"))
+    val or = Tables.orders(spark, sfDir)
+    val ou = or.select(col("o_custkey").as("user_id"), col("o_orderkey"),
+      graft.ops.EventOps.microsOf(or, "o_orderdate").as("o_us"))
+    val b = eu.agg(min("event_id"), max("event_id")).head()
+    val streamed = graft.streaming.StreamOps.asofEnrichReplay(eu, ou,
+      "user_id", "tus", "o_us", "o_orderkey",
+      tmp("graft_spec_sasof"), "event_id",
+      Seq((b.getLong(0) + b.getLong(1)) / 2))
+    val batch = graft.ops.JoinOps.asofJoin(eu, ou, "user_id", "tus",
+      "o_us", "o_orderkey")
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0L)
+    assert(batch.except(streamed).count() === 0L)
+  }
+
   // ---- phraseSearch ----
 
   test("phraseSearch finds contiguous runs only, counts overlapping " +
