@@ -518,6 +518,37 @@ object OracleSql {
           SELECT e.v, r.lbl FROM und e JOIN reach r ON r.node = e.u)
         SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node"""
 
+  /** Canonical-copy twin: the cluster fixpoint of [[dedupClusterSql]],
+    * then per cluster the member with the most tokens (ties → smallest
+    * id) via a windowed rank — the same election DedupOps.dedupCanonical
+    * takes with its max(struct) argmax.
+    */
+  def dedupCanonicalSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+        und AS (SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+                UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+        reach(node, lbl) AS (
+          SELECT u, u FROM und
+          UNION
+          SELECT e.v, r.lbl FROM und e JOIN reach r ON r.node = e.u),
+        cl AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+        toks AS (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '$Ws'),
+            x -> x <> '')) AS BIGINT) AS n_tok
+          FROM corpus WHERE text IS NOT NULL),
+        j AS (SELECT cl.cluster, cl.node, t.n_tok
+              FROM cl JOIN toks t ON t.doc_id = cl.node),
+        rk AS (SELECT cluster, node, n_tok,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_tok DESC, node ASC) AS rn,
+                 CAST(SUM(n_tok) OVER (PARTITION BY cluster) AS BIGINT)
+                   AS sum_tok,
+                 COUNT(*) OVER (PARTITION BY cluster) AS n_docs
+               FROM j)
+        SELECT cluster, node AS canon_id, n_docs, n_tok AS tok_kept,
+               sum_tok - n_tok AS tok_dropped
+        FROM rk WHERE rn = 1"""
+
   def dedupSimhashSql: String = {
     val bitsValues =
       (0 until DedupOps.SimhashBits).map(i => s"($i, ${1L << i})").mkString(", ")
@@ -660,6 +691,61 @@ object OracleSql {
                (greatest(start_off, start_off + n_tok - 1) // 256)
                  - (start_off // 256) + 1 AS n_chunks
         FROM s"""
+
+  /** Shard-balance twin: global token-desc rank via one window (the
+    * oracle may sort globally; the engine's bucket trick produces the
+    * identical total order), serpentine deal, per-shard rollup.
+    */
+  def shardBalanceSql: String =
+    s"""WITH t AS (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '$Ws'),
+            x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents WHERE text IS NOT NULL),
+        tp AS (SELECT * FROM t WHERE n_tok > 0),
+        r AS (SELECT doc_id, n_tok,
+                CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id ASC)
+                  AS BIGINT) - 1 AS rk
+              FROM tp),
+        a AS (SELECT n_tok,
+                CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+                     ELSE 7 - rk % 8 END AS shard
+              FROM r),
+        tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tot_tok FROM a)
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+               MAX(n_tok) AS max_tok,
+               CAST(SUM(n_tok) AS BIGINT) * 8 * 1000000 // tot_tok
+                 AS bal_ppm
+        FROM a, tot GROUP BY shard, tot_tok"""
+
+  /** Span-mask twin: every mask decision re-derived from the shared
+    * md5-prefix hash of "<doc_id>:<position>" — start iff hash%100 < 15,
+    * masked iff any of positions t, t−1, t−2 started.
+    */
+  def spanMaskSql: String = {
+    def h(e: String) =
+      s"${hash60(s"CAST(doc_id AS VARCHAR) || ':' || CAST($e AS VARCHAR)")} % 100 < 15"
+    s"""WITH t AS (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(text, '$Ws'),
+            x -> x <> '')) AS BIGINT) AS n_tok
+        FROM documents WHERE text IS NOT NULL),
+        tp AS (SELECT * FROM t WHERE n_tok > 0),
+        pos AS (SELECT doc_id, n_tok, unnest(range(0, n_tok)) AS t
+                FROM tp),
+        f AS (SELECT doc_id, n_tok,
+                CASE WHEN ${h("t")} THEN 1 ELSE 0 END AS is_start,
+                CASE WHEN ${h("t")}
+                       OR (t >= 1 AND ${h("t - 1")})
+                       OR (t >= 2 AND ${h("t - 2")})
+                     THEN 1 ELSE 0 END AS is_masked
+              FROM pos)
+        SELECT doc_id, MAX(n_tok) AS n_tok,
+               CAST(SUM(is_start) AS BIGINT) AS n_spans,
+               CAST(SUM(is_masked) AS BIGINT) AS n_masked,
+               CAST(SUM(is_masked) AS BIGINT) * 1000000 // MAX(n_tok)
+                 AS mask_ppm
+        FROM f GROUP BY doc_id"""
+  }
 
   /** Vocab-coverage twin: top-10 corpus vocabulary (count desc, word asc —
     * the deterministic tie-break both engines share), per-doc OOV fraction.

@@ -1211,6 +1211,11 @@ object SparkEntry {
       GraphOps.connectedComponents(
         DedupOps.minhashPairs(DedupOps.dupCorpus(Tables.documents(s, d)))
           .select(col("doc_a").as("a"), col("doc_b").as("b")))),
+    // Which copy SURVIVES the dedup drop: per near-dup cluster, keep the
+    // most-token member (ties → smallest id) and ledger the reclaimed
+    // tokens — one cluster-keyed max(struct) argmax, no window.
+    "q_dedup_canonical" -> ((s, d) =>
+      DedupOps.dedupCanonical(DedupOps.dupCorpus(Tables.documents(s, d)))),
     // The typed Aggregator (§2.10 UDAF surface) on the query path: MinHash
     // signatures computed by graft.functions.MinHashAgg (constant k·8-byte
     // buffer, merge-order independent), flattened to columns for the
@@ -1815,6 +1820,17 @@ object SparkEntry {
     // assignment from a global token-prefix sum (no text moves).
     "q_pack" -> ((s, d) =>
       CurationOps.packLayout(Tables.documents(s, d))),
+    // Token-balanced shard export: serpentine LPT deal over the global
+    // token-desc rank (bucket-trick rank, no single-partition sort);
+    // per-shard doc/token load and balance ppm — the anti-straggler
+    // layout decision of the final write.
+    "q_shard_balance" -> ((s, d) =>
+      CurationOps.shardBalance(Tables.documents(s, d))),
+    // Span-corruption layout (T5-style denoising prep): hash-seeded
+    // 3-token mask spans, union-merged; per-doc span/masked counts and
+    // realized corruption ppm, every decision oracle-re-derivable.
+    "q_span_mask" -> ((s, d) =>
+      CurationOps.spanMask(Tables.documents(s, d))),
     // Overlapping token-window chunking (RAG / retrieval prep): windows
     // of 64 tokens advancing by 48; md5 per chunk pins the exact text.
     "q_chunk_overlap" -> ((s, d) =>
@@ -5791,6 +5807,8 @@ object SparkEntry {
     "q_dedup_paragraph" -> OracleSql.dedupParagraphSql,
     "q_decontam" -> OracleSql.decontamSql,
     "q_pack" -> OracleSql.packSql,
+    "q_shard_balance" -> OracleSql.shardBalanceSql,
+    "q_span_mask" -> OracleSql.spanMaskSql,
     "q_chunk_overlap" -> OracleSql.chunkOverlapSql(64, 48),
     "q_inverted_index" -> OracleSql.invertedIndexSql(20),
     "q_rank_bm25" -> OracleSql.bm25Sql(Bm25Queries, 10),
@@ -5833,6 +5851,7 @@ object SparkEntry {
     "q_dedup_containment" -> OracleSql.dedupContainmentSql,
     "q_minhash_udaf" -> OracleSql.minhashUdafSql,
     "q_dedup_cluster" -> OracleSql.dedupClusterSql,
+    "q_dedup_canonical" -> OracleSql.dedupCanonicalSql,
     "q_scrub" -> OracleSql.scrubSql,
     "q_embed_dimstats" -> OracleSql.dimStatsSql,
     "q_embed_rp" -> OracleSql.rpDistortionSql,

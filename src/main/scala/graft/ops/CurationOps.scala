@@ -1078,4 +1078,94 @@ object CurationOps {
       (size(kept) >= 3 && !col("page").contains("lorem ipsum"))
         .cast("int").as("keep"))
   }
+
+  /** Token-balanced shard assignment — the export stage every 100 TB
+    * pretraining run ends with: documents are dealt to `nShards` output
+    * shards so each shard carries a near-equal token load (a skewed
+    * shard is a straggler for every downstream loader epoch). The
+    * assignment is the serpentine ("boustrophedon") variant of
+    * longest-processing-time greedy: rank docs by token count
+    * descending, deal rank r of pass p to shard p-even ? pos : N−1−pos
+    * — each pass hands every shard exactly one doc, and reversing
+    * direction each pass cancels the within-pass size gradient, so the
+    * final imbalance is bounded by one document regardless of corpus
+    * size. Deterministic, no RNG.
+    *
+    * Scale shape: the global rank uses the packLayout bucket trick —
+    * docs bucket by `−(n_tok div 64)` (bucket order = token order up to
+    * the 64-wide granularity the within-bucket sort then fixes), bucket
+    * counts prefix-sum on the ≤ max_tok/64-row bucket table, and the
+    * within-bucket `row_number` runs under a `partitionBy(tb)` window —
+    * no corpus-sized single-partition sort anywhere. Everything after
+    * the rank is pure integer map + one ≤N-row rollup; `bal_ppm` =
+    * shard_tokens·N·10⁶ div total (ideal 10⁶) is exact int64.
+    */
+  def shardBalance(docs: DataFrame, nShards: Long = 8L): DataFrame = {
+    val t = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
+          .cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("tb", -expr("n_tok div 64"))
+    val bw = Window.orderBy("tb").rowsBetween(Window.unboundedPreceding, -1)
+    val boffs = t.groupBy("tb").agg(count(lit(1)).as("bc"))
+      .withColumn("boff", coalesce(sum("bc").over(bw), lit(0L)))
+      .select("tb", "boff")
+    val iw = Window.partitionBy("tb")
+      .orderBy(col("n_tok").desc, col("doc_id").asc)
+    val ranked = t.join(broadcast(boffs), "tb")
+      .withColumn("rk",
+        col("boff") + row_number().over(iw).cast("long") - 1L)
+      .withColumn("pos", pmod(col("rk"), lit(nShards)))
+      .withColumn("shard",
+        when(pmod(expr(s"rk div $nShards"), lit(2L)) === 0L, col("pos"))
+          .otherwise(lit(nShards - 1L) - col("pos")))
+    val tot = ranked.agg(sum("n_tok").as("tot_tok"))
+    ranked.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+        max("n_tok").as("max_tok"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("sum_tok"), col("max_tok"),
+        expr(s"sum_tok * $nShards * 1000000 div tot_tok").as("bal_ppm"))
+  }
+
+  /** Deterministic span-corruption layout (T5/UL2-style denoising prep):
+    * token position t of a document opens a 3-token mask span iff the
+    * portable hash of `"<doc_id>:<t>"` lands under `ratePct`%, and a
+    * position is masked iff any of positions t, t−1, t−2 opened a span
+    * (overlapping spans merge into runs — the union-of-windows
+    * contract, stated rather than resampled, keeps the layout a pure
+    * per-position map). Per doc: span starts, masked-position count,
+    * and the realized corruption rate in exact ppm — the numbers a
+    * denoising-objective loader needs to budget sentinel tokens, laid
+    * out without materializing any masked text.
+    *
+    * Scale shape: explode to one row per token position, three hash
+    * evaluations per row (pure map, whole-stage codegen), one doc-keyed
+    * agg with map-side combine. Nothing shuffles but (doc_id, three
+    * int flags); determinism comes from the shared [[TextOps.hash60]]
+    * (DuckDB twin: md5-prefix), so the oracle re-derives every mask
+    * decision bit-for-bit.
+    */
+  def spanMask(docs: DataFrame, ratePct: Long = 15L): DataFrame = {
+    def isStart(tc: Column): Column =
+      (tc >= 0L) && pmod(TextOps.hash60(concat(col("doc_id").cast("string"),
+        lit(":"), tc.cast("string"))), lit(100L)) < ratePct
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
+          .cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_tok") - 1L)).as("t"))
+      .select(col("doc_id"), col("n_tok"),
+        isStart(col("t")).cast("long").as("is_start"),
+        (isStart(col("t")) || isStart(col("t") - 1L) ||
+          isStart(col("t") - 2L)).cast("long").as("is_masked"))
+      .groupBy("doc_id")
+      .agg(max("n_tok").as("n_tok"), sum("is_start").as("n_spans"),
+        sum("is_masked").as("n_masked"))
+      .select(col("doc_id"), col("n_tok"), col("n_spans"), col("n_masked"),
+        expr("n_masked * 1000000 div n_tok").as("mask_ppm"))
+  }
 }

@@ -1077,4 +1077,36 @@ object DedupOps {
     val idx = arrivals.sparkSession.read.parquet(path + "/grams")
     dupSpanTail(gramPositions(arrivals, k), idx.select("sh"))
   }
+
+  /** Canonical-copy selection over near-dup clusters — the decision the
+    * cluster map exists FOR: within each connected component of the
+    * MinHash pair graph, keep the copy with the MOST tokens (production
+    * near-dup policy: the longest variant usually subsumes its trims),
+    * ties to the smallest doc id. Per cluster: the canonical id, member
+    * count, tokens kept, and tokens the dedup drop reclaims — the
+    * storage-savings ledger of the dedup stage.
+    *
+    * Scale shape: clusters come from [[GraphOps.connectedComponents]]
+    * (min-label propagation, no all-pairs path); the election is ONE
+    * cluster-keyed `max(struct(n_tok, −node, node))` aggregate — the
+    * repo's deterministic argmax idiom (no window sort, map-side
+    * combined). Token counts ride the same join that tags members with
+    * their cluster; text never shuffles.
+    */
+  def dedupCanonical(corpus: DataFrame): DataFrame = {
+    val clusters = GraphOps.connectedComponents(
+      minhashPairs(corpus).select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val toks = corpus.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
+          .cast("long").as("n_tok"))
+    clusters.join(toks, clusters("node") === toks("doc_id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+        max(struct(col("n_tok"), (-col("node")).as("neg"),
+          col("node").as("node"))).as("best"))
+      .select(col("cluster"), col("best.node").as("canon_id"),
+        col("n_docs"), col("best.n_tok").as("tok_kept"),
+        (col("sum_tok") - col("best.n_tok")).as("tok_dropped"))
+  }
 }

@@ -464,4 +464,99 @@ class Round10OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("max_doc_id") % 8 === r.getAs[Long]("shard"))
     }
   }
+
+  // ---- shardBalance ----
+
+  test("shardBalance matches a driver-side serpentine-LPT replica and " +
+      "balances within one document") {
+    val sizes = Seq(13, 11, 7, 5, 3, 2, 2, 1, 9, 8, 6, 4, 10, 12, 1, 2,
+      5, 5, 5, 5)
+    val docs = sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong + 1L, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.ops.CurationOps.shardBalance(docs)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tok"))).toMap
+    // Replica: rank by (n_tok desc, doc_id asc), serpentine deal.
+    val ranked = sizes.zipWithIndex
+      .map { case (n, i) => (n.toLong, i.toLong + 1L) }
+      .sortBy { case (n, id) => (-n, id) }.zipWithIndex
+    val want = ranked.groupBy { case (_, rk) =>
+      val (pass, pos) = (rk / 8, rk % 8L)
+      if (pass % 2 == 0) pos else 7L - pos
+    }.map { case (s, xs) =>
+      s -> (xs.size.toLong, xs.map(_._1._1).sum)
+    }
+    assert(got === want)
+    val loads = got.values.map(_._2)
+    assert(loads.max - loads.min <= sizes.max.toLong)
+  }
+
+  test("shardBalance on the fixture covers all 8 shards and conserves " +
+      "the token total") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = graft.ops.CurationOps.shardBalance(docs).collect()
+    assert(rows.map(_.getAs[Long]("shard")).sorted === (0L to 7L))
+    val totalTok = rows.map(_.getAs[Long]("sum_tok")).sum
+    val loads = rows.map(_.getAs[Long]("sum_tok"))
+    val maxDoc = rows.map(_.getAs[Long]("max_tok")).max
+    assert(loads.max - loads.min <= maxDoc,
+      s"imbalance ${loads.max - loads.min} exceeds one max doc $maxDoc")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bal_ppm") ===
+        r.getAs[Long]("sum_tok") * 8L * 1000000L / totalTok)
+    }
+  }
+
+  // ---- spanMask ----
+
+  test("spanMask reproduces a JVM md5-hash replica decision-for-decision") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val nTok = 40
+    val docs = (1L to 5L).map(id =>
+      (id, (0 until nTok).map(t => s"t$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.CurationOps.spanMask(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (1L to 5L).foreach { id =>
+      val starts = (0 until nTok).filter(t => h60(s"$id:$t") % 100 < 15)
+      val masked = (0 until nTok).count(t =>
+        starts.exists(s => s <= t && t < s + 3))
+      assert(got(id).getAs[Long]("n_spans") === starts.size.toLong)
+      assert(got(id).getAs[Long]("n_masked") === masked.toLong)
+      assert(got(id).getAs[Long]("mask_ppm") ===
+        masked.toLong * 1000000L / nTok)
+    }
+  }
+
+  // ---- dedupCanonical ----
+
+  test("dedupCanonical keeps the most-token member, ties to the " +
+      "smallest id") {
+    // 1 and 2 near-dup (2 drops the last word → fewer tokens): canon 1.
+    // 10 and 11 are EXACT twins (equal tokens): tie → canon 10.
+    // 99 unrelated: no cluster row (singleton contract).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base.split(" ").dropRight(1).mkString(" ")),
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "one two three four five six seven eight nine ten"),
+      (99L, "the quick brown fox jumps over the lazy dog now"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.dedupCanonical(docs).collect()
+      .map(r => r.getAs[Long]("cluster") -> r).toMap
+    assert(got.keySet === Set(1L, 10L))
+    assert(got(1L).getAs[Long]("canon_id") === 1L)
+    assert(got(1L).getAs[Long]("n_docs") === 2L)
+    assert(got(1L).getAs[Long]("tok_kept") === 10L)
+    assert(got(1L).getAs[Long]("tok_dropped") === 9L)
+    assert(got(10L).getAs[Long]("canon_id") === 10L)
+    assert(got(10L).getAs[Long]("tok_kept") === 10L)
+    assert(got(10L).getAs[Long]("tok_dropped") === 10L)
+  }
 }
