@@ -2353,7 +2353,30 @@ object OracleSql {
     * `src`; `prefix` supplies the WITH header (plus any CTEs that
     * define `src`).
     */
-  private def pipelineBodyOver(src: String, prefix: String): String = {
+  private def pipelineBodyOver(src: String, prefix: String): String =
+    s"""${curateScoreCtes(src, prefix)},
+        kept AS (SELECT d.doc_id, d.text, d.lang, b.pred_lang, q.quality,
+                        r.top_frac
+                 FROM $src d
+                 JOIN q USING (doc_id) JOIN best b USING (doc_id)
+                 JOIN rep r USING (doc_id)
+                 WHERE b.pred_lang = 'en' AND q.quality >= 0.4
+                   AND r.top_frac <= 0.04),
+        dedup AS (SELECT * FROM (
+                    SELECT kept.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                                      ORDER BY doc_id) AS rn
+                    FROM kept) WHERE rn = 1)
+        SELECT doc_id, lang, pred_lang, quality, top_frac,
+               CAST(len(text) AS BIGINT) AS n_chars_kept
+        FROM dedup
+        WHERE ${hash60("'cur-' || CAST(doc_id AS VARCHAR)")} % 100 < 50"""
+
+  /** The shared curation scoring CTE chain over a (doc_id, text)
+    * relation `src`, ending at `q` (quality), `best` (pred_lang) and
+    * `rep` (top_frac) — one source of truth for [[pipelineSql]],
+    * [[crawlPipelineSql]] and [[pipelineFunnelSql]].
+    */
+  private def curateScoreCtes(src: String, prefix: String): String = {
     val en = TextStatsOps.Stopwords.filter(_._1 == "en")
       .map(w => s"'${w._2}'").mkString(", ")
     val stop = TextStatsOps.Stopwords
@@ -2390,23 +2413,67 @@ object OracleSql {
         bc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM big GROUP BY doc_id, g),
         rep AS (SELECT doc_id,
                   CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_frac
-                FROM bc GROUP BY doc_id),
-        kept AS (SELECT d.doc_id, d.text, d.lang, b.pred_lang, q.quality,
-                        r.top_frac
-                 FROM $src d
-                 JOIN q USING (doc_id) JOIN best b USING (doc_id)
-                 JOIN rep r USING (doc_id)
-                 WHERE b.pred_lang = 'en' AND q.quality >= 0.4
-                   AND r.top_frac <= 0.04),
-        dedup AS (SELECT * FROM (
-                    SELECT kept.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
-                                                      ORDER BY doc_id) AS rn
-                    FROM kept) WHERE rn = 1)
-        SELECT doc_id, lang, pred_lang, quality, top_frac,
-               CAST(len(text) AS BIGINT) AS n_chars_kept
-        FROM dedup
-        WHERE ${hash60("'cur-' || CAST(doc_id AS VARCHAR)")} % 100 < 50"""
+                FROM bc GROUP BY doc_id)"""
   }
+
+  /** Funnel-attrition twin: the same scoring CTEs, but every gate
+    * becomes a 0/1 flag over LEFT joins (so nothing drops silently) and
+    * the report is one aggregated row unpivoted to a stage ladder —
+    * docs and chars surviving each prefix of the curate pipeline.
+    */
+  def pipelineFunnelSql: String =
+    s"""${curateScoreCtes("documents", "WITH ")},
+        b AS (SELECT d.doc_id, md5(d.text) AS m,
+                     CAST(len(d.text) AS BIGINT) AS n_chars,
+                     q.quality, COALESCE(bst.pred_lang, 'und') AS pred_lang,
+                     r.top_frac
+              FROM documents d
+              LEFT JOIN q USING (doc_id)
+              LEFT JOIN best bst USING (doc_id)
+              LEFT JOIN rep r USING (doc_id)
+              WHERE d.text IS NOT NULL),
+        f AS (SELECT *,
+                CASE WHEN quality IS NOT NULL
+                          AND top_frac IS NOT NULL THEN 1 ELSE 0 END AS f1,
+                CASE WHEN quality IS NOT NULL AND top_frac IS NOT NULL
+                          AND pred_lang = 'en' THEN 1 ELSE 0 END AS f2,
+                CASE WHEN top_frac IS NOT NULL AND pred_lang = 'en'
+                          AND quality >= 0.4 THEN 1 ELSE 0 END AS f3,
+                CASE WHEN pred_lang = 'en' AND quality >= 0.4
+                          AND top_frac <= 0.04 THEN 1 ELSE 0 END AS f4
+              FROM b),
+        keep AS (SELECT m, MIN(doc_id) AS keep_id FROM f
+                 WHERE f4 = 1 GROUP BY m),
+        g AS (SELECT f.*,
+                CASE WHEN f.f4 = 1 AND f.doc_id = k.keep_id
+                     THEN 1 ELSE 0 END AS f5
+              FROM f LEFT JOIN keep k ON f.m = k.m),
+        g2 AS (SELECT *,
+                CASE WHEN f5 = 1 AND
+                  ${hash60("'cur-' || CAST(doc_id AS VARCHAR)")} % 100 < 50
+                     THEN 1 ELSE 0 END AS f6
+               FROM g),
+        a AS (SELECT COUNT(*) AS c0, CAST(SUM(n_chars) AS BIGINT) AS h0,
+                     CAST(SUM(f1) AS BIGINT) AS c1,
+                     CAST(SUM(f1 * n_chars) AS BIGINT) AS h1,
+                     CAST(SUM(f2) AS BIGINT) AS c2,
+                     CAST(SUM(f2 * n_chars) AS BIGINT) AS h2,
+                     CAST(SUM(f3) AS BIGINT) AS c3,
+                     CAST(SUM(f3 * n_chars) AS BIGINT) AS h3,
+                     CAST(SUM(f4) AS BIGINT) AS c4,
+                     CAST(SUM(f4 * n_chars) AS BIGINT) AS h4,
+                     CAST(SUM(f5) AS BIGINT) AS c5,
+                     CAST(SUM(f5 * n_chars) AS BIGINT) AS h5,
+                     CAST(SUM(f6) AS BIGINT) AS c6,
+                     CAST(SUM(f6 * n_chars) AS BIGINT) AS h6
+              FROM g2)
+        SELECT '00_input' AS stage, c0 AS n_docs, h0 AS n_chars FROM a
+        UNION ALL SELECT '01_scored', c1, h1 FROM a
+        UNION ALL SELECT '02_lang', c2, h2 FROM a
+        UNION ALL SELECT '03_quality', c3, h3 FROM a
+        UNION ALL SELECT '04_repetition', c4, h4 FROM a
+        UNION ALL SELECT '05_dedup', c5, h5 FROM a
+        UNION ALL SELECT '06_sample', c6, h6 FROM a"""
 
   // ---- events (EventOps twins) ----
 

@@ -2156,6 +2156,11 @@ object SparkEntry {
     // Capstone composition: the full curation pipeline (lang filter →
     // quality threshold → dedup → deterministic sample) as ONE plan.
     "q_pipeline" -> ((s, d) => PipelineOps.curate(Tables.documents(s, d))),
+    // Per-stage funnel attrition of that same pipeline: docs/chars
+    // surviving each gate prefix, one corpus pass (indicator sums),
+    // not one count() action per stage.
+    "q_curate_funnel" -> ((s, d) =>
+      PipelineOps.curateFunnel(Tables.documents(s, d))),
     // The crawl front half fused onto the curation pipeline: HTML
     // strip → quality/langid/repetition gates → exact dedup → sample,
     // one Catalyst plan from page bytes to curated survivors
@@ -6648,6 +6653,7 @@ object SparkEntry {
          HAVING count(*) * 1000 >= (SELECT count(*) FROM keyed)""",
     "q_grouping_sets" -> SqlGroupingSets,
     "q_pipeline" -> OracleSql.pipelineSql,
+    "q_curate_funnel" -> OracleSql.pipelineFunnelSql,
     "q_crawl_pipeline" -> OracleSql.crawlPipelineSql,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag,

@@ -534,6 +534,26 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- curateFunnel ----
+
+  test("curateFunnel ladder is monotone and its last stage equals " +
+      "curate's survivors exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = graft.ops.PipelineOps.curateFunnel(docs).collect()
+      .sortBy(_.getAs[String]("stage"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq === Seq("00_input",
+      "01_scored", "02_lang", "03_quality", "04_repetition", "05_dedup",
+      "06_sample"))
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    val chars = rows.map(_.getAs[Long]("n_chars"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(chars.zip(chars.tail).forall { case (a, b) => a >= b })
+    val survivors = graft.ops.PipelineOps.curate(docs)
+    assert(counts.last === survivors.count())
+    assert(chars.last === survivors.agg(sum("n_chars_kept"))
+      .collect()(0).getLong(0))
+  }
+
   // ---- dedupCanonical ----
 
   test("dedupCanonical keeps the most-token member, ties to the " +
