@@ -1227,6 +1227,27 @@ object OracleSql {
         FROM ti t JOIN v$merges v USING (w)
         GROUP BY t.doc_id"""
 
+  /** Fertility twin: [[bpeTokenizeSql]]'s per-doc rollup, re-grouped by
+    * the corpus lang tag with floor-ppm ratios.
+    */
+  def bpeFertilitySql(merges: Int): String =
+    s"""WITH $BpeInstanceCtes,
+        ${bpeRoundCtes(merges)},
+        pd AS (SELECT t.doc_id, COUNT(*) AS n_words,
+                 CAST(SUM(length(t.w)) AS BIGINT) AS n_chars,
+                 CAST(SUM(len($BpeSymsOf)) AS BIGINT) AS n_tokens
+               FROM ti t JOIN v$merges v USING (w)
+               GROUP BY t.doc_id)
+        SELECT d.lang, COUNT(*) AS n_docs,
+               CAST(SUM(pd.n_words) AS BIGINT) AS n_words,
+               CAST(SUM(pd.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(pd.n_tokens) AS BIGINT) * 1000000
+                 // CAST(SUM(pd.n_words) AS BIGINT) AS fertility_ppm,
+               CAST(SUM(pd.n_chars) AS BIGINT) * 1000000
+                 // CAST(SUM(pd.n_tokens) AS BIGINT) AS chars_per_tok_ppm
+        FROM pd JOIN documents d USING (doc_id)
+        GROUP BY d.lang"""
+
   /** Persisted-vocab apply twin: the same training rounds (the
     * persisted vocab IS v`merges`), then word instances of the
     * OOV-augmented corpus LEFT-join the vocab; misses fall back to the

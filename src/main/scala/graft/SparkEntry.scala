@@ -3926,6 +3926,10 @@ object SparkEntry {
     // being the compression the merges bought.
     "q_bpe_tokenize" -> ((s, d) =>
       BpeOps.tokenizeTrained(Tables.documents(s, d), BpeMerges)),
+    // Per-language fertility of that tokenizer (tokens per word, ppm):
+    // the number that decides per-language merge budgets.
+    "q_bpe_fertility" -> ((s, d) =>
+      BpeOps.fertilityByLang(Tables.documents(s, d), BpeMerges)),
 
     // PERSISTED-vocab apply — the production tokenization path: train
     // once, write merges + word→symbols artifacts to parquet
@@ -5868,6 +5872,7 @@ object SparkEntry {
     "q_kmeans" -> OracleSql.kmeansSql(KmeansRounds),
     "q_bpe_train" -> OracleSql.bpeTrainSql(BpeMerges),
     "q_bpe_tokenize" -> OracleSql.bpeTokenizeSql(BpeMerges),
+    "q_bpe_fertility" -> OracleSql.bpeFertilitySql(BpeMerges),
     "q_bpe_apply" -> OracleSql.bpeApplySql(BpeMerges),
     "q_simsearch_pq" -> OracleSql.simsearchPqSql,
     "q_simsearch_recall" -> OracleSql.simsearchRecallSql,

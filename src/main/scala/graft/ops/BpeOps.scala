@@ -179,4 +179,30 @@ object BpeOps {
         sum(length(col("w"))).as("n_chars"),
         sum(size(syms(col("sym")))).cast("long").as("n_tokens"))
   }
+
+  /** Per-language tokenizer FERTILITY — the multilingual-tokenizer
+    * quality number (tokens emitted per word; high fertility on a
+    * language means the vocab under-serves it and its documents cost
+    * more context budget): [[tokenizeTrained]]'s per-doc counts roll
+    * up by the corpus `lang` tag, with fertility and chars-per-token
+    * as exact integer ppm ratios. The report a team reads before
+    * fixing per-language merge budgets.
+    *
+    * Scale shape: adds one doc-keyed broadcast-eligible join (lang
+    * rides from the corpus) and a ≤|langs|-row rollup on top of the
+    * tokenize plan — sums are exact int64, divisions floor-ppm, so
+    * the DuckDB twin re-derives every value from the same unrolled
+    * merge rounds.
+    */
+  def fertilityByLang(docs: DataFrame, merges: Int): DataFrame =
+    tokenizeTrained(docs, merges)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+        expr("sum_chars * 1000000 div n_tokens").as("chars_per_tok_ppm"))
 }

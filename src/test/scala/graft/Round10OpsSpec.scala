@@ -554,6 +554,29 @@ class Round10OpsSpec extends SparkSpec {
       .collect()(0).getLong(0))
   }
 
+  // ---- fertilityByLang ----
+
+  test("fertilityByLang rolls up tokenizeTrained exactly; fertility " +
+      "is at least one token per word") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = 4
+    val perDoc = graft.ops.BpeOps.tokenizeTrained(docs, merges)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("w"), sum("n_tokens").as("t"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("w"), r.getAs[Long]("t"))).toMap
+    val got = graft.ops.BpeOps.fertilityByLang(docs, merges).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (w, t) = perDoc(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_words") === w)
+      assert(r.getAs[Long]("n_tokens") === t)
+      assert(r.getAs[Long]("fertility_ppm") === t * 1000000L / w)
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L)
+    }
+  }
+
   // ---- dedupCanonical ----
 
   test("dedupCanonical keeps the most-token member, ties to the " +
