@@ -314,12 +314,60 @@ object OracleSql {
     * the assignment-only contract of
     * DedupOps.assignClustersIncremental.
     */
-  def dedupClusterIncrSql: String = {
+  def dedupClusterIncrSql: String =
+    s"""WITH RECURSIVE $clusterIncrCtes
+        SELECT doc_id, cluster, n_near FROM assigned"""
+
+  /** Incremental canonical-maintenance twin: [[dedupClusterIncrSql]]'s
+    * assignment CTEs, plus the incumbent ledger (clustered knowns elect
+    * max-token/min-id via a windowed rank; singletons are their own
+    * canonical) and the per-arrival dethrones / kept_existing /
+    * new_cluster judgment with the post-batch canonical.
+    */
+  def dedupCanonicalIncrSql: String =
+    s"""WITH RECURSIVE $clusterIncrCtes,
+        ktoks AS (SELECT doc_id,
+            CAST(len(list_filter(string_split_regex(text, '$Ws'),
+              x -> x <> '')) AS BIGINT) AS n_tok
+          FROM known WHERE text IS NOT NULL),
+        atoks AS (SELECT doc_id,
+            CAST(len(list_filter(string_split_regex(text, '$Ws'),
+              x -> x <> '')) AS BIGINT) AS n_tok
+          FROM arrivals WHERE text IS NOT NULL),
+        elected AS (SELECT cluster, node AS canon_id, n_tok AS tok_kept
+          FROM (SELECT kc.cluster, kc.node, kt.n_tok,
+                  row_number() OVER (PARTITION BY kc.cluster
+                    ORDER BY kt.n_tok DESC, kc.node ASC) AS rn
+                FROM kclusters kc JOIN ktoks kt ON kt.doc_id = kc.node)
+          WHERE rn = 1),
+        singles AS (SELECT kt.doc_id AS cluster, kt.doc_id AS canon_id,
+                           kt.n_tok AS tok_kept
+          FROM ktoks kt LEFT JOIN kclusters kc ON kc.node = kt.doc_id
+          WHERE kc.node IS NULL),
+        ledger AS (SELECT * FROM elected
+                   UNION ALL SELECT * FROM singles)
+        SELECT s.doc_id, s.cluster, s.n_near, t.n_tok,
+               CASE WHEN l.canon_id IS NULL THEN 'new_cluster'
+                    WHEN t.n_tok > l.tok_kept
+                      OR (t.n_tok = l.tok_kept AND s.doc_id < l.canon_id)
+                      THEN 'dethrones'
+                    ELSE 'kept_existing' END AS verdict,
+               CASE WHEN l.canon_id IS NULL OR t.n_tok > l.tok_kept
+                      OR (t.n_tok = l.tok_kept AND s.doc_id < l.canon_id)
+                      THEN s.doc_id ELSE l.canon_id END AS new_canon_id
+        FROM assigned s JOIN atoks t USING (doc_id)
+        LEFT JOIN ledger l ON l.cluster = s.cluster"""
+
+  /** The shared known/arrivals minhash CTE chain ending at `assigned`
+    * (per-arrival cluster + near count) — one source of truth for
+    * [[dedupClusterIncrSql]] and [[dedupCanonicalIncrSql]].
+    */
+  private def clusterIncrCtes: String = {
     val coefValues = DedupOps.MinhashCoef
       .map { case (i, a, b, band, w31) => s"($i, $a, $b, $band, $w31)" }
       .mkString(", ")
     val p = DedupOps.P
-    s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+    s"""base AS (SELECT doc_id, text FROM documents),
         known AS (
           SELECT doc_id, text FROM base
           UNION ALL SELECT doc_id + 1000000, text FROM base
@@ -367,8 +415,8 @@ object OracleSql {
                JOIN sig sb ON sb.doc_id = c.k_id AND sb.i = sa.i
                GROUP BY c.a_id, c.k_id
                HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
-                        / ${DedupOps.K}.0 >= 0.5)
-        SELECT a.doc_id,
+                        / ${DedupOps.K}.0 >= 0.5),
+        assigned AS (SELECT a.doc_id,
                COALESCE(MIN(COALESCE(kc.cluster, m.k_id)), a.doc_id)
                  AS cluster,
                CAST(COUNT(m.k_id) AS BIGINT) AS n_near
@@ -376,7 +424,7 @@ object OracleSql {
         LEFT JOIN xm m ON m.a_id = a.doc_id
         LEFT JOIN kclusters kc ON kc.node = m.k_id
         WHERE a.text IS NOT NULL
-        GROUP BY a.doc_id"""
+        GROUP BY a.doc_id)"""
   }
 
   /** Streaming index-ingest twin: the [[dedupIndexUpdateSql]] two-phase

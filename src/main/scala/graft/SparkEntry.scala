@@ -1152,6 +1152,31 @@ object SparkEntry {
             reverse(col("text")).as("text")))
       DedupOps.assignClustersIncremental(arrivals, idx)
     }),
+    // Canonical MAINTENANCE on top of that assignment: the snapshot
+    // mine also persists the incumbent ledger (clustered docs elect
+    // the most-token/min-id winner, singletons are their own), and
+    // each arrival is judged dethrones / kept_existing / new_cluster
+    // with the post-batch canonical — the daily upsert a keep-best
+    // dedup policy runs. Same O(arrivals) probe; the ledger join is
+    // broadcast-eligible.
+    "q_dedup_canonical_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      requireIdHeadroom(docs, "doc_id")
+      val known = DedupOps.dupCorpus(docs).select("doc_id", "text")
+      val idx = tmpPath("graft_mhidx_canon", d)
+      DedupOps.writeMinhashIndex(known, idx)
+      DedupOps.writeMinhashClusterMap(known, idx)
+      DedupOps.writeCanonicalLedger(known, idx)
+      val arrivals = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          regexp_replace(col("text"), "\\s*\\S+$", "").as("text"))
+        .union(docs.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+        .union(docs.filter(col("doc_id") % 3 === 2)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            reverse(col("text")).as("text")))
+      DedupOps.canonicalIncremental(arrivals, idx)
+    }),
 
     // STREAMING ingestion with in-stream index maintenance: micro-batch
     // 0 (the odd half) is judged against the evens-built index and its
@@ -5853,6 +5878,7 @@ object SparkEntry {
     // must be probe-equivalent to one clean append.
     "q_dedup_index_compact" -> OracleSql.dedupIndexUpdateSql,
     "q_dedup_cluster_incr" -> OracleSql.dedupClusterIncrSql,
+    "q_dedup_canonical_incr" -> OracleSql.dedupCanonicalIncrSql,
     "q_stream_dedup_index" -> OracleSql.dedupStreamIngestSql,
     "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
     "q_dedup_ngram" -> OracleSql.dedupNgramSql,

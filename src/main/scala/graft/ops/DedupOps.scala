@@ -1093,6 +1093,72 @@ object DedupOps {
     * combined). Token counts ride the same join that tags members with
     * their cluster; text never shuffles.
     */
+  /** Persist the canonical LEDGER next to a minhash index — the
+    * incremental half's incumbent table: one row per cluster of the
+    * known corpus (clustered docs elect the [[dedupCanonical]] winner;
+    * singletons are their own canonical), `(cluster, canon_id,
+    * tok_kept)`. Written once per snapshot, probed by
+    * [[canonicalIncremental]] every batch.
+    */
+  def writeCanonicalLedger(known: DataFrame, path: String): Unit = {
+    val toks = known.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
+          .cast("long").as("n_tok"))
+    val clusters = GraphOps.connectedComponents(
+      minhashPairs(known).select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .persist()
+    val elected = clusters.join(toks, clusters("node") === toks("doc_id"))
+      .groupBy("cluster")
+      .agg(max(struct(col("n_tok"), (-col("node")).as("neg"),
+        col("node").as("node"))).as("best"))
+      .select(col("cluster"), col("best.node").as("canon_id"),
+        col("best.n_tok").as("tok_kept"))
+    val singles = toks
+      .join(clusters, toks("doc_id") === clusters("node"), "left_anti")
+      .select(col("doc_id").as("cluster"), col("doc_id").as("canon_id"),
+        col("n_tok").as("tok_kept"))
+    elected.union(singles).write.mode("overwrite")
+      .parquet(path + "/canonicals")
+    clusters.unpersist()
+  }
+
+  /** Incremental canonical MAINTENANCE — the daily-batch decision the
+    * ledger exists for: each arrival is assigned its cluster
+    * (O(arrivals) index probe, [[assignClustersIncremental]]) and then
+    * judged against the incumbent canonical — `dethrones` if it brings
+    * more tokens (ties to the smaller id, the same total order the
+    * snapshot election uses), `kept_existing` if the incumbent stands,
+    * `new_cluster` if nothing in the index is near. `new_canon_id` is
+    * the post-batch canonical either way, so the ledger update is a
+    * pure upsert of this output.
+    *
+    * Scale shape: one broadcast-eligible ledger join on top of the
+    * O(arrivals) assignment probe; the known corpus is never
+    * re-scanned. Same assignment-only contract as the cluster probe
+    * (bridges between existing clusters wait for the periodic snapshot
+    * rebuild).
+    */
+  def canonicalIncremental(arrivals: DataFrame,
+                           indexPath: String): DataFrame = {
+    val led = arrivals.sparkSession.read.parquet(indexPath + "/canonicals")
+    val arrTok = arrivals.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
+          .cast("long").as("n_tok"))
+    val wins = col("canon_id").isNull || col("n_tok") > col("tok_kept") ||
+      (col("n_tok") === col("tok_kept") && col("doc_id") < col("canon_id"))
+    assignClustersIncremental(arrivals, indexPath)
+      .join(arrTok, "doc_id")
+      .join(led, Seq("cluster"), "left")
+      .select(col("doc_id"), col("cluster"), col("n_near"), col("n_tok"),
+        when(col("canon_id").isNull, lit("new_cluster"))
+          .when(wins, lit("dethrones"))
+          .otherwise(lit("kept_existing")).as("verdict"),
+        when(wins, col("doc_id")).otherwise(col("canon_id"))
+          .as("new_canon_id"))
+  }
+
   def dedupCanonical(corpus: DataFrame): DataFrame = {
     val clusters = GraphOps.connectedComponents(
       minhashPairs(corpus).select(col("doc_a").as("a"), col("doc_b").as("b")))

@@ -534,6 +534,57 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- canonicalIncremental ----
+
+  test("canonicalIncremental: longer near-dup dethrones, exact twin " +
+      "keeps the incumbent, unrelated text opens a new cluster") {
+    import graft.ops.DedupOps
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val known = Seq(
+      (1L, base), (2L, base.split(" ").dropRight(1).mkString(" ")),
+      (7L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val idx = tmp("graft_spec_canon_incr")
+    DedupOps.writeMinhashIndex(known, idx)
+    DedupOps.writeMinhashClusterMap(known, idx)
+    DedupOps.writeCanonicalLedger(known, idx)
+    val arrivals = Seq(
+      (100L, base + " lambda"),                     // 11 tok > canon's 10
+      (101L, base),                                 // tie at 10, id 101 > 1
+      (102L, "the quick brown fox jumps over a lazy dog today"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.canonicalIncremental(arrivals, idx).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(100L).getAs[String]("verdict") === "dethrones")
+    assert(got(100L).getAs[Long]("cluster") === 1L)
+    assert(got(100L).getAs[Long]("new_canon_id") === 100L)
+    assert(got(101L).getAs[String]("verdict") === "kept_existing")
+    assert(got(101L).getAs[Long]("new_canon_id") === 1L)
+    assert(got(102L).getAs[String]("verdict") === "new_cluster")
+    assert(got(102L).getAs[Long]("cluster") === 102L)
+    assert(got(102L).getAs[Long]("new_canon_id") === 102L)
+  }
+
+  test("canonicalIncremental: a singleton known is its own ledger row " +
+      "and an exact twin of it keeps it") {
+    import graft.ops.DedupOps
+    val known = Seq(
+      (7L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val idx = tmp("graft_spec_canon_single")
+    DedupOps.writeMinhashIndex(known, idx)
+    DedupOps.writeMinhashClusterMap(known, idx)
+    DedupOps.writeCanonicalLedger(known, idx)
+    val arrivals = Seq(
+      (200L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.canonicalIncremental(arrivals, idx).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("cluster") === 7L)
+    assert(got(0).getAs[String]("verdict") === "kept_existing")
+    assert(got(0).getAs[Long]("new_canon_id") === 7L)
+  }
+
   // ---- curateFunnel ----
 
   test("curateFunnel ladder is monotone and its last stage equals " +
