@@ -85,9 +85,10 @@ object PipelineOps {
     * rows), every gate is a 0/1 indicator column, and the whole ladder
     * reduces in ONE map-side-combined aggregate to a single row that
     * `stack`s to 7 stage rows. The only additions over curate's plan
-    * are the indicator arithmetic (codegen) and a broadcast of the
-    * ≤survivor-count keeper table; no corpus re-scan per stage — the
-    * naive formulation (one count() action per gate) runs the plan 7×.
+    * are the indicator arithmetic (codegen) and the digest-keyed
+    * keeper join (both branches partition by text_md5 — curate's
+    * exchange-reuse shape); no corpus re-scan per stage — the naive
+    * formulation (one count() action per gate) runs the plan 7×.
     */
   def curateFunnel(docs: DataFrame, minQuality: Double = 0.4,
                    lang: String = "en", samplePct: Int = 50,

@@ -555,4 +555,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_lm"),
       "scoring plan must read the persisted bigram artifact")
   }
+
+  test("shard balance ranks under a bucket-partitioned window — the " +
+      "corpus branch exchanges by tb, never through one partition") {
+    val p = planOf("q_shard_balance")
+    assert(p.contains("hashpartitioning(tb"), p.take(3000))
+    assert(p.contains("row_number"), p.take(3000))
+  }
+
+  test("span mask is one doc-keyed aggregation with map-side combine") {
+    val p = planOf("q_span_mask")
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      p.take(3000))
+    assert(!p.contains("Window"), "span mask needs no window")
+  }
+
+  test("canonical election is an aggregate argmax — no window rank in " +
+      "the plan") {
+    val p = planOf("q_dedup_canonical")
+    assert(!p.contains("Window"), "election must be max(struct), not " +
+      "a window rank")
+  }
+
+  test("curate funnel reduces map-side to one row (indicator sums, " +
+      "not one action per stage)") {
+    val p = planOf("q_curate_funnel")
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      p.take(3000))
+  }
 }
