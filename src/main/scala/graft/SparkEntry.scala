@@ -2248,6 +2248,17 @@ object SparkEntry {
         .select("asset_id", "ahash")
       MultimodalOps.imageNearDupPairs(fps)
     }),
+    // Canonical selection over those clusters: keep the
+    // highest-resolution member (ties → smallest id) — the
+    // dedupCanonical idiom for images; brightness twins share their
+    // original's dimensions, so the base copy wins every planted pair.
+    "q_image_canonical" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 256)
+      val fps = MultimodalOps.imageAHash(base)
+        .unionByName(MultimodalOps.imageAHashShifted(base, 1000000L, 8))
+        .select("asset_id", "w", "h", "ahash")
+      MultimodalOps.imageCanonical(fps)
+    }),
     // Incremental image near-dup vs a PERSISTED aHash index — the
     // image tier's daily loop: base fingerprints banded once
     // (writeImageIndex); arrivals band THEMSELVES only and probe with
@@ -6476,6 +6487,59 @@ object SparkEntry {
                             THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
                    FROM fp x JOIN fp y ON x.asset_id < y.asset_id)
          SELECT asset_a, asset_b, hamming FROM pairs WHERE hamming <= 3""",
+    // Canonical twin: the same closed-form fingerprints, transitive
+    // closure via a recursive CTE, then per cluster the most-pixel
+    // member (ties → smallest id) by windowed rank.
+    "q_image_canonical" ->
+      """WITH RECURSIVE src AS (
+           SELECT doc_id AS asset_id, doc_id AS id, 0 AS delta
+           FROM documents WHERE doc_id < 256
+           UNION ALL
+           SELECT doc_id + 1000000, doc_id, 8
+           FROM documents WHERE doc_id < 256),
+         dims AS (SELECT asset_id, id, delta,
+                         CAST(1 + id % 16 AS BIGINT) AS w,
+                         CAST(1 + (id // 16) % 16 AS BIGINT) AS h
+                  FROM src),
+         m AS (SELECT asset_id, id, delta, w, h,
+                 CAST(SUM(((CASE WHEN i.range = 0 THEN id % 256
+                            ELSE (id + 31 * (i.range % w)
+                                  + 7 * (i.range // w)) % 256 END)
+                           + delta) % 256) AS BIGINT) // (w * h) AS mean_px
+               FROM dims, range(0, 256) i WHERE i.range < w * h
+               GROUP BY asset_id, id, delta, w, h),
+         b AS (SELECT asset_id, k.range AS k,
+                 CASE WHEN ((CASE WHEN (k.range % 8) * w // 8 = 0
+                                   AND (k.range // 8) * h // 8 = 0
+                             THEN id % 256
+                             ELSE (id + 31 * ((k.range % 8) * w // 8)
+                                   + 7 * ((k.range // 8) * h // 8)) % 256
+                             END) + delta) % 256 > mean_px
+                      THEN '1' ELSE '0' END AS bit
+               FROM m, range(0, 64) k),
+         fp AS (SELECT asset_id,
+                       string_agg(bit, '' ORDER BY k) AS ahash
+                FROM b GROUP BY asset_id),
+         pairs AS (SELECT x.asset_id AS asset_a, y.asset_id AS asset_b
+                   FROM fp x JOIN fp y ON x.asset_id < y.asset_id
+                   WHERE CAST(list_sum(list_transform(range(1, 65),
+                       i -> CASE WHEN x.ahash[i] != y.ahash[i]
+                            THEN 1 ELSE 0 END)) AS BIGINT) <= 3),
+         und AS (SELECT asset_a AS u, asset_b AS v FROM pairs
+                 UNION ALL SELECT asset_b, asset_a FROM pairs),
+         reach(node, lbl) AS (
+           SELECT u, u FROM und
+           UNION
+           SELECT e.v, r.lbl FROM und e JOIN reach r ON r.node = e.u),
+         cl AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+         px AS (SELECT asset_id, w * h AS px FROM dims),
+         rk AS (SELECT cl.cluster, cl.node, p.px,
+                  row_number() OVER (PARTITION BY cl.cluster
+                    ORDER BY p.px DESC, cl.node ASC) AS rn,
+                  COUNT(*) OVER (PARTITION BY cl.cluster) AS n_assets
+                FROM cl JOIN px p ON p.asset_id = cl.node)
+         SELECT cluster, node AS canon_id, n_assets, px AS px_kept
+         FROM rk WHERE rn = 1""",
     // Incremental twin: same closed-form fingerprint regeneration over
     // the base + three arrival slices, then the EXACT all-pairs
     // cross-boundary verdict (banding is exhaustive at <= 3).

@@ -499,6 +499,30 @@ object MultimodalOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Canonical-copy selection over image near-dup clusters — the
+    * keep-best policy of an image dedup stage: within each connected
+    * component of the aHash pair graph keep the HIGHEST-RESOLUTION
+    * member (most pixels; the thumbnail/rescale variants drop), ties
+    * to the smallest asset id. The [[graft.ops.DedupOps.dedupCanonical]]
+    * idiom in the multimodal tier: clusters from min-label
+    * propagation, election by ONE cluster-keyed max(struct) argmax —
+    * no window, payload bytes never shuffle (only 8-byte fingerprints
+    * and dimensions move).
+    */
+  def imageCanonical(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val clusters = GraphOps.connectedComponents(
+      imageNearDupPairs(fps, maxHamming)
+        .select(col("asset_a").as("a"), col("asset_b").as("b")))
+    val px = fps.select(col("asset_id"), (col("w") * col("h")).as("px"))
+    clusters.join(px, clusters("node") === px("asset_id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_assets"),
+        max(struct(col("px"), (-col("node")).as("neg"),
+          col("node").as("node"))).as("best"))
+      .select(col("cluster"), col("best.node").as("canon_id"),
+        col("n_assets"), col("best.px").as("px_kept"))
+  }
+
   /** Persist the image near-dup INDEX of a known fingerprint corpus:
     * aHash band rows under `path`/bands — the
     * [[graft.ops.DedupOps.writeMinhashIndex]] discipline for images.

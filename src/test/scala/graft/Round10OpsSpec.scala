@@ -534,6 +534,30 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- imageCanonical ----
+
+  test("imageCanonical keeps the highest-resolution member, ties to " +
+      "the smallest asset id") {
+    val h0 = "0110" * 16
+    val h1 = "1" + h0.drop(1)         // 1 bit from h0: near-dup
+    val hx = "1010" * 16              // 32 bits away: unrelated
+    val fps = Seq(
+      (1L, 4L, 4L, h0),               // 16 px
+      (2L, 8L, 8L, h1),               // 64 px — should win cluster {1,2}
+      (3L, 5L, 5L, hx),               // tie on px with 4 → min id wins
+      (4L, 5L, 5L, hx),
+      (9L, 6L, 6L, "0011" * 16))      // singleton: no cluster row
+      .toDF("asset_id", "w", "h", "ahash")
+    val got = graft.ops.MultimodalOps.imageCanonical(fps).collect()
+      .map(r => r.getAs[Long]("cluster") -> r).toMap
+    assert(got.keySet === Set(1L, 3L))
+    assert(got(1L).getAs[Long]("canon_id") === 2L)
+    assert(got(1L).getAs[Long]("px_kept") === 64L)
+    assert(got(1L).getAs[Long]("n_assets") === 2L)
+    assert(got(3L).getAs[Long]("canon_id") === 3L)
+    assert(got(3L).getAs[Long]("px_kept") === 25L)
+  }
+
   // ---- canonicalIncremental ----
 
   test("canonicalIncremental: longer near-dup dethrones, exact twin " +
