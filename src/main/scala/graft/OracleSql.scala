@@ -740,6 +740,39 @@ object OracleSql {
                  - (start_off // 256) + 1 AS n_chunks
         FROM s"""
 
+  /** Apportionment twin: the temperatureMix integer-sqrt weights, then
+    * Hamilton largest-remainder — floor shares plus one extra to the
+    * top integer remainders (ties lang ascending).
+    */
+  def mixApportionSql: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+                   WHERE lang IS NOT NULL GROUP BY lang),
+        w AS (SELECT lang, n_docs,
+                CASE WHEN (f0 + 1) * (f0 + 1) <= n_docs THEN f0 + 1
+                     WHEN f0 * f0 > n_docs THEN f0 - 1
+                     ELSE f0 END AS w_sqrt
+              FROM (SELECT lang, n_docs,
+                      CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                        AS f0 FROM c)),
+        tot AS (SELECT CAST(SUM(w_sqrt) AS BIGINT) AS tot_w,
+                       CAST(SUM(n_docs) AS BIGINT) AS tot_docs FROM w),
+        s AS (SELECT lang, n_docs, w_sqrt,
+                tot_docs // 2 AS budget,
+                (tot_docs // 2) * w_sqrt // tot_w AS alloc_base,
+                (tot_docs // 2) * w_sqrt % tot_w AS rem
+              FROM w, tot),
+        sh AS (SELECT CAST(budget - SUM(alloc_base) AS BIGINT) AS n_extra
+               FROM s GROUP BY budget),
+        r AS (SELECT s.*, CAST(row_number() OVER
+                (ORDER BY rem DESC, lang ASC) AS BIGINT) AS rk FROM s)
+        SELECT lang, n_docs, w_sqrt, alloc_base,
+               CAST(CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS BIGINT)
+                 AS extra,
+               alloc_base +
+                 CAST(CASE WHEN rk <= n_extra THEN 1 ELSE 0 END AS BIGINT)
+                 AS alloc_docs
+        FROM r, sh"""
+
   /** Shard-balance twin: global token-desc rank via one window (the
     * oracle may sort globally; the engine's bucket trick produces the
     * identical total order), serpentine deal, per-shard rollup.

@@ -1746,6 +1746,12 @@ object SparkEntry {
     // rebalancing every multilingual mix applies.
     "q_mix_temperature" -> ((s, d) =>
       CurationOps.temperatureMix(Tables.documents(s, d))),
+    // Largest-remainder apportionment of the same flattened weights:
+    // allocations that SUM EXACTLY to the budget (floor shares + one
+    // extra doc to the top integer remainders) — the Hamilton-method
+    // allocation a sampler actually consumes.
+    "q_mix_apportion" -> ((s, d) =>
+      CurationOps.mixApportion(Tables.documents(s, d))),
     // Planted-pair recall audit of the text MinHash/LSH path: truth
     // from the dupCorpus construction (exact copies at +1M, first-
     // token-dropped near copies at +2M), found from minhashPairs;
@@ -5941,6 +5947,7 @@ object SparkEntry {
     "q_hard_negatives" -> OracleSql.hardNegativesSql,
     "q_length_buckets" -> OracleSql.lengthBucketsSql,
     "q_mix_temperature" -> OracleSql.temperatureMixSql,
+    "q_mix_apportion" -> OracleSql.mixApportionSql,
     "q_dedup_minhash_recall" -> OracleSql.dedupMinhashRecallSql,
     "q_dedup_minhash_precision" -> OracleSql.dedupMinhashPrecisionSql,
     "q_pii_report" -> OracleSql.piiReportSql,

@@ -905,6 +905,54 @@ object CurationOps {
           .as("alloc_docs"))
   }
 
+  /** Largest-remainder apportionment of an exact document budget over
+    * the temperature-flattened domain weights — the allocation a
+    * sampler actually consumes: [[temperatureMix]]'s floor-division
+    * `alloc_docs` under-spends by up to |domains|−1 docs; this
+    * apportions `budget = total div budgetDen` so the allocations SUM
+    * EXACTLY to the budget (floor shares first, then one extra doc to
+    * the largest fractional remainders, ties broken by domain
+    * ascending — the Hamilton method, fully deterministic in integer
+    * math). Output per domain: weight, floor share, the 0/1 extra,
+    * and the final allocation.
+    *
+    * Scale shape: everything after the domain count is arithmetic on a
+    * ≤|domains|-row table (window rank over domains is trivially
+    * small); one corpus-keyed count is the only real work. Exactness:
+    * remainders compare as integers (`budget·w mod W`), so no
+    * fractional ties are possible beyond true equality.
+    */
+  def mixApportion(docs: DataFrame, groupCol: String = "lang",
+                   budgetDen: Long = 2L): DataFrame = {
+    val counts = docs.filter(col(groupCol).isNotNull)
+      .groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+    val w = counts
+      .withColumn("f0", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      .withColumn("w_sqrt",
+        when((col("f0") + 1L) * (col("f0") + 1L) <= col("n_docs"),
+          col("f0") + 1L)
+          .when(col("f0") * col("f0") > col("n_docs"), col("f0") - 1L)
+          .otherwise(col("f0")))
+      .drop("f0")
+    val tot = w.agg(sum("w_sqrt").as("tot_w"), sum("n_docs").as("tot_docs"))
+    val shares = w.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"tot_docs div $budgetDen"))
+      .withColumn("alloc_base", expr("budget * w_sqrt div tot_w"))
+      .withColumn("rem", expr("budget * w_sqrt % tot_w"))
+    val short = shares
+      .groupBy("budget").agg(sum("alloc_base").as("base_sum"))
+      .select(col("budget").as("b2"),
+        (col("budget") - col("base_sum")).as("n_extra"))
+    val rw = Window.orderBy(col("rem").desc, col(groupCol).asc)
+    shares.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(rw).cast("long"))
+      .select(col(groupCol), col("n_docs"), col("w_sqrt"),
+        col("alloc_base"),
+        (col("rk") <= col("n_extra")).cast("long").as("extra"),
+        (col("alloc_base") +
+          (col("rk") <= col("n_extra")).cast("long")).as("alloc_docs"))
+  }
+
   /** Length-bucket padding audit — the batching-efficiency report for
     * training loaders that pad every sequence in a batch to the batch
     * max: documents bucket to the next power of two of their token

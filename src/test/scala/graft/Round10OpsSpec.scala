@@ -534,6 +534,38 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- mixApportion ----
+
+  test("mixApportion sums exactly to the budget and matches a " +
+      "driver-side Hamilton replica") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = graft.ops.CurationOps.mixApportion(docs).collect()
+    val counts = docs.filter(col("lang").isNotNull)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val budget = counts.values.sum / 2
+    assert(rows.map(_.getAs[Long]("alloc_docs")).sum === budget)
+    // Hamilton replica.
+    def isqrt(n: Long): Long = {
+      val f = math.sqrt(n.toDouble).toLong
+      if ((f + 1) * (f + 1) <= n) f + 1 else if (f * f > n) f - 1 else f
+    }
+    val w = counts.map { case (l, n) => l -> isqrt(n) }
+    val totW = w.values.sum
+    val base = w.map { case (l, ws) => l -> budget * ws / totW }
+    val nExtra = budget - base.values.sum
+    val extras = w.toSeq
+      .map { case (l, ws) => (l, budget * ws % totW) }
+      .sortBy { case (l, r) => (-r, l) }.take(nExtra.toInt).map(_._1).toSet
+    rows.foreach { r =>
+      val l = r.getAs[String]("lang")
+      assert(r.getAs[Long]("alloc_base") === base(l))
+      assert(r.getAs[Long]("extra") === (if (extras(l)) 1L else 0L))
+      assert(r.getAs[Long]("alloc_docs") ===
+        base(l) + (if (extras(l)) 1L else 0L))
+    }
+  }
+
   // ---- imageCanonical ----
 
   test("imageCanonical keeps the highest-resolution member, ties to " +
