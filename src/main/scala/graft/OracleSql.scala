@@ -948,6 +948,48 @@ object OracleSql {
          i -> qvv[i] * vv[i])) AS BIGINT) AS DOUBLE)
        / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))"""
 
+  /** Truncated-dimension recall twin: full brute ranking from the
+    * quantized vectors, prefix ranking from their 16-element slices
+    * (truncate-then-quantize ≡ quantize-then-truncate), per-query
+    * overlap as exact ppm.
+    */
+  def truncDimRecallSql: String =
+    s"""WITH ${quantCte("embeddings")},
+        q AS (SELECT vec_id AS q_id, v AS qvv, n2 AS qn2 FROM n
+              WHERE vec_id < 5),
+        bc AS (SELECT q.q_id, n.vec_id, q.qvv, q.qn2, n.v AS vv, n.n2
+               FROM q, n WHERE n.vec_id <> q.q_id),
+        bs AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM bc),
+        br AS (SELECT q_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rnk
+               FROM bs),
+        brute AS (SELECT q_id, vec_id FROM br WHERE rnk <= 10),
+        tn AS (SELECT * FROM (
+                 SELECT vec_id, v[1:16] AS v,
+                        CAST(list_sum(list_transform(v[1:16],
+                          x -> x * x)) AS BIGINT) AS n2
+                 FROM qv) WHERE n2 > 0),
+        tq AS (SELECT vec_id AS q_id, v AS qvv, n2 AS qn2 FROM tn
+               WHERE vec_id < 5),
+        tc AS (SELECT t.q_id, tn.vec_id, t.qvv, t.qn2, tn.v AS vv, tn.n2
+               FROM tq t, tn WHERE tn.vec_id <> t.q_id),
+        ts AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM tc),
+        trk AS (SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY cos_sim DESC, vec_id) AS rnk
+                FROM ts),
+        tkept AS (SELECT q_id, vec_id FROM trk WHERE rnk <= 10),
+        hits AS (SELECT b.q_id, COUNT(*) AS hits
+                 FROM brute b JOIN tkept t
+                 ON t.q_id = b.q_id AND t.vec_id = b.vec_id
+                 GROUP BY b.q_id)
+        SELECT qs.q_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) * 1000000 // 10
+                 AS recall_ppm
+        FROM (SELECT DISTINCT q_id FROM brute) qs
+        LEFT JOIN hits h USING (q_id)"""
+
   def simsearchSql: String =
     s"""WITH ${quantCte("embeddings")},
         q AS (SELECT vec_id AS q_id, v AS qvv, n2 AS qn2 FROM n WHERE vec_id < 5),

@@ -1295,6 +1295,11 @@ object SparkEntry {
     // counts — the >=0.9 recall claim, pinned into the driver record.
     "q_simsearch_recall" -> ((s, d) =>
       SimilarityOps.recallAtK(Tables.embeddings(s, d))),
+    // Matryoshka audit: recall@10 of the 16-dim PREFIX ranking vs the
+    // full 64-dim brute baseline — what a 4x-cheaper first-stage
+    // retrieval would keep.
+    "q_simsearch_truncdim" -> ((s, d) =>
+      SimilarityOps.truncDimRecall(Tables.embeddings(s, d))),
     "q_dedup_embed" -> ((s, d) =>
       SimilarityOps.embedNearDupPairs(
         SimilarityOps.embedDupCorpus(Tables.embeddings(s, d)))),
@@ -5919,6 +5924,7 @@ object SparkEntry {
     "q_bpe_apply" -> OracleSql.bpeApplySql(BpeMerges),
     "q_simsearch_pq" -> OracleSql.simsearchPqSql,
     "q_simsearch_recall" -> OracleSql.simsearchRecallSql,
+    "q_simsearch_truncdim" -> OracleSql.truncDimRecallSql,
     "q_dedup_embed_recall" -> OracleSql.dedupEmbedRecallSql,
     "q_agg_salted" -> OracleSql.aggSaltedSql,
     "q_dedup_embed" -> OracleSql.dedupEmbedSql,

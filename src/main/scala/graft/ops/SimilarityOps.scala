@@ -115,6 +115,37 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
   }
 
+  /** Truncated-dimension (Matryoshka) retrieval audit: per query, the
+    * overlap between the full-dimension brute top-k and the top-k
+    * computed over only the first `prefixDims` coordinates — the
+    * number that decides whether an MRL-style prefix embedding can
+    * serve first-stage retrieval (prefix search costs prefixDims/Dims
+    * of the full dot product; the recall here is what that discount
+    * buys). Truncate-then-quantize ≡ quantize-then-truncate (both
+    * floor per-element), so the oracle re-derives both rankings
+    * exactly; recall is an exact ppm of int counts.
+    *
+    * Scale shape: two [[bruteTopK]] passes (broadcast queries, one
+    * per-query window each) + a (q_id, vec_id)-keyed semi join and a
+    * ≤numQueries-row rollup. At production scale the prefix pass is
+    * the cheap one by construction — that is the point being measured.
+    */
+  def truncDimRecall(emb: DataFrame, prefixDims: Int = 16,
+                     numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val full = bruteTopK(emb, numQueries, k).select(col("q_id"), col("vec_id"))
+    val trunc = bruteTopK(
+      emb.select(col("vec_id"),
+        slice(col("embedding"), 1, prefixDims).as("embedding")),
+      numQueries, k).select(col("q_id"), col("vec_id"))
+    val hits = full.join(trunc, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    full.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        expr(s"coalesce(hits, 0) * 1000000 div $k").as("recall_ppm"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates = vectors sharing any (table,
     * bucket) with the query; exact cosine + top-k within candidates only.
     * Same output shape as bruteTopK; recall < 1 by construction (that is

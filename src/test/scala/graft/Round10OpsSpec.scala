@@ -534,6 +534,31 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- truncDimRecall ----
+
+  test("truncDimRecall is exactly 1.0 when all information lives in " +
+      "the prefix dims, and bounded on the fixture") {
+    // 64-dim vectors whose dims 16..63 are all zero: the 16-dim prefix
+    // ranking must equal the full ranking query-for-query.
+    val emb = (0L until 20L).map { i =>
+      (i, (0 until 64).map { j =>
+        if (j < 16) (((i * 7 + j * 3) % 13).toFloat - 6f) / 8f else 0f
+      }.toArray)
+    }.toDF("vec_id", "embedding")
+    val got = graft.ops.SimilarityOps.truncDimRecall(emb).collect()
+    assert(got.length === 5)
+    got.foreach(r => assert(r.getAs[Long]("recall_ppm") === 1000000L,
+      s"query ${r.getAs[Long]("q_id")} lost prefix-complete recall"))
+    val fx = graft.ops.SimilarityOps
+      .truncDimRecall(Tables.embeddings(spark, sfDir)).collect()
+    assert(fx.length === 5)
+    fx.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 10L)
+      assert(r.getAs[Long]("recall_ppm") === h * 100000L)
+    }
+  }
+
   // ---- mixApportion ----
 
   test("mixApportion sums exactly to the budget and matches a " +
