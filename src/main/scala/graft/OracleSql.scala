@@ -358,6 +358,144 @@ object OracleSql {
         FROM assigned s JOIN atoks t USING (doc_id)
         LEFT JOIN ledger l ON l.cluster = s.cluster"""
 
+  /** Streaming canonical-maintenance twin: a TWO-PHASE replay. Phase 1
+    * judges batch 1 against the evens-built index/map/ledger; the
+    * ledger then upserts (per touched cluster, the better of old
+    * incumbent and best batch-1 arrival) and the cluster map gains
+    * batch 1's assignments — so phase 2 judges batch 2 against the
+    * UPDATED state, exactly the in-stream maintenance
+    * StreamOps.canonicalIngestReplay performs per micro-batch.
+    */
+  def canonicalStreamSql: String = {
+    val coefValues = DedupOps.MinhashCoef
+      .map { case (i, a, b, band, w31) => s"($i, $a, $b, $band, $w31)" }
+      .mkString(", ")
+    val p = DedupOps.P
+    def verdict(assigned: String, ledger: String) =
+      s"""SELECT s.doc_id, s.cluster, s.n_near, t.n_tok,
+               CASE WHEN l.canon_id IS NULL THEN 'new_cluster'
+                    WHEN t.n_tok > l.tok_kept
+                      OR (t.n_tok = l.tok_kept AND s.doc_id < l.canon_id)
+                      THEN 'dethrones'
+                    ELSE 'kept_existing' END AS verdict,
+               CASE WHEN l.canon_id IS NULL OR t.n_tok > l.tok_kept
+                      OR (t.n_tok = l.tok_kept AND s.doc_id < l.canon_id)
+                      THEN s.doc_id ELSE l.canon_id END AS new_canon_id
+        FROM $assigned s JOIN toks t USING (doc_id)
+        LEFT JOIN $ledger l ON l.cluster = s.cluster"""
+    s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        known AS (SELECT doc_id, text FROM base
+                  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        b1 AS (SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text
+               FROM base WHERE doc_id % 4 = 0 AND text IS NOT NULL
+               UNION ALL SELECT doc_id + 1500000, text FROM base
+               WHERE doc_id % 4 = 1 AND text IS NOT NULL),
+        b2 AS (SELECT doc_id + 2000000 AS doc_id, text || ' zzz' AS text
+               FROM base WHERE doc_id % 4 = 0 AND text IS NOT NULL
+               UNION ALL SELECT doc_id + 2500000, text FROM base
+               WHERE doc_id % 4 = 1 AND text IS NOT NULL),
+        corpus AS (SELECT * FROM known UNION ALL SELECT * FROM b1
+                   UNION ALL SELECT * FROM b2),
+        ${shingle3CteOver("corpus")},
+        hh AS (SELECT doc_id, ${hash60("sh")} % $p AS h FROM sh),
+        coef AS (SELECT * FROM (VALUES $coefValues) t(i, a, b, band, w31)),
+        sig AS (SELECT doc_id, i, MIN((a * h + b) % $p) AS m
+                FROM hh CROSS JOIN coef GROUP BY doc_id, i),
+        bk AS (SELECT doc_id, band, CAST(SUM(m * w31) AS BIGINT) AS bk
+               FROM sig JOIN coef USING (i) GROUP BY doc_id, band),
+        toks AS (SELECT doc_id,
+            CAST(len(list_filter(string_split_regex(text, '$Ws'),
+              x -> x <> '')) AS BIGINT) AS n_tok
+          FROM corpus),
+        kcand AS (SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+                  FROM bk x JOIN bk y ON x.band = y.band AND x.bk = y.bk
+                  AND x.doc_id < y.doc_id AND y.doc_id < 1000000),
+        kpairs AS (SELECT c.u, c.v FROM kcand c
+                   JOIN sig sa ON sa.doc_id = c.u
+                   JOIN sig sb ON sb.doc_id = c.v AND sb.i = sa.i
+                   GROUP BY c.u, c.v
+                   HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                            / ${DedupOps.K}.0 >= 0.5),
+        und AS (SELECT u, v FROM kpairs UNION ALL SELECT v, u FROM kpairs),
+        reach(node, lbl) AS (
+          SELECT u, u FROM und
+          UNION
+          SELECT e.v, r.lbl FROM und e JOIN reach r ON r.node = e.u),
+        kclusters AS (SELECT node, MIN(lbl) AS cluster
+                      FROM reach GROUP BY node),
+        elected0 AS (SELECT cluster, node AS canon_id, n_tok AS tok_kept
+          FROM (SELECT kc.cluster, kc.node, t.n_tok,
+                  row_number() OVER (PARTITION BY kc.cluster
+                    ORDER BY t.n_tok DESC, kc.node ASC) AS rn
+                FROM kclusters kc JOIN toks t ON t.doc_id = kc.node)
+          WHERE rn = 1),
+        singles0 AS (SELECT k.doc_id AS cluster, k.doc_id AS canon_id,
+                            t.n_tok AS tok_kept
+          FROM known k JOIN toks t ON t.doc_id = k.doc_id
+          LEFT JOIN kclusters kc ON kc.node = k.doc_id
+          WHERE kc.node IS NULL),
+        ledger0 AS (SELECT * FROM elected0
+                    UNION ALL SELECT * FROM singles0),
+        xm1c AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS k_id
+                 FROM bk x JOIN bk y ON x.band = y.band AND x.bk = y.bk
+                 WHERE x.doc_id >= 1000000 AND x.doc_id < 2000000
+                   AND y.doc_id < 1000000),
+        xm1 AS (SELECT c.a_id, c.k_id FROM xm1c c
+                JOIN sig sa ON sa.doc_id = c.a_id
+                JOIN sig sb ON sb.doc_id = c.k_id AND sb.i = sa.i
+                GROUP BY c.a_id, c.k_id
+                HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                         / ${DedupOps.K}.0 >= 0.5),
+        assigned1 AS (SELECT a.doc_id,
+               COALESCE(MIN(COALESCE(kc.cluster, m.k_id)), a.doc_id)
+                 AS cluster,
+               CAST(COUNT(m.k_id) AS BIGINT) AS n_near
+          FROM b1 a
+          LEFT JOIN xm1 m ON m.a_id = a.doc_id
+          LEFT JOIN kclusters kc ON kc.node = m.k_id
+          GROUP BY a.doc_id),
+        v1 AS (${verdict("assigned1", "ledger0")}),
+        bestArr1 AS (SELECT cluster, node AS a_id, a_tok
+          FROM (SELECT s.cluster, s.doc_id AS node, t.n_tok AS a_tok,
+                  row_number() OVER (PARTITION BY s.cluster
+                    ORDER BY t.n_tok DESC, s.doc_id ASC) AS rn
+                FROM assigned1 s JOIN toks t USING (doc_id))
+          WHERE rn = 1),
+        ledger1 AS (SELECT COALESCE(l.cluster, b.cluster) AS cluster,
+               CASE WHEN b.a_id IS NULL THEN l.canon_id
+                    WHEN l.canon_id IS NULL OR b.a_tok > l.tok_kept
+                      OR (b.a_tok = l.tok_kept AND b.a_id < l.canon_id)
+                      THEN b.a_id
+                    ELSE l.canon_id END AS canon_id,
+               CASE WHEN b.a_id IS NULL THEN l.tok_kept
+                    WHEN l.canon_id IS NULL OR b.a_tok > l.tok_kept
+                      OR (b.a_tok = l.tok_kept AND b.a_id < l.canon_id)
+                      THEN b.a_tok
+                    ELSE l.tok_kept END AS tok_kept
+          FROM ledger0 l FULL JOIN bestArr1 b ON b.cluster = l.cluster),
+        map1 AS (SELECT node, cluster FROM kclusters
+                 UNION ALL SELECT doc_id AS node, cluster FROM assigned1),
+        xm2c AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS k_id
+                 FROM bk x JOIN bk y ON x.band = y.band AND x.bk = y.bk
+                 WHERE x.doc_id >= 2000000 AND y.doc_id < 2000000),
+        xm2 AS (SELECT c.a_id, c.k_id FROM xm2c c
+                JOIN sig sa ON sa.doc_id = c.a_id
+                JOIN sig sb ON sb.doc_id = c.k_id AND sb.i = sa.i
+                GROUP BY c.a_id, c.k_id
+                HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                         / ${DedupOps.K}.0 >= 0.5),
+        assigned2 AS (SELECT a.doc_id,
+               COALESCE(MIN(COALESCE(m1.cluster, m.k_id)), a.doc_id)
+                 AS cluster,
+               CAST(COUNT(m.k_id) AS BIGINT) AS n_near
+          FROM b2 a
+          LEFT JOIN xm2 m ON m.a_id = a.doc_id
+          LEFT JOIN map1 m1 ON m1.node = m.k_id
+          GROUP BY a.doc_id),
+        v2 AS (${verdict("assigned2", "ledger1")})
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2"""
+  }
+
   /** The shared known/arrivals minhash CTE chain ending at `assigned`
     * (per-arrival cluster + near count) — one source of truth for
     * [[dedupClusterIncrSql]] and [[dedupCanonicalIncrSql]].

@@ -1201,6 +1201,38 @@ object SparkEntry {
       graft.streaming.StreamOps.indexIngestReplay(
         arrivals, idx, staging, Seq(1000000L))
     }),
+    // STREAMING canonical maintenance — the always-on form of
+    // q_dedup_canonical_incr with IN-STREAM artifact updates: batch 1
+    // (+1M longer near-dups of knowns → dethrones; +1.5M fresh odds →
+    // new_cluster) updates index, cluster map, and ledger inside
+    // foreachBatch; batch 2's exact twins (+2M of the dethroners,
+    // +2.5M of the fresh odds) must come back kept_existing against
+    // the UPDATED incumbents — the outcome that proves the in-stream
+    // upsert. Oracle replays both phases.
+    "q_stream_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      requireIdHeadroom(docs, "doc_id")
+      val idx = tmpPath("graft_mhidx_canonstream", d)
+      val staging = tmpPath("graft_canonstream_stage", d)
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text")
+      DedupOps.writeMinhashIndex(evens, idx)
+      DedupOps.writeMinhashClusterMap(evens, idx)
+      DedupOps.writeCanonicalLedger(evens, idx)
+      val quads = docs.filter(col("doc_id") % 4 === 0)
+      val odds1 = docs.filter(col("doc_id") % 4 === 1)
+      val arrivals = quads
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text"))
+        .union(odds1.select((col("doc_id") + 1500000L).as("doc_id"),
+          col("text")))
+        .union(quads.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text")))
+        .union(odds1.select((col("doc_id") + 2500000L).as("doc_id"),
+          col("text")))
+      graft.streaming.StreamOps.canonicalIngestReplay(
+        arrivals, idx, staging, Seq(2000000L))
+    }),
     // Content-defined chunking dedup over the shifted-quote corpus:
     // rolling-hash boundaries move with the content, so spans shared at
     // DIFFERENT offsets still cut into identical md5-keyed chunks — the
@@ -5902,6 +5934,7 @@ object SparkEntry {
     "q_dedup_cluster_incr" -> OracleSql.dedupClusterIncrSql,
     "q_dedup_canonical_incr" -> OracleSql.dedupCanonicalIncrSql,
     "q_stream_dedup_index" -> OracleSql.dedupStreamIngestSql,
+    "q_stream_canonical" -> OracleSql.canonicalStreamSql,
     "q_dedup_simhash" -> OracleSql.dedupSimhashSql,
     "q_dedup_ngram" -> OracleSql.dedupNgramSql,
     "q_novelty" -> OracleSql.noveltySql,

@@ -777,6 +777,77 @@ object StreamOps {
       admitted =>
         graft.ops.SimilarityOps.appendToEmbedIndex(admitted, indexPath))
 
+  /** STREAMING canonical maintenance — the always-on form of the
+    * [[graft.ops.DedupOps.canonicalIncremental]] daily loop, with the
+    * full artifact set updated IN-STREAM per micro-batch:
+    *
+    *  1. judge the batch against the PRE-batch index/map/ledger
+    *     (verdicts eagerly pinned via localCheckpoint BEFORE any
+    *     mutation — the lazy-read trap);
+    *  2. append the batch's band rows + digests to the index and its
+    *     (doc_id, cluster) assignments to the cluster map, so a LATER
+    *     batch's twin of these arrivals clusters correctly;
+    *  3. upsert the canonical ledger: per touched cluster the
+    *     post-batch incumbent is the better of (old incumbent, best
+    *     batch arrival) under the shared (n_tok desc, id asc) order —
+    *     a full-outer merge on the ≤|touched-clusters| ledger, the
+    *     old ledger eagerly checkpointed before the overwrite.
+    *
+    * A later-batch exact twin of a batch-1 dethroner must come back
+    * `kept_existing` against the UPDATED incumbent — the outcome that
+    * proves both the in-stream ledger upsert and the cluster-map
+    * append (spec-pinned; the oracle replays both phases).
+    */
+  def canonicalIngestReplay(arrivals: DataFrame, indexPath: String,
+                            stagingDir: String,
+                            boundaries: Seq[Long]): DataFrame = {
+    val spark = arrivals.sparkSession
+    stageSlices(arrivals, stagingDir, "doc_id", boundaries)
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    val verdicts = new java.util.concurrent.atomic.AtomicReference(
+      Option.empty[DataFrame])
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val v = graft.ops.DedupOps.canonicalIncremental(batch, indexPath)
+          .localCheckpoint(true) // judged vs the PRE-batch artifacts
+        // Index + cluster-map maintenance (O(batch) appends).
+        graft.ops.DedupOps.appendToMinhashIndex(batch, indexPath)
+        v.select(col("doc_id"), col("cluster"))
+          .write.mode(SaveMode.Append).parquet(indexPath + "/clusters")
+        // Ledger upsert: old ledger pinned eagerly, then overwritten.
+        val led = spark.read.parquet(indexPath + "/canonicals")
+          .localCheckpoint(true)
+        val bestArr = v.groupBy("cluster")
+          .agg(max(struct(col("n_tok"), (-col("doc_id")).as("neg"),
+            col("doc_id").as("node"))).as("b"))
+          .select(col("cluster"), col("b.node").as("a_id"),
+            col("b.n_tok").as("a_tok"))
+        val arrWins = col("canon_id").isNull ||
+          col("a_tok") > col("tok_kept") ||
+          (col("a_tok") === col("tok_kept") &&
+            col("a_id") < col("canon_id"))
+        led.join(bestArr, Seq("cluster"), "full")
+          .select(col("cluster"),
+            when(col("a_id").isNull, col("canon_id"))
+              .when(arrWins, col("a_id"))
+              .otherwise(col("canon_id")).as("canon_id"),
+            when(col("a_id").isNull, col("tok_kept"))
+              .when(arrWins, col("a_tok"))
+              .otherwise(col("tok_kept")).as("tok_kept"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(indexPath + "/canonicals")
+        verdicts.set(Some(verdicts.get().fold(v)(_.union(v))))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    verdicts.get().getOrElse(
+      throw new IllegalStateException("no micro-batch fired"))
+  }
+
   /** Streaming model inference against a persisted artifact — the
     * production scoring loop: document micro-batches are scored with
     * the PERSISTED classifier weights

@@ -534,6 +534,47 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- canonicalIngestReplay ----
+
+  test("canonicalIngestReplay: batch-2 twins are judged against the " +
+      "IN-STREAM-updated ledger and cluster map") {
+    import graft.ops.DedupOps
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fresh = "one two three four five six seven eight nine ten"
+    val known = Seq((1L, base)).toDF("doc_id", "text")
+    val idx = tmp("graft_spec_canonstream")
+    val staging = tmp("graft_spec_canonstream_stage")
+    DedupOps.writeMinhashIndex(known, idx)
+    DedupOps.writeMinhashClusterMap(known, idx)
+    DedupOps.writeCanonicalLedger(known, idx)
+    val arrivals = Seq(
+      (100L, base + " mu nu"),   // batch 1: 12 tok > 10 → dethrones
+      (150L, fresh),             // batch 1: new_cluster
+      (200L, base + " mu nu"),   // batch 2: twin of 100 — vs UPDATED
+                                 // ledger: tie at 12, id 200 > 100 →
+                                 // kept_existing (stale ledger would
+                                 // say dethrones vs canon 1)
+      (250L, fresh))             // batch 2: twin of 150 — caught only
+                                 // via the in-stream map append
+      .toDF("doc_id", "text")
+    val got = graft.streaming.StreamOps
+      .canonicalIngestReplay(arrivals, idx, staging, Seq(200L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(100L).getAs[String]("verdict") === "dethrones")
+    assert(got(100L).getAs[Long]("new_canon_id") === 100L)
+    assert(got(150L).getAs[String]("verdict") === "new_cluster")
+    assert(got(200L).getAs[String]("verdict") === "kept_existing")
+    assert(got(200L).getAs[Long]("new_canon_id") === 100L)
+    assert(got(250L).getAs[String]("verdict") === "kept_existing")
+    assert(got(250L).getAs[Long]("new_canon_id") === 150L)
+    assert(got(250L).getAs[Long]("cluster") === 150L)
+    // The persisted ledger after the run carries the updated incumbents.
+    val led = spark.read.parquet(idx + "/canonicals").collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("canon_id")).toMap
+    assert(led(1L) === 100L)
+    assert(led(150L) === 150L)
+  }
+
   // ---- truncDimRecall ----
 
   test("truncDimRecall is exactly 1.0 when all information lives in " +
