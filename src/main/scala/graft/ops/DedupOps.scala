@@ -1101,13 +1101,17 @@ object DedupOps {
     * [[canonicalIncremental]] every batch.
     */
   def writeCanonicalLedger(known: DataFrame, path: String): Unit = {
+    // Same call-after-write contract as [[writeMinhashClusterMap]]: the
+    // clusters are read from the JUST-WRITTEN `path`/clusters artifact
+    // rather than re-mined — the signature build and the CC loop were
+    // already paid by the map write; re-running both here doubled the
+    // snapshot-mine cost for byte-identical clusters.
     val toks = known.filter(col("text").isNotNull)
       .select(col("doc_id"),
         size(filter(split(col("text"), TextOps.WsRegex), x => x =!= ""))
           .cast("long").as("n_tok"))
-    val clusters = GraphOps.connectedComponents(
-      minhashPairs(known).select(col("doc_a").as("a"), col("doc_b").as("b")))
-      .persist()
+    val clusters = known.sparkSession.read.parquet(path + "/clusters")
+      .select(col("doc_id").as("node"), col("cluster"))
     val elected = clusters.join(toks, clusters("node") === toks("doc_id"))
       .groupBy("cluster")
       .agg(max(struct(col("n_tok"), (-col("node")).as("neg"),
@@ -1120,7 +1124,6 @@ object DedupOps {
         col("n_tok").as("tok_kept"))
     elected.union(singles).write.mode("overwrite")
       .parquet(path + "/canonicals")
-    clusters.unpersist()
   }
 
   /** Incremental canonical MAINTENANCE — the daily-batch decision the

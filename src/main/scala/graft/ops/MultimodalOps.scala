@@ -510,10 +510,13 @@ object MultimodalOps {
     * and dimensions move).
     */
   def imageCanonical(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // fps is consumed twice (band join + pixel join) and its lineage is
+    // the decode mapPartitions — persist so payloads decode ONCE.
+    val f = fps.persist()
     val clusters = GraphOps.connectedComponents(
-      imageNearDupPairs(fps, maxHamming)
+      imageNearDupPairs(f, maxHamming)
         .select(col("asset_a").as("a"), col("asset_b").as("b")))
-    val px = fps.select(col("asset_id"), (col("w") * col("h")).as("px"))
+    val px = f.select(col("asset_id"), (col("w") * col("h")).as("px"))
     clusters.join(px, clusters("node") === px("asset_id"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_assets"),
