@@ -2347,6 +2347,19 @@ object SparkEntry {
     // integer arithmetic.
     "q_audio_frames" -> ((s, d) =>
       MultimodalOps.audioFrameFeatures(Tables.documents(s, d))),
+    // Audio DEDUP via volume-invariant energy-delta fingerprints: the
+    // +1M slice is every base recording at HALF volume (sample-exact
+    // scaled synthesis, real codec round trip) — a byte or PCM digest
+    // misses all of them; the delta-sign fingerprint collides. Exact
+    // (n_frames, fp)-keyed self-join, never all-pairs — dedup now
+    // spans all three modalities (text MinHash, image aHash, audio
+    // energy-delta).
+    "q_audio_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 256)
+      MultimodalOps.audioDedupPairs(
+        MultimodalOps.audioFingerprints(base, 0L, 1)
+          .unionByName(MultimodalOps.audioFingerprints(base, 1000000L, 2)))
+    }),
     // Integer linear-interpolation resample (8 kHz → 3 kHz): exact
     // ×3-scaled interpolants from the real WAV decode; sum/weighted-sum
     // checksums pin every value and position. Zero exchange.
@@ -6935,6 +6948,49 @@ object SparkEntry {
                 CAST(sum(energy2) AS BIGINT) AS sum_energy2,
                 CAST(sum(zcs) AS BIGINT) AS sum_zc
          FROM f GROUP BY frame_idx""",
+    // Audio-dedup twin: regenerate both slices' PCM closed-form (the
+    // volume-halved slice divides with truncation toward zero, matching
+    // JVM Int division), frame energies over complete 16-sample frames,
+    // delta-sign bits via a power-of-two VALUES table, exact
+    // (n_frames, fp) collision join.
+    "q_audio_dedup" -> {
+      val pw = (0 to 10).map(k => s"($k, ${1L << k})").mkString(", ")
+      s"""WITH src AS (
+           SELECT doc_id AS asset_id, doc_id AS id, 1 AS den
+           FROM documents WHERE doc_id < 256
+           UNION ALL
+           SELECT doc_id + 1000000, doc_id, 2
+           FROM documents WHERE doc_id < 256),
+         s AS (SELECT asset_id, id, den,
+                 (64 + id % 128) // 16 AS nf,
+                 unnest(range(64 + id % 128)) AS i
+               FROM src),
+         v AS (SELECT asset_id, nf, i, i // 16 AS k,
+                 CASE WHEN sv0 >= 0 THEN sv0 // den
+                      ELSE -((-sv0) // den) END AS sv
+               FROM (SELECT asset_id, den, nf, i,
+                       ((id * 2654435761 + i * 40503) % 65536) - 32768
+                         AS sv0
+                     FROM s)),
+         e AS (SELECT asset_id, nf, k,
+                 CAST(SUM(sv * sv) AS BIGINT) AS e2
+               FROM v WHERE k < nf GROUP BY asset_id, nf, k),
+         bits AS (SELECT asset_id, nf, k,
+                 CASE WHEN lead(e2) OVER (PARTITION BY asset_id
+                   ORDER BY k) > e2 THEN 1 ELSE 0 END AS b
+               FROM e),
+         pw AS (SELECT * FROM (VALUES $pw) t(k, p2)),
+         fp AS (SELECT asset_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
+                 CAST(COALESCE(SUM(CASE WHEN bits.k < nf - 1 AND b = 1
+                   THEN p2 ELSE 0 END), 0) AS BIGINT) AS fp
+               FROM bits JOIN pw ON pw.k = bits.k
+               GROUP BY asset_id)
+         SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+                x.n_frames AS n_frames, x.fp AS fp
+         FROM fp x JOIN fp y
+         ON x.n_frames = y.n_frames AND x.fp = y.fp
+           AND x.asset_id < y.asset_id"""
+    },
     "q_label_centroids" ->
       s"""WITH qv AS (SELECT label, list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * ${ops.SimilarityOps.QScale})

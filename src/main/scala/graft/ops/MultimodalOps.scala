@@ -694,12 +694,20 @@ object MultimodalOps {
     * the decoded sample SUM is a closed-form integer function of the id —
     * the decode tier's oracle handle.
     */
-  def syntheticWav(docId: Long): Array[Byte] = {
+  def syntheticWav(docId: Long): Array[Byte] = syntheticWavScaled(docId, 1)
+
+  /** [[syntheticWav]] at reduced volume: every sample integer-divided
+    * by `den` (truncation toward zero; the 16-bit codec round-trips
+    * the scaled value exactly) — the deterministic "same recording,
+    * lower volume" near-duplicate generator of the audio tier.
+    */
+  def syntheticWavScaled(docId: Long, den: Int): Array[Byte] = {
     val n = 64 + (docId % 128).toInt
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val s = (((docId * 31 + i.toLong * 17) % 65536) - 32768).toInt
+      val s0 = (((docId * 31 + i.toLong * 17) % 65536) - 32768).toInt
+      val s = s0 / den
       pcm(2 * i) = (s & 0xff).toByte
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
@@ -712,6 +720,92 @@ object MultimodalOps {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
+
+  /** Energy-delta audio fingerprints over REAL WAV decodes — the
+    * Haitsma-Kalker-style robust hash reduced to its volume-invariant
+    * core: 16-sample frame energies Σs², one bit per consecutive-frame
+    * comparison (`e[k+1] > e[k]`), packed little-endian. Uniform gain
+    * changes scale every energy together, so the DELTA SIGNS — and the
+    * fingerprint — survive volume edits that break any byte- or
+    * sample-digest. `den` applies the volume scaling at synthesis (the
+    * planted near-dup generator), `idOffset` shifts the slice ids.
+    * One mapPartitions decode pass; 24 bytes out per asset.
+    */
+  /** Dedup-tier synthetic WAV: same container/length scheme as
+    * [[syntheticWav]] but a WRAPPING multiplicative-step signal
+    * (step 40503 > 2¹⁵ wraps the 16-bit range nearly every sample), so
+    * frame energies are high-entropy — the shared ramp signal's smooth
+    * energy profile would give the delta-sign fingerprint almost no
+    * discriminating bits (measured: 16 k accidental collisions on the
+    * fixture). Volume scaling by `den` divides samples with truncation
+    * toward zero, exactly as [[syntheticWavScaled]].
+    */
+  def syntheticWavNoise(docId: Long, den: Int): Array[Byte] = {
+    val n = 64 + (docId % 128).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s0 = (((docId * 2654435761L + i.toLong * 40503L) % 65536) -
+        32768).toInt
+      val s = s0 / den
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  def audioFingerprints(docs: DataFrame, idOffset: Long,
+                        den: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = syntheticWavNoise(id, den)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val n = ais.getFrameLength.toInt
+        val bytes = ais.readAllBytes()
+        def sample(i: Int): Long =
+          ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong
+        val nf = n / 16
+        val e = Array.tabulate(nf) { k =>
+          var s = 0L
+          var i = 16 * k
+          while (i < 16 * (k + 1)) { s += sample(i) * sample(i); i += 1 }
+          s
+        }
+        var fp = 0L
+        var k = 0
+        while (k < nf - 1) {
+          if (e(k + 1) > e(k)) fp |= (1L << k)
+          k += 1
+        }
+        (id + idOffset, nf.toLong, fp)
+      })
+      .toDF("asset_id", "n_frames", "fp")
+  }
+
+  /** Audio dedup candidates: assets whose (frame count, fingerprint)
+    * collide exactly — a keyed self-join on the 16-byte signature
+    * (bucketed by construction, never all-pairs; the image-band and
+    * MinHash-band discipline with an exact key). Catches the planted
+    * volume-halved twins a PCM digest cannot.
+    */
+  def audioDedupPairs(fps: DataFrame): DataFrame =
+    fps.as("x").join(fps.as("y"),
+        col("x.n_frames") === col("y.n_frames") &&
+          col("x.fp") === col("y.fp") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_a"),
+        col("y.asset_id").as("asset_b"),
+        col("x.n_frames").as("n_frames"), col("x.fp").as("fp"))
 
   /** REAL WAV decode via javax.sound.sampled: parse the container, check
     * the PCM format loudly, and recompute the sample sum from the decoded

@@ -534,6 +534,32 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- audio dedup ----
+
+  test("audio energy-delta fingerprint is volume-invariant: every " +
+      "half-volume twin collides with its original") {
+    import graft.ops.MultimodalOps
+    val base = Tables.documents(spark, sfDir).filter(col("doc_id") < 256)
+    val full = MultimodalOps.audioFingerprints(base, 0L, 1)
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("fp"))).toMap
+    val half = MultimodalOps.audioFingerprints(base, 0L, 2)
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("fp"))).toMap
+    assert(full.keySet === half.keySet)
+    full.foreach { case (id, sig) =>
+      assert(half(id) === sig, s"asset $id fingerprint not volume-invariant")
+    }
+    // And the pair query surfaces every planted twin.
+    val pairs = MultimodalOps.audioDedupPairs(
+      MultimodalOps.audioFingerprints(base, 0L, 1)
+        .unionByName(MultimodalOps.audioFingerprints(base, 1000000L, 2)))
+      .collect()
+    val twins = pairs.count(r =>
+      r.getAs[Long]("asset_b") - r.getAs[Long]("asset_a") == 1000000L)
+    assert(twins === full.size)
+  }
+
   // ---- canonicalIngestReplay ----
 
   test("canonicalIngestReplay: batch-2 twins are judged against the " +
