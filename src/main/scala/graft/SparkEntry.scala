@@ -2324,6 +2324,30 @@ object SparkEntry {
         .select("asset_id", "ahash")
       MultimodalOps.imageNearDupIncremental(arrivals, idx)
     }),
+    // STREAMING image-index ingest — the always-on form of
+    // q_image_dedup_incr, completing the streaming-ingest matrix
+    // (text/embed/image): batch 1 = exact twins of the even bases
+    // (+1M, rejected) and far brightness variants of the odds (+1.5M,
+    // mostly admitted + appended IN-STREAM); batch 2 = exact
+    // fingerprint twins of those variants (+2M) — every one rejected,
+    // either via the in-stream append (twin was admitted) or the base
+    // index (twin was near base): zero batch-2 admissions, which only
+    // holds if the in-stream update ran.
+    "q_stream_image_index" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 256)
+      val idx = tmpPath("graft_imgidx_stream", d)
+      val staging = tmpPath("graft_imgidx_stage", d)
+      MultimodalOps.writeImageIndex(
+        MultimodalOps.imageAHash(base).select("asset_id", "ahash"), idx)
+      val evens = base.filter(col("doc_id") % 2 === 0)
+      val odds = base.filter(col("doc_id") % 2 === 1)
+      val arrivals = MultimodalOps.imageAHashShifted(evens, 1000000L, 0)
+        .unionByName(MultimodalOps.imageAHashShifted(odds, 1500000L, 128))
+        .unionByName(MultimodalOps.imageAHashShifted(odds, 2000000L, 128))
+        .select("asset_id", "ahash")
+      graft.streaming.StreamOps.imageIndexIngestReplay(
+        arrivals, idx, staging, Seq(2000000L))
+    }),
     // RGB (3-band) decode proof: per-channel means + aHashes over real
     // decoded RGB PNGs — independent closed-form gradients per channel,
     // so band swaps or gray-fusing fail the oracle on at least one band.
@@ -6651,6 +6675,77 @@ object SparkEntry {
          FROM (SELECT asset_id FROM src WHERE asset_id >= 1000000) a
          LEFT JOIN xm m ON m.asset_id = a.asset_id
          GROUP BY a.asset_id""",
+    // Streaming image-index twin: two-phase replay — batch 1 judged
+    // against the base fingerprints, its admitted assets join the
+    // index, batch 2 judged against base ∪ admitted (exact all-pairs
+    // Hamming; banding is pigeonhole-exhaustive at <= 3).
+    "q_stream_image_index" ->
+      """WITH src AS (
+           SELECT doc_id AS asset_id, doc_id AS id, 0 AS delta
+           FROM documents WHERE doc_id < 256
+           UNION ALL
+           SELECT doc_id + 1000000, doc_id, 0
+           FROM documents WHERE doc_id < 256 AND doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id + 1500000, doc_id, 128
+           FROM documents WHERE doc_id < 256 AND doc_id % 2 = 1
+           UNION ALL
+           SELECT doc_id + 2000000, doc_id, 128
+           FROM documents WHERE doc_id < 256 AND doc_id % 2 = 1),
+         dims AS (SELECT asset_id, id, delta,
+                         CAST(1 + id % 16 AS BIGINT) AS w,
+                         CAST(1 + (id // 16) % 16 AS BIGINT) AS h
+                  FROM src),
+         m AS (SELECT asset_id, id, delta, w, h,
+                 CAST(SUM(((CASE WHEN i.range = 0 THEN id % 256
+                            ELSE (id + 31 * (i.range % w)
+                                  + 7 * (i.range // w)) % 256 END)
+                           + delta) % 256) AS BIGINT) // (w * h) AS mean_px
+               FROM dims, range(0, 256) i WHERE i.range < w * h
+               GROUP BY asset_id, id, delta, w, h),
+         b AS (SELECT asset_id, k.range AS k,
+                 CASE WHEN ((CASE WHEN (k.range % 8) * w // 8 = 0
+                                   AND (k.range // 8) * h // 8 = 0
+                             THEN id % 256
+                             ELSE (id + 31 * ((k.range % 8) * w // 8)
+                                   + 7 * ((k.range // 8) * h // 8)) % 256
+                             END) + delta) % 256 > mean_px
+                      THEN '1' ELSE '0' END AS bit
+               FROM m, range(0, 64) k),
+         fp AS (SELECT asset_id,
+                       string_agg(bit, '' ORDER BY k) AS ahash
+                FROM b GROUP BY asset_id),
+         xm1 AS (SELECT x.asset_id, y.asset_id AS idx_id
+                FROM fp x JOIN fp y
+                ON x.asset_id >= 1000000 AND x.asset_id < 2000000
+                  AND y.asset_id < 1000000
+                WHERE CAST(list_sum(list_transform(range(1, 65),
+                        i -> CASE WHEN x.ahash[i] != y.ahash[i]
+                             THEN 1 ELSE 0 END)) AS BIGINT) <= 3),
+         v1 AS (SELECT a.asset_id,
+                CAST(COUNT(m.idx_id) AS BIGINT) AS n_near,
+                CAST(CASE WHEN COUNT(m.idx_id) = 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS kept
+           FROM (SELECT asset_id FROM src
+                 WHERE asset_id >= 1000000 AND asset_id < 2000000) a
+           LEFT JOIN xm1 m ON m.asset_id = a.asset_id
+           GROUP BY a.asset_id),
+         idx2 AS (SELECT asset_id FROM src WHERE asset_id < 1000000
+                  UNION ALL SELECT asset_id FROM v1 WHERE kept = 1),
+         xm2 AS (SELECT x.asset_id, y.asset_id AS idx_id
+                FROM fp x JOIN fp y ON x.asset_id >= 2000000
+                JOIN idx2 ix ON ix.asset_id = y.asset_id
+                WHERE CAST(list_sum(list_transform(range(1, 65),
+                        i -> CASE WHEN x.ahash[i] != y.ahash[i]
+                             THEN 1 ELSE 0 END)) AS BIGINT) <= 3),
+         v2 AS (SELECT a.asset_id,
+                CAST(COUNT(m.idx_id) AS BIGINT) AS n_near,
+                CAST(CASE WHEN COUNT(m.idx_id) = 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS kept
+           FROM (SELECT asset_id FROM src WHERE asset_id >= 2000000) a
+           LEFT JOIN xm2 m ON m.asset_id = a.asset_id
+           GROUP BY a.asset_id)
+         SELECT * FROM v1 UNION ALL SELECT * FROM v2""",
     "q_image_rgb" -> OracleSql.imageRgbSql,
     "q_multimodal_jpeg" ->
       """SELECT count(*) AS n_assets,

@@ -777,6 +777,26 @@ object StreamOps {
       admitted =>
         graft.ops.SimilarityOps.appendToEmbedIndex(admitted, indexPath))
 
+  /** [[indexIngestReplay]] for the IMAGE index — always-on image
+    * ingestion with per-batch incremental near-dup judgment
+    * (MultimodalOps.imageNearDupIncremental: arrivals band THEMSELVES
+    * only and probe the persisted aHash bands) and in-stream index
+    * appends for admitted assets. Completes the streaming-ingest
+    * matrix across the three index families (text MinHash, embedding
+    * LSH, image aHash): an exact-fingerprint twin of a batch-1
+    * admitted asset arriving in batch 2 is rejected ONLY because the
+    * in-stream append ran. Same staged-slice mechanics and eager
+    * pre-append verdict pinning.
+    */
+  def imageIndexIngestReplay(arrivalFps: DataFrame, indexPath: String,
+                             stagingDir: String,
+                             boundaries: Seq[Long]): DataFrame =
+    ingestReplayCore(arrivalFps, stagingDir, "asset_id", boundaries,
+      batch =>
+        graft.ops.MultimodalOps.imageNearDupIncremental(batch, indexPath),
+      admitted =>
+        graft.ops.MultimodalOps.appendToImageIndex(admitted, indexPath))
+
   /** STREAMING canonical maintenance — the always-on form of the
     * [[graft.ops.DedupOps.canonicalIncremental]] daily loop, with the
     * full artifact set updated IN-STREAM per micro-batch:

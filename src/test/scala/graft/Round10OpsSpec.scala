@@ -534,6 +534,40 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- imageIndexIngestReplay ----
+
+  test("imageIndexIngestReplay: zero batch-2 admissions — every exact " +
+      "twin of a batch-1 admit is caught by the in-stream append") {
+    import graft.ops.MultimodalOps
+    val base = Tables.documents(spark, sfDir).filter(col("doc_id") < 64)
+    val idx = tmp("graft_spec_imgidx_stream")
+    val staging = tmp("graft_spec_imgidx_stage")
+    MultimodalOps.writeImageIndex(
+      MultimodalOps.imageAHash(base).select("asset_id", "ahash"), idx)
+    val evens = base.filter(col("doc_id") % 2 === 0)
+    val odds = base.filter(col("doc_id") % 2 === 1)
+    val arrivals = MultimodalOps.imageAHashShifted(evens, 1000000L, 0)
+      .unionByName(MultimodalOps.imageAHashShifted(odds, 1500000L, 128))
+      .unionByName(MultimodalOps.imageAHashShifted(odds, 2000000L, 128))
+      .select("asset_id", "ahash")
+    val got = graft.streaming.StreamOps
+      .imageIndexIngestReplay(arrivals, idx, staging, Seq(2000000L))
+      .collect()
+    val b1Exact = got.filter(r => r.getAs[Long]("asset_id") >= 1000000L &&
+      r.getAs[Long]("asset_id") < 1500000L)
+    val b1Far = got.filter(r => r.getAs[Long]("asset_id") >= 1500000L &&
+      r.getAs[Long]("asset_id") < 2000000L)
+    val b2 = got.filter(_.getAs[Long]("asset_id") >= 2000000L)
+    assert(b1Exact.nonEmpty && b1Far.nonEmpty && b2.nonEmpty)
+    // Exact twins of indexed bases are all rejected.
+    assert(b1Exact.forall(_.getAs[Long]("kept") === 0L))
+    // Some far variants are genuinely new and get admitted + appended.
+    assert(b1Far.exists(_.getAs[Long]("kept") === 1L))
+    // Batch 2 = exact fingerprint twins of batch 1's far variants:
+    // zero admissions possible only if the in-stream append ran.
+    assert(b2.forall(_.getAs[Long]("kept") === 0L))
+  }
+
   // ---- audio dedup ----
 
   test("audio energy-delta fingerprint is volume-invariant: every " +
