@@ -1922,6 +1922,41 @@ object OracleSql {
         s AS (SELECT vec_a, vec_b, $cosExpr AS cos_sim FROM pd)
         SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.95"""
 
+  /** Semantic-decontam twin: the dedupEmbedSql bucket discipline
+    * crossed between the train slice (< 10^6) and the bench slice
+    * (held-out +10^6 ∪ planted leaked +2·10^6), occupancy guard on the
+    * train side only, exact cosine verify, per-train-vector rollup.
+    */
+  def decontamEmbedSql: String =
+    s"""WITH ecorpus AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0
+          UNION ALL
+          SELECT vec_id + 1000000, embedding FROM embeddings
+          WHERE vec_id % 10 = 0
+          UNION ALL
+          SELECT vec_id + 2000000, embedding FROM embeddings
+          WHERE vec_id % 10 <> 0 AND vec_id % 7 = 0),
+        ${quantCte("ecorpus")},
+        ${bucketCteFor(SimilarityOps.PairTables, SimilarityOps.PairPlanes)},
+        tb AS (SELECT vec_id, t, bucket FROM (
+                 SELECT vec_id, t, bucket,
+                        COUNT(*) OVER (PARTITION BY t, bucket) AS occ
+                 FROM (SELECT * FROM bkt WHERE vec_id < 1000000))
+               WHERE occ <= 100000),
+        bb AS (SELECT vec_id AS bench_id, t, bucket FROM bkt
+               WHERE vec_id >= 1000000),
+        cand AS (SELECT DISTINCT tb.vec_id, bb.bench_id
+                 FROM tb JOIN bb ON tb.t = bb.t AND tb.bucket = bb.bucket),
+        pd AS (SELECT c.vec_id, c.bench_id, a.v AS qvv, a.n2 AS qn2,
+                      b.v AS vv, b.n2 AS n2
+               FROM cand c
+               JOIN n a ON a.vec_id = c.vec_id
+               JOIN n b ON b.vec_id = c.bench_id),
+        s AS (SELECT vec_id, bench_id, $cosExpr AS cos_sim FROM pd)
+        SELECT vec_id, COUNT(*) AS n_bench_hits,
+               MIN(bench_id) AS first_bench_id
+        FROM s WHERE cos_sim >= 0.95 GROUP BY vec_id"""
+
   /** Planted-pair recall twin: ground truth by direct (v, v+10^6) id
     * join, found set by the same bucket-join pipeline as dedupEmbedSql.
     */

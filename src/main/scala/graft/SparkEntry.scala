@@ -3435,6 +3435,24 @@ object SparkEntry {
     // (original ids), eval = sources 10-19 (+5e6) plus the planted
     // contamination (+6e6); the LSH band join emits only
     // cross-boundary pairs. Same bucketed scale shape as q_dedup_minhash.
+    // SEMANTIC decontamination — the embedding-space member of the
+    // family: training vectors within cos 0.95 of any benchmark vector
+    // are flagged for removal (paraphrased leakage n-grams can't see).
+    // Benchmark = the held-out %10 slice (+1M, clean) plus PLANTED
+    // leaked train vectors (+2M exact copies of the %7 train slice) —
+    // exact copies collide in every LSH table, so all are flagged.
+    "q_decontam_embed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val train = emb.filter(col("vec_id") % 10 =!= 0)
+        .select("vec_id", "embedding")
+      val bench = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .union(emb.filter(col("vec_id") % 10 =!= 0 &&
+            col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            col("embedding")))
+      SimilarityOps.embedDecontam(train, bench)
+    }),
     "q_decontam_near" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
@@ -7102,6 +7120,7 @@ object SparkEntry {
         FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
         GROUP BY 1, 2""",
     "q_decontam_near" -> OracleSql.decontamNearSql,
+    "q_decontam_embed" -> OracleSql.decontamEmbedSql,
     "q_collocations" ->
       s"""WITH dt AS (SELECT DISTINCT doc_id, w FROM (
               SELECT doc_id, unnest(string_split_regex(lower(text),

@@ -946,6 +946,52 @@ object SimilarityOps {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Semantic (embedding-space) benchmark decontamination — the third
+    * member of the decontam family (exact 8-gram, near n-gram, now
+    * cosine): flag TRAINING vectors whose embedding sits within
+    * `minCos` of ANY benchmark vector — paraphrased leakage that
+    * shares no n-gram surface and only an embedding can see. Same
+    * sign-LSH bucket discipline as [[embedNearDupPairs]], crossed
+    * between the two corpora: candidates are train×bench rows sharing
+    * a (table, bucket), verified by the exact int64-quantized cosine;
+    * the occupancy guard caps hot train buckets. Output per flagged
+    * train vector: benchmark-hit count and the first hit id — the
+    * removal list a pretraining cut consumes.
+    *
+    * Scale shape: the benchmark side is tiny by nature (an eval suite)
+    * — its bucket table broadcasts; the training corpus never
+    * all-pairs itself (the within-train pair space is never formed).
+    * Recall: exact copies always collide (identical signature in
+    * every table); sub-1.0 cosine recall follows the (1 − θ/π)^planes
+    * law recorded by q_simsearch_recall.
+    */
+  def embedDecontam(train: DataFrame, bench: DataFrame,
+                    minCos: Double = 0.95,
+                    maxBucket: Int = 100000): DataFrame = {
+    val tv = withQuant(train).filter(col("n2") > 0)
+    val bv = withQuant(bench).filter(col("n2") > 0)
+    val tb = buckets(tv, PairTables, PairPlanes)
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy("t", "bucket")))
+      .filter(col("occ") <= maxBucket)
+      .select("vec_id", "t", "bucket")
+    val bb = buckets(bv, PairTables, PairPlanes)
+      .select(col("vec_id").as("bench_id"), col("t"), col("bucket"))
+    val cand = tb.join(bb, Seq("t", "bucket"))
+      .select(col("vec_id"), col("bench_id")).distinct()
+    val ta = tv.select(col("vec_id"), col("qv").as("qa"), col("n2").as("na"))
+    val ba = bv.select(col("vec_id").as("bench_id"), col("qv").as("qb"),
+      col("n2").as("nb"))
+    cand.join(ta, "vec_id").join(ba, "bench_id")
+      .select(col("vec_id"), col("bench_id"),
+        cosine(dotL(col("qa"), col("qb")), col("na"), col("nb"))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bench_hits"),
+        min("bench_id").as("first_bench_id"))
+  }
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * query vector, the top-k most-similar vectors with a DIFFERENT
     * label (high-similarity wrong-class examples are the negatives that

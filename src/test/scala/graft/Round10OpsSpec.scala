@@ -534,6 +534,32 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- embedDecontam ----
+
+  test("embedDecontam flags exactly the planted leaked vectors and " +
+      "points each at its benchmark twin") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val train = emb.filter(col("vec_id") % 10 =!= 0)
+      .select("vec_id", "embedding")
+    val bench = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .union(emb.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+    val got = graft.ops.SimilarityOps.embedDecontam(train, bench)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val planted = emb
+      .filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 7 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    // Every planted leak is flagged (exact copies collide in every
+    // LSH table — recall 1.0 at cos = 1.0).
+    assert(planted.subsetOf(got.keySet))
+    planted.foreach { v =>
+      assert(got(v).getAs[Long]("n_bench_hits") >= 1L)
+      assert(got(v).getAs[Long]("first_bench_id") === v + 2000000L)
+    }
+  }
+
   // ---- imageIndexIngestReplay ----
 
   test("imageIndexIngestReplay: zero batch-2 admissions — every exact " +
