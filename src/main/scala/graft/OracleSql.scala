@@ -2613,6 +2613,165 @@ object OracleSql {
                         ORDER BY rrf DESC, doc_id) AS rnk
           FROM fused f) WHERE rnk <= $k"""
 
+  /** Dense-ranker CTE chain for the hybrid tier: perturbed (id-kept)
+    * query embeddings for vec_id 1..5, seed centroids (first
+    * [[SimilarityOps.IvfCentroids]] corpus vectors — writeIvfIndex
+    * trainIters = 0), corpus inverted-file assignment, query probes of
+    * the [[SimilarityOps.IvfProbes]] nearest lists, exact-cosine
+    * re-rank. Requires [[quantCte]]("embeddings") upstream; emits `hr`
+    * = (q_id, vec_id, rnk). h-prefixed names to coexist with
+    * [[bm25Ctes]] in one WITH block.
+    */
+  private def hybridDenseCtes: String =
+    s"""hqsrc AS (SELECT vec_id,
+            list_concat([CAST(0.0 AS FLOAT)], embedding[2:]) AS embedding
+          FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+        hqq AS (SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * ${SimilarityOps.QScale})
+                   AS BIGINT)) AS v
+          FROM hqsrc),
+        hqn AS (SELECT * FROM (
+          SELECT vec_id, v,
+                 CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+          FROM hqq) WHERE n2 > 0),
+        cent0 AS (SELECT vec_id AS c_id, v AS cv, n2 AS cn2 FROM n
+                  WHERE vec_id < ${SimilarityOps.IvfCentroids}),
+        hasg AS (SELECT n.vec_id, c.c_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                     (n.n2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+                        range(1, len(n.v) + 1), ii -> n.v[ii] * c.cv[ii]))
+                        AS BIGINT)) ASC, c.c_id ASC) AS rc
+                 FROM n CROSS JOIN cent0 c),
+        hassign AS (SELECT vec_id, c_id FROM hasg WHERE rc = 1),
+        hqasg AS (SELECT vec_id, c_id, rc FROM (
+          SELECT q.vec_id, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   (q.n2 + c.cn2 - 2 * CAST(list_sum(list_transform(
+                      range(1, len(q.v) + 1), ii -> q.v[ii] * c.cv[ii]))
+                      AS BIGINT)) ASC, c.c_id ASC) AS rc
+          FROM hqn q CROSS JOIN cent0 c)),
+        hprobes AS (SELECT vec_id AS q_id, c_id FROM hqasg
+                    WHERE rc <= ${SimilarityOps.IvfProbes}),
+        hcand AS (SELECT DISTINCT p.q_id, a.vec_id
+                  FROM hprobes p JOIN hassign a USING (c_id)),
+        hpd AS (SELECT c.q_id, c.vec_id, q.v AS qvv, q.n2 AS qn2,
+                       vn.v AS vv, vn.n2 AS n2
+                FROM hcand c
+                JOIN hqn q ON q.vec_id = c.q_id
+                JOIN n vn ON vn.vec_id = c.vec_id),
+        hs AS (SELECT q_id, vec_id, $cosExpr AS cos_sim FROM hpd),
+        hr AS (SELECT q_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rnk
+               FROM hs)"""
+
+  /** Hybrid dense+sparse retrieval twin — CurationOps.hybridTopK:
+    * BM25 top-`depth` (corpus replay ≡ the persisted-index serve, the
+    * q_bm25_persist equality) RRF-fused with the seed-centroid IVF
+    * probe top-`depth`, integer micro-unit contributions, top-`k`.
+    */
+  def hybridSql(queries: Seq[(Long, String)], depth: Int, k: Int): String =
+    s"""WITH ${bm25Ctes("documents", "", queries)},
+        ${quantCte("embeddings")},
+        $hybridDenseCtes,
+        list_a AS (SELECT q_id, doc_id, rnk FROM ranked
+                   WHERE rnk <= $depth),
+        list_b AS (SELECT q_id, vec_id AS doc_id, rnk FROM hr
+                   WHERE rnk <= $depth),
+        fused AS (SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+                    COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                    CAST(COALESCE(a.rnk, 0) AS BIGINT) AS rnk_a,
+                    CAST(COALESCE(b.rnk, 0) AS BIGINT) AS rnk_b,
+                    CAST(COALESCE(1000000000 // (60 + a.rnk), 0)
+                       + COALESCE(1000000000 // (60 + b.rnk), 0)
+                       AS BIGINT) AS rrf
+                  FROM list_a a FULL OUTER JOIN list_b b
+                    ON a.q_id = b.q_id AND a.doc_id = b.doc_id)
+        SELECT q_id, doc_id, rnk_a, rnk_b, rrf, rnk FROM (
+          SELECT f.*, row_number() OVER (PARTITION BY q_id
+                        ORDER BY rrf DESC, doc_id) AS rnk
+          FROM fused f) WHERE rnk <= $k"""
+
+  /** One ranker's metric block over the shared truth CTEs (relv /
+    * nrel / qterms) — suffix-parameterized so three rankers coexist in
+    * the hybrid-eval WITH chain.
+    */
+  private def evalBlockCtes(listCte: String, sfx: String, tag: String,
+                            k: Int): String =
+    s"""mk$sfx AS (SELECT t.q_id, t.rnk,
+                 CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS is_rel
+               FROM $listCte t LEFT JOIN relv r
+                 ON r.q_id = t.q_id AND r.doc_id = t.doc_id),
+        cm$sfx AS (SELECT q_id, rnk, is_rel,
+                 SUM(is_rel) OVER (PARTITION BY q_id ORDER BY rnk)
+                   AS cum_hits
+               FROM mk$sfx),
+        pq$sfx AS (SELECT q_id, CAST(SUM(is_rel) AS BIGINT) AS hits_k,
+                 MIN(CASE WHEN is_rel = 1 THEN rnk END) AS fr,
+                 CAST(SUM(CASE WHEN is_rel = 1
+                   THEN (cum_hits * 1000000) // rnk ELSE 0 END) AS BIGINT)
+                   AS ap_num
+               FROM cm$sfx GROUP BY q_id),
+        out$sfx AS (SELECT '$tag' AS ranker, qi.q_id,
+                   COALESCE(n.n_rel, 0) AS n_rel,
+                   COALESCE(p.hits_k, 0) AS hits_k,
+                   CAST(COALESCE(p.fr, 0) AS BIGINT) AS first_rel,
+                   COALESCE(p.ap_num, 0) AS ap_num
+                 FROM (SELECT DISTINCT q_id FROM qterms) qi
+                 LEFT JOIN pq$sfx p ON p.q_id = qi.q_id
+                 LEFT JOIN nrel n ON n.q_id = qi.q_id)"""
+
+  /** Hybrid side-by-side eval twin — CurationOps.rankEvalMulti over
+    * sparse@`k`, dense@`k`, and hybrid@`k` (fused from the two
+    * `depth`-deep lists): one conjunctive truth set, one metric block
+    * per ranker, UNION ALL.
+    */
+  def hybridEvalSql(queries: Seq[(Long, String)], depth: Int,
+                    k: Int): String = {
+    def metrics(src: String) =
+      s"""SELECT ranker, q_id, n_rel, hits_k, first_rel,
+               CAST(CASE WHEN first_rel > 0 THEN 1000000 // first_rel
+                 ELSE 0 END AS BIGINT) AS mrr_ppm,
+               (hits_k * 1000000) // $k AS p_at_k_ppm,
+               (hits_k * 1000000) // greatest(n_rel, 1) AS recall_ppm,
+               ap_num // greatest(least(n_rel, $k), 1) AS ap_ppm
+          FROM $src"""
+    s"""WITH ${bm25Ctes("documents", "", queries)},
+        ${quantCte("embeddings")},
+        $hybridDenseCtes,
+        list_a AS (SELECT q_id, doc_id, rnk FROM ranked
+                   WHERE rnk <= $depth),
+        list_b AS (SELECT q_id, vec_id AS doc_id, rnk FROM hr
+                   WHERE rnk <= $depth),
+        fused AS (SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+                    COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                    CAST(COALESCE(1000000000 // (60 + a.rnk), 0)
+                       + COALESCE(1000000000 // (60 + b.rnk), 0)
+                       AS BIGINT) AS rrf
+                  FROM list_a a FULL OUTER JOIN list_b b
+                    ON a.q_id = b.q_id AND a.doc_id = b.doc_id),
+        list_h AS (SELECT q_id, doc_id, rnk FROM (
+                     SELECT f.*, row_number() OVER (PARTITION BY q_id
+                       ORDER BY rrf DESC, doc_id) AS rnk
+                     FROM fused f) WHERE rnk <= $k),
+        list_s AS (SELECT q_id, doc_id, rnk FROM list_a WHERE rnk <= $k),
+        list_d AS (SELECT q_id, doc_id, rnk FROM list_b WHERE rnk <= $k),
+        dw AS (SELECT DISTINCT doc_id, w FROM toks),
+        nq AS (SELECT q_id, COUNT(*) AS n_qt FROM qterms GROUP BY q_id),
+        mt AS (SELECT q.q_id, d.doc_id, COUNT(*) AS n_match
+               FROM dw d JOIN qterms q USING (w) GROUP BY q.q_id, d.doc_id),
+        relv AS (SELECT m.q_id, m.doc_id FROM mt m JOIN nq USING (q_id)
+                 WHERE m.n_match = nq.n_qt),
+        nrel AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+                 FROM relv GROUP BY q_id),
+        ${evalBlockCtes("list_s", "_s", "sparse", k)},
+        ${evalBlockCtes("list_d", "_d", "dense", k)},
+        ${evalBlockCtes("list_h", "_h", "hybrid", k)}
+        ${metrics("out_s")} UNION ALL
+        ${metrics("out_d")} UNION ALL
+        ${metrics("out_h")}"""
+  }
+
   /** Repetition-signal twin: same word-bigram derivation as the ngram
     * oracle (non-distinct — occurrence counts are the signal).
     */

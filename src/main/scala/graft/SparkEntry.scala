@@ -1988,6 +1988,49 @@ object SparkEntry {
       CurationOps.compactBm25Index(path)
       CurationOps.bm25TopKIndexed(s, path, Bm25Queries)
     }),
+    // HYBRID dense+sparse retrieval — the production composition:
+    // BM25 top-20 from the persisted four-table index fused by
+    // exact-integer RRF with IVF-ANN top-20 from the persisted
+    // (seed-centroid) vector index, on the shared doc_id ≡ vec_id
+    // domain; per q_id the text query and the (perturbed, id-kept)
+    // query embedding express the same information need. BOTH
+    // retrievals are artifact probes — the serve plan never reads the
+    // documents corpus (plan-asserted).
+    "q_hybrid_retrieval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val bmPath = tmpPath("graft_hyb_bm25", d)
+      val ivfPath = tmpPath("graft_hyb_ivf", d)
+      CurationOps.writeBm25Index(docs, bmPath)
+      SimilarityOps.writeIvfIndex(emb, ivfPath, trainIters = 0)
+      CurationOps.hybridTopK(s, bmPath, ivfPath, Bm25Queries,
+        hybridQueryVecs(emb))
+    }),
+    // Side-by-side retrieval judging: sparse@10, dense@10 (the fused
+    // lists' rnk ≤ 10 prefixes), and hybrid@10 all scored by ONE
+    // conjunctive-truth metric pass (rankEvalMulti) — the
+    // hybrid-vs-both readout as exact ppm integers per (ranker, q_id).
+    "q_hybrid_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val bmPath = tmpPath("graft_hybev_bm25", d)
+      val ivfPath = tmpPath("graft_hybev_ivf", d)
+      CurationOps.writeBm25Index(docs, bmPath)
+      SimilarityOps.writeIvfIndex(emb, ivfPath, trainIters = 0)
+      val sparse = CurationOps.bm25TopKIndexed(s, bmPath, Bm25Queries, 20)
+        .select("q_id", "doc_id", "rnk")
+      val dense = SimilarityOps
+        .ivfProbeIncremental(hybridQueryVecs(emb), ivfPath, 20)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk"))
+      val hybrid = CurationOps.rrfFuse(sparse, dense, 10)
+        .select("q_id", "doc_id", "rnk")
+      val tagged = sparse.filter(col("rnk") <= 10)
+        .withColumn("ranker", lit("sparse"))
+        .unionByName(dense.filter(col("rnk") <= 10)
+          .withColumn("ranker", lit("dense")))
+        .unionByName(hybrid.withColumn("ranker", lit("hybrid")))
+      CurationOps.rankEvalMulti(docs, Bm25Queries, tagged, 10)
+    }),
     // Target-mix resampling by language: hash-thresholded downsampling
     // toward a 40/25/15/10/10 training mix, per-group audit output.
     "q_mix_resample" -> ((s, d) =>
@@ -4616,6 +4659,20 @@ object SparkEntry {
   private val Bm25StreamQueries: Seq[(Long, String)] =
     Bm25Queries ++ Bm25QueriesB.map { case (id, q) => (id + 10L, q) }
 
+  /** Dense-side query vectors for the hybrid tier: one embedding per
+    * [[Bm25Queries]] q_id (the doc_id ≡ vec_id fixture bridge),
+    * perturbed by the q_simsearch_incr recipe (first coordinate
+    * zeroed, rest shifted right one) but KEEPING the id — a genuinely
+    * new query vector whose neighborhood anchors on its base twin, and
+    * whose q_id lines up with the sparse ranker's for fusion.
+    */
+  private def hybridQueryVecs(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id").between(1L, 5L))
+      .select(col("vec_id"),
+        concat(array(lit(0.0f)),
+          slice(col("embedding"), 2, SimilarityOps.Dims - 1))
+          .as("embedding"))
+
   /** Registers the named fixture tables as temp views and runs one
     * shared SQL text — the front-door pattern every q_sql_* entry uses.
     */
@@ -5962,6 +6019,8 @@ object SparkEntry {
     "q_bm25_compact" -> OracleSql.bm25IncrSql(Bm25Queries, 10),
     "q_rrf_fusion" -> OracleSql.rrfSql(Bm25Queries, 20, 10),
     "q_rank_eval" -> OracleSql.rankEvalSql(Bm25Queries, 10),
+    "q_hybrid_retrieval" -> OracleSql.hybridSql(Bm25Queries, 20, 10),
+    "q_hybrid_eval" -> OracleSql.hybridEvalSql(Bm25Queries, 20, 10),
     "q_hll_incr" -> OracleSql.hllIncrSql("1995-06-01"),
     "q_sketch_rollup_portable" -> OracleSql.portableSketchRollupSql,
     "q_profile" -> OracleSql.profileSql("lineitem", Seq(

@@ -595,6 +595,35 @@ object CurationOps {
       .filter(col("rnk") <= k)
   }
 
+  /** HYBRID dense+sparse retrieval — the composition the retrieval tier
+    * exists for, and the most common production deployment shape today:
+    * BM25 top-`depth` served from the persisted four-table index
+    * ([[bm25TopKIndexed]] — corpus never re-read, term-pruned postings
+    * probes) fused by exact-integer RRF with dense ANN top-`depth`
+    * served from the persisted IVF index
+    * ([[graft.ops.SimilarityOps.ivfProbeIncremental]] — broadcast
+    * centroids, candidates ≈ nProbe/nCentroids of the corpus). The two
+    * rankers meet on the shared doc/vec id domain (doc_id ≡ vec_id);
+    * `qvecs` carries one query embedding per q_id in `queries` (the
+    * same information need expressed in both modalities).
+    *
+    * Scale shape: each ranker is an independent artifact probe — no
+    * stage reads a corpus table; the fusion input is ≤ 2·depth·|queries|
+    * rows, driver-scale at any corpus size, so hybrid costs exactly
+    * sparse + dense + ε. Output = [[rrfFuse]]'s (q_id, doc_id, rnk_a
+    * [sparse], rnk_b [dense], rrf, rnk ≤ k).
+    */
+  def hybridTopK(spark: org.apache.spark.sql.SparkSession,
+                 bm25Path: String, ivfPath: String,
+                 queries: Seq[(Long, String)], qvecs: DataFrame,
+                 depth: Int = 20, k: Int = 10): DataFrame =
+    rrfFuse(
+      bm25TopKIndexed(spark, bm25Path, queries, depth)
+        .select("q_id", "doc_id", "rnk"),
+      graft.ops.SimilarityOps.ivfProbeIncremental(qvecs, ivfPath, depth)
+        .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk")),
+      k)
+
   /** Retrieval-quality EVALUATION — the measurement loop every ranked
     * retriever (BM25 serving, hybrid fusion, ANN) ships with: per
     * query, MRR, precision@k, recall@k, and average precision of the
@@ -621,9 +650,36 @@ object CurationOps {
     * whole table is driver-scale while the ranker stays distributed.
     */
   def rankEval(docs: DataFrame, queries: Seq[(Long, String)],
-               k: Int = 10): DataFrame = {
+               k: Int = 10): DataFrame =
+    rankEvalOf(docs, queries, bm25TopK(docs, queries, k), k)
+
+  /** [[rankEval]] generalized to judge ANY ranked list (q_id, doc_id,
+    * rnk ≤ k) against the same conjunctive-term ground truth — the
+    * side-by-side harness the hybrid tier needs: the sparse (BM25),
+    * dense (IVF ANN), and fused (RRF) rankers are all scored by one
+    * metric block over one shared truth set, so "hybrid beats both" is
+    * a readable integer comparison, not three incomparable reports.
+    * Truth stays text-side (doc contains EVERY query term) for all
+    * rankers — deterministic, label-free, and identical across them by
+    * construction.
+    */
+  def rankEvalOf(docs: DataFrame, queries: Seq[(Long, String)],
+                 ranked: DataFrame, k: Int): DataFrame =
+    rankEvalMulti(docs, queries,
+      ranked.withColumn("ranker", lit("r")), k).drop("ranker")
+
+  /** [[rankEvalOf]] over a TAGGED union of ranked lists (ranker, q_id,
+    * doc_id, rnk ≤ k) — the side-by-side form: the conjunctive-truth
+    * derivation (the one corpus-token pass) runs ONCE and every
+    * ranker's metric block keys on (ranker, q_id), so judging three
+    * rankers costs one truth pass + a ≤ 3·k·|queries|-row metric agg,
+    * not three corpus scans. Output adds the `ranker` column; the rest
+    * of the schema matches [[rankEval]].
+    */
+  def rankEvalMulti(docs: DataFrame, queries: Seq[(Long, String)],
+                    ranked: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
-    val res = bm25TopK(docs, queries, k)
+    val res = ranked.select("ranker", "q_id", "doc_id", "rnk")
     val qt = bm25QTerms(spark, queries)
     val nq = qt.groupBy("q_id").agg(count(lit(1)).as("n_qt"))
     val dw = bm25Toks(docs).select("doc_id", "w").distinct()
@@ -633,27 +689,29 @@ object CurationOps {
       .filter(col("n_match") === col("n_qt"))
       .select("q_id", "doc_id")
     val nRel = rel.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
-    val w = Window.partitionBy("q_id").orderBy("rnk")
+    val w = Window.partitionBy("ranker", "q_id").orderBy("rnk")
     val marked = res
       .join(rel.withColumn("is_rel", lit(1L)), Seq("q_id", "doc_id"), "left")
-      .select(col("q_id"), col("rnk"),
+      .select(col("ranker"), col("q_id"), col("rnk"),
         coalesce(col("is_rel"), lit(0L)).as("is_rel"))
       .withColumn("cum_hits", sum("is_rel").over(w))
-    val perQ = marked.groupBy("q_id").agg(
+    val perQ = marked.groupBy("ranker", "q_id").agg(
       sum("is_rel").as("hits_k"),
       min(when(col("is_rel") === 1L, col("rnk"))).as("fr"),
       sum(when(col("is_rel") === 1L,
           expr("(cum_hits * 1000000) div rnk")).otherwise(lit(0L)))
         .as("ap_num"))
-    qt.select("q_id").distinct()
-      .join(perQ, Seq("q_id"), "left")
+    res.select("ranker").distinct()
+      .crossJoin(broadcast(qt.select("q_id").distinct()))
+      .join(perQ, Seq("ranker", "q_id"), "left")
       .join(nRel, Seq("q_id"), "left")
-      .select(col("q_id"),
+      .select(col("ranker"), col("q_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         coalesce(col("hits_k"), lit(0L)).as("hits_k"),
         coalesce(col("fr"), lit(0L)).as("first_rel"),
         coalesce(col("ap_num"), lit(0L)).as("ap_num"))
-      .select(col("q_id"), col("n_rel"), col("hits_k"), col("first_rel"),
+      .select(col("ranker"), col("q_id"), col("n_rel"), col("hits_k"),
+        col("first_rel"),
         when(col("first_rel") > 0L, expr("1000000 div first_rel"))
           .otherwise(lit(0L)).as("mrr_ppm"),
         expr(s"(hits_k * 1000000) div $k").as("p_at_k_ppm"),

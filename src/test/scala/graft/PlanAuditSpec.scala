@@ -43,6 +43,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("hybrid retrieval serves BOTH rankers from artifacts: the fused " +
+      "plan never scans the documents corpus") {
+    // q_hybrid_retrieval builds the BM25 + IVF indexes (actions inside
+    // the entry), then returns the serve plan: every file scan must be
+    // an index artifact or the 5-row query-vector slice — a documents
+    // scan would mean a ranker fell back to the corpus.
+    val p = planOf("q_hybrid_retrieval")
+    assert(!p.contains("documents.parquet"),
+      s"corpus scan inside the hybrid serve plan:\n$p")
+    assert(p.contains("graft_hyb_bm25") && p.contains("graft_hyb_ivf"),
+      s"expected both index artifacts in the serve plan:\n$p")
+  }
+
   test("predicate pushdown reaches the parquet scan (semi-join filter)") {
     val p = planOf("q_join_semi")
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"))
