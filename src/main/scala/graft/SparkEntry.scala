@@ -2822,6 +2822,43 @@ object SparkEntry {
           col("custkey_sum"))
     }),
 
+    // Manifest-level zone-map skip: three append commits declaring
+    // event_id file statistics (each commit range-clustered into 4
+    // files so per-file min/max are tight), then a range read that
+    // PLANS only intersecting files — skipped files cost zero IO, not
+    // even a footer fetch. Must equal the full-scan filter (oracle);
+    // files-read < files-total is spec-pinned.
+    "q_version_skip" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_vskip", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 2L).foreach { r =>
+        SinkOps.commitVersion(
+          ev.filter(col("event_id") % 3 === r)
+            .repartitionByRange(4, col("event_id")),
+          path, carryForward = true, statsCol = Some("event_id")); ()
+      }
+      SinkOps.readVersionWhere(s, path, 100L, 299L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+    // Snapshot changefeed: the rows added in (v1, v3] of an
+    // append-only versioned table are the manifest dir difference —
+    // O(changed files) planning and IO, never a two-snapshot diff.
+    "q_version_changes" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_vchg", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 2L).foreach { r =>
+        SinkOps.commitVersion(ev.filter(col("event_id") % 3 === r),
+          path); ()
+      }
+      SinkOps.readChanges(s, path, 1, 3)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
     // Streaming versioned sink: every micro-batch commits as its own
     // queryable snapshot; the latest snapshot must equal one batch
     // write of the whole input.
@@ -6301,6 +6338,16 @@ object SparkEntry {
                  CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
           FROM orders""",
     "q_phrase_search" -> OracleSql.phraseSearchSql(PhraseQueries),
+    // Zone-map skip must equal the full-scan filter — a skipped file
+    // provably held no matching row.
+    "q_version_skip" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id BETWEEN 100 AND 299""",
+    // The (v1, v3] changefeed of residue-class appends is exactly the
+    // residue-1 and residue-2 rows.
+    "q_version_changes" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id % 3 <> 0""",
     // Compaction is a pure rewrite: v3 ≡ v2 ≡ the whole table.
     "q_compact_versions" ->
       """SELECT 3 AS version, count(*) AS n_rows,

@@ -170,22 +170,82 @@ object SinkOps {
     * Hadoop-compatible store. Returns the new version number.
     */
   def commitVersion(df: DataFrame, path: String,
-                    carryForward: Boolean = true): Int = {
-    val conf = df.sparkSession.sessionState.newHadoopConf()
+                    carryForward: Boolean = true): Int =
+    commitVersion(df, path, carryForward, None)
+
+  /** [[commitVersion]] recording MANIFEST-LEVEL FILE STATISTICS: with
+    * `statsCol` declared (a clustering column castable to long), the
+    * commit also writes `stats/vN.txt` — per data FILE of the new dir,
+    * its min/max of that column (one bounded read-back of the commit's
+    * own files; the row count equals the file count, the sanctioned
+    * manifest-scale collect). [[readVersionWhere]] then plans only
+    * files whose [min,max] intersects the predicate — the zone-map
+    * skip that at 100 TB is the difference between opening 3 files and
+    * 100k, BEFORE any file IO (row-group pruning inside an opened file
+    * only starts after its footer is fetched). Composes with a
+    * range-clustered layout (repartitionByRange / Z-order): clustering
+    * is what makes per-file ranges tight. A file with a null min/max
+    * (all-null column) is recorded statless — always planned, never
+    * wrongly skipped.
+    */
+  def commitVersion(df: DataFrame, path: String, carryForward: Boolean,
+                    statsCol: Option[String]): Int = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val v = latestVersion(fs, root) + 1
+    // Version allocation consults BOTH manifest/ and staging/: a commit
+    // issued while a WAP batch is staged must not reuse (and clobber)
+    // the staged number. The carried-forward snapshot is the committed
+    // HEAD's — a pending staged (unpublished) version is invisible to
+    // commits by design; under the single-writer contract a WAP batch
+    // publishes or rolls back before the next commit's snapshot is
+    // expected to contain it.
+    val head = latestVersion(fs, root)
+    val v = math.max(head, latestStaged(fs, root)) + 1
     val dataDir = s"data/v$v"
     df.write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
-    val prev = if (v == 1 || !carryForward) Nil
-      else manifestDirs(fs, root, v - 1)
+    statsCol.foreach(c => writeDirStats(spark, fs, root, dataDir, c))
+    val prev = if (head == 0 || !carryForward) Nil
+      else manifestDirs(fs, root, head)
     val mf = new org.apache.hadoop.fs.Path(root, f"manifest/v$v%05d.txt")
     val out = fs.create(mf, true)
     try out.write((prev :+ dataDir).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     v
+  }
+
+  /** Per-file min/max of `c` for one immutable data dir, as
+    * `stats/<dirname>.txt`: first line the column name, then one line
+    * per file — `name<TAB>min<TAB>max`, or bare `name` when the file
+    * has no non-null value (statless ⇒ unprunable). Stats are
+    * per-dir immutable like the data they describe: a snapshot's full
+    * zone map is the union of its manifest dirs' stats files.
+    */
+  private def writeDirStats(spark: org.apache.spark.sql.SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path,
+                            dataDir: String, c: String): Unit = {
+    val rows = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(c).cast("long")).as("mn"),
+        max(col(c).cast("long")).as("mx"))
+      .collect()
+    val lines = c +: rows.map { r =>
+      val name = new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0))).getName
+      if (r.isNullAt(1) || r.isNullAt(2)) name
+      else s"$name\t${r.getLong(1)}\t${r.getLong(2)}"
+    }.sorted
+    val sf = new org.apache.hadoop.fs.Path(root,
+      s"stats/${dataDir.stripPrefix("data/")}.txt")
+    val out = fs.create(sf, true)
+    try out.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Compact the latest snapshot into ONE data directory committed as a
@@ -245,11 +305,15 @@ object SinkOps {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val v = latestVersion(fs, root) + 1
+    // Staging-aware allocation, as in commitVersion: two interleaved
+    // stage/commit writers can never collide on a version number (and
+    // so can never clobber each other's data dirs).
+    val head = latestVersion(fs, root)
+    val v = math.max(head, latestStaged(fs, root)) + 1
     val dataDir = s"data/v$v"
     df.write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
-    val prev = if (v == 1) Nil else manifestDirs(fs, root, v - 1)
+    val prev = if (head == 0) Nil else manifestDirs(fs, root, head)
     val mf = new org.apache.hadoop.fs.Path(root, f"staging/v$v%05d.txt")
     val out = fs.create(mf, true)
     try out.write((prev :+ dataDir).mkString("\n")
@@ -334,13 +398,126 @@ object SinkOps {
   }
 
   private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
-                            root: org.apache.hadoop.fs.Path): Int = {
-    val mdir = new org.apache.hadoop.fs.Path(root, "manifest")
-    if (!fs.exists(mdir)) 0
-    else fs.listStatus(mdir).map(_.getPath.getName)
+                            root: org.apache.hadoop.fs.Path): Int =
+    latestIn(fs, new org.apache.hadoop.fs.Path(root, "manifest"))
+
+  /** Highest STAGED (unpublished) version number, 0 when none. */
+  private def latestStaged(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Int =
+    latestIn(fs, new org.apache.hadoop.fs.Path(root, "staging"))
+
+  private def latestIn(fs: org.apache.hadoop.fs.FileSystem,
+                       dir: org.apache.hadoop.fs.Path): Int = {
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
         n.stripPrefix("v").stripSuffix(".txt").toInt }
       .foldLeft(0)(math.max)
+  }
+
+  /** Zone-map file planning for [[readVersionWhere]]: resolve the
+    * snapshot's data dirs, load each dir's stats sidecar, and return
+    * (kept file paths, total file count, stats column). A file
+    * survives iff its [min,max] intersects [lo,hi]; statless files and
+    * whole dirs committed without stats are always kept (no stats ⇒
+    * no skip, never a wrong skip). Fails loudly when NO dir of the
+    * snapshot carries stats (the reader asked for a skip the table
+    * cannot answer) or when two dirs declare different stats columns.
+    * Driver-side work is O(|files|) manifest-scale text, zero data IO.
+    */
+  def pruneFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                 lo: Long, hi: Long, version: Option[Int] = None)
+      : (Seq[String], Int, String) = {
+    require(lo <= hi, s"empty predicate range [$lo, $hi]")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = version.getOrElse {
+      val latest = latestVersion(fs, root)
+      require(latest >= 1, s"no versions committed at $path")
+      latest
+    }
+    var statsCol: Option[String] = None
+    var total = 0
+    val kept = manifestDirs(fs, root, v).flatMap { d =>
+      val dirP = new org.apache.hadoop.fs.Path(root, d)
+      val sf = new org.apache.hadoop.fs.Path(root,
+        s"stats/${d.stripPrefix("data/")}.txt")
+      val parts = fs.listStatus(dirP).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      total += parts.length
+      if (!fs.exists(sf)) parts.map(_.toString).toSeq
+      else {
+        val in = fs.open(sf)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+        val c = lines.head
+        statsCol.foreach(prev => require(prev == c,
+          s"inconsistent stats columns across snapshot dirs: $prev vs $c"))
+        statsCol = Some(c)
+        val keep = lines.tail.flatMap { ln =>
+          ln.split('\t') match {
+            case Array(name, mn, mx) =>
+              if (mn.toLong <= hi && mx.toLong >= lo) Some(name) else None
+            case Array(name) => Some(name) // statless file: always plan
+            case _ => throw new IllegalStateException(
+              s"malformed stats line in $sf: $ln")
+          }
+        }.toSet
+        parts.filter(p => keep.contains(p.getName)).map(_.toString).toSeq
+      }
+    }
+    (kept, total, statsCol.getOrElse(throw new IllegalStateException(
+      s"no stats sidecar in any dir of version $v at $path — " +
+        "commit with statsCol to enable zone-map reads")))
+  }
+
+  /** Read a snapshot UNDER A RANGE PREDICATE on the declared stats
+    * column, planning only files whose zone map intersects [lo,hi]
+    * (then applying the exact residual filter) — manifest-level file
+    * skipping, the [[readVersion]] twin of parquet row-group pruning
+    * one level earlier: skipped files cost zero IO, not even a footer
+    * fetch. Equals the full-scan filter by construction (a skipped
+    * file provably holds no matching row); q_version_skip's oracle
+    * pins that equality, and the round-11 spec pins files-read <
+    * files-total under a selective predicate.
+    */
+  def readVersionWhere(spark: org.apache.spark.sql.SparkSession,
+                       path: String, lo: Long, hi: Long,
+                       version: Option[Int] = None): DataFrame = {
+    val (files, _, c) = pruneFiles(spark, path, lo, hi, version)
+    if (files.isEmpty)
+      // Every file pruned: an empty result with the table's schema
+      // (read zero rows of one dir rather than invent a schema).
+      readVersion(spark, path, version).filter(lit(false))
+    else spark.read.parquet(files: _*)
+      .filter(col(c).cast("long").between(lo, hi))
+  }
+
+  /** Incremental CHANGEFEED between two committed snapshots of an
+    * APPEND-ONLY versioned table: the rows added in (vFrom, vTo] are
+    * exactly the union of data dirs present in vTo's manifest but not
+    * vFrom's — O(changed files) planning and IO, no O(table) diff of
+    * two full snapshot reads (the [[graft.ops.CdcOps]] tableDiff
+    * economics inverted: there changes are derived, here the manifest
+    * already knows them). Contract: meaningful under carry-forward
+    * appends only — a compaction ([[compactVersions]]) or
+    * carryForward=false commit REWRITES the snapshot into fresh dirs,
+    * so a feed window crossing it re-reports surviving rows as new;
+    * consumers must re-baseline at such versions (exactly Delta/
+    * Iceberg changefeed semantics across OPTIMIZE).
+    */
+  def readChanges(spark: org.apache.spark.sql.SparkSession, path: String,
+                  vFrom: Int, vTo: Int): DataFrame = {
+    require(vFrom < vTo, s"changefeed window empty: $vFrom >= $vTo")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = manifestDirs(fs, root, vFrom).toSet
+    val added = manifestDirs(fs, root, vTo).filterNot(before)
+    require(added.nonEmpty,
+      s"no data dirs added between v$vFrom and v$vTo at $path")
+    spark.read.parquet(added.map(d =>
+      new org.apache.hadoop.fs.Path(root, d).toString): _*)
   }
 
   private def manifestDirs(fs: org.apache.hadoop.fs.FileSystem,

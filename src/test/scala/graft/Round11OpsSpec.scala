@@ -1,15 +1,20 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{CurationOps, SimilarityOps}
+import graft.ops.{CurationOps, SimilarityOps, SinkOps}
 
-/** Specs for the round-11 additions: hybrid dense+sparse retrieval and
-  * the shared-truth multi-ranker evaluation.
+/** Specs for the round-11 additions: hybrid dense+sparse retrieval,
+  * the shared-truth multi-ranker evaluation, manifest-level zone-map
+  * file skipping, and the snapshot changefeed.
   */
 class Round11OpsSpec extends SparkSpec {
 
-  private def tmp(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), name).getPath
+  private def tmp(name: String): String = {
+    val p = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    val hp = new org.apache.hadoop.fs.Path(p.getPath)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    p.getPath
+  }
 
   private val HQ = Seq((1L, "hash join"), (2L, "fast scan filter"),
     (3L, "window agg"), (4L, "customer order query"),
@@ -96,5 +101,93 @@ class Round11OpsSpec extends SparkSpec {
     val multiA = out.filter(_.getString(0) == "a")
       .map(r => (r.getLong(1), r.getLong(3), r.getLong(5))).sorted
     assert(single.sameElements(multiA))
+  }
+
+  // ---- manifest zone-map skip ----
+
+  test("zone-map skip plans STRICTLY fewer files than the snapshot " +
+      "holds under a selective predicate, and the read equals the " +
+      "full-scan filter") {
+    val ev = Tables.events(spark, sfDir)
+    val path = tmp("r11_vskip")
+    (0L to 2L).foreach { r =>
+      SinkOps.commitVersion(
+        ev.filter(col("event_id") % 3 === r)
+          .repartitionByRange(4, col("event_id")),
+        path, carryForward = true, statsCol = Some("event_id")); ()
+    }
+    val (kept, total, c) = SinkOps.pruneFiles(spark, path, 100L, 299L)
+    assert(c == "event_id")
+    assert(total == 12, s"expected 3 commits x 4 files, got $total")
+    assert(kept.size < total,
+      s"no file skipped: kept ${kept.size} of $total")
+    assert(kept.nonEmpty)
+    val got = SinkOps.readVersionWhere(spark, path, 100L, 299L)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = ev.filter(col("event_id").between(100L, 299L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+  }
+
+  test("zone-map skip of a no-match range plans zero files and returns " +
+      "an empty, correctly-typed result") {
+    val ev = Tables.events(spark, sfDir)
+    val path = tmp("r11_vskip0")
+    SinkOps.commitVersion(ev.repartitionByRange(4, col("event_id")),
+      path, carryForward = true, statsCol = Some("event_id"))
+    val (kept, total, _) =
+      SinkOps.pruneFiles(spark, path, 5000000L, 6000000L)
+    assert(kept.isEmpty && total == 4)
+    val out = SinkOps.readVersionWhere(spark, path, 5000000L, 6000000L)
+    assert(out.count() == 0L)
+    assert(out.columns.contains("event_type"))
+  }
+
+  // ---- staging-aware version allocation (WAP/commit interleave) ----
+
+  test("a commit issued while a version is STAGED allocates past the " +
+      "staged number: the staged snapshot survives and publishes " +
+      "intact") {
+    import spark.implicits._
+    val path = tmp("r11_wapint")
+    SinkOps.commitVersion(Seq((1L, "a")).toDF("id", "s"), path)
+    val staged = SinkOps.stageVersion(Seq((2L, "b")).toDF("id", "s"), path)
+    assert(staged == 2)
+    // Interleaved commit must NOT reuse (and clobber) v2's data dir.
+    val committed = SinkOps.commitVersion(Seq((3L, "c")).toDF("id", "s"),
+      path)
+    assert(committed == 3, s"commit reused the staged number: $committed")
+    SinkOps.publishStaged(spark, path, staged)
+    val v2 = SinkOps.readVersion(spark, path, Some(2))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(v2.sameElements(Array(1L, 2L)),
+      s"staged snapshot clobbered: ${v2.mkString(",")}")
+    val v3 = SinkOps.readVersion(spark, path, Some(3))
+      .select("id").collect().map(_.getLong(0)).sorted
+    // v3 carried the committed head (v1), not the then-unpublished v2.
+    assert(v3.sameElements(Array(1L, 3L)))
+  }
+
+  // ---- changefeed ----
+
+  test("readChanges returns exactly the rows added in the window, " +
+      "reads only the added dirs, and refuses an empty window") {
+    val ev = Tables.events(spark, sfDir)
+    val path = tmp("r11_vchg")
+    (0L to 2L).foreach { r =>
+      SinkOps.commitVersion(ev.filter(col("event_id") % 3 === r), path); ()
+    }
+    val got = SinkOps.readChanges(spark, path, 1, 3)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = ev.filter(col("event_id") % 3 =!= 0L)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+    // Planning is dir-difference: the feed's scan never touches v1's dir.
+    val plan = SinkOps.readChanges(spark, path, 1, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("data/v1"), s"changefeed read the base dir:\n$plan")
+    intercept[IllegalArgumentException] {
+      SinkOps.readChanges(spark, path, 2, 2)
+    }
   }
 }
