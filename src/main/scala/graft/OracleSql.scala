@@ -1534,6 +1534,195 @@ object OracleSql {
                CAST(SUM(oov) AS BIGINT) AS n_oov
         FROM ap GROUP BY doc_id"""
 
+  // ---- unigram-LM tokenizer (UnigramOps twins) ----
+
+  /** Shared head of the unigram oracles: trainable word frequencies,
+    * substring occurrences (length 1..MaxPieceLen), seed inventory
+    * (all single chars + top-SeedPieces multi-char by weighted count)
+    * with floor-ppm scores — UnigramOps.wordFreq/seedPieces twins.
+    */
+  private def unigramHeadCtes: String = {
+    val L = graft.ops.UnigramOps.MaxWordLen
+    val P = graft.ops.UnigramOps.MaxPieceLen
+    s"""uw AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '$Ws'),
+            x -> x <> '' AND regexp_full_match(x, '[a-z]+')
+              AND len(x) BETWEEN 2 AND $L)) AS w
+          FROM documents) GROUP BY w),
+        uwords AS (SELECT DISTINCT w FROM uw),
+        usub AS MATERIALIZED (SELECT uw.w, uw.f,
+               substr(uw.w, s.range, l.range) AS p
+             FROM uw, range(1, ${L + 1}) s, range(1, ${P + 1}) l
+             WHERE s.range + l.range - 1 <= len(uw.w)),
+        ucnt0 AS (SELECT p, CAST(SUM(f) AS BIGINT) AS cnt
+                  FROM usub GROUP BY p),
+        uchars AS (SELECT p FROM ucnt0 WHERE len(p) = 1),
+        useed AS MATERIALIZED (SELECT p, cnt FROM (
+                    SELECT p, cnt,
+                           ROW_NUMBER() OVER (ORDER BY cnt DESC, p) AS rn
+                    FROM ucnt0 WHERE len(p) > 1)
+                  WHERE rn <= ${graft.ops.UnigramOps.SeedPieces}
+                  UNION ALL
+                  SELECT p, cnt FROM ucnt0 WHERE len(p) = 1),
+        up0 AS MATERIALIZED (SELECT p, cnt,
+               CAST(cnt * 1000000 // t AS BIGINT) AS sc
+             FROM useed,
+                  (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM useed))"""
+  }
+
+  /** One Viterbi segmentation, unrolled: forward DP CTEs f<tag>_0..L
+    * (state key = n_pieces·10^8 − Σ sc, minimized; unreachable states
+    * ABSENT), the flattened state table, and backtrack CTEs emitting
+    * one piece per step with the (key asc, longer-piece) tie rule —
+    * UnigramOps.segmentWords' exact integer objective. `subs` must
+    * provide (w, p) substring pairs for `words`; `pieces` (p, sc).
+    * Emits utoks<tag> (w, tok).
+    */
+  private def unigramDpCtes(tag: String, words: String, subs: String,
+                            pieces: String): String = {
+    val L = graft.ops.UnigramOps.MaxWordLen
+    val P = graft.ops.UnigramOps.MaxPieceLen
+    def fwd(j: Int): String = {
+      val branches = (1 to math.min(P, j)).map { l =>
+        s"""SELECT f.w, f.key + 100000000 - wp.sc AS key
+            FROM f${tag}_${j - l} f JOIN wp$tag wp
+              ON wp.w = f.w AND wp.p = substr(f.w, ${j - l + 1}, $l)
+            WHERE len(f.w) >= $j"""
+      }.mkString(" UNION ALL ")
+      s"""f${tag}_$j AS MATERIALIZED (SELECT w, CAST(MIN(key) AS BIGINT)
+            AS key
+          FROM ($branches) GROUP BY w)"""
+    }
+    def bt(i: Int): String =
+      s"""bt${tag}_$i AS MATERIALIZED (
+          SELECT w, pos - l AS pos, substr(w, pos - l + 1, l) AS tok
+          FROM (
+            SELECT b.w, b.pos, rl.range AS l,
+                   ROW_NUMBER() OVER (PARTITION BY b.w
+                     ORDER BY fa.key + 100000000 - wp.sc ASC,
+                              rl.range DESC) AS rn
+            FROM bt${tag}_${i - 1} b, range(1, ${P + 1}) rl,
+                 fall$tag fa, wp$tag wp
+            WHERE b.pos > 0 AND rl.range <= b.pos
+              AND fa.w = b.w AND fa.pos = b.pos - rl.range
+              AND wp.w = b.w
+              AND wp.p = substr(b.w, b.pos - rl.range + 1, rl.range))
+          WHERE rn = 1)"""
+    s"""wp$tag AS MATERIALIZED (SELECT DISTINCT s.w, s.p, pp.sc
+            FROM $subs s JOIN $pieces pp USING (p)),
+        f${tag}_0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS key
+          FROM $words),
+        ${(1 to L).map(fwd).mkString(",\n")},
+        fall$tag AS MATERIALIZED (${
+          (0 to L).map(j =>
+            s"SELECT w, $j AS pos, key FROM f${tag}_$j")
+            .mkString(" UNION ALL ")}),
+        bt${tag}_0 AS MATERIALIZED (SELECT w, len(w) AS pos FROM $words),
+        ${(1 to L).map(bt).mkString(",\n")},
+        utoks$tag AS (${
+          (1 to L).map(i => s"SELECT w, tok FROM bt${tag}_$i")
+            .mkString(" UNION ALL ")})"""
+  }
+
+  /** One hard-EM round r: segment against up(r−1), usage counts,
+    * keep used multi-char pieces + ALL single chars (coverage floor),
+    * re-normalize to ppm — the UnigramOps.usageCounts twin.
+    */
+  private def unigramRoundCtes(r: Int): String =
+    s"""${unigramDpCtes(r.toString, "uwords", "usub", s"up${r - 1}")},
+        uusage$r AS (SELECT t.tok AS p, CAST(SUM(uw.f) AS BIGINT) AS cnt
+                     FROM utoks$r t JOIN uw USING (w) GROUP BY t.tok),
+        ukept$r AS MATERIALIZED (SELECT p, cnt FROM uusage$r
+                      WHERE len(p) > 1
+                    UNION ALL
+                    SELECT c.p, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt
+                    FROM uchars c LEFT JOIN
+                      (SELECT p, cnt FROM uusage$r WHERE len(p) = 1) u
+                      USING (p)),
+        up$r AS MATERIALIZED (SELECT p, cnt,
+               CAST(cnt * 1000000 // t AS BIGINT) AS sc
+             FROM ukept$r,
+                  (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM ukept$r))"""
+
+  private def unigramTrainCtes: String =
+    s"""${unigramHeadCtes},
+        ${(1 to graft.ops.UnigramOps.EmRounds)
+          .map(unigramRoundCtes).mkString(",\n")}"""
+
+  /** q_unigram_train twin: the full unrolled hard-EM, final pieces. */
+  def unigramTrainSql: String = {
+    val R = graft.ops.UnigramOps.EmRounds
+    s"""WITH $unigramTrainCtes
+        SELECT p AS piece, cnt AS n_used, sc AS sc_ppm FROM up$R"""
+  }
+
+  /** q_unigram_apply twin: train (the persisted pieces ARE up·R), then
+    * segment the OOV-augmented corpus's distinct words against them; a
+    * word with NO backtrack tokens was unsegmentable (a char outside
+    * the training alphabet) — char-fallback counted, mirroring
+    * UnigramOps.tokenizeWithPieces.
+    */
+  def unigramApplySql: String = {
+    val L = graft.ops.UnigramOps.MaxWordLen
+    val P = graft.ops.UnigramOps.MaxPieceLen
+    val R = graft.ops.UnigramOps.EmRounds
+    s"""WITH $unigramTrainCtes,
+        aw AS MATERIALIZED (SELECT doc_id, w FROM (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(
+                       lower(text || ' qzjxvw'), '$Ws'),
+                       x -> x <> '' AND regexp_full_match(x, '[a-z]+')
+                         AND len(x) BETWEEN 2 AND $L)) AS w
+              FROM documents)),
+        awords AS MATERIALIZED (SELECT DISTINCT w FROM aw),
+        asub AS MATERIALIZED (SELECT DISTINCT aw2.w,
+                   substr(aw2.w, s.range, l.range) AS p
+                 FROM awords aw2, range(1, ${L + 1}) s, range(1, ${P + 1}) l
+                 WHERE s.range + l.range - 1 <= len(aw2.w)),
+        ${unigramDpCtes("a", "awords", "asub", s"up$R")},
+        antok AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok
+                  FROM utoksa GROUP BY w),
+        aseg AS (SELECT a.w,
+                   CAST(COALESCE(n.n_tok, len(a.w)) AS BIGINT) AS n_tok,
+                   CASE WHEN n.n_tok IS NULL THEN 1 ELSE 0 END AS oov
+                 FROM awords a LEFT JOIN antok n USING (w))
+        SELECT aw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(aw.w)) AS BIGINT) AS n_chars,
+               CAST(SUM(s.n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(s.oov) AS BIGINT) AS n_oov
+        FROM aw JOIN aseg s USING (w)
+        GROUP BY aw.doc_id"""
+  }
+
+  /** q_unigram_fertility twin: the BPE unrolled-merge chain and the
+    * unigram unrolled-EM chain side by side (disjoint CTE namespaces),
+    * one corpus-total fertility row per family.
+    */
+  def unigramCompareSql(merges: Int): String = {
+    val R = graft.ops.UnigramOps.EmRounds
+    s"""WITH $BpeInstanceCtes,
+        ${bpeRoundCtes(merges)},
+        $unigramTrainCtes,
+        ${unigramDpCtes("c", "uwords", "usub", s"up$R")},
+        btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(len($BpeSymsOf)) AS BIGINT) AS n_tokens
+                 FROM ti t JOIN v$merges v USING (w)),
+        ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok
+                 FROM utoksc GROUP BY w),
+        utot AS (SELECT CAST(SUM(uw.f) AS BIGINT) AS n_words,
+                   CAST(SUM(uw.f * c.n_tok) AS BIGINT) AS n_tokens
+                 FROM uw JOIN ucnt c USING (w))
+        SELECT 'bpe' AS tokenizer, n_words, n_tokens,
+               CAST(n_tokens * 1000000 // n_words AS BIGINT)
+                 AS fertility_ppm
+        FROM btot
+        UNION ALL
+        SELECT 'unigram' AS tokenizer, n_words, n_tokens,
+               CAST(n_tokens * 1000000 // n_words AS BIGINT)
+                 AS fertility_ppm
+        FROM utot"""
+  }
+
   /** HTML-extraction twin: rebuilds the synthetic page closed-form
     * (CurationOps.htmlWrap's exact literal), then replays the strip
     * pipeline — script/style blocks with content, tags to spaces,

@@ -1903,15 +1903,14 @@ object SparkEntry {
     // of 64 tokens advancing by 48; md5 per chunk pins the exact text.
     "q_chunk_overlap" -> ((s, d) =>
       CurationOps.chunkOverlap(Tables.documents(s, d))),
-    // Inverted-index build: capped posting lists in doc order plus true
-    // document frequency per term — the retrieval-index prep stage.
     // Positional phrase search: offset-trick candidate join against a
     // broadcast phrase-term table, slot-count filter, per-phrase
     // doc/occurrence rollup — exact contiguous-run semantics a
     // bag-of-words index cannot answer.
     "q_phrase_search" -> ((s, d) =>
       CurationOps.phraseSearch(Tables.documents(s, d), PhraseQueries)),
-
+    // Inverted-index build: capped posting lists in doc order plus true
+    // document frequency per term — the retrieval-index prep stage.
     "q_inverted_index" -> ((s, d) =>
       CurationOps.invertedIndex(Tables.documents(s, d))),
     // BM25-family ranked retrieval over those postings: broadcast query
@@ -2858,6 +2857,37 @@ object SparkEntry {
       }
       SinkOps.readChanges(s, path, 1, 3)
         .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+    // CHANGEFEED-DRIVEN IVM — the composition the changefeed exists
+    // for: the lineitem facts live in a versioned table (base commit +
+    // two delta commits); the join-view consumer reads its delta FROM
+    // THE TABLE (readChanges v1→v3, O(changed files)) instead of being
+    // handed arrival batches out of band, and refreshes by the delta
+    // rule (stored view ∪ O ⋈ Δ, delta broadcast). Incremental ≡ full
+    // is pinned by the unsplit-join oracle; the changefeed scan is
+    // plan-asserted to never touch the base dir (Round11 spec).
+    "q_changefeed_ivm" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val bd = lit(IvmBoundary).cast("date")
+      val tbl = tmpPath("graft_cfivm_tbl", d)
+      val troot = new org.apache.hadoop.fs.Path(tbl)
+      troot.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(troot, true)
+      val ld = li.filter(col("l_shipdate").cast("date") >= bd)
+      SinkOps.commitVersion(
+        li.filter(col("l_shipdate").cast("date") < bd), tbl)
+      SinkOps.commitVersion(ld.filter(col("l_orderkey") % 2 === 0), tbl)
+      SinkOps.commitVersion(ld.filter(col("l_orderkey") % 2 === 1), tbl)
+      val view = tmpPath("graft_cfivm_view", d)
+      JoinOps.writeJoinView(o, SinkOps.readVersion(s, tbl, Some(1)), view)
+      s.read.parquet(view).unionByName(
+        JoinOps.joinViewRows(o,
+          broadcast(SinkOps.readChanges(s, tbl, 1, 3))))
+        .groupBy(expr("o_custkey % 10").as("cust_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("l_quantity")).as("sum_qty"),
+          sum("o_custkey").as("custkey_sum"))
     }),
     // Streaming versioned sink: every micro-batch commits as its own
     // queryable snapshot; the latest snapshot must equal one batch
@@ -4162,6 +4192,34 @@ object SparkEntry {
         docs.select(col("doc_id"),
           concat(col("text"), lit(" qzjxvw")).as("text")), path)
     }),
+
+    // Unigram-LM (SentencePiece-family) tokenizer training — the OTHER
+    // production tokenizer family: fixed-round hard-EM (Viterbi
+    // E-steps) over a substring piece inventory, all-integer
+    // lexicographic objective (fewest pieces, then max ppm score; ties
+    // to the longer piece), so the DuckDB twin unrolls the exact DP.
+    // Output: the final piece table with usage counts and ppm scores.
+    "q_unigram_train" -> ((s, d) =>
+      graft.ops.UnigramOps.trainPieces(Tables.documents(s, d))),
+    // Persisted-pieces apply with char-level OOV fallback — the
+    // q_bpe_apply lifecycle for the unigram family: train → write
+    // artifact → tokenize the OOV-augmented corpus from the artifact
+    // ("qzjxvw" is unsegmentable — 'x'/'z' are outside the training
+    // alphabet — so every non-null doc counts exactly one OOV).
+    "q_unigram_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = tmpPath("graft_uni_pieces", d)
+      graft.ops.UnigramOps.trainWritePieces(docs, path)
+      graft.ops.UnigramOps.tokenizeWithPieces(
+        docs.select(col("doc_id"),
+          concat(col("text"), lit(" qzjxvw")).as("text")), path)
+    }),
+    // BPE-vs-unigram fertility bake-off: one corpus-total row per
+    // family (shared word universe), fertility as exact floor ppm —
+    // the cross-family readout the two trainers exist to feed.
+    "q_unigram_fertility" -> ((s, d) =>
+      graft.ops.UnigramOps.tokenizerCompare(Tables.documents(s, d),
+        BpeMerges)),
 
     // Kendall tau-b rank correlation — exact, at scale, via the same
     // domain-compression discipline as q_mannwhitney: joint histogram
@@ -6106,6 +6164,9 @@ object SparkEntry {
     "q_bpe_tokenize" -> OracleSql.bpeTokenizeSql(BpeMerges),
     "q_bpe_fertility" -> OracleSql.bpeFertilitySql(BpeMerges),
     "q_bpe_apply" -> OracleSql.bpeApplySql(BpeMerges),
+    "q_unigram_train" -> OracleSql.unigramTrainSql,
+    "q_unigram_apply" -> OracleSql.unigramApplySql,
+    "q_unigram_fertility" -> OracleSql.unigramCompareSql(BpeMerges),
     "q_simsearch_pq" -> OracleSql.simsearchPqSql,
     "q_simsearch_recall" -> OracleSql.simsearchRecallSql,
     "q_simsearch_truncdim" -> OracleSql.truncDimRecallSql,
@@ -6348,6 +6409,15 @@ object SparkEntry {
     "q_version_changes" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE event_id % 3 <> 0""",
+    // Changefeed-driven refresh must equal the full unsplit join —
+    // the delta came from the table's own manifests, same contract.
+    "q_changefeed_ivm" ->
+      """SELECT o_custkey % 10 AS cust_bucket, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1""",
     // Compaction is a pure rewrite: v3 ≡ v2 ≡ the whole table.
     "q_compact_versions" ->
       """SELECT 3 AS version, count(*) AS n_rows,
@@ -7174,6 +7244,7 @@ object SparkEntry {
     // (n_frames, fp) collision join.
     "q_audio_dedup" -> {
       val pw = (0 to 10).map(k => s"($k, ${1L << k})").mkString(", ")
+      val pw4 = (0 to 46).map(k => s"($k, ${1L << k})").mkString(", ")
       s"""WITH src AS (
            SELECT doc_id AS asset_id, doc_id AS id, 1 AS den
            FROM documents WHERE doc_id < 256
@@ -7182,12 +7253,13 @@ object SparkEntry {
            FROM documents WHERE doc_id < 256),
          s AS (SELECT asset_id, id, den,
                  (64 + id % 128) // 16 AS nf,
+                 (64 + id % 128) // 4 AS nf4,
                  unnest(range(64 + id % 128)) AS i
                FROM src),
-         v AS (SELECT asset_id, nf, i, i // 16 AS k,
+         v AS (SELECT asset_id, nf, nf4, i, i // 16 AS k, i // 4 AS k4,
                  CASE WHEN sv0 >= 0 THEN sv0 // den
                       ELSE -((-sv0) // den) END AS sv
-               FROM (SELECT asset_id, den, nf, i,
+               FROM (SELECT asset_id, den, nf, nf4, i,
                        ((id * 2654435761 + i * 40503) % 65536) - 32768
                          AS sv0
                      FROM s)),
@@ -7199,15 +7271,32 @@ object SparkEntry {
                    ORDER BY k) > e2 THEN 1 ELSE 0 END AS b
                FROM e),
          pw AS (SELECT * FROM (VALUES $pw) t(k, p2)),
-         fp AS (SELECT asset_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
+         e4 AS (SELECT asset_id, nf4, k4,
+                 CAST(SUM(sv * sv) AS BIGINT) AS e2
+               FROM v WHERE k4 < nf4 GROUP BY asset_id, nf4, k4),
+         bits4 AS (SELECT asset_id, nf4, k4,
+                 CASE WHEN lead(e2) OVER (PARTITION BY asset_id
+                   ORDER BY k4) > e2 THEN 1 ELSE 0 END AS b
+               FROM e4),
+         pwf AS (SELECT * FROM (VALUES $pw4) t(k, p2)),
+         fpc AS (SELECT asset_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
                  CAST(COALESCE(SUM(CASE WHEN bits.k < nf - 1 AND b = 1
                    THEN p2 ELSE 0 END), 0) AS BIGINT) AS fp
                FROM bits JOIN pw ON pw.k = bits.k
-               GROUP BY asset_id)
+               GROUP BY asset_id),
+         fpf AS (SELECT asset_id, CAST(MAX(nf4) AS BIGINT) AS n_frames4,
+                 CAST(COALESCE(SUM(CASE WHEN bits4.k4 < nf4 - 1 AND b = 1
+                   THEN p2 ELSE 0 END), 0) AS BIGINT) AS fp4
+               FROM bits4 JOIN pwf ON pwf.k = bits4.k4
+               GROUP BY asset_id),
+         fp AS (SELECT c.asset_id, c.n_frames, f.n_frames4, c.fp, f.fp4
+                FROM fpc c JOIN fpf f USING (asset_id))
          SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
-                x.n_frames AS n_frames, x.fp AS fp
+                x.n_frames AS n_frames, x.n_frames4 AS n_frames4,
+                x.fp AS fp, x.fp4 AS fp4
          FROM fp x JOIN fp y
-         ON x.n_frames = y.n_frames AND x.fp = y.fp
+         ON x.n_frames = y.n_frames AND x.n_frames4 = y.n_frames4
+           AND x.fp = y.fp AND x.fp4 = y.fp4
            AND x.asset_id < y.asset_id"""
     },
     "q_label_centroids" ->

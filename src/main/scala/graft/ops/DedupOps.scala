@@ -1078,21 +1078,6 @@ object DedupOps {
     dupSpanTail(gramPositions(arrivals, k), idx.select("sh"))
   }
 
-  /** Canonical-copy selection over near-dup clusters — the decision the
-    * cluster map exists FOR: within each connected component of the
-    * MinHash pair graph, keep the copy with the MOST tokens (production
-    * near-dup policy: the longest variant usually subsumes its trims),
-    * ties to the smallest doc id. Per cluster: the canonical id, member
-    * count, tokens kept, and tokens the dedup drop reclaims — the
-    * storage-savings ledger of the dedup stage.
-    *
-    * Scale shape: clusters come from [[GraphOps.connectedComponents]]
-    * (min-label propagation, no all-pairs path); the election is ONE
-    * cluster-keyed `max(struct(n_tok, −node, node))` aggregate — the
-    * repo's deterministic argmax idiom (no window sort, map-side
-    * combined). Token counts ride the same join that tags members with
-    * their cluster; text never shuffles.
-    */
   /** Persist the canonical LEDGER next to a minhash index — the
     * incremental half's incumbent table: one row per cluster of the
     * known corpus (clustered docs elect the [[dedupCanonical]] winner;
@@ -1132,9 +1117,17 @@ object DedupOps {
     * judged against the incumbent canonical — `dethrones` if it brings
     * more tokens (ties to the smaller id, the same total order the
     * snapshot election uses), `kept_existing` if the incumbent stands,
-    * `new_cluster` if nothing in the index is near. `new_canon_id` is
-    * the post-batch canonical either way, so the ledger update is a
-    * pure upsert of this output.
+    * `new_cluster` if nothing in the index is near.
+    *
+    * Upsert contract: each row's `new_canon_id` is judged against the
+    * PRE-batch incumbent only, so when several same-batch arrivals
+    * land in one cluster, multiple rows can claim `dethrones` with
+    * different winners — the ledger consumer MUST take the per-cluster
+    * (n_tok desc, doc_id asc) argmax of this output before upserting
+    * (a naive row-order upsert could leave a weaker arrival as
+    * canonical). [[graft.streaming.StreamOps]]'s canonical ingest
+    * replay does exactly that re-election (bestArr per cluster) before
+    * touching the ledger.
     *
     * Scale shape: one broadcast-eligible ledger join on top of the
     * O(arrivals) assignment probe; the known corpus is never
@@ -1162,6 +1155,21 @@ object DedupOps {
           .as("new_canon_id"))
   }
 
+  /** Canonical-copy selection over near-dup clusters — the decision the
+    * cluster map exists FOR: within each connected component of the
+    * MinHash pair graph, keep the copy with the MOST tokens (production
+    * near-dup policy: the longest variant usually subsumes its trims),
+    * ties to the smallest doc id. Per cluster: the canonical id, member
+    * count, tokens kept, and tokens the dedup drop reclaims — the
+    * storage-savings ledger of the dedup stage.
+    *
+    * Scale shape: clusters come from [[GraphOps.connectedComponents]]
+    * (min-label propagation, no all-pairs path); the election is ONE
+    * cluster-keyed `max(struct(n_tok, −node, node))` aggregate — the
+    * repo's deterministic argmax idiom (no window sort, map-side
+    * combined). Token counts ride the same join that tags members with
+    * their cluster; text never shuffles.
+    */
   def dedupCanonical(corpus: DataFrame): DataFrame = {
     val clusters = GraphOps.connectedComponents(
       minhashPairs(corpus).select(col("doc_a").as("a"), col("doc_b").as("b")))

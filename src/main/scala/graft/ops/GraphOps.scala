@@ -688,6 +688,18 @@ object GraphOps {
     * (t_base, t1, t2, t3, t_total), all exact int64 — the oracle
     * re-enumerates the union with per-triangle delta-edge tags and must
     * land on the same partition.
+    *
+    * HUB EXPOSURE (the t1 term's cost contract): t1 joins each delta
+    * edge against the FULL base adjacency of both endpoints —
+    * O(Σ_{(u,v)∈D} deg(u)+deg(v)) — with no analogue of
+    * [[linkPredict]]'s deg ≤ 256 wedge cap, because capping here would
+    * silently UNDERCOUNT triangles (the count is exact by contract,
+    * and the oracle pins it). On power-law graphs one delta edge
+    * touching a supernode therefore pays that node's full degree;
+    * callers maintaining truly hub-heavy graphs should pre-split such
+    * batches (route supernode-incident edges to the periodic snapshot
+    * rebuild, which pays the kernel's degree-ordered cost once)
+    * rather than expect the delta rule to absorb them.
     */
   def triangleIncrement(base: DataFrame, delta: DataFrame,
                         basePath: String): DataFrame = {

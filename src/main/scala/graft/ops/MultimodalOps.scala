@@ -721,16 +721,6 @@ object MultimodalOps {
     bos.toByteArray
   }
 
-  /** Energy-delta audio fingerprints over REAL WAV decodes — the
-    * Haitsma-Kalker-style robust hash reduced to its volume-invariant
-    * core: 16-sample frame energies Σs², one bit per consecutive-frame
-    * comparison (`e[k+1] > e[k]`), packed little-endian. Uniform gain
-    * changes scale every energy together, so the DELTA SIGNS — and the
-    * fingerprint — survive volume edits that break any byte- or
-    * sample-digest. `den` applies the volume scaling at synthesis (the
-    * planted near-dup generator), `idOffset` shifts the slice ids.
-    * One mapPartitions decode pass; 24 bytes out per asset.
-    */
   /** Dedup-tier synthetic WAV: same container/length scheme as
     * [[syntheticWav]] but a WRAPPING multiplicative-step signal
     * (step 40503 > 2¹⁵ wraps the 16-bit range nearly every sample), so
@@ -761,6 +751,25 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** Energy-delta audio fingerprints over REAL WAV decodes — the
+    * Haitsma-Kalker-style robust hash reduced to its volume-invariant
+    * core: frame energies Σs², one bit per consecutive-frame
+    * comparison (`e[k+1] > e[k]`), packed little-endian. Uniform gain
+    * changes scale every energy together, so the DELTA SIGNS — and the
+    * fingerprint — survive volume edits that break any byte- or
+    * sample-digest. TWO bands: `fp` over 16-sample frames (coarse) and
+    * `fp4` over 4-sample frames (fine) — the short-clip fix: a 4-frame
+    * clip gives the coarse band only 3 bits, and pigeonhole then
+    * guarantees accidental collisions between unrelated recordings
+    * (172 on the 256-asset fixture); the fine band — its frame
+    * count AND its delta bits, both part of the collision key — adds
+    * ≥ 15 invariant bits plus the length resolution the coarse count
+    * quantizes away, eliminating every accidental pair while keeping
+    * all planted twins (spec-pinned). `den` applies the
+    * volume scaling at synthesis (the planted near-dup generator),
+    * `idOffset` shifts the slice ids. One mapPartitions decode pass;
+    * 32 bytes out per asset.
+    */
   def audioFingerprints(docs: DataFrame, idOffset: Long,
                         den: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -774,38 +783,47 @@ object MultimodalOps {
         val bytes = ais.readAllBytes()
         def sample(i: Int): Long =
           ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toLong
-        val nf = n / 16
-        val e = Array.tabulate(nf) { k =>
-          var s = 0L
-          var i = 16 * k
-          while (i < 16 * (k + 1)) { s += sample(i) * sample(i); i += 1 }
-          s
+        def band(fs: Int): Long = {
+          val nf = n / fs
+          val e = Array.tabulate(nf) { k =>
+            var s = 0L
+            var i = fs * k
+            while (i < fs * (k + 1)) { s += sample(i) * sample(i); i += 1 }
+            s
+          }
+          var fp = 0L
+          var k = 0
+          while (k < nf - 1) {
+            if (e(k + 1) > e(k)) fp |= (1L << k)
+            k += 1
+          }
+          fp
         }
-        var fp = 0L
-        var k = 0
-        while (k < nf - 1) {
-          if (e(k + 1) > e(k)) fp |= (1L << k)
-          k += 1
-        }
-        (id + idOffset, nf.toLong, fp)
+        (id + idOffset, (n / 16).toLong, (n / 4).toLong, band(16),
+          band(4))
       })
-      .toDF("asset_id", "n_frames", "fp")
+      .toDF("asset_id", "n_frames", "n_frames4", "fp", "fp4")
   }
 
-  /** Audio dedup candidates: assets whose (frame count, fingerprint)
-    * collide exactly — a keyed self-join on the 16-byte signature
-    * (bucketed by construction, never all-pairs; the image-band and
-    * MinHash-band discipline with an exact key). Catches the planted
-    * volume-halved twins a PCM digest cannot.
+  /** Audio dedup candidates: assets whose (frame count, coarse AND
+    * fine fingerprint) collide exactly — a keyed self-join on the
+    * signature (bucketed by construction, never all-pairs; the
+    * image-band and MinHash-band discipline with an exact key).
+    * Catches the planted volume-halved twins a PCM digest cannot;
+    * the two-band key keeps short clips from colliding by pigeonhole.
     */
   def audioDedupPairs(fps: DataFrame): DataFrame =
     fps.as("x").join(fps.as("y"),
         col("x.n_frames") === col("y.n_frames") &&
+          col("x.n_frames4") === col("y.n_frames4") &&
           col("x.fp") === col("y.fp") &&
+          col("x.fp4") === col("y.fp4") &&
           col("x.asset_id") < col("y.asset_id"))
       .select(col("x.asset_id").as("asset_a"),
         col("y.asset_id").as("asset_b"),
-        col("x.n_frames").as("n_frames"), col("x.fp").as("fp"))
+        col("x.n_frames").as("n_frames"),
+        col("x.n_frames4").as("n_frames4"), col("x.fp").as("fp"),
+        col("x.fp4").as("fp4"))
 
   /** REAL WAV decode via javax.sound.sampled: parse the container, check
     * the PCM format loudly, and recompute the sample sum from the decoded

@@ -919,6 +919,16 @@ object StreamOps {
     * serving, so streaming ≡ batch — the oracle scores the full query
     * set in one pass; the replay proves the serve path composes with
     * the micro-batch harness without result loss or duplication.
+    *
+    * BATCH-SIZE CONTRACT: the driver collect and the literal IN list
+    * bound this path to SERVING-sized micro-batches (≲ thousands of
+    * queries per trigger). A bulk re-scoring workload — say 100k
+    * queries replayed through the stream — would bottleneck on the
+    * driver round-trip and blow past practical IN-list sizes; that
+    * shape belongs to the batch path (join the query table against
+    * the index term-keyed, as CurationOps.bm25TopK does in-plan)
+    * rather than this serve loop. Enforce upstream with
+    * maxFilesPerTrigger / source rate limits.
     */
   def bm25ServeReplay(queries: DataFrame, indexPath: String,
                       stagingDir: String,
@@ -1027,6 +1037,18 @@ object StreamOps {
     * maintenance ≡ one-shot recompute, hash-pinned. Same staged-slice
     * replay mechanics (ascending mtimes, maxFilesPerTrigger=1,
     * AvailableNow) as the index-ingest family.
+    *
+    * DELIVERY CAVEAT: the foreachBatch body bare-appends delta rows,
+    * which under foreachBatch's at-least-once semantics is NOT
+    * idempotent — a retried micro-batch would double-append its rows
+    * and silently break the streamed ≡ one-shot equality. The replay
+    * harness (AvailableNow over immutable staged files, no failure
+    * injection) never retries, so the equality holds here by
+    * construction; a production deployment must key the append by
+    * batchId (e.g. one data/batch=<id> subdirectory overwritten
+    * idempotently — the exactly-once file-sink recipe
+    * [[fileSinkReplay]] demonstrates) before trusting the view under
+    * real retries.
     */
   def ivmReplay(oDim: DataFrame, lBase: DataFrame, lDelta: DataFrame,
                 viewPath: String, stagingDir: String,

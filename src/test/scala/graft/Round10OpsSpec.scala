@@ -602,10 +602,12 @@ class Round10OpsSpec extends SparkSpec {
     val base = Tables.documents(spark, sfDir).filter(col("doc_id") < 256)
     val full = MultimodalOps.audioFingerprints(base, 0L, 1)
       .collect().map(r => r.getAs[Long]("asset_id") ->
-        (r.getAs[Long]("n_frames"), r.getAs[Long]("fp"))).toMap
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_frames4"),
+          r.getAs[Long]("fp"), r.getAs[Long]("fp4"))).toMap
     val half = MultimodalOps.audioFingerprints(base, 0L, 2)
       .collect().map(r => r.getAs[Long]("asset_id") ->
-        (r.getAs[Long]("n_frames"), r.getAs[Long]("fp"))).toMap
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_frames4"),
+          r.getAs[Long]("fp"), r.getAs[Long]("fp4"))).toMap
     assert(full.keySet === half.keySet)
     full.foreach { case (id, sig) =>
       assert(half(id) === sig, s"asset $id fingerprint not volume-invariant")
@@ -618,6 +620,11 @@ class Round10OpsSpec extends SparkSpec {
     val twins = pairs.count(r =>
       r.getAs[Long]("asset_b") - r.getAs[Long]("asset_a") == 1000000L)
     assert(twins === full.size)
+    // The two-band key leaves ZERO accidental (non-twin) pairs on this
+    // fixture — the short-clip pigeonhole fix (the coarse band alone
+    // admitted 172 unrelated base-base collisions).
+    assert(pairs.length === twins,
+      s"${pairs.length - twins} accidental non-twin pairs")
   }
 
   // ---- canonicalIngestReplay ----

@@ -168,6 +168,81 @@ class Round11OpsSpec extends SparkSpec {
     assert(v3.sameElements(Array(1L, 3L)))
   }
 
+  // ---- unigram-LM tokenizer ----
+
+  test("unigram segmentation is a true segmentation: reversed tokens " +
+      "concatenate back to the word, every token is a known piece, and " +
+      "the key re-derives from the path") {
+    import graft.ops.UnigramOps
+    val docs = Tables.documents(spark, sfDir)
+    val wf = UnigramOps.wordFreq(docs)
+    val pieces = UnigramOps.seedPieces(wf)
+    val pmap = pieces.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val seg = UnigramOps.segmentWords(wf.select("w"), pieces).collect()
+    assert(seg.nonEmpty)
+    seg.foreach { r =>
+      val w = r.getString(0)
+      val toks = r.getSeq[String](2)
+      assert(toks.reverse.mkString("") == w,
+        s"'$w' segmented to ${toks.reverse.mkString("|")}")
+      toks.foreach(t => assert(pmap.contains(t), s"unknown piece '$t'"))
+      val key = toks.length.toLong * 100000000L - toks.map(pmap).sum
+      assert(r.getLong(1) == key,
+        s"'$w' key ${r.getLong(1)} != path-derived $key")
+    }
+  }
+
+  test("unigram train: single chars never pruned, multi-char pieces " +
+      "only when used, scores are the floor-ppm of usage") {
+    import graft.ops.UnigramOps
+    val docs = Tables.documents(spark, sfDir)
+    val out = UnigramOps.trainPieces(docs).collect()
+    val chars = UnigramOps.wordFreq(docs).select("w").collect()
+      .flatMap(_.getString(0).toCharArray).map(_.toString).distinct
+    val ps = out.map(_.getString(0)).toSet
+    chars.foreach(c => assert(ps.contains(c), s"char piece '$c' pruned"))
+    val tot = out.map(_.getLong(1)).sum
+    out.foreach { r =>
+      val (p, used, sc) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(p.length <= UnigramOps.MaxPieceLen)
+      if (p.length > 1) assert(used >= 1L, s"unused multi-char '$p' kept")
+      assert(sc == used * 1000000L / tot, s"'$p' score not floor-ppm")
+    }
+  }
+
+  test("unigram persisted apply: OOV word falls back to char counting " +
+      "and is counted; in-vocab corpus applies with zero OOV") {
+    import graft.ops.UnigramOps
+    val docs = Tables.documents(spark, sfDir)
+    val path = tmp("r11_unigram")
+    UnigramOps.trainWritePieces(docs, path)
+    val clean = UnigramOps.tokenizeWithPieces(docs, path)
+    assert(clean.agg(sum("n_oov")).head().getLong(0) == 0L)
+    val planted = UnigramOps.tokenizeWithPieces(
+      docs.select(col("doc_id"),
+        concat(col("text"), lit(" qzjxvw")).as("text")), path)
+    val withText = docs.filter(col("text").isNotNull).count()
+    assert(planted.agg(sum("n_oov")).head().getLong(0) == withText,
+      "every non-null doc should contribute exactly one planted OOV word")
+    // the OOV word contributes its 6 chars as tokens
+    val delta = planted.agg(sum("n_tokens")).head().getLong(0) -
+      clean.agg(sum("n_tokens")).head().getLong(0)
+    assert(delta == 6L * withText, s"OOV fallback token delta $delta")
+  }
+
+  test("tokenizerCompare: both families over the same word universe, " +
+      "fertility at least 1 token per word") {
+    import graft.ops.UnigramOps
+    val docs = Tables.documents(spark, sfDir)
+    val rows = UnigramOps.tokenizerCompare(docs, 8).collect()
+    assert(rows.map(_.getString(0)).sorted.sameElements(
+      Array("bpe", "unigram")))
+    val Array(a, b) = rows.sortBy(_.getString(0))
+    assert(a.getLong(1) == b.getLong(1), "word universes differ")
+    rows.foreach(r => assert(r.getLong(3) >= 1000000L))
+  }
+
   // ---- changefeed ----
 
   test("readChanges returns exactly the rows added in the window, " +
@@ -189,5 +264,30 @@ class Round11OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SinkOps.readChanges(spark, path, 2, 2)
     }
+  }
+
+  test("changefeed-driven IVM refresh reproduces the full join " +
+      "ROW-FOR-ROW with the delta sourced from the table's manifests") {
+    import graft.ops.{JoinOps, SinkOps}
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val bd = lit("1997-01-01").cast("date")
+    val tbl = tmp("r11_cfivm_tbl")
+    val ld = li.filter(col("l_shipdate").cast("date") >= bd)
+    SinkOps.commitVersion(
+      li.filter(col("l_shipdate").cast("date") < bd), tbl)
+    SinkOps.commitVersion(ld.filter(col("l_orderkey") % 2 === 0), tbl)
+    SinkOps.commitVersion(ld.filter(col("l_orderkey") % 2 === 1), tbl)
+    val view = tmp("r11_cfivm_view")
+    JoinOps.writeJoinView(o, SinkOps.readVersion(spark, tbl, Some(1)),
+      view)
+    val refreshed = spark.read.parquet(view).unionByName(
+      JoinOps.joinViewRows(o,
+        broadcast(SinkOps.readChanges(spark, tbl, 1, 3))))
+    val full = JoinOps.joinViewRows(o, li)
+    assert(refreshed.count() == full.count())
+    assert(refreshed.exceptAll(full).isEmpty &&
+      full.exceptAll(refreshed).isEmpty,
+      "changefeed-driven refresh diverges from the full join")
   }
 }
