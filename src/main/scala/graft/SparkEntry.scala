@@ -2967,6 +2967,59 @@ object SparkEntry {
           col("n_rows"), col("sum_price"), col("custkey_sum"))
     }),
 
+    // Merge-on-read DELETE (deletion vectors): v3 commits a key
+    // sidecar — ZERO data files rewritten — and readers resolve it by
+    // one broadcast anti-join; a pinned v2 reader still sees the
+    // deleted rows (time travel untouched), and v4 RE-INSERTS half the
+    // deleted keys, which must survive because a delete sidecar scopes
+    // only to data dirs committed BEFORE it (manifest order = commit
+    // order — the ordered-fold semantics that make DV merges sound).
+    "q_version_delete" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_dv", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(e.filter(col("event_id") % 2 === 0), path)
+      SinkOps.commitVersion(e.filter(col("event_id") % 2 === 1), path)
+      SinkOps.deleteVersionKeys(
+        e.filter(col("event_id") % 7 === 0).select("event_id"),
+        path, "event_id")
+      SinkOps.commitVersion(e.filter(col("event_id") % 14 === 0), path)
+      def dig(v: Int) = SinkOps.readVersion(s, path, Some(v)).agg(
+          count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"),
+          AggOps.exactSum(col("value")).as("val_sum"))
+        .select(lit(v).as("version"), col("n_rows"), col("user_sum"),
+          col("val_sum"))
+      dig(2).unionByName(dig(3)).unionByName(dig(4))
+    }),
+
+    // MERGE as one version commit — the delete+reinsert encoding:
+    // the batch (updates to every 5th key + brand-new inserted keys)
+    // lands as a delete sidecar scoped to prior dirs plus a new data
+    // dir, O(batch) write cost with no matched-row scan; matched keys
+    // read as their new rows, unmatched pass the anti-join untouched.
+    "q_version_merge" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_mrg", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(e, path)
+      val batch = e.filter(col("event_id") % 5 === 0)
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") + lit(1000.0d))
+        .unionByName(e.filter(col("event_id") % 3 === 0)
+          .withColumn("event_id", col("event_id") + lit(100000L))
+          .withColumn("event_type", lit("inserted")))
+      SinkOps.mergeVersion(batch, path, "event_id")
+      SinkOps.readVersion(s, path).groupBy("event_type").agg(
+        count(lit(1)).as("n_rows"),
+        sum("user_id").as("user_sum"),
+        AggOps.exactSum(col("value")).as("val_sum"))
+    }),
+
     // Retraction IVM: the delete half of incremental aggregate
     // maintenance — the deleted slice's state SUBTRACTS (cnt/sum have
     // inverses; min/max dropped by contract, not silently stale). The
@@ -6418,6 +6471,42 @@ object SparkEntry {
                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY 1""",
+    // DV resolution: v2 = everything, v3 = minus %7 keys (merge-on-
+    // read anti-join), v4 = plus the re-inserted %14 keys (a later
+    // data dir outruns an earlier sidecar — ordered-fold semantics).
+    "q_version_delete" ->
+      """SELECT 2 AS version, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events
+         UNION ALL
+         SELECT 3, count(*), CAST(sum(user_id) AS BIGINT),
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+         FROM events WHERE event_id % 7 <> 0
+         UNION ALL
+         SELECT 4, count(*), CAST(sum(user_id) AS BIGINT),
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+         FROM events WHERE event_id % 7 <> 0 OR event_id % 14 = 0""",
+    // MERGE upsert semantics: batch rows win on key, others untouched.
+    "q_version_merge" ->
+      """WITH upd AS (
+           SELECT event_id, ts, user_id, 'updated' AS event_type,
+                  value + 1000 AS value, props
+           FROM events WHERE event_id % 5 = 0
+           UNION ALL
+           SELECT event_id + 100000, ts, user_id, 'inserted', value, props
+           FROM events WHERE event_id % 3 = 0),
+         merged AS (
+           SELECT * FROM upd
+           UNION ALL
+           SELECT * FROM events
+           WHERE event_id NOT IN (SELECT event_id FROM upd))
+         SELECT event_type, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM merged GROUP BY 1""",
     // Compaction is a pure rewrite: v3 ≡ v2 ≡ the whole table.
     "q_compact_versions" ->
       """SELECT 3 AS version, count(*) AS n_rows,

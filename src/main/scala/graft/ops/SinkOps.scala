@@ -252,13 +252,33 @@ object SinkOps {
     * new version (the OPTIMIZE half of the versioned-table lifecycle:
     * a long-running append stream accretes day-sized dirs; compaction
     * rewrites the current state once and the new manifest lists a
-    * single dir — planning returns to O(1) dirs). Readers pinned to
+    * single dir — planning returns to O(1) dirs, and any accumulated
+    * deletion vectors are RESOLVED AND PURGED: the rewrite reads the
+    * anti-joined state, so the new manifest carries no delete lines —
+    * the read-amplification payback point of merge-on-read). Readers
+    * pinned to
     * ANY earlier version are untouched: old data dirs and manifests are
     * immutable, the rewrite only adds. Returns the compacted version.
     */
   def compactVersions(spark: org.apache.spark.sql.SparkSession,
                       path: String): Int =
-    commitVersion(readVersion(spark, path), path, carryForward = false)
+    compactVersions(spark, path, None)
+
+  /** [[compactVersions]] regenerating MANIFEST FILE STATISTICS for the
+    * rewritten state: compaction is the natural re-clustering point,
+    * so with `statsCol` declared the compacted dir is range-clustered
+    * on it and fresh zone maps are written — a table whose head had
+    * accumulated DV commits (un-skippable, [[readVersionWhere]]
+    * refuses them) returns to being both O(1)-dir AND file-skippable
+    * in the one rewrite.
+    */
+  def compactVersions(spark: org.apache.spark.sql.SparkSession,
+                      path: String, statsCol: Option[String]): Int = {
+    val resolved = readVersion(spark, path)
+    val clustered = statsCol.fold(resolved)(c =>
+      resolved.repartitionByRange(col(c)))
+    commitVersion(clustered, path, carryForward = false, statsCol)
+  }
 
   /** VACUUM — expire history older than `keep`: manifests below `keep`
     * are removed and every data directory referenced by NO surviving
@@ -276,11 +296,18 @@ object SinkOps {
     val latest = latestVersion(fs, root)
     require(keep >= 1 && keep <= latest,
       s"keep=$keep outside committed versions 1..$latest")
+    // Live set spans BOTH line kinds: data dirs as written, delete
+    // sidecars by their dir part — an expired merge's sidecar GCs with
+    // its history, a still-referenced one survives.
     val live = (keep to latest)
-      .flatMap(v => manifestDirs(fs, root, v)).toSet
-    val dataRoot = new org.apache.hadoop.fs.Path(root, "data")
-    val all = fs.listStatus(dataRoot).map("data/" + _.getPath.getName)
-    val dead = all.filterNot(live)
+      .flatMap(v => manifestDirs(fs, root, v))
+      .map(l => if (isDeleteLine(l)) deleteParts(l)._1 else l).toSet
+    val dead = Seq("data", "deletes").flatMap { kind =>
+      val kindRoot = new org.apache.hadoop.fs.Path(root, kind)
+      if (!fs.exists(kindRoot)) Nil
+      else fs.listStatus(kindRoot).toSeq
+        .map(kind + "/" + _.getPath.getName).filterNot(live)
+    }
     dead.foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(root, d), true); ()
     }
@@ -330,11 +357,10 @@ object SinkOps {
     val mf = new org.apache.hadoop.fs.Path(root, f"staging/v$v%05d.txt")
     require(fs.exists(mf), s"no staged version $v under $root")
     val in = fs.open(mf)
-    val dirs = try scala.io.Source.fromInputStream(in, "UTF-8")
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
-    spark.read.parquet(dirs.map(d =>
-      new org.apache.hadoop.fs.Path(root, d).toString): _*)
+    resolveSnapshot(spark, root, lines, mergeSchema = false)
   }
 
   /** Publish a staged version: ONE manifest rename — readers see either
@@ -388,13 +414,165 @@ object SinkOps {
       require(latest >= 1, s"no versions committed at $path")
       latest
     }
-    val dirs = manifestDirs(fs, root, v)
-    // mergeSchema = schema EVOLUTION across snapshots: a version whose
-    // commits added columns reads as the union schema, legacy rows
-    // null-filled — additive evolution without rewriting history.
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(dirs.map(d =>
-        new org.apache.hadoop.fs.Path(root, d).toString): _*)
+    resolveSnapshot(spark, root, manifestDirs(fs, root, v), mergeSchema)
+  }
+
+  /** DELETION-VECTOR manifest lines: `delete:<deletesDir>:<keyCol>` —
+    * a merge-on-read delete sidecar listing KEYS removed from every
+    * data dir that precedes it in the manifest (and only those: a key
+    * re-inserted by a LATER data dir survives — manifest order is
+    * commit order, so resolution is an ordered fold, the Delta/Iceberg
+    * merge-on-read discipline). Data lines stay bare dirs, so every
+    * pre-DV manifest parses unchanged.
+    */
+  private val DeletePrefix = "delete:"
+
+  private def isDeleteLine(line: String): Boolean =
+    line.startsWith(DeletePrefix)
+
+  /** (deletesDir, keyCol) of a delete line. */
+  private def deleteParts(line: String): (String, String) = {
+    val rest = line.stripPrefix(DeletePrefix)
+    val i = rest.lastIndexOf(':')
+    require(i > 0, s"malformed delete manifest line: $line")
+    (rest.substring(0, i), rest.substring(i + 1))
+  }
+
+  /** Resolve a manifest's line list to its live rows — merge-on-read:
+    * data dirs group by the SET of delete sidecars that follow them
+    * (≤ |delete commits|+1 groups; deletes typically trail, so the
+    * bulk of history shares one group and one anti-join); each group
+    * reads once and anti-joins its applicable delete keys (sidecars
+    * are arrival-sized ⇒ broadcast — the table itself never
+    * reshuffles for a delete). A DV-free manifest takes the exact
+    * pre-DV single-read path: zero plan regression.
+    *
+    * mergeSchema = schema EVOLUTION across snapshots: a version whose
+    * commits added columns reads as the union schema, legacy rows
+    * null-filled — additive evolution without rewriting history.
+    */
+  private def resolveSnapshot(spark: org.apache.spark.sql.SparkSession,
+                              root: org.apache.hadoop.fs.Path,
+                              lines: Seq[String],
+                              mergeSchema: Boolean): DataFrame = {
+    def read(dirs: Seq[String]) =
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(dirs.map(d =>
+          new org.apache.hadoop.fs.Path(root, d).toString): _*)
+    val indexed = lines.zipWithIndex
+    val dataIdx = indexed.filterNot(p => isDeleteLine(p._1))
+    val delIdx = indexed.filter(p => isDeleteLine(p._1))
+    require(dataIdx.nonEmpty, s"manifest holds no data dirs under $root")
+    if (delIdx.isEmpty) read(dataIdx.map(_._1))
+    else dataIdx
+      .groupBy { case (_, i) => delIdx.filter(_._2 > i).map(_._1) }
+      .toSeq.map { case (dels, dirs) =>
+        dels.foldLeft(read(dirs.map(_._1))) { (acc, dl) =>
+          val (ddir, keyCol) = deleteParts(dl)
+          acc.join(broadcast(spark.read.parquet(
+              new org.apache.hadoop.fs.Path(root, ddir).toString)
+            .select(keyCol)), Seq(keyCol), "left_anti")
+        }
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+  }
+
+  /** Merge-on-read DELETE: commit a new version whose manifest carries
+    * the previous snapshot's lines plus ONE delete sidecar of `keyCol`
+    * keys — zero data files rewritten, zero data IO beyond writing the
+    * arrival-sized key list (the copy-on-write alternative,
+    * [[deleteWhere]], rewrites every touched file; at 100 TB a
+    * scattered-key delete touches ~every file, so merge-on-read is the
+    * only shape that survives). Readers resolve via a broadcast
+    * anti-join ([[resolveSnapshot]]); pinned readers of earlier
+    * versions still see the deleted rows (time travel untouched);
+    * [[compactVersions]] rewrites the resolved state and PURGES the
+    * sidecars (the read-amplification payback point). Returns the new
+    * version.
+    */
+  def deleteVersionKeys(keys: DataFrame, path: String,
+                        keyCol: String): Int = {
+    val spark = keys.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = latestVersion(fs, root)
+    require(head >= 1, s"no versions committed at $path — nothing to delete")
+    val v = math.max(head, latestStaged(fs, root)) + 1
+    val delDir = s"deletes/v$v"
+    keys.select(keyCol).distinct().write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, delDir).toString)
+    writeManifestLines(fs, root, v,
+      manifestDirs(fs, root, head) :+ s"$DeletePrefix$delDir:$keyCol")
+    v
+  }
+
+  /** MERGE (upsert) as ONE version commit — the delete+reinsert
+    * encoding every DV-based lakehouse MERGE compiles to: the batch's
+    * keys become a delete sidecar scoped to all PRIOR data dirs, and
+    * the batch's rows land as a new data dir AFTER it, so matched keys
+    * read as their new rows (update) and unmatched keys pass the
+    * anti-join untouched (a key absent from the table makes its
+    * sidecar entry a no-op — pure insert). Write cost is
+    * O(batch) — no matched-row scan, no file rewrite; read cost until
+    * the next [[compactVersions]] is one broadcast anti-join.
+    * Changefeed view of a merge: [[readChanges]] yields the batch rows
+    * (post-images), [[readDeletedKeys]] the touched keys (pre-image
+    * keys; insert-vs-update attribution needs the reader to probe the
+    * prior snapshot — the classic CDF-without-row-tracking limit).
+    * Returns the new version.
+    */
+  def mergeVersion(updates: DataFrame, path: String,
+                   keyCol: String): Int = {
+    val spark = updates.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = latestVersion(fs, root)
+    require(head >= 1, s"no versions committed at $path — nothing to merge")
+    val v = math.max(head, latestStaged(fs, root)) + 1
+    val delDir = s"deletes/v$v"
+    val dataDir = s"data/v$v"
+    updates.select(keyCol).distinct().write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, delDir).toString)
+    updates.write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    writeManifestLines(fs, root, v,
+      manifestDirs(fs, root, head) :+
+        s"$DeletePrefix$delDir:$keyCol" :+ dataDir)
+    v
+  }
+
+  /** Keys DELETED (or merge-touched) in (vFrom, vTo] — the delete half
+    * of the changefeed: the sidecars present in vTo's manifest but not
+    * vFrom's, O(changed files) like [[readChanges]]. One distinct key
+    * column (named by the sidecars' shared keyCol); fails loudly when
+    * the window holds no delete commits or mixes key columns.
+    */
+  def readDeletedKeys(spark: org.apache.spark.sql.SparkSession,
+                      path: String, vFrom: Int, vTo: Int): DataFrame = {
+    require(vFrom < vTo, s"changefeed window empty: $vFrom >= $vTo")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = manifestDirs(fs, root, vFrom).toSet
+    val added = manifestDirs(fs, root, vTo)
+      .filterNot(before).filter(isDeleteLine).map(deleteParts)
+    require(added.nonEmpty,
+      s"no delete commits between v$vFrom and v$vTo at $path")
+    val keyCols = added.map(_._2).distinct
+    require(keyCols.size == 1,
+      s"mixed delete key columns in window: ${keyCols.mkString(", ")}")
+    spark.read.parquet(added.map(d =>
+        new org.apache.hadoop.fs.Path(root, d._1).toString): _*)
+      .distinct()
+  }
+
+  private def writeManifestLines(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path,
+                                 v: Int, lines: Seq[String]): Unit = {
+    val mf = new org.apache.hadoop.fs.Path(root, f"manifest/v$v%05d.txt")
+    val out = fs.create(mf, true)
+    try out.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
@@ -438,7 +616,15 @@ object SinkOps {
     }
     var statsCol: Option[String] = None
     var total = 0
-    val kept = manifestDirs(fs, root, v).flatMap { d =>
+    val lines = manifestDirs(fs, root, v)
+    // A zone-map read returns raw file rows — it cannot apply delete
+    // sidecars without knowing each file's manifest epoch, so serving
+    // wrong (undeleted) rows is possible. Refuse loudly: compact first
+    // (compaction resolves and purges DVs), then skip files.
+    require(!lines.exists(isDeleteLine),
+      s"zone-map read over version $v at $path which carries unresolved " +
+        "deletion vectors — compactVersions first")
+    val kept = lines.flatMap { d =>
       val dirP = new org.apache.hadoop.fs.Path(root, d)
       val sf = new org.apache.hadoop.fs.Path(root,
         s"stats/${d.stripPrefix("data/")}.txt")
@@ -513,9 +699,13 @@ object SinkOps {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val before = manifestDirs(fs, root, vFrom).toSet
+    // Data lines only: a delete commit's sidecar is not "rows added" —
+    // its half of the feed is readDeletedKeys.
     val added = manifestDirs(fs, root, vTo).filterNot(before)
+      .filterNot(isDeleteLine)
     require(added.nonEmpty,
-      s"no data dirs added between v$vFrom and v$vTo at $path")
+      s"no data dirs added between v$vFrom and v$vTo at $path" +
+        " (a delete-only window reads via readDeletedKeys)")
     spark.read.parquet(added.map(d =>
       new org.apache.hadoop.fs.Path(root, d).toString): _*)
   }

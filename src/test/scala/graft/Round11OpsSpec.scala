@@ -290,4 +290,148 @@ class Round11OpsSpec extends SparkSpec {
       full.exceptAll(refreshed).isEmpty,
       "changefeed-driven refresh diverges from the full join")
   }
+
+  // ---- deletion vectors (merge-on-read delete / merge) ----
+
+  private def manifestText(path: String, v: Int): String = {
+    val mf = new org.apache.hadoop.fs.Path(path, f"manifest/v$v%05d.txt")
+    val fs = mf.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(mf)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def dataDirNames(path: String): Set[String] = {
+    val dr = new org.apache.hadoop.fs.Path(path, "data")
+    dr.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(dr).map(_.getPath.getName).toSet
+  }
+
+  test("deleteVersionKeys rewrites ZERO data dirs (sidecar only), the " +
+      "pinned prior version still reads the deleted rows, and the new " +
+      "head resolves the anti-join") {
+    import spark.implicits._
+    val path = tmp("r11_dv_del")
+    SinkOps.commitVersion(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s"),
+      path)
+    val before = dataDirNames(path)
+    val v = SinkOps.deleteVersionKeys(Seq(2L, 4L).toDF("id"), path, "id")
+    assert(v == 2)
+    assert(dataDirNames(path) == before,
+      "delete commit touched a data dir — not merge-on-read")
+    assert(manifestText(path, 2).contains("delete:deletes/v2:id"))
+    val head = SinkOps.readVersion(spark, path)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(head.sameElements(Array(1L, 3L)))
+    val pinned = SinkOps.readVersion(spark, path, Some(1))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(pinned.sameElements(Array(1L, 2L, 3L, 4L)),
+      "pinned reader lost rows to a later delete — time travel broken")
+  }
+
+  test("a key re-inserted AFTER its delete sidecar survives: the " +
+      "sidecar scopes only to data dirs committed before it " +
+      "(ordered-fold semantics)") {
+    import spark.implicits._
+    val path = tmp("r11_dv_reins")
+    SinkOps.commitVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    SinkOps.deleteVersionKeys(Seq(2L).toDF("id"), path, "id")
+    SinkOps.commitVersion(Seq((2L, "b2")).toDF("id", "s"), path)
+    val head = SinkOps.readVersion(spark, path)
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(head.sameElements(Array((1L, "a"), (2L, "b2"))),
+      s"re-insert lost or duplicated: ${head.mkString(",")}")
+  }
+
+  test("mergeVersion upserts in ONE commit: matched keys read as their " +
+      "new rows, unmatched keys untouched, new keys inserted") {
+    import spark.implicits._
+    val path = tmp("r11_dv_mrg")
+    SinkOps.commitVersion(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), path)
+    val v = SinkOps.mergeVersion(
+      Seq((2L, "B"), (9L, "i")).toDF("id", "s"), path, "id")
+    assert(v == 2)
+    val head = SinkOps.readVersion(spark, path)
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(head.sameElements(
+      Array((1L, "a"), (2L, "B"), (3L, "c"), (9L, "i"))),
+      s"merge result wrong: ${head.mkString(",")}")
+  }
+
+  test("compactVersions RESOLVES AND PURGES deletion vectors — the " +
+      "compacted manifest carries no delete lines and reads " +
+      "identically — and zone-map reads refuse a DV manifest loudly") {
+    val ev = Tables.events(spark, sfDir).limit(500)
+    val path = tmp("r11_dv_cmp")
+    SinkOps.commitVersion(
+      ev.repartitionByRange(2, col("event_id")),
+      path, carryForward = true, statsCol = Some("event_id"))
+    SinkOps.deleteVersionKeys(
+      ev.filter(col("event_id") % 2 === 0).select("event_id"),
+      path, "event_id")
+    val ex = intercept[IllegalArgumentException] {
+      SinkOps.readVersionWhere(spark, path, 0L, 100L)
+    }
+    assert(ex.getMessage.contains("deletion vectors"))
+    val want = SinkOps.readVersion(spark, path)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val cv = SinkOps.compactVersions(spark, path, Some("event_id"))
+    assert(!manifestText(path, cv).contains("delete:"),
+      "compaction failed to purge the delete sidecar lines")
+    val got = SinkOps.readVersion(spark, path, Some(cv))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+    // Sidecars purged from the head: zone-map reads work again.
+    assert(SinkOps.readVersionWhere(spark, path, 0L, Long.MaxValue)
+      .count() == want.length.toLong)
+  }
+
+  test("expireVersions reference-counts delete sidecars: an expired " +
+      "merge's sidecar GCs with its history, a still-referenced one " +
+      "survives") {
+    import spark.implicits._
+    val path = tmp("r11_dv_gc")
+    SinkOps.commitVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    SinkOps.deleteVersionKeys(Seq(2L).toDF("id"), path, "id") // v2
+    SinkOps.compactVersions(spark, path)                      // v3, no DV
+    val delDir = new org.apache.hadoop.fs.Path(path, "deletes/v2")
+    val fs = delDir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(delDir))
+    // keep=2: v2 still references the sidecar — it must survive.
+    SinkOps.expireVersions(spark, path, keep = 2)
+    assert(fs.exists(delDir), "sidecar GC'd while still referenced")
+    assert(SinkOps.readVersion(spark, path, Some(2))
+      .select("id").collect().map(_.getLong(0)).sameElements(Array(1L)))
+    // keep=3: nothing references it — it must go.
+    SinkOps.expireVersions(spark, path, keep = 3)
+    assert(!fs.exists(delDir), "unreferenced sidecar survived VACUUM")
+    assert(SinkOps.readVersion(spark, path, Some(3))
+      .select("id").collect().map(_.getLong(0)).sameElements(Array(1L)))
+  }
+
+  test("readDeletedKeys yields the window's touched keys and fails " +
+      "loudly on a delete-free window or mixed key columns") {
+    import spark.implicits._
+    val path = tmp("r11_dv_cdk")
+    SinkOps.commitVersion(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), path)
+    SinkOps.deleteVersionKeys(Seq(2L).toDF("id"), path, "id")
+    SinkOps.mergeVersion(Seq((3L, "C")).toDF("id", "s"), path, "id")
+    val keys = SinkOps.readDeletedKeys(spark, path, 1, 3)
+      .collect().map(_.getLong(0)).sorted
+    assert(keys.sameElements(Array(2L, 3L)))
+    intercept[IllegalArgumentException] {
+      SinkOps.readDeletedKeys(spark, path, 2, 2)
+    }
+    val path2 = tmp("r11_dv_cdk2")
+    SinkOps.commitVersion(Seq((1L, "a")).toDF("id", "s"), path2)
+    val v2 = SinkOps.commitVersion(Seq((2L, "b")).toDF("id", "s"), path2)
+    intercept[IllegalArgumentException] {
+      SinkOps.readDeletedKeys(spark, path2, 1, v2) // data-only window
+    }
+  }
 }
