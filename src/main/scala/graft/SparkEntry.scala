@@ -2889,6 +2889,40 @@ object SparkEntry {
           AggOps.exactSum(col("l_quantity")).as("sum_qty"),
           sum("o_custkey").as("custkey_sum"))
     }),
+    // CHANGEFEED WITH RETRACTIONS — the DV half of the IVM loop: an
+    // aggregate view keyed by event_type absorbs a MERGE (updates that
+    // MOVE rows across groups + fresh inserts) reading everything from
+    // the table's own manifests — post-images via readChanges, touched
+    // keys via readDeletedKeys, pre-images by ONE broadcast semi-join
+    // of those keys against the prior snapshot (how DV-based CDF
+    // readers actually materialize pre-images). merge-then-retract on
+    // monoid states; the base is never re-aggregated. Oracle
+    // recomputes the view from the merged table from scratch.
+    "q_changefeed_retract" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_cfr", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(e, path)
+      val v1state = AggOps.aggState(
+        SinkOps.readVersion(s, path, Some(1)), "event_type", "value")
+      val batch = e.filter(col("event_id") % 5 === 0)
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") + lit(1000.0d))
+        .unionByName(e.filter(col("event_id") % 3 === 0)
+          .withColumn("event_id", col("event_id") + lit(100000L))
+          .withColumn("event_type", lit("inserted")))
+      val v2 = SinkOps.mergeVersion(batch, path, "event_id")
+      val added = SinkOps.readChanges(s, path, 1, v2)
+      val touched = SinkOps.readDeletedKeys(s, path, 1, v2)
+      val preImage = SinkOps.readVersion(s, path, Some(1))
+        .join(broadcast(touched), Seq("event_id"), "left_semi")
+      AggOps.retractAggStates(
+        AggOps.mergeAggStates(v1state,
+          AggOps.aggState(added, "event_type", "value"), "event_type"),
+        AggOps.aggState(preImage, "event_type", "value"), "event_type")
+    }),
     // Streaming versioned sink: every micro-batch commits as its own
     // queryable snapshot; the latest snapshot must equal one batch
     // write of the whole input.
@@ -6471,6 +6505,28 @@ object SparkEntry {
                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY 1""",
+    // Changefeed-with-retractions view ≡ recomputing the post-merge
+    // table's aggregate from scratch (same merged CTE as
+    // q_version_merge, viewed per event_type with derived avg).
+    "q_changefeed_retract" ->
+      """WITH upd AS (
+           SELECT event_id, ts, user_id, 'updated' AS event_type,
+                  value + 1000 AS value, props
+           FROM events WHERE event_id % 5 = 0
+           UNION ALL
+           SELECT event_id + 100000, ts, user_id, 'inserted', value, props
+           FROM events WHERE event_id % 3 = 0),
+         merged AS (
+           SELECT * FROM upd
+           UNION ALL
+           SELECT * FROM events
+           WHERE event_id NOT IN (SELECT event_id FROM upd))
+         SELECT event_type, count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_v,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  / count(*) AS avg_v
+         FROM merged GROUP BY 1""",
     // DV resolution: v2 = everything, v3 = minus %7 keys (merge-on-
     // read anti-join), v4 = plus the re-inserted %14 keys (a later
     // data dir outruns an earlier sidecar — ordered-fold semantics).

@@ -434,4 +434,38 @@ class Round11OpsSpec extends SparkSpec {
       SinkOps.readDeletedKeys(spark, path2, 1, v2) // data-only window
     }
   }
+
+  test("changefeed-with-retractions: the merge-absorbed aggregate view " +
+      "equals a from-scratch recompute of the post-merge snapshot, " +
+      "row-for-row, with the delta sourced from the table's manifests") {
+    import graft.ops.AggOps
+    val e = Tables.events(spark, sfDir).limit(2000)
+    val path = tmp("r11_cfr")
+    SinkOps.commitVersion(e, path)
+    val v1state = AggOps.aggState(
+      SinkOps.readVersion(spark, path, Some(1)), "event_type", "value")
+    val batch = e.filter(col("event_id") % 5 === 0)
+      .withColumn("event_type", lit("updated"))
+      .withColumn("value", col("value") + lit(1000.0d))
+      .unionByName(e.filter(col("event_id") % 3 === 0)
+        .withColumn("event_id", col("event_id") + lit(900000L))
+        .withColumn("event_type", lit("inserted")))
+    val v2 = SinkOps.mergeVersion(batch, path, "event_id")
+    val added = SinkOps.readChanges(spark, path, 1, v2)
+    val touched = SinkOps.readDeletedKeys(spark, path, 1, v2)
+    val preImage = SinkOps.readVersion(spark, path, Some(1))
+      .join(broadcast(touched), Seq("event_id"), "left_semi")
+    val incr = AggOps.retractAggStates(
+      AggOps.mergeAggStates(v1state,
+        AggOps.aggState(added, "event_type", "value"), "event_type"),
+      AggOps.aggState(preImage, "event_type", "value"), "event_type")
+    val full = AggOps.retractAggStates(
+      AggOps.aggState(SinkOps.readVersion(spark, path, Some(v2)),
+        "event_type", "value"),
+      AggOps.aggState(SinkOps.readVersion(spark, path, Some(v2))
+        .limit(0), "event_type", "value"),
+      "event_type")
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+      "incremental merge-absorbed view diverges from full recompute")
+  }
 }
