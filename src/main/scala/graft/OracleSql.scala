@@ -1694,6 +1694,87 @@ object OracleSql {
         GROUP BY aw.doc_id"""
   }
 
+  /** Greedy longest-match-first segmentation, set-based: glen<tag>
+    * precomputes each (word, pos)'s longest matching piece length,
+    * the recursive CTE walks left-to-right, and gdone<tag> keeps the
+    * terminal state (pos ran past the word) — a word stuck mid-walk
+    * (char outside the piece alphabet) never reaches a terminal row
+    * and is read back as OOV via the left join.
+    */
+  private def greedyCtes(tag: String, words: String,
+                         pieces: String): String = {
+    val L = graft.ops.UnigramOps.MaxWordLen
+    val P = graft.ops.UnigramOps.MaxPieceLen
+    s"""glen$tag AS MATERIALIZED (
+          SELECT ww.w, s.range AS pos, MAX(l.range) AS gl
+          FROM $words ww, range(1, ${L + 1}) s, range(1, ${P + 1}) l
+          WHERE s.range + l.range - 1 <= len(ww.w)
+            AND substr(ww.w, s.range, l.range)
+                  IN (SELECT p FROM $pieces)
+          GROUP BY ww.w, s.range),
+        greedy$tag AS (
+          SELECT w, CAST(1 AS BIGINT) AS pos, 0 AS n FROM $words
+          UNION ALL
+          SELECT g.w, g.pos + gl.gl, g.n + 1
+          FROM greedy$tag g JOIN glen$tag gl
+            ON gl.w = g.w AND gl.pos = g.pos
+          WHERE g.pos <= len(g.w)),
+        gdone$tag AS (SELECT w, CAST(MAX(n) AS BIGINT) AS n_tok
+                      FROM greedy$tag WHERE pos > len(w) GROUP BY w)"""
+  }
+
+  /** q_wordpiece_apply twin: train (pieces = up·R), then greedy
+    * longest-match over the OOV-augmented corpus's distinct words;
+    * char-fallback for words without a terminal greedy row — the
+    * unigramApplySql shape with the DP swapped for the greedy walk.
+    */
+  def wordpieceApplySql: String = {
+    val L = graft.ops.UnigramOps.MaxWordLen
+    val R = graft.ops.UnigramOps.EmRounds
+    s"""WITH RECURSIVE $unigramTrainCtes,
+        aw AS MATERIALIZED (SELECT doc_id, w FROM (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(
+                       lower(text || ' qzjxvw'), '$Ws'),
+                       x -> x <> '' AND regexp_full_match(x, '[a-z]+')
+                         AND len(x) BETWEEN 2 AND $L)) AS w
+              FROM documents)),
+        awords AS MATERIALIZED (SELECT DISTINCT w FROM aw),
+        ${greedyCtes("a", "awords", s"up$R")},
+        aseg AS (SELECT a.w,
+                   CAST(COALESCE(n.n_tok, len(a.w)) AS BIGINT) AS n_tok,
+                   CASE WHEN n.n_tok IS NULL THEN 1 ELSE 0 END AS oov
+                 FROM awords a LEFT JOIN gdonea n USING (w))
+        SELECT aw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(aw.w)) AS BIGINT) AS n_chars,
+               CAST(SUM(s.n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(s.oov) AS BIGINT) AS n_oov
+        FROM aw JOIN aseg s USING (w)
+        GROUP BY aw.doc_id"""
+  }
+
+  /** q_wordpiece_fertility twin: greedy and Viterbi over the SAME
+    * trained pieces and the SAME training-corpus word universe (no
+    * OOV by construction), instance-weighted totals and the exact
+    * floor-ppm greedy excess.
+    */
+  def wordpieceCompareSql: String = {
+    val R = graft.ops.UnigramOps.EmRounds
+    s"""WITH RECURSIVE $unigramTrainCtes,
+        ${unigramDpCtes("c", "uwords", "usub", s"up$R")},
+        ${greedyCtes("u", "uwords", s"up$R")},
+        vcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok
+                 FROM utoksc GROUP BY w),
+        tot AS (SELECT CAST(SUM(uw.f) AS BIGINT) AS n_words,
+                  CAST(SUM(uw.f * g.n_tok) AS BIGINT) AS n_tok_greedy,
+                  CAST(SUM(uw.f * v.n_tok) AS BIGINT) AS n_tok_viterbi
+                FROM uw JOIN gdoneu g USING (w) JOIN vcnt v USING (w))
+        SELECT n_words, n_tok_greedy, n_tok_viterbi,
+               CAST((n_tok_greedy - n_tok_viterbi) * 1000000
+                 // n_tok_viterbi AS BIGINT) AS greedy_excess_ppm
+        FROM tot"""
+  }
+
   /** q_unigram_fertility twin: the BPE unrolled-merge chain and the
     * unigram unrolled-EM chain side by side (disjoint CTE namespaces),
     * one corpus-total fertility row per family.

@@ -2941,6 +2941,63 @@ object SparkEntry {
             .as("n_versions"))
     }),
 
+    // INCREMENTAL OPTIMIZE (bin-packing): a monolith commit plus three
+    // micro-commits; packing with the threshold at the monolith's byte
+    // size rewrites ONLY the three-dir tail into one packed dir — the
+    // monolith carries untouched (spec pins its files byte-identical).
+    // n_dirs is derived from the files the head ACTUALLY reads (2 =
+    // monolith + packed), and the digest proves the pack lossless.
+    "q_compact_small" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_bp", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(root, true)
+      SinkOps.commitVersion(e.filter(col("event_id") % 4 =!= 3), path,
+        carryForward = true, Some("event_id"))
+      (0 to 2).foreach { r =>
+        SinkOps.commitVersion(
+          e.filter(col("event_id") % 4 === 3 && col("event_id") % 3 === r),
+          path); ()
+      }
+      val bigBytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(root, "data/v1")).getLength
+      val v = SinkOps.compactSmallDirs(s, path, bigBytes, Some("event_id"))
+      SinkOps.readVersion(s, path, Some(v))
+        .withColumn("src_dir", regexp_extract(input_file_name(),
+          "data/(v[0-9]+)/", 1))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"),
+          AggOps.exactSum(col("value")).as("val_sum"),
+          countDistinct(col("src_dir")).as("n_dirs"))
+        .select(lit(v).as("version"), col("n_dirs"), col("n_rows"),
+          col("user_sum"), col("val_sum"))
+    }),
+    // BLOOM FILE SKIP — the point-lookup win zone maps cannot reach:
+    // the table is committed hash-partitioned by user_id, so event_id
+    // ranges overlap totally across files (zone maps on event_id would
+    // prune NOTHING), but per-file bloom sidecars admit the probe id
+    // in ~1 file — the rest are skipped with zero IO. A bloom miss
+    // PROVES absence (every present value set its bits at write time);
+    // false positives only cost an extra file read, the residual
+    // filter keeps results exact. Spec pins files-planned < total.
+    "q_bloom_skip" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_bloom", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0 to 2).foreach { r =>
+        SinkOps.commitVersionBloom(
+          e.filter(col("user_id") % 3 === r)
+            .repartition(4, col("user_id")),
+          path, "event_id"); ()
+      }
+      val probe = e.agg(max("event_id")).head().getLong(0)
+      SinkOps.readVersionEq(s, path, probe)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
     // VACUUM: after compaction the pre-compaction data dirs are
     // unreferenced by the head — expire removes exactly those two by
     // reference counting (n_removed pinned), and the surviving head
@@ -4307,6 +4364,27 @@ object SparkEntry {
     "q_unigram_fertility" -> ((s, d) =>
       graft.ops.UnigramOps.tokenizerCompare(Tables.documents(s, d),
         BpeMerges)),
+    // WORDPIECE-STYLE APPLY — the third tokenizer-family
+    // representative: BPE merges pairs, unigram segments optimally
+    // (Viterbi DP), WordPiece-at-inference matches greedily
+    // longest-first (the BERT algorithm, O(len) lookups per word).
+    // Same persisted-pieces artifact and OOV char-fallback contract
+    // as q_unigram_apply; the oracle replays the greedy walk as a
+    // recursive CTE over precomputed longest-match lengths.
+    "q_wordpiece_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = tmpPath("graft_wp_pieces", d)
+      graft.ops.UnigramOps.trainWritePieces(docs, path)
+      graft.ops.UnigramOps.wordpieceWithPieces(
+        docs.select(col("doc_id"),
+          concat(col("text"), lit(" qzjxvw")).as("text")), path)
+    }),
+    // Greedy-vs-Viterbi fertility over the SAME pieces — the price of
+    // O(len) inference: greedy can only use MORE tokens than the
+    // optimal segmentation (n_greedy ≥ n_viterbi per word, spec);
+    // the corpus-level excess in exact floor ppm is the readout.
+    "q_wordpiece_fertility" -> ((s, d) =>
+      graft.ops.UnigramOps.wordpieceCompare(Tables.documents(s, d))),
 
     // Kendall tau-b rank correlation — exact, at scale, via the same
     // domain-compression discipline as q_mannwhitney: joint histogram
@@ -6254,6 +6332,8 @@ object SparkEntry {
     "q_unigram_train" -> OracleSql.unigramTrainSql,
     "q_unigram_apply" -> OracleSql.unigramApplySql,
     "q_unigram_fertility" -> OracleSql.unigramCompareSql(BpeMerges),
+    "q_wordpiece_apply" -> OracleSql.wordpieceApplySql,
+    "q_wordpiece_fertility" -> OracleSql.wordpieceCompareSql,
     "q_simsearch_pq" -> OracleSql.simsearchPqSql,
     "q_simsearch_recall" -> OracleSql.simsearchRecallSql,
     "q_simsearch_truncdim" -> OracleSql.truncDimRecallSql,
@@ -6570,6 +6650,19 @@ object SparkEntry {
                   AS sum_price,
                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
          FROM orders""",
+    // A bloom-planned point lookup equals the full-scan equality
+    // filter — skipped files provably held no matching row.
+    "q_bloom_skip" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id = (SELECT max(event_id) FROM events)""",
+    // Bin-packing is lossless and leaves exactly two dirs (monolith +
+    // packed tail): the head still digests to the whole table.
+    "q_compact_small" ->
+      """SELECT 5 AS version, 2 AS n_dirs, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events""",
     // Expiry GC'd exactly the two pre-compaction dirs; the compacted
     // head still digests to the whole table.
     "q_expire_versions" ->

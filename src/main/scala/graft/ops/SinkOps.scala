@@ -280,6 +280,55 @@ object SinkOps {
     commitVersion(clustered, path, carryForward = false, statsCol)
   }
 
+  /** INCREMENTAL OPTIMIZE — bin-packing compaction: rewrite ONLY the
+    * head snapshot's data dirs smaller than `smallBytes` into one
+    * packed dir; dirs at or above the threshold carry into the new
+    * manifest untouched — their files AND their per-dir zone-map stats
+    * sidecars survive byte-identical (stats are keyed by dir name, so
+    * they follow the dir across manifests for free). This is the
+    * OPTIMIZE production tables actually run: a streaming head accretes
+    * thousands of micro-batch-sized dirs next to a few historical
+    * monoliths, and full compaction ([[compactVersions]]) would rewrite
+    * the monoliths every time — O(table) churn per maintenance cycle —
+    * where bin-packing rewrites O(small tail) bytes only. With
+    * `statsCol` declared the packed dir is range-clustered on it and
+    * gets fresh zone maps, so the whole head stays file-skippable.
+    * Refuses when nothing is below the threshold (a no-op OPTIMIZE is a
+    * mis-sized threshold, not a success) and refuses a manifest
+    * carrying unresolved deletion vectors — repacking reorders dirs,
+    * which would change which sidecars apply under the ordered-fold
+    * contract; resolve with [[compactVersions]] first. Readers pinned
+    * to any earlier version are untouched. Returns the new version.
+    */
+  def compactSmallDirs(spark: org.apache.spark.sql.SparkSession,
+                       path: String, smallBytes: Long,
+                       statsCol: Option[String] = None): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = latestVersion(fs, root)
+    require(head >= 1, s"no versions committed at $path")
+    val lines = manifestDirs(fs, root, head)
+    require(!lines.exists(isDeleteLine),
+      s"bin-packing over version $head at $path which carries " +
+        "unresolved deletion vectors — compactVersions first")
+    val (small, big) = lines.partition { d =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(root, d))
+        .getLength < smallBytes
+    }
+    require(small.nonEmpty,
+      s"no data dir under $smallBytes bytes at $path — nothing to pack")
+    val v = math.max(head, latestStaged(fs, root)) + 1
+    val dataDir = s"data/v$v"
+    val tail = spark.read.parquet(small.map(d =>
+      new org.apache.hadoop.fs.Path(root, d).toString): _*)
+    val packed = statsCol.fold(tail)(c => tail.repartitionByRange(col(c)))
+    packed.write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    statsCol.foreach(c => writeDirStats(spark, fs, root, dataDir, c))
+    writeManifestLines(fs, root, v, big :+ dataDir)
+    v
+  }
+
   /** VACUUM — expire history older than `keep`: manifests below `keep`
     * are removed and every data directory referenced by NO surviving
     * manifest is deleted (reference-counted GC, never an age heuristic
@@ -678,6 +727,198 @@ object SinkOps {
       readVersion(spark, path, version).filter(lit(false))
     else spark.read.parquet(files: _*)
       .filter(col(c).cast("long").between(lo, hi))
+  }
+
+  // ---- Bloom-filter file skipping (point lookups) ----
+
+  /** Bloom sidecar constants: k universal hashes
+    * h_i(v) = ((v mod P) · a_i + b_i) mod P mod m over prime P — exact
+    * integer arithmetic only (no libm, no engine-private hash), so the
+    * writer (executor-side Spark expressions) and the prober
+    * (driver-side plain Scala) compute bit positions identically BY
+    * CONSTRUCTION, not by trusting two hash implementations to agree.
+    * Products stay under 2^63 (both factors < P ≈ 2^30), so ANSI-mode
+    * arithmetic never overflows. The bitmap size m is SIZED TO THE
+    * DIR (power of two, ≈16 bits per row of its largest file, so the
+    * k=4 load factor stays ≈0.22 and the false-positive rate ≈0.2%
+    * regardless of file row counts), bounded to [2^13, 2^24] bits; the
+    * prober never needs m out of band — each sidecar line's hex length
+    * IS m/4.
+    */
+  private val BloomP = 1000000007L
+  private val BloomA =
+    Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  private val BloomB =
+    Seq(374761393L, 1103515245L, 1779033703L, 2147483647L)
+
+  private def bloomPositions(v: Long, m: Int): Seq[Int] = {
+    val vn = ((v % BloomP) + BloomP) % BloomP
+    BloomA.zip(BloomB).map { case (a, b) =>
+      (((vn * (a % BloomP) + b) % BloomP) % m).toInt
+    }
+  }
+
+  /** Per-file BLOOM bitmap of `c` for one immutable data dir, as
+    * `blooms/<dirname>.txt`: first line the column name, then one line
+    * per file — `name<TAB><hex bitmap>` (m/4 hex chars). Bit positions
+    * are aggregated distributively (per-file collect_set over the k
+    * hash expressions — at most m small ints per file reach the
+    * driver, the manifest-scale collect); a file with no non-null
+    * value gets no line and is always planned. Like zone-map stats,
+    * blooms are per-dir immutable and follow their dir across
+    * manifests.
+    */
+  private def writeDirBloom(spark: org.apache.spark.sql.SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path,
+                            dataDir: String, c: String): Unit = {
+    val dirStr = new org.apache.hadoop.fs.Path(root, dataDir).toString
+    // Size the dir's bitmaps to its LARGEST file: m = nextPow2(16·n),
+    // clamped to [2^13, 2^24] bits (1 KiB..2 MiB per file) — beyond
+    // the cap the false-positive rate degrades gracefully instead of
+    // the sidecar growing unboundedly.
+    val maxN = spark.read.parquet(dirStr)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1)).foldLeft(1L)(math.max)
+    val m = math.min(1L << 24,
+      math.max(1L << 13,
+        java.lang.Long.highestOneBit(16L * maxN - 1) << 1)).toInt
+    val vn = pmod(col(c).cast("long"), lit(BloomP))
+    val bitCols = BloomA.zip(BloomB).map { case (a, b) =>
+      (pmod(vn * lit(a % BloomP) + lit(b), lit(BloomP)) %
+        lit(m.toLong)).cast("int")
+    }
+    val rows = spark.read.parquet(dirStr)
+      .filter(col(c).isNotNull)
+      .select(input_file_name().as("f"),
+        explode(array(bitCols: _*)).as("bit"))
+      .groupBy("f").agg(collect_set(col("bit")).as("bits"))
+      .collect()
+    val lines = c +: rows.map { r =>
+      val name = new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0))).getName
+      val bytes = new Array[Byte](m / 8)
+      r.getSeq[Int](1).foreach { bt =>
+        bytes(bt >> 3) = (bytes(bt >> 3) | (1 << (bt & 7))).toByte
+      }
+      name + "\t" + bytes.map(x => String.format(
+        java.util.Locale.ROOT, "%02x",
+        Integer.valueOf(x & 0xff))).mkString
+    }.sorted
+    val bf = new org.apache.hadoop.fs.Path(root,
+      s"blooms/${dataDir.stripPrefix("data/")}.txt")
+    val out = fs.create(bf, true)
+    try out.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** [[commitVersion]] recording a per-file BLOOM sidecar of
+    * `bloomCol` — the point-lookup complement of zone-map stats: zone
+    * maps skip only when the layout is CLUSTERED on the column (ranges
+    * must be tight), blooms skip equality probes on a high-cardinality
+    * column under ANY layout — the Delta bloom-index / parquet
+    * bloom-filter role, one level earlier (a skipped file costs zero
+    * IO, not even a footer fetch). The two sidecars compose: cluster
+    * and zone-map the range column, bloom the lookup key.
+    */
+  def commitVersionBloom(df: DataFrame, path: String, bloomCol: String,
+                         carryForward: Boolean = true): Int = {
+    val spark = df.sparkSession
+    val v = commitVersion(df, path, carryForward, None)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    writeDirBloom(spark, fs, root, s"data/v$v", bloomCol)
+    v
+  }
+
+  /** Bloom file planning for [[readVersionEq]]: resolve the version,
+    * refuse unresolved deletion vectors (same epoch hazard as
+    * [[pruneFiles]]), and keep only files whose bloom bitmap has ALL k
+    * bits of the probe value set — plus every file without a bloom
+    * line (absent sidecar ⇒ planned, never a wrong skip). Returns
+    * (files kept, files total, bloom column).
+    */
+  def planFilesEq(spark: org.apache.spark.sql.SparkSession,
+                  path: String, value: Long,
+                  version: Option[Int] = None)
+      : (Seq[String], Int, String) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = version.getOrElse {
+      val latest = latestVersion(fs, root)
+      require(latest >= 1, s"no versions committed at $path")
+      latest
+    }
+    val lines = manifestDirs(fs, root, v)
+    require(!lines.exists(isDeleteLine),
+      s"bloom read over version $v at $path which carries unresolved " +
+        "deletion vectors — compactVersions first")
+    var bloomCol: Option[String] = None
+    var total = 0
+    val kept = lines.flatMap { d =>
+      val dirP = new org.apache.hadoop.fs.Path(root, d)
+      val bf = new org.apache.hadoop.fs.Path(root,
+        s"blooms/${d.stripPrefix("data/")}.txt")
+      val parts = fs.listStatus(dirP).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      total += parts.length
+      if (!fs.exists(bf)) parts.map(_.toString).toSeq
+      else {
+        val in = fs.open(bf)
+        val blines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+        val c = blines.head
+        bloomCol.foreach(prev => require(prev == c,
+          s"inconsistent bloom columns across snapshot dirs: $prev vs $c"))
+        bloomCol = Some(c)
+        val maps = blines.tail.map { ln =>
+          val i = ln.indexOf('\t')
+          require(i > 0, s"malformed bloom line in $bf: $ln")
+          ln.substring(0, i) -> ln.substring(i + 1)
+        }.toMap
+        parts.flatMap { p =>
+          maps.get(p.getName) match {
+            case None => Some(p.toString) // no line: always plan
+            case Some(hexmap) =>
+              // The line's hex length IS the bitmap size: m = 4·|hex|.
+              val hit = bloomPositions(value, hexmap.length * 4)
+                .forall { bt =>
+                  val b = Integer.parseInt(
+                    hexmap.substring((bt >> 3) * 2, (bt >> 3) * 2 + 2),
+                    16)
+                  ((b >> (bt & 7)) & 1) == 1
+                }
+              if (hit) Some(p.toString) else None
+          }
+        }.toSeq
+      }
+    }
+    (kept, total, bloomCol.getOrElse(throw new IllegalStateException(
+      s"no bloom sidecar in any dir of version $v at $path — " +
+        "commit with commitVersionBloom to enable point-lookup reads")))
+  }
+
+  /** Read a snapshot UNDER AN EQUALITY PREDICATE on the declared bloom
+    * column, planning only files whose bloom admits the probe value
+    * (then applying the exact residual filter — a bloom false positive
+    * costs one extra file read, never a wrong row). Equals the
+    * full-scan filter by construction: a bloom MISS proves the file
+    * holds no matching value (every present value set all its bits at
+    * write time). The win zone maps cannot reach: a high-cardinality
+    * key under a layout NOT clustered on it — each file holds its own
+    * slice of ids, ranges overlap totally (zone maps prune nothing),
+    * but a point probe blooms to ~1 file + false positives.
+    */
+  def readVersionEq(spark: org.apache.spark.sql.SparkSession,
+                    path: String, value: Long,
+                    version: Option[Int] = None): DataFrame = {
+    val (files, _, c) = planFilesEq(spark, path, value, version)
+    if (files.isEmpty)
+      readVersion(spark, path, version).filter(lit(false))
+    else spark.read.parquet(files: _*)
+      .filter(col(c).cast("long") === value)
   }
 
   /** Incremental CHANGEFEED between two committed snapshots of an

@@ -148,7 +148,11 @@ object UnigramOps {
     * substrings, ≤ 4·MaxWordLen entries) feeds the one-expression DP.
     * Output (w, key, toks); key ≥ [[OovKey]] marks unsegmentable.
     */
-  private[graft] def segmentWords(words: DataFrame,
+  /** Attach each distinct word's piece map (its own scored substrings
+    * present in `pieces`, ≤ 4·MaxWordLen entries) as column `pm` —
+    * the shared front half of the Viterbi and greedy segmenters.
+    */
+  private def withPieceMap(words: DataFrame,
                            pieces: DataFrame): DataFrame = {
     val subs = words.select(col("w"), explode(expr(
       s"""array_distinct(flatten(transform(sequence(1, length(w)), s ->
@@ -163,6 +167,11 @@ object UnigramOps {
     words.join(pm, Seq("w"), "left")
       .withColumn("pm",
         coalesce(col("pm"), expr("cast(map() as map<string,bigint>)")))
+  }
+
+  private[graft] def segmentWords(words: DataFrame,
+                           pieces: DataFrame): DataFrame = {
+    withPieceMap(words, pieces)
       .withColumn("st", expr(dpExpr))
       .withColumn("toks", expr(btExpr))
       .select(col("w"),
@@ -261,6 +270,102 @@ object UnigramOps {
     * the universes diverge by exactly those words and the BPE row
     * counts them).
     */
+  // ---- WordPiece-style greedy apply (longest-match-first) ----
+
+  /** Greedy match length at `pos`: the LONGEST piece (≤ MaxPieceLen)
+    * of the word's piece map starting there; 0 = nothing matches, i.e.
+    * the character at `pos` is outside the piece alphabet (single
+    * chars are never pruned, so an in-alphabet position always admits
+    * at least l=1).
+    */
+  private def greedyLen(pos: String): String = {
+    def ok(l: Int) =
+      s"""($pos + $l - 1 <= length(w)
+           and try_element_at(pm, substring(w, $pos, $l)) is not null)"""
+    s"if(${ok(4)}, 4, if(${ok(3)}, 3, if(${ok(2)}, 2, if(${ok(1)}, 1, 0))))"
+  }
+
+  /** One left-to-right greedy pass as a single aggregate expression
+    * (≤ MaxWordLen steps; finished or OOV-stuck words idle): state
+    * (pos, n, oov) — the BERT WordPiece inference algorithm, O(len)
+    * lookups per word vs Viterbi's O(len·P) DP.
+    */
+  private def greedyExpr: String = {
+    val gl = greedyLen("acc.pos")
+    s"""aggregate(
+          sequence(1, length(w)),
+          named_struct('pos', 1, 'n', cast(0 as bigint), 'oov', false),
+          (acc, z) -> if(acc.oov or acc.pos > length(w), acc,
+            if($gl = 0,
+               named_struct('pos', acc.pos, 'n', acc.n, 'oov', true),
+               named_struct('pos', cast(acc.pos + $gl as int),
+                 'n', acc.n + 1L, 'oov', false))),
+          acc -> named_struct('n', acc.n, 'oov', acc.oov))"""
+  }
+
+  /** Greedy-segment each distinct word against the piece table:
+    * (w, n_greedy, oov). A word goes OOV iff some character is outside
+    * the piece alphabet — the SAME condition under which the Viterbi
+    * DP is unreachable (no trained piece can cover a missing char, and
+    * greedy always advances on in-alphabet positions via l=1), so the
+    * two segmenters agree on the OOV set by construction and differ
+    * only in token counts.
+    */
+  private[graft] def greedySegment(words: DataFrame,
+                                   pieces: DataFrame): DataFrame =
+    withPieceMap(words, pieces)
+      .withColumn("g", expr(greedyExpr))
+      .select(col("w"), col("g.n").as("n_greedy"), col("g.oov").as("oov"))
+
+  /** WORDPIECE-STYLE APPLY from the persisted pieces
+    * ([[trainWritePieces]]) — the THIRD tokenizer-family
+    * representative: BPE merges pairs, unigram-LM segments optimally
+    * (Viterbi), WordPiece-at-inference matches greedily
+    * longest-first. Same artifact, same OOV char-fallback contract as
+    * [[tokenizeWithPieces]]; output (doc_id, n_words, n_chars,
+    * n_tokens, n_oov).
+    */
+  def wordpieceWithPieces(docs: DataFrame, path: String): DataFrame = {
+    val pieces = docs.sparkSession.read.parquet(path + "/pieces")
+      .select(col("piece").as("p"), col("sc_ppm").as("sc"))
+    val inst = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), TextOps.WsRegex)).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") &&
+        length(col("w")).between(2, MaxWordLen))
+    val seg = greedySegment(inst.select("w").distinct(), pieces)
+    inst.join(seg, "w")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(when(col("oov"), length(col("w")).cast("long"))
+          .otherwise(col("n_greedy"))).as("n_tokens"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  /** Greedy-vs-Viterbi fertility over the SAME pieces — the price of
+    * O(len) inference: greedy can only use MORE pieces than the
+    * optimal segmentation (per-word n_greedy ≥ n_viterbi, spec-pinned),
+    * and the corpus-level excess in exact floor ppm is the readout a
+    * tokenizer deployment weighs against the DP cost. Training corpus
+    * universe (no OOV by construction).
+    */
+  def wordpieceCompare(docs: DataFrame): DataFrame = {
+    val pieces = trainPieces(docs)
+      .select(col("piece").as("p"), col("sc_ppm").as("sc"))
+    val wf = wordFreq(docs)
+    val dw = wf.select("w")
+    val vit = segmentWords(dw, pieces)
+      .select(col("w"), size(col("toks")).cast("long").as("n_vit"))
+    val gr = greedySegment(dw, pieces)
+    wf.join(vit, "w").join(gr, "w")
+      .agg(sum("f").as("n_words"),
+        sum(col("f") * col("n_greedy")).as("n_tok_greedy"),
+        sum(col("f") * col("n_vit")).as("n_tok_viterbi"))
+      .select(col("n_words"), col("n_tok_greedy"), col("n_tok_viterbi"),
+        expr("(n_tok_greedy - n_tok_viterbi) * 1000000" +
+          " div n_tok_viterbi").as("greedy_excess_ppm"))
+  }
+
   def tokenizerCompare(docs: DataFrame, bpeMerges: Int): DataFrame = {
     def roll(tag: String, t: DataFrame) =
       t.agg(sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"))

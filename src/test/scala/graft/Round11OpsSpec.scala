@@ -435,6 +435,155 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("compactSmallDirs rewrites ONLY the small tail: the monolith's " +
+      "files survive byte-identical with their stats sidecar, the new " +
+      "manifest is monolith + packed dir, pinned readers untouched, " +
+      "and the packed head stays zone-map skippable") {
+    val e = Tables.events(spark, sfDir).limit(3000)
+    val path = tmp("r11_binpack")
+    SinkOps.commitVersion(e.filter(col("event_id") % 4 =!= 3), path,
+      carryForward = true, Some("event_id"))
+    (0 to 2).foreach { r =>
+      SinkOps.commitVersion(
+        e.filter(col("event_id") % 4 === 3 && col("event_id") % 3 === r),
+        path); ()
+    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def files(dir: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root, dir))
+        .map(st => (st.getPath.getName, st.getLen,
+          st.getModificationTime)).toSet
+    val monolithBefore = files("data/v1")
+    val preHead = SinkOps.readVersion(spark, path, Some(4))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val bigBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(root, "data/v1")).getLength
+    val v = SinkOps.compactSmallDirs(spark, path, bigBytes,
+      Some("event_id"))
+    assert(v == 5)
+    assert(files("data/v1") == monolithBefore,
+      "bin-packing touched the monolith dir")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+      "stats/v1.txt")), "monolith stats sidecar lost")
+    assert(manifestText(path, v).split("\n").toSeq ==
+      Seq("data/v1", "data/v5"),
+      "packed manifest is not monolith + packed dir")
+    val packedHead = SinkOps.readVersion(spark, path, Some(v))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(packedHead.sameElements(preHead), "bin-packing lost rows")
+    val pinned = SinkOps.readVersion(spark, path, Some(4))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(pinned.sameElements(preHead), "pinned pre-pack reader broken")
+    // Whole head skippable: monolith stats carried + packed stats fresh.
+    val lo = preHead(preHead.length / 2)
+    val skim = SinkOps.readVersionWhere(spark, path, lo, lo + 50)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(skim.sameElements(preHead.filter(x => x >= lo && x <= lo + 50)))
+    intercept[IllegalArgumentException] {
+      SinkOps.compactSmallDirs(spark, path, 1L) // nothing below 1 byte
+    }
+  }
+
+  test("compactSmallDirs refuses a manifest carrying unresolved " +
+      "deletion vectors") {
+    import spark.implicits._
+    val path = tmp("r11_binpack_dv")
+    SinkOps.commitVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    SinkOps.deleteVersionKeys(Seq(2L).toDF("id"), path, "id")
+    val ex = intercept[IllegalArgumentException] {
+      SinkOps.compactSmallDirs(spark, path, Long.MaxValue)
+    }
+    assert(ex.getMessage.contains("deletion vectors"))
+  }
+
+  test("wordpiece greedy: per-word n_greedy >= n_viterbi over the same " +
+      "pieces, the OOV sets agree exactly, and a hand-checked word " +
+      "segments longest-first") {
+    import spark.implicits._
+    import graft.ops.UnigramOps
+    val docs = Tables.documents(spark, sfDir).limit(300)
+    val pieces = UnigramOps.trainPieces(docs)
+      .select(col("piece").as("p"), col("sc_ppm").as("sc"))
+      .localCheckpoint(true)
+    val words = UnigramOps.wordFreq(docs).select("w").limit(400)
+      .localCheckpoint(true)
+    val vit = UnigramOps.segmentWords(words, pieces)
+      .select(col("w"), size(col("toks")).cast("long").as("n_vit"))
+    val gr = UnigramOps.greedySegment(words, pieces)
+    val both = vit.join(gr, "w").collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(!r.getBoolean(3), s"training word ${r.getString(0)} OOV")
+      assert(r.getLong(2) >= r.getLong(1),
+        s"greedy beat Viterbi on ${r.getString(0)}: " +
+          s"${r.getLong(2)} < ${r.getLong(1)}")
+    }
+    // Hand-checked greedy walk: pieces {ab, abc, d, a, b, c} on
+    // "abcd" -> abc|d (longest-first), 2 tokens; Viterbi agrees here.
+    val handP = Seq(("ab", 100L), ("abc", 90L), ("d", 10L), ("a", 5L),
+      ("b", 5L), ("c", 5L)).toDF("p", "sc")
+    val handW = Seq("abcd").toDF("w")
+    val g = UnigramOps.greedySegment(handW, handP).head()
+    assert(g.getLong(1) == 2L && !g.getBoolean(2))
+    // A word with a char outside the alphabet goes OOV in BOTH.
+    val oovW = Seq("abxd").toDF("w")
+    assert(UnigramOps.greedySegment(oovW, handP).head().getBoolean(2))
+  }
+
+  test("bloom file skip: a point probe on an UNCLUSTERED high-" +
+      "cardinality key plans strictly fewer files than the snapshot " +
+      "holds, equals the full-scan filter, and a probing miss still " +
+      "returns a correctly-typed empty result") {
+    val e = Tables.events(spark, sfDir).limit(4000)
+    val path = tmp("r11_bloom")
+    (0 to 2).foreach { r =>
+      SinkOps.commitVersionBloom(
+        e.filter(col("user_id") % 3 === r)
+          .repartition(4, col("user_id")),
+        path, "event_id"); ()
+    }
+    val probe = e.agg(max("event_id")).head().getLong(0)
+    val (files, total, c) = SinkOps.planFilesEq(spark, path, probe)
+    assert(c == "event_id")
+    assert(total >= 6, s"fixture produced too few files to skip: $total")
+    assert(files.nonEmpty && files.size < total,
+      s"bloom planned ${files.size}/$total files — no skipping")
+    val got = SinkOps.readVersionEq(spark, path, probe)
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = SinkOps.readVersion(spark, path)
+      .filter(col("event_id") === probe)
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(want), "bloom read diverges from full scan")
+    // A value present nowhere: usually 0 files planned (false
+    // positives possible but bounded); the read must be empty and
+    // keep the table's schema either way.
+    val miss = SinkOps.readVersionEq(spark, path, -987654321L)
+    assert(miss.columns.contains("event_type"))
+    assert(miss.count() == 0L)
+  }
+
+  test("bloom planning composes with the DV guard and absent sidecars: " +
+      "a DV manifest is refused, a dir without blooms is always " +
+      "planned in full") {
+    import spark.implicits._
+    val path = tmp("r11_bloom_dv")
+    SinkOps.commitVersionBloom(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path, "id")
+    // A plain commit (no bloom sidecar): its files always planned.
+    SinkOps.commitVersion(Seq((3L, "c")).toDF("id", "s"), path)
+    val (files, total, _) = SinkOps.planFilesEq(spark, path, 3L)
+    assert(files.nonEmpty && total >= files.size)
+    assert(SinkOps.readVersionEq(spark, path, 3L).count() == 1L)
+    SinkOps.deleteVersionKeys(Seq(2L).toDF("id"), path, "id")
+    val ex = intercept[IllegalArgumentException] {
+      SinkOps.planFilesEq(spark, path, 1L)
+    }
+    assert(ex.getMessage.contains("deletion vectors"))
+  }
+
   test("changefeed-with-retractions: the merge-absorbed aggregate view " +
       "equals a from-scratch recompute of the post-merge snapshot, " +
       "row-for-row, with the delta sourced from the table's manifests") {
