@@ -2889,6 +2889,33 @@ object SparkEntry {
           AggOps.exactSum(col("l_quantity")).as("sum_qty"),
           sum("o_custkey").as("custkey_sum"))
     }),
+    // TABLE-AS-STREAM — the manifest directory IS the stream: a text
+    // file source tails the transaction log (one commit per
+    // micro-batch), the consumer derives each batch's delta as the
+    // not-yet-seen data dirs (exactly readChanges, O(changed files)),
+    // and maintains the join view by the delta rule — the streaming
+    // twin of q_changefeed_ivm with no out-of-band delta hand-off.
+    // Same oracle: streamed maintenance ≡ the full unsplit join.
+    "q_stream_changefeed" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val bd = lit(IvmBoundary).cast("date")
+      val tbl = tmpPath("graft_scf_tbl", d)
+      val troot = new org.apache.hadoop.fs.Path(tbl)
+      troot.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(troot, true)
+      val ld = li.filter(col("l_shipdate").cast("date") >= bd)
+      SinkOps.commitVersion(
+        li.filter(col("l_shipdate").cast("date") < bd), tbl)
+      SinkOps.commitVersion(ld.filter(col("l_orderkey") % 2 === 0), tbl)
+      SinkOps.commitVersion(ld.filter(col("l_orderkey") % 2 === 1), tbl)
+      graft.streaming.StreamOps.changefeedStreamReplay(o, tbl, 1,
+          tmpPath("graft_scf_view", d))
+        .groupBy(expr("o_custkey % 10").as("cust_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("l_quantity")).as("sum_qty"),
+          sum("o_custkey").as("custkey_sum"))
+    }),
     // CHANGEFEED WITH RETRACTIONS — the DV half of the IVM loop: an
     // aggregate view keyed by event_type absorbs a MERGE (updates that
     // MOVE rows across groups + fresh inserts) reading everything from
@@ -2997,6 +3024,46 @@ object SparkEntry {
       val probe = e.agg(max("event_id")).head().getLong(0)
       SinkOps.readVersionEq(s, path, probe)
         .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+    // COMPOSED SKIPPING — zone maps × blooms: the planned file set is
+    // the INTERSECTION of the range prune (event_id zone maps over the
+    // range-clustered layout) and the point prune (user_id blooms) —
+    // skipping multiplies across independent indexes. Exact residual
+    // filters keep the read equal to the full-scan conjunction.
+    "q_skip_compose" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_skip2", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0 to 2).foreach { r =>
+        SinkOps.commitVersionIndexed(
+          e.filter(col("event_id") % 3 === r)
+            .repartitionByRange(4, col("event_id")),
+          path, "event_id", "user_id"); ()
+      }
+      val b = e.agg(min("user_id"), min("event_id"), max("event_id"))
+        .head()
+      SinkOps.readVersionWhereEq(s, path, b.getLong(1),
+          (b.getLong(1) + b.getLong(2)) / 2, b.getLong(0))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+    // METADATA-ONLY aggregation: count/min/max answered from the
+    // manifest's stats sidecars with ZERO data-file IO — O(manifest)
+    // driver work against what would be a 100 TB scan. The oracle
+    // recomputes the same digest the hard way.
+    "q_stats_only" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_statsonly", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0 to 2).foreach { r =>
+        SinkOps.commitVersion(e.filter(col("event_id") % 3 === r),
+          path, carryForward = true, Some("event_id")); ()
+      }
+      SinkOps.statsOnlyAgg(s, path)
+        .select("n_rows", "min_event_id", "max_event_id")
     }),
     // VACUUM: after compaction the pre-compaction data dirs are
     // unreferenced by the head — expire removes exactly those two by
@@ -6585,6 +6652,15 @@ object SparkEntry {
                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY 1""",
+    // Streamed manifest-tail maintenance ≡ the full unsplit join —
+    // the q_changefeed_ivm contract, delivered through a stream.
+    "q_stream_changefeed" ->
+      """SELECT o_custkey % 10 AS cust_bucket, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1""",
     // Changefeed-with-retractions view ≡ recomputing the post-merge
     // table's aggregate from scratch (same merged CTE as
     // q_version_merge, viewed per event_type with derived avg).
@@ -6655,6 +6731,20 @@ object SparkEntry {
     "q_bloom_skip" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE event_id = (SELECT max(event_id) FROM events)""",
+    // Composed zone-map × bloom planning equals the full-scan
+    // conjunction — every skipped file provably held no matching row.
+    "q_skip_compose" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE user_id = (SELECT min(user_id) FROM events)
+           AND event_id BETWEEN (SELECT min(event_id) FROM events)
+             AND (SELECT (min(event_id) + max(event_id)) // 2
+                  FROM events)""",
+    // The sidecar-only digest equals the full-scan aggregate.
+    "q_stats_only" ->
+      """SELECT count(*) AS n_rows,
+                CAST(min(event_id) AS BIGINT) AS min_event_id,
+                CAST(max(event_id) AS BIGINT) AS max_event_id
+         FROM events""",
     // Bin-packing is lossless and leaves exactly two dirs (monolith +
     // packed tail): the head still digests to the whole table.
     "q_compact_small" ->

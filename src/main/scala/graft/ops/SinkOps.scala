@@ -232,13 +232,18 @@ object SinkOps {
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
       .groupBy(input_file_name().as("f"))
       .agg(min(col(c).cast("long")).as("mn"),
-        max(col(c).cast("long")).as("mx"))
+        max(col(c).cast("long")).as("mx"),
+        count(lit(1)).as("n"))
       .collect()
+    // Line format: name<TAB>min<TAB>max<TAB>rowcount; an all-null
+    // column leaves min/max EMPTY but still carries the count (the
+    // file is unprunable yet still metadata-countable). Legacy 1- and
+    // 3-field lines parse statless/countless.
     val lines = c +: rows.map { r =>
       val name = new org.apache.hadoop.fs.Path(
         new java.net.URI(r.getString(0))).getName
-      if (r.isNullAt(1) || r.isNullAt(2)) name
-      else s"$name\t${r.getLong(1)}\t${r.getLong(2)}"
+      if (r.isNullAt(1) || r.isNullAt(2)) s"$name\t\t\t${r.getLong(3)}"
+      else s"$name\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getLong(3)}"
     }.sorted
     val sf = new org.apache.hadoop.fs.Path(root,
       s"stats/${dataDir.stripPrefix("data/")}.txt")
@@ -692,9 +697,11 @@ object SinkOps {
         statsCol = Some(c)
         val keep = lines.tail.flatMap { ln =>
           ln.split('\t') match {
-            case Array(name, mn, mx) =>
+            case Array(name, mn, mx, _) if mn.nonEmpty =>
               if (mn.toLong <= hi && mx.toLong >= lo) Some(name) else None
-            case Array(name) => Some(name) // statless file: always plan
+            case Array(name, mn, mx) if mn.nonEmpty =>
+              if (mn.toLong <= hi && mx.toLong >= lo) Some(name) else None
+            case Array(name, _*) => Some(name) // statless: always plan
             case _ => throw new IllegalStateException(
               s"malformed stats line in $sf: $ln")
           }
@@ -919,6 +926,114 @@ object SinkOps {
       readVersion(spark, path, version).filter(lit(false))
     else spark.read.parquet(files: _*)
       .filter(col(c).cast("long") === value)
+  }
+
+  /** Commit with BOTH pruning sidecars — zone maps on the clustering
+    * column, blooms on the lookup key: the full Delta/Iceberg data-
+    * skipping kit in one commit. The two indexes answer different
+    * predicates (ranges need clustering; point probes on an
+    * unclustered key need blooms) and COMPOSE in
+    * [[readVersionWhereEq]].
+    */
+  def commitVersionIndexed(df: DataFrame, path: String,
+                           statsCol: String, bloomCol: String,
+                           carryForward: Boolean = true): Int = {
+    val spark = df.sparkSession
+    val v = commitVersion(df, path, carryForward, Some(statsCol))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    writeDirBloom(spark, fs, root, s"data/v$v", bloomCol)
+    v
+  }
+
+  /** Read under a CONJUNCTION of a range predicate (zone-map column)
+    * and an equality predicate (bloom column): the planned file set is
+    * the INTERSECTION of the two sidecar prunes — skipping multiplies
+    * across independent indexes, which is the whole point of carrying
+    * both (a range that survives 10% of files times a probe that
+    * blooms to 1% plans ~0.1%). Exact residual filters keep results
+    * equal to the full-scan conjunction by construction.
+    */
+  def readVersionWhereEq(spark: org.apache.spark.sql.SparkSession,
+                         path: String, lo: Long, hi: Long,
+                         eqValue: Long,
+                         version: Option[Int] = None): DataFrame = {
+    val (rangeFiles, _, rc) = pruneFiles(spark, path, lo, hi, version)
+    val (eqFiles, _, ec) = planFilesEq(spark, path, eqValue, version)
+    val files = rangeFiles.toSet.intersect(eqFiles.toSet).toSeq.sorted
+    if (files.isEmpty)
+      readVersion(spark, path, version).filter(lit(false))
+    else spark.read.parquet(files: _*)
+      .filter(col(rc).cast("long").between(lo, hi) &&
+        col(ec).cast("long") === eqValue)
+  }
+
+  /** METADATA-ONLY aggregation: (n_rows, min, max) of the declared
+    * stats column for a whole snapshot, computed ENTIRELY from the
+    * manifest's stats sidecars — zero data-file IO, the Iceberg
+    * "scan planning answers SELECT count(*)" economics: O(manifest)
+    * driver work against a 100 TB table. Loud contract: every data dir
+    * must carry a stats sidecar and every file a row-count line
+    * (legacy count-less lines refuse rather than undercount), DV
+    * manifests refuse (sidecar keys subtract an unknown per-file
+    * count). min/max are over files with non-null values; all-null
+    * files contribute rows only.
+    */
+  def statsOnlyAgg(spark: org.apache.spark.sql.SparkSession,
+                   path: String,
+                   version: Option[Int] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = version.getOrElse {
+      val latest = latestVersion(fs, root)
+      require(latest >= 1, s"no versions committed at $path")
+      latest
+    }
+    val lines = manifestDirs(fs, root, v)
+    require(!lines.exists(isDeleteLine),
+      s"stats-only read over version $v at $path which carries " +
+        "unresolved deletion vectors — compactVersions first")
+    var statsCol: Option[String] = None
+    var nRows = 0L
+    var nFiles = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var any = false
+    lines.foreach { d =>
+      val sf = new org.apache.hadoop.fs.Path(root,
+        s"stats/${d.stripPrefix("data/")}.txt")
+      require(fs.exists(sf),
+        s"dir $d of version $v has no stats sidecar — " +
+          "stats-only aggregation needs every file counted")
+      val in = fs.open(sf)
+      val slines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+      val c = slines.head
+      statsCol.foreach(prev => require(prev == c,
+        s"inconsistent stats columns across snapshot dirs: $prev vs $c"))
+      statsCol = Some(c)
+      slines.tail.foreach { ln =>
+        ln.split('\t') match {
+          case Array(_, s1, s2, n) =>
+            nRows += n.toLong; nFiles += 1
+            if (s1.nonEmpty) {
+              any = true
+              mn = math.min(mn, s1.toLong)
+              mx = math.max(mx, s2.toLong)
+            }
+          case _ => throw new IllegalStateException(
+            s"count-less stats line in $sf (legacy format): $ln — " +
+              "recommit or compact with a statsCol to enable " +
+              "stats-only aggregation")
+        }
+      }
+    }
+    val c = statsCol.get
+    import spark.implicits._
+    Seq((nRows, if (any) Some(mn) else None,
+        if (any) Some(mx) else None, nFiles))
+      .toDF("n_rows", s"min_$c", s"max_$c", "n_files")
   }
 
   /** Incremental CHANGEFEED between two committed snapshots of an

@@ -1104,6 +1104,75 @@ object StreamOps {
     graft.ops.SinkOps.readVersion(spark, tablePath)
   }
 
+  /** TABLE-AS-STREAM — tail a manifest-versioned table's transaction
+    * log as a Structured Streaming source (the Delta `readStream`-on-
+    * a-table shape): the MANIFEST DIRECTORY is the stream (text file
+    * source, maxFilesPerTrigger=1, ascending mtimes enforced here so
+    * commit order = delivery order), each micro-batch is therefore ONE
+    * COMMIT, and the consumer derives its delta exactly as
+    * SinkOps.readChanges does — this manifest's data dirs not yet
+    * seen — paying O(changed files) per batch while the table's base
+    * dirs are never re-read. The downstream is the join-view delta
+    * rule (JoinOps.writeJoinView base ∪ joinViewRows per-batch
+    * appends), making this the STREAMING twin of q_changefeed_ivm: no
+    * out-of-band delta hand-off anywhere — commits in, incrementally
+    * maintained view out. Contract mirrors readChanges: append-only
+    * windows (delete-sidecar lines are refused loudly — their half of
+    * a feed is readDeletedKeys), and the per-batch append shares
+    * ivmReplay's at-least-once caveat (the AvailableNow replay over
+    * immutable manifests never retries; production would key appends
+    * by batchId). Baseline dirs seed the seen-set, so the view's
+    * initial state is never re-joined.
+    */
+  def changefeedStreamReplay(oDim: DataFrame, tablePath: String,
+                             baselineVersion: Int,
+                             viewPath: String): DataFrame = {
+    val spark = oDim.sparkSession
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val mdir = new org.apache.hadoop.fs.Path(root, "manifest")
+    val manifests = fs.listStatus(mdir).map(_.getPath)
+      .sortBy(_.getName)
+    manifests.zipWithIndex.foreach { case (p, i) =>
+      fs.setTimes(p, 1000000000L + i * 1000L, -1L)
+    }
+    def linesOf(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    graft.ops.JoinOps.writeJoinView(oDim,
+      graft.ops.SinkOps.readVersion(spark, tablePath,
+        Some(baselineVersion)), viewPath)
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    linesOf(manifests(baselineVersion - 1)).foreach(seen.put(_, true))
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1").text(mdir.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val lines = batch.collect().map(_.getString(0))
+          .filter(_.nonEmpty).toSeq
+        require(!lines.exists(_.startsWith("delete:")),
+          s"changefeed stream over $tablePath hit a delete-sidecar " +
+            "commit — append-only contract (readDeletedKeys is the " +
+            "delete half)")
+        val delta = lines.filterNot(seen.containsKey)
+        lines.foreach(seen.put(_, true))
+        if (delta.nonEmpty) {
+          val rows = spark.read.parquet(delta.map(d =>
+            new org.apache.hadoop.fs.Path(root, d).toString): _*)
+          graft.ops.JoinOps.joinViewRows(oDim, broadcast(rows))
+            .write.mode(SaveMode.Append).parquet(viewPath)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(viewPath)
+  }
+
   /** Streaming AS-OF enrichment — each micro-batch of events joins the
     * latest right-side row at or before its own timestamp
     * (JoinOps.asofJoin, the union-merge formulation). As-of is

@@ -584,6 +584,103 @@ class Round11OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("deletion vectors"))
   }
 
+  test("table-as-stream: tailing the manifest log reproduces the full " +
+      "join row-for-row, and a delete-sidecar commit in the window is " +
+      "refused loudly") {
+    import spark.implicits._
+    import graft.ops.JoinOps
+    val o = Tables.orders(spark, sfDir).limit(600)
+      .localCheckpoint(true)
+    val li = Tables.lineitem(spark, sfDir).limit(3000)
+      .localCheckpoint(true)
+    val tbl = tmp("r11_scf_tbl")
+    SinkOps.commitVersion(li.filter(col("l_orderkey") % 3 === 0), tbl)
+    SinkOps.commitVersion(li.filter(col("l_orderkey") % 3 === 1), tbl)
+    SinkOps.commitVersion(li.filter(col("l_orderkey") % 3 === 2), tbl)
+    val view = graft.streaming.StreamOps.changefeedStreamReplay(
+      o, tbl, 1, tmp("r11_scf_view"))
+    val full = JoinOps.joinViewRows(o, li)
+    assert(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+      "streamed manifest-tail view diverges from the full join")
+    // A DV commit poisons the feed window: the stream must refuse.
+    val tbl2 = tmp("r11_scf_dv")
+    SinkOps.commitVersion(li.limit(50), tbl2)
+    SinkOps.deleteVersionKeys(
+      li.limit(50).select(col("l_orderkey")).distinct().limit(5)
+        .select(col("l_orderkey")), tbl2, "l_orderkey")
+    val ex = intercept[Exception] {
+      graft.streaming.StreamOps.changefeedStreamReplay(
+        o, tbl2, 1, tmp("r11_scf_view2"))
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m =>
+      m != null && m.contains("delete-sidecar")),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
+  test("composed zone-map x bloom planning is the intersection of the " +
+      "single-index prunes and never exceeds either; the read equals " +
+      "the full-scan conjunction") {
+    val e = Tables.events(spark, sfDir).limit(4000)
+    val path = tmp("r11_skip2")
+    (0 to 2).foreach { r =>
+      SinkOps.commitVersionIndexed(
+        e.filter(col("event_id") % 3 === r)
+          .repartitionByRange(4, col("event_id")),
+        path, "event_id", "user_id"); ()
+    }
+    val b = e.agg(min("user_id"), min("event_id"), max("event_id")).head()
+    val (user, lo) = (b.getLong(0), b.getLong(1))
+    val hi = (b.getLong(1) + b.getLong(2)) / 2
+    val (rf, total, _) = SinkOps.pruneFiles(spark, path, lo, hi)
+    val (ef, _, _) = SinkOps.planFilesEq(spark, path, user)
+    val composed = rf.toSet.intersect(ef.toSet)
+    assert(composed.size <= math.min(rf.size, ef.size))
+    assert(composed.size < total,
+      s"composed prune planned all $total files")
+    val got = SinkOps.readVersionWhereEq(spark, path, lo, hi, user)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = SinkOps.readVersion(spark, path)
+      .filter(col("event_id").between(lo, hi) && col("user_id") === user)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want),
+      "composed skip diverges from full-scan conjunction")
+  }
+
+  test("statsOnlyAgg answers count/min/max from sidecars alone, and " +
+      "fails loudly on a dir without stats or a DV manifest") {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir).limit(2500)
+    val path = tmp("r11_statsonly")
+    (0 to 1).foreach { r =>
+      SinkOps.commitVersion(e.filter(col("event_id") % 2 === r),
+        path, carryForward = true, Some("event_id")); ()
+    }
+    val got = SinkOps.statsOnlyAgg(spark, path).head()
+    val want = e.agg(count(lit(1)), min("event_id"), max("event_id"))
+      .head()
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1))
+    assert(got.getLong(2) == want.getLong(2))
+    assert(got.getLong(3) >= 2L) // at least one file per dir
+    // A stats-less commit breaks the metadata-only contract loudly.
+    SinkOps.commitVersion(e.limit(10), path)
+    val ex = intercept[IllegalArgumentException] {
+      SinkOps.statsOnlyAgg(spark, path)
+    }
+    assert(ex.getMessage.contains("no stats sidecar"))
+    // DV manifests refuse too (sidecar keys subtract unknown counts).
+    val path2 = tmp("r11_statsonly_dv")
+    SinkOps.commitVersion(Seq((1L, "a")).toDF("id", "s"), path2,
+      carryForward = true, Some("id"))
+    SinkOps.deleteVersionKeys(Seq(1L).toDF("id"), path2, "id")
+    val ex2 = intercept[IllegalArgumentException] {
+      SinkOps.statsOnlyAgg(spark, path2)
+    }
+    assert(ex2.getMessage.contains("deletion vectors"))
+  }
+
   test("changefeed-with-retractions: the merge-absorbed aggregate view " +
       "equals a from-scratch recompute of the post-merge snapshot, " +
       "row-for-row, with the delta sourced from the table's manifests") {
