@@ -2889,6 +2889,33 @@ object SparkEntry {
           AggOps.exactSum(col("l_quantity")).as("sum_qty"),
           sum("o_custkey").as("custkey_sum"))
     }),
+    // CDF ATTRIBUTION — the insert-vs-update split a DV changefeed
+    // cannot provide alone (a sidecar lists touched keys whether or
+    // not they existed): ONE probe of the pre-window snapshot against
+    // the broadcast touched-key set classifies every post-image row.
+    // The oracle classifies by key membership in the base table, so
+    // the check stays exact even if a shifted "insert" key happens to
+    // collide with a live key at larger scale factors.
+    "q_changefeed_classify" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_cfc", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(e, path)
+      val batch = e.filter(col("event_id") % 5 === 0)
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") + lit(1000.0d))
+        .unionByName(e.filter(col("event_id") % 3 === 0)
+          .withColumn("event_id", col("event_id") + lit(100000L))
+          .withColumn("event_type", lit("inserted")))
+      val v2 = SinkOps.mergeVersion(batch, path, "event_id")
+      SinkOps.classifyChanges(s, path, 1, v2, "event_id")
+        .groupBy("change_type", "event_type").agg(
+          count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"),
+          AggOps.exactSum(col("value")).as("val_sum"))
+    }),
     // TABLE-AS-STREAM — the manifest directory IS the stream: a text
     // file source tails the transaction log (one commit per
     // micro-batch), the consumer derives each batch's delta as the
@@ -6652,6 +6679,23 @@ object SparkEntry {
                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY 1""",
+    // Attribution replay: a post-image row is an update iff its key
+    // lives in the base table, else an insert.
+    "q_changefeed_classify" ->
+      """WITH upd AS (
+           SELECT event_id, user_id, 'updated' AS event_type,
+                  value + 1000 AS value
+           FROM events WHERE event_id % 5 = 0
+           UNION ALL
+           SELECT event_id + 100000, user_id, 'inserted', value
+           FROM events WHERE event_id % 3 = 0)
+         SELECT CASE WHEN event_id IN (SELECT event_id FROM events)
+                     THEN 'update' ELSE 'insert' END AS change_type,
+                event_type, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM upd GROUP BY 1, 2""",
     // Streamed manifest-tail maintenance ≡ the full unsplit join —
     // the q_changefeed_ivm contract, delivered through a stream.
     "q_stream_changefeed" ->

@@ -619,6 +619,36 @@ object SinkOps {
       .distinct()
   }
 
+  /** CDF ATTRIBUTION — classify a window's post-image rows as INSERT
+    * or UPDATE: a DV changefeed alone cannot tell them apart (the
+    * delete sidecar lists merge-touched keys whether or not they
+    * existed — the classic CDF-without-row-tracking limit documented
+    * on [[mergeVersion]]); attribution needs ONE probe of the
+    * pre-window snapshot, done here as a semi-join of vFrom's rows
+    * against the broadcast-eligible touched-key set projected to the
+    * key column — the snapshot is scanned once, filtered to
+    * arrival-sized keys, and only keys travel. Returns the post-image
+    * rows of ([[readChanges]]) plus `change_type`
+    * ('insert' | 'update'). Append-only commits in the window
+    * classify as inserts for free (their keys never appear in a
+    * sidecar AND miss the prior snapshot).
+    */
+  def classifyChanges(spark: org.apache.spark.sql.SparkSession,
+                      path: String, vFrom: Int, vTo: Int,
+                      keyCol: String): DataFrame = {
+    val post = readChanges(spark, path, vFrom, vTo)
+    val priorKeys = readVersion(spark, path, Some(vFrom))
+      .select(keyCol).distinct()
+    val postKeys = post.select(keyCol).distinct()
+    val updatedKeys = priorKeys
+      .join(broadcast(postKeys), Seq(keyCol), "left_semi")
+    post.join(broadcast(updatedKeys.withColumn("u", lit(1))),
+        Seq(keyCol), "left")
+      .withColumn("change_type",
+        when(col("u").isNotNull, lit("update")).otherwise(lit("insert")))
+      .drop("u")
+  }
+
   private def writeManifestLines(fs: org.apache.hadoop.fs.FileSystem,
                                  root: org.apache.hadoop.fs.Path,
                                  v: Int, lines: Seq[String]): Unit = {

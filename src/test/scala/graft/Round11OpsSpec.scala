@@ -619,6 +619,27 @@ class Round11OpsSpec extends SparkSpec {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("classifyChanges splits a merge's post-images into insert vs " +
+      "update by probing the prior snapshot, and appends classify as " +
+      "inserts") {
+    import spark.implicits._
+    val path = tmp("r11_cfc")
+    SinkOps.commitVersion(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), path)
+    val v2 = SinkOps.mergeVersion(
+      Seq((2L, "B"), (9L, "i")).toDF("id", "s"), path, "id")
+    val got = SinkOps.classifyChanges(spark, path, 1, v2, "id")
+      .select("id", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.sameElements(Array((2L, "update"), (9L, "insert"))),
+      s"wrong attribution: ${got.mkString(",")}")
+    // A plain append window: everything is an insert.
+    val v3 = SinkOps.commitVersion(Seq((7L, "g")).toDF("id", "s"), path)
+    val app = SinkOps.classifyChanges(spark, path, v2, v3, "id")
+      .select("id", "change_type").head()
+    assert(app.getLong(0) == 7L && app.getString(1) == "insert")
+  }
+
   test("composed zone-map x bloom planning is the intersection of the " +
       "single-index prunes and never exceeds either; the read equals " +
       "the full-scan conjunction") {
