@@ -3075,6 +3075,25 @@ object SparkEntry {
           (b.getLong(1) + b.getLong(2)) / 2, b.getLong(0))
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // DESCRIBE HISTORY from metadata alone: the table-growth timeline
+    // (rows, dirs, stat ranges per version) read from manifests +
+    // stats sidecars with zero data-file IO — what an operator checks
+    // before touching a 100 TB table. Oracle rebuilds each snapshot's
+    // digest from the residue-class construction.
+    "q_version_history" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_vh", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0 to 2).foreach { r =>
+        SinkOps.commitVersion(e.filter(col("event_id") % 3 === r), path,
+          carryForward = true, Some("event_id")); ()
+      }
+      SinkOps.versionHistory(s, path)
+        .select("version", "n_dirs", "n_rows", "min_stat", "max_stat",
+          "n_delete_commits")
+    }),
     // METADATA-ONLY aggregation: count/min/max answered from the
     // manifest's stats sidecars with ZERO data-file IO — O(manifest)
     // driver work against what would be a 100 TB scan. The oracle
@@ -6783,6 +6802,22 @@ object SparkEntry {
            AND event_id BETWEEN (SELECT min(event_id) FROM events)
              AND (SELECT (min(event_id) + max(event_id)) // 2
                   FROM events)""",
+    // Metadata-only history ≡ per-snapshot digests of the residue
+    // construction.
+    "q_version_history" ->
+      """SELECT 1 AS version, 1 AS n_dirs, count(*) AS n_rows,
+                CAST(min(event_id) AS BIGINT) AS min_stat,
+                CAST(max(event_id) AS BIGINT) AS max_stat,
+                0 AS n_delete_commits
+         FROM events WHERE event_id % 3 = 0
+         UNION ALL
+         SELECT 2, 2, count(*), CAST(min(event_id) AS BIGINT),
+                CAST(max(event_id) AS BIGINT), 0
+         FROM events WHERE event_id % 3 IN (0, 1)
+         UNION ALL
+         SELECT 3, 3, count(*), CAST(min(event_id) AS BIGINT),
+                CAST(max(event_id) AS BIGINT), 0
+         FROM events""",
     // The sidecar-only digest equals the full-scan aggregate.
     "q_stats_only" ->
       """SELECT count(*) AS n_rows,

@@ -619,6 +619,61 @@ object SinkOps {
       .distinct()
   }
 
+  /** DESCRIBE HISTORY from metadata alone: one row per committed
+    * version — (version, n_dirs, n_files, n_rows, min/max of the
+    * stats column, n_delete_commits) — computed ENTIRELY from
+    * manifests and stats sidecars, O(versions · manifest) driver work
+    * with zero data-file IO: the table-growth timeline a 100 TB
+    * operator reads before touching data. Same loud contract as
+    * [[statsOnlyAgg]] per version (every dir counted or refuse);
+    * n_rows of a DV-carrying version reports the PRE-DELETE data-dir
+    * total with its sidecar count alongside (resolving deletes needs
+    * data IO by definition — the reader is told, not undercounted).
+    */
+  def versionHistory(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val latest = latestVersion(fs, root)
+    require(latest >= 1, s"no versions committed at $path")
+    val rows = (1 to latest).map { v =>
+      val lines = manifestDirs(fs, root, v)
+      val (del, data) = lines.partition(isDeleteLine)
+      var nRows = 0L; var nFiles = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue; var any = false
+      data.foreach { d =>
+        val sf = new org.apache.hadoop.fs.Path(root,
+          s"stats/${d.stripPrefix("data/")}.txt")
+        require(fs.exists(sf),
+          s"dir $d of version $v has no stats sidecar — " +
+            "metadata-only history needs every file counted")
+        val in = fs.open(sf)
+        val slines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+        slines.tail.foreach { ln =>
+          ln.split('\t') match {
+            case Array(_, s1, s2, n) =>
+              nRows += n.toLong; nFiles += 1
+              if (s1.nonEmpty) {
+                any = true
+                mn = math.min(mn, s1.toLong)
+                mx = math.max(mx, s2.toLong)
+              }
+            case _ => throw new IllegalStateException(
+              s"count-less stats line in $sf (legacy format): $ln")
+          }
+        }
+      }
+      (v, data.size, nFiles, nRows,
+        if (any) Some(mn) else None, if (any) Some(mx) else None,
+        del.size)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_dirs", "n_files", "n_rows",
+      "min_stat", "max_stat", "n_delete_commits")
+  }
+
   /** CDF ATTRIBUTION — classify a window's post-image rows as INSERT
     * or UPDATE: a DV changefeed alone cannot tell them apart (the
     * delete sidecar lists merge-touched keys whether or not they

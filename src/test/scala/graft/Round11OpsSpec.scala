@@ -619,6 +619,32 @@ class Round11OpsSpec extends SparkSpec {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("versionHistory reads the growth timeline from metadata alone, " +
+      "reports DV commits as pre-delete totals with the sidecar count " +
+      "alongside, and refuses stats-less dirs") {
+    import spark.implicits._
+    val path = tmp("r11_vh")
+    SinkOps.commitVersion(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path,
+      carryForward = true, Some("id"))
+    SinkOps.commitVersion(Seq((5L, "c")).toDF("id", "s"), path,
+      carryForward = true, Some("id"))
+    SinkOps.deleteVersionKeys(Seq(2L).toDF("id"), path, "id")
+    val h = SinkOps.versionHistory(spark, path)
+      .orderBy("version").collect()
+    assert(h.length == 3)
+    assert(h(0).getLong(3) == 2L && h(0).getLong(4) == 1L &&
+      h(0).getLong(5) == 2L && h(0).getInt(6) == 0)
+    assert(h(1).getLong(3) == 3L && h(1).getLong(5) == 5L)
+    // v3 = delete commit: pre-delete row total + one sidecar reported.
+    assert(h(2).getLong(3) == 3L && h(2).getInt(6) == 1)
+    val path2 = tmp("r11_vh_nostats")
+    SinkOps.commitVersion(Seq((1L, "a")).toDF("id", "s"), path2)
+    intercept[IllegalArgumentException] {
+      SinkOps.versionHistory(spark, path2)
+    }
+  }
+
   test("classifyChanges splits a merge's post-images into insert vs " +
       "update by probing the prior snapshot, and appends classify as " +
       "inserts") {

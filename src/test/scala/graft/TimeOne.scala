@@ -6,21 +6,23 @@ package graft
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val n = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(defaultCpus = "32")
-    def run(): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // cold-cache, JIT-warm — mirrors Bench
-      dt
+    names.foreach { name =>
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // cold-cache, JIT-warm — mirrors Bench
+        dt
+      }
+      run() // warmup
+      val ts = (1 to n).map(_ => run())
+      println(f"TIMEONE $name min=${ts.min}%.2f med=${ts.sorted.apply(n / 2)}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
-    run() // warmup
-    val ts = (1 to n).map(_ => run())
-    println(f"TIMEONE $name min=${ts.min}%.2f med=${ts.sorted.apply(n / 2)}%.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
     spark.stop()
   }
 }
