@@ -666,7 +666,7 @@ object CurationOps {
   def rankEvalOf(docs: DataFrame, queries: Seq[(Long, String)],
                  ranked: DataFrame, k: Int): DataFrame =
     rankEvalMulti(docs, queries,
-      ranked.withColumn("ranker", lit("r")), k).drop("ranker")
+      ranked.withColumn("ranker", lit("r")), k, Seq("r")).drop("ranker")
 
   /** [[rankEvalOf]] over a TAGGED union of ranked lists (ranker, q_id,
     * doc_id, rnk ≤ k) — the side-by-side form: the conjunctive-truth
@@ -677,9 +677,19 @@ object CurationOps {
     * of the schema matches [[rankEval]].
     */
   def rankEvalMulti(docs: DataFrame, queries: Seq[(Long, String)],
-                    ranked: DataFrame, k: Int): DataFrame = {
+                    ranked: DataFrame, k: Int,
+                    rankers: Seq[String] = Nil): DataFrame = {
     val spark = docs.sparkSession
     val res = ranked.select("ranker", "q_id", "doc_id", "rnk")
+    // The every-query-reports contract needs the ranker universe even
+    // when a ranker returns NOTHING (empty corpus, no hits): callers
+    // that know their tags pass them; default derives from the data.
+    val rankerUniverse =
+      if (rankers.isEmpty) res.select("ranker").distinct()
+      else {
+        import spark.implicits._
+        rankers.toDF("ranker")
+      }
     val qt = bm25QTerms(spark, queries)
     val nq = qt.groupBy("q_id").agg(count(lit(1)).as("n_qt"))
     val dw = bm25Toks(docs).select("doc_id", "w").distinct()
@@ -701,7 +711,7 @@ object CurationOps {
       sum(when(col("is_rel") === 1L,
           expr("(cum_hits * 1000000) div rnk")).otherwise(lit(0L)))
         .as("ap_num"))
-    res.select("ranker").distinct()
+    rankerUniverse
       .crossJoin(broadcast(qt.select("q_id").distinct()))
       .join(perQ, Seq("ranker", "q_id"), "left")
       .join(nRel, Seq("q_id"), "left")
