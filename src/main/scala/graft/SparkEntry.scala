@@ -2889,6 +2889,30 @@ object SparkEntry {
           AggOps.exactSum(col("l_quantity")).as("sum_qty"),
           sum("o_custkey").as("custkey_sum"))
     }),
+    // STREAMING MERGE INGEST — CDC batches upsert into the versioned
+    // table as one DV merge commit each; a key touched by BOTH
+    // batches must read as the LATER batch's row (last writer wins by
+    // ordered-fold, no consumer reconciliation). The oracle replays
+    // the chain in batch order: %4 keys end as b2, remaining %2 as
+    // b1, odd keys untouched.
+    "q_stream_merge" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val b1 = e.filter(col("event_id") % 2 === 0)
+        .withColumn("event_type", lit("b1"))
+        .withColumn("value", col("value") + lit(500.0d))
+        .withColumn("bseq", lit(1L))
+      val b2 = e.filter(col("event_id") % 4 === 0)
+        .withColumn("event_type", lit("b2"))
+        .withColumn("value", col("value") + lit(900.0d))
+        .withColumn("bseq", lit(2L))
+      graft.streaming.StreamOps.mergeStreamReplay(e,
+          b1.unionByName(b2), tmpPath("graft_smrg_tbl", d),
+          tmpPath("graft_smrg_stage", d), "event_id", Seq(2L))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"),
+          AggOps.exactSum(col("value")).as("val_sum"))
+    }),
     // CDF ATTRIBUTION — the insert-vs-update split a DV changefeed
     // cannot provide alone (a sidecar lists touched keys whether or
     // not they existed): ONE probe of the pre-window snapshot against
@@ -6698,6 +6722,23 @@ object SparkEntry {
                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY 1""",
+    // Last-writer-wins fold of the two merge batches over the base.
+    "q_stream_merge" ->
+      """WITH final AS (
+           SELECT event_id, user_id, 'b2' AS event_type,
+                  value + 900 AS value
+           FROM events WHERE event_id % 4 = 0
+           UNION ALL
+           SELECT event_id, user_id, 'b1', value + 500
+           FROM events WHERE event_id % 2 = 0 AND event_id % 4 <> 0
+           UNION ALL
+           SELECT event_id, user_id, event_type, value
+           FROM events WHERE event_id % 2 <> 0)
+         SELECT event_type, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM final GROUP BY 1""",
     // Attribution replay: a post-image row is an update iff its key
     // lives in the base table, else an insert.
     "q_changefeed_classify" ->

@@ -1104,6 +1104,47 @@ object StreamOps {
     graft.ops.SinkOps.readVersion(spark, tablePath)
   }
 
+  /** STREAMING MERGE INGEST — the CDC-stream → lakehouse write path:
+    * each micro-batch of keyed upserts lands as ONE deletion-vector
+    * merge commit ([[graft.ops.SinkOps.mergeVersion]]: key sidecar +
+    * data dir, O(batch) write, zero file rewrites), so the table grows
+    * one queryable snapshot per batch and the head is the ordered fold
+    * of the upsert chain — LAST WRITER WINS across batches for a
+    * re-upserted key, by the same ordered-fold semantics that make DV
+    * merges sound (a later batch's data dir outruns every earlier
+    * sidecar; no reconciliation logic in the consumer at all). Batches
+    * arrive as slices of `batches` cut on the `bseq` column
+    * (ascending-mtime staged files, maxFilesPerTrigger=1 — the
+    * replay-harness discipline), each commit is data-files-then-
+    * manifest so a reader never sees torn state, and intermediate
+    * versions remain pinned time-travel reads. Returns the final head;
+    * the oracle replays the chain in batch order.
+    */
+  def mergeStreamReplay(base: DataFrame, batches: DataFrame,
+                        tablePath: String, stagingDir: String,
+                        keyCol: String,
+                        boundaries: Seq[Long]): DataFrame = {
+    val spark = base.sparkSession
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(root, true)
+    graft.ops.SinkOps.commitVersion(base, tablePath)
+    stageSlices(batches, stagingDir, "bseq", boundaries)
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.SinkOps.mergeVersion(batch.drop("bseq"), tablePath,
+          keyCol)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    graft.ops.SinkOps.readVersion(spark, tablePath)
+  }
+
   /** TABLE-AS-STREAM — tail a manifest-versioned table's transaction
     * log as a Structured Streaming source (the Delta `readStream`-on-
     * a-table shape): the MANIFEST DIRECTORY is the stream (text file

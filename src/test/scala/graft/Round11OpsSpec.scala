@@ -619,6 +619,29 @@ class Round11OpsSpec extends SparkSpec {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("streaming merge ingest: one DV commit per batch, a re-upserted " +
+      "key reads as the LATER batch's row, intermediate versions stay " +
+      "pinned time-travel reads") {
+    import spark.implicits._
+    val base = Seq((1L, "o", 1L), (2L, "o", 1L), (4L, "o", 1L))
+      .toDF("id", "s", "bseq").drop("bseq")
+    val batches = Seq((2L, "b1", 1L), (4L, "b1", 1L),
+      (4L, "b2", 2L), (9L, "b2", 2L)).toDF("id", "s", "bseq")
+    val tbl = tmp("r11_smrg_tbl")
+    val head = graft.streaming.StreamOps.mergeStreamReplay(
+      base, batches, tbl, tmp("r11_smrg_stage"), "id", Seq(2L))
+    val got = head.select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.sameElements(Array((1L, "o"), (2L, "b1"), (4L, "b2"),
+      (9L, "b2"))), s"fold wrong: ${got.mkString(",")}")
+    // v2 = after batch 1 only: key 4 still reads b1, no key 9 yet.
+    val v2 = SinkOps.readVersion(spark, tbl, Some(2))
+      .select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(v2.sameElements(Array((1L, "o"), (2L, "b1"), (4L, "b1"))),
+      s"pinned mid-stream version wrong: ${v2.mkString(",")}")
+  }
+
   test("versionHistory reads the growth timeline from metadata alone, " +
       "reports DV commits as pre-delete totals with the sidecar count " +
       "alongside, and refuses stats-less dirs") {
