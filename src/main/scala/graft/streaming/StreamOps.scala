@@ -1038,38 +1038,62 @@ object StreamOps {
     * replay mechanics (ascending mtimes, maxFilesPerTrigger=1,
     * AvailableNow) as the index-ingest family.
     *
-    * DELIVERY CAVEAT: the foreachBatch body bare-appends delta rows,
-    * which under foreachBatch's at-least-once semantics is NOT
-    * idempotent — a retried micro-batch would double-append its rows
-    * and silently break the streamed ≡ one-shot equality. The replay
-    * harness (AvailableNow over immutable staged files, no failure
-    * injection) never retries, so the equality holds here by
-    * construction; a production deployment must key the append by
-    * batchId (e.g. one data/batch=<id> subdirectory overwritten
-    * idempotently — the exactly-once file-sink recipe
-    * [[fileSinkReplay]] demonstrates) before trusting the view under
-    * real retries.
+    * DELIVERY: each batch's delta lands in its own `batch=<id>`
+    * partition directory OVERWRITTEN whole ([[ivmBatchAppend]]), so
+    * the append is IDEMPOTENT under foreachBatch's at-least-once
+    * semantics — a retried micro-batch replaces its previous output
+    * instead of double-appending (spec-pinned by re-applying a batch
+    * body twice), the exactly-once file-sink recipe keyed by the
+    * stable batchId.
     */
   def ivmReplay(oDim: DataFrame, lBase: DataFrame, lDelta: DataFrame,
                 viewPath: String, stagingDir: String,
                 boundaries: Seq[Long]): DataFrame = {
     val spark = oDim.sparkSession
-    graft.ops.JoinOps.writeJoinView(oDim, lBase, viewPath)
+    // Fresh view root: the base overwrite now scopes to batch=base, so
+    // a stale per-batch dir from an earlier run must not survive.
+    val vroot = new org.apache.hadoop.fs.Path(viewPath)
+    vroot.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(vroot, true)
+    graft.ops.JoinOps.writeJoinView(oDim, lBase,
+      s"$viewPath/batch=base")
     stageSlices(lDelta, stagingDir, "l_orderkey", boundaries)
     val staged = spark.read.parquet(stagingDir)
     val stream = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.JoinOps.joinViewRows(oDim, broadcast(batch))
-          .write.mode(SaveMode.Append).parquet(viewPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivmBatchAppend(oDim, viewPath, batchId, batch)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.read.parquet(viewPath)
+    readIvmView(spark, viewPath)
   }
+
+  /** One micro-batch's delta append, IDEMPOTENT under foreachBatch's
+    * at-least-once delivery: the batch's view rows land in their own
+    * `batch=<id>` partition directory OVERWRITTEN whole, so a retried
+    * micro-batch replaces its previous (possibly partial) output
+    * instead of double-appending — the exactly-once file-sink recipe
+    * keyed by Structured Streaming's stable batchId. The base rows
+    * live in `batch=base`, so the whole view reads as one
+    * partition-discovered parquet tree.
+    */
+  private[graft] def ivmBatchAppend(oDim: DataFrame, viewPath: String,
+                             batchId: Long, batch: DataFrame): Unit = {
+    graft.ops.JoinOps.joinViewRows(oDim, broadcast(batch))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$viewPath/batch=$batchId")
+    ()
+  }
+
+  /** The maintained view without its delivery-bookkeeping partition
+    * column.
+    */
+  private[graft] def readIvmView(spark: org.apache.spark.sql.SparkSession,
+                          viewPath: String): DataFrame =
+    spark.read.parquet(viewPath).drop("batch")
 
   /** Streaming sink into a MANIFEST-VERSIONED table — each micro-batch
     * commits as its own snapshot version (SinkOps.commitVersion), so
