@@ -1183,10 +1183,10 @@ object StreamOps {
     * out-of-band delta hand-off anywhere — commits in, incrementally
     * maintained view out. Contract mirrors readChanges: append-only
     * windows (delete-sidecar lines are refused loudly — their half of
-    * a feed is readDeletedKeys), and the per-batch append shares
-    * ivmReplay's at-least-once caveat (the AvailableNow replay over
-    * immutable manifests never retries; production would key appends
-    * by batchId). Baseline dirs seed the seen-set, so the view's
+    * a feed is readDeletedKeys), and per-batch deltas land
+    * batch=<id>-keyed and overwritten whole ([[ivmBatchAppend]]) —
+    * idempotent under at-least-once redelivery like the rest of the
+    * IVM family. Baseline dirs seed the seen-set, so the view's
     * initial state is never re-joined.
     */
   def changefeedStreamReplay(oDim: DataFrame, tablePath: String,
@@ -1207,15 +1207,18 @@ object StreamOps {
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
     }
+    val vroot = new org.apache.hadoop.fs.Path(viewPath)
+    vroot.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(vroot, true)
     graft.ops.JoinOps.writeJoinView(oDim,
       graft.ops.SinkOps.readVersion(spark, tablePath,
-        Some(baselineVersion)), viewPath)
+        Some(baselineVersion)), s"$viewPath/batch=base")
     val seen = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
     linesOf(manifests(baselineVersion - 1)).foreach(seen.put(_, true))
     val stream = spark.readStream
       .option("maxFilesPerTrigger", "1").text(mdir.toString)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val lines = batch.collect().map(_.getString(0))
           .filter(_.nonEmpty).toSeq
         require(!lines.exists(_.startsWith("delete:")),
@@ -1227,15 +1230,14 @@ object StreamOps {
         if (delta.nonEmpty) {
           val rows = spark.read.parquet(delta.map(d =>
             new org.apache.hadoop.fs.Path(root, d).toString): _*)
-          graft.ops.JoinOps.joinViewRows(oDim, broadcast(rows))
-            .write.mode(SaveMode.Append).parquet(viewPath)
+          ivmBatchAppend(oDim, viewPath, batchId, rows)
         }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.read.parquet(viewPath)
+    readIvmView(spark, viewPath)
   }
 
   /** Streaming AS-OF enrichment — each micro-batch of events joins the
