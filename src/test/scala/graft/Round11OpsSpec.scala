@@ -619,6 +619,35 @@ class Round11OpsSpec extends SparkSpec {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("publishStaged is the optimistic-concurrency commit point: a " +
+      "racing writer landing the same version number makes publish " +
+      "fail LOUDLY with the staged snapshot intact (no lost update, " +
+      "no torn manifest)") {
+    import spark.implicits._
+    val path = tmp("r11_occ")
+    SinkOps.commitVersion(Seq((1L, "a")).toDF("id", "s"), path)
+    val sv = SinkOps.stageVersion(Seq((2L, "b")).toDF("id", "s"), path)
+    // Simulate the race the staging-aware allocator cannot see: a
+    // writer that landed manifest v<sv> directly between stage and
+    // publish.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = new org.apache.hadoop.fs.Path(root, f"manifest/v$sv%05d.txt")
+    val out = fs.create(mf, false)
+    out.write("data/v1".getBytes("UTF-8")); out.close()
+    val ex = intercept[IllegalArgumentException] {
+      SinkOps.publishStaged(spark, path, sv)
+    }
+    assert(ex.getMessage.contains("publish rename failed"))
+    // The staged snapshot survived the refused publish: rollback (or a
+    // re-stage under a fresh number) remains possible.
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+      f"staging/v$sv%05d.txt")), "staged manifest lost on conflict")
+    assert(SinkOps.readStaged(spark, path, sv)
+      .select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L)))
+  }
+
   test("ivm appends are idempotent under at-least-once delivery: " +
       "re-applying a batch body with the same batchId leaves the view " +
       "bit-identical, and the streamed view still equals the one-shot " +
