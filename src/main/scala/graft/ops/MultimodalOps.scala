@@ -791,9 +791,15 @@ object MultimodalOps {
             while (i < fs * (k + 1)) { s += sample(i) * sample(i); i += 1 }
             s
           }
+          // The fingerprint is one Long: delta bits beyond 64 would
+          // alias mod 64 under the JVM shift, so the loop caps at 64
+          // bits — longer clips keep a 64-bit prefix fingerprint (the
+          // frame COUNT stays in the collision key, so clips of
+          // different lengths still never collide).
           var fp = 0L
           var k = 0
-          while (k < nf - 1) {
+          val kMax = math.min(nf - 1, 64)
+          while (k < kMax) {
             if (e(k + 1) > e(k)) fp |= (1L << k)
             k += 1
           }

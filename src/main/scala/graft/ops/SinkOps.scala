@@ -324,8 +324,13 @@ object SinkOps {
       s"no data dir under $smallBytes bytes at $path — nothing to pack")
     val v = math.max(head, latestStaged(fs, root)) + 1
     val dataDir = s"data/v$v"
-    val tail = spark.read.parquet(small.map(d =>
-      new org.apache.hadoop.fs.Path(root, d).toString): _*)
+    // mergeSchema: the small tail may span schema-evolved commits —
+    // the packed rewrite must carry the UNION schema (a plain read
+    // would silently drop columns absent from the inferred file
+    // schema while untouched big dirs keep them).
+    val tail = spark.read.option("mergeSchema", "true")
+      .parquet(small.map(d =>
+        new org.apache.hadoop.fs.Path(root, d).toString): _*)
     val packed = statsCol.fold(tail)(c => tail.repartitionByRange(col(c)))
     packed.write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
@@ -363,7 +368,19 @@ object SinkOps {
         .map(kind + "/" + _.getPath.getName).filterNot(live)
     }
     dead.foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, d), true); ()
+      fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
+      // A vacuumed data dir's metadata sidecars (zone-map stats, bloom
+      // bitmaps) describe files that no longer exist — GC them with
+      // their dir (they are only ever consulted for manifest-listed
+      // dirs, so orphans are a pure storage leak the VACUUM contract
+      // implies it cleans).
+      if (d.startsWith("data/")) {
+        val base = d.stripPrefix("data/")
+        Seq("stats", "blooms").foreach { kind =>
+          fs.delete(new org.apache.hadoop.fs.Path(root,
+            s"$kind/$base.txt"), false); ()
+        }
+      }
     }
     (1 until keep).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(root,
@@ -419,6 +436,14 @@ object SinkOps {
 
   /** Publish a staged version: ONE manifest rename — readers see either
     * the old head or the complete new snapshot, never torn state.
+    *
+    * Optimistic-concurrency commit point, BOTH races covered: a racing
+    * writer that took the SAME version number makes the rename-to-
+    * existing fail, and a commit that advanced the head to a HIGHER
+    * number between stage and publish is caught by the head check —
+    * publishing under it would succeed silently while no head-lineage
+    * manifest references the staged dir (a lost update). Either way the
+    * caller re-stages on top of the advanced head.
     */
   def publishStaged(spark: org.apache.spark.sql.SparkSession,
                     path: String, v: Int): Unit = {
@@ -426,6 +451,11 @@ object SinkOps {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val src = new org.apache.hadoop.fs.Path(root, f"staging/v$v%05d.txt")
     require(fs.exists(src), s"no staged version $v under $root")
+    val head = latestVersion(fs, root)
+    require(v > head,
+      s"stale staged version $v: the table head advanced to $head " +
+        s"after staging — its snapshot does not include v$v's lines; " +
+        "rollbackStaged and re-stage on top of the new head")
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, "manifest"))
     require(fs.rename(src,
         new org.apache.hadoop.fs.Path(root, f"manifest/v$v%05d.txt")),

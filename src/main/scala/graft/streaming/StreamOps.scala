@@ -1193,13 +1193,27 @@ object StreamOps {
                              baselineVersion: Int,
                              viewPath: String): DataFrame = {
     val spark = oDim.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = root.getFileSystem(conf)
     val mdir = new org.apache.hadoop.fs.Path(root, "manifest")
+    // Tail a SCRATCH COPY of the transaction log: the text file source
+    // needs ascending mtimes to deliver commits in order, and stamping
+    // mtimes onto the LIVE table's manifests would mutate state this
+    // consumer only reads (a concurrent writer or second consumer must
+    // never observe our ordering hints). Name order IS commit order
+    // (zero-padded version numbers), so the copies are stamped in
+    // listing order.
+    val logDir = new org.apache.hadoop.fs.Path(viewPath + "-mlog")
+    val lfs = logDir.getFileSystem(conf)
+    lfs.delete(logDir, true)
+    lfs.mkdirs(logDir)
     val manifests = fs.listStatus(mdir).map(_.getPath)
       .sortBy(_.getName)
     manifests.zipWithIndex.foreach { case (p, i) =>
-      fs.setTimes(p, 1000000000L + i * 1000L, -1L)
+      val dst = new org.apache.hadoop.fs.Path(logDir, p.getName)
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, lfs, dst, false, conf)
+      lfs.setTimes(dst, 1000000000L + i * 1000L, -1L)
     }
     def linesOf(p: org.apache.hadoop.fs.Path): Seq[String] = {
       val in = fs.open(p)
@@ -1214,9 +1228,17 @@ object StreamOps {
       graft.ops.SinkOps.readVersion(spark, tablePath,
         Some(baselineVersion)), s"$viewPath/batch=base")
     val seen = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-    linesOf(manifests(baselineVersion - 1)).foreach(seen.put(_, true))
+    // Seed the seen-set from the baseline manifest BY NAME, never by
+    // array position: vacuumed history (expireVersions) leaves holes,
+    // so positional indexing would seed from the wrong manifest and
+    // double-count baseline dirs.
+    val baseMf = new org.apache.hadoop.fs.Path(mdir,
+      f"v$baselineVersion%05d.txt")
+    require(fs.exists(baseMf),
+      s"baseline version $baselineVersion has no manifest under $mdir")
+    linesOf(baseMf).foreach(seen.put(_, true))
     val stream = spark.readStream
-      .option("maxFilesPerTrigger", "1").text(mdir.toString)
+      .option("maxFilesPerTrigger", "1").text(logDir.toString)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val lines = batch.collect().map(_.getString(0))

@@ -146,8 +146,9 @@ class Round11OpsSpec extends SparkSpec {
   // ---- staging-aware version allocation (WAP/commit interleave) ----
 
   test("a commit issued while a version is STAGED allocates past the " +
-      "staged number: the staged snapshot survives and publishes " +
-      "intact") {
+      "staged number, and the now-STALE staged version refuses to " +
+      "publish under the advanced head (no silent lost update) — " +
+      "re-staging on top of the new head succeeds") {
     import spark.implicits._
     val path = tmp("r11_wapint")
     SinkOps.commitVersion(Seq((1L, "a")).toDF("id", "s"), path)
@@ -157,11 +158,27 @@ class Round11OpsSpec extends SparkSpec {
     val committed = SinkOps.commitVersion(Seq((3L, "c")).toDF("id", "s"),
       path)
     assert(committed == 3, s"commit reused the staged number: $committed")
-    SinkOps.publishStaged(spark, path, staged)
-    val v2 = SinkOps.readVersion(spark, path, Some(2))
+    // Publishing v2 under head v3 would "succeed" into a manifest no
+    // head-lineage snapshot references — the staged batch's rows would
+    // silently never reach the head. The OCC check refuses loudly.
+    val ex = intercept[IllegalArgumentException] {
+      SinkOps.publishStaged(spark, path, staged)
+    }
+    assert(ex.getMessage.contains("stale staged"), ex.getMessage)
+    // The refused stage is intact: the caller re-stages its batch on
+    // top of the advanced head and the batch reaches head lineage.
+    assert(SinkOps.readStaged(spark, path, staged)
       .select("id").collect().map(_.getLong(0)).sorted
-    assert(v2.sameElements(Array(1L, 2L)),
-      s"staged snapshot clobbered: ${v2.mkString(",")}")
+      .sameElements(Array(1L, 2L)), "staged snapshot lost on refusal")
+    SinkOps.rollbackStaged(spark, path, staged)
+    val restaged = SinkOps.stageVersion(
+      Seq((2L, "b")).toDF("id", "s"), path)
+    assert(restaged == 4)
+    SinkOps.publishStaged(spark, path, restaged)
+    val head = SinkOps.readVersion(spark, path)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(head.sameElements(Array(1L, 2L, 3L)),
+      s"re-staged batch missing from head: ${head.mkString(",")}")
     val v3 = SinkOps.readVersion(spark, path, Some(3))
       .select("id").collect().map(_.getLong(0)).sorted
     // v3 carried the committed head (v1), not the then-unpublished v2.
@@ -638,7 +655,10 @@ class Round11OpsSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException] {
       SinkOps.publishStaged(spark, path, sv)
     }
-    assert(ex.getMessage.contains("publish rename failed"))
+    // The head check catches the same-number race before the rename
+    // (the racing manifest made v<sv> the head, so v > head fails);
+    // the rename-to-existing refusal remains the last-resort defense.
+    assert(ex.getMessage.contains("stale staged"), ex.getMessage)
     // The staged snapshot survived the refused publish: rollback (or a
     // re-stage under a fresh number) remains possible.
     assert(fs.exists(new org.apache.hadoop.fs.Path(root,
