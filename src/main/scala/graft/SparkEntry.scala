@@ -2842,6 +2842,32 @@ object SparkEntry {
       SinkOps.readVersionWhere(s, path, 100L, 299L)
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // DV-AWARE ZONE-MAP SKIP — file skipping on a table a CDC merge
+    // stream keeps hot: the head carries an unresolved delete sidecar,
+    // and the range read prunes files AND applies the DV in the same
+    // scan (kept files grouped by manifest epoch, each group
+    // anti-joining exactly the sidecars that scope it — the
+    // resolveSnapshot fold over pruned lists). Must equal the resolved
+    // full-scan filter; files-read < files-total on the DV-carrying
+    // manifest is spec-pinned (Round12OpsSpec).
+    "q_skip_dv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_dvskip", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 2L).foreach { r =>
+        SinkOps.commitVersion(
+          ev.filter(col("event_id") % 3 === r)
+            .repartitionByRange(4, col("event_id")),
+          path, carryForward = true, statsCol = Some("event_id")); ()
+      }
+      SinkOps.deleteVersionKeys(
+        ev.filter(col("event_id") % 7 === 0).select("event_id"),
+        path, "event_id")
+      SinkOps.readVersionWhere(s, path, 100L, 299L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
     // Snapshot changefeed: the rows added in (v1, v3] of an
     // append-only versioned table are the manifest dir difference —
     // O(changed files) planning and IO, never a two-snapshot diff.
@@ -6708,6 +6734,11 @@ object SparkEntry {
     "q_version_skip" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE event_id BETWEEN 100 AND 299""",
+    // DV-aware skip: the pruned-and-resolved read equals the full-scan
+    // filter minus the deleted keys.
+    "q_skip_dv" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id BETWEEN 100 AND 299 AND event_id % 7 <> 0""",
     // The (v1, v3] changefeed of residue-class appends is exactly the
     // residue-1 and residue-2 rows.
     "q_version_changes" ->

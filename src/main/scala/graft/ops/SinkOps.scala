@@ -771,10 +771,39 @@ object SinkOps {
     * snapshot carries stats (the reader asked for a skip the table
     * cannot answer) or when two dirs declare different stats columns.
     * Driver-side work is O(|files|) manifest-scale text, zero data IO.
+    *
+    * DV-aware: a manifest carrying delete sidecars plans fine — the
+    * kept files are grouped by manifest epoch internally and
+    * [[readVersionWhere]] applies each epoch's sidecars (this flat
+    * view is planning only; reading the returned files RAW on a
+    * DV-carrying manifest would serve undeleted rows — go through
+    * [[readVersionWhere]]).
     */
   def pruneFiles(spark: org.apache.spark.sql.SparkSession, path: String,
                  lo: Long, hi: Long, version: Option[Int] = None)
       : (Seq[String], Int, String) = {
+    val (groups, total, c) = pruneGroupsWhere(spark, path, lo, hi, version)
+    (groups.flatMap(_._1), total, c)
+  }
+
+  /** DV-aware zone-map planning core: per-dir file pruning with data
+    * dirs grouped by their trailing delete-sidecar set — the
+    * [[resolveSnapshot]] epochs — so the read path can apply
+    * merge-on-read deletes to exactly the dirs they scope. This is
+    * what keeps the skip tier usable while a CDC merge stream is
+    * hottest (production lakehouse readers prune files AND apply DVs
+    * in the same scan; refusing until compaction would blank the skip
+    * economics exactly when the table needs them). Returns one entry
+    * per epoch — (kept files, applicable (deletesDir, keyCol) sidecars
+    * in manifest order) — plus the total file count and stats column.
+    * Pruning under DVs stays sound: deletion never widens a file's
+    * true [min,max], so a skipped file still provably holds no
+    * matching live row.
+    */
+  private def pruneGroupsWhere(spark: org.apache.spark.sql.SparkSession,
+                               path: String, lo: Long, hi: Long,
+                               version: Option[Int])
+      : (Seq[(Seq[String], Seq[(String, String)])], Int, String) = {
     require(lo <= hi, s"empty predicate range [$lo, $hi]")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -785,15 +814,7 @@ object SinkOps {
     }
     var statsCol: Option[String] = None
     var total = 0
-    val lines = manifestDirs(fs, root, v)
-    // A zone-map read returns raw file rows — it cannot apply delete
-    // sidecars without knowing each file's manifest epoch, so serving
-    // wrong (undeleted) rows is possible. Refuse loudly: compact first
-    // (compaction resolves and purges DVs), then skip files.
-    require(!lines.exists(isDeleteLine),
-      s"zone-map read over version $v at $path which carries unresolved " +
-        "deletion vectors — compactVersions first")
-    val kept = lines.flatMap { d =>
+    def keptOf(d: String): Seq[String] = {
       val dirP = new org.apache.hadoop.fs.Path(root, d)
       val sf = new org.apache.hadoop.fs.Path(root,
         s"stats/${d.stripPrefix("data/")}.txt")
@@ -824,10 +845,46 @@ object SinkOps {
         parts.filter(p => keep.contains(p.getName)).map(_.toString).toSeq
       }
     }
-    (kept, total, statsCol.getOrElse(throw new IllegalStateException(
+    val groups = epochGroups(manifestDirs(fs, root, v))
+      .map { case (dirs, dels) => (dirs.flatMap(keptOf), dels) }
+    (groups, total, statsCol.getOrElse(throw new IllegalStateException(
       s"no stats sidecar in any dir of version $v at $path — " +
         "commit with statsCol to enable zone-map reads")))
   }
+
+  /** Group a manifest's data dirs by the SET of delete sidecars that
+    * follow them — the [[resolveSnapshot]] epoch partition, shared by
+    * the skip planners. Returns (data dirs, applicable parsed
+    * sidecars in manifest order) per epoch; one `(all dirs, Nil)`
+    * group for a DV-free manifest.
+    */
+  private def epochGroups(lines: Seq[String])
+      : Seq[(Seq[String], Seq[(String, String)])] = {
+    val indexed = lines.zipWithIndex
+    val delIdx = indexed.filter(p => isDeleteLine(p._1))
+    indexed.filterNot(p => isDeleteLine(p._1))
+      .groupBy { case (_, i) =>
+        delIdx.filter(_._2 > i).map(p => deleteParts(p._1)) }
+      .toSeq.map { case (dels, dirs) => (dirs.map(_._1), dels) }
+  }
+
+  /** Read each planned epoch group and fold in its delete sidecars
+    * (broadcast anti-joins, arrival-sized keys), then union — the
+    * [[resolveSnapshot]] read shape over PRUNED file lists. Shared by
+    * the DV-aware skip readers.
+    */
+  private def readGroups(spark: org.apache.spark.sql.SparkSession,
+                         root: org.apache.hadoop.fs.Path,
+                         groups: Seq[(Seq[String], Seq[(String, String)])])
+      : DataFrame =
+    groups.filter(_._1.nonEmpty).map { case (files, dels) =>
+      dels.foldLeft(spark.read.parquet(files: _*)) {
+        case (acc, (ddir, keyCol)) =>
+          acc.join(broadcast(spark.read.parquet(
+              new org.apache.hadoop.fs.Path(root, ddir).toString)
+            .select(keyCol)), Seq(keyCol), "left_anti")
+      }
+    }.reduce(_.unionByName(_))
 
   /** Read a snapshot UNDER A RANGE PREDICATE on the declared stats
     * column, planning only files whose zone map intersects [lo,hi]
@@ -838,16 +895,26 @@ object SinkOps {
     * file provably holds no matching row); q_version_skip's oracle
     * pins that equality, and the round-11 spec pins files-read <
     * files-total under a selective predicate.
+    *
+    * DV-aware (round 12): a manifest carrying delete sidecars prunes
+    * AND resolves in the same read — kept files group by manifest
+    * epoch and each group anti-joins exactly the sidecars that scope
+    * it ([[resolveSnapshot]]'s ordered fold over pruned file lists),
+    * so zone-map reads stay usable under a live CDC merge stream
+    * instead of refusing until compaction. q_skip_dv pins equality to
+    * the resolved full-scan filter; the round-12 spec pins files-read
+    * < files-total on a DV-carrying manifest.
     */
   def readVersionWhere(spark: org.apache.spark.sql.SparkSession,
                        path: String, lo: Long, hi: Long,
                        version: Option[Int] = None): DataFrame = {
-    val (files, _, c) = pruneFiles(spark, path, lo, hi, version)
-    if (files.isEmpty)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (groups, _, c) = pruneGroupsWhere(spark, path, lo, hi, version)
+    if (groups.forall(_._1.isEmpty))
       // Every file pruned: an empty result with the table's schema
       // (read zero rows of one dir rather than invent a schema).
       readVersion(spark, path, version).filter(lit(false))
-    else spark.read.parquet(files: _*)
+    else readGroups(spark, root, groups)
       .filter(col(c).cast("long").between(lo, hi))
   }
 
@@ -954,17 +1021,32 @@ object SinkOps {
     v
   }
 
-  /** Bloom file planning for [[readVersionEq]]: resolve the version,
-    * refuse unresolved deletion vectors (same epoch hazard as
-    * [[pruneFiles]]), and keep only files whose bloom bitmap has ALL k
-    * bits of the probe value set — plus every file without a bloom
-    * line (absent sidecar ⇒ planned, never a wrong skip). Returns
-    * (files kept, files total, bloom column).
+  /** Bloom file planning for [[readVersionEq]]: resolve the version
+    * and keep only files whose bloom bitmap has ALL k bits of the
+    * probe value set — plus every file without a bloom line (absent
+    * sidecar ⇒ planned, never a wrong skip). Returns (files kept,
+    * files total, bloom column). DV-aware like [[pruneFiles]]: the
+    * flat view is planning only — [[readVersionEq]] resolves each
+    * epoch's delete sidecars (a delete never ADDS values to a file,
+    * so a bloom miss still proves no matching live row).
     */
   def planFilesEq(spark: org.apache.spark.sql.SparkSession,
                   path: String, value: Long,
                   version: Option[Int] = None)
       : (Seq[String], Int, String) = {
+    val (groups, total, c) = bloomGroupsEq(spark, path, value, version)
+    (groups.flatMap(_._1), total, c)
+  }
+
+  /** DV-aware bloom planning core — the [[pruneGroupsWhere]] twin for
+    * equality probes: per-dir bloom pruning with data dirs grouped by
+    * manifest epoch, so [[readVersionEq]] applies merge-on-read
+    * deletes to exactly the dirs they scope.
+    */
+  private def bloomGroupsEq(spark: org.apache.spark.sql.SparkSession,
+                            path: String, value: Long,
+                            version: Option[Int])
+      : (Seq[(Seq[String], Seq[(String, String)])], Int, String) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val v = version.getOrElse {
@@ -972,13 +1054,9 @@ object SinkOps {
       require(latest >= 1, s"no versions committed at $path")
       latest
     }
-    val lines = manifestDirs(fs, root, v)
-    require(!lines.exists(isDeleteLine),
-      s"bloom read over version $v at $path which carries unresolved " +
-        "deletion vectors — compactVersions first")
     var bloomCol: Option[String] = None
     var total = 0
-    val kept = lines.flatMap { d =>
+    def keptOf(d: String): Seq[String] = {
       val dirP = new org.apache.hadoop.fs.Path(root, d)
       val bf = new org.apache.hadoop.fs.Path(root,
         s"blooms/${d.stripPrefix("data/")}.txt")
@@ -1017,7 +1095,9 @@ object SinkOps {
         }.toSeq
       }
     }
-    (kept, total, bloomCol.getOrElse(throw new IllegalStateException(
+    val groups = epochGroups(manifestDirs(fs, root, v))
+      .map { case (dirs, dels) => (dirs.flatMap(keptOf), dels) }
+    (groups, total, bloomCol.getOrElse(throw new IllegalStateException(
       s"no bloom sidecar in any dir of version $v at $path — " +
         "commit with commitVersionBloom to enable point-lookup reads")))
   }
@@ -1036,10 +1116,11 @@ object SinkOps {
   def readVersionEq(spark: org.apache.spark.sql.SparkSession,
                     path: String, value: Long,
                     version: Option[Int] = None): DataFrame = {
-    val (files, _, c) = planFilesEq(spark, path, value, version)
-    if (files.isEmpty)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (groups, _, c) = bloomGroupsEq(spark, path, value, version)
+    if (groups.forall(_._1.isEmpty))
       readVersion(spark, path, version).filter(lit(false))
-    else spark.read.parquet(files: _*)
+    else readGroups(spark, root, groups)
       .filter(col(c).cast("long") === value)
   }
 
@@ -1073,12 +1154,17 @@ object SinkOps {
                          path: String, lo: Long, hi: Long,
                          eqValue: Long,
                          version: Option[Int] = None): DataFrame = {
-    val (rangeFiles, _, rc) = pruneFiles(spark, path, lo, hi, version)
-    val (eqFiles, _, ec) = planFilesEq(spark, path, eqValue, version)
-    val files = rangeFiles.toSet.intersect(eqFiles.toSet).toSeq.sorted
-    if (files.isEmpty)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (rGroups, _, rc) = pruneGroupsWhere(spark, path, lo, hi, version)
+    val (bGroups, _, ec) = bloomGroupsEq(spark, path, eqValue, version)
+    // Both planners walk the same manifest, so epochs line up — the
+    // composed plan intersects kept-file sets within each range epoch.
+    val bloomKept = bGroups.flatMap(_._1).toSet
+    val groups = rGroups.map { case (fl, dels) =>
+      (fl.filter(bloomKept).sorted, dels) }
+    if (groups.forall(_._1.isEmpty))
       readVersion(spark, path, version).filter(lit(false))
-    else spark.read.parquet(files: _*)
+    else readGroups(spark, root, groups)
       .filter(col(rc).cast("long").between(lo, hi) &&
         col(ec).cast("long") === eqValue)
   }

@@ -381,7 +381,7 @@ class Round11OpsSpec extends SparkSpec {
 
   test("compactVersions RESOLVES AND PURGES deletion vectors — the " +
       "compacted manifest carries no delete lines and reads " +
-      "identically — and zone-map reads refuse a DV manifest loudly") {
+      "identically — and a DV-manifest zone-map read resolves inline") {
     val ev = Tables.events(spark, sfDir).limit(500)
     val path = tmp("r11_dv_cmp")
     SinkOps.commitVersion(
@@ -390,10 +390,15 @@ class Round11OpsSpec extends SparkSpec {
     SinkOps.deleteVersionKeys(
       ev.filter(col("event_id") % 2 === 0).select("event_id"),
       path, "event_id")
-    val ex = intercept[IllegalArgumentException] {
-      SinkOps.readVersionWhere(spark, path, 0L, 100L)
-    }
-    assert(ex.getMessage.contains("deletion vectors"))
+    // DV-aware zone-map read (round 12): prunes AND resolves in one
+    // read — equals the resolved full-scan filter over the same range.
+    val dvSkim = SinkOps.readVersionWhere(spark, path, 0L, 100L)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val dvWant = SinkOps.readVersion(spark, path)
+      .filter(col("event_id").between(0L, 100L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(dvSkim.sameElements(dvWant),
+      s"DV zone-map read diverged: ${dvSkim.length} vs ${dvWant.length}")
     val want = SinkOps.readVersion(spark, path)
       .select("event_id").collect().map(_.getLong(0)).sorted
     val cv = SinkOps.compactVersions(spark, path, Some("event_id"))
@@ -582,9 +587,10 @@ class Round11OpsSpec extends SparkSpec {
     assert(miss.count() == 0L)
   }
 
-  test("bloom planning composes with the DV guard and absent sidecars: " +
-      "a DV manifest is refused, a dir without blooms is always " +
-      "planned in full") {
+  test("bloom planning composes with deletion vectors and absent " +
+      "sidecars: a dir without blooms is always planned in full, and " +
+      "a DV-manifest point read resolves inline (deleted key gone, " +
+      "surviving key intact)") {
     import spark.implicits._
     val path = tmp("r11_bloom_dv")
     SinkOps.commitVersionBloom(
@@ -595,10 +601,13 @@ class Round11OpsSpec extends SparkSpec {
     assert(files.nonEmpty && total >= files.size)
     assert(SinkOps.readVersionEq(spark, path, 3L).count() == 1L)
     SinkOps.deleteVersionKeys(Seq(2L).toDF("id"), path, "id")
-    val ex = intercept[IllegalArgumentException] {
-      SinkOps.planFilesEq(spark, path, 1L)
-    }
-    assert(ex.getMessage.contains("deletion vectors"))
+    // DV-aware bloom read (round 12): the probe resolves the delete
+    // sidecar inline — deleted key reads empty, survivor unchanged (a
+    // delete never ADDS values, so a bloom miss still proves absence).
+    assert(SinkOps.readVersionEq(spark, path, 2L).count() == 0L,
+      "deleted key served through a DV-manifest bloom read")
+    assert(SinkOps.readVersionEq(spark, path, 1L)
+      .select("s").head().getString(0) == "a")
   }
 
   test("table-as-stream: tailing the manifest log reproduces the full " +

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SinkOps
+
+/** Specs for the round-12 additions: DV-aware file skipping (zone-map
+  * and bloom planning over manifests carrying unresolved deletion
+  * vectors), the lakehouse SQL front door, executor-side bloom
+  * sidecar folding, idempotent streaming MERGE, and multi-column zone
+  * maps.
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val p = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    val hp = new org.apache.hadoop.fs.Path(p.getPath)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    p.getPath
+  }
+
+  // ---- DV-aware zone-map / bloom file skipping ----
+
+  test("DV-aware zone-map skip: a manifest carrying a delete sidecar " +
+      "still plans fewer files than total, and the read equals the " +
+      "resolved full-scan filter") {
+    val ev = Tables.events(spark, sfDir)
+    val path = tmp("r12_dvskip")
+    (0L to 2L).foreach { r =>
+      SinkOps.commitVersion(
+        ev.filter(col("event_id") % 3 === r)
+          .repartitionByRange(4, col("event_id")),
+        path, carryForward = true, statsCol = Some("event_id")); ()
+    }
+    SinkOps.deleteVersionKeys(
+      ev.filter(col("event_id") % 7 === 0).select("event_id"),
+      path, "event_id")
+    // The skip economics SURVIVE the DV commit: files-read < total.
+    val (kept, total, c) = SinkOps.pruneFiles(spark, path, 100L, 299L)
+    assert(c == "event_id")
+    assert(kept.nonEmpty && kept.size < total,
+      s"no skip under DV manifest: ${kept.size} of $total planned")
+    val got = SinkOps.readVersionWhere(spark, path, 100L, 299L)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = SinkOps.readVersion(spark, path)
+      .filter(col("event_id").between(100L, 299L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want),
+      s"DV zone-map read diverged: ${got.length} vs ${want.length}")
+    assert(want.forall(_ % 7 != 0), "deleted keys leaked into the scan")
+  }
+
+  test("DV-aware skip honors the ordered fold: a key re-inserted by a " +
+      "data dir AFTER its delete sidecar survives the skip read, while " +
+      "keys deleted from earlier dirs stay gone") {
+    import spark.implicits._
+    val path = tmp("r12_dvfold")
+    SinkOps.commitVersion(
+      Seq((1L, "a1"), (2L, "b1"), (3L, "c1")).toDF("id", "s")
+        .repartitionByRange(2, col("id")),
+      path, carryForward = true, statsCol = Some("id"))
+    SinkOps.deleteVersionKeys(Seq(2L, 3L).toDF("id"), path, "id")
+    // Re-insert key 2 AFTER the sidecar — the delete scopes only to
+    // dirs committed before it, so the re-inserted row must survive.
+    SinkOps.commitVersion(Seq((2L, "b2")).toDF("id", "s"), path,
+      carryForward = true, statsCol = Some("id"))
+    val got = SinkOps.readVersionWhere(spark, path, 1L, 10L)
+      .select("id", "s").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.sameElements(Array((1L, "a1"), (2L, "b2"))),
+      s"ordered fold broken through the skip path: ${got.mkString(",")}")
+  }
+
+  test("DV-aware bloom and composed zone×bloom reads resolve a MERGE " +
+      "commit inline: updated key reads its new row, the composed plan " +
+      "still intersects both prunes") {
+    val ev = Tables.events(spark, sfDir).limit(2000)
+      .localCheckpoint(true)
+    val path = tmp("r12_dvmerge")
+    (0 to 1).foreach { r =>
+      SinkOps.commitVersionIndexed(
+        ev.filter(col("event_id") % 2 === r)
+          .repartitionByRange(4, col("event_id")),
+        path, "event_id", "user_id"); ()
+    }
+    val probe = ev.agg(max("event_id")).head().getLong(0)
+    val u = ev.filter(col("event_id") === probe)
+      .agg(min("user_id")).head().getLong(0)
+    val upd = ev.filter(col("event_id") === probe)
+      .withColumn("event_type", lit("merged"))
+    SinkOps.mergeVersion(upd, path, "event_id")
+    // Point read (bloom column = user_id) through the DV manifest:
+    // the updated key must read its POST-image exactly once (old row
+    // anti-joined, new row in).
+    val got = SinkOps.readVersionEq(spark, path, u)
+      .filter(col("event_id") === probe)
+      .select("event_id", "event_type").collect()
+    assert(got.length == 1, s"expected 1 row, got ${got.length}")
+    assert(got.head.getString(1) == "merged")
+    // Composed read under the DV manifest equals the resolved scan.
+    val comp = SinkOps.readVersionWhereEq(spark, path, 0L, probe, u)
+      .select("event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    val want = SinkOps.readVersion(spark, path)
+      .filter(col("event_id").between(0L, probe) &&
+        col("user_id") === u)
+      .select("event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(comp.sameElements(want),
+      s"composed DV read diverged: ${comp.length} vs ${want.length}")
+  }
+}
