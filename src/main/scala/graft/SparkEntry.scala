@@ -2797,6 +2797,61 @@ object SparkEntry {
         .unionByName(dig(SinkOps.readVersion(s, path, Some(2)), 2))
     }),
 
+    // SQL TIME TRAVEL — the lakehouse tier through the SQL front door:
+    // `FROM graft_version(path, v)` is a table-valued function whose
+    // builder returns the snapshot read's ANALYZED PLAN (the same
+    // SinkOps.readVersion code path — one engine, two surfaces), so
+    // the enclosing query's filters and pruning push into the snapshot
+    // scan like any other relation. v1 digest + head digest in one
+    // SQL text.
+    "q_sql_time_travel" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val o = Tables.orders(s, d)
+      val path = tmpPath("graft_sqltt", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      val bd = lit(IvmBoundary).cast("date")
+      SinkOps.commitVersion(
+        o.filter(col("o_orderdate").cast("date") < bd), path)
+      SinkOps.commitVersion(
+        o.filter(col("o_orderdate").cast("date") >= bd), path)
+      s.sql(s"""SELECT 1 AS version, count(*) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                 AS sum_price,
+               CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+             FROM graft_version('$path', 1)
+             UNION ALL
+             SELECT 2 AS version, count(*) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                 AS sum_price,
+               CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+             FROM graft_version('$path')""")
+    }),
+
+    // SQL CHANGEFEED — `FROM table_changes(path, vFrom, vTo)` (the
+    // Delta TVF shape) over the same O(changed files) readChanges
+    // path; aggregated per event_type so the oracle shape differs
+    // from q_version_changes' row-level feed.
+    "q_sql_changefeed" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_sqlcf", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 2L).foreach { r =>
+        SinkOps.commitVersion(ev.filter(col("event_id") % 3 === r),
+          path); ()
+      }
+      s.sql(s"""SELECT event_type, count(*) AS n_rows,
+               CAST(sum(user_id) AS BIGINT) AS user_sum,
+               CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                 AS val_sum
+             FROM table_changes('$path', 1, 3)
+             GROUP BY event_type""")
+    }),
+
     // Versioned-table compaction (the OPTIMIZE half): after two append
     // commits, rewrite the current state as one data dir committed as
     // v3 — same digest as v2 (the oracle proves the rewrite lossless),
@@ -6729,6 +6784,29 @@ object SparkEntry {
                  CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
           FROM orders""",
     "q_phrase_search" -> OracleSql.phraseSearchSql(PhraseQueries),
+    // SQL time travel ≡ the q_time_travel digests: v1 = pre-boundary
+    // commit, head = the whole table.
+    "q_sql_time_travel" ->
+      s"""SELECT 1 AS version, count(*) AS n_rows,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                   AS sum_price,
+                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+          FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '$IvmBoundary'
+          UNION ALL
+          SELECT 2 AS version, count(*) AS n_rows,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                   AS sum_price,
+                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+          FROM orders""",
+    // The SQL changefeed of (v1, v3] residue-class appends aggregates
+    // the residue-1 and residue-2 rows.
+    "q_sql_changefeed" ->
+      """SELECT event_type, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events WHERE event_id % 3 <> 0
+         GROUP BY event_type""",
     // Zone-map skip must equal the full-scan filter — a skipped file
     // provably held no matching row.
     "q_version_skip" ->

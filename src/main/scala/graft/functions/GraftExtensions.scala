@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.kgramHash60)
     ext.injectFunction(GraftFunctions.nfcNormalize)
     ext.injectFunction(GraftFunctions.stripAccents)
+    ext.injectTableFunction(GraftFunctions.graftVersion)
+    ext.injectTableFunction(GraftFunctions.tableChanges)
   }
 }
 
@@ -90,11 +92,87 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StripAccentsExpr].getName, "strip_accents"),
       buildStripAccents _)
 
+  // ---- lakehouse table-valued functions (SQL front door) ----
+
+  private def constString(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a constant string")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case v => throw new IllegalArgumentException(
+        s"$what must be a string constant, got $v")
+    }
+  }
+
+  private def constInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a constant integer")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => l.intValue
+      case s: java.lang.Short => s.intValue
+      case b: java.lang.Byte => b.intValue
+      case v => throw new IllegalArgumentException(
+        s"$what must be an integer constant, got $v")
+    }
+  }
+
+  /** `graft_version(path [, version])` — SQL time travel over a
+    * manifest-versioned table: `SELECT ... FROM graft_version(p, 3)`
+    * reads snapshot v3 (omit the version for the head), DV sidecars
+    * resolved exactly as the Scala API ([[graft.ops.SinkOps
+    * .readVersion]] — same code, one front door). The builder returns
+    * the read's ANALYZED PLAN, so Catalyst pushes the enclosing
+    * query's filters and pruning into the snapshot scan like any
+    * other relation.
+    */
+  private def buildGraftVersion(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      s"graft_version expects (path [, version]), got ${exprs.length} arguments")
+    val path = constString(exprs.head, "graft_version path")
+    val v = if (exprs.length == 2)
+      Some(constInt(exprs(1), "graft_version version")) else None
+    GraftSqlBridge.plan(
+      graft.ops.SinkOps.readVersion(SparkSession.active, path, v))
+  }
+
+  /** `table_changes(path, vFrom, vTo)` — the snapshot changefeed
+    * through SQL: rows added in (vFrom, vTo], O(changed files), the
+    * Delta `table_changes` TVF shape over [[graft.ops.SinkOps
+    * .readChanges]].
+    */
+  private def buildTableChanges(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3,
+      s"table_changes expects (path, vFrom, vTo), got ${exprs.length} arguments")
+    GraftSqlBridge.plan(graft.ops.SinkOps.readChanges(
+      SparkSession.active,
+      constString(exprs.head, "table_changes path"),
+      constInt(exprs(1), "table_changes vFrom"),
+      constInt(exprs(2), "table_changes vTo")))
+  }
+
+  val graftVersion: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_version"),
+      new ExpressionInfo("graft.ops.SinkOps", "graft_version"),
+      buildGraftVersion _)
+
+  val tableChanges: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft.ops.SinkOps", "table_changes"),
+      buildTableChanges _)
+
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "array_dot_l", buildDot)
     GraftSqlBridge.registerFunction(spark, "hash60", buildHash60)
     GraftSqlBridge.registerFunction(spark, "kgram_hash60", buildKGram)
     GraftSqlBridge.registerFunction(spark, "nfc_normalize", buildNfc)
     GraftSqlBridge.registerFunction(spark, "strip_accents", buildStripAccents)
+    GraftSqlBridge.registerTableFunction(spark, "graft_version",
+      buildGraftVersion)
+    GraftSqlBridge.registerTableFunction(spark, "table_changes",
+      buildTableChanges)
   }
 }

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge to Spark's `private[sql]` Column ↔ Expression converters —
   * the standard pattern for libraries that define native Catalyst
@@ -10,11 +11,29 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Analyzed logical plan of a DataFrame — what a table-valued
+    * function builder returns so `SELECT ... FROM graft_version(...)`
+    * splices a library-built read straight into the enclosing query's
+    * plan (Catalyst then pushes filters/pruning into it like any
+    * other relation).
+    */
+  def plan(df: Dataset[Row]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
   /** Register a native expression as a SQL temp function on a live
     * session (the builder-time path is SparkSessionExtensions).
     */
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Register a table-valued function on a live session (the
+    * builder-time path is SparkSessionExtensions.injectTableFunction).
+    */
+  def registerTableFunction(spark: SparkSession, name: String,
+                            builder: Seq[Expression] => LogicalPlan)
+      : Unit =
+    spark.sessionState.tableFunctionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -108,4 +108,49 @@ class Round12OpsSpec extends SparkSpec {
     assert(comp.sameElements(want),
       s"composed DV read diverged: ${comp.length} vs ${want.length}")
   }
+
+  // ---- lakehouse SQL front door (table-valued functions) ----
+
+  test("graft_version / table_changes TVFs: SQL reads equal the Scala " +
+      "API (DV merge resolved through SQL), filters push into the " +
+      "snapshot scan, and bad arguments fail loudly") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val path = tmp("r12_tvf")
+    SinkOps.commitVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    SinkOps.mergeVersion(Seq((2L, "B2"), (3L, "c")).toDF("id", "s"),
+      path, "id")
+    // Head read resolves the DV merge exactly like the Scala API.
+    val head = spark.sql(
+        s"SELECT id, s FROM graft_version('$path') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(head.sameElements(Array((1L, "a"), (2L, "B2"), (3L, "c"))),
+      s"SQL head read wrong: ${head.mkString(",")}")
+    // Pinned time travel: v1 pre-merge.
+    assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft_version('$path', 1)")
+      .head().getLong(0) == 2L)
+    // Changefeed TVF = the merge batch's post-images.
+    val chg = spark.sql(
+        s"SELECT id FROM table_changes('$path', 1, 2) ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(chg.sameElements(Array(2L, 3L)))
+    // The TVF splices an ANALYZED PLAN, so enclosing filters reach the
+    // parquet scan (pushed, not post-filtered).
+    val plan = spark.sql(
+        s"SELECT id FROM graft_version('$path', 1) WHERE id = 2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
+      s"filter not pushed into the TVF scan:\n$plan")
+    // Loud contracts: missing version, non-constant argument.
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_version('$path', 9)").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$path', 1)").collect()
+    }
+    // The builder hook applies cleanly to a fresh extensions container.
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
 }
