@@ -949,13 +949,15 @@ object SinkOps {
 
   /** Per-file BLOOM bitmap of `c` for one immutable data dir, as
     * `blooms/<dirname>.txt`: first line the column name, then one line
-    * per file — `name<TAB><hex bitmap>` (m/4 hex chars). Bit positions
-    * are aggregated distributively (per-file collect_set over the k
-    * hash expressions — at most m small ints per file reach the
-    * driver, the manifest-scale collect); a file with no non-null
-    * value gets no line and is always planned. Like zone-map stats,
-    * blooms are per-dir immutable and follow their dir across
-    * manifests.
+    * per file — `name<TAB><hex bitmap>` (m/4 hex chars). The bitmap is
+    * folded EXECUTOR-SIDE ([[graft.functions.BloomBitmapAgg]]: per-file
+    * byte-OR aggregate over the k hash-position expressions), so only
+    * m/4 hex chars per file reach the driver — the manifest-scale
+    * collect — regardless of file row counts (a collect_set of
+    * positions would ship up to k·n ints per file before the fold).
+    * A file with no non-null value gets no line and is always
+    * planned. Like zone-map stats, blooms are per-dir immutable and
+    * follow their dir across manifests.
     */
   private def writeDirBloom(spark: org.apache.spark.sql.SparkSession,
                             fs: org.apache.hadoop.fs.FileSystem,
@@ -977,22 +979,19 @@ object SinkOps {
       (pmod(vn * lit(a % BloomP) + lit(b), lit(BloomP)) %
         lit(m.toLong)).cast("int")
     }
+    val bloomHex = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomBitmapAgg(m),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Int]())
     val rows = spark.read.parquet(dirStr)
       .filter(col(c).isNotNull)
       .select(input_file_name().as("f"),
         explode(array(bitCols: _*)).as("bit"))
-      .groupBy("f").agg(collect_set(col("bit")).as("bits"))
+      .groupBy("f").agg(bloomHex(col("bit")).as("hex"))
       .collect()
     val lines = c +: rows.map { r =>
       val name = new org.apache.hadoop.fs.Path(
         new java.net.URI(r.getString(0))).getName
-      val bytes = new Array[Byte](m / 8)
-      r.getSeq[Int](1).foreach { bt =>
-        bytes(bt >> 3) = (bytes(bt >> 3) | (1 << (bt & 7))).toByte
-      }
-      name + "\t" + bytes.map(x => String.format(
-        java.util.Locale.ROOT, "%02x",
-        Integer.valueOf(x & 0xff))).mkString
+      name + "\t" + r.getString(1)
     }.sorted
     val bf = new org.apache.hadoop.fs.Path(root,
       s"blooms/${dataDir.stripPrefix("data/")}.txt")

@@ -109,6 +109,63 @@ class Round12OpsSpec extends SparkSpec {
       s"composed DV read diverged: ${comp.length} vs ${want.length}")
   }
 
+  // ---- executor-side bloom sidecar fold ----
+
+  test("bloom sidecars fold executor-side and stay BYTE-IDENTICAL to " +
+      "an independent driver-side replica of the documented hash/bitmap " +
+      "construction; probes still plan and read correctly") {
+    val ev = Tables.events(spark, sfDir).limit(3000)
+      .localCheckpoint(true)
+    val path = tmp("r12_bloomfold")
+    SinkOps.commitVersionBloom(
+      ev.repartition(3, col("user_id")), path, "event_id")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def textOf(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val got = textOf(new org.apache.hadoop.fs.Path(root, "blooms/v1.txt"))
+    // Independent replica: plain-Scala fold over the committed rows
+    // using the scaladoc-pinned constants (prime P, the 4 (a,b) pairs,
+    // m = nextPow2(16·maxN) clamped to [2^13, 2^24], byte p>>3 mask
+    // 1<<(p&7), lowercase hex).
+    val P = 1000000007L
+    val A = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+    val B = Seq(374761393L, 1103515245L, 1779033703L, 2147483647L)
+    val byFile = spark.read.parquet(s"$path/data/v1")
+      .select(input_file_name().as("f"), col("event_id"))
+      .collect()
+      .map(r => (new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0))).getName, r.getLong(1)))
+      .groupBy(_._1)
+    val maxN = byFile.values.map(_.length.toLong).max
+    val m = math.min(1L << 24, math.max(1L << 13,
+      java.lang.Long.highestOneBit(16L * maxN - 1) << 1)).toInt
+    val lines = "event_id" +: byFile.toSeq.map { case (name, rows) =>
+      val bytes = new Array[Byte](m / 8)
+      rows.foreach { case (_, v) =>
+        val vn = ((v % P) + P) % P
+        A.zip(B).foreach { case (a, b) =>
+          val bt = (((vn * (a % P) + b) % P) % m).toInt
+          bytes(bt >> 3) = (bytes(bt >> 3) | (1 << (bt & 7))).toByte
+        }
+      }
+      name + "\t" + bytes.map(x => String.format(
+        java.util.Locale.ROOT, "%02x",
+        Integer.valueOf(x & 0xff))).mkString
+    }.sorted
+    assert(got == lines.mkString("\n"),
+      "executor-folded bloom sidecar diverged from the driver replica")
+    // The folded sidecar still serves probes.
+    val probe = ev.agg(max("event_id")).head().getLong(0)
+    val (kept, total, _) = SinkOps.planFilesEq(spark, path, probe)
+    assert(kept.nonEmpty && kept.size <= total)
+    assert(SinkOps.readVersionEq(spark, path, probe).count() ==
+      ev.filter(col("event_id") === probe).count())
+  }
+
   // ---- lakehouse SQL front door (table-valued functions) ----
 
   test("graft_version / table_changes TVFs: SQL reads equal the Scala " +
