@@ -625,6 +625,43 @@ object SinkOps {
     v
   }
 
+  /** [[mergeVersion]] keyed by an IDEMPOTENCY TOKEN — the exactly-once
+    * discipline for merge commits under at-least-once delivery: the
+    * first commit of `batchKey` records its version in a
+    * `merges/<batchKey>.txt` marker (written AFTER the manifest — the
+    * commit point stays the manifest write), and a redelivered batch
+    * with the same key returns the recorded version WITHOUT committing
+    * — version history and the head stay bit-identical, where a plain
+    * [[mergeVersion]] replay would append a duplicate commit (head
+    * still correct by last-writer-wins, but history polluted and the
+    * read path one anti-join deeper until compaction). The
+    * [[graft.streaming.StreamOps]] ivmBatchAppend discipline, applied
+    * to DV merge commits. Single-writer contract as for
+    * [[commitVersion]]; a crash between manifest and marker re-merges
+    * the batch once on retry (the plain at-least-once window,
+    * shrunk to one commit).
+    */
+  def mergeVersionKeyed(updates: DataFrame, path: String,
+                        keyCol: String, batchKey: String): Int = {
+    val spark = updates.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root,
+      s"merges/$batchKey.txt")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    } else {
+      val v = mergeVersion(updates, path, keyCol)
+      val out = fs.create(marker, true)
+      try out.write(v.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      v
+    }
+  }
+
   /** Keys DELETED (or merge-touched) in (vFrom, vTo] — the delete half
     * of the changefeed: the sidecars present in vTo's manifest but not
     * vFrom's, O(changed files) like [[readChanges]]. One distinct key

@@ -1141,8 +1141,13 @@ object StreamOps {
     * (ascending-mtime staged files, maxFilesPerTrigger=1 — the
     * replay-harness discipline), each commit is data-files-then-
     * manifest so a reader never sees torn state, and intermediate
-    * versions remain pinned time-travel reads. Returns the final head;
-    * the oracle replays the chain in batch order.
+    * versions remain pinned time-travel reads. Commits are BATCH-KEYED
+    * ([[graft.ops.SinkOps.mergeVersionKeyed]]): a redelivered
+    * micro-batch reuses its recorded version instead of appending a
+    * duplicate merge commit, so version history AND the head stay
+    * bit-identical under at-least-once delivery — the ivmBatchAppend
+    * idempotency discipline applied to the merge path. Returns the
+    * final head; the oracle replays the chain in batch order.
     */
   def mergeStreamReplay(base: DataFrame, batches: DataFrame,
                         tablePath: String, stagingDir: String,
@@ -1158,9 +1163,15 @@ object StreamOps {
     val stream = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.SinkOps.mergeVersion(batch.drop("bseq"), tablePath,
-          keyCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Batch-keyed commit: a redelivered micro-batch reuses its
+        // recorded version instead of appending a duplicate merge
+        // commit — exactly-once effects over at-least-once delivery,
+        // the same discipline as the IVM family's ivmBatchAppend
+        // (spec-pinned: version count and head bit-identical under
+        // re-application).
+        graft.ops.SinkOps.mergeVersionKeyed(batch.drop("bseq"),
+          tablePath, keyCol, s"batch-$batchId")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -109,6 +109,39 @@ class Round12OpsSpec extends SparkSpec {
       s"composed DV read diverged: ${comp.length} vs ${want.length}")
   }
 
+  // ---- batch-keyed idempotent merge commits ----
+
+  test("mergeVersionKeyed is idempotent under at-least-once delivery: " +
+      "re-applying a batch with the same key reuses its version — " +
+      "version count and head bit-identical — while a new key commits") {
+    import spark.implicits._
+    val path = tmp("r12_mergekey")
+    SinkOps.commitVersion(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), path)
+    val b1 = Seq((2L, "B1"), (4L, "d")).toDF("id", "s")
+    val v1 = SinkOps.mergeVersionKeyed(b1, path, "id", "batch-1")
+    assert(v1 == 2)
+    val headAfter = SinkOps.readVersion(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // Redelivery: same batch key — no new commit, same version back.
+    val vRe = SinkOps.mergeVersionKeyed(b1, path, "id", "batch-1")
+    assert(vRe == v1, s"redelivered batch re-committed: $vRe")
+    assert(SinkOps.currentVersion(spark, path) == v1,
+      "redelivery appended a duplicate merge commit")
+    val headRe = SinkOps.readVersion(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(headRe.sameElements(headAfter), "head drifted on redelivery")
+    // A genuinely new batch still commits.
+    val v2 = SinkOps.mergeVersionKeyed(
+      Seq((4L, "D2")).toDF("id", "s"), path, "id", "batch-2")
+    assert(v2 == 3)
+    val fin = SinkOps.readVersion(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(fin.sameElements(
+      Array((1L, "a"), (2L, "B1"), (3L, "c"), (4L, "D2"))),
+      s"merge chain wrong: ${fin.mkString(",")}")
+  }
+
   // ---- executor-side bloom sidecar fold ----
 
   test("bloom sidecars fold executor-side and stay BYTE-IDENTICAL to " +
