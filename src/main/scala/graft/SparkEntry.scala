@@ -3180,6 +3180,44 @@ object SparkEntry {
           (b.getLong(1) + b.getLong(2)) / 2, b.getLong(0))
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // MULTI-COLUMN ZONE MAPS — per-file min/max for EVERY declared
+    // column in one sidecar (the Iceberg per-primitive-column stats
+    // shape): the table is laid out user-tertile per dir and
+    // event-range-clustered per file, so a CONJUNCTION of two range
+    // predicates prunes multiplicatively (the user predicate keeps ~one
+    // dir, the event predicate ~a quarter of its files) — spec-pinned
+    // tighter than either single-column prune. Exact residual
+    // conjunction keeps the read equal to the full-scan filter.
+    "q_stats_multi" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_statsmulti", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      val b = e.agg(min("user_id"), max("user_id"),
+        min("event_id"), max("event_id")).head()
+      val (umin, umax, emin, emax) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val span3 = (umax - umin + 1) / 3
+      val (t1, t2) = (umin + span3, umin + 2 * span3)
+      val (elo, ehi) = (emin + (emax - emin + 1) / 4,
+        emin + (emax - emin + 1) / 2)
+      SinkOps.commitVersionStats(
+        e.filter(col("user_id") < t1)
+          .repartitionByRange(4, col("event_id")),
+        path, carryForward = true, Seq("event_id", "user_id"))
+      SinkOps.commitVersionStats(
+        e.filter(col("user_id") >= t1 && col("user_id") < t2)
+          .repartitionByRange(4, col("event_id")),
+        path, carryForward = true, Seq("event_id", "user_id"))
+      SinkOps.commitVersionStats(
+        e.filter(col("user_id") >= t2)
+          .repartitionByRange(4, col("event_id")),
+        path, carryForward = true, Seq("event_id", "user_id"))
+      SinkOps.readVersionWhereCols(s, path,
+          Seq(("event_id", elo, ehi), ("user_id", t1, t2 - 1)))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
     // DESCRIBE HISTORY from metadata alone: the table-growth timeline
     // (rows, dirs, stat ranges per version) read from manifests +
     // stats sidecars with zero data-file IO — what an operator checks
@@ -6952,6 +6990,21 @@ object SparkEntry {
            AND event_id BETWEEN (SELECT min(event_id) FROM events)
              AND (SELECT (min(event_id) + max(event_id)) // 2
                   FROM events)""",
+    // The two-predicate multi-column prune equals the full-scan
+    // conjunction; tertile and range boundaries recomputed with the
+    // same integer arithmetic.
+    "q_stats_multi" ->
+      """WITH b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+                           min(event_id) AS emin, max(event_id) AS emax
+                    FROM events),
+              p AS (SELECT umin + (umax - umin + 1) // 3 AS t1,
+                           umin + 2 * ((umax - umin + 1) // 3) AS t2,
+                           emin + (emax - emin + 1) // 4 AS elo,
+                           emin + (emax - emin + 1) // 2 AS ehi
+                    FROM b)
+         SELECT event_id, user_id, event_type FROM events, p
+         WHERE event_id BETWEEN elo AND ehi
+           AND user_id BETWEEN t1 AND t2 - 1""",
     // Metadata-only history ≡ per-snapshot digests of the residue
     // construction.
     "q_version_history" ->

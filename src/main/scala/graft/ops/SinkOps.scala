@@ -189,7 +189,22 @@ object SinkOps {
     * wrongly skipped.
     */
   def commitVersion(df: DataFrame, path: String, carryForward: Boolean,
-                    statsCol: Option[String]): Int = {
+                    statsCol: Option[String]): Int =
+    commitVersionStats(df, path, carryForward, statsCol.toSeq)
+
+  /** [[commitVersion]] with MULTI-COLUMN zone maps: every declared
+    * column (each castable to long) gets per-file min/max in the ONE
+    * stats sidecar, so [[readVersionWhereCols]] prunes on a
+    * CONJUNCTION of range predicates — skipping multiplies across
+    * columns the way Iceberg's per-primitive-column stats do. The
+    * single-column sidecar format is the k=1 case byte-for-byte;
+    * column order in the sidecar is the declared order (the first
+    * column is the PRIMARY clustering column single-predicate readers
+    * default to).
+    */
+  def commitVersionStats(df: DataFrame, path: String,
+                         carryForward: Boolean,
+                         statsCols: Seq[String]): Int = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
@@ -206,7 +221,8 @@ object SinkOps {
     val dataDir = s"data/v$v"
     df.write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
-    statsCol.foreach(c => writeDirStats(spark, fs, root, dataDir, c))
+    if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
+      statsCols)
     val prev = if (head == 0 || !carryForward) Nil
       else manifestDirs(fs, root, head)
     val mf = new org.apache.hadoop.fs.Path(root, f"manifest/v$v%05d.txt")
@@ -217,33 +233,43 @@ object SinkOps {
     v
   }
 
-  /** Per-file min/max of `c` for one immutable data dir, as
-    * `stats/<dirname>.txt`: first line the column name, then one line
-    * per file — `name<TAB>min<TAB>max`, or bare `name` when the file
-    * has no non-null value (statless ⇒ unprunable). Stats are
-    * per-dir immutable like the data they describe: a snapshot's full
-    * zone map is the union of its manifest dirs' stats files.
+  /** Per-file min/max of the declared columns for one immutable data
+    * dir, as `stats/<dirname>.txt`: first line the TAB-JOINED column
+    * names, then one line per file —
+    * `name<TAB>min1<TAB>max1<TAB>…<TAB>minK<TAB>maxK<TAB>rowcount`; a
+    * column with no non-null value in the file leaves its min/max
+    * EMPTY (unprunable on that column, still metadata-countable). The
+    * k=1 format is byte-identical to the original single-column
+    * sidecar; legacy 1- and 3-field lines parse statless/countless.
+    * One bounded read-back of the commit's own files computes ALL
+    * columns' stats in a single aggregate. Stats are per-dir immutable
+    * like the data they describe: a snapshot's full zone map is the
+    * union of its manifest dirs' stats files.
     */
   private def writeDirStats(spark: org.apache.spark.sql.SparkSession,
                             fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path,
-                            dataDir: String, c: String): Unit = {
+                            dataDir: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.distinct == cols,
+      s"stats columns must be non-empty and distinct: $cols")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"mn_$c"),
+      max(col(c).cast("long")).as(s"mx_$c"))) :+ count(lit(1)).as("n")
     val rows = spark.read
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(c).cast("long")).as("mn"),
-        max(col(c).cast("long")).as("mx"),
-        count(lit(1)).as("n"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-    // Line format: name<TAB>min<TAB>max<TAB>rowcount; an all-null
-    // column leaves min/max EMPTY but still carries the count (the
-    // file is unprunable yet still metadata-countable). Legacy 1- and
-    // 3-field lines parse statless/countless.
-    val lines = c +: rows.map { r =>
+    val lines = cols.mkString("\t") +: rows.map { r =>
       val name = new org.apache.hadoop.fs.Path(
         new java.net.URI(r.getString(0))).getName
-      if (r.isNullAt(1) || r.isNullAt(2)) s"$name\t\t\t${r.getLong(3)}"
-      else s"$name\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getLong(3)}"
+      val mm = cols.indices.flatMap { i =>
+        if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) Seq("", "")
+        else Seq(r.getLong(1 + 2 * i).toString,
+          r.getLong(2 + 2 * i).toString)
+      }
+      (name +: mm :+ r.getLong(1 + 2 * cols.length).toString)
+        .mkString("\t")
     }.sorted
     val sf = new org.apache.hadoop.fs.Path(root,
       s"stats/${dataDir.stripPrefix("data/")}.txt")
@@ -251,6 +277,51 @@ object SinkOps {
     try out.write(lines.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Parsed stats sidecar of one data dir: the declared columns and
+    * per-file entries — (file name, per-column Option[(min,max)],
+    * Option[row count]); None when the dir has no sidecar. Legacy
+    * 1-field lines parse statless+countless, legacy 3-field
+    * single-column lines countless.
+    */
+  private case class DirStats(cols: Seq[String],
+      files: Seq[(String, Seq[Option[(Long, Long)]], Option[Long])])
+
+  private def readDirStats(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           dataDir: String): Option[DirStats] = {
+    val sf = new org.apache.hadoop.fs.Path(root,
+      s"stats/${dataDir.stripPrefix("data/")}.txt")
+    if (!fs.exists(sf)) None
+    else {
+      val in = fs.open(sf)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+      val cols = lines.head.split('\t').toSeq
+      val k = cols.length
+      def mmOf(parts: Array[String]): Seq[Option[(Long, Long)]] =
+        (0 until k).map { i =>
+          val mn = parts(1 + 2 * i)
+          val mx = parts(2 + 2 * i)
+          if (mn.nonEmpty && mx.nonEmpty) Some((mn.toLong, mx.toLong))
+          else None
+        }
+      val files = lines.tail.map { ln =>
+        val parts = ln.split('\t')
+        parts.length match {
+          case 1 => (parts(0), Seq.fill(k)(Option.empty[(Long, Long)]),
+            Option.empty[Long])
+          case n if n == 2 * k + 2 =>
+            (parts(0), mmOf(parts), Some(parts(2 * k + 1).toLong))
+          case 3 if k == 1 => (parts(0), mmOf(parts), Option.empty[Long])
+          case _ => throw new IllegalStateException(
+            s"malformed stats line in $sf: $ln")
+        }
+      }
+      Some(DirStats(cols, files))
+    }
   }
 
   /** Compact the latest snapshot into ONE data directory committed as a
@@ -334,7 +405,7 @@ object SinkOps {
     val packed = statsCol.fold(tail)(c => tail.repartitionByRange(col(c)))
     packed.write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
-    statsCol.foreach(c => writeDirStats(spark, fs, root, dataDir, c))
+    statsCol.foreach(c => writeDirStats(spark, fs, root, dataDir, Seq(c)))
     writeManifestLines(fs, root, v, big :+ dataDir)
     v
   }
@@ -606,7 +677,18 @@ object SinkOps {
     * Returns the new version.
     */
   def mergeVersion(updates: DataFrame, path: String,
-                   keyCol: String): Int = {
+                   keyCol: String): Int =
+    mergeVersion(updates, path, keyCol, Nil)
+
+  /** [[mergeVersion]] declaring zone-map stats columns for the
+    * batch's data dir — keeps a merge-fed table FULLY covered by
+    * sidecars: DV-aware skip reads prune the merged dir too, and the
+    * metadata tier ([[versionHistory]], [[statsOnlyAgg]] after
+    * compaction) keeps its every-file-counted contract across merge
+    * commits.
+    */
+  def mergeVersion(updates: DataFrame, path: String,
+                   keyCol: String, statsCols: Seq[String]): Int = {
     val spark = updates.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -619,6 +701,8 @@ object SinkOps {
       .parquet(new org.apache.hadoop.fs.Path(root, delDir).toString)
     updates.write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
+      statsCols)
     writeManifestLines(fs, root, v,
       manifestDirs(fs, root, head) :+
         s"$DeletePrefix$delDir:$keyCol" :+ dataDir)
@@ -688,14 +772,20 @@ object SinkOps {
 
   /** DESCRIBE HISTORY from metadata alone: one row per committed
     * version — (version, n_dirs, n_files, n_rows, min/max of the
-    * stats column, n_delete_commits) — computed ENTIRELY from
-    * manifests and stats sidecars, O(versions · manifest) driver work
-    * with zero data-file IO: the table-growth timeline a 100 TB
-    * operator reads before touching data. Same loud contract as
-    * [[statsOnlyAgg]] per version (every dir counted or refuse);
-    * n_rows of a DV-carrying version reports the PRE-DELETE data-dir
-    * total with its sidecar count alongside (resolving deletes needs
-    * data IO by definition — the reader is told, not undercounted).
+    * FIRST declared stats column, n_delete_commits, n_read_groups) —
+    * computed ENTIRELY from manifests and stats sidecars,
+    * O(versions · manifest) driver work with zero data-file IO: the
+    * table-growth timeline a 100 TB operator reads before touching
+    * data. Same loud contract as [[statsOnlyAgg]] per version (every
+    * dir counted or refuse); n_rows of a DV-carrying version reports
+    * the PRE-DELETE data-dir total with its sidecar count alongside
+    * (resolving deletes needs data IO by definition — the reader is
+    * told, not undercounted). `n_read_groups` is the version's READ
+    * AMPLIFICATION: the number of epoch groups a resolved read unions
+    * (1 = DV-free single read; B trailing merge commits ⇒ up to B+1
+    * groups) — the visible gauge of the compaction debt a merge
+    * stream accrues, nudging [[compactVersions]] before the fold
+    * grows expensive.
     */
   def versionHistory(spark: org.apache.spark.sql.SparkSession,
                      path: String): DataFrame = {
@@ -709,36 +799,35 @@ object SinkOps {
       var nRows = 0L; var nFiles = 0L
       var mn = Long.MaxValue; var mx = Long.MinValue; var any = false
       data.foreach { d =>
-        val sf = new org.apache.hadoop.fs.Path(root,
-          s"stats/${d.stripPrefix("data/")}.txt")
-        require(fs.exists(sf),
-          s"dir $d of version $v has no stats sidecar — " +
-            "metadata-only history needs every file counted")
-        val in = fs.open(sf)
-        val slines = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toList
-        finally in.close()
-        slines.tail.foreach { ln =>
-          ln.split('\t') match {
-            case Array(_, s1, s2, n) =>
-              nRows += n.toLong; nFiles += 1
-              if (s1.nonEmpty) {
-                any = true
-                mn = math.min(mn, s1.toLong)
-                mx = math.max(mx, s2.toLong)
-              }
-            case _ => throw new IllegalStateException(
-              s"count-less stats line in $sf (legacy format): $ln")
+        val ds = readDirStats(fs, root, d).getOrElse(
+          throw new IllegalArgumentException(
+            s"dir $d of version $v has no stats sidecar — " +
+              "metadata-only history needs every file counted"))
+        ds.files.foreach { case (_, mm, cnt) =>
+          val n = cnt.getOrElse(throw new IllegalStateException(
+            s"count-less stats line for dir $d (legacy format)"))
+          nRows += n; nFiles += 1
+          // min_stat/max_stat report the FIRST declared column — the
+          // primary clustering column by the commitVersionStats
+          // contract.
+          mm.head.foreach { case (lo, hi) =>
+            any = true
+            mn = math.min(mn, lo)
+            mx = math.max(mx, hi)
           }
         }
       }
+      // Read-amplification visibility: how many epoch groups (hence
+      // union branches, each with its own anti-join fold) a resolved
+      // read of this version pays — the compaction-debt gauge a merge
+      // stream accrues (1 = DV-free single read).
       (v, data.size, nFiles, nRows,
         if (any) Some(mn) else None, if (any) Some(mx) else None,
-        del.size)
+        del.size, epochGroups(lines).size)
     }
     import spark.implicits._
     rows.toDF("version", "n_dirs", "n_files", "n_rows",
-      "min_stat", "max_stat", "n_delete_commits")
+      "min_stat", "max_stat", "n_delete_commits", "n_read_groups")
   }
 
   /** CDF ATTRIBUTION — classify a window's post-image rows as INSERT
@@ -841,7 +930,29 @@ object SinkOps {
                                path: String, lo: Long, hi: Long,
                                version: Option[Int])
       : (Seq[(Seq[String], Seq[(String, String)])], Int, String) = {
-    require(lo <= hi, s"empty predicate range [$lo, $hi]")
+    val (groups, total, cols) =
+      pruneGroupsWhereCols(spark, path, Seq((None, lo, hi)), version)
+    (groups, total, cols.head)
+  }
+
+  /** Multi-predicate planning core: every predicate is a CONJUNCT —
+    * a file survives iff each predicate's column range intersects
+    * its declared per-file [min,max] (a column statless in a file, or
+    * a whole dir without a sidecar, never prunes — no wrong skip). A
+    * predicate column of None targets the FIRST declared column (the
+    * primary clustering column, the single-predicate compatibility
+    * path); a named column absent from the declared stats fails
+    * loudly (the reader asked for a skip the table cannot answer).
+    * Returns (per-epoch groups, total files, declared columns).
+    */
+  private def pruneGroupsWhereCols(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      preds: Seq[(Option[String], Long, Long)], version: Option[Int])
+      : (Seq[(Seq[String], Seq[(String, String)])], Int, Seq[String]) = {
+    require(preds.nonEmpty, "no predicates to plan")
+    preds.foreach { case (c, lo, hi) =>
+      require(lo <= hi,
+        s"empty predicate range [$lo, $hi]${c.fold("")(" on " + _)}") }
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val v = version.getOrElse {
@@ -849,42 +960,39 @@ object SinkOps {
       require(latest >= 1, s"no versions committed at $path")
       latest
     }
-    var statsCol: Option[String] = None
+    var declared: Option[Seq[String]] = None
     var total = 0
     def keptOf(d: String): Seq[String] = {
       val dirP = new org.apache.hadoop.fs.Path(root, d)
-      val sf = new org.apache.hadoop.fs.Path(root,
-        s"stats/${d.stripPrefix("data/")}.txt")
       val parts = fs.listStatus(dirP).map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
       total += parts.length
-      if (!fs.exists(sf)) parts.map(_.toString).toSeq
-      else {
-        val in = fs.open(sf)
-        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toList
-        finally in.close()
-        val c = lines.head
-        statsCol.foreach(prev => require(prev == c,
-          s"inconsistent stats columns across snapshot dirs: $prev vs $c"))
-        statsCol = Some(c)
-        val keep = lines.tail.flatMap { ln =>
-          ln.split('\t') match {
-            case Array(name, mn, mx, _) if mn.nonEmpty =>
-              if (mn.toLong <= hi && mx.toLong >= lo) Some(name) else None
-            case Array(name, mn, mx) if mn.nonEmpty =>
-              if (mn.toLong <= hi && mx.toLong >= lo) Some(name) else None
-            case Array(name, _*) => Some(name) // statless: always plan
-            case _ => throw new IllegalStateException(
-              s"malformed stats line in $sf: $ln")
+      readDirStats(fs, root, d) match {
+        case None => parts.map(_.toString).toSeq
+        case Some(ds) =>
+          declared.foreach(prev => require(prev == ds.cols,
+            s"inconsistent stats columns across snapshot dirs: " +
+              s"${prev.mkString(",")} vs ${ds.cols.mkString(",")}"))
+          declared = Some(ds.cols)
+          val idx = preds.map { case (c, lo, hi) =>
+            val i = c.fold(0)(ds.cols.indexOf)
+            require(i >= 0,
+              s"predicate on ${c.get} but dir $d declares stats for " +
+                ds.cols.mkString(", "))
+            (i, lo, hi)
           }
-        }.toSet
-        parts.filter(p => keep.contains(p.getName)).map(_.toString).toSeq
+          val keep = ds.files.collect {
+            case (name, mm, _) if idx.forall { case (i, lo, hi) =>
+              mm(i).forall { case (mn, mx) => mn <= hi && mx >= lo } } =>
+              name
+          }.toSet
+          parts.filter(p => keep.contains(p.getName))
+            .map(_.toString).toSeq
       }
     }
     val groups = epochGroups(manifestDirs(fs, root, v))
       .map { case (dirs, dels) => (dirs.flatMap(keptOf), dels) }
-    (groups, total, statsCol.getOrElse(throw new IllegalStateException(
+    (groups, total, declared.getOrElse(throw new IllegalStateException(
       s"no stats sidecar in any dir of version $v at $path — " +
         "commit with statsCol to enable zone-map reads")))
   }
@@ -953,6 +1061,46 @@ object SinkOps {
       readVersion(spark, path, version).filter(lit(false))
     else readGroups(spark, root, groups)
       .filter(col(c).cast("long").between(lo, hi))
+  }
+
+  /** Read a snapshot under a CONJUNCTION of range predicates over the
+    * table's declared multi-column zone maps
+    * ([[commitVersionStats]]): the planned file set intersects every
+    * predicate's prune — skipping MULTIPLIES across independently
+    * selective columns, the Iceberg per-column-stats economics (a
+    * date range keeping 10% of files times an id range keeping 10%
+    * plans ~1%). DV-aware like [[readVersionWhere]]; exact residual
+    * conjunction keeps results equal to the full-scan filter by
+    * construction. Predicates on undeclared columns fail loudly.
+    */
+  def readVersionWhereCols(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           preds: Seq[(String, Long, Long)],
+                           version: Option[Int] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (groups, _, _) = pruneGroupsWhereCols(spark, path,
+      preds.map { case (c, lo, hi) => (Some(c): Option[String], lo, hi) },
+      version)
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c).cast("long").between(lo, hi) }.reduce(_ && _)
+    if (groups.forall(_._1.isEmpty))
+      readVersion(spark, path, version).filter(lit(false))
+    else readGroups(spark, root, groups).filter(residual)
+  }
+
+  /** Planning view of [[readVersionWhereCols]] — (kept files, total,
+    * declared stats columns) under the predicate conjunction; the
+    * skip-economics probe specs and operators use to see what a read
+    * WOULD open.
+    */
+  def pruneFilesCols(spark: org.apache.spark.sql.SparkSession,
+                     path: String, preds: Seq[(String, Long, Long)],
+                     version: Option[Int] = None)
+      : (Seq[String], Int, Seq[String]) = {
+    val (groups, total, cols) = pruneGroupsWhereCols(spark, path,
+      preds.map { case (c, lo, hi) => (Some(c): Option[String], lo, hi) },
+      version)
+    (groups.flatMap(_._1), total, cols)
   }
 
   // ---- Bloom-filter file skipping (point lookups) ----
@@ -1230,47 +1378,62 @@ object SinkOps {
     require(!lines.exists(isDeleteLine),
       s"stats-only read over version $v at $path which carries " +
         "unresolved deletion vectors — compactVersions first")
-    var statsCol: Option[String] = None
+    var statsCols: Option[Seq[String]] = None
     var nRows = 0L
     var nFiles = 0L
-    var mn = Long.MaxValue
-    var mx = Long.MinValue
-    var any = false
+    var mn: Array[Long] = null
+    var mx: Array[Long] = null
+    var any: Array[Boolean] = null
     lines.foreach { d =>
-      val sf = new org.apache.hadoop.fs.Path(root,
-        s"stats/${d.stripPrefix("data/")}.txt")
-      require(fs.exists(sf),
-        s"dir $d of version $v has no stats sidecar — " +
-          "stats-only aggregation needs every file counted")
-      val in = fs.open(sf)
-      val slines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toList
-      finally in.close()
-      val c = slines.head
-      statsCol.foreach(prev => require(prev == c,
-        s"inconsistent stats columns across snapshot dirs: $prev vs $c"))
-      statsCol = Some(c)
-      slines.tail.foreach { ln =>
-        ln.split('\t') match {
-          case Array(_, s1, s2, n) =>
-            nRows += n.toLong; nFiles += 1
-            if (s1.nonEmpty) {
-              any = true
-              mn = math.min(mn, s1.toLong)
-              mx = math.max(mx, s2.toLong)
-            }
-          case _ => throw new IllegalStateException(
-            s"count-less stats line in $sf (legacy format): $ln — " +
-              "recommit or compact with a statsCol to enable " +
-              "stats-only aggregation")
+      val ds = readDirStats(fs, root, d).getOrElse(
+        throw new IllegalArgumentException(
+          s"dir $d of version $v has no stats sidecar — " +
+            "stats-only aggregation needs every file counted"))
+      statsCols.foreach(prev => require(prev == ds.cols,
+        s"inconsistent stats columns across snapshot dirs: " +
+          s"${prev.mkString(",")} vs ${ds.cols.mkString(",")}"))
+      if (statsCols.isEmpty) {
+        statsCols = Some(ds.cols)
+        mn = Array.fill(ds.cols.length)(Long.MaxValue)
+        mx = Array.fill(ds.cols.length)(Long.MinValue)
+        any = Array.fill(ds.cols.length)(false)
+      }
+      ds.files.foreach { case (_, mm, cnt) =>
+        val n = cnt.getOrElse(throw new IllegalStateException(
+          s"count-less stats line for dir $d (legacy format) — " +
+            "recommit or compact with a statsCol to enable " +
+            "stats-only aggregation"))
+        nRows += n; nFiles += 1
+        mm.zipWithIndex.foreach {
+          case (Some((lo, hi)), i) =>
+            any(i) = true
+            mn(i) = math.min(mn(i), lo)
+            mx(i) = math.max(mx(i), hi)
+          case _ =>
         }
       }
     }
-    val c = statsCol.get
-    import spark.implicits._
-    Seq((nRows, if (any) Some(mn) else None,
-        if (any) Some(mx) else None, nFiles))
-      .toDF("n_rows", s"min_$c", s"max_$c", "n_files")
+    val cols = statsCols.get
+    // One row, dynamic width: n_rows, then min_c/max_c per declared
+    // column (null when the column is all-null table-wide), n_files.
+    val fields = org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      cols.flatMap(c => Seq(
+        org.apache.spark.sql.types.StructField(s"min_$c",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(s"max_$c",
+          org.apache.spark.sql.types.LongType, nullable = true))) :+
+      org.apache.spark.sql.types.StructField("n_files",
+        org.apache.spark.sql.types.LongType, nullable = false)
+    val values: Seq[Any] = (nRows: java.lang.Long) +:
+      cols.indices.flatMap(i => Seq[Any](
+        if (any(i)) (mn(i): java.lang.Long) else null,
+        if (any(i)) (mx(i): java.lang.Long) else null)) :+
+      (nFiles: java.lang.Long)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(values: _*)),
+      org.apache.spark.sql.types.StructType(fields))
   }
 
   /** Incremental CHANGEFEED between two committed snapshots of an

@@ -109,6 +109,87 @@ class Round12OpsSpec extends SparkSpec {
       s"composed DV read diverged: ${comp.length} vs ${want.length}")
   }
 
+  // ---- multi-column zone maps ----
+
+  test("multi-column zone maps: the two-predicate prune is strictly " +
+      "tighter than either single-column prune, the read equals the " +
+      "full-scan conjunction, and statsOnlyAgg reports every declared " +
+      "column") {
+    val e = Tables.events(spark, sfDir)
+    val path = tmp("r12_multistats")
+    val b = e.agg(min("user_id"), max("user_id"),
+      min("event_id"), max("event_id")).head()
+    val (umin, umax, emin, emax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val span3 = (umax - umin + 1) / 3
+    val (t1, t2) = (umin + span3, umin + 2 * span3)
+    val (elo, ehi) = (emin + (emax - emin + 1) / 4,
+      emin + (emax - emin + 1) / 2)
+    Seq(col("user_id") < t1,
+        col("user_id") >= t1 && col("user_id") < t2,
+        col("user_id") >= t2)
+      .foreach { p =>
+        SinkOps.commitVersionStats(
+          e.filter(p).repartitionByRange(4, col("event_id")),
+          path, carryForward = true, Seq("event_id", "user_id")); ()
+      }
+    val both = Seq(("event_id", elo, ehi), ("user_id", t1, t2 - 1))
+    val (keptBoth, total, cols) = SinkOps.pruneFilesCols(spark, path, both)
+    assert(cols == Seq("event_id", "user_id"))
+    val (keptE, _, _) = SinkOps.pruneFilesCols(spark, path,
+      Seq(("event_id", elo, ehi)))
+    val (keptU, _, _) = SinkOps.pruneFilesCols(spark, path,
+      Seq(("user_id", t1, t2 - 1)))
+    assert(keptBoth.nonEmpty, "conjunction pruned everything")
+    assert(keptBoth.size < keptE.size && keptBoth.size < keptU.size,
+      s"no multiplicative skip: both=${keptBoth.size} " +
+        s"event=${keptE.size} user=${keptU.size} total=$total")
+    val got = SinkOps.readVersionWhereCols(spark, path, both)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = e.filter(col("event_id").between(elo, ehi) &&
+        col("user_id").between(t1, t2 - 1))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want),
+      s"multi-column read diverged: ${got.length} vs ${want.length}")
+    // A predicate on an undeclared column fails loudly.
+    val ex = intercept[IllegalArgumentException] {
+      SinkOps.pruneFilesCols(spark, path, Seq(("value", 0L, 1L)))
+    }
+    assert(ex.getMessage.contains("declares stats for"))
+    // statsOnlyAgg reports min/max for EVERY declared column.
+    val so = SinkOps.statsOnlyAgg(spark, path)
+    assert(so.columns.toSeq == Seq("n_rows", "min_event_id",
+      "max_event_id", "min_user_id", "max_user_id", "n_files"))
+    val r = so.head()
+    assert(r.getLong(0) == e.count())
+    assert(r.getLong(1) == emin && r.getLong(2) == emax)
+    assert(r.getLong(3) == umin && r.getLong(4) == umax)
+  }
+
+  test("versionHistory exposes read amplification: n_read_groups " +
+      "grows with trailing merge commits and collapses to 1 after " +
+      "compaction") {
+    import spark.implicits._
+    val path = tmp("r12_readgroups")
+    SinkOps.commitVersion(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path,
+      carryForward = true, Some("id"))
+    SinkOps.mergeVersion(Seq((2L, "B")).toDF("id", "s"), path, "id",
+      Seq("id"))
+    SinkOps.mergeVersion(Seq((3L, "c")).toDF("id", "s"), path, "id",
+      Seq("id"))
+    // The history shows the debt curve 1 → 2 → 3 → 1.
+    val cv = SinkOps.compactVersions(spark, path, Some("id"))
+    val hist = SinkOps.versionHistory(spark, path)
+      .select("version", "n_delete_commits", "n_read_groups")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(hist.map(_._3).sameElements(Array(1, 2, 3, 1)),
+      s"read-group curve wrong: ${hist.mkString(",")}")
+    assert(hist.map(_._2).sameElements(Array(0, 1, 2, 0)))
+    assert(cv == 4)
+  }
+
   // ---- batch-keyed idempotent merge commits ----
 
   test("mergeVersionKeyed is idempotent under at-least-once delivery: " +
