@@ -3180,6 +3180,33 @@ object SparkEntry {
           (b.getLong(1) + b.getLong(2)) / 2, b.getLong(0))
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // DELTA MANIFESTS + CHECKPOINTS — manifest metadata at streaming
+    // commit rates: each commit's manifest carries only base:<head> +
+    // its new dir (O(1) metadata per commit instead of repeating the
+    // whole carry-forward list), with a FULL checkpoint manifest every
+    // 3rd commit bounding every reader's base-chain walk. Time travel
+    // resolves through the chain transparently: v2 (delta on v1) and
+    // the head v4 (delta on the v3 checkpoint) both digest exactly.
+    "q_version_delta" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_vdelta", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 3L).foreach { r =>
+        SinkOps.commitVersionDelta(e.filter(col("event_id") % 4 === r),
+          path, checkpointEvery = 3); ()
+      }
+      def dig(df: DataFrame, v: Int) = df.agg(
+          count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"),
+          AggOps.exactSum(col("value")).as("val_sum"))
+        .select(lit(v).as("version"), col("n_rows"), col("user_sum"),
+          col("val_sum"))
+      dig(SinkOps.readVersion(s, path, Some(2)), 2)
+        .unionByName(dig(SinkOps.readVersion(s, path, Some(4)), 4))
+    }),
+
     // MULTI-COLUMN ZONE MAPS — per-file min/max for EVERY declared
     // column in one sidecar (the Iceberg per-primitive-column stats
     // shape): the table is laid out user-tertile per dir and
@@ -6990,6 +7017,20 @@ object SparkEntry {
            AND event_id BETWEEN (SELECT min(event_id) FROM events)
              AND (SELECT (min(event_id) + max(event_id)) // 2
                   FROM events)""",
+    // Delta-manifest snapshots digest identically to their residue
+    // construction: v2 = residues {0,1}, the head = the whole table.
+    "q_version_delta" ->
+      """SELECT 2 AS version, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events WHERE event_id % 4 IN (0, 1)
+         UNION ALL
+         SELECT 4 AS version, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events""",
     // The two-predicate multi-column prune equals the full-scan
     // conjunction; tertile and range boundaries recomputed with the
     // same integer arithmetic.

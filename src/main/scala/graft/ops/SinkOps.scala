@@ -324,6 +324,52 @@ object SinkOps {
     }
   }
 
+  /** [[commitVersion]] writing a DELTA MANIFEST — only `base:<head>`
+    * plus the new data dir, with a FULL (checkpoint) manifest every
+    * `checkpointEvery` commits: manifest metadata drops from
+    * O(versions · dirs) to O(versions + dirs) while every reader
+    * resolves the base chain transparently (resolution cost bounded by
+    * the checkpoint interval). The shape a per-batch streaming sink
+    * needs at 1 M commits — the Delta checkpoint-parquet role.
+    * Carry-forward semantics only (a delta IS a carry-forward);
+    * readers, time travel, changefeeds, VACUUM (which re-checkpoints
+    * survivors whose base falls below the horizon) all compose,
+    * spec-pinned delta-chain ≡ full-chain. Returns the new version.
+    */
+  def commitVersionDelta(df: DataFrame, path: String,
+                         checkpointEvery: Int = 10,
+                         statsCols: Seq[String] = Nil): Int = {
+    require(checkpointEvery >= 1,
+      s"checkpoint interval must be >= 1: $checkpointEvery")
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = latestVersion(fs, root)
+    val v = math.max(head, latestStaged(fs, root)) + 1
+    val dataDir = s"data/v$v"
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
+      statsCols)
+    val lines =
+      if (head == 0 || v % checkpointEvery == 0)
+        (if (head == 0) Nil else manifestDirs(fs, root, head)) :+ dataDir
+      else Seq(s"$BasePrefix$head", dataDir)
+    writeManifestLines(fs, root, v, lines)
+    v
+  }
+
+  /** Resolved manifest line list of a committed version (delta base
+    * chains expanded) — the transaction-log view manifest-tailing
+    * consumers seed their seen-sets from.
+    */
+  def manifestLines(spark: org.apache.spark.sql.SparkSession,
+                    path: String, v: Int): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    manifestDirs(root.getFileSystem(spark.sessionState.newHadoopConf()),
+      root, v)
+  }
+
   /** Compact the latest snapshot into ONE data directory committed as a
     * new version (the OPTIMIZE half of the versioned-table lifecycle:
     * a long-running append stream accretes day-sized dirs; compaction
@@ -426,6 +472,19 @@ object SinkOps {
     val latest = latestVersion(fs, root)
     require(keep >= 1 && keep <= latest,
       s"keep=$keep outside committed versions 1..$latest")
+    // Surviving DELTA manifests whose base chain reaches below the
+    // horizon are RE-CHECKPOINTED (rewritten as their resolved full
+    // list — same snapshot, different encoding) BEFORE the old
+    // manifests they reference are deleted; a surviving reader never
+    // dangles. Done first so the live set below sees final state.
+    (keep to latest).foreach { v =>
+      rawManifest(fs, root, v).headOption match {
+        case Some(h) if h.startsWith(BasePrefix) &&
+            h.stripPrefix(BasePrefix).trim.toInt < keep =>
+          writeManifestLines(fs, root, v, manifestDirs(fs, root, v))
+        case _ =>
+      }
+    }
     // Live set spans BOTH line kinds: data dirs as written, delete
     // sidecars by their dir part — an expired merge's sidecar GCs with
     // its history, a still-referenced one survives.
@@ -1466,15 +1525,53 @@ object SinkOps {
       new org.apache.hadoop.fs.Path(root, d).toString): _*)
   }
 
-  private def manifestDirs(fs: org.apache.hadoop.fs.FileSystem,
-                           root: org.apache.hadoop.fs.Path,
-                           v: Int): Seq[String] = {
+  /** DELTA-MANIFEST base reference: a manifest whose FIRST line is
+    * `base:<v>` carries only the lines ADDED since version v — the
+    * fix for O(versions · dirs) manifest metadata (every full manifest
+    * repeats the whole carry-forward list; a per-batch streaming sink
+    * writes one per commit). Resolution walks the base chain to the
+    * nearest FULL manifest (the checkpoint, every Nth commit by
+    * [[commitVersionDelta]]), so chain length is bounded by the
+    * checkpoint interval — the Delta checkpoint-parquet role in the
+    * text manifest tier.
+    */
+  private val BasePrefix = "base:"
+
+  private def rawManifest(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path,
+                          v: Int): Seq[String] = {
     val mf = new org.apache.hadoop.fs.Path(root, f"manifest/v$v%05d.txt")
     require(fs.exists(mf), s"version $v does not exist under $root")
     val in = fs.open(mf)
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  private def manifestDirs(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           v: Int): Seq[String] = {
+    // Iterative base-chain walk (never recursion — a mis-set interval
+    // must not blow the stack at 1 M commits): segments collect newest
+    // first and flatten oldest-first, preserving manifest order.
+    var segments = List.empty[Seq[String]]
+    var cur = v
+    var done = false
+    while (!done) {
+      val raw = rawManifest(fs, root, cur)
+      raw.headOption match {
+        case Some(h) if h.startsWith(BasePrefix) =>
+          val b = h.stripPrefix(BasePrefix).trim.toInt
+          require(b >= 1 && b < cur,
+            s"manifest v$cur has a non-monotone base reference: $h")
+          segments = raw.tail :: segments
+          cur = b
+        case _ =>
+          segments = raw :: segments
+          done = true
+      }
+    }
+    segments.flatten
   }
 
   /** Per-source-file provenance audit — the find-the-bad-shard tool a

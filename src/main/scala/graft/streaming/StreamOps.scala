@@ -1226,12 +1226,6 @@ object StreamOps {
       org.apache.hadoop.fs.FileUtil.copy(fs, p, lfs, dst, false, conf)
       lfs.setTimes(dst, 1000000000L + i * 1000L, -1L)
     }
-    def linesOf(p: org.apache.hadoop.fs.Path): Seq[String] = {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().filter(_.nonEmpty).toList
-      finally in.close()
-    }
     val vroot = new org.apache.hadoop.fs.Path(viewPath)
     vroot.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(vroot, true)
@@ -1239,21 +1233,23 @@ object StreamOps {
       graft.ops.SinkOps.readVersion(spark, tablePath,
         Some(baselineVersion)), s"$viewPath/batch=base")
     val seen = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-    // Seed the seen-set from the baseline manifest BY NAME, never by
-    // array position: vacuumed history (expireVersions) leaves holes,
-    // so positional indexing would seed from the wrong manifest and
-    // double-count baseline dirs.
-    val baseMf = new org.apache.hadoop.fs.Path(mdir,
-      f"v$baselineVersion%05d.txt")
-    require(fs.exists(baseMf),
-      s"baseline version $baselineVersion has no manifest under $mdir")
-    linesOf(baseMf).foreach(seen.put(_, true))
+    // Seed the seen-set from the baseline manifest BY NAME (never by
+    // array position: vacuumed history leaves holes positional
+    // indexing would mis-seed), RESOLVED (a delta baseline's base
+    // chain expands to the full carried list — raw text would miss
+    // the carried dirs and re-join the whole baseline).
+    graft.ops.SinkOps.manifestLines(spark, tablePath, baselineVersion)
+      .foreach(seen.put(_, true))
     val stream = spark.readStream
       .option("maxFilesPerTrigger", "1").text(logDir.toString)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // base: references expand to history already delivered by
+        // earlier manifests (in-order tailing from a RESOLVED
+        // baseline), so a delta manifest's delta is exactly its own
+        // tail lines — the reference is dropped, never expanded.
         val lines = batch.collect().map(_.getString(0))
-          .filter(_.nonEmpty).toSeq
+          .filter(_.nonEmpty).filterNot(_.startsWith("base:")).toSeq
         require(!lines.exists(_.startsWith("delete:")),
           s"changefeed stream over $tablePath hit a delete-sidecar " +
             "commit — append-only contract (readDeletedKeys is the " +

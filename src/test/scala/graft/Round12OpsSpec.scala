@@ -109,6 +109,95 @@ class Round12OpsSpec extends SparkSpec {
       s"composed DV read diverged: ${comp.length} vs ${want.length}")
   }
 
+  // ---- delta manifests + checkpoints ----
+
+  private def rawManifestText(path: String, v: Int): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(new org.apache.hadoop.fs.Path(root,
+      f"manifest/v$v%05d.txt"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  test("delta manifests resolve identically to full manifests at every " +
+      "version, delta commits carry O(1) metadata, and checkpoint " +
+      "commits are full") {
+    import spark.implicits._
+    val slices = (1 to 5).map(i =>
+      Seq((i.toLong, s"s$i")).toDF("id", "s"))
+    val full = tmp("r12_mf_full")
+    val delta = tmp("r12_mf_delta")
+    slices.foreach { df => SinkOps.commitVersion(df, full); () }
+    slices.foreach { df =>
+      SinkOps.commitVersionDelta(df, delta, checkpointEvery = 3); ()
+    }
+    (1 to 5).foreach { v =>
+      assert(SinkOps.manifestLines(spark, delta, v) ==
+        SinkOps.manifestLines(spark, full, v),
+        s"delta chain resolves differently at v$v")
+      val got = SinkOps.readVersion(spark, delta, Some(v))
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(1L to v.toLong))
+    }
+    // v2, v4, v5 are deltas (base: + one dir); v3 is a checkpoint.
+    Seq(2, 4, 5).foreach { v =>
+      val raw = rawManifestText(delta, v).split("\n")
+      assert(raw.length == 2 && raw.head == s"base:${v - 1}",
+        s"v$v not a delta manifest: ${raw.mkString("|")}")
+    }
+    assert(!rawManifestText(delta, 3).contains("base:"),
+      "checkpoint commit v3 still carries a base reference")
+  }
+
+  test("VACUUM re-checkpoints surviving delta manifests whose base " +
+      "falls below the horizon: reads survive the expired history") {
+    import spark.implicits._
+    val path = tmp("r12_mf_vacuum")
+    (1 to 5).foreach { i =>
+      SinkOps.commitVersionDelta(Seq((i.toLong, s"s$i")).toDF("id", "s"),
+        path, checkpointEvery = 100); () // no checkpoint in range
+    }
+    val before4 = SinkOps.readVersion(spark, path, Some(4))
+      .select("id").collect().map(_.getLong(0)).sorted
+    SinkOps.expireVersions(spark, path, keep = 4)
+    // v4's base chain reached v1 — it must have been rewritten full.
+    assert(!rawManifestText(path, 4).contains("base:"),
+      "surviving manifest still references expired history")
+    val after4 = SinkOps.readVersion(spark, path, Some(4))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(after4.sameElements(before4), "v4 changed across VACUUM")
+    // v5 (base:4, above the horizon) still resolves through v4.
+    val head = SinkOps.readVersion(spark, path, Some(5))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(head.sameElements(1L to 5L))
+    // Expired manifests are gone; pinned reads below the horizon fail.
+    intercept[IllegalArgumentException] {
+      SinkOps.readVersion(spark, path, Some(2))
+    }
+  }
+
+  test("manifest tailing consumes a delta-manifest table: the streamed " +
+      "view equals the full join (base: references dropped, never " +
+      "re-expanded)") {
+    import graft.ops.JoinOps
+    val o = Tables.orders(spark, sfDir).limit(400)
+      .localCheckpoint(true)
+    val li = Tables.lineitem(spark, sfDir).limit(2000)
+      .localCheckpoint(true)
+    val tbl = tmp("r12_scf_delta")
+    (0 to 2).foreach { r =>
+      SinkOps.commitVersionDelta(
+        li.filter(col("l_orderkey") % 3 === r), tbl,
+        checkpointEvery = 100); ()
+    }
+    val view = graft.streaming.StreamOps.changefeedStreamReplay(
+      o, tbl, 1, tmp("r12_scf_delta_view"))
+    val full = JoinOps.joinViewRows(o, li)
+    assert(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+      "streamed view over delta manifests diverges from the full join")
+  }
+
   // ---- multi-column zone maps ----
 
   test("multi-column zone maps: the two-predicate prune is strictly " +
