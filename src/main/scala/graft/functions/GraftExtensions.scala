@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.stripAccents)
     ext.injectTableFunction(GraftFunctions.graftVersion)
     ext.injectTableFunction(GraftFunctions.tableChanges)
+    ext.injectTableFunction(GraftFunctions.graftHistory)
   }
 }
 
@@ -152,6 +153,25 @@ object GraftFunctions {
       constInt(exprs(2), "table_changes vTo")))
   }
 
+  /** `graft_history(path)` — DESCRIBE HISTORY through SQL: the
+    * metadata-only growth timeline ([[graft.ops.SinkOps
+    * .versionHistory]] — versions, dirs, files, rows, stat ranges,
+    * delete commits, read amplification) as a queryable relation.
+    */
+  private def buildGraftHistory(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1,
+      s"graft_history expects (path), got ${exprs.length} arguments")
+    GraftSqlBridge.plan(graft.ops.SinkOps.versionHistory(
+      SparkSession.active, constString(exprs.head, "graft_history path")))
+  }
+
+  val graftHistory: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_history"),
+      new ExpressionInfo("graft.ops.SinkOps", "graft_history"),
+      buildGraftHistory _)
+
   val graftVersion: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
     (FunctionIdentifier("graft_version"),
@@ -174,5 +194,7 @@ object GraftFunctions {
       buildGraftVersion)
     GraftSqlBridge.registerTableFunction(spark, "table_changes",
       buildTableChanges)
+    GraftSqlBridge.registerTableFunction(spark, "graft_history",
+      buildGraftHistory)
   }
 }

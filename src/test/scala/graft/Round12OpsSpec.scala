@@ -402,6 +402,18 @@ class Round12OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
       s"filter not pushed into the TVF scan:\n$plan")
+    // DESCRIBE HISTORY through SQL (needs stats-covered commits).
+    val path2 = tmp("r12_tvf_hist")
+    SinkOps.commitVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      path2, carryForward = true, Some("id"))
+    SinkOps.commitVersion(Seq((3L, "c")).toDF("id", "s"), path2,
+      carryForward = true, Some("id"))
+    val hist = spark.sql(
+        s"""SELECT version, n_rows, n_read_groups
+            FROM graft_history('$path2') ORDER BY version""")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    assert(hist.sameElements(Array((1, 2L, 1), (2, 3L, 1))),
+      s"SQL history wrong: ${hist.mkString(",")}")
     // Loud contracts: missing version, non-constant argument.
     intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_version('$path', 9)").collect()
