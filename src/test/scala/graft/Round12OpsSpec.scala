@@ -255,6 +255,39 @@ class Round12OpsSpec extends SparkSpec {
     assert(r.getLong(3) == umin && r.getLong(4) == umax)
   }
 
+  test("Z-order layout composes with multi-column zone maps: a 2-D box " +
+      "predicate prunes files on BOTH dimensions and equals the " +
+      "full-scan conjunction (the OPTIMIZE ZORDER production combo)") {
+    val e = Tables.events(spark, sfDir)
+    val path = tmp("r12_zorder_stats")
+    // zorderLayout's shape with an explicit partition count (the tiny
+    // fixture would otherwise land in one range partition = one file).
+    val laid = e.withColumn("_z", graft.ops.SortOps.zorderValue(
+        col("event_id"), col("user_id"), bits = 20))
+      .repartitionByRange(8, col("_z"))
+      .sortWithinPartitions("_z").drop("_z")
+    SinkOps.commitVersionStats(laid, path, carryForward = true,
+      Seq("event_id", "user_id"))
+    val b = e.agg(min("event_id"), max("event_id"),
+      min("user_id"), max("user_id")).head()
+    // A box covering ~1/4 × ~1/4 of each dimension's range.
+    val (elo, ehi) = (b.getLong(0), b.getLong(0) +
+      (b.getLong(1) - b.getLong(0)) / 4)
+    val (ulo, uhi) = (b.getLong(2), b.getLong(2) +
+      (b.getLong(3) - b.getLong(2)) / 4)
+    val box = Seq(("event_id", elo, ehi), ("user_id", ulo, uhi))
+    val (kept, total, _) = SinkOps.pruneFilesCols(spark, path, box)
+    assert(total >= 3, s"fixture too small to exercise pruning: $total")
+    assert(kept.nonEmpty && kept.size < total,
+      s"z-order box prune kept everything: ${kept.size} of $total")
+    val got = SinkOps.readVersionWhereCols(spark, path, box)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = e.filter(col("event_id").between(elo, ehi) &&
+        col("user_id").between(ulo, uhi))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+  }
+
   test("versionHistory exposes read amplification: n_read_groups " +
       "grows with trailing merge commits and collapses to 1 after " +
       "compaction") {
