@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftFunctions.graftVersion)
     ext.injectTableFunction(GraftFunctions.tableChanges)
     ext.injectTableFunction(GraftFunctions.graftHistory)
+    ext.injectTableFunction(GraftFunctions.deletedKeys)
   }
 }
 
@@ -153,6 +154,29 @@ object GraftFunctions {
       constInt(exprs(2), "table_changes vTo")))
   }
 
+  /** `graft_deleted_keys(path, vFrom, vTo)` — the DELETE half of the
+    * SQL changefeed: keys removed or merge-touched in (vFrom, vTo]
+    * ([[graft.ops.SinkOps.readDeletedKeys]]), completing the CDF
+    * surface `table_changes` starts (post-images there, pre-image
+    * keys here).
+    */
+  private def buildDeletedKeys(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3,
+      s"graft_deleted_keys expects (path, vFrom, vTo), got ${exprs.length} arguments")
+    GraftSqlBridge.plan(graft.ops.SinkOps.readDeletedKeys(
+      SparkSession.active,
+      constString(exprs.head, "graft_deleted_keys path"),
+      constInt(exprs(1), "graft_deleted_keys vFrom"),
+      constInt(exprs(2), "graft_deleted_keys vTo")))
+  }
+
+  val deletedKeys: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_deleted_keys"),
+      new ExpressionInfo("graft.ops.SinkOps", "graft_deleted_keys"),
+      buildDeletedKeys _)
+
   /** `graft_history(path)` — DESCRIBE HISTORY through SQL: the
     * metadata-only growth timeline ([[graft.ops.SinkOps
     * .versionHistory]] — versions, dirs, files, rows, stat ranges,
@@ -196,5 +220,7 @@ object GraftFunctions {
       buildTableChanges)
     GraftSqlBridge.registerTableFunction(spark, "graft_history",
       buildGraftHistory)
+    GraftSqlBridge.registerTableFunction(spark, "graft_deleted_keys",
+      buildDeletedKeys)
   }
 }

@@ -416,10 +416,16 @@ object SinkOps {
     * `statsCol` declared the packed dir is range-clustered on it and
     * gets fresh zone maps, so the whole head stays file-skippable.
     * Refuses when nothing is below the threshold (a no-op OPTIMIZE is a
-    * mis-sized threshold, not a success) and refuses a manifest
-    * carrying unresolved deletion vectors — repacking reorders dirs,
-    * which would change which sidecars apply under the ordered-fold
-    * contract; resolve with [[compactVersions]] first. Readers pinned
+    * mis-sized threshold, not a success). DV-aware (round 12): on a
+    * manifest carrying delete sidecars, packing scopes to the
+    * POST-MERGE EPOCH — the data dirs after the LAST delete line, which
+    * share an empty trailing-sidecar set, so repacking them cannot
+    * change which deletes apply under the ordered-fold contract (this
+    * is where a live CDC merge stream accretes its micro-batch dirs, so
+    * OPTIMIZE keeps working exactly when the table is hottest); dirs at
+    * or behind a sidecar are frozen in place. Small dirs stuck BEHIND a
+    * sidecar refuse loudly — packing across delete scopes needs
+    * [[compactVersions]], which resolves and purges. Readers pinned
     * to any earlier version are untouched. Returns the new version.
     */
   def compactSmallDirs(spark: org.apache.spark.sql.SparkSession,
@@ -430,15 +436,19 @@ object SinkOps {
     val head = latestVersion(fs, root)
     require(head >= 1, s"no versions committed at $path")
     val lines = manifestDirs(fs, root, head)
-    require(!lines.exists(isDeleteLine),
-      s"bin-packing over version $head at $path which carries " +
-        "unresolved deletion vectors — compactVersions first")
-    val (small, big) = lines.partition { d =>
+    // Everything up to and including the last delete sidecar is frozen
+    // (its dirs' fold positions are load-bearing); the packable tail is
+    // the epoch no sidecar scopes.
+    val (frozen, tailLines) = lines.splitAt(
+      lines.lastIndexWhere(isDeleteLine) + 1)
+    val (small, big) = tailLines.partition { d =>
       fs.getContentSummary(new org.apache.hadoop.fs.Path(root, d))
         .getLength < smallBytes
     }
     require(small.nonEmpty,
-      s"no data dir under $smallBytes bytes at $path — nothing to pack")
+      s"no data dir under $smallBytes bytes in the packable " +
+        s"post-merge epoch at $path — nothing to pack (small dirs " +
+        "behind a delete sidecar need compactVersions)")
     val v = math.max(head, latestStaged(fs, root)) + 1
     val dataDir = s"data/v$v"
     // mergeSchema: the small tail may span schema-evolved commits —
@@ -452,7 +462,7 @@ object SinkOps {
     packed.write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
     statsCol.foreach(c => writeDirStats(spark, fs, root, dataDir, Seq(c)))
-    writeManifestLines(fs, root, v, big :+ dataDir)
+    writeManifestLines(fs, root, v, frozen ++ big :+ dataDir)
     v
   }
 

@@ -507,16 +507,18 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
-  test("compactSmallDirs refuses a manifest carrying unresolved " +
-      "deletion vectors") {
+  test("compactSmallDirs refuses when every small dir sits BEHIND a " +
+      "delete sidecar (packing across delete scopes needs " +
+      "compactVersions)") {
     import spark.implicits._
     val path = tmp("r11_binpack_dv")
     SinkOps.commitVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
     SinkOps.deleteVersionKeys(Seq(2L).toDF("id"), path, "id")
+    // The only data dir precedes the sidecar — frozen, nothing packable.
     val ex = intercept[IllegalArgumentException] {
       SinkOps.compactSmallDirs(spark, path, Long.MaxValue)
     }
-    assert(ex.getMessage.contains("deletion vectors"))
+    assert(ex.getMessage.contains("behind a delete sidecar"))
   }
 
   test("wordpiece greedy: per-word n_greedy >= n_viterbi over the same " +

@@ -109,6 +109,44 @@ class Round12OpsSpec extends SparkSpec {
       s"composed DV read diverged: ${comp.length} vs ${want.length}")
   }
 
+  test("compactSmallDirs under deletion vectors packs ONLY the " +
+      "post-merge epoch: frozen dirs and sidecars keep their fold " +
+      "positions, the head reads identically, pinned versions intact") {
+    import spark.implicits._
+    val path = tmp("r12_binpack_dv2")
+    val big = (1L to 400L).map(i => (i, s"s$i")).toDF("id", "s")
+      .repartition(1)
+    SinkOps.commitVersion(big, path)
+    SinkOps.mergeVersion(Seq((2L, "B2"), (401L, "x")).toDF("id", "s"),
+      path, "id")
+    // Micro-appends AFTER the merge — the packable epoch.
+    SinkOps.commitVersion(Seq((402L, "y")).toDF("id", "s"), path)
+    SinkOps.commitVersion(Seq((403L, "z")).toDF("id", "s"), path)
+    val before = SinkOps.readVersion(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val bigBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(root, "data/v1")).getLength
+    val v = SinkOps.compactSmallDirs(spark, path, bigBytes)
+    val after = SinkOps.readVersion(spark, path, Some(v)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(after.sameElements(before),
+      "packing under DVs changed the resolved head")
+    // The deleted/updated key still reads its post-image, exactly once.
+    assert(after.count(_._1 == 2L) == 1 &&
+      after.find(_._1 == 2L).get._2 == "B2")
+    // The frozen prefix (v1 dir + sidecar) kept its fold position; the
+    // packed manifest still carries the delete line BEFORE v1's... the
+    // sidecar scopes data/v1 only.
+    val mlines = SinkOps.manifestLines(spark, path, v)
+    assert(mlines.head == "data/v1" &&
+      mlines(1).startsWith("delete:"),
+      s"frozen prefix reordered: ${mlines.mkString("|")}")
+    // Pinned pre-pack version untouched.
+    assert(SinkOps.readVersion(spark, path, Some(2)).count() == 401L)
+  }
+
   // ---- delta manifests + checkpoints ----
 
   private def rawManifestText(path: String, v: Int): String = {
@@ -428,6 +466,11 @@ class Round12OpsSpec extends SparkSpec {
         s"SELECT id FROM table_changes('$path', 1, 2) ORDER BY id")
       .collect().map(_.getLong(0))
     assert(chg.sameElements(Array(2L, 3L)))
+    // The delete half of the SQL CDF: merge-touched keys.
+    val dk = spark.sql(
+        s"SELECT id FROM graft_deleted_keys('$path', 1, 2) ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(dk.sameElements(Array(2L, 3L)))
     // The TVF splices an ANALYZED PLAN, so enclosing filters reach the
     // parquet scan (pushed, not post-filtered).
     val plan = spark.sql(
