@@ -3245,6 +3245,26 @@ object SparkEntry {
           Seq(("event_id", elo, ehi), ("user_id", t1, t2 - 1)))
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // SQL DESCRIBE HISTORY — the metadata-only timeline through the
+    // graft_history TVF: versions, dirs, rows, stat ranges, delete
+    // commits and read amplification selected in plain SQL, zero
+    // data-file IO (the versionHistory relation spliced as an
+    // analyzed plan).
+    "q_sql_history" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_sqlvh", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0 to 2).foreach { r =>
+        SinkOps.commitVersion(e.filter(col("event_id") % 3 === r), path,
+          carryForward = true, Some("event_id")); ()
+      }
+      s.sql(s"""SELECT version, n_dirs, n_rows, min_stat, max_stat,
+                 n_delete_commits, n_read_groups
+             FROM graft_history('$path')""")
+    }),
     // DESCRIBE HISTORY from metadata alone: the table-growth timeline
     // (rows, dirs, stat ranges per version) read from manifests +
     // stats sidecars with zero data-file IO — what an operator checks
@@ -7046,6 +7066,22 @@ object SparkEntry {
          SELECT event_id, user_id, event_type FROM events, p
          WHERE event_id BETWEEN elo AND ehi
            AND user_id BETWEEN t1 AND t2 - 1""",
+    // SQL history ≡ the residue-construction digests, with the
+    // append-only constants (0 delete commits, 1 read group).
+    "q_sql_history" ->
+      """SELECT 1 AS version, 1 AS n_dirs, count(*) AS n_rows,
+                CAST(min(event_id) AS BIGINT) AS min_stat,
+                CAST(max(event_id) AS BIGINT) AS max_stat,
+                0 AS n_delete_commits, 1 AS n_read_groups
+         FROM events WHERE event_id % 3 = 0
+         UNION ALL
+         SELECT 2, 2, count(*), CAST(min(event_id) AS BIGINT),
+                CAST(max(event_id) AS BIGINT), 0, 1
+         FROM events WHERE event_id % 3 IN (0, 1)
+         UNION ALL
+         SELECT 3, 3, count(*), CAST(min(event_id) AS BIGINT),
+                CAST(max(event_id) AS BIGINT), 0, 1
+         FROM events""",
     // Metadata-only history ≡ per-snapshot digests of the residue
     // construction.
     "q_version_history" ->
