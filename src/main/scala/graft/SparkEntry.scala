@@ -3100,6 +3100,30 @@ object SparkEntry {
             .as("n_versions"))
     }),
 
+    // STREAMING DELTA-MANIFEST SINK — the production pairing: a
+    // per-batch versioned sink is exactly where full manifests grow
+    // O(versions · dirs), so each micro-batch commits base:<head> +
+    // one dir with a full checkpoint every 3rd commit. Four batches,
+    // head ≡ one batch write of the whole input, history
+    // time-travelable through the chain (n_versions pinned).
+    "q_stream_delta" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span4 = (hi - lo + 1) / 4
+      val latest = graft.streaming.StreamOps.versionedSinkReplayDelta(o,
+        tmpPath("graft_ttd", d), tmpPath("graft_ttd_stage", d),
+        "o_orderkey", Seq(lo + span4, lo + 2 * span4, lo + 3 * span4),
+        checkpointEvery = 3)
+      latest.agg(
+          count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("o_totalprice")).as("sum_price"),
+          sum("o_custkey").as("custkey_sum"))
+        .select(col("n_rows"), col("sum_price"), col("custkey_sum"),
+          lit(SinkOps.currentVersion(s, tmpPath("graft_ttd", d)))
+            .as("n_versions"))
+    }),
+
     // INCREMENTAL OPTIMIZE (bin-packing): a monolith commit plus three
     // micro-commits; packing with the threshold at the monolith's byte
     // size rewrites ONLY the three-dir tail into one packed dir — the
@@ -7145,6 +7169,15 @@ object SparkEntry {
                   AS sum_price,
                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
                 2 AS n_versions
+         FROM orders""",
+    // Streamed delta-manifest commits ≡ one batch write; four slices
+    // ⇒ four versions, resolvable through the base chain.
+    "q_stream_delta" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_price,
+                CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
+                4 AS n_versions
          FROM orders""",
     // The plain join the hot/cold hybrid decomposes — identical results
     // prove the split is exact.

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftFunctions.tableChanges)
     ext.injectTableFunction(GraftFunctions.graftHistory)
     ext.injectTableFunction(GraftFunctions.deletedKeys)
+    ext.injectTableFunction(GraftFunctions.graftStats)
   }
 }
 
@@ -177,6 +178,27 @@ object GraftFunctions {
       new ExpressionInfo("graft.ops.SinkOps", "graft_deleted_keys"),
       buildDeletedKeys _)
 
+  /** `graft_stats(path [, version])` — the metadata-only aggregate
+    * through SQL ([[graft.ops.SinkOps.statsOnlyAgg]]): n_rows plus
+    * min/max per declared stats column, zero data-file IO.
+    */
+  private def buildGraftStats(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      s"graft_stats expects (path [, version]), got ${exprs.length} arguments")
+    val v = if (exprs.length == 2)
+      Some(constInt(exprs(1), "graft_stats version")) else None
+    GraftSqlBridge.plan(graft.ops.SinkOps.statsOnlyAgg(
+      SparkSession.active,
+      constString(exprs.head, "graft_stats path"), v))
+  }
+
+  val graftStats: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_stats"),
+      new ExpressionInfo("graft.ops.SinkOps", "graft_stats"),
+      buildGraftStats _)
+
   /** `graft_history(path)` — DESCRIBE HISTORY through SQL: the
     * metadata-only growth timeline ([[graft.ops.SinkOps
     * .versionHistory]] — versions, dirs, files, rows, stat ranges,
@@ -222,5 +244,7 @@ object GraftFunctions {
       buildGraftHistory)
     GraftSqlBridge.registerTableFunction(spark, "graft_deleted_keys",
       buildDeletedKeys)
+    GraftSqlBridge.registerTableFunction(spark, "graft_stats",
+      buildGraftStats)
   }
 }

@@ -795,18 +795,44 @@ object SinkOps {
     * shrunk to one commit).
     */
   def mergeVersionKeyed(updates: DataFrame, path: String,
-                        keyCol: String, batchKey: String): Int = {
-    val spark = updates.sparkSession
+                        keyCol: String, batchKey: String): Int =
+    keyedVersion(updates.sparkSession, path, "merges", batchKey)(
+      mergeVersion(updates, path, keyCol))
+
+  /** [[commitVersion]] keyed by an idempotency token — the
+    * [[mergeVersionKeyed]] discipline for plain append commits: the
+    * streaming versioned sink's redelivered micro-batch reuses its
+    * recorded version instead of appending a duplicate snapshot, so
+    * version history stays bit-identical under at-least-once delivery.
+    */
+  def commitVersionKeyed(df: DataFrame, path: String,
+                         batchKey: String,
+                         carryForward: Boolean = true,
+                         statsCols: Seq[String] = Nil): Int =
+    keyedVersion(df.sparkSession, path, "commits", batchKey)(
+      commitVersionStats(df, path, carryForward, statsCols))
+
+  /** Idempotency-marker wrapper shared by the keyed commit family: the
+    * first commit of `batchKey` records its version in
+    * `<kind>/<batchKey>.txt` (written AFTER the manifest — the commit
+    * point stays the manifest write); a redelivery returns the
+    * recorded version without committing. A crash between manifest and
+    * marker re-commits the batch once on retry (the plain
+    * at-least-once window, shrunk to one commit).
+    */
+  private def keyedVersion(spark: org.apache.spark.sql.SparkSession,
+                           path: String, kind: String,
+                           batchKey: String)(commit: => Int): Int = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(root,
-      s"merges/$batchKey.txt")
+      s"$kind/$batchKey.txt")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
       finally in.close()
     } else {
-      val v = mergeVersion(updates, path, keyCol)
+      val v = commit
       val out = fs.create(marker, true)
       try out.write(v.toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1089,16 +1115,18 @@ object SinkOps {
     */
   private def readGroups(spark: org.apache.spark.sql.SparkSession,
                          root: org.apache.hadoop.fs.Path,
-                         groups: Seq[(Seq[String], Seq[(String, String)])])
-      : DataFrame =
+                         groups: Seq[(Seq[String], Seq[(String, String)])],
+                         mergeSchema: Boolean = false): DataFrame =
     groups.filter(_._1.nonEmpty).map { case (files, dels) =>
-      dels.foldLeft(spark.read.parquet(files: _*)) {
+      dels.foldLeft(spark.read
+          .option("mergeSchema", mergeSchema.toString)
+          .parquet(files: _*)) {
         case (acc, (ddir, keyCol)) =>
           acc.join(broadcast(spark.read.parquet(
               new org.apache.hadoop.fs.Path(root, ddir).toString)
             .select(keyCol)), Seq(keyCol), "left_anti")
       }
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
 
   /** Read a snapshot UNDER A RANGE PREDICATE on the declared stats
     * column, planning only files whose zone map intersects [lo,hi]
@@ -1121,14 +1149,15 @@ object SinkOps {
     */
   def readVersionWhere(spark: org.apache.spark.sql.SparkSession,
                        path: String, lo: Long, hi: Long,
-                       version: Option[Int] = None): DataFrame = {
+                       version: Option[Int] = None,
+                       mergeSchema: Boolean = false): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val (groups, _, c) = pruneGroupsWhere(spark, path, lo, hi, version)
     if (groups.forall(_._1.isEmpty))
       // Every file pruned: an empty result with the table's schema
       // (read zero rows of one dir rather than invent a schema).
-      readVersion(spark, path, version).filter(lit(false))
-    else readGroups(spark, root, groups)
+      readVersion(spark, path, version, mergeSchema).filter(lit(false))
+    else readGroups(spark, root, groups, mergeSchema)
       .filter(col(c).cast("long").between(lo, hi))
   }
 
@@ -1145,7 +1174,8 @@ object SinkOps {
   def readVersionWhereCols(spark: org.apache.spark.sql.SparkSession,
                            path: String,
                            preds: Seq[(String, Long, Long)],
-                           version: Option[Int] = None): DataFrame = {
+                           version: Option[Int] = None,
+                           mergeSchema: Boolean = false): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val (groups, _, _) = pruneGroupsWhereCols(spark, path,
       preds.map { case (c, lo, hi) => (Some(c): Option[String], lo, hi) },
@@ -1153,8 +1183,8 @@ object SinkOps {
     val residual = preds.map { case (c, lo, hi) =>
       col(c).cast("long").between(lo, hi) }.reduce(_ && _)
     if (groups.forall(_._1.isEmpty))
-      readVersion(spark, path, version).filter(lit(false))
-    else readGroups(spark, root, groups).filter(residual)
+      readVersion(spark, path, version, mergeSchema).filter(lit(false))
+    else readGroups(spark, root, groups, mergeSchema).filter(residual)
   }
 
   /** Planning view of [[readVersionWhereCols]] — (kept files, total,

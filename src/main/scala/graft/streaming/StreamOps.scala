@@ -1099,9 +1099,12 @@ object StreamOps {
     * commits as its own snapshot version (SinkOps.commitVersion), so
     * the stream's history is queryable: any past version is a pinned,
     * immutable point-in-time read while the stream keeps appending —
-    * the exactly-once versioned-sink shape (a replayed batch would
-    * re-commit as a NEW version; readers of old versions never see
-    * torn state because a commit is data-files-then-manifest). Returns
+    * the exactly-once versioned-sink shape (commits are BATCH-KEYED,
+    * [[graft.ops.SinkOps.commitVersionKeyed]]: a replayed micro-batch
+    * reuses its recorded version instead of re-committing, so version
+    * history stays bit-identical under at-least-once delivery; readers
+    * of old versions never see torn state because a commit is
+    * data-files-then-manifest). Returns
     * the latest snapshot; the oracle digests the whole input — streamed
     * versioned commits ≡ one batch write. The table root resets per
     * call so version history is per-run deterministic.
@@ -1118,8 +1121,43 @@ object StreamOps {
     val stream = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
     val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.SinkOps.commitVersionKeyed(batch, tablePath,
+          s"batch-$batchId")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    graft.ops.SinkOps.readVersion(spark, tablePath)
+  }
+
+  /** [[versionedSinkReplay]] writing DELTA MANIFESTS
+    * ([[graft.ops.SinkOps.commitVersionDelta]]) — the production
+    * pairing: a per-batch streaming sink is exactly where full
+    * manifests grow O(versions · dirs), so each micro-batch commit
+    * carries only `base:<head>` + its one new dir, with a full
+    * checkpoint manifest every `checkpointEvery` commits bounding
+    * every reader's chain walk. Same replay-harness shape and the same
+    * oracle contract (streamed delta commits ≡ one batch write); the
+    * table's history stays time-travelable through the chain.
+    */
+  def versionedSinkReplayDelta(rows: DataFrame, tablePath: String,
+                               stagingDir: String, idCol: String,
+                               boundaries: Seq[Long],
+                               checkpointEvery: Int = 3): DataFrame = {
+    val spark = rows.sparkSession
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(root, true)
+    stageSlices(rows, stagingDir, idCol, boundaries)
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.SinkOps.commitVersion(batch, tablePath)
+        graft.ops.SinkOps.commitVersionDelta(batch, tablePath,
+          checkpointEvery)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -440,6 +440,76 @@ class Round12OpsSpec extends SparkSpec {
       ev.filter(col("event_id") === probe).count())
   }
 
+  // ---- schema evolution through the skip tier ----
+
+  test("skip reads over a schema-evolved snapshot: mergeSchema=true " +
+      "reads the union schema null-filled, equal to the resolved " +
+      "full-scan filter") {
+    import spark.implicits._
+    val path = tmp("r12_skipevo")
+    SinkOps.commitVersion(
+      Seq((1L, "a"), (5L, "b")).toDF("id", "s"), path,
+      carryForward = true, Some("id"))
+    // Evolution: the second commit adds a `lang` column.
+    SinkOps.commitVersion(
+      Seq((10L, "c", "en"), (20L, "d", "fr")).toDF("id", "s", "lang"),
+      path, carryForward = true, Some("id"))
+    val got = SinkOps.readVersionWhere(spark, path, 1L, 12L,
+        mergeSchema = true)
+      .select("id", "s", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("-"))).sortBy(_._1)
+    assert(got.sameElements(Array((1L, "a", "-"), (5L, "b", "-"),
+      (10L, "c", "en"))),
+      s"schema-evolved skip read wrong: ${got.mkString(",")}")
+  }
+
+  // ---- batch-keyed append commits ----
+
+  test("commitVersionKeyed: a redelivered append batch reuses its " +
+      "version — history and head bit-identical — while new keys " +
+      "commit") {
+    import spark.implicits._
+    val path = tmp("r12_commitkey")
+    val v1 = SinkOps.commitVersionKeyed(
+      Seq((1L, "a")).toDF("id", "s"), path, "batch-0")
+    assert(v1 == 1)
+    val vRe = SinkOps.commitVersionKeyed(
+      Seq((1L, "a")).toDF("id", "s"), path, "batch-0")
+    assert(vRe == 1 && SinkOps.currentVersion(spark, path) == 1,
+      "redelivered append re-committed")
+    val v2 = SinkOps.commitVersionKeyed(
+      Seq((2L, "b")).toDF("id", "s"), path, "batch-1")
+    assert(v2 == 2)
+    assert(SinkOps.readVersion(spark, path).count() == 2L)
+  }
+
+  // ---- streaming delta-manifest sink ----
+
+  test("versionedSinkReplayDelta: every non-checkpoint commit is a " +
+      "2-line delta manifest, checkpoints are full, and every version " +
+      "stays a pinned time-travel read") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (i, s"s$i")).toDF("id", "s")
+    val tbl = tmp("r12_ttd")
+    val latest = graft.streaming.StreamOps.versionedSinkReplayDelta(
+      rows, tbl, tmp("r12_ttd_stage"), "id", Seq(11L, 21L, 31L),
+      checkpointEvery = 3)
+    assert(latest.count() == 40L)
+    assert(SinkOps.currentVersion(spark, tbl) == 4)
+    Seq(1, 2, 4).foreach { v =>
+      if (v > 1) {
+        val raw = rawManifestText(tbl, v).split("\n")
+        assert(raw.head == s"base:${v - 1}",
+          s"v$v should be a delta manifest: ${raw.mkString("|")}")
+      }
+    }
+    assert(!rawManifestText(tbl, 3).contains("base:"),
+      "v3 should be the full checkpoint")
+    // Pinned mid-stream read: v2 = the first two slices.
+    assert(SinkOps.readVersion(spark, tbl, Some(2)).count() == 20L)
+  }
+
   // ---- lakehouse SQL front door (table-valued functions) ----
 
   test("graft_version / table_changes TVFs: SQL reads equal the Scala " +
@@ -490,6 +560,12 @@ class Round12OpsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
     assert(hist.sameElements(Array((1, 2L, 1), (2, 3L, 1))),
       s"SQL history wrong: ${hist.mkString(",")}")
+    // Metadata-only aggregate through SQL.
+    val st = spark.sql(
+        s"SELECT n_rows, min_id, max_id, n_files FROM graft_stats('$path2')")
+      .head()
+    assert(st.getLong(0) == 3L && st.getLong(1) == 1L &&
+      st.getLong(2) == 3L)
     // Loud contracts: missing version, non-constant argument.
     intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_version('$path', 9)").collect()
