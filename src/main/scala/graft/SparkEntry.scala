@@ -3204,6 +3204,31 @@ object SparkEntry {
           (b.getLong(1) + b.getLong(2)) / 2, b.getLong(0))
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // SCHEMA EVOLUTION THROUGH THE SKIP TIER — a zone-map range read
+    // over a snapshot whose later commit ADDED a column: kept files
+    // still prune per sidecar, the groups union under the merged
+    // schema, and legacy rows read the new column as NULL — additive
+    // evolution without rewriting history, through the same skip path.
+    "q_skip_evo" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_skipevo", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"))
+          .repartitionByRange(4, col("event_id")),
+        path, carryForward = true, statsCol = Some("event_id"))
+      SinkOps.commitVersion(
+        ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .repartitionByRange(4, col("event_id")),
+        path, carryForward = true, statsCol = Some("event_id"))
+      SinkOps.readVersionWhere(s, path, 100L, 299L, mergeSchema = true)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
     // DELTA MANIFESTS + CHECKPOINTS — manifest metadata at streaming
     // commit rates: each commit's manifest carries only base:<head> +
     // its new dir (O(1) metadata per commit instead of repeating the
@@ -7061,6 +7086,13 @@ object SparkEntry {
            AND event_id BETWEEN (SELECT min(event_id) FROM events)
              AND (SELECT (min(event_id) + max(event_id)) // 2
                   FROM events)""",
+    // A schema-evolved skip read equals the range filter with the
+    // added column NULL for the pre-evolution (odd-id) commit's rows.
+    "q_skip_evo" ->
+      """SELECT event_id, user_id,
+                CASE WHEN event_id % 2 = 0 THEN event_type END
+                  AS event_type
+         FROM events WHERE event_id BETWEEN 100 AND 299""",
     // Delta-manifest snapshots digest identically to their residue
     // construction: v2 = residues {0,1}, the head = the whole table.
     "q_version_delta" ->

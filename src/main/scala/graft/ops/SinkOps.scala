@@ -225,11 +225,7 @@ object SinkOps {
       statsCols)
     val prev = if (head == 0 || !carryForward) Nil
       else manifestDirs(fs, root, head)
-    val mf = new org.apache.hadoop.fs.Path(root, f"manifest/v$v%05d.txt")
-    val out = fs.create(mf, true)
-    try out.write((prev :+ dataDir).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeManifestLines(fs, root, v, prev :+ dataDir)
     v
   }
 
@@ -491,7 +487,8 @@ object SinkOps {
       rawManifest(fs, root, v).headOption match {
         case Some(h) if h.startsWith(BasePrefix) &&
             h.stripPrefix(BasePrefix).trim.toInt < keep =>
-          writeManifestLines(fs, root, v, manifestDirs(fs, root, v))
+          writeManifestLines(fs, root, v, manifestDirs(fs, root, v),
+            overwrite = true)
         case _ =>
       }
     }
@@ -955,11 +952,24 @@ object SinkOps {
       .drop("u")
   }
 
+  /** Write version v's manifest. `overwrite = false` (the default, and
+    * every COMMIT path) makes a racing writer that allocated the same
+    * number fail LOUDLY at the commit point instead of silently
+    * clobbering the earlier manifest — the optimistic-concurrency
+    * backstop under the single-writer contract. Only VACUUM's
+    * re-checkpoint (rewriting a manifest to its own resolved
+    * equivalent) legitimately overwrites.
+    */
   private def writeManifestLines(fs: org.apache.hadoop.fs.FileSystem,
                                  root: org.apache.hadoop.fs.Path,
-                                 v: Int, lines: Seq[String]): Unit = {
+                                 v: Int, lines: Seq[String],
+                                 overwrite: Boolean = false): Unit = {
     val mf = new org.apache.hadoop.fs.Path(root, f"manifest/v$v%05d.txt")
-    val out = fs.create(mf, true)
+    if (!overwrite) require(!fs.exists(mf),
+      s"commit conflict: manifest v$v already exists under $root — " +
+        "a concurrent writer took this version number; re-read the " +
+        "head and retry")
+    val out = fs.create(mf, overwrite)
     try out.write(lines.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

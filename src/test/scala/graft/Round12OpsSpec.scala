@@ -464,6 +464,38 @@ class Round12OpsSpec extends SparkSpec {
       s"schema-evolved skip read wrong: ${got.mkString(",")}")
   }
 
+  test("the version allocator skips a manifest number a racing writer " +
+      "already landed, and a VACUUM re-checkpoint still overwrites its " +
+      "own manifest legitimately") {
+    import spark.implicits._
+    val path = tmp("r12_commit_occ")
+    SinkOps.commitVersion(Seq((1L, "a")).toDF("id", "s"), path)
+    // A racing writer landed manifest v2 directly: the next commit's
+    // allocation must skip past it, never clobber it. (The
+    // writeManifestLines create(overwrite=false) backstop additionally
+    // fails loudly if allocation itself raced on a store whose listing
+    // lagged — not interleavable from the public API, covered by the
+    // overwrite-flag contract.)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = new org.apache.hadoop.fs.Path(root, "manifest/v00002.txt")
+    val out = fs.create(mf, false)
+    out.write("data/v1".getBytes("UTF-8")); out.close()
+    val v = SinkOps.commitVersion(Seq((2L, "b")).toDF("id", "s"), path)
+    assert(v == 3, s"allocator reused a taken version: $v")
+    assert(SinkOps.readVersion(spark, path, Some(2)).count() == 1L,
+      "racing writer's manifest clobbered")
+    // The VACUUM re-checkpoint path (the one legitimate overwrite)
+    // still works on a delta chain.
+    val dpath = tmp("r12_commit_occ_d")
+    (1 to 3).foreach { i =>
+      SinkOps.commitVersionDelta(Seq((i.toLong, "x")).toDF("id", "s"),
+        dpath, checkpointEvery = 100); ()
+    }
+    SinkOps.expireVersions(spark, dpath, keep = 2)
+    assert(SinkOps.readVersion(spark, dpath, Some(3)).count() == 3L)
+  }
+
   // ---- batch-keyed append commits ----
 
   test("commitVersionKeyed: a redelivered append batch reuses its " +
