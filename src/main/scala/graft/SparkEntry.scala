@@ -3204,6 +3204,32 @@ object SparkEntry {
           (b.getLong(1) + b.getLong(2)) / 2, b.getLong(0))
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // DV MINOR COMPACTION — a retention sweep issues three
+    // back-to-back key deletes (three sidecars = three anti-join
+    // folds per read); coalesceDeletes unions the adjacent run into
+    // ONE sidecar at O(keys) IO with zero data files touched, and the
+    // head still reads exactly the triple-filtered table (oracle);
+    // the fold-count drop and ordered-fold scope safety are
+    // spec-pinned.
+    "q_dv_coalesce" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_dvcoal", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(ev, path)
+      Seq(5L, 7L, 11L).foreach { m =>
+        SinkOps.deleteVersionKeys(
+          ev.filter(col("event_id") % m === 0).select("event_id"),
+          path, "event_id"); ()
+      }
+      SinkOps.coalesceDeletes(s, path)
+      SinkOps.readVersion(s, path).agg(
+        count(lit(1)).as("n_rows"),
+        sum("user_id").as("user_sum"),
+        AggOps.exactSum(col("value")).as("val_sum"))
+    }),
+
     // SCHEMA EVOLUTION THROUGH THE SKIP TIER — a zone-map range read
     // over a snapshot whose later commit ADDED a column: kept files
     // still prune per sidecar, the groups union under the merged
@@ -7086,6 +7112,15 @@ object SparkEntry {
            AND event_id BETWEEN (SELECT min(event_id) FROM events)
              AND (SELECT (min(event_id) + max(event_id)) // 2
                   FROM events)""",
+    // Coalesced deletes read exactly as the triple residue filter.
+    "q_dv_coalesce" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events
+         WHERE event_id % 5 <> 0 AND event_id % 7 <> 0
+           AND event_id % 11 <> 0""",
     // A schema-evolved skip read equals the range filter with the
     // added column NULL for the pre-evolution (odd-id) commit's rows.
     "q_skip_evo" ->

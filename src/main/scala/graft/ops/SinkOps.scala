@@ -838,6 +838,61 @@ object SinkOps {
     }
   }
 
+  /** DV MINOR COMPACTION — coalesce ADJACENT delete sidecars: delete
+    * lines with no data dir between them scope exactly the same set of
+    * preceding dirs, so their key union is semantics-identical by the
+    * ordered-fold contract — each maximal same-keyCol run collapses to
+    * ONE sidecar in a new version, at O(delete keys) IO with ZERO data
+    * files read or rewritten. This is the cheap payback knob between
+    * per-commit merges and full [[compactVersions]]: a retention sweep
+    * issuing many [[deleteVersionKeys]] commits back-to-back leaves a
+    * run of B sidecars costing B anti-join folds per read
+    * (versionHistory's `n_read_groups` makes the debt visible);
+    * coalescing restores ~1 fold without touching the table. Interleaved
+    * data commits bound what coalescing can reclaim — that remainder is
+    * [[compactVersions]]' job. Refuses when no run has length ≥ 2 (a
+    * no-op maintenance call is a mis-read debt gauge, not a success).
+    * Returns the new version.
+    */
+  def coalesceDeletes(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = latestVersion(fs, root)
+    require(head >= 1, s"no versions committed at $path")
+    val lines = manifestDirs(fs, root, head)
+    // Split into maximal runs of delete lines sharing a keyCol.
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    lines.foreach { l =>
+      if (isDeleteLine(l) && runs.nonEmpty && runs.last.nonEmpty &&
+          isDeleteLine(runs.last.last) &&
+          deleteParts(runs.last.last)._2 == deleteParts(l)._2)
+        runs(runs.length - 1) = runs.last :+ l
+      else runs += Vector(l)
+    }
+    require(runs.exists(r => r.length >= 2 && isDeleteLine(r.head)),
+      s"no adjacent delete sidecars to coalesce at $path — " +
+        "read-amplification here needs compactVersions")
+    val v = math.max(head, latestStaged(fs, root)) + 1
+    var nNew = 0
+    val newLines = runs.toSeq.flatMap { r =>
+      if (r.length < 2 || !isDeleteLine(r.head)) r
+      else {
+        val keyCol = deleteParts(r.head)._2
+        val delDir = s"deletes/v$v" + (if (nNew == 0) "" else s"-$nNew")
+        nNew += 1
+        spark.read.parquet(r.map(l =>
+            new org.apache.hadoop.fs.Path(root, deleteParts(l)._1)
+              .toString): _*)
+          .distinct().write.mode(SaveMode.Overwrite)
+          .parquet(new org.apache.hadoop.fs.Path(root, delDir).toString)
+        Seq(s"$DeletePrefix$delDir:$keyCol")
+      }
+    }
+    writeManifestLines(fs, root, v, newLines)
+    v
+  }
+
   /** Keys DELETED (or merge-touched) in (vFrom, vTo] — the delete half
     * of the changefeed: the sidecars present in vTo's manifest but not
     * vFrom's, O(changed files) like [[readChanges]]. One distinct key

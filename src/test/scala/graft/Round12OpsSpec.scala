@@ -496,6 +496,58 @@ class Round12OpsSpec extends SparkSpec {
     assert(SinkOps.readVersion(spark, dpath, Some(3)).count() == 3L)
   }
 
+  // ---- DV minor compaction (adjacent sidecar coalescing) ----
+
+  test("coalesceDeletes unions adjacent same-keyCol sidecar runs into " +
+      "one, dropping n_read_groups, with the head bit-identical; " +
+      "sidecars split by a data commit stay split; no-op refuses") {
+    import spark.implicits._
+    val path = tmp("r12_dvcoal")
+    SinkOps.commitVersion(
+      (1L to 30L).map(i => (i, s"s$i")).toDF("id", "s"), path,
+      carryForward = true, Some("id"))
+    Seq(2L, 3L).foreach { m =>
+      SinkOps.deleteVersionKeys(
+        (1L to 30L).filter(_ % m == 0).toDF("id"), path, "id"); ()
+    }
+    // A data commit splits the run; a further delete follows it.
+    SinkOps.commitVersion(Seq((4L, "re")).toDF("id", "s"), path,
+      carryForward = true, Some("id"))
+    SinkOps.deleteVersionKeys(Seq(5L, 25L).toDF("id"), path, "id")
+    val before = SinkOps.readVersion(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val delsBefore = SinkOps.versionHistory(spark, path)
+      .orderBy(col("version").desc).select("n_delete_commits")
+      .head().getInt(0)
+    assert(delsBefore == 3)
+    val v = SinkOps.coalesceDeletes(spark, path)
+    val after = SinkOps.readVersion(spark, path, Some(v)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(after.sameElements(before),
+      "coalescing changed the resolved head")
+    // The re-inserted key 4 (after the first run) must still be alive.
+    assert(after.exists(p => p._1 == 4L && p._2 == "re"),
+      "ordered-fold scope broken by coalescing")
+    // The per-read anti-join fold count (sidecars = n_delete_commits)
+    // drops; the epoch-group count is bounded by data-commit
+    // interleaving and stays.
+    val delsAfter = SinkOps.versionHistory(spark, path)
+      .orderBy(col("version").desc).select("n_delete_commits")
+      .head().getInt(0)
+    assert(delsAfter == 2,
+      s"fold count did not drop: $delsBefore -> $delsAfter")
+    // Only the adjacent run coalesced: the post-data-commit sidecar
+    // remains its own line.
+    val dels = SinkOps.manifestLines(spark, path, v)
+      .filter(_.startsWith("delete:"))
+    assert(dels.length == 2, s"wrong sidecar count: $dels")
+    // Nothing left to coalesce — refuse loudly.
+    val ex = intercept[IllegalArgumentException] {
+      SinkOps.coalesceDeletes(spark, path)
+    }
+    assert(ex.getMessage.contains("no adjacent delete sidecars"))
+  }
+
   // ---- batch-keyed append commits ----
 
   test("commitVersionKeyed: a redelivered append batch reuses its " +
