@@ -3320,6 +3320,28 @@ object SparkEntry {
           Seq(("event_id", elo, ehi), ("user_id", t1, t2 - 1)))
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // SQL SKIP-TIER READ — graft_version_where splices the PRUNED
+    // zone-map read into SQL: unlike graft_version(path) + WHERE
+    // (filter pushed, but the file index lists every snapshot file),
+    // the TVF's plan holds only sidecar-kept files — the spec pins
+    // that the read touches no pruned file via _metadata.file_name.
+    "q_sql_skip" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_sqlskip", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 2L).foreach { r =>
+        SinkOps.commitVersion(
+          ev.filter(col("event_id") % 3 === r)
+            .repartitionByRange(4, col("event_id")),
+          path, carryForward = true, statsCol = Some("event_id")); ()
+      }
+      s.sql(s"""SELECT event_id, user_id, event_type
+             FROM graft_version_where('$path', 'event_id', 150, 349)""")
+    }),
+
     // SQL DESCRIBE HISTORY — the metadata-only timeline through the
     // graft_history TVF: versions, dirs, rows, stat ranges, delete
     // commits and read amplification selected in plain SQL, zero
@@ -7157,6 +7179,10 @@ object SparkEntry {
          SELECT event_id, user_id, event_type FROM events, p
          WHERE event_id BETWEEN elo AND ehi
            AND user_id BETWEEN t1 AND t2 - 1""",
+    // The SQL skip read equals the plain range filter.
+    "q_sql_skip" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id BETWEEN 150 AND 349""",
     // SQL history ≡ the residue-construction digests, with the
     // append-only constants (0 delete commits, 1 read group).
     "q_sql_history" ->

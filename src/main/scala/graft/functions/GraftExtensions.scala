@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftFunctions.graftHistory)
     ext.injectTableFunction(GraftFunctions.deletedKeys)
     ext.injectTableFunction(GraftFunctions.graftStats)
+    ext.injectTableFunction(GraftFunctions.graftVersionWhere)
   }
 }
 
@@ -155,6 +156,44 @@ object GraftFunctions {
       constInt(exprs(2), "table_changes vTo")))
   }
 
+  private def constLong(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a constant integer")
+    e.eval() match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+      case s: java.lang.Short => s.longValue
+      case b: java.lang.Byte => b.longValue
+      case v => throw new IllegalArgumentException(
+        s"$what must be an integer constant, got $v")
+    }
+  }
+
+  /** `graft_version_where(path, col, lo, hi)` — the SKIP-TIER read
+    * through SQL: unlike `graft_version(path)` + WHERE (whose filter
+    * pushes into the parquet scan but whose file index still lists
+    * every snapshot file), this splices [[graft.ops.SinkOps
+    * .readVersionWhereCols]]'s PRUNED plan — zone-map sidecars drop
+    * non-intersecting files before any footer fetch, DV epochs
+    * resolved inline, exact residual filter kept.
+    */
+  private def buildVersionWhere(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 4,
+      s"graft_version_where expects (path, col, lo, hi), got ${exprs.length} arguments")
+    GraftSqlBridge.plan(graft.ops.SinkOps.readVersionWhereCols(
+      SparkSession.active,
+      constString(exprs.head, "graft_version_where path"),
+      Seq((constString(exprs(1), "graft_version_where col"),
+        constLong(exprs(2), "graft_version_where lo"),
+        constLong(exprs(3), "graft_version_where hi")))))
+  }
+
+  val graftVersionWhere: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_version_where"),
+      new ExpressionInfo("graft.ops.SinkOps", "graft_version_where"),
+      buildVersionWhere _)
+
   /** `graft_deleted_keys(path, vFrom, vTo)` — the DELETE half of the
     * SQL changefeed: keys removed or merge-touched in (vFrom, vTo]
     * ([[graft.ops.SinkOps.readDeletedKeys]]), completing the CDF
@@ -246,5 +285,7 @@ object GraftFunctions {
       buildDeletedKeys)
     GraftSqlBridge.registerTableFunction(spark, "graft_stats",
       buildGraftStats)
+    GraftSqlBridge.registerTableFunction(spark, "graft_version_where",
+      buildVersionWhere)
   }
 }

@@ -650,6 +650,34 @@ class Round12OpsSpec extends SparkSpec {
       .head()
     assert(st.getLong(0) == 3L && st.getLong(1) == 1L &&
       st.getLong(2) == 3L)
+    // Skip-tier read through SQL: the spliced plan's file index holds
+    // ONLY the sidecar-kept files (vs graft_version's full listing).
+    val path3 = tmp("r12_tvf_skip")
+    (0L to 2L).foreach { r =>
+      SinkOps.commitVersion(
+        Tables.events(spark, sfDir).filter(col("event_id") % 3 === r)
+          .repartitionByRange(4, col("event_id")),
+        path3, carryForward = true, statsCol = Some("event_id")); ()
+    }
+    val skipSql = spark.sql(
+      s"SELECT event_id FROM graft_version_where('$path3', 'event_id', 100, 199)")
+    val (kept, total, _) = SinkOps.pruneFiles(spark, path3, 100L, 199L)
+    assert(kept.size < total, "fixture produced no skip")
+    assert(skipSql.collect().map(_.getLong(0)).sorted.sameElements(
+      Tables.events(spark, sfDir)
+        .filter(col("event_id").between(100L, 199L))
+        .select("event_id").collect().map(_.getLong(0)).sorted),
+      "SQL skip read diverged from the filter")
+    // The files the SQL read actually touches are exactly sidecar-kept
+    // ones — pruned files never enter the plan.
+    val keptNames = kept.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).toSet
+    val touched = spark.sql(
+        s"""SELECT DISTINCT _metadata.file_name AS f
+            FROM graft_version_where('$path3', 'event_id', 100, 199)""")
+      .collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(keptNames),
+      s"SQL skip read touched a pruned file: ${touched.mkString(",")}")
     // Loud contracts: missing version, non-constant argument.
     intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_version('$path', 9)").collect()
