@@ -3204,6 +3204,32 @@ object SparkEntry {
           (b.getLong(1) + b.getLong(2)) / 2, b.getLong(0))
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // OPTIMIZE ZORDER — full compaction under a 2-D Morton layout
+    // with both dimensions zone-mapped: after the rewrite a 2-D box
+    // predicate prunes files on the intersection of two tight
+    // per-file ranges (spec-pinned); the rewrite itself is lossless
+    // (oracle digests the whole table) and resolves any accumulated
+    // DVs. The Delta OPTIMIZE ZORDER production op.
+    "q_compact_zorder" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_zoptim", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 2L).foreach { r =>
+        SinkOps.commitVersion(ev.filter(col("event_id") % 3 === r),
+          path); ()
+      }
+      val v = SinkOps.compactVersionsZOrder(s, path, "event_id",
+        "user_id")
+      SinkOps.readVersion(s, path, Some(v)).agg(
+          count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"),
+          AggOps.exactSum(col("value")).as("val_sum"))
+        .select(lit(v).as("version"), col("n_rows"), col("user_sum"),
+          col("val_sum"))
+    }),
+
     // DV MINOR COMPACTION — a retention sweep issues three
     // back-to-back key deletes (three sidecars = three anti-join
     // folds per read); coalesceDeletes unions the adjacent run into
@@ -7134,6 +7160,13 @@ object SparkEntry {
            AND event_id BETWEEN (SELECT min(event_id) FROM events)
              AND (SELECT (min(event_id) + max(event_id)) // 2
                   FROM events)""",
+    // The z-order rewrite is lossless: v4 digests to the whole table.
+    "q_compact_zorder" ->
+      """SELECT 4 AS version, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events""",
     // Coalesced deletes read exactly as the triple residue filter.
     "q_dv_coalesce" ->
       """SELECT count(*) AS n_rows,

@@ -398,6 +398,36 @@ object SinkOps {
     commitVersion(clustered, path, carryForward = false, statsCol)
   }
 
+  /** OPTIMIZE ZORDER — full compaction under a 2-D Morton layout with
+    * BOTH dimensions zone-mapped: the rewrite interleaves the two
+    * columns' bits ([[graft.ops.SortOps.zorderValue]]) so rows close
+    * in EITHER dimension land in the same files, then declares
+    * multi-column stats on both — after which a 2-D box predicate
+    * ([[readVersionWhereCols]]) prunes files on the INTERSECTION of
+    * two tight per-file ranges, which neither single-column clustering
+    * can give (clustering on A makes B's per-file ranges span the
+    * world). The Delta OPTIMIZE ZORDER production op over this table
+    * layer; like [[compactVersions]] it resolves and purges any
+    * accumulated deletion vectors and returns planning to O(1) dirs.
+    * Values are folded into `bits` bits for the LAYOUT key only
+    * (locality degrades gracefully past 2^bits; stored data and stats
+    * are untouched). Returns the new version.
+    */
+  def compactVersionsZOrder(spark: org.apache.spark.sql.SparkSession,
+                            path: String, colA: String, colB: String,
+                            bits: Int = 20): Int = {
+    val resolved = readVersion(spark, path)
+    val z = graft.ops.SortOps.zorderValue(
+      pmod(col(colA).cast("long"), lit(1L << bits)),
+      pmod(col(colB).cast("long"), lit(1L << bits)), bits).as("_z")
+    val laid = resolved.withColumn("_z", z)
+      .repartitionByRange(col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+    commitVersionStats(laid, path, carryForward = false,
+      Seq(colA, colB))
+  }
+
   /** INCREMENTAL OPTIMIZE — bin-packing compaction: rewrite ONLY the
     * head snapshot's data dirs smaller than `smallBytes` into one
     * packed dir; dirs at or above the threshold carry into the new

@@ -326,6 +326,48 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("compactVersionsZOrder: the rewrite resolves DVs, lands ONE " +
+      "dir with both-column stats, and a 2-D box predicate prunes " +
+      "files — head identical to the pre-compact resolved read") {
+    val e = Tables.events(spark, sfDir)
+    val path = tmp("r12_zoptim")
+    (0L to 1L).foreach { r =>
+      SinkOps.commitVersion(e.filter(col("event_id") % 2 === r),
+        path); ()
+    }
+    SinkOps.deleteVersionKeys(
+      e.filter(col("event_id") % 9 === 0).select("event_id"),
+      path, "event_id")
+    val before = SinkOps.readVersion(spark, path)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val v = SinkOps.compactVersionsZOrder(spark, path, "event_id",
+      "user_id")
+    val lines = SinkOps.manifestLines(spark, path, v)
+    assert(lines == Seq(s"data/v$v"),
+      s"z-order compact left extra lines: $lines")
+    val after = SinkOps.readVersion(spark, path, Some(v))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(after.sameElements(before), "z-order rewrite lost rows")
+    val b = e.agg(min("event_id"), max("event_id"),
+      min("user_id"), max("user_id")).head()
+    val box = Seq(
+      ("event_id", b.getLong(0),
+        b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 4),
+      ("user_id", b.getLong(2),
+        b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 4))
+    val (kept, total, cols) = SinkOps.pruneFilesCols(spark, path, box)
+    assert(cols == Seq("event_id", "user_id"))
+    assert(kept.nonEmpty && (total < 3 || kept.size < total),
+      s"2-D box pruned nothing: ${kept.size} of $total")
+    val got = SinkOps.readVersionWhereCols(spark, path, box)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = SinkOps.readVersion(spark, path, Some(v))
+      .filter(col("event_id").between(box(0)._2, box(0)._3) &&
+        col("user_id").between(box(1)._2, box(1)._3))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+  }
+
   test("versionHistory exposes read amplification: n_read_groups " +
       "grows with trailing merge commits and collapses to 1 after " +
       "compaction") {
