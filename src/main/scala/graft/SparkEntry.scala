@@ -3181,6 +3181,32 @@ object SparkEntry {
       SinkOps.readVersionEq(s, path, probe)
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // MULTI-COLUMN BLOOMS — a conjunction of point probes on TWO
+    // lookup keys neither of which the layout clusters: each column's
+    // per-file bitmap rides the one sidecar, and the planned set is
+    // the INTERSECTION of the two prunes (the bloom twin of
+    // multi-column zone maps; spec pins the intersection tighter than
+    // either single probe). Exact residual keeps equality.
+    "q_bloom_multi" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_bloommulti", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0 to 2).foreach { r =>
+        SinkOps.commitVersionBlooms(
+          e.filter((col("event_id") + col("user_id")) % 3 === r)
+            .repartition(4, col("ts")),
+          path, Seq("event_id", "user_id")); ()
+      }
+      val eMax = e.agg(max("event_id")).head().getLong(0)
+      val u = e.filter(col("event_id") === eMax)
+        .agg(min("user_id")).head().getLong(0)
+      SinkOps.readVersionEqs(s, path,
+          Seq(("event_id", eMax), ("user_id", u)))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
     // COMPOSED SKIPPING — zone maps × blooms: the planned file set is
     // the INTERSECTION of the range prune (event_id zone maps over the
     // range-clustered layout) and the point prune (user_id blooms) —
@@ -7152,6 +7178,13 @@ object SparkEntry {
     "q_bloom_skip" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE event_id = (SELECT max(event_id) FROM events)""",
+    // The two-probe bloom read equals the full-scan conjunction.
+    "q_bloom_multi" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id = (SELECT max(event_id) FROM events)
+           AND user_id = (SELECT min(user_id) FROM events
+                          WHERE event_id =
+                            (SELECT max(event_id) FROM events))""",
     // Composed zone-map × bloom planning equals the full-scan
     // conjunction — every skipped file provably held no matching row.
     "q_skip_compose" ->

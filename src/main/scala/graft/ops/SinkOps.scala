@@ -1341,37 +1341,50 @@ object SinkOps {
   private def writeDirBloom(spark: org.apache.spark.sql.SparkSession,
                             fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path,
-                            dataDir: String, c: String): Unit = {
+                            dataDir: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.distinct == cols,
+      s"bloom columns must be non-empty and distinct: $cols")
     val dirStr = new org.apache.hadoop.fs.Path(root, dataDir).toString
     // Size the dir's bitmaps to its LARGEST file: m = nextPow2(16·n),
     // clamped to [2^13, 2^24] bits (1 KiB..2 MiB per file) — beyond
     // the cap the false-positive rate degrades gracefully instead of
-    // the sidecar growing unboundedly.
+    // the sidecar growing unboundedly. One m for every column of the
+    // dir, so the prober still infers it from any hex length.
     val maxN = spark.read.parquet(dirStr)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect().map(_.getLong(1)).foldLeft(1L)(math.max)
     val m = math.min(1L << 24,
       math.max(1L << 13,
         java.lang.Long.highestOneBit(16L * maxN - 1) << 1)).toInt
-    val vn = pmod(col(c).cast("long"), lit(BloomP))
-    val bitCols = BloomA.zip(BloomB).map { case (a, b) =>
-      (pmod(vn * lit(a % BloomP) + lit(b), lit(BloomP)) %
-        lit(m.toLong)).cast("int")
-    }
     val bloomHex = org.apache.spark.sql.functions.udaf(
       new graft.functions.BloomBitmapAgg(m),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Int]())
-    val rows = spark.read.parquet(dirStr)
-      .filter(col(c).isNotNull)
-      .select(input_file_name().as("f"),
-        explode(array(bitCols: _*)).as("bit"))
-      .groupBy("f").agg(bloomHex(col("bit")).as("hex"))
-      .collect()
-    val lines = c +: rows.map { r =>
-      val name = new org.apache.hadoop.fs.Path(
-        new java.net.URI(r.getString(0))).getName
-      name + "\t" + r.getString(1)
-    }.sorted
+    // One executor-folded pass per column over the commit's own files
+    // (bounded read-back); per-file hexes merge driver-side by name.
+    // A file with no non-null value for a column gets that column's
+    // ALL-ZERO bitmap — probes on it miss, which is sound (the file
+    // truly holds no value); a file null in EVERY column gets no line
+    // and is always planned.
+    val perCol: Seq[Map[String, String]] = cols.map { c =>
+      val vn = pmod(col(c).cast("long"), lit(BloomP))
+      val bitCols = BloomA.zip(BloomB).map { case (a, b) =>
+        (pmod(vn * lit(a % BloomP) + lit(b), lit(BloomP)) %
+          lit(m.toLong)).cast("int")
+      }
+      spark.read.parquet(dirStr)
+        .filter(col(c).isNotNull)
+        .select(input_file_name().as("f"),
+          explode(array(bitCols: _*)).as("bit"))
+        .groupBy("f").agg(bloomHex(col("bit")).as("hex"))
+        .collect().map(r => (new org.apache.hadoop.fs.Path(
+          new java.net.URI(r.getString(0))).getName, r.getString(1)))
+        .toMap
+    }
+    val zeroHex = "0" * (m / 4)
+    val names = perCol.flatMap(_.keys).distinct.sorted
+    val lines = cols.mkString("\t") +: names.map { name =>
+      (name +: perCol.map(_.getOrElse(name, zeroHex))).mkString("\t")
+    }
     val bf = new org.apache.hadoop.fs.Path(root,
       s"blooms/${dataDir.stripPrefix("data/")}.txt")
     val out = fs.create(bf, true)
@@ -1390,12 +1403,24 @@ object SinkOps {
     * and zone-map the range column, bloom the lookup key.
     */
   def commitVersionBloom(df: DataFrame, path: String, bloomCol: String,
-                         carryForward: Boolean = true): Int = {
+                         carryForward: Boolean = true): Int =
+    commitVersionBlooms(df, path, Seq(bloomCol), carryForward)
+
+  /** [[commitVersionBloom]] with MULTI-COLUMN blooms: every declared
+    * column gets its per-file bitmap in the ONE sidecar (k=1 format
+    * byte-identical to the single-column original), so a CONJUNCTION
+    * of point probes ([[readVersionEqs]]) intersects independent
+    * prunes — the bloom twin of multi-column zone maps, for lookup
+    * keys no layout clusters.
+    */
+  def commitVersionBlooms(df: DataFrame, path: String,
+                          bloomCols: Seq[String],
+                          carryForward: Boolean = true): Int = {
     val spark = df.sparkSession
     val v = commitVersion(df, path, carryForward, None)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    writeDirBloom(spark, fs, root, s"data/v$v", bloomCol)
+    writeDirBloom(spark, fs, root, s"data/v$v", bloomCols)
     v
   }
 
@@ -1412,18 +1437,34 @@ object SinkOps {
                   path: String, value: Long,
                   version: Option[Int] = None)
       : (Seq[String], Int, String) = {
-    val (groups, total, c) = bloomGroupsEq(spark, path, value, version)
+    val (groups, total, c) =
+      bloomGroupsEq(spark, path, None, value, version)
+    (groups.flatMap(_._1), total, c)
+  }
+
+  /** [[planFilesEq]] probing a NAMED bloom column of a multi-bloom
+    * table.
+    */
+  def planFilesEqOn(spark: org.apache.spark.sql.SparkSession,
+                    path: String, colName: String, value: Long,
+                    version: Option[Int] = None)
+      : (Seq[String], Int, String) = {
+    val (groups, total, c) =
+      bloomGroupsEq(spark, path, Some(colName), value, version)
     (groups.flatMap(_._1), total, c)
   }
 
   /** DV-aware bloom planning core — the [[pruneGroupsWhere]] twin for
     * equality probes: per-dir bloom pruning with data dirs grouped by
     * manifest epoch, so [[readVersionEq]] applies merge-on-read
-    * deletes to exactly the dirs they scope.
+    * deletes to exactly the dirs they scope. `colName` None probes the
+    * FIRST declared bloom column (the single-column compatibility
+    * path); a named column absent from the declared blooms fails
+    * loudly.
     */
   private def bloomGroupsEq(spark: org.apache.spark.sql.SparkSession,
-                            path: String, value: Long,
-                            version: Option[Int])
+                            path: String, colName: Option[String],
+                            value: Long, version: Option[Int])
       : (Seq[(Seq[String], Seq[(String, String)])], Int, String) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1432,7 +1473,7 @@ object SinkOps {
       require(latest >= 1, s"no versions committed at $path")
       latest
     }
-    var bloomCol: Option[String] = None
+    var declared: Option[Seq[String]] = None
     var total = 0
     def keptOf(d: String): Seq[String] = {
       val dirP = new org.apache.hadoop.fs.Path(root, d)
@@ -1447,14 +1488,20 @@ object SinkOps {
         val blines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().filter(_.nonEmpty).toList
         finally in.close()
-        val c = blines.head
-        bloomCol.foreach(prev => require(prev == c,
-          s"inconsistent bloom columns across snapshot dirs: $prev vs $c"))
-        bloomCol = Some(c)
+        val cs = blines.head.split('\t').toSeq
+        declared.foreach(prev => require(prev == cs,
+          s"inconsistent bloom columns across snapshot dirs: " +
+            s"${prev.mkString(",")} vs ${cs.mkString(",")}"))
+        declared = Some(cs)
+        val idx = colName.fold(0)(cs.indexOf)
+        require(idx >= 0,
+          s"probe on ${colName.get} but dir $d declares blooms for " +
+            cs.mkString(", "))
         val maps = blines.tail.map { ln =>
-          val i = ln.indexOf('\t')
-          require(i > 0, s"malformed bloom line in $bf: $ln")
-          ln.substring(0, i) -> ln.substring(i + 1)
+          val fields = ln.split('\t')
+          require(fields.length == cs.length + 1,
+            s"malformed bloom line in $bf: $ln")
+          fields(0) -> fields(1 + idx)
         }.toMap
         parts.flatMap { p =>
           maps.get(p.getName) match {
@@ -1475,9 +1522,35 @@ object SinkOps {
     }
     val groups = epochGroups(manifestDirs(fs, root, v))
       .map { case (dirs, dels) => (dirs.flatMap(keptOf), dels) }
-    (groups, total, bloomCol.getOrElse(throw new IllegalStateException(
-      s"no bloom sidecar in any dir of version $v at $path — " +
-        "commit with commitVersionBloom to enable point-lookup reads")))
+    val resolvedCol = declared.map(cs => colName.getOrElse(cs.head))
+    (groups, total, resolvedCol.getOrElse(
+      throw new IllegalStateException(
+        s"no bloom sidecar in any dir of version $v at $path — " +
+          "commit with commitVersionBloom to enable point-lookup reads")))
+  }
+
+  /** Read a snapshot under a CONJUNCTION of point probes over the
+    * table's declared multi-column blooms ([[commitVersionBlooms]]):
+    * the planned file set intersects every probe's prune — skipping
+    * multiplies across independent lookup keys, the bloom twin of
+    * [[readVersionWhereCols]]. DV-aware; exact residual conjunction
+    * keeps results equal to the full-scan filter by construction.
+    */
+  def readVersionEqs(spark: org.apache.spark.sql.SparkSession,
+                     path: String, preds: Seq[(String, Long)],
+                     version: Option[Int] = None): DataFrame = {
+    require(preds.nonEmpty, "no probes to plan")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val all = preds.map { case (c, x) =>
+      bloomGroupsEq(spark, path, Some(c), x, version) }
+    val keptSets = all.tail.map(_._1.flatMap(_._1).toSet)
+    val groups = all.head._1.map { case (fl, dels) =>
+      (fl.filter(f => keptSets.forall(_(f))).sorted, dels) }
+    val residual = preds.map { case (c, x) =>
+      col(c).cast("long") === x }.reduce(_ && _)
+    if (groups.forall(_._1.isEmpty))
+      readVersion(spark, path, version).filter(lit(false))
+    else readGroups(spark, root, groups).filter(residual)
   }
 
   /** Read a snapshot UNDER AN EQUALITY PREDICATE on the declared bloom
@@ -1495,7 +1568,7 @@ object SinkOps {
                     path: String, value: Long,
                     version: Option[Int] = None): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val (groups, _, c) = bloomGroupsEq(spark, path, value, version)
+    val (groups, _, c) = bloomGroupsEq(spark, path, None, value, version)
     if (groups.forall(_._1.isEmpty))
       readVersion(spark, path, version).filter(lit(false))
     else readGroups(spark, root, groups)
@@ -1516,7 +1589,7 @@ object SinkOps {
     val v = commitVersion(df, path, carryForward, Some(statsCol))
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    writeDirBloom(spark, fs, root, s"data/v$v", bloomCol)
+    writeDirBloom(spark, fs, root, s"data/v$v", Seq(bloomCol))
     v
   }
 
@@ -1534,7 +1607,7 @@ object SinkOps {
                          version: Option[Int] = None): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val (rGroups, _, rc) = pruneGroupsWhere(spark, path, lo, hi, version)
-    val (bGroups, _, ec) = bloomGroupsEq(spark, path, eqValue, version)
+    val (bGroups, _, ec) = bloomGroupsEq(spark, path, None, eqValue, version)
     // Both planners walk the same manifest, so epochs line up — the
     // composed plan intersects kept-file sets within each range epoch.
     val bloomKept = bGroups.flatMap(_._1).toSet

@@ -482,6 +482,46 @@ class Round12OpsSpec extends SparkSpec {
       ev.filter(col("event_id") === probe).count())
   }
 
+  // ---- multi-column blooms ----
+
+  test("multi-column blooms: the two-probe intersection prunes at " +
+      "least as tightly as either single probe, the read equals the " +
+      "full-scan conjunction, k=1 sidecars stay byte-compatible, and " +
+      "an undeclared probe column fails loudly") {
+    val e = Tables.events(spark, sfDir)
+    val path = tmp("r12_bloommulti")
+    (0 to 2).foreach { r =>
+      SinkOps.commitVersionBlooms(
+        e.filter((col("event_id") + col("user_id")) % 3 === r)
+          .repartition(4, col("ts")),
+        path, Seq("event_id", "user_id")); ()
+    }
+    val eMax = e.agg(max("event_id")).head().getLong(0)
+    val u = e.filter(col("event_id") === eMax)
+      .agg(min("user_id")).head().getLong(0)
+    val (kE, total, cE) = SinkOps.planFilesEqOn(spark, path,
+      "event_id", eMax)
+    val (kU, _, cU) = SinkOps.planFilesEqOn(spark, path, "user_id", u)
+    assert(cE == "event_id" && cU == "user_id")
+    assert(kE.size < total, "event_id probe pruned nothing")
+    val got = SinkOps.readVersionEqs(spark, path,
+        Seq(("event_id", eMax), ("user_id", u)))
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = e.filter(col("event_id") === eMax &&
+        col("user_id") === u)
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(want), "two-probe read diverged")
+    // planFilesEq (no column) still resolves the FIRST declared col.
+    val (k0, _, c0) = SinkOps.planFilesEq(spark, path, eMax)
+    assert(c0 == "event_id" && k0.toSet == kE.toSet)
+    val ex = intercept[IllegalArgumentException] {
+      SinkOps.planFilesEqOn(spark, path, "value", 1L)
+    }
+    assert(ex.getMessage.contains("declares blooms for"))
+  }
+
   // ---- schema evolution through the skip tier ----
 
   test("skip reads over a schema-evolved snapshot: mergeSchema=true " +
