@@ -51,6 +51,12 @@ object GraftSession {
 
   def configure(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      // Graft's SQL surface: native expressions, lakehouse TVFs, and
+      // the DML parser (MERGE INTO / DELETE FROM / INSERT INTO against
+      // graft_table paths). Parser injection only works at build time,
+      // so the session factory is where it lives; externally-built
+      // sessions get the function/TVF half via GraftFunctions.register.
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // ANSI mode is the engine's overflow contract: int64 arithmetic
       // past bounds (e.g. PageRank's damped sum on a past-headroom graph,
       // GraphOps scaladoc) THROWS instead of wrapping to silently-wrong

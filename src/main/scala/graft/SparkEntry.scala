@@ -3414,6 +3414,284 @@ object SparkEntry {
                  n_delete_commits, n_read_groups
              FROM graft_history('$path')""")
     }),
+
+    // SQL DML, INSERT half (round 13) — the WRITER side of "one
+    // engine, two surfaces": INSERT INTO / INSERT OVERWRITE against a
+    // graft_table path parse through the injected GraftSqlParser and
+    // execute the SAME commitVersion body as the Scala API (loud
+    // contracts, staging-aware allocation, ts stamps — identical by
+    // construction). Two appends then a full OVERWRITE (carry-forward
+    // dropped): the head digests to the whole table at version 3.
+    "q_sql_insert" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.orders(s, d).createOrReplaceTempView("r13_sqlins_orders")
+      val path = tmpPath("graft_sqlins", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      s.sql(s"""INSERT INTO graft_table('$path')
+             SELECT * FROM r13_sqlins_orders
+             WHERE CAST(o_orderdate AS DATE) < DATE '$IvmBoundary'""")
+        .collect()
+      s.sql(s"""INSERT INTO graft_table('$path')
+             SELECT * FROM r13_sqlins_orders
+             WHERE CAST(o_orderdate AS DATE) >= DATE '$IvmBoundary'""")
+        .collect()
+      val v3 = s.sql(s"""INSERT OVERWRITE graft_table('$path')
+             SELECT * FROM r13_sqlins_orders""")
+        .collect().head.getInt(0)
+      s.sql(s"""SELECT $v3 AS version, count(*) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                 AS sum_price,
+               CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+             FROM graft_version('$path')""")
+    }),
+
+    // SQL DML, DELETE half — `DELETE FROM graft_table(p) WHERE k IN
+    // (...)` compiles to the SAME merge-on-read delete sidecar as
+    // deleteVersionKeys (zero data files rewritten), so the whole
+    // q_version_delete lifecycle — delete, pinned prior version,
+    // ordered-fold re-insert — runs end-to-end through spark.sql and
+    // digests identically (shared oracle shape).
+    "q_sql_delete" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("r13_sqldel_events")
+      val path = tmpPath("graft_sqldel", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      s.sql(s"""INSERT INTO graft_table('$path')
+             SELECT * FROM r13_sqldel_events WHERE event_id % 2 = 0""")
+        .collect()
+      s.sql(s"""INSERT INTO graft_table('$path')
+             SELECT * FROM r13_sqldel_events WHERE event_id % 2 = 1""")
+        .collect()
+      s.sql(s"""DELETE FROM graft_table('$path')
+             WHERE event_id IN (SELECT event_id FROM r13_sqldel_events
+                                WHERE event_id % 7 = 0)""")
+        .collect()
+      s.sql(s"""INSERT INTO graft_table('$path')
+             SELECT * FROM r13_sqldel_events WHERE event_id % 14 = 0""")
+        .collect()
+      def dig(v: Int) =
+        s.sql(s"""SELECT $v AS version, count(*) AS n_rows,
+                 CAST(sum(user_id) AS BIGINT) AS user_sum,
+                 CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                   AS val_sum
+               FROM graft_version('$path', $v)""")
+      dig(2).unionByName(dig(3)).unionByName(dig(4))
+    }),
+
+    // SQL DML, MERGE half — `MERGE INTO graft_table(p) USING (...) ON
+    // k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+    // compiles to the SAME one-commit DV upsert as mergeVersion
+    // (delete sidecar + data dir, O(batch) write, no matched-row
+    // scan); any other WHEN action refuses loudly rather than
+    // silently computing something else. Same merged digest as
+    // q_version_merge (shared oracle shape).
+    "q_sql_merge" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("r13_sqlmrg_events")
+      val path = tmpPath("graft_sqlmrg", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      s.sql(s"""INSERT INTO graft_table('$path')
+             SELECT * FROM r13_sqlmrg_events""").collect()
+      s.sql(s"""MERGE INTO graft_table('$path') USING (
+               SELECT event_id, ts, user_id, 'updated' AS event_type,
+                      value + 1000.0 AS value, props
+               FROM r13_sqlmrg_events WHERE event_id % 5 = 0
+               UNION ALL
+               SELECT event_id + 100000, ts, user_id, 'inserted',
+                      value, props
+               FROM r13_sqlmrg_events WHERE event_id % 3 = 0
+             ) ON event_id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""").collect()
+      s.sql(s"""SELECT event_type, count(*) AS n_rows,
+               CAST(sum(user_id) AS BIGINT) AS user_sum,
+               CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                 AS val_sum
+             FROM graft_version('$path')
+             GROUP BY event_type""")
+    }),
+
+    // TIMESTAMP TIME TRAVEL — "the table as of yesterday 06:00":
+    // every commit manifest now carries a writer-stamped, strictly
+    // monotone ts line (VACUUM-invariant — never an mtime), and
+    // readVersionAsOf binary-searches the stamps to the latest
+    // version ≤ t (O(log versions) manifest reads at 1 M commits).
+    // Probed at v1's own stamp, one millisecond before v2's (both
+    // resolve v1 — boundary semantics), and at v2's stamp through the
+    // graft_version_asof TVF (the SQL surface of the same resolver).
+    "q_time_travel_ts" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val o = Tables.orders(s, d)
+      val path = tmpPath("graft_ttts", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      val bd = lit(IvmBoundary).cast("date")
+      SinkOps.commitVersion(
+        o.filter(col("o_orderdate").cast("date") < bd), path)
+      SinkOps.commitVersion(
+        o.filter(col("o_orderdate").cast("date") >= bd), path)
+      val ts1 = SinkOps.commitTimestamp(s, path, 1)
+      val ts2 = SinkOps.commitTimestamp(s, path, 2)
+      def dig(df: DataFrame, probe: String, v: Int) = df.agg(
+          count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("o_totalprice")).as("sum_price"),
+          sum("o_custkey").as("custkey_sum"))
+        .select(lit(probe).as("probe"), lit(v).as("version"),
+          col("n_rows"), col("sum_price"), col("custkey_sum"))
+      dig(SinkOps.readVersionAsOf(s, path, ts1), "at_v1_stamp", 1)
+        .unionByName(dig(SinkOps.readVersionAsOf(s, path, ts2 - 1),
+          "just_before_v2", 1))
+        .unionByName(s.sql(
+          s"""SELECT 'at_v2_stamp' AS probe, 2 AS version,
+                 count(*) AS n_rows,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                   AS sum_price,
+                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+               FROM graft_version_asof('$path', $ts2)"""))
+    }),
+
+    // BOUNDED OCC COMMIT RETRY — concurrent writers LAND instead of
+    // erroring: the batch's files are written once under a
+    // commit-unique dir, and on a version-number collision only the
+    // manifest attempt retries against the re-read head (the Delta
+    // commit loop). Here a competing writer lands v2 inside the race
+    // window (the test seam fires after allocation, before the
+    // manifest attempt); the retrying commit re-resolves carry-forward
+    // — now INCLUDING the winner's dir — and lands v3: the head holds
+    // all three slices, no lost update by construction.
+    "q_occ_retry" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_occ", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(e.filter(col("event_id") % 3 === 0), path)
+      val v = SinkOps.commitVersionRetrying(
+        e.filter(col("event_id") % 3 === 2), path,
+        beforeAttempt = n => if (n == 1) {
+          SinkOps.commitVersion(e.filter(col("event_id") % 3 === 1),
+            path); ()
+        })
+      SinkOps.readVersion(s, path).agg(
+          count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"),
+          AggOps.exactSum(col("value")).as("val_sum"))
+        .select(lit(v).as("version"), col("n_rows"), col("user_sum"),
+          col("val_sum"))
+    }),
+
+    // DV-TOLERANT METADATA AGGREGATION — cheap counts exactly when
+    // the table is hottest: a CDC-merged head carries a delete
+    // sidecar, and statsAggDv answers clean epochs (dirs trailing
+    // every sidecar) ENTIRELY from stats sidecars while only the
+    // DV-scoped epochs pay the anti-join — O(affected dirs), never
+    // O(table); plain statsOnlyAgg refuses this manifest by contract.
+    // Oracle recomputes count/min/max on the resolved survivors.
+    "q_stats_dv" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_statsdv", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 1L).foreach { r =>
+        SinkOps.commitVersionStats(
+          e.filter(col("event_id") % 3 === r)
+            .repartitionByRange(4, col("event_id")),
+          path, carryForward = true, Seq("event_id")); ()
+      }
+      SinkOps.deleteVersionKeys(
+        e.filter(col("event_id") % 7 === 0).select("event_id"),
+        path, "event_id")
+      SinkOps.commitVersionStats(
+        e.filter(col("event_id") % 3 === 2)
+          .repartitionByRange(4, col("event_id")),
+        path, carryForward = true, Seq("event_id"))
+      SinkOps.statsAggDv(s, path)
+        .select("n_rows", "min_event_id", "max_event_id")
+    }),
+
+    // K-DIMENSIONAL OPTIMIZE ZORDER — the 2-D Morton compaction
+    // generalized: three columns interleave bit-by-bit (the same bit
+    // budget split 3 ways) and all three get zone maps, so a 3-D box
+    // predicate prunes files on the intersection of three tight
+    // per-file ranges (spec pins it strictly tighter than every 2-D
+    // projection). The derived zkey column makes the third dimension
+    // integer-exact in both engines.
+    "q_compact_zorder_k" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val t = e.select(col("event_id"), col("user_id"),
+        pmod(col("event_id") * 37 + col("user_id"), lit(4096L))
+          .as("zkey"),
+        col("event_type"))
+      val path = tmpPath("graft_zoptk", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 1L).foreach { r =>
+        SinkOps.commitVersion(t.filter(col("event_id") % 2 === r),
+          path); ()
+      }
+      SinkOps.compactVersionsZOrderK(s, path,
+        Seq("event_id", "user_id", "zkey"), bits = 14)
+      val b = e.agg(min("user_id"), max("user_id"),
+        min("event_id"), max("event_id")).head()
+      val (umin, umax, emin, emax) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val (elo, ehi) = (emin + (emax - emin + 1) / 4,
+        emin + (emax - emin + 1) / 2)
+      val span3 = (umax - umin + 1) / 3
+      val (ulo, uhi) = (umin + span3, umin + 2 * span3 - 1)
+      SinkOps.readVersionWhereCols(s, path,
+          Seq(("event_id", elo, ehi), ("user_id", ulo, uhi),
+            ("zkey", 0L, 2047L)))
+        .select(col("event_id"), col("user_id"), col("zkey"),
+          col("event_type"))
+    }),
+
+    // RETENTION-SAFE VACUUM — the grace horizon: versions committed
+    // within `retainMillis` survive even when `keep` would expire
+    // them (a reader pinned mid-scan cannot lose files to an
+    // aggressive sweep — Delta's retention-duration role, resolved
+    // against the VACUUM-invariant commit stamps). The graced sweep
+    // deletes NOTHING (all history is seconds old) and the pinned v2
+    // read still answers; the eager sweep then reclaims exactly the
+    // three pre-compaction dirs.
+    "q_vacuum_grace" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_vacgrace", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 2L).foreach { r =>
+        SinkOps.commitVersion(e.filter(col("event_id") % 3 === r),
+          path); ()
+      }
+      SinkOps.compactVersions(s, path) // v4: one dir, v1-3 unreferenced
+      val nGraced = SinkOps.expireVersions(s, path, keep = 4,
+        retainMillis = 86400000L)
+      // Materialized EAGERLY: the eager sweep below deletes v2's
+      // files, and a lazy plan would try to read them at union time.
+      val dig2 = SinkOps.readVersion(s, path, Some(2)).agg(
+          count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"))
+        .select(lit("grace").as("probe"), lit(nGraced).as("n_deleted"),
+          col("n_rows"), col("user_sum"))
+        .localCheckpoint(true)
+      val nEager = SinkOps.expireVersions(s, path, 4)
+      dig2.unionByName(
+        SinkOps.readVersion(s, path).agg(
+            count(lit(1)).as("n_rows"),
+            sum("user_id").as("user_sum"))
+          .select(lit("eager").as("probe"), lit(nEager).as("n_deleted"),
+            col("n_rows"), col("user_sum")))
+    }),
     // DESCRIBE HISTORY from metadata alone: the table-growth timeline
     // (rows, dirs, stat ranges per version) read from manifests +
     // stats sidecars with zero data-file IO — what an operator checks
@@ -7264,6 +7542,118 @@ object SparkEntry {
          UNION ALL
          SELECT 3, 3, count(*), CAST(min(event_id) AS BIGINT),
                 CAST(max(event_id) AS BIGINT), 0, 1
+         FROM events""",
+    // SQL INSERT lifecycle: two appends then INSERT OVERWRITE — the
+    // head is the whole table at version 3.
+    "q_sql_insert" ->
+      """SELECT 3 AS version, count(*) AS n_rows,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_price,
+                CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+         FROM orders""",
+    // SQL DELETE ≡ the Scala DV lifecycle (q_version_delete shape):
+    // v2 = everything, v3 = minus %7 keys, v4 = plus re-inserted %14
+    // keys (ordered-fold semantics through the SQL front door).
+    "q_sql_delete" ->
+      """SELECT 2 AS version, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events
+         UNION ALL
+         SELECT 3, count(*), CAST(sum(user_id) AS BIGINT),
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+         FROM events WHERE event_id % 7 <> 0
+         UNION ALL
+         SELECT 4, count(*), CAST(sum(user_id) AS BIGINT),
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+         FROM events WHERE event_id % 7 <> 0 OR event_id % 14 = 0""",
+    // SQL MERGE upsert ≡ the Scala merge (q_version_merge shape):
+    // batch rows win on key, others untouched.
+    "q_sql_merge" ->
+      """WITH upd AS (
+           SELECT event_id, ts, user_id, 'updated' AS event_type,
+                  value + 1000 AS value, props
+           FROM events WHERE event_id % 5 = 0
+           UNION ALL
+           SELECT event_id + 100000, ts, user_id, 'inserted', value, props
+           FROM events WHERE event_id % 3 = 0),
+         merged AS (
+           SELECT * FROM upd
+           UNION ALL
+           SELECT * FROM events
+           WHERE event_id NOT IN (SELECT event_id FROM upd))
+         SELECT event_type, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM merged GROUP BY 1""",
+    // Timestamp resolution: v1's own stamp and the millisecond before
+    // v2's stamp both read v1 (latest version ≤ t); v2's stamp reads
+    // the head.
+    "q_time_travel_ts" ->
+      s"""SELECT 'at_v1_stamp' AS probe, 1 AS version,
+                 count(*) AS n_rows,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                   AS sum_price,
+                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+          FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '$IvmBoundary'
+          UNION ALL
+          SELECT 'just_before_v2', 1, count(*),
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE),
+                 CAST(sum(o_custkey) AS BIGINT)
+          FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '$IvmBoundary'
+          UNION ALL
+          SELECT 'at_v2_stamp', 2, count(*),
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE),
+                 CAST(sum(o_custkey) AS BIGINT)
+          FROM orders""",
+    // The retried commit lands v3 with the racer's slice carried
+    // forward: the head is the whole table — no lost update.
+    "q_occ_retry" ->
+      """SELECT 3 AS version, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events""",
+    // DV-tolerant metadata aggregate ≡ the resolved survivors: the
+    // %7 delete scopes only the residue-0/1 commits before it; the
+    // residue-2 commit trails the sidecar and survives whole.
+    "q_stats_dv" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                min(event_id) AS min_event_id,
+                max(event_id) AS max_event_id
+         FROM events
+         WHERE (event_id % 3 < 2 AND event_id % 7 <> 0)
+            OR event_id % 3 = 2""",
+    // The 3-D box read equals the full-scan conjunction; bounds and
+    // the derived third dimension recomputed with the same integer
+    // arithmetic.
+    "q_compact_zorder_k" ->
+      """WITH b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+                           min(event_id) AS emin, max(event_id) AS emax
+                    FROM events),
+              p AS (SELECT emin + (emax - emin + 1) // 4 AS elo,
+                           emin + (emax - emin + 1) // 2 AS ehi,
+                           umin + (umax - umin + 1) // 3 AS ulo,
+                           umin + 2 * ((umax - umin + 1) // 3) - 1 AS uhi
+                    FROM b)
+         SELECT event_id, user_id,
+                (event_id * 37 + user_id) % 4096 AS zkey, event_type
+         FROM events, p
+         WHERE event_id BETWEEN elo AND ehi
+           AND user_id BETWEEN ulo AND uhi
+           AND (event_id * 37 + user_id) % 4096 <= 2047""",
+    // The graced sweep deletes nothing (seconds-old history is inside
+    // the horizon; pinned v2 still reads); the eager sweep reclaims
+    // exactly the three pre-compaction dirs.
+    "q_vacuum_grace" ->
+      """SELECT 'grace' AS probe, 0 AS n_deleted,
+                count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events WHERE event_id % 3 < 2
+         UNION ALL
+         SELECT 'eager', 3, count(*), CAST(sum(user_id) AS BIGINT)
          FROM events""",
     // Metadata-only history ≡ per-snapshot digests of the residue
     // construction.

@@ -26,7 +26,12 @@ class BloomBitmapAgg(m: Int) extends Aggregator[Int, Array[Byte], String] {
   override def zero: Array[Byte] = new Array[Byte](m / 8)
 
   override def reduce(buf: Array[Byte], bit: Int): Array[Byte] = {
-    buf(bit >> 3) = (buf(bit >> 3) | (1 << (bit & 7))).toByte
+    // Negative = "no value" sentinel (a NULL in the bloomed column):
+    // contributes no bit, so the one-pass multi-column writer can run
+    // c aggregations side by side over rows where only some columns
+    // are non-null. Bit-identical to filtering nulls per column.
+    if (bit >= 0)
+      buf(bit >> 3) = (buf(bit >> 3) | (1 << (bit & 7))).toByte
     buf
   }
 

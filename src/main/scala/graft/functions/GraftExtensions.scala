@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftFunctions.deletedKeys)
     ext.injectTableFunction(GraftFunctions.graftStats)
     ext.injectTableFunction(GraftFunctions.graftVersionWhere)
+    ext.injectTableFunction(GraftFunctions.graftVersionAsOf)
+    // SQL DML front door for the versioned tier: MERGE INTO /
+    // DELETE FROM / INSERT INTO against graft_table('<path>'), sharing
+    // the SinkOps bodies (one engine, two surfaces — writer half).
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 
@@ -112,7 +117,15 @@ object GraftFunctions {
     require(e.foldable, s"$what must be a constant integer")
     e.eval() match {
       case i: java.lang.Integer => i.intValue
-      case l: java.lang.Long => l.intValue
+      case l: java.lang.Long =>
+        // Math.toIntExact, not intValue: a BIGINT literal past Int range
+        // must fail loudly, never wrap to a DIFFERENT version number and
+        // silently read the wrong snapshot (ADVICE r12).
+        try Math.toIntExact(l.longValue)
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"$what overflows the Int version range: $l")
+        }
       case s: java.lang.Short => s.intValue
       case b: java.lang.Byte => b.intValue
       case v => throw new IllegalArgumentException(
@@ -257,6 +270,28 @@ object GraftFunctions {
       new ExpressionInfo("graft.ops.SinkOps", "graft_history"),
       buildGraftHistory _)
 
+  /** `graft_version_asof(path, tsMillis)` — TIMESTAMP AS OF through
+    * SQL: the latest snapshot whose writer-stamped commit timestamp is
+    * ≤ tsMillis ([[graft.ops.SinkOps.readVersionAsOf]] — binary-search
+    * resolution over the monotone stamps, then the same snapshot read
+    * as `graft_version`).
+    */
+  private def buildVersionAsOf(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2,
+      s"graft_version_asof expects (path, tsMillis), got ${exprs.length} arguments")
+    GraftSqlBridge.plan(graft.ops.SinkOps.readVersionAsOf(
+      SparkSession.active,
+      constString(exprs.head, "graft_version_asof path"),
+      constLong(exprs(1), "graft_version_asof tsMillis")))
+  }
+
+  val graftVersionAsOf: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_version_asof"),
+      new ExpressionInfo("graft.ops.SinkOps", "graft_version_asof"),
+      buildVersionAsOf _)
+
   val graftVersion: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
     (FunctionIdentifier("graft_version"),
@@ -287,5 +322,7 @@ object GraftFunctions {
       buildGraftStats)
     GraftSqlBridge.registerTableFunction(spark, "graft_version_where",
       buildVersionWhere)
+    GraftSqlBridge.registerTableFunction(spark, "graft_version_asof",
+      buildVersionAsOf)
   }
 }

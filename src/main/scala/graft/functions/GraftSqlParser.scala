@@ -1,0 +1,220 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+
+/** SQL DML front door for the manifest-versioned table tier — the
+  * writer half of "one engine, two surfaces": reads went SQL-first in
+  * round 12 (six TVFs), and with this parser every MUTATION is
+  * SQL-reachable too, sharing the [[graft.ops.SinkOps]] bodies
+  * byte-for-byte so the DV economics, idempotent version allocation,
+  * and loud contracts hold identically from both surfaces (the Delta
+  * `MERGE INTO`/`DELETE FROM` production shape, path-addressed).
+  *
+  * Grammar (only statements naming `graft_table('<path>')` are
+  * intercepted; everything else delegates to Spark's parser verbatim):
+  *
+  *  - `INSERT INTO graft_table('<path>') <query>`
+  *     → [[graft.ops.SinkOps.commitVersion]] (carry-forward append)
+  *  - `INSERT OVERWRITE graft_table('<path>') <query>`
+  *     → commitVersion(carryForward = false) (snapshot replace)
+  *  - `DELETE FROM graft_table('<path>') WHERE <keyCol> IN (<query>)`
+  *     → [[graft.ops.SinkOps.deleteVersionKeys]] (merge-on-read DV —
+  *       zero data files rewritten)
+  *  - `MERGE INTO graft_table('<path>') USING (<query>) ON <keyCol>
+  *     [WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]`
+  *     → [[graft.ops.SinkOps.mergeVersion]] (one-commit DV upsert).
+  *       The WHEN tail is optional but FIXED: upsert-all is exactly
+  *       what the DV delete+reinsert encoding implements; any other
+  *       matched/not-matched action refuses loudly rather than
+  *       silently computing something else.
+  *
+  * Each statement returns one row — `version INT`, the committed
+  * version number (the Delta convention of DML returning its commit
+  * metrics, reduced to the one datum every caller needs). Inner
+  * queries are parsed by the DELEGATE parser and analyzed/executed by
+  * the session at run time: full SQL (joins, CTEs, TVFs — including
+  * `graft_version(...)`, so snapshot-to-snapshot DML composes).
+  *
+  * Scale: the parser itself is O(statement text); all data movement is
+  * the shared SinkOps bodies' (merge/delete are O(batch) sidecar
+  * writes, insert is one distributed parquet write).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseDml(sqlText, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** Statement head: verb + graft_table('<path>') + tail. Statements
+    * not matching (no graft_table target) return None and flow to the
+    * delegate untouched.
+    */
+  private val Head =
+    ("(?is)^\\s*(INSERT\\s+INTO|INSERT\\s+OVERWRITE|DELETE\\s+FROM|" +
+      "MERGE\\s+INTO)\\s+graft_table\\s*\\(\\s*'([^']*)'\\s*\\)\\s*(.*)$").r
+
+  private val DeleteTail =
+    "(?is)^WHERE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s*(\\(.*)$".r
+
+  private val MergeOn =
+    "(?is)^ON\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(.*)$".r
+
+  /** The one WHEN tail the DV merge implements (upsert-all). */
+  private val CanonicalWhen =
+    ("(?is)^WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+" +
+      "WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*$").r
+
+  private def parseDml(sqlText: String,
+                       delegate: ParserInterface): Option[LogicalPlan] = {
+    val text = sqlText.trim.stripSuffix(";").trim
+    text match {
+      case Head(verb, path, tail) =>
+        val v = verb.toUpperCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ")
+        Some(v match {
+          case "INSERT INTO" | "INSERT OVERWRITE" =>
+            require(tail.trim.nonEmpty,
+              s"INSERT into graft_table('$path') needs a source query")
+            GraftInsertCommand(path, delegate.parseQuery(tail.trim),
+              carryForward = v == "INSERT INTO")
+          case "DELETE FROM" =>
+            tail.trim match {
+              case DeleteTail(keyCol, parenOn) =>
+                val (inner, rest) = balanced(parenOn.trim, path)
+                require(rest.trim.isEmpty,
+                  s"unexpected trailing text after DELETE FROM " +
+                    s"graft_table('$path') ... IN (...): '${rest.trim}'")
+                GraftDeleteCommand(path, keyCol,
+                  delegate.parseQuery(inner.trim))
+              case other => throw new IllegalArgumentException(
+                "DELETE FROM graft_table('" + path + "') supports " +
+                  "exactly `WHERE <keyCol> IN (<query>)` (the " +
+                  "merge-on-read key-delete shape); got: " + other)
+            }
+          case "MERGE INTO" =>
+            val t = tail.trim
+            require(t.toUpperCase(java.util.Locale.ROOT)
+                .startsWith("USING"),
+              s"MERGE INTO graft_table('$path') expects USING " +
+                s"(<query>) ON <keyCol>; got: $t")
+            val afterUsing = t.drop("USING".length).trim
+            val (inner, rest) = balanced(afterUsing, path)
+            rest.trim match {
+              case MergeOn(keyCol, whenTail) =>
+                require(whenTail.trim.isEmpty ||
+                    CanonicalWhen.matches(whenTail.trim),
+                  "MERGE INTO graft_table implements exactly upsert-" +
+                    "all (WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
+                    "MATCHED THEN INSERT *) — any other WHEN action " +
+                    "refuses rather than silently computing " +
+                    "something else; got: " + whenTail.trim)
+                GraftMergeCommand(path, keyCol,
+                  delegate.parseQuery(inner.trim))
+              case other => throw new IllegalArgumentException(
+                s"MERGE INTO graft_table('$path') USING (...) " +
+                  s"expects `ON <keyCol>`; got: $other")
+            }
+        })
+      case _ => None
+    }
+  }
+
+  /** Scan a balanced-parenthesis group starting at `(`; returns
+    * (inner text, remainder after the matching `)`). Quote-aware so
+    * parens inside string literals never miscount.
+    */
+  private def balanced(s: String, path: String): (String, String) = {
+    require(s.startsWith("("),
+      s"expected a parenthesized query in DML on graft_table" +
+        s"('$path'); got: $s")
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (s.substring(1, i), s.substring(i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"unbalanced parentheses in DML on graft_table('$path'): $s")
+  }
+
+  private[functions] def versionOutput: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+}
+
+/** `INSERT INTO/OVERWRITE graft_table(path) <query>` →
+  * [[graft.ops.SinkOps.commitVersion]]. The source plan is analyzed
+  * and executed at run time by the session (full SQL available).
+  */
+case class GraftInsertCommand(path: String, source: LogicalPlan,
+                              carryForward: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.SinkOps.commitVersion(
+      GraftSqlBridge.ofRows(spark, source), path, carryForward, None)))
+}
+
+/** `DELETE FROM graft_table(path) WHERE k IN (<query>)` →
+  * [[graft.ops.SinkOps.deleteVersionKeys]] — merge-on-read sidecar,
+  * zero data files rewritten.
+  */
+case class GraftDeleteCommand(path: String, keyCol: String,
+                              keys: LogicalPlan)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def innerChildren: Seq[LogicalPlan] = Seq(keys)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.SinkOps.deleteVersionKeys(
+      GraftSqlBridge.ofRows(spark, keys), path, keyCol)))
+}
+
+/** `MERGE INTO graft_table(path) USING (<query>) ON k` →
+  * [[graft.ops.SinkOps.mergeVersion]] — the one-commit DV upsert
+  * (delete sidecar + data dir), O(batch) write cost.
+  */
+case class GraftMergeCommand(path: String, keyCol: String,
+                             source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.SinkOps.mergeVersion(
+      GraftSqlBridge.ofRows(spark, source), path, keyCol)))
+}

@@ -43,6 +43,28 @@ object SortOps {
         shiftright(b.cast("long"), i) % 2L * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
 
+  /** K-DIMENSIONAL Morton value: bit i of dimension j lands at
+    * position i·k + j, so rows close in ANY subset of the k dimensions
+    * get close z-values — [[zorderValue]] is exactly the k = 2 case
+    * (same bit layout, same integer arithmetic). The interleaved key
+    * must fit a signed long: k·bits ≤ 62, checked loudly (at k = 3
+    * that still leaves 20 bits ≈ 1 M distinct values per dimension —
+    * layout locality, not value precision: callers fold wider domains
+    * with `% (1 << bits)` and stored data is untouched). Pure integer
+    * expression, whole-stage codegen like the 2-D form.
+    */
+  def zorderValueK(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, s"z-ordering needs >= 2 dimensions, got $k")
+    require(bits >= 1 && k * bits <= 62,
+      s"interleaved key overflows a signed long: $k dims x $bits bits")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftright(c.cast("long"), i) % 2L * lit(1L << (i * k + j))
+      }
+    }.reduce(_ + _)
+  }
+
   /** Z-order data layout: range-partition + sort by the interleaved key,
     * so files written from the result carry tight min/max ranges on BOTH
     * dimensions — 2-D box predicates then prune files on either column

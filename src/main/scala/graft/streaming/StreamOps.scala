@@ -1286,8 +1286,10 @@ object StreamOps {
         // earlier manifests (in-order tailing from a RESOLVED
         // baseline), so a delta manifest's delta is exactly its own
         // tail lines — the reference is dropped, never expanded.
+        // ts: commit-stamp lines are manifest metadata, not dirs.
         val lines = batch.collect().map(_.getString(0))
-          .filter(_.nonEmpty).filterNot(_.startsWith("base:")).toSeq
+          .filter(_.nonEmpty).filterNot(_.startsWith("base:"))
+          .filterNot(_.startsWith("ts:")).toSeq
         require(!lines.exists(_.startsWith("delete:")),
           s"changefeed stream over $tablePath hit a delete-sidecar " +
             "commit — append-only contract (readDeletedKeys is the " +

@@ -20,6 +20,13 @@ object GraftSqlBridge {
   def plan(df: Dataset[Row]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** DataFrame over a logical plan — what a DML command's `run` uses
+    * to hand its parsed (still unresolved) source query back to the
+    * session for analysis + execution.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): Dataset[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a native expression as a SQL temp function on a live
     * session (the builder-time path is SparkSessionExtensions).
     */

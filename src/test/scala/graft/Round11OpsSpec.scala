@@ -488,8 +488,8 @@ class Round11OpsSpec extends SparkSpec {
       "bin-packing touched the monolith dir")
     assert(fs.exists(new org.apache.hadoop.fs.Path(root,
       "stats/v1.txt")), "monolith stats sidecar lost")
-    assert(manifestText(path, v).split("\n").toSeq ==
-      Seq("data/v1", "data/v5"),
+    assert(manifestText(path, v).split("\n").toSeq
+        .filterNot(_.startsWith("ts:")) == Seq("data/v1", "data/v5"),
       "packed manifest is not monolith + packed dir")
     val packedHead = SinkOps.readVersion(spark, path, Some(v))
       .select("event_id").collect().map(_.getLong(0)).sorted

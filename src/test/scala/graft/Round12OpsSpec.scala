@@ -35,10 +35,23 @@ class Round12OpsSpec extends SparkSpec {
       ev.filter(col("event_id") % 7 === 0).select("event_id"),
       path, "event_id")
     // The skip economics SURVIVE the DV commit: files-read < total.
-    val (kept, total, c) = SinkOps.pruneFiles(spark, path, 100L, 299L)
+    // Planning goes through the EPOCH-GROUPED view — the r13 contract:
+    // flat pruneFiles REFUSES a DV manifest (raw reads of its list
+    // would serve deleted rows), and the grouped view hands each kept
+    // file set its applicable sidecars so a caller cannot ignore them.
+    val (groups, total, c) = SinkOps.pruneFileGroups(spark, path,
+      100L, 299L)
+    val kept = groups.flatMap(_._1)
     assert(c == "event_id")
     assert(kept.nonEmpty && kept.size < total,
       s"no skip under DV manifest: ${kept.size} of $total planned")
+    assert(groups.exists(_._2.nonEmpty),
+      "DV manifest planned with no sidecar attached to any epoch")
+    val exFlat = intercept[IllegalArgumentException] {
+      SinkOps.pruneFiles(spark, path, 100L, 299L)
+    }
+    assert(exFlat.getMessage.contains("deletion vectors"),
+      exFlat.getMessage)
     val got = SinkOps.readVersionWhere(spark, path, 100L, 299L)
       .select("event_id").collect().map(_.getLong(0)).sorted
     val want = SinkOps.readVersion(spark, path)
@@ -178,11 +191,13 @@ class Round12OpsSpec extends SparkSpec {
         .select("id").collect().map(_.getLong(0)).sorted
       assert(got.sameElements(1L to v.toLong))
     }
-    // v2, v4, v5 are deltas (base: + one dir); v3 is a checkpoint.
+    // v2, v4, v5 are deltas (base: + one dir + the r13 ts: commit
+    // stamp); v3 is a checkpoint.
     Seq(2, 4, 5).foreach { v =>
       val raw = rawManifestText(delta, v).split("\n")
-      assert(raw.length == 2 && raw.head == s"base:${v - 1}",
-        s"v$v not a delta manifest: ${raw.mkString("|")}")
+      assert(raw.count(!_.startsWith("ts:")) == 2 &&
+        raw.head == s"base:${v - 1}" && raw.last.startsWith("ts:"),
+        s"v$v not a stamped delta manifest: ${raw.mkString("|")}")
     }
     assert(!rawManifestText(delta, 3).contains("base:"),
       "checkpoint commit v3 still carries a base reference")
@@ -666,7 +681,8 @@ class Round12OpsSpec extends SparkSpec {
     Seq(1, 2, 4).foreach { v =>
       if (v > 1) {
         val raw = rawManifestText(tbl, v).split("\n")
-        assert(raw.head == s"base:${v - 1}",
+        assert(raw.head == s"base:${v - 1}" &&
+          raw.count(!_.startsWith("ts:")) == 2,
           s"v$v should be a delta manifest: ${raw.mkString("|")}")
       }
     }

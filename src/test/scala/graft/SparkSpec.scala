@@ -17,6 +17,8 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.ansi.enabled", "true") // overflow contract, as GraftSession
+      // full graft SQL surface incl. the DML parser, as GraftSession
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
