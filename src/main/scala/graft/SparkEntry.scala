@@ -3517,6 +3517,64 @@ object SparkEntry {
              GROUP BY event_type""")
     }),
 
+    // SQL DML, UPDATE half — `UPDATE graft_table(p) SET ... WHERE k
+    // IN (...)` scans the head ONCE semi-joined to the broadcast key
+    // list, evaluates every SET expression against the OLD row (one
+    // projection — standard UPDATE semantics), and merges the result
+    // as a single O(matched) DV commit: the merge-on-read UPDATE,
+    // zero file rewrites where copy-on-write would rewrite every
+    // touched file.
+    "q_sql_update" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("r13_sqlupd_events")
+      val path = tmpPath("graft_sqlupd", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      s.sql(s"""INSERT INTO graft_table('$path')
+             SELECT * FROM r13_sqlupd_events""").collect()
+      s.sql(s"""UPDATE graft_table('$path')
+             SET value = value + 1000.0,
+                 event_type = concat(event_type, '_u')
+             WHERE event_id IN (SELECT event_id FROM r13_sqlupd_events
+                                WHERE event_id % 5 = 0)""").collect()
+      s.sql(s"""SELECT event_type, count(*) AS n_rows,
+               CAST(sum(user_id) AS BIGINT) AS user_sum,
+               CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                 AS val_sum
+             FROM graft_version('$path')
+             GROUP BY event_type""")
+    }),
+
+    // SQL METADATA AGGREGATE UNDER DVs — graft_stats routes to the
+    // DV-tolerant statsAggDv (round 13): the q_stats_dv fixture read
+    // through the TVF answers clean epochs from sidecars and pays the
+    // resolve only for the DV-scoped ones, where the r12 TVF refused
+    // the hot-table window outright.
+    "q_sql_stats_dv" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_sqlstatsdv", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 1L).foreach { r =>
+        SinkOps.commitVersionStats(
+          e.filter(col("event_id") % 3 === r)
+            .repartitionByRange(4, col("event_id")),
+          path, carryForward = true, Seq("event_id")); ()
+      }
+      SinkOps.deleteVersionKeys(
+        e.filter(col("event_id") % 7 === 0).select("event_id"),
+        path, "event_id")
+      SinkOps.commitVersionStats(
+        e.filter(col("event_id") % 3 === 2)
+          .repartitionByRange(4, col("event_id")),
+        path, carryForward = true, Seq("event_id"))
+      s.sql(s"""SELECT n_rows, min_event_id, max_event_id
+             FROM graft_stats('$path')""")
+    }),
+
     // TIMESTAMP TIME TRAVEL — "the table as of yesterday 06:00":
     // every commit manifest now carries a writer-stamped, strictly
     // monotone ts line (VACUUM-invariant — never an mtime), and
@@ -7588,6 +7646,30 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
                   AS val_sum
          FROM merged GROUP BY 1""",
+    // SQL UPDATE ≡ evaluating SET against the old rows of the matched
+    // key class, everything else untouched.
+    "q_sql_update" ->
+      """WITH merged AS (
+           SELECT event_id, user_id,
+                  CASE WHEN event_id % 5 = 0 THEN event_type || '_u'
+                       ELSE event_type END AS event_type,
+                  CASE WHEN event_id % 5 = 0 THEN value + 1000
+                       ELSE value END AS value
+           FROM events)
+         SELECT event_type, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM merged GROUP BY 1""",
+    // The DV-tolerant SQL metadata aggregate ≡ the resolved survivors
+    // (the q_stats_dv contract through the TVF).
+    "q_sql_stats_dv" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                min(event_id) AS min_event_id,
+                max(event_id) AS max_event_id
+         FROM events
+         WHERE (event_id % 3 < 2 AND event_id % 7 <> 0)
+            OR event_id % 3 = 2""",
     // Timestamp resolution: v1's own stamp and the millisecond before
     // v2's stamp both read v1 (latest version ≤ t); v2's stamp reads
     // the head.

@@ -33,6 +33,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *       what the DV delete+reinsert encoding implements; any other
   *       matched/not-matched action refuses loudly rather than
   *       silently computing something else.
+  *  - `UPDATE graft_table('<path>') SET c = expr[, ...]
+  *     WHERE <keyCol> IN (<query>)`
+  *     → [[GraftUpdateCommand]]: one snapshot scan semi-joined to the
+  *       key list, SET evaluated against the old rows, merged as a
+  *       single O(matched) DV commit.
   *
   * Each statement returns one row — `version INT`, the committed
   * version number (the Delta convention of DML returning its commit
@@ -77,13 +82,77 @@ object GraftSqlParser {
     */
   private val Head =
     ("(?is)^\\s*(INSERT\\s+INTO|INSERT\\s+OVERWRITE|DELETE\\s+FROM|" +
-      "MERGE\\s+INTO)\\s+graft_table\\s*\\(\\s*'([^']*)'\\s*\\)\\s*(.*)$").r
+      "MERGE\\s+INTO|UPDATE)\\s+graft_table\\s*\\(\\s*'([^']*)'\\s*\\)" +
+      "\\s*(.*)$").r
 
   private val DeleteTail =
     "(?is)^WHERE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s*(\\(.*)$".r
 
   private val MergeOn =
     "(?is)^ON\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(.*)$".r
+
+  /** `<keyCol> IN (<query...>` — the shared key-list clause of DELETE
+    * and UPDATE.
+    */
+  private val KeyIn =
+    "(?is)^([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s*(\\(.*)$".r
+
+  /** Index of the first TOP-LEVEL (paren-depth 0, outside string
+    * literals, word-bounded) occurrence of `kw`, -1 when absent — how
+    * UPDATE finds its WHERE without being fooled by a WHERE inside a
+    * quoted literal or a parenthesized subexpression.
+    */
+  private def topLevelKeyword(s: String, kw: String): Int = {
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 &&
+              s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !wordChar(s.charAt(i - 1))) &&
+              (i + kw.length >= s.length ||
+                !wordChar(s.charAt(i + kw.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on TOP-LEVEL commas (quote- and paren-aware) — the SET
+    * assignment-list separator (`a = f(x, y), b = 2` is two
+    * assignments, not three).
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inQuote = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   /** The one WHEN tail the DV merge implements (upsert-all). */
   private val CanonicalWhen =
@@ -116,6 +185,39 @@ object GraftSqlParser {
                 "DELETE FROM graft_table('" + path + "') supports " +
                   "exactly `WHERE <keyCol> IN (<query>)` (the " +
                   "merge-on-read key-delete shape); got: " + other)
+            }
+          case "UPDATE" =>
+            val t = tail.trim
+            require(t.length > 3 &&
+                t.substring(0, 3).equalsIgnoreCase("SET"),
+              s"UPDATE graft_table('$path') expects SET <col> = " +
+                s"<expr>[, ...] WHERE <keyCol> IN (<query>); got: $t")
+            val afterSet = t.drop(3).trim
+            val wherePos = topLevelKeyword(afterSet, "WHERE")
+            require(wherePos > 0,
+              s"UPDATE graft_table('$path') needs a WHERE <keyCol> " +
+                "IN (<query>) clause (full-table UPDATE is a rewrite " +
+                "— use INSERT OVERWRITE)")
+            val assigns = splitTopLevel(
+                afterSet.substring(0, wherePos).trim).map { a =>
+              val eq = a.indexOf('=')
+              require(eq > 0, s"malformed SET assignment: $a")
+              val name = a.substring(0, eq).trim
+              require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+                s"SET target must be a plain column name: $name")
+              (name, delegate.parseExpression(a.substring(eq + 1).trim))
+            }
+            afterSet.substring(wherePos + "WHERE".length).trim match {
+              case KeyIn(keyCol, parenOn) =>
+                val (inner, rest) = balanced(parenOn.trim, path)
+                require(rest.trim.isEmpty,
+                  "unexpected trailing text after UPDATE ... IN " +
+                    s"(...): '${rest.trim}'")
+                GraftUpdateCommand(path, keyCol,
+                  delegate.parseQuery(inner.trim), assigns)
+              case other => throw new IllegalArgumentException(
+                s"UPDATE graft_table('$path') supports exactly " +
+                  s"`WHERE <keyCol> IN (<query>)`; got: $other")
             }
           case "MERGE INTO" =>
             val t = tail.trim
@@ -217,4 +319,43 @@ case class GraftMergeCommand(path: String, keyCol: String,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.ops.SinkOps.mergeVersion(
       GraftSqlBridge.ofRows(spark, source), path, keyCol)))
+}
+
+/** `UPDATE graft_table(path) SET c = expr[, ...] WHERE k IN (<query>)`
+  * → one DV MERGE of the matched rows with the SET expressions
+  * applied: the head is scanned ONCE filtered by a broadcast semi-join
+  * on the arrival-sized key list, every SET expression evaluates
+  * against the OLD row (one projection — standard UPDATE semantics,
+  * not sequential rebinding), and the result merges as a single
+  * O(matched) commit (sidecar + data dir, zero file rewrites — the
+  * merge-on-read UPDATE, vs Delta's copy-on-write file rewrite).
+  * Assigning the key column refuses loudly (that is a delete+insert,
+  * not an update); assigning an absent column refuses loudly (schema
+  * evolution goes through commits, not a typo in SET).
+  */
+case class GraftUpdateCommand(path: String, keyCol: String,
+                              keys: LogicalPlan,
+                              assigns: Seq[(String, Expression)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def innerChildren: Seq[LogicalPlan] = Seq(keys)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = graft.ops.SinkOps.readVersion(spark, path)
+    assigns.foreach { case (n, _) =>
+      require(n != keyCol,
+        s"UPDATE must not assign the merge key '$keyCol' — changing " +
+          "a key is a DELETE plus INSERT, not an update")
+      require(snap.columns.contains(n),
+        s"UPDATE assigns unknown column '$n' (table has: " +
+          s"${snap.columns.mkString(", ")})")
+    }
+    val keyDf = GraftSqlBridge.ofRows(spark, keys)
+      .select(keyCol).distinct()
+    val matched = snap.join(
+      org.apache.spark.sql.functions.broadcast(keyDf),
+      Seq(keyCol), "left_semi")
+    val updated = matched.withColumns(
+      assigns.map { case (n, e) => n -> GraftSqlBridge.column(e) }.toMap)
+    Seq(Row(graft.ops.SinkOps.mergeVersion(updated, path, keyCol)))
+  }
 }

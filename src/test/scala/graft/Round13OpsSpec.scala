@@ -106,6 +106,65 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("SQL UPDATE evaluates every SET expression against the OLD row " +
+      "(swap semantics hold), touches only the matched keys, and " +
+      "refuses key assignment, unknown columns, and a missing WHERE") {
+    import spark.implicits._
+    val t = tmp("r13_dml_update")
+    Seq((1L, 10L, 20L), (2L, 30L, 40L), (3L, 50L, 60L))
+      .toDF("id", "a", "b").createOrReplaceTempView("r13spec_upd")
+    spark.sql(s"""INSERT INTO graft_table('$t')
+        SELECT * FROM r13spec_upd""").collect()
+    // a,b SWAP for ids 1,2: both SET expressions must read the OLD
+    // row — sequential rebinding would yield a=b=old b.
+    val v = spark.sql(s"""UPDATE graft_table('$t')
+        SET a = b, b = a
+        WHERE id IN (SELECT id FROM r13spec_upd WHERE id <= 2)""")
+      .collect().head.getInt(0)
+    assert(v == 2)
+    val got = SinkOps.readVersion(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(Array((1L, 20L, 10L), (2L, 40L, 30L),
+      (3L, 50L, 60L))), s"UPDATE semantics wrong: ${got.mkString(",")}")
+    val exKey = intercept[Exception] {
+      spark.sql(s"""UPDATE graft_table('$t') SET id = id + 1
+          WHERE id IN (SELECT id FROM r13spec_upd)""").collect()
+    }
+    assert(exKey.getMessage.contains("merge key"), exKey.getMessage)
+    val exCol = intercept[Exception] {
+      spark.sql(s"""UPDATE graft_table('$t') SET nope = 1
+          WHERE id IN (SELECT id FROM r13spec_upd)""").collect()
+    }
+    assert(exCol.getMessage.contains("unknown column"), exCol.getMessage)
+    val exWhere = intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE graft_table('$t') SET a = 1")
+    }
+    assert(exWhere.getMessage.contains("WHERE"), exWhere.getMessage)
+  }
+
+  test("the graft_stats TVF answers a DV-carrying head (routing " +
+      "through statsAggDv) where the strict statsOnlyAgg refuses, and " +
+      "stays bit-identical to statsOnlyAgg on a DV-free snapshot") {
+    import spark.implicits._
+    val path = tmp("r13_tvf_statsdv")
+    SinkOps.commitVersionStats(
+      (1L to 50L).map(i => (i, s"s$i")).toDF("id", "s")
+        .repartitionByRange(2, col("id")),
+      path, carryForward = true, Seq("id"))
+    val clean = spark.sql(s"SELECT * FROM graft_stats('$path')")
+      .collect().toSeq
+    assert(clean == SinkOps.statsOnlyAgg(spark, path).collect().toSeq)
+    SinkOps.deleteVersionKeys((1L to 10L).toDF("id"), path, "id")
+    intercept[IllegalArgumentException] {
+      SinkOps.statsOnlyAgg(spark, path)
+    }
+    val dv = spark.sql(
+        s"SELECT n_rows, min_id, max_id FROM graft_stats('$path')")
+      .head()
+    assert(dv.getLong(0) == 40L && dv.getLong(1) == 11L &&
+      dv.getLong(2) == 50L, dv.toString)
+  }
+
   // ---- publishStaged base-head check (ADVICE r12, medium) ----
 
   test("publishStaged refuses the TWO-STAGES-FROM-ONE-HEAD lost " +
