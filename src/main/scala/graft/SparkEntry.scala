@@ -3575,6 +3575,61 @@ object SparkEntry {
              FROM graft_stats('$path')""")
     }),
 
+    // SQL MAINTENANCE — OPTIMIZE ZORDER + VACUUM through the parser
+    // (Delta's maintenance SQL shape): three appends, `OPTIMIZE ...
+    // ZORDER BY (event_id, user_id)` rewrites the head under the
+    // Morton layout with both-column zone maps (the same
+    // compactVersionsZOrderK body as the Scala API), and `VACUUM ...
+    // KEEP 4` reclaims exactly the three pre-compaction dirs —
+    // version, vacuum count, and lossless digest all in one row.
+    "q_sql_maintenance" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("r13_sqlmaint_events")
+      val path = tmpPath("graft_sqlmaint", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0 to 2).foreach { r =>
+        s.sql(s"""INSERT INTO graft_table('$path')
+               SELECT * FROM r13_sqlmaint_events
+               WHERE event_id % 3 = $r""").collect(); ()
+      }
+      val v = s.sql(s"""OPTIMIZE graft_table('$path')
+             ZORDER BY (event_id, user_id)""").collect().head.getInt(0)
+      val nVac = s.sql(s"VACUUM graft_table('$path') KEEP $v")
+        .collect().head.getInt(0)
+      s.sql(s"""SELECT $v AS version, $nVac AS n_vacuumed,
+               count(*) AS n_rows,
+               CAST(sum(user_id) AS BIGINT) AS user_sum,
+               CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                 AS val_sum
+             FROM graft_version('$path')""")
+    }),
+
+    // SQL SKIP-TIER WRITE — the writer half of the skip economics
+    // through SQL: INSERT INTO graft_table(path, 'event_id') declares
+    // zone-map sidecars for each commit (the SQL spelling of
+    // commitVersionStats), with a REPARTITION_BY_RANGE hint supplying
+    // the clustering that makes per-file ranges tight — then the
+    // graft_version_where TVF plans only intersecting files. A table
+    // built, maintained, AND skip-read entirely in SQL.
+    "q_sql_insert_skip" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("r13_sqlik_events")
+      val path = tmpPath("graft_sqlik", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0 to 2).foreach { r =>
+        s.sql(s"""INSERT INTO graft_table('$path', 'event_id')
+               SELECT /*+ REPARTITION_BY_RANGE(4, event_id) */ *
+               FROM r13_sqlik_events WHERE event_id % 3 = $r""")
+          .collect(); ()
+      }
+      s.sql(s"""SELECT event_id, user_id, event_type
+             FROM graft_version_where('$path', 'event_id', 200, 449)""")
+    }),
+
     // TIMESTAMP TIME TRAVEL — "the table as of yesterday 06:00":
     // every commit manifest now carries a writer-stamped, strictly
     // monotone ts line (VACUUM-invariant — never an mtime), and
@@ -7670,6 +7725,18 @@ object SparkEntry {
          FROM events
          WHERE (event_id % 3 < 2 AND event_id % 7 <> 0)
             OR event_id % 3 = 2""",
+    // SQL OPTIMIZE is a lossless rewrite (v4 digests to the whole
+    // table) and SQL VACUUM reclaims exactly the 3 expired dirs.
+    "q_sql_maintenance" ->
+      """SELECT 4 AS version, 3 AS n_vacuumed, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events""",
+    // The SQL-declared zone maps answer the range read exactly.
+    "q_sql_insert_skip" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id BETWEEN 200 AND 449""",
     // Timestamp resolution: v1's own stamp and the millisecond before
     // v2's stamp both read v1 (latest version ≤ t); v2's stamp reads
     // the head.

@@ -82,8 +82,8 @@ object GraftSqlParser {
     */
   private val Head =
     ("(?is)^\\s*(INSERT\\s+INTO|INSERT\\s+OVERWRITE|DELETE\\s+FROM|" +
-      "MERGE\\s+INTO|UPDATE)\\s+graft_table\\s*\\(\\s*'([^']*)'\\s*\\)" +
-      "\\s*(.*)$").r
+      "MERGE\\s+INTO|UPDATE|OPTIMIZE|VACUUM)\\s+graft_table\\s*\\(\\s*" +
+      "'([^']*)'\\s*(?:,\\s*'([^']*)'\\s*)?\\)\\s*(.*)$").r
 
   private val DeleteTail =
     "(?is)^WHERE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s*(\\(.*)$".r
@@ -159,19 +159,64 @@ object GraftSqlParser {
     ("(?is)^WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+" +
       "WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*$").r
 
+  private val ZOrderBy =
+    "(?is)^ZORDER\\s+BY\\s*\\(([^()]*)\\)$".r
+  private val ClusterBy =
+    "(?is)^CLUSTER\\s+BY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+  private val VacuumTail =
+    "(?is)^KEEP\\s+(\\d+)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?$".r
+
   private def parseDml(sqlText: String,
                        delegate: ParserInterface): Option[LogicalPlan] = {
     val text = sqlText.trim.stripSuffix(";").trim
     text match {
-      case Head(verb, path, tail) =>
+      case Head(verb, path, statsCsvOrNull, tail) =>
         val v = verb.toUpperCase(java.util.Locale.ROOT)
           .replaceAll("\\s+", " ")
+        // Optional second graft_table argument: the STATS COLUMNS the
+        // write declares (zone-map sidecars) — the SQL spelling of
+        // commitVersionStats/mergeVersion(statsCols), so a table built
+        // and maintained entirely through SQL stays skip-readable.
+        // Only writing verbs accept it.
+        val statsCols = Option(statsCsvOrNull)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        require(statsCols.isEmpty ||
+            Set("INSERT INTO", "INSERT OVERWRITE", "MERGE INTO",
+              "UPDATE")(v),
+          s"$v does not accept a stats-columns argument " +
+            "(graft_table(path, 'c1,c2') declares zone-map sidecars " +
+            "for the data a write lands; this statement lands none)")
         Some(v match {
           case "INSERT INTO" | "INSERT OVERWRITE" =>
             require(tail.trim.nonEmpty,
               s"INSERT into graft_table('$path') needs a source query")
             GraftInsertCommand(path, delegate.parseQuery(tail.trim),
-              carryForward = v == "INSERT INTO")
+              carryForward = v == "INSERT INTO", statsCols)
+          case "OPTIMIZE" =>
+            tail.trim match {
+              case "" => GraftOptimizeCommand(path, Nil, None)
+              case ZOrderBy(cols) =>
+                val zc = cols.split(",").map(_.trim).filter(_.nonEmpty)
+                require(zc.length >= 2,
+                  s"OPTIMIZE ... ZORDER BY needs >= 2 columns: $cols")
+                GraftOptimizeCommand(path, zc.toSeq, None)
+              case ClusterBy(c) => GraftOptimizeCommand(path, Nil, Some(c))
+              case other => throw new IllegalArgumentException(
+                s"OPTIMIZE graft_table('$path') supports exactly '' | " +
+                  s"ZORDER BY (c1, c2[, ...]) | CLUSTER BY (c); got: " +
+                  other)
+            }
+          case "VACUUM" =>
+            tail.trim match {
+              case VacuumTail(keep, hoursOrNull) =>
+                GraftVacuumCommand(path, keep.toInt,
+                  Option(hoursOrNull).map(_.toLong * 3600000L)
+                    .getOrElse(0L))
+              case other => throw new IllegalArgumentException(
+                s"VACUUM graft_table('$path') supports exactly " +
+                  s"KEEP <version> [RETAIN <n> HOURS]; got: $other")
+            }
           case "DELETE FROM" =>
             tail.trim match {
               case DeleteTail(keyCol, parenOn) =>
@@ -214,7 +259,7 @@ object GraftSqlParser {
                   "unexpected trailing text after UPDATE ... IN " +
                     s"(...): '${rest.trim}'")
                 GraftUpdateCommand(path, keyCol,
-                  delegate.parseQuery(inner.trim), assigns)
+                  delegate.parseQuery(inner.trim), assigns, statsCols)
               case other => throw new IllegalArgumentException(
                 s"UPDATE graft_table('$path') supports exactly " +
                   s"`WHERE <keyCol> IN (<query>)`; got: $other")
@@ -237,7 +282,7 @@ object GraftSqlParser {
                     "refuses rather than silently computing " +
                     "something else; got: " + whenTail.trim)
                 GraftMergeCommand(path, keyCol,
-                  delegate.parseQuery(inner.trim))
+                  delegate.parseQuery(inner.trim), statsCols)
               case other => throw new IllegalArgumentException(
                 s"MERGE INTO graft_table('$path') USING (...) " +
                   s"expects `ON <keyCol>`; got: $other")
@@ -279,18 +324,54 @@ object GraftSqlParser {
     Seq(AttributeReference("version", IntegerType, nullable = false)())
 }
 
-/** `INSERT INTO/OVERWRITE graft_table(path) <query>` →
-  * [[graft.ops.SinkOps.commitVersion]]. The source plan is analyzed
-  * and executed at run time by the session (full SQL available).
+/** `INSERT INTO/OVERWRITE graft_table(path[, 'c1,c2']) <query>` →
+  * [[graft.ops.SinkOps.commitVersionStats]]. The source plan is
+  * analyzed and executed at run time by the session (full SQL
+  * available — incl. REPARTITION_BY_RANGE hints, the SQL spelling of
+  * the clustering that makes declared zone maps tight).
   */
 case class GraftInsertCommand(path: String, source: LogicalPlan,
-                              carryForward: Boolean)
+                              carryForward: Boolean,
+                              statsCols: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(graft.ops.SinkOps.commitVersion(
-      GraftSqlBridge.ofRows(spark, source), path, carryForward, None)))
+    Seq(Row(graft.ops.SinkOps.commitVersionStats(
+      GraftSqlBridge.ofRows(spark, source), path, carryForward,
+      statsCols)))
+}
+
+/** `OPTIMIZE graft_table(path) ['' | ZORDER BY (...) | CLUSTER BY
+  * (c)]` → full compaction ([[graft.ops.SinkOps.compactVersions]] /
+  * [[graft.ops.SinkOps.compactVersionsZOrderK]]) — the maintenance
+  * half of the SQL surface (Delta's OPTIMIZE shape): DVs resolved and
+  * purged, planning back to O(1) dirs, fresh zone maps under the
+  * declared layout.
+  */
+case class GraftOptimizeCommand(path: String, zorderCols: Seq[String],
+                                clusterCol: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(
+      if (zorderCols.nonEmpty)
+        graft.ops.SinkOps.compactVersionsZOrderK(spark, path, zorderCols)
+      else graft.ops.SinkOps.compactVersions(spark, path, clusterCol)))
+}
+
+/** `VACUUM graft_table(path) KEEP <v> [RETAIN <n> HOURS]` →
+  * [[graft.ops.SinkOps.expireVersions]] with the retention grace —
+  * returns `n_deleted`, the reference-counted data dirs reclaimed.
+  */
+case class GraftVacuumCommand(path: String, keep: Int,
+                              retainMillis: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("n_deleted", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.SinkOps.expireVersions(spark, path, keep,
+      retainMillis)))
 }
 
 /** `DELETE FROM graft_table(path) WHERE k IN (<query>)` →
@@ -312,13 +393,14 @@ case class GraftDeleteCommand(path: String, keyCol: String,
   * (delete sidecar + data dir), O(batch) write cost.
   */
 case class GraftMergeCommand(path: String, keyCol: String,
-                             source: LogicalPlan)
+                             source: LogicalPlan,
+                             statsCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.ops.SinkOps.mergeVersion(
-      GraftSqlBridge.ofRows(spark, source), path, keyCol)))
+      GraftSqlBridge.ofRows(spark, source), path, keyCol, statsCols)))
 }
 
 /** `UPDATE graft_table(path) SET c = expr[, ...] WHERE k IN (<query>)`
@@ -335,7 +417,8 @@ case class GraftMergeCommand(path: String, keyCol: String,
   */
 case class GraftUpdateCommand(path: String, keyCol: String,
                               keys: LogicalPlan,
-                              assigns: Seq[(String, Expression)])
+                              assigns: Seq[(String, Expression)],
+                              statsCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def innerChildren: Seq[LogicalPlan] = Seq(keys)
@@ -356,6 +439,7 @@ case class GraftUpdateCommand(path: String, keyCol: String,
       Seq(keyCol), "left_semi")
     val updated = matched.withColumns(
       assigns.map { case (n, e) => n -> GraftSqlBridge.column(e) }.toMap)
-    Seq(Row(graft.ops.SinkOps.mergeVersion(updated, path, keyCol)))
+    Seq(Row(graft.ops.SinkOps.mergeVersion(updated, path, keyCol,
+      statsCols)))
   }
 }

@@ -142,6 +142,48 @@ class Round13OpsSpec extends SparkSpec {
     assert(exWhere.getMessage.contains("WHERE"), exWhere.getMessage)
   }
 
+  test("SQL maintenance: INSERT with declared stats columns writes " +
+      "zone-map sidecars a TVF read prunes on, OPTIMIZE ZORDER " +
+      "rewrites to one multi-col-mapped dir, and VACUUM KEEP/RETAIN " +
+      "honors the grace horizon through SQL") {
+    import spark.implicits._
+    val t = tmp("r13_sql_maint")
+    (1L to 400L).map(i => (i, i % 20)).toDF("id", "g")
+      .createOrReplaceTempView("r13spec_maint")
+    (0 to 1).foreach { r =>
+      spark.sql(s"""INSERT INTO graft_table('$t', 'id')
+          SELECT /*+ REPARTITION_BY_RANGE(4, id) */ *
+          FROM r13spec_maint WHERE id % 2 = $r""").collect(); ()
+    }
+    // SQL-declared sidecars skip: the range read plans < total files.
+    val (kept, total, c) = SinkOps.pruneFiles(spark, t, 50L, 149L)
+    assert(c == "id" && kept.nonEmpty && kept.size < total,
+      s"SQL-declared stats pruned nothing: ${kept.size} of $total")
+    val v = spark.sql(s"OPTIMIZE graft_table('$t') ZORDER BY (id, g)")
+      .collect().head.getInt(0)
+    assert(v == 3)
+    // Both dimensions mapped: a 2-D box prune plans through the TVF
+    // path and the read equals the filter.
+    val got = spark.sql(s"""SELECT id FROM graft_version('$t')
+        WHERE id BETWEEN 10 AND 30 AND g < 5""")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements((10L to 30L).filter(_ % 20 < 5)))
+    // Graced VACUUM deletes nothing (history is seconds old).
+    assert(spark.sql(s"VACUUM graft_table('$t') KEEP $v RETAIN 1 HOURS")
+      .collect().head.getInt(0) == 0)
+    assert(SinkOps.readVersion(spark, t, Some(1)).count() == 200L)
+    // Eager VACUUM reclaims the two pre-compaction dirs.
+    assert(spark.sql(s"VACUUM graft_table('$t') KEEP $v")
+      .collect().head.getInt(0) == 2)
+    intercept[IllegalArgumentException] {
+      SinkOps.readVersion(spark, t, Some(1))
+    }
+    // A stats argument on a non-writing verb refuses.
+    intercept[IllegalArgumentException] {
+      spark.sql(s"VACUUM graft_table('$t', 'id') KEEP $v")
+    }
+  }
+
   test("the graft_stats TVF answers a DV-carrying head (routing " +
       "through statsAggDv) where the strict statsOnlyAgg refuses, and " +
       "stays bit-identical to statsOnlyAgg on a DV-free snapshot") {
