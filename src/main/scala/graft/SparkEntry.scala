@@ -3670,6 +3670,33 @@ object SparkEntry {
                FROM graft_version_asof('$path', $ts2)"""))
     }),
 
+    // TIMESTAMP-ADDRESSED CHANGEFEED — Delta's ts-based CDF: the rows
+    // added since "my last sync at time t" without version
+    // bookkeeping — both bounds binary-searched to versions over the
+    // monotone commit stamps, then the same O(changed files) manifest
+    // difference as table_changes. The (ts(v1), ts(v3)] window is
+    // exactly the residue-1 and residue-2 commits.
+    "q_changefeed_ts" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_cfts", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 2L).foreach { r =>
+        SinkOps.commitVersion(ev.filter(col("event_id") % 3 === r),
+          path); ()
+      }
+      val ts1 = SinkOps.commitTimestamp(s, path, 1)
+      val ts3 = SinkOps.commitTimestamp(s, path, 3)
+      s.sql(s"""SELECT event_type, count(*) AS n_rows,
+               CAST(sum(user_id) AS BIGINT) AS user_sum,
+               CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                 AS val_sum
+             FROM table_changes_asof('$path', $ts1, $ts3)
+             GROUP BY event_type""")
+    }),
+
     // BOUNDED OCC COMMIT RETRY — concurrent writers LAND instead of
     // erroring: the batch's files are written once under a
     // commit-unique dir, and on a version-number collision only the
@@ -7757,6 +7784,15 @@ object SparkEntry {
                  CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE),
                  CAST(sum(o_custkey) AS BIGINT)
           FROM orders""",
+    // The timestamp-addressed feed of (ts(v1), ts(v3)] is exactly the
+    // residue-1 and residue-2 appends.
+    "q_changefeed_ts" ->
+      """SELECT event_type, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events WHERE event_id % 3 <> 0
+         GROUP BY event_type""",
     // The retried commit lands v3 with the racer's slice carried
     // forward: the head is the whole table — no lost update.
     "q_occ_retry" ->

@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftFunctions.graftStats)
     ext.injectTableFunction(GraftFunctions.graftVersionWhere)
     ext.injectTableFunction(GraftFunctions.graftVersionAsOf)
+    ext.injectTableFunction(GraftFunctions.tableChangesAsOf)
     // SQL DML front door for the versioned tier: MERGE INTO /
     // DELETE FROM / INSERT INTO against graft_table('<path>'), sharing
     // the SinkOps bodies (one engine, two surfaces — writer half).
@@ -297,6 +298,29 @@ object GraftFunctions {
       new ExpressionInfo("graft.ops.SinkOps", "graft_version_asof"),
       buildVersionAsOf _)
 
+  /** `table_changes_asof(path, tsFrom, tsTo)` — the changefeed window
+    * addressed by timestamps ([[graft.ops.SinkOps.readChangesBetween]]:
+    * both bounds binary-searched to versions, then the same O(changed
+    * files) manifest-difference feed) — "everything since my last sync
+    * at time t" without version bookkeeping.
+    */
+  private def buildTableChangesAsOf(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3,
+      s"table_changes_asof expects (path, tsFrom, tsTo), got ${exprs.length} arguments")
+    GraftSqlBridge.plan(graft.ops.SinkOps.readChangesBetween(
+      SparkSession.active,
+      constString(exprs.head, "table_changes_asof path"),
+      constLong(exprs(1), "table_changes_asof tsFrom"),
+      constLong(exprs(2), "table_changes_asof tsTo")))
+  }
+
+  val tableChangesAsOf: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("table_changes_asof"),
+      new ExpressionInfo("graft.ops.SinkOps", "table_changes_asof"),
+      buildTableChangesAsOf _)
+
   val graftVersion: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
     (FunctionIdentifier("graft_version"),
@@ -329,5 +353,7 @@ object GraftFunctions {
       buildVersionWhere)
     GraftSqlBridge.registerTableFunction(spark, "graft_version_asof",
       buildVersionAsOf)
+    GraftSqlBridge.registerTableFunction(spark, "table_changes_asof",
+      buildTableChangesAsOf)
   }
 }

@@ -38,6 +38,19 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   *     → [[GraftUpdateCommand]]: one snapshot scan semi-joined to the
   *       key list, SET evaluated against the old rows, merged as a
   *       single O(matched) DV commit.
+  *  - `OPTIMIZE graft_table('<path>') ['' | ZORDER BY (c1, c2[, ...])
+  *     | CLUSTER BY (c)]` → full compaction (plain / k-D Morton /
+  *       range-clustered, fresh zone maps, DVs resolved and purged).
+  *  - `VACUUM graft_table('<path>') KEEP <v> [RETAIN <n> HOURS]`
+  *     → reference-counted history expiry with the retention grace;
+  *       returns `n_deleted`.
+  *
+  * An optional SECOND graft_table argument `'c1,c2'` on
+  * INSERT/MERGE/UPDATE declares ZONE-MAP STATS COLUMNS for the data
+  * the write lands (the SQL spelling of `statsCols`) — with a
+  * REPARTITION_BY_RANGE hint in the source query supplying the
+  * clustering, a table is built, compacted, vacuumed, and skip-read
+  * entirely in SQL. Non-writing verbs refuse the argument loudly.
   *
   * Each statement returns one row — `version INT`, the committed
   * version number (the Delta convention of DML returning its commit

@@ -914,6 +914,24 @@ object SinkOps {
     versions(lo)
   }
 
+  /** Changefeed window addressed by TIMESTAMPS — Delta's
+    * timestamp-based CDF shape: the rows added in
+    * (version-as-of(tsFrom), version-as-of(tsTo)], each bound resolved
+    * by the [[versionAsOf]] binary search and the feed read by the
+    * same O(changed files) [[readChanges]] manifest difference. The
+    * consumer idiom is "everything since my last sync at time t"
+    * without tracking version numbers; same append-only/re-baseline
+    * contract as readChanges, same loud empty-window refusal.
+    */
+  def readChangesBetween(spark: org.apache.spark.sql.SparkSession,
+                         path: String, tsFrom: Long,
+                         tsTo: Long): DataFrame = {
+    require(tsFrom <= tsTo,
+      s"changefeed timestamp window empty: $tsFrom > $tsTo")
+    readChanges(spark, path, versionAsOf(spark, path, tsFrom),
+      versionAsOf(spark, path, tsTo))
+  }
+
   /** DELETION-VECTOR manifest lines: `delete:<deletesDir>:<keyCol>` —
     * a merge-on-read delete sidecar listing KEYS removed from every
     * data dir that precedes it in the manifest (and only those: a key

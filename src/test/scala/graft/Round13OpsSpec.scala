@@ -311,6 +311,29 @@ class Round13OpsSpec extends SparkSpec {
       .sameElements(1L to 4L), "asOf broken after VACUUM")
   }
 
+  test("readChangesBetween resolves timestamp bounds to versions and " +
+      "yields exactly the manifest-difference feed; an empty ts " +
+      "window refuses loudly") {
+    import spark.implicits._
+    val path = tmp("r13_cf_ts")
+    (1 to 3).foreach { i =>
+      SinkOps.commitVersion(Seq((i.toLong, s"s$i")).toDF("id", "s"),
+        path); ()
+    }
+    val ts1 = SinkOps.commitTimestamp(spark, path, 1)
+    val ts2 = SinkOps.commitTimestamp(spark, path, 2)
+    val ts3 = SinkOps.commitTimestamp(spark, path, 3)
+    assert(SinkOps.readChangesBetween(spark, path, ts1, ts3)
+      .select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(2L, 3L)))
+    // A mid-window probe (before v3's stamp) sees only v2's delta.
+    assert(SinkOps.readChangesBetween(spark, path, ts1, ts3 - 1)
+      .select("id").collect().map(_.getLong(0)).sameElements(Array(2L)))
+    intercept[IllegalArgumentException] {
+      SinkOps.readChangesBetween(spark, path, ts2, ts2) // empty window
+    }
+  }
+
   // ---- bounded OCC commit retry ----
 
   test("commitVersionRetrying: a writer that loses the version race " +
