@@ -265,6 +265,13 @@ object GraftSqlParser {
                 s"SET target must be a plain column name: $name")
               (name, delegate.parseExpression(a.substring(eq + 1).trim))
             }
+            require(assigns.nonEmpty,
+              s"UPDATE graft_table('$path') has an empty SET list")
+            // Duplicate targets would silently last-write-win through
+            // the column map; standard SQL refuses them.
+            require(assigns.map(_._1).distinct.size == assigns.size,
+              "duplicate SET targets: " + assigns.map(_._1)
+                .diff(assigns.map(_._1).distinct).distinct.mkString(", "))
             afterSet.substring(wherePos + "WHERE".length).trim match {
               case KeyIn(keyCol, parenOn) =>
                 val (inner, rest) = balanced(parenOn.trim, path)

@@ -645,12 +645,20 @@ object SinkOps {
                          root: org.apache.hadoop.fs.Path,
                          fs: org.apache.hadoop.fs.FileSystem,
                          latest: Int, keep: Int): Int = {
+    // Version numbers present on disk in the surviving range: a commit
+    // issued while a LATER number was staged leaves a numbering gap
+    // when that stage rolls back (stage 3, commit 4, rollback 3 ⇒
+    // manifests 1,2,4) — dense-range walks would fail loudly on the
+    // hole a routine WAP cycle legitimately left.
+    val present = (keep to latest).filter(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(root,
+        f"manifest/v$v%05d.txt")))
     // Surviving DELTA manifests whose base chain reaches below the
     // horizon are RE-CHECKPOINTED (rewritten as their resolved full
     // list — same snapshot, different encoding) BEFORE the old
     // manifests they reference are deleted; a surviving reader never
     // dangles. Done first so the live set below sees final state.
-    (keep to latest).foreach { v =>
+    present.foreach { v =>
       rawManifest(fs, root, v).headOption match {
         case Some(h) if h.startsWith(BasePrefix) &&
             h.stripPrefix(BasePrefix).trim.toInt < keep =>
@@ -666,7 +674,7 @@ object SinkOps {
     // Live set spans BOTH line kinds: data dirs as written, delete
     // sidecars by their dir part — an expired merge's sidecar GCs with
     // its history, a still-referenced one survives.
-    val live = (keep to latest)
+    val live = present
       .flatMap(v => manifestDirs(fs, root, v))
       .map(l => if (isDeleteLine(l)) deleteParts(l)._1 else l).toSet
     val dead = Seq("data", "deletes").flatMap { kind =>
@@ -1258,7 +1266,12 @@ object SinkOps {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val latest = latestVersion(fs, root)
     require(latest >= 1, s"no versions committed at $path")
-    val rows = (1 to latest).map { v =>
+    // Present versions only: a rolled-back WAP stage can leave a gap
+    // in the numbering (and VACUUM leaves history starting above 1) —
+    // the timeline reports what exists, never throws on a hole.
+    val rows = (1 to latest).filter(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(root,
+        f"manifest/v$v%05d.txt"))).map { v =>
       val lines = manifestDirs(fs, root, v)
       val (del, data) = lines.partition(isDeleteLine)
       var nRows = 0L; var nFiles = 0L

@@ -140,6 +140,12 @@ class Round13OpsSpec extends SparkSpec {
       spark.sql(s"UPDATE graft_table('$t') SET a = 1")
     }
     assert(exWhere.getMessage.contains("WHERE"), exWhere.getMessage)
+    // Duplicate SET targets would silently last-write-win; refuse.
+    val exDup = intercept[IllegalArgumentException] {
+      spark.sql(s"""UPDATE graft_table('$t') SET a = 1, a = 2
+          WHERE id IN (SELECT id FROM r13spec_upd)""")
+    }
+    assert(exDup.getMessage.contains("duplicate SET"), exDup.getMessage)
   }
 
   test("SQL maintenance: INSERT with declared stats columns writes " +
@@ -544,6 +550,40 @@ class Round13OpsSpec extends SparkSpec {
         col("w") <= 7)
       .select("id").collect().map(_.getLong(0)).sorted
     assert(got.sameElements(want), "3-D box read diverged")
+  }
+
+  test("a rolled-back WAP stage's numbering gap breaks neither " +
+      "versionHistory nor VACUUM: the timeline reports what exists " +
+      "and the sweep reference-counts across the hole") {
+    import spark.implicits._
+    val path = tmp("r13_gap")
+    SinkOps.commitVersionStats(Seq((1L, "a")).toDF("id", "s"), path,
+      carryForward = true, Seq("id"))
+    // Stage v2, commit v3 while it is staged, then roll v2 back:
+    // manifests 1 and 3 remain — a legitimate numbering gap.
+    val sv = SinkOps.stageVersion(Seq((2L, "b")).toDF("id", "s"), path)
+    SinkOps.commitVersionStats(Seq((3L, "c")).toDF("id", "s"), path,
+      carryForward = true, Seq("id"))
+    SinkOps.rollbackStaged(spark, path, sv)
+    assert(SinkOps.currentVersion(spark, path) == 3)
+    val hist = SinkOps.versionHistory(spark, path)
+      .select("version", "n_rows").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(hist.sameElements(Array((1, 1L), (3, 2L))),
+      s"history wrong across the gap: ${hist.mkString(",")}")
+    // VACUUM across the gap: keep=3 expires v1 only (v2 never existed
+    // in manifest/), reclaiming exactly v1's... nothing — v3 carries
+    // v1's dir forward; zero dirs die, v1's manifest goes.
+    assert(SinkOps.expireVersions(spark, path, keep = 3) == 0)
+    intercept[IllegalArgumentException] {
+      SinkOps.readVersion(spark, path, Some(1))
+    }
+    assert(SinkOps.readVersion(spark, path)
+      .select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+    // The staged-but-rolled-back data dir is gone too (rollback
+    // deleted it); history stays readable end-to-end.
+    assert(SinkOps.versionHistory(spark, path).count() == 1L)
   }
 
   // ---- retention-safe VACUUM ----
