@@ -3670,6 +3670,81 @@ object SparkEntry {
                FROM graft_version_asof('$path', $ts2)"""))
     }),
 
+    // SQL RESTORE — roll the head back as a NEW commit, zero data IO,
+    // history intact: a bad delete (v2) is undone by RESTORE VERSION
+    // AS OF 1 (v3), a second bad delete (v4) by RESTORE TIMESTAMP AS
+    // OF v3's commit stamp (v5). The head digests to the whole table
+    // and the intermediate v4 stays a pinned time-travel read — the
+    // incident timeline survives the recovery.
+    "q_sql_restore" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("r13_sqlres_events")
+      val path = tmpPath("graft_sqlres", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      s.sql(s"""INSERT INTO graft_table('$path')
+             SELECT * FROM r13_sqlres_events""").collect()
+      s.sql(s"""DELETE FROM graft_table('$path')
+             WHERE event_id IN (SELECT event_id FROM r13_sqlres_events
+                                WHERE event_id % 7 = 0)""").collect()
+      val v3 = s.sql(
+          s"RESTORE graft_table('$path') VERSION AS OF 1")
+        .collect().head.getInt(0)
+      s.sql(s"""DELETE FROM graft_table('$path')
+             WHERE event_id IN (SELECT event_id FROM r13_sqlres_events
+                                WHERE event_id % 5 = 0)""").collect()
+      val ts3 = SinkOps.commitTimestamp(s, path, v3)
+      val v5 = s.sql(
+          s"RESTORE graft_table('$path') TIMESTAMP AS OF $ts3")
+        .collect().head.getInt(0)
+      s.sql(s"""SELECT $v5 AS version, count(*) AS n_rows,
+               CAST(sum(user_id) AS BIGINT) AS user_sum,
+               CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                 AS val_sum
+             FROM graft_version('$path')
+             UNION ALL
+             SELECT 4, count(*), CAST(sum(user_id) AS BIGINT),
+               CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+             FROM graft_version('$path', 4)""")
+    }),
+
+    // SQL SHALLOW CLONE — fork a snapshot zero-copy (the dev/test
+    // branch idiom at 100 TB): the clone's first manifest references
+    // the source's dirs AND its delete sidecar by absolute path (fold
+    // order preserved — the cloned head reads resolved), then the
+    // clone evolves independently: its own INSERT lands after the
+    // cloned sidecar, so its %7-multiples survive while the source
+    // head never sees the new rows.
+    "q_sql_clone" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, d).createOrReplaceTempView("r13_sqlcl_events")
+      val src = tmpPath("graft_sqlcl_src", d)
+      val dst = tmpPath("graft_sqlcl_dst", d)
+      Seq(src, dst).foreach { p =>
+        val r = new org.apache.hadoop.fs.Path(p)
+        r.getFileSystem(s.sessionState.newHadoopConf()).delete(r, true)
+      }
+      s.sql(s"""INSERT INTO graft_table('$src')
+             SELECT * FROM r13_sqlcl_events WHERE event_id % 2 = 0""")
+        .collect()
+      s.sql(s"""DELETE FROM graft_table('$src')
+             WHERE event_id IN (SELECT event_id FROM r13_sqlcl_events
+                                WHERE event_id % 7 = 0)""").collect()
+      s.sql(s"CLONE graft_table('$src') TO graft_table('$dst')")
+        .collect()
+      s.sql(s"""INSERT INTO graft_table('$dst')
+             SELECT * FROM r13_sqlcl_events WHERE event_id % 2 = 1""")
+        .collect()
+      def dig(p: String, probe: String) =
+        s.sql(s"""SELECT '$probe' AS probe, count(*) AS n_rows,
+                 CAST(sum(user_id) AS BIGINT) AS user_sum,
+                 CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                   AS val_sum
+               FROM graft_version('$p')""")
+      dig(dst, "dst").unionByName(dig(src, "src"))
+    }),
+
     // TIMESTAMP-ADDRESSED CHANGEFEED — Delta's ts-based CDF: the rows
     // added since "my last sync at time t" without version
     // bookkeeping — both bounds binary-searched to versions over the
@@ -7784,6 +7859,34 @@ object SparkEntry {
                  CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE),
                  CAST(sum(o_custkey) AS BIGINT)
           FROM orders""",
+    // RESTORE rolls the head back to the whole table twice (version-
+    // and timestamp-addressed); the intermediate bad-delete v4 stays
+    // pinned (%5 keys removed from the restored-full v3).
+    "q_sql_restore" ->
+      """SELECT 5 AS version, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events
+         UNION ALL
+         SELECT 4, count(*), CAST(sum(user_id) AS BIGINT),
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+         FROM events WHERE event_id % 5 <> 0""",
+    // The clone reads the source's resolved snapshot plus its own
+    // appends (odd rows land after the cloned sidecar and survive);
+    // the source head never sees them.
+    "q_sql_clone" ->
+      """SELECT 'dst' AS probe, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events
+         WHERE (event_id % 2 = 0 AND event_id % 7 <> 0)
+            OR event_id % 2 = 1
+         UNION ALL
+         SELECT 'src', count(*), CAST(sum(user_id) AS BIGINT),
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+         FROM events WHERE event_id % 2 = 0 AND event_id % 7 <> 0""",
     // The timestamp-addressed feed of (ts(v1), ts(v3)] is exactly the
     // residue-1 and residue-2 appends.
     "q_changefeed_ts" ->

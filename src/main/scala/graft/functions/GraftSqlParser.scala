@@ -95,8 +95,20 @@ object GraftSqlParser {
     */
   private val Head =
     ("(?is)^\\s*(INSERT\\s+INTO|INSERT\\s+OVERWRITE|DELETE\\s+FROM|" +
-      "MERGE\\s+INTO|UPDATE|OPTIMIZE|VACUUM)\\s+graft_table\\s*\\(\\s*" +
-      "'([^']*)'\\s*(?:,\\s*'([^']*)'\\s*)?\\)\\s*(.*)$").r
+      "MERGE\\s+INTO|UPDATE|OPTIMIZE|VACUUM|RESTORE)\\s+graft_table" +
+      "\\s*\\(\\s*'([^']*)'\\s*(?:,\\s*'([^']*)'\\s*)?\\)\\s*(.*)$").r
+
+  /** `CLONE graft_table('src') TO graft_table('dst') [VERSION AS OF
+    * v]` — two table references, so it gets its own head shape.
+    */
+  private val CloneHead =
+    ("(?is)^\\s*CLONE\\s+graft_table\\s*\\(\\s*'([^']*)'\\s*\\)\\s+TO" +
+      "\\s+graft_table\\s*\\(\\s*'([^']*)'\\s*\\)\\s*(.*)$").r
+
+  private val VersionAsOfTail =
+    "(?is)^VERSION\\s+AS\\s+OF\\s+(\\d+)$".r
+  private val TimestampAsOfTail =
+    "(?is)^TIMESTAMP\\s+AS\\s+OF\\s+(\\d+)$".r
 
   private val DeleteTail =
     "(?is)^WHERE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s*(\\(.*)$".r
@@ -183,6 +195,15 @@ object GraftSqlParser {
                        delegate: ParserInterface): Option[LogicalPlan] = {
     val text = sqlText.trim.stripSuffix(";").trim
     text match {
+      case CloneHead(src, dst, tail) =>
+        Some(tail.trim match {
+          case "" => GraftCloneCommand(src, dst, None)
+          case VersionAsOfTail(v) =>
+            GraftCloneCommand(src, dst, Some(v.toInt))
+          case other => throw new IllegalArgumentException(
+            s"CLONE graft_table('$src') TO graft_table('$dst') " +
+              s"supports exactly '' | VERSION AS OF <v>; got: $other")
+        })
       case Head(verb, path, statsCsvOrNull, tail) =>
         val v = verb.toUpperCase(java.util.Locale.ROOT)
           .replaceAll("\\s+", " ")
@@ -219,6 +240,17 @@ object GraftSqlParser {
                 s"OPTIMIZE graft_table('$path') supports exactly '' | " +
                   s"ZORDER BY (c1, c2[, ...]) | CLUSTER BY (c); got: " +
                   other)
+            }
+          case "RESTORE" =>
+            tail.trim match {
+              case VersionAsOfTail(rv) =>
+                GraftRestoreCommand(path, Some(rv.toInt), None)
+              case TimestampAsOfTail(ts) =>
+                GraftRestoreCommand(path, None, Some(ts.toLong))
+              case other => throw new IllegalArgumentException(
+                s"RESTORE graft_table('$path') supports exactly " +
+                  "VERSION AS OF <v> | TIMESTAMP AS OF <millis>; " +
+                  s"got: $other")
             }
           case "VACUUM" =>
             tail.trim match {
@@ -378,6 +410,36 @@ case class GraftOptimizeCommand(path: String, zorderCols: Seq[String],
       if (zorderCols.nonEmpty)
         graft.ops.SinkOps.compactVersionsZOrderK(spark, path, zorderCols)
       else graft.ops.SinkOps.compactVersions(spark, path, clusterCol)))
+}
+
+/** `RESTORE graft_table(path) VERSION AS OF v | TIMESTAMP AS OF ms`
+  * → [[graft.ops.SinkOps.restoreVersion]]/
+  * [[graft.ops.SinkOps.restoreVersionAsOf]] — the head rolls back as a
+  * NEW commit (zero data IO, history and changefeed intact). Returns
+  * the restore commit's version.
+  */
+case class GraftRestoreCommand(path: String, version: Option[Int],
+                               tsMillis: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(version match {
+      case Some(v) => graft.ops.SinkOps.restoreVersion(spark, path, v)
+      case None => graft.ops.SinkOps.restoreVersionAsOf(spark, path,
+        tsMillis.get)
+    }))
+}
+
+/** `CLONE graft_table(src) TO graft_table(dst) [VERSION AS OF v]` →
+  * [[graft.ops.SinkOps.cloneVersion]] — zero-copy snapshot fork by
+  * absolute-path manifest references. Returns the clone's version (1).
+  */
+case class GraftCloneCommand(src: String, dst: String,
+                             version: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.SinkOps.cloneVersion(spark, src, dst, version)))
 }
 
 /** `VACUUM graft_table(path) KEEP <v> [RETAIN <n> HOURS]` →

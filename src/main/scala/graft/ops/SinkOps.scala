@@ -922,6 +922,86 @@ object SinkOps {
     versions(lo)
   }
 
+  /** RESTORE — roll the HEAD back to an earlier snapshot WITHOUT
+    * rewriting history (Delta's RESTORE TABLE): commits a NEW version
+    * whose manifest is version v's resolved line list, so the head
+    * reads as v again while every intermediate version stays a pinned
+    * time-travel read and the changefeed keeps a true record (the
+    * restore is itself a commit, ts-stamped like any other). ZERO data
+    * IO — a pure manifest operation; the bad versions' dirs become
+    * unreferenced by the head and fall to the next VACUUM. Restoring
+    * to the current head refuses loudly (a no-op restore is a mis-read
+    * incident timeline, not a success). Returns the new version.
+    */
+  def restoreVersion(spark: org.apache.spark.sql.SparkSession,
+                     path: String, v: Int): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = latestVersion(fs, root)
+    require(head >= 1, s"no versions committed at $path")
+    require(v < head,
+      s"restore target v$v is not BEFORE the head v$head — nothing " +
+        "to roll back")
+    val lines = manifestDirs(fs, root, v) // loud if v expired/absent
+    val newV = math.max(head, latestStaged(fs, root)) + 1
+    requireVacant(fs, root, newV)
+    writeManifestLines(fs, root, newV, lines)
+    newV
+  }
+
+  /** [[restoreVersion]] addressed by TIMESTAMP — "roll back to how the
+    * table looked at t": the target resolves through the same
+    * monotone-stamp binary search as TIMESTAMP AS OF reads.
+    */
+  def restoreVersionAsOf(spark: org.apache.spark.sql.SparkSession,
+                         path: String, tsMillis: Long): Int =
+    restoreVersion(spark, path, versionAsOf(spark, path, tsMillis))
+
+  /** SHALLOW CLONE — fork a snapshot into a NEW table with ZERO data
+    * copied (Delta's SHALLOW CLONE): the clone's first manifest
+    * references the source snapshot's data dirs (and delete sidecars,
+    * fold order preserved) by ABSOLUTE path, so the clone reads
+    * identically to the pinned source version and then EVOLVES
+    * INDEPENDENTLY — its own commits land relative dirs under its own
+    * root, its own VACUUM reference-counts only its own storage (the
+    * absolute references are never in the clone's data/ listing, so
+    * they can never be swept by it). The production dev/test-fork
+    * idiom: branch a 100 TB table for an experiment at the cost of one
+    * manifest write. Source-side caveat, exactly Delta's: a VACUUM on
+    * the SOURCE that expires the cloned snapshot's dirs breaks the
+    * clone (document, monitor, or eager-copy via INSERT OVERWRITE when
+    * the source's retention is shorter than the clone's life). The
+    * clone target must be an empty table path (loud otherwise).
+    * Returns the clone's version (always 1).
+    */
+  def cloneVersion(spark: org.apache.spark.sql.SparkSession,
+                   srcPath: String, dstPath: String,
+                   version: Option[Int] = None): Int = {
+    val srcRoot = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = srcRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = version.getOrElse {
+      val latest = latestVersion(fs, srcRoot)
+      require(latest >= 1, s"no versions committed at $srcPath")
+      latest
+    }
+    def abs(d: String): String =
+      new org.apache.hadoop.fs.Path(srcRoot, d).toString
+    val lines = manifestDirs(fs, srcRoot, v).map { l =>
+      if (isDeleteLine(l)) {
+        val (d, keyCol) = deleteParts(l)
+        s"$DeletePrefix${abs(d)}:$keyCol"
+      } else abs(l)
+    }
+    val dstRoot = new org.apache.hadoop.fs.Path(dstPath)
+    val dstFs = dstRoot.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    require(latestVersion(dstFs, dstRoot) == 0 &&
+        latestStaged(dstFs, dstRoot) == 0,
+      s"clone target $dstPath is not an empty table path")
+    writeManifestLines(dstFs, dstRoot, 1, lines)
+    1
+  }
+
   /** Changefeed window addressed by TIMESTAMPS — Delta's
     * timestamp-based CDF shape: the rows added in
     * (version-as-of(tsFrom), version-as-of(tsTo)], each bound resolved

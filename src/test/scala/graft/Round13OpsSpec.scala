@@ -552,6 +552,48 @@ class Round13OpsSpec extends SparkSpec {
     assert(got.sameElements(want), "3-D box read diverged")
   }
 
+  test("RESTORE rolls the head back as a new commit with zero data " +
+      "IO (history pinned, restore-to-head refuses); SHALLOW CLONE " +
+      "forks zero-copy, evolves independently, and the clone's VACUUM " +
+      "never sweeps source files") {
+    import spark.implicits._
+    val src = tmp("r13_clone_src")
+    val dst = tmp("r13_clone_dst")
+    SinkOps.commitVersion((1L to 20L).map(i => (i, s"s$i"))
+      .toDF("id", "s"), src)
+    SinkOps.deleteVersionKeys((1L to 20L by 4).toDF("id"), src, "id")
+    // RESTORE: undo the delete; v2 stays pinned.
+    val rv = SinkOps.restoreVersion(spark, src, 1)
+    assert(rv == 3)
+    assert(SinkOps.readVersion(spark, src).count() == 20L)
+    assert(SinkOps.readVersion(spark, src, Some(2)).count() == 15L)
+    intercept[IllegalArgumentException] {
+      SinkOps.restoreVersion(spark, src, 3) // restore-to-head no-op
+    }
+    // CLONE the DELETED state (v2): sidecar fold preserved across the
+    // absolute-path references.
+    assert(SinkOps.cloneVersion(spark, src, dst, Some(2)) == 1)
+    assert(SinkOps.readVersion(spark, dst).count() == 15L)
+    // Independent evolution: the clone's own append lands AFTER the
+    // cloned sidecar (re-inserted keys survive); the source head is
+    // untouched.
+    SinkOps.commitVersion(Seq((1L, "re"), (99L, "new"))
+      .toDF("id", "s"), dst)
+    assert(SinkOps.readVersion(spark, dst).count() == 17L)
+    assert(SinkOps.readVersion(spark, src).count() == 20L)
+    // The clone's VACUUM can only sweep its OWN storage: keep=2
+    // expires the cloned manifest v1, but the absolute source refs are
+    // not in dst's data/ listing — zero dirs die, and the source still
+    // reads in full.
+    assert(SinkOps.expireVersions(spark, dst, keep = 2) == 0)
+    assert(SinkOps.readVersion(spark, dst).count() == 17L)
+    assert(SinkOps.readVersion(spark, src).count() == 20L)
+    // Clone-to-nonempty refuses.
+    intercept[IllegalArgumentException] {
+      SinkOps.cloneVersion(spark, src, dst)
+    }
+  }
+
   test("a rolled-back WAP stage's numbering gap breaks neither " +
       "versionHistory nor VACUUM: the timeline reports what exists " +
       "and the sweep reference-counts across the hole") {
