@@ -353,11 +353,27 @@ object SinkOps {
   private case class DirStats(cols: Seq[String],
       files: Seq[(String, Seq[Option[(Long, Long)]], Option[Long])])
 
+  /** Sidecar file of a manifest data dir: `<tableRoot>/<kind>/<dirname>
+    * .txt` where tableRoot is the parent of the dir's `data/` — for the
+    * table's own (relative `data/vN`) dirs that is exactly the local
+    * `<kind>/vN.txt`, and for a SHALLOW CLONE's absolute source
+    * references it resolves to the SOURCE table's sidecar, so clones
+    * inherit the source's whole skip/metadata tier (zone maps, blooms,
+    * stats-only aggregation) without copying a byte.
+    */
+  private def sidecarFile(root: org.apache.hadoop.fs.Path,
+                          dataDir: String,
+                          kind: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(root, dataDir)
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(p.getParent.getParent, kind),
+      p.getName + ".txt")
+  }
+
   private def readDirStats(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path,
                            dataDir: String): Option[DirStats] = {
-    val sf = new org.apache.hadoop.fs.Path(root,
-      s"stats/${dataDir.stripPrefix("data/")}.txt")
+    val sf = sidecarFile(root, dataDir, "stats")
     if (!fs.exists(sf)) None
     else {
       val in = fs.open(sf)
@@ -972,7 +988,12 @@ object SinkOps {
     * clone (document, monitor, or eager-copy via INSERT OVERWRITE when
     * the source's retention is shorter than the clone's life). The
     * clone target must be an empty table path (loud otherwise).
-    * Returns the clone's version (always 1).
+    * The clone INHERITS the source's skip/metadata tier: sidecar
+    * lookups resolve against each data dir's OWN table root
+    * ([[sidecarFile]]), so zone-map/bloom reads, stats-only
+    * aggregation, and DESCRIBE HISTORY answer on the clone from the
+    * source's sidecars without copying a byte (spec-pinned). Returns
+    * the clone's version (always 1).
     */
   def cloneVersion(spark: org.apache.spark.sql.SparkSession,
                    srcPath: String, dstPath: String,
@@ -1968,8 +1989,7 @@ object SinkOps {
     var total = 0
     def keptOf(d: String): Seq[String] = {
       val dirP = new org.apache.hadoop.fs.Path(root, d)
-      val bf = new org.apache.hadoop.fs.Path(root,
-        s"blooms/${d.stripPrefix("data/")}.txt")
+      val bf = sidecarFile(root, d, "blooms")
       val parts = fs.listStatus(dirP).map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
       total += parts.length

@@ -594,6 +594,36 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("a shallow clone INHERITS the source's skip tier: zone-map and " +
+      "bloom reads prune on the clone via the source's sidecars, and " +
+      "stats-only aggregation answers with zero data IO") {
+    import spark.implicits._
+    val src = tmp("r13_clone_skip_src")
+    val dst = tmp("r13_clone_skip_dst")
+    SinkOps.commitVersionIndexed(
+      (1L to 400L).map(i => (i, i * 7 % 401, s"s$i"))
+        .toDF("id", "k", "s").repartitionByRange(4, col("id")),
+      src, statsCol = "id", bloomCol = "k")
+    SinkOps.cloneVersion(spark, src, dst)
+    // Zone-map prune through the SOURCE's sidecar, on the clone.
+    val (groups, total, c) = SinkOps.pruneFileGroups(spark, dst,
+      50L, 149L)
+    assert(c == "id" && groups.flatMap(_._1).size < total,
+      "clone inherited no zone-map prune")
+    assert(SinkOps.readVersionWhere(spark, dst, 50L, 149L).count()
+      == 100L)
+    // Bloom point probe on the clone.
+    val (bk, bTotal, bc) = SinkOps.planFilesEq(spark, dst, 7L)
+    assert(bc == "k" && bk.size < bTotal,
+      "clone inherited no bloom prune")
+    assert(SinkOps.readVersionEq(spark, dst, 7L).count() ==
+      (1L to 400L).count(i => i * 7 % 401 == 7L))
+    // Metadata-only aggregate from the source's sidecar counts.
+    val st = SinkOps.statsOnlyAgg(spark, dst).collect().head
+    assert(st.getLong(0) == 400L && st.getLong(1) == 1L &&
+      st.getLong(2) == 400L, st.toString)
+  }
+
   test("a rolled-back WAP stage's numbering gap breaks neither " +
       "versionHistory nor VACUUM: the timeline reports what exists " +
       "and the sweep reference-counts across the hole") {
