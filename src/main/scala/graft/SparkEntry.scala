@@ -119,6 +119,63 @@ object SparkEntry {
         Unique("o_orderkey"),
         ForeignKey("o_custkey", Tables.customer(s, d), "c_custkey")))
     }),
+    // CONSTRAINT-GATED COMMIT (the Delta CHECK-constraint / Deequ
+    // publish-gate shape): a clean batch passes the declared suite
+    // (not-null + range + unique + FK — one extra pass, O(batch)) and
+    // commits; the deterministically-dirtied batch REFUSES before any
+    // file is written, leaving the table byte-untouched. The result is
+    // the head after the refused commit — if the gate ever leaked, the
+    // dirty rows would land in the snapshot and break the hash, so the
+    // oracle pins the refusal itself, not just the report.
+    "q_commit_checked" -> ((s, d) => {
+      import QualityOps._
+      val o = Tables.orders(s, d)
+      val path = tmpPath("graft_checked", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersionChecked(
+        o.filter(col("o_orderkey") % 3 === 0), path, "o_orderkey", Seq(
+          NotNull("o_orderstatus"),
+          InRange("o_totalprice", 0.0, 1e9),
+          Unique("o_orderkey"),
+          ForeignKey("o_custkey", Tables.customer(s, d), "c_custkey")))
+      try {
+        SinkOps.commitVersionChecked(
+          dirtyOrders(o.filter(col("o_orderkey") % 3 === 1)), path,
+          "o_orderkey", Seq(NotNull("o_orderstatus"),
+            InRange("o_totalprice", 0.0, 1e9), Unique("o_orderkey")))
+        throw new IllegalStateException(
+          "dirty batch was accepted — the gate leaked")
+      } catch { case _: IllegalArgumentException => () }
+      SinkOps.readVersion(s, path)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+    }),
+    // RENAME COLUMN as one metadata manifest line (Delta
+    // column-mapping shape), through the SQL verb: zero data IO, old
+    // dirs resolve under the new name, the pre-rename delete sidecar
+    // folds at its own manifest position, and the post-rename commit
+    // writes the new name natively. Oracle = the same lineage replayed
+    // relationally with the rename as an alias.
+    "q_rename_col" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_rename", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(ev.filter(col("event_id") % 2 === 0), path)
+      SinkOps.deleteVersionKeys(
+        ev.filter(col("event_id") % 5 === 0).select("event_id"),
+        path, "event_id")
+      s.sql(
+        s"ALTER TABLE graft_table('$path') RENAME COLUMN value TO amount")
+      SinkOps.commitVersion(
+        ev.filter(col("event_id") % 2 === 1)
+          .withColumnRenamed("value", "amount"), path)
+      SinkOps.readVersion(s, path)
+        .select(col("event_id"), col("event_type"), col("amount"))
+    }),
     // Grouped OLS regression from exact moments (not the double-summing
     // regr_* built-ins): price-on-quantity slope/intercept/r² per flag.
     "q_regression" -> ((s, d) =>
@@ -2922,6 +2979,54 @@ object SparkEntry {
         path, "event_id")
       SinkOps.readVersionWhere(s, path, 100L, 299L)
         .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+    // HIVE-PARTITION PRUNING on a versioned table under a live DV —
+    // the coarsest skip tier: two partitioned commits record their
+    // partition values in parts/ sidecars, a delete sidecar keeps the
+    // head hot, and the partition-scoped read plans ONLY the matching
+    // event_type= subtrees (skipped partitions cost zero IO, not even
+    // a listing) while folding the DV per manifest epoch. At 100 TB
+    // this is the first 100-1000x — a date/tenant/language predicate
+    // prunes before zone maps or parquet footers see a file. Must
+    // equal the resolved full-scan filter (oracle); kept-subtrees-only
+    // listing is spec-pinned (Round13PartSpec).
+    "q_part_prune" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_part", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersionPartitioned(
+        ev.filter(col("event_id") % 3 === 0), path, "event_type")
+      SinkOps.commitVersionPartitioned(
+        ev.filter(col("event_id") % 3 === 1), path, "event_type")
+      SinkOps.deleteVersionKeys(
+        ev.filter(col("event_id") % 7 === 0).select("event_id"),
+        path, "event_id")
+      SinkOps.readVersionPartIn(s, path, "event_type",
+          Seq("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+    // Partition pruning through the SQL front door, on a MIXED table
+    // (one partitioned + one flat commit — the Iceberg
+    // partition-spec-evolution shape): graft_version_part plans the
+    // partitioned dir's matching subtrees from the parts/ sidecar and
+    // keeps the flat dir whole (never a wrong skip), the residual IN
+    // keeping results exact. One engine, two surfaces for the
+    // partition tier.
+    "q_sql_part" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_sqlpart", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersionPartitioned(
+        ev.filter(col("event_id") % 2 === 0), path, "event_type")
+      SinkOps.commitVersion(ev.filter(col("event_id") % 2 === 1), path)
+      graft.functions.GraftFunctions.register(s)
+      s.sql(
+        s"""SELECT event_id, user_id, event_type
+            FROM graft_version_part('$path', 'event_type', 'view,error')""")
     }),
     // Snapshot changefeed: the rows added in (v1, v3] of an
     // append-only versioned table are the manifest dir difference —
@@ -7413,6 +7518,17 @@ object SparkEntry {
           SELECT * FROM nn UNION ALL SELECT * FROM rg
           UNION ALL SELECT * FROM st UNION ALL SELECT * FROM uq
           UNION ALL SELECT * FROM fk""",
+    // The gated table holds ONLY the clean slice: the dirty batch was
+    // refused before any file landed, so the head is the first commit.
+    "q_commit_checked" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+         WHERE o_orderkey % 3 = 0""",
+    // Rename lineage replayed relationally: evens minus the pre-rename
+    // key deletions, plus all odds, value aliased to its new name.
+    "q_rename_col" ->
+      """SELECT event_id, event_type, value AS amount FROM events
+         WHERE (event_id % 2 = 0 AND event_id % 5 <> 0)
+            OR event_id % 2 = 1""",
     // Same exact moments, same closed-form IEEE arithmetic in the same
     // operation order — identical doubles out.
     "q_regression" ->
@@ -7544,6 +7660,17 @@ object SparkEntry {
     "q_skip_dv" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE event_id BETWEEN 100 AND 299 AND event_id % 7 <> 0""",
+    // Partition-pruned read under a DV: the kept event_type subtrees
+    // of the two residue-class commits, minus the deleted keys.
+    "q_part_prune" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id % 3 <> 2 AND event_id % 7 <> 0
+           AND event_type IN ('click', 'purchase')""",
+    // SQL partition read on a mixed (partitioned + flat commit) table:
+    // both halves contribute, the residual IN keeps it exact.
+    "q_sql_part" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_type IN ('view', 'error')""",
     // The (v1, v3] changefeed of residue-class appends is exactly the
     // residue-1 and residue-2 rows.
     "q_version_changes" ->

@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftFunctions.deletedKeys)
     ext.injectTableFunction(GraftFunctions.graftStats)
     ext.injectTableFunction(GraftFunctions.graftVersionWhere)
+    ext.injectTableFunction(GraftFunctions.graftVersionPart)
     ext.injectTableFunction(GraftFunctions.graftVersionAsOf)
     ext.injectTableFunction(GraftFunctions.tableChangesAsOf)
     // SQL DML front door for the versioned tier: MERGE INTO /
@@ -208,6 +209,36 @@ object GraftFunctions {
       new ExpressionInfo("graft.ops.SinkOps", "graft_version_where"),
       buildVersionWhere _)
 
+  /** `graft_version_part(path, partCol, 'v1,v2' [, version])` — the
+    * partition-pruned snapshot read through SQL
+    * ([[graft.ops.SinkOps.readVersionPartIn]]): planning consults
+    * only the `parts/` sidecars, so IO is O(matching partitions) —
+    * the coarsest skip tier, SQL-reachable like the zone-map and
+    * bloom reads. Values are a comma-separated list of verbatim
+    * (unescaped) partition values.
+    */
+  private def buildVersionPart(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3 || exprs.length == 4,
+      s"graft_version_part expects (path, partCol, values [, version]), " +
+        s"got ${exprs.length} arguments")
+    val values = constString(exprs(2), "graft_version_part values")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val v = if (exprs.length == 4)
+      Some(constInt(exprs(3), "graft_version_part version")) else None
+    GraftSqlBridge.plan(graft.ops.SinkOps.readVersionPartIn(
+      SparkSession.active,
+      constString(exprs.head, "graft_version_part path"),
+      constString(exprs(1), "graft_version_part partCol"),
+      values, v))
+  }
+
+  val graftVersionPart: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_version_part"),
+      new ExpressionInfo("graft.ops.SinkOps", "graft_version_part"),
+      buildVersionPart _)
+
   /** `graft_deleted_keys(path, vFrom, vTo)` — the DELETE half of the
     * SQL changefeed: keys removed or merge-touched in (vFrom, vTo]
     * ([[graft.ops.SinkOps.readDeletedKeys]]), completing the CDF
@@ -351,6 +382,8 @@ object GraftFunctions {
       buildGraftStats)
     GraftSqlBridge.registerTableFunction(spark, "graft_version_where",
       buildVersionWhere)
+    GraftSqlBridge.registerTableFunction(spark, "graft_version_part",
+      buildVersionPart)
     GraftSqlBridge.registerTableFunction(spark, "graft_version_asof",
       buildVersionAsOf)
     GraftSqlBridge.registerTableFunction(spark, "table_changes_asof",

@@ -95,7 +95,8 @@ object GraftSqlParser {
     */
   private val Head =
     ("(?is)^\\s*(INSERT\\s+INTO|INSERT\\s+OVERWRITE|DELETE\\s+FROM|" +
-      "MERGE\\s+INTO|UPDATE|OPTIMIZE|VACUUM|RESTORE)\\s+graft_table" +
+      "MERGE\\s+INTO|UPDATE|OPTIMIZE|VACUUM|RESTORE|ALTER\\s+TABLE)" +
+      "\\s+graft_table" +
       "\\s*\\(\\s*'([^']*)'\\s*(?:,\\s*'([^']*)'\\s*)?\\)\\s*(.*)$").r
 
   /** `CLONE graft_table('src') TO graft_table('dst') [VERSION AS OF
@@ -112,6 +113,10 @@ object GraftSqlParser {
 
   private val DeleteTail =
     "(?is)^WHERE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s*(\\(.*)$".r
+
+  private val RenameColTail =
+    ("(?is)^RENAME\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)$").r
 
   private val MergeOn =
     "(?is)^ON\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(.*)$".r
@@ -240,6 +245,14 @@ object GraftSqlParser {
                 s"OPTIMIZE graft_table('$path') supports exactly '' | " +
                   s"ZORDER BY (c1, c2[, ...]) | CLUSTER BY (c); got: " +
                   other)
+            }
+          case "ALTER TABLE" =>
+            tail.trim match {
+              case RenameColTail(o, n) =>
+                GraftRenameColumnCommand(path, o, n)
+              case other => throw new IllegalArgumentException(
+                s"ALTER TABLE graft_table('$path') supports exactly " +
+                  s"RENAME COLUMN <old> TO <new>; got: $other")
             }
           case "RESTORE" =>
             tail.trim match {
@@ -428,6 +441,20 @@ case class GraftRestoreCommand(path: String, version: Option[Int],
       case None => graft.ops.SinkOps.restoreVersionAsOf(spark, path,
         tsMillis.get)
     }))
+}
+
+/** `ALTER TABLE graft_table(path) RENAME COLUMN old TO new` →
+  * [[graft.ops.SinkOps.renameVersionColumn]] — one metadata manifest
+  * line, zero data IO (the Delta column-mapping shape). Returns the
+  * rename commit's version.
+  */
+case class GraftRenameColumnCommand(path: String, oldName: String,
+                                    newName: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.SinkOps.renameVersionColumn(spark, path,
+      oldName, newName)))
 }
 
 /** `CLONE graft_table(src) TO graft_table(dst) [VERSION AS OF v]` →

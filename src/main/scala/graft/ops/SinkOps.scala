@@ -298,6 +298,38 @@ object SinkOps {
     throw new IllegalStateException("unreachable")
   }
 
+  /** [[commitVersion]] gated by a DECLARATIVE CONSTRAINT SUITE (the
+    * Delta `ALTER TABLE ADD CONSTRAINT CHECK` / Deequ publish-gate
+    * shape): the batch is checked against [[QualityOps.check]]'s
+    * expectations BEFORE any file is written — a violating batch
+    * refuses loudly with the full violation report (constraint,
+    * count, sample key) and leaves the table byte-untouched (no data
+    * dir, no manifest, no head move), so a bad upstream drop can
+    * never poison the snapshot lineage. Cost is one extra pass over
+    * the batch (row-local constraints fuse into ONE aggregate;
+    * uniqueness/FK each add a keyed pass) — O(batch), never O(table);
+    * the report is one bounded row per declared constraint. A clean
+    * batch commits exactly as [[commitVersionStats]]. Returns the new
+    * version.
+    */
+  def commitVersionChecked(df: DataFrame, path: String, keyCol: String,
+                           constraints: Seq[QualityOps.Constraint],
+                           carryForward: Boolean = true,
+                           statsCols: Seq[String] = Nil): Int = {
+    require(constraints.nonEmpty,
+      "no constraints declared — use commitVersion for ungated appends")
+    val bad = QualityOps.check(df, keyCol, constraints)
+      .filter(col("n_violations") > 0L)
+      .collect() // bounded: at most one row per declared constraint
+    require(bad.isEmpty,
+      s"commit to $path refused — constraint violations: " +
+        bad.map(r => s"${r.getAs[String]("check_name")}: " +
+          s"${r.getAs[Long]("n_violations")} rows " +
+          s"(sample key ${r.getAs[Long]("sample_key")})")
+          .mkString("; "))
+    commitVersionStats(df, path, carryForward, statsCols)
+  }
+
   /** Per-file min/max of the declared columns for one immutable data
     * dir, as `stats/<dirname>.txt`: first line the TAB-JOINED column
     * names, then one line per file —
@@ -479,9 +511,42 @@ object SinkOps {
   def compactVersions(spark: org.apache.spark.sql.SparkSession,
                       path: String, statsCol: Option[String]): Int = {
     val resolved = readVersion(spark, path)
-    val clustered = statsCol.fold(resolved)(c =>
-      resolved.repartitionByRange(col(c)))
-    commitVersion(clustered, path, carryForward = false, statsCol)
+    // A table with hive-partitioned commits compacts BACK INTO its
+    // partition layout (and refreshes the parts sidecar) — OPTIMIZE
+    // must never silently disarm the coarsest skip tier. Flat and
+    // mixed-in flat dirs fold into the layout too (compaction is how
+    // a mixed table converges to fully-partitioned).
+    headPartitionCol(spark, path) match {
+      case Some(pc) =>
+        require(statsCol.isEmpty,
+          s"table at $path is hive-partitioned by $pc — partitioned " +
+            "dirs are not zone-map servable, so compacting them with " +
+            "statsCol would record unreachable sidecars; compact " +
+            "without statsCol")
+        commitVersionPartitioned(resolved, path, pc,
+          carryForward = false)
+      case None =>
+        val clustered = statsCol.fold(resolved)(c =>
+          resolved.repartitionByRange(col(c)))
+        commitVersion(clustered, path, carryForward = false, statsCol)
+    }
+  }
+
+  /** The head snapshot's hive-partition column: Some(c) when ANY head
+    * data dir carries a parts sidecar (all partitioned dirs must
+    * agree — loud otherwise), None on a fully-flat head.
+    */
+  private def headPartitionCol(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = latestVersion(fs, root)
+    require(head >= 1, s"no versions committed at $path")
+    val cols = manifestDirs(fs, root, head).filterNot(isOpLine)
+      .flatMap(d => readDirParts(fs, root, d).map(_._1)).distinct
+    require(cols.length <= 1,
+      s"head of $path mixes partition columns: ${cols.mkString(", ")}")
+    cols.headOption
   }
 
   /** OPTIMIZE ZORDER — full compaction under a 2-D Morton layout with
@@ -502,6 +567,10 @@ object SinkOps {
   def compactVersionsZOrder(spark: org.apache.spark.sql.SparkSession,
                             path: String, colA: String, colB: String,
                             bits: Int = 20): Int = {
+    require(headPartitionCol(spark, path).isEmpty,
+      s"table at $path is hive-partitioned — ZORDER would flatten " +
+        "the partition layout and disarm its pruning; use " +
+        "compactVersions (preserves the layout)")
     val resolved = readVersion(spark, path)
     val z = graft.ops.SortOps.zorderValue(
       pmod(col(colA).cast("long"), lit(1L << bits)),
@@ -533,6 +602,10 @@ object SinkOps {
                              targetFiles: Option[Int] = None): Int = {
     require(zcols.size >= 2 && zcols.distinct == zcols,
       s"OPTIMIZE ZORDER needs >= 2 distinct columns: $zcols")
+    require(headPartitionCol(spark, path).isEmpty,
+      s"table at $path is hive-partitioned — ZORDER would flatten " +
+        "the partition layout and disarm its pruning; use " +
+        "compactVersions (preserves the layout)")
     val resolved = readVersion(spark, path)
     val z = graft.ops.SortOps.zorderValueK(
       zcols.map(c => pmod(col(c).cast("long"), lit(1L << bits))),
@@ -581,11 +654,18 @@ object SinkOps {
     val head = latestVersion(fs, root)
     require(head >= 1, s"no versions committed at $path")
     val lines = manifestDirs(fs, root, head)
-    // Everything up to and including the last delete sidecar is frozen
-    // (its dirs' fold positions are load-bearing); the packable tail is
-    // the epoch no sidecar scopes.
+    // Everything up to and including the last op line (delete sidecar
+    // or column rename) is frozen (its dirs' fold positions are
+    // load-bearing); the packable tail is the epoch no op scopes. A
+    // packed post-rename dir already carries the new names, so the
+    // rename folding before it no-ops — position-safe by construction.
     val (frozen, tailLines) = lines.splitAt(
-      lines.lastIndexWhere(isDeleteLine) + 1)
+      lines.lastIndexWhere(isOpLine) + 1)
+    // A hive-partitioned dir cannot join the flat multi-root pack read
+    // (Spark refuses mixed roots) and packing it flat would silently
+    // disarm its partition pruning — refuse and name the right tool.
+    tailLines.foreach(d => refusePartitionedDir(fs, root, d,
+      "small-dir packing"))
     val (small, big) = tailLines.partition { d =>
       fs.getContentSummary(new org.apache.hadoop.fs.Path(root, d))
         .getLength < smallBytes
@@ -687,11 +767,13 @@ object SinkOps {
         case _ =>
       }
     }
-    // Live set spans BOTH line kinds: data dirs as written, delete
-    // sidecars by their dir part — an expired merge's sidecar GCs with
-    // its history, a still-referenced one survives.
+    // Live set spans the path-bearing line kinds: data dirs as
+    // written, delete sidecars by their dir part (an expired merge's
+    // sidecar GCs with its history, a still-referenced one survives);
+    // rename lines carry no path and ride the re-checkpoints verbatim.
     val live = present
       .flatMap(v => manifestDirs(fs, root, v))
+      .filterNot(isRenameLine)
       .map(l => if (isDeleteLine(l)) deleteParts(l)._1 else l).toSet
     val dead = Seq("data", "deletes").flatMap { kind =>
       val kindRoot = new org.apache.hadoop.fs.Path(root, kind)
@@ -708,7 +790,7 @@ object SinkOps {
       // implies it cleans).
       if (d.startsWith("data/")) {
         val base = d.stripPrefix("data/")
-        Seq("stats", "blooms").foreach { kind =>
+        Seq("stats", "blooms", "parts").foreach { kind =>
           fs.delete(new org.apache.hadoop.fs.Path(root,
             s"$kind/$base.txt"), false); ()
         }
@@ -1011,7 +1093,8 @@ object SinkOps {
       if (isDeleteLine(l)) {
         val (d, keyCol) = deleteParts(l)
         s"$DeletePrefix${abs(d)}:$keyCol"
-      } else abs(l)
+      } else if (isRenameLine(l)) l // no path to absolutize — verbatim
+      else abs(l)
     }
     val dstRoot = new org.apache.hadoop.fs.Path(dstPath)
     val dstFs = dstRoot.getFileSystem(
@@ -1021,6 +1104,49 @@ object SinkOps {
       s"clone target $dstPath is not an empty table path")
     writeManifestLines(dstFs, dstRoot, 1, lines)
     1
+  }
+
+  /** RENAME COLUMN without rewriting a byte — the column-mapping
+    * discipline (Delta column mapping / Iceberg name-to-id): the new
+    * version's manifest is the head's lines plus ONE
+    * `rename:<old>:<new>` metadata line. Dirs committed before the
+    * line keep their written (physical) name and every resolved read
+    * applies the rename in manifest order; commits after the rename
+    * write the new name natively; a delete sidecar's key column is
+    * interpreted at ITS manifest position, so renames and DVs
+    * interleave correctly by construction. Pinned readers of earlier
+    * versions see the old name (time travel is schema travel too).
+    * Zero data IO now; OPTIMIZE ([[compactVersions]]) materializes
+    * the rename and purges the line — until then the sidecar-planning
+    * tiers (zone maps / blooms / partition pruning / stats-only
+    * aggregation) and changefeed windows crossing the rename refuse
+    * loudly rather than serve stale names. Loud contracts: the old
+    * name must exist in the head schema, the new must not, neither
+    * may need manifest escaping. Returns the new version.
+    */
+  def renameVersionColumn(spark: org.apache.spark.sql.SparkSession,
+                          path: String, oldName: String,
+                          newName: String): Int = {
+    require(oldName != newName, s"rename to the same name: $oldName")
+    Seq(oldName, newName).foreach(n => require(
+      n.nonEmpty && !n.contains(':') && !n.contains('\n'),
+      s"column name '$n' cannot ride a manifest line (empty, ':' or " +
+        "newline)"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = latestVersion(fs, root)
+    require(head >= 1, s"no versions committed at $path")
+    val schema = readVersion(spark, path).schema.fieldNames
+    require(schema.contains(oldName),
+      s"rename source $oldName not in head schema " +
+        s"(${schema.mkString(", ")}) at $path")
+    require(!schema.contains(newName),
+      s"rename target $newName already in head schema at $path")
+    val v = math.max(head, latestStaged(fs, root)) + 1
+    requireVacant(fs, root, v)
+    writeManifestLines(fs, root, v,
+      manifestDirs(fs, root, head) :+ s"$RenamePrefix$oldName:$newName")
+    v
   }
 
   /** Changefeed window addressed by TIMESTAMPS — Delta's
@@ -1054,6 +1180,33 @@ object SinkOps {
   private def isDeleteLine(line: String): Boolean =
     line.startsWith(DeletePrefix)
 
+  /** COLUMN-RENAME manifest line: `rename:<old>:<new>` — the
+    * column-mapping discipline (Delta column mapping / Iceberg
+    * name-to-id): a rename is one metadata line, ZERO data IO; dirs
+    * committed BEFORE the line read under their written name and the
+    * resolve applies the rename in manifest order, dirs committed
+    * AFTER already carry the new name. Compaction materializes the
+    * rename and purges the line.
+    */
+  private val RenamePrefix = "rename:"
+
+  private def isRenameLine(line: String): Boolean =
+    line.startsWith(RenamePrefix)
+
+  /** (oldName, newName) of a rename line. */
+  private def renameParts(line: String): (String, String) = {
+    val rest = line.stripPrefix(RenamePrefix)
+    val i = rest.lastIndexOf(':')
+    require(i > 0, s"malformed rename manifest line: $line")
+    (rest.substring(0, i), rest.substring(i + 1))
+  }
+
+  /** A manifest line that transforms the rows of dirs preceding it
+    * (delete sidecar or column rename) — the resolve fold's op set.
+    */
+  private def isOpLine(line: String): Boolean =
+    isDeleteLine(line) || isRenameLine(line)
+
   /** (deletesDir, keyCol) of a delete line. */
   private def deleteParts(line: String): (String, String) = {
     val rest = line.stripPrefix(DeletePrefix)
@@ -1075,27 +1228,66 @@ object SinkOps {
     * commits added columns reads as the union schema, legacy rows
     * null-filled — additive evolution without rewriting history.
     */
+  /** Read a set of manifest data dirs as one DataFrame, reading each
+    * hive-partitioned dir (detected by its `parts/` sidecar) as its
+    * OWN root: Spark's partition discovery refuses multiple
+    * partitioned roots in one load ("load them separately and then
+    * union" — CONFLICTING_DIRECTORY_STRUCTURES), so flat dirs share
+    * one scan and every partitioned dir gets its own, unioned by name
+    * (the partition column rides last in a discovered schema;
+    * unionByName realigns). Partitioned-dir count is manifest-scale
+    * and collapses at every compaction, so the extra union branches
+    * stay bounded.
+    */
+  private def readDirsGrouped(spark: org.apache.spark.sql.SparkSession,
+                              root: org.apache.hadoop.fs.Path,
+                              dirs: Seq[String],
+                              mergeSchema: Boolean): DataFrame = {
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def read(ds: Seq[String]) =
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(ds.map(d =>
+          new org.apache.hadoop.fs.Path(root, d).toString): _*)
+    val (parted, flat) =
+      dirs.partition(d => readDirParts(fs, root, d).nonEmpty)
+    if (parted.isEmpty) read(dirs)
+    else {
+      val reads = (if (flat.isEmpty) Nil else Seq(read(flat))) ++
+        parted.map(d => read(Seq(d)))
+      reads.reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
+    }
+  }
+
   private def resolveSnapshot(spark: org.apache.spark.sql.SparkSession,
                               root: org.apache.hadoop.fs.Path,
                               lines: Seq[String],
                               mergeSchema: Boolean): DataFrame = {
     def read(dirs: Seq[String]) =
-      spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(dirs.map(d =>
-          new org.apache.hadoop.fs.Path(root, d).toString): _*)
+      readDirsGrouped(spark, root, dirs, mergeSchema)
     val indexed = lines.zipWithIndex
-    val dataIdx = indexed.filterNot(p => isDeleteLine(p._1))
-    val delIdx = indexed.filter(p => isDeleteLine(p._1))
+    val dataIdx = indexed.filterNot(p => isOpLine(p._1))
+    val opIdx = indexed.filter(p => isOpLine(p._1))
     require(dataIdx.nonEmpty, s"manifest holds no data dirs under $root")
-    if (delIdx.isEmpty) read(dataIdx.map(_._1))
+    if (opIdx.isEmpty) read(dataIdx.map(_._1))
     else dataIdx
-      .groupBy { case (_, i) => delIdx.filter(_._2 > i).map(_._1) }
-      .toSeq.map { case (dels, dirs) =>
-        dels.foldLeft(read(dirs.map(_._1))) { (acc, dl) =>
-          val (ddir, keyCol) = deleteParts(dl)
-          acc.join(broadcast(spark.read.parquet(
-              new org.apache.hadoop.fs.Path(root, ddir).toString)
-            .select(keyCol)), Seq(keyCol), "left_anti")
+      .groupBy { case (_, i) => opIdx.filter(_._2 > i).map(_._1) }
+      .toSeq.map { case (ops, dirs) =>
+        // Fold the trailing op lines in MANIFEST ORDER: a delete
+        // sidecar's key column is the name AT ITS COMMIT TIME, so a
+        // rename that precedes it has already been applied when its
+        // anti-join runs. A rename of a column a dir never had is a
+        // no-op on that group (withColumnRenamed semantics) — the
+        // mergeSchema evolution tolerance.
+        ops.foldLeft(read(dirs.map(_._1))) { (acc, op) =>
+          if (isRenameLine(op)) {
+            val (o, n) = renameParts(op)
+            acc.withColumnRenamed(o, n)
+          } else {
+            val (ddir, keyCol) = deleteParts(op)
+            acc.join(broadcast(spark.read.parquet(
+                new org.apache.hadoop.fs.Path(root, ddir).toString)
+              .select(keyCol)), Seq(keyCol), "left_anti")
+          }
         }
       }
       .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
@@ -1374,7 +1566,10 @@ object SinkOps {
       fs.exists(new org.apache.hadoop.fs.Path(root,
         f"manifest/v$v%05d.txt"))).map { v =>
       val lines = manifestDirs(fs, root, v)
-      val (del, data) = lines.partition(isDeleteLine)
+      // Rename lines are metadata-only (no dir, no rows) — the
+      // timeline reports the version's dirs unchanged through them.
+      val (del, data) =
+        lines.filterNot(isRenameLine).partition(isDeleteLine)
       var nRows = 0L; var nFiles = 0L
       var mn = Long.MaxValue; var mx = Long.MinValue; var any = false
       data.foreach { d =>
@@ -1625,6 +1820,7 @@ object SinkOps {
     var declared: Option[Seq[String]] = None
     var total = 0
     def keptOf(d: String): Seq[String] = {
+      refusePartitionedDir(fs, root, d, "the zone-map planner")
       val dirP = new org.apache.hadoop.fs.Path(root, d)
       val parts = fs.listStatus(dirP).map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
@@ -1667,6 +1863,14 @@ object SinkOps {
     */
   private def epochGroups(lines: Seq[String])
       : Seq[(Seq[String], Seq[(String, String)])] = {
+    // The sidecar-planning tiers read stats/bloom/parts column names
+    // WRITTEN AT COMMIT TIME — an unmaterialized rename would make
+    // every sidecar name stale and the prune silently wrong. Refuse
+    // loudly; OPTIMIZE materializes the rename and re-arms the tier.
+    require(!lines.exists(isRenameLine),
+      "manifest carries an unmaterialized column rename — the " +
+        "sidecar planners serve rename-free manifests; OPTIMIZE " +
+        "(compactVersions) to materialize the rename first")
     val indexed = lines.zipWithIndex
     val delIdx = indexed.filter(p => isDeleteLine(p._1))
     indexed.filterNot(p => isDeleteLine(p._1))
@@ -1768,6 +1972,228 @@ object SinkOps {
       version)
     requireFlat(groups, path) // flat view: refuse DV manifests loudly
     (groups.flatMap(_._1), total, cols)
+  }
+
+  // ---- Hive-partitioned versioned commits (partition pruning) ----
+
+  /** [[commitVersion]] HIVE-PARTITIONED by `partCol`: the commit's data
+    * dir holds one `partCol=value` subdirectory per distinct value, and
+    * a `parts/` sidecar records exactly which partition values the dir
+    * carries — so a partition-scoped read ([[readVersionPartIn]]) plans
+    * from the SIDECAR, skipping whole data dirs (and, inside kept dirs,
+    * whole partition subtrees) with zero IO, before any file listing.
+    * This is the coarsest and cheapest skip tier — at 100 TB, partition
+    * pruning (a date, a tenant, a language) is the first 100–1000×
+    * before zone maps or blooms see a file, which is why every
+    * production lakehouse (Hive layout, Delta partition columns,
+    * Iceberg identity partitions) leads with it. Plain [[readVersion]],
+    * time travel, DVs, changefeeds, and compaction all still work on
+    * such a table (Spark's partition discovery restores `partCol` from
+    * the directory names on every read path); mixing partitioned and
+    * unpartitioned commits in one table is allowed — an unpartitioned
+    * dir simply never dir-prunes (no wrong skip). Returns the version.
+    *
+    * Loud contracts: `partCol` must exist in `df`; a commit whose
+    * batch is empty (no partition subdirs written) refuses rather than
+    * recording an unreadable snapshot; partition values must not need
+    * hive escaping (see [[readVersionPartIn]]).
+    */
+  def commitVersionPartitioned(df: DataFrame, path: String,
+                               partCol: String,
+                               carryForward: Boolean = true): Int = {
+    require(df.columns.contains(partCol),
+      s"partition column $partCol not in ${df.columns.mkString(", ")}")
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = latestVersion(fs, root)
+    val v = math.max(head, latestStaged(fs, root)) + 1
+    requireVacant(fs, root, v)
+    val dataDir = s"data/v$v"
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    writeDirParts(fs, root, dataDir, partCol)
+    val prev = if (head == 0 || !carryForward) Nil
+      else manifestDirs(fs, root, head)
+    writeManifestLines(fs, root, v, prev :+ dataDir)
+    v
+  }
+
+  /** Partition-value sidecar for one immutable data dir, as
+    * `parts/<dirname>.txt`: first line the partition column name, then
+    * one line per `partCol=value` subdirectory present (sorted — the
+    * sidecar is a set, not a layout). Exact values, any data type the
+    * hive layout can name (strings included — the tier the
+    * castable-to-long zone maps cannot serve). Immutable like the data
+    * it describes; resolved against each data dir's own table root
+    * like the stats/bloom sidecars, so shallow clones inherit it.
+    */
+  private def writeDirParts(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path,
+                            dataDir: String, partCol: String): Unit = {
+    val dirP = new org.apache.hadoop.fs.Path(root, dataDir)
+    val frags = fs.listStatus(dirP).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(partCol + "="))
+      .sorted.toSeq
+    require(frags.nonEmpty,
+      s"no $partCol= partition directories under $dirP — empty batch " +
+        "or partitionBy wrote nothing; refuse rather than record an " +
+        "unreadable snapshot")
+    val sf = sidecarFile(root, dataDir, "parts")
+    val out = fs.create(sf, true)
+    try out.write((partCol +: frags).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readDirParts(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           dataDir: String)
+      : Option[(String, Seq[String])] = {
+    val sf = sidecarFile(root, dataDir, "parts")
+    if (!fs.exists(sf)) None
+    else {
+      val in = fs.open(sf)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+      Some((lines.head, lines.tail))
+    }
+  }
+
+  /** The flat (file-listing) skip planners serve unpartitioned dirs
+    * only: a hive-partitioned dir has no direct `.parquet` children,
+    * so listing it flat would plan ZERO files — a silent wrong skip,
+    * the one failure a skip tier must never have. Refuse loudly and
+    * name the right tool.
+    */
+  private def refusePartitionedDir(fs: org.apache.hadoop.fs.FileSystem,
+                                   root: org.apache.hadoop.fs.Path,
+                                   dataDir: String,
+                                   tier: String): Unit =
+    require(readDirParts(fs, root, dataDir).isEmpty,
+      s"dir $dataDir is hive-partitioned — $tier serves flat dirs " +
+        "only; read partition-scoped via readVersionPartIn, or use " +
+        "compactVersions (which preserves the partition layout) for " +
+        "maintenance")
+
+  /** Partition values a requested set may name at this surface: the
+    * characters hive stores verbatim in directory names. Values that
+    * would be escaped (`/`, `:`, whitespace, `%`, …) fail loudly — a
+    * silent mismatch between the requested literal and its escaped
+    * directory fragment would be a WRONG SKIP, the one failure a skip
+    * tier must never have.
+    */
+  private val PartValueOk = "[A-Za-z0-9_.\\-]+".r
+
+  /** Planning view of [[readVersionPartIn]] — (kept leaf dir paths,
+    * total partition subdirs across partitioned dirs, unpartitioned
+    * dirs kept whole). What a partition-scoped read WOULD list; the
+    * skip-economics probe for specs and operators.
+    */
+  def planPartsIn(spark: org.apache.spark.sql.SparkSession,
+                  path: String, partCol: String, values: Seq[String],
+                  version: Option[Int] = None)
+      : (Seq[String], Int, Seq[String]) = {
+    val (groups, total, whole) =
+      partGroups(spark, path, partCol, values, version)
+    (groups.flatMap(_._1).map(_._2.toString), total,
+      whole.map(_.toString))
+  }
+
+  /** Epoch-grouped partition planning core. Per epoch: (kept reads,
+    * delete sidecars), where each kept read is (basePath dir, leaf
+    * path) for a pruned partitioned dir or (dir, dir) for an
+    * unpartitioned dir kept whole. Also returns total partition
+    * subdirs seen and the unpartitioned dirs (for the probe).
+    */
+  private def partGroups(spark: org.apache.spark.sql.SparkSession,
+                         path: String, partCol: String,
+                         values: Seq[String], version: Option[Int])
+      : (Seq[(Seq[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)],
+              Seq[(String, String)])],
+         Int, Seq[org.apache.hadoop.fs.Path]) = {
+    require(values.nonEmpty, "no partition values requested")
+    values.foreach(v => require(PartValueOk.matches(v),
+      s"partition value '$v' needs hive escaping — this surface " +
+        "serves verbatim values only (letters, digits, _ . -)"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = version.getOrElse {
+      val latest = latestVersion(fs, root)
+      require(latest >= 1, s"no versions committed at $path")
+      latest
+    }
+    val wanted = values.toSet
+    var total = 0
+    val whole = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    val groups = epochGroups(manifestDirs(fs, root, v)).map {
+      case (dirs, dels) =>
+        val reads = dirs.flatMap { d =>
+          val dirP = new org.apache.hadoop.fs.Path(root, d)
+          readDirParts(fs, root, d) match {
+            case None =>
+              whole += dirP
+              Seq((dirP, dirP))
+            case Some((pc, frags)) =>
+              require(pc == partCol,
+                s"dir $d is partitioned by $pc, not $partCol")
+              total += frags.length
+              frags.filter(f => wanted.contains(f.stripPrefix(pc + "=")))
+                .map(f =>
+                  (dirP, new org.apache.hadoop.fs.Path(dirP, f)))
+          }
+        }
+        (reads, dels)
+    }
+    (groups, total, whole.toSeq)
+  }
+
+  /** Read a snapshot RESTRICTED TO a set of partition values of the
+    * table's hive-partition column ([[commitVersionPartitioned]]):
+    * planning consults only the `parts/` sidecars — a data dir whose
+    * value set misses the request is skipped whole, a kept dir lists
+    * only the matching `partCol=value` subtrees — so IO is O(matching
+    * partitions), not O(table), before zone maps or parquet footers
+    * enter. DV-aware like [[readVersionWhere]]: kept reads group by
+    * manifest epoch and each group anti-joins exactly the delete
+    * sidecars that scope it, so partition reads stay usable under a
+    * live CDC merge stream. Unpartitioned dirs in a mixed table are
+    * read whole (never wrongly skipped); the exact residual
+    * `partCol IN (values)` keeps the result equal to the full-scan
+    * filter by construction. Equality under DVs and files-listed <
+    * files-total are spec-pinned; q_part_prune's oracle pins the
+    * resolved equality end to end.
+    */
+  def readVersionPartIn(spark: org.apache.spark.sql.SparkSession,
+                        path: String, partCol: String,
+                        values: Seq[String],
+                        version: Option[Int] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (groups, _, _) = partGroups(spark, path, partCol, values, version)
+    val epochs = groups.flatMap { case (reads, dels) =>
+      if (reads.isEmpty) None
+      else {
+        // One read per (basePath, leaves) group: basePath restores the
+        // partition column Spark strips into the directory name.
+        val dfs = reads.groupBy(_._1).toSeq.sortBy(_._1.toString)
+          .map { case (base, leaves) =>
+            spark.read.option("basePath", base.toString)
+              .parquet(leaves.map(_._2.toString): _*)
+          }
+        Some(dels.foldLeft(dfs.reduce(_.unionByName(_))) {
+          case (acc, (ddir, keyCol)) =>
+            acc.join(broadcast(spark.read.parquet(
+                new org.apache.hadoop.fs.Path(root, ddir).toString)
+              .select(keyCol)), Seq(keyCol), "left_anti")
+        })
+      }
+    }
+    val residual = col(partCol).cast("string").isin(values: _*)
+    if (epochs.isEmpty)
+      readVersion(spark, path, version).filter(lit(false))
+    else epochs.reduce(_.unionByName(_)).filter(residual)
   }
 
   // ---- Bloom-filter file skipping (point lookups) ----
@@ -1988,6 +2414,7 @@ object SinkOps {
     var declared: Option[Seq[String]] = None
     var total = 0
     def keptOf(d: String): Seq[String] = {
+      refusePartitionedDir(fs, root, d, "the bloom planner")
       val dirP = new org.apache.hadoop.fs.Path(root, d)
       val bf = sidecarFile(root, d, "blooms")
       val parts = fs.listStatus(dirP).map(_.getPath)
@@ -2156,6 +2583,10 @@ object SinkOps {
     require(!lines.exists(isDeleteLine),
       s"stats-only read over version $v at $path which carries " +
         "unresolved deletion vectors — compactVersions first")
+    require(!lines.exists(isRenameLine),
+      s"stats-only read over version $v at $path which carries an " +
+        "unmaterialized column rename — the sidecars hold commit-time " +
+        "names; compactVersions first")
     var statsCols: Option[Seq[String]] = None
     var nRows = 0L
     var nFiles = 0L
@@ -2351,15 +2782,22 @@ object SinkOps {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val before = manifestDirs(fs, root, vFrom).toSet
+    val addedAll = manifestDirs(fs, root, vTo).filterNot(before)
+    // A rename INSIDE the window would make the feed's pre-rename dirs
+    // carry stale names next to post-rename dirs — refuse rather than
+    // emit a mixed-schema feed; renames before vFrom are already
+    // materialized in what the consumer holds.
+    require(!addedAll.exists(isRenameLine),
+      s"changefeed window (v$vFrom, v$vTo] at $path crosses a column " +
+        "rename — consume up to the rename version, apply the rename, " +
+        "then resume")
     // Data lines only: a delete commit's sidecar is not "rows added" —
     // its half of the feed is readDeletedKeys.
-    val added = manifestDirs(fs, root, vTo).filterNot(before)
-      .filterNot(isDeleteLine)
+    val added = addedAll.filterNot(isDeleteLine)
     require(added.nonEmpty,
       s"no data dirs added between v$vFrom and v$vTo at $path" +
         " (a delete-only window reads via readDeletedKeys)")
-    spark.read.parquet(added.map(d =>
-      new org.apache.hadoop.fs.Path(root, d).toString): _*)
+    readDirsGrouped(spark, root, added, mergeSchema = false)
   }
 
   /** DELTA-MANIFEST base reference: a manifest whose FIRST line is

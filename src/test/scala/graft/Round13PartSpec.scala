@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SinkOps
+
+/** Specs for hive-partitioned versioned commits: partition-value
+  * sidecars, dir-level + subtree-level pruning with zero IO for
+  * skipped partitions, DV-aware epoch resolution, mixed
+  * partitioned/unpartitioned tables, and the loud contracts (wrong
+  * column, escape-needing values, empty batches).
+  */
+class Round13PartSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val p = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    val hp = new org.apache.hadoop.fs.Path(p.getPath)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    p.getPath
+  }
+
+  private def events = Tables.events(spark, sfDir)
+
+  test("partition-scoped read equals the full-scan filter on a mixed " +
+      "table under a live DV, and plain readVersion still restores " +
+      "the partition column") {
+    val t = tmp("r13_part_mixed")
+    // v1 partitioned, v2 UNpartitioned (mixed table), v3 partitioned,
+    // v4 a delete sidecar scoping all three.
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 3 === 0), t, "event_type")
+    SinkOps.commitVersion(events.filter(col("event_id") % 3 === 1), t)
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 3 === 2), t, "event_type")
+    SinkOps.deleteVersionKeys(
+      events.filter(col("event_id") % 7 === 0).select("event_id"),
+      t, "event_id")
+
+    val got = SinkOps.readVersionPartIn(spark, t, "event_type",
+        Seq("click", "error"))
+      .select("event_id", "user_id", "event_type")
+    val want = SinkOps.readVersion(spark, t)
+      .filter(col("event_type").isin("click", "error"))
+      .select("event_id", "user_id", "event_type")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "partition read != resolved full-scan filter")
+
+    // Plain readVersion restores event_type from the directory names.
+    val full = SinkOps.readVersion(spark, t)
+    assert(full.columns.contains("event_type"))
+    val nTypes = full.select("event_type").distinct().count()
+    assert(nTypes >= 4, s"partition column lost on plain read: $nTypes")
+  }
+
+  test("planning is sidecar-only and the executed read lists no file " +
+      "outside the kept partition subtrees (skipped partitions cost " +
+      "zero IO)") {
+    val t = tmp("r13_part_plan")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 0), t, "event_type")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 1), t, "event_type")
+
+    val (kept, total, whole) =
+      SinkOps.planPartsIn(spark, t, "event_type", Seq("signup"))
+    assert(whole.isEmpty, "no unpartitioned dirs in this table")
+    assert(kept.length == 2 && total == 10,
+      s"expected 2 kept of 10 subdirs (5 types x 2 commits): " +
+        s"${kept.length} of $total")
+
+    val files = SinkOps.readVersionPartIn(spark, t, "event_type",
+        Seq("signup"))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    files.foreach(f => assert(f.contains("event_type=signup"),
+      s"read touched a file outside the kept partitions: $f"))
+  }
+
+  test("all partitions pruned yields an empty result with the table " +
+      "schema; requesting values across epochs under carryForward " +
+      "composes") {
+    val t = tmp("r13_part_empty")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_type") === "click"), t, "event_type")
+    val got = SinkOps.readVersionPartIn(spark, t, "event_type",
+      Seq("signup"))
+    assert(got.count() == 0)
+    assert(got.columns.contains("event_type") &&
+      got.columns.contains("event_id"))
+  }
+
+  test("time travel pins the partition read to the asked snapshot") {
+    val t = tmp("r13_part_tt")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 0), t, "event_type")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 1), t, "event_type")
+    val v1 = SinkOps.readVersionPartIn(spark, t, "event_type",
+      Seq("view"), version = Some(1)).count()
+    val v2 = SinkOps.readVersionPartIn(spark, t, "event_type",
+      Seq("view")).count()
+    val wantV1 = events.filter(col("event_id") % 2 === 0 &&
+      col("event_type") === "view").count()
+    val wantV2 = events.filter(col("event_type") === "view").count()
+    assert(v1 == wantV1 && v2 == wantV2,
+      s"time travel drifted: $v1/$wantV1 at v1, $v2/$wantV2 at head")
+  }
+
+  test("loud contracts: wrong partition column, empty value list, " +
+      "escape-needing value, missing data column, empty batch") {
+    val t = tmp("r13_part_loud")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 0), t, "event_type")
+    val e1 = intercept[IllegalArgumentException] {
+      SinkOps.readVersionPartIn(spark, t, "user_id", Seq("1")).count()
+    }
+    assert(e1.getMessage.contains("partitioned by event_type"))
+    intercept[IllegalArgumentException] {
+      SinkOps.readVersionPartIn(spark, t, "event_type", Nil).count()
+    }
+    val e3 = intercept[IllegalArgumentException] {
+      SinkOps.readVersionPartIn(spark, t, "event_type",
+        Seq("a/b")).count()
+    }
+    assert(e3.getMessage.contains("hive escaping"))
+    intercept[IllegalArgumentException] {
+      SinkOps.commitVersionPartitioned(events, t, "no_such_col")
+    }
+    val e5 = intercept[IllegalArgumentException] {
+      SinkOps.commitVersionPartitioned(
+        events.filter(lit(false)), t, "event_type")
+    }
+    assert(e5.getMessage.contains("empty batch"))
+  }
+
+  test("OPTIMIZE preserves the partition layout: a mixed table with a " +
+      "live DV compacts back into hive partitions (DVs purged, parts " +
+      "sidecar refreshed), and the layout-flattening maintenance ops " +
+      "refuse loudly") {
+    val t = tmp("r13_part_opt")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 0), t, "event_type")
+    SinkOps.commitVersion(events.filter(col("event_id") % 2 === 1), t)
+    SinkOps.deleteVersionKeys(
+      events.filter(col("event_id") % 9 === 0).select("event_id"),
+      t, "event_id")
+
+    val e1 = intercept[IllegalArgumentException] {
+      SinkOps.compactVersionsZOrderK(spark, t, Seq("event_id", "user_id"))
+    }
+    assert(e1.getMessage.contains("ZORDER would flatten"))
+    val e2 = intercept[IllegalArgumentException] {
+      SinkOps.compactVersions(spark, t, Some("event_id"))
+    }
+    assert(e2.getMessage.contains("compact without statsCol"))
+
+    SinkOps.compactVersions(spark, t)
+    val (kept, total, whole) =
+      SinkOps.planPartsIn(spark, t, "event_type", Seq("click"))
+    assert(whole.isEmpty,
+      "compaction left flat dirs — partition layout not preserved")
+    assert(kept.length == 1 && total == 5,
+      s"compacted head should be one dir of 5 subtrees: " +
+        s"${kept.length} of $total")
+    val got = SinkOps.readVersionPartIn(spark, t, "event_type",
+      Seq("click")).count()
+    val want = events.filter(col("event_type") === "click" &&
+      col("event_id") % 9 =!= 0).count()
+    assert(got == want, s"post-OPTIMIZE partition read: $got vs $want")
+  }
+
+  test("a shallow clone inherits the partition sidecars: the clone's " +
+      "partition read plans from the source's parts files") {
+    val src = tmp("r13_part_clone_src")
+    val dst = tmp("r13_part_clone_dst")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 0), src, "event_type")
+    SinkOps.cloneVersion(spark, src, dst)
+    val got = SinkOps.readVersionPartIn(spark, dst, "event_type",
+      Seq("purchase")).count()
+    val want = events.filter(col("event_id") % 2 === 0 &&
+      col("event_type") === "purchase").count()
+    assert(got == want, s"clone partition read drifted: $got vs $want")
+    val (kept, total, whole) =
+      SinkOps.planPartsIn(spark, dst, "event_type", Seq("purchase"))
+    assert(whole.isEmpty && kept.length == 1 && total == 5,
+      s"clone planned ${kept.length} of $total (whole=${whole.length})")
+  }
+}
