@@ -176,6 +176,27 @@ object SparkEntry {
       SinkOps.readVersion(s, path)
         .select(col("event_id"), col("event_type"), col("amount"))
     }),
+    // DROP COLUMN as one metadata manifest line (the rename's twin,
+    // through the SQL verb): the head reads WITHOUT the column (the
+    // full star select is the proof — the driver compares schemas),
+    // old bytes stay on disk unread until OPTIMIZE, a pre-drop dir and
+    // a post-drop commit resolve to one schema, and a DV folds at its
+    // manifest position.
+    "q_drop_col" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_drop", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(ev.filter(col("event_id") % 3 === 0), path)
+      s.sql(s"ALTER TABLE graft_table('$path') DROP COLUMN props")
+      SinkOps.commitVersion(
+        ev.filter(col("event_id") % 3 === 1).drop("props"), path)
+      SinkOps.deleteVersionKeys(
+        ev.filter(col("event_id") % 7 === 0).select("event_id"),
+        path, "event_id")
+      SinkOps.readVersion(s, path)
+    }),
     // Grouped OLS regression from exact moments (not the double-summing
     // regr_* built-ins): price-on-quantity slope/intercept/r² per flag.
     "q_regression" -> ((s, d) =>
@@ -3006,6 +3027,56 @@ object SparkEntry {
       SinkOps.readVersionPartIn(s, path, "event_type",
           Seq("click", "purchase"))
         .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+    // NESTED (multi-column) hive partitioning — the Iceberg
+    // multi-identity-partition shape: each commit lands
+    // event_type=…/vbkt=… subtrees, and a CONJUNCTION over both
+    // partition columns prunes leaves MULTIPLICATIVELY (2 of 5 types x
+    // 2 of 4 buckets plans ~1/5 of the leaves) before any file IO —
+    // the partition twin of the multi-column zone maps. Must equal
+    // the full-scan filter (oracle).
+    "q_part_multi" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("vbkt",
+        (col("event_id") % 4).cast("string"))
+      val path = tmpPath("graft_partk", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersionPartitionedCols(
+        ev.filter(col("event_id") % 3 === 0), path,
+        Seq("event_type", "vbkt"))
+      SinkOps.commitVersionPartitionedCols(
+        ev.filter(col("event_id") % 3 === 1), path,
+        Seq("event_type", "vbkt"))
+      SinkOps.readVersionPartsWhere(s, path,
+          Seq("event_type" -> Seq("click", "view"),
+            "vbkt" -> Seq("1", "3")))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+    // METADATA-ONLY grouped partition counts through SQL: the parts
+    // sidecars' footer-derived row counts answer
+    // SELECT partCol, count(*) GROUP BY with ZERO data-file IO at any
+    // table size (spec vanishes the parquet files and still answers) —
+    // the graft_stats economics one tier coarser. Oracle recounts the
+    // rows relationally.
+    "q_part_counts" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_partcnt", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersionPartitioned(
+        ev.filter(col("event_id") % 2 === 0), path, "event_type")
+      // Hot-table shape: a delete sidecar scopes v1, the post-merge
+      // commit is a clean epoch — clean answers from sidecars, only
+      // the DV-scoped dir pays the resolve (partCountsDv).
+      SinkOps.deleteVersionKeys(
+        ev.filter(col("event_id") % 11 === 0).select("event_id"),
+        path, "event_id")
+      SinkOps.commitVersionPartitioned(
+        ev.filter(col("event_id") % 2 === 1), path, "event_type")
+      s.sql(s"SELECT event_type, n_rows FROM graft_part_counts('$path')")
     }),
     // Partition pruning through the SQL front door, on a MIXED table
     // (one partitioned + one flat commit — the Iceberg
@@ -7529,6 +7600,11 @@ object SparkEntry {
       """SELECT event_id, event_type, value AS amount FROM events
          WHERE (event_id % 2 = 0 AND event_id % 5 <> 0)
             OR event_id % 2 = 1""",
+    // The dropped column is absent from the star select (schema
+    // compare is the drop proof); DVs applied relationally.
+    "q_drop_col" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         WHERE event_id % 3 <> 2 AND event_id % 7 <> 0""",
     // Same exact moments, same closed-form IEEE arithmetic in the same
     // operation order — identical doubles out.
     "q_regression" ->
@@ -7666,6 +7742,19 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type FROM events
          WHERE event_id % 3 <> 2 AND event_id % 7 <> 0
            AND event_type IN ('click', 'purchase')""",
+    // Nested-partition conjunction: the two residue commits, both
+    // partition predicates applied relationally.
+    "q_part_multi" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id % 3 <> 2 AND event_type IN ('click', 'view')
+           AND event_id % 4 IN (1, 3)""",
+    // Partition counts under the hot-table DV: evens minus the
+    // deleted keys (scoped to v1 only), all odds (the clean epoch).
+    "q_part_counts" ->
+      """SELECT event_type, count(*) AS n_rows FROM events
+         WHERE (event_id % 2 = 0 AND event_id % 11 <> 0)
+            OR event_id % 2 = 1
+         GROUP BY event_type""",
     // SQL partition read on a mixed (partitioned + flat commit) table:
     // both halves contribute, the residual IN keeps it exact.
     "q_sql_part" ->

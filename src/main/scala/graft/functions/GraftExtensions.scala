@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftFunctions.graftStats)
     ext.injectTableFunction(GraftFunctions.graftVersionWhere)
     ext.injectTableFunction(GraftFunctions.graftVersionPart)
+    ext.injectTableFunction(GraftFunctions.graftPartCounts)
     ext.injectTableFunction(GraftFunctions.graftVersionAsOf)
     ext.injectTableFunction(GraftFunctions.tableChangesAsOf)
     // SQL DML front door for the versioned tier: MERGE INTO /
@@ -239,6 +240,31 @@ object GraftFunctions {
       new ExpressionInfo("graft.ops.SinkOps", "graft_version_part"),
       buildVersionPart _)
 
+  /** `graft_part_counts(path [, version])` — grouped partition counts
+    * through SQL ([[graft.ops.SinkOps.partCountsDv]]): one row per
+    * partition value combination; clean epochs answer from the
+    * footer-derived sidecar counts with ZERO data-file IO, DV-scoped
+    * epochs pay an exact partition-grouped resolve — O(affected
+    * dirs), never O(table) (the graft_stats economics one tier
+    * coarser).
+    */
+  private def buildPartCounts(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      s"graft_part_counts expects (path [, version]), got ${exprs.length} arguments")
+    val v = if (exprs.length == 2)
+      Some(constInt(exprs(1), "graft_part_counts version")) else None
+    GraftSqlBridge.plan(graft.ops.SinkOps.partCountsDv(
+      SparkSession.active,
+      constString(exprs.head, "graft_part_counts path"), v))
+  }
+
+  val graftPartCounts: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_part_counts"),
+      new ExpressionInfo("graft.ops.SinkOps", "graft_part_counts"),
+      buildPartCounts _)
+
   /** `graft_deleted_keys(path, vFrom, vTo)` — the DELETE half of the
     * SQL changefeed: keys removed or merge-touched in (vFrom, vTo]
     * ([[graft.ops.SinkOps.readDeletedKeys]]), completing the CDF
@@ -384,6 +410,8 @@ object GraftFunctions {
       buildVersionWhere)
     GraftSqlBridge.registerTableFunction(spark, "graft_version_part",
       buildVersionPart)
+    GraftSqlBridge.registerTableFunction(spark, "graft_part_counts",
+      buildPartCounts)
     GraftSqlBridge.registerTableFunction(spark, "graft_version_asof",
       buildVersionAsOf)
     GraftSqlBridge.registerTableFunction(spark, "table_changes_asof",

@@ -114,9 +114,15 @@ object GraftSqlParser {
   private val DeleteTail =
     "(?is)^WHERE\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+IN\\s*(\\(.*)$".r
 
+  private val PartitionedBy =
+    "(?is)^PARTITIONED\\s+BY\\s*\\(([^)]*)\\)\\s*(.*)$".r
+
   private val RenameColTail =
     ("(?is)^RENAME\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)$").r
+
+  private val DropColTail =
+    "(?is)^DROP\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
 
   private val MergeOn =
     "(?is)^ON\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(.*)$".r
@@ -230,7 +236,28 @@ object GraftSqlParser {
           case "INSERT INTO" | "INSERT OVERWRITE" =>
             require(tail.trim.nonEmpty,
               s"INSERT into graft_table('$path') needs a source query")
-            GraftInsertCommand(path, delegate.parseQuery(tail.trim),
+            // Optional PARTITIONED BY (c1[, c2...]) prefix: the SQL
+            // spelling of commitVersionPartitionedCols — a table built
+            // and read entirely through SQL keeps its coarsest skip
+            // tier. Mutually exclusive with declared stats columns
+            // (partitioned dirs are not zone-map servable).
+            val (partCols, query) = tail.trim match {
+              case PartitionedBy(cols, rest) =>
+                (cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+                  rest.trim)
+              case other => (Nil, other)
+            }
+            if (partCols.nonEmpty) {
+              require(statsCols.isEmpty,
+                "PARTITIONED BY and stats columns are mutually " +
+                  "exclusive (partitioned dirs are not zone-map " +
+                  "servable)")
+              require(query.nonEmpty,
+                s"INSERT into graft_table('$path') needs a source query")
+              GraftInsertPartitionedCommand(path,
+                delegate.parseQuery(query),
+                carryForward = v == "INSERT INTO", partCols)
+            } else GraftInsertCommand(path, delegate.parseQuery(query),
               carryForward = v == "INSERT INTO", statsCols)
           case "OPTIMIZE" =>
             tail.trim match {
@@ -250,9 +277,12 @@ object GraftSqlParser {
             tail.trim match {
               case RenameColTail(o, n) =>
                 GraftRenameColumnCommand(path, o, n)
+              case DropColTail(c) =>
+                GraftDropColumnCommand(path, c)
               case other => throw new IllegalArgumentException(
                 s"ALTER TABLE graft_table('$path') supports exactly " +
-                  s"RENAME COLUMN <old> TO <new>; got: $other")
+                  "RENAME COLUMN <old> TO <new> | DROP COLUMN <col>; " +
+                  s"got: $other")
             }
           case "RESTORE" =>
             tail.trim match {
@@ -407,6 +437,26 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
       statsCols)))
 }
 
+/** `INSERT INTO/OVERWRITE graft_table(path) PARTITIONED BY (c1[, c2…])
+  * <query>` → [[graft.ops.SinkOps.commitVersionPartitionedCols]] —
+  * the SQL writer half of the partition tier: the commit lands hive
+  * subtrees plus the counted parts sidecar, so partition-pruned reads
+  * (`graft_version_part`) and metadata counts (`graft_part_counts`)
+  * arm from a pure-SQL pipeline.
+  */
+case class GraftInsertPartitionedCommand(path: String,
+                                         source: LogicalPlan,
+                                         carryForward: Boolean,
+                                         partCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.SinkOps.commitVersionPartitionedCols(
+      GraftSqlBridge.ofRows(spark, source), path, partCols,
+      carryForward)))
+}
+
 /** `OPTIMIZE graft_table(path) ['' | ZORDER BY (...) | CLUSTER BY
   * (c)]` → full compaction ([[graft.ops.SinkOps.compactVersions]] /
   * [[graft.ops.SinkOps.compactVersionsZOrderK]]) — the maintenance
@@ -455,6 +505,18 @@ case class GraftRenameColumnCommand(path: String, oldName: String,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.ops.SinkOps.renameVersionColumn(spark, path,
       oldName, newName)))
+}
+
+/** `ALTER TABLE graft_table(path) DROP COLUMN col` →
+  * [[graft.ops.SinkOps.dropVersionColumn]] — one metadata manifest
+  * line, zero data IO; bytes reclaimed at OPTIMIZE. Returns the drop
+  * commit's version.
+  */
+case class GraftDropColumnCommand(path: String, colName: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.SinkOps.dropVersionColumn(spark, path, colName)))
 }
 
 /** `CLONE graft_table(src) TO graft_table(dst) [VERSION AS OF v]` →

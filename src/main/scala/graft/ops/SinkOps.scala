@@ -516,14 +516,15 @@ object SinkOps {
     // must never silently disarm the coarsest skip tier. Flat and
     // mixed-in flat dirs fold into the layout too (compaction is how
     // a mixed table converges to fully-partitioned).
-    headPartitionCol(spark, path) match {
+    headPartitionCols(spark, path) match {
       case Some(pc) =>
         require(statsCol.isEmpty,
-          s"table at $path is hive-partitioned by $pc — partitioned " +
-            "dirs are not zone-map servable, so compacting them with " +
-            "statsCol would record unreachable sidecars; compact " +
-            "without statsCol")
-        commitVersionPartitioned(resolved, path, pc,
+          s"table at $path is hive-partitioned by " +
+            s"${pc.mkString("/")} — partitioned dirs are not " +
+            "zone-map servable, so compacting them with statsCol " +
+            "would record unreachable sidecars; compact without " +
+            "statsCol")
+        commitVersionPartitionedCols(resolved, path, pc,
           carryForward = false)
       case None =>
         val clustered = statsCol.fold(resolved)(c =>
@@ -532,20 +533,22 @@ object SinkOps {
     }
   }
 
-  /** The head snapshot's hive-partition column: Some(c) when ANY head
-    * data dir carries a parts sidecar (all partitioned dirs must
-    * agree — loud otherwise), None on a fully-flat head.
+  /** The head snapshot's hive-partition columns (nesting order):
+    * Some(cols) when ANY head data dir carries a parts sidecar (all
+    * partitioned dirs must agree — loud otherwise), None on a
+    * fully-flat head.
     */
-  private def headPartitionCol(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Option[String] = {
+  private def headPartitionCols(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Option[Seq[String]] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val head = latestVersion(fs, root)
     require(head >= 1, s"no versions committed at $path")
     val cols = manifestDirs(fs, root, head).filterNot(isOpLine)
-      .flatMap(d => readDirParts(fs, root, d).map(_._1)).distinct
+      .flatMap(d => readDirParts(fs, root, d).map(_.cols)).distinct
     require(cols.length <= 1,
-      s"head of $path mixes partition columns: ${cols.mkString(", ")}")
+      s"head of $path mixes partition columns: " +
+        cols.map(_.mkString("/")).mkString(", "))
     cols.headOption
   }
 
@@ -567,7 +570,7 @@ object SinkOps {
   def compactVersionsZOrder(spark: org.apache.spark.sql.SparkSession,
                             path: String, colA: String, colB: String,
                             bits: Int = 20): Int = {
-    require(headPartitionCol(spark, path).isEmpty,
+    require(headPartitionCols(spark, path).isEmpty,
       s"table at $path is hive-partitioned — ZORDER would flatten " +
         "the partition layout and disarm its pruning; use " +
         "compactVersions (preserves the layout)")
@@ -602,7 +605,7 @@ object SinkOps {
                              targetFiles: Option[Int] = None): Int = {
     require(zcols.size >= 2 && zcols.distinct == zcols,
       s"OPTIMIZE ZORDER needs >= 2 distinct columns: $zcols")
-    require(headPartitionCol(spark, path).isEmpty,
+    require(headPartitionCols(spark, path).isEmpty,
       s"table at $path is hive-partitioned — ZORDER would flatten " +
         "the partition layout and disarm its pruning; use " +
         "compactVersions (preserves the layout)")
@@ -773,7 +776,7 @@ object SinkOps {
     // rename lines carry no path and ride the re-checkpoints verbatim.
     val live = present
       .flatMap(v => manifestDirs(fs, root, v))
-      .filterNot(isRenameLine)
+      .filterNot(isSchemaLine)
       .map(l => if (isDeleteLine(l)) deleteParts(l)._1 else l).toSet
     val dead = Seq("data", "deletes").flatMap { kind =>
       val kindRoot = new org.apache.hadoop.fs.Path(root, kind)
@@ -1093,7 +1096,7 @@ object SinkOps {
       if (isDeleteLine(l)) {
         val (d, keyCol) = deleteParts(l)
         s"$DeletePrefix${abs(d)}:$keyCol"
-      } else if (isRenameLine(l)) l // no path to absolutize — verbatim
+      } else if (isSchemaLine(l)) l // no path to absolutize — verbatim
       else abs(l)
     }
     val dstRoot = new org.apache.hadoop.fs.Path(dstPath)
@@ -1149,6 +1152,40 @@ object SinkOps {
     v
   }
 
+  /** DROP COLUMN without rewriting a byte — the new version's
+    * manifest is the head's lines plus ONE `drop:<col>` metadata line
+    * ([[renameVersionColumn]]'s twin): resolved reads apply the drop
+    * in manifest order, pinned readers of earlier versions still see
+    * the column, and the bytes stay on disk UNREAD until OPTIMIZE
+    * materializes the drop and reclaims them (exactly Delta's
+    * drop-with-column-mapping storage semantics). A delete sidecar
+    * committed after the drop cannot key on the dropped column (its
+    * anti-join fails loudly at read — the column provably is not in
+    * the snapshot). Loud contracts: the column must exist in the head
+    * schema and must not be its last column. Returns the new version.
+    */
+  def dropVersionColumn(spark: org.apache.spark.sql.SparkSession,
+                        path: String, colName: String): Int = {
+    require(colName.nonEmpty && !colName.contains(':') &&
+        !colName.contains('\n'),
+      s"column name '$colName' cannot ride a manifest line")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = latestVersion(fs, root)
+    require(head >= 1, s"no versions committed at $path")
+    val schema = readVersion(spark, path).schema.fieldNames
+    require(schema.contains(colName),
+      s"drop target $colName not in head schema " +
+        s"(${schema.mkString(", ")}) at $path")
+    require(schema.length > 1,
+      s"refusing to drop the last column of $path")
+    val v = math.max(head, latestStaged(fs, root)) + 1
+    requireVacant(fs, root, v)
+    writeManifestLines(fs, root, v,
+      manifestDirs(fs, root, head) :+ s"$DropPrefix$colName")
+    v
+  }
+
   /** Changefeed window addressed by TIMESTAMPS — Delta's
     * timestamp-based CDF shape: the rows added in
     * (version-as-of(tsFrom), version-as-of(tsTo)], each bound resolved
@@ -1201,11 +1238,33 @@ object SinkOps {
     (rest.substring(0, i), rest.substring(i + 1))
   }
 
+  /** COLUMN-DROP manifest line: `drop:<col>` — the other half of the
+    * column-mapping discipline: dropping a column is one metadata
+    * line, ZERO data IO (the bytes stay until compaction, unread);
+    * dirs before the line get the drop applied in the resolve fold,
+    * dirs after were written without the column. Compaction
+    * materializes the drop and purges the line AND the bytes.
+    */
+  private val DropPrefix = "drop:"
+
+  private def isDropLine(line: String): Boolean =
+    line.startsWith(DropPrefix)
+
+  private def dropPart(line: String): String =
+    line.stripPrefix(DropPrefix)
+
+  /** A schema-evolution op line (rename or drop) — metadata-only,
+    * no path, applied to preceding dirs in the resolve fold.
+    */
+  private def isSchemaLine(line: String): Boolean =
+    isRenameLine(line) || isDropLine(line)
+
   /** A manifest line that transforms the rows of dirs preceding it
-    * (delete sidecar or column rename) — the resolve fold's op set.
+    * (delete sidecar, column rename, or column drop) — the resolve
+    * fold's op set.
     */
   private def isOpLine(line: String): Boolean =
-    isDeleteLine(line) || isRenameLine(line)
+    isDeleteLine(line) || isSchemaLine(line)
 
   /** (deletesDir, keyCol) of a delete line. */
   private def deleteParts(line: String): (String, String) = {
@@ -1282,6 +1341,9 @@ object SinkOps {
           if (isRenameLine(op)) {
             val (o, n) = renameParts(op)
             acc.withColumnRenamed(o, n)
+          } else if (isDropLine(op)) {
+            // drop of a column a dir never had is likewise a no-op.
+            acc.drop(dropPart(op))
           } else {
             val (ddir, keyCol) = deleteParts(op)
             acc.join(broadcast(spark.read.parquet(
@@ -1569,7 +1631,7 @@ object SinkOps {
       // Rename lines are metadata-only (no dir, no rows) — the
       // timeline reports the version's dirs unchanged through them.
       val (del, data) =
-        lines.filterNot(isRenameLine).partition(isDeleteLine)
+        lines.filterNot(isSchemaLine).partition(isDeleteLine)
       var nRows = 0L; var nFiles = 0L
       var mn = Long.MaxValue; var mx = Long.MinValue; var any = false
       data.foreach { d =>
@@ -1867,10 +1929,10 @@ object SinkOps {
     // WRITTEN AT COMMIT TIME — an unmaterialized rename would make
     // every sidecar name stale and the prune silently wrong. Refuse
     // loudly; OPTIMIZE materializes the rename and re-arms the tier.
-    require(!lines.exists(isRenameLine),
-      "manifest carries an unmaterialized column rename — the " +
-        "sidecar planners serve rename-free manifests; OPTIMIZE " +
-        "(compactVersions) to materialize the rename first")
+    require(!lines.exists(isSchemaLine),
+      "manifest carries an unmaterialized column rename/drop — the " +
+        "sidecar planners serve evolution-free manifests; OPTIMIZE " +
+        "(compactVersions) to materialize the evolution first")
     val indexed = lines.zipWithIndex
     val delIdx = indexed.filter(p => isDeleteLine(p._1))
     indexed.filterNot(p => isDeleteLine(p._1))
@@ -2000,56 +2062,104 @@ object SinkOps {
     */
   def commitVersionPartitioned(df: DataFrame, path: String,
                                partCol: String,
-                               carryForward: Boolean = true): Int = {
-    require(df.columns.contains(partCol),
-      s"partition column $partCol not in ${df.columns.mkString(", ")}")
+                               carryForward: Boolean = true): Int =
+    commitVersionPartitionedCols(df, path, Seq(partCol), carryForward)
+
+  /** [[commitVersionPartitioned]] with NESTED (multi-column) hive
+    * partitioning — the Iceberg multi-identity-partition shape: the
+    * data dir holds `c1=a/c2=b/…` subtrees and the parts sidecar
+    * records every leaf fragment WITH ITS ROW COUNT (from the parquet
+    * footers — driver metadata, zero data IO), so a partition-scoped
+    * read prunes on a conjunction over ANY subset of the partition
+    * columns and [[partCountsOnly]] answers grouped counts without
+    * opening a file. Column order is the directory nesting order.
+    */
+  def commitVersionPartitionedCols(df: DataFrame, path: String,
+                                   partCols: Seq[String],
+                                   carryForward: Boolean = true): Int = {
+    require(partCols.nonEmpty && partCols.distinct == partCols,
+      s"partition columns must be non-empty and distinct: $partCols")
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not in ${df.columns.mkString(", ")}"))
     val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = root.getFileSystem(conf)
     val head = latestVersion(fs, root)
     val v = math.max(head, latestStaged(fs, root)) + 1
     requireVacant(fs, root, v)
     val dataDir = s"data/v$v"
-    df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
-    writeDirParts(fs, root, dataDir, partCol)
+    writeDirParts(fs, root, dataDir, partCols, conf)
     val prev = if (head == 0 || !carryForward) Nil
       else manifestDirs(fs, root, head)
     writeManifestLines(fs, root, v, prev :+ dataDir)
     v
   }
 
+  /** Parsed parts sidecar: the partition columns (nesting order) and
+    * the leaf fragments (`c1=a/c2=b`) with their row counts (None on
+    * a legacy count-less line).
+    */
+  private case class DirParts(cols: Seq[String],
+                              frags: Seq[(String, Option[Long])])
+
   /** Partition-value sidecar for one immutable data dir, as
-    * `parts/<dirname>.txt`: first line the partition column name, then
-    * one line per `partCol=value` subdirectory present (sorted — the
-    * sidecar is a set, not a layout). Exact values, any data type the
-    * hive layout can name (strings included — the tier the
-    * castable-to-long zone maps cannot serve). Immutable like the data
-    * it describes; resolved against each data dir's own table root
-    * like the stats/bloom sidecars, so shallow clones inherit it.
+    * `parts/<dirname>.txt`: first line the partition columns joined
+    * by `/` (nesting order), then one sorted line per leaf fragment —
+    * `c1=a/c2=b<TAB>rowcount`, the count summed from the fragment's
+    * parquet FOOTERS (driver-side metadata, zero data IO — sizing a
+    * metadata tier must not cost a scan). Exact values, any data type
+    * the hive layout can name (strings included — the tier the
+    * castable-to-long zone maps cannot serve). Immutable like the
+    * data it describes; resolved against each data dir's own table
+    * root like the stats/bloom sidecars, so shallow clones inherit it.
     */
   private def writeDirParts(fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path,
-                            dataDir: String, partCol: String): Unit = {
+                            dataDir: String, partCols: Seq[String],
+                            conf: org.apache.hadoop.conf.Configuration)
+      : Unit = {
     val dirP = new org.apache.hadoop.fs.Path(root, dataDir)
-    val frags = fs.listStatus(dirP).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith(partCol + "="))
-      .sorted.toSeq
-    require(frags.nonEmpty,
-      s"no $partCol= partition directories under $dirP — empty batch " +
-        "or partitionBy wrote nothing; refuse rather than record an " +
-        "unreadable snapshot")
+    // Qualify before relativizing: listFiles returns scheme-qualified
+    // paths (file:/…) while a caller-supplied root may be schemeless.
+    val prefix = fs.makeQualified(dirP).toString + "/"
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val it = fs.listFiles(dirP, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val rel = st.getPath.getParent.toString.stripPrefix(prefix)
+        val segs = rel.split('/')
+        require(segs.length == partCols.length &&
+            segs.zip(partCols).forall { case (s, c) =>
+              s.startsWith(c + "=") },
+          s"unexpected partition layout under $dirP: file parent " +
+            s"'$rel' does not match columns ${partCols.mkString("/")}")
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        val n = try r.getRecordCount finally r.close()
+        counts(rel) = counts.getOrElse(rel, 0L) + n
+      }
+    }
+    require(counts.nonEmpty,
+      s"no ${partCols.mkString("/")} partition directories under " +
+        s"$dirP — empty batch or partitionBy wrote nothing; refuse " +
+        "rather than record an unreadable snapshot")
+    val lines = partCols.mkString("/") +:
+      counts.toSeq.sortBy(_._1).map { case (f, n) => s"$f\t$n" }
     val sf = sidecarFile(root, dataDir, "parts")
     val out = fs.create(sf, true)
-    try out.write((partCol +: frags).mkString("\n")
+    try out.write(lines.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
   private def readDirParts(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path,
-                           dataDir: String)
-      : Option[(String, Seq[String])] = {
+                           dataDir: String): Option[DirParts] = {
     val sf = sidecarFile(root, dataDir, "parts")
     if (!fs.exists(sf)) None
     else {
@@ -2057,8 +2167,29 @@ object SinkOps {
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
-      Some((lines.head, lines.tail))
+      val frags = lines.tail.map { ln =>
+        ln.split('\t') match {
+          case Array(f) => (f, None) // legacy count-less line
+          case Array(f, n) => (f, Some(n.toLong))
+          case _ => throw new IllegalStateException(
+            s"malformed parts line in $sf: $ln")
+        }
+      }
+      Some(DirParts(lines.head.split('/').toSeq, frags))
     }
+  }
+
+  /** The values of one leaf fragment in column order, validated
+    * against the declared columns.
+    */
+  private def fragValues(frag: String, cols: Seq[String],
+                         where: String): Seq[String] = {
+    val segs = frag.split('/')
+    require(segs.length == cols.length &&
+        segs.zip(cols).forall { case (s, c) => s.startsWith(c + "=") },
+      s"malformed partition fragment '$frag' for columns " +
+        s"${cols.mkString("/")} in $where")
+    segs.zip(cols).map { case (s, c) => s.stripPrefix(c + "=") }
   }
 
   /** The flat (file-listing) skip planners serve unpartitioned dirs
@@ -2096,27 +2227,35 @@ object SinkOps {
                   version: Option[Int] = None)
       : (Seq[String], Int, Seq[String]) = {
     val (groups, total, whole) =
-      partGroups(spark, path, partCol, values, version)
+      partGroups(spark, path, Seq((partCol, values)), version)
     (groups.flatMap(_._1).map(_._2.toString), total,
       whole.map(_.toString))
   }
 
-  /** Epoch-grouped partition planning core. Per epoch: (kept reads,
-    * delete sidecars), where each kept read is (basePath dir, leaf
-    * path) for a pruned partitioned dir or (dir, dir) for an
-    * unpartitioned dir kept whole. Also returns total partition
-    * subdirs seen and the unpartitioned dirs (for the probe).
+  /** Epoch-grouped partition planning core over a CONJUNCTION of
+    * per-column value sets (any subset of the partition columns).
+    * Per epoch: (kept reads, delete sidecars), where each kept read
+    * is (basePath dir, leaf path) for a pruned partitioned dir or
+    * (dir, dir) for an unpartitioned dir kept whole. Also returns
+    * total partition leaves seen and the unpartitioned dirs (for the
+    * probe).
     */
   private def partGroups(spark: org.apache.spark.sql.SparkSession,
-                         path: String, partCol: String,
-                         values: Seq[String], version: Option[Int])
+                         path: String,
+                         preds: Seq[(String, Seq[String])],
+                         version: Option[Int])
       : (Seq[(Seq[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)],
               Seq[(String, String)])],
          Int, Seq[org.apache.hadoop.fs.Path]) = {
-    require(values.nonEmpty, "no partition values requested")
-    values.foreach(v => require(PartValueOk.matches(v),
-      s"partition value '$v' needs hive escaping — this surface " +
-        "serves verbatim values only (letters, digits, _ . -)"))
+    require(preds.nonEmpty &&
+        preds.map(_._1).distinct == preds.map(_._1),
+      s"partition predicates must be non-empty and per-column unique")
+    preds.foreach { case (c, vs) =>
+      require(vs.nonEmpty, s"no partition values requested for $c")
+      vs.foreach(v => require(PartValueOk.matches(v),
+        s"partition value '$v' needs hive escaping — this surface " +
+          "serves verbatim values only (letters, digits, _ . -)"))
+    }
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val v = version.getOrElse {
@@ -2124,7 +2263,7 @@ object SinkOps {
       require(latest >= 1, s"no versions committed at $path")
       latest
     }
-    val wanted = values.toSet
+    val wanted = preds.map { case (c, vs) => (c, vs.toSet) }
     var total = 0
     val whole = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.hadoop.fs.Path]
@@ -2136,13 +2275,17 @@ object SinkOps {
             case None =>
               whole += dirP
               Seq((dirP, dirP))
-            case Some((pc, frags)) =>
-              require(pc == partCol,
-                s"dir $d is partitioned by $pc, not $partCol")
-              total += frags.length
-              frags.filter(f => wanted.contains(f.stripPrefix(pc + "=")))
-                .map(f =>
-                  (dirP, new org.apache.hadoop.fs.Path(dirP, f)))
+            case Some(dp) =>
+              wanted.foreach { case (c, _) =>
+                require(dp.cols.contains(c),
+                  s"dir $d is partitioned by ${dp.cols.mkString("/")}" +
+                    s", which lacks predicate column $c") }
+              total += dp.frags.length
+              dp.frags.map(_._1).filter { f =>
+                val vals = dp.cols.zip(fragValues(f, dp.cols, d)).toMap
+                wanted.forall { case (c, vs) => vs.contains(vals(c)) }
+              }.map(f =>
+                (dirP, new org.apache.hadoop.fs.Path(dirP, f)))
           }
         }
         (reads, dels)
@@ -2169,14 +2312,29 @@ object SinkOps {
   def readVersionPartIn(spark: org.apache.spark.sql.SparkSession,
                         path: String, partCol: String,
                         values: Seq[String],
-                        version: Option[Int] = None): DataFrame = {
+                        version: Option[Int] = None): DataFrame =
+    readVersionPartsWhere(spark, path, Seq((partCol, values)), version)
+
+  /** [[readVersionPartIn]] over a CONJUNCTION of per-column value
+    * sets on a NESTED ([[commitVersionPartitionedCols]]) layout: a
+    * leaf fragment survives iff every predicate column's value is in
+    * its set — pruning multiplies across partition columns exactly
+    * like the multi-column zone maps one tier down. Predicates may
+    * name any subset of the partition columns; a predicate on a
+    * column a partitioned dir lacks fails loudly (the reader asked
+    * for a skip the table cannot answer).
+    */
+  def readVersionPartsWhere(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            preds: Seq[(String, Seq[String])],
+                            version: Option[Int] = None): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val (groups, _, _) = partGroups(spark, path, partCol, values, version)
+    val (groups, _, _) = partGroups(spark, path, preds, version)
     val epochs = groups.flatMap { case (reads, dels) =>
       if (reads.isEmpty) None
       else {
         // One read per (basePath, leaves) group: basePath restores the
-        // partition column Spark strips into the directory name.
+        // partition columns Spark strips into the directory names.
         val dfs = reads.groupBy(_._1).toSeq.sortBy(_._1.toString)
           .map { case (base, leaves) =>
             spark.read.option("basePath", base.toString)
@@ -2190,10 +2348,161 @@ object SinkOps {
         })
       }
     }
-    val residual = col(partCol).cast("string").isin(values: _*)
+    val residual = preds.map { case (c, vs) =>
+      col(c).cast("string").isin(vs: _*) }.reduce(_ && _)
     if (epochs.isEmpty)
       readVersion(spark, path, version).filter(lit(false))
     else epochs.reduce(_.unionByName(_)).filter(residual)
+  }
+
+  /** [[partCountsOnly]] UNDER LIVE DELETION VECTORS — the bounded
+    * composition ([[statsAggDv]]'s partition twin): epochs whose
+    * trailing sidecar set is EMPTY answer entirely from the parts
+    * sidecars' footer counts (zero data-file IO — for a merge-fed
+    * table that is the bulk), and only DV-SCOPED epochs pay the
+    * resolve: their dirs read once (each partitioned dir its own
+    * discovery root), sidecars anti-joined in fold order, one grouped
+    * count over the result. Cost O(DV-affected dirs), never O(table);
+    * ≡ [[partCountsOnly]] by construction on a DV-free snapshot. A
+    * FLAT dir is only servable inside a DV-scoped epoch (it gets
+    * read); a clean flat dir refuses like [[partCountsOnly]] — its
+    * rows are in no counted fragment. Same output schema:
+    * partCols..., n_rows.
+    */
+  def partCountsDv(spark: org.apache.spark.sql.SparkSession,
+                   path: String,
+                   version: Option[Int] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = version.getOrElse {
+      val latest = latestVersion(fs, root)
+      require(latest >= 1, s"no versions committed at $path")
+      latest
+    }
+    val groups = epochGroups(manifestDirs(fs, root, v))
+    val (clean, dved) = groups.partition(_._2.isEmpty)
+    var cols: Option[Seq[String]] = None
+    def noteCols(cs: Seq[String], d: String): Unit = {
+      cols.foreach(prev => require(prev == cs,
+        s"inconsistent partition columns across snapshot dirs: " +
+          s"${prev.mkString("/")} vs ${cs.mkString("/")} at $d"))
+      cols = Some(cs)
+    }
+    // Clean epochs: pure sidecar math, zero data IO.
+    val acc = scala.collection.mutable.Map.empty[Seq[String], Long]
+    clean.flatMap(_._1).foreach { d =>
+      val dp = readDirParts(fs, root, d).getOrElse(
+        throw new IllegalArgumentException(
+          s"dir $d of version $v has no parts sidecar — a clean flat " +
+            "dir's rows are in no counted fragment; compactVersions " +
+            "converges a mixed table to the partition layout"))
+      noteCols(dp.cols, d)
+      dp.frags.foreach { case (f, nOpt) =>
+        val n = nOpt.getOrElse(throw new IllegalStateException(
+          s"count-less parts line for dir $d (legacy format) — " +
+            "re-commit or compact to regenerate counted sidecars"))
+        val vals = fragValues(f, dp.cols, d)
+        acc(vals) = acc.getOrElse(vals, 0L) + n
+      }
+    }
+    // DV-scoped epochs: resolve exactly, count grouped (their dirs'
+    // sidecar counts may describe deleted rows — never trust them).
+    dved.foreach { case (dirs, _) =>
+      dirs.foreach(d => readDirParts(fs, root, d)
+        .foreach(dp => noteCols(dp.cols, d)))
+    }
+    val pc = cols.getOrElse(throw new IllegalStateException(
+      s"no partitioned dir in version $v at $path — nothing declares " +
+        "the partition columns"))
+    val dvCounts: Seq[DataFrame] = dved.map { case (dirs, dels) =>
+      val read = dels.foldLeft(readDirsGrouped(spark, root, dirs,
+          mergeSchema = false)) {
+        case (df, (ddir, keyCol)) =>
+          df.join(broadcast(spark.read.parquet(
+              new org.apache.hadoop.fs.Path(root, ddir).toString)
+            .select(keyCol)), Seq(keyCol), "left_anti")
+      }
+      read.groupBy(pc.map(c => col(c).cast("string").as(c)): _*)
+        .agg(count(lit(1)).as("n_rows"))
+    }
+    import spark.implicits._
+    val cleanDf = acc.toSeq.sortBy(_._1.mkString("/"))
+      .map { case (vals, n) => (vals, n) }
+      .toDF("_vals", "n_rows")
+      .select(pc.zipWithIndex.map { case (c, i) =>
+        col("_vals").getItem(i).as(c) } :+ col("n_rows"): _*)
+    (cleanDf +: dvCounts).reduce(_.unionByName(_))
+      .groupBy(pc.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"))
+  }
+
+  /** METADATA-ONLY grouped partition counts — `SELECT partCols,
+    * count(*) GROUP BY partCols [WHERE partCol IN (…)]` answered
+    * entirely from the parts sidecars' footer-derived row counts:
+    * zero data-file IO at any table size (the statsOnlyAgg economics
+    * one tier coarser). Refuses loudly on a DV-carrying or
+    * rename-carrying manifest (deleted rows are uncounted in
+    * sidecars — compact first), on a flat dir in a mixed table (its
+    * rows are in no fragment), and on a legacy count-less sidecar.
+    * `preds` empty = all partitions. Returns one row per partition
+    * value combination: partCols..., n_rows.
+    */
+  def partCountsOnly(spark: org.apache.spark.sql.SparkSession,
+                     path: String,
+                     preds: Seq[(String, Seq[String])] = Nil,
+                     version: Option[Int] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = version.getOrElse {
+      val latest = latestVersion(fs, root)
+      require(latest >= 1, s"no versions committed at $path")
+      latest
+    }
+    val lines = manifestDirs(fs, root, v)
+    require(!lines.exists(isDeleteLine),
+      s"metadata-only partition counts over version $v at $path " +
+        "which carries unresolved deletion vectors — deleted rows " +
+        "are uncounted in sidecars; compactVersions first")
+    // (epochGroups would refuse schema ops too; counts never read
+    // rows, so only the delete/evolution carriage matters here.)
+    require(!lines.exists(isSchemaLine),
+      s"metadata-only partition counts over version $v at $path " +
+        "which carries an unmaterialized column rename/drop — " +
+        "compactVersions first")
+    val wanted = preds.map { case (c, vs) => (c, vs.toSet) }
+    var cols: Option[Seq[String]] = None
+    val acc = scala.collection.mutable.Map.empty[Seq[String], Long]
+    lines.filterNot(isOpLine).foreach { d =>
+      val dp = readDirParts(fs, root, d).getOrElse(
+        throw new IllegalArgumentException(
+          s"dir $d of version $v has no parts sidecar — " +
+            "metadata-only partition counts need every row in a " +
+            "counted fragment (mixed flat dirs cannot answer)"))
+      cols.foreach(prev => require(prev == dp.cols,
+        s"inconsistent partition columns across snapshot dirs: " +
+          s"${prev.mkString("/")} vs ${dp.cols.mkString("/")}"))
+      cols = Some(dp.cols)
+      wanted.foreach { case (c, _) => require(dp.cols.contains(c),
+        s"predicate on $c but dir $d is partitioned by " +
+          dp.cols.mkString("/")) }
+      dp.frags.foreach { case (f, nOpt) =>
+        val n = nOpt.getOrElse(throw new IllegalStateException(
+          s"count-less parts line for dir $d (legacy format) — " +
+            "re-commit or compact to regenerate counted sidecars"))
+        val vals = fragValues(f, dp.cols, d)
+        val byCol = dp.cols.zip(vals).toMap
+        if (wanted.forall { case (c, vs) => vs.contains(byCol(c)) })
+          acc(vals) = acc.getOrElse(vals, 0L) + n
+      }
+    }
+    val pc = cols.getOrElse(throw new IllegalStateException(
+      s"no data dirs in version $v at $path"))
+    import spark.implicits._
+    val rows = acc.toSeq.sortBy(_._1.mkString("/"))
+      .map { case (vals, n) => (vals, n) }
+    rows.toDF("_vals", "n_rows")
+      .select(pc.zipWithIndex.map { case (c, i) =>
+        col("_vals").getItem(i).as(c) } :+ col("n_rows"): _*)
   }
 
   // ---- Bloom-filter file skipping (point lookups) ----
@@ -2583,10 +2892,10 @@ object SinkOps {
     require(!lines.exists(isDeleteLine),
       s"stats-only read over version $v at $path which carries " +
         "unresolved deletion vectors — compactVersions first")
-    require(!lines.exists(isRenameLine),
+    require(!lines.exists(isSchemaLine),
       s"stats-only read over version $v at $path which carries an " +
-        "unmaterialized column rename — the sidecars hold commit-time " +
-        "names; compactVersions first")
+        "unmaterialized column rename/drop — the sidecars hold " +
+        "commit-time names; compactVersions first")
     var statsCols: Option[Seq[String]] = None
     var nRows = 0L
     var nFiles = 0L
@@ -2787,10 +3096,10 @@ object SinkOps {
     // carry stale names next to post-rename dirs — refuse rather than
     // emit a mixed-schema feed; renames before vFrom are already
     // materialized in what the consumer holds.
-    require(!addedAll.exists(isRenameLine),
+    require(!addedAll.exists(isSchemaLine),
       s"changefeed window (v$vFrom, v$vTo] at $path crosses a column " +
-        "rename — consume up to the rename version, apply the rename, " +
-        "then resume")
+        "rename/drop — consume up to the evolution version, apply " +
+        "it, then resume")
     // Data lines only: a delete commit's sidecar is not "rows added" —
     // its half of the feed is readDeletedKeys.
     val added = addedAll.filterNot(isDeleteLine)

@@ -155,6 +155,57 @@ class Round13EvoSpec extends SparkSpec {
       events.filter(col("event_id") % 2 === 0).count())
   }
 
+  test("DROP COLUMN is one metadata line: the head loses the column, " +
+      "time travel still has it, OPTIMIZE materializes, and a delete " +
+      "sidecar keyed on the dropped column fails loudly at read") {
+    val t = tmp("r13_drop")
+    SinkOps.commitVersion(events.filter(col("event_id") % 3 === 0), t)
+    val dv = SinkOps.dropVersionColumn(spark, t, "props")
+    assert(dv == 2)
+    SinkOps.commitVersion(
+      events.filter(col("event_id") % 3 === 1).drop("props"), t)
+
+    val head = SinkOps.readVersion(spark, t)
+    assert(!head.columns.contains("props"), "dropped column survived")
+    assert(head.count() ==
+      events.filter(col("event_id") % 3 =!= 2).count())
+    val v1 = SinkOps.readVersion(spark, t, Some(1))
+    assert(v1.columns.contains("props"), "time travel lost the column")
+
+    // A post-drop delete keyed on the dropped column: the sidecar
+    // commits (arrival-shaped write) but the resolved read fails
+    // loudly — the column provably is not in the snapshot.
+    SinkOps.deleteVersionKeys(
+      events.limit(5).select(col("props")), t, "props")
+    intercept[Exception] { SinkOps.readVersion(spark, t).count() }
+    SinkOps.restoreVersion(spark, t, 3)
+
+    SinkOps.compactVersions(spark, t)
+    val opt = SinkOps.readVersion(spark, t)
+    assert(!opt.columns.contains("props") &&
+      opt.count() == events.filter(col("event_id") % 3 =!= 2).count())
+  }
+
+  test("drop loud contracts + SQL DROP COLUMN equals the Scala drop") {
+    val t = tmp("r13_drop_loud")
+    SinkOps.commitVersion(events.limit(20), t)
+    intercept[IllegalArgumentException] {
+      SinkOps.dropVersionColumn(spark, t, "no_such")
+    }
+    val one = tmp("r13_drop_one")
+    SinkOps.commitVersion(events.limit(5).select("event_id"), one)
+    val e = intercept[IllegalArgumentException] {
+      SinkOps.dropVersionColumn(spark, one, "event_id")
+    }
+    assert(e.getMessage.contains("last column"))
+
+    val vSql = spark.sql(
+      s"ALTER TABLE graft_table('$t') DROP COLUMN props")
+      .collect().head.getInt(0)
+    assert(vSql == 2)
+    assert(!SinkOps.readVersion(spark, t).columns.contains("props"))
+  }
+
   test("SQL ALTER TABLE RENAME COLUMN equals the Scala rename: same " +
       "returned version, same head schema and rows") {
     val sqlT = tmp("r13_rename_sql")

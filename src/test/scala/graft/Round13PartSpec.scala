@@ -133,6 +133,170 @@ class Round13PartSpec extends SparkSpec {
     assert(e5.getMessage.contains("empty batch"))
   }
 
+  test("nested (multi-column) partitioning: a conjunction over any " +
+      "subset of the partition columns prunes leaves multiplicatively " +
+      "and equals the full-scan filter; kept leaves carry both " +
+      "matching fragments") {
+    val t = tmp("r13_part_nested")
+    val ev = events.withColumn("vbkt",
+      (col("event_id") % 4).cast("string"))
+    SinkOps.commitVersionPartitionedCols(
+      ev.filter(col("event_id") % 3 === 0), t, Seq("event_type", "vbkt"))
+    SinkOps.commitVersionPartitionedCols(
+      ev.filter(col("event_id") % 3 === 1), t, Seq("event_type", "vbkt"))
+
+    val preds = Seq("event_type" -> Seq("click", "view"),
+      "vbkt" -> Seq("1", "3"))
+    val got = SinkOps.readVersionPartsWhere(spark, t, preds)
+      .select("event_id", "user_id")
+    val want = ev.filter(col("event_id") % 3 =!= 2)
+      .filter(col("event_type").isin("click", "view") &&
+        col("vbkt").isin("1", "3"))
+      .select("event_id", "user_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "nested conjunction read != full-scan filter")
+
+    // A single-column predicate still prunes the nested layout: one
+    // of 5 types x 4 buckets x 2 commits keeps 8 of 40 leaves.
+    val (kept, total, whole) =
+      SinkOps.planPartsIn(spark, t, "event_type", Seq("click"))
+    assert(whole.isEmpty && kept.length == 8 && total == 40,
+      s"single-col prune over the nested layout: ${kept.length} of " +
+        s"$total (whole=${whole.length})")
+    kept.foreach(p => assert(p.contains("event_type=click"), p))
+
+    // A predicate on a column the layout lacks fails loudly.
+    val e = intercept[IllegalArgumentException] {
+      SinkOps.readVersionPartsWhere(spark, t,
+        Seq("user_id" -> Seq("1"))).count()
+    }
+    assert(e.getMessage.contains("lacks predicate column user_id"))
+  }
+
+  test("metadata-only partition counts equal the grouped recount with " +
+      "zero data-file IO, prune under predicates, and refuse DVs, " +
+      "mixed flat dirs, and unmaterialized renames") {
+    val t = tmp("r13_part_counts")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 0), t, "event_type")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 1), t, "event_type")
+
+    val got = SinkOps.partCountsOnly(spark, t)
+    val want = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "metadata counts != grouped recount")
+
+    // Zero data IO: vanish every parquet file; counts still answer.
+    val fs = fsOf(t)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(t, "data"), true)
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) files += st.getPath
+    }
+    files.foreach(p => fs.rename(p,
+      new org.apache.hadoop.fs.Path(p.toString + ".hidden")))
+    val still = SinkOps.partCountsOnly(spark, t,
+      Seq("event_type" -> Seq("click", "error")))
+    assert(still.count() == 2, "pruned metadata count rows off")
+    files.foreach(p => fs.rename(
+      new org.apache.hadoop.fs.Path(p.toString + ".hidden"), p))
+
+    SinkOps.deleteVersionKeys(
+      events.filter(col("event_id") % 11 === 0).select("event_id"),
+      t, "event_id")
+    val e1 = intercept[IllegalArgumentException] {
+      SinkOps.partCountsOnly(spark, t)
+    }
+    assert(e1.getMessage.contains("deletion vectors"))
+
+    val t2 = tmp("r13_part_counts_mixed")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 0), t2, "event_type")
+    SinkOps.commitVersion(events.filter(col("event_id") % 2 === 1), t2)
+    val e2 = intercept[IllegalArgumentException] {
+      SinkOps.partCountsOnly(spark, t2)
+    }
+    assert(e2.getMessage.contains("no parts sidecar"))
+  }
+
+  private def fsOf(path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("partCountsDv: clean epochs answer from sidecars (their data " +
+      "files can vanish), DV-scoped epochs pay the exact resolve, " +
+      "and a DV-free table equals partCountsOnly") {
+    val t = tmp("r13_part_cnt_dv")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 0), t, "event_type")
+    // DV-free: ≡ partCountsOnly.
+    val a = SinkOps.partCountsDv(spark, t)
+    val b = SinkOps.partCountsOnly(spark, t)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    SinkOps.deleteVersionKeys(
+      events.filter(col("event_id") % 11 === 0).select("event_id"),
+      t, "event_id")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 1), t, "event_type")
+
+    // The v3 (clean-epoch) dir answers from its sidecar: vanish its
+    // parquet files and the grouped counts still come out right.
+    val fs = fsOf(t)
+    val it = fs.listFiles(
+      new org.apache.hadoop.fs.Path(t, "data/v3"), true)
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) files += st.getPath
+    }
+    assert(files.nonEmpty)
+    files.foreach(p => fs.rename(p,
+      new org.apache.hadoop.fs.Path(p.toString + ".hidden")))
+    val got = SinkOps.partCountsDv(spark, t)
+    files.foreach(p => fs.rename(
+      new org.apache.hadoop.fs.Path(p.toString + ".hidden"), p))
+
+    val want = events.filter(
+        (col("event_id") % 2 === 0 && col("event_id") % 11 =!= 0) ||
+          col("event_id") % 2 === 1)
+      .groupBy("event_type").agg(count(lit(1)).as("n_rows"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "DV-tolerant partition counts drifted from the resolved recount")
+  }
+
+  test("SQL INSERT ... PARTITIONED BY lands a partitioned commit " +
+      "(pruned reads arm from a pure-SQL pipeline); stats columns and " +
+      "PARTITIONED BY refuse to combine") {
+    val t = tmp("r13_part_sql_insert")
+    events.createOrReplaceTempView("r13part_events")
+    val v = spark.sql(
+      s"""INSERT INTO graft_table('$t') PARTITIONED BY (event_type)
+          SELECT * FROM r13part_events WHERE event_id % 2 = 0""")
+      .collect().head.getInt(0)
+    assert(v == 1)
+    val (kept, total, whole) =
+      SinkOps.planPartsIn(spark, t, "event_type", Seq("view"))
+    assert(whole.isEmpty && kept.length == 1 && total == 5,
+      s"SQL-written partition commit planned ${kept.length} of $total")
+    val got = SinkOps.readVersionPartIn(spark, t, "event_type",
+      Seq("view")).count()
+    val want = events.filter(col("event_id") % 2 === 0 &&
+      col("event_type") === "view").count()
+    assert(got == want)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"""INSERT INTO graft_table('$t', 'event_id')
+          PARTITIONED BY (event_type)
+          SELECT * FROM r13part_events""")
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("OPTIMIZE preserves the partition layout: a mixed table with a " +
       "live DV compacts back into hive partitions (DVs purged, parts " +
       "sidecar refreshed), and the layout-flattening maintenance ops " +
