@@ -3276,6 +3276,50 @@ object SparkEntry {
             .as("n_versions"))
     }),
 
+    // STREAMING PARTITIONED SINK — per-micro-batch hive-partitioned
+    // commits (batch-keyed): every streamed version lands partition
+    // subtrees + the counted parts sidecar, so the coarsest skip tier
+    // stays armed WHILE the stream runs; the result is read BACK
+    // through the partition-pruned path (two of five types planned).
+    // Streamed partitioned commits ≡ one batch write (oracle).
+    "q_stream_part" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val b = ev.agg(min("event_id"), max("event_id")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val path = tmpPath("graft_spart", d)
+      graft.streaming.StreamOps.versionedSinkReplayPartitioned(ev,
+        path, tmpPath("graft_spart_stage", d), "event_id",
+        Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3),
+        Seq("event_type"))
+      SinkOps.readVersionPartIn(s, path, "event_type",
+          Seq("click", "signup"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("event_id").as("id_sum"))
+        .select(col("n_rows"), col("id_sum"),
+          lit(SinkOps.currentVersion(s, path)).as("n_versions"))
+    }),
+    // MERGE INTO A PARTITIONED TABLE — the CDC batch FOLLOWS the
+    // head's partition layout (the Delta table-property discipline):
+    // the merge commit's data dir lands partitioned with its counted
+    // sidecar, so partition pruning never erodes under churn; the
+    // result reads back through the pruned path, updated rows
+    // included (spec pins the all-partitioned planning).
+    "q_part_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_pmerge", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersionPartitioned(
+        ev.filter(col("event_id") % 2 === 0), path, "event_type")
+      val upd = ev.filter(col("event_id") % 6 === 0)
+        .withColumn("value", col("value") + 1000.0)
+        .unionByName(ev.filter(col("event_id") % 6 === 1))
+      SinkOps.mergeVersion(upd, path, "event_id")
+      SinkOps.readVersionPartIn(s, path, "event_type",
+          Seq("purchase", "view"))
+        .select(col("event_id"), col("event_type"), col("value"))
+    }),
     // STREAMING DELTA-MANIFEST SINK — the production pairing: a
     // per-batch versioned sink is exactly where full manifests grow
     // O(versions · dirs), so each micro-batch commits base:<head> +
@@ -8223,6 +8267,27 @@ object SparkEntry {
                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
                 2 AS n_versions
          FROM orders""",
+    // Streamed partitioned commits ≡ one batch write; three slices ⇒
+    // three versions; the pruned read keeps two of five types.
+    "q_stream_part" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(event_id) AS BIGINT) AS id_sum,
+                3 AS n_versions
+         FROM events WHERE event_type IN ('click', 'signup')""",
+    // The merged head replayed relationally: untouched evens, updated
+    // mod-6-0 rows, inserted mod-6-1 rows — partition filter applied.
+    "q_part_merge" ->
+      """WITH head AS (
+           SELECT event_id, event_type, value FROM events
+           WHERE event_id % 2 = 0 AND event_id % 6 <> 0
+           UNION ALL
+           SELECT event_id, event_type, value + 1000.0 FROM events
+           WHERE event_id % 6 = 0
+           UNION ALL
+           SELECT event_id, event_type, value FROM events
+           WHERE event_id % 6 = 1)
+         SELECT event_id, event_type, value FROM head
+         WHERE event_type IN ('purchase', 'view')""",
     // Streamed delta-manifest commits ≡ one batch write; four slices
     // ⇒ four versions, resolvable through the base chain.
     "q_stream_delta" ->

@@ -1414,20 +1414,42 @@ object SinkOps {
   def mergeVersion(updates: DataFrame, path: String,
                    keyCol: String, statsCols: Seq[String]): Int = {
     val spark = updates.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = root.getFileSystem(conf)
     val head = latestVersion(fs, root)
     require(head >= 1, s"no versions committed at $path — nothing to merge")
+    // A merge targets an EXISTING table, so it follows the head's
+    // partition layout (the Delta table-property discipline): a CDC
+    // merge stream into a partitioned table lands partitioned batch
+    // dirs with counted parts sidecars, so partition pruning never
+    // erodes under churn. Flat heads merge exactly as before.
+    val partCols = headPartitionCols(spark, path)
+    partCols.foreach { pc =>
+      require(statsCols.isEmpty,
+        s"table at $path is hive-partitioned by ${pc.mkString("/")}" +
+          " — partitioned dirs are not zone-map servable; merge " +
+          "without statsCols")
+      pc.foreach(c => require(updates.columns.contains(c),
+        s"merge batch lacks the table's partition column $c"))
+    }
     val v = math.max(head, latestStaged(fs, root)) + 1
     requireVacant(fs, root, v)
     val delDir = s"deletes/v$v"
     val dataDir = s"data/v$v"
     updates.select(keyCol).distinct().write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(root, delDir).toString)
-    updates.write.mode(SaveMode.Overwrite)
-      .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
-    if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
-      statsCols)
+    partCols match {
+      case Some(pc) =>
+        updates.write.mode(SaveMode.Overwrite).partitionBy(pc: _*)
+          .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+        writeDirParts(fs, root, dataDir, pc, conf)
+      case None =>
+        updates.write.mode(SaveMode.Overwrite)
+          .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+        if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
+          statsCols)
+    }
     writeManifestLines(fs, root, v,
       manifestDirs(fs, root, head) :+
         s"$DeletePrefix$delDir:$keyCol" :+ dataDir)
@@ -1467,6 +1489,18 @@ object SinkOps {
                          statsCols: Seq[String] = Nil): Int =
     keyedVersion(df.sparkSession, path, "commits", batchKey)(
       commitVersionStats(df, path, carryForward, statsCols))
+
+  /** [[commitVersionPartitionedCols]] keyed by an idempotency token —
+    * the [[commitVersionKeyed]] discipline for the partitioned sink
+    * path: a redelivered micro-batch reuses its recorded version, so
+    * a streaming partitioned table's history stays bit-identical
+    * under at-least-once delivery.
+    */
+  def commitVersionPartitionedKeyed(df: DataFrame, path: String,
+                                    partCols: Seq[String],
+                                    batchKey: String): Int =
+    keyedVersion(df.sparkSession, path, "commits", batchKey)(
+      commitVersionPartitionedCols(df, path, partCols))
 
   /** Idempotency-marker wrapper shared by the keyed commit family: the
     * first commit of `batchKey` records its version in

@@ -1132,6 +1132,40 @@ object StreamOps {
     graft.ops.SinkOps.readVersion(spark, tablePath)
   }
 
+  /** [[versionedSinkReplay]] into a HIVE-PARTITIONED versioned table
+    * ([[graft.ops.SinkOps.commitVersionPartitionedCols]] per
+    * micro-batch, batch-keyed): every commit lands partition subtrees
+    * plus the counted parts sidecar, so the partition skip tier and
+    * the metadata counts stay armed WHILE the stream runs — at 100 TB
+    * the streaming table is exactly the one whose reads most need the
+    * coarsest prune. Same replay-harness shape and oracle contract
+    * (streamed partitioned commits ≡ one batch write); a batch empty
+    * in every partition refuses loudly like the batch API.
+    */
+  def versionedSinkReplayPartitioned(rows: DataFrame, tablePath: String,
+                                     stagingDir: String, idCol: String,
+                                     boundaries: Seq[Long],
+                                     partCols: Seq[String]): DataFrame = {
+    val spark = rows.sparkSession
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(root, true)
+    stageSlices(rows, stagingDir, idCol, boundaries)
+    val staged = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.SinkOps.commitVersionPartitionedKeyed(batch,
+          tablePath, partCols, s"batch-$batchId")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    graft.ops.SinkOps.readVersion(spark, tablePath)
+  }
+
   /** [[versionedSinkReplay]] writing DELTA MANIFESTS
     * ([[graft.ops.SinkOps.commitVersionDelta]]) — the production
     * pairing: a per-batch streaming sink is exactly where full

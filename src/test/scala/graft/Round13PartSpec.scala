@@ -333,6 +333,56 @@ class Round13PartSpec extends SparkSpec {
     assert(got == want, s"post-OPTIMIZE partition read: $got vs $want")
   }
 
+  test("mergeVersion follows the head's partition layout: the CDC " +
+      "batch lands partitioned (planning stays all-partitioned), " +
+      "updated rows read back through the pruned path, and statsCols " +
+      "on a partitioned head refuses") {
+    val t = tmp("r13_part_merge")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 0), t, "event_type")
+    val upd = events.filter(col("event_id") % 6 === 0)
+      .withColumn("value", col("value") + 1000.0)
+    intercept[IllegalArgumentException] {
+      SinkOps.mergeVersion(upd, t, "event_id", Seq("event_id"))
+    }
+    SinkOps.mergeVersion(upd, t, "event_id")
+    val (_, _, whole) =
+      SinkOps.planPartsIn(spark, t, "event_type", Seq("click"))
+    assert(whole.isEmpty,
+      "merge landed a flat dir into a partitioned table")
+    val got = SinkOps.readVersionPartIn(spark, t, "event_type",
+        Seq("click"))
+      .filter(col("event_id") % 6 === 0)
+      .agg(min(col("value"))).head().getDouble(0)
+    assert(got >= 1000.0, s"merged update not visible: min value $got")
+
+    // A batch lacking the partition column refuses before writing.
+    intercept[IllegalArgumentException] {
+      SinkOps.mergeVersion(upd.drop("event_type"), t, "event_id")
+    }
+  }
+
+  test("streaming partitioned sink: every streamed version carries a " +
+      "parts sidecar and the head equals the one-batch write") {
+    val t = tmp("r13_part_stream")
+    val stage = tmp("r13_part_stream_stage")
+    val b = events.agg(min("event_id"), max("event_id")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val latest = graft.streaming.StreamOps
+      .versionedSinkReplayPartitioned(events, t, stage, "event_id",
+        Seq(lo + (hi - lo) / 2), Seq("event_type"))
+    assert(latest.count() == events.count())
+    assert(SinkOps.currentVersion(spark, t) == 2)
+    val fs = fsOf(t)
+    (1 to 2).foreach { v =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(t,
+        s"parts/v$v.txt")), s"streamed v$v lacks a parts sidecar")
+    }
+    val (kept, total, whole) =
+      SinkOps.planPartsIn(spark, t, "event_type", Seq("error"))
+    assert(whole.isEmpty && kept.length == 2 && total == 10)
+  }
+
   test("a shallow clone inherits the partition sidecars: the clone's " +
       "partition read plans from the source's parts files") {
     val src = tmp("r13_part_clone_src")
