@@ -524,7 +524,14 @@ object SinkOps {
             "zone-map servable, so compacting them with statsCol " +
             "would record unreachable sidecars; compact without " +
             "statsCol")
-        commitVersionPartitionedCols(resolved, path, pc,
+        // File sizing: cluster rows to their partition before the
+        // write so each hive leaf lands ONE file instead of one per
+        // task (32 tasks x k partitions of small files is exactly
+        // the small-file debt OPTIMIZE exists to pay off). Arrival
+        // commits keep their task-parallel layout; compaction is
+        // the right-sizing point.
+        commitVersionPartitionedCols(
+          resolved.repartition(pc.map(col): _*), path, pc,
           carryForward = false)
       case None =>
         val clustered = statsCol.fold(resolved)(c =>
@@ -1669,22 +1676,40 @@ object SinkOps {
       var nRows = 0L; var nFiles = 0L
       var mn = Long.MaxValue; var mx = Long.MinValue; var any = false
       data.foreach { d =>
-        val ds = readDirStats(fs, root, d).getOrElse(
-          throw new IllegalArgumentException(
-            s"dir $d of version $v has no stats sidecar — " +
-              "metadata-only history needs every file counted"))
-        ds.files.foreach { case (_, mm, cnt) =>
-          val n = cnt.getOrElse(throw new IllegalStateException(
-            s"count-less stats line for dir $d (legacy format)"))
-          nRows += n; nFiles += 1
-          // min_stat/max_stat report the FIRST declared column — the
-          // primary clustering column by the commitVersionStats
-          // contract.
-          mm.head.foreach { case (lo, hi) =>
-            any = true
-            mn = math.min(mn, lo)
-            mx = math.max(mx, hi)
-          }
+        readDirStats(fs, root, d) match {
+          case Some(ds) =>
+            ds.files.foreach { case (_, mm, cnt) =>
+              val n = cnt.getOrElse(throw new IllegalStateException(
+                s"count-less stats line for dir $d (legacy format)"))
+              nRows += n; nFiles += 1
+              // min_stat/max_stat report the FIRST declared column —
+              // the primary clustering column by the
+              // commitVersionStats contract.
+              mm.head.foreach { case (lo, hi) =>
+                any = true
+                mn = math.min(mn, lo)
+                mx = math.max(mx, hi)
+              }
+            }
+          case None =>
+            // A hive-partitioned dir counts from its parts sidecar
+            // (rows + files per fragment; no min/max — partition
+            // values are exact, not ranges). History works on
+            // partitioned and mixed tables without data IO.
+            val dp = readDirParts(fs, root, d).getOrElse(
+              throw new IllegalArgumentException(
+                s"dir $d of version $v has no stats or parts " +
+                  "sidecar — metadata-only history needs every file " +
+                  "counted"))
+            dp.frags.foreach { pf =>
+              nRows += pf.rows.getOrElse(
+                throw new IllegalStateException(
+                  s"count-less parts line for dir $d (legacy format)"))
+              nFiles += pf.files.getOrElse(
+                throw new IllegalStateException(
+                  s"file-count-less parts line for dir $d " +
+                    "(legacy format)"))
+            }
         }
       }
       // Read-amplification visibility: how many epoch groups (hence
@@ -2133,18 +2158,22 @@ object SinkOps {
   }
 
   /** Parsed parts sidecar: the partition columns (nesting order) and
-    * the leaf fragments (`c1=a/c2=b`) with their row counts (None on
-    * a legacy count-less line).
+    * the leaf fragments (`c1=a/c2=b`) with their row and file counts
+    * (None on legacy lines that predate a count).
     */
-  private case class DirParts(cols: Seq[String],
-                              frags: Seq[(String, Option[Long])])
+  private case class PartFrag(frag: String, rows: Option[Long],
+                              files: Option[Long])
+
+  private case class DirParts(cols: Seq[String], frags: Seq[PartFrag])
 
   /** Partition-value sidecar for one immutable data dir, as
     * `parts/<dirname>.txt`: first line the partition columns joined
     * by `/` (nesting order), then one sorted line per leaf fragment —
-    * `c1=a/c2=b<TAB>rowcount`, the count summed from the fragment's
-    * parquet FOOTERS (driver-side metadata, zero data IO — sizing a
-    * metadata tier must not cost a scan). Exact values, any data type
+    * `c1=a/c2=b<TAB>rowcount<TAB>filecount`, the row count summed
+    * from the fragment's parquet FOOTERS (driver-side metadata, zero
+    * data IO — sizing a metadata tier must not cost a scan), the file
+    * count from the same walk (what [[versionHistory]] reports for a
+    * partitioned dir). Exact values, any data type
     * the hive layout can name (strings included — the tier the
     * castable-to-long zone maps cannot serve). Immutable like the
     * data it describes; resolved against each data dir's own table
@@ -2159,7 +2188,7 @@ object SinkOps {
     // Qualify before relativizing: listFiles returns scheme-qualified
     // paths (file:/…) while a caller-supplied root may be schemeless.
     val prefix = fs.makeQualified(dirP).toString + "/"
-    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val counts = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val it = fs.listFiles(dirP, true)
     while (it.hasNext) {
       val st = it.next()
@@ -2175,7 +2204,8 @@ object SinkOps {
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(st, conf))
         val n = try r.getRecordCount finally r.close()
-        counts(rel) = counts.getOrElse(rel, 0L) + n
+        val (pr, pf) = counts.getOrElse(rel, (0L, 0L))
+        counts(rel) = (pr + n, pf + 1)
       }
     }
     require(counts.nonEmpty,
@@ -2183,7 +2213,8 @@ object SinkOps {
         s"$dirP — empty batch or partitionBy wrote nothing; refuse " +
         "rather than record an unreadable snapshot")
     val lines = partCols.mkString("/") +:
-      counts.toSeq.sortBy(_._1).map { case (f, n) => s"$f\t$n" }
+      counts.toSeq.sortBy(_._1).map { case (f, (n, k)) =>
+        s"$f\t$n\t$k" }
     val sf = sidecarFile(root, dataDir, "parts")
     val out = fs.create(sf, true)
     try out.write(lines.mkString("\n")
@@ -2203,8 +2234,10 @@ object SinkOps {
       finally in.close()
       val frags = lines.tail.map { ln =>
         ln.split('\t') match {
-          case Array(f) => (f, None) // legacy count-less line
-          case Array(f, n) => (f, Some(n.toLong))
+          case Array(f) => PartFrag(f, None, None) // legacy
+          case Array(f, n) => PartFrag(f, Some(n.toLong), None)
+          case Array(f, n, k) =>
+            PartFrag(f, Some(n.toLong), Some(k.toLong))
           case _ => throw new IllegalStateException(
             s"malformed parts line in $sf: $ln")
         }
@@ -2315,7 +2348,7 @@ object SinkOps {
                   s"dir $d is partitioned by ${dp.cols.mkString("/")}" +
                     s", which lacks predicate column $c") }
               total += dp.frags.length
-              dp.frags.map(_._1).filter { f =>
+              dp.frags.map(_.frag).filter { f =>
                 val vals = dp.cols.zip(fragValues(f, dp.cols, d)).toMap
                 wanted.forall { case (c, vs) => vs.contains(vals(c)) }
               }.map(f =>
@@ -2431,11 +2464,11 @@ object SinkOps {
             "dir's rows are in no counted fragment; compactVersions " +
             "converges a mixed table to the partition layout"))
       noteCols(dp.cols, d)
-      dp.frags.foreach { case (f, nOpt) =>
-        val n = nOpt.getOrElse(throw new IllegalStateException(
+      dp.frags.foreach { pf =>
+        val n = pf.rows.getOrElse(throw new IllegalStateException(
           s"count-less parts line for dir $d (legacy format) — " +
             "re-commit or compact to regenerate counted sidecars"))
-        val vals = fragValues(f, dp.cols, d)
+        val vals = fragValues(pf.frag, dp.cols, d)
         acc(vals) = acc.getOrElse(vals, 0L) + n
       }
     }
@@ -2519,11 +2552,11 @@ object SinkOps {
       wanted.foreach { case (c, _) => require(dp.cols.contains(c),
         s"predicate on $c but dir $d is partitioned by " +
           dp.cols.mkString("/")) }
-      dp.frags.foreach { case (f, nOpt) =>
-        val n = nOpt.getOrElse(throw new IllegalStateException(
+      dp.frags.foreach { pf =>
+        val n = pf.rows.getOrElse(throw new IllegalStateException(
           s"count-less parts line for dir $d (legacy format) — " +
             "re-commit or compact to regenerate counted sidecars"))
-        val vals = fragValues(f, dp.cols, d)
+        val vals = fragValues(pf.frag, dp.cols, d)
         val byCol = dp.cols.zip(vals).toMap
         if (wanted.forall { case (c, vs) => vs.contains(byCol(c)) })
           acc(vals) = acc.getOrElse(vals, 0L) + n

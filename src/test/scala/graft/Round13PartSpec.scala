@@ -383,6 +383,57 @@ class Round13PartSpec extends SparkSpec {
     assert(whole.isEmpty && kept.length == 2 && total == 10)
   }
 
+  test("DESCRIBE HISTORY works on partitioned and mixed tables from " +
+      "the parts sidecars (rows + files, zero data IO), OPTIMIZE " +
+      "right-sizes to one file per partition, VACUUM sweeps the " +
+      "parts sidecars with their dirs, and the changefeed tails " +
+      "partitioned commits") {
+    val t = tmp("r13_part_hist")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 0), t, "event_type")
+    SinkOps.commitVersion(
+      events.filter(col("event_id") % 2 === 1)
+        .repartitionByRange(2, col("event_id")),
+      t, carryForward = true, statsCol = Some("event_id"))
+
+    val hist = SinkOps.versionHistory(spark, t).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(hist(1) == events.filter(col("event_id") % 2 === 0).count(),
+      "partitioned-dir history rows off")
+    assert(hist(2) == events.count(), "mixed head history rows off")
+
+    // Changefeed across a partitioned-commit window.
+    val delta = SinkOps.readChanges(spark, t, 1, 2)
+    assert(delta.count() ==
+      events.filter(col("event_id") % 2 === 1).count())
+
+    // OPTIMIZE converges the mixed table to the layout with ONE file
+    // per partition (the compaction file-sizing contract).
+    SinkOps.compactVersions(spark, t)
+    val fs = fsOf(t)
+    val it = fs.listFiles(
+      new org.apache.hadoop.fs.Path(t, "data/v3"), true)
+    var perPart = Map.empty[String, Int]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val frag = st.getPath.getParent.getName
+        perPart = perPart.updated(frag, perPart.getOrElse(frag, 0) + 1)
+      }
+    }
+    assert(perPart.size == 5 && perPart.values.forall(_ == 1),
+      s"compacted layout not one file per partition: $perPart")
+
+    // VACUUM: the expired partitioned dirs' parts sidecars GC too.
+    assert(fs.exists(new org.apache.hadoop.fs.Path(t, "parts/v1.txt")))
+    SinkOps.expireVersions(spark, t, keep = 3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(t, "parts/v1.txt")),
+      "VACUUM left an orphan parts sidecar")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(t, "parts/v3.txt")),
+      "VACUUM swept the live head's parts sidecar")
+    assert(SinkOps.readVersion(spark, t).count() == events.count())
+  }
+
   test("a shallow clone inherits the partition sidecars: the clone's " +
       "partition read plans from the source's parts files") {
     val src = tmp("r13_part_clone_src")
