@@ -117,6 +117,46 @@ object GraftSqlParser {
   private val PartitionedBy =
     "(?is)^PARTITIONED\\s+BY\\s*\\(([^)]*)\\)\\s*(.*)$".r
 
+  private val CheckHead =
+    "(?is)^CHECK\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(\\(.*)$".r
+
+  /** Parse the CHECK clause's constraint list: `not_null(c)`,
+    * `range(c, lo, hi)`, `in_set(c, 'a', 'b', …)`, `unique(c)` —
+    * the QualityOps suite minus FK (a foreign key needs a second
+    * table reference; use the Scala API). Top-level-comma split,
+    * loud on anything unrecognized.
+    */
+  private def parseConstraints(s: String, path: String)
+      : Seq[graft.ops.QualityOps.Constraint] = {
+    import graft.ops.QualityOps._
+    val NotNullC = "(?is)^not_null\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+    val RangeC = ("(?is)^range\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*," +
+      "\\s*(-?[0-9.eE+]+)\\s*,\\s*(-?[0-9.eE+]+)\\s*\\)$").r
+    val InSetC = "(?is)^in_set\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,(.*)\\)$".r
+    val UniqueC = "(?is)^unique\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+    val QuotedLit = "^'([^']*)'$".r
+    val cs = splitTopLevel(s).map {
+      case NotNullC(c) => NotNull(c)
+      case RangeC(c, lo, hi) => InRange(c, lo.toDouble, hi.toDouble)
+      case InSetC(c, vals) =>
+        val vs = splitTopLevel(vals).map {
+          case QuotedLit(v) => v
+          case other => throw new IllegalArgumentException(
+            s"in_set values must be quoted string literals in CHECK " +
+              s"on graft_table('$path'); got: $other")
+        }
+        InSet(c, vs)
+      case UniqueC(c) => Unique(c)
+      case other => throw new IllegalArgumentException(
+        s"unrecognized CHECK constraint on graft_table('$path'): " +
+          s"$other (supported: not_null(c), range(c, lo, hi), " +
+          "in_set(c, 'a', …), unique(c))")
+    }
+    require(cs.nonEmpty,
+      s"empty CHECK constraint list on graft_table('$path')")
+    cs
+  }
+
   private val RenameColTail =
     ("(?is)^RENAME\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)$").r
@@ -257,8 +297,23 @@ object GraftSqlParser {
               GraftInsertPartitionedCommand(path,
                 delegate.parseQuery(query),
                 carryForward = v == "INSERT INTO", partCols)
-            } else GraftInsertCommand(path, delegate.parseQuery(query),
-              carryForward = v == "INSERT INTO", statsCols)
+            } else query match {
+              // Optional CHECK <keyCol> (constraints) prefix: the SQL
+              // spelling of commitVersionChecked — a violating batch
+              // refuses before any file lands, entirely from SQL.
+              case CheckHead(keyCol, parenOn) =>
+                val (inner, rest) = balanced(parenOn.trim, path)
+                require(rest.trim.nonEmpty,
+                  s"INSERT into graft_table('$path') needs a source " +
+                    "query after the CHECK clause")
+                GraftInsertCheckedCommand(path,
+                  delegate.parseQuery(rest.trim),
+                  carryForward = v == "INSERT INTO", keyCol,
+                  parseConstraints(inner, path))
+              case _ =>
+                GraftInsertCommand(path, delegate.parseQuery(query),
+                  carryForward = v == "INSERT INTO", statsCols)
+            }
           case "OPTIMIZE" =>
             tail.trim match {
               case "" => GraftOptimizeCommand(path, Nil, None)
@@ -454,6 +509,25 @@ case class GraftInsertPartitionedCommand(path: String,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.ops.SinkOps.commitVersionPartitionedCols(
       GraftSqlBridge.ofRows(spark, source), path, partCols,
+      carryForward)))
+}
+
+/** `INSERT INTO/OVERWRITE graft_table(path) CHECK <keyCol>
+  * (not_null(c), range(c, lo, hi), in_set(c, 'a', …), unique(c))
+  * <query>` → [[graft.ops.SinkOps.commitVersionChecked]] — the
+  * constraint gate entirely from SQL: a violating batch refuses with
+  * the bounded report before any file lands.
+  */
+case class GraftInsertCheckedCommand(path: String, source: LogicalPlan,
+                                     carryForward: Boolean,
+                                     keyCol: String,
+                                     checks: Seq[graft.ops.QualityOps.Constraint])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.SinkOps.commitVersionChecked(
+      GraftSqlBridge.ofRows(spark, source), path, keyCol, checks,
       carryForward)))
 }
 

@@ -50,6 +50,40 @@ class Round13EvoSpec extends SparkSpec {
     assert(SinkOps.readVersion(spark, t).count() == clean.count())
   }
 
+  test("SQL INSERT ... CHECK gates the commit from SQL: the clean " +
+      "batch lands, the violating batch refuses with the table " +
+      "untouched, and an unrecognized constraint refuses at parse") {
+    val t = tmp("r13_sql_checked")
+    events.createOrReplaceTempView("r13evo_events")
+    val v = spark.sql(
+      s"""INSERT INTO graft_table('$t')
+          CHECK event_id (not_null(event_type), unique(event_id),
+            range(value, -1e9, 1e9),
+            in_set(event_type, 'click', 'view', 'purchase', 'signup',
+              'error'))
+          SELECT * FROM r13evo_events WHERE event_id % 2 = 0""")
+      .collect().head.getInt(0)
+    assert(v == 1)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""INSERT INTO graft_table('$t')
+            CHECK event_id (in_set(event_type, 'click'))
+            SELECT * FROM r13evo_events WHERE event_id % 2 = 1""")
+    }
+    assert(e.getMessage.contains("in_set(event_type)"),
+      s"report missing the violated constraint: ${e.getMessage}")
+    assert(SinkOps.currentVersion(spark, t) == 1)
+    assert(SinkOps.readVersion(spark, t).count() ==
+      events.filter(col("event_id") % 2 === 0).count())
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(
+        s"""INSERT INTO graft_table('$t')
+            CHECK event_id (foreign_key(user_id))
+            SELECT * FROM r13evo_events""")
+    }
+    assert(e2.getMessage.contains("unrecognized CHECK constraint"))
+  }
+
   // ---- column rename (manifest column mapping) ----
 
   test("rename is one metadata line: old dirs read under the new " +

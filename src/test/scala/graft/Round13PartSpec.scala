@@ -362,6 +362,25 @@ class Round13PartSpec extends SparkSpec {
     }
   }
 
+  test("SQL UPDATE on a partitioned table keeps the layout (routes " +
+      "through the layout-following merge)") {
+    val t = tmp("r13_part_sql_update")
+    SinkOps.commitVersionPartitioned(
+      events.filter(col("event_id") % 2 === 0), t, "event_type")
+    events.createOrReplaceTempView("r13part_upd_events")
+    spark.sql(
+      s"""UPDATE graft_table('$t') SET value = value + 50.0
+          WHERE event_id IN
+          (SELECT event_id FROM r13part_upd_events
+           WHERE event_id % 10 = 0)""")
+    val (_, _, whole) =
+      SinkOps.planPartsIn(spark, t, "event_type", Seq("click"))
+    assert(whole.isEmpty,
+      "SQL UPDATE landed a flat dir into a partitioned table")
+    val got = SinkOps.readVersion(spark, t).count()
+    assert(got == events.filter(col("event_id") % 2 === 0).count())
+  }
+
   test("streaming partitioned sink: every streamed version carries a " +
       "parts sidecar and the head equals the one-batch write") {
     val t = tmp("r13_part_stream")
