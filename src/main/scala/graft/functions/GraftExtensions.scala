@@ -67,7 +67,15 @@ object GraftFunctions {
     val k = exprs(1) match {
       case e if e.foldable => e.eval() match {
         case i: java.lang.Integer => i.intValue
-        case l: java.lang.Long => l.intValue
+        case l: java.lang.Long =>
+          // Math.toIntExact, not intValue: a BIGINT k past Int range must
+          // fail loudly, never wrap and hash grams of a DIFFERENT length
+          // (same contract as constInt below).
+          try Math.toIntExact(l.longValue)
+          catch { case _: ArithmeticException =>
+            throw new IllegalArgumentException(
+              s"kgram_hash60 k overflows the Int range: $l")
+          }
         case s: java.lang.Short => s.intValue
         case b: java.lang.Byte => b.intValue
         case v => throw new IllegalArgumentException(

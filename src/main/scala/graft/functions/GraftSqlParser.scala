@@ -121,12 +121,16 @@ object GraftSqlParser {
     "(?is)^CHECK\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(\\(.*)$".r
 
   /** Parse the CHECK clause's constraint list: `not_null(c)`,
-    * `range(c, lo, hi)`, `in_set(c, 'a', 'b', …)`, `unique(c)` —
-    * the QualityOps suite minus FK (a foreign key needs a second
-    * table reference; use the Scala API). Top-level-comma split,
-    * loud on anything unrecognized.
+    * `range(c, lo, hi)`, `in_set(c, 'a', 'b', …)`, `unique(c)`,
+    * `expr(<boolean sql>)` (any row-local expression — the Delta
+    * `ADD CONSTRAINT CHECK` shape, validated by the delegate parser
+    * at STATEMENT-parse time so a typo fails at the prompt, not at
+    * commit), and `fk(c, graft_table('<dim>'), dim_c)` (referential
+    * integrity against another versioned table's head). Top-level-
+    * comma split, loud on anything unrecognized.
     */
-  private def parseConstraints(s: String, path: String)
+  private def parseConstraints(s: String, path: String,
+                               delegate: ParserInterface)
       : Seq[graft.ops.QualityOps.Constraint] = {
     import graft.ops.QualityOps._
     val NotNullC = "(?is)^not_null\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
@@ -134,6 +138,10 @@ object GraftSqlParser {
       "\\s*(-?[0-9.eE+]+)\\s*,\\s*(-?[0-9.eE+]+)\\s*\\)$").r
     val InSetC = "(?is)^in_set\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,(.*)\\)$".r
     val UniqueC = "(?is)^unique\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+    val ExprC = "(?is)^expr\\s*\\((.*)\\)$".r
+    val FkC = ("(?is)^fk\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*" +
+      "graft_table\\s*\\(\\s*'([^']*)'\\s*\\)\\s*,\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$").r
     val QuotedLit = "^'([^']*)'$".r
     val cs = splitTopLevel(s).map {
       case NotNullC(c) => NotNull(c)
@@ -147,10 +155,18 @@ object GraftSqlParser {
         }
         InSet(c, vs)
       case UniqueC(c) => Unique(c)
+      case FkC(c, dimPath, dimCol) => ForeignKeyRef(c, dimPath, dimCol)
+      case ExprC(sql) =>
+        val t = sql.trim
+        require(t.nonEmpty,
+          s"empty expr() CHECK constraint on graft_table('$path')")
+        delegate.parseExpression(t) // loud at parse time on bad syntax
+        CheckExpr(t)
       case other => throw new IllegalArgumentException(
         s"unrecognized CHECK constraint on graft_table('$path'): " +
           s"$other (supported: not_null(c), range(c, lo, hi), " +
-          "in_set(c, 'a', …), unique(c))")
+          "in_set(c, 'a', …), unique(c), expr(<boolean sql>), " +
+          "fk(c, graft_table('<dim>'), dim_c))")
     }
     require(cs.nonEmpty,
       s"empty CHECK constraint list on graft_table('$path')")
@@ -309,7 +325,7 @@ object GraftSqlParser {
                 GraftInsertCheckedCommand(path,
                   delegate.parseQuery(rest.trim),
                   carryForward = v == "INSERT INTO", keyCol,
-                  parseConstraints(inner, path))
+                  parseConstraints(inner, path, delegate), statsCols)
               case _ =>
                 GraftInsertCommand(path, delegate.parseQuery(query),
                   carryForward = v == "INSERT INTO", statsCols)
@@ -512,23 +528,28 @@ case class GraftInsertPartitionedCommand(path: String,
       carryForward)))
 }
 
-/** `INSERT INTO/OVERWRITE graft_table(path) CHECK <keyCol>
-  * (not_null(c), range(c, lo, hi), in_set(c, 'a', …), unique(c))
+/** `INSERT INTO/OVERWRITE graft_table(path[, 'c1,c2']) CHECK <keyCol>
+  * (not_null(c), range(c, lo, hi), in_set(c, 'a', …), unique(c),
+  * expr(<boolean sql>), fk(c, graft_table('<dim>'), dim_c))
   * <query>` → [[graft.ops.SinkOps.commitVersionChecked]] — the
-  * constraint gate entirely from SQL: a violating batch refuses with
-  * the bounded report before any file lands.
+  * constraint gate entirely from SQL: the batch stages once, a
+  * violating staging refuses with the bounded report and leaves the
+  * head untouched, and a clean one publishes (with zone-map sidecars
+  * when stats columns are declared — the second graft_table argument
+  * threads through, same as the unchecked INSERT).
   */
 case class GraftInsertCheckedCommand(path: String, source: LogicalPlan,
                                      carryForward: Boolean,
                                      keyCol: String,
-                                     checks: Seq[graft.ops.QualityOps.Constraint])
+                                     checks: Seq[graft.ops.QualityOps.Constraint],
+                                     statsCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.ops.SinkOps.commitVersionChecked(
       GraftSqlBridge.ofRows(spark, source), path, keyCol, checks,
-      carryForward)))
+      carryForward, statsCols)))
 }
 
 /** `OPTIMIZE graft_table(path) ['' | ZORDER BY (...) | CLUSTER BY

@@ -320,16 +320,19 @@ object DedupOps {
     * cluster-map snapshot rebuild; between compactions appends stay
     * O(batch).
     */
-  def compactMinhashIndex(path: String, targetFiles: Int = 1): Unit = {
+  def compactMinhashIndex(path: String, targetFiles: Int = 0): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     for (sub <- Seq("bands", "digests")) {
       val live = s"$path/$sub"
       val tmp = s"$path/_${sub}_compact_tmp"
-      // targetFiles sizes the compacted generation — a production run
-      // derives it from table bytes / desired file size (the SinkOps
-      // compaction arithmetic); the default collapses a fixture-scale
-      // index to one file per table.
-      spark.read.parquet(live).distinct().coalesce(targetFiles)
+      // targetFiles sizes the compacted generation; 0 (the default)
+      // derives it from table bytes / 512 MB, so a 1 B-row index
+      // rewrites across as many tasks as it has data. repartition,
+      // not coalesce — coalesce would glue the distinct's output into
+      // few partitions and cap the write's parallelism.
+      val n = if (targetFiles >= 1) targetFiles
+              else graft.ops.SinkOps.derivedFileCount(spark, live)
+      spark.read.parquet(live).distinct().repartition(n)
         .write.mode("overwrite").parquet(tmp)
       val liveP = new org.apache.hadoop.fs.Path(live)
       val fs = liveP.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -43,6 +43,25 @@ object QualityOps {
       extends Constraint {
     val name = s"foreign_key($col)"
   }
+  /** Arbitrary boolean SQL expression over the row (the Delta
+    * `ADD CONSTRAINT CHECK (<expr>)` shape): a row violates when the
+    * expression evaluates to FALSE; TRUE and NULL pass (the SQL
+    * standard's CHECK semantics — an unknown is not a violation).
+    * Row-local, so it fuses into the shared single-pass aggregate.
+    */
+  case class CheckExpr(sql: String) extends Constraint {
+    val name = s"expr($sql)"
+  }
+  /** [[ForeignKey]] addressed by TABLE PATH instead of a DataFrame —
+    * the SQL-reachable spelling: the dimension is the HEAD snapshot of
+    * the manifest-versioned table at `dimPath`, resolved at CHECK time
+    * (so a gate declared once always checks against the dimension's
+    * current head, the FK semantics a catalog would give).
+    */
+  case class ForeignKeyRef(col: String, dimPath: String, dimCol: String)
+      extends Constraint {
+    val name = s"foreign_key($col)"
+  }
 
   /** Evaluate a constraint suite. Row-local constraints (not-null /
     * range / in-set) fuse into one shared aggregation pass; each Unique
@@ -60,6 +79,10 @@ object QualityOps {
         Some(col(cn).isNotNull && (col(cn) < lo || col(cn) > hi))
       case InSet(cn, allowed) =>
         Some(col(cn).isNotNull && !col(cn).isin(allowed: _*))
+      case CheckExpr(sql) =>
+        // Violation iff the expression is definitively FALSE — a NULL
+        // (unknown) passes, per the SQL standard's CHECK semantics.
+        Some(expr(sql) === lit(false))
       case _ => None
     }
 
@@ -93,6 +116,13 @@ object QualityOps {
           .select(lit(c.name).as("check_name"), col("n_violations"),
             col("sample_key"))
       case c @ ForeignKey(cn, dim, dimCol) =>
+        df.filter(col(cn).isNotNull)
+          .join(dim.select(col(dimCol).as(cn)).distinct(), Seq(cn), "left_anti")
+          .agg(count(lit(1)).as("n_violations"), max(key).as("sample_key"))
+          .select(lit(c.name).as("check_name"), col("n_violations"),
+            col("sample_key"))
+      case c @ ForeignKeyRef(cn, dimPath, dimCol) =>
+        val dim = SinkOps.readVersion(spark, dimPath)
         df.filter(col(cn).isNotNull)
           .join(dim.select(col(dimCol).as(cn)).distinct(), Seq(cn), "left_anti")
           .agg(count(lit(1)).as("n_violations"), max(key).as("sample_key"))

@@ -738,11 +738,18 @@ object SimilarityOps {
     * binding, and wherever it WAS binding the refreshed occ is the
     * correct one.
     */
-  def compactEmbedIndex(path: String, targetFiles: Int = 1): Unit = {
+  def compactEmbedIndex(path: String, targetFiles: Int = 0): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
+    // targetFiles = 0 (default) derives the compacted generation's file
+    // count from table bytes / 512 MB — a 1 B-vector index rewrites in
+    // parallel instead of funneling through one task (repartition, not
+    // coalesce: coalesce caps the distinct's output parallelism too).
+    def files(live: String): Int =
+      if (targetFiles >= 1) targetFiles
+      else graft.ops.SinkOps.derivedFileCount(spark, live)
     def swap(live: String, df: DataFrame): Unit = {
       val tmp = live + "_compact_tmp"
-      df.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
+      df.write.mode("overwrite").parquet(tmp)
       val liveP = new org.apache.hadoop.fs.Path(live)
       val fs = liveP.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(liveP, true)
@@ -750,10 +757,17 @@ object SimilarityOps {
         throw new IllegalStateException(
           s"compactEmbedIndex: rename $tmp -> $live failed")
     }
-    swap(path + "/vectors", spark.read.parquet(path + "/vectors").distinct())
-    val b = spark.read.parquet(path + "/buckets")
+    val vLive = path + "/vectors"
+    swap(vLive, spark.read.parquet(vLive).distinct()
+      .repartition(files(vLive)))
+    // One exchange: hash-partitioning on exactly (t, bucket) satisfies
+    // the occ window's required clustering, so the repartition both
+    // sizes the write and feeds the window without a second shuffle.
+    val bLive = path + "/buckets"
+    val b = spark.read.parquet(bLive)
       .select("vec_id", "t", "bucket").distinct()
-    swap(path + "/buckets", b.withColumn("occ",
+      .repartition(files(bLive), col("t"), col("bucket"))
+    swap(bLive, b.withColumn("occ",
       count(lit(1)).over(Window.partitionBy("t", "bucket"))))
   }
 

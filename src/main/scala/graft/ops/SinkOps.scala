@@ -100,6 +100,32 @@ object SinkOps {
       .write.mode(SaveMode.Overwrite).parquet(outPath)
   }
 
+  /** The production compaction arithmetic as code: target file count
+    * for a rewrite of everything under `path` = ceil(total bytes /
+    * `desiredBytes`), min 1. Index compactions call this instead of
+    * defaulting to a single-task write — at a 1 B-vector index a
+    * hardcoded 1 funnels the whole rewrite through one core, while
+    * bytes/512MB keeps the write as parallel as the data is large.
+    * One recursive listing; no data read.
+    */
+  def derivedFileCount(spark: org.apache.spark.sql.SparkSession,
+                       path: String,
+                       desiredBytes: Long = 512L << 20): Int = {
+    require(desiredBytes >= 1)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 1
+    else {
+      var total = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_")) total += f.getLen
+      }
+      math.max(1, ((total + desiredBytes - 1) / desiredBytes)).toInt
+    }
+  }
+
   /** Targeted delete on a hive-partitioned parquet lake table — the
     * right-to-be-forgotten / retention-purge maintenance op: delete
     * every row matching `forget` by rewriting ONLY the partitions that
@@ -264,35 +290,51 @@ object SinkOps {
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
     if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
       statsCols)
+    occRetryLoop(fs, root, path, dataDir, maxTries, beforeAttempt) {
+      head => (if (head == 0 || !carryForward) Nil
+        else manifestDirs(fs, root, head)) :+ dataDir
+    }
+  }
+
+  /** The OCC manifest-attempt loop shared by every *Retrying writer:
+    * data/sidecar files are already on disk under commit-unique names
+    * (written ONCE by the caller); each attempt re-reads the advanced
+    * head, rebuilds its manifest lines via `linesFor` (so a racing
+    * winner's lines are INCLUDED — no lost update by construction),
+    * and re-attempts the manifest create. Only the version-race
+    * failures retry — the vacancy require (message-pinned) and the
+    * filesystem's own create-exists refusal; anything else (bad
+    * columns, IO errors) surfaces immediately. Retry cost is
+    * O(manifest) per attempt with ZERO data rewritten.
+    */
+  private def occRetryLoop(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           path: String, what: String, maxTries: Int,
+                           beforeAttempt: Int => Unit)
+                          (linesFor: Int => Seq[String]): Int = {
+    require(maxTries >= 1, s"maxTries must be >= 1: $maxTries")
     var attempt = 1
     while (true) {
       val head = latestVersion(fs, root)
       val v = math.max(head, latestStaged(fs, root)) + 1
-      val lines = (if (head == 0 || !carryForward) Nil
-        else manifestDirs(fs, root, head)) :+ dataDir
+      val lines = linesFor(head)
       beforeAttempt(attempt)
+      def lost(e: Throwable): Unit = {
+        if (attempt >= maxTries) throw new IllegalStateException(
+          s"commit of $what at $path lost $maxTries version " +
+            "races — concurrent-writer pressure exceeds the retry " +
+            "budget", e)
+        attempt += 1
+      }
       try {
         writeManifestLines(fs, root, v, lines)
         return v
       } catch {
-        // Only the version-race failures retry: the vacancy require
-        // (message-pinned) and the filesystem's own create-exists
-        // refusal. Anything else (bad stats columns, IO errors)
-        // surfaces immediately.
         case e: IllegalArgumentException
             if e.getMessage != null &&
-              e.getMessage.contains("commit conflict") =>
-          if (attempt >= maxTries) throw new IllegalStateException(
-            s"commit of $dataDir at $path lost $maxTries version " +
-              "races — concurrent-writer pressure exceeds the retry " +
-              "budget", e)
-          attempt += 1
+              e.getMessage.contains("commit conflict") => lost(e)
         case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          if (attempt >= maxTries) throw new IllegalStateException(
-            s"commit of $dataDir at $path lost $maxTries version " +
-              "races — concurrent-writer pressure exceeds the retry " +
-              "budget", e)
-          attempt += 1
+          lost(e)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -300,17 +342,21 @@ object SinkOps {
 
   /** [[commitVersion]] gated by a DECLARATIVE CONSTRAINT SUITE (the
     * Delta `ALTER TABLE ADD CONSTRAINT CHECK` / Deequ publish-gate
-    * shape): the batch is checked against [[QualityOps.check]]'s
-    * expectations BEFORE any file is written — a violating batch
-    * refuses loudly with the full violation report (constraint,
-    * count, sample key) and leaves the table byte-untouched (no data
-    * dir, no manifest, no head move), so a bad upstream drop can
-    * never poison the snapshot lineage. Cost is one extra pass over
-    * the batch (row-local constraints fuse into ONE aggregate;
-    * uniqueness/FK each add a keyed pass) — O(batch), never O(table);
-    * the report is one bounded row per declared constraint. A clean
-    * batch commits exactly as [[commitVersionStats]]. Returns the new
-    * version.
+    * shape), STAGE-THEN-CHECK: the batch is written ONCE to a
+    * commit-unique data dir, the STAGED FILES (not the input plan) are
+    * checked against [[QualityOps.check]]'s expectations, and only a
+    * clean staging publishes a manifest — so the rows checked are
+    * byte-for-byte the rows committed even when `df` is
+    * non-deterministic or reads a mutating source (a re-evaluation
+    * gate would check one sample and land another). A violating batch
+    * refuses loudly with the full violation report (constraint, count,
+    * sample key), deletes its staging, and leaves the table
+    * byte-untouched (no manifest, no head move), so a bad upstream
+    * drop can never poison the snapshot lineage. Cost is one write +
+    * one read-back pass over the batch (row-local constraints fuse
+    * into ONE aggregate; uniqueness/FK each add a keyed pass) —
+    * O(batch), never O(table); the report is one bounded row per
+    * declared constraint. Returns the new version.
     */
   def commitVersionChecked(df: DataFrame, path: String, keyCol: String,
                            constraints: Seq[QualityOps.Constraint],
@@ -318,16 +364,35 @@ object SinkOps {
                            statsCols: Seq[String] = Nil): Int = {
     require(constraints.nonEmpty,
       "no constraints declared — use commitVersion for ungated appends")
-    val bad = QualityOps.check(df, keyCol, constraints)
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir =
+      s"data/c${java.util.UUID.randomUUID.toString.replace("-", "").take(12)}"
+    val dataP = new org.apache.hadoop.fs.Path(root, dataDir)
+    df.write.mode(SaveMode.Overwrite).parquet(dataP.toString)
+    val staged = spark.read.parquet(dataP.toString)
+    val bad = QualityOps.check(staged, keyCol, constraints)
       .filter(col("n_violations") > 0L)
       .collect() // bounded: at most one row per declared constraint
-    require(bad.isEmpty,
-      s"commit to $path refused — constraint violations: " +
-        bad.map(r => s"${r.getAs[String]("check_name")}: " +
-          s"${r.getAs[Long]("n_violations")} rows " +
-          s"(sample key ${r.getAs[Long]("sample_key")})")
-          .mkString("; "))
-    commitVersionStats(df, path, carryForward, statsCols)
+    if (bad.nonEmpty) {
+      fs.delete(dataP, true)
+      throw new IllegalArgumentException(
+        s"commit to $path refused — constraint violations: " +
+          bad.map(r => s"${r.getAs[String]("check_name")}: " +
+            s"${r.getAs[Long]("n_violations")} rows " +
+            s"(sample key ${r.getAs[Long]("sample_key")})")
+            .mkString("; "))
+    }
+    if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
+      statsCols)
+    val head = latestVersion(fs, root)
+    val v = math.max(head, latestStaged(fs, root)) + 1
+    requireVacant(fs, root, v)
+    val prev = if (head == 0 || !carryForward) Nil
+      else manifestDirs(fs, root, head)
+    writeManifestLines(fs, root, v, prev :+ dataDir)
+    v
   }
 
   /** Per-file min/max of the declared columns for one immutable data
@@ -1484,6 +1549,95 @@ object SinkOps {
     keyedVersion(updates.sparkSession, path, "merges", batchKey)(
       mergeVersion(updates, path, keyCol))
 
+  /** [[deleteVersionKeys]] with the [[commitVersionRetrying]] OCC
+    * loop — the DV delete that LANDS under concurrent writers (a live
+    * CDC merge stream plus a retention sweep is exactly two): the
+    * key sidecar is written ONCE under a commit-unique name, and only
+    * the manifest attempt retries — each retry re-reads the advanced
+    * head and re-carries ITS lines, so the delete scopes everything
+    * committed before it (serialized semantics by construction: a DV
+    * delete's keys apply to whatever data precedes the sidecar in
+    * manifest order, including a race winner's). `beforeAttempt` is
+    * the [[commitVersionRetrying]] test seam.
+    */
+  def deleteVersionKeysRetrying(keys: DataFrame, path: String,
+                                keyCol: String, maxTries: Int = 3,
+                                beforeAttempt: Int => Unit = _ => ())
+      : Int = {
+    val spark = keys.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(latestVersion(fs, root) >= 1,
+      s"no versions committed at $path — nothing to delete")
+    val delDir = s"deletes/c${java.util.UUID.randomUUID.toString
+      .replace("-", "").take(12)}"
+    keys.select(keyCol).distinct().write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, delDir).toString)
+    occRetryLoop(fs, root, path, delDir, maxTries, beforeAttempt) {
+      head =>
+        require(head >= 1,
+          s"no versions committed at $path — nothing to delete")
+        manifestDirs(fs, root, head) :+ s"$DeletePrefix$delDir:$keyCol"
+    }
+  }
+
+  /** [[mergeVersion]] with the [[commitVersionRetrying]] OCC loop —
+    * the one-commit DV upsert that LANDS when a merge stream races a
+    * nightly OPTIMIZE or a second stream: delete sidecar and data dir
+    * are written ONCE under commit-unique names, and only the manifest
+    * attempt retries; each retry re-carries the advanced head's lines,
+    * so the merge's sidecar scopes a race winner's rows too — exactly
+    * what a serialized merge would do (last merge wins on overlapping
+    * keys, by the ordered-fold contract). The head's partition layout
+    * is resolved once at entry (a racer flipping the layout mid-merge
+    * is a schema change, not a version race — the mixed-table readers
+    * handle either landing). `beforeAttempt` is the test seam.
+    */
+  def mergeVersionRetrying(updates: DataFrame, path: String,
+                           keyCol: String,
+                           statsCols: Seq[String] = Nil,
+                           maxTries: Int = 3,
+                           beforeAttempt: Int => Unit = _ => ()): Int = {
+    val spark = updates.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    require(latestVersion(fs, root) >= 1,
+      s"no versions committed at $path — nothing to merge")
+    val partCols = headPartitionCols(spark, path)
+    partCols.foreach { pc =>
+      require(statsCols.isEmpty,
+        s"table at $path is hive-partitioned by ${pc.mkString("/")}" +
+          " — partitioned dirs are not zone-map servable; merge " +
+          "without statsCols")
+      pc.foreach(c => require(updates.columns.contains(c),
+        s"merge batch lacks the table's partition column $c"))
+    }
+    val tok = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val delDir = s"deletes/c$tok"
+    val dataDir = s"data/c$tok"
+    updates.select(keyCol).distinct().write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, delDir).toString)
+    partCols match {
+      case Some(pc) =>
+        updates.write.mode(SaveMode.Overwrite).partitionBy(pc: _*)
+          .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+        writeDirParts(fs, root, dataDir, pc, conf)
+      case None =>
+        updates.write.mode(SaveMode.Overwrite)
+          .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+        if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
+          statsCols)
+    }
+    occRetryLoop(fs, root, path, dataDir, maxTries, beforeAttempt) {
+      head =>
+        require(head >= 1,
+          s"no versions committed at $path — nothing to merge")
+        manifestDirs(fs, root, head) :+
+          s"$DeletePrefix$delDir:$keyCol" :+ dataDir
+    }
+  }
+
   /** [[commitVersion]] keyed by an idempotency token — the
     * [[mergeVersionKeyed]] discipline for plain append commits: the
     * streaming versioned sink's redelivered micro-batch reuses its
@@ -1627,8 +1781,15 @@ object SinkOps {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val before = manifestDirs(fs, root, vFrom).toSet
-    val added = manifestDirs(fs, root, vTo)
-      .filterNot(before).filter(isDeleteLine).map(deleteParts)
+    val addedAll = manifestDirs(fs, root, vTo).filterNot(before)
+    // Mirror readChanges' guard so the two CDF halves stay symmetric:
+    // a rename inside the window would return keys under the NEW
+    // physical name to a consumer holding pre-rename data.
+    require(!addedAll.exists(isSchemaLine),
+      s"changefeed window (v$vFrom, v$vTo] at $path crosses a column " +
+        "rename/drop — consume up to the evolution version, apply " +
+        "it, then resume")
+    val added = addedAll.filter(isDeleteLine).map(deleteParts)
     require(added.nonEmpty,
       s"no delete commits between v$vFrom and v$vTo at $path")
     val keyCols = added.map(_._2).distinct
@@ -1716,9 +1877,13 @@ object SinkOps {
       // union branches, each with its own anti-join fold) a resolved
       // read of this version pays — the compaction-debt gauge a merge
       // stream accrues (1 = DV-free single read).
+      // epochGroups on the schema-filtered lines, not the raw manifest:
+      // epochGroups refuses unmaterialized rename/drop (the sidecar
+      // planners must), but HISTORY stays servable through evolution —
+      // the grouping itself only depends on data/delete line order.
       (v, data.size, nFiles, nRows,
         if (any) Some(mn) else None, if (any) Some(mx) else None,
-        del.size, epochGroups(lines).size)
+        del.size, epochGroups(lines.filterNot(isSchemaLine)).size)
     }
     import spark.implicits._
     rows.toDF("version", "n_dirs", "n_files", "n_rows",
@@ -2200,6 +2365,27 @@ object SinkOps {
               s.startsWith(c + "=") },
           s"unexpected partition layout under $dirP: file parent " +
             s"'$rel' does not match columns ${partCols.mkString("/")}")
+        // COMMIT-TIME value guard (the read-side PartValueOk contract,
+        // enforced where it can still refuse): a value that hive
+        // ESCAPES ('a b' → 'a%20b') would make the sidecar fragment
+        // disagree with the resolved partition, and a value Spark's
+        // partition-type inference MANGLES ('01' → int 1) would make
+        // the read residual cast('string').isin('01') silently empty —
+        // both are wrong-skip classes, so the commit fails loudly
+        // instead of recording them.
+        segs.zip(partCols).foreach { case (seg, c) =>
+          val v = seg.substring(c.length + 1)
+          require(PartValueOk.matches(v),
+            s"partition value '$v' for column $c needs hive escaping " +
+              "— the partition tier serves verbatim values only " +
+              "(letters, digits, _ . -); refuse at commit rather " +
+              "than record a fragment reads cannot name")
+          require(partValueRoundTrips(v),
+            s"partition value '$v' for column $c does not survive " +
+              "Spark partition-type inference (it re-reads as a " +
+              "different canonical value, e.g. '01' as int 1) — use " +
+              "the canonical form or a non-numeric encoding")
+        }
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(st, conf))
@@ -2283,6 +2469,33 @@ object SinkOps {
     * tier must never have.
     */
   private val PartValueOk = "[A-Za-z0-9_.\\-]+".r
+
+  /** Does a partition value survive Spark's partition-type inference
+    * verbatim? Letter/underscore-leading values infer as string
+    * (verbatim by construction); pure-integral values must equal their
+    * canonical Long form ('01' re-reads as 1 — rejected); exact ISO
+    * dates (yyyy-MM-dd) infer as DateType whose string form is
+    * identical; any other digit/sign/dot-leading value that a numeric
+    * or date parser would accept is CONSERVATIVELY rejected (float and
+    * loose-date partition values are re-canonicalized by inference —
+    * '1e3' → 1000.0, '2024-1-1' → 2024-01-01). Enforced at commit so
+    * every recorded fragment round-trips through a plain read.
+    */
+  private def partValueRoundTrips(v: String): Boolean = {
+    val c0 = v.charAt(0) // PartValueOk guarantees non-empty
+    if (!(c0.isDigit || c0 == '.' || c0 == '-')) true
+    else if (v.matches("-?[0-9]+")) {
+      try java.lang.Long.parseLong(v).toString == v
+      catch { case _: NumberFormatException => false } // > Long: decimal-inferred
+    } else if (v.matches("[0-9]{4}-[0-9]{2}-[0-9]{2}")) true
+    else {
+      val numeric =
+        try { java.lang.Double.parseDouble(v); true }
+        catch { case _: NumberFormatException => false }
+      val dateLike = v.matches("[0-9]{1,4}-[0-9]{1,2}-[0-9]{1,2}.*")
+      !numeric && !dateLike
+    }
+  }
 
   /** Planning view of [[readVersionPartIn]] — (kept leaf dir paths,
     * total partition subdirs across partitioned dirs, unpartitioned
