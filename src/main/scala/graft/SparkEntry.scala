@@ -3826,6 +3826,55 @@ object SparkEntry {
              FROM graft_version('$path')""")
     }),
 
+    // CATALOG-NAMED graft tables — the DSv2 TableCatalog front
+    // (graft.sources.GraftCatalog + GraftTableResolutionRule + the
+    // parser's named targets): CREATE TABLE cat.db.t, INSERT INTO /
+    // MERGE INTO by NAME, SELECT by name with VERSION AS OF — no path
+    // string in any statement, and a typo'd name is a loud
+    // NoSuchTableException instead of a silently new empty table (the
+    // #1 misuse class of a pure path API). Named reads splice the
+    // SAME readVersion plan as the path TVFs (name ≡ path
+    // bit-identity spec-pinned in Round14CatalogSpec); the oracle
+    // derives both snapshots' digests relationally.
+    "q_sql_catalog" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.gcat",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = tmpPath("graft_catwh", d)
+      s.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+      val root = new org.apache.hadoop.fs.Path(s"$wh/db/ev")
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      Tables.events(s, d).createOrReplaceTempView("r14_cat_events")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+      s.sql("""CREATE TABLE gcat.db.ev (event_id BIGINT, ts TIMESTAMP,
+             user_id BIGINT, event_type STRING, value DOUBLE,
+             props STRING)""")
+      s.sql("INSERT INTO gcat.db.ev SELECT * FROM r14_cat_events")
+        .collect()
+      s.sql("""MERGE INTO gcat.db.ev USING (
+             SELECT event_id, ts, user_id, 'cat_upd' AS event_type,
+                    value + 2000.0 AS value, props
+             FROM r14_cat_events WHERE event_id % 5 = 0
+             UNION ALL
+             SELECT event_id + 200000, ts, user_id, 'cat_ins', value,
+                    props
+             FROM r14_cat_events WHERE event_id % 4 = 0
+           ) ON event_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").collect()
+      s.sql("""SELECT snap, event_type, n_rows, user_sum, val_sum FROM (
+             SELECT 'v1' AS snap, event_type, count(*) AS n_rows,
+                    CAST(sum(user_id) AS BIGINT) AS user_sum,
+                    CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                      AS val_sum
+             FROM gcat.db.ev VERSION AS OF 1 GROUP BY event_type
+             UNION ALL
+             SELECT 'head', event_type, count(*),
+                    CAST(sum(user_id) AS BIGINT),
+                    CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+             FROM gcat.db.ev GROUP BY event_type)""")
+    }),
+
     // SQL SKIP-TIER WRITE — the writer half of the skip economics
     // through SQL: INSERT INTO graft_table(path, 'event_id') declares
     // zone-map sidecars for each commit (the SQL spelling of
@@ -8095,6 +8144,31 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
                   AS val_sum
          FROM events""",
+    // Catalog-named DML ≡ the path DML: v1 = the raw events digest,
+    // head = the MERGE-upserted digest (batch rows win on key).
+    "q_sql_catalog" ->
+      """WITH upd AS (
+           SELECT event_id, user_id, 'cat_upd' AS event_type,
+                  value + 2000 AS value
+           FROM events WHERE event_id % 5 = 0
+           UNION ALL
+           SELECT event_id + 200000, user_id, 'cat_ins', value
+           FROM events WHERE event_id % 4 = 0),
+         merged AS (
+           SELECT * FROM upd
+           UNION ALL
+           SELECT event_id, user_id, event_type, value FROM events
+           WHERE event_id NOT IN (SELECT event_id FROM upd))
+         SELECT 'v1' AS snap, event_type, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events GROUP BY event_type
+         UNION ALL
+         SELECT 'head', event_type, count(*),
+                CAST(sum(user_id) AS BIGINT),
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+         FROM merged GROUP BY event_type""",
     // The SQL-declared zone maps answer the range read exactly.
     "q_sql_insert_skip" ->
       """SELECT event_id, user_id, event_type FROM events

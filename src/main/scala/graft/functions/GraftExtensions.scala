@@ -32,9 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftFunctions.graftVersionAsOf)
     ext.injectTableFunction(GraftFunctions.tableChangesAsOf)
     // SQL DML front door for the versioned tier: MERGE INTO /
-    // DELETE FROM / INSERT INTO against graft_table('<path>'), sharing
-    // the SinkOps bodies (one engine, two surfaces — writer half).
+    // DELETE FROM / INSERT INTO against graft_table('<path>') or a
+    // catalog-named graft.db.t, sharing the SinkOps bodies (one
+    // engine, two surfaces — writer half).
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // Catalog-named reads: replace a GraftTable relation with the
+    // analyzed readVersion plan (see GraftTableResolutionRule).
+    ext.injectResolutionRule(session =>
+      graft.sources.GraftTableResolutionRule(session))
   }
 }
 

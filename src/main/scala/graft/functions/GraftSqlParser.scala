@@ -106,6 +106,29 @@ object GraftSqlParser {
     ("(?is)^\\s*CLONE\\s+graft_table\\s*\\(\\s*'([^']*)'\\s*\\)\\s+TO" +
       "\\s+graft_table\\s*\\(\\s*'([^']*)'\\s*\\)\\s*(.*)$").r
 
+  /** Same verbs against a CATALOG-NAMED table `cat.db.t` — the
+    * [[graft.sources.GraftCatalog]] front: intercepted only when `cat`
+    * is a registered graft catalog on the active session (guard in
+    * parseDml), so statements naming other catalogs flow to the
+    * delegate untouched. The name resolves through the catalog's
+    * warehouse layout to the SAME path-addressed command bodies.
+    */
+  private val NamedHead =
+    ("(?is)^\\s*(INSERT\\s+INTO|INSERT\\s+OVERWRITE|DELETE\\s+FROM|" +
+      "MERGE\\s+INTO|UPDATE|OPTIMIZE|VACUUM|RESTORE|ALTER\\s+TABLE)" +
+      "\\s+([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)" +
+      "\\.([A-Za-z_][A-Za-z0-9_]*)\\s*(.*)$").r
+
+  private val NamedCloneHead =
+    ("(?is)^\\s*CLONE\\s+([A-Za-z_][A-Za-z0-9_]*)\\." +
+      "([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\." +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*(.*)$").r
+
+  private def isGraftCat(cat: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(s => graft.sources.GraftCatalog.isGraftCatalog(s, cat))
+
   private val VersionAsOfTail =
     "(?is)^VERSION\\s+AS\\s+OF\\s+(\\d+)$".r
   private val TimestampAsOfTail =
@@ -272,8 +295,6 @@ object GraftSqlParser {
               s"supports exactly '' | VERSION AS OF <v>; got: $other")
         })
       case Head(verb, path, statsCsvOrNull, tail) =>
-        val v = verb.toUpperCase(java.util.Locale.ROOT)
-          .replaceAll("\\s+", " ")
         // Optional second graft_table argument: the STATS COLUMNS the
         // write declares (zone-map sidecars) — the SQL spelling of
         // commitVersionStats/mergeVersion(statsCols), so a table built
@@ -282,13 +303,49 @@ object GraftSqlParser {
         val statsCols = Option(statsCsvOrNull)
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil)
-        require(statsCols.isEmpty ||
-            Set("INSERT INTO", "INSERT OVERWRITE", "MERGE INTO",
-              "UPDATE")(v),
-          s"$v does not accept a stats-columns argument " +
-            "(graft_table(path, 'c1,c2') declares zone-map sidecars " +
-            "for the data a write lands; this statement lands none)")
-        Some(v match {
+        Some(dmlPlan(normVerb(verb), path, statsCols, tail, delegate))
+      case NamedHead(verb, cat, db, tbl, tail) if isGraftCat(cat) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        Some(dmlPlan(normVerb(verb),
+          graft.sources.GraftCatalog.tableRoot(spark, cat, db, tbl),
+          Nil, tail, delegate))
+      case NamedCloneHead(cat, db1, t1, cat2, db2, t2, tail)
+          if isGraftCat(cat) && isGraftCat(cat2) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val src = graft.sources.GraftCatalog.tableRoot(spark, cat,
+          db1, t1)
+        val dst = graft.sources.GraftCatalog.tableRoot(spark, cat2,
+          db2, t2, mustExist = false)
+        Some(tail.trim match {
+          case "" => GraftCloneCommand(src, dst, None)
+          case VersionAsOfTail(v) =>
+            GraftCloneCommand(src, dst, Some(v.toInt))
+          case other => throw new IllegalArgumentException(
+            s"CLONE $cat.$db1.$t1 TO $cat2.$db2.$t2 supports exactly " +
+              s"'' | VERSION AS OF <v>; got: $other")
+        })
+      case _ => None
+    }
+  }
+
+  private def normVerb(verb: String): String =
+    verb.toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+
+  /** One DML statement body, shared by the path-addressed
+    * (`graft_table('<path>')`) and catalog-named (`graft.db.t`)
+    * targets — the two spellings build the SAME commands over the
+    * SAME resolved root, so name ≡ path holds by construction.
+    */
+  private def dmlPlan(v: String, path: String, statsCols: Seq[String],
+                      tail: String,
+                      delegate: ParserInterface): LogicalPlan = {
+    require(statsCols.isEmpty ||
+        Set("INSERT INTO", "INSERT OVERWRITE", "MERGE INTO",
+          "UPDATE")(v),
+      s"$v does not accept a stats-columns argument " +
+        "(graft_table(path, 'c1,c2') declares zone-map sidecars " +
+        "for the data a write lands; this statement lands none)")
+    (v match {
           case "INSERT INTO" | "INSERT OVERWRITE" =>
             require(tail.trim.nonEmpty,
               s"INSERT into graft_table('$path') needs a source query")
@@ -453,9 +510,9 @@ object GraftSqlParser {
                 s"MERGE INTO graft_table('$path') USING (...) " +
                   s"expects `ON <keyCol>`; got: $other")
             }
-        })
-      case _ => None
-    }
+        case other => throw new IllegalArgumentException(
+          s"unsupported graft DML verb: $other")
+    }): LogicalPlan
   }
 
   /** Scan a balanced-parenthesis group starting at `(`; returns
