@@ -197,6 +197,34 @@ object SparkEntry {
         path, "event_id")
       SinkOps.readVersion(s, path)
     }),
+    // WIDEN COLUMN as one metadata manifest line (Iceberg type
+    // promotion as the third evolution verb, through the SQL ALTER
+    // COLUMN ... TYPE spelling): zero data IO, pre-widen dirs CAST
+    // exactly in the resolve fold (only exact promotions are
+    // sanctioned — int→bigint here), the post-widen commit writes the
+    // wide type natively, and a DV folds at its manifest position.
+    // Oracle = the merged lineage with the cast applied relationally.
+    "q_widen_col" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("vint",
+        (col("event_id") % 100000).cast("int"))
+      val path = tmpPath("graft_widen", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(ev.filter(col("event_id") % 2 === 0), path)
+      s.sql(s"ALTER TABLE graft_table('$path') " +
+        "ALTER COLUMN vint TYPE BIGINT")
+      SinkOps.commitVersion(
+        ev.filter(col("event_id") % 2 === 1)
+          .withColumn("vint", col("vint").cast("bigint")), path)
+      SinkOps.deleteVersionKeys(
+        ev.filter(col("event_id") % 9 === 0).select("event_id"),
+        path, "event_id")
+      SinkOps.readVersion(s, path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("vint")).as("vint_sum"))
+    }),
     // Grouped OLS regression from exact moments (not the double-summing
     // regr_* built-ins): price-on-quantity slope/intercept/r² per flag.
     "q_regression" -> ((s, d) =>
@@ -7698,6 +7726,14 @@ object SparkEntry {
     "q_drop_col" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
          WHERE event_id % 3 <> 2 AND event_id % 7 <> 0""",
+    // Widen lineage replayed relationally: evens + odds minus the %9
+    // deletions, vint cast to BIGINT (exact — int→bigint).
+    "q_widen_col" ->
+      """SELECT event_type, count(*) AS n_rows,
+                CAST(sum(CAST(event_id % 100000 AS BIGINT)) AS BIGINT)
+                  AS vint_sum
+         FROM events WHERE event_id % 9 <> 0
+         GROUP BY event_type""",
     // Same exact moments, same closed-form IEEE arithmetic in the same
     // operation order — identical doubles out.
     "q_regression" ->

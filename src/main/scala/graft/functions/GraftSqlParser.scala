@@ -203,6 +203,10 @@ object GraftSqlParser {
   private val DropColTail =
     "(?is)^DROP\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
 
+  private val WidenColTail =
+    ("(?is)^ALTER\\s+COLUMN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+TYPE\\s+" +
+      "([A-Za-z0-9_]+(?:\\s*\\([0-9,\\s]*\\))?)$").r
+
   private val MergeOn =
     "(?is)^ON\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(.*)$".r
 
@@ -407,9 +411,12 @@ object GraftSqlParser {
                 GraftRenameColumnCommand(path, o, n)
               case DropColTail(c) =>
                 GraftDropColumnCommand(path, c)
+              case WidenColTail(c, t) =>
+                GraftWidenColumnCommand(path, c, t.trim)
               case other => throw new IllegalArgumentException(
                 s"ALTER TABLE graft_table('$path') supports exactly " +
-                  "RENAME COLUMN <old> TO <new> | DROP COLUMN <col>; " +
+                  "RENAME COLUMN <old> TO <new> | DROP COLUMN <col> " +
+                  "| ALTER COLUMN <col> TYPE <type>; " +
                   s"got: $other")
             }
           case "RESTORE" =>
@@ -669,6 +676,21 @@ case class GraftDropColumnCommand(path: String, colName: String)
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.ops.SinkOps.dropVersionColumn(spark, path, colName)))
+}
+
+/** `ALTER TABLE graft_table(path) ALTER COLUMN col TYPE <type>` →
+  * [[graft.ops.SinkOps.widenVersionColumn]] — one metadata manifest
+  * line, zero data IO; legacy dirs cast exactly in the resolve fold
+  * (only exact promotions are sanctioned). Returns the widen commit's
+  * version.
+  */
+case class GraftWidenColumnCommand(path: String, colName: String,
+                                   newType: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.ops.SinkOps.widenVersionColumn(spark, path, colName,
+      newType)))
 }
 
 /** `CLONE graft_table(src) TO graft_table(dst) [VERSION AS OF v]` →

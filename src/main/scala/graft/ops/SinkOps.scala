@@ -1258,6 +1258,58 @@ object SinkOps {
     v
   }
 
+  /** WIDEN a column's type without rewriting a byte — the third
+    * schema-evolution verb (`ALTER COLUMN c TYPE BIGINT`, Iceberg's
+    * type promotions as a manifest op line): the new version's
+    * manifest is the head's lines plus ONE `widen:<col>:<type>`
+    * metadata line. Dirs committed before the line keep their written
+    * (narrow) type and every resolved read CASTS them in manifest
+    * order — exact by construction, because only promotions that are
+    * exact on every representable value are sanctioned ([[widenOk]]:
+    * int→bigint, float→double, the integral→double cases; long→int or
+    * double→float is a rewrite wearing a metadata costume and refuses
+    * loudly). Commits after the widen write the wide type natively;
+    * pinned readers of earlier versions see the narrow type (time
+    * travel is schema travel). Zero data IO now; OPTIMIZE
+    * ([[compactVersions]]) materializes the widen and purges the line
+    * — until then the sidecar-planning tiers and changefeed windows
+    * crossing the widen refuse loudly exactly like rename/drop.
+    * Returns the new version.
+    */
+  def widenVersionColumn(spark: org.apache.spark.sql.SparkSession,
+                         path: String, colName: String,
+                         newType: String): Int = {
+    require(colName.nonEmpty && !colName.contains(':') &&
+        !colName.contains('\n'),
+      s"column name '$colName' cannot ride a manifest line")
+    val target = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(newType).catalogString
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = latestVersion(fs, root)
+    require(head >= 1, s"no versions committed at $path")
+    val schema = readVersion(spark, path).schema
+    val field = schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"widen target $colName not in head schema " +
+          s"(${schema.fieldNames.mkString(", ")}) at $path"))
+    val from = field.dataType.catalogString
+    require(from != target,
+      s"column $colName already has type $target at $path")
+    require(widenOk((from, target)),
+      s"refusing to 'widen' $colName from $from to $target — only " +
+        "exact promotions are metadata ops (" +
+        widenOk.toSeq.sorted.map(p => s"${p._1}->${p._2}")
+          .mkString(", ") +
+        "); a narrowing or lossy change is a rewrite: transform and " +
+        "INSERT OVERWRITE")
+    val v = math.max(head, latestStaged(fs, root)) + 1
+    requireVacant(fs, root, v)
+    writeManifestLines(fs, root, v,
+      manifestDirs(fs, root, head) :+ s"$WidenPrefix$colName:$target")
+    v
+  }
+
   /** Changefeed window addressed by TIMESTAMPS — Delta's
     * timestamp-based CDF shape: the rows added in
     * (version-as-of(tsFrom), version-as-of(tsTo)], each bound resolved
@@ -1325,11 +1377,46 @@ object SinkOps {
   private def dropPart(line: String): String =
     line.stripPrefix(DropPrefix)
 
-  /** A schema-evolution op line (rename or drop) — metadata-only,
-    * no path, applied to preceding dirs in the resolve fold.
+  /** COLUMN-WIDEN manifest line: `widen:<col>:<type>` — the third
+    * schema-evolution verb (Iceberg's type-promotion rules as a
+    * manifest op): widening a column is one metadata line, ZERO data
+    * IO; dirs committed BEFORE the line are CAST in the resolve fold
+    * (every sanctioned promotion is exact — see [[widenOk]]), dirs
+    * after write the wide type natively. Compaction materializes the
+    * widen and purges the line.
+    */
+  private val WidenPrefix = "widen:"
+
+  private def isWidenLine(line: String): Boolean =
+    line.startsWith(WidenPrefix)
+
+  /** (colName, targetType catalog string) of a widen line. */
+  private def widenParts(line: String): (String, String) = {
+    val rest = line.stripPrefix(WidenPrefix)
+    val i = rest.lastIndexOf(':')
+    require(i > 0, s"malformed widen manifest line: $line")
+    (rest.substring(0, i), rest.substring(i + 1))
+  }
+
+  /** The sanctioned type promotions — exactly the casts that are
+    * EXACT on every representable value (the Iceberg promotion set
+    * plus the integral→double cases doubles hold exactly): anything
+    * else (long→int, double→float, long→double, string→anything) is
+    * a rewrite wearing a metadata costume and refuses at the verb.
+    */
+  private val widenOk: Set[(String, String)] = Set(
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"))
+
+  /** A schema-evolution op line (rename, drop, or widen) —
+    * metadata-only, no path, applied to preceding dirs in the
+    * resolve fold.
     */
   private def isSchemaLine(line: String): Boolean =
-    isRenameLine(line) || isDropLine(line)
+    isRenameLine(line) || isDropLine(line) || isWidenLine(line)
 
   /** A manifest line that transforms the rows of dirs preceding it
     * (delete sidecar, column rename, or column drop) — the resolve
@@ -1416,6 +1503,14 @@ object SinkOps {
           } else if (isDropLine(op)) {
             // drop of a column a dir never had is likewise a no-op.
             acc.drop(dropPart(op))
+          } else if (isWidenLine(op)) {
+            // Cast legacy dirs to the widened type (exact by the
+            // sanctioned-promotion contract); dirs already written
+            // wide (or never carrying the column) are no-ops.
+            val (c, t) = widenParts(op)
+            if (acc.columns.contains(c)) acc.withColumn(c,
+              acc(c).cast(t))
+            else acc
           } else {
             val (ddir, keyCol) = deleteParts(op)
             acc.join(broadcast(spark.read.parquet(

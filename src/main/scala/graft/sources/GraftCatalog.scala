@@ -209,9 +209,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "graft tables have no nested columns to drop")
         graft.ops.SinkOps.dropVersionColumn(spark, root,
           dc.fieldNames.head)
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "graft tables have no nested columns to widen")
+        graft.ops.SinkOps.widenVersionColumn(spark, root,
+          ut.fieldNames.head, ut.newDataType.catalogString)
       case other => throw new UnsupportedOperationException(
-        s"graft catalog supports RENAME COLUMN and DROP COLUMN; got " +
-          s"$other — data-shaped changes go through commits")
+        s"graft catalog supports RENAME/DROP COLUMN and ALTER COLUMN " +
+          s"TYPE (widening); got $other — data-shaped changes go " +
+          "through commits")
     }
     loadTable(ident)
   }
