@@ -152,6 +152,68 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"))
     }),
+    // ARBITRARY-EXPRESSION CHECK + SQL FK (round 14) — the Delta
+    // `ADD CONSTRAINT CHECK (<expr>)` shape plus referential
+    // integrity against another versioned table, entirely from SQL:
+    // expr(<boolean sql>) fuses into the one-pass aggregate (FALSE
+    // violates, NULL passes — SQL standard), fk(c, graft_table(dim),
+    // dim_c) anti-joins the dimension HEAD; a violating batch refuses
+    // with the bounded report BEFORE the staged files publish (and
+    // the staging is deleted), so the head is only ever clean slices.
+    "q_sql_check_expr" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val dim = tmpPath("graft_ckx_dim", d)
+      val dimRoot = new org.apache.hadoop.fs.Path(dim)
+      dimRoot.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(dimRoot, true)
+      SinkOps.commitVersion(
+        Tables.customer(s, d).select("c_custkey"), dim)
+      val path = tmpPath("graft_ckx", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      Tables.orders(s, d).createOrReplaceTempView("r14_ckx_orders")
+      s.sql(
+        s"""INSERT INTO graft_table('$path')
+            CHECK o_orderkey (expr(o_totalprice > 0),
+                              fk(o_custkey, graft_table('$dim'),
+                                 c_custkey))
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM r14_ckx_orders WHERE o_orderkey % 2 = 0""").collect()
+      // A batch violating the expression refuses with the head
+      // byte-untouched...
+      try {
+        s.sql(
+          s"""INSERT INTO graft_table('$path')
+              CHECK o_orderkey (expr(o_totalprice > 0))
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     -o_totalprice AS o_totalprice
+              FROM r14_ckx_orders WHERE o_orderkey % 2 = 1""").collect()
+        throw new IllegalStateException(
+          "expr-violating batch was accepted — the gate leaked")
+      } catch {
+        case e: Exception
+            if e.getMessage.contains("constraint violations") => ()
+      }
+      // ...and so does one with dangling foreign keys.
+      try {
+        s.sql(
+          s"""INSERT INTO graft_table('$path')
+              CHECK o_orderkey (fk(o_custkey, graft_table('$dim'),
+                                   c_custkey))
+              SELECT o_orderkey, o_custkey + 900000000 AS o_custkey,
+                     o_orderstatus, o_totalprice
+              FROM r14_ckx_orders WHERE o_orderkey % 2 = 1""").collect()
+        throw new IllegalStateException(
+          "fk-violating batch was accepted — the gate leaked")
+      } catch {
+        case e: Exception
+            if e.getMessage.contains("constraint violations") => ()
+      }
+      SinkOps.readVersion(s, path)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+    }),
     // RENAME COLUMN as one metadata manifest line (Delta
     // column-mapping shape), through the SQL verb: zero data IO, old
     // dirs resolve under the new name, the pre-rename delete sidecar
@@ -3081,6 +3143,31 @@ object SparkEntry {
             "vbkt" -> Seq("1", "3")))
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // PARTITION-SPEC EVOLUTION (round 14) — the table moves from
+    // `event_type` to `event_type/vbkt` WITHOUT rewriting history
+    // (Iceberg's spec-evolution shape): old dirs keep their sidecars
+    // and prune on the columns THEY have, new commits land the new
+    // nested layout, and a conjunction predicate prunes each dir by
+    // its own spec — the vbkt predicate skips leaves only where the
+    // layout can answer it, the exact residual keeps the result equal
+    // to the full-scan filter everywhere (never a wrong skip).
+    "q_part_evolve" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("vbkt",
+        (col("event_id") % 4).cast("string"))
+      val path = tmpPath("graft_pevo", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersionPartitioned(
+        ev.filter(col("event_id") % 2 === 0), path, "event_type")
+      SinkOps.commitVersionPartitionedCols(
+        ev.filter(col("event_id") % 2 === 1), path,
+        Seq("event_type", "vbkt"))
+      SinkOps.readVersionPartsWhere(s, path,
+          Seq("event_type" -> Seq("click", "view"),
+            "vbkt" -> Seq("1", "3")))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
     // METADATA-ONLY grouped partition counts through SQL: the parts
     // sidecars' footer-derived row counts answer
     // SELECT partCol, count(*) GROUP BY with ZERO data-file IO at any
@@ -3854,6 +3941,58 @@ object SparkEntry {
              FROM graft_version('$path')""")
     }),
 
+    // MAINTENANCE ADVISOR (round 14) — versionHistory's gauges turned
+    // into one actionable row per table (the graft_advice TVF,
+    // metadata-only): an adjacent delete run recommends the cheap
+    // coalesce_deletes, interleaved DV debt past the read-group
+    // threshold recommends optimize, small files recommend bin_pack,
+    // and a healthy table says none — the same table under a
+    // different declared target flips bin_pack → none, pinning that
+    // the recommendation IS the threshold arithmetic, not a vibe.
+    "q_maintenance_advice" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val ev = Tables.events(s, d)
+      def fresh(prefix: String): String = {
+        val p = tmpPath(prefix, d)
+        val r = new org.apache.hadoop.fs.Path(p)
+        r.getFileSystem(s.sessionState.newHadoopConf()).delete(r, true)
+        p
+      }
+      // Adjacent delete run of 3 → coalesce_deletes.
+      val pc = fresh("graft_adv_c")
+      SinkOps.commitVersion(ev, pc, carryForward = true,
+        Some("event_id"))
+      Seq(5, 7, 11).foreach { m =>
+        SinkOps.deleteVersionKeys(
+          ev.filter(col("event_id") % m === 0).select("event_id"),
+          pc, "event_id"); ()
+      }
+      // Interleaved commits and deletes: 4 epoch groups, no run → optimize.
+      val po = fresh("graft_adv_o")
+      (0 to 2).foreach { r =>
+        SinkOps.commitVersion(ev.filter(col("event_id") % 4 === r),
+          po, carryForward = true, Some("event_id"))
+        SinkOps.deleteVersionKeys(
+          ev.filter(col("event_id") % (13 + r) === 0)
+            .select("event_id"), po, "event_id"); ()
+      }
+      SinkOps.commitVersion(ev.filter(col("event_id") % 4 === 3), po,
+        carryForward = true, Some("event_id"))
+      // Clean 4-file commit: under a 1M-rows/file target → bin_pack;
+      // the SAME table under target 1 → none.
+      val pb = fresh("graft_adv_b")
+      SinkOps.commitVersion(ev.repartition(4), pb,
+        carryForward = true, Some("event_id"))
+      s.sql(s"""
+        SELECT 'runs' AS t, n_read_groups, max_delete_run,
+               recommendation FROM graft_advice('$pc', 1, 4)
+        UNION ALL SELECT 'debt', n_read_groups, max_delete_run,
+               recommendation FROM graft_advice('$po', 1, 4)
+        UNION ALL SELECT 'small', n_read_groups, max_delete_run,
+               recommendation FROM graft_advice('$pb', 1000000, 4)
+        UNION ALL SELECT 'healthy', n_read_groups, max_delete_run,
+               recommendation FROM graft_advice('$pb', 1, 4)""")
+    }),
     // CATALOG-NAMED graft tables — the DSv2 TableCatalog front
     // (graft.sources.GraftCatalog + GraftTableResolutionRule + the
     // parser's named targets): CREATE TABLE cat.db.t, INSERT INTO /
@@ -7715,6 +7854,11 @@ object SparkEntry {
     "q_commit_checked" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
          WHERE o_orderkey % 3 = 0""",
+    // The expr/fk-gated table holds ONLY the clean slice: both dirty
+    // batches were refused before their stagings published.
+    "q_sql_check_expr" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+         WHERE o_orderkey % 2 = 0""",
     // Rename lineage replayed relationally: evens minus the pre-rename
     // key deletions, plus all odds, value aliased to its new name.
     "q_rename_col" ->
@@ -8180,6 +8324,25 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
                   AS val_sum
          FROM events""",
+    // Spec evolution prunes per dir and filters exactly: the result
+    // equals the full-scan conjunction regardless of which dirs could
+    // answer which predicate from their layout.
+    "q_part_evolve" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_type IN ('click', 'view')
+           AND CAST(event_id % 4 AS VARCHAR) IN ('1', '3')""",
+    // The advisor's recommendation is closed-form threshold
+    // arithmetic over the constructed histories: a 3-run of adjacent
+    // deletes coalesces, 4 interleaved epoch groups optimize, small
+    // files bin-pack under a 1M target, and the same table under
+    // target 1 is healthy.
+    "q_maintenance_advice" ->
+      """SELECT * FROM (VALUES
+           ('runs', 1, 3, 'coalesce_deletes'),
+           ('debt', 4, 1, 'optimize'),
+           ('small', 1, 0, 'bin_pack'),
+           ('healthy', 1, 0, 'none'))
+         AS v(t, n_read_groups, max_delete_run, recommendation)""",
     // Catalog-named DML ≡ the path DML: v1 = the raw events digest,
     // head = the MERGE-upserted digest (batch rows win on key).
     "q_sql_catalog" ->

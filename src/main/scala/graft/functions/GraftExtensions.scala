@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftFunctions.graftPartCounts)
     ext.injectTableFunction(GraftFunctions.graftVersionAsOf)
     ext.injectTableFunction(GraftFunctions.tableChangesAsOf)
+    ext.injectTableFunction(GraftFunctions.graftAdvice)
     // SQL DML front door for the versioned tier: MERGE INTO /
     // DELETE FROM / INSERT INTO against graft_table('<path>') or a
     // catalog-named graft.db.t, sharing the SinkOps bodies (one
@@ -346,6 +347,34 @@ object GraftFunctions {
       new ExpressionInfo("graft.ops.SinkOps", "graft_history"),
       buildGraftHistory _)
 
+  /** `graft_advice(path[, targetRowsPerFile[, maxReadGroups]])` — the
+    * maintenance advisor through SQL
+    * ([[graft.ops.SinkOps.maintenanceAdvice]]): one actionable row
+    * (coalesce_deletes / optimize / bin_pack / none with the gauge
+    * numbers), metadata-only.
+    */
+  private def buildGraftAdvice(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.nonEmpty && exprs.length <= 3,
+      s"graft_advice expects (path[, targetRowsPerFile[, " +
+        s"maxReadGroups]]), got ${exprs.length} arguments")
+    val target = if (exprs.length >= 2)
+      constLong(exprs(1), "graft_advice targetRowsPerFile")
+    else 1000000L
+    val groups = if (exprs.length >= 3)
+      constInt(exprs(2), "graft_advice maxReadGroups")
+    else 4
+    GraftSqlBridge.plan(graft.ops.SinkOps.maintenanceAdvice(
+      SparkSession.active, constString(exprs.head, "graft_advice path"),
+      target, groups))
+  }
+
+  val graftAdvice: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_advice"),
+      new ExpressionInfo("graft.ops.SinkOps", "graft_advice"),
+      buildGraftAdvice _)
+
   /** `graft_version_asof(path, tsMillis)` — TIMESTAMP AS OF through
     * SQL: the latest snapshot whose writer-stamped commit timestamp is
     * ≤ tsMillis ([[graft.ops.SinkOps.readVersionAsOf]] — binary-search
@@ -429,5 +458,7 @@ object GraftFunctions {
       buildVersionAsOf)
     GraftSqlBridge.registerTableFunction(spark, "table_changes_asof",
       buildTableChangesAsOf)
+    GraftSqlBridge.registerTableFunction(spark, "graft_advice",
+      buildGraftAdvice)
   }
 }

@@ -617,11 +617,14 @@ object SinkOps {
     val head = latestVersion(fs, root)
     require(head >= 1, s"no versions committed at $path")
     val cols = manifestDirs(fs, root, head).filterNot(isOpLine)
-      .flatMap(d => readDirParts(fs, root, d).map(_.cols)).distinct
-    require(cols.length <= 1,
-      s"head of $path mixes partition columns: " +
-        cols.map(_.mkString("/")).mkString(", "))
-    cols.headOption
+      .flatMap(d => readDirParts(fs, root, d).map(_.cols))
+    // Partition-SPEC EVOLUTION (round 14): a table mid-move from
+    // `date` to `date/tenant` mixes specs in one snapshot — the
+    // CURRENT spec is the LAST partitioned dir's (manifest order is
+    // commit order), so layout-following writers (MERGE, OPTIMIZE)
+    // land the NEW layout and OPTIMIZE converges the whole table to
+    // it. Reads prune each dir by its own spec (partGroups).
+    cols.lastOption
   }
 
   /** OPTIMIZE ZORDER — full compaction under a 2-D Morton layout with
@@ -1985,6 +1988,90 @@ object SinkOps {
       "min_stat", "max_stat", "n_delete_commits", "n_read_groups")
   }
 
+  /** MAINTENANCE ADVISOR — turn the gauges ([[versionHistory]]'s
+    * read-amplification and file counts) into ONE actionable row, so
+    * an operator (or a cron) acts on the numbers instead of eyeballing
+    * them. Metadata-only like the gauges themselves: O(head manifest +
+    * sidecars) driver work, zero data IO. The threshold arithmetic,
+    * in priority order (cheapest sufficient payback first):
+    *
+    *  1. `coalesce_deletes` — an adjacent same-key delete run of
+    *     length ≥ 2 exists: [[coalesceDeletes]] reclaims those folds
+    *     at O(delete keys) with zero data IO, so it always precedes a
+    *     full rewrite.
+    *  2. `optimize` — read amplification `n_read_groups` ≥
+    *     `maxReadGroups` (default 4: a resolved read unions ≥4 epoch
+    *     branches, each with its own anti-join fold) but no
+    *     coalescible run: only [[compactVersions]] pays this back.
+    *  3. `bin_pack` — avg rows/file < `targetRowsPerFile`: the
+    *     small-file debt a streaming sink accrues;
+    *     [[compactSmallDirs]]/[[compactVersions]] right-sizes.
+    *  4. `none` — the table is healthy; a no-op maintenance run is
+    *     wasted IO.
+    *
+    * Output: one row (version, n_dirs, n_files, n_rows, n_read_groups,
+    * max_delete_run, avg_rows_per_file, recommendation). Same loud
+    * every-file-counted sidecar contract as [[versionHistory]].
+    */
+  def maintenanceAdvice(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        targetRowsPerFile: Long = 1000000L,
+                        maxReadGroups: Int = 4): DataFrame = {
+    require(targetRowsPerFile >= 1 && maxReadGroups >= 2,
+      s"nonsensical thresholds: target=$targetRowsPerFile " +
+        s"groups=$maxReadGroups")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = latestVersion(fs, root)
+    require(head >= 1, s"no versions committed at $path")
+    val lines = manifestDirs(fs, root, head)
+    val data = lines.filterNot(isOpLine)
+    // Longest adjacent same-keyCol delete run (coalesceDeletes' unit
+    // of reclaimable debt).
+    var maxRun = 0; var run = 0; var lastKey: Option[String] = None
+    lines.foreach { l =>
+      if (isDeleteLine(l)) {
+        val k = deleteParts(l)._2
+        run = if (lastKey.contains(k)) run + 1 else 1
+        lastKey = Some(k)
+        maxRun = math.max(maxRun, run)
+      } else { run = 0; lastKey = None }
+    }
+    val nGroups = epochGroups(lines.filterNot(isSchemaLine)).size
+    var nFiles = 0L; var nRows = 0L
+    data.foreach { d =>
+      readDirStats(fs, root, d) match {
+        case Some(ds) => ds.files.foreach { case (_, _, cnt) =>
+          nRows += cnt.getOrElse(throw new IllegalStateException(
+            s"count-less stats line for dir $d (legacy format)"))
+          nFiles += 1
+        }
+        case None =>
+          val dp = readDirParts(fs, root, d).getOrElse(
+            throw new IllegalArgumentException(
+              s"dir $d of version $head has no stats or parts " +
+                "sidecar — the advisor needs every file counted " +
+                "(commit with statsCols or partition columns)"))
+          dp.frags.foreach { pf =>
+            nRows += pf.rows.getOrElse(throw new IllegalStateException(
+              s"count-less parts line for dir $d (legacy format)"))
+            nFiles += pf.files.getOrElse(throw new IllegalStateException(
+              s"file-count-less parts line for dir $d (legacy format)"))
+          }
+      }
+    }
+    val avg = if (nFiles == 0) 0L else nRows / nFiles
+    val rec =
+      if (maxRun >= 2) "coalesce_deletes"
+      else if (nGroups >= maxReadGroups) "optimize"
+      else if (avg < targetRowsPerFile && nFiles > 1) "bin_pack"
+      else "none"
+    import spark.implicits._
+    Seq((head, data.size, nFiles, nRows, nGroups, maxRun, avg, rec))
+      .toDF("version", "n_dirs", "n_files", "n_rows", "n_read_groups",
+        "max_delete_run", "avg_rows_per_file", "recommendation")
+  }
+
   /** CDF ATTRIBUTION — classify a window's post-image rows as INSERT
     * or UPDATE: a DV changefeed alone cannot tell them apart (the
     * delete sidecar lists merge-touched keys whether or not they
@@ -2639,6 +2726,22 @@ object SinkOps {
       latest
     }
     val wanted = preds.map { case (c, vs) => (c, vs.toSet) }
+    // PARTITION-SPEC EVOLUTION tolerance (round 14): a snapshot may
+    // mix dirs partitioned under DIFFERENT specs (the table moved from
+    // `date` to `date/tenant` without rewrite) — each dir prunes on
+    // the INTERSECTION of the predicate columns with ITS OWN spec, and
+    // the exact residual keeps the result equal to the full-scan
+    // filter (a dir lacking a predicate column is pruned less, never
+    // wrongly skipped). The typo guard stays loud one level up: every
+    // predicate column must exist in at least one dir's spec, else the
+    // reader asked for a skip NO layout can answer.
+    val allSpecCols = manifestDirs(fs, root, v).filterNot(isOpLine)
+      .flatMap(d => readDirParts(fs, root, d).map(_.cols).getOrElse(Nil))
+      .toSet
+    wanted.foreach { case (c, _) =>
+      require(allSpecCols.contains(c),
+        s"no partitioned dir of version $v at $path carries predicate " +
+          s"column $c (specs seen: ${allSpecCols.mkString(", ")})") }
     var total = 0
     val whole = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.hadoop.fs.Path]
@@ -2651,14 +2754,11 @@ object SinkOps {
               whole += dirP
               Seq((dirP, dirP))
             case Some(dp) =>
-              wanted.foreach { case (c, _) =>
-                require(dp.cols.contains(c),
-                  s"dir $d is partitioned by ${dp.cols.mkString("/")}" +
-                    s", which lacks predicate column $c") }
+              val applicable = wanted.filter(w => dp.cols.contains(w._1))
               total += dp.frags.length
               dp.frags.map(_.frag).filter { f =>
                 val vals = dp.cols.zip(fragValues(f, dp.cols, d)).toMap
-                wanted.forall { case (c, vs) => vs.contains(vals(c)) }
+                applicable.forall { case (c, vs) => vs.contains(vals(c)) }
               }.map(f =>
                 (dirP, new org.apache.hadoop.fs.Path(dirP, f)))
           }

@@ -311,6 +311,86 @@ class Round14OpsSpec extends SparkSpec {
       ev.filter(col("event_id") % 6 === 0).count())
   }
 
+  // ---- partition-spec evolution ----
+
+  test("partition-spec evolution: each dir prunes by its own spec, " +
+      "layout-following writers land the latest spec, and OPTIMIZE " +
+      "converges the table to it") {
+    val t = tmp("r14_pevo")
+    val ev = events.withColumn("vbkt",
+      (col("event_id") % 4).cast("string"))
+      .select("event_id", "user_id", "event_type", "value", "vbkt")
+    SinkOps.commitVersionPartitioned(
+      ev.filter(col("event_id") % 2 === 0), t, "event_type")
+    SinkOps.commitVersionPartitionedCols(
+      ev.filter(col("event_id") % 2 === 1), t,
+      Seq("event_type", "vbkt"))
+    // Prune-per-dir: an event_type predicate prunes BOTH dirs'
+    // leaves (kept < total), and the conjunction result is exact.
+    val (kept, total, whole) =
+      SinkOps.planPartsIn(spark, t, "event_type", Seq("click"))
+    assert(whole.isEmpty, "no dir should be kept whole — both are " +
+      "partitioned and both carry event_type")
+    assert(kept.nonEmpty && kept.size < total,
+      s"expected real pruning: kept ${kept.size} of $total")
+    val got = SinkOps.readVersionPartsWhere(spark, t,
+      Seq("event_type" -> Seq("click"), "vbkt" -> Seq("2")))
+    val want = ev.filter(col("event_type") === "click" &&
+      col("vbkt") === "2")
+    assert(got.count() == want.count())
+    assert(got.agg(sum("event_id")).collect().head.getLong(0) ==
+      want.agg(sum("event_id")).collect().head.getLong(0))
+    // A predicate column NO spec carries refuses loudly (typo guard).
+    val e = intercept[IllegalArgumentException] {
+      SinkOps.readVersionPartsWhere(spark, t,
+        Seq("no_such_col" -> Seq("x")))
+    }
+    assert(e.getMessage.contains("no partitioned dir"),
+      s"wrong refusal: ${e.getMessage}")
+    // A layout-following MERGE lands the LATEST spec (event_type/vbkt).
+    val batch = ev.filter(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") + 5000.0)
+    SinkOps.mergeVersion(batch, t, "event_id")
+    assert(SinkOps.readVersionPartsWhere(spark, t,
+        Seq("vbkt" -> Seq("0")))
+      .filter(col("value") >= 5000.0).count() ==
+      batch.filter(col("vbkt") === "0").count())
+    // OPTIMIZE converges the whole table to the latest spec:
+    // metadata-only partition counts group by BOTH columns after.
+    SinkOps.compactVersions(spark, t)
+    val pc = SinkOps.partCountsOnly(spark, t)
+    assert(pc.columns.toSeq == Seq("event_type", "vbkt", "n_rows"))
+    assert(pc.agg(sum("n_rows")).collect().head.getLong(0) ==
+      ev.dropDuplicates("event_id").count())
+  }
+
+  // ---- maintenance advisor ----
+
+  test("maintenanceAdvice refuses a table it cannot count and keeps " +
+      "its gauges consistent with versionHistory") {
+    val t = tmp("r14_adv_loud")
+    SinkOps.commitVersion(events.select("event_id", "user_id"), t)
+    // No stats/parts sidecar: the advisor refuses like the history
+    // tier (never an undercounted recommendation).
+    val e = intercept[IllegalArgumentException] {
+      SinkOps.maintenanceAdvice(spark, t)
+    }
+    assert(e.getMessage.contains("no stats or parts sidecar"),
+      s"wrong refusal: ${e.getMessage}")
+    val t2 = tmp("r14_adv_gauges")
+    SinkOps.commitVersion(events.select("event_id", "user_id"), t2,
+      carryForward = true, Some("event_id"))
+    SinkOps.deleteVersionKeys(
+      events.filter(col("event_id") % 3 === 0).select("event_id"), t2,
+      "event_id")
+    val adv = SinkOps.maintenanceAdvice(spark, t2).collect().head
+    val hist = SinkOps.versionHistory(spark, t2)
+      .orderBy(col("version").desc).collect().head
+    assert(adv.getAs[Int]("n_read_groups") ==
+      hist.getAs[Int]("n_read_groups"))
+    assert(adv.getAs[Long]("n_files") == hist.getAs[Long]("n_files"))
+  }
+
   // ---- kgram k overflow ----
 
   test("kgram_hash60 refuses a k literal past Int range instead of " +
