@@ -125,6 +125,22 @@ object GraftSqlParser {
       "([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\." +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*(.*)$").r
 
+  /** `CREATE TABLE cat.db.t AS <query>` on a graft catalog — CTAS by
+    * name (Spark's own v2 CTAS needs a staging catalog + DSv2 write;
+    * here it is simply a first commit at the resolved root, which the
+    * catalog then discovers via its manifest).
+    */
+  private val NamedCtasHead =
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+([A-Za-z_][A-Za-z0-9_]*)\\." +
+      "([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+" +
+      "(.+)$").r
+
+  /** Trailing `RETRY <n>` clause of MERGE/DELETE — opt-in OCC commit
+    * retry (the *Retrying SinkOps bodies); without it the verbs keep
+    * their bit-identical single-attempt shape.
+    */
+  private val RetryTail = "(?is)^(.*?)\\s*RETRY\\s+(\\d+)$".r
+
   private def isGraftCat(cat: String): Boolean =
     org.apache.spark.sql.SparkSession.getActiveSession
       .exists(s => graft.sources.GraftCatalog.isGraftCatalog(s, cat))
@@ -313,6 +329,16 @@ object GraftSqlParser {
         Some(dmlPlan(normVerb(verb),
           graft.sources.GraftCatalog.tableRoot(spark, cat, db, tbl),
           Nil, tail, delegate))
+      case NamedCtasHead(cat, db, tbl, query) if isGraftCat(cat) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        require(!graft.sources.GraftCatalog.tableExistsAt(spark, cat,
+            db, tbl),
+          s"CREATE TABLE $cat.$db.$tbl AS ...: table already exists " +
+            "— INSERT INTO/OVERWRITE it, or DROP it first")
+        Some(GraftCtasCommand(
+          graft.sources.GraftCatalog.tableRoot(spark, cat, db, tbl,
+            mustExist = false),
+          delegate.parseQuery(query.trim)))
       case NamedCloneHead(cat, db1, t1, cat2, db2, t2, tail)
           if isGraftCat(cat) && isGraftCat(cat2) =>
         val spark = org.apache.spark.sql.SparkSession.active
@@ -444,11 +470,16 @@ object GraftSqlParser {
             tail.trim match {
               case DeleteTail(keyCol, parenOn) =>
                 val (inner, rest) = balanced(parenOn.trim, path)
-                require(rest.trim.isEmpty,
-                  s"unexpected trailing text after DELETE FROM " +
-                    s"graft_table('$path') ... IN (...): '${rest.trim}'")
+                val retries = rest.trim match {
+                  case "" => 0
+                  case RetryTail("", n) => n.toInt
+                  case other => throw new IllegalArgumentException(
+                    s"unexpected trailing text after DELETE FROM " +
+                      s"graft_table('$path') ... IN (...): '$other' " +
+                      "(supported: RETRY <n>)")
+                }
                 GraftDeleteCommand(path, keyCol,
-                  delegate.parseQuery(inner.trim))
+                  delegate.parseQuery(inner.trim), retries)
               case other => throw new IllegalArgumentException(
                 "DELETE FROM graft_table('" + path + "') supports " +
                   "exactly `WHERE <keyCol> IN (<query>)` (the " +
@@ -504,15 +535,18 @@ object GraftSqlParser {
             val (inner, rest) = balanced(afterUsing, path)
             rest.trim match {
               case MergeOn(keyCol, whenTail) =>
-                require(whenTail.trim.isEmpty ||
-                    CanonicalWhen.matches(whenTail.trim),
+                val (when, retries) = whenTail.trim match {
+                  case RetryTail(w, n) => (w.trim, n.toInt)
+                  case w => (w, 0)
+                }
+                require(when.isEmpty || CanonicalWhen.matches(when),
                   "MERGE INTO graft_table implements exactly upsert-" +
                     "all (WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
                     "MATCHED THEN INSERT *) — any other WHEN action " +
                     "refuses rather than silently computing " +
-                    "something else; got: " + whenTail.trim)
+                    "something else; got: " + when)
                 GraftMergeCommand(path, keyCol,
-                  delegate.parseQuery(inner.trim), statsCols)
+                  delegate.parseQuery(inner.trim), statsCols, retries)
               case other => throw new IllegalArgumentException(
                 s"MERGE INTO graft_table('$path') USING (...) " +
                   s"expects `ON <keyCol>`; got: $other")
@@ -705,6 +739,25 @@ case class GraftCloneCommand(src: String, dst: String,
     Seq(Row(graft.ops.SinkOps.cloneVersion(spark, src, dst, version)))
 }
 
+/** `CREATE TABLE cat.db.t AS <query>` (graft catalogs only) — CTAS by
+  * name: one [[graft.ops.SinkOps.commitVersion]] at the resolved
+  * warehouse root; the catalog discovers the result via its manifest.
+  * Existence was refused at parse; the version-0 recheck here closes
+  * the parse-to-run race.
+  */
+case class GraftCtasCommand(path: String, source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.versionOutput
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(graft.ops.SinkOps.currentVersion(spark, path) == 0,
+      s"CTAS target $path gained commits between parse and run — " +
+        "a concurrent writer created it; INSERT INTO it instead")
+    Seq(Row(graft.ops.SinkOps.commitVersion(
+      GraftSqlBridge.ofRows(spark, source), path)))
+  }
+}
+
 /** `VACUUM graft_table(path) KEEP <v> [RETAIN <n> HOURS]` →
   * [[graft.ops.SinkOps.expireVersions]] with the retention grace —
   * returns `n_deleted`, the reference-counted data dirs reclaimed.
@@ -719,33 +772,50 @@ case class GraftVacuumCommand(path: String, keep: Int,
       retainMillis)))
 }
 
-/** `DELETE FROM graft_table(path) WHERE k IN (<query>)` →
+/** `DELETE FROM graft_table(path) WHERE k IN (<query>) [RETRY n]` →
   * [[graft.ops.SinkOps.deleteVersionKeys]] — merge-on-read sidecar,
-  * zero data files rewritten.
+  * zero data files rewritten. With RETRY n the OCC-retrying body
+  * ([[graft.ops.SinkOps.deleteVersionKeysRetrying]]) lands the delete
+  * through up to n version races (opt-in: the clause changes the
+  * sidecar dir naming from `deletes/v<N>` to commit-unique, so the
+  * default keeps the bit-identical single-attempt shape).
   */
 case class GraftDeleteCommand(path: String, keyCol: String,
-                              keys: LogicalPlan)
+                              keys: LogicalPlan, retries: Int = 0)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def innerChildren: Seq[LogicalPlan] = Seq(keys)
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(graft.ops.SinkOps.deleteVersionKeys(
-      GraftSqlBridge.ofRows(spark, keys), path, keyCol)))
+    Seq(Row(
+      if (retries >= 1) graft.ops.SinkOps.deleteVersionKeysRetrying(
+        GraftSqlBridge.ofRows(spark, keys), path, keyCol,
+        maxTries = retries)
+      else graft.ops.SinkOps.deleteVersionKeys(
+        GraftSqlBridge.ofRows(spark, keys), path, keyCol)))
 }
 
-/** `MERGE INTO graft_table(path) USING (<query>) ON k` →
-  * [[graft.ops.SinkOps.mergeVersion]] — the one-commit DV upsert
-  * (delete sidecar + data dir), O(batch) write cost.
+/** `MERGE INTO graft_table(path) USING (<query>) ON k [WHEN ...]
+  * [RETRY n]` → [[graft.ops.SinkOps.mergeVersion]] — the one-commit
+  * DV upsert (delete sidecar + data dir), O(batch) write cost. With
+  * RETRY n the OCC-retrying body
+  * ([[graft.ops.SinkOps.mergeVersionRetrying]]) lands the merge
+  * through up to n version races — the shape a merge stream racing a
+  * nightly OPTIMIZE wants (opt-in, same naming note as DELETE).
   */
 case class GraftMergeCommand(path: String, keyCol: String,
                              source: LogicalPlan,
-                             statsCols: Seq[String] = Nil)
+                             statsCols: Seq[String] = Nil,
+                             retries: Int = 0)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(graft.ops.SinkOps.mergeVersion(
-      GraftSqlBridge.ofRows(spark, source), path, keyCol, statsCols)))
+    Seq(Row(
+      if (retries >= 1) graft.ops.SinkOps.mergeVersionRetrying(
+        GraftSqlBridge.ofRows(spark, source), path, keyCol, statsCols,
+        maxTries = retries)
+      else graft.ops.SinkOps.mergeVersion(
+        GraftSqlBridge.ofRows(spark, source), path, keyCol, statsCols)))
 }
 
 /** `UPDATE graft_table(path) SET c = expr[, ...] WHERE k IN (<query>)`

@@ -302,6 +302,21 @@ object GraftCatalog {
     spark.conf.getOption(s"spark.sql.catalog.$cat")
       .contains(classOf[GraftCatalog].getName)
 
+  /** Does `cat.db.t` exist in the warehouse layout? (CREATE-shaped
+    * verbs' guard: CTAS must refuse an existing table loudly.)
+    */
+  def tableExistsAt(spark: SparkSession, cat: String, db: String,
+                    table: String): Boolean = {
+    val wh = spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog '$cat' needs a warehouse: set " +
+          s"spark.sql.catalog.$cat.warehouse=<dir>"))
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/$db/$table")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new org.apache.hadoop.fs.Path(dir, "_schema.json")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "manifest"))
+  }
+
   /** Resolve `cat.db.t` to its table ROOT through the warehouse layout
     * (external `_location.txt` honored) — the name→path half the DML
     * parser shares with the catalog. `mustExist = false` serves CREATE
@@ -332,19 +347,31 @@ object GraftCatalog {
   }
 }
 
-/** The catalog's Table handle: name, root, schema — and NO
-  * capabilities, on purpose: reads resolve through
-  * [[GraftTableResolutionRule]] into the full
-  * [[graft.ops.SinkOps.readVersion]] plan (a DSv2 Scan is a leaf and
-  * cannot express the DV anti-join fold), and writes route through the
-  * DML parser to the SinkOps bodies. The schema is the HEAD snapshot's
-  * once versions exist (the manifest fold is the one source of truth,
-  * renames/drops included), else the CREATE-declared schema.
+/** The catalog's Table handle: name, root, schema — and a DECLARATIVE
+  * read capability only: BATCH_READ is advertised so the format/load
+  * path accepts the table, but the scan builder itself REFUSES —
+  * every read resolves through [[GraftTableResolutionRule]] into the
+  * full [[graft.ops.SinkOps.readVersion]] plan before planning ever
+  * asks for a scan (a DSv2 Scan is a leaf and cannot express the DV
+  * anti-join fold), and writes route through the DML parser to the
+  * SinkOps bodies. A session missing the graft extensions hits the
+  * loud scan refusal instead of a silent wrong read. The schema is
+  * the HEAD snapshot's once versions exist (the manifest fold is the
+  * one source of truth, renames/drops/widens included), else the
+  * CREATE-declared schema.
   */
 case class GraftTable(identName: String, root: String,
                       declared: Option[StructType],
                       asOfVersion: Option[Int],
-                      asOfTsMillis: Option[Long]) extends Table {
+                      asOfTsMillis: Option[Long])
+    extends Table with SupportsRead {
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new IllegalStateException(
+      s"graft table $identName reached the DSv2 scan path — reads " +
+        "resolve through GraftTableResolutionRule; register " +
+        "spark.sql.extensions=graft.functions.GraftExtensions")
 
   override def name(): String = identName
 
@@ -370,7 +397,7 @@ case class GraftTable(identName: String, root: String,
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.Collections.emptySet()
+    util.Collections.singleton(TableCapability.BATCH_READ)
 
   override def properties(): util.Map[String, String] =
     Map(TableCatalog.PROP_LOCATION -> root,

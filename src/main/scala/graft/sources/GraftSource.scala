@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.connector.catalog.TableProvider
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `spark.read.format("graft").load(path)` — the DSv2 TableProvider
+  * face of the versioned tier, completing the addressing matrix
+  * (Scala API / SQL TVFs / catalog names / reader format): options
+  * `versionAsOf` (int) or `timestampAsOf` (epoch millis) pin a
+  * snapshot, no option reads the head. Returns the same [[GraftTable]]
+  * handle as the catalog, so [[GraftTableResolutionRule]] splices the
+  * ANALYZED readVersion plan — format reads are bit-identical to every
+  * other surface by construction, and a session without the graft
+  * extensions fails loudly at capability check rather than returning
+  * something else (the handle deliberately has no read capability of
+  * its own).
+  */
+class GraftSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def table(options: CaseInsensitiveStringMap): GraftTable = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft format needs a path: spark.read.format(\"graft\")" +
+          ".load(<table root>)"))
+    val asOfV = Option(options.get("versionAsOf")).map(_.toInt)
+    val asOfTs = Option(options.get("timestampAsOf")).map(_.toLong)
+    require(asOfV.isEmpty || asOfTs.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    // Loud existence check at relation-build time: a typo'd path must
+    // fail HERE, not read as an empty table.
+    require(graft.ops.SinkOps.currentVersion(
+        SparkSession.active, path) >= 1,
+      s"no versions committed at $path")
+    GraftTable(s"graft.`$path`", path, None, asOfV, asOfTs)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap)
+      : StructType = table(options).schema
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    table(new CaseInsensitiveStringMap(properties))
+}

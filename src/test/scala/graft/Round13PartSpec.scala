@@ -114,7 +114,11 @@ class Round13PartSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       SinkOps.readVersionPartIn(spark, t, "user_id", Seq("1")).count()
     }
-    assert(e1.getMessage.contains("partitioned by event_type"))
+    // Since the round-14 spec-evolution tolerance the typo guard fires
+    // one level up: the column is in NO dir's spec.
+    assert(e1.getMessage.contains(
+      "no partitioned dir of version 1") &&
+      e1.getMessage.contains("user_id"))
     intercept[IllegalArgumentException] {
       SinkOps.readVersionPartIn(spark, t, "event_type", Nil).count()
     }
@@ -170,7 +174,9 @@ class Round13PartSpec extends SparkSpec {
       SinkOps.readVersionPartsWhere(spark, t,
         Seq("user_id" -> Seq("1"))).count()
     }
-    assert(e.getMessage.contains("lacks predicate column user_id"))
+    // r14 spec-evolution tolerance: the refusal is the global
+    // no-spec-carries-it guard, not a per-dir message.
+    assert(e.getMessage.contains("carries predicate column user_id"))
   }
 
   test("metadata-only partition counts equal the grouped recount with " +

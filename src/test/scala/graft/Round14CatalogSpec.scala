@@ -104,6 +104,73 @@ class Round14CatalogSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("CTAS by name, and the opt-in RETRY clause on SQL " +
+      "MERGE/DELETE routes to the OCC-retrying bodies") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
+    events.select("event_id", "user_id", "value")
+      .createOrReplaceTempView("r14_ctas_src")
+    val v = spark.sql(
+      "CREATE TABLE graft.db3.ct AS SELECT * FROM r14_ctas_src")
+      .collect().head.getInt(0)
+    assert(v == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.db3.ct")
+      .collect().head.getLong(0) == events.count())
+    // A second CTAS at the same name refuses loudly.
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db3.ct AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.contains("already exists"),
+      s"wrong refusal: ${e.getMessage}")
+    // RETRY clauses parse and land (no race here — the OCC loop's
+    // race handling is pinned in Round14OpsSpec).
+    val v2 = spark.sql(
+      """MERGE INTO graft.db3.ct USING (
+           SELECT event_id, user_id, value + 1.0 AS value
+           FROM r14_ctas_src WHERE event_id % 7 = 0) ON event_id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT * RETRY 3""")
+      .collect().head.getInt(0)
+    assert(v2 == 2)
+    val v3 = spark.sql(
+      """DELETE FROM graft.db3.ct WHERE event_id IN (
+           SELECT event_id FROM r14_ctas_src WHERE event_id % 3 = 0)
+         RETRY 3""").collect().head.getInt(0)
+    assert(v3 == 3)
+    assert(spark.sql("SELECT count(*) FROM graft.db3.ct " +
+      "WHERE event_id % 3 = 0").collect().head.getLong(0) == 0)
+    // Trailing junk after the RETRY clause still refuses.
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft.db3.ct WHERE event_id IN " +
+        "(SELECT 1) RETRY 3 nonsense")
+    }
+  }
+
+  test("spark.read.format(\"graft\"): head, VERSION AS OF, and " +
+      "TIMESTAMP AS OF reads are bit-identical to the Scala API, " +
+      "and a typo'd path fails loudly") {
+    val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_r14_fmt").getPath
+    val hp = new org.apache.hadoop.fs.Path(t)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    import graft.ops.SinkOps
+    SinkOps.commitVersion(events.filter(col("event_id") % 2 === 0), t)
+    SinkOps.commitVersion(events.filter(col("event_id") % 2 === 1), t)
+    val head = spark.read.format("graft").load(t)
+      .orderBy("event_id").collect()
+    assert(head.toSeq ==
+      SinkOps.readVersion(spark, t).orderBy("event_id").collect().toSeq)
+    val v1 = spark.read.format("graft").option("versionAsOf", "1")
+      .load(t).count()
+    assert(v1 == events.filter(col("event_id") % 2 === 0).count())
+    val ts1 = SinkOps.commitTimestamp(spark, t, 1)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", ts1.toString).load(t).count() == v1)
+    intercept[Exception] {
+      spark.read.format("graft").load(t + "_nope")
+    }
+  }
+
   test("external LOCATION, CLONE by name, ALTER TABLE RENAME by " +
       "name, and DROP TABLE") {
     wh
