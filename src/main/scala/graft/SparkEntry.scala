@@ -4238,6 +4238,52 @@ object SparkEntry {
           col("val_sum"))
     }),
 
+    // OCC RETRY FOR THE DV WRITERS (round 14) — the concurrent-writer
+    // story completed: a MERGE loses its version race to a competing
+    // commit and RETRIES (sidecar + data dir written once under
+    // commit-unique names, only the manifest attempt re-runs), with
+    // the retry re-carrying the WINNER's lines so the merge's delete
+    // sidecar scopes the winner's rows too — serialized semantics by
+    // construction; then a key DELETE survives its own race the same
+    // way. Both landed versions and the final resolved digest are
+    // pinned by the oracle's relational replay of the serialized
+    // order.
+    "q_occ_retry_dv" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+      val path = tmpPath("graft_occdv", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(e.filter(col("event_id") % 2 === 0), path)
+      val vMerge = SinkOps.mergeVersionRetrying(
+        e.filter(col("event_id") % 10 === 0)
+          .withColumn("event_type", lit("merged"))
+          .withColumn("value", col("value") + 9000.0),
+        path, "event_id",
+        beforeAttempt = n => if (n == 1) {
+          SinkOps.commitVersion(e.filter(col("event_id") % 2 === 1),
+            path); ()
+        })
+      val vDel = SinkOps.deleteVersionKeysRetrying(
+        e.filter(col("event_id") % 6 === 0).select("event_id"), path,
+        "event_id",
+        beforeAttempt = n => if (n == 1) {
+          SinkOps.commitVersion(
+            e.filter(col("event_id") % 8 === 1)
+              .withColumn("event_id", col("event_id") + 10000000L),
+            path); ()
+        })
+      SinkOps.readVersion(s, path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"),
+          sum(col("value").cast("decimal(28,4)")).cast("double")
+            .as("val_sum"))
+        .withColumn("v_merge", lit(vMerge))
+        .withColumn("v_del", lit(vDel))
+    }),
+
     // DV-TOLERANT METADATA AGGREGATION — cheap counts exactly when
     // the table is hottest: a CDC-merged head carries a delete
     // sidecar, and statsAggDv answers clean epochs (dirs trailing
@@ -8324,6 +8370,32 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
                   AS val_sum
          FROM events""",
+    // The serialized replay of the raced lineage: base evens (v1) +
+    // the race winner's odds (v2), %10 keys upserted by the retried
+    // merge (v3), the second winner's shifted slice (v4), then the
+    // retried delete of the original %6 keys (v5).
+    "q_occ_retry_dv" ->
+      """WITH base AS (
+           SELECT event_id, user_id,
+                  CASE WHEN event_id % 10 = 0 THEN 'merged'
+                       ELSE event_type END AS event_type,
+                  CASE WHEN event_id % 10 = 0 THEN value + 9000
+                       ELSE value END AS value
+           FROM events),
+         plus AS (
+           SELECT * FROM base
+           UNION ALL
+           SELECT event_id + 10000000, user_id, event_type, value
+           FROM events WHERE event_id % 8 = 1),
+         fin AS (
+           SELECT * FROM plus WHERE event_id NOT IN (
+             SELECT event_id FROM events WHERE event_id % 6 = 0))
+         SELECT event_type, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum,
+                3 AS v_merge, 5 AS v_del
+         FROM fin GROUP BY event_type""",
     // Spec evolution prunes per dir and filters exactly: the result
     // equals the full-scan conjunction regardless of which dirs could
     // answer which predicate from their layout.

@@ -181,6 +181,10 @@ object GraftSqlParser {
     val FkC = ("(?is)^fk\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*" +
       "graft_table\\s*\\(\\s*'([^']*)'\\s*\\)\\s*,\\s*" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$").r
+    val FkNamedC = ("(?is)^fk\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*," +
+      "\\s*([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\." +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*,\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$").r
     val QuotedLit = "^'([^']*)'$".r
     val cs = splitTopLevel(s).map {
       case NotNullC(c) => NotNull(c)
@@ -195,6 +199,13 @@ object GraftSqlParser {
         InSet(c, vs)
       case UniqueC(c) => Unique(c)
       case FkC(c, dimPath, dimCol) => ForeignKeyRef(c, dimPath, dimCol)
+      case FkNamedC(c, cat, db, tbl, dimCol) if isGraftCat(cat) =>
+        // Catalog-named dimension: resolve the name to its root here
+        // (loud on a typo'd name, never a silently-empty dimension
+        // that fails every FK).
+        ForeignKeyRef(c, graft.sources.GraftCatalog.tableRoot(
+          org.apache.spark.sql.SparkSession.active, cat, db, tbl),
+          dimCol)
       case ExprC(sql) =>
         val t = sql.trim
         require(t.nonEmpty,

@@ -61,6 +61,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"))
   }
 
+  test("catalog-named reads are transparent to Catalyst: a filter on " +
+      "SELECT ... FROM graft.db.t pushes into the spliced snapshot's " +
+      "parquet scan, and the named plan has no DSv2 relation left") {
+    spark.conf.set("spark.sql.catalog.gaudit",
+      classOf[graft.sources.GraftCatalog].getName)
+    val wh = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_r14_wh_audit")
+    val hp = new org.apache.hadoop.fs.Path(wh.getPath)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    spark.conf.set("spark.sql.catalog.gaudit.warehouse", wh.getPath)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gaudit.audit")
+    graft.ops.SinkOps.commitVersion(
+      Tables.events(spark, sfDir), s"${wh.getPath}/audit/ev")
+    val df = spark.sql(
+      "SELECT event_id, user_id FROM gaudit.audit.ev WHERE event_id > 900")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThan(event_id,900)"),
+      s"filter did not reach the scan through the named read:\n$p")
+    // Column pruning reached the scan too (props/value/ts not read).
+    assert(p.contains("ReadSchema") && !p.contains("props"),
+      "column pruning did not reach the scan through the named read")
+    // Nothing DSv2 survives resolution: the relation was spliced.
+    assert(!df.queryExecution.optimizedPlan.toString
+      .contains("RelationV2"),
+      "a DSv2 relation leaked past GraftTableResolutionRule")
+  }
+
   test("wordcount aggregates partially before the exchange (combiner)") {
     val p = planOf("q_wordcount")
     assert(p.contains("partial_count") || p.contains("partial count"),
