@@ -3941,6 +3941,33 @@ object SparkEntry {
              FROM graft_version('$path')""")
     }),
 
+    // DSv2 READER FORMAT (round 14) — spark.read.format("graft")
+    // .option("versionAsOf", v).load(path): the fourth addressing
+    // surface (Scala API / TVFs / catalog names / reader format), all
+    // bit-identical by construction — the TableProvider returns the
+    // same GraftTable handle the catalog serves, and the resolution
+    // rule splices the same analyzed readVersion plan. The oracle
+    // derives both snapshots relationally.
+    "q_format_read" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_fmt", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(ev.filter(col("event_id") % 2 === 0), path)
+      SinkOps.commitVersion(ev.filter(col("event_id") % 2 === 1), path)
+      def dig(df: DataFrame, snap: String) = df.agg(
+          count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"),
+          sum(col("value").cast("decimal(28,4)")).cast("double")
+            .as("val_sum"))
+        .select(lit(snap).as("snap"), col("n_rows"), col("user_sum"),
+          col("val_sum"))
+      dig(s.read.format("graft").option("versionAsOf", "1").load(path),
+          "v1")
+        .unionByName(dig(s.read.format("graft").load(path), "head"))
+    }),
+
     // MAINTENANCE ADVISOR (round 14) — versionHistory's gauges turned
     // into one actionable row per table (the graft_advice TVF,
     // metadata-only): an adjacent delete run recommends the cheap
@@ -8403,6 +8430,17 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type FROM events
          WHERE event_type IN ('click', 'view')
            AND CAST(event_id % 4 AS VARCHAR) IN ('1', '3')""",
+    // The format reader's pinned v1 is the evens; the head is all.
+    "q_format_read" ->
+      """SELECT 'v1' AS snap, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS val_sum
+         FROM events WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT 'head', count(*), CAST(sum(user_id) AS BIGINT),
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+         FROM events""",
     // The advisor's recommendation is closed-form threshold
     // arithmetic over the constructed histories: a 3-run of adjacent
     // deletes coalesces, 4 interleaved epoch groups optimize, small

@@ -130,6 +130,29 @@ object GraftFunctions {
     }
   }
 
+  /** TVF table argument: a path string, OR a catalog-qualified name
+    * `cat.db.t` when `cat` is a registered graft catalog on the active
+    * session — resolved through the warehouse layout (loud on a
+    * typo'd name), so every TVF (`graft_version`, `graft_history`,
+    * `table_changes`, …) serves catalog-named tables without a
+    * second spelling. A genuine path is never misparsed: the named
+    * form requires exactly three dot-separated identifiers AND the
+    * first to be a registered graft catalog.
+    */
+  private val NamedTable =
+    ("^([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\." +
+      "([A-Za-z_][A-Za-z0-9_]*)$").r
+
+  private def tablePathArg(e: Expression, what: String): String =
+    constString(e, what) match {
+      case NamedTable(cat, db, tbl)
+          if graft.sources.GraftCatalog.isGraftCatalog(
+            SparkSession.active, cat) =>
+        graft.sources.GraftCatalog.tableRoot(SparkSession.active,
+          cat, db, tbl)
+      case p => p
+    }
+
   private def constInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a constant integer")
     e.eval() match {
@@ -163,7 +186,7 @@ object GraftFunctions {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(exprs.length == 1 || exprs.length == 2,
       s"graft_version expects (path [, version]), got ${exprs.length} arguments")
-    val path = constString(exprs.head, "graft_version path")
+    val path = tablePathArg(exprs.head, "graft_version path")
     val v = if (exprs.length == 2)
       Some(constInt(exprs(1), "graft_version version")) else None
     GraftSqlBridge.plan(
@@ -181,7 +204,7 @@ object GraftFunctions {
       s"table_changes expects (path, vFrom, vTo), got ${exprs.length} arguments")
     GraftSqlBridge.plan(graft.ops.SinkOps.readChanges(
       SparkSession.active,
-      constString(exprs.head, "table_changes path"),
+      tablePathArg(exprs.head, "table_changes path"),
       constInt(exprs(1), "table_changes vFrom"),
       constInt(exprs(2), "table_changes vTo")))
   }
@@ -212,7 +235,7 @@ object GraftFunctions {
       s"graft_version_where expects (path, col, lo, hi), got ${exprs.length} arguments")
     GraftSqlBridge.plan(graft.ops.SinkOps.readVersionWhereCols(
       SparkSession.active,
-      constString(exprs.head, "graft_version_where path"),
+      tablePathArg(exprs.head, "graft_version_where path"),
       Seq((constString(exprs(1), "graft_version_where col"),
         constLong(exprs(2), "graft_version_where lo"),
         constLong(exprs(3), "graft_version_where hi")))))
@@ -243,7 +266,7 @@ object GraftFunctions {
       Some(constInt(exprs(3), "graft_version_part version")) else None
     GraftSqlBridge.plan(graft.ops.SinkOps.readVersionPartIn(
       SparkSession.active,
-      constString(exprs.head, "graft_version_part path"),
+      tablePathArg(exprs.head, "graft_version_part path"),
       constString(exprs(1), "graft_version_part partCol"),
       values, v))
   }
@@ -270,7 +293,7 @@ object GraftFunctions {
       Some(constInt(exprs(1), "graft_part_counts version")) else None
     GraftSqlBridge.plan(graft.ops.SinkOps.partCountsDv(
       SparkSession.active,
-      constString(exprs.head, "graft_part_counts path"), v))
+      tablePathArg(exprs.head, "graft_part_counts path"), v))
   }
 
   val graftPartCounts: (FunctionIdentifier, ExpressionInfo,
@@ -291,7 +314,7 @@ object GraftFunctions {
       s"graft_deleted_keys expects (path, vFrom, vTo), got ${exprs.length} arguments")
     GraftSqlBridge.plan(graft.ops.SinkOps.readDeletedKeys(
       SparkSession.active,
-      constString(exprs.head, "graft_deleted_keys path"),
+      tablePathArg(exprs.head, "graft_deleted_keys path"),
       constInt(exprs(1), "graft_deleted_keys vFrom"),
       constInt(exprs(2), "graft_deleted_keys vTo")))
   }
@@ -319,7 +342,7 @@ object GraftFunctions {
       Some(constInt(exprs(1), "graft_stats version")) else None
     GraftSqlBridge.plan(graft.ops.SinkOps.statsAggDv(
       SparkSession.active,
-      constString(exprs.head, "graft_stats path"), v))
+      tablePathArg(exprs.head, "graft_stats path"), v))
   }
 
   val graftStats: (FunctionIdentifier, ExpressionInfo,
@@ -338,7 +361,7 @@ object GraftFunctions {
     require(exprs.length == 1,
       s"graft_history expects (path), got ${exprs.length} arguments")
     GraftSqlBridge.plan(graft.ops.SinkOps.versionHistory(
-      SparkSession.active, constString(exprs.head, "graft_history path")))
+      SparkSession.active, tablePathArg(exprs.head, "graft_history path")))
   }
 
   val graftHistory: (FunctionIdentifier, ExpressionInfo,
@@ -365,7 +388,7 @@ object GraftFunctions {
       constInt(exprs(2), "graft_advice maxReadGroups")
     else 4
     GraftSqlBridge.plan(graft.ops.SinkOps.maintenanceAdvice(
-      SparkSession.active, constString(exprs.head, "graft_advice path"),
+      SparkSession.active, tablePathArg(exprs.head, "graft_advice path"),
       target, groups))
   }
 
@@ -387,7 +410,7 @@ object GraftFunctions {
       s"graft_version_asof expects (path, tsMillis), got ${exprs.length} arguments")
     GraftSqlBridge.plan(graft.ops.SinkOps.readVersionAsOf(
       SparkSession.active,
-      constString(exprs.head, "graft_version_asof path"),
+      tablePathArg(exprs.head, "graft_version_asof path"),
       constLong(exprs(1), "graft_version_asof tsMillis")))
   }
 
@@ -409,7 +432,7 @@ object GraftFunctions {
       s"table_changes_asof expects (path, tsFrom, tsTo), got ${exprs.length} arguments")
     GraftSqlBridge.plan(graft.ops.SinkOps.readChangesBetween(
       SparkSession.active,
-      constString(exprs.head, "table_changes_asof path"),
+      tablePathArg(exprs.head, "table_changes_asof path"),
       constLong(exprs(1), "table_changes_asof tsFrom"),
       constLong(exprs(2), "table_changes_asof tsTo")))
   }

@@ -171,6 +171,37 @@ class Round14CatalogSpec extends SparkSpec {
     }
   }
 
+  test("TVFs accept catalog-qualified names: graft_version / " +
+      "graft_history('graft.db.t') resolve through the warehouse " +
+      "and equal their path-addressed twins") {
+    wh
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tvf")
+    val path = s"$wh/tvf/ev"
+    import graft.ops.SinkOps
+    SinkOps.commitVersion(events.filter(col("event_id") % 2 === 0),
+      path, carryForward = true, Some("event_id"))
+    SinkOps.commitVersion(events.filter(col("event_id") % 2 === 1),
+      path, carryForward = true, Some("event_id"))
+    val byName = spark.sql(
+      "SELECT count(*) FROM graft_version('graft.tvf.ev', 1)")
+      .collect().head.getLong(0)
+    val byPath = spark.sql(
+      s"SELECT count(*) FROM graft_version('$path', 1)")
+      .collect().head.getLong(0)
+    assert(byName == byPath && byName > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_history('graft.tvf.ev')")
+      .collect().head.getLong(0) == 2)
+    // A typo'd name refuses loudly instead of reading an empty path.
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_version('graft.tvf.nope')")
+        .collect()
+    }
+    assert(e.getMessage.contains("not found"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
   test("external LOCATION, CLONE by name, ALTER TABLE RENAME by " +
       "name, and DROP TABLE") {
     wh
