@@ -3941,6 +3941,41 @@ object SparkEntry {
              FROM graft_version('$path')""")
     }),
 
+    // ONE-CALL MAINTENANCE (round 14) — maintain() closes the gauge →
+    // advice → action loop: the coalescible table's adjacent delete
+    // run is found AND reclaimed in one call (action pinned, version
+    // advanced, resolved rows unchanged — coalescing is semantics-
+    // identity by the ordered-fold contract), and the healthy table
+    // costs one metadata read and NO rewrite (head version returned).
+    "q_maintain" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+      val path = tmpPath("graft_maint", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(ev, path, carryForward = true,
+        Some("event_id"))
+      Seq(5, 7).foreach { m =>
+        SinkOps.deleteVersionKeys(
+          ev.filter(col("event_id") % m === 0).select("event_id"),
+          path, "event_id"); ()
+      }
+      val did = SinkOps.maintain(s, path, targetRowsPerFile = 1L)
+        .collect().head
+      // Second call on the now-healthy table: no action, head version.
+      val idle = SinkOps.maintain(s, path, targetRowsPerFile = 1L)
+        .collect().head
+      SinkOps.readVersion(s, path).agg(
+          count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"))
+        .select(lit(did.getString(0)).as("did_action"),
+          lit(did.getInt(1)).as("did_version"),
+          lit(idle.getString(0)).as("idle_action"),
+          lit(idle.getInt(1)).as("idle_version"),
+          col("n_rows"), col("user_sum"))
+    }),
+
     // DSv2 READER FORMAT (round 14) — spark.read.format("graft")
     // .option("versionAsOf", v).load(path): the fourth addressing
     // surface (Scala API / TVFs / catalog names / reader format), all
@@ -8430,6 +8465,14 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type FROM events
          WHERE event_type IN ('click', 'view')
            AND CAST(event_id % 4 AS VARCHAR) IN ('1', '3')""",
+    // maintain() coalesced the 2-run into v4 (rows unchanged — the
+    // fold is semantics-identity), then idled at the healthy head.
+    "q_maintain" ->
+      """SELECT 'coalesce_deletes' AS did_action, 4 AS did_version,
+                'none' AS idle_action, 4 AS idle_version,
+                count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events WHERE event_id % 5 <> 0 AND event_id % 7 <> 0""",
     // The format reader's pinned v1 is the evens; the head is all.
     "q_format_read" ->
       """SELECT 'v1' AS snap, count(*) AS n_rows,

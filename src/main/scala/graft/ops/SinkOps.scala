@@ -2072,6 +2072,34 @@ object SinkOps {
         "max_delete_run", "avg_rows_per_file", "recommendation")
   }
 
+  /** ONE-CALL MAINTENANCE — close the gauge → advice → action loop:
+    * read [[maintenanceAdvice]] and EXECUTE its recommendation
+    * (`coalesce_deletes` → [[coalesceDeletes]], `optimize`/`bin_pack`
+    * → [[compactVersions]] — the full rewrite resolves DV debt and
+    * right-sizes files in one pass, partition layout preserved;
+    * [[compactSmallDirs]] stays the cheaper manual knob for packing
+    * just a flat tail, since it needs a byte threshold the advisor
+    * does not guess), returning one row (action, version). `none`
+    * performs NOTHING and returns the head version — a healthy table
+    * costs one metadata read, never a rewrite; this is what a nightly
+    * cron calls so maintenance IO happens exactly when the gauges say
+    * it pays. Same thresholds as the advisor.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession, path: String,
+               targetRowsPerFile: Long = 1000000L,
+               maxReadGroups: Int = 4): DataFrame = {
+    val adv = maintenanceAdvice(spark, path, targetRowsPerFile,
+      maxReadGroups).collect().head // one bounded advisor row
+    val rec = adv.getAs[String]("recommendation")
+    val v = rec match {
+      case "coalesce_deletes" => coalesceDeletes(spark, path)
+      case "optimize" | "bin_pack" => compactVersions(spark, path)
+      case "none" => currentVersion(spark, path)
+    }
+    import spark.implicits._
+    Seq((rec, v)).toDF("action", "version")
+  }
+
   /** CDF ATTRIBUTION — classify a window's post-image rows as INSERT
     * or UPDATE: a DV changefeed alone cannot tell them apart (the
     * delete sidecar lists merge-touched keys whether or not they
