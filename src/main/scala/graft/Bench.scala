@@ -12,14 +12,39 @@ package graft
   *
   * A failed query is reported in an `errors` field instead of being
   * silently timed at ~0 (a regression must not make the bench "faster").
-  * One untimed warmup pass absorbs JVM/codegen/session startup.
+  *
+  * CRASH-DURABLE (r15): the r14 driver bench run was killed by its
+  * wall-clock budget and, because results lived only in memory until a
+  * single write at exit, the round's driver artifact carried ZERO
+  * per-query data (BENCH_r14.json rc=124, parsed null). Three changes:
+  *
+  *   1. Every timed query appends one JSONL line to a progress file
+  *      (repo-local + /tmp) the moment it finishes — a kill -9 at any
+  *      point leaves a per-sample forensic trail on disk.
+  *   2. A cumulative partial record (same schema as the final record,
+  *      plus "provisional":true and a "progress" counter) is rewritten
+  *      atomically to the record paths AND printed to stdout every
+  *      FLUSH_EVERY timed queries and at each pass boundary. The driver
+  *      tail-captures stdout and parses the LAST record line, so a
+  *      killed run yields the latest partial instead of nothing; a
+  *      completed run's last line is the final record, exactly as
+  *      before.
+  *   3. The dedicated untimed warmup pass is GONE (it was a full extra
+  *      cold pass, ~1/3 of suite wall time — the r14 budget kill).
+  *      MIN-of-passes makes it redundant: Janino codegen classes are
+  *      cached per plan source across passes, so pass 1 (cold) warms
+  *      codegen and pass 2/tail supply the codegen-warm samples the MIN
+  *      selects. Only the per-JVM session bring-up is absorbed by one
+  *      trivial warmup action. Recorded MINs are therefore comparable
+  *      with pre-r15 records (both end up codegen-warm); only pass-1
+  *      samples run colder, and they are discarded by MIN.
   *
   * The cache is cleared between queries (outside the timed region):
   * operators that persist internally (the PageRank loop) would otherwise
   * leave entries the timed pass silently reuses — the timing would
   * measure a cache read, not the operator (same measurement-validity
   * class as the count()-pruning bug this harness already fixed). Each
-  * timed query therefore runs cold-cache but JIT-warm.
+  * timed query therefore runs cold-cache.
   *
   * TWO timed passes per query (second pass ORDER-REVERSED) plus a
   * third pass over the ≥5 s tail, per-query MIN recorded: single-pass
@@ -41,6 +66,8 @@ package graft
   * regression.
   */
 object Bench {
+  private val FlushEvery = 25
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(defaultCpus = "32")
@@ -48,58 +75,6 @@ object Bench {
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-
-    // Untimed warmup: one full pass over every query, so the timed pass
-    // measures execution rather than JVM startup + Janino codegen
-    // compilation (which is a per-plan constant, not a data-scale cost —
-    // at real scale it amortizes to nothing; at sf0.1 it would otherwise
-    // dominate several sub-second queries).
-    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
-      try run(n) catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-    }
-
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // A failed pass records +∞, not its (near-zero) fail-fast elapsed
-    // time: the MIN must never come from a pass that did no work — a
-    // query erroring in one pass would otherwise understate the total
-    // with the failure visible only in the errors map.
-    def timedPass(order: Seq[String]): Seq[(String, Double)] =
-      order.map { name =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { run(name); true }
-          catch { case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            false
-          }
-        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
-        spark.catalog.clearCache()
-        name -> dt
-      }
-    // The two timed passes are INTERLEAVED and the second pass runs in
-    // REVERSED order (A..Z then Z..A, min per query): a sustained slow
-    // host window covers an alphabetical NEIGHBORHOOD, and with both
-    // passes in the same order it hit the same neighborhood twice —
-    // the r12 record carried ~22 s of phantom time across three
-    // alphabetically-contiguous queries that way (judge-pinned).
-    // Reversal makes one window's victims land in different positions
-    // per pass, so MIN discards it. A query that failed BOTH passes
-    // reports in `errors` only; it contributes no timing (and no
-    // near-zero total shrink).
-    val keys = SparkEntry.queries.keys.toSeq.sorted
-    val twoPass = (timedPass(keys) ++ timedPass(keys.reverse))
-      .groupMapReduce(_._1)(_._2)(math.min)
-    // MIN-of-3 for the ≥5 s tail (the BASELINE.md protocol note): the
-    // expensive entries dominate round-over-round diffs and are
-    // exactly where one bad sample costs whole seconds, so they earn a
-    // third, contiguous re-time — cheap (the tail is ~5% of queries)
-    // and it caps the residual phantom class two samples leave.
-    val tail = keys.filter(n => twoPass.get(n).exists(t =>
-      t.isFinite && t >= 5.0))
-    val results = (twoPass.toSeq ++ timedPass(tail))
-      .groupMapReduce(_._1)(_._2)(math.min).toSeq.sortBy(_._1)
-      .filter(_._2.isFinite)
 
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -114,28 +89,127 @@ object Bench {
     // JSON (ADVICE r8).
     def f4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v) => s"${jstr(k)}:${f4(v)}" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","agg":"min_of_2_rot_3tail"}"""
+
+    val repoOut = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_full_latest.json")
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val uniq = s"/tmp/graft_bench_${sfBase}_${ProcessHandle.current().pid()}.json"
+    val recordPaths = Seq(repoOut, uniq, "/tmp/graft_bench.json")
+    // Record files are replaced via temp-file + ATOMIC_MOVE so a kill
+    // mid-flush can never leave a half-written (unparseable) record —
+    // the previous flush's complete record survives instead.
+    def writeRecord(path: String, line: String): Unit =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+        java.nio.file.Files.writeString(tmp, line + "\n")
+        java.nio.file.Files.move(
+          tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: java.io.IOException => () } // read-only cwd must not fail the bench
+
+    val progressPaths = Seq(
+      sys.env.getOrElse("GRAFT_BENCH_PROGRESS", "bench_progress.jsonl"),
+      s"/tmp/graft_bench_progress_${sfBase}.jsonl")
+    progressPaths.foreach { p =>
+      try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+      catch { case _: java.io.IOException => () }
+    }
+    def appendProgress(line: String): Unit = progressPaths.foreach { p =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: java.io.IOException => () }
+    }
+
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Best (MIN) sample seen so far per query, across all passes —
+    // the source of every partial AND the final record, so the record
+    // a kill leaves behind has identical semantics to the final one,
+    // just over fewer samples.
+    val best = scala.collection.mutable.Map[String, Double]()
+    var timedCount = 0
+
+    def recordLine(provisional: Boolean, stage: String): String = {
+      val results = best.toSeq.sortBy(_._1).filter(_._2.isFinite)
+      val qs = results.map { case (k, v) => s"${jstr(k)}:${f4(v)}" }.mkString("{", ",", "}")
+      val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      val prov = if (provisional) s""","provisional":true,"progress":${jstr(stage)}""" else ""
+      s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","agg":"min_of_2_rot_3tail"$prov}"""
+    }
+    def flush(provisional: Boolean, stage: String): String = {
+      val line = recordLine(provisional, stage)
+      recordPaths.foreach(writeRecord(_, line))
+      println(line)
+      line
+    }
+
+    // A failed pass records +∞, not its (near-zero) fail-fast elapsed
+    // time: the MIN must never come from a pass that did no work — a
+    // query erroring in one pass would otherwise understate the total
+    // with the failure visible only in the errors map. A later
+    // successful pass clears the error (pass 1 now runs cold, so a
+    // transient pass-1-only failure must not brand a green query).
+    def timedPass(order: Seq[String], pass: String): Unit =
+      order.foreach { name =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { run(name); true }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
+          }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
+        if (ok) errors.remove(name)
+        spark.catalog.clearCache()
+        best(name) = math.min(best.getOrElse(name, Double.PositiveInfinity), dt)
+        timedCount += 1
+        appendProgress(
+          s"""{"q":${jstr(name)},"pass":${jstr(pass)},"sec":${if (ok) f4(dt) else "null"},"n":$timedCount}""")
+        if (timedCount % FlushEvery == 0) flush(provisional = true, s"$pass:$timedCount")
+      }
+
+    // One trivial action absorbs session/JVM bring-up (NOT a full
+    // warmup pass — see the header comment; pass-1 cold samples are
+    // discarded by MIN).
+    spark.range(4).write.format("noop").mode("overwrite").save()
+
+    // The two timed passes are INTERLEAVED and the second pass runs in
+    // REVERSED order (A..Z then Z..A, min per query): a sustained slow
+    // host window covers an alphabetical NEIGHBORHOOD, and with both
+    // passes in the same order it hit the same neighborhood twice —
+    // the r12 record carried ~22 s of phantom time across three
+    // alphabetically-contiguous queries that way (judge-pinned).
+    // Reversal makes one window's victims land in different positions
+    // per pass, so MIN discards it. A query that failed BOTH passes
+    // reports in `errors` only; it contributes no timing (and no
+    // near-zero total shrink).
+    timedPass(keys, "p1")
+    flush(provisional = true, "p1:done")
+    timedPass(keys.reverse, "p2")
+    flush(provisional = true, "p2:done")
+    // MIN-of-3 for the ≥5 s tail (the BASELINE.md protocol note): the
+    // expensive entries dominate round-over-round diffs and are
+    // exactly where one bad sample costs whole seconds, so they earn a
+    // third, contiguous re-time — cheap (the tail is ~5% of queries)
+    // and it caps the residual phantom class two samples leave.
+    val tail = keys.filter(n => best.get(n).exists(t => t.isFinite && t >= 5.0))
+    timedPass(tail, "tail")
+
     // Stdout gets tail-captured by the driver and can truncate the
     // per-query map on long suites, so the full record is persisted to
     // a repo-local file (committed per round — the durable evidentiary
     // record) plus /tmp copies; a compact headline line is printed
-    // FIRST so a truncated capture still carries the round's totals,
-    // then the full line, which is also the LAST stdout line so a
+    // BEFORE the full line, which is also the LAST stdout line so a
     // tail window that can hold it parses it whole.
-    val repoOut = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_full_latest.json")
-    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val uniq = s"/tmp/graft_bench_${sfBase}_${ProcessHandle.current().pid()}.json"
-    Seq(repoOut, uniq, "/tmp/graft_bench.json").foreach { p =>
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
-      catch { case _: java.io.IOException => () } // read-only cwd must not fail the bench
-    }
+    val nFinite = best.valuesIterator.count(_.isFinite)
+    val total = best.valuesIterator.filter(_.isFinite).sum
     println(
-      s"""{"metric":"total_summary","value":${f4(total)},"unit":"sec","n":${results.size},"n_errors":${errors.size},"sf":"$sfDir","full_record":${jstr(repoOut)}}""")
-    println(line)
+      s"""{"metric":"total_summary","value":${f4(total)},"unit":"sec","n":$nFinite,"n_errors":${errors.size},"sf":"$sfDir","full_record":${jstr(repoOut)}}""")
+    flush(provisional = false, "final")
     spark.stop()
   }
 }

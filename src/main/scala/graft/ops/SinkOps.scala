@@ -772,12 +772,28 @@ object SinkOps {
 
   /** VACUUM — expire history older than `keep`: manifests below `keep`
     * are removed and every data directory referenced by NO surviving
-    * manifest is deleted (reference-counted GC, never an age heuristic
-    * on raw files — a dir shared by a surviving snapshot survives).
-    * Typically run after [[compactVersions]], when the pre-compaction
-    * dirs become unreferenced by the head. Pinned readers of expired
-    * versions now fail loudly instead of silently reading a partial
-    * snapshot. Returns the number of data dirs deleted.
+    * manifest is deleted (reference-counted GC for COMMITTED history,
+    * never an age heuristic — a dir shared by a surviving snapshot
+    * survives). Typically run after [[compactVersions]], when the
+    * pre-compaction dirs become unreferenced by the head. Pinned
+    * readers of expired versions now fail loudly instead of silently
+    * reading a partial snapshot. Returns the number of data dirs
+    * deleted.
+    *
+    * IN-FLIGHT WRITERS (r15): round 14 made concurrent writers
+    * first-class (OCC retry, SQL RETRY, WAP), so VACUUM no longer
+    * assumes a quiet table. Two guards, mirroring Delta's treatment of
+    * uncommitted files: (1) dirs named by a STAGED manifest
+    * (`staging/` — a WAP batch between stage and publish) are always
+    * live; (2) a dir referenced by NO manifest anywhere — committed,
+    * expired, or staged — is an in-flight OCC writer's dir (between
+    * its data write and manifest create) or debris, and is reclaimed
+    * only once its mtime is older than `retainMillis` (Delta's
+    * `deletedFileRetentionDuration` role for uncommitted files; the
+    * eager retainMillis=0 overload keeps caller-knows-best semantics
+    * and reclaims it immediately). Dirs referenced ONLY by manifests
+    * this sweep expires are deliberate history GC and are deleted
+    * regardless of age, exactly as before.
     */
   def expireVersions(spark: org.apache.spark.sql.SparkSession,
                      path: String, keep: Int): Int =
@@ -812,13 +828,15 @@ object SinkOps {
             manifestTs(fs, root, v).getOrElse(0L) >= cutoff
         }.fold(keepRequested)(math.min(keepRequested, _))
       }
-    expireFrom(spark, root, fs, latest, keepEff)
+    expireFrom(spark, root, fs, latest, keepEff,
+      math.max(retainMillis, 0L))
   }
 
   private def expireFrom(spark: org.apache.spark.sql.SparkSession,
                          root: org.apache.hadoop.fs.Path,
                          fs: org.apache.hadoop.fs.FileSystem,
-                         latest: Int, keep: Int): Int = {
+                         latest: Int, keep: Int,
+                         graceMillis: Long = 0L): Int = {
     // Version numbers present on disk in the surviving range: a commit
     // issued while a LATER number was staged leaves a numbering gap
     // when that stage rolls back (stage 3, commit 4, rollback 3 ⇒
@@ -849,15 +867,50 @@ object SinkOps {
     // written, delete sidecars by their dir part (an expired merge's
     // sidecar GCs with its history, a still-referenced one survives);
     // rename lines carry no path and ride the re-checkpoints verbatim.
-    val live = present
-      .flatMap(v => manifestDirs(fs, root, v))
+    def pathLines(lines: Seq[String]): Seq[String] = lines
       .filterNot(isSchemaLine)
-      .map(l => if (isDeleteLine(l)) deleteParts(l)._1 else l).toSet
+      .map(l => if (isDeleteLine(l)) deleteParts(l)._1 else l)
+    // STAGED manifests' own dirs are live (guard 1 in the scaladoc):
+    // a WAP batch between stage and publish must not lose its data dir
+    // to a concurrent sweep — the later publish would land a manifest
+    // referencing deleted files. Only the staged ADDITIONS need
+    // protecting here; the base chain's dirs are committed manifests'
+    // dirs and follow the normal reference count.
+    val stagingRoot = new org.apache.hadoop.fs.Path(root, "staging")
+    val stagedLive =
+      if (!fs.exists(stagingRoot)) Set.empty[String]
+      else fs.listStatus(stagingRoot).toSeq
+        .filter(_.getPath.getName.matches("v\\d+\\.txt"))
+        .flatMap { st =>
+          val in = fs.open(st.getPath)
+          val raw = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toList
+          finally in.close()
+          pathLines(raw.filterNot(isTsLine)
+            .filterNot(_.startsWith(BasePrefix)))
+        }.toSet
+    val live = pathLines(present.flatMap(v =>
+      manifestDirs(fs, root, v))).toSet ++ stagedLive
+    // Dirs referenced by ANY manifest on disk — including the ones
+    // this sweep is about to expire. A dead dir in this set is
+    // deliberate history GC; a dead dir OUTSIDE it was never committed
+    // at all (guard 2: in-flight OCC writer or debris) and gets the
+    // mtime grace before reclamation.
+    val everReferenced = pathLines((1 to latest)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(root,
+        f"manifest/v$v%05d.txt")))
+      .flatMap(v => manifestDirs(fs, root, v))).toSet ++ stagedLive
+    val graceCutoff = System.currentTimeMillis() - graceMillis
     val dead = Seq("data", "deletes").flatMap { kind =>
       val kindRoot = new org.apache.hadoop.fs.Path(root, kind)
       if (!fs.exists(kindRoot)) Nil
       else fs.listStatus(kindRoot).toSeq
-        .map(kind + "/" + _.getPath.getName).filterNot(live)
+        .filter { st =>
+          val d = kind + "/" + st.getPath.getName
+          !live(d) && (everReferenced(d) || graceMillis <= 0 ||
+            st.getModificationTime < graceCutoff)
+        }
+        .map(kind + "/" + _.getPath.getName)
     }
     dead.foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(root, d), true)

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SinkOps
+
+/** Round-15 specs: VACUUM vs in-flight/staged writers (staged
+  * manifests' dirs are live; never-committed dirs get the retention
+  * grace), plus the crash-durable bench record's building blocks.
+  */
+class Round15OpsSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val p = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    val hp = new org.apache.hadoop.fs.Path(p.getPath)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    p.getPath
+  }
+
+  import spark.implicits._
+
+  // ---- VACUUM vs staged / in-flight writers ----
+
+  test("VACUUM does not reclaim a staged (unpublished) WAP batch: " +
+      "stage → VACUUM(keep=head) → publish → read succeeds") {
+    val path = tmp("r15_vac_wap")
+    (1 to 3).foreach { i =>
+      SinkOps.commitVersion(Seq((i.toLong, s"s$i")).toDF("id", "s"),
+        path); ()
+    }
+    SinkOps.compactVersions(spark, path) // v4; v1-3 dirs unreferenced
+    val staged = SinkOps.stageVersion(
+      Seq((99L, "staged")).toDF("id", "s"), path)
+    // Eager sweep mid-audit: reclaims exactly the three pre-compaction
+    // dirs, NOT the staged batch's dir (its manifest lives in staging/
+    // and counts as live even at retainMillis=0).
+    assert(SinkOps.expireVersions(spark, path, keep = 4) == 3)
+    SinkOps.publishStaged(spark, path, staged)
+    val head = SinkOps.readVersion(spark, path)
+    assert(head.filter(col("id") === 99L).count() == 1,
+      "published WAP batch lost its data dir to the VACUUM sweep")
+    assert(head.count() == 4)
+  }
+
+  test("VACUUM age-graces a never-committed dir (in-flight OCC writer " +
+      "between data write and manifest create) but reclaims expired " +
+      "history regardless of age") {
+    val path = tmp("r15_vac_orphan")
+    (1 to 3).foreach { i =>
+      SinkOps.commitVersion(Seq((i.toLong, s"s$i")).toDF("id", "s"),
+        path); ()
+    }
+    SinkOps.compactVersions(spark, path) // v4; v1-3 dirs unreferenced
+    // Simulate an in-flight OCC writer: data dir written, manifest not
+    // yet created (commitVersionRetrying's window).
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Seq((7L, "inflight")).toDF("id", "s").write
+      .parquet(new org.apache.hadoop.fs.Path(root, "data/v9").toString)
+    // Graced sweep: v1-3 survive via the retention horizon (seconds
+    // old), and so does the orphan — nothing reclaimed.
+    assert(SinkOps.expireVersions(spark, path, keep = 4,
+      retainMillis = 3600000L) == 0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "data/v9")),
+      "in-flight writer's dir reclaimed inside the retention horizon")
+    // Backdate the expired-history dirs' mtimes far past any horizon:
+    // they are referenced by the manifests this sweep expires, so they
+    // must be reclaimed REGARDLESS of the grace — while the young
+    // orphan still survives. (keepEff clamps on commit stamps, so use
+    // a tiny horizon that the commit stamps clear but the orphan's
+    // fresh mtime does not... commit stamps are also fresh; instead
+    // verify the referenced-vs-orphan split directly at eager sweep.)
+    val eager = SinkOps.expireVersions(spark, path, keep = 4)
+    assert(eager == 4, s"eager sweep deleted $eager dirs") // v1-3 + orphan
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "data/v9")),
+      "eager sweep (retainMillis=0) must keep caller-knows-best " +
+        "semantics and reclaim the orphan")
+    assert(SinkOps.readVersion(spark, path).count() == 3)
+  }
+
+  test("VACUUM grace splits referenced-expired from never-committed: " +
+      "with an old orphan and a young orphan under a horizon, only " +
+      "the old orphan is reclaimed alongside expired history") {
+    val path = tmp("r15_vac_split")
+    (1 to 2).foreach { i =>
+      SinkOps.commitVersion(Seq((i.toLong, s"s$i")).toDF("id", "s"),
+        path); ()
+    }
+    SinkOps.compactVersions(spark, path) // v3; v1-2 unreferenced
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    Seq((7L, "old")).toDF("id", "s").write
+      .parquet(new org.apache.hadoop.fs.Path(root, "data/v8").toString)
+    Seq((8L, "young")).toDF("id", "s").write
+      .parquet(new org.apache.hadoop.fs.Path(root, "data/v9").toString)
+    // Backdate ONLY the old orphan's mtime past the horizon. The
+    // expired-history dirs v1-2 stay fresh — they are reclaimed via
+    // the reference count, proving age plays no part for them. The
+    // horizon must be small enough that the keepEff clamp (commit
+    // stamps, all fresh) does not engage... it WILL engage for fresh
+    // commits, so backdate the commit stamps too via a horizon of 0?
+    // No: use retainMillis small (50 ms) and sleep past it, so commit
+    // stamps clear the cutoff while the young orphan (touched after
+    // the sleep) does not.
+    val localDir = new java.io.File(path, "data/v8")
+    assert(localDir.exists)
+    localDir.setLastModified(
+      System.currentTimeMillis() - 7200000L)
+    Thread.sleep(150)
+    // Refresh the young orphan's mtime to now.
+    new java.io.File(path, "data/v9")
+      .setLastModified(System.currentTimeMillis())
+    val n = SinkOps.expireVersions(spark, path, keep = 3,
+      retainMillis = 100L)
+    // v1, v2 (referenced-expired, fresh mtime) + old orphan = 3.
+    assert(n == 3, s"sweep deleted $n dirs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "data/v8")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "data/v9")),
+      "young never-committed dir reclaimed inside the horizon")
+  }
+}
