@@ -3339,6 +3339,41 @@ object SparkEntry {
           AggOps.exactSum(col("l_quantity")).as("sum_qty"),
           sum("o_custkey").as("custkey_sum"))
     }),
+    // readStream.format("graft") — the DSv2-registered streaming face
+    // of the versioned tier (r15): offsets are committed VERSION
+    // NUMBERS, micro-batch (vFrom, vTo] reads the manifest-dir delta
+    // (O(changed files), append-only enforced loudly), the first
+    // batch is the folded snapshot. Driven here at
+    // maxVersionsPerTrigger=1 through an exactly-once parquet sink +
+    // checkpoint, so the gate exercises snapshot batch, delta
+    // batches, rate limiting, AND the file-sink commit protocol.
+    // Oracle: streamed bytes ≡ the table's full content (lineitem).
+    "q_stream_graft_source" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val tbl = tmpPath("graft_gss_tbl", d)
+      val out = tmpPath("graft_gss_out", d)
+      val ckpt = tmpPath("graft_gss_ckpt", d)
+      val hconf = s.sessionState.newHadoopConf()
+      Seq(tbl, out, ckpt).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).delete(hp, true); ()
+      }
+      (0 to 2).foreach { r =>
+        SinkOps.commitVersion(li.filter(col("l_orderkey") % 3 === r),
+          tbl); ()
+      }
+      val q = s.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(tbl)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out)
+        .groupBy((col("l_orderkey") % 7).as("okey_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("l_quantity")).as("sum_qty"),
+          sum("l_partkey").as("partkey_sum"))
+    }),
     // CHANGEFEED WITH RETRACTIONS — the DV half of the IVM loop: an
     // aggregate view keyed by event_type absorbs a MERGE (updates that
     // MOVE rows across groups + fresh inserts) reading everything from
@@ -8197,6 +8232,15 @@ object SparkEntry {
                   AS sum_qty,
                 CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1""",
+    // readStream.format("graft") delivers the table exactly once:
+    // streamed snapshot + deltas ≡ the full lineitem content.
+    "q_stream_graft_source" ->
+      """SELECT l_orderkey % 7 AS okey_bucket, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_qty,
+                CAST(sum(l_partkey) AS BIGINT) AS partkey_sum
+         FROM lineitem
          GROUP BY 1""",
     // Changefeed-with-retractions view ≡ recomputing the post-merge
     // table's aggregate from scratch (same merged CTE as

@@ -3665,6 +3665,57 @@ object SinkOps {
     readDirsGrouped(spark, root, added, mergeSchema = false)
   }
 
+  /** Streaming-window read for `readStream.format("graft")` — the
+    * rows a micro-batch covering commits (vFrom, vTo] delivers, with
+    * the APPEND-ONLY contract enforced LOUDLY (every silent-wrong
+    * alternative is worse than a restart):
+    *
+    *  - vFrom == 0 is the stream's INITIAL SNAPSHOT: the full
+    *    DV-folded [[readVersion]] of vTo (deletes before the stream
+    *    started are already materialized state, exactly Delta's
+    *    readStream initial load).
+    *  - A later window must be pure appends. A delete/DV commit in it
+    *    refuses (its rows cannot be retracted downstream); a column
+    *    rename/drop/widen refuses (the batch would change schema
+    *    mid-stream); a window that REMOVES data dirs crossed a
+    *    compaction/OPTIMIZE rewrite and refuses (the packed dir would
+    *    silently re-deliver every surviving row as new — consumers
+    *    restart from a fresh checkpoint, Delta's changefeed-across-
+    *    OPTIMIZE re-baseline).
+    */
+  def readChangesAppendOnly(spark: org.apache.spark.sql.SparkSession,
+                            path: String, vFrom: Int, vTo: Int)
+      : DataFrame = {
+    require(0 <= vFrom && vFrom < vTo,
+      s"streaming window empty: ($vFrom, $vTo]")
+    if (vFrom == 0) return readVersion(spark, path, Some(vTo))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = manifestDirs(fs, root, vFrom)
+    val after = manifestDirs(fs, root, vTo)
+    val addedAll = after.filterNot(before.toSet)
+    require(!addedAll.exists(isDeleteLine),
+      s"graft stream at $path: window (v$vFrom, v$vTo] contains a " +
+        "delete/MERGE commit — the streaming source is append-only " +
+        "(emitted rows cannot be retracted); restart from a fresh " +
+        "checkpoint to re-baseline on the folded snapshot")
+    require(!addedAll.exists(isSchemaLine),
+      s"graft stream at $path: window (v$vFrom, v$vTo] crosses a " +
+        "column rename/drop/widen — a micro-batch cannot change " +
+        "schema mid-stream; restart from a fresh checkpoint")
+    val removed = before.filterNot(isDeleteLine)
+      .filterNot(isSchemaLine).filterNot(after.toSet)
+    require(removed.isEmpty,
+      s"graft stream at $path: window (v$vFrom, v$vTo] rewrote " +
+        s"data dirs ($removed) — a compaction/OPTIMIZE would " +
+        "re-deliver surviving rows as new; restart from a fresh " +
+        "checkpoint")
+    // A window can legitimately add zero data dirs (RESTORE re-points
+    // at already-consumed dirs): an empty batch, not a refusal.
+    if (addedAll.isEmpty) readVersion(spark, path, Some(vTo)).limit(0)
+    else readDirsGrouped(spark, root, addedAll, mergeSchema = false)
+  }
+
   /** DELTA-MANIFEST base reference: a manifest whose FIRST line is
     * `base:<v>` carries only the lines ADDED since version v — the
     * fix for O(versions · dirs) manifest metadata (every full manifest

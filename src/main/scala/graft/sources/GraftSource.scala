@@ -2,11 +2,12 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.Table
 import org.apache.spark.sql.connector.catalog.TableProvider
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -21,8 +22,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * extensions fails loudly at capability check rather than returning
   * something else (the handle deliberately has no read capability of
   * its own).
+  *
+  * `spark.readStream.format("graft").load(path)` — the same table as
+  * an unbounded stream ([[GraftStreamSource]]): version-number
+  * offsets, per-batch manifest-dir deltas, append-only enforced.
   */
-class GraftSource extends TableProvider with DataSourceRegister {
+class GraftSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -52,4 +58,49 @@ class GraftSource extends TableProvider with DataSourceRegister {
                         partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     table(new CaseInsensitiveStringMap(properties))
+
+  // ---- streaming half (V1 StreamSourceProvider) ----
+
+  private def streamParams(parameters: Map[String, String])
+      : (String, Int, Option[Int]) = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = lower.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft stream needs a path: spark.readStream" +
+          ".format(\"graft\").load(<table root>)"))
+    (path,
+      lower.get("startingversion").map(_.toInt).getOrElse(0),
+      lower.get("maxversionspertrigger").map { m =>
+        require(m.toInt >= 1, s"maxVersionsPerTrigger must be >= 1: $m")
+        m.toInt
+      })
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val (path, _, _) = streamParams(parameters)
+    // Loud existence check at stream-definition time, as for batch: a
+    // typo'd path must fail here, not tail an empty nothing forever.
+    require(graft.ops.SinkOps.currentVersion(
+        sqlContext.sparkSession, path) >= 1,
+      s"no versions committed at $path")
+    (s"graft[$path]", schema.getOrElse(
+      graft.ops.SinkOps.readVersion(sqlContext.sparkSession, path)
+        .schema))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val (path, startingVersion, maxPerTrigger) = streamParams(parameters)
+    val pinned = sourceSchema(sqlContext, schema, providerName,
+      parameters)._2
+    new GraftStreamSource(sqlContext, path, pinned, startingVersion,
+      maxPerTrigger)
+  }
 }

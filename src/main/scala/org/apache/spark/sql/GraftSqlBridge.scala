@@ -27,6 +27,22 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): Dataset[Row] =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Batch DataFrame → streaming-tagged leaf for a V1 streaming
+    * Source's `getBatch` (the Kafka-source pattern): the micro-batch
+    * engine asserts the returned plan has isStreaming=true, and
+    * re-tagging the plan's own relations would expose its internal
+    * joins (the DV anti-join fold) to the incremental planner's
+    * stream-stream join strategies. Wrapping the compiled RDD in a
+    * streaming LogicalRDD leaf keeps the whole source plan opaque —
+    * planned once as a batch, spliced as a leaf. Lazy: `toRdd` builds
+    * the DAG, nothing runs until the sink's action.
+    */
+  def asStreamingBatch(df: Dataset[Row]): Dataset[Row] = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Register a native expression as a SQL temp function on a live
     * session (the builder-time path is SparkSessionExtensions).
     */
