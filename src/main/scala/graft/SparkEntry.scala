@@ -3065,6 +3065,32 @@ object SparkEntry {
       SinkOps.readVersionWhere(s, path, 100L, 299L)
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
+    // STRING ZONE MAPS (r15) — file skipping on a STRING clustering
+    // column (ULIDs, ISO dates, categories — half of real lakehouse
+    // clustering keys): the sidecar stores Iceberg-style truncated
+    // bounds (16-code-point prefix min, incremented-prefix max), the
+    // planner prunes in the engines' UTF-8 binary order, and the
+    // exact residual keeps the result ≡ the full-scan filter (a
+    // truncated bound can only keep an extra file, never skip a
+    // matching one). Before r15 a string statsCol wrote a silently
+    // all-null (unprunable) sidecar. files-read < files-total is
+    // spec-pinned (Round15OpsSpec).
+    "q_stats_string" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_strskip", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 1L).foreach { r =>
+        SinkOps.commitVersion(
+          ev.filter(col("event_id") % 2 === r)
+            .repartitionByRange(4, col("event_type")),
+          path, carryForward = true, statsCol = Some("event_type")); ()
+      }
+      SinkOps.readVersionWhereString(s, path, "event_type", "e", "s")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), sum("user_id").as("user_sum"))
+    }),
     // DV-AWARE ZONE-MAP SKIP — file skipping on a table a CDC merge
     // stream keeps hot: the head carries an unresolved delete sidecar,
     // and the range read prunes files AND applies the DV in the same
@@ -8147,6 +8173,13 @@ object SparkEntry {
     "q_version_skip" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE event_id BETWEEN 100 AND 299""",
+    // String zone-map read ≡ the full-scan string range filter
+    // (binary collation in both engines).
+    "q_stats_string" ->
+      """SELECT event_type, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events WHERE event_type BETWEEN 'e' AND 's'
+         GROUP BY 1""",
     // DV-aware skip: the pruned-and-resolved read equals the full-scan
     // filter minus the deleted keys.
     "q_skip_dv" ->

@@ -407,26 +407,120 @@ object SinkOps {
     * columns' stats in a single aggregate. Stats are per-dir immutable
     * like the data they describe: a snapshot's full zone map is the
     * union of its manifest dirs' stats files.
+    *
+    * STRING columns (r15) get Iceberg-style TRUNCATED bounds instead
+    * of the silent all-null sidecar the long cast used to produce:
+    * the header tags the column `name#str`, the min cell is the
+    * code-point-truncated true minimum (a prefix is ≤ its string),
+    * the max cell is the truncated true maximum with its last code
+    * point INCREMENTED (so it stays an upper bound after losing the
+    * tail) — both escaped ([[escapeStat]]) so tabs/newlines in data
+    * never corrupt the TSV. Pruning on them is sound-by-construction
+    * and the residual filter stays exact. Nested/binary columns
+    * refuse loudly at commit (no silent unprunable sidecar).
     */
+  private[graft] val StatStrTruncLen = 16
+
+  /** Escape one string-stat cell: %, TAB, CR, LF percent-encoded; the
+    * empty string (a legal minimum) encodes as `%e` so it can never
+    * collide with the "no stats" empty cell.
+    */
+  private def escapeStat(s: String): String =
+    if (s.isEmpty) "%e"
+    else s.replace("%", "%25").replace("\t", "%09")
+      .replace("\n", "%0A").replace("\r", "%0D")
+
+  private def unescapeStat(s: String): String =
+    if (s == "%e") ""
+    else s.replace("%0D", "\r").replace("%0A", "\n")
+      .replace("%09", "\t").replace("%25", "%")
+
+  /** Code-point-order comparison — Spark's UTF8String and DuckDB both
+    * order strings by UTF-8 bytes, which is CODE POINT order, not
+    * java.lang.String's UTF-16 code-unit order (they disagree above
+    * the BMP: U+10000 sorts after U+FFFF in code points but its
+    * surrogates sort before). Every prune decision must use the
+    * engine's ordering or a supplementary character could skip a
+    * matching file.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    val ai = a.codePoints().iterator(); val bi = b.codePoints().iterator()
+    while (ai.hasNext && bi.hasNext) {
+      val c = Integer.compare(ai.nextInt(), bi.nextInt())
+      if (c != 0) return c
+    }
+    java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
+  }
+
+  private def truncCp(s: String, k: Int): String =
+    if (s.codePointCount(0, s.length) <= k) s
+    else s.substring(0, s.offsetByCodePoints(0, k))
+
+  /** Truncated UPPER bound: take k code points, then increment the
+    * last incrementable one (skipping the surrogate gap — those are
+    * not scalar values) and drop everything after it; if every kept
+    * code point is U+10FFFF the full value is stored untruncated
+    * (still exact). Identical shape to Iceberg's
+    * `TruncateUtil`/Delta's string stats truncation.
+    */
+  private def statUpperBound(s: String, k: Int): String = {
+    if (s.codePointCount(0, s.length) <= k) return s
+    var t = truncCp(s, k)
+    while (t.nonEmpty) {
+      val last = t.codePointBefore(t.length)
+      if (last < Character.MAX_CODE_POINT) {
+        val next = if (last + 1 >= 0xD800 && last + 1 <= 0xDFFF) 0xE000
+          else last + 1
+        return t.substring(0, t.length - Character.charCount(last)) +
+          new String(Character.toChars(next))
+      }
+      t = t.substring(0, t.length - Character.charCount(last))
+    }
+    s
+  }
+
   private def writeDirStats(spark: org.apache.spark.sql.SparkSession,
                             fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path,
                             dataDir: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty && cols.distinct == cols,
       s"stats columns must be non-empty and distinct: $cols")
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"mn_$c"),
-      max(col(c).cast("long")).as(s"mx_$c"))) :+ count(lit(1)).as("n")
-    val rows = spark.read
+    val df = spark.read
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    val isStr = cols.map { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => true
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType |
+             org.apache.spark.sql.types.BinaryType =>
+          throw new IllegalArgumentException(
+            s"stats column $c has type ${df.schema(c).dataType.sql} — " +
+              "zone maps need a long-castable or string column " +
+              "(a nested/binary sidecar could never prune)")
+        case _ => false
+      }
+    }
+    val aggs = cols.zip(isStr).flatMap { case (c, str) =>
+      if (str) Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+      else Seq(min(col(c).cast("long")).as(s"mn_$c"),
+        max(col(c).cast("long")).as(s"mx_$c"))
+    } :+ count(lit(1)).as("n")
+    val rows = df
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    val lines = cols.mkString("\t") +: rows.map { r =>
+    val header = cols.zip(isStr)
+      .map { case (c, str) => if (str) s"$c#str" else c }.mkString("\t")
+    val lines = header +: rows.map { r =>
       val name = new org.apache.hadoop.fs.Path(
         new java.net.URI(r.getString(0))).getName
       val mm = cols.indices.flatMap { i =>
         if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) Seq("", "")
+        else if (isStr(i)) Seq(
+          escapeStat(truncCp(r.getString(1 + 2 * i), StatStrTruncLen)),
+          escapeStat(statUpperBound(r.getString(2 + 2 * i),
+            StatStrTruncLen)))
         else Seq(r.getLong(1 + 2 * i).toString,
           r.getLong(2 + 2 * i).toString)
       }
@@ -441,14 +535,29 @@ object SinkOps {
     finally out.close()
   }
 
-  /** Parsed stats sidecar of one data dir: the declared columns and
-    * per-file entries — (file name, per-column Option[(min,max)],
-    * Option[row count]); None when the dir has no sidecar. Legacy
-    * 1-field lines parse statless+countless, legacy 3-field
-    * single-column lines countless.
+  /** Parsed stats sidecar of one data dir: the declared columns (with
+    * per-column string-typed flag from the `#str` header tag) and
+    * per-file entries — (file name, per-column Option[(min,max)] as
+    * RAW CELL STRINGS (decimal longs for numeric columns, escaped
+    * truncated bounds for string columns), Option[row count]); None
+    * when the dir has no sidecar. Legacy 1-field lines parse
+    * statless+countless, legacy 3-field single-column lines countless.
     */
-  private case class DirStats(cols: Seq[String],
-      files: Seq[(String, Seq[Option[(Long, Long)]], Option[Long])])
+  private case class DirStats(cols: Seq[String], isStr: Seq[Boolean],
+      files: Seq[(String, Seq[Option[(String, String)]], Option[Long])]) {
+    /** Numeric bounds of column i — refuses loudly on a string-typed
+      * column (the caller asked for an exact long the truncated
+      * string bound cannot be).
+      */
+    def longBounds(i: Int, mm: Seq[Option[(String, String)]])
+        : Option[(Long, Long)] = {
+      require(!isStr(i),
+        s"stats column ${cols(i)} is string-typed (truncated bounds)" +
+          " — exact numeric use refused; prune with the string " +
+          "predicate (readVersionWhereString)")
+      mm(i).map { case (a, b) => (a.toLong, b.toLong) }
+    }
+  }
 
   /** Sidecar file of a manifest data dir: `<tableRoot>/<kind>/<dirname>
     * .txt` where tableRoot is the parent of the dir's `data/` — for the
@@ -477,19 +586,26 @@ object SinkOps {
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
-      val cols = lines.head.split('\t').toSeq
+      val tagged = lines.head.split('\t').toSeq
+      val cols = tagged.map(_.stripSuffix("#str"))
+      val isStr = tagged.map(_.endsWith("#str"))
       val k = cols.length
-      def mmOf(parts: Array[String]): Seq[Option[(Long, Long)]] =
+      def mmOf(parts: Array[String]): Seq[Option[(String, String)]] =
         (0 until k).map { i =>
           val mn = parts(1 + 2 * i)
           val mx = parts(2 + 2 * i)
-          if (mn.nonEmpty && mx.nonEmpty) Some((mn.toLong, mx.toLong))
+          if (mn.nonEmpty && mx.nonEmpty) Some(
+            if (isStr(i)) (unescapeStat(mn), unescapeStat(mx))
+            else (mn, mx))
           else None
         }
       val files = lines.tail.map { ln =>
+        // Empty (statless) cells are always interior — the row count
+        // trails every line — so split's trailing-empty trim is safe.
         val parts = ln.split('\t')
         parts.length match {
-          case 1 => (parts(0), Seq.fill(k)(Option.empty[(Long, Long)]),
+          case 1 => (parts(0),
+            Seq.fill(k)(Option.empty[(String, String)]),
             Option.empty[Long])
           case n if n == 2 * k + 2 =>
             (parts(0), mmOf(parts), Some(parts(2 * k + 1).toLong))
@@ -498,7 +614,7 @@ object SinkOps {
             s"malformed stats line in $sf: $ln")
         }
       }
-      Some(DirStats(cols, files))
+      Some(DirStats(cols, isStr, files))
     }
   }
 
@@ -1996,11 +2112,15 @@ object SinkOps {
               nRows += n; nFiles += 1
               // min_stat/max_stat report the FIRST declared column —
               // the primary clustering column by the
-              // commitVersionStats contract.
-              mm.head.foreach { case (lo, hi) =>
-                any = true
-                mn = math.min(mn, lo)
-                mx = math.max(mx, hi)
+              // commitVersionStats contract. String-typed stats carry
+              // truncated (inexact) bounds: the timeline reports the
+              // exact counts and leaves the range null rather than
+              // serve an approximate value as history.
+              if (!ds.isStr.head) ds.longBounds(0, mm).foreach {
+                case (lo, hi) =>
+                  any = true
+                  mn = math.min(mn, lo)
+                  mx = math.max(mx, hi)
               }
             }
           case None =>
@@ -2354,11 +2474,33 @@ object SinkOps {
   private def pruneGroupsWhereCols(
       spark: org.apache.spark.sql.SparkSession, path: String,
       preds: Seq[(Option[String], Long, Long)], version: Option[Int])
+      : (Seq[(Seq[String], Seq[(String, String)])], Int, Seq[String]) =
+    pruneGroupsWherePreds(spark, path,
+      preds.map { case (c, lo, hi) => LongStatPred(c, lo, hi) }, version)
+
+  /** A zone-map range predicate: numeric (exact long bounds) or
+    * string (compared against the sidecar's truncated bounds in CODE
+    * POINT order — the engines' UTF-8 binary collation; sound because
+    * the stored min is ≤ and the stored max ≥ every true value).
+    * Each refuses loudly against a column of the other kind.
+    */
+  private sealed trait StatPred { def col: Option[String] }
+  private case class LongStatPred(col: Option[String], lo: Long,
+      hi: Long) extends StatPred
+  private case class StrStatPred(col: Option[String], lo: String,
+      hi: String) extends StatPred
+
+  private def pruneGroupsWherePreds(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      preds: Seq[StatPred], version: Option[Int])
       : (Seq[(Seq[String], Seq[(String, String)])], Int, Seq[String]) = {
     require(preds.nonEmpty, "no predicates to plan")
-    preds.foreach { case (c, lo, hi) =>
-      require(lo <= hi,
-        s"empty predicate range [$lo, $hi]${c.fold("")(" on " + _)}") }
+    preds.foreach {
+      case LongStatPred(c, lo, hi) => require(lo <= hi,
+        s"empty predicate range [$lo, $hi]${c.fold("")(" on " + _)}")
+      case StrStatPred(c, lo, hi) => require(cpCompare(lo, hi) <= 0,
+        s"empty predicate range [$lo, $hi]${c.fold("")(" on " + _)}")
+    }
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val v = version.getOrElse {
@@ -2381,17 +2523,29 @@ object SinkOps {
             s"inconsistent stats columns across snapshot dirs: " +
               s"${prev.mkString(",")} vs ${ds.cols.mkString(",")}"))
           declared = Some(ds.cols)
-          val idx = preds.map { case (c, lo, hi) =>
-            val i = c.fold(0)(ds.cols.indexOf)
+          val idx = preds.map { p =>
+            val i = p.col.fold(0)(ds.cols.indexOf)
             require(i >= 0,
-              s"predicate on ${c.get} but dir $d declares stats for " +
-                ds.cols.mkString(", "))
-            (i, lo, hi)
+              s"predicate on ${p.col.get} but dir $d declares stats " +
+                "for " + ds.cols.mkString(", "))
+            p match {
+              case _: LongStatPred => require(!ds.isStr(i),
+                s"numeric range predicate on string-typed stats " +
+                  s"column ${ds.cols(i)} — use readVersionWhereString")
+              case _: StrStatPred => require(ds.isStr(i),
+                s"string range predicate on numeric stats column " +
+                  s"${ds.cols(i)} — use readVersionWhere/WhereCols")
+            }
+            (i, p)
           }
           val keep = ds.files.collect {
-            case (name, mm, _) if idx.forall { case (i, lo, hi) =>
-              mm(i).forall { case (mn, mx) => mn <= hi && mx >= lo } } =>
-              name
+            case (name, mm, _) if idx.forall { case (i, p) =>
+              mm(i).forall { case (mn, mx) => p match {
+                case LongStatPred(_, lo, hi) =>
+                  mn.toLong <= hi && mx.toLong >= lo
+                case StrStatPred(_, lo, hi) =>
+                  cpCompare(mn, hi) <= 0 && cpCompare(mx, lo) >= 0
+              } } } => name
           }.toSet
           parts.filter(p => keep.contains(p.getName))
             .map(_.toString).toSeq
@@ -2505,6 +2659,46 @@ object SinkOps {
     if (groups.forall(_._1.isEmpty))
       readVersion(spark, path, version, mergeSchema).filter(lit(false))
     else readGroups(spark, root, groups, mergeSchema).filter(residual)
+  }
+
+  /** Read a snapshot UNDER A STRING RANGE PREDICATE on a declared
+    * string stats column (`[lo, hi]` inclusive, the engines' UTF-8
+    * binary collation): files are skipped when their TRUNCATED bounds
+    * ([[writeDirStats]] — Iceberg-style 16-code-point prefix min /
+    * incremented-prefix max) provably exclude the range, then the
+    * EXACT residual filter applies — truncation can only keep an
+    * extra file, never skip a matching one, so the result equals the
+    * full-scan filter by construction. DV-aware like
+    * [[readVersionWhere]]. A numeric stats column refuses loudly
+    * (use the numeric predicates).
+    */
+  def readVersionWhereString(spark: org.apache.spark.sql.SparkSession,
+                             path: String, column: String,
+                             lo: String, hi: String,
+                             version: Option[Int] = None,
+                             mergeSchema: Boolean = false): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (groups, _, _) = pruneGroupsWherePreds(spark, path,
+      Seq(StrStatPred(Some(column), lo, hi)), version)
+    if (groups.forall(_._1.isEmpty))
+      readVersion(spark, path, version, mergeSchema).filter(lit(false))
+    else readGroups(spark, root, groups, mergeSchema)
+      .filter(col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** Planning view of [[readVersionWhereString]] — (kept files,
+    * total, declared stats columns); what the skip-economics specs
+    * probe.
+    */
+  def pruneFilesString(spark: org.apache.spark.sql.SparkSession,
+                       path: String, column: String,
+                       lo: String, hi: String,
+                       version: Option[Int] = None)
+      : (Seq[String], Int, Seq[String]) = {
+    val (groups, total, cols) = pruneGroupsWherePreds(spark, path,
+      Seq(StrStatPred(Some(column), lo, hi)), version)
+    requireFlat(groups, path)
+    (groups.flatMap(_._1), total, cols)
   }
 
   /** Planning view of [[readVersionWhereCols]] — (kept files, total,
@@ -3472,6 +3666,16 @@ object SinkOps {
         mx = Array.fill(ds.cols.length)(Long.MinValue)
         any = Array.fill(ds.cols.length)(false)
       }
+      // String stats carry TRUNCATED bounds — an exact metadata-only
+      // MIN/MAX cannot be served from them; refuse rather than return
+      // an approximation as exact.
+      require(!ds.isStr.exists(identity),
+        s"stats-only aggregation over string-typed stats column(s) " +
+          ds.cols.zip(ds.isStr).collect { case (c, true) => c }
+            .mkString(", ") +
+          s" at $path — truncated string bounds are prune-sound but " +
+          "not exact; aggregate the data, or declare a numeric " +
+          "stats column")
       ds.files.foreach { case (_, mm, cnt) =>
         val n = cnt.getOrElse(throw new IllegalStateException(
           s"count-less stats line for dir $d (legacy format) — " +
@@ -3481,8 +3685,8 @@ object SinkOps {
         mm.zipWithIndex.foreach {
           case (Some((lo, hi)), i) =>
             any(i) = true
-            mn(i) = math.min(mn(i), lo)
-            mx(i) = math.max(mx(i), hi)
+            mn(i) = math.min(mn(i), lo.toLong)
+            mx(i) = math.max(mx(i), hi.toLong)
           case _ =>
         }
       }
@@ -3562,6 +3766,15 @@ object SinkOps {
         mx = Array.fill(ds.cols.length)(Long.MinValue)
         any = Array.fill(ds.cols.length)(false)
       }
+      // Truncated string bounds cannot serve an exact MIN/MAX — same
+      // refusal as the clean-epoch aggregate above.
+      require(!ds.isStr.exists(identity),
+        s"stats-only aggregation over string-typed stats column(s) " +
+          ds.cols.zip(ds.isStr).collect { case (c, true) => c }
+            .mkString(", ") +
+          s" at $path — truncated string bounds are prune-sound but " +
+          "not exact; aggregate the data, or declare a numeric " +
+          "stats column")
       ds.files.foreach { case (_, mm, cnt) =>
         nFiles += 1
         if (statsToo) {
@@ -3570,8 +3783,8 @@ object SinkOps {
           mm.zipWithIndex.foreach {
             case (Some((lo, hi)), i) =>
               any(i) = true
-              mn(i) = math.min(mn(i), lo)
-              mx(i) = math.max(mx(i), hi)
+              mn(i) = math.min(mn(i), lo.toLong)
+              mx(i) = math.max(mx(i), hi.toLong)
             case _ =>
           }
         }

@@ -117,4 +117,90 @@ class Round15OpsSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, "data/v9")),
       "young never-committed dir reclaimed inside the horizon")
   }
+
+  // ---- string zone maps ----
+
+  private val strRows = Seq(
+    (1L, ""), (2L, "aaa"), (3L, "bbb\ttab"), (4L, "ccc%pct"),
+    (5L, "ddd\nnl"), (6L, "prefixprefixprefix_AAAA"),
+    (7L, "prefixprefixprefix_MMMM"), (8L, "prefixprefixprefix_ZZZZ"),
+    (9L, "zz"), (10L, "zzz"))
+
+  test("string zone maps: files-read < files-total under a selective " +
+      "range, and the pruned read ≡ the full-scan filter (truncated " +
+      "bounds + exact residual), tabs/%/newlines/empty round-trip") {
+    val path = tmp("r15_strzm")
+    val df = strRows.toDF("id", "s")
+    // Range-cluster on s so files carry tight string bounds.
+    SinkOps.commitVersion(df.repartitionByRange(5, col("s")), path,
+      carryForward = true, Some("s"))
+    val (kept, total, cols) =
+      SinkOps.pruneFilesString(spark, path, "s", "a", "c")
+    assert(cols == Seq("s"))
+    assert(kept.size < total,
+      s"no pruning: kept ${kept.size} of $total")
+    // Equality on ranges that cut inside truncated prefixes, cross
+    // the escape characters, and include the empty-string minimum.
+    val probes = Seq(("a", "c"), ("", "b"),
+      ("prefixprefixprefix_B", "prefixprefixprefix_N"), // inside trunc
+      ("b", "e"), ("zz", "zzz"))
+    probes.foreach { case (lo, hi) =>
+      val got = SinkOps.readVersionWhereString(spark, path, "s", lo, hi)
+        .select("id").collect().map(_.getLong(0)).sorted
+      val want = strRows.filter { case (_, s) => s >= lo && s <= hi }
+        .map(_._1).sorted
+      assert(got.toSeq == want,
+        s"[$lo,$hi]: got ${got.mkString(",")} want ${want.mkString(",")}")
+    }
+  }
+
+  test("string zone maps: the truncated upper bound increments the " +
+      "last code point — a value past the 16-cp prefix is never " +
+      "wrongly skipped") {
+    val path = tmp("r15_strzm_trunc")
+    // One file, one long value: bounds are trunc("prefix…")/"…pref"+1.
+    SinkOps.commitVersion(
+      Seq((1L, "prefixprefixprefix_ZZZZ")).toDF("id", "s"), path,
+      carryForward = true, Some("s"))
+    // hi sits between the truncated min and the true value; the exact
+    // min bound (a prefix) must keep the file, the residual drops the
+    // row — correct empty result, no crash, no wrong skip the other
+    // way for a hi above the true value.
+    assert(SinkOps.readVersionWhereString(spark, path, "s",
+      "prefixprefixprefix_A", "prefixprefixprefix_B").count() == 0)
+    assert(SinkOps.readVersionWhereString(spark, path, "s",
+      "prefixprefixprefix_Z", "prefixprefixprefiy").count() == 1)
+  }
+
+  test("string zone maps refuse loudly where exactness would be " +
+      "silently lost: numeric pred on a string column, string pred " +
+      "on a numeric column, stats-only agg over truncated bounds, " +
+      "nested stats column at commit") {
+    val path = tmp("r15_strzm_refuse")
+    SinkOps.commitVersion(strRows.toDF("id", "s"), path,
+      carryForward = true, Some("s"))
+    val e1 = intercept[IllegalArgumentException] {
+      SinkOps.readVersionWhere(spark, path, 1L, 5L).collect()
+    }
+    assert(e1.getMessage.contains("string-typed"))
+    val e2 = intercept[IllegalArgumentException] {
+      SinkOps.statsOnlyAgg(spark, path).collect()
+    }
+    assert(e2.getMessage.contains("truncated"))
+    val pathN = tmp("r15_strzm_refuse_num")
+    SinkOps.commitVersion(strRows.toDF("id", "s"), pathN,
+      carryForward = true, Some("id"))
+    val e3 = intercept[IllegalArgumentException] {
+      SinkOps.readVersionWhereString(spark, pathN, "id", "a", "b")
+        .collect()
+    }
+    assert(e3.getMessage.contains("numeric"))
+    val pathA = tmp("r15_strzm_refuse_arr")
+    val e4 = intercept[IllegalArgumentException] {
+      SinkOps.commitVersion(
+        strRows.toDF("id", "s").withColumn("arr", array(col("s"))),
+        pathA, carryForward = true, Some("arr"))
+    }
+    assert(e4.getMessage.contains("nested"))
+  }
 }
