@@ -3313,18 +3313,22 @@ object SparkEntry {
     }),
     // CDF ATTRIBUTION — the insert-vs-update split a DV changefeed
     // cannot provide alone (a sidecar lists touched keys whether or
-    // not they existed): ONE probe of the pre-window snapshot against
-    // the broadcast touched-key set classifies every post-image row.
-    // The oracle classifies by key membership in the base table, so
-    // the check stays exact even if a shifted "insert" key happens to
-    // collide with a live key at larger scale factors.
+    // not they existed): one probe of the pre-window snapshot against
+    // the broadcast touched-key set classifies every post-image row —
+    // and (r15) the base commits carry BLOOM sidecars on the key, so
+    // the probe plans from metadata and reads only bloom-positive
+    // files (O(changed keys + affected files), never the O(table)
+    // snapshot scan; split ≡ the full-scan twin, spec-pinned in
+    // Round15OpsSpec). The oracle classifies by key membership in the
+    // base table, so the check stays exact even if a shifted "insert"
+    // key happens to collide with a live key at larger scale factors.
     "q_changefeed_classify" -> ((s, d) => {
       val e = Tables.events(s, d)
       val path = tmpPath("graft_cfc", d)
       val root = new org.apache.hadoop.fs.Path(path)
       root.getFileSystem(s.sessionState.newHadoopConf())
         .delete(root, true)
-      SinkOps.commitVersion(e, path)
+      SinkOps.commitVersionBloom(e, path, "event_id")
       val batch = e.filter(col("event_id") % 5 === 0)
         .withColumn("event_type", lit("updated"))
         .withColumn("value", col("value") + lit(1000.0d))
@@ -4405,6 +4409,46 @@ object SparkEntry {
             .as("val_sum"))
         .withColumn("v_merge", lit(vMerge))
         .withColumn("v_del", lit(vDel))
+    }),
+
+    // OCC RETRY FOR THE MAINTENANCE VERBS (round 15) — the nightly
+    // schema/maintenance job racing a live writer LANDS instead of
+    // aborting: a WIDEN loses its version race to a competing append
+    // and retries with per-verb re-validation (the column's CURRENT
+    // type re-checked in the advanced head); then OPTIMIZE loses to
+    // another append and retries by RE-RESOLVING the advanced
+    // snapshot and re-packing — the racer's rows are in the pack by
+    // construction, never silently dropped (a compaction's payload
+    // derives from the snapshot, so unlike the metadata verbs its
+    // retry re-reads data). Landed versions + final digest pinned by
+    // the oracle's replay of the serialized order.
+    "q_occ_retry_maint" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          (col("event_id") % 1000).cast("int").as("vint"))
+      val path = tmpPath("graft_occmaint", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersion(e.filter(col("event_id") % 2 === 0), path)
+      val vWiden = SinkOps.widenVersionColumn(s, path, "vint",
+        "bigint", maxTries = 2, beforeAttempt = n => if (n == 1) {
+          SinkOps.commitVersion(e.filter(col("event_id") % 2 === 1),
+            path); ()
+        })
+      val vOpt = SinkOps.compactVersionsRetrying(s, path,
+        maxTries = 2, beforeAttempt = n => if (n == 1) {
+          SinkOps.commitVersion(
+            e.filter(col("event_id") % 4 === 2)
+              .withColumn("event_id", col("event_id") + 20000000L),
+            path); ()
+        })
+      SinkOps.readVersion(s, path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"),
+          sum("vint").as("vint_sum"))
+        .select(lit(vWiden).as("v_widen"), lit(vOpt).as("v_opt"),
+          col("n_rows"), col("user_sum"), col("vint_sum"))
     }),
 
     // DV-TOLERANT METADATA AGGREGATION — cheap counts exactly when
@@ -8173,6 +8217,24 @@ object SparkEntry {
     "q_version_skip" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE event_id BETWEEN 100 AND 299""",
+    // Maintenance-verb OCC: serialized replay — evens, then the odd
+    // racer, widen (metadata-only, values unchanged), the shifted
+    // racer, then the pack; digest over the final table, landed
+    // versions pinned (racers took v2/v4 → widen v3, pack v5).
+    "q_occ_retry_maint" ->
+      """WITH base AS (
+           SELECT event_id, user_id, event_id % 1000 AS vint
+           FROM events
+         ), shifted AS (
+           SELECT event_id + 20000000 AS event_id, user_id, vint
+           FROM base WHERE event_id % 4 = 2
+         ), fulltab AS (
+           SELECT * FROM base UNION ALL SELECT * FROM shifted
+         )
+         SELECT 3 AS v_widen, 5 AS v_opt, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(vint) AS BIGINT) AS vint_sum
+         FROM fulltab""",
     // String zone-map read ≡ the full-scan string range filter
     // (binary collation in both engines).
     "q_stats_string" ->

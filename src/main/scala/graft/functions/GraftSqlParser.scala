@@ -135,11 +135,19 @@ object GraftSqlParser {
       "([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+" +
       "(.+)$").r
 
-  /** Trailing `RETRY <n>` clause of MERGE/DELETE — opt-in OCC commit
-    * retry (the *Retrying SinkOps bodies); without it the verbs keep
-    * their bit-identical single-attempt shape.
+  /** Trailing `RETRY <n>` clause of MERGE/DELETE and (r15) the
+    * maintenance verbs OPTIMIZE/ALTER TABLE/RESTORE — opt-in OCC
+    * commit retry (the *Retrying SinkOps bodies), landing through up
+    * to n version races (n retries = n+1 total attempts); without it
+    * the verbs keep their bit-identical single-attempt shape.
     */
   private val RetryTail = "(?is)^(.*?)\\s*RETRY\\s+(\\d+)$".r
+
+  /** Split a verb tail's trailing `RETRY <n>` off: (body, retries). */
+  private def splitRetry(t: String): (String, Int) = t match {
+    case RetryTail(body, n) => (body.trim, n.toInt)
+    case _ => (t, 0)
+  }
 
   private def isGraftCat(cat: String): Boolean =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -429,43 +437,51 @@ object GraftSqlParser {
                   carryForward = v == "INSERT INTO", statsCols)
             }
           case "OPTIMIZE" =>
-            tail.trim match {
-              case "" => GraftOptimizeCommand(path, Nil, None)
+            val (t, retries) = splitRetry(tail.trim)
+            t match {
+              case "" => GraftOptimizeCommand(path, Nil, None, retries)
               case ZOrderBy(cols) =>
                 val zc = cols.split(",").map(_.trim).filter(_.nonEmpty)
                 require(zc.length >= 2,
                   s"OPTIMIZE ... ZORDER BY needs >= 2 columns: $cols")
+                require(retries == 0,
+                  "RETRY on OPTIMIZE ... ZORDER BY is not supported " +
+                    "(the Morton rewrite has no OCC body yet) — run " +
+                    "it in a maintenance window")
                 GraftOptimizeCommand(path, zc.toSeq, None)
-              case ClusterBy(c) => GraftOptimizeCommand(path, Nil, Some(c))
+              case ClusterBy(c) =>
+                GraftOptimizeCommand(path, Nil, Some(c), retries)
               case other => throw new IllegalArgumentException(
                 s"OPTIMIZE graft_table('$path') supports exactly '' | " +
-                  s"ZORDER BY (c1, c2[, ...]) | CLUSTER BY (c); got: " +
-                  other)
+                  s"ZORDER BY (c1, c2[, ...]) | CLUSTER BY (c) " +
+                  s"[RETRY n]; got: $other")
             }
           case "ALTER TABLE" =>
-            tail.trim match {
+            val (t, retries) = splitRetry(tail.trim)
+            t match {
               case RenameColTail(o, n) =>
-                GraftRenameColumnCommand(path, o, n)
+                GraftRenameColumnCommand(path, o, n, retries)
               case DropColTail(c) =>
-                GraftDropColumnCommand(path, c)
-              case WidenColTail(c, t) =>
-                GraftWidenColumnCommand(path, c, t.trim)
+                GraftDropColumnCommand(path, c, retries)
+              case WidenColTail(c, ty) =>
+                GraftWidenColumnCommand(path, c, ty.trim, retries)
               case other => throw new IllegalArgumentException(
                 s"ALTER TABLE graft_table('$path') supports exactly " +
                   "RENAME COLUMN <old> TO <new> | DROP COLUMN <col> " +
-                  "| ALTER COLUMN <col> TYPE <type>; " +
+                  "| ALTER COLUMN <col> TYPE <type>, each [RETRY n]; " +
                   s"got: $other")
             }
           case "RESTORE" =>
-            tail.trim match {
+            val (t, retries) = splitRetry(tail.trim)
+            t match {
               case VersionAsOfTail(rv) =>
-                GraftRestoreCommand(path, Some(rv.toInt), None)
+                GraftRestoreCommand(path, Some(rv.toInt), None, retries)
               case TimestampAsOfTail(ts) =>
-                GraftRestoreCommand(path, None, Some(ts.toLong))
+                GraftRestoreCommand(path, None, Some(ts.toLong), retries)
               case other => throw new IllegalArgumentException(
                 s"RESTORE graft_table('$path') supports exactly " +
-                  "VERSION AS OF <v> | TIMESTAMP AS OF <millis>; " +
-                  s"got: $other")
+                  "VERSION AS OF <v> | TIMESTAMP AS OF <millis> " +
+                  s"[RETRY n]; got: $other")
             }
           case "VACUUM" =>
             tail.trim match {
@@ -669,13 +685,17 @@ case class GraftInsertCheckedCommand(path: String, source: LogicalPlan,
   * declared layout.
   */
 case class GraftOptimizeCommand(path: String, zorderCols: Seq[String],
-                                clusterCol: Option[String])
+                                clusterCol: Option[String],
+                                retries: Int = 0)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(
       if (zorderCols.nonEmpty)
         graft.ops.SinkOps.compactVersionsZOrderK(spark, path, zorderCols)
+      else if (retries >= 1)
+        graft.ops.SinkOps.compactVersionsRetrying(spark, path,
+          clusterCol, maxTries = retries + 1)
       else graft.ops.SinkOps.compactVersions(spark, path, clusterCol)))
 }
 
@@ -686,14 +706,17 @@ case class GraftOptimizeCommand(path: String, zorderCols: Seq[String],
   * the restore commit's version.
   */
 case class GraftRestoreCommand(path: String, version: Option[Int],
-                               tsMillis: Option[Long])
+                               tsMillis: Option[Long],
+                               retries: Int = 0)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(version match {
-      case Some(v) => graft.ops.SinkOps.restoreVersion(spark, path, v)
-      case None => graft.ops.SinkOps.restoreVersionAsOf(spark, path,
-        tsMillis.get)
+      case Some(v) => graft.ops.SinkOps.restoreVersion(spark, path, v,
+        maxTries = retries + 1)
+      case None => graft.ops.SinkOps.restoreVersion(spark, path,
+        graft.ops.SinkOps.versionAsOf(spark, path, tsMillis.get),
+        maxTries = retries + 1)
     }))
 }
 
@@ -703,12 +726,12 @@ case class GraftRestoreCommand(path: String, version: Option[Int],
   * rename commit's version.
   */
 case class GraftRenameColumnCommand(path: String, oldName: String,
-                                    newName: String)
+                                    newName: String, retries: Int = 0)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.ops.SinkOps.renameVersionColumn(spark, path,
-      oldName, newName)))
+      oldName, newName, maxTries = retries + 1)))
 }
 
 /** `ALTER TABLE graft_table(path) DROP COLUMN col` →
@@ -716,11 +739,13 @@ case class GraftRenameColumnCommand(path: String, oldName: String,
   * line, zero data IO; bytes reclaimed at OPTIMIZE. Returns the drop
   * commit's version.
   */
-case class GraftDropColumnCommand(path: String, colName: String)
+case class GraftDropColumnCommand(path: String, colName: String,
+                                  retries: Int = 0)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(graft.ops.SinkOps.dropVersionColumn(spark, path, colName)))
+    Seq(Row(graft.ops.SinkOps.dropVersionColumn(spark, path, colName,
+      maxTries = retries + 1)))
 }
 
 /** `ALTER TABLE graft_table(path) ALTER COLUMN col TYPE <type>` →
@@ -730,12 +755,12 @@ case class GraftDropColumnCommand(path: String, colName: String)
   * version.
   */
 case class GraftWidenColumnCommand(path: String, colName: String,
-                                   newType: String)
+                                   newType: String, retries: Int = 0)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.ops.SinkOps.widenVersionColumn(spark, path, colName,
-      newType)))
+      newType, maxTries = retries + 1)))
 }
 
 /** `CLONE graft_table(src) TO graft_table(dst) [VERSION AS OF v]` →
@@ -798,9 +823,12 @@ case class GraftDeleteCommand(path: String, keyCol: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(keys)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(
+      // maxTries = retries + 1: RETRY n means landing through up to n
+      // version RACES (n+1 total attempts), as documented — ADVICE
+      // r14 pinned the old maxTries = n as an off-by-one.
       if (retries >= 1) graft.ops.SinkOps.deleteVersionKeysRetrying(
         GraftSqlBridge.ofRows(spark, keys), path, keyCol,
-        maxTries = retries)
+        maxTries = retries + 1)
       else graft.ops.SinkOps.deleteVersionKeys(
         GraftSqlBridge.ofRows(spark, keys), path, keyCol)))
 }
@@ -822,9 +850,10 @@ case class GraftMergeCommand(path: String, keyCol: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(
+      // maxTries = retries + 1 — same RETRY-n-races contract as DELETE.
       if (retries >= 1) graft.ops.SinkOps.mergeVersionRetrying(
         GraftSqlBridge.ofRows(spark, source), path, keyCol, statsCols,
-        maxTries = retries)
+        maxTries = retries + 1)
       else graft.ops.SinkOps.mergeVersion(
         GraftSqlBridge.ofRows(spark, source), path, keyCol, statsCols)))
 }

@@ -721,6 +721,75 @@ object SinkOps {
     }
   }
 
+  /** [[compactVersions]] with the BOUNDED OCC RETRY — the nightly
+    * OPTIMIZE that loses a race to a live merge/append stream lands
+    * on retry instead of aborting. Unlike the metadata verbs, a
+    * compaction's PAYLOAD derives from the snapshot, so a lost race
+    * invalidates the packed data itself: each attempt RE-RESOLVES the
+    * advanced head and re-packs (O(snapshot) per attempt, bounded by
+    * `maxTries`) — the winner's rows are in the next pack by
+    * construction, never silently dropped. The pack lands under a
+    * COMMIT-UNIQUE dir (never `data/v<N>` — a racing loser's
+    * Overwrite would clobber it) and a losing attempt deletes its
+    * stale pack + sidecars before retrying. Hive-partitioned tables
+    * refuse (their OPTIMIZE converges the partition layout — run
+    * [[compactVersions]] in a maintenance window).
+    */
+  def compactVersionsRetrying(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              statsCol: Option[String] = None,
+                              maxTries: Int = 3,
+                              beforeAttempt: Int => Unit = _ => ())
+      : Int = {
+    require(maxTries >= 1, s"maxTries must be >= 1: $maxTries")
+    require(headPartitionCols(spark, path).isEmpty,
+      s"table at $path is hive-partitioned — the OCC-retrying " +
+        "OPTIMIZE packs flat snapshots only; use compactVersions")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    var attempt = 1
+    while (true) {
+      val head = latestVersion(fs, root)
+      require(head >= 1, s"no versions committed at $path")
+      // Pin the pack to the head this attempt allocated from: a racer
+      // landing after this read collides on the version number below
+      // and triggers the re-pack.
+      val resolved = readVersion(spark, path, Some(head))
+      val clustered = statsCol.fold(resolved)(c =>
+        resolved.repartitionByRange(col(c)))
+      val dataDir = s"data/c${java.util.UUID.randomUUID.toString
+        .replace("-", "").take(12)}"
+      clustered.write.mode(SaveMode.Overwrite)
+        .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+      statsCol.foreach(c =>
+        writeDirStats(spark, fs, root, dataDir, Seq(c)))
+      beforeAttempt(attempt)
+      val v = math.max(head, latestStaged(fs, root)) + 1
+      def lost(e: Throwable): Unit = {
+        // Stale pack: built from a superseded snapshot — remove it
+        // (plus its sidecars) so no orphan waits on the VACUUM grace.
+        fs.delete(new org.apache.hadoop.fs.Path(root, dataDir), true)
+        statsCol.foreach(_ => fs.delete(sidecarFile(root, dataDir,
+          "stats"), false))
+        if (attempt >= maxTries) throw new IllegalStateException(
+          s"OPTIMIZE of $path lost $maxTries version races — " +
+            "concurrent-writer pressure exceeds the retry budget", e)
+        attempt += 1
+      }
+      try {
+        writeManifestLines(fs, root, v, Seq(dataDir))
+        return v
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("commit conflict") => lost(e)
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          lost(e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The head snapshot's hive-partition columns (nesting order):
     * Some(cols) when ANY head data dir carries a parts sidecar (all
     * partitioned dirs must agree — loud otherwise), None on a
@@ -1279,19 +1348,18 @@ object SinkOps {
     * incident timeline, not a success). Returns the new version.
     */
   def restoreVersion(spark: org.apache.spark.sql.SparkSession,
-                     path: String, v: Int): Int = {
+                     path: String, v: Int, maxTries: Int = 1,
+                     beforeAttempt: Int => Unit = _ => ()): Int = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val head = latestVersion(fs, root)
-    require(head >= 1, s"no versions committed at $path")
-    require(v < head,
-      s"restore target v$v is not BEFORE the head v$head — nothing " +
-        "to roll back")
-    val lines = manifestDirs(fs, root, v) // loud if v expired/absent
-    val newV = math.max(head, latestStaged(fs, root)) + 1
-    requireVacant(fs, root, newV)
-    writeManifestLines(fs, root, newV, lines)
-    newV
+    occRetryLoop(fs, root, path, s"restore v$v", maxTries,
+        beforeAttempt) { head =>
+      require(head >= 1, s"no versions committed at $path")
+      require(v < head,
+        s"restore target v$v is not BEFORE the head v$head — " +
+          "nothing to roll back")
+      manifestDirs(fs, root, v) // loud if v expired/absent
+    }
   }
 
   /** [[restoreVersion]] addressed by TIMESTAMP — "roll back to how the
@@ -1373,7 +1441,8 @@ object SinkOps {
     */
   def renameVersionColumn(spark: org.apache.spark.sql.SparkSession,
                           path: String, oldName: String,
-                          newName: String): Int = {
+                          newName: String, maxTries: Int = 1,
+                          beforeAttempt: Int => Unit = _ => ()): Int = {
     require(oldName != newName, s"rename to the same name: $oldName")
     Seq(oldName, newName).foreach(n => require(
       n.nonEmpty && !n.contains(':') && !n.contains('\n'),
@@ -1381,19 +1450,22 @@ object SinkOps {
         "newline)"))
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val head = latestVersion(fs, root)
-    require(head >= 1, s"no versions committed at $path")
-    val schema = readVersion(spark, path).schema.fieldNames
-    require(schema.contains(oldName),
-      s"rename source $oldName not in head schema " +
-        s"(${schema.mkString(", ")}) at $path")
-    require(!schema.contains(newName),
-      s"rename target $newName already in head schema at $path")
-    val v = math.max(head, latestStaged(fs, root)) + 1
-    requireVacant(fs, root, v)
-    writeManifestLines(fs, root, v,
-      manifestDirs(fs, root, head) :+ s"$RenamePrefix$oldName:$newName")
-    v
+    // OCC (r15): every attempt RE-VALIDATES against the advanced
+    // head's schema inside the loop — a racing commit may itself have
+    // renamed/dropped the column, and a retry that skipped
+    // re-validation would land a rename of a column that no longer
+    // exists. Same discipline for drop/widen/restore below.
+    occRetryLoop(fs, root, path, s"rename $oldName->$newName",
+        maxTries, beforeAttempt) { head =>
+      require(head >= 1, s"no versions committed at $path")
+      val schema = readVersion(spark, path).schema.fieldNames
+      require(schema.contains(oldName),
+        s"rename source $oldName not in head schema " +
+          s"(${schema.mkString(", ")}) at $path")
+      require(!schema.contains(newName),
+        s"rename target $newName already in head schema at $path")
+      manifestDirs(fs, root, head) :+ s"$RenamePrefix$oldName:$newName"
+    }
   }
 
   /** DROP COLUMN without rewriting a byte — the new version's
@@ -1409,25 +1481,25 @@ object SinkOps {
     * schema and must not be its last column. Returns the new version.
     */
   def dropVersionColumn(spark: org.apache.spark.sql.SparkSession,
-                        path: String, colName: String): Int = {
+                        path: String, colName: String,
+                        maxTries: Int = 1,
+                        beforeAttempt: Int => Unit = _ => ()): Int = {
     require(colName.nonEmpty && !colName.contains(':') &&
         !colName.contains('\n'),
       s"column name '$colName' cannot ride a manifest line")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val head = latestVersion(fs, root)
-    require(head >= 1, s"no versions committed at $path")
-    val schema = readVersion(spark, path).schema.fieldNames
-    require(schema.contains(colName),
-      s"drop target $colName not in head schema " +
-        s"(${schema.mkString(", ")}) at $path")
-    require(schema.length > 1,
-      s"refusing to drop the last column of $path")
-    val v = math.max(head, latestStaged(fs, root)) + 1
-    requireVacant(fs, root, v)
-    writeManifestLines(fs, root, v,
-      manifestDirs(fs, root, head) :+ s"$DropPrefix$colName")
-    v
+    occRetryLoop(fs, root, path, s"drop $colName", maxTries,
+        beforeAttempt) { head =>
+      require(head >= 1, s"no versions committed at $path")
+      val schema = readVersion(spark, path).schema.fieldNames
+      require(schema.contains(colName),
+        s"drop target $colName not in head schema " +
+          s"(${schema.mkString(", ")}) at $path")
+      require(schema.length > 1,
+        s"refusing to drop the last column of $path")
+      manifestDirs(fs, root, head) :+ s"$DropPrefix$colName"
+    }
   }
 
   /** WIDEN a column's type without rewriting a byte — the third
@@ -1450,7 +1522,8 @@ object SinkOps {
     */
   def widenVersionColumn(spark: org.apache.spark.sql.SparkSession,
                          path: String, colName: String,
-                         newType: String): Int = {
+                         newType: String, maxTries: Int = 1,
+                         beforeAttempt: Int => Unit = _ => ()): Int = {
     require(colName.nonEmpty && !colName.contains(':') &&
         !colName.contains('\n'),
       s"column name '$colName' cannot ride a manifest line")
@@ -1458,28 +1531,30 @@ object SinkOps {
       .parseDataType(newType).catalogString
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val head = latestVersion(fs, root)
-    require(head >= 1, s"no versions committed at $path")
-    val schema = readVersion(spark, path).schema
-    val field = schema.fields.find(_.name == colName).getOrElse(
-      throw new IllegalArgumentException(
-        s"widen target $colName not in head schema " +
-          s"(${schema.fieldNames.mkString(", ")}) at $path"))
-    val from = field.dataType.catalogString
-    require(from != target,
-      s"column $colName already has type $target at $path")
-    require(widenOk((from, target)),
-      s"refusing to 'widen' $colName from $from to $target — only " +
-        "exact promotions are metadata ops (" +
-        widenOk.toSeq.sorted.map(p => s"${p._1}->${p._2}")
-          .mkString(", ") +
-        "); a narrowing or lossy change is a rewrite: transform and " +
-        "INSERT OVERWRITE")
-    val v = math.max(head, latestStaged(fs, root)) + 1
-    requireVacant(fs, root, v)
-    writeManifestLines(fs, root, v,
-      manifestDirs(fs, root, head) :+ s"$WidenPrefix$colName:$target")
-    v
+    // OCC re-validation per attempt: the racing winner may have
+    // widened (or dropped) the column already — the retry must
+    // re-check the column's CURRENT type in the advanced head, not
+    // replay a stale decision.
+    occRetryLoop(fs, root, path, s"widen $colName", maxTries,
+        beforeAttempt) { head =>
+      require(head >= 1, s"no versions committed at $path")
+      val schema = readVersion(spark, path).schema
+      val field = schema.fields.find(_.name == colName).getOrElse(
+        throw new IllegalArgumentException(
+          s"widen target $colName not in head schema " +
+            s"(${schema.fieldNames.mkString(", ")}) at $path"))
+      val from = field.dataType.catalogString
+      require(from != target,
+        s"column $colName already has type $target at $path")
+      require(widenOk((from, target)),
+        s"refusing to 'widen' $colName from $from to $target — only " +
+          "exact promotions are metadata ops (" +
+          widenOk.toSeq.sorted.map(p => s"${p._1}->${p._2}")
+            .mkString(", ") +
+          "); a narrowing or lossy change is a rewrite: transform " +
+          "and INSERT OVERWRITE")
+      manifestDirs(fs, root, head) :+ s"$WidenPrefix$colName:$target"
+    }
   }
 
   /** Changefeed window addressed by TIMESTAMPS — Delta's
@@ -2278,22 +2353,49 @@ object SinkOps {
     * delete sidecar lists merge-touched keys whether or not they
     * existed — the classic CDF-without-row-tracking limit documented
     * on [[mergeVersion]]); attribution needs ONE probe of the
-    * pre-window snapshot, done here as a semi-join of vFrom's rows
-    * against the broadcast-eligible touched-key set projected to the
-    * key column — the snapshot is scanned once, filtered to
-    * arrival-sized keys, and only keys travel. Returns the post-image
-    * rows of ([[readChanges]]) plus `change_type`
-    * ('insert' | 'update'). Append-only commits in the window
-    * classify as inserts for free (their keys never appear in a
-    * sidecar AND miss the prior snapshot).
+    * pre-window snapshot for "did this key exist at vFrom".
+    *
+    * SIDECAR-SERVED (r15): when vFrom's dirs carry BLOOM sidecars
+    * declaring the key column ([[commitVersionBloom]]), the probe
+    * plans from METADATA — the window's distinct keys (arrival-sized
+    * by the changefeed contract, collected once) test each file's
+    * bitmap and only bloom-POSITIVE files are read for the exact
+    * residual semi-join, O(changed keys + affected files) instead of
+    * the full O(table) snapshot scan; files without a bloom line and
+    * DV epochs keep their exact handling (always planned /
+    * anti-joined), so the split is identical by construction —
+    * spec-pinned against the full-scan twin. Tables without key-column
+    * blooms keep the pre-r15 one-scan shape. Returns the post-image
+    * rows of [[readChanges]] plus `change_type` ('insert' | 'update').
+    * Append-only commits in the window classify as inserts for free
+    * (their keys never appear in a sidecar AND miss the prior
+    * snapshot).
     */
   def classifyChanges(spark: org.apache.spark.sql.SparkSession,
                       path: String, vFrom: Int, vTo: Int,
                       keyCol: String): DataFrame = {
     val post = readChanges(spark, path, vFrom, vTo)
-    val priorKeys = readVersion(spark, path, Some(vFrom))
-      .select(keyCol).distinct()
     val postKeys = post.select(keyCol).distinct()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val priorKeys =
+      try {
+        val keys = postKeys.select(col(keyCol).cast("long"))
+          .collect().map(_.getLong(0)).toSeq
+        val (groups, _, _) = bloomGroupsIn(spark, path, Some(keyCol),
+          keys, Some(vFrom))
+        if (groups.forall(_._1.isEmpty)) postKeys.limit(0)
+        else readGroups(spark, root, groups, mergeSchema = false)
+          .select(keyCol).distinct()
+      } catch {
+        // No bloom sidecars / blooms on another column / a key the
+        // long cast rejects: the sidecar probe is an OPTIMIZATION —
+        // fall back to the exact one-scan snapshot probe, never
+        // refuse (and never silently wrong: the fallback recomputes
+        // the probe from scratch).
+        case scala.util.control.NonFatal(_) =>
+          readVersion(spark, path, Some(vFrom)).select(keyCol)
+            .distinct()
+      }
     val updatedKeys = priorKeys
       .join(broadcast(postKeys), Seq(keyCol), "left_semi")
     post.join(broadcast(updatedKeys.withColumn("u", lit(1))),
@@ -3524,6 +3626,102 @@ object SinkOps {
       throw new IllegalStateException(
         s"no bloom sidecar in any dir of version $v at $path — " +
           "commit with commitVersionBloom to enable point-lookup reads")))
+  }
+
+  /** Bloom planning for a SET of probe values — [[bloomGroupsEq]]'s
+    * multi-key sibling: a file is kept when its bitmap hits ANY of
+    * the values (the disjunctive probe a changefeed's key set needs).
+    * Probe positions are memoized per (value, bitmap size), so cost
+    * is O(values · files) bit tests worst case with early exit —
+    * values are arrival-sized by the callers' contract (a changefeed
+    * window's distinct keys), never table-sized.
+    */
+  private def bloomGroupsIn(spark: org.apache.spark.sql.SparkSession,
+                            path: String, colName: Option[String],
+                            values: Seq[Long], version: Option[Int])
+      : (Seq[(Seq[String], Seq[(String, String)])], Int, String) = {
+    require(values.nonEmpty, "no probe values to plan")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = version.getOrElse {
+      val latest = latestVersion(fs, root)
+      require(latest >= 1, s"no versions committed at $path")
+      latest
+    }
+    val posCache =
+      scala.collection.mutable.Map[(Long, Int), Seq[Int]]()
+    var declared: Option[Seq[String]] = None
+    var total = 0
+    def keptOf(d: String): Seq[String] = {
+      refusePartitionedDir(fs, root, d, "the bloom planner")
+      val dirP = new org.apache.hadoop.fs.Path(root, d)
+      val bf = sidecarFile(root, d, "blooms")
+      val parts = fs.listStatus(dirP).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      total += parts.length
+      if (!fs.exists(bf)) parts.map(_.toString).toSeq
+      else {
+        val in = fs.open(bf)
+        val blines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+        val cs = blines.head.split('\t').toSeq
+        declared.foreach(prev => require(prev == cs,
+          s"inconsistent bloom columns across snapshot dirs: " +
+            s"${prev.mkString(",")} vs ${cs.mkString(",")}"))
+        declared = Some(cs)
+        val idx = colName.fold(0)(cs.indexOf)
+        require(idx >= 0,
+          s"probe on ${colName.get} but dir $d declares blooms for " +
+            cs.mkString(", "))
+        val maps = blines.tail.map { ln =>
+          val fields = ln.split('\t')
+          require(fields.length == cs.length + 1,
+            s"malformed bloom line in $bf: $ln")
+          fields(0) -> fields(1 + idx)
+        }.toMap
+        parts.flatMap { p =>
+          maps.get(p.getName) match {
+            case None => Some(p.toString) // no line: always plan
+            case Some(hexmap) =>
+              val m = hexmap.length * 4
+              def bit(bt: Int): Boolean = {
+                val b = Integer.parseInt(
+                  hexmap.substring((bt >> 3) * 2, (bt >> 3) * 2 + 2),
+                  16)
+                ((b >> (bt & 7)) & 1) == 1
+              }
+              val hit = values.exists { value =>
+                posCache.getOrElseUpdate((value, m),
+                  bloomPositions(value, m)).forall(bit)
+              }
+              if (hit) Some(p.toString) else None
+          }
+        }.toSeq
+      }
+    }
+    val groups = epochGroups(manifestDirs(fs, root, v))
+      .map { case (dirs, dels) => (dirs.flatMap(keptOf), dels) }
+    val resolvedCol = declared.map(cs => colName.getOrElse(cs.head))
+    (groups, total, resolvedCol.getOrElse(
+      throw new IllegalStateException(
+        s"no bloom sidecar in any dir of version $v at $path — " +
+          "commit with commitVersionBloom to enable point-lookup " +
+          "reads")))
+  }
+
+  /** Flat planning view of the multi-key bloom probe — (kept files,
+    * total, probed column); the skip-economics probe for key-set
+    * lookups ([[classifyChanges]]' sidecar-served attribution).
+    */
+  def planFilesIn(spark: org.apache.spark.sql.SparkSession,
+                  path: String, colName: String, values: Seq[Long],
+                  version: Option[Int] = None)
+      : (Seq[String], Int, String) = {
+    val (groups, total, c) =
+      bloomGroupsIn(spark, path, Some(colName), values, version)
+    requireFlat(groups, path)
+    (groups.flatMap(_._1), total, c)
   }
 
   /** Read a snapshot under a CONJUNCTION of point probes over the

@@ -203,4 +203,135 @@ class Round15OpsSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("nested"))
   }
+
+  // ---- OCC retry for schema/maintenance verbs ----
+
+  test("widen races a commit and LANDS on retry, re-validated " +
+      "against the advanced head; racing an identical widen refuses " +
+      "loudly instead of double-applying") {
+    val path = tmp("r15_occ_widen")
+    SinkOps.commitVersion(
+      Seq((1L, 1)).toDF("id", "vint"), path)
+    // Attempt 1 loses to a racing append; attempt 2 re-validates the
+    // column in the advanced head (still int) and lands.
+    val v = SinkOps.widenVersionColumn(spark, path, "vint", "bigint",
+      maxTries = 2, beforeAttempt = a => if (a == 1) {
+        SinkOps.commitVersion(Seq((2L, 2)).toDF("id", "vint"), path); ()
+      })
+    assert(v == 3) // racer took v2
+    val head = SinkOps.readVersion(spark, path)
+    assert(head.schema("vint").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(head.count() == 2, "racer's rows lost by the widen retry")
+    // Racing an identical widen: the retry's re-validation sees the
+    // advanced head already wide and surfaces the loud refusal.
+    val path2 = tmp("r15_occ_widen2")
+    SinkOps.commitVersion(Seq((1L, 1)).toDF("id", "vint"), path2)
+    val e = intercept[IllegalArgumentException] {
+      SinkOps.widenVersionColumn(spark, path2, "vint", "bigint",
+        maxTries = 3, beforeAttempt = a => if (a == 1) {
+          SinkOps.widenVersionColumn(spark, path2, "vint", "bigint"); ()
+        })
+    }
+    assert(e.getMessage.contains("already has type"))
+  }
+
+  test("OPTIMIZE races a commit and lands on retry with the racer's " +
+      "rows IN the pack (re-resolved snapshot, never a lost update); " +
+      "the stale pack is cleaned; budget exhaustion is loud") {
+    val path = tmp("r15_occ_opt")
+    (1 to 3).foreach { i =>
+      SinkOps.commitVersion(Seq((i.toLong, s"s$i")).toDF("id", "s"),
+        path); ()
+    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = SinkOps.compactVersionsRetrying(spark, path,
+      maxTries = 2, beforeAttempt = a => if (a == 1) {
+        SinkOps.commitVersion(Seq((4L, "racer")).toDF("id", "s"),
+          path); ()
+      })
+    assert(v == 5) // 3 commits + racer's v4 + the pack
+    val head = SinkOps.readVersion(spark, path)
+    assert(head.count() == 4, "racer's rows missing from the pack")
+    assert(SinkOps.manifestLines(spark, path, v).size == 1,
+      "pack manifest should hold exactly one dir")
+    // The losing attempt's stale pack was deleted: data/ holds only
+    // the 4 commit dirs + 1 winning pack.
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+      .length == 5, "stale pack left behind")
+    // Budget exhaustion: every attempt loses → loud, not silent.
+    val e = intercept[IllegalStateException] {
+      SinkOps.compactVersionsRetrying(spark, path, maxTries = 2,
+        beforeAttempt = _ => {
+          SinkOps.commitVersion(
+            Seq((99L, "again")).toDF("id", "s"), path); ()
+        })
+    }
+    assert(e.getMessage.contains("lost 2 version races"))
+  }
+
+  // ---- sidecar-served CDF attribution ----
+
+  test("classifyChanges serves the insert/update split from bloom " +
+      "sidecars — bloom-positive files only (files-probed < " +
+      "files-total), split ≡ the full-scan twin") {
+    val path = tmp("r15_cdf_bloom")
+    val mk = (lo: Long, hi: Long) => (lo to hi)
+      .map(i => (i, s"v$i")).toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+    SinkOps.commitVersionBloom(mk(1L, 200L), path, "id")
+    SinkOps.commitVersionBloom(mk(201L, 400L), path, "id")
+    val batch = ((150L to 160L) ++ (500L to 510L))
+      .map(i => (i, s"new$i")).toDF("id", "s")
+    val v3 = SinkOps.mergeVersion(batch, path, "id")
+    val out = SinkOps.classifyChanges(spark, path, 2, v3, "id")
+      .select("id", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 22)
+    (150L to 160L).foreach(i => assert(out(i) == "update", s"id $i"))
+    (500L to 510L).foreach(i => assert(out(i) == "insert", s"id $i"))
+    // Economics: the prior-snapshot probe plans only bloom-positive
+    // files for the 22 changed keys.
+    val (kept, total, c) = SinkOps.planFilesIn(spark, path, "id",
+      ((150L to 160L) ++ (500L to 510L)).toSeq, Some(2))
+    assert(c == "id" && total == 8,
+      s"fixture shape changed: $total files")
+    assert(kept.size < total,
+      s"no file skipped: ${kept.size} of $total")
+  }
+
+  test("classifyChanges falls back to the exact snapshot probe when " +
+      "blooms are absent or on another column — same split") {
+    val path = tmp("r15_cdf_nobloom")
+    import spark.implicits._
+    SinkOps.commitVersion((1L to 50L).map(i => (i, s"v$i"))
+      .toDF("id", "s"), path)
+    val batch = Seq((10L, "upd"), (99L, "new")).toDF("id", "s")
+    val v2 = SinkOps.mergeVersion(batch, path, "id")
+    val out = SinkOps.classifyChanges(spark, path, 1, v2, "id")
+      .select("id", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(10L -> "update", 99L -> "insert"))
+  }
+
+  test("SQL maintenance verbs take RETRY n: ALTER/RESTORE/OPTIMIZE " +
+      "parse and land; RETRY on ZORDER refuses") {
+    val path = tmp("r15_occ_sql")
+    SinkOps.commitVersion(Seq((1L, 1)).toDF("id", "vint"), path)
+    SinkOps.commitVersion(Seq((2L, 2)).toDF("id", "vint"), path)
+    assert(spark.sql(s"ALTER TABLE graft_table('$path') ALTER " +
+      "COLUMN vint TYPE BIGINT RETRY 2").collect().head.getInt(0) == 3)
+    assert(spark.sql(s"ALTER TABLE graft_table('$path') RENAME " +
+      "COLUMN vint TO vlong RETRY 1").collect().head.getInt(0) == 4)
+    assert(spark.sql(s"OPTIMIZE graft_table('$path') RETRY 2")
+      .collect().head.getInt(0) == 5)
+    assert(spark.sql(s"RESTORE graft_table('$path') VERSION AS OF 4 " +
+      "RETRY 1").collect().head.getInt(0) == 6)
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft_table('$path') ZORDER BY (id, vint) " +
+        "RETRY 2")
+    }
+    assert(e.getMessage.contains("ZORDER"))
+  }
 }
