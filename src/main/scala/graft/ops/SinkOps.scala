@@ -384,15 +384,28 @@ object SinkOps {
             s"(sample key ${r.getAs[Long]("sample_key")})")
             .mkString("; "))
     }
-    if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
-      statsCols)
-    val head = latestVersion(fs, root)
-    val v = math.max(head, latestStaged(fs, root)) + 1
-    requireVacant(fs, root, v)
-    val prev = if (head == 0 || !carryForward) Nil
-      else manifestDirs(fs, root, head)
-    writeManifestLines(fs, root, v, prev :+ dataDir)
-    v
+    // Publish failures (stats write error, version race) must not
+    // orphan the commit-unique staging on disk with no retry path
+    // (ADVICE r14): the data is a pure function of `df`, so cleanup
+    // then rethrow loses nothing — the caller re-runs or switches to
+    // commitVersionRetrying.
+    try {
+      if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
+        statsCols)
+      val head = latestVersion(fs, root)
+      val v = math.max(head, latestStaged(fs, root)) + 1
+      requireVacant(fs, root, v)
+      val prev = if (head == 0 || !carryForward) Nil
+        else manifestDirs(fs, root, head)
+      writeManifestLines(fs, root, v, prev :+ dataDir)
+      v
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        fs.delete(dataP, true)
+        if (statsCols.nonEmpty)
+          fs.delete(sidecarFile(root, dataDir, "stats"), false)
+        throw e
+    }
   }
 
   /** Per-file min/max of the declared columns for one immutable data

@@ -64,6 +64,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehousePath: String = _
 
+  /** Test seam: invoked between CREATE's existence guard and its
+    * no-overwrite `_schema.json` commit point, so specs can
+    * interleave a competing CREATE deterministically (the repo's
+    * beforeAttempt discipline — a thread race on the local FS tests
+    * the filesystem's TOCTOU window, not this code). Production
+    * leaves it defaulted.
+    */
+  private[graft] var createTableSeam: () => Unit = () => ()
+
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -170,18 +179,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     fs.mkdirs(dir)
-    val loc = Option(properties.get(TableCatalog.PROP_LOCATION))
-    loc.foreach { l =>
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(dir, "_location.txt"), true)
-      try out.write(l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(dir, "_schema.json"), true)
+    createTableSeam()
+    // `_schema.json` is the CREATE's commit point and is created
+    // no-overwrite (every other commit path's discipline — r14
+    // VERDICT #4): two concurrent CREATEs of the same name serialize
+    // on the filesystem create (atomic on HDFS/object stores; the
+    // local-FS TOCTOU window is the filesystem's, not ours), the
+    // loser maps to the same loud TableAlreadyExistsException the
+    // non-racing path throws, and it runs BEFORE the location link so
+    // a losing external CREATE can never clobber the winner's
+    // `_location.txt`.
+    val out =
+      try fs.create(
+        new org.apache.hadoop.fs.Path(dir, "_schema.json"), false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new TableAlreadyExistsException(ident)
+      }
     try out.write(schema.json
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val loc = Option(properties.get(TableCatalog.PROP_LOCATION))
+    loc.foreach { l =>
+      val lout = fs.create(
+        new org.apache.hadoop.fs.Path(dir, "_location.txt"), true)
+      try lout.write(
+        l.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally lout.close()
+    }
     GraftTable(s"$catalogName.${ident.namespace.mkString(".")}." +
         ident.name,
       rootOf(dir), Some(schema), None, None)
@@ -305,12 +330,28 @@ object GraftCatalog {
   /** Does `cat.db.t` exist in the warehouse layout? (CREATE-shaped
     * verbs' guard: CTAS must refuse an existing table loudly.)
     */
+  /** The warehouse of catalog `cat` AS THE LOADED INSTANCE sees it.
+    * Spark's CatalogManager caches catalog instances with the
+    * warehouse pinned at `initialize`, so a raw conf read here could
+    * silently diverge from what catalog-served SELECTs use if
+    * `spark.sql.catalog.<cat>.warehouse` is re-pointed mid-session
+    * (ADVICE r14): parser-routed DML and catalog reads must share ONE
+    * source of truth — the instance. (First use loads the catalog,
+    * pinning the current conf; the conf is effectively immutable
+    * after that, exactly Spark's own catalog semantics.)
+    */
+  private def loadedWarehouse(spark: SparkSession,
+                              cat: String): String =
+    spark.sessionState.catalogManager.catalog(cat) match {
+      case g: GraftCatalog => g.warehousePath
+      case other => throw new IllegalArgumentException(
+        s"catalog '$cat' is not a graft catalog " +
+          s"(${other.getClass.getName})")
+    }
+
   def tableExistsAt(spark: SparkSession, cat: String, db: String,
                     table: String): Boolean = {
-    val wh = spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft catalog '$cat' needs a warehouse: set " +
-          s"spark.sql.catalog.$cat.warehouse=<dir>"))
+    val wh = loadedWarehouse(spark, cat)
     val dir = new org.apache.hadoop.fs.Path(s"$wh/$db/$table")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(new org.apache.hadoop.fs.Path(dir, "_schema.json")) ||
@@ -324,10 +365,7 @@ object GraftCatalog {
     */
   def tableRoot(spark: SparkSession, cat: String, db: String,
                 table: String, mustExist: Boolean = true): String = {
-    val wh = spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft catalog '$cat' needs a warehouse: set " +
-          s"spark.sql.catalog.$cat.warehouse=<dir>"))
+    val wh = loadedWarehouse(spark, cat)
     val dir = new org.apache.hadoop.fs.Path(s"$wh/$db/$table")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val link = new org.apache.hadoop.fs.Path(dir, "_location.txt")

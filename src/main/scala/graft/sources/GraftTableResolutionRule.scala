@@ -29,14 +29,21 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 case class GraftTableResolutionRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // One head-listing per DISTINCT table root per analysis run: a
+    // query referencing the same graft table k times (self-join,
+    // UNION of time-travel reads over one root) pays one driver FS
+    // listing, not k (r14 VERDICT #5). Plan splices stay per-relation
+    // — each occurrence needs its own attribute ids.
+    val headCache = scala.collection.mutable.Map[String, Int]()
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]
+        val head = headCache.getOrElseUpdate(t.root,
+          graft.ops.SinkOps.currentVersion(spark, t.root))
         val df =
-          if (graft.ops.SinkOps.currentVersion(spark, t.root) >= 1)
-            t.snapshot(spark)
+          if (head >= 1) t.snapshot(spark)
           else spark.createDataFrame(
             java.util.Collections.emptyList[Row](), t.schema)
         val snap = GraftSqlBridge.plan(df)
@@ -54,4 +61,5 @@ case class GraftTableResolutionRule(spark: SparkSession)
           Alias(src, a.name)(exprId = a.exprId, qualifier = a.qualifier)
         }, snap)
     }
+  }
 }

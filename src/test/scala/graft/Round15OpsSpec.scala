@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.SinkOps
+import graft.ops.{QualityOps, SinkOps}
 
 /** Round-15 specs: VACUUM vs in-flight/staged writers (staged
   * manifests' dirs are live; never-committed dirs get the retention
@@ -269,6 +269,29 @@ class Round15OpsSpec extends SparkSpec {
         })
     }
     assert(e.getMessage.contains("lost 2 version races"))
+  }
+
+  test("commitVersionChecked cleans its staged dir when the PUBLISH " +
+      "phase fails (not just on constraint refusal) — no orphan " +
+      "waiting on the VACUUM grace") {
+    val path = tmp("r15_checked_cleanup")
+    SinkOps.commitVersion(Seq((1L, "a")).toDF("id", "s"), path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // A nested stats column passes the constraint check but refuses
+    // inside writeDirStats — a publish-phase failure.
+    intercept[IllegalArgumentException] {
+      SinkOps.commitVersionChecked(
+        Seq((2L, "b")).toDF("id", "s")
+          .withColumn("arr", array(col("s"))),
+        path, "id",
+        Seq(QualityOps.NotNull("id")), statsCols = Seq("arr"))
+    }
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root,
+      "data")).map(_.getPath.getName).toSeq
+    assert(dirs == Seq("v1"),
+      s"publish failure orphaned staging: $dirs")
+    assert(SinkOps.readVersion(spark, path).count() == 1)
   }
 
   // ---- sidecar-served CDF attribution ----
