@@ -3404,6 +3404,43 @@ object SparkEntry {
           AggOps.exactSum(col("l_quantity")).as("sum_qty"),
           sum("l_partkey").as("partkey_sum"))
     }),
+    // writeStream.format("graft") — the SINK half (r15), driven as a
+    // graft→graft PIPE: the versioned source table streams its
+    // manifest deltas into a versioned sink table, one commit per
+    // micro-batch, exactly-once by deterministic batch-dir names (a
+    // replayed batchId whose dir any manifest references is skipped —
+    // Delta's transactional-sink discipline with zero new manifest
+    // syntax). The sink table is immediately time-travelable and
+    // changefeed-consumable, so stages of a 100 TB pipeline compose
+    // as tables. Oracle: piped bytes ≡ the source content (orders).
+    "q_stream_graft_sink" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val src = tmpPath("graft_gsk_src", d)
+      val dst = tmpPath("graft_gsk_dst", d)
+      val ckpt = tmpPath("graft_gsk_ckpt", d)
+      val hconf = s.sessionState.newHadoopConf()
+      Seq(src, dst, ckpt).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).delete(hp, true); ()
+      }
+      (0 to 2).foreach { r =>
+        SinkOps.commitVersion(o.filter(col("o_orderkey") % 3 === r),
+          src); ()
+      }
+      SinkOps.commitVersion(o.limit(0), dst) // initialize the sink
+      val q = s.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream.format("graft")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      SinkOps.readVersion(s, dst)
+        .groupBy((col("o_custkey") % 10).as("cust_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          AggOps.exactSum(col("o_totalprice")).as("price_sum"),
+          sum("o_orderkey").as("okey_sum"))
+    }),
     // CHANGEFEED WITH RETRACTIONS — the DV half of the IVM loop: an
     // aggregate view keyed by event_type absorbs a MERGE (updates that
     // MOVE rows across groups + fresh inserts) reading everything from
@@ -8336,6 +8373,14 @@ object SparkEntry {
                   AS sum_qty,
                 CAST(sum(l_partkey) AS BIGINT) AS partkey_sum
          FROM lineitem
+         GROUP BY 1""",
+    // graft→graft streaming pipe ≡ the source table's content.
+    "q_stream_graft_sink" ->
+      """SELECT o_custkey % 10 AS cust_bucket, count(*) AS n_rows,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                  AS price_sum,
+                CAST(sum(o_orderkey) AS BIGINT) AS okey_sum
+         FROM orders
          GROUP BY 1""",
     // Changefeed-with-retractions view ≡ recomputing the post-merge
     // table's aggregate from scratch (same merged CTE as

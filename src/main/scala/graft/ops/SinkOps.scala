@@ -296,6 +296,47 @@ object SinkOps {
     }
   }
 
+  /** One micro-batch commit for the registered streaming sink
+    * (`writeStream.format("graft")`) — IDEMPOTENT under the engine's
+    * at-least-once replay with ZERO new manifest syntax: the batch's
+    * data dir name is DETERMINISTIC in (txnAppId, batchId), and "was
+    * this batch committed" is answered by whether ANY present
+    * manifest references that dir (not just the head — a compaction
+    * between crash and restart rewrites the head's dirs but the
+    * pre-pack manifest still references the batch dir until VACUUM
+    * expires it, so the replay window tracks history retention,
+    * Delta's txn-version discipline expressed in dirs). A replayed
+    * batch whose dir is referenced is SKIPPED (returns None); a dir
+    * on disk but referenced by nothing is the crash window between
+    * data write and manifest create — the deterministic replay
+    * overwrites it with identical bytes and commits. Concurrent
+    * batch-table writers are survived by the shared OCC retry loop.
+    */
+  def commitStreamBatch(df: DataFrame, path: String, batchId: Long,
+                        txnAppId: String = "",
+                        maxTries: Int = 3): Option[Int] = {
+    require(txnAppId.matches("[A-Za-z0-9_-]*"),
+      s"txnAppId must be [A-Za-z0-9_-]*: '$txnAppId'")
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir =
+      if (txnAppId.isEmpty) s"data/b$batchId"
+      else s"data/b${txnAppId}_$batchId"
+    val latest = latestVersion(fs, root)
+    val committed = (1 to latest).exists(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(root,
+        f"manifest/v$v%05d.txt")) &&
+        manifestDirs(fs, root, v).contains(dataDir))
+    if (committed) return None
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
+    Some(occRetryLoop(fs, root, path, dataDir, maxTries, _ => ()) {
+      head => (if (head == 0) Nil else manifestDirs(fs, root, head)) :+
+        dataDir
+    })
+  }
+
   /** The OCC manifest-attempt loop shared by every *Retrying writer:
     * data/sidecar files are already on disk under commit-unique names
     * (written ONCE by the caller); each attempt re-reads the advanced

@@ -6,8 +6,9 @@ import org.apache.spark.sql.{SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.Table
 import org.apache.spark.sql.connector.catalog.TableProvider
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -26,9 +27,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `spark.readStream.format("graft").load(path)` — the same table as
   * an unbounded stream ([[GraftStreamSource]]): version-number
   * offsets, per-batch manifest-dir deltas, append-only enforced.
+  *
+  * `df.writeStream.format("graft")` — the table as a streaming SINK
+  * ([[GraftStreamSink]]): one versioned commit per micro-batch,
+  * exactly-once by deterministic batch-dir names.
   */
 class GraftSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -102,5 +107,27 @@ class GraftSource extends TableProvider with DataSourceRegister
       parameters)._2
     new GraftStreamSource(sqlContext, path, pinned, startingVersion,
       maxPerTrigger)
+  }
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = lower.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft sink needs a path: writeStream.format(\"graft\")" +
+          ".option(\"path\", <table root>)"))
+    require(partitionColumns.isEmpty,
+      "graft sink commits declare partitioning per table op " +
+        "(commitVersionPartitionedCols), not partitionBy on the " +
+        "stream writer")
+    require(outputMode == OutputMode.Append(),
+      s"graft sink is append-only (one immutable commit per " +
+        s"micro-batch); got outputMode $outputMode — aggregate " +
+        "streams land via foreachBatch + mergeVersion")
+    val retries = lower.get("retries").map(_.toInt).getOrElse(2)
+    new GraftStreamSink(sqlContext, path,
+      lower.getOrElse("txnappid", ""), maxTries = retries + 1)
   }
 }

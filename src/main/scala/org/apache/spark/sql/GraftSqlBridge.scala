@@ -43,6 +43,19 @@ object GraftSqlBridge {
       cdf.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Streaming micro-batch slice → plain batch DataFrame for a V1
+    * Sink's `addBatch` (the inverse of [[asStreamingBatch]]): the
+    * engine hands addBatch a streaming-tagged plan that batch writers
+    * refuse ("must be executed with writeStream.start()"); re-rooting
+    * the compiled RDD as a batch leaf is the standard sink shape
+    * (Kafka's). Lazy until the write's action.
+    */
+  def asBatch(df: Dataset[Row]): Dataset[Row] = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Register a native expression as a SQL temp function on a live
     * session (the builder-time path is SparkSessionExtensions).
     */

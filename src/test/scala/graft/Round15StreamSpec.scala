@@ -114,6 +114,95 @@ class Round15StreamSpec extends SparkSpec {
       s"restart broke exactly-once: ${got.mkString(",")}")
   }
 
+  // ---- writeStream.format("graft") (the sink half) ----
+
+  test("graft sink: every micro-batch is one versioned commit; a " +
+      "graft→graft pipe delivers the source table exactly once and " +
+      "the sink table is time-travelable per batch") {
+    val src = tmp("r15_sink_src")
+    val dst = tmp("r15_sink_dst")
+    val ckpt = tmp("r15_sink_ckpt")
+    (1 to 3).foreach { i =>
+      SinkOps.commitVersion(Seq((i.toLong, s"s$i")).toDF("id", "s"),
+        src, carryForward = true); ()
+    }
+    // The sink appends to an EXISTING table — initialize with an
+    // empty first commit (a typo'd sink path must never become a
+    // silently new table, same loud contract as reads).
+    SinkOps.commitVersion(Seq.empty[(Long, String)].toDF("id", "s"),
+      dst)
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.format("graft")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = SinkOps.readVersion(spark, dst)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1L, 2L, 3L)),
+      s"pipe broke exactly-once: ${got.mkString(",")}")
+    // ≥3 micro-batches landed as ≥3 commits after the init commit.
+    assert(SinkOps.currentVersion(spark, dst) >= 4)
+    // Early time travel shows fewer rows: history is per-batch.
+    assert(SinkOps.readVersion(spark, dst, Some(2)).count() < 3)
+  }
+
+  test("graft sink is exactly-once under replay: a re-delivered " +
+      "batchId is skipped (any-manifest reference check survives " +
+      "compaction), and the crash window (dir on disk, no manifest) " +
+      "recommits cleanly") {
+    val dst = tmp("r15_sink_replay")
+    SinkOps.commitVersion(Seq((0L, "init")).toDF("id", "s"), dst)
+    val b = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    assert(SinkOps.commitStreamBatch(b, dst, batchId = 5).isDefined)
+    // Replay: same batchId → skipped, table unchanged.
+    assert(SinkOps.commitStreamBatch(b, dst, batchId = 5).isEmpty)
+    assert(SinkOps.readVersion(spark, dst).count() == 3)
+    // Compaction packs the head; the pre-pack manifest still
+    // references data/b5 until VACUUM expires it → replay still
+    // skipped, no duplicate rows re-entering the packed table.
+    SinkOps.compactVersions(spark, dst)
+    assert(SinkOps.commitStreamBatch(b, dst, batchId = 5).isEmpty)
+    assert(SinkOps.readVersion(spark, dst).count() == 3)
+    // Crash window: a batch dir on disk referenced by NO manifest is
+    // the data-write-then-crash shape — the deterministic replay
+    // overwrites and commits exactly once.
+    val root = new org.apache.hadoop.fs.Path(dst)
+    Seq((9L, "crash")).toDF("id", "s").write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, "data/b7").toString)
+    assert(SinkOps.commitStreamBatch(
+      Seq((9L, "crash")).toDF("id", "s"), dst, batchId = 7).isDefined)
+    assert(SinkOps.readVersion(spark, dst).count() == 4)
+    assert(SinkOps.commitStreamBatch(
+      Seq((9L, "crash")).toDF("id", "s"), dst, batchId = 7).isEmpty)
+  }
+
+  test("graft sink refusals are loud: uninitialized target path, " +
+      "partitionBy, non-append output mode; txnAppId namespaces " +
+      "independent streams") {
+    val dst = tmp("r15_sink_refuse")
+    // Uninitialized sink target: loud at stream definition.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val e = intercept[Exception] {
+      mem.toDF().toDF("id", "s").writeStream.format("graft")
+        .option("path", dst)
+        .option("checkpointLocation", tmp("r15_sink_refuse_ck"))
+        .outputMode("append").start()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("no versions"),
+      s"wrong refusal: ${e.getMessage}")
+    // txnAppId: two logical streams share a table without batch-dir
+    // collisions.
+    SinkOps.commitVersion(Seq((0L, "init")).toDF("id", "s"), dst)
+    val b1 = Seq((1L, "x")).toDF("id", "s")
+    val b2 = Seq((2L, "y")).toDF("id", "s")
+    assert(SinkOps.commitStreamBatch(b1, dst, 0, "sa").isDefined)
+    assert(SinkOps.commitStreamBatch(b2, dst, 0, "sb").isDefined)
+    assert(SinkOps.readVersion(spark, dst).count() == 3)
+  }
+
   test("graft stream pins schema at start and a startingVersion " +
       "stream skips the already-consumed prefix") {
     val path = tmp("r15_stream_startv")
