@@ -3091,6 +3091,28 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_rows"), sum("user_id").as("user_sum"))
     }),
+    // STRING BLOOM POINT LOOKUP (r15) — the key class a dedup /
+    // decontam pipeline actually probes (URLs, doc ids): membership
+    // hashes through xxhash64 on both the sidecar writer and the
+    // driver-side probe (one Catalyst expression, no drift), files
+    // whose bitmap misses are skipped with zero IO, and the exact
+    // residual equality keeps the result ≡ the full-scan filter (a
+    // hash collision can only ADD a file/row for the residual to
+    // drop). files-probed < files-total spec-pinned (Round15OpsSpec).
+    "q_bloom_string" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("url",
+        concat(lit("https://"), col("source"), lit("/"),
+          col("doc_id")))
+      val path = tmpPath("graft_strbloom", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersionBloom(docs.repartition(8), path, "url")
+      val probe = docs.filter(col("doc_id") === 7L)
+        .select("url").collect().head.getString(0)
+      SinkOps.readVersionEqString(s, path, "url", probe)
+        .select("doc_id", "lang", "n_chars")
+    }),
     // DV-AWARE ZONE-MAP SKIP — file skipping on a table a CDC merge
     // stream keeps hot: the head carries an unresolved delete sidecar,
     // and the range read prunes files AND applies the DV in the same
@@ -8272,6 +8294,16 @@ object SparkEntry {
                 CAST(sum(user_id) AS BIGINT) AS user_sum,
                 CAST(sum(vint) AS BIGINT) AS vint_sum
          FROM fulltab""",
+    // String bloom lookup ≡ the full-scan string equality (the probe
+    // value is doc 7's reconstructed url).
+    "q_bloom_string" ->
+      """WITH d AS (
+           SELECT *, 'https://' || source || '/' ||
+                  CAST(doc_id AS VARCHAR) AS url
+           FROM documents
+         )
+         SELECT doc_id, lang, n_chars FROM d
+         WHERE url = (SELECT url FROM d WHERE doc_id = 7)""",
     // String zone-map read ≡ the full-scan string range filter
     // (binary collation in both engines).
     "q_stats_string" ->

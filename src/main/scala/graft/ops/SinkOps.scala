@@ -2433,10 +2433,17 @@ object SinkOps {
     val root = new org.apache.hadoop.fs.Path(path)
     val priorKeys =
       try {
-        val keys = postKeys.select(col(keyCol).cast("long"))
-          .collect().map(_.getLong(0)).toSeq
+        // String keys (doc ids, URLs) probe their xxhash64 — the
+        // same membership the string bloom writer recorded.
+        val keyIsString = post.schema(keyCol).dataType ==
+          org.apache.spark.sql.types.StringType
+        val keys =
+          if (keyIsString) postKeys.collect()
+            .map(r => xxhash64String(r.getString(0))).toSeq
+          else postKeys.select(col(keyCol).cast("long"))
+            .collect().map(_.getLong(0)).toSeq
         val (groups, _, _) = bloomGroupsIn(spark, path, Some(keyCol),
-          keys, Some(vFrom))
+          keys, Some(vFrom), probeHashed = keyIsString)
         if (groups.forall(_._1.isEmpty)) postKeys.limit(0)
         else readGroups(spark, root, groups, mergeSchema = false)
           .select(keyCol).distinct()
@@ -3492,15 +3499,37 @@ object SinkOps {
     // is bit-identical to the per-column passes (spec-pinned): a
     // column all-null in a file folds to the all-zero bitmap, and a
     // file null in EVERY column drops its line below (always planned).
-    val posArrays = cols.map { c =>
-      val vn = pmod(col(c).cast("long"), lit(BloomP))
+    // STRING bloom columns (r15): membership hashes through xxhash64
+    // (stable, codegen'd, and reproducible driver-side via the same
+    // Catalyst expression at probe time) instead of the long cast
+    // (which ANSI-refuses strings) — point lookups on URLs/doc ids
+    // are exactly what a dedup/decontam pipeline probes. Header tags
+    // the column `name#str` so probes know to hash, not cast.
+    val src0 = spark.read.parquet(dirStr)
+    val isStr = cols.map { c =>
+      src0.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => true
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType |
+             org.apache.spark.sql.types.BinaryType =>
+          throw new IllegalArgumentException(
+            s"bloom column $c has type ${src0.schema(c).dataType.sql}" +
+              " — point-lookup blooms need a long-castable or " +
+              "string column")
+        case _ => false
+      }
+    }
+    val posArrays = cols.zip(isStr).map { case (c, str) =>
+      val base = if (str) xxhash64(col(c)) else col(c).cast("long")
+      val vn = pmod(base, lit(BloomP))
       array(BloomA.zip(BloomB).map { case (a, b) =>
         when(col(c).isNull, lit(-1))
           .otherwise((pmod(vn * lit(a % BloomP) + lit(b), lit(BloomP)) %
             lit(m.toLong)).cast("int"))
       }: _*).as(s"_pos_$c")
     }
-    val folded = spark.read.parquet(dirStr)
+    val folded = src0
       .select(input_file_name().as("f") +: posArrays: _*)
       .select(col("f") +: cols.map(c => col(s"_pos_$c")) :+
         explode(array((0 until BloomA.length).map(j => lit(j)): _*))
@@ -3514,7 +3543,9 @@ object SinkOps {
         }: _*)
       .collect()
     val zeroHex = "0" * (m / 4)
-    val lines = cols.mkString("\t") +: folded
+    val header = cols.zip(isStr)
+      .map { case (c, str) => if (str) s"$c#str" else c }.mkString("\t")
+    val lines = header +: folded
       .map { r =>
         val name = new org.apache.hadoop.fs.Path(
           new java.net.URI(r.getString(0))).getName
@@ -3615,9 +3646,16 @@ object SinkOps {
     * path); a named column absent from the declared blooms fails
     * loudly.
     */
+  /** `probeHashed` declares what the caller's `value` IS: false = a
+    * raw long probing a numeric bloom column; true = an xxhash64 of
+    * the probe string, probing a `#str` column. A kind mismatch
+    * refuses loudly — silently probing a string bitmap with an
+    * unhashed long would miss every member.
+    */
   private def bloomGroupsEq(spark: org.apache.spark.sql.SparkSession,
                             path: String, colName: Option[String],
-                            value: Long, version: Option[Int])
+                            value: Long, version: Option[Int],
+                            probeHashed: Boolean = false)
       : (Seq[(Seq[String], Seq[(String, String)])], Int, String) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -3641,7 +3679,9 @@ object SinkOps {
         val blines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().filter(_.nonEmpty).toList
         finally in.close()
-        val cs = blines.head.split('\t').toSeq
+        val tagged = blines.head.split('\t').toSeq
+        val cs = tagged.map(_.stripSuffix("#str"))
+        val strCol = tagged.map(_.endsWith("#str"))
         declared.foreach(prev => require(prev == cs,
           s"inconsistent bloom columns across snapshot dirs: " +
             s"${prev.mkString(",")} vs ${cs.mkString(",")}"))
@@ -3650,6 +3690,14 @@ object SinkOps {
         require(idx >= 0,
           s"probe on ${colName.get} but dir $d declares blooms for " +
             cs.mkString(", "))
+        require(strCol(idx) == probeHashed,
+          if (strCol(idx))
+            s"bloom column ${cs(idx)} is string-typed — probe with " +
+              "readVersionEqString/planFilesEqString (xxhash64 " +
+              "membership), not a raw long"
+          else
+            s"bloom column ${cs(idx)} is numeric — probe with the " +
+              "long-valued readVersionEq/planFilesEq")
         val maps = blines.tail.map { ln =>
           val fields = ln.split('\t')
           require(fields.length == cs.length + 1,
@@ -3692,7 +3740,8 @@ object SinkOps {
     */
   private def bloomGroupsIn(spark: org.apache.spark.sql.SparkSession,
                             path: String, colName: Option[String],
-                            values: Seq[Long], version: Option[Int])
+                            values: Seq[Long], version: Option[Int],
+                            probeHashed: Boolean = false)
       : (Seq[(Seq[String], Seq[(String, String)])], Int, String) = {
     require(values.nonEmpty, "no probe values to plan")
     val root = new org.apache.hadoop.fs.Path(path)
@@ -3719,7 +3768,9 @@ object SinkOps {
         val blines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().filter(_.nonEmpty).toList
         finally in.close()
-        val cs = blines.head.split('\t').toSeq
+        val tagged = blines.head.split('\t').toSeq
+        val cs = tagged.map(_.stripSuffix("#str"))
+        val strCol = tagged.map(_.endsWith("#str"))
         declared.foreach(prev => require(prev == cs,
           s"inconsistent bloom columns across snapshot dirs: " +
             s"${prev.mkString(",")} vs ${cs.mkString(",")}"))
@@ -3728,6 +3779,13 @@ object SinkOps {
         require(idx >= 0,
           s"probe on ${colName.get} but dir $d declares blooms for " +
             cs.mkString(", "))
+        require(strCol(idx) == probeHashed,
+          if (strCol(idx))
+            s"bloom column ${cs(idx)} is string-typed — probe with " +
+              "hashed values (xxhash64 membership), not raw longs"
+          else
+            s"bloom column ${cs(idx)} is numeric — probe with raw " +
+              "long values, not hashes")
         val maps = blines.tail.map { ln =>
           val fields = ln.split('\t')
           require(fields.length == cs.length + 1,
@@ -3778,6 +3836,20 @@ object SinkOps {
     (groups.flatMap(_._1), total, c)
   }
 
+  /** [[planFilesIn]] for a STRING bloom column — the probe strings
+    * hash through the writer's xxhash64.
+    */
+  def planFilesInString(spark: org.apache.spark.sql.SparkSession,
+                        path: String, colName: String,
+                        values: Seq[String],
+                        version: Option[Int] = None)
+      : (Seq[String], Int, String) = {
+    val (groups, total, c) = bloomGroupsIn(spark, path, Some(colName),
+      values.map(xxhash64String), version, probeHashed = true)
+    requireFlat(groups, path)
+    (groups.flatMap(_._1), total, c)
+  }
+
   /** Read a snapshot under a CONJUNCTION of point probes over the
     * table's declared multi-column blooms ([[commitVersionBlooms]]):
     * the planned file set intersects every probe's prune — skipping
@@ -3822,6 +3894,53 @@ object SinkOps {
       readVersion(spark, path, version).filter(lit(false))
     else readGroups(spark, root, groups)
       .filter(col(c).cast("long") === value)
+  }
+
+  /** The exact xxhash64 Spark's `xxhash64(col)` computes, evaluated
+    * driver-side — string bloom probes must hash with the SAME
+    * function the writer's executor pass used, so both sides share
+    * one Catalyst expression rather than a re-implementation that
+    * could drift.
+    */
+  private[graft] def xxhash64String(s: String): Long =
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[Long]
+
+  /** Point lookup on a STRING bloom column (URLs, doc ids — the keys
+    * a dedup/decontam pipeline actually probes): the probe value
+    * hashes through the same xxhash64 the sidecar writer used, files
+    * whose bitmap misses are skipped with zero IO, and the EXACT
+    * residual equality keeps the result ≡ the full-scan filter (an
+    * xxhash64 collision can only keep an extra file/row for the
+    * residual to drop, never lose one). A numeric bloom column
+    * refuses loudly ([[readVersionEq]] is its probe).
+    */
+  def readVersionEqString(spark: org.apache.spark.sql.SparkSession,
+                          path: String, colName: String, value: String,
+                          version: Option[Int] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (groups, _, _) = bloomGroupsEq(spark, path, Some(colName),
+      xxhash64String(value), version, probeHashed = true)
+    if (groups.forall(_._1.isEmpty))
+      readVersion(spark, path, version).filter(lit(false))
+    else readGroups(spark, root, groups)
+      .filter(col(colName) === lit(value))
+  }
+
+  /** Flat planning view of [[readVersionEqString]] — (kept files,
+    * total, probed column).
+    */
+  def planFilesEqString(spark: org.apache.spark.sql.SparkSession,
+                        path: String, colName: String, value: String,
+                        version: Option[Int] = None)
+      : (Seq[String], Int, String) = {
+    val (groups, total, c) = bloomGroupsEq(spark, path, Some(colName),
+      xxhash64String(value), version, probeHashed = true)
+    requireFlat(groups, path)
+    (groups.flatMap(_._1), total, c)
   }
 
   /** Commit with BOTH pruning sidecars — zone maps on the clustering

@@ -204,6 +204,59 @@ class Round15OpsSpec extends SparkSpec {
     assert(e4.getMessage.contains("nested"))
   }
 
+  // ---- string blooms ----
+
+  test("string bloom sidecars: point lookup on a string key skips " +
+      "files (kept < total), equals the full-scan filter, and the " +
+      "kind mismatch refuses both ways") {
+    val path = tmp("r15_strbloom")
+    val docs = (1L to 200L).map(i => (i, s"https://host$i/page"))
+      .toDF("id", "url").repartition(8)
+    SinkOps.commitVersionBloom(docs, path, "url")
+    val (kept, total, c) =
+      SinkOps.planFilesEqString(spark, path, "url",
+        "https://host42/page")
+    assert(c == "url" && total == 8)
+    assert(kept.size < total, s"no skip: ${kept.size} of $total")
+    val hit = SinkOps.readVersionEqString(spark, path, "url",
+      "https://host42/page").collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(42L))
+    assert(SinkOps.readVersionEqString(spark, path, "url",
+      "https://absent/)(").count() == 0)
+    // Kind mismatches refuse loudly.
+    val e1 = intercept[IllegalArgumentException] {
+      SinkOps.readVersionEq(spark, path, 42L).collect()
+    }
+    assert(e1.getMessage.contains("string-typed"))
+    val pathN = tmp("r15_strbloom_num")
+    SinkOps.commitVersionBloom((1L to 50L).map(i => (i, s"s$i"))
+      .toDF("id", "s"), pathN, "id")
+    val e2 = intercept[IllegalArgumentException] {
+      SinkOps.readVersionEqString(spark, pathN, "id", "42").collect()
+    }
+    assert(e2.getMessage.contains("numeric"))
+  }
+
+  test("classifyChanges serves STRING keys from string bloom " +
+      "sidecars — doc-id attribution at O(changed keys)") {
+    val path = tmp("r15_cdf_strbloom")
+    val docs = (1L to 100L).map(i => (s"doc$i", s"body$i"))
+      .toDF("doc_id", "body").repartition(4)
+    SinkOps.commitVersionBloom(docs, path, "doc_id")
+    val batch = Seq(("doc7", "rewritten"), ("docNEW", "fresh"))
+      .toDF("doc_id", "body")
+    val v2 = SinkOps.mergeVersion(batch, path, "doc_id")
+    val out = SinkOps.classifyChanges(spark, path, 1, v2, "doc_id")
+      .select("doc_id", "change_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("doc7" -> "update", "docNEW" -> "insert"))
+    // Economics visible through the planning view: 2 keys probe < 4
+    // files.
+    val (kept, total, _) = SinkOps.planFilesInString(spark, path,
+      "doc_id", Seq("doc7", "docNEW"), Some(1))
+    assert(total == 4 && kept.size < total)
+  }
+
   // ---- OCC retry for schema/maintenance verbs ----
 
   test("widen races a commit and LANDS on retry, re-validated " +
