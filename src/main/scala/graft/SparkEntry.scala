@@ -4615,6 +4615,31 @@ object SparkEntry {
           .select(lit("eager").as("probe"), lit(nEager).as("n_deleted"),
             col("n_rows"), col("user_sum")))
     }),
+    // VACUUM DRY RUN (r15) — the pre-flight for an irreversible
+    // maintenance sweep: the exact would-be-reclaimed dir list from
+    // the same planning body as the real sweep, with NOTHING touched
+    // — proven by the pinned v2 read still answering afterwards.
+    // Oracle pins the deterministic dir names AND the untouched
+    // snapshot digest.
+    "q_vacuum_dryrun" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_vacdry", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 2L).foreach { r =>
+        SinkOps.commitVersion(e.filter(col("event_id") % 3 === r),
+          path); ()
+      }
+      SinkOps.compactVersions(s, path) // v4; v1-3 dirs unreferenced
+      val would = SinkOps.vacuumDryRun(s, path, keep = 4)
+      SinkOps.readVersion(s, path, Some(2)).agg(
+          count(lit(1)).as("n_rows"),
+          sum("user_id").as("user_sum"))
+        .select(lit(would.size).as("n_would"),
+          lit(would.sorted.mkString(",")).as("would_dirs"),
+          col("n_rows"), col("user_sum"))
+    }),
     // DESCRIBE HISTORY from metadata alone: the table-growth timeline
     // (rows, dirs, stat ranges per version) read from manifests +
     // stats sidecars with zero data-file IO — what an operator checks
@@ -8276,6 +8301,14 @@ object SparkEntry {
     "q_version_skip" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE event_id BETWEEN 100 AND 299""",
+    // Dry-run VACUUM: deterministic would-delete list; the pinned v2
+    // snapshot (residue classes 0,1) still answers — untouched.
+    "q_vacuum_dryrun" ->
+      """SELECT 3 AS n_would,
+                'data/v1,data/v2,data/v3' AS would_dirs,
+                count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events WHERE event_id % 3 IN (0, 1)""",
     // Maintenance-verb OCC: serialized replay — evens, then the odd
     // racer, widen (metadata-only, values unchanged), the shifted
     // racer, then the pack; digest over the final table, landed

@@ -318,7 +318,8 @@ object GraftSqlParser {
   private val ClusterBy =
     "(?is)^CLUSTER\\s+BY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
   private val VacuumTail =
-    "(?is)^KEEP\\s+(\\d+)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?$".r
+    ("(?is)^KEEP\\s+(\\d+)(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?" +
+      "(\\s+DRY\\s+RUN)?$").r
 
   private def parseDml(sqlText: String,
                        delegate: ParserInterface): Option[LogicalPlan] = {
@@ -485,13 +486,18 @@ object GraftSqlParser {
             }
           case "VACUUM" =>
             tail.trim match {
-              case VacuumTail(keep, hoursOrNull) =>
-                GraftVacuumCommand(path, keep.toInt,
+              case VacuumTail(keep, hoursOrNull, dry) =>
+                if (dry != null)
+                  GraftVacuumDryRunCommand(path, keep.toInt,
+                    Option(hoursOrNull).map(_.toLong * 3600000L)
+                      .getOrElse(0L))
+                else GraftVacuumCommand(path, keep.toInt,
                   Option(hoursOrNull).map(_.toLong * 3600000L)
                     .getOrElse(0L))
               case other => throw new IllegalArgumentException(
                 s"VACUUM graft_table('$path') supports exactly " +
-                  s"KEEP <version> [RETAIN <n> HOURS]; got: $other")
+                  "KEEP <version> [RETAIN <n> HOURS] [DRY RUN]; " +
+                  s"got: $other")
             }
           case "DELETE FROM" =>
             tail.trim match {
@@ -806,6 +812,22 @@ case class GraftVacuumCommand(path: String, keep: Int,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.ops.SinkOps.expireVersions(spark, path, keep,
       retainMillis)))
+}
+
+/** `VACUUM graft_table(path) KEEP <v> [RETAIN <n> HOURS] DRY RUN` →
+  * [[graft.ops.SinkOps.vacuumDryRun]] — one row per dir the real
+  * sweep would reclaim, nothing touched (the operator pre-flight for
+  * an irreversible 100 TB maintenance sweep, Delta's shape).
+  */
+case class GraftVacuumDryRunCommand(path: String, keep: Int,
+                                    retainMillis: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(AttributeReference(
+    "would_delete", org.apache.spark.sql.types.StringType,
+    nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.ops.SinkOps.vacuumDryRun(spark, path, keep, retainMillis)
+      .map(Row(_))
 }
 
 /** `DELETE FROM graft_table(path) WHERE k IN (<query>) [RETRY n]` →

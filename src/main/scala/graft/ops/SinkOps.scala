@@ -1068,14 +1068,45 @@ object SinkOps {
         }.fold(keepRequested)(math.min(keepRequested, _))
       }
     expireFrom(spark, root, fs, latest, keepEff,
-      math.max(retainMillis, 0L))
+      math.max(retainMillis, 0L)).length
+  }
+
+  /** VACUUM DRY RUN — what [[expireVersions]] WOULD reclaim, with
+    * nothing touched (no dir deleted, no manifest expired, no
+    * re-checkpoint): the operator's pre-flight for an irreversible
+    * maintenance sweep on a 100 TB table (Delta's `VACUUM ... DRY
+    * RUN`). Same keep/retention/staged-liveness/grace logic as the
+    * real sweep by construction (one shared planning body). Returns
+    * the would-be-deleted dir names, manifest order of kinds.
+    */
+  def vacuumDryRun(spark: org.apache.spark.sql.SparkSession,
+                   path: String, keep: Int,
+                   retainMillis: Long = 0L): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val latest = latestVersion(fs, root)
+    require(keep >= 1 && keep <= latest,
+      s"keep=$keep outside committed versions 1..$latest")
+    val keepEff =
+      if (retainMillis <= 0) keep
+      else {
+        val cutoff = System.currentTimeMillis() - retainMillis
+        (1 until keep).find { v =>
+          fs.exists(new org.apache.hadoop.fs.Path(root,
+            f"manifest/v$v%05d.txt")) &&
+            manifestTs(fs, root, v).getOrElse(0L) >= cutoff
+        }.fold(keep)(math.min(keep, _))
+      }
+    expireFrom(spark, root, fs, latest, keepEff,
+      math.max(retainMillis, 0L), execute = false)
   }
 
   private def expireFrom(spark: org.apache.spark.sql.SparkSession,
                          root: org.apache.hadoop.fs.Path,
                          fs: org.apache.hadoop.fs.FileSystem,
                          latest: Int, keep: Int,
-                         graceMillis: Long = 0L): Int = {
+                         graceMillis: Long = 0L,
+                         execute: Boolean = true): Seq[String] = {
     // Version numbers present on disk in the surviving range: a commit
     // issued while a LATER number was staged leaves a numbering gap
     // when that stage rolls back (stage 3, commit 4, rollback 3 ⇒
@@ -1089,7 +1120,10 @@ object SinkOps {
     // list — same snapshot, different encoding) BEFORE the old
     // manifests they reference are deleted; a surviving reader never
     // dangles. Done first so the live set below sees final state.
-    present.foreach { v =>
+    // (Skipped by DRY RUN — re-encoding is snapshot-preserving but a
+    // dry run must not touch a byte; the live-set math below resolves
+    // base chains identically either way.)
+    if (execute) present.foreach { v =>
       rawManifest(fs, root, v).headOption match {
         case Some(h) if h.startsWith(BasePrefix) &&
             h.stripPrefix(BasePrefix).trim.toInt < keep =>
@@ -1151,26 +1185,28 @@ object SinkOps {
         }
         .map(kind + "/" + _.getPath.getName)
     }
-    dead.foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
-      // A vacuumed data dir's metadata sidecars (zone-map stats, bloom
-      // bitmaps) describe files that no longer exist — GC them with
-      // their dir (they are only ever consulted for manifest-listed
-      // dirs, so orphans are a pure storage leak the VACUUM contract
-      // implies it cleans).
-      if (d.startsWith("data/")) {
-        val base = d.stripPrefix("data/")
-        Seq("stats", "blooms", "parts").foreach { kind =>
-          fs.delete(new org.apache.hadoop.fs.Path(root,
-            s"$kind/$base.txt"), false); ()
+    if (execute) {
+      dead.foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
+        // A vacuumed data dir's metadata sidecars (zone-map stats,
+        // bloom bitmaps) describe files that no longer exist — GC
+        // them with their dir (they are only ever consulted for
+        // manifest-listed dirs, so orphans are a pure storage leak
+        // the VACUUM contract implies it cleans).
+        if (d.startsWith("data/")) {
+          val base = d.stripPrefix("data/")
+          Seq("stats", "blooms", "parts").foreach { kind =>
+            fs.delete(new org.apache.hadoop.fs.Path(root,
+              s"$kind/$base.txt"), false); ()
+          }
         }
       }
+      (1 until keep).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(root,
+          f"manifest/v$v%05d.txt"), false); ()
+      }
     }
-    (1 until keep).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(root,
-        f"manifest/v$v%05d.txt"), false); ()
-    }
-    dead.length
+    dead
   }
 
   /** Write-audit-publish, stage half: the batch's data files land under

@@ -118,6 +118,34 @@ class Round15OpsSpec extends SparkSpec {
       "young never-committed dir reclaimed inside the horizon")
   }
 
+  test("VACUUM DRY RUN plans exactly what the real sweep reclaims " +
+      "and touches nothing — including the staged/orphan guards; " +
+      "SQL DRY RUN returns the dir rows") {
+    val path = tmp("r15_vacdry")
+    (1 to 3).foreach { i =>
+      SinkOps.commitVersion(Seq((i.toLong, s"s$i")).toDF("id", "s"),
+        path); ()
+    }
+    SinkOps.compactVersions(spark, path) // v4; v1-3 unreferenced
+    val staged = SinkOps.stageVersion(
+      Seq((9L, "staged")).toDF("id", "s"), path)
+    val would = SinkOps.vacuumDryRun(spark, path, keep = 4)
+    assert(would.sorted == Seq("data/v1", "data/v2", "data/v3"),
+      s"dry run planned $would")
+    // Nothing touched: expired history still reads, stage publishes.
+    assert(SinkOps.readVersion(spark, path, Some(2)).count() == 2)
+    SinkOps.publishStaged(spark, path, staged)
+    // SQL face.
+    val sqlRows = spark.sql(
+      s"VACUUM graft_table('$path') KEEP 4 DRY RUN")
+      .collect().map(_.getString(0)).sorted
+    assert(sqlRows.sameElements(
+      Array("data/v1", "data/v2", "data/v3")))
+    // The real sweep then reclaims exactly the planned set (the
+    // staged batch published meanwhile — its dir is referenced now).
+    assert(SinkOps.expireVersions(spark, path, keep = 4) == 3)
+  }
+
   // ---- string zone maps ----
 
   private val strRows = Seq(
