@@ -3101,8 +3101,8 @@ object SparkEntry {
     // drop). files-probed < files-total spec-pinned (Round15OpsSpec).
     "q_bloom_string" -> ((s, d) => {
       val docs = Tables.documents(s, d).withColumn("url",
-        concat(lit("https://"), col("source"), lit("/"),
-          col("doc_id")))
+        concat(lit("https://crawl.example.com/"), col("source"),
+          lit("/"), col("doc_id")))
       val path = tmpPath("graft_strbloom", d)
       val root = new org.apache.hadoop.fs.Path(path)
       root.getFileSystem(s.sessionState.newHadoopConf())
@@ -8331,7 +8331,7 @@ object SparkEntry {
     // value is doc 7's reconstructed url).
     "q_bloom_string" ->
       """WITH d AS (
-           SELECT *, 'https://' || source || '/' ||
+           SELECT *, 'https://crawl.example.com/' || source || '/' ||
                   CAST(doc_id AS VARCHAR) AS url
            FROM documents
          )

@@ -40,10 +40,12 @@ class GraftSource extends TableProvider with DataSourceRegister
   override def supportsExternalMetadata(): Boolean = false
 
   private def table(options: CaseInsensitiveStringMap): GraftTable = {
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft format needs a path: spark.read.format(\"graft\")" +
-          ".load(<table root>)"))
+    // path or catalog-qualified name — both batch `read.format` and
+    // the streaming faces resolve through the same target logic.
+    val path = resolveTarget(
+      Seq("path", "table").flatMap(k =>
+        Option(options.get(k)).map(k -> _)).toMap,
+      "format read")
     val asOfV = Option(options.get("versionAsOf")).map(_.toInt)
     val asOfTs = Option(options.get("timestampAsOf")).map(_.toLong)
     require(asOfV.isEmpty || asOfTs.isEmpty,
@@ -66,14 +68,35 @@ class GraftSource extends TableProvider with DataSourceRegister
 
   // ---- streaming half (V1 StreamSourceProvider) ----
 
+  /** Stream target resolution: `path` (a table root) or `table` (a
+    * catalog-qualified `cat.db.t` resolved through the graft
+    * catalog's warehouse — streams address tables BY NAME like every
+    * batch surface; a typo'd name refuses loudly instead of tailing
+    * or creating a silently different root).
+    */
+  private def resolveTarget(lower: Map[String, String],
+                            what: String): String =
+    (lower.get("path"), lower.get("table")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        s"graft $what takes path OR table, not both")
+      case (Some(p), None) => p
+      case (None, Some(name)) => name.split('.') match {
+        case Array(cat, db, t) =>
+          GraftCatalog.tableRoot(SparkSession.active, cat, db, t)
+        case _ => throw new IllegalArgumentException(
+          s"graft $what table option must be <catalog>.<db>.<table>:" +
+            s" '$name'")
+      }
+      case (None, None) => throw new IllegalArgumentException(
+        s"graft $what needs a target: .load(<table root>) / " +
+          ".option(\"path\", <root>) or " +
+          ".option(\"table\", \"cat.db.t\")")
+    }
+
   private def streamParams(parameters: Map[String, String])
       : (String, Int, Option[Int]) = {
     val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
-    val path = lower.getOrElse("path",
-      throw new IllegalArgumentException(
-        "graft stream needs a path: spark.readStream" +
-          ".format(\"graft\").load(<table root>)"))
-    (path,
+    (resolveTarget(lower, "stream"),
       lower.get("startingversion").map(_.toInt).getOrElse(0),
       lower.get("maxversionspertrigger").map { m =>
         require(m.toInt >= 1, s"maxVersionsPerTrigger must be >= 1: $m")
@@ -114,10 +137,7 @@ class GraftSource extends TableProvider with DataSourceRegister
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
     val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
-    val path = lower.getOrElse("path",
-      throw new IllegalArgumentException(
-        "graft sink needs a path: writeStream.format(\"graft\")" +
-          ".option(\"path\", <table root>)"))
+    val path = resolveTarget(lower, "sink")
     require(partitionColumns.isEmpty,
       "graft sink commits declare partitioning per table op " +
         "(commitVersionPartitionedCols), not partitionBy on the " +

@@ -60,6 +60,41 @@ class Round15CatalogSpec extends SparkSpec {
     assert(df.count() == 0)
   }
 
+  test("streams address tables BY NAME: readStream/writeStream " +
+      "option(\"table\", \"cat.db.t\") resolve through the catalog " +
+      "warehouse; a typo'd name refuses loudly") {
+    wh
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g15.db")
+    spark.sql("CREATE TABLE g15.db.ssrc (id BIGINT, s STRING)")
+    spark.sql("CREATE TABLE g15.db.sdst (id BIGINT, s STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .createOrReplaceTempView("r15_named_src")
+    spark.sql("INSERT INTO g15.db.ssrc SELECT * FROM r15_named_src")
+    // The sink needs an initialized table — CREATE alone has no
+    // versions; land an empty first commit through the named path.
+    spark.sql(
+      "INSERT INTO g15.db.sdst SELECT * FROM r15_named_src LIMIT 0")
+    val ckpt = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "r15_named_ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    val q = spark.readStream.format("graft")
+      .option("table", "g15.db.ssrc").load()
+      .writeStream.format("graft")
+      .option("table", "g15.db.sdst")
+      .option("checkpointLocation", ckpt.getPath)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.sql("SELECT count(*) FROM g15.db.sdst")
+      .collect().head.getLong(0) == 2)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("table", "g15.db.nope").load()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("not found"),
+      s"typo'd stream name not loud: ${e.getMessage}")
+  }
+
   test("a self-join of a named graft table resolves with ONE head " +
       "listing per distinct root per analysis run (memoized), and " +
       "still answers correctly") {

@@ -238,19 +238,19 @@ class Round15OpsSpec extends SparkSpec {
       "files (kept < total), equals the full-scan filter, and the " +
       "kind mismatch refuses both ways") {
     val path = tmp("r15_strbloom")
-    val docs = (1L to 200L).map(i => (i, s"https://host$i/page"))
+    val docs = (1L to 200L).map(i => (i, s"https://h.example.com/p$i"))
       .toDF("id", "url").repartition(8)
     SinkOps.commitVersionBloom(docs, path, "url")
     val (kept, total, c) =
       SinkOps.planFilesEqString(spark, path, "url",
-        "https://host42/page")
+        "https://h.example.com/p42")
     assert(c == "url" && total == 8)
     assert(kept.size < total, s"no skip: ${kept.size} of $total")
     val hit = SinkOps.readVersionEqString(spark, path, "url",
-      "https://host42/page").collect()
+      "https://h.example.com/p42").collect()
     assert(hit.map(_.getLong(0)).toSeq == Seq(42L))
     assert(SinkOps.readVersionEqString(spark, path, "url",
-      "https://absent/)(").count() == 0)
+      "https://h.example.com/absent)(").count() == 0)
     // Kind mismatches refuse loudly.
     val e1 = intercept[IllegalArgumentException] {
       SinkOps.readVersionEq(spark, path, 42L).collect()
