@@ -411,15 +411,15 @@ object GraftSqlParser {
               case other => (Nil, other)
             }
             if (partCols.nonEmpty) {
-              require(statsCols.isEmpty,
-                "PARTITIONED BY and stats columns are mutually " +
-                  "exclusive (partitioned dirs are not zone-map " +
-                  "servable)")
+              // Stats columns COMPOSE with PARTITIONED BY (r16): the
+              // commit writes both the parts sidecar and leaf-relative
+              // per-file zone maps — the standard 100 TB layout
+              // (partition prune, then file skip inside kept leaves).
               require(query.nonEmpty,
                 s"INSERT into graft_table('$path') needs a source query")
               GraftInsertPartitionedCommand(path,
                 delegate.parseQuery(query),
-                carryForward = v == "INSERT INTO", partCols)
+                carryForward = v == "INSERT INTO", partCols, statsCols)
             } else query match {
               // Optional CHECK <keyCol> (constraints) prefix: the SQL
               // spelling of commitVersionChecked — a violating batch
@@ -649,14 +649,15 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
 case class GraftInsertPartitionedCommand(path: String,
                                          source: LogicalPlan,
                                          carryForward: Boolean,
-                                         partCols: Seq[String])
+                                         partCols: Seq[String],
+                                         statsCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.versionOutput
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(graft.ops.SinkOps.commitVersionPartitionedCols(
       GraftSqlBridge.ofRows(spark, source), path, partCols,
-      carryForward)))
+      carryForward, statsCols)))
 }
 
 /** `INSERT INTO/OVERWRITE graft_table(path[, 'c1,c2']) CHECK <keyCol>

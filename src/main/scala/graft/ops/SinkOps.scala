@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Sink operators — the reference's output surface, Spark-first.
@@ -324,18 +324,50 @@ object SinkOps {
       if (txnAppId.isEmpty) s"data/b$batchId"
       else s"data/b${txnAppId}_$batchId"
     val latest = latestVersion(fs, root)
-    val committed = (1 to latest).exists(v =>
-      fs.exists(new org.apache.hadoop.fs.Path(root,
-        f"manifest/v$v%05d.txt")) &&
-        manifestDirs(fs, root, v).contains(dataDir))
-    if (committed) return None
+    // "Was this batch committed" scans NEWEST-FIRST with early exit
+    // (r16, ADVICE): on a carry-forward table the HEAD manifest
+    // references every committed batch dir, so the common case is one
+    // manifest resolution — the oldest-first walk paid O(versions)
+    // base-chain resolutions per micro-batch, O(n²) cumulative over a
+    // stream's life, worst exactly on the long-running pipeline this
+    // sink advertises (and the oldest manifests are also the VACUUMed
+    // ones). Older manifests are still consulted (miss ⇒ walk down)
+    // so the compaction-window replay contract is unchanged.
+    def referencedIn(vHi: Int, vLo: Int): Boolean =
+      (vHi to vLo by -1).exists(v =>
+        fs.exists(new org.apache.hadoop.fs.Path(root,
+          f"manifest/v$v%05d.txt")) &&
+          manifestDirs(fs, root, v).contains(dataDir))
+    if (latest >= 1 && referencedIn(latest, 1)) return None
     df.write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
-    Some(occRetryLoop(fs, root, path, dataDir, maxTries, _ => ()) {
-      head => (if (head == 0) Nil else manifestDirs(fs, root, head)) :+
-        dataDir
-    })
+    // The idempotence check ALSO runs inside the OCC loop (r16,
+    // ADVICE): two live incarnations replaying the same batchId (a
+    // zombie driver next to its replacement — the exact at-least-once
+    // scenario this function targets) can both pass the pre-check
+    // above; the loser's retry re-reads the advanced head, and if a
+    // version committed since the pre-check already references the
+    // dir, it SKIPS instead of appending it a second time (a manifest
+    // listing the dir twice would double-deliver its rows). Both
+    // incarnations wrote identical bytes (deterministic dir name), so
+    // whichever commit lands is correct.
+    try Some(occRetryLoop(fs, root, path, dataDir, maxTries, _ => ()) {
+      head =>
+        if (head > latest && referencedIn(head, latest + 1))
+          throw StreamBatchAlreadyCommitted
+        (if (head == 0) Nil else manifestDirs(fs, root, head)) :+
+          dataDir
+    }) catch {
+      case StreamBatchAlreadyCommitted => None
+    }
   }
+
+  /** Control-flow signal of [[commitStreamBatch]]'s in-OCC-loop
+    * idempotence check; never escapes the function.
+    */
+  private object StreamBatchAlreadyCommitted
+      extends RuntimeException("stream batch already committed")
+      with scala.util.control.NoStackTrace
 
   /** The OCC manifest-attempt loop shared by every *Retrying writer:
     * data/sidecar files are already on disk under commit-unique names
@@ -533,45 +565,111 @@ object SinkOps {
     s
   }
 
+  /** Sidecar column KINDS beyond plain long-castable numerics, each
+    * tagged `name#<kind>` in the header so readers key the right
+    * predicate surface (kind mismatches refuse loudly BOTH ways):
+    *  - `str`  — truncated string bounds ([[statUpperBound]]).
+    *  - `tsus` — TimestampType bounds stored as `unix_micros` (r16):
+    *    an event-time clustering column range-reads at MICROSECOND
+    *    granularity; the pre-r16 `cast("long")` was SECONDS-floor
+    *    (sound but coarse — every event fixture carries int64 micros).
+    *  - `day`  — DateType bounds stored as epoch days (`datediff`
+    *    from 1970-01-01); DateType never long-casts, so date
+    *    clustering columns previously could not be stats columns.
+    */
+  private[graft] val StatKindStr = "str"
+  private[graft] val StatKindTsUs = "tsus"
+  private[graft] val StatKindDay = "day"
+
+  /** Reserved header kind-tag suffixes. A DATA column whose own name
+    * ends in one would write a header indistinguishable from a
+    * differently-kinded column of the untagged name — readers would
+    * mis-key the column and apply the wrong predicate kind, a silent
+    * wrong-skip class. Refused at write time, the same loud-refusal
+    * discipline as the ':'/newline guards on manifest column names.
+    */
+  private val StatKindTags =
+    Seq(StatKindStr, StatKindTsUs, StatKindDay).map("#" + _)
+
+  private def requireUntaggedNames(cols: Seq[String],
+                                   what: String): Unit =
+    cols.foreach(c => StatKindTags.foreach(t => require(!c.endsWith(t),
+      s"$what column name '$c' ends in the reserved kind tag '$t' — " +
+        "sidecar headers use that suffix to mark the column kind, so " +
+        "this name could never be read back unambiguously; rename " +
+        "the column")))
+
+  /** The expression whose per-file min/max a kinded stats column
+    * records — shared verbatim by the writer aggregate and every
+    * reader residual, so prune and filter can never disagree.
+    */
+  private def statKindExpr(c: String, kind: String): Column = kind match {
+    case StatKindTsUs => unix_micros(col(c))
+    case StatKindDay =>
+      datediff(col(c), to_date(lit("1970-01-01"))).cast("long")
+    case _ => col(c).cast("long")
+  }
+
   private def writeDirStats(spark: org.apache.spark.sql.SparkSession,
                             fs: org.apache.hadoop.fs.FileSystem,
                             root: org.apache.hadoop.fs.Path,
                             dataDir: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty && cols.distinct == cols,
       s"stats columns must be non-empty and distinct: $cols")
-    val df = spark.read
-      .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
-    val isStr = cols.map { c =>
+    requireUntaggedNames(cols, "stats")
+    val dirP = new org.apache.hadoop.fs.Path(root, dataDir)
+    val df = spark.read.parquet(dirP.toString)
+    val kinds = cols.map { c =>
       df.schema(c).dataType match {
-        case org.apache.spark.sql.types.StringType => true
+        case org.apache.spark.sql.types.StringType => StatKindStr
+        case org.apache.spark.sql.types.TimestampType => StatKindTsUs
+        case org.apache.spark.sql.types.DateType => StatKindDay
         case _: org.apache.spark.sql.types.ArrayType |
              _: org.apache.spark.sql.types.MapType |
              _: org.apache.spark.sql.types.StructType |
              org.apache.spark.sql.types.BinaryType =>
           throw new IllegalArgumentException(
             s"stats column $c has type ${df.schema(c).dataType.sql} — " +
-              "zone maps need a long-castable or string column " +
-              "(a nested/binary sidecar could never prune)")
-        case _ => false
+              "zone maps need a long-castable, string, timestamp, or " +
+              "date column (a nested/binary sidecar could never prune)")
+        case _ => ""
       }
     }
-    val aggs = cols.zip(isStr).flatMap { case (c, str) =>
-      if (str) Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
-      else Seq(min(col(c).cast("long")).as(s"mn_$c"),
-        max(col(c).cast("long")).as(s"mx_$c"))
+    val aggs = cols.zip(kinds).flatMap { case (c, k) =>
+      if (k == StatKindStr)
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+      else Seq(min(statKindExpr(c, k)).as(s"mn_$c"),
+        max(statKindExpr(c, k)).as(s"mx_$c"))
     } :+ count(lit(1)).as("n")
     val rows = df
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    val header = cols.zip(isStr)
-      .map { case (c, str) => if (str) s"$c#str" else c }.mkString("\t")
+    // File field: the path RELATIVE to the data dir. For a flat dir
+    // that is exactly the file name (pre-r16 sidecars byte-identical);
+    // for a hive-partitioned dir it carries the leaf fragments
+    // (`date=2024-01-01/part-….parquet`), which is what lets the
+    // composed partition × zone-map reader key per-file stats INSIDE
+    // kept partitions (r16 — the Delta stats-under-partitioning shape).
+    val qdir = fs.makeQualified(dirP)
+    def relName(uri: String): String = {
+      val segs = scala.collection.mutable.ListBuffer.empty[String]
+      var cur = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(new java.net.URI(uri)))
+      while (cur != null && cur != qdir) {
+        segs.prepend(cur.getName); cur = cur.getParent
+      }
+      require(cur != null, s"stats file $uri is not under $qdir")
+      segs.mkString("/")
+    }
+    val header = cols.zip(kinds)
+      .map { case (c, k) => if (k.isEmpty) c else s"$c#$k" }
+      .mkString("\t")
     val lines = header +: rows.map { r =>
-      val name = new org.apache.hadoop.fs.Path(
-        new java.net.URI(r.getString(0))).getName
+      val name = relName(r.getString(0))
       val mm = cols.indices.flatMap { i =>
         if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) Seq("", "")
-        else if (isStr(i)) Seq(
+        else if (kinds(i) == StatKindStr) Seq(
           escapeStat(truncCp(r.getString(1 + 2 * i), StatStrTruncLen)),
           escapeStat(statUpperBound(r.getString(2 + 2 * i),
             StatStrTruncLen)))
@@ -597,18 +695,21 @@ object SinkOps {
     * when the dir has no sidecar. Legacy 1-field lines parse
     * statless+countless, legacy 3-field single-column lines countless.
     */
-  private case class DirStats(cols: Seq[String], isStr: Seq[Boolean],
+  private case class DirStats(cols: Seq[String], kinds: Seq[String],
       files: Seq[(String, Seq[Option[(String, String)]], Option[Long])]) {
-    /** Numeric bounds of column i — refuses loudly on a string-typed
-      * column (the caller asked for an exact long the truncated
-      * string bound cannot be).
+    def isStr: Seq[Boolean] = kinds.map(_ == StatKindStr)
+    /** Numeric bounds of column i — refuses loudly on a kinded column
+      * (a string's truncated bounds are inexact; a timestamp/date
+      * column's bounds are stored as unix_micros/epoch-days, not the
+      * long the caller's plain-numeric surface would compare).
       */
     def longBounds(i: Int, mm: Seq[Option[(String, String)]])
         : Option[(Long, Long)] = {
-      require(!isStr(i),
-        s"stats column ${cols(i)} is string-typed (truncated bounds)" +
-          " — exact numeric use refused; prune with the string " +
-          "predicate (readVersionWhereString)")
+      require(kinds(i).isEmpty,
+        s"stats column ${cols(i)} is ${kinds(i)}-kinded — exact " +
+          "plain-numeric use refused; prune through the matching " +
+          "surface (readVersionWhereString / readVersionWhereTs / " +
+          "readVersionWhereDate)")
       mm(i).map { case (a, b) => (a.toLong, b.toLong) }
     }
   }
@@ -641,8 +742,13 @@ object SinkOps {
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
       val tagged = lines.head.split('\t').toSeq
-      val cols = tagged.map(_.stripSuffix("#str"))
-      val isStr = tagged.map(_.endsWith("#str"))
+      val kinds = tagged.map { t =>
+        StatKindTags.find(t.endsWith).fold("")(_.stripPrefix("#"))
+      }
+      val cols = tagged.zip(kinds).map { case (t, k) =>
+        if (k.isEmpty) t else t.stripSuffix("#" + k)
+      }
+      val isStr = kinds.map(_ == StatKindStr)
       val k = cols.length
       def mmOf(parts: Array[String]): Seq[Option[(String, String)]] =
         (0 until k).map { i =>
@@ -668,7 +774,7 @@ object SinkOps {
             s"malformed stats line in $sf: $ln")
         }
       }
-      Some(DirStats(cols, isStr, files))
+      Some(DirStats(cols, kinds, files))
     }
   }
 
@@ -1101,6 +1207,15 @@ object SinkOps {
       math.max(retainMillis, 0L), execute = false)
   }
 
+  /** Minimum age (mtime) a NEVER-REFERENCED dir must reach before an
+    * EAGER (retainMillis = 0) VACUUM reclaims it — the in-flight OCC
+    * writer's protection window between its data write and manifest
+    * create. Test seam (the createTableSeam discipline): specs lower
+    * it to prove expiry-after-floor without waiting five minutes;
+    * production never touches it.
+    */
+  @volatile private[graft] var inFlightFloorMillis: Long = 5 * 60 * 1000L
+
   private def expireFrom(spark: org.apache.spark.sql.SparkSession,
                          root: org.apache.hadoop.fs.Path,
                          fs: org.apache.hadoop.fs.FileSystem,
@@ -1173,6 +1288,19 @@ object SinkOps {
       .filter(v => fs.exists(new org.apache.hadoop.fs.Path(root,
         f"manifest/v$v%05d.txt")))
       .flatMap(v => manifestDirs(fs, root, v))).toSet ++ stagedLive
+    // NEVER-REFERENCED dirs (an in-flight OCC writer between its data
+    // write and manifest create, or genuine debris) get an age floor
+    // even under an EAGER sweep (r16): retainMillis = 0 used to delete
+    // them immediately, racing a concurrent commit in its own commit
+    // protocol's window — the one "caller-knows-best" hole the r15
+    // VACUUM guards left. The floor (default 5 min, far above any
+    // commit's write→manifest gap; [[inFlightFloorMillis]] is the test
+    // seam) applies ONLY to dirs no manifest ever referenced —
+    // deliberate history GC of expired manifests' dirs is still
+    // immediate, so eager VACUUM reclaims exactly what it always did
+    // on committed history.
+    val inFlightCutoff = System.currentTimeMillis() -
+      math.max(graceMillis, inFlightFloorMillis)
     val graceCutoff = System.currentTimeMillis() - graceMillis
     val dead = Seq("data", "deletes").flatMap { kind =>
       val kindRoot = new org.apache.hadoop.fs.Path(root, kind)
@@ -1180,8 +1308,11 @@ object SinkOps {
       else fs.listStatus(kindRoot).toSeq
         .filter { st =>
           val d = kind + "/" + st.getPath.getName
-          !live(d) && (everReferenced(d) || graceMillis <= 0 ||
-            st.getModificationTime < graceCutoff)
+          !live(d) && (
+            if (everReferenced(d)) true
+            else if (graceMillis <= 0)
+              st.getModificationTime < inFlightCutoff
+            else st.getModificationTime < graceCutoff)
         }
         .map(kind + "/" + _.getPath.getName)
     }
@@ -1930,10 +2061,12 @@ object SinkOps {
     // erodes under churn. Flat heads merge exactly as before.
     val partCols = headPartitionCols(spark, path)
     partCols.foreach { pc =>
-      require(statsCols.isEmpty,
-        s"table at $path is hive-partitioned by ${pc.mkString("/")}" +
-          " — partitioned dirs are not zone-map servable; merge " +
-          "without statsCols")
+      // statsCols on a partitioned head compose (r16): the merged dir
+      // gets BOTH sidecars — parts for the coarse prune, leaf-relative
+      // per-file stats for the skip inside kept partitions.
+      statsCols.foreach(c => require(!pc.contains(c),
+        s"stats column $c is a partition column of $path — the parts " +
+          "sidecar already serves it exactly"))
       pc.foreach(c => require(updates.columns.contains(c),
         s"merge batch lacks the table's partition column $c"))
     }
@@ -1951,9 +2084,9 @@ object SinkOps {
       case None =>
         updates.write.mode(SaveMode.Overwrite)
           .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
-        if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
-          statsCols)
     }
+    if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
+      statsCols)
     writeManifestLines(fs, root, v,
       manifestDirs(fs, root, head) :+
         s"$DeletePrefix$delDir:$keyCol" :+ dataDir)
@@ -2038,10 +2171,9 @@ object SinkOps {
       s"no versions committed at $path — nothing to merge")
     val partCols = headPartitionCols(spark, path)
     partCols.foreach { pc =>
-      require(statsCols.isEmpty,
-        s"table at $path is hive-partitioned by ${pc.mkString("/")}" +
-          " — partitioned dirs are not zone-map servable; merge " +
-          "without statsCols")
+      statsCols.foreach(c => require(!pc.contains(c),
+        s"stats column $c is a partition column of $path — the parts " +
+          "sidecar already serves it exactly"))
       pc.foreach(c => require(updates.columns.contains(c),
         s"merge batch lacks the table's partition column $c"))
     }
@@ -2058,9 +2190,9 @@ object SinkOps {
       case None =>
         updates.write.mode(SaveMode.Overwrite)
           .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
-        if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
-          statsCols)
     }
+    if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
+      statsCols)
     occRetryLoop(fs, root, path, dataDir, maxTries, beforeAttempt) {
       head =>
         require(head >= 1,
@@ -2091,9 +2223,11 @@ object SinkOps {
     */
   def commitVersionPartitionedKeyed(df: DataFrame, path: String,
                                     partCols: Seq[String],
-                                    batchKey: String): Int =
+                                    batchKey: String,
+                                    statsCols: Seq[String] = Nil): Int =
     keyedVersion(df.sparkSession, path, "commits", batchKey)(
-      commitVersionPartitionedCols(df, path, partCols))
+      commitVersionPartitionedCols(df, path, partCols,
+        statsCols = statsCols))
 
   /** Idempotency-marker wrapper shared by the keyed commit family: the
     * first commit of `batchKey` records its version in
@@ -2281,7 +2415,7 @@ object SinkOps {
               // truncated (inexact) bounds: the timeline reports the
               // exact counts and leaves the range null rather than
               // serve an approximate value as history.
-              if (!ds.isStr.head) ds.longBounds(0, mm).foreach {
+              if (ds.kinds.head.isEmpty) ds.longBounds(0, mm).foreach {
                 case (lo, hi) =>
                   any = true
                   mn = math.min(mn, lo)
@@ -2341,23 +2475,32 @@ object SinkOps {
     *     `maxReadGroups` (default 4: a resolved read unions ≥4 epoch
     *     branches, each with its own anti-join fold) but no
     *     coalescible run: only [[compactVersions]] pays this back.
-    *  3. `bin_pack` — avg rows/file < `targetRowsPerFile`: the
+    *  3. `optimize` — a PARTITION LEAF's file count summed across the
+    *     head's dirs exceeds `maxFilesPerLeaf` (r16): a streaming/
+    *     merge-fed partitioned table accretes one subtree per commit
+    *     per hot leaf, and the per-leaf read amplification is
+    *     invisible to the flat gauges; [[compactVersions]] preserves
+    *     the layout while converging each leaf to right-sized files.
+    *  4. `bin_pack` — avg rows/file < `targetRowsPerFile`: the
     *     small-file debt a streaming sink accrues;
     *     [[compactSmallDirs]]/[[compactVersions]] right-sizes.
-    *  4. `none` — the table is healthy; a no-op maintenance run is
+    *  5. `none` — the table is healthy; a no-op maintenance run is
     *     wasted IO.
     *
     * Output: one row (version, n_dirs, n_files, n_rows, n_read_groups,
-    * max_delete_run, avg_rows_per_file, recommendation). Same loud
-    * every-file-counted sidecar contract as [[versionHistory]].
+    * max_delete_run, avg_rows_per_file, max_leaf_files,
+    * recommendation). Same loud every-file-counted sidecar contract
+    * as [[versionHistory]].
     */
   def maintenanceAdvice(spark: org.apache.spark.sql.SparkSession,
                         path: String,
                         targetRowsPerFile: Long = 1000000L,
-                        maxReadGroups: Int = 4): DataFrame = {
-    require(targetRowsPerFile >= 1 && maxReadGroups >= 2,
+                        maxReadGroups: Int = 4,
+                        maxFilesPerLeaf: Int = 16): DataFrame = {
+    require(targetRowsPerFile >= 1 && maxReadGroups >= 2 &&
+        maxFilesPerLeaf >= 1,
       s"nonsensical thresholds: target=$targetRowsPerFile " +
-        s"groups=$maxReadGroups")
+        s"groups=$maxReadGroups leafFiles=$maxFilesPerLeaf")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val head = latestVersion(fs, root)
@@ -2377,37 +2520,48 @@ object SinkOps {
     }
     val nGroups = epochGroups(lines.filterNot(isSchemaLine)).size
     var nFiles = 0L; var nRows = 0L
+    // Per-LEAF file counts summed across the head's partitioned dirs
+    // (the per-leaf read-amplification gauge — a hot leaf fed one
+    // subtree per commit is invisible to the flat file totals).
+    val leafFiles = scala.collection.mutable.Map.empty[String, Long]
     data.foreach { d =>
-      readDirStats(fs, root, d) match {
-        case Some(ds) => ds.files.foreach { case (_, _, cnt) =>
-          nRows += cnt.getOrElse(throw new IllegalStateException(
-            s"count-less stats line for dir $d (legacy format)"))
-          nFiles += 1
-        }
+      readDirParts(fs, root, d) match {
+        case Some(dp) =>
+          dp.frags.foreach { pf =>
+            nRows += pf.rows.getOrElse(throw new IllegalStateException(
+              s"count-less parts line for dir $d (legacy format)"))
+            val k = pf.files.getOrElse(throw new IllegalStateException(
+              s"file-count-less parts line for dir $d (legacy format)"))
+            nFiles += k
+            leafFiles(pf.frag) = leafFiles.getOrElse(pf.frag, 0L) + k
+          }
         case None =>
-          val dp = readDirParts(fs, root, d).getOrElse(
+          val ds = readDirStats(fs, root, d).getOrElse(
             throw new IllegalArgumentException(
               s"dir $d of version $head has no stats or parts " +
                 "sidecar — the advisor needs every file counted " +
                 "(commit with statsCols or partition columns)"))
-          dp.frags.foreach { pf =>
-            nRows += pf.rows.getOrElse(throw new IllegalStateException(
-              s"count-less parts line for dir $d (legacy format)"))
-            nFiles += pf.files.getOrElse(throw new IllegalStateException(
-              s"file-count-less parts line for dir $d (legacy format)"))
+          ds.files.foreach { case (_, _, cnt) =>
+            nRows += cnt.getOrElse(throw new IllegalStateException(
+              s"count-less stats line for dir $d (legacy format)"))
+            nFiles += 1
           }
       }
     }
+    val maxLeaf = if (leafFiles.isEmpty) 0L else leafFiles.values.max
     val avg = if (nFiles == 0) 0L else nRows / nFiles
     val rec =
       if (maxRun >= 2) "coalesce_deletes"
       else if (nGroups >= maxReadGroups) "optimize"
+      else if (maxLeaf > maxFilesPerLeaf) "optimize"
       else if (avg < targetRowsPerFile && nFiles > 1) "bin_pack"
       else "none"
     import spark.implicits._
-    Seq((head, data.size, nFiles, nRows, nGroups, maxRun, avg, rec))
+    Seq((head, data.size, nFiles, nRows, nGroups, maxRun, avg, maxLeaf,
+        rec))
       .toDF("version", "n_dirs", "n_files", "n_rows", "n_read_groups",
-        "max_delete_run", "avg_rows_per_file", "recommendation")
+        "max_delete_run", "avg_rows_per_file", "max_leaf_files",
+        "recommendation")
   }
 
   /** ONE-CALL MAINTENANCE — close the gauge → advice → action loop:
@@ -2425,9 +2579,10 @@ object SinkOps {
     */
   def maintain(spark: org.apache.spark.sql.SparkSession, path: String,
                targetRowsPerFile: Long = 1000000L,
-               maxReadGroups: Int = 4): DataFrame = {
+               maxReadGroups: Int = 4,
+               maxFilesPerLeaf: Int = 16): DataFrame = {
     val adv = maintenanceAdvice(spark, path, targetRowsPerFile,
-      maxReadGroups).collect().head // one bounded advisor row
+      maxReadGroups, maxFilesPerLeaf).collect().head // one bounded advisor row
     val rec = adv.getAs[String]("recommendation")
     val v = rec match {
       case "coalesce_deletes" => coalesceDeletes(spark, path)
@@ -2466,40 +2621,55 @@ object SinkOps {
                       keyCol: String): DataFrame = {
     val post = readChanges(spark, path, vFrom, vTo)
     val postKeys = post.select(keyCol).distinct()
-    val root = new org.apache.hadoop.fs.Path(path)
-    val priorKeys =
-      try {
-        // String keys (doc ids, URLs) probe their xxhash64 — the
-        // same membership the string bloom writer recorded.
-        val keyIsString = post.schema(keyCol).dataType ==
-          org.apache.spark.sql.types.StringType
-        val keys =
-          if (keyIsString) postKeys.collect()
-            .map(r => xxhash64String(r.getString(0))).toSeq
-          else postKeys.select(col(keyCol).cast("long"))
-            .collect().map(_.getLong(0)).toSeq
-        val (groups, _, _) = bloomGroupsIn(spark, path, Some(keyCol),
-          keys, Some(vFrom), probeHashed = keyIsString)
-        if (groups.forall(_._1.isEmpty)) postKeys.limit(0)
-        else readGroups(spark, root, groups, mergeSchema = false)
-          .select(keyCol).distinct()
-      } catch {
-        // No bloom sidecars / blooms on another column / a key the
-        // long cast rejects: the sidecar probe is an OPTIMIZATION —
-        // fall back to the exact one-scan snapshot probe, never
-        // refuse (and never silently wrong: the fallback recomputes
-        // the probe from scratch).
-        case scala.util.control.NonFatal(_) =>
-          readVersion(spark, path, Some(vFrom)).select(keyCol)
-            .distinct()
-      }
-    val updatedKeys = priorKeys
-      .join(broadcast(postKeys), Seq(keyCol), "left_semi")
+    // snapshotRowsForKeys semi-joins against the probe keys, so its
+    // key projection IS the updated-key set (prior ∩ post).
+    val updatedKeys = snapshotRowsForKeys(spark, path, vFrom, keyCol,
+      postKeys).select(keyCol).distinct()
     post.join(broadcast(updatedKeys.withColumn("u", lit(1))),
         Seq(keyCol), "left")
       .withColumn("change_type",
         when(col("u").isNotNull, lit("update")).otherwise(lit("insert")))
       .drop("u")
+  }
+
+  /** Rows of snapshot `version` whose `keyCol` is in `keys` (an
+    * arrival-sized single-column frame) — the PRE-IMAGE probe shared
+    * by [[classifyChanges]] and the CDF stream window
+    * ([[readChangesCdf]]): when the snapshot's dirs carry bloom
+    * sidecars declaring the key column, planning is METADATA-ONLY —
+    * the keys (collected once; string keys probe their xxhash64) test
+    * each file's bitmap and only bloom-positive files are read, O(keys
+    * + affected files) instead of the O(table) snapshot scan; the
+    * exact semi-join residual keeps the result identical by
+    * construction. No blooms / blooms on another column / un-castable
+    * keys: `NonFatal` falls back to the exact one-scan probe — the
+    * sidecar path is an optimization, never a correctness gate.
+    */
+  private def snapshotRowsForKeys(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, version: Int,
+                                  keyCol: String,
+                                  keys: DataFrame): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val probe = keys.select(keyCol).distinct()
+    val candidates =
+      try {
+        val keyIsString = keys.schema(keyCol).dataType ==
+          org.apache.spark.sql.types.StringType
+        val ks =
+          if (keyIsString) probe.collect()
+            .map(r => xxhash64String(r.getString(0))).toSeq
+          else probe.select(col(keyCol).cast("long"))
+            .collect().map(_.getLong(0)).toSeq
+        val (groups, _, _) = bloomGroupsIn(spark, path, Some(keyCol),
+          ks, Some(version), probeHashed = keyIsString)
+        if (groups.forall(_._1.isEmpty))
+          readVersion(spark, path, Some(version)).limit(0)
+        else readGroups(spark, root, groups, mergeSchema = false)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          readVersion(spark, path, Some(version))
+      }
+    candidates.join(broadcast(probe), Seq(keyCol), "left_semi")
   }
 
   /** Write version v's manifest. `overwrite = false` (the default, and
@@ -2677,17 +2847,28 @@ object SinkOps {
     pruneGroupsWherePreds(spark, path,
       preds.map { case (c, lo, hi) => LongStatPred(c, lo, hi) }, version)
 
-  /** A zone-map range predicate: numeric (exact long bounds) or
-    * string (compared against the sidecar's truncated bounds in CODE
-    * POINT order — the engines' UTF-8 binary collation; sound because
-    * the stored min is ≤ and the stored max ≥ every true value).
-    * Each refuses loudly against a column of the other kind.
+  /** A zone-map range predicate: numeric (exact long bounds — plain
+    * long-castable kind, or `tsus`/`day` kinds whose bounds are the
+    * stored unix_micros/epoch-days), or string (compared against the
+    * sidecar's truncated bounds in CODE POINT order — the engines'
+    * UTF-8 binary collation; sound because the stored min is ≤ and
+    * the stored max ≥ every true value). Every predicate refuses
+    * loudly against a column of a different kind — a micros probe of
+    * a seconds-stored legacy column (or vice versa) would be a
+    * silently-scaled wrong skip.
     */
   private sealed trait StatPred { def col: Option[String] }
   private case class LongStatPred(col: Option[String], lo: Long,
-      hi: Long) extends StatPred
+      hi: Long, kind: String = "") extends StatPred
   private case class StrStatPred(col: Option[String], lo: String,
       hi: String) extends StatPred
+
+  private def statSurfaceFor(kind: String): String = kind match {
+    case StatKindStr => "readVersionWhereString"
+    case StatKindTsUs => "readVersionWhereTs"
+    case StatKindDay => "readVersionWhereDate"
+    case _ => "readVersionWhere/WhereCols"
+  }
 
   private def pruneGroupsWherePreds(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -2695,7 +2876,7 @@ object SinkOps {
       : (Seq[(Seq[String], Seq[(String, String)])], Int, Seq[String]) = {
     require(preds.nonEmpty, "no predicates to plan")
     preds.foreach {
-      case LongStatPred(c, lo, hi) => require(lo <= hi,
+      case LongStatPred(c, lo, hi, _) => require(lo <= hi,
         s"empty predicate range [$lo, $hi]${c.fold("")(" on " + _)}")
       case StrStatPred(c, lo, hi) => require(cpCompare(lo, hi) <= 0,
         s"empty predicate range [$lo, $hi]${c.fold("")(" on " + _)}")
@@ -2728,19 +2909,22 @@ object SinkOps {
               s"predicate on ${p.col.get} but dir $d declares stats " +
                 "for " + ds.cols.mkString(", "))
             p match {
-              case _: LongStatPred => require(!ds.isStr(i),
-                s"numeric range predicate on string-typed stats " +
-                  s"column ${ds.cols(i)} — use readVersionWhereString")
+              case LongStatPred(_, _, _, want) =>
+                require(ds.kinds(i) == want,
+                  s"${statSurfaceFor(want)} predicate on " +
+                    s"${if (ds.kinds(i).isEmpty) "plain-numeric"
+                      else ds.kinds(i) + "-kinded"} stats column " +
+                    s"${ds.cols(i)} — use ${statSurfaceFor(ds.kinds(i))}")
               case _: StrStatPred => require(ds.isStr(i),
-                s"string range predicate on numeric stats column " +
-                  s"${ds.cols(i)} — use readVersionWhere/WhereCols")
+                s"string range predicate on non-string stats column " +
+                  s"${ds.cols(i)} — use ${statSurfaceFor(ds.kinds(i))}")
             }
             (i, p)
           }
           val keep = ds.files.collect {
             case (name, mm, _) if idx.forall { case (i, p) =>
               mm(i).forall { case (mn, mx) => p match {
-                case LongStatPred(_, lo, hi) =>
+                case LongStatPred(_, lo, hi, _) =>
                   mn.toLong <= hi && mx.toLong >= lo
                 case StrStatPred(_, lo, hi) =>
                   cpCompare(mn, hi) <= 0 && cpCompare(mx, lo) >= 0
@@ -2900,6 +3084,90 @@ object SinkOps {
     (groups.flatMap(_._1), total, cols)
   }
 
+  /** Read a snapshot under a MICROSECOND-granular range predicate
+    * (`[loMicros, hiMicros]` inclusive, unix_micros) on a declared
+    * TIMESTAMP stats column — the event-time zone map (r16): the
+    * sidecar stores per-file `unix_micros` bounds ([[writeDirStats]]
+    * `#tsus` kind), so an event-time clustering column — the most
+    * common production clustering key — range-reads at exact micros
+    * instead of the pre-r16 SECONDS-floor long cast. Prune and the
+    * exact residual share ONE expression ([[statKindExpr]]) by
+    * construction, so they can never disagree; DV-aware like
+    * [[readVersionWhere]]; a plain-numeric / string / date stats
+    * column refuses loudly (kind mismatch both ways).
+    */
+  def readVersionWhereTs(spark: org.apache.spark.sql.SparkSession,
+                         path: String, column: String,
+                         loMicros: Long, hiMicros: Long,
+                         version: Option[Int] = None,
+                         mergeSchema: Boolean = false): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (groups, _, _) = pruneGroupsWherePreds(spark, path,
+      Seq(LongStatPred(Some(column), loMicros, hiMicros, StatKindTsUs)),
+      version)
+    if (groups.forall(_._1.isEmpty))
+      readVersion(spark, path, version, mergeSchema).filter(lit(false))
+    else readGroups(spark, root, groups, mergeSchema)
+      .filter(statKindExpr(column, StatKindTsUs)
+        .between(loMicros, hiMicros))
+  }
+
+  /** Planning view of [[readVersionWhereTs]] — (kept files, total,
+    * declared stats columns); the skip-economics probe.
+    */
+  def pruneFilesTs(spark: org.apache.spark.sql.SparkSession,
+                   path: String, column: String,
+                   loMicros: Long, hiMicros: Long,
+                   version: Option[Int] = None)
+      : (Seq[String], Int, Seq[String]) = {
+    val (groups, total, cols) = pruneGroupsWherePreds(spark, path,
+      Seq(LongStatPred(Some(column), loMicros, hiMicros, StatKindTsUs)),
+      version)
+    requireFlat(groups, path)
+    (groups.flatMap(_._1), total, cols)
+  }
+
+  /** Read a snapshot under an inclusive DATE range (`yyyy-MM-dd`
+    * literals) on a declared DATE stats column — the `#day` kind
+    * twin of [[readVersionWhereTs]]: bounds are stored as epoch days
+    * (DateType never long-casts, so date clustering columns could not
+    * be stats columns at all before r16). The residual compares the
+    * column against the date literals directly (day granularity makes
+    * that identical to the epoch-day compare, and it stays a codegen'd
+    * date comparison).
+    */
+  def readVersionWhereDate(spark: org.apache.spark.sql.SparkSession,
+                           path: String, column: String,
+                           lo: String, hi: String,
+                           version: Option[Int] = None,
+                           mergeSchema: Boolean = false): DataFrame = {
+    val (loD, hiD) = (java.time.LocalDate.parse(lo).toEpochDay,
+      java.time.LocalDate.parse(hi).toEpochDay)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (groups, _, _) = pruneGroupsWherePreds(spark, path,
+      Seq(LongStatPred(Some(column), loD, hiD, StatKindDay)), version)
+    if (groups.forall(_._1.isEmpty))
+      readVersion(spark, path, version, mergeSchema).filter(lit(false))
+    else readGroups(spark, root, groups, mergeSchema)
+      .filter(col(column).between(to_date(lit(lo)), to_date(lit(hi))))
+  }
+
+  /** Planning view of [[readVersionWhereDate]] — (kept files, total,
+    * declared stats columns).
+    */
+  def pruneFilesDate(spark: org.apache.spark.sql.SparkSession,
+                     path: String, column: String,
+                     lo: String, hi: String,
+                     version: Option[Int] = None)
+      : (Seq[String], Int, Seq[String]) = {
+    val (loD, hiD) = (java.time.LocalDate.parse(lo).toEpochDay,
+      java.time.LocalDate.parse(hi).toEpochDay)
+    val (groups, total, cols) = pruneGroupsWherePreds(spark, path,
+      Seq(LongStatPred(Some(column), loD, hiD, StatKindDay)), version)
+    requireFlat(groups, path)
+    (groups.flatMap(_._1), total, cols)
+  }
+
   /** Planning view of [[readVersionWhereCols]] — (kept files, total,
     * declared stats columns) under the predicate conjunction; the
     * skip-economics probe specs and operators use to see what a read
@@ -2956,11 +3224,22 @@ object SinkOps {
     */
   def commitVersionPartitionedCols(df: DataFrame, path: String,
                                    partCols: Seq[String],
-                                   carryForward: Boolean = true): Int = {
+                                   carryForward: Boolean = true,
+                                   statsCols: Seq[String] = Nil): Int = {
     require(partCols.nonEmpty && partCols.distinct == partCols,
       s"partition columns must be non-empty and distinct: $partCols")
     partCols.foreach(c => require(df.columns.contains(c),
       s"partition column $c not in ${df.columns.mkString(", ")}"))
+    // Per-file zone maps INSIDE a partitioned commit (r16 — the Delta
+    // stats-under-partitioning layout, the standard 100 TB shape:
+    // partition prune to the date/tenant subtree, THEN file-skip
+    // inside it): statsCols writes the stats sidecar with leaf-
+    // relative file paths alongside the parts sidecar. Stats on a
+    // partition column refuse — its per-file "range" is the leaf
+    // value the parts tier already serves exactly.
+    statsCols.foreach(c => require(!partCols.contains(c),
+      s"stats column $c is a partition column — the parts sidecar " +
+        "already serves it exactly; declare stats on data columns"))
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
@@ -2972,6 +3251,8 @@ object SinkOps {
     df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
     writeDirParts(fs, root, dataDir, partCols, conf)
+    if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
+      statsCols)
     val prev = if (head == 0 || !carryForward) Nil
       else manifestDirs(fs, root, head)
     writeManifestLines(fs, root, v, prev :+ dataDir)
@@ -3113,9 +3394,10 @@ object SinkOps {
                                    tier: String): Unit =
     require(readDirParts(fs, root, dataDir).isEmpty,
       s"dir $dataDir is hive-partitioned — $tier serves flat dirs " +
-        "only; read partition-scoped via readVersionPartIn, or use " +
-        "compactVersions (which preserves the partition layout) for " +
-        "maintenance")
+        "only; read partition-scoped via readVersionPartIn, compose " +
+        "partition + zone-map pruning via readVersionPartsWhereStats, " +
+        "or use compactVersions (which preserves the partition " +
+        "layout) for maintenance")
 
   /** Partition values a requested set may name at this surface: the
     * characters hive stores verbatim in directory names. Values that
@@ -3164,24 +3446,33 @@ object SinkOps {
       : (Seq[String], Int, Seq[String]) = {
     val (groups, total, whole) =
       partGroups(spark, path, Seq((partCol, values)), version)
-    (groups.flatMap(_._1).map(_._2.toString), total,
+    (groups.flatMap(_._1).map(_.leaf.toString), total,
       whole.map(_.toString))
+  }
+
+  /** One kept read of the partition planner: the manifest dir line
+    * (sidecar key), its resolved base path (what restores partition
+    * columns), and the kept leaf fragment ("" = an unpartitioned dir
+    * kept whole, whose leaf IS the dir).
+    */
+  private case class PartRead(dir: String,
+                              base: org.apache.hadoop.fs.Path,
+                              frag: String) {
+    def leaf: org.apache.hadoop.fs.Path =
+      if (frag.isEmpty) base else new org.apache.hadoop.fs.Path(base, frag)
   }
 
   /** Epoch-grouped partition planning core over a CONJUNCTION of
     * per-column value sets (any subset of the partition columns).
-    * Per epoch: (kept reads, delete sidecars), where each kept read
-    * is (basePath dir, leaf path) for a pruned partitioned dir or
-    * (dir, dir) for an unpartitioned dir kept whole. Also returns
-    * total partition leaves seen and the unpartitioned dirs (for the
+    * Per epoch: (kept reads, delete sidecars). Also returns total
+    * partition leaves seen and the unpartitioned dirs (for the
     * probe).
     */
   private def partGroups(spark: org.apache.spark.sql.SparkSession,
                          path: String,
                          preds: Seq[(String, Seq[String])],
                          version: Option[Int])
-      : (Seq[(Seq[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)],
-              Seq[(String, String)])],
+      : (Seq[(Seq[PartRead], Seq[(String, String)])],
          Int, Seq[org.apache.hadoop.fs.Path]) = {
     require(preds.nonEmpty &&
         preds.map(_._1).distinct == preds.map(_._1),
@@ -3226,15 +3517,14 @@ object SinkOps {
           readDirParts(fs, root, d) match {
             case None =>
               whole += dirP
-              Seq((dirP, dirP))
+              Seq(PartRead(d, dirP, ""))
             case Some(dp) =>
               val applicable = wanted.filter(w => dp.cols.contains(w._1))
               total += dp.frags.length
               dp.frags.map(_.frag).filter { f =>
                 val vals = dp.cols.zip(fragValues(f, dp.cols, d)).toMap
                 applicable.forall { case (c, vs) => vs.contains(vals(c)) }
-              }.map(f =>
-                (dirP, new org.apache.hadoop.fs.Path(dirP, f)))
+              }.map(f => PartRead(d, dirP, f))
           }
         }
         (reads, dels)
@@ -3284,10 +3574,10 @@ object SinkOps {
       else {
         // One read per (basePath, leaves) group: basePath restores the
         // partition columns Spark strips into the directory names.
-        val dfs = reads.groupBy(_._1).toSeq.sortBy(_._1.toString)
+        val dfs = reads.groupBy(_.base).toSeq.sortBy(_._1.toString)
           .map { case (base, leaves) =>
             spark.read.option("basePath", base.toString)
-              .parquet(leaves.map(_._2.toString): _*)
+              .parquet(leaves.map(_.leaf.toString): _*)
           }
         Some(dels.foldLeft(dfs.reduce(_.unionByName(_))) {
           case (acc, (ddir, keyCol)) =>
@@ -3303,6 +3593,145 @@ object SinkOps {
       readVersion(spark, path, version).filter(lit(false))
     else epochs.reduce(_.unionByName(_)).filter(residual)
   }
+
+  /** COMPOSED partition × zone-map planning core (r16): partition
+    * prune first (parts sidecars — whole dirs and leaf subtrees skip
+    * with zero IO), then per-FILE zone-map prune INSIDE the kept
+    * leaves against the stats sidecar's leaf-relative entries
+    * ([[commitVersionPartitionedCols]] with statsCols). Per epoch:
+    * (kept (basePath, file) pairs, delete sidecars); plus
+    * (files kept, files listed in kept leaves, leaves kept,
+    * leaves total) for the skip-economics probe. A dir without a
+    * stats sidecar (or a file without a stats line) is planned whole
+    * — never a wrong skip; kind/column checks are the flat planner's.
+    */
+  private def partStatsGroups(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              partPreds: Seq[(String, Seq[String])],
+                              statPreds: Seq[StatPred],
+                              version: Option[Int])
+      : (Seq[(Seq[(org.apache.hadoop.fs.Path, String)],
+              Seq[(String, String)])],
+         (Int, Int, Int, Int)) = {
+    require(statPreds.nonEmpty, "no zone-map predicates to plan — " +
+      "use readVersionPartsWhere for a pure partition read")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val (groups, leavesTotal, _) =
+      partGroups(spark, path, partPreds, version)
+    var declared: Option[Seq[String]] = None
+    var filesKept = 0; var filesListed = 0; var leavesKept = 0
+    val fileGroups = groups.map { case (reads, dels) =>
+      val kept = reads.flatMap { r =>
+        leavesKept += 1
+        val files = fs.listStatus(r.leaf).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        filesListed += files.length
+        val chosen = readDirStats(fs, root, r.dir) match {
+          case None => files.toSeq
+          case Some(ds) =>
+            declared.foreach(prev => require(prev == ds.cols,
+              s"inconsistent stats columns across snapshot dirs: " +
+                s"${prev.mkString(",")} vs ${ds.cols.mkString(",")}"))
+            declared = Some(ds.cols)
+            val idx = statPreds.map { p =>
+              val i = p.col.fold(0)(ds.cols.indexOf)
+              require(i >= 0,
+                s"predicate on ${p.col.get} but dir ${r.dir} declares " +
+                  "stats for " + ds.cols.mkString(", "))
+              p match {
+                case LongStatPred(_, _, _, want) =>
+                  require(ds.kinds(i) == want,
+                    s"${statSurfaceFor(want)} predicate on " +
+                      s"${ds.cols(i)} of kind '${ds.kinds(i)}' — use " +
+                      statSurfaceFor(ds.kinds(i)))
+                case _: StrStatPred => require(ds.isStr(i),
+                  s"string range predicate on non-string stats " +
+                    s"column ${ds.cols(i)}")
+              }
+              (i, p)
+            }
+            val keep = ds.files.collect {
+              case (name, mm, _) if idx.forall { case (i, p) =>
+                mm(i).forall { case (mn, mx) => p match {
+                  case LongStatPred(_, lo, hi, _) =>
+                    mn.toLong <= hi && mx.toLong >= lo
+                  case StrStatPred(_, lo, hi) =>
+                    cpCompare(mn, hi) <= 0 && cpCompare(mx, lo) >= 0
+                } } } => name
+            }.toSet
+            val prefix = if (r.frag.isEmpty) "" else r.frag + "/"
+            files.filter(f => keep.contains(prefix + f.getName)).toSeq
+        }
+        filesKept += chosen.length
+        chosen.map(f => (r.base, f.toString))
+      }
+      (kept, dels)
+    }
+    (fileGroups, (filesKept, filesListed, leavesKept, leavesTotal))
+  }
+
+  /** Read a snapshot under BOTH a partition predicate and a
+    * conjunction of numeric zone-map range predicates — the standard
+    * 100 TB layout read (Delta: partition columns + file stats):
+    * partition pruning gives the first 100-1000× (whole subtrees, zero
+    * IO), per-file zone maps the next order inside kept leaves. Exact
+    * residuals on both levels keep the result equal to the full-scan
+    * filter by construction; DV-aware like every skip reader (kept
+    * files group by manifest epoch, each group anti-joins its delete
+    * sidecars). q_part_skip pins files-kept < kept-leaf files <
+    * total, and result ≡ full-scan filter (oracle).
+    */
+  def readVersionPartsWhereStats(spark: org.apache.spark.sql.SparkSession,
+                                 path: String,
+                                 partPreds: Seq[(String, Seq[String])],
+                                 statPreds: Seq[(String, Long, Long)],
+                                 version: Option[Int] = None)
+      : DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (groups, _) = partStatsGroups(spark, path, partPreds,
+      statPreds.map { case (c, lo, hi) =>
+        LongStatPred(Some(c), lo, hi) }, version)
+    val epochs = groups.flatMap { case (reads, dels) =>
+      if (reads.isEmpty) None
+      else {
+        val dfs = reads.groupBy(_._1).toSeq.sortBy(_._1.toString)
+          .map { case (base, files) =>
+            spark.read.option("basePath", base.toString)
+              .parquet(files.map(_._2): _*)
+          }
+        Some(dels.foldLeft(dfs.reduce(_.unionByName(_))) {
+          case (acc, (ddir, keyCol)) =>
+            acc.join(broadcast(spark.read.parquet(
+                new org.apache.hadoop.fs.Path(root, ddir).toString)
+              .select(keyCol)), Seq(keyCol), "left_anti")
+        })
+      }
+    }
+    val residual = (partPreds.map { case (c, vs) =>
+      col(c).cast("string").isin(vs: _*) } ++
+      statPreds.map { case (c, lo, hi) =>
+        col(c).cast("long").between(lo, hi) }).reduce(_ && _)
+    if (epochs.isEmpty)
+      readVersion(spark, path, version).filter(lit(false))
+    else epochs.reduce(_.unionByName(_)).filter(residual)
+  }
+
+  /** Planning view of [[readVersionPartsWhereStats]] — (files kept,
+    * files listed in kept leaves, leaves kept, leaves total): the
+    * two-tier skip-economics probe (filesKept < filesListed shows the
+    * zone maps biting INSIDE kept partitions; leavesKept <
+    * leavesTotal shows the partition prune).
+    */
+  def planPartsWhereStats(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          partPreds: Seq[(String, Seq[String])],
+                          statPreds: Seq[(String, Long, Long)],
+                          version: Option[Int] = None)
+      : (Int, Int, Int, Int) =
+    partStatsGroups(spark, path, partPreds,
+      statPreds.map { case (c, lo, hi) =>
+        LongStatPred(Some(c), lo, hi) }, version)._2
 
   /** [[partCountsOnly]] UNDER LIVE DELETION VECTORS — the bounded
     * composition ([[statsAggDv]]'s partition twin): epochs whose
@@ -3501,6 +3930,7 @@ object SinkOps {
                             dataDir: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty && cols.distinct == cols,
       s"bloom columns must be non-empty and distinct: $cols")
+    requireUntaggedNames(cols, "bloom")
     val dirStr = new org.apache.hadoop.fs.Path(root, dataDir).toString
     // Size the dir's bitmaps to its LARGEST file: m = nextPow2(16·n),
     // clamped to [2^13, 2^24] bits (1 KiB..2 MiB per file) — beyond
@@ -4073,15 +4503,18 @@ object SinkOps {
         mx = Array.fill(ds.cols.length)(Long.MinValue)
         any = Array.fill(ds.cols.length)(false)
       }
-      // String stats carry TRUNCATED bounds — an exact metadata-only
-      // MIN/MAX cannot be served from them; refuse rather than return
-      // an approximation as exact.
-      require(!ds.isStr.exists(identity),
-        s"stats-only aggregation over string-typed stats column(s) " +
-          ds.cols.zip(ds.isStr).collect { case (c, true) => c }
-            .mkString(", ") +
-          s" at $path — truncated string bounds are prune-sound but " +
-          "not exact; aggregate the data, or declare a numeric " +
+      // Kinded stats cannot serve an exact metadata-only MIN/MAX of
+      // the COLUMN VALUE: string bounds are truncated, and tsus/day
+      // bounds are stored as unix_micros/epoch-days, not the column's
+      // own value space. Refuse rather than return an approximation
+      // (or a differently-scaled long) as exact.
+      require(ds.kinds.forall(_.isEmpty),
+        s"stats-only aggregation over kinded stats column(s) " +
+          ds.cols.zip(ds.kinds).collect { case (c, k) if k.nonEmpty =>
+            s"$c#$k" }.mkString(", ") +
+          s" at $path — truncated string bounds are inexact and " +
+          "tsus/day bounds are unix_micros/epoch-days, not column " +
+          "values; aggregate the data, or declare a plain numeric " +
           "stats column")
       ds.files.foreach { case (_, mm, cnt) =>
         val n = cnt.getOrElse(throw new IllegalStateException(
@@ -4173,14 +4606,16 @@ object SinkOps {
         mx = Array.fill(ds.cols.length)(Long.MinValue)
         any = Array.fill(ds.cols.length)(false)
       }
-      // Truncated string bounds cannot serve an exact MIN/MAX — same
-      // refusal as the clean-epoch aggregate above.
-      require(!ds.isStr.exists(identity),
-        s"stats-only aggregation over string-typed stats column(s) " +
-          ds.cols.zip(ds.isStr).collect { case (c, true) => c }
-            .mkString(", ") +
-          s" at $path — truncated string bounds are prune-sound but " +
-          "not exact; aggregate the data, or declare a numeric " +
+      // Kinded (string/tsus/day) bounds cannot serve an exact MIN/MAX
+      // of the column value — same refusal as the clean-epoch
+      // aggregate above.
+      require(ds.kinds.forall(_.isEmpty),
+        s"stats-only aggregation over kinded stats column(s) " +
+          ds.cols.zip(ds.kinds).collect { case (c, k) if k.nonEmpty =>
+            s"$c#$k" }.mkString(", ") +
+          s" at $path — truncated string bounds are inexact and " +
+          "tsus/day bounds are unix_micros/epoch-days, not column " +
+          "values; aggregate the data, or declare a plain numeric " +
           "stats column")
       ds.files.foreach { case (_, mm, cnt) =>
         nFiles += 1
@@ -4334,6 +4769,115 @@ object SinkOps {
     // at already-consumed dirs): an empty batch, not a refusal.
     if (addedAll.isEmpty) readVersion(spark, path, Some(vTo)).limit(0)
     else readDirsGrouped(spark, root, addedAll, mergeSchema = false)
+  }
+
+  /** CHANGE-DATA-FEED window read for `readStream.format("graft")`
+    * with `readChangeFeed=true` (r16) — the Delta `readChangeFeed`
+    * shape: commits (vFrom, vTo] as CHANGE ROWS — the table's columns
+    * plus `_change_type` ∈ {insert, update_preimage,
+    * update_postimage, delete} and `_commit_version` — so a
+    * downstream view maintains itself through a LIVE MERGE/DELETE
+    * stream by pure signed aggregation (+post, −pre) instead of
+    * re-baselining (the append-only source's loud refusal stays the
+    * right answer for consumers that cannot retract).
+    *
+    * Per commit v in the window (windows process PER VERSION so
+    * `_commit_version` attribution is exact):
+    *  - pure append → batch rows as `insert`.
+    *  - DELETE commit → the deleted keys' FULL pre-image rows (not
+    *    bare keys — a downstream aggregate must subtract the row's
+    *    values) as `delete`.
+    *  - MERGE commit → pre-existing touched keys emit their
+    *    pre-image row (`update_preimage`) and batch row
+    *    (`update_postimage`); fresh keys emit `insert`; touched keys
+    *    absent from the batch emit `delete` pre-images.
+    *
+    * Pre-images come from [[snapshotRowsForKeys]] — bloom-sidecar
+    * served at O(changed keys + affected files) when the table
+    * carries key-column blooms, exact-scan fallback otherwise. The
+    * initial window (vFrom = 0) is the DV-folded snapshot as
+    * `insert` rows (Delta's initial load). Loud refusals: a schema
+    * evolution or a compaction/OPTIMIZE rewrite in the window (no
+    * row-level change a feed can express — restart from a fresh
+    * checkpoint), and a delete sidecar keyed by a different column
+    * than the feed's declared key.
+    */
+  def readChangesCdf(spark: org.apache.spark.sql.SparkSession,
+                     path: String, vFrom: Int, vTo: Int,
+                     keyCol: String): DataFrame = {
+    require(0 <= vFrom && vFrom < vTo,
+      s"CDF window empty: ($vFrom, $vTo]")
+    val ct = "_change_type"; val cv = "_commit_version"
+    if (vFrom == 0)
+      return readVersion(spark, path, Some(vTo))
+        .withColumn(ct, lit("insert"))
+        .withColumn(cv, lit(vTo.toLong))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val perVersion = (vFrom + 1 to vTo).map { v =>
+      val before = manifestDirs(fs, root, v - 1)
+      val after = manifestDirs(fs, root, v)
+      val addedAll = after.filterNot(before.toSet)
+      require(!addedAll.exists(isSchemaLine),
+        s"graft CDF stream at $path: commit v$v carries a column " +
+          "rename/drop/widen — a micro-batch cannot change schema " +
+          "mid-stream; restart from a fresh checkpoint")
+      val removed = before.filterNot(isDeleteLine)
+        .filterNot(isSchemaLine).filterNot(after.toSet)
+      require(removed.isEmpty,
+        s"graft CDF stream at $path: commit v$v rewrote data dirs " +
+          s"($removed) — a compaction/OPTIMIZE carries no row-level " +
+          "change a feed can express; restart from a fresh checkpoint")
+      val delLines = addedAll.filter(isDeleteLine).map(deleteParts)
+      delLines.foreach { case (_, kc) => require(kc == keyCol,
+        s"graft CDF stream at $path: delete sidecar of v$v is keyed " +
+          s"by $kc but the feed's keyColumn is $keyCol — pre-image " +
+          "attribution would probe the wrong column") }
+      val dataDirs = addedAll.filterNot(isDeleteLine)
+      val post =
+        if (dataDirs.isEmpty) None
+        else Some(readDirsGrouped(spark, root, dataDirs,
+          mergeSchema = false))
+      val touched =
+        if (delLines.isEmpty) None
+        else Some(spark.read.parquet(delLines.map(dl =>
+            new org.apache.hadoop.fs.Path(root, dl._1).toString): _*)
+          .distinct())
+      (post, touched) match {
+        case (Some(p), None) =>
+          p.withColumn(ct, lit("insert")).withColumn(cv, lit(v.toLong))
+        case (None, None) =>
+          // Metadata-only commit (RESTORE re-pointing at consumed
+          // dirs): an empty change batch, not a refusal.
+          readVersion(spark, path, Some(v)).limit(0)
+            .withColumn(ct, lit("insert")).withColumn(cv, lit(v.toLong))
+        case (postOpt, Some(tk)) =>
+          val prior = snapshotRowsForKeys(spark, path, v - 1, keyCol, tk)
+          postOpt match {
+            case None =>
+              prior.withColumn(ct, lit("delete"))
+                .withColumn(cv, lit(v.toLong))
+            case Some(p) =>
+              val postKeys = p.select(keyCol).distinct()
+              val pre = prior
+                .join(broadcast(postKeys), Seq(keyCol), "left_semi")
+                .withColumn(ct, lit("update_preimage"))
+              val gone = prior
+                .join(broadcast(postKeys), Seq(keyCol), "left_anti")
+                .withColumn(ct, lit("delete"))
+              val priorKeys = prior.select(keyCol).distinct()
+              val postTyped = p
+                .join(broadcast(priorKeys.withColumn("_cdf_u", lit(1))),
+                  Seq(keyCol), "left")
+                .withColumn(ct, when(col("_cdf_u").isNotNull,
+                  lit("update_postimage")).otherwise(lit("insert")))
+                .drop("_cdf_u")
+              postTyped.unionByName(pre).unionByName(gone)
+                .withColumn(cv, lit(v.toLong))
+          }
+      }
+    }
+    perVersion.reduce(_.unionByName(_))
   }
 
   /** DELTA-MANIFEST base reference: a manifest whose FIRST line is

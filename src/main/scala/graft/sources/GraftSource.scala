@@ -94,14 +94,28 @@ class GraftSource extends TableProvider with DataSourceRegister
     }
 
   private def streamParams(parameters: Map[String, String])
-      : (String, Int, Option[Int]) = {
+      : (String, Int, Option[Int], Option[String]) = {
     val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    // CDF mode (r16): readChangeFeed=true streams change rows
+    // (insert/update_preimage/update_postimage/delete + commit
+    // version) instead of append-only data rows. keyColumn names the
+    // merge/delete key the pre-image probe attributes by — this table
+    // tier has no row tracking, so the key must be declared (loudly)
+    // rather than guessed.
+    val cdf = lower.get("readchangefeed").exists(_.toBoolean)
+    val keyCol = lower.get("keycolumn")
+    require(!cdf || keyCol.nonEmpty,
+      "readChangeFeed=true needs option(\"keyColumn\", <merge key>) — " +
+        "change attribution probes pre-images by that key")
+    require(cdf || keyCol.isEmpty,
+      "keyColumn is only meaningful with readChangeFeed=true")
     (resolveTarget(lower, "stream"),
       lower.get("startingversion").map(_.toInt).getOrElse(0),
       lower.get("maxversionspertrigger").map { m =>
         require(m.toInt >= 1, s"maxVersionsPerTrigger must be >= 1: $m")
         m.toInt
-      })
+      },
+      if (cdf) keyCol else None)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -109,15 +123,32 @@ class GraftSource extends TableProvider with DataSourceRegister
                             providerName: String,
                             parameters: Map[String, String])
       : (String, StructType) = {
-    val (path, _, _) = streamParams(parameters)
+    val (path, _, _, cdfKey) = streamParams(parameters)
     // Loud existence check at stream-definition time, as for batch: a
     // typo'd path must fail here, not tail an empty nothing forever.
     require(graft.ops.SinkOps.currentVersion(
         sqlContext.sparkSession, path) >= 1,
       s"no versions committed at $path")
-    (s"graft[$path]", schema.getOrElse(
+    val base = schema.getOrElse(
       graft.ops.SinkOps.readVersion(sqlContext.sparkSession, path)
-        .schema))
+        .schema)
+    val pinned = cdfKey match {
+      case None => base
+      case Some(k) =>
+        require(base.fieldNames.contains(k),
+          s"keyColumn $k not in the table's schema " +
+            s"(${base.fieldNames.mkString(", ")})")
+        require(!base.fieldNames.contains("_change_type") &&
+            !base.fieldNames.contains("_commit_version"),
+          "table already carries _change_type/_commit_version " +
+            "columns — the CDF schema cannot shadow them")
+        base
+          .add("_change_type", org.apache.spark.sql.types.StringType,
+            nullable = false)
+          .add("_commit_version", org.apache.spark.sql.types.LongType,
+            nullable = false)
+    }
+    (s"graft[$path]", pinned)
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -125,11 +156,12 @@ class GraftSource extends TableProvider with DataSourceRegister
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): Source = {
-    val (path, startingVersion, maxPerTrigger) = streamParams(parameters)
+    val (path, startingVersion, maxPerTrigger, cdfKey) =
+      streamParams(parameters)
     val pinned = sourceSchema(sqlContext, schema, providerName,
       parameters)._2
     new GraftStreamSource(sqlContext, path, pinned, startingVersion,
-      maxPerTrigger)
+      maxPerTrigger, cdfKey)
   }
 
   override def createSink(sqlContext: SQLContext,

@@ -27,6 +27,23 @@ class GraftStreamSink(sqlContext: SQLContext, path: String,
     extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // SCHEMA-ON-WRITE enforcement (r16, ADVICE): the stream's columns
+    // must match the initialized target table's head schema by name
+    // and type (nullability and order free — unionByName semantics).
+    // Without this, a renamed/missing/extra column lands silently and
+    // only surfaces at read time as unionByName errors or null-filled
+    // columns — at odds with the sink's own "a typo'd target must be
+    // loud" stance (and with Delta's schema enforcement).
+    val target = graft.ops.SinkOps
+      .readVersion(sqlContext.sparkSession, path).schema
+    def shape(st: org.apache.spark.sql.types.StructType) =
+      st.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    require(shape(data.schema) == shape(target),
+      s"graft sink at $path: micro-batch schema " +
+        s"${data.schema.simpleString} does not match the target " +
+        s"table's head schema ${target.simpleString} — the versioned " +
+        "sink enforces schema-on-write; evolve the table first " +
+        "(ALTER TABLE) or fix the stream's projection")
     // The engine hands addBatch a streaming-tagged slice that batch
     // writers refuse — re-root it as a batch leaf (the Kafka-sink
     // shape), then commit.

@@ -20,6 +20,15 @@ import graft.ops.SinkOps
   * schema evolution, or a compaction rewrite inside a window refuse
   * with a re-baseline message instead of emitting wrong rows).
   *
+  * CHANGE DATA FEED mode (r16): `option("readChangeFeed", "true")`
+  * plus `option("keyColumn", c)` streams CHANGE ROWS instead — the
+  * table's columns plus `_change_type` ∈ {insert, update_preimage,
+  * update_postimage, delete} and `_commit_version`
+  * ([[graft.ops.SinkOps.readChangesCdf]]), so a DV MERGE/DELETE
+  * commit in a window streams retractions (full pre-image rows) a
+  * downstream view absorbs by signed aggregation, instead of the
+  * append-only mode's loud refusal — Delta's `readChangeFeed`.
+  *
   * The first batch (from version 0, or `startingVersion`) is the
   * DV-folded snapshot of the head at that moment — initial load, then
   * incremental tailing, exactly Delta semantics.
@@ -27,7 +36,11 @@ import graft.ops.SinkOps
   * Options: `startingVersion` (exclusive lower bound; default 0 =
   * initial full snapshot), `maxVersionsPerTrigger` (rate limit: at
   * most N commits per micro-batch — the backfill of a long-idle
-  * stream arrives in bounded batches instead of one giant catch-up).
+  * stream arrives in bounded batches instead of one giant catch-up;
+  * the INITIAL snapshot batch is never rate-limited — Delta's initial
+  * load semantics, and capping it would pin the baseline to an early
+  * version whose manifest a VACUUM may have expired), `readChangeFeed`
+  * + `keyColumn` (CDF mode above).
   *
   * V1 `Source`, not a DSv2 `MicroBatchStream`, deliberately: getBatch
   * returns the LIBRARY'S OWN analyzed read plan (the same
@@ -39,7 +52,8 @@ import graft.ops.SinkOps
   */
 class GraftStreamSource(sqlContext: SQLContext, path: String,
                         pinned: StructType, startingVersion: Int,
-                        maxVersionsPerTrigger: Option[Int])
+                        maxVersionsPerTrigger: Option[Int],
+                        changeFeedKey: Option[String] = None)
     extends Source {
 
   private val spark = sqlContext.sparkSession
@@ -57,8 +71,15 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
   override def getOffset: Option[Offset] = {
     val head = SinkOps.currentVersion(spark, path).toLong
     val base = math.max(lastEnd, startingVersion.toLong)
+    // The INITIAL snapshot batch (base == 0: default start, nothing
+    // planned yet) is never rate-limited (r16, ADVICE): capping it at
+    // base+N would pin the stream's baseline to version N — on a
+    // VACUUMed table that early manifest may no longer exist, and the
+    // rate limit exists to bound CATCH-UP batches, not the baseline
+    // (Delta's initial load is not version-rate-limited either).
     val capped =
-      maxVersionsPerTrigger.fold(head)(m => math.min(head, base + m))
+      if (base == 0L) head
+      else maxVersionsPerTrigger.fold(head)(m => math.min(head, base + m))
     if (capped <= base) None else Some(LongOffset(capped))
   }
 
@@ -68,9 +89,18 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
     val vTo = offVersion(end).toInt
     lastEnd = math.max(lastEnd, vTo.toLong)
     val batch =
-      if (vFrom >= vTo) // degenerate restart window: empty batch
-        SinkOps.readVersion(spark, path, Some(vTo)).limit(0)
-      else SinkOps.readChangesAppendOnly(spark, path, vFrom, vTo)
+      if (vFrom >= vTo) { // degenerate restart window: empty batch
+        val empty = SinkOps.readVersion(spark, path, Some(vTo)).limit(0)
+        changeFeedKey.fold(empty)(_ => empty
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("insert"))
+          .withColumn("_commit_version",
+            org.apache.spark.sql.functions.lit(vTo.toLong)))
+      }
+      else changeFeedKey match {
+        case Some(k) => SinkOps.readChangesCdf(spark, path, vFrom, vTo, k)
+        case None => SinkOps.readChangesAppendOnly(spark, path, vFrom, vTo)
+      }
     // Align to the pinned source schema (name order + exact-cast):
     // the engine splices this plan under attributes captured at
     // stream start, so the batch must present identical shape every
@@ -84,5 +114,6 @@ class GraftStreamSource(sqlContext: SQLContext, path: String,
 
   override def stop(): Unit = ()
 
-  override def toString: String = s"GraftStreamSource[$path]"
+  override def toString: String =
+    s"GraftStreamSource[$path${changeFeedKey.fold("")(k => s", cdf:$k")}]"
 }

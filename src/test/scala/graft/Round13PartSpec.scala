@@ -295,12 +295,22 @@ class Round13PartSpec extends SparkSpec {
     val want = events.filter(col("event_id") % 2 === 0 &&
       col("event_type") === "view").count()
     assert(got == want)
+    // r16: stats columns COMPOSE with PARTITIONED BY — the SQL commit
+    // lands both sidecars; naming a PARTITION column as a stats
+    // column still refuses.
+    val v2 = spark.sql(s"""INSERT INTO graft_table('$t', 'event_id')
+        PARTITIONED BY (event_type)
+        SELECT * FROM r13part_events WHERE event_id % 2 = 1""")
+      .collect().head.getInt(0)
+    assert(new java.io.File(t, f"stats/v$v2.txt").exists &&
+      new java.io.File(t, f"parts/v$v2.txt").exists,
+      "SQL PARTITIONED BY + stats columns did not land both sidecars")
     val e = intercept[IllegalArgumentException] {
-      spark.sql(s"""INSERT INTO graft_table('$t', 'event_id')
+      spark.sql(s"""INSERT INTO graft_table('$t', 'event_type')
           PARTITIONED BY (event_type)
           SELECT * FROM r13part_events""")
     }
-    assert(e.getMessage.contains("mutually exclusive"))
+    assert(e.getMessage.contains("is a partition column"))
   }
 
   test("OPTIMIZE preserves the partition layout: a mixed table with a " +
@@ -342,16 +352,26 @@ class Round13PartSpec extends SparkSpec {
   test("mergeVersion follows the head's partition layout: the CDC " +
       "batch lands partitioned (planning stays all-partitioned), " +
       "updated rows read back through the pruned path, and statsCols " +
-      "on a partitioned head refuses") {
+      "naming a partition column refuses (r16: stats on DATA columns " +
+      "now compose with partitioning — both sidecars land)") {
     val t = tmp("r13_part_merge")
     SinkOps.commitVersionPartitioned(
       events.filter(col("event_id") % 2 === 0), t, "event_type")
     val upd = events.filter(col("event_id") % 6 === 0)
       .withColumn("value", col("value") + 1000.0)
-    intercept[IllegalArgumentException] {
-      SinkOps.mergeVersion(upd, t, "event_id", Seq("event_id"))
+    // Stats on the PARTITION column refuse — the parts tier already
+    // serves it exactly.
+    val ePart = intercept[IllegalArgumentException] {
+      SinkOps.mergeVersion(upd, t, "event_id", Seq("event_type"))
     }
-    SinkOps.mergeVersion(upd, t, "event_id")
+    assert(ePart.getMessage.contains("is a partition column"))
+    // Stats on a data column compose (r16): the merged partitioned
+    // dir carries BOTH a parts and a stats sidecar.
+    val vm = SinkOps.mergeVersion(upd, t, "event_id", Seq("event_id"))
+    assert(new java.io.File(t, f"stats/v$vm.txt").exists,
+      "merge into a partitioned head with statsCols wrote no stats " +
+        "sidecar")
+    assert(new java.io.File(t, f"parts/v$vm.txt").exists)
     val (_, _, whole) =
       SinkOps.planPartsIn(spark, t, "event_type", Seq("click"))
     assert(whole.isEmpty,

@@ -62,18 +62,25 @@ class Round15OpsSpec extends SparkSpec {
       retainMillis = 3600000L) == 0)
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, "data/v9")),
       "in-flight writer's dir reclaimed inside the retention horizon")
-    // Backdate the expired-history dirs' mtimes far past any horizon:
-    // they are referenced by the manifests this sweep expires, so they
-    // must be reclaimed REGARDLESS of the grace — while the young
-    // orphan still survives. (keepEff clamps on commit stamps, so use
-    // a tiny horizon that the commit stamps clear but the orphan's
-    // fresh mtime does not... commit stamps are also fresh; instead
-    // verify the referenced-vs-orphan split directly at eager sweep.)
+    // EAGER sweep (retainMillis=0, r16): expired history reclaims
+    // immediately via the reference count, but the never-referenced
+    // in-flight dir gets the age FLOOR — an OCC writer between data
+    // write and manifest create survives an eager VACUUM issued in
+    // that window (the r15 caller-knows-best hole, closed).
     val eager = SinkOps.expireVersions(spark, path, keep = 4)
-    assert(eager == 4, s"eager sweep deleted $eager dirs") // v1-3 + orphan
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "data/v9")),
-      "eager sweep (retainMillis=0) must keep caller-knows-best " +
-        "semantics and reclaim the orphan")
+    assert(eager == 3, s"eager sweep deleted $eager dirs") // v1-3 only
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "data/v9")),
+      "eager sweep reclaimed an in-flight OCC writer's dir inside " +
+        "the age floor")
+    // Seam-injected timing (the createTableSeam discipline): with the
+    // floor lowered to 0 the orphan ages out and the eager sweep
+    // reclaims it.
+    val saved = SinkOps.inFlightFloorMillis
+    try {
+      SinkOps.inFlightFloorMillis = 0L
+      assert(SinkOps.expireVersions(spark, path, keep = 4) == 1)
+    } finally SinkOps.inFlightFloorMillis = saved
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "data/v9")))
     assert(SinkOps.readVersion(spark, path).count() == 3)
   }
 
@@ -210,7 +217,7 @@ class Round15OpsSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       SinkOps.readVersionWhere(spark, path, 1L, 5L).collect()
     }
-    assert(e1.getMessage.contains("string-typed"))
+    assert(e1.getMessage.contains("str-kinded"))
     val e2 = intercept[IllegalArgumentException] {
       SinkOps.statsOnlyAgg(spark, path).collect()
     }
@@ -222,7 +229,7 @@ class Round15OpsSpec extends SparkSpec {
       SinkOps.readVersionWhereString(spark, pathN, "id", "a", "b")
         .collect()
     }
-    assert(e3.getMessage.contains("numeric"))
+    assert(e3.getMessage.contains("non-string"))
     val pathA = tmp("r15_strzm_refuse_arr")
     val e4 = intercept[IllegalArgumentException] {
       SinkOps.commitVersion(

@@ -67,8 +67,10 @@ class Round15StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("graft stream maxVersionsPerTrigger bounds each micro-batch " +
-      "to N commits; backfill still delivers everything exactly once") {
+  test("graft stream maxVersionsPerTrigger bounds CATCH-UP batches " +
+      "to N commits, but the INITIAL snapshot batch is never " +
+      "rate-limited (r16: capping it would pin the baseline to an " +
+      "early version a VACUUM may have expired)") {
     val path = tmp("r15_stream_rate")
     (1 to 4).foreach { i =>
       SinkOps.commitVersion(Seq((i.toLong, s"s$i")).toDF("id", "s"),
@@ -83,10 +85,22 @@ class Round15StreamSpec extends SparkSpec {
       val got = spark.table("r15_gs_rate")
         .select("id").collect().map(_.getLong(0)).sorted
       assert(got.sameElements(Array(1L, 2L, 3L, 4L)))
-      // 4 commits at 1 version per trigger = at least 4 micro-batches
-      // (the first is the v1 snapshot, then three deltas).
+      // The 4 pre-existing commits arrive as ONE un-capped snapshot
+      // batch — the initial load, exactly Delta semantics.
+      assert(q.recentProgress.count(_.numInputRows > 0) == 1,
+        s"initial snapshot was rate-limited: " +
+          s"${q.recentProgress.length} batches")
+      // Catch-up AFTER the baseline honors the cap: 3 new commits at
+      // 1 version per trigger = 3 delta batches.
+      (5 to 7).foreach { i =>
+        SinkOps.commitVersion(Seq((i.toLong, s"s$i")).toDF("id", "s"),
+          path, carryForward = true); ()
+      }
+      q.processAllAvailable()
+      assert(spark.table("r15_gs_rate").count() == 7)
       assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
-        s"rate limit not applied: ${q.recentProgress.length} batches")
+        s"rate limit not applied to catch-up: " +
+          s"${q.recentProgress.length} batches")
     } finally q.stop()
   }
 
@@ -136,15 +150,25 @@ class Round15StreamSpec extends SparkSpec {
       .writeStream.format("graft")
       .option("path", dst).option("checkpointLocation", ckpt)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      // Commits AFTER the baseline snapshot arrive as capped delta
+      // batches, each landing as its own sink commit.
+      (4 to 5).foreach { i =>
+        SinkOps.commitVersion(Seq((i.toLong, s"s$i")).toDF("id", "s"),
+          src, carryForward = true); ()
+      }
+      q.processAllAvailable()
+    } finally q.stop()
     val got = SinkOps.readVersion(spark, dst)
       .select("id").collect().map(_.getLong(0)).sorted
-    assert(got.sameElements(Array(1L, 2L, 3L)),
+    assert(got.sameElements(Array(1L, 2L, 3L, 4L, 5L)),
       s"pipe broke exactly-once: ${got.mkString(",")}")
-    // ≥3 micro-batches landed as ≥3 commits after the init commit.
+    // Snapshot batch + 2 delta batches = ≥3 commits after the init
+    // commit.
     assert(SinkOps.currentVersion(spark, dst) >= 4)
     // Early time travel shows fewer rows: history is per-batch.
-    assert(SinkOps.readVersion(spark, dst, Some(2)).count() < 3)
+    assert(SinkOps.readVersion(spark, dst, Some(2)).count() < 5)
   }
 
   test("graft sink is exactly-once under replay: a re-delivered " +
