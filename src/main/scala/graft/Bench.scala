@@ -91,6 +91,31 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
     val repoOut = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_full_latest.json")
+    // LAST-RECORD-RELATIVE RETIME BASE (r16): the committed previous
+    // record's per-query map, read BEFORE the first flush overwrites
+    // the file. Since the r15 warmup-pass drop, pass 1 runs cold, so a
+    // sub-5 s entry's recorded MIN is effectively ONE codegen-warm
+    // sample — the r15 driver record carried 12 localized ≥1.5×
+    // bar-crossers that TimeOne then disproved (vs 1-3 typical). Any
+    // entry whose two-pass MIN reads ≥1.5× AND ≥0.5 s over its value
+    // in the previous record joins the third (tail) pass, restoring a
+    // second warm sample exactly where adjudication would otherwise be
+    // needed; bounded cost (only actual drifters re-run).
+    val priorBase: Map[String, Double] = {
+      val path = sys.env.getOrElse("GRAFT_BENCH_BASE", repoOut)
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val qi = txt.indexOf("\"queries\":{")
+        if (qi < 0) Map.empty
+        else {
+          val body = txt.substring(qi + 11, txt.indexOf('}', qi))
+          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Exception => Map.empty }
+    }
     val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
     val uniq = s"/tmp/graft_bench_${sfBase}_${ProcessHandle.current().pid()}.json"
     val recordPaths = Seq(repoOut, uniq, "/tmp/graft_bench.json")
@@ -138,7 +163,7 @@ object Bench {
       val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val prov = if (provisional) s""","provisional":true,"progress":${jstr(stage)}""" else ""
-      s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","agg":"min_of_2_rot_3tail"$prov}"""
+      s"""{"metric":"total","value":${f4(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","agg":"min_of_2_rot_3tail_drift"$prov}"""
     }
     def flush(provisional: Boolean, stage: String): String = {
       val line = recordLine(provisional, stage)
@@ -196,7 +221,16 @@ object Bench {
     // exactly where one bad sample costs whole seconds, so they earn a
     // third, contiguous re-time — cheap (the tail is ~5% of queries)
     // and it caps the residual phantom class two samples leave.
-    val tail = keys.filter(n => best.get(n).exists(t => t.isFinite && t >= 5.0))
+    // PLUS (r16) every entry whose two-pass MIN drifted ≥1.5× and
+    // ≥0.5 s over the committed previous record (see priorBase): those
+    // get their second codegen-warm sample back, so the record's
+    // localized-drift count returns to the pre-r15 0-3 range.
+    val tail = keys.filter { n =>
+      best.get(n).exists { t =>
+        t.isFinite && (t >= 5.0 ||
+          priorBase.get(n).exists(p => t >= 1.5 * p && t - p >= 0.5))
+      }
+    }
     timedPass(tail, "tail")
 
     // Stdout gets tail-captured by the driver and can truncate the

@@ -1885,8 +1885,17 @@ object SparkEntry {
     // ntile boundary semantics), per-decile observed-positive vs
     // predicted-positive counts and exact rates. In-sample by design
     // (the demo set is the training set); a production loop feeds a
-    // held-out slice through the same table. Global rank over the
-    // eval set — calibration sets are sampled/driver-scale by nature.
+    // held-out slice through the same table.
+    //
+    // Scale shape (r16): the global rank is TWO-LEVEL (the packLayout
+    // prefix-sum discipline) — rows coarsen into ORDER-PRESERVING
+    // score buckets (monotone integer div), per-bucket counts get a
+    // cumulative offset over the tiny bucket aggregate (the only
+    // unpartitioned window, domain-compressed input), and each bucket
+    // ranks in parallel under a window PARTITIONED by bucket. The
+    // last corpus-sized single-partition window in the registry is
+    // gone; rank values are bit-identical to the global window by
+    // construction (bucket order ∘ in-bucket order = total order).
     "q_calibration" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val path = tmpPath("graft_clfcal", d)
@@ -1895,8 +1904,21 @@ object SparkEntry {
           docs.filter(col("text").isNotNull), path)
         .select("doc_id", "lang", "score")
       val nAll = sc.agg(count(lit(1)).as("n_all"))
-      val w = Window.orderBy(col("score"), col("doc_id"))
-      sc.withColumn("rn", row_number().over(w))
+      val sb = sc.agg(min("score"), max("score")).head()
+      val (mnS, mxS) = (sb.getLong(0), sb.getLong(1))
+      val span = math.max(1L, (mxS - mnS) / 256L + 1L)
+      val bucketed = sc.withColumn("bkt",
+        expr(s"(score - ${mnS}L) div ${span}L"))
+      val bw = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boffs = bucketed.groupBy("bkt")
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("boff", coalesce(sum("bn").over(bw), lit(0L)))
+        .select("bkt", "boff")
+      val iw = Window.partitionBy("bkt")
+        .orderBy(col("score"), col("doc_id"))
+      bucketed.join(broadcast(boffs), "bkt")
+        .withColumn("rn", col("boff") + row_number().over(iw))
         .crossJoin(broadcast(nAll))
         .select(col("lang"), col("score"),
           expr("((rn - 1) * 10) div n_all").as("decile"))
@@ -3091,6 +3113,70 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_rows"), sum("user_id").as("user_sum"))
     }),
+    // MICROS-GRANULAR TIMESTAMP ZONE MAPS (r16) — event time is THE
+    // production clustering key, and the pre-r16 long cast stored
+    // SECONDS-floor bounds (sound but second-granular): the #tsus
+    // kind records per-file unix_micros bounds, the range read plans
+    // at exact microseconds, and the residual shares the writer's
+    // expression so prune and filter can never disagree. Window
+    // bounds derive from the data (min/max micros → the [1/4, 1/2]
+    // slice) so the query is sf-invariant; must equal the full-scan
+    // epoch_us filter (oracle). files-read < files-total is
+    // spec-pinned (Round16OpsSpec).
+    "q_stats_ts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_tsskip", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 1L).foreach { r =>
+        SinkOps.commitVersion(
+          ev.filter(col("event_id") % 2 === r)
+            .repartitionByRange(4, col("ts")),
+          path, carryForward = true, statsCol = Some("ts")); ()
+      }
+      val b = ev.agg(min(unix_micros(col("ts").cast("timestamp"))),
+        max(unix_micros(col("ts").cast("timestamp")))).head()
+      val (mnUs, mxUs) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mnUs + (mxUs - mnUs) / 4, mnUs + (mxUs - mnUs) / 2)
+      SinkOps.readVersionWhereTs(s, path, "ts", lo, hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), sum("user_id").as("user_sum"),
+          min(unix_micros(col("ts").cast("timestamp"))).as("min_us"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("max_us"))
+    }),
+    // PARTITION PRUNE × PER-FILE ZONE MAPS (r16) — the standard
+    // 100 TB layout (Delta stats-under-partitioning): the commit
+    // writes BOTH sidecars (parts + leaf-relative per-file stats), a
+    // read with predicates on both levels prunes the event_type
+    // subtrees first (zero IO for skipped partitions) and then skips
+    // files INSIDE the kept leaves whose event_id range misses —
+    // before r16 the two tiers were mutually exclusive and a kept
+    // partition always read all its files. Exact residuals on both
+    // levels ⇒ ≡ the full-scan filter (oracle); files-kept <
+    // kept-leaf files < total is spec-pinned (Round16OpsSpec).
+    "q_part_skip" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_pskip", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 1L).foreach { r =>
+        SinkOps.commitVersionPartitionedCols(
+          ev.filter(col("event_id") % 2 === r)
+            .repartitionByRange(4, col("event_id")),
+          path, Seq("event_type"), statsCols = Seq("event_id")); ()
+      }
+      val b = ev.agg(min("event_id"), max("event_id")).head()
+      val (mnId, mxId) = (b.getLong(0), b.getLong(1))
+      val (lo, hi) = (mnId + (mxId - mnId) / 4, mnId + (mxId - mnId) / 2)
+      SinkOps.readVersionPartsWhereStats(s, path,
+          Seq("event_type" -> Seq("click", "view")),
+          Seq(("event_id", lo, hi)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), sum("user_id").as("user_sum"),
+          sum("event_id").as("id_sum"))
+    }),
     // STRING BLOOM POINT LOOKUP (r15) — the key class a dedup /
     // decontam pipeline actually probes (URLs, doc ids): membership
     // hashes through xxhash64 on both the sidecar writer and the
@@ -3462,6 +3548,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           AggOps.exactSum(col("o_totalprice")).as("price_sum"),
           sum("o_orderkey").as("okey_sum"))
+    }),
+    // STREAMING CHANGE DATA FEED (r16) — readStream.format("graft")
+    // with readChangeFeed=true: the table AS A CHANGE STREAM (Delta's
+    // readChangeFeed). Batch 1 delivers the v1 snapshot as inserts;
+    // a MERGE commit then streams update_preimage/update_postimage
+    // pairs plus fresh inserts; a DELETE commit streams the deleted
+    // keys' FULL pre-image rows — so the downstream view maintains
+    // itself by pure SIGNED aggregation (+post, −pre) through
+    // commits the append-only source refuses. Pre-images plan from
+    // the v1 bloom sidecar (O(changed keys + affected files), the
+    // classifyChanges probe). The maintained view must equal
+    // recomputing the final (merged-then-deleted) table from scratch
+    // — the q_changefeed_retract contract, delivered through a
+    // stream.
+    "q_stream_cdf" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val path = tmpPath("graft_cdf_tbl", d)
+      val out = tmpPath("graft_cdf_out", d)
+      val ckpt = tmpPath("graft_cdf_ckpt", d)
+      val hconf = s.sessionState.newHadoopConf()
+      Seq(path, out, ckpt).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).delete(hp, true); ()
+      }
+      SinkOps.commitVersionBloom(e, path, "event_id")
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("keyColumn", "event_id")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 1: v1 snapshot as inserts
+        val batch = e.filter(col("event_id") % 5 === 0)
+          .withColumn("event_type", lit("updated"))
+          .withColumn("value", col("value") + lit(1000.0d))
+          .unionByName(e.filter(col("event_id") % 3 === 0)
+            .withColumn("event_id", col("event_id") + lit(100000L))
+            .withColumn("event_type", lit("inserted")))
+        SinkOps.mergeVersion(batch, path, "event_id")
+        q.processAllAvailable() // batch 2: update pre/post + inserts
+        SinkOps.deleteVersionKeys(
+          e.filter(col("event_id") % 7 === 0).select("event_id"),
+          path, "event_id")
+        q.processAllAvailable() // batch 3: delete pre-image rows
+      } finally q.stop()
+      val sign = when(col("_change_type")
+        .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(sum(sign).as("cnt"),
+          sum(col("value").cast("decimal(28,4)") * sign)
+            .cast("double").as("sum_v"))
     }),
     // CHANGEFEED WITH RETRACTIONS — the DV half of the IVM loop: an
     // aggregate view keyed by event_type absorbs a MERGE (updates that
@@ -4097,6 +4237,40 @@ object SparkEntry {
           lit(did.getInt(1)).as("did_version"),
           lit(idle.getString(0)).as("idle_action"),
           lit(idle.getInt(1)).as("idle_version"),
+          col("n_rows"), col("user_sum"))
+    }),
+    // ADVISOR/MAINTAIN ON A PARTITIONED HEAD (r16) — the per-leaf
+    // file-count gauge: six partitioned commits accrete ≥6 subtrees
+    // per hot leaf (read amplification the flat file totals cannot
+    // see), maintenanceAdvice's max_leaf_files crosses the declared
+    // threshold → maintain() runs OPTIMIZE (compactVersions preserves
+    // the hive layout while converging each leaf), and the re-advised
+    // table says none. The compacted table reads back through the
+    // partition-pruned path; counts ≡ the relational filter (oracle).
+    "q_maintain_part" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_maintp", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      (0L to 5L).foreach { r =>
+        SinkOps.commitVersionPartitionedCols(
+          ev.filter(col("event_id") % 6 === r), path,
+          Seq("event_type")); ()
+      }
+      val gauges = SinkOps.maintenanceAdvice(s, path,
+        targetRowsPerFile = 1L, maxFilesPerLeaf = 4).collect().head
+      val did = SinkOps.maintain(s, path, targetRowsPerFile = 1L,
+        maxFilesPerLeaf = 4).collect().head
+      val idle = SinkOps.maintain(s, path, targetRowsPerFile = 1L,
+        maxFilesPerLeaf = 4).collect().head
+      SinkOps.readVersionPartIn(s, path, "event_type",
+          Seq("click", "view"))
+        .agg(count(lit(1)).as("n_rows"), sum("user_id").as("user_sum"))
+        .select(lit(gauges.getAs[String]("recommendation"))
+            .as("advice"),
+          lit(did.getString(0)).as("did_action"),
+          lit(idle.getString(0)).as("idle_action"),
           col("n_rows"), col("user_sum"))
     }),
 
@@ -8344,6 +8518,34 @@ object SparkEntry {
                 CAST(sum(user_id) AS BIGINT) AS user_sum
          FROM events WHERE event_type BETWEEN 'e' AND 's'
          GROUP BY 1""",
+    // Micros-granular timestamp zone-map read ≡ the full-scan
+    // epoch_us range filter (the [1/4, 1/2] slice of the data's own
+    // micros range — sf-invariant; integer floor division in both
+    // engines).
+    "q_stats_ts" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS mn,
+                           max(epoch_us(ts)) AS mx FROM events)
+         SELECT event_type, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+                CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+         FROM events, b
+         WHERE epoch_us(ts) BETWEEN b.mn + (b.mx - b.mn) // 4
+                                AND b.mn + (b.mx - b.mn) // 2
+         GROUP BY 1""",
+    // Partition prune × per-file zone maps ≡ the full-scan
+    // conjunction of both predicates.
+    "q_part_skip" ->
+      """WITH b AS (SELECT min(event_id) AS mn, max(event_id) AS mx
+                    FROM events)
+         SELECT event_type, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum,
+                CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM events, b
+         WHERE event_type IN ('click', 'view')
+           AND event_id BETWEEN b.mn + (b.mx - b.mn) // 4
+                            AND b.mn + (b.mx - b.mn) // 2
+         GROUP BY 1""",
     // DV-aware skip: the pruned-and-resolved read equals the full-scan
     // filter minus the deleted keys.
     "q_skip_dv" ->
@@ -8469,6 +8671,32 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
                   / count(*) AS avg_v
          FROM merged GROUP BY 1""",
+    // Streaming CDF: the signed aggregation over the streamed change
+    // rows (snapshot inserts + merge pre/post pairs + delete
+    // pre-images) ≡ recomputing the final merged-then-deleted table
+    // from scratch — every retracted row's +insert and −pre-image
+    // cancel exactly (identical DECIMAL casts of identical doubles).
+    "q_stream_cdf" ->
+      """WITH upd AS (
+           SELECT event_id, ts, user_id, 'updated' AS event_type,
+                  value + 1000 AS value, props
+           FROM events WHERE event_id % 5 = 0
+           UNION ALL
+           SELECT event_id + 100000, ts, user_id, 'inserted', value,
+                  props
+           FROM events WHERE event_id % 3 = 0),
+         merged AS (
+           SELECT * FROM upd
+           UNION ALL
+           SELECT * FROM events
+           WHERE event_id NOT IN (SELECT event_id FROM upd)),
+         final AS (
+           SELECT * FROM merged WHERE event_id NOT IN (
+             SELECT event_id FROM events WHERE event_id % 7 = 0))
+         SELECT event_type, count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                  AS sum_v
+         FROM final GROUP BY 1""",
     // DV resolution: v2 = everything, v3 = minus %7 keys (merge-on-
     // read anti-join), v4 = plus the re-inserted %14 keys (a later
     // data dir outruns an earlier sidecar — ordered-fold semantics).
@@ -8722,6 +8950,15 @@ object SparkEntry {
                 count(*) AS n_rows,
                 CAST(sum(user_id) AS BIGINT) AS user_sum
          FROM events WHERE event_id % 5 <> 0 AND event_id % 7 <> 0""",
+    // Partitioned lifecycle: six commits drive the per-leaf file
+    // gauge past the threshold (advice + maintain = optimize), the
+    // compacted table re-advises none, and the partition-pruned read
+    // equals the relational filter.
+    "q_maintain_part" ->
+      """SELECT 'optimize' AS advice, 'optimize' AS did_action,
+                'none' AS idle_action, count(*) AS n_rows,
+                CAST(sum(user_id) AS BIGINT) AS user_sum
+         FROM events WHERE event_type IN ('click', 'view')""",
     // The format reader's pinned v1 is the evens; the head is all.
     "q_format_read" ->
       """SELECT 'v1' AS snap, count(*) AS n_rows,

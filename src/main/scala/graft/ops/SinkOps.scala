@@ -314,7 +314,8 @@ object SinkOps {
     */
   def commitStreamBatch(df: DataFrame, path: String, batchId: Long,
                         txnAppId: String = "",
-                        maxTries: Int = 3): Option[Int] = {
+                        maxTries: Int = 3,
+                        beforeAttempt: Int => Unit = _ => ()): Option[Int] = {
     require(txnAppId.matches("[A-Za-z0-9_-]*"),
       s"txnAppId must be [A-Za-z0-9_-]*: '$txnAppId'")
     val spark = df.sparkSession
@@ -351,7 +352,8 @@ object SinkOps {
     // listing the dir twice would double-deliver its rows). Both
     // incarnations wrote identical bytes (deterministic dir name), so
     // whichever commit lands is correct.
-    try Some(occRetryLoop(fs, root, path, dataDir, maxTries, _ => ()) {
+    try Some(occRetryLoop(fs, root, path, dataDir, maxTries,
+        beforeAttempt) {
       head =>
         if (head > latest && referencedIn(head, latest + 1))
           throw StreamBatchAlreadyCommitted
@@ -604,7 +606,10 @@ object SinkOps {
     * reader residual, so prune and filter can never disagree.
     */
   private def statKindExpr(c: String, kind: String): Column = kind match {
-    case StatKindTsUs => unix_micros(col(c))
+    // The cast handles TIMESTAMP_NTZ too; the session tz is UTC so
+    // NTZ wall time and instant micros coincide (the EventOps
+    // microsOf discipline, matching DuckDB's epoch_us).
+    case StatKindTsUs => unix_micros(col(c).cast("timestamp"))
     case StatKindDay =>
       datediff(col(c), to_date(lit("1970-01-01"))).cast("long")
     case _ => col(c).cast("long")
@@ -622,7 +627,8 @@ object SinkOps {
     val kinds = cols.map { c =>
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.StringType => StatKindStr
-        case org.apache.spark.sql.types.TimestampType => StatKindTsUs
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => StatKindTsUs
         case org.apache.spark.sql.types.DateType => StatKindDay
         case _: org.apache.spark.sql.types.ArrayType |
              _: org.apache.spark.sql.types.MapType |
