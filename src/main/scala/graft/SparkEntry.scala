@@ -3177,6 +3177,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("user_id").as("user_sum"),
           sum("event_id").as("id_sum"))
     }),
+    // PARTITION PRUNE × BLOOM POINT PROBE (r16) — the canonical
+    // 100 TB point read (a date/tenant predicate plus a key lookup):
+    // the partitioned commit writes leaf-relative per-file bloom
+    // bitmaps alongside the parts sidecar, the read prunes the
+    // event_type subtrees first and then opens only bloom-positive
+    // files inside them (the layout is hash-partitioned so zone maps
+    // could never serve this probe). Exact residuals ⇒ ≡ the
+    // full-scan conjunction (oracle); files-kept < kept-leaf files is
+    // spec-pinned (Round16OpsSpec).
+    "q_part_bloom" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val path = tmpPath("graft_pbloom", d)
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(root, true)
+      SinkOps.commitVersionPartitionedCols(ev.repartition(8), path,
+        Seq("event_type"), bloomCols = Seq("event_id"))
+      val probe = ev.filter(col("event_type") === "click")
+        .agg(min("event_id")).head().getLong(0)
+      SinkOps.readVersionPartsEq(s, path,
+          Seq("event_type" -> Seq("click", "view")), "event_id", probe)
+        .select("event_id", "user_id", "event_type", "value")
+    }),
     // STRING BLOOM POINT LOOKUP (r15) — the key class a dedup /
     // decontam pipeline actually probes (URLs, doc ids): membership
     // hashes through xxhash64 on both the sidecar writer and the
@@ -3480,12 +3503,14 @@ object SparkEntry {
     // readStream.format("graft") — the DSv2-registered streaming face
     // of the versioned tier (r15): offsets are committed VERSION
     // NUMBERS, micro-batch (vFrom, vTo] reads the manifest-dir delta
-    // (O(changed files), append-only enforced loudly), the first
-    // batch is the folded snapshot. Driven here at
-    // maxVersionsPerTrigger=1 through an exactly-once parquet sink +
-    // checkpoint, so the gate exercises snapshot batch, delta
-    // batches, rate limiting, AND the file-sink commit protocol.
-    // Oracle: streamed bytes ≡ the table's full content (lineitem).
+    // (O(changed files), append-only enforced loudly). The first
+    // batch is the folded snapshot and is never rate-limited (r16 —
+    // capping it would pin the baseline to possibly-VACUUMed early
+    // history); commits made WHILE the stream runs arrive as
+    // maxVersionsPerTrigger-capped delta batches. Driven through an
+    // exactly-once parquet sink + checkpoint, so the gate exercises
+    // snapshot batch, capped delta batches, AND the file-sink commit
+    // protocol. Oracle: streamed bytes ≡ the table's full content.
     "q_stream_graft_source" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val tbl = tmpPath("graft_gss_tbl", d)
@@ -3496,16 +3521,21 @@ object SparkEntry {
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(hconf).delete(hp, true); ()
       }
-      (0 to 2).foreach { r =>
-        SinkOps.commitVersion(li.filter(col("l_orderkey") % 3 === r),
-          tbl); ()
-      }
+      SinkOps.commitVersion(li.filter(col("l_orderkey") % 3 === 0),
+        tbl)
       val q = s.readStream.format("graft")
         .option("maxVersionsPerTrigger", "1").load(tbl)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable() // snapshot batch (v1)
+        (1 to 2).foreach { r =>
+          SinkOps.commitVersion(li.filter(col("l_orderkey") % 3 === r),
+            tbl); ()
+        }
+        q.processAllAvailable() // two capped delta batches
+      } finally q.stop()
       s.read.parquet(out)
         .groupBy((col("l_orderkey") % 7).as("okey_bucket"))
         .agg(count(lit(1)).as("n_rows"),
@@ -3532,17 +3562,21 @@ object SparkEntry {
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(hconf).delete(hp, true); ()
       }
-      (0 to 2).foreach { r =>
-        SinkOps.commitVersion(o.filter(col("o_orderkey") % 3 === r),
-          src); ()
-      }
+      SinkOps.commitVersion(o.filter(col("o_orderkey") % 3 === 0), src)
       SinkOps.commitVersion(o.limit(0), dst) // initialize the sink
       val q = s.readStream.format("graft")
         .option("maxVersionsPerTrigger", "1").load(src)
         .writeStream.format("graft")
         .option("path", dst).option("checkpointLocation", ckpt)
         .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable() // snapshot batch → one sink commit
+        (1 to 2).foreach { r =>
+          SinkOps.commitVersion(o.filter(col("o_orderkey") % 3 === r),
+            src); ()
+        }
+        q.processAllAvailable() // capped deltas → one commit each
+      } finally q.stop()
       SinkOps.readVersion(s, dst)
         .groupBy((col("o_custkey") % 10).as("cust_bucket"))
         .agg(count(lit(1)).as("n_rows"),
@@ -8533,6 +8567,13 @@ object SparkEntry {
          WHERE epoch_us(ts) BETWEEN b.mn + (b.mx - b.mn) // 4
                                 AND b.mn + (b.mx - b.mn) // 2
          GROUP BY 1""",
+    // Partition prune × bloom point probe ≡ the full-scan
+    // conjunction (probe = the smallest click event id).
+    "q_part_bloom" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE event_type IN ('click', 'view')
+           AND event_id = (SELECT min(event_id) FROM events
+                           WHERE event_type = 'click')""",
     // Partition prune × per-file zone maps ≡ the full-scan
     // conjunction of both predicates.
     "q_part_skip" ->

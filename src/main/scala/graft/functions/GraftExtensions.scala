@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftFunctions.graftPartCounts)
     ext.injectTableFunction(GraftFunctions.graftVersionAsOf)
     ext.injectTableFunction(GraftFunctions.tableChangesAsOf)
+    ext.injectTableFunction(GraftFunctions.tableChangesCdf)
     ext.injectTableFunction(GraftFunctions.graftAdvice)
     // SQL DML front door for the versioned tier: MERGE INTO /
     // DELETE FROM / INSERT INTO against graft_table('<path>') or a
@@ -443,6 +444,33 @@ object GraftFunctions {
       new ExpressionInfo("graft.ops.SinkOps", "table_changes_asof"),
       buildTableChangesAsOf _)
 
+  /** `table_changes_cdf(path, vFrom, vTo, keyCol)` — the CHANGE DATA
+    * FEED window through SQL ([[graft.ops.SinkOps.readChangesCdf]]):
+    * per-commit change rows — the table's columns plus `_change_type`
+    * ∈ {insert, update_preimage, update_postimage, delete} and
+    * `_commit_version` — the batch face of the stream's
+    * `readChangeFeed` option (Delta's `table_changes` with CDF
+    * semantics); vFrom = 0 serves the snapshot-as-inserts baseline.
+    */
+  private def buildTableChangesCdf(exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 4,
+      s"table_changes_cdf expects (path, vFrom, vTo, keyCol), got " +
+        s"${exprs.length} arguments")
+    GraftSqlBridge.plan(graft.ops.SinkOps.readChangesCdf(
+      SparkSession.active,
+      tablePathArg(exprs.head, "table_changes_cdf path"),
+      constInt(exprs(1), "table_changes_cdf vFrom"),
+      constInt(exprs(2), "table_changes_cdf vTo"),
+      constString(exprs(3), "table_changes_cdf keyCol")))
+  }
+
+  val tableChangesCdf: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("table_changes_cdf"),
+      new ExpressionInfo("graft.ops.SinkOps", "table_changes_cdf"),
+      buildTableChangesCdf _)
+
   val graftVersion: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
     (FunctionIdentifier("graft_version"),
@@ -465,6 +493,8 @@ object GraftFunctions {
       buildGraftVersion)
     GraftSqlBridge.registerTableFunction(spark, "table_changes",
       buildTableChanges)
+    GraftSqlBridge.registerTableFunction(spark, "table_changes_cdf",
+      buildTableChangesCdf)
     GraftSqlBridge.registerTableFunction(spark, "graft_history",
       buildGraftHistory)
     GraftSqlBridge.registerTableFunction(spark, "graft_deleted_keys",

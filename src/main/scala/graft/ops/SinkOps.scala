@@ -3231,7 +3231,8 @@ object SinkOps {
   def commitVersionPartitionedCols(df: DataFrame, path: String,
                                    partCols: Seq[String],
                                    carryForward: Boolean = true,
-                                   statsCols: Seq[String] = Nil): Int = {
+                                   statsCols: Seq[String] = Nil,
+                                   bloomCols: Seq[String] = Nil): Int = {
     require(partCols.nonEmpty && partCols.distinct == partCols,
       s"partition columns must be non-empty and distinct: $partCols")
     partCols.foreach(c => require(df.columns.contains(c),
@@ -3243,9 +3244,10 @@ object SinkOps {
     // relative file paths alongside the parts sidecar. Stats on a
     // partition column refuse — its per-file "range" is the leaf
     // value the parts tier already serves exactly.
-    statsCols.foreach(c => require(!partCols.contains(c),
-      s"stats column $c is a partition column — the parts sidecar " +
-        "already serves it exactly; declare stats on data columns"))
+    (statsCols ++ bloomCols).foreach(c => require(!partCols.contains(c),
+      s"stats/bloom column $c is a partition column — the parts " +
+        "sidecar already serves it exactly; declare sidecars on data " +
+        "columns"))
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
@@ -3259,6 +3261,8 @@ object SinkOps {
     writeDirParts(fs, root, dataDir, partCols, conf)
     if (statsCols.nonEmpty) writeDirStats(spark, fs, root, dataDir,
       statsCols)
+    if (bloomCols.nonEmpty) writeDirBloom(spark, fs, root, dataDir,
+      bloomCols)
     val prev = if (head == 0 || !carryForward) Nil
       else manifestDirs(fs, root, head)
     writeManifestLines(fs, root, v, prev :+ dataDir)
@@ -3698,22 +3702,7 @@ object SinkOps {
     val (groups, _) = partStatsGroups(spark, path, partPreds,
       statPreds.map { case (c, lo, hi) =>
         LongStatPred(Some(c), lo, hi) }, version)
-    val epochs = groups.flatMap { case (reads, dels) =>
-      if (reads.isEmpty) None
-      else {
-        val dfs = reads.groupBy(_._1).toSeq.sortBy(_._1.toString)
-          .map { case (base, files) =>
-            spark.read.option("basePath", base.toString)
-              .parquet(files.map(_._2): _*)
-          }
-        Some(dels.foldLeft(dfs.reduce(_.unionByName(_))) {
-          case (acc, (ddir, keyCol)) =>
-            acc.join(broadcast(spark.read.parquet(
-                new org.apache.hadoop.fs.Path(root, ddir).toString)
-              .select(keyCol)), Seq(keyCol), "left_anti")
-        })
-      }
-    }
+    val epochs = readPartFileGroups(spark, root, groups)
     val residual = (partPreds.map { case (c, vs) =>
       col(c).cast("string").isin(vs: _*) } ++
       statPreds.map { case (c, lo, hi) =>
@@ -3738,6 +3727,181 @@ object SinkOps {
     partStatsGroups(spark, path, partPreds,
       statPreds.map { case (c, lo, hi) =>
         LongStatPred(Some(c), lo, hi) }, version)._2
+
+  /** All k probe bits set in a per-file bloom bitmap? The line's hex
+    * length IS the bitmap size (m = 4·|hex|). Shared by the flat and
+    * partitioned bloom planners.
+    */
+  private def bloomHexHit(hex: String, value: Long): Boolean =
+    bloomPositions(value, hex.length * 4).forall { bt =>
+      val b = Integer.parseInt(
+        hex.substring((bt >> 3) * 2, (bt >> 3) * 2 + 2), 16)
+      ((b >> (bt & 7)) & 1) == 1
+    }
+
+  /** COMPOSED partition × bloom planning core (r16): partition prune
+    * first (parts sidecars), then per-file bloom probe INSIDE the
+    * kept leaves against the sidecar's leaf-relative entries
+    * ([[commitVersionPartitionedCols]] with bloomCols). Same
+    * kind/column contracts as the flat bloom planner; files/dirs
+    * without bloom lines always planned (never a wrong skip).
+    */
+  private def partBloomGroups(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              partPreds: Seq[(String, Seq[String])],
+                              colName: String, value: Long,
+                              probeHashed: Boolean,
+                              version: Option[Int])
+      : (Seq[(Seq[(org.apache.hadoop.fs.Path, String)],
+              Seq[(String, String)])],
+         (Int, Int, Int, Int)) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val (groups, leavesTotal, _) =
+      partGroups(spark, path, partPreds, version)
+    var declared: Option[Seq[String]] = None
+    var filesKept = 0; var filesListed = 0; var leavesKept = 0
+    val fileGroups = groups.map { case (reads, dels) =>
+      val kept = reads.flatMap { r =>
+        leavesKept += 1
+        val files = fs.listStatus(r.leaf).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        filesListed += files.length
+        val bf = sidecarFile(root, r.dir, "blooms")
+        val chosen =
+          if (!fs.exists(bf)) files.toSeq
+          else {
+            val in = fs.open(bf)
+            val blines = try scala.io.Source
+              .fromInputStream(in, "UTF-8")
+              .getLines().filter(_.nonEmpty).toList
+            finally in.close()
+            val tagged = blines.head.split('\t').toSeq
+            val cs = tagged.map(_.stripSuffix("#str"))
+            val strCol = tagged.map(_.endsWith("#str"))
+            declared.foreach(prev => require(prev == cs,
+              s"inconsistent bloom columns across snapshot dirs: " +
+                s"${prev.mkString(",")} vs ${cs.mkString(",")}"))
+            declared = Some(cs)
+            val idx = cs.indexOf(colName)
+            require(idx >= 0,
+              s"probe on $colName but dir ${r.dir} declares blooms " +
+                "for " + cs.mkString(", "))
+            require(strCol(idx) == probeHashed,
+              if (strCol(idx))
+                s"bloom column ${cs(idx)} is string-typed — probe " +
+                  "with readVersionPartsEqString (xxhash64 " +
+                  "membership), not a raw long"
+              else
+                s"bloom column ${cs(idx)} is numeric — probe with " +
+                  "the long-valued readVersionPartsEq")
+            val maps = blines.tail.map { ln =>
+              val fields = ln.split('\t')
+              require(fields.length == cs.length + 1,
+                s"malformed bloom line in $bf: $ln")
+              fields(0) -> fields(1 + idx)
+            }.toMap
+            val prefix = if (r.frag.isEmpty) "" else r.frag + "/"
+            files.filter { p =>
+              maps.get(prefix + p.getName)
+                .forall(hex => bloomHexHit(hex, value))
+            }.toSeq
+          }
+        filesKept += chosen.length
+        chosen.map(f => (r.base, f.toString))
+      }
+      (kept, dels)
+    }
+    (fileGroups, (filesKept, filesListed, leavesKept, leavesTotal))
+  }
+
+  private def readPartFileGroups(spark: org.apache.spark.sql.SparkSession,
+                                 root: org.apache.hadoop.fs.Path,
+                                 groups: Seq[(Seq[(org.apache.hadoop.fs.Path,
+                                                   String)],
+                                              Seq[(String, String)])])
+      : Seq[DataFrame] =
+    groups.flatMap { case (reads, dels) =>
+      if (reads.isEmpty) None
+      else {
+        val dfs = reads.groupBy(_._1).toSeq.sortBy(_._1.toString)
+          .map { case (base, files) =>
+            spark.read.option("basePath", base.toString)
+              .parquet(files.map(_._2): _*)
+          }
+        Some(dels.foldLeft(dfs.reduce(_.unionByName(_))) {
+          case (acc, (ddir, keyCol)) =>
+            acc.join(broadcast(spark.read.parquet(
+                new org.apache.hadoop.fs.Path(root, ddir).toString)
+              .select(keyCol)), Seq(keyCol), "left_anti")
+        })
+      }
+    }
+
+  /** Read a snapshot under a partition predicate AND a bloom point
+    * probe on a numeric lookup column — the partitioned twin of
+    * [[readVersionEq]]: partition prune to the kept subtrees, then
+    * only bloom-positive files inside them are opened (a date/tenant
+    * predicate plus a key lookup is the canonical 100 TB point read).
+    * Exact residuals keep the result ≡ the full-scan conjunction;
+    * DV-aware by epoch.
+    */
+  def readVersionPartsEq(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         partPreds: Seq[(String, Seq[String])],
+                         colName: String, value: Long,
+                         version: Option[Int] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (groups, _) = partBloomGroups(spark, path, partPreds, colName,
+      value, probeHashed = false, version)
+    val epochs = readPartFileGroups(spark, root, groups)
+    val residual = (partPreds.map { case (c, vs) =>
+      col(c).cast("string").isin(vs: _*) } :+
+      (col(colName).cast("long") === value)).reduce(_ && _)
+    if (epochs.isEmpty)
+      readVersion(spark, path, version).filter(lit(false))
+    else epochs.reduce(_.unionByName(_)).filter(residual)
+  }
+
+  /** [[readVersionPartsEq]] for a STRING lookup column — membership
+    * hashes through xxhash64 exactly like [[readVersionEqString]].
+    */
+  def readVersionPartsEqString(spark: org.apache.spark.sql.SparkSession,
+                               path: String,
+                               partPreds: Seq[(String, Seq[String])],
+                               colName: String, value: String,
+                               version: Option[Int] = None): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val (groups, _) = partBloomGroups(spark, path, partPreds, colName,
+      xxhash64String(value), probeHashed = true, version)
+    val epochs = readPartFileGroups(spark, root, groups)
+    val residual = (partPreds.map { case (c, vs) =>
+      col(c).cast("string").isin(vs: _*) } :+
+      (col(colName) === lit(value))).reduce(_ && _)
+    if (epochs.isEmpty)
+      readVersion(spark, path, version).filter(lit(false))
+    else epochs.reduce(_.unionByName(_)).filter(residual)
+  }
+
+  /** Planning view of [[readVersionPartsEq]]/[[readVersionPartsEqString]]
+    * — (files kept, files listed in kept leaves, leaves kept, leaves
+    * total).
+    */
+  def planPartsEq(spark: org.apache.spark.sql.SparkSession,
+                  path: String,
+                  partPreds: Seq[(String, Seq[String])],
+                  colName: String, value: Long,
+                  version: Option[Int] = None): (Int, Int, Int, Int) =
+    partBloomGroups(spark, path, partPreds, colName, value,
+      probeHashed = false, version)._2
+
+  def planPartsEqString(spark: org.apache.spark.sql.SparkSession,
+                        path: String,
+                        partPreds: Seq[(String, Seq[String])],
+                        colName: String, value: String,
+                        version: Option[Int] = None): (Int, Int, Int, Int) =
+    partBloomGroups(spark, path, partPreds, colName,
+      xxhash64String(value), probeHashed = true, version)._2
 
   /** [[partCountsOnly]] UNDER LIVE DELETION VECTORS — the bounded
     * composition ([[statsAggDv]]'s partition twin): epochs whose
@@ -3947,14 +4111,24 @@ object SinkOps {
     // reads, zero data IO, no Spark job) — sizing must not cost a
     // scan of its own.
     val conf = spark.sessionState.newHadoopConf()
-    val maxN = fs.listStatus(new org.apache.hadoop.fs.Path(root, dataDir))
-      .toSeq.filter(_.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, conf))
-        try r.getRecordCount finally r.close()
-      }.foldLeft(1L)(math.max)
+    // Recursive walk: a hive-partitioned dir's parquet files live in
+    // leaf subtrees (r16 — blooms inside partitioned commits); for a
+    // flat dir the walk visits exactly the direct children as before.
+    val dirP = new org.apache.hadoop.fs.Path(root, dataDir)
+    val maxN = {
+      var mx = 1L
+      val it = fs.listFiles(dirP, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, conf))
+          mx = math.max(mx, try r.getRecordCount finally r.close())
+        }
+      }
+      mx
+    }
     val m = math.min(1L << 24,
       math.max(1L << 13,
         java.lang.Long.highestOneBit(16L * maxN - 1) << 1)).toInt
@@ -4017,10 +4191,23 @@ object SinkOps {
     val zeroHex = "0" * (m / 4)
     val header = cols.zip(isStr)
       .map { case (c, str) => if (str) s"$c#str" else c }.mkString("\t")
+    // File field: path RELATIVE to the data dir (bare name for flat
+    // dirs — pre-r16 sidecars byte-identical; fragment-prefixed for
+    // hive leaves, keying the composed partition × bloom reader).
+    val qdir = fs.makeQualified(dirP)
+    def relName(uri: String): String = {
+      val segs = scala.collection.mutable.ListBuffer.empty[String]
+      var cur = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(new java.net.URI(uri)))
+      while (cur != null && cur != qdir) {
+        segs.prepend(cur.getName); cur = cur.getParent
+      }
+      require(cur != null, s"bloom file $uri is not under $qdir")
+      segs.mkString("/")
+    }
     val lines = header +: folded
       .map { r =>
-        val name = new org.apache.hadoop.fs.Path(
-          new java.net.URI(r.getString(0))).getName
+        val name = relName(r.getString(0))
         (name, cols.indices.map(i => r.getString(1 + i)))
       }
       .filter(_._2.exists(_ != zeroHex)) // null-in-every-column files

@@ -193,6 +193,62 @@ class Round16OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("is a partition column"))
   }
 
+  test("partition prune × bloom point probe: leaf-relative bloom " +
+      "bitmaps skip files inside kept partitions, string keys hash " +
+      "through xxhash64, kind mismatch refuses, ≡ the full-scan " +
+      "conjunction under a live DV") {
+    val t = tmp("r16_pbloom")
+    val ev = events.withColumn("ekey",
+      concat(lit("k"), col("event_id")))
+    SinkOps.commitVersionPartitionedCols(ev.repartition(8), t,
+      Seq("event_type"), bloomCols = Seq("event_id", "ekey"))
+    SinkOps.deleteVersionKeys(
+      events.filter(col("event_id") % 7 === 0).select("event_id"),
+      t, "event_id")
+    val probe = events.filter(col("event_type") === "click")
+      .agg(min("event_id")).head().getLong(0)
+    val partPreds = Seq("event_type" -> Seq("click", "view"))
+    val (fk, fl, lk, lt) =
+      SinkOps.planPartsEq(spark, t, partPreds, "event_id", probe)
+    assert(lk < lt, s"partition prune did not bite: $lk of $lt")
+    assert(fk < fl, s"bloom did not bite inside kept leaves: $fk of $fl")
+    val got = SinkOps.readVersionPartsEq(spark, t, partPreds,
+        "event_id", probe)
+      .select("event_id", "user_id", "event_type")
+    val want = SinkOps.readVersion(spark, t)
+      .filter(col("event_type").isin("click", "view") &&
+        col("event_id") === probe)
+      .select("event_id", "user_id", "event_type")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "composed bloom read != resolved full-scan conjunction")
+    // String key: same probe through xxhash64 membership.
+    val gotS = SinkOps.readVersionPartsEqString(spark, t, partPreds,
+        "ekey", s"k$probe")
+      .select("event_id", "user_id", "event_type")
+    assert(gotS.exceptAll(want).isEmpty && want.exceptAll(gotS).isEmpty,
+      "string bloom composed read != full-scan conjunction")
+    val (fkS, flS, _, _) =
+      SinkOps.planPartsEqString(spark, t, partPreds, "ekey", s"k$probe")
+    assert(fkS < flS, s"string bloom did not bite: $fkS of $flS")
+    // Kind mismatches refuse both ways.
+    val e1 = intercept[IllegalArgumentException] {
+      SinkOps.readVersionPartsEq(spark, t, partPreds, "ekey", probe)
+        .collect()
+    }
+    assert(e1.getMessage.contains("string-typed"))
+    val e2 = intercept[IllegalArgumentException] {
+      SinkOps.readVersionPartsEqString(spark, t, partPreds,
+        "event_id", "42").collect()
+    }
+    assert(e2.getMessage.contains("numeric"))
+    // Bloom on a partition column refuses at commit.
+    val e3 = intercept[IllegalArgumentException] {
+      SinkOps.commitVersionPartitionedCols(ev, tmp("r16_pbloom_x"),
+        Seq("event_type"), bloomCols = Seq("event_type"))
+    }
+    assert(e3.getMessage.contains("is a partition column"))
+  }
+
   // ---- CDF window reader ----
 
   test("readChangesCdf classifies a merge window exactly (pre/post " +
@@ -222,6 +278,14 @@ class Round16OpsSpec extends SparkSpec {
     val snap = SinkOps.readChangesCdf(spark, t, 0, 3, "id")
     assert(snap.filter(col("_change_type") =!= "insert").count() == 0)
     assert(snap.count() == 3) // ids 2, 3, 9 survive
+    // SQL face: table_changes_cdf ≡ the Scala window read.
+    graft.functions.GraftFunctions.register(spark)
+    val sqlCh = spark.sql("SELECT id, s, v, _change_type, " +
+        s"_commit_version FROM table_changes_cdf('$t', 1, 3, 'id')")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(sqlCh == expect, s"SQL CDF TVF mismatch: $sqlCh")
     // A compaction rewrite in the window refuses with a re-baseline
     // message — no row-level change a feed can express.
     SinkOps.compactVersions(spark, t) // v4
