@@ -325,21 +325,30 @@ object SinkOps {
       if (txnAppId.isEmpty) s"data/b$batchId"
       else s"data/b${txnAppId}_$batchId"
     val latest = latestVersion(fs, root)
-    // "Was this batch committed" scans NEWEST-FIRST with early exit
-    // (r16, ADVICE): on a carry-forward table the HEAD manifest
-    // references every committed batch dir, so the common case is one
-    // manifest resolution — the oldest-first walk paid O(versions)
-    // base-chain resolutions per micro-batch, O(n²) cumulative over a
-    // stream's life, worst exactly on the long-running pipeline this
-    // sink advertises (and the oldest manifests are also the VACUUMed
-    // ones). Older manifests are still consulted (miss ⇒ walk down)
-    // so the compaction-window replay contract is unchanged.
+    // "Was this batch committed" is O(1) in the common cases (r16,
+    // ADVICE — the oldest-first full walk paid O(versions) base-chain
+    // resolutions per micro-batch, O(n²) over a stream's life, worst
+    // exactly on the long-running pipeline this sink advertises):
+    //  1. HEAD manifest references the dir — the live-replay hit (a
+    //     carry-forward head references every committed batch dir).
+    //  2. The dir is NOT on disk — never committed here, or its whole
+    //     history was compacted AND vacuumed, which by the documented
+    //     contract ends the replay window (recommit is correct).
+    //  3. Dir on disk but not in head — the crash window (written,
+    //     uncommitted) vs a compacted-away reference: only THIS rare
+    //     case walks history, newest-first with early exit.
     def referencedIn(vHi: Int, vLo: Int): Boolean =
       (vHi to vLo by -1).exists(v =>
         fs.exists(new org.apache.hadoop.fs.Path(root,
           f"manifest/v$v%05d.txt")) &&
           manifestDirs(fs, root, v).contains(dataDir))
-    if (latest >= 1 && referencedIn(latest, 1)) return None
+    val committed = latest >= 1 && {
+      if (manifestDirs(fs, root, latest).contains(dataDir)) true
+      else if (!fs.exists(new org.apache.hadoop.fs.Path(root, dataDir)))
+        false
+      else latest >= 2 && referencedIn(latest - 1, 1)
+    }
+    if (committed) return None
     df.write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(root, dataDir).toString)
     // The idempotence check ALSO runs inside the OCC loop (r16,
