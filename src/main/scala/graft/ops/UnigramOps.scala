@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM (SentencePiece-style) tokenizer training — the OTHER
@@ -34,9 +34,12 @@ import org.apache.spark.sql.functions._
   * Scale shape (the BpeOps discipline): the corpus is scanned once into
   * the compressed word-frequency vocab; every EM round runs on
   * |distinct words| rows. The Viterbi DP is ONE higher-order-function
-  * expression per round (aggregate over ≤ MaxWordLen positions with a
-  * per-word broadcast piece map of ≤ 4·MaxWordLen entries) — no driver
-  * loop, no UDF, no shuffle beyond the piece-count aggregations.
+  * expression per round (aggregate over ≤ MaxWordLen positions probing
+  * the piece inventory — ≤ 26 chars + [[SeedPieces]] entries by
+  * contract — embedded as a literal map, so segmentation is a pure
+  * projection) — no driver loop over data, no UDF, and the only
+  * shuffle per round is the piece-usage aggregation whose ≤ 90-row
+  * result is re-scored on the driver.
   */
 object UnigramOps {
 
@@ -93,44 +96,56 @@ object UnigramOps {
     kept.crossJoin(broadcast(kept.agg(sum("cnt").as("t"))))
       .select(col("p"), col("cnt"), expr("cnt * 1000000 div t").as("sc"))
 
-  /** One DP-fill candidate: extend the best prefix of length (j−l)
-    * with the piece covering (j−l, j]. Missing piece ⇒ ≥ Big key.
+  /** Invalid-extension sentinel for the ENCODED DP (see [[cand]]):
+    * must exceed every real encoded candidate (raw key ≤ ~1.2·10^15,
+    * encoded ≤ ~2.1·10^16) so an out-of-range extension never wins the
+    * argmin; at pos ≥ 1 the l=1 extension is always in range, so the
+    * recorded tag always comes from a real candidate. Far from int64
+    * overflow.
+    */
+  private val InvalidEnc = 90000000000000000L
+
+  /** One ENCODED DP-fill candidate: (raw key)·16 + (4−l). A single
+    * least() then both minimizes the lexicographic key AND records the
+    * argmin extension length in the low bits — equal keys differ only
+    * in the 4−l tag, and the longer l has the smaller tag, so the
+    * encoded min IS the `ORDER BY cand, l DESC` rule of the oracle.
+    * Raw key = best prefix of length (pos−l) extended with the piece
+    * covering (pos−l, pos]; missing piece ⇒ ≥ Big. Stored states are
+    * themselves encoded, so the prefix key is `div 16`-decoded.
+    * (The former raw-key DP re-derived the argmin in the backtrack by
+    * re-evaluating all four candidates per step through a 3-deep if —
+    * an 8× expansion of this expression that dominated the plan's
+    * expression-tree size and Catalyst/codegen time.)
     */
   private def cand(pos: String, l: Int): String =
     s"""if($pos >= $l,
-          element_at(st, $pos - $l + 1) + 100000000L
+          ((element_at(st, $pos - $l + 1) div 16) + 100000000L
             - coalesce(try_element_at(pm, substring(w, $pos - $l + 1, $l)),
-                       ${-Big}L),
-          9000000000000000L)"""
+                       ${-Big}L)) * 16 + ${4 - l},
+          ${InvalidEnc}L)"""
 
-  /** `if(c4<=c3.., 4, ..)` — argmin over lengths with LONGER-piece
-    * tie-break (the first candidate ≤ all others wins, evaluated
-    * longest first), matching the oracle's `ORDER BY cand, l DESC`.
-    */
-  private def bestLen(pos: String): String = {
-    def c(l: Int) = cand(pos, l)
-    s"""if(${c(4)} <= ${c(3)} and ${c(4)} <= ${c(2)} and ${c(4)} <= ${c(1)}, 4,
-        if(${c(3)} <= ${c(2)} and ${c(3)} <= ${c(1)}, 3,
-        if(${c(2)} <= ${c(1)}, 2, 1)))"""
-  }
-
-  /** Forward Viterbi fill: st[j] (0-based j = prefix length) = minimal
-    * key over the four extension lengths. st[0] = 0; unreached = Big.
+  /** Forward Viterbi fill over encoded states: st[j] (0-based j =
+    * prefix length) = minimal encoded candidate over the four
+    * extension lengths. st[0] = 0; the placeholder is overwritten at
+    * step j before any later step reads it.
     */
   private def dpExpr: String =
     s"""aggregate(
           sequence(1, length(w)),
-          concat(array(0L), transform(sequence(1, length(w)), x -> ${Big}L)),
+          concat(array(0L), transform(sequence(1, length(w)), x -> ${Big * 16}L)),
           (st, j) -> transform(st, (v, i) ->
             if(i = j, least(${cand("j", 4)}, ${cand("j", 3)},
                             ${cand("j", 2)}, ${cand("j", 1)}), v)))"""
 
-  /** Backtrack: walk from pos = len choosing the argmin length each
-    * step (ties to the longer piece — the dpExpr rule), emitting the
-    * covering piece. At most len steps; finished words idle.
+  /** Backtrack: walk from pos = len reading the length tag the fill
+    * recorded (4 − st[pos] % 16 — the same argmin with the same
+    * longer-piece tie-break, now two array reads per step instead of
+    * re-evaluating all four candidates), emitting the covering piece.
+    * At most len steps; finished words idle.
     */
   private def btExpr: String = {
-    val bl = bestLen("acc.pos")
+    val bl = "cast(4 - (element_at(st, acc.pos + 1) % 16) as int)"
     s"""aggregate(
           sequence(1, length(w)),
           named_struct('pos', length(w),
@@ -143,70 +158,89 @@ object UnigramOps {
           acc -> acc.toks)"""
   }
 
-  /** Segment each distinct word of `words` (column w) against the
-    * piece table (p, sc): per-word piece map (its own scored
-    * substrings, ≤ 4·MaxWordLen entries) feeds the one-expression DP.
-    * Output (w, key, toks); key ≥ [[OovKey]] marks unsegmentable.
+  /** The WHOLE piece inventory as one literal map column, collected to
+    * the driver and embedded in the plan. Bounded by the tokenizer
+    * contract (≤ 26 single chars + [[SeedPieces]] multi-char pieces ≈
+    * 90 entries, a few KB — NOT corpus-sized; the same class as
+    * broadcasting k-means centroids). Replaces the former per-word
+    * piece-map build (substring explode → join → collect_set groupBy →
+    * left join back: two exchanges and an ObjectHashAggregate per
+    * segmentation pass) with a zero-shuffle projection. DP/greedy
+    * lookups only ever probe substrings of w, so the global map is
+    * lookup-identical to the per-word submap.
     */
-  /** Attach each distinct word's piece map (its own scored substrings
-    * present in `pieces`, ≤ 4·MaxWordLen entries) as column `pm` —
-    * the shared front half of the Viterbi and greedy segmenters.
+  private def pieceMapCol(pieces: DataFrame): Column =
+    pieceMapLit(pieces.select(col("p"), col("sc").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+  private def pieceMapLit(pm: Map[String, Long]): Column = typedLit(pm)
+
+  /** Segment every row's word `w` against the piece map, KEEPING the
+    * input's other columns (the trainer rides f through): adds `key`
+    * (the decoded lexicographic objective; ≥ [[OovKey]] marks
+    * unsegmentable) and `toks`. Pure projection — no join, no shuffle.
     */
-  private def withPieceMap(words: DataFrame,
-                           pieces: DataFrame): DataFrame = {
-    val subs = words.select(col("w"), explode(expr(
-      s"""array_distinct(flatten(transform(sequence(1, length(w)), s ->
-            filter(transform(sequence(1, $MaxPieceLen), l ->
-              if(s + l - 1 <= length(w), substring(w, s, l),
-                 cast(null as string))),
-              x -> x is not null))))""")).as("p"))
-    val pm = subs.join(pieces.select("p", "sc"), "p")
-      .groupBy("w")
-      .agg(map_from_entries(collect_set(struct(col("p"), col("sc"))))
-        .as("pm"))
-    words.join(pm, Seq("w"), "left")
-      .withColumn("pm",
-        coalesce(col("pm"), expr("cast(map() as map<string,bigint>)")))
-  }
+  private def segmentedWithMap(words: DataFrame,
+                               pm: Map[String, Long]): DataFrame =
+    words.withColumn("pm", pieceMapLit(pm))
+      .withColumn("st", expr(dpExpr))
+      .withColumn("key", expr("element_at(st, length(w) + 1) div 16"))
+      .withColumn("toks", expr(btExpr))
+      .drop("pm", "st")
 
   private[graft] def segmentWords(words: DataFrame,
-                           pieces: DataFrame): DataFrame = {
-    withPieceMap(words, pieces)
+                           pieces: DataFrame): DataFrame =
+    words.withColumn("pm", pieceMapCol(pieces))
       .withColumn("st", expr(dpExpr))
-      .withColumn("toks", expr(btExpr))
       .select(col("w"),
-        expr("element_at(st, length(w) + 1)").as("key"), col("toks"))
+        expr("element_at(st, length(w) + 1) div 16").as("key"),
+        expr(btExpr).as("toks"))
+
+  /** M-step on the DRIVER-collected inventory: multi-char pieces
+    * survive iff used (cnt ≥ 1 — every usage row is); single chars
+    * ALWAYS survive (coverage floor), with their observed usage (0 if
+    * the EM routed around them). Scores re-normalized to ppm of the
+    * kept total — the same floor-div integer math the former withPpm
+    * frame computed, now O(|inventory| ≤ 90) driver arithmetic per
+    * round instead of a crossJoin + union + left-join subplan.
+    */
+  private def emStep(usage: Map[String, Long],
+                     chars: Seq[String]): Seq[(String, Long, Long)] = {
+    val kept = usage.toSeq.filter(_._1.length > 1) ++
+      chars.map(c => c -> usage.getOrElse(c, 0L))
+    val t = kept.map(_._2).sum
+    kept.map { case (p, c) => (p, c, c * 1000000L / t) }
   }
 
-  /** M-step: piece scores from segmentation usage — multi-char pieces
-    * survive iff used (cnt ≥ 1); single chars ALWAYS survive (coverage
-    * floor), with their observed usage (0 if the EM routed around
-    * them). Scores re-normalized to ppm of the kept total.
+  /** [[EmRounds]] hard-EM rounds over the checkpointed word-frequency
+    * vocab: per round ONE distributed aggregation (piece usage over
+    * the segmented vocab, riding f straight through the projection —
+    * no seg↔wf join) whose ≤ 90-row result is collected and re-scored
+    * on the driver. Returns (piece, n_used, sc_ppm) tuples.
     */
-  private def usageCounts(seg: DataFrame, wf: DataFrame,
-                          chars: DataFrame): DataFrame = {
-    val usage = seg.join(wf, "w")
-      .select(col("f"), explode(col("toks")).as("p"))
-      .groupBy("p").agg(sum("f").as("cnt"))
-    withPpm(usage.filter(length(col("p")) > 1).unionByName(
-      chars.join(usage.filter(length(col("p")) === 1), Seq("p"), "left")
-        .select(col("p"), coalesce(col("cnt"), lit(0L)).as("cnt"))))
+  private def trainFromWf(wf: DataFrame): Seq[(String, Long, Long)] = {
+    var pieces: Seq[(String, Long, Long)] = seedPieces(wf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val chars = pieces.map(_._1).filter(_.length == 1)
+    (1 to EmRounds).foreach { _ =>
+      val pm = pieces.map(p => p._1 -> p._3).toMap
+      val usage = segmentedWithMap(wf, pm)
+        .select(col("f"), explode(col("toks")).as("p"))
+        .groupBy("p").agg(sum("f").as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      pieces = emStep(usage, chars)
+    }
+    pieces
   }
 
   /** [[EmRounds]] hard-EM rounds to the final piece table
     * (piece, n_used, sc_ppm) — the q_unigram_train surface.
     */
   def trainPieces(docs: DataFrame): DataFrame = {
-    val wf = wordFreq(docs).localCheckpoint(true)
-    var pieces = seedPieces(wf).localCheckpoint(true)
-    val chars = pieces.filter(length(col("p")) === 1).select("p")
-      .localCheckpoint(true)
-    (1 to EmRounds).foreach { _ =>
-      val seg = segmentWords(wf.select("w"), pieces)
-      pieces = usageCounts(seg, wf, chars).localCheckpoint(true)
-    }
-    pieces.select(col("p").as("piece"), col("cnt").as("n_used"),
-      col("sc").as("sc_ppm"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainFromWf(wordFreq(docs).localCheckpoint(true))
+      .toDF("piece", "n_used", "sc_ppm")
   }
 
   /** Train and persist the piece table — the artifact half
@@ -248,13 +282,14 @@ object UnigramOps {
     * feeding the cross-family comparison.
     */
   def tokenizeTrained(docs: DataFrame): DataFrame = {
-    val pieces = trainPieces(docs)
-      .select(col("piece").as("p"), col("sc_ppm").as("sc"))
+    val pm = trainFromWf(wordFreq(docs).localCheckpoint(true))
+      .map(p => p._1 -> p._3).toMap
     val inst = docs.select(col("doc_id"),
         explode(split(lower(col("text")), TextOps.WsRegex)).as("w"))
       .filter(col("w").rlike("^[a-z]+$") &&
         length(col("w")).between(2, MaxWordLen))
-    inst.join(segmentWords(inst.select("w").distinct(), pieces), "w")
+    inst.join(segmentedWithMap(inst.select("w").distinct(), pm)
+        .select("w", "toks"), "w")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_words"),
         sum(length(col("w"))).cast("long").as("n_chars"),
@@ -313,9 +348,20 @@ object UnigramOps {
     */
   private[graft] def greedySegment(words: DataFrame,
                                    pieces: DataFrame): DataFrame =
-    withPieceMap(words, pieces)
+    words.withColumn("pm", pieceMapCol(pieces))
       .withColumn("g", expr(greedyExpr))
       .select(col("w"), col("g.n").as("n_greedy"), col("g.oov").as("oov"))
+
+  /** Greedy columns over an arbitrary frame (adds n_greedy, oov,
+    * keeps everything else) — the projection twin the bake-off rides.
+    */
+  private def greedyWithMap(words: DataFrame,
+                            pm: Map[String, Long]): DataFrame =
+    words.withColumn("pm", pieceMapLit(pm))
+      .withColumn("g", expr(greedyExpr))
+      .withColumn("n_greedy", col("g.n"))
+      .withColumn("oov", col("g.oov"))
+      .drop("pm", "g")
 
   /** WORDPIECE-STYLE APPLY from the persisted pieces
     * ([[trainWritePieces]]) — the THIRD tokenizer-family
@@ -350,14 +396,16 @@ object UnigramOps {
     * universe (no OOV by construction).
     */
   def wordpieceCompare(docs: DataFrame): DataFrame = {
-    val pieces = trainPieces(docs)
-      .select(col("piece").as("p"), col("sc_ppm").as("sc"))
-    val wf = wordFreq(docs)
-    val dw = wf.select("w")
-    val vit = segmentWords(dw, pieces)
-      .select(col("w"), size(col("toks")).cast("long").as("n_vit"))
-    val gr = greedySegment(dw, pieces)
-    wf.join(vit, "w").join(gr, "w")
+    // ONE corpus scan and ONE checkpointed vocab shared by the trainer
+    // and both segmenters (the former shape re-derived wf and joined
+    // wf ⋈ viterbi ⋈ greedy on w — three aggregation subtrees and two
+    // SortMergeJoins); both segmenters are now projections over the
+    // same vocab rows, so the bake-off is vocab-scan → project → agg.
+    val wf = wordFreq(docs).localCheckpoint(true)
+    val pm = trainFromWf(wf).map(p => p._1 -> p._3).toMap
+    val vit = segmentedWithMap(wf, pm)
+      .select(col("w"), col("f"), size(col("toks")).cast("long").as("n_vit"))
+    greedyWithMap(vit, pm)
       .agg(sum("f").as("n_words"),
         sum(col("f") * col("n_greedy")).as("n_tok_greedy"),
         sum(col("f") * col("n_vit")).as("n_tok_viterbi"))
