@@ -309,35 +309,82 @@ object SimilarityOps {
     * pathological plateau-cycle case loudly.
     *
     * Scale shape per round is [[lloydRound]]'s: one broadcast-centroid
-    * assignment pass, one (c_id, dim)-keyed exact-int agg, a k-row
-    * rebuild; convergence is one aggregated driver-side scalar per
-    * round on k rows; lineage is cut per round with eager
-    * localCheckpoint. Returns (c_id, cv, cn2, n_members, inertia) —
+    * assignment pass and one (c_id, dim)-keyed exact-int agg whose
+    * ≤ k·64-row result is collected; the rebuild and the convergence
+    * compare are O(k·dims) driver arithmetic (no per-round lineage to
+    * cut — centroids live on the driver between rounds, exactly like a
+    * broadcast variable). Returns (c_id, cv, cn2, n_members, inertia) —
     * n_members and inertia (Σ exact int64 squared distance of members
     * to their centroid, the within-cluster-SSE quality metric every
     * k-means deployment monitors) from the final assignment pin the
     * clustering itself, not just the centroid geometry.
     */
   def kmeansFixpoint(v: DataFrame, maxIters: Int = 40): DataFrame = {
-    var cent = seedCentroids(v).localCheckpoint(true)
+    val spark = v.sparkSession
+    import spark.implicits._
+    // Driver-held centroid state: k = [[IvfCentroids]] rows of 64
+    // int64 dims — KB-scale, and already the broadcast side of every
+    // round. Per round ONE distributed aggregation runs (broadcast
+    // assignment min-struct + (c_id, dim) exact int64 sums, ≤ k·64
+    // rows out) and is collected; the floor-snap rebuild, the
+    // empty-cluster carry, and the exact round-over-round convergence
+    // compare are O(k·dims) driver arithmetic. The former shape ran an
+    // eager per-round localCheckpoint plus a k-row join + count() as a
+    // SECOND action — tripling the round's job count to decide a
+    // predicate over data that fits in one broadcast anyway. Identical
+    // math: floor of a double division of exactly-representable ints,
+    // cn2 via overflow-checked int64 (the ANSI loudness contract).
+    // The quantized corpus is re-scanned and re-quantized every round
+    // otherwise — pin it for the loop (the GraphOps ew/noIn
+    // discipline; Bench clears the cache between queries). Partition
+    // count follows the scan's natural splits: many at real scale,
+    // and deliberately NOT re-spread locally — for a corpus this size
+    // per-task fixed costs dominate, and measured round-robin /
+    // hash-by-vec_id respreads made taskSec 25-45× worse.
+    val vp = v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def toDf(c: Seq[(Long, Seq[Long], Long)]): DataFrame =
+      c.toDF("c_id", "cv", "cn2")
+    var cent: Seq[(Long, Seq[Long], Long)] = seedCentroids(v).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+      .sortBy(_._1)
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
       it += 1
-      val next = lloydRound(v, cent).localCheckpoint(true)
-      val changed = cent.select(col("c_id"), col("cv").as("cv_prev"))
-        .join(next, "c_id")
-        .filter(col("cv") =!= col("cv_prev")).count()
+      val sums = vp.join(broadcast(toDf(cent)))
+        .select(col("vec_id"), struct(
+            (col("n2") + col("cn2") - lit(2L) * dotL(col("qv"), col("cv")))
+              .as("d2"),
+            col("c_id").as("c_id"),
+            col("qv").as("qv")).as("dc"))
+        .groupBy("vec_id").agg(min("dc").as("m"))
+        .select(col("m.c_id").as("c_id"),
+          posexplode(col("m.qv")).as(Seq("dim", "q")))
+        .groupBy("c_id", "dim")
+        .agg(sum("q").as("s"), count(lit(1)).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+      val next = cent.map { case (cid, cv0, cn20) =>
+        sums.get(cid) match {
+          case Some(rows) =>
+            val cv: Seq[Long] = rows.sortBy(_.getInt(1)).map(r =>
+              math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong).toSeq
+            val cn2 = cv.foldLeft(0L)((a, x) =>
+              Math.addExact(a, Math.multiplyExact(x, x)))
+            (cid, cv, cn2)
+          case None => (cid, cv0, cn20)
+        }
+      }
+      converged = next == cent
       cent = next
-      converged = changed == 0L
     }
     if (!converged) throw new IllegalStateException(
       s"kmeansFixpoint did not converge in $maxIters Lloyd rounds; " +
         "raise maxIters (lattice plateau cycle or slow-mixing corpus)")
-    val members = assignMin(v, cent)
+    val members = assignMin(vp, toDf(cent))
       .groupBy("c_id").agg(count(lit(1)).as("n_members"),
         sum("d2").as("inertia"))
-    cent.join(members, Seq("c_id"), "left")
+    toDf(cent).join(members, Seq("c_id"), "left")
       .select(col("c_id"), col("cv"), col("cn2"),
         coalesce(col("n_members"), lit(0L)).as("n_members"),
         coalesce(col("inertia"), lit(0L)).as("inertia"))
