@@ -1095,6 +1095,7 @@ object GraphOps {
     val undAll = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Hub cap — the supernode guard every production common-neighbor
     // job carries: neighbor SETS are restricted to members of degree
     // ≤ maxNbrDeg (a shared hub connects everything to everything and
@@ -1106,12 +1107,39 @@ object GraphOps {
     val und = undAll.join(fullDeg.filter(col("bdeg") <= maxNbrDeg), "b")
       .select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
-    val w1 = und.select(col("a"), col("b").as("w"))
-    val w2 = und.select(col("a").as("b2"), col("b").as("w2"))
-    val cand = w1.join(w2, col("w") === col("w2") && col("a") < col("b2"))
-      .groupBy(col("a"), col("b2").as("b")).agg(count(lit(1)).as("cn"))
-      .join(undAll.select(col("a"), col("b"), lit(1).as("adj")),
-        Seq("a", "b"), "left_anti")
+    // Wedge pairs from per-center SORTED adjacency arrays (bounded by
+    // the hub cap, so each array is ≤ maxNbrDeg entries): one exchange
+    // keyed on the wedge center replaces the former self-join's two
+    // exchanges + sort-merge, and each unordered pair (a < b) is
+    // emitted exactly once, ENCODED as one int64 key a·idSpan + b —
+    // the (a, b) two-column group-by/anti-join key narrowed to eight
+    // bytes (§2.3 narrower types) for the ~Σdeg² aggregation that
+    // dominates this operator. idSpan is derived from the data's max
+    // id + 1 (one aggregated scalar over the persisted edge set), so
+    // the encoding is collision-free for any id domain.
+    val idSpan = undAll.agg(max(greatest(col("a"), col("b"))))
+      .head().getLong(0) + 1L
+    // The center-array frame is tiny post-agg, so AQE coalesces it —
+    // but the explode below multiplies rows ~Σdeg²/|centers|-fold, so
+    // byte-sized coalescing would serialize the pair generation onto a
+    // few tasks (the generator blind spot of advisory sizing, same at
+    // any scale). Re-spread it to the configured shuffle parallelism
+    // before exploding.
+    val pairKeys = und.groupBy(col("b").as("w"))
+      .agg(sort_array(collect_list(col("a"))).as("ns"))
+      .repartition(und.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(explode(expr(
+        // size < 2 ⇒ no pairs (sequence(1, 0) would DESCEND to index 0)
+        s"""if(size(ns) < 2, array(),
+              flatten(transform(sequence(1, size(ns) - 1), i ->
+                transform(slice(ns, i + 1, size(ns) - i), y ->
+                  element_at(ns, i) * ${idSpan}L + y))))""")).as("ab"))
+    val adjKeys = undAll.filter(col("a") < col("b"))
+      .select((col("a") * idSpan + col("b")).as("ab"))
+    val cand = pairKeys.groupBy("ab").agg(count(lit(1)).as("cn"))
+      .join(adjKeys, Seq("ab"), "left_anti")
+      .select(expr(s"ab div ${idSpan}L").as("a"),
+        (col("ab") % idSpan).as("b"), col("cn"))
     cand
       .join(deg.withColumnsRenamed(Map("a" -> "a", "deg" -> "dega")), "a")
       .join(deg.withColumnsRenamed(Map("a" -> "b", "deg" -> "degb")), "b")
