@@ -630,9 +630,14 @@ object GraphOps {
     // (deg, id) total order orients each edge; broadcast the degree
     // table (16 B/node) so the edge list never shuffles to attach it —
     // unless |V|·16 B exceeds the session broadcast budget (or the
-    // caller overrides), in which case the attach shuffles.
-    val bc = decideBroadcast(bcastDeg, deg.count(),
+    // caller overrides), in which case the attach shuffles. One
+    // aggregated pass supplies both the broadcast decision (|V|) and
+    // the id span for the encoded closing key below.
+    val degStats = deg.agg(count(lit(1)), max("node")).head()
+    val bc = decideBroadcast(bcastDeg, degStats.getLong(0),
       broadcastBudget(edges.sparkSession))
+    val idSpan = // empty graph ⇒ max is null; any span works (no rows)
+      (if (degStats.isNullAt(1)) 0L else degStats.getLong(1)) + 1L
     val hint: DataFrame => DataFrame =
       if (bc) broadcast else _.hint("shuffle_hash")
     val da = hint(deg.select(col("node").as("a"), col("deg").as("da")))
@@ -646,17 +651,34 @@ object GraphOps {
         .as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"), col("e.hd").as("hd"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val o1 = oriented.select(col("lo").as("u"), col("hi").as("v"),
-      col("hd").as("dv"))
-    val o2 = oriented.select(col("lo").as("u2"), col("hi").as("w"),
-      col("hd").as("dw"))
-    val wedges = o1.join(o2, col("u") === col("u2") &&
-        (col("dv") < col("dw") ||
-          (col("dv") === col("dw") && col("v") < col("w"))))
-      .select(col("u"), col("v"), col("w"))
-    val closing = oriented.select(col("lo").as("v"), col("hi").as("w"))
-    val tri = wedges.join(closing, Seq("v", "w"))
-      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+    // Wedges (u→v, u→w), (deg,id)-ordered v < w, generated from each
+    // center's SORTED out-adjacency array (sort_array over (hd, hi)
+    // structs IS the (deg, id) order): one exchange keyed on u
+    // replaces the former o1×o2 self-join's exchange + two sorts, each
+    // wedge emitted exactly once, and the closing pair travels as ONE
+    // encoded int64 v·idSpan + w (§2.3 narrower types — out-degrees
+    // are O(√m) by the orientation, so arrays stay small at any
+    // scale). The tiny post-agg array frame is re-spread before the
+    // explode: AQE's byte-based coalescing cannot see the ~deg²
+    // generator fan-out and would serialize wedge generation.
+    val wedges = oriented
+      .groupBy(col("lo").as("u"))
+      .agg(sort_array(collect_list(struct(col("hd"), col("hi")))).as("ns"))
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col("u"), explode(expr(
+        s"""if(size(ns) < 2, array(),
+              flatten(transform(sequence(1, size(ns) - 1), i ->
+                transform(slice(ns, i + 1, size(ns) - i), y ->
+                  element_at(ns, i).hi * ${idSpan}L + y.hi))))""")).as("vw"))
+    // Closing join on the encoded key, shuffled-hash by hint: the
+    // build side is the oriented edge list (one int64 key per edge),
+    // the probe side the ~Σdeg² wedge stream — a sort-merge join here
+    // would pay an O(wedges log wedges) sort for nothing.
+    val closing = oriented
+      .select((col("lo") * idSpan + col("hi")).as("vw")).hint("shuffle_hash")
+    val tri = wedges.join(closing, Seq("vw"))
+      .select(explode(array(col("u"), expr(s"vw div ${idSpan}L"),
+        col("vw") % idSpan)).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
     (und, deg, tri)
   }

@@ -285,6 +285,12 @@ class GraphOpsSpec extends SparkSpec {
       spark.conf.set(key, "64")
       val auto = GraphOps.triangleCounts(edges)
       val plan = planText(auto.queryExecution.executedPlan)
+      // The degree attach is the guarded join; the closing join is
+      // ALWAYS shuffled-hash by design (its probe side is the wedge
+      // stream), so the assertions pin the BroadcastHashJoin count of
+      // the attach rather than the mere presence of a shuffled join.
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"past-budget vector must auto-select a shuffled degree attach:\n$plan")
       assert(plan.contains("ShuffledHashJoin"),
         s"past-budget vector must auto-select a shuffled degree attach:\n$plan")
       val got = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -292,7 +298,7 @@ class GraphOpsSpec extends SparkSpec {
       spark.conf.set(key, saved)
       val bc = GraphOps.triangleCounts(edges)
       val bcPlan = planText(bc.queryExecution.executedPlan)
-      assert(!bcPlan.contains("ShuffledHashJoin"),
+      assert(bcPlan.contains("BroadcastHashJoin"),
         s"in-budget vector must keep the broadcast degree attach:\n$bcPlan")
       assert(bc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === got)
     } finally spark.conf.set(key, saved)
