@@ -749,11 +749,17 @@ object SimilarityOps {
   def writeEmbedIndex(corpus: DataFrame, path: String,
                       tables: Int = PairTables,
                       planes: Int = PairPlanes): Unit = {
+    // Two writes over one quantized frame — pin it so the second write
+    // re-reads the cache instead of re-quantizing (or re-running an
+    // expensive upstream subplan).
     val v = withQuant(corpus).filter(col("n2") > 0)
-    v.write.mode("overwrite").parquet(path + "/vectors")
-    buckets(v, tables, planes)
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("t", "bucket")))
-      .write.mode("overwrite").parquet(path + "/buckets")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      v.write.mode("overwrite").parquet(path + "/vectors")
+      buckets(v, tables, planes)
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy("t", "bucket")))
+        .write.mode("overwrite").parquet(path + "/buckets")
+    } finally { v.unpersist(); () }
   }
 
   /** Index MAINTENANCE — append an admitted batch's vectors and bucket
@@ -766,11 +772,16 @@ object SimilarityOps {
   def appendToEmbedIndex(admitted: DataFrame, path: String,
                          tables: Int = PairTables,
                          planes: Int = PairPlanes): Unit = {
+    // The admitted batch is typically a verdict-chain subplan (index
+    // probe + semi-join); two writes would re-run it end-to-end — pin.
     val v = withQuant(admitted).filter(col("n2") > 0)
-    v.write.mode("append").parquet(path + "/vectors")
-    buckets(v, tables, planes)
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("t", "bucket")))
-      .write.mode("append").parquet(path + "/buckets")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      v.write.mode("append").parquet(path + "/vectors")
+      buckets(v, tables, planes)
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy("t", "bucket")))
+        .write.mode("append").parquet(path + "/buckets")
+    } finally { v.unpersist(); () }
   }
 
   /** Embed-index COMPACTION — [[graft.ops.DedupOps.compactMinhashIndex]]'s
