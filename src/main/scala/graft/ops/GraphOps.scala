@@ -1139,8 +1139,10 @@ object GraphOps {
     // dominates this operator. idSpan is derived from the data's max
     // id + 1 (one aggregated scalar over the persisted edge set), so
     // the encoding is collision-free for any id domain.
-    val idSpan = undAll.agg(max(greatest(col("a"), col("b"))))
-      .head().getLong(0) + 1L
+    val idSpan = { // empty graph ⇒ max is null; any span works (no rows)
+      val r = undAll.agg(max(greatest(col("a"), col("b")))).head()
+      (if (r.isNullAt(0)) 0L else r.getLong(0)) + 1L
+    }
     // The center-array frame is tiny post-agg, so AQE coalesces it —
     // but the explode below multiplies rows ~Σdeg²/|centers|-fold, so
     // byte-sized coalescing would serialize the pair generation onto a
