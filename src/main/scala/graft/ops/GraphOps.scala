@@ -1036,12 +1036,15 @@ object GraphOps {
         .groupBy(e(outKey).as("node")).agg(sum(scoreCol).as("raw"))
         .localCheckpoint(true)
       val m = raw.agg(coalesce(max("raw"), lit(0L))).head.getLong(0)
+      // The normalized vector is a shallow projection over the
+      // CHECKPOINTED raw (m is a driver literal), so it needs no
+      // checkpoint of its own — dropping it removes one action (and
+      // its jobs) per half-round without letting lineage nest.
       if (m == 0L) n0.select(col("node"), lit(0L).as(scoreCol))
       else n0.join(raw, Seq("node"), "left")
         .select(col("node"),
           expr(s"(coalesce(raw, 0L) * ${HitsScale}L) div ${m}L")
             .as(scoreCol))
-        .localCheckpoint(true)
     }
     var hub = n0.select(col("node"), lit(HitsScale).as("h_fp"))
     var auth: DataFrame = null
