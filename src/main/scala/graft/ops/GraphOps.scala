@@ -319,15 +319,17 @@ object GraphOps {
       // The label table is |V| rows, so the checkpointed state is tiny;
       // on a cluster where executor loss matters, swap in reliable
       // checkpoint(), same call site.
+      // prev rides the update row, so the convergence count is a
+      // filter over the just-checkpointed frame — no per-round
+      // next ⋈ lbl join.
       val next = lbl.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          col("cluster").as("prev"))
         .localCheckpoint(true)
-      val changed = next.join(
-          lbl.withColumnRenamed("cluster", "prev"), "node")
-        .filter(col("cluster") =!= col("prev")).count()
+      val changed = next.filter(col("cluster") =!= col("prev")).count()
       lbl.unpersist()
-      lbl = next
+      lbl = next.select("node", "cluster")
       it += 1
       converged = changed == 0L
     }
@@ -397,21 +399,28 @@ object GraphOps {
       val l = if (bc) broadcast(lbl) else lbl
       // Closed-neighborhood label multiset: one row per (neighbor
       // label arriving over an edge) plus the node's own label.
+      // The self-vote row carries the node's previous label through
+      // both aggregation levels (exactly one non-null prev per node),
+      // so the convergence count is a filter over the checkpointed
+      // frame — no per-round next ⋈ lbl join. Vote counts and the
+      // election are unchanged.
       val cand = sym.join(l, sym("u") === l("node"))
-        .select(sym("v").as("node"), l("community"))
-        .union(lbl.select(col("node"), col("community")))
-        .groupBy("node", "community").agg(count(lit(1)).as("c"))
+        .select(sym("v").as("node"), l("community"),
+          lit(null).cast("long").as("prev"))
+        .union(lbl.select(col("node"), col("community"),
+          col("community").as("prev")))
+        .groupBy("node", "community")
+        .agg(count(lit(1)).as("c"), max("prev").as("prev"))
       // Plurality election, totally ordered: min over (-count, label)
       // structs ≡ (count desc, label asc) — one agg, no window.
       val next = cand
         .groupBy("node").agg(min(struct((-col("c")).as("nc"),
-          col("community").as("community"))).as("m"))
-        .select(col("node"), col("m.community").as("community"))
+          col("community").as("community"))).as("m"),
+          max("prev").as("prev"))
+        .select(col("node"), col("m.community").as("community"), col("prev"))
         .localCheckpoint(true)
-      val changed = next
-        .join(lbl.withColumnRenamed("community", "prev"), "node")
-        .filter(col("community") =!= col("prev")).count()
-      lbl = next
+      val changed = next.filter(col("community") =!= col("prev")).count()
+      lbl = next.select("node", "community")
       converged = changed == 0L
     }
     if (!converged) throw new IllegalStateException(
